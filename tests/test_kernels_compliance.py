@@ -1,0 +1,129 @@
+"""Conformance of the NumPy kernels to the reference's pinned behavior.
+
+Expected index vectors are the hand-computed values from the reference's own
+Rust unit tests (facts about the algorithms, cited per case) — see
+`/root/reference/downsample_rs/src/{minmax,m4,lttb,minmaxlttb}.rs` test
+modules.
+"""
+
+import numpy as np
+import pytest
+
+from tsdownsample_ray.kernels import (
+    everynth,
+    lttb,
+    m4,
+    minmax,
+    minmaxlttb,
+    nanm4,
+    nanminmax,
+    nanminmaxlttb,
+)
+
+RAMP100 = np.arange(100, dtype=np.float32)
+X100 = np.arange(100, dtype=np.int32)
+
+
+# --- hand values: minmax.rs:294-372 ---------------------------------------
+def test_minmax_ramp_no_x():
+    assert minmax(None, RAMP100, 10).tolist() == [0, 19, 20, 39, 40, 59, 60, 79, 80, 99]
+
+
+def test_minmax_ramp_with_x():
+    assert minmax(X100, RAMP100, 10).tolist() == [0, 19, 20, 39, 40, 59, 60, 79, 80, 99]
+
+
+# --- gap hand values: minmax.rs:376-416 ------------------------------------
+def _gap_x():
+    return np.array([i + 50 if i > 50 else i for i in range(100)], dtype=np.int32)
+
+
+def test_minmax_gap_full():
+    out = nanminmax(_gap_x(), RAMP100, 10)
+    assert out.tolist() == [0, 29, 30, 50, 51, 69, 70, 99]  # one empty bin
+
+
+def test_minmax_gap_singleton():
+    x = _gap_x()
+    x = np.where(x > 101, x + 50, x)
+    out = nanminmax(x, RAMP100, 10)
+    assert out.tolist() == [0, 39, 40, 50, 51, 52, 59, 60, 99]  # 1-point bin
+
+
+# --- hand values: m4.rs:310-436 --------------------------------------------
+def test_m4_ramp_no_x():
+    assert m4(None, RAMP100, 12).tolist() == [0, 0, 33, 33, 34, 34, 66, 66, 67, 67, 99, 99]
+
+
+def test_m4_ramp_with_x():
+    assert m4(X100, RAMP100, 12).tolist() == [0, 0, 33, 33, 34, 34, 66, 66, 67, 67, 99, 99]
+
+
+def test_m4_gap_full():
+    out = m4(_gap_x(), RAMP100, 20)
+    assert out.tolist() == [0, 0, 29, 29, 30, 30, 50, 50, 51, 51, 69, 69, 70, 70, 99, 99]
+
+
+def test_m4_gap_singleton():
+    x = _gap_x()
+    x = np.where(x > 101, x + 50, x)
+    out = m4(x, RAMP100, 20)
+    assert out.tolist() == [0, 0, 39, 39, 40, 40, 50, 50, 51, 52, 52, 59, 59, 60, 60, 99, 99]
+
+
+# --- hand values: lttb.rs:190-203, minmaxlttb.rs:231-258 --------------------
+def test_lttb_ramp10():
+    y = np.arange(10, dtype=np.float64)
+    assert lttb(None, y, 4).tolist() == [0, 1, 5, 9]
+    assert lttb(np.arange(10, dtype=np.int64), y, 4).tolist() == [0, 1, 5, 9]
+
+
+def test_minmaxlttb_ramp10():
+    y = np.arange(10, dtype=np.float64)
+    assert minmaxlttb(None, y, 4, 2).tolist() == [0, 1, 5, 9]
+    assert minmaxlttb(np.arange(10), y, 4, 2).tolist() == [0, 1, 5, 9]
+
+
+# --- with-x == no-x on a uniform grid (minmaxlttb.rs:262-278,
+#     test_tsdownsample.py:148-155) -----------------------------------------
+@pytest.mark.parametrize("n,n_out", [(2001, 100), (1001, 26)])
+def test_minmaxlttb_with_x_equals_without(n, n_out):
+    y = np.arange(n, dtype=np.float32)
+    x = np.arange(n, dtype=np.int32)
+    assert np.array_equal(minmaxlttb(x, y, n_out, 4), minmaxlttb(None, y, n_out, 4))
+
+
+@pytest.mark.parametrize("n_out", [98, 100, 102, 196, 200, 204, 252])
+@pytest.mark.parametrize(
+    "fn", [minmax, nanminmax, lttb, minmaxlttb, nanminmaxlttb]
+)
+def test_with_x_equals_without_random(fn, n_out):
+    rng = np.random.default_rng(7)
+    y = rng.standard_normal(20_003)
+    x = np.arange(20_003)
+    assert np.array_equal(fn(x, y, n_out), fn(None, y, n_out))
+
+
+@pytest.mark.parametrize("n_out", [96, 100, 104, 196, 200, 204, 252])
+@pytest.mark.parametrize("fn", [m4, nanm4])
+def test_m4_with_x_equals_without_random(fn, n_out):
+    rng = np.random.default_rng(7)
+    y = rng.standard_normal(20_003)
+    x = np.arange(20_003)
+    assert np.array_equal(fn(x, y, n_out), fn(None, y, n_out))
+
+
+# --- everynth formula (downsamplers.py:142-158) -----------------------------
+@pytest.mark.parametrize("n,n_out", [(10, 4), (100, 7), (1000, 33), (5, 10)])
+def test_everynth_formula(n, n_out):
+    y = np.arange(n)
+    step = max(1, n / n_out)
+    expected = np.arange(0, n - 0.1, step).astype(np.uint64)
+    assert np.array_equal(everynth(None, y, n_out), expected)
+
+
+# --- identity short-circuit (minmax.rs:105-107 etc.) ------------------------
+@pytest.mark.parametrize("fn", [minmax, nanminmax, m4, nanm4, lttb, minmaxlttb])
+def test_identity_when_n_out_ge_len(fn):
+    y = np.arange(50, dtype=np.float64)
+    assert np.array_equal(fn(None, y, 100), np.arange(50))

@@ -1,0 +1,195 @@
+"""Public downsampler class API — drop-in surface parity with the reference.
+
+Mirrors the eight classes exported by
+``/root/reference/tsdownsample/__init__.py:17-26`` with the same call
+convention (``downsample([x], y, *, n_out, parallel=False, **kw) ->
+ndarray[uint64]``, ``downsampling_interface.py:104-135``) and the same
+validation behavior:
+
+- positional args parsed as ``(y,)`` or ``(x, y)``
+  (``downsampling_interface.py:56-84``);
+- 1-D, C-contiguous arrays required (``:28-38``);
+- dtype gates for x and y (``:40-53``, ``:143-157``);
+- ``n_out`` must be a positive integer, with per-class parity constraints
+  (``downsamplers.py:27-31`` even, ``:64-68`` multiple of 4).
+
+``parallel=True`` is accepted for compatibility; a single series is always
+processed by one vectorized NumPy kernel — parallelism in this engine lives
+*across* series in the Ray Data pipeline (see
+``tsdownsample_ray.stages.downsample``). The classes are stateless and
+trivially picklable, like the reference's
+(``downsampling_interface.py:378-389``).
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+
+from .kernels import KERNELS
+from .kernels.binning import check_x_dtype, check_y_dtype
+
+__all__ = [
+    "AbstractDownsampler",
+    "EveryNthDownsampler",
+    "LTTBDownsampler",
+    "M4Downsampler",
+    "MinMaxDownsampler",
+    "MinMaxLTTBDownsampler",
+    "NaNM4Downsampler",
+    "NaNMinMaxDownsampler",
+    "NaNMinMaxLTTBDownsampler",
+]
+
+
+def _parse_args(args):
+    """(y,) or (x, y) -> (x_or_None, y)  — downsampling_interface.py:56-84."""
+    if len(args) == 1:
+        x, y = None, args[0]
+    elif len(args) == 2:
+        x, y = args
+    else:
+        raise ValueError(
+            f"downsample takes 1 or 2 positional arguments, got {len(args)}"
+        )
+    if not isinstance(y, np.ndarray):
+        raise ValueError("y must be a numpy array")
+    if y.ndim != 1:
+        raise ValueError("y must be 1D")
+    if x is not None:
+        if not isinstance(x, np.ndarray):
+            raise ValueError("x must be a numpy array")
+        if x.ndim != 1:
+            raise ValueError("x must be 1D")
+        if len(x) != len(y):
+            raise ValueError("x and y must have the same length")
+    return x, y
+
+
+def _check_contiguous(arr, name):
+    if arr is not None and not arr.flags["C_CONTIGUOUS"]:
+        raise ValueError(f"{name} array must be contiguous")
+
+
+class AbstractDownsampler:
+    """Wraps a registry kernel with reference-equivalent validation."""
+
+    _kernel_name: str = ""
+    check_contiguous: bool = True
+
+    def _check_valid_n_out(self, n_out: int) -> None:
+        if not isinstance(n_out, (int, np.integer)):
+            raise TypeError("n_out must be an integer")
+        if n_out <= 0:
+            raise ValueError("n_out must be > 0")
+
+    def _kernel_kwargs(self, **kwargs) -> dict:
+        return {}
+
+    def downsample(self, *args, n_out: int, parallel: bool = False, **kwargs):
+        self._check_valid_n_out(n_out)
+        x, y = _parse_args(args)
+        check_y_dtype(y)
+        if self.check_contiguous:
+            _check_contiguous(y, "y")
+        if x is not None:
+            check_x_dtype(x)
+            if self.check_contiguous:
+                _check_contiguous(x, "x")
+        kern = KERNELS[self._kernel_name]
+        return kern(x, y, int(n_out), **self._kernel_kwargs(**kwargs))
+
+
+class MinMaxDownsampler(AbstractDownsampler):
+    """Binned min/max selection; NaNs ignored (downsamplers.py:16-31)."""
+
+    _kernel_name = "minmax"
+
+    def _check_valid_n_out(self, n_out):
+        super()._check_valid_n_out(n_out)
+        if n_out % 2 != 0:
+            raise ValueError("n_out must be even")
+
+
+class NaNMinMaxDownsampler(MinMaxDownsampler):
+    """Binned min/max; NaN indices returned (downsamplers.py:34-49)."""
+
+    _kernel_name = "nanminmax"
+
+
+class M4Downsampler(AbstractDownsampler):
+    """First/min/max/last per bin; NaNs ignored (downsamplers.py:52-68)."""
+
+    _kernel_name = "m4"
+
+    def _check_valid_n_out(self, n_out):
+        super()._check_valid_n_out(n_out)
+        if n_out % 4 != 0:
+            raise ValueError("n_out must be a multiple of 4")
+
+
+class NaNM4Downsampler(M4Downsampler):
+    """M4 with NaN-returning argminmax (downsamplers.py:71-87)."""
+
+    _kernel_name = "nanm4"
+
+
+class LTTBDownsampler(AbstractDownsampler):
+    """Largest-Triangle-Three-Buckets (downsamplers.py:90-95).
+
+    Sequential per series, like the reference (``src/lib.rs:349-370`` has no
+    parallel LTTB; ``downsampling_interface.py:347-356`` warns and falls
+    back).
+    """
+
+    _kernel_name = "lttb"
+
+    def downsample(self, *args, n_out: int, parallel: bool = False, **kwargs):
+        if parallel:
+            warnings.warn(
+                "There is no parallel implementation for LTTB; a single series "
+                "is always downsampled sequentially (parallelism is across "
+                "series in the Dataset pipeline)"
+            )
+        return super().downsample(*args, n_out=n_out, parallel=False, **kwargs)
+
+
+class MinMaxLTTBDownsampler(AbstractDownsampler):
+    """MinMax preselection + LTTB (arXiv:2305.00332; downsamplers.py:98-116)."""
+
+    _kernel_name = "minmaxlttb"
+
+    def downsample(
+        self, *args, n_out: int, minmax_ratio: int = 4, parallel: bool = False, **_
+    ):
+        assert minmax_ratio > 0, "minmax_ratio must be greater than 0"
+        self._ratio = int(minmax_ratio)
+        return super().downsample(*args, n_out=n_out, parallel=parallel)
+
+    def _kernel_kwargs(self, **kwargs):
+        return {"minmax_ratio": getattr(self, "_ratio", 4)}
+
+
+class NaNMinMaxLTTBDownsampler(MinMaxLTTBDownsampler):
+    """NaN-returning MinMaxLTTB (downsamplers.py:119-136)."""
+
+    _kernel_name = "nanminmaxlttb"
+
+
+class EveryNthDownsampler(AbstractDownsampler):
+    """Strided selection; x ignored with a warning (downsamplers.py:142-158)."""
+
+    _kernel_name = "everynth"
+    check_contiguous = False
+
+    def downsample(self, *args, n_out: int, parallel: bool = False, **kwargs):
+        x, _ = _parse_args(args)
+        if x is not None:
+            warnings.warn(
+                f"x is passed to downsample method of {self.__class__.__name__}, "
+                "but is not taken into account by the current implementation of "
+                "the EveryNth algorithm."
+            )
+            args = args[1:]
+        return super().downsample(*args, n_out=n_out, parallel=parallel, **kwargs)
