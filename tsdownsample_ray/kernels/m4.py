@@ -21,13 +21,16 @@ from __future__ import annotations
 
 import numpy as np
 
-from .binning import get_bin_idxs, view_x, view_y
+from .argminmax import bin_argminmax
+from .binning import get_bin_idxs, get_bin_idxs_nox, view_x, view_y
 
 __all__ = ["m4", "nanm4"]
 
 
-def _m4_core(x, y, nb_bins: int, *, nan_policy_return: bool, passthrough: bool) -> np.ndarray:
-    bins = get_bin_idxs(x, nb_bins)
+def _m4_core_loop(x, y, nb_bins: int, *, nan_policy_return: bool, passthrough: bool) -> np.ndarray:
+    """Reference formulation (per-bin loop) — the oracle for the vectorized
+    core's equivalence tests."""
+    bins = get_bin_idxs(x, nb_bins) if x is not None else get_bin_idxs_nox(len(y), nb_bins)
     if nan_policy_return:
         f_min, f_max = np.argmin, np.argmax
     else:
@@ -55,6 +58,40 @@ def _m4_core(x, y, nb_bins: int, *, nan_policy_return: bool, passthrough: bool) 
     return np.asarray(idxs, dtype=np.uint64)
 
 
+def _m4_core(x, y, nb_bins: int, *, nan_policy_return: bool, passthrough: bool) -> np.ndarray:
+    """Vectorized core (see argminmax.bin_argminmax)."""
+    bins = get_bin_idxs(x, nb_bins) if x is not None else get_bin_idxs_nox(len(y), nb_bins)
+    starts, ends = bins[:-1], bins[1:]
+    nonempty = ends > starts
+    s = starts[nonempty].astype(np.int64)
+    e = ends[nonempty].astype(np.int64)
+    if len(s) == 0:
+        return np.empty(0, dtype=np.uint64)
+
+    nan_ret = nan_policy_return and np.issubdtype(y.dtype, np.floating)
+    amin, amax = bin_argminmax(y, s, e, nan_policy_return=nan_ret)
+    lo = np.minimum(amin, amax)
+    hi = np.maximum(amin, amax)
+
+    cnt = e - s
+    small = (cnt <= 4) if passthrough else np.zeros(len(s), dtype=bool)
+    out_counts = np.where(small, cnt, 4)
+    offs = np.concatenate(([0], np.cumsum(out_counts)))
+    out = np.empty(offs[-1], dtype=np.int64)
+
+    big = ~small
+    base = offs[:-1][big]
+    out[base] = s[big]
+    out[base + 1] = lo[big]
+    out[base + 2] = hi[big]
+    out[base + 3] = e[big] - 1
+    if small.any():  # tiny-bin passthrough (m4.rs:205-211): emit all points
+        for k in range(4):
+            sel = small & (cnt > k)
+            out[offs[:-1][sel] + k] = s[sel] + k
+    return out.astype(np.uint64)
+
+
 def _prep(x, y, n_out):
     y = view_y(np.asarray(y))
     if n_out % 4 != 0:
@@ -64,8 +101,6 @@ def _prep(x, y, n_out):
         x = view_x(np.asarray(x))
         if len(x) != len(y):
             raise ValueError("x and y must have the same length")
-    else:
-        x = np.arange(y.shape[0])
     return x, y, had_x
 
 

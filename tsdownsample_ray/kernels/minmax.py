@@ -29,14 +29,16 @@ from __future__ import annotations
 
 import numpy as np
 
-from .binning import get_bin_idxs, view_x, view_y
+from .argminmax import bin_argminmax
+from .binning import get_bin_idxs, get_bin_idxs_nox, view_x, view_y
 
 __all__ = ["minmax", "nanminmax", "minmax_pairs"]
 
 
-def _minmax_core(x, y, nb_bins: int, *, nan_policy_return: bool, passthrough: bool) -> list:
-    """Absolute indices in bin order, sorted within each bin."""
-    bins = get_bin_idxs(x, nb_bins)
+def _minmax_core_loop(x, y, nb_bins: int, *, nan_policy_return: bool, passthrough: bool) -> list:
+    """Reference formulation (per-bin loop) — kept as the oracle the
+    vectorized core is equivalence-tested against."""
+    bins = get_bin_idxs(x, nb_bins) if x is not None else get_bin_idxs_nox(len(y), nb_bins)
     if nan_policy_return:
         f_min, f_max = np.argmin, np.argmax
     else:
@@ -61,6 +63,37 @@ def _minmax_core(x, y, nb_bins: int, *, nan_policy_return: bool, passthrough: bo
     return idxs
 
 
+def _minmax_core(x, y, nb_bins: int, *, nan_policy_return: bool, passthrough: bool) -> np.ndarray:
+    """Vectorized core: absolute indices in bin order, sorted within bin."""
+    bins = get_bin_idxs(x, nb_bins) if x is not None else get_bin_idxs_nox(len(y), nb_bins)
+    starts, ends = bins[:-1], bins[1:]
+    nonempty = ends > starts
+    s = starts[nonempty].astype(np.int64)
+    e = ends[nonempty].astype(np.int64)
+    if len(s) == 0:
+        return np.empty(0, dtype=np.int64)
+
+    nan_ret = nan_policy_return and np.issubdtype(y.dtype, np.floating)
+    amin, amax = bin_argminmax(y, s, e, nan_policy_return=nan_ret)
+    lo = np.minimum(amin, amax)
+    hi = np.maximum(amin, amax)
+
+    cnt = e - s
+    small = (cnt <= 2) if passthrough else np.zeros(len(s), dtype=bool)
+    out_counts = np.where(small, cnt, 2)
+    offs = np.concatenate(([0], np.cumsum(out_counts)))
+    out = np.empty(offs[-1], dtype=np.int64)
+
+    big = ~small
+    out[offs[:-1][big]] = lo[big]
+    out[offs[:-1][big] + 1] = hi[big]
+    if small.any():  # tiny-bin passthrough (minmax.rs:199-203): emit all points
+        for k in range(2):
+            sel = small & (cnt > k)
+            out[offs[:-1][sel] + k] = s[sel] + k
+    return out
+
+
 def _prep(x, y, n_out):
     y = view_y(np.asarray(y))
     if n_out % 2 != 0:
@@ -70,8 +103,6 @@ def _prep(x, y, n_out):
         x = view_x(np.asarray(x))
         if len(x) != len(y):
             raise ValueError("x and y must have the same length")
-    else:
-        x = np.arange(y.shape[0])
     return x, y, had_x
 
 
@@ -93,9 +124,10 @@ def nanminmax(x, y, n_out: int) -> np.ndarray:
     x, y, had_x = _prep(x, y, n_out)
     if n_out >= len(y):
         return np.arange(len(y), dtype=np.uint64)
-    nan_ret = bool(np.issubdtype(y.dtype, np.floating))
-    core = _minmax_core(x, y, n_out // 2, nan_policy_return=nan_ret, passthrough=had_x)
-    return np.asarray(core, dtype=np.uint64)
+    core = _minmax_core(x, y, n_out // 2, nan_policy_return=True, passthrough=had_x)
+    # core is emitted in bin order with bins on disjoint increasing index
+    # ranges -> already globally sorted (NaNMinMax_py:178's `sorted`)
+    return core.astype(np.uint64)
 
 
 def minmax_pairs(x, y, n_out: int, *, nan_policy_return: bool) -> np.ndarray:
@@ -104,10 +136,8 @@ def minmax_pairs(x, y, n_out: int, *, nan_policy_return: bool) -> np.ndarray:
     (``minmaxlttb.rs:138-142``). ``x=None`` selects the no-passthrough no-x
     formulation."""
     had_x = x is not None
-    if x is None:
-        x = np.arange(len(y))
     if n_out >= len(y):
         return np.arange(len(y), dtype=np.intp)
     core = _minmax_core(x, y, n_out // 2, nan_policy_return=nan_policy_return,
                         passthrough=had_x)
-    return np.asarray(core, dtype=np.intp)
+    return core.astype(np.intp)
