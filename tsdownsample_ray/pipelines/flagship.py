@@ -1,0 +1,28 @@
+"""Flagship pipeline: pages -> extract -> per-domain series -> rollup tiers
+-> per-series visualization downsample.
+
+``flagship_dataset`` returns the lazy Dataset of downsampled points (the
+driver smoke-check); ``run_retention_pipeline`` (see ``retention.py``) is
+the full checkpointed multi-tier run with compression and manifests.
+"""
+
+from __future__ import annotations
+
+from ..stages.downsample import downsample_dataset
+from ..stages.rollup import finalize_mean, rollup
+from ..stages.series import derive_series
+from ..sources.corpus import read_pages
+
+US = 1_000_000
+
+
+def flagship_dataset(sf_dir: str, *, snapshots: int = 3,
+                     window_us: int = 900 * US, n_out: int = 100,
+                     kernel: str = "minmaxlttb"):
+    pages = read_pages(sf_dir, snapshots=snapshots,
+                       columns=["url", "warc_ts", "text"])
+    series = derive_series(pages)
+    tier0 = finalize_mean(rollup(series, window_us))
+    return downsample_dataset(
+        tier0, kernel=kernel, n_out=n_out, x_col="bucket", y_col="mean_y"
+    )

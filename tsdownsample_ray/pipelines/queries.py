@@ -1,0 +1,296 @@
+"""Driver-facing query catalog: one callable per operator/pipeline, each
+taking ``sf_dir`` and returning a ``ray.data.Dataset`` (or Arrow table),
+with a matching ANSI-SQL oracle in ``ORACLE_SQL`` where the semantics are
+SQL-expressible (the driver's correctness gate).
+
+Column names are chosen to match the oracle SQL aliases exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.corpus import (
+    BASE_EPOCH_S,
+    DOC_CADENCE_S,
+    SNAPSHOT_CADENCE_S,
+    read_pages,
+)
+from ..stages.downsample import downsample_table
+from ..stages.extract import HtmlTextExtractor
+from ..stages.rollup import cascade, finalize_mean, rollup
+from ..stages.series import derive_series
+
+US = 1_000_000
+W15M = 900 * US
+W1H = 3600 * US
+W1D = 86400 * US
+SNAPSHOTS = 3  # pages per document in the correctness corpus
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+# the pages corpus as SQL — must mirror sources/corpus.py exactly
+PAGES_CTE = f"""
+pages AS (
+    SELECT d.source || '.example.com' AS series_id,
+           'https://' || d.source || '.example.com/doc/' || CAST(d.doc_id AS VARCHAR) AS url,
+           ({BASE_EPOCH_S} + d.doc_id*{DOC_CADENCE_S} + s.k*{SNAPSHOT_CADENCE_S}) * {US} AS ts_us,
+           d.text AS text,
+           d.lang AS lang,
+           length(d.text) AS y
+    FROM documents d CROSS JOIN (VALUES (0),(1),(2)) s(k)
+)
+"""
+
+_ROLLUP_SQL = """
+WITH {cte}
+SELECT series_id,
+       (ts_us // {w}) * {w} AS bucket,
+       min(y) AS min_y,
+       max(y) AS max_y,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       count(*) AS n,
+       CAST(sum(y) AS DOUBLE) / count(*) AS mean_y
+FROM pages
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus / extraction
+# ---------------------------------------------------------------------------
+
+def q_pages_extract(sf_dir: str):
+    """pages -> html->text extraction; byte-identical text invariant."""
+    pages = read_pages(sf_dir, snapshots=SNAPSHOTS)
+    ext = pages.map_batches(HtmlTextExtractor, batch_format="pyarrow", concurrency=2)
+
+    def _proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": b["url"],
+            "ts_us": b["warc_ts"].cast(pa.int64()),
+            "text": b["extracted_text"],  # extracted, not pass-through
+            "lang": b["lang"],
+        })
+
+    return ext.map_batches(_proj, batch_format="pyarrow")
+
+
+def _series(sf_dir: str):
+    return derive_series(
+        read_pages(sf_dir, snapshots=SNAPSHOTS,
+                   columns=["url", "warc_ts", "text"])
+    )
+
+
+def q_page_rollup_15m(sf_dir: str):
+    return finalize_mean(rollup(_series(sf_dir), W15M))
+
+
+def q_rollup_cascade_1h(sf_dir: str):
+    return finalize_mean(cascade(rollup(_series(sf_dir), W15M), W1H))
+
+
+def q_rollup_cascade_1d(sf_dir: str):
+    t0 = rollup(_series(sf_dir), W15M)
+    return finalize_mean(cascade(cascade(t0, W1H), W1D))
+
+
+def q_crawl_rate_1h(sf_dir: str):
+    t = cascade(rollup(_series(sf_dir), W15M), W1H)
+    return t.select_columns(["series_id", "bucket", "n"])
+
+
+def q_topk_domains(sf_dir: str):
+    totals = rollup(_series(sf_dir), 10 * 365 * W1D)  # one giant window
+
+    def _proj(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["series_id"], "sum_chars": b["sum_y"]})
+
+    return (
+        totals.map_batches(_proj, batch_format="pyarrow")
+        .sort(key=["sum_chars", "series_id"], descending=[True, False])
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# events windowed aggregates
+# ---------------------------------------------------------------------------
+
+def _events_series(sf_dir: str, cols=("event_type", "ts", "value")):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=list(cols))
+
+    def _prep(b: pa.Table) -> pa.Table:
+        out = {c: b[c] for c in b.column_names if c != "ts"}
+        out["ts_us"] = b["ts"].cast(pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(_prep, batch_format="pyarrow")
+
+
+def q_window_events_1h(sf_dir: str):
+    ds = _events_series(sf_dir)
+    agg = rollup(ds, W1H, series_col="event_type", x_col="ts_us", y_col="value")
+
+    def _fin(b: pa.Table) -> pa.Table:
+        # 2-decimal doubles -> exact integer cents (order-independent)
+        cents = pc.round(pc.multiply(b["sum_y"], 100.0), ndigits=0)
+        return pa.table({
+            "event_type": b["series_id"],
+            "bucket": b["bucket"],
+            "min_v": b["min_y"],
+            "max_v": b["max_y"],
+            "n": b["n"],
+            "sum_cents": pc.cast(cents, pa.int64()),
+        })
+
+    return agg.map_batches(_fin, batch_format="pyarrow")
+
+
+def q_everynth_events(sf_dir: str, n_out: int = 50):
+    ds = _events_series(sf_dir, cols=("event_id", "event_type", "ts"))
+
+    def _group(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            tbl, sort_keys=[("ts_us", "ascending"), ("event_id", "ascending")]
+        )
+        tbl = tbl.take(idx)
+        out = downsample_table(tbl, "everynth", n_out, x_col=None, y_col="event_id",
+                               presorted=True)
+        return out.select(["event_type", "event_id"])
+
+    return ds.groupby("event_type").map_groups(_group, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# dedup / text
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_pages(sf_dir: str):
+    """Exact dedup: md5(text) hash-partition, keep the earliest crawl."""
+    pages = read_pages(sf_dir, snapshots=SNAPSHOTS, columns=["url", "warc_ts", "text"])
+
+    def _hash(b: pa.Table) -> pa.Table:
+        md5 = pa.array(
+            [hashlib.md5(t.encode()).hexdigest() for t in b["text"].to_pylist()]
+        )
+        return pa.table({
+            "text_md5": md5,
+            "url": b["url"],
+            "ts_us": b["warc_ts"].cast(pa.int64()),
+        })
+
+    hashed = pages.map_batches(_hash, batch_format="pyarrow")
+
+    def _keep_first(g: pa.Table) -> pa.Table:
+        i = pc.sort_indices(g, sort_keys=[("ts_us", "ascending"), ("url", "ascending")])
+        first = g.take(i[:1])
+        return pa.table({
+            "text_md5": first["text_md5"],
+            "url": first["url"],
+            "first_ts_us": first["ts_us"],
+        })
+
+    return hashed.groupby("text_md5").map_groups(_keep_first, batch_format="pyarrow")
+
+
+def q_token_count_docs(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _tok(b: pa.Table) -> pa.Table:
+        spaces = pc.count_substring(b["text"], " ")
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pc.cast(pc.add(spaces, 1), pa.int64()),
+        })
+
+    return ds.map_batches(_tok, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# catalog
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "pages_extract": q_pages_extract,
+    "page_rollup_15m": q_page_rollup_15m,
+    "rollup_cascade_1h": q_rollup_cascade_1h,
+    "rollup_cascade_1d": q_rollup_cascade_1d,
+    "crawl_rate_1h": q_crawl_rate_1h,
+    "topk_domains": q_topk_domains,
+    "window_events_1h": q_window_events_1h,
+    "everynth_events": q_everynth_events,
+    "dedup_exact_pages": q_dedup_exact_pages,
+    "token_count_docs": q_token_count_docs,
+}
+
+ORACLE_SQL = {
+    "pages_extract": f"""
+        WITH {PAGES_CTE}
+        SELECT url, ts_us, text, lang FROM pages
+    """,
+    "page_rollup_15m": _ROLLUP_SQL.format(cte=PAGES_CTE, w=W15M),
+    "rollup_cascade_1h": _ROLLUP_SQL.format(cte=PAGES_CTE, w=W1H),
+    "rollup_cascade_1d": _ROLLUP_SQL.format(cte=PAGES_CTE, w=W1D),
+    "crawl_rate_1h": f"""
+        WITH {PAGES_CTE}
+        SELECT series_id, (ts_us // {W1H}) * {W1H} AS bucket, count(*) AS n
+        FROM pages GROUP BY 1, 2
+    """,
+    "topk_domains": f"""
+        WITH {PAGES_CTE}
+        SELECT series_id, CAST(sum(y) AS BIGINT) AS sum_chars
+        FROM pages GROUP BY 1
+        ORDER BY sum_chars DESC, series_id LIMIT 5
+    """,
+    "window_events_1h": f"""
+        SELECT event_type,
+               (epoch_us(ts) // {W1H}) * {W1H} AS bucket,
+               min(value) AS min_v,
+               max(value) AS max_v,
+               count(*) AS n,
+               CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_cents
+        FROM events GROUP BY 1, 2
+    """,
+    "everynth_events": f"""
+        WITH s AS (
+            SELECT event_type, event_id,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) - 1 AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS cnt
+            FROM events
+        )
+        SELECT s.event_type, s.event_id
+        FROM s JOIN generate_series(0, 49) k(k)
+          ON s.rn = CAST(FLOOR(k.k * GREATEST(1.0, s.cnt / 50.0)) AS BIGINT)
+        WHERE k.k * GREATEST(1.0, s.cnt / 50.0) < s.cnt - 0.1
+    """,
+    "dedup_exact_pages": f"""
+        WITH {PAGES_CTE}
+        SELECT md5(text) AS text_md5,
+               arg_min(url, ts_us) AS url,
+               min(ts_us) AS first_ts_us
+        FROM pages GROUP BY 1
+    """,
+    "token_count_docs": """
+        SELECT doc_id,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+        FROM documents
+    """,
+}

@@ -1,0 +1,124 @@
+"""Windowed continuous aggregates (rollup) with map-side partial
+aggregation, hot-key salting, and retention-tier cascades.
+
+No counterpart in the reference (SURVEY.md §2.4) — mandated by the
+BASELINE.json north rule: min/max/mean/count per ``(series_id, window)``,
+cascading across retention tiers (raw -> 1m -> 1h -> 1d ...).
+
+Scale design:
+- **partial pre-aggregation**: each input block is reduced to <= one row per
+  ``(series_id, bucket)`` inside ``map_batches`` (an Arrow hash group-by)
+  BEFORE the cluster-wide shuffle, so the ``groupby.aggregate`` exchange
+  moves partials, not raw rows. On a 100 TB corpus the wide shuffle is
+  ~|series| x |buckets| rows, orders of magnitude below the input.
+- **salting**: with a skewed domain distribution a single hot
+  ``(series_id, bucket)`` reducer can straggle; ``salt > 1`` splits each key
+  into ``salt`` sub-keys for the first combine and de-salts in a second,
+  tiny combine. (With per-block partials the unsalted path is already one
+  row per key per block; salting matters when |blocks| is huge.)
+- **tier cascade**: tier k+1 re-aggregates tier k's (min,max,sum,count)
+  partials on a coarser bucket — associative merges, so every tier is exact
+  and each is ~1/60th the rows of the previous (SURVEY.md §4.2).
+
+Mean is derived as ``sum/count`` at the end (exact for integer y; for float
+y it matches any oracle computing sum/count in f64 over the same partial
+tree).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["bucketize", "partial_rollup_batch", "rollup", "cascade", "finalize_mean"]
+
+_PARTIAL_SCHEMA = ("min_y", "max_y", "sum_y", "n")
+
+
+def bucketize(x: pa.ChunkedArray | pa.Array, window_us: int) -> pa.Array:
+    """int64 epoch-us -> window start (floor) in epoch-us."""
+    d = pc.divide(x, window_us)  # int64 division truncates toward zero;
+    # x >= 0 in this engine (epoch-us), so trunc == floor
+    return pc.multiply(d, window_us)
+
+
+def partial_rollup_batch(batch: pa.Table, window_us: int, *,
+                         series_col: str = "series_id", x_col: str = "x",
+                         y_col: str = "y", salt: int = 1) -> pa.Table:
+    """One block -> per-(series,bucket[,salt]) partial aggregate rows."""
+    bucket = bucketize(batch[x_col], window_us)
+    t = pa.table({
+        "series_id": batch[series_col],
+        "bucket": bucket,
+        "y": batch[y_col],
+    })
+    keys = ["series_id", "bucket"]
+    if salt > 1:
+        # deterministic sub-key (salt must be a power of two): spread one hot
+        # key's rows over `salt` reducers; de-salted by the second combine
+        if salt & (salt - 1):
+            raise ValueError("salt must be a power of two")
+        h = pc.divide(batch[x_col], 1_000_003)  # x-derived, window-independent
+        t = t.append_column("salt", pc.cast(pc.bit_wise_and(h, salt - 1), pa.int32()))
+        keys.append("salt")
+    g = t.group_by(keys).aggregate(
+        [("y", "min"), ("y", "max"), ("y", "sum"), ("y", "count")]
+    )
+    return g.rename_columns(keys + ["min_y", "max_y", "sum_y", "n"])
+
+
+def _combine(ds, keys):
+    from ray.data.aggregate import Max, Min, Sum
+
+    out = ds.groupby(keys).aggregate(
+        Min("min_y", alias_name="min_y"),
+        Max("max_y", alias_name="max_y"),
+        Sum("sum_y", alias_name="sum_y"),
+        Sum("n", alias_name="n"),
+    )
+    return out
+
+
+def rollup(ds, window_us: int, *, series_col: str = "series_id",
+           x_col: str = "x", y_col: str = "y", salt: int = 1):
+    """series rows -> tier-0 continuous aggregate
+    ``(series_id, bucket, min_y, max_y, sum_y, n)``."""
+    partials = ds.map_batches(
+        lambda b: partial_rollup_batch(
+            b, window_us, series_col=series_col, x_col=x_col, y_col=y_col,
+            salt=salt,
+        ),
+        batch_format="pyarrow",
+    )
+    if salt > 1:
+        salted = _combine(partials, ["series_id", "bucket", "salt"])
+        salted = salted.drop_columns(["salt"])
+        return _combine(salted, ["series_id", "bucket"])
+    return _combine(partials, ["series_id", "bucket"])
+
+
+def cascade(tier_ds, coarser_window_us: int):
+    """tier k aggregate -> tier k+1 on a coarser window (exact associative
+    re-merge of (min,max,sum,count) partials)."""
+
+    def _rebucket(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.column_names.index("bucket"),
+            "bucket",
+            bucketize(b["bucket"], coarser_window_us),
+        )
+
+    rebucketed = tier_ds.map_batches(_rebucket, batch_format="pyarrow")
+    return _combine(rebucketed, ["series_id", "bucket"])
+
+
+def finalize_mean(ds):
+    """Append ``mean_y = sum_y / n`` (f64)."""
+
+    def _mean(b: pa.Table) -> pa.Table:
+        mean = pc.divide(
+            pc.cast(b["sum_y"], pa.float64()), pc.cast(b["n"], pa.float64())
+        )
+        return b.append_column("mean_y", mean)
+
+    return ds.map_batches(_mean, batch_format="pyarrow")
