@@ -20,8 +20,10 @@ from ..sources.corpus import (
     SNAPSHOT_CADENCE_S,
     read_pages,
 )
+from ..stages.compress import ChunkCompressor, ChunkDecompressor
 from ..stages.downsample import downsample_table
 from ..stages.extract import HtmlTextExtractor
+from ..stages.gapfill import gapfill
 from ..stages.rollup import cascade, finalize_mean, rollup
 from ..stages.series import derive_series
 
@@ -125,6 +127,24 @@ def q_topk_domains(sf_dir: str):
         .sort(key=["sum_chars", "series_id"], descending=[True, False])
         .limit(5)
     )
+
+
+def q_gapfill_15m(sf_dir: str):
+    """Rollup + explicit gap rows (n=0) on the 15-min tier."""
+    t0 = rollup(_series(sf_dir), W15M)
+    filled = gapfill(t0, W15M, value_cols=(), fill="zero")
+    return filled.select_columns(["series_id", "bucket", "n", "is_gap"])
+
+
+def q_compress_roundtrip_15m(sf_dir: str):
+    """Rollup -> Gorilla chunk compression (actor pool) -> decompression.
+
+    The oracle is the plain rollup SQL: passing proves the codec is
+    lossless end-to-end inside the pipeline.
+    """
+    t0 = finalize_mean(rollup(_series(sf_dir), W15M))
+    comp = t0.map_batches(ChunkCompressor, batch_format="pyarrow", concurrency=2)
+    return comp.map_batches(ChunkDecompressor, batch_format="pyarrow", concurrency=2)
 
 
 # ---------------------------------------------------------------------------
@@ -233,6 +253,8 @@ QUERIES = {
     "rollup_cascade_1h": q_rollup_cascade_1h,
     "rollup_cascade_1d": q_rollup_cascade_1d,
     "crawl_rate_1h": q_crawl_rate_1h,
+    "gapfill_15m": q_gapfill_15m,
+    "compress_roundtrip_15m": q_compress_roundtrip_15m,
     "topk_domains": q_topk_domains,
     "window_events_1h": q_window_events_1h,
     "everynth_events": q_everynth_events,
@@ -259,6 +281,20 @@ ORACLE_SQL = {
         FROM pages GROUP BY 1
         ORDER BY sum_chars DESC, series_id LIMIT 5
     """,
+    "gapfill_15m": f"""
+        WITH {PAGES_CTE},
+        r AS (
+            SELECT series_id, (ts_us // {W15M}) * {W15M} AS bucket, count(*) AS n
+            FROM pages GROUP BY 1, 2
+        ),
+        b AS (SELECT series_id, min(bucket) mn, max(bucket) mx FROM r GROUP BY 1),
+        g AS (SELECT series_id, unnest(range(mn, mx + 1, {W15M})) AS bucket FROM b)
+        SELECT g.series_id, g.bucket,
+               COALESCE(r.n, 0) AS n,
+               r.series_id IS NULL AS is_gap
+        FROM g LEFT JOIN r ON g.series_id = r.series_id AND g.bucket = r.bucket
+    """,
+    "compress_roundtrip_15m": _ROLLUP_SQL.format(cte=PAGES_CTE, w=W15M),
     "window_events_1h": f"""
         SELECT event_type,
                (epoch_us(ts) // {W1H}) * {W1H} AS bucket,

@@ -1,0 +1,123 @@
+"""The full retention pipeline: pages -> extract -> series -> cascading
+rollup tiers -> per-tier Gorilla chunks + visualization downsamples, with
+per-tier checkpoint manifests and resume.
+
+This is the end-to-end job of the north rule (read -> rollup -> downsample
+-> compress -> write). Every tier is written to its own parquet prefix and
+each later tier READS the previous tier's parquet (not the raw corpus), so
+a resumed run touches raw data only if tier 0 is incomplete — and the tier
+cascade is exact (associative (min,max,sum,count) merges, rollup.py).
+"""
+
+from __future__ import annotations
+
+import time
+
+from ..sources.corpus import read_pages
+from ..stages.compress import ChunkCompressor
+from ..stages.downsample import downsample_dataset
+from ..stages.gapfill import gapfill
+from ..stages.rollup import cascade, finalize_mean, rollup
+from ..stages.series import derive_series
+from ..state import checkpoint as ckpt
+
+US = 1_000_000
+DEFAULT_TIERS = (("15m", 900 * US), ("1h", 3600 * US), ("1d", 86400 * US))
+
+__all__ = ["run_retention_pipeline", "DEFAULT_TIERS"]
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def run_retention_pipeline(
+    sf_dir: str,
+    out_dir: str,
+    *,
+    snapshots: int = 3,
+    hot_domain_factor: int = 1,
+    tiers=DEFAULT_TIERS,
+    n_out: int = 100,
+    kernel: str = "minmaxlttb",
+    salt: int = 1,
+    resume: bool = False,
+    compress: bool = True,
+    downsample: bool = True,
+    gap_fill: bool = False,
+    series_ds=None,
+) -> dict:
+    """Run (or resume) all tiers; returns a summary dict with per-tier
+    metrics. ``series_ds`` overrides the corpus-derived series input."""
+    rd = _rd()
+    summary = {"tiers": {}, "resumed": [], "out_dir": out_dir}
+
+    prev_ds = None
+    for i, (name, window) in enumerate(tiers):
+        d = ckpt.tier_dir(out_dir, "tier", name)
+        if resume and ckpt.is_complete(d):
+            summary["resumed"].append(name)
+            summary["tiers"][name] = ckpt.read_manifest(d)
+            prev_ds = rd.read_parquet(d)
+            continue
+
+        t0 = time.time()
+        if i == 0 or prev_ds is None:
+            if series_ds is None:
+                pages = read_pages(sf_dir, snapshots=snapshots,
+                                   hot_domain_factor=hot_domain_factor,
+                                   columns=["url", "warc_ts", "text"])
+                src = derive_series(pages)
+            else:
+                src = series_ds
+            tier = rollup(src, window, salt=salt)
+        else:
+            tier = cascade(prev_ds, window)
+        if gap_fill:
+            tier = gapfill(tier, window, fill="zero")
+
+        ckpt.reset_dir(d)
+        tier.write_parquet(d)
+        tier_read = rd.read_parquet(d)  # re-read: downstream uses files
+        rows = tier_read.count()
+        summary["tiers"][name] = ckpt.write_manifest(
+            d, rows=rows, seconds=time.time() - t0,
+            lineage={"input": "corpus" if i == 0 else f"tier={tiers[i-1][0]}",
+                     "window_us": window, "sf_dir": sf_dir,
+                     "snapshots": snapshots},
+        )
+        prev_ds = tier_read
+
+        if compress:
+            cd = ckpt.tier_dir(out_dir, "chunks", name)
+            if not (resume and ckpt.is_complete(cd)):
+                t1 = time.time()
+                ckpt.reset_dir(cd)
+                value_cols = {"min_y": "i8", "max_y": "i8", "sum_y": "i8",
+                              "n": "i8"}
+                comp = prev_ds.map_batches(
+                    ChunkCompressor(value_cols), batch_format="pyarrow")
+                comp.write_parquet(cd)
+                ckpt.write_manifest(
+                    cd, rows=rd.read_parquet(cd).count(),
+                    seconds=time.time() - t1,
+                    lineage={"input": f"tier={name}"})
+
+        if downsample:
+            vd = ckpt.tier_dir(out_dir, "downsample", name)
+            if not (resume and ckpt.is_complete(vd)):
+                t1 = time.time()
+                ckpt.reset_dir(vd)
+                viz = downsample_dataset(
+                    finalize_mean(prev_ds), kernel=kernel, n_out=n_out,
+                    x_col="bucket", y_col="mean_y")
+                viz.write_parquet(vd)
+                ckpt.write_manifest(
+                    vd, rows=rd.read_parquet(vd).count(),
+                    seconds=time.time() - t1,
+                    lineage={"input": f"tier={name}", "kernel": kernel,
+                             "n_out": n_out})
+
+    return summary

@@ -1,0 +1,127 @@
+"""Chunk compression stage: rolled-up tier rows -> Gorilla-compressed chunk
+rows, and back.
+
+Actor-pool ``map_batches`` stages (state: codec config; at real scale an
+actor would also hold open chunk buffers per partition — here chunks close
+at batch boundaries, which keeps the stage deterministic and restartable:
+a chunk is a function of its input batch alone).
+
+Chunk row schema:
+  (series_id, start_bucket, n_points, ts_blob, blob_<col>...)
+
+Bucket timestamps use delta-of-delta (regular windows -> ~1 bit/point);
+value columns use XOR compression of their raw 64-bit words (int64 and
+float64 both bit-exact). Partitioning assumption: input batches arrive
+grouped (or at least runs-sorted) by series — the compressor sorts its
+batch by (series_id, bucket) and emits one chunk run per batch-local
+series segment.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.gorilla import (
+    decode_timestamps,
+    decode_values,
+    encode_timestamps,
+    encode_values,
+)
+
+__all__ = ["ChunkCompressor", "ChunkDecompressor"]
+
+_F64 = "f8"
+_I64 = "i8"
+
+
+def _as_words(arr: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(arr).view(np.uint64)
+
+
+class ChunkCompressor:
+    def __init__(self, value_cols: dict[str, str] | None = None,
+                 *, series_col: str = "series_id", x_col: str = "bucket",
+                 chunk_size: int = 1024):
+        # value_cols: name -> 'i8' | 'f8' (decode dtype)
+        self.value_cols = value_cols or {"min_y": _I64, "max_y": _I64,
+                                         "sum_y": _I64, "n": _I64,
+                                         "mean_y": _F64}
+        self.series_col = series_col
+        self.x_col = x_col
+        self.chunk_size = chunk_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=[(self.series_col, "ascending"),
+                                                (self.x_col, "ascending")])
+        batch = batch.take(idx)
+        series = batch[self.series_col].to_numpy(zero_copy_only=False)
+        x = batch[self.x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = {
+            c: batch[c].to_numpy(zero_copy_only=False).astype(
+                np.int64 if dt == _I64 else np.float64
+            )
+            for c, dt in self.value_cols.items()
+        }
+
+        out = {
+            "series_id": [], "start_bucket": [], "n_points": [], "ts_blob": [],
+        }
+        for c in self.value_cols:
+            out[f"blob_{c}"] = []
+
+        # series run boundaries within the sorted batch
+        change = np.flatnonzero(series[1:] != series[:-1]) + 1
+        run_starts = np.concatenate(([0], change, [len(series)]))
+        for a, b in zip(run_starts[:-1], run_starts[1:]):
+            for lo in range(a, b, self.chunk_size):
+                hi = min(lo + self.chunk_size, b)
+                out["series_id"].append(series[lo])
+                out["start_bucket"].append(int(x[lo]))
+                out["n_points"].append(hi - lo)
+                out["ts_blob"].append(encode_timestamps(x[lo:hi]))
+                for c in self.value_cols:
+                    out[f"blob_{c}"].append(encode_values(_as_words(vals[c][lo:hi])))
+
+        return pa.table({
+            "series_id": pa.array(out["series_id"], pa.string()),
+            "start_bucket": pa.array(out["start_bucket"], pa.int64()),
+            "n_points": pa.array(out["n_points"], pa.int32()),
+            "ts_blob": pa.array(out["ts_blob"], pa.binary()),
+            **{f"blob_{c}": pa.array(out[f"blob_{c}"], pa.binary())
+               for c in self.value_cols},
+        })
+
+
+class ChunkDecompressor:
+    def __init__(self, value_cols: dict[str, str] | None = None,
+                 *, series_col: str = "series_id", x_col: str = "bucket"):
+        self.value_cols = value_cols or {"min_y": _I64, "max_y": _I64,
+                                         "sum_y": _I64, "n": _I64,
+                                         "mean_y": _F64}
+        self.series_col = series_col
+        self.x_col = x_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        series_out, x_out = [], []
+        val_out = {c: [] for c in self.value_cols}
+        sids = batch["series_id"].to_pylist()
+        ts_blobs = batch["ts_blob"].to_pylist()
+        for i, sid in enumerate(sids):
+            ts = decode_timestamps(ts_blobs[i])
+            x_out.append(ts)
+            series_out.extend([sid] * len(ts))
+            for c, dt in self.value_cols.items():
+                words = decode_values(batch[f"blob_{c}"][i].as_py())
+                val_out[c].append(words.view(np.int64 if dt == _I64 else np.float64))
+        x_all = np.concatenate(x_out) if x_out else np.empty(0, np.int64)
+        cols = {
+            self.series_col: pa.array(series_out, pa.string()),
+            self.x_col: pa.array(x_all, pa.int64()),
+        }
+        for c, dt in self.value_cols.items():
+            v = np.concatenate(val_out[c]) if val_out[c] else np.empty(
+                0, np.int64 if dt == _I64 else np.float64)
+            cols[c] = pa.array(v)
+        return pa.table(cols)
