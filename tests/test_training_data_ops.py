@@ -1,0 +1,176 @@
+"""Tests for the training-data operators: dedup family, text analysis,
+similarity search, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tsdownsample_ray.stages.dedup import (
+    MinHasher,
+    jaccard,
+    simhash_batch,
+    word_shingles,
+)
+from tsdownsample_ray.stages.multimodal import DecodeImage, ResizeImage, SampleFrames
+from tsdownsample_ray.stages.similarity import (
+    embedding_matrix,
+    train_ivf_centroids,
+)
+from tsdownsample_ray.stages.textstats import LangId, fingerprint_batch
+
+
+def _mutate(text: str, k: int, seed: int = 5) -> str:
+    toks = text.split()
+    rng = np.random.default_rng(seed)
+    for i in rng.choice(len(toks), size=min(k, len(toks)), replace=False):
+        toks[i] = "zzz%d" % i
+    return " ".join(toks)
+
+
+# --- MinHash ---------------------------------------------------------------
+
+def test_minhash_identical_texts_identical_sigs():
+    mh = MinHasher(num_perm=64)
+    t = "the quick brown fox jumps over the lazy dog " * 20
+    assert np.array_equal(mh.signature(t), mh.signature(t))
+
+
+def test_minhash_estimates_jaccard():
+    mh = MinHasher(num_perm=256)
+    base = " ".join(f"w{i}" for i in range(400))
+    near = _mutate(base, 20)   # ~95% token overlap
+    far = " ".join(f"v{i}" for i in range(400))
+    s0, s1, s2 = mh.signature(base), mh.signature(near), mh.signature(far)
+    est_near = (s0 == s1).mean()
+    est_far = (s0 == s2).mean()
+    true_near = jaccard(word_shingles(base), word_shingles(near))
+    assert abs(est_near - true_near) < 0.1
+    assert est_far < 0.05 < est_near
+
+
+def test_lsh_finds_near_dups(ray_session):
+    import ray
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.dedup import near_dup_pairs
+
+    base = " ".join(f"token{i}" for i in range(300))
+    docs = {
+        1: base,
+        2: _mutate(base, 5),         # very near dup
+        3: _mutate(base, 8, seed=9),  # near dup
+        4: " ".join(f"other{i}" for i in range(300)),  # unrelated
+    }
+    t = pa.table({"doc_id": list(docs), "text": list(docs.values())})
+    pairs = near_dup_pairs(
+        rd.from_arrow(t), ray.put(docs), id_col="doc_id",
+        num_perm=128, bands=32, threshold=0.5,
+    ).to_pandas()
+    found = {tuple(sorted((r.a, r.b))) for r in pairs.itertuples()}
+    assert (1, 2) in found
+    assert (1, 3) in found
+    assert all(4 not in p for p in found)
+
+
+# --- SimHash ---------------------------------------------------------------
+
+def test_simhash_hamming():
+    base = " ".join(f"token{i}" for i in range(300))
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [base, _mutate(base, 3), " ".join(f"x{i}" for i in range(300))],
+    })
+    sigs = simhash_batch(t)["simhash"].to_numpy().view(np.uint64)
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert ham(sigs[0], sigs[1]) < 12   # near-dup -> small distance
+    assert ham(sigs[0], sigs[2]) > 20   # unrelated -> large distance
+
+
+# --- text stats ------------------------------------------------------------
+
+def test_langid_real_samples():
+    li = LangId()
+    t = pa.table({"doc_id": [1, 2, 3, 4, 5], "text": [
+        "the cat sat on the mat and it is happy for now",
+        "der hund ist nicht mit der katze und das ist gut",
+        "le chat est sur la table et les chiens ne sont pas la",
+        "el perro es grande y los gatos son de la casa que",
+        "这是一个中文句子用来测试语言识别",
+    ]})
+    preds = li(t)["lang_pred"].to_pylist()
+    assert preds == ["en", "de", "fr", "es", "zh"]
+
+
+def test_fingerprint_deterministic_and_sensitive():
+    t = pa.table({"doc_id": [1, 2, 3], "text": ["abc def", "abc def", "abc deg"]})
+    fps = fingerprint_batch(t)["fingerprint"].to_pylist()
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+# --- similarity ------------------------------------------------------------
+
+def test_ivf_recall_vs_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.similarity import knn_bruteforce, knn_ivf
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    E = embedding_matrix(t)
+    ids = t["vec_id"].to_numpy()
+    q = E[ids == 0][0]
+    C = train_ivf_centroids(E, n_lists=8)
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"]).filter(
+        expr="vec_id > 0")
+    bf = knn_bruteforce(ds, ray.put(q), k=10).to_pandas()
+    iv = knn_ivf(ds, ray.put(q), ray.put(C), k=10, nprobe=6).to_pandas()
+    recall = len(set(bf.vec_id) & set(iv.vec_id)) / 10
+    assert recall >= 0.7
+    # full probe == exact
+    iv_full = knn_ivf(ds, ray.put(q), ray.put(C), k=10, nprobe=8).to_pandas()
+    assert list(iv_full.vec_id) == list(bf.vec_id)
+
+
+# --- multimodal ------------------------------------------------------------
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        DecodeImage(fake=False)
+    with pytest.raises(NotImplementedError):
+        SampleFrames(fake=False)
+
+
+def test_fake_decode_resize_plumbing():
+    t = pa.table({
+        "media_id": [1, 2],
+        "kind": ["image", "image"],
+        "payload": [b"imgbytes1", b"imgbytes2"],
+        "mime": ["image/png", "image/png"],
+        "width": pa.array([16, 8], pa.int32()),
+        "height": pa.array([8, 8], pa.int32()),
+        "duration_ms": pa.array([0, 0], pa.int32()),
+    })
+    dec = DecodeImage(fake=True)(t)
+    assert dec["pixels"].to_pylist()[0] == DecodeImage(fake=True)(t)["pixels"].to_pylist()[0]  # deterministic
+    assert len(dec["pixels"][0]) == 16 * 8 * 3
+    rs = ResizeImage(4, 4)(dec)
+    assert len(rs["pixels"][0]) == 4 * 4 * 3
+    assert rs["width"][0].as_py() == 4
+
+
+def test_frame_sample_counts():
+    t = pa.table({
+        "media_id": [1],
+        "payload": [b"vid"],
+        "duration_ms": pa.array([4000], pa.int32()),  # 100 frames at 25fps
+    })
+    out = SampleFrames(n_frames=16, fake=True)(t)
+    frames = out["frame_ts_ms"][0].as_py()
+    assert len(frames) == 16
+    assert frames[0] == 0

@@ -244,6 +244,177 @@ def q_token_count_docs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# near-dup / fingerprints / text analysis
+# ---------------------------------------------------------------------------
+
+def _pages_with_pid(sf_dir: str):
+    """pages + a unique page id (url#ts_us) for pairwise outputs."""
+    pages = read_pages(sf_dir, snapshots=SNAPSHOTS, columns=["url", "warc_ts", "text"])
+
+    def _pid(b: pa.Table) -> pa.Table:
+        ts = b["warc_ts"].cast(pa.int64())
+        pid = pc.binary_join_element_wise(
+            b["url"].combine_chunks() if isinstance(b["url"], pa.ChunkedArray) else b["url"],
+            "#", pc.cast(ts, pa.string()), "")
+        return pa.table({"pid": pid, "text": b["text"]})
+
+    return pages.map_batches(_pid, batch_format="pyarrow")
+
+
+def q_near_dup_pages(sf_dir: str):
+    """MinHash+LSH near-dup pairs (threshold ~1.0 -> exact-dup pairs here,
+    which makes the result SQL-checkable; lower thresholds exercised in
+    pytest with synthetic mutations)."""
+    import ray
+
+    ds = _pages_with_pid(sf_dir)
+    texts = {r["pid"]: r["text"] for r in ds.iter_rows()}
+    texts_ref = ray.put(texts)
+    from ..stages.dedup import near_dup_pairs
+
+    pairs = near_dup_pairs(ds, texts_ref, id_col="pid", num_perm=64, bands=8,
+                           threshold=0.999)
+
+    def _proj(b: pa.Table) -> pa.Table:
+        return b.select(["a", "b", "jaccard"])
+
+    return pairs.map_batches(_proj, batch_format="pyarrow")
+
+
+def q_simhash_docs(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from ..stages.dedup import simhash_signatures
+
+    return simhash_signatures(ds)
+
+
+def q_minhash_docs(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from ..stages.dedup import minhash_signatures
+
+    sigs = minhash_signatures(ds, num_perm=64)
+
+    def _digest(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        out = [hashlib.md5(_np.asarray(s, dtype=_np.uint64).tobytes()).hexdigest()
+               for s in b["minhash"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"], "sig_md5": pa.array(out)})
+
+    return sigs.map_batches(_digest, batch_format="pyarrow")
+
+
+def q_lang_id_docs(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from ..stages.textstats import LangId
+
+    return ds.map_batches(LangId, batch_format="pyarrow",
+                          concurrency=2).select_columns(["doc_id", "lang_pred"])
+
+
+def q_quality_docs(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from ..stages.textstats import token_stats_batch
+
+    return ds.map_batches(token_stats_batch, batch_format="pyarrow")
+
+
+def q_fingerprint_docs(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from ..stages.textstats import fingerprint_batch
+
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def q_knn_embeddings(sf_dir: str):
+    """Brute-force cosine top-10 for the vec_id=0 query vector."""
+    import ray
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.asarray(t.filter(pc.equal(t["vec_id"], 0))["embedding"][0].as_py(),
+                      dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ds = ds.filter(expr="vec_id > 0")
+    from ..stages.similarity import knn_bruteforce
+
+    top = knn_bruteforce(ds, ray.put(qvec), k=10).to_pandas()
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top[["vec_id", "rank"]]
+
+
+def q_knn_ivf_embeddings(sf_dir: str):
+    """IVF (clustered) approximate top-10 — rows-only; recall vs brute
+    force is pytest-checked."""
+    import ray
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from ..stages.similarity import embedding_matrix, knn_ivf, train_ivf_centroids
+
+    E = embedding_matrix(t)
+    ids = t["vec_id"].to_numpy()
+    qvec = E[ids == 0][0]
+    C = train_ivf_centroids(E[:512], n_lists=8)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).filter(expr="vec_id > 0")
+    top = knn_ivf(ds, ray.put(qvec), ray.put(C), k=10, nprobe=4).to_pandas()
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top[["vec_id", "rank"]]
+
+
+# ---------------------------------------------------------------------------
+# multimodal (stubbed decode, real plumbing)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_frame_sample(sf_dir: str):
+    """documents -> fake media rows -> SampleFrames(fake) actor stage."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"])
+
+    def _media(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": b["doc_id"],
+            "kind": pa.array(["video"] * b.num_rows),
+            "payload": b["text"].cast(pa.binary()),
+            "duration_ms": pc.cast(pc.multiply(b["n_chars"], 40), pa.int32()),
+        })
+
+    from ..stages.multimodal import SampleFrames
+
+    media = ds.map_batches(_media, batch_format="pyarrow")
+    sampled = media.map_batches(SampleFrames(n_frames=16, fake=True),
+                                batch_format="pyarrow", batch_size=256,
+                                concurrency=2)
+
+    def _summ(b: pa.Table) -> pa.Table:
+        fts = b["frame_ts_ms"].to_pylist()
+        return pa.table({
+            "media_id": b["media_id"],
+            "n_frames": pa.array([len(f) for f in fts], pa.int64()),
+            "first_ts": pa.array([f[0] for f in fts], pa.int64()),
+            "last_ts": pa.array([f[-1] for f in fts], pa.int64()),
+        })
+
+    return sampled.map_batches(_summ, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
 
@@ -260,6 +431,15 @@ QUERIES = {
     "everynth_events": q_everynth_events,
     "dedup_exact_pages": q_dedup_exact_pages,
     "token_count_docs": q_token_count_docs,
+    "near_dup_pages": q_near_dup_pages,
+    "simhash_docs": q_simhash_docs,
+    "minhash_docs": q_minhash_docs,
+    "lang_id_docs": q_lang_id_docs,
+    "quality_docs": q_quality_docs,
+    "fingerprint_docs": q_fingerprint_docs,
+    "knn_embeddings": q_knn_embeddings,
+    "knn_ivf_embeddings": q_knn_ivf_embeddings,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 ORACLE_SQL = {
@@ -328,5 +508,29 @@ ORACLE_SQL = {
         SELECT doc_id,
                length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
         FROM documents
+    """,
+    "near_dup_pages": f"""
+        WITH {PAGES_CTE},
+        p AS (SELECT url || '#' || CAST(ts_us AS VARCHAR) AS pid, text FROM pages)
+        SELECT x.pid AS a, y.pid AS b, 1.0 AS jaccard
+        FROM p x JOIN p y ON x.text = y.text AND x.pid < y.pid
+    """,
+    "quality_docs": """
+        SELECT doc_id,
+               length(text) AS n_chars,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / (length(text) - length(replace(text, ' ', '')) + 1)
+                 AS mean_token_len
+        FROM documents
+    """,
+    "knn_embeddings": """
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               row_number() OVER (
+                 ORDER BY list_cosine_similarity(embedding, (SELECT qe FROM q))
+                          DESC, vec_id) AS rank
+        FROM embeddings WHERE vec_id > 0
+        ORDER BY rank LIMIT 10
     """,
 }

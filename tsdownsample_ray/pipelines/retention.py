@@ -79,6 +79,10 @@ def run_retention_pipeline(
             tier = gapfill(tier, window, fill="zero")
 
         ckpt.reset_dir(d)
+        # coalesce before the sink: tier rows are small; dozens of tiny part
+        # files would re-inflate the NEXT tier's block count (and its shuffle
+        # overhead). Still >1 file -> a rerun can skip finished partitions.
+        tier = tier.repartition(8)
         tier.write_parquet(d)
         tier_read = rd.read_parquet(d)  # re-read: downstream uses files
         rows = tier_read.count()

@@ -42,9 +42,13 @@ __all__ = [
 
 
 def expand_documents_to_pages(batch: pa.Table, *, snapshots: int = 3,
-                              hot_domain_factor: int = 1) -> pa.Table:
+                              hot_domain_factor: int = 1,
+                              out_cols=("url", "warc_ts", "html", "text", "lang")) -> pa.Table:
     """documents rows -> pages rows (vectorized Arrow; one input row ->
-    ``snapshots`` output rows, ``snapshots*hot_domain_factor`` for src0)."""
+    ``snapshots`` output rows, ``snapshots*hot_domain_factor`` for src0).
+    Only the columns in ``out_cols`` are constructed (html and url string
+    building dominate the expansion cost at bench scale)."""
+    out_cols = tuple(out_cols)
     n = batch.num_rows
     doc_id = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
     source = batch["source"]
@@ -63,40 +67,47 @@ def expand_documents_to_pages(batch: pa.Table, *, snapshots: int = 3,
     ts_us = (BASE_EPOCH_S + doc_rep * DOC_CADENCE_S + k * SNAPSHOT_CADENCE_S) * 1_000_000
     warc_ts = pa.array(ts_us, type=pa.int64()).cast(pa.timestamp("us"))
 
-    src_rep = rep["source"]
-    if isinstance(src_rep, pa.ChunkedArray):
-        src_rep = src_rep.combine_chunks()
-    doc_str = pc.cast(pa.array(doc_rep), pa.string())
-    domain = pc.binary_join_element_wise(src_rep, ".example.com", "")
-    url = pc.binary_join_element_wise("https://", domain, "/doc/", doc_str, "")
-
-    text = rep["text"]
-    if isinstance(text, pa.ChunkedArray):
-        text = text.combine_chunks()
-    html = pc.binary_join_element_wise(
-        pa.scalar(HTML_PREFIX, type=pa.binary()),
-        text.cast(pa.binary()),
-        pa.scalar(HTML_SUFFIX, type=pa.binary()),
-        pa.scalar(b"", type=pa.binary()),
-    )
-
-    return pa.table(
-        {
-            "url": url,
-            "warc_ts": warc_ts,
-            "html": html,
-            "text": text,
-            "lang": rep["lang"],
-        }
-    )
+    cols = {}
+    if "url" in out_cols:
+        src_rep = rep["source"]
+        if isinstance(src_rep, pa.ChunkedArray):
+            src_rep = src_rep.combine_chunks()
+        doc_str = pc.cast(pa.array(doc_rep), pa.string())
+        domain = pc.binary_join_element_wise(src_rep, ".example.com", "")
+        cols["url"] = pc.binary_join_element_wise(
+            "https://", domain, "/doc/", doc_str, "")
+    if "warc_ts" in out_cols:
+        cols["warc_ts"] = warc_ts
+    if "html" in out_cols or "text" in out_cols:
+        text = rep["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if "html" in out_cols:
+            cols["html"] = pc.binary_join_element_wise(
+                pa.scalar(HTML_PREFIX, type=pa.binary()),
+                text.cast(pa.binary()),
+                pa.scalar(HTML_SUFFIX, type=pa.binary()),
+                pa.scalar(b"", type=pa.binary()),
+            )
+        if "text" in out_cols:
+            cols["text"] = text
+    if "lang" in out_cols:
+        cols["lang"] = rep["lang"]
+    return pa.table({c: cols[c] for c in out_cols})
 
 
 def read_pages(sf_dir: str, *, snapshots: int = 3, hot_domain_factor: int = 1,
-               columns: list | None = None):
+               columns: list | None = None, parallelism: int = 0):
     """Dataset of synthetic pages derived from ``{sf_dir}/documents.parquet``.
 
     ``columns`` prunes the OUTPUT page columns; the read itself only loads
     the document columns actually needed (prune-at-the-read).
+
+    The documents file is a single small parquet -> one read block; the
+    expansion multiplies rows by ``snapshots``, so the source is split into
+    ``parallelism`` blocks FIRST (default: enough that every CPU gets work;
+    at real CC scale the input is thousands of files and this repartition
+    disappears).
     """
     import ray.data as rd
 
@@ -107,15 +118,29 @@ def read_pages(sf_dir: str, *, snapshots: int = 3, hot_domain_factor: int = 1,
     if "lang" in out_cols:
         need.add("lang")
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=sorted(need))
+    if parallelism == 0:
+        import pyarrow.parquet as pq
+        import ray
+
+        n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+        total = n_docs * snapshots
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        # ~125k expanded rows per block: enough blocks to keep CPUs busy
+        # without paying per-reducer shuffle overhead downstream
+        parallelism = min(max(total // 125_000, 1), 2 * ncpu)
+        if parallelism <= 1:
+            parallelism = 0
+    if parallelism > 1:
+        ds = ds.repartition(parallelism)
 
     def _expand(batch: pa.Table) -> pa.Table:
         if "text" not in batch.column_names:  # html/text pruned at the read
             batch = batch.append_column("text", pa.array([""] * batch.num_rows))
         if "lang" not in batch.column_names:
             batch = batch.append_column("lang", pa.array([""] * batch.num_rows))
-        out = expand_documents_to_pages(
-            batch, snapshots=snapshots, hot_domain_factor=hot_domain_factor
+        return expand_documents_to_pages(
+            batch, snapshots=snapshots, hot_domain_factor=hot_domain_factor,
+            out_cols=out_cols,
         )
-        return out.select(out_cols)
 
     return ds.map_batches(_expand, batch_format="pyarrow")
