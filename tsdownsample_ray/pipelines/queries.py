@@ -182,6 +182,39 @@ def q_window_events_1h(sf_dir: str):
     return agg.map_batches(_fin, batch_format="pyarrow")
 
 
+def _downsample_events(sf_dir: str, kernel: str, n_out: int):
+    """Per-event_type series (sorted by ts,event_id), no-x kernel over
+    ``value``; returns the selected original rows."""
+    ds = _events_series(sf_dir, cols=("event_id", "event_type", "ts", "value"))
+
+    def _group(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            tbl, sort_keys=[("ts_us", "ascending"), ("event_id", "ascending")]
+        )
+        tbl = tbl.take(idx)
+        out = downsample_table(tbl, kernel, n_out, x_col=None, y_col="value",
+                               presorted=True)
+        return out.select(["event_type", "event_id", "value"])
+
+    return ds.groupby("event_type").map_groups(_group, batch_format="pyarrow")
+
+
+def q_minmax_events(sf_dir: str):
+    return _downsample_events(sf_dir, "minmax", 20)
+
+
+def q_m4_events(sf_dir: str):
+    return _downsample_events(sf_dir, "m4", 20)
+
+
+def q_lttb_events(sf_dir: str):
+    return _downsample_events(sf_dir, "lttb", 50)
+
+
+def q_minmaxlttb_events(sf_dir: str):
+    return _downsample_events(sf_dir, "minmaxlttb", 20)
+
+
 def q_everynth_events(sf_dir: str, n_out: int = 50):
     ds = _events_series(sf_dir, cols=("event_id", "event_type", "ts"))
 
@@ -429,6 +462,10 @@ QUERIES = {
     "topk_domains": q_topk_domains,
     "window_events_1h": q_window_events_1h,
     "everynth_events": q_everynth_events,
+    "minmax_events": q_minmax_events,
+    "m4_events": q_m4_events,
+    "lttb_events": q_lttb_events,
+    "minmaxlttb_events": q_minmaxlttb_events,
     "dedup_exact_pages": q_dedup_exact_pages,
     "token_count_docs": q_token_count_docs,
     "near_dup_pages": q_near_dup_pages,
@@ -496,6 +533,91 @@ ORACLE_SQL = {
         FROM s JOIN generate_series(0, 49) k(k)
           ON s.rn = CAST(FLOOR(k.k * GREATEST(1.0, s.cnt / 50.0)) AS BIGINT)
         WHERE k.k * GREATEST(1.0, s.cnt / 50.0) < s.cnt - 0.1
+    """,
+    # MinMax/M4 bin-exact oracles: nb equal-ish index bins whose boundaries
+    # replicate numpy's searchsorted-over-linspace (floor(i*((n-1)/nb))+1),
+    # argmin/argmax with FIRST-occurrence tie-breaking via min(rn) over the
+    # rows attaining the bin extreme.
+    "minmax_events": """
+        WITH s AS (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) - 1 AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS cnt
+            FROM events
+        ),
+        binned AS (
+            SELECT s.*, b.i,
+                   CASE WHEN b.i = 0 THEN 0
+                        ELSE CAST(FLOOR(b.i * ((s.cnt - 1.0) / 10)) AS BIGINT) + 1
+                   END AS lo,
+                   CASE WHEN b.i = 9 THEN s.cnt
+                        ELSE CAST(FLOOR((b.i + 1) * ((s.cnt - 1.0) / 10)) AS BIGINT) + 1
+                   END AS hi
+            FROM s JOIN generate_series(0, 9) b(i) ON TRUE
+        ),
+        inbin AS (SELECT * FROM binned WHERE rn >= lo AND rn < hi),
+        ext AS (
+            SELECT event_type, i,
+                   min(value) AS mn, max(value) AS mx
+            FROM inbin GROUP BY 1, 2
+        ),
+        sel AS (
+            SELECT ib.event_type,
+                   min(ib.rn) FILTER (WHERE ib.value = e.mn) AS rn_min,
+                   min(ib.rn) FILTER (WHERE ib.value = e.mx) AS rn_max
+            FROM inbin ib JOIN ext e ON ib.event_type = e.event_type AND ib.i = e.i
+            GROUP BY ib.event_type, ib.i
+        ),
+        picked AS (
+            SELECT event_type, rn_min AS rn FROM sel
+            UNION
+            SELECT event_type, rn_max AS rn FROM sel
+        )
+        SELECT s.event_type, s.event_id, s.value
+        FROM s JOIN picked p ON s.event_type = p.event_type AND s.rn = p.rn
+    """,
+    "m4_events": """
+        WITH s AS (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) - 1 AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS cnt
+            FROM events
+        ),
+        binned AS (
+            SELECT s.*, b.i,
+                   CASE WHEN b.i = 0 THEN 0
+                        ELSE CAST(FLOOR(b.i * ((s.cnt - 1.0) / 5)) AS BIGINT) + 1
+                   END AS lo,
+                   CASE WHEN b.i = 4 THEN s.cnt
+                        ELSE CAST(FLOOR((b.i + 1) * ((s.cnt - 1.0) / 5)) AS BIGINT) + 1
+                   END AS hi
+            FROM s JOIN generate_series(0, 4) b(i) ON TRUE
+        ),
+        inbin AS (SELECT * FROM binned WHERE rn >= lo AND rn < hi),
+        ext AS (
+            SELECT event_type, i, min(rn) AS first_rn, max(rn) AS last_rn,
+                   min(value) AS mn, max(value) AS mx
+            FROM inbin GROUP BY 1, 2
+        ),
+        sel AS (
+            SELECT ib.event_type, ib.i,
+                   any_value(e.first_rn) AS first_rn,
+                   any_value(e.last_rn) AS last_rn,
+                   min(ib.rn) FILTER (WHERE ib.value = e.mn) AS rn_min,
+                   min(ib.rn) FILTER (WHERE ib.value = e.mx) AS rn_max
+            FROM inbin ib JOIN ext e ON ib.event_type = e.event_type AND ib.i = e.i
+            GROUP BY ib.event_type, ib.i
+        ),
+        picked AS (            -- duplicates retained (M4 keeps multiplicity)
+            SELECT event_type, first_rn AS rn FROM sel
+            UNION ALL SELECT event_type, rn_min FROM sel
+            UNION ALL SELECT event_type, rn_max FROM sel
+            UNION ALL SELECT event_type, last_rn FROM sel
+        )
+        SELECT s.event_type, s.event_id, s.value
+        FROM s JOIN picked p ON s.event_type = p.event_type AND s.rn = p.rn
     """,
     "dedup_exact_pages": f"""
         WITH {PAGES_CTE}
