@@ -1,0 +1,67 @@
+"""Salting and skew: salted rollup must be bit-identical to unsalted; the
+hot-domain corpus exercises the skewed-key path end-to-end."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _cmp(a: pd.DataFrame, b: pd.DataFrame):
+    key = ["series_id", "bucket"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)[a.columns]
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_salted_rollup_equals_unsalted(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.rollup import rollup
+
+    rng = np.random.default_rng(17)
+    n = 50_000
+    df = pd.DataFrame({
+        # one pathologically hot series (90% of rows) + a long tail
+        "series_id": np.where(rng.random(n) < 0.9, "hot",
+                              rng.integers(0, 50, n).astype(str)),
+        "x": rng.integers(0, 10**9, n) * 1000,
+        "y": rng.integers(0, 1000, n),
+    })
+    ds = rd.from_pandas(df).repartition(9)
+    plain = rollup(ds, 3_600_000_000).to_pandas()
+    salted = rollup(ds, 3_600_000_000, salt=4).to_pandas()
+    _cmp(plain, salted)
+
+
+def test_salt_must_be_power_of_two(ray_session):
+    import pyarrow as pa
+
+    from tsdownsample_ray.stages.rollup import partial_rollup_batch
+
+    t = pa.table({"series_id": ["a"], "x": [1], "y": [2]})
+    with pytest.raises(ValueError):
+        partial_rollup_batch(t, 1000, salt=3)
+
+
+def test_hot_domain_corpus_rollup(ray_session):
+    """hot_domain_factor inflates src0's snapshots; the rollup must still
+    match a driver-side pandas recomputation exactly."""
+    from tsdownsample_ray.sources.corpus import read_pages
+    from tsdownsample_ray.stages.rollup import rollup
+    from tsdownsample_ray.stages.series import derive_series
+
+    sf = "/root/testdata/sf0.001"
+    pages = read_pages(sf, snapshots=2, hot_domain_factor=5,
+                       columns=["url", "warc_ts", "text"])
+    series = derive_series(pages)
+    got = rollup(series, 3_600_000_000, salt=2).to_pandas()
+
+    pdf = series.to_pandas()
+    pdf["bucket"] = pdf["x"] // 3_600_000_000 * 3_600_000_000
+    exp = (pdf.groupby(["series_id", "bucket"])["y"]
+           .agg(min_y="min", max_y="max", sum_y="sum", n="count")
+           .reset_index())
+    _cmp(got, exp)
+    # and src0 really is hot (5x the pages of any other domain)
+    per_dom = exp.groupby("series_id")["n"].sum()
+    assert per_dom["src0.example.com"] == 5 * per_dom["src1.example.com"]

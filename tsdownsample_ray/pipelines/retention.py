@@ -47,6 +47,7 @@ def run_retention_pipeline(
     compress: bool = True,
     downsample: bool = True,
     gap_fill: bool = False,
+    extract: bool = False,
     series_ds=None,
 ) -> dict:
     """Run (or resume) all tiers; returns a summary dict with per-tier
@@ -66,10 +67,24 @@ def run_retention_pipeline(
         t0 = time.time()
         if i == 0 or prev_ds is None:
             if series_ds is None:
-                pages = read_pages(sf_dir, snapshots=snapshots,
-                                   hot_domain_factor=hot_domain_factor,
-                                   columns=["url", "warc_ts", "text"])
-                src = derive_series(pages)
+                if extract:
+                    # honest end-to-end: carry html, extract text, derive
+                    # series from the EXTRACTED text (byte-identity holds).
+                    # Function form (stateless tasks): elastic, no actor-pool
+                    # size cap to throttle the widest stage.
+                    from ..stages.extract import extract_text_batch
+
+                    pages = read_pages(sf_dir, snapshots=snapshots,
+                                       hot_domain_factor=hot_domain_factor,
+                                       columns=["url", "warc_ts", "html"])
+                    pages = pages.map_batches(extract_text_batch,
+                                              batch_format="pyarrow")
+                    src = derive_series(pages, text_col="extracted_text")
+                else:
+                    pages = read_pages(sf_dir, snapshots=snapshots,
+                                       hot_domain_factor=hot_domain_factor,
+                                       columns=["url", "warc_ts", "text"])
+                    src = derive_series(pages)
             else:
                 src = series_ds
             tier = rollup(src, window, salt=salt)
@@ -82,17 +97,18 @@ def run_retention_pipeline(
         # coalesce before the sink: tier rows are small; dozens of tiny part
         # files would re-inflate the NEXT tier's block count (and its shuffle
         # overhead). Still >1 file -> a rerun can skip finished partitions.
-        tier = tier.repartition(8)
+        # materialize() pins the (small) tier rows so the heavy upstream plan
+        # executes exactly once; compress/downsample/cascade feed from memory
+        # while the parquet files remain the durable checkpoint for resume.
+        tier = tier.repartition(8).materialize()
         tier.write_parquet(d)
-        tier_read = rd.read_parquet(d)  # re-read: downstream uses files
-        rows = tier_read.count()
         summary["tiers"][name] = ckpt.write_manifest(
-            d, rows=rows, seconds=time.time() - t0,
+            d, rows=-1, seconds=time.time() - t0,
             lineage={"input": "corpus" if i == 0 else f"tier={tiers[i-1][0]}",
                      "window_us": window, "sf_dir": sf_dir,
                      "snapshots": snapshots},
         )
-        prev_ds = tier_read
+        prev_ds = tier
 
         if compress:
             cd = ckpt.tier_dir(out_dir, "chunks", name)
@@ -105,8 +121,7 @@ def run_retention_pipeline(
                     ChunkCompressor(value_cols), batch_format="pyarrow")
                 comp.write_parquet(cd)
                 ckpt.write_manifest(
-                    cd, rows=rd.read_parquet(cd).count(),
-                    seconds=time.time() - t1,
+                    cd, rows=-1, seconds=time.time() - t1,
                     lineage={"input": f"tier={name}"})
 
         if downsample:
@@ -119,8 +134,7 @@ def run_retention_pipeline(
                     x_col="bucket", y_col="mean_y")
                 viz.write_parquet(vd)
                 ckpt.write_manifest(
-                    vd, rows=rd.read_parquet(vd).count(),
-                    seconds=time.time() - t1,
+                    vd, rows=-1, seconds=time.time() - t1,
                     lineage={"input": f"tier={name}", "kernel": kernel,
                              "n_out": n_out})
 

@@ -63,6 +63,8 @@ def write_manifest(d: str, *, rows: int, seconds: float, lineage: dict) -> dict:
     import pyarrow.parquet as pq
 
     per_file = {f: pq.read_metadata(os.path.join(d, f)).num_rows for f in files}
+    if rows < 0:  # derive from footers — no extra Dataset pass
+        rows = sum(per_file.values())
     m = {
         "complete": True,
         "rows": rows,
