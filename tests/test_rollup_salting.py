@@ -31,6 +31,12 @@ def test_salted_rollup_equals_unsalted(ray_session):
     plain = rollup(ds, 3_600_000_000).to_pandas()
     salted = rollup(ds, 3_600_000_000, salt=4).to_pandas()
     _cmp(plain, salted)
+    # shuffle-mode combine (the huge-key-space path) must agree with tree
+    shuffled = rollup(ds, 3_600_000_000, combine="shuffle").to_pandas()
+    _cmp(plain, shuffled)
+    shuffled_salted = rollup(ds, 3_600_000_000, salt=4,
+                             combine="shuffle").to_pandas()
+    _cmp(plain, shuffled_salted)
 
 
 def test_salt_must_be_power_of_two(ray_session):

@@ -68,6 +68,11 @@ def downsample_dataset(
     partitioned on series reuses the layout.
     """
 
+    if isinstance(kernel, str):
+        # resolve on the DRIVER: the callable ships in the task closure, so
+        # custom kernels registered here don't need re-registration on workers
+        kernel = get_kernel(kernel)
+
     def _group_fn(tbl: pa.Table) -> pa.Table:
         return downsample_table(
             tbl, kernel, n_out, x_col=x_col, y_col=y_col, **kernel_kwargs

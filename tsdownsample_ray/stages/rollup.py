@@ -67,20 +67,51 @@ def partial_rollup_batch(batch: pa.Table, window_us: int, *,
     return g.rename_columns(keys + ["min_y", "max_y", "sum_y", "n"])
 
 
-def _combine(ds, keys):
+def _arrow_combine(b: pa.Table, keys=("series_id", "bucket")) -> pa.Table:
+    """In-block exact merge of partial rows (associative min/max/sum/sum)."""
+    keys = [k for k in keys if k in b.column_names]
+    g = b.group_by(keys).aggregate(
+        [("min_y", "min"), ("max_y", "max"), ("sum_y", "sum"), ("n", "sum")]
+    )
+    return g.rename_columns(list(keys) + ["min_y", "max_y", "sum_y", "n"])
+
+
+def _combine(ds, keys, *, mode: str = "tree", fanin: int = 16):
+    """Merge partial aggregate rows to one row per key.
+
+    ``mode="tree"`` (default): two-level in-block Arrow merges —
+    ``repartition(fanin)`` -> per-block combine -> ``repartition(1)`` ->
+    final combine. No sort-based shuffle at all; correct because the merge
+    is associative and the partials are already <= |keys| rows per input
+    block. Right whenever the rolled-up key space (|series| x |buckets|)
+    fits one block — the engine's design point (rollup output is ~100-1000x
+    smaller than input; SURVEY.md §4.2). Ray's sort-based Aggregate costs
+    O(input_blocks) per-reducer overhead, which at toy scale dominated the
+    whole pipeline and degraded with parallelism.
+
+    ``mode="shuffle"``: Ray hash/sort groupby — the fallback for key spaces
+    too large for a single final block (e.g. billions of series); reducers
+    bounded by ``fanin`` via a pre-repartition.
+    """
+    if mode == "tree":
+        lvl1 = ds.repartition(fanin).map_batches(
+            lambda b: _arrow_combine(b, keys), batch_format="pyarrow")
+        return lvl1.repartition(1).map_batches(
+            lambda b: _arrow_combine(b, keys), batch_format="pyarrow")
+
     from ray.data.aggregate import Max, Min, Sum
 
-    out = ds.groupby(keys).aggregate(
+    return ds.repartition(fanin).groupby(list(keys)).aggregate(
         Min("min_y", alias_name="min_y"),
         Max("max_y", alias_name="max_y"),
         Sum("sum_y", alias_name="sum_y"),
         Sum("n", alias_name="n"),
     )
-    return out
 
 
 def rollup(ds, window_us: int, *, series_col: str = "series_id",
-           x_col: str = "x", y_col: str = "y", salt: int = 1):
+           x_col: str = "x", y_col: str = "y", salt: int = 1,
+           combine: str = "tree"):
     """series rows -> tier-0 continuous aggregate
     ``(series_id, bucket, min_y, max_y, sum_y, n)``."""
     partials = ds.map_batches(
@@ -90,14 +121,17 @@ def rollup(ds, window_us: int, *, series_col: str = "series_id",
         ),
         batch_format="pyarrow",
     )
-    if salt > 1:
-        salted = _combine(partials, ["series_id", "bucket", "salt"])
+    if salt > 1 and combine == "shuffle":
+        salted = _combine(partials, ["series_id", "bucket", "salt"],
+                          mode=combine)
         salted = salted.drop_columns(["salt"])
-        return _combine(salted, ["series_id", "bucket"])
-    return _combine(partials, ["series_id", "bucket"])
+        return _combine(salted, ["series_id", "bucket"], mode=combine)
+    # tree mode merges straight to (series,bucket); the salt column (if any)
+    # is ignored by the key list and dropped by the group_by projection
+    return _combine(partials, ["series_id", "bucket"], mode=combine)
 
 
-def cascade(tier_ds, coarser_window_us: int):
+def cascade(tier_ds, coarser_window_us: int, *, combine: str = "tree"):
     """tier k aggregate -> tier k+1 on a coarser window (exact associative
     re-merge of (min,max,sum,count) partials)."""
 
@@ -109,7 +143,7 @@ def cascade(tier_ds, coarser_window_us: int):
         )
 
     rebucketed = tier_ds.map_batches(_rebucket, batch_format="pyarrow")
-    return _combine(rebucketed, ["series_id", "bucket"])
+    return _combine(rebucketed, ["series_id", "bucket"], mode=combine)
 
 
 def finalize_mean(ds):
