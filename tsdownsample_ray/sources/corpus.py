@@ -120,14 +120,13 @@ def read_pages(sf_dir: str, *, snapshots: int = 3, hot_domain_factor: int = 1,
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=sorted(need))
     if parallelism == 0:
         import pyarrow.parquet as pq
-        import ray
 
         n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
         total = n_docs * snapshots
-        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        # ~125k expanded rows per block: enough blocks to keep CPUs busy
-        # without paying per-reducer shuffle overhead downstream
-        parallelism = min(max(total // 125_000, 1), 2 * ncpu)
+        # ~125k expanded rows (~90MB with html) per block: sized by DATA, not
+        # by CPU count — oversized blocks pressure the object store, and the
+        # tree combine keeps many blocks cheap downstream
+        parallelism = min(max(total // 125_000, 1), 512)
         if parallelism <= 1:
             parallelism = 0
     if parallelism > 1:
