@@ -182,6 +182,48 @@ def q_window_events_1h(sf_dir: str):
     return agg.map_batches(_fin, batch_format="pyarrow")
 
 
+def q_sliding_events_1h_15m(sf_dir: str):
+    """Hopping window: 1h windows every 15min over events by type."""
+    from ..stages.windows import sliding_rollup
+
+    ds = _events_series(sf_dir)
+    agg = sliding_rollup(ds, W1H, W15M, series_col="event_type",
+                         x_col="ts_us", y_col="value")
+
+    def _fin(b: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(b["sum_y"], 100.0), ndigits=0)
+        return pa.table({
+            "event_type": b["series_id"],
+            "bucket": b["bucket"],
+            "min_v": b["min_y"],
+            "max_v": b["max_y"],
+            "n": b["n"],
+            "sum_cents": pc.cast(cents, pa.int64()),
+        })
+
+    return agg.map_batches(_fin, batch_format="pyarrow")
+
+
+def q_sessions_users(sf_dir: str):
+    """Session windows per user (30-min inactivity gap)."""
+    from ..stages.windows import sessionize
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+        })
+
+    prepped = ds.map_batches(_prep, batch_format="pyarrow")
+    return sessionize(prepped, 30 * 60 * US, series_col="user_id",
+                      x_col="ts_us", id_col="event_id")
+
+
 def _downsample_events(sf_dir: str, kernel: str, n_out: int):
     """Per-event_type series (sorted by ts,event_id), no-x kernel over
     ``value``; returns the selected original rows."""
@@ -461,6 +503,8 @@ QUERIES = {
     "compress_roundtrip_15m": q_compress_roundtrip_15m,
     "topk_domains": q_topk_domains,
     "window_events_1h": q_window_events_1h,
+    "sliding_events_1h_15m": q_sliding_events_1h_15m,
+    "sessions_users": q_sessions_users,
     "everynth_events": q_everynth_events,
     "minmax_events": q_minmax_events,
     "m4_events": q_m4_events,
@@ -520,6 +564,40 @@ ORACLE_SQL = {
                count(*) AS n,
                CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_cents
         FROM events GROUP BY 1, 2
+    """,
+    "sliding_events_1h_15m": f"""
+        SELECT event_type,
+               (epoch_us(ts) // {W15M}) * {W15M} - j.j * {W15M} AS bucket,
+               min(value) AS min_v,
+               max(value) AS max_v,
+               count(*) AS n,
+               CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_cents
+        FROM events, generate_series(0, 3) j(j)
+        GROUP BY 1, 2
+    """,
+    "sessions_users": f"""
+        WITH o AS (
+            SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+        ),
+        s AS (
+            SELECT user_id, t, event_id,
+                   CASE WHEN lag(t) OVER w IS NULL
+                             OR t - lag(t) OVER w > {30 * 60 * US}
+                        THEN 1 ELSE 0 END AS brk
+            FROM o
+            WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        ),
+        t2 AS (
+            SELECT user_id, t,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess
+            FROM s
+        )
+        SELECT user_id AS series_id,
+               min(t) AS session_start,
+               max(t) AS session_end,
+               count(*) AS n_events
+        FROM t2 GROUP BY user_id, sess
     """,
     "everynth_events": f"""
         WITH s AS (

@@ -43,17 +43,30 @@ def _stable_u64(token: bytes) -> int:
     return int.from_bytes(hashlib.blake2b(token, digest_size=8).digest(), "big")
 
 
-def word_shingles(text: str, w: int = 3) -> np.ndarray:
-    """w-word shingle hashes (31-bit, uint64 dtype), deduplicated."""
+def word_shingles(text: str, w: int = 3, cache: dict | None = None) -> np.ndarray:
+    """w-word shingle hashes (31-bit, uint64 dtype), deduplicated.
+
+    ``cache`` (gram -> hash) amortizes the digest across repeated grams —
+    an actor-held cache turns the per-gram blake2b into a dict hit for the
+    common-vocabulary bulk of a corpus."""
     toks = text.split()
     if len(toks) < w:
         grams = [" ".join(toks)] if toks else []
     else:
         grams = [" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)]
-    return np.unique(
-        np.fromiter((_stable_u64(g.encode()) & _MERSENNE for g in grams),
-                    dtype=np.uint64, count=len(grams))
-    )
+    if cache is None:
+        it = (_stable_u64(g.encode()) & _MERSENNE for g in grams)
+    else:
+        if len(cache) > 4_000_000:  # bound actor memory
+            cache.clear()
+        def _h(g):
+            v = cache.get(g)
+            if v is None:
+                v = _stable_u64(g.encode()) & _MERSENNE
+                cache[g] = v
+            return v
+        it = (_h(g) for g in grams)
+    return np.unique(np.fromiter(it, dtype=np.uint64, count=len(grams)))
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -105,9 +118,10 @@ class MinHasher:
         self.shingle_w = shingle_w
         self.text_col = text_col
         self.id_col = id_col
+        self._cache: dict = {}  # gram -> hash, lives as long as the actor
 
     def signature(self, text: str) -> np.ndarray:
-        sh = word_shingles(text, self.shingle_w)
+        sh = word_shingles(text, self.shingle_w, self._cache)
         if not len(sh):
             return np.zeros(self.num_perm, dtype=np.uint64)
         # (s x k) permuted hashes; products < 2^62 fit uint64 exactly
