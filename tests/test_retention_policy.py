@@ -1,0 +1,82 @@
+"""Retention policy + partition-count invariance + timestamp-x plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def test_apply_retention(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.retention_policy import apply_retention
+
+    t = pa.table({"series_id": ["a"] * 4, "bucket": [0, 100, 200, 300],
+                  "n": [1, 2, 3, 4]})
+    out = apply_retention(rd.from_arrow(t), now_us=350, horizon_us=200).to_pandas()
+    assert sorted(out["bucket"]) == [200, 300]
+    # horizon None = keep everything
+    out2 = apply_retention(rd.from_arrow(t), now_us=350, horizon_us=None).to_pandas()
+    assert len(out2) == 4
+
+
+def test_pipeline_horizons(ray_session, tmp_path):
+    import ray.data as rd
+
+    from tsdownsample_ray.pipelines.retention import run_retention_pipeline
+    from tsdownsample_ray.sources.corpus import BASE_EPOCH_S
+    from tsdownsample_ray.state import checkpoint as ckpt
+
+    out = str(tmp_path / "ret")
+    now = (BASE_EPOCH_S + 6 * 3600) * 1_000_000
+    s = run_retention_pipeline(
+        "/root/testdata/sf0.001", out, snapshots=2,
+        tiers=(("15m", 900_000_000),), compress=False, downsample=False,
+        horizons={"15m": 2 * 3600 * 1_000_000}, now_us=now)
+    t = rd.read_parquet(ckpt.tier_dir(out, "tier", "15m")).to_pandas()
+    assert (t["bucket"] >= now - 2 * 3600 * 1_000_000).all()
+    assert s["tiers"]["15m"]["complete"]
+
+
+def test_downsample_invariant_to_partitioning(ray_session):
+    """The distributed-parallelism analog of the reference's
+    parallel==sequential equivalence (test_tsdownsample.py:129-145)."""
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.downsample import downsample_dataset
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({
+        "series_id": np.repeat([f"s{i}" for i in range(5)], 2000),
+        "x": np.tile(np.arange(2000, dtype=np.int64), 5),
+        "y": rng.standard_normal(10_000),
+    })
+    outs = []
+    for nparts in (1, 3, 16):
+        ds = rd.from_pandas(df.sample(frac=1.0, random_state=nparts)
+                            ).repartition(nparts)
+        out = downsample_dataset(ds, kernel="minmaxlttb", n_out=100,
+                                 x_col="x", y_col="y").to_pandas()
+        outs.append(out.sort_values(["series_id", "x"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+
+
+def test_downsample_with_timestamp_x(ray_session):
+    """x as a real Arrow timestamp column: datetime64 view -> int64 in the
+    kernel (downsampling_interface.py:205-213 analog) end to end."""
+    import ray.data as rd
+
+    from tsdownsample_ray.kernels import minmax
+    from tsdownsample_ray.stages.downsample import downsample_dataset
+
+    n = 3000
+    rng = np.random.default_rng(5)
+    ts = pa.array((1735689600_000_000 + np.arange(n) * 60_000_000),
+                  type=pa.int64()).cast(pa.timestamp("us"))
+    y = rng.standard_normal(n)
+    t = pa.table({"series_id": ["s"] * n, "x": ts, "y": y})
+    out = downsample_dataset(rd.from_arrow(t), kernel="minmax", n_out=40,
+                             x_col="x", y_col="y").to_pandas()
+    expected_idx = minmax(np.arange(n) * 60_000_000 + 1735689600_000_000, y, 40)
+    assert np.array_equal(out["y"].to_numpy(), y[expected_idx.astype(np.intp)])
+    assert str(out["x"].dtype).startswith("datetime64")

@@ -129,6 +129,16 @@ def q_topk_domains(sf_dir: str):
     )
 
 
+def q_retention_trim_15m(sf_dir: str):
+    """Retention policy: drop 15-min buckets older than 3h before the
+    newest bucket (age-out filter, SURVEY §2.4 retention row)."""
+    from ..stages.retention_policy import apply_retention
+
+    t0 = finalize_mean(rollup(_series(sf_dir), W15M))
+    newest = t0.max("bucket")  # tiny driver-side aggregate
+    return apply_retention(t0, int(newest) + W15M, 3 * W1H + W15M)
+
+
 def q_gapfill_15m(sf_dir: str):
     """Rollup + explicit gap rows (n=0) on the 15-min tier."""
     t0 = rollup(_series(sf_dir), W15M)
@@ -500,6 +510,7 @@ QUERIES = {
     "rollup_cascade_1d": q_rollup_cascade_1d,
     "crawl_rate_1h": q_crawl_rate_1h,
     "gapfill_15m": q_gapfill_15m,
+    "retention_trim_15m": q_retention_trim_15m,
     "compress_roundtrip_15m": q_compress_roundtrip_15m,
     "topk_domains": q_topk_domains,
     "window_events_1h": q_window_events_1h,
@@ -541,6 +552,19 @@ ORACLE_SQL = {
         SELECT series_id, CAST(sum(y) AS BIGINT) AS sum_chars
         FROM pages GROUP BY 1
         ORDER BY sum_chars DESC, series_id LIMIT 5
+    """,
+    "retention_trim_15m": f"""
+        WITH {PAGES_CTE},
+        r AS (
+            SELECT series_id,
+                   (ts_us // {W15M}) * {W15M} AS bucket,
+                   min(y) AS min_y, max(y) AS max_y,
+                   CAST(sum(y) AS BIGINT) AS sum_y, count(*) AS n,
+                   CAST(sum(y) AS DOUBLE) / count(*) AS mean_y
+            FROM pages GROUP BY 1, 2
+        )
+        SELECT * FROM r
+        WHERE bucket >= (SELECT max(bucket) FROM r) + {W15M} - {3 * W1H + W15M}
     """,
     "gapfill_15m": f"""
         WITH {PAGES_CTE},

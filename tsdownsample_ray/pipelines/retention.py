@@ -48,6 +48,8 @@ def run_retention_pipeline(
     downsample: bool = True,
     gap_fill: bool = False,
     extract: bool = False,
+    horizons: dict | None = None,
+    now_us: int | None = None,
     series_ds=None,
 ) -> dict:
     """Run (or resume) all tiers; returns a summary dict with per-tier
@@ -92,6 +94,12 @@ def run_retention_pipeline(
             tier = cascade(prev_ds, window)
         if gap_fill:
             tier = gapfill(tier, window, fill="zero")
+        if horizons and horizons.get(name) is not None:
+            from ..stages.retention_policy import apply_retention
+
+            if now_us is None:
+                raise ValueError("now_us required when horizons are set")
+            tier = apply_retention(tier, now_us, horizons[name])
 
         ckpt.reset_dir(d)
         # coalesce before the sink: tier rows are small; dozens of tiny part
