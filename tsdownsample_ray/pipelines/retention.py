@@ -14,7 +14,7 @@ from __future__ import annotations
 import time
 
 from ..sources.corpus import read_pages
-from ..stages.compress import ChunkCompressor
+from ..stages.compress import compress_chunks_per_series
 from ..stages.downsample import downsample_dataset
 from ..stages.gapfill import gapfill
 from ..stages.rollup import cascade, finalize_mean, rollup
@@ -125,8 +125,9 @@ def run_retention_pipeline(
                 ckpt.reset_dir(cd)
                 value_cols = {"min_y": "i8", "max_y": "i8", "sum_y": "i8",
                               "n": "i8"}
-                comp = prev_ds.map_batches(
-                    ChunkCompressor(value_cols), batch_format="pyarrow")
+                # canonical per-series chunks: layout independent of block
+                # structure -> idempotent chunk store across reruns
+                comp = compress_chunks_per_series(prev_ds, value_cols)
                 comp.write_parquet(cd)
                 ckpt.write_manifest(
                     cd, rows=-1, seconds=time.time() - t1,

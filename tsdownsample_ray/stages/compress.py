@@ -30,7 +30,7 @@ from ..functions.gorilla import (
     encode_values,
 )
 
-__all__ = ["ChunkCompressor", "ChunkDecompressor"]
+__all__ = ["ChunkCompressor", "ChunkDecompressor", "compress_chunks_per_series"]
 
 _F64 = "f8"
 _I64 = "i8"
@@ -92,6 +92,26 @@ class ChunkCompressor:
             **{f"blob_{c}": pa.array(out[f"blob_{c}"], pa.binary())
                for c in self.value_cols},
         })
+
+
+def compress_chunks_per_series(ds, value_cols: dict[str, str] | None = None,
+                               *, series_col: str = "series_id",
+                               x_col: str = "bucket", chunk_size: int = 1024):
+    """CANONICAL chunking: group by series first, then chunk each whole
+    series in fixed ``chunk_size`` runs. Unlike the batch-local compressor,
+    the chunk layout is a pure function of the DATA (not of block
+    boundaries), so a resumed or re-partitioned run reproduces byte-
+    identical chunk rows — the strongest idempotence story for the chunk
+    store. Costs one series-keyed shuffle; used on rolled-up tier rows
+    where that shuffle is tiny."""
+    comp = ChunkCompressor(value_cols, series_col=series_col, x_col=x_col,
+                           chunk_size=chunk_size)
+
+    def _compress_group(g: pa.Table) -> pa.Table:
+        return comp(g)
+
+    return ds.groupby(series_col).map_groups(_compress_group,
+                                             batch_format="pyarrow")
 
 
 class ChunkDecompressor:
