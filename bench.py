@@ -81,6 +81,17 @@ def run_bench() -> dict:
     n_input = SNAPSHOTS * __import__("pyarrow.parquet", fromlist=["pq"]).read_metadata(
         f"{SF_DIR}/documents.parquet").num_rows
 
+    # training-data op timings over the same sf dir
+    from tsdownsample_ray.pipelines import queries as Q
+
+    for qname in ("dedup_exact_pages", "near_dup_pages", "knn_embeddings",
+                  "minhash_docs", "simhash_docs"):
+        t0 = time.time()
+        res = Q.QUERIES[qname](SF_DIR)
+        if hasattr(res, "count"):
+            res.count()
+        timings[f"q_{qname}"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "retention_pipeline_sec",
         "value": timings["retention_pipeline"],

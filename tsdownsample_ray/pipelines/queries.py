@@ -45,6 +45,7 @@ def _rd():
 # ---------------------------------------------------------------------------
 
 # the pages corpus as SQL — must mirror sources/corpus.py exactly
+_K_VALUES = ", ".join(f"({k})" for k in range(SNAPSHOTS))
 PAGES_CTE = f"""
 pages AS (
     SELECT d.source || '.example.com' AS series_id,
@@ -53,7 +54,7 @@ pages AS (
            d.text AS text,
            d.lang AS lang,
            length(d.text) AS y
-    FROM documents d CROSS JOIN (VALUES (0),(1),(2)) s(k)
+    FROM documents d CROSS JOIN (VALUES {_K_VALUES}) s(k)
 )
 """
 

@@ -12,6 +12,7 @@ cascade is exact (associative (min,max,sum,count) merges, rollup.py).
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from ..sources.corpus import read_pages
 from ..stages.compress import compress_chunks_per_series
@@ -56,6 +57,8 @@ def run_retention_pipeline(
     metrics. ``series_ds`` overrides the corpus-derived series input."""
     rd = _rd()
     summary = {"tiers": {}, "resumed": [], "out_dir": out_dir}
+    pool = ThreadPoolExecutor(max_workers=4)
+    sink_jobs = []
 
     prev_ds = None
     for i, (name, window) in enumerate(tiers):
@@ -118,33 +121,44 @@ def run_retention_pipeline(
         )
         prev_ds = tier
 
+        # the chunk and downsample sinks both consume the MATERIALIZED tier
+        # and write to independent directories -> run them on driver threads
+        # so their (small) executions overlap each other and the next tier's
+        # cascade instead of serializing the tail
+        def _do_compress(tier_ds=prev_ds, tname=name):
+            cd = ckpt.tier_dir(out_dir, "chunks", tname)
+            if resume and ckpt.is_complete(cd):
+                return
+            t1 = time.time()
+            ckpt.reset_dir(cd)
+            value_cols = {"min_y": "i8", "max_y": "i8", "sum_y": "i8",
+                          "n": "i8"}
+            # canonical per-series chunks: layout independent of block
+            # structure -> idempotent chunk store across reruns
+            compress_chunks_per_series(tier_ds, value_cols).write_parquet(cd)
+            ckpt.write_manifest(cd, rows=-1, seconds=time.time() - t1,
+                                lineage={"input": f"tier={tname}"})
+
+        def _do_downsample(tier_ds=prev_ds, tname=name):
+            vd = ckpt.tier_dir(out_dir, "downsample", tname)
+            if resume and ckpt.is_complete(vd):
+                return
+            t1 = time.time()
+            ckpt.reset_dir(vd)
+            viz = downsample_dataset(
+                finalize_mean(tier_ds), kernel=kernel, n_out=n_out,
+                x_col="bucket", y_col="mean_y")
+            viz.write_parquet(vd)
+            ckpt.write_manifest(vd, rows=-1, seconds=time.time() - t1,
+                                lineage={"input": f"tier={tname}",
+                                         "kernel": kernel, "n_out": n_out})
+
         if compress:
-            cd = ckpt.tier_dir(out_dir, "chunks", name)
-            if not (resume and ckpt.is_complete(cd)):
-                t1 = time.time()
-                ckpt.reset_dir(cd)
-                value_cols = {"min_y": "i8", "max_y": "i8", "sum_y": "i8",
-                              "n": "i8"}
-                # canonical per-series chunks: layout independent of block
-                # structure -> idempotent chunk store across reruns
-                comp = compress_chunks_per_series(prev_ds, value_cols)
-                comp.write_parquet(cd)
-                ckpt.write_manifest(
-                    cd, rows=-1, seconds=time.time() - t1,
-                    lineage={"input": f"tier={name}"})
-
+            sink_jobs.append(pool.submit(_do_compress))
         if downsample:
-            vd = ckpt.tier_dir(out_dir, "downsample", name)
-            if not (resume and ckpt.is_complete(vd)):
-                t1 = time.time()
-                ckpt.reset_dir(vd)
-                viz = downsample_dataset(
-                    finalize_mean(prev_ds), kernel=kernel, n_out=n_out,
-                    x_col="bucket", y_col="mean_y")
-                viz.write_parquet(vd)
-                ckpt.write_manifest(
-                    vd, rows=-1, seconds=time.time() - t1,
-                    lineage={"input": f"tier={name}", "kernel": kernel,
-                             "n_out": n_out})
+            sink_jobs.append(pool.submit(_do_downsample))
 
+    for f in sink_jobs:
+        f.result()  # propagate sink errors
+    pool.shutdown()
     return summary
