@@ -140,10 +140,35 @@ def test_ivf_recall_vs_bruteforce(ray_session):
 # --- multimodal ------------------------------------------------------------
 
 def test_decode_stub_raises_without_fake():
+    from tsdownsample_ray.stages.multimodal import DecodeAudio
+
     with pytest.raises(NotImplementedError):
         DecodeImage(fake=False)
     with pytest.raises(NotImplementedError):
         SampleFrames(fake=False)
+    with pytest.raises(NotImplementedError):
+        DecodeAudio(fake=False)
+
+
+def test_fake_audio_decode_and_downsample():
+    from tsdownsample_ray.kernels import minmaxlttb
+    from tsdownsample_ray.stages.multimodal import DecodeAudio
+
+    t = pa.table({
+        "media_id": [1],
+        "payload": [b"wavbytes"],
+        "duration_ms": pa.array([2000], pa.int32()),
+    })
+    out = DecodeAudio(fake=True)(t)
+    samples = np.asarray(out["samples"][0].as_py(), dtype=np.float32)
+    assert len(samples) == 32_000  # 2 s at 16 kHz
+    # the downsample kernels apply to waveforms directly
+    idx = minmaxlttb(None, samples, 200)
+    assert len(idx) == 200
+    # deterministic in payload
+    again = DecodeAudio(fake=True)(t)
+    assert np.array_equal(
+        samples, np.asarray(again["samples"][0].as_py(), np.float32))
 
 
 def test_fake_decode_resize_plumbing():

@@ -15,7 +15,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["media_schema", "DecodeImage", "ResizeImage", "SampleFrames"]
+__all__ = ["media_schema", "DecodeImage", "DecodeAudio", "ResizeImage",
+           "SampleFrames"]
 
 
 def media_schema() -> pa.Schema:
@@ -93,6 +94,37 @@ class ResizeImage:
         cols["pixels"] = pa.array(out, type=pa.list_(pa.uint8()))
         cols = dict(cols, width=pa.array([self.out_w] * batch.num_rows, pa.int32()),
                     height=pa.array([self.out_h] * batch.num_rows, pa.int32()))
+        return pa.table(cols)
+
+
+class DecodeAudio:
+    """binary payload -> mono f32 sample tensor + sample-rate metadata.
+    Stubbed like DecodeImage (no audio libs in this container); the fake
+    decoder is deterministic in the payload. Feature extraction downstream
+    (e.g. the downsample kernels over the waveform) is real."""
+
+    def __init__(self, fake: bool = False, sample_rate: int = 16_000):
+        if not fake:
+            raise NotImplementedError(
+                "audio decoding requires soundfile/ffmpeg, not present in "
+                "this container — construct with fake=True")
+        self.sample_rate = sample_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        durs = batch["duration_ms"].to_pylist()
+        out = []
+        for p, d in zip(payloads, durs):
+            n = max(1, (d or 100) * self.sample_rate // 1000)
+            n = min(n, 160_000)  # cap fake waveforms at 10 s
+            seed = int.from_bytes(
+                hashlib.blake2b(p, digest_size=8).digest(), "big")
+            rng = np.random.default_rng(seed)
+            out.append(rng.standard_normal(n).astype(np.float32).tolist())
+        cols = {c: batch[c] for c in batch.column_names if c != "payload"}
+        cols["samples"] = pa.array(out, type=pa.list_(pa.float32()))
+        cols["sample_rate"] = pa.array([self.sample_rate] * batch.num_rows,
+                                       pa.int32())
         return pa.table(cols)
 
 
