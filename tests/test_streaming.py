@@ -38,6 +38,31 @@ def test_streaming_equals_batch(ray_session):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_streaming_lateness_budget(ray_session):
+    """Out-of-order events within the allowed lateness still land in their
+    bucket; the watermark only finalizes window_end <= max_ts - lateness."""
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.rollup import rollup
+    from tsdownsample_ray.streaming import StreamingRollup
+
+    df = _events(n=5000)
+    # shuffle each chunk internally (out-of-order within a bounded horizon)
+    rng = np.random.default_rng(0)
+    chunks = np.array_split(np.arange(len(df)), 10)
+    window = 3_600_000_000
+    sr = StreamingRollup(window, partitions=2, lateness_us=window)
+    for c in chunks:
+        sub = df.iloc[rng.permutation(c)]
+        sr.ingest(pa.Table.from_pandas(sub, preserve_index=False))
+    got = sr.flush().to_pandas()
+    exp = rollup(rd.from_pandas(df), window).to_pandas()
+    key = ["series_id", "bucket"]
+    got = got.sort_values(key).reset_index(drop=True)[exp.columns]
+    exp = exp.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_streaming_emits_early(ray_session):
     from tsdownsample_ray.streaming import StreamingRollup
 

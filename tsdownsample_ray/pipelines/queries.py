@@ -130,6 +130,22 @@ def q_topk_domains(sf_dir: str):
     )
 
 
+def q_backfill_15m(sf_dir: str):
+    """Incremental backfill: rollup of the first two snapshots, then the
+    third snapshot merged in late — must equal the full 3-snapshot rollup
+    (the oracle is the plain rollup SQL)."""
+    from ..stages.backfill import merge_into_tier
+
+    initial = derive_series(
+        read_pages(sf_dir, snapshots=SNAPSHOTS - 1,
+                   columns=["url", "warc_ts", "text"]))
+    tier = rollup(initial, W15M)
+    late = derive_series(
+        read_pages(sf_dir, snapshots=1, first_snapshot=SNAPSHOTS - 1,
+                   columns=["url", "warc_ts", "text"]))
+    return finalize_mean(merge_into_tier(tier, late, W15M))
+
+
 def q_retention_trim_15m(sf_dir: str):
     """Retention policy: drop 15-min buckets older than 3h before the
     newest bucket (age-out filter, SURVEY §2.4 retention row)."""
@@ -512,6 +528,7 @@ QUERIES = {
     "crawl_rate_1h": q_crawl_rate_1h,
     "gapfill_15m": q_gapfill_15m,
     "retention_trim_15m": q_retention_trim_15m,
+    "backfill_15m": q_backfill_15m,
     "compress_roundtrip_15m": q_compress_roundtrip_15m,
     "topk_domains": q_topk_domains,
     "window_events_1h": q_window_events_1h,
@@ -554,6 +571,7 @@ ORACLE_SQL = {
         FROM pages GROUP BY 1
         ORDER BY sum_chars DESC, series_id LIMIT 5
     """,
+    "backfill_15m": _ROLLUP_SQL.format(cte=PAGES_CTE, w=W15M),
     "retention_trim_15m": f"""
         WITH {PAGES_CTE},
         r AS (

@@ -43,6 +43,7 @@ __all__ = [
 
 def expand_documents_to_pages(batch: pa.Table, *, snapshots: int = 3,
                               hot_domain_factor: int = 1,
+                              first_snapshot: int = 0,
                               out_cols=("url", "warc_ts", "html", "text", "lang")) -> pa.Table:
     """documents rows -> pages rows (vectorized Arrow; one input row ->
     ``snapshots`` output rows, ``snapshots*hot_domain_factor`` for src0).
@@ -60,7 +61,8 @@ def expand_documents_to_pages(batch: pa.Table, *, snapshots: int = 3,
         hot = pc.equal(source, "src0").to_numpy(zero_copy_only=False)
         per_row[hot] = snapshots * hot_domain_factor
     row_idx = np.repeat(np.arange(n), per_row)
-    k = np.concatenate([np.arange(c) for c in per_row]) if n else np.empty(0, np.int64)
+    k = (np.concatenate([np.arange(c) for c in per_row]) + first_snapshot
+         ) if n else np.empty(0, np.int64)
 
     rep = batch.take(pa.array(row_idx))
     doc_rep = doc_id[row_idx]
@@ -97,6 +99,7 @@ def expand_documents_to_pages(batch: pa.Table, *, snapshots: int = 3,
 
 
 def read_pages(sf_dir: str, *, snapshots: int = 3, hot_domain_factor: int = 1,
+               first_snapshot: int = 0,
                columns: list | None = None, parallelism: int = 0):
     """Dataset of synthetic pages derived from ``{sf_dir}/documents.parquet``.
 
@@ -139,7 +142,7 @@ def read_pages(sf_dir: str, *, snapshots: int = 3, hot_domain_factor: int = 1,
             batch = batch.append_column("lang", pa.array([""] * batch.num_rows))
         return expand_documents_to_pages(
             batch, snapshots=snapshots, hot_domain_factor=hot_domain_factor,
-            out_cols=out_cols,
+            first_snapshot=first_snapshot, out_cols=out_cols,
         )
 
     return ds.map_batches(_expand, batch_format="pyarrow")
