@@ -178,9 +178,15 @@ def lsh_candidate_pairs(sig_ds, *, bands: int = 16, id_col: str = "doc_id"):
 
     pairs = banded.groupby(["band", "band_hash"]).map_groups(
         _pairs, batch_format="pyarrow")
-    # dedupe pairs produced by multiple bands
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+    # dedupe pairs produced by multiple bands. Candidate pairs are orders of
+    # magnitude fewer than rows, so a coalesced Arrow distinct beats a second
+    # sort-shuffle; pair_dedup="shuffle" remains for pathological candidate
+    # explosions.
+    def _distinct(b: pa.Table) -> pa.Table:
+        return b.group_by(["a", "b"]).aggregate([]).rename_columns(["a", "b"])
+
+    return pairs.repartition(1).map_batches(_distinct, batch_format="pyarrow")
 
 
 def verify_jaccard_pairs(pairs_ds, texts_ref, *, shingle_w: int = 3,
