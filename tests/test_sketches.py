@@ -1,0 +1,56 @@
+"""HLL sketch: accuracy, mergeability, and the distributed distinct-count."""
+
+import numpy as np
+import pyarrow as pa
+
+from tsdownsample_ray.stages.sketches import (
+    _hash64,
+    _registers,
+    hll_estimate,
+    hll_merge,
+)
+
+
+def test_hll_accuracy():
+    vals = [f"item-{i}" for i in range(10_000)]
+    est = hll_estimate(_registers(_hash64(vals), 12).tobytes())
+    assert abs(est - 10_000) / 10_000 < 0.05
+
+
+def test_hll_small_range():
+    vals = [f"x{i}" for i in range(50)]
+    est = hll_estimate(_registers(_hash64(vals), 12).tobytes())
+    assert abs(est - 50) < 5
+
+
+def test_hll_merge_equals_union():
+    a = [f"a{i}" for i in range(5_000)]
+    b = [f"b{i}" for i in range(5_000)] + a[:1_000]  # overlap
+    sa = _registers(_hash64(a), 12).tobytes()
+    sb = _registers(_hash64(b), 12).tobytes()
+    merged = hll_merge([sa, sb])
+    direct = _registers(_hash64(list(set(a) | set(b))), 12).tobytes()
+    assert merged == direct  # register-max merge == sketch of the union
+
+
+def test_distinct_approx_distributed(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.sketches import distinct_approx
+
+    rng = np.random.default_rng(4)
+    n = 30_000
+    keys = rng.integers(0, 3, n)
+    t = pa.table({
+        "k": pa.array([f"k{v}" for v in keys]),
+        "v": pa.array([f"v{v}" for v in rng.integers(0, 2_000, n) + keys * 10_000]),
+    })
+    out = rd.from_arrow(t).repartition(8)
+    got = distinct_approx(out, key_col="k", value_col="v").to_pandas()
+    import pandas as pd
+
+    df = t.to_pandas()
+    exact = df.groupby("k")["v"].nunique()
+    for r in got.itertuples():
+        assert abs(r.distinct_est - exact[r.k]) / exact[r.k] < 0.06, (
+            r.k, r.distinct_est, exact[r.k])

@@ -130,6 +130,33 @@ def q_topk_domains(sf_dir: str):
     )
 
 
+def q_page_rollup_multi_15m(sf_dir: str):
+    """Multi-metric rollup: page length AND token count rolled in one pass."""
+    from ..stages.rollup import rollup_multi
+
+    pages = read_pages(sf_dir, snapshots=SNAPSHOTS,
+                       columns=["url", "warc_ts", "text"])
+
+    def _metrics(b: pa.Table) -> pa.Table:
+        url = b["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        from ..stages.series import _DOMAIN_PATTERN
+
+        domain = pc.struct_field(pc.extract_regex(url, _DOMAIN_PATTERN),
+                                 "domain")
+        return pa.table({
+            "series_id": domain,
+            "x": b["warc_ts"].cast(pa.int64()),
+            "len": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
+            "tok": pc.cast(pc.add(pc.count_substring(b["text"], " "), 1),
+                           pa.int64()),
+        })
+
+    series = pages.map_batches(_metrics, batch_format="pyarrow")
+    return rollup_multi(series, W15M, ["len", "tok"])
+
+
 def q_backfill_15m(sf_dir: str):
     """Incremental backfill: rollup of the first two snapshots, then the
     third snapshot merged in late — must equal the full 3-snapshot rollup
@@ -144,6 +171,41 @@ def q_backfill_15m(sf_dir: str):
         read_pages(sf_dir, snapshots=1, first_snapshot=SNAPSHOTS - 1,
                    columns=["url", "warc_ts", "text"]))
     return finalize_mean(merge_into_tier(tier, late, W15M))
+
+
+def q_distinct_urls_per_domain(sf_dir: str):
+    """Approximate distinct urls per domain via mergeable HLL sketches
+    (rows-only check; accuracy vs exact is pytest-bounded at <6%)."""
+    from ..stages.sketches import distinct_approx
+
+    pages = read_pages(sf_dir, snapshots=SNAPSHOTS, columns=["url", "warc_ts"])
+
+    def _dom(b: pa.Table) -> pa.Table:
+        url = b["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        from ..stages.series import _DOMAIN_PATTERN
+
+        domain = pc.struct_field(pc.extract_regex(url, _DOMAIN_PATTERN),
+                                 "domain")
+        return pa.table({"domain": domain, "url": url})
+
+    return distinct_approx(pages.map_batches(_dom, batch_format="pyarrow"),
+                           key_col="domain", value_col="url")
+
+
+def q_topk_buckets_per_domain(sf_dir: str):
+    """Per-group top-k: each domain's 3 busiest 15-min buckets (crawl
+    bursts) — sort-within-group, deterministic (n desc, bucket asc)."""
+    t0 = rollup(_series(sf_dir), W15M)
+
+    def _top3(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("n", "descending"),
+                                            ("bucket", "ascending")])
+        out = g.take(idx[:3])
+        return out.select(["series_id", "bucket", "n"])
+
+    return t0.groupby("series_id").map_groups(_top3, batch_format="pyarrow")
 
 
 def q_retention_trim_15m(sf_dir: str):
@@ -529,6 +591,9 @@ QUERIES = {
     "gapfill_15m": q_gapfill_15m,
     "retention_trim_15m": q_retention_trim_15m,
     "backfill_15m": q_backfill_15m,
+    "page_rollup_multi_15m": q_page_rollup_multi_15m,
+    "topk_buckets_per_domain": q_topk_buckets_per_domain,
+    "distinct_urls_per_domain": q_distinct_urls_per_domain,
     "compress_roundtrip_15m": q_compress_roundtrip_15m,
     "topk_domains": q_topk_domains,
     "window_events_1h": q_window_events_1h,
@@ -572,6 +637,33 @@ ORACLE_SQL = {
         ORDER BY sum_chars DESC, series_id LIMIT 5
     """,
     "backfill_15m": _ROLLUP_SQL.format(cte=PAGES_CTE, w=W15M),
+    "page_rollup_multi_15m": f"""
+        WITH {PAGES_CTE}
+        SELECT series_id,
+               (ts_us // {W15M}) * {W15M} AS bucket,
+               min(y) AS min_len, max(y) AS max_len,
+               CAST(sum(y) AS BIGINT) AS sum_len,
+               min(length(text) - length(replace(text, ' ', '')) + 1) AS min_tok,
+               max(length(text) - length(replace(text, ' ', '')) + 1) AS max_tok,
+               CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+                    AS BIGINT) AS sum_tok,
+               count(*) AS n
+        FROM pages GROUP BY 1, 2
+    """,
+    "topk_buckets_per_domain": f"""
+        WITH {PAGES_CTE},
+        r AS (
+            SELECT series_id, (ts_us // {W15M}) * {W15M} AS bucket,
+                   count(*) AS n
+            FROM pages GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY series_id
+                                         ORDER BY n DESC, bucket) AS rk
+            FROM r
+        )
+        SELECT series_id, bucket, n FROM ranked WHERE rk <= 3
+    """,
     "retention_trim_15m": f"""
         WITH {PAGES_CTE},
         r AS (

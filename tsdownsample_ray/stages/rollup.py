@@ -30,7 +30,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["bucketize", "partial_rollup_batch", "rollup", "cascade", "finalize_mean"]
+__all__ = ["bucketize", "partial_rollup_batch", "rollup", "cascade",
+           "finalize_mean", "rollup_multi"]
 
 _PARTIAL_SCHEMA = ("min_y", "max_y", "sum_y", "n")
 
@@ -129,6 +130,38 @@ def rollup(ds, window_us: int, *, series_col: str = "series_id",
     # tree mode merges straight to (series,bucket); the salt column (if any)
     # is ignored by the key list and dropped by the group_by projection
     return _combine(partials, ["series_id", "bucket"], mode=combine)
+
+
+def rollup_multi(ds, window_us: int, y_cols: list, *,
+                 series_col: str = "series_id", x_col: str = "x",
+                 fanin: int = 16):
+    """Multi-metric rollup: one pass produces min/max/sum per value column
+    plus a shared count — ``(series_id, bucket, min_<c>, max_<c>, sum_<c>
+    ..., n)``. Same partial + tree-combine shape as the single-metric
+    rollup (all merges associative)."""
+    aggs = [(c, f) for c in y_cols for f in ("min", "max", "sum")]
+    out_names = [f"{f}_{c}" for c in y_cols for f in ("min", "max", "sum")]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "series_id": batch[series_col],
+            "bucket": bucketize(batch[x_col], window_us),
+            **{c: batch[c] for c in y_cols},
+        })
+        g = t.group_by(["series_id", "bucket"]).aggregate(
+            aggs + [(y_cols[0], "count")])
+        return g.rename_columns(["series_id", "bucket"] + out_names + ["n"])
+
+    merge_aggs = ([(n, n.split("_", 1)[0]) for n in out_names]
+                  + [("n", "sum")])
+
+    def _merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["series_id", "bucket"]).aggregate(merge_aggs)
+        return g.rename_columns(["series_id", "bucket"] + out_names + ["n"])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    lvl1 = partials.repartition(fanin).map_batches(_merge, batch_format="pyarrow")
+    return lvl1.repartition(1).map_batches(_merge, batch_format="pyarrow")
 
 
 def cascade(tier_ds, coarser_window_us: int, *, combine: str = "tree"):
