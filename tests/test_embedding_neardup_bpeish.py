@@ -1,0 +1,63 @@
+"""Embedding-cosine near-dup recall vs brute force; BPE-ish token counts;
+n-gram language-ID fallback."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_embedding_near_dup_recall(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(6)
+    base = rng.standard_normal((40, 32))
+    # create 10 near-duplicate rows (tiny perturbations of the first 10)
+    near = base[:10] + rng.standard_normal((10, 32)) * 0.05
+    E = np.vstack([base, near])
+    t = pa.table({
+        "vec_id": pa.array(np.arange(50), pa.int64()),
+        "embedding": pa.array(E.astype(np.float32).tolist(),
+                              pa.list_(pa.float32())),
+    })
+    got = embedding_near_dup_pairs(
+        rd.from_arrow(t).repartition(1), threshold=0.95, planes=64, bands=8
+    ).to_pandas()
+    found = {(r.a, r.b) for r in got.itertuples()}
+
+    # brute-force ground truth
+    Ef = E.astype(np.float64)
+    N = Ef / np.linalg.norm(Ef, axis=1, keepdims=True)
+    C = N @ N.T
+    truth = {(i, j) for i in range(50) for j in range(i + 1, 50)
+             if C[i, j] >= 0.95}
+    assert truth, "test setup must contain true near-dups"
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, (recall, truth - found)
+    assert found <= truth  # verification step guarantees no false positives
+
+
+def test_bpeish_tokenizer():
+    from tsdownsample_ray.stages.textstats import BpeishTokenizer
+
+    tok = BpeishTokenizer()
+    assert tok.count("hello world") == 2      # ' world' merges the space
+    assert tok.count("it's 2024, ok!") == 6   # it / 's / ' 2024' / ',' / ' ok' / '!'
+    assert tok.count("") == 0
+    t = pa.table({"doc_id": [1], "text": ["a b c"]})
+    out = tok(t)
+    assert out["n_bpeish_tokens"][0].as_py() == 3
+
+
+def test_langid_ngram_fallback():
+    from tsdownsample_ray.stages.textstats import LangId
+
+    li = LangId()
+    # no stopwords present -> the char n-gram profiles decide
+    t = pa.table({"doc_id": [1, 2], "text": [
+        "thinking bathing weathered",       # th/ing-heavy -> en
+        "schönes mädchen brauchen suchen",  # sch/ch/en-heavy -> de
+    ]})
+    preds = li(t)["lang_pred"].to_pylist()
+    assert preds[0] == "en"
+    assert preds[1] == "de"

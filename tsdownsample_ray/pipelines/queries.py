@@ -499,6 +499,29 @@ def q_fingerprint_docs(sf_dir: str):
 # similarity search
 # ---------------------------------------------------------------------------
 
+def q_token_count_bpeish(sf_dir: str):
+    """BPE-ish regex token count (compiled pattern in an actor pool)."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from ..stages.textstats import BpeishTokenizer
+
+    return ds.map_batches(BpeishTokenizer, batch_format="pyarrow",
+                          concurrency=2)
+
+
+def q_embedding_near_dups(sf_dir: str):
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH + exact
+    verification (rows-only; recall vs brute force pytest-checked)."""
+    import ray.data as rd
+
+    from ..stages.similarity import embedding_near_dup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    # the synthetic embeddings' strongest pair sits just above 0.5
+    return embedding_near_dup_pairs(ds, threshold=0.5, planes=64, bands=16)
+
+
 def q_knn_embeddings(sf_dir: str):
     """Brute-force cosine top-10 for the vec_id=0 query vector."""
     import ray
@@ -612,6 +635,8 @@ QUERIES = {
     "lang_id_docs": q_lang_id_docs,
     "quality_docs": q_quality_docs,
     "fingerprint_docs": q_fingerprint_docs,
+    "token_count_bpeish": q_token_count_bpeish,
+    "embedding_near_dups": q_embedding_near_dups,
     "knn_embeddings": q_knn_embeddings,
     "knn_ivf_embeddings": q_knn_ivf_embeddings,
     "multimodal_frame_sample": q_multimodal_frame_sample,

@@ -16,7 +16,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["embedding_matrix", "knn_bruteforce", "train_ivf_centroids",
-           "assign_lists_batch", "knn_ivf"]
+           "assign_lists_batch", "knn_ivf", "embedding_near_dup_pairs"]
 
 
 def embedding_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
@@ -61,6 +61,76 @@ def knn_bruteforce(ds, query_ref, k: int = 10, *, id_col: str = "vec_id",
     scored = ds.map_batches(_Score, batch_format="pyarrow", concurrency=2)
     return scored.sort(key=["cosine", id_col],
                        descending=[True, False]).limit(k)
+
+
+def embedding_near_dup_pairs(ds, *, threshold: float = 0.9,
+                             id_col: str = "vec_id", col: str = "embedding",
+                             planes: int = 32, bands: int = 4, seed: int = 23):
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH.
+
+    SimHash-for-vectors: sign bits of ``E @ R`` (R = ``planes`` seeded
+    hyperplanes) banded into ``bands`` buckets; vectors agreeing on all
+    bits of any band become candidates; candidates are verified with the
+    exact f64 cosine. P[bit match] = 1 - angle/pi, so high thresholds
+    collide with high probability in at least one band. The band groupby is
+    the only shuffle; exactness of survivors is guaranteed by the verify
+    step (recall bounded by LSH, pytest-checked vs brute force)."""
+    import pyarrow.compute as pc
+
+    r = planes // bands
+
+    def _buckets(b: pa.Table) -> pa.Table:
+        E = embedding_matrix(b, col)
+        rng = np.random.default_rng(seed)  # same planes in every task
+        R = rng.standard_normal((E.shape[1], planes))
+        bits = (E @ R) > 0
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        out_band, out_key, out_id, out_vec = [], [], [], []
+        vecs = E.tolist()
+        for bi in range(bands):
+            seg = bits[:, bi * r : (bi + 1) * r]
+            keys = np.packbits(seg, axis=1).tobytes()
+            w = (r + 7) // 8
+            for i in range(len(ids)):
+                out_band.append(bi)
+                out_key.append(keys[i * w : (i + 1) * w].hex())
+                out_id.append(int(ids[i]))
+                out_vec.append(vecs[i])
+        return pa.table({
+            "band": pa.array(out_band, pa.int32()),
+            "key": pa.array(out_key, pa.string()),
+            id_col: pa.array(out_id, pa.int64()),
+            "vec": pa.array(out_vec, pa.list_(pa.float64())),
+        })
+
+    banded = ds.map_batches(_buckets, batch_format="pyarrow")
+
+    def _verify(g: pa.Table) -> pa.Table:
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        E = np.asarray(g["vec"].to_pylist(), dtype=np.float64)[order]
+        norms = np.linalg.norm(E, axis=1)
+        a_out, b_out, cos_out = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                c = float(E[i] @ E[j] / (norms[i] * norms[j]))
+                if c >= threshold:
+                    a_out.append(int(ids[i]))
+                    b_out.append(int(ids[j]))
+                    cos_out.append(c)
+        return pa.table({"a": pa.array(a_out, pa.int64()),
+                         "b": pa.array(b_out, pa.int64()),
+                         "cosine": pa.array(cos_out, pa.float64())})
+
+    pairs = banded.groupby(["band", "key"]).map_groups(
+        _verify, batch_format="pyarrow")
+
+    def _distinct(b: pa.Table) -> pa.Table:
+        g = b.group_by(["a", "b"]).aggregate([("cosine", "min")])
+        return g.rename_columns(["a", "b", "cosine"])
+
+    return pairs.repartition(1).map_batches(_distinct, batch_format="pyarrow")
 
 
 def train_ivf_centroids(E: np.ndarray, n_lists: int, *, iters: int = 8,

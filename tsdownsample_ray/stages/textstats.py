@@ -4,11 +4,39 @@ document fingerprinting. All vectorized or cheap-per-row, deterministic.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["token_stats_batch", "LangId", "fingerprint_batch", "quality_batch"]
+__all__ = ["token_stats_batch", "LangId", "fingerprint_batch",
+           "quality_batch", "BpeishTokenizer"]
+
+# GPT-2-style pretokenizer pattern (contractions, letter runs, digit runs,
+# punctuation runs, whitespace) — the "BPE-ish regex" token count
+_BPEISH = (r"'s|'t|'re|'ve|'m|'ll|'d"
+           r"| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+")
+
+
+class BpeishTokenizer:
+    """Actor-pool stage: compiled-regex token counting (the pattern compile
+    is the one-time ``__init__`` state)."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.pat = re.compile(_BPEISH)
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def count(self, text: str) -> int:
+        return sum(1 for _ in self.pat.finditer(text))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts = [self.count(t) for t in batch[self.text_col].to_pylist()]
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "n_bpeish_tokens": pa.array(counts, pa.int64()),
+        })
 
 _MOD = (1 << 61) - 1
 _BASE = 1_000_003
@@ -45,8 +73,18 @@ class LangId:
         "es": {"el", "la", "de", "que", "los", "una", "es", "por", "con"},
     }
 
+    # characteristic char n-grams per language (the n-gram fallback when no
+    # stopword hits — e.g. short fragments)
+    NGRAMS = {
+        "en": ("th", "he", "ing", "ed ", " of"),
+        "de": ("ch", "ei", "sch", "und", "en "),
+        "fr": ("es ", "ait", "oi", " de", "qu"),
+        "es": ("os ", " el", "ción", " de", "ar "),
+    }
+
     def __init__(self):
         self.profiles = {k: frozenset(v) for k, v in self.PROFILES.items()}
+        self.ngrams = dict(self.NGRAMS)
 
     def _guess(self, text: str) -> str:
         toks = text.lower().split()
@@ -58,7 +96,13 @@ class LangId:
             return "zh"
         scores = {k: sum(t in p for t in toks) for k, p in self.profiles.items()}
         best = max(scores, key=lambda k: (scores[k], k))
-        return best if scores[best] > 0 else "und"
+        if scores[best] > 0:
+            return best
+        # n-gram heuristic fallback
+        low = text.lower()
+        ng = {k: sum(low.count(g) for g in gs) for k, gs in self.ngrams.items()}
+        best = max(ng, key=lambda k: (ng[k], k))
+        return best if ng[best] > 0 else "und"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         preds = [self._guess(t) for t in batch["text"].to_pylist()]
