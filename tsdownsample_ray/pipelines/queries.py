@@ -79,7 +79,7 @@ GROUP BY 1, 2
 def q_pages_extract(sf_dir: str):
     """pages -> html->text extraction; byte-identical text invariant."""
     pages = read_pages(sf_dir, snapshots=SNAPSHOTS)
-    ext = pages.map_batches(HtmlTextExtractor, batch_format="pyarrow", concurrency=2)
+    ext = pages.map_batches(HtmlTextExtractor, batch_format="pyarrow", concurrency=(1, 8))
 
     def _proj(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -232,8 +232,8 @@ def q_compress_roundtrip_15m(sf_dir: str):
     lossless end-to-end inside the pipeline.
     """
     t0 = finalize_mean(rollup(_series(sf_dir), W15M))
-    comp = t0.map_batches(ChunkCompressor, batch_format="pyarrow", concurrency=2)
-    return comp.map_batches(ChunkDecompressor, batch_format="pyarrow", concurrency=2)
+    comp = t0.map_batches(ChunkCompressor, batch_format="pyarrow", concurrency=(1, 8))
+    return comp.map_batches(ChunkDecompressor, batch_format="pyarrow", concurrency=(1, 8))
 
 
 # ---------------------------------------------------------------------------
@@ -476,7 +476,7 @@ def q_lang_id_docs(sf_dir: str):
     from ..stages.textstats import LangId
 
     return ds.map_batches(LangId, batch_format="pyarrow",
-                          concurrency=2).select_columns(["doc_id", "lang_pred"])
+                          concurrency=(1, 8)).select_columns(["doc_id", "lang_pred"])
 
 
 def q_quality_docs(sf_dir: str):
@@ -506,7 +506,7 @@ def q_token_count_bpeish(sf_dir: str):
     from ..stages.textstats import BpeishTokenizer
 
     return ds.map_batches(BpeishTokenizer, batch_format="pyarrow",
-                          concurrency=2)
+                          concurrency=(1, 8))
 
 
 def q_embedding_near_dups(sf_dir: str):
@@ -585,9 +585,9 @@ def q_multimodal_frame_sample(sf_dir: str):
     from ..stages.multimodal import SampleFrames
 
     media = ds.map_batches(_media, batch_format="pyarrow")
-    sampled = media.map_batches(SampleFrames(n_frames=16, fake=True),
-                                batch_format="pyarrow", batch_size=256,
-                                concurrency=2)
+    sampled = media.map_batches(
+        SampleFrames, fn_constructor_kwargs={"n_frames": 16, "fake": True},
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 8))
 
     def _summ(b: pa.Table) -> pa.Table:
         fts = b["frame_ts_ms"].to_pylist()

@@ -139,8 +139,8 @@ class MinHasher:
 
 
 def minhash_signatures(ds, **kw):
-    return ds.map_batches(MinHasher(**kw), batch_format="pyarrow",
-                          concurrency=2)
+    return ds.map_batches(MinHasher, fn_constructor_kwargs=kw,
+                          batch_format="pyarrow", concurrency=(1, 8))
 
 
 def lsh_candidate_pairs(sig_ds, *, bands: int = 16, id_col: str = "doc_id"):
@@ -214,7 +214,7 @@ def verify_jaccard_pairs(pairs_ds, texts_ref, *, shingle_w: int = 3,
             out = b.append_column("jaccard", pa.array(js, pa.float64()))
             return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
-    return pairs_ds.map_batches(_Verify, batch_format="pyarrow", concurrency=2)
+    return pairs_ds.map_batches(_Verify, batch_format="pyarrow", concurrency=(1, 8))
 
 
 def near_dup_pairs(ds, texts_ref, *, id_col: str = "doc_id",

@@ -58,7 +58,7 @@ def knn_bruteforce(ds, query_ref, k: int = 10, *, id_col: str = "vec_id",
                 "cosine": pa.array(cos[part], pa.float64()),
             })
 
-    scored = ds.map_batches(_Score, batch_format="pyarrow", concurrency=2)
+    scored = ds.map_batches(_Score, batch_format="pyarrow", concurrency=(1, 8))
     return scored.sort(key=["cosine", id_col],
                        descending=[True, False]).limit(k)
 
@@ -193,6 +193,6 @@ def knn_ivf(ds, query_ref, centroids_ref, k: int = 10, *, nprobe: int = 4,
             return pa.table({id_col: pa.array(ids[part]),
                              "cosine": pa.array(cos[part], pa.float64())})
 
-    scored = ds.map_batches(_Probe, batch_format="pyarrow", concurrency=2)
+    scored = ds.map_batches(_Probe, batch_format="pyarrow", concurrency=(1, 8))
     return scored.sort(key=["cosine", id_col],
                        descending=[True, False]).limit(k)
