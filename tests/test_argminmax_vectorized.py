@@ -51,6 +51,24 @@ def test_m4_vectorized_equals_loop(nb, nan_ret, passthrough):
             name, nb, nan_ret, passthrough)
 
 
+@pytest.mark.parametrize("n_nans", [100, 500, 2000, 5000])
+@pytest.mark.parametrize("nan_ret", [False, True])
+def test_nan_count_grid(n_nans, nan_ret):
+    """The compliance-suite NaN grid (test_algos_python_compliance.py:49-69):
+    n=10000 with k random NaNs, vectorized == loop for both NaN policies."""
+    rng = np.random.default_rng(n_nans)
+    y = rng.standard_normal(10_000)
+    y[rng.integers(0, 10_000, n_nans)] = np.nan
+    x = np.arange(10_000)
+    for nb in (50, 126):
+        a = _minmax_core(x, y, nb, nan_policy_return=nan_ret, passthrough=True)
+        b = _minmax_core_loop(x, y, nb, nan_policy_return=nan_ret, passthrough=True)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+        am = _m4_core(x, y, nb, nan_policy_return=nan_ret, passthrough=True)
+        bm = _m4_core_loop(x, y, nb, nan_policy_return=nan_ret, passthrough=True)
+        assert np.array_equal(np.asarray(am, np.int64), np.asarray(bm, np.int64))
+
+
 def test_all_nan_bins():
     y = np.full(1000, np.nan)
     x = np.arange(1000)

@@ -346,6 +346,37 @@ def q_minmaxlttb_events(sf_dir: str):
     return _downsample_events(sf_dir, "minmaxlttb", 20)
 
 
+def q_nanminmax_events(sf_dir: str):
+    """NaN-returning MinMax over events with NaN injected for error events
+    (rows-only: NaN-index selection is not SQL-expressible; the NaN
+    postconditions are pytest-checked)."""
+    ds = _events_series(sf_dir, cols=("event_id", "event_type", "ts", "value"))
+
+    def _inject(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        v = b["value"].to_numpy(zero_copy_only=False).astype(_np.float64).copy()
+        is_err = pc.equal(b["event_type"], "error").to_numpy(
+            zero_copy_only=False)
+        v[is_err] = _np.nan
+        return b.set_column(b.column_names.index("value"), "value",
+                            pa.array(v))
+
+    injected = ds.map_batches(_inject, batch_format="pyarrow")
+
+    def _group(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            tbl, sort_keys=[("ts_us", "ascending"), ("event_id", "ascending")]
+        )
+        tbl = tbl.take(idx)
+        out = downsample_table(tbl, "nanminmax", 20, x_col=None,
+                               y_col="value", presorted=True)
+        return out.select(["event_type", "event_id"])
+
+    return injected.groupby("event_type").map_groups(
+        _group, batch_format="pyarrow")
+
+
 def q_everynth_events(sf_dir: str, n_out: int = 50):
     ds = _events_series(sf_dir, cols=("event_id", "event_type", "ts"))
 
@@ -627,6 +658,7 @@ QUERIES = {
     "m4_events": q_m4_events,
     "lttb_events": q_lttb_events,
     "minmaxlttb_events": q_minmaxlttb_events,
+    "nanminmax_events": q_nanminmax_events,
     "dedup_exact_pages": q_dedup_exact_pages,
     "token_count_docs": q_token_count_docs,
     "near_dup_pages": q_near_dup_pages,
