@@ -75,8 +75,6 @@ def embedding_near_dup_pairs(ds, *, threshold: float = 0.9,
     collide with high probability in at least one band. The band groupby is
     the only shuffle; exactness of survivors is guaranteed by the verify
     step (recall bounded by LSH, pytest-checked vs brute force)."""
-    import pyarrow.compute as pc
-
     r = planes // bands
 
     def _buckets(b: pa.Table) -> pa.Table:
