@@ -25,7 +25,7 @@ import pyarrow as pa
 from ..arrow_utils import col_to_numpy, table_sorted_by
 from ..kernels import get_kernel
 
-__all__ = ["downsample_dataset", "downsample_table"]
+__all__ = ["downsample_dataset", "downsample_table", "downsample_partitioned"]
 
 
 def downsample_table(
@@ -79,3 +79,60 @@ def downsample_dataset(
         )
 
     return ds.groupby(series_col).map_groups(_group_fn, batch_format="pyarrow")
+
+
+def downsample_partitioned(
+    ds,
+    kernel: str = "minmaxlttb",
+    n_out: int = 1000,
+    *,
+    num_partitions: int = 64,
+    series_col: str = "series_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    **kernel_kwargs,
+):
+    """Explicit hash partitioning on the series key (the north-star
+    partitioning scheme): every series hashes to one of ``num_partitions``
+    partitions, ONE group per partition carries all of its series, and the
+    per-partition function runs the kernels over series runs inside one
+    Arrow batch.
+
+    Scale rationale vs ``downsample_dataset``: groupby machinery costs per
+    GROUP; with 1e8 series, 1e8 groups is pathological while
+    ``num_partitions`` groups is flat. Salting a hot series is a matter of
+    widening ``num_partitions`` — series stay whole by construction.
+    Results are identical (pytest-checked)."""
+    import zlib
+
+    if isinstance(kernel, str):
+        kernel = get_kernel(kernel)
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        part = [zlib.crc32(s.encode()) % num_partitions
+                for s in b[series_col].to_pylist()]
+        return b.append_column("__part", pa.array(part, pa.int32()))
+
+    def _partition_fn(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(tbl, sort_keys=[(series_col, "ascending"),
+                                              (x_col, "ascending")])
+        tbl = tbl.take(idx)
+        series = tbl[series_col].to_numpy(zero_copy_only=False)
+        change = np.flatnonzero(series[1:] != series[:-1]) + 1
+        bounds = np.concatenate(([0], change, [len(series)]))
+        x = col_to_numpy(tbl[x_col])
+        y = col_to_numpy(tbl[y_col])
+        take = []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            sel = kernel(x[a:b], y[a:b], n_out, **kernel_kwargs)
+            take.append(sel.astype(np.int64) + a)
+        if not take:
+            return tbl.slice(0, 0).drop_columns(["__part"])
+        out = tbl.take(pa.array(np.concatenate(take)))
+        return out.drop_columns(["__part"])
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.groupby("__part").map_groups(_partition_fn,
+                                               batch_format="pyarrow")

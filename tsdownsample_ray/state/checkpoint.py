@@ -69,6 +69,7 @@ def write_manifest(d: str, *, rows: int, seconds: float, lineage: dict) -> dict:
         "complete": True,
         "rows": rows,
         "wall_seconds": round(seconds, 3),
+        "rows_per_sec": round(rows / seconds, 1) if seconds > 0 else None,
         "written_at": time.time(),
         "lineage": lineage,
         "partitions": per_file,
