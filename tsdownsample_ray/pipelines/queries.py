@@ -346,6 +346,24 @@ def q_minmaxlttb_events(sf_dir: str):
     return _downsample_events(sf_dir, "minmaxlttb", 20)
 
 
+def q_minmax_events_partitioned(sf_dir: str):
+    """The explicit hash-partitioned downsample path over the same series —
+    shares minmax_events' bin-exact SQL oracle (paths must agree)."""
+    from ..kernels import minmax
+    from ..stages.downsample import downsample_partitioned
+
+    ds = _events_series(sf_dir, cols=("event_id", "event_type", "ts", "value"))
+
+    def _no_x_minmax(x, y, n_out, **_):
+        # match minmax_events: sort by ts, bins over INDEX (no-x variant)
+        return minmax(None, y, n_out)
+
+    out = downsample_partitioned(
+        ds, kernel=_no_x_minmax, n_out=20, num_partitions=3,
+        series_col="event_type", x_col="ts_us", y_col="value")
+    return out.select_columns(["event_type", "event_id", "value"])
+
+
 def q_nanminmax_events(sf_dir: str):
     """NaN-returning MinMax over events with NaN injected for error events
     (rows-only: NaN-index selection is not SQL-expressible; the NaN
@@ -659,6 +677,7 @@ QUERIES = {
     "lttb_events": q_lttb_events,
     "minmaxlttb_events": q_minmaxlttb_events,
     "nanminmax_events": q_nanminmax_events,
+    "minmax_events_partitioned": q_minmax_events_partitioned,
     "dedup_exact_pages": q_dedup_exact_pages,
     "token_count_docs": q_token_count_docs,
     "near_dup_pages": q_near_dup_pages,
@@ -926,3 +945,6 @@ ORACLE_SQL = {
         ORDER BY rank LIMIT 10
     """,
 }
+
+# the partitioned path must agree with the per-series path bin-for-bin
+ORACLE_SQL["minmax_events_partitioned"] = ORACLE_SQL["minmax_events"]
