@@ -127,6 +127,24 @@ def test_no_overflow_mean_lttb():
 
 # --- serialization (test_tsdownsample.py:70-97) -----------------------------
 @pytest.mark.parametrize("cls", ALL_CLASSES)
+def test_copy_deepcopy(cls):
+    """copy/deepcopy parity (test_tsdownsample.py:70-87)."""
+    import copy
+
+    import warnings
+
+    d1 = cls()
+    d2 = copy.copy(d1)
+    d3 = copy.deepcopy(d1)
+    y = np.random.default_rng(11).standard_normal(2_000)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        a = d1.downsample(y, n_out=100)
+        assert np.array_equal(a, d2.downsample(y, n_out=100))
+        assert np.array_equal(a, d3.downsample(y, n_out=100))
+
+
+@pytest.mark.parametrize("cls", ALL_CLASSES)
 def test_pickle_roundtrip(cls):
     rng = np.random.default_rng(4)
     y = rng.standard_normal(5_000)

@@ -478,10 +478,23 @@ def q_near_dup_pages(sf_dir: str):
     """MinHash+LSH near-dup pairs (threshold ~1.0 -> exact-dup pairs here,
     which makes the result SQL-checkable; lower thresholds exercised in
     pytest with synthetic mutations)."""
+    import pyarrow.parquet as pq
     import ray
 
+    from ..sources.corpus import expand_documents_to_pages
+
     ds = _pages_with_pid(sf_dir)
-    texts = {r["pid"]: r["text"] for r in ds.iter_rows()}
+    # broadcast side built in-process from the same deterministic expansion
+    # (cheaper than an extra Dataset pass; at corpus scale this becomes a
+    # hash-partitioned join instead — see verify_jaccard_pairs docstring)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+    docs = docs.append_column("lang", pa.array([""] * docs.num_rows))
+    pages_t = expand_documents_to_pages(docs, snapshots=SNAPSHOTS,
+                                        out_cols=("url", "warc_ts", "text"))
+    ts = pages_t["warc_ts"].cast(pa.int64()).to_pylist()
+    texts = {f"{u}#{t}": x for u, t, x in zip(pages_t["url"].to_pylist(), ts,
+                                              pages_t["text"].to_pylist())}
     texts_ref = ray.put(texts)
     from ..stages.dedup import near_dup_pairs
 
