@@ -65,17 +65,23 @@ def lttb(x, y, n_out: int) -> np.ndarray:
     sampled[-1] = y.shape[0] - 1
 
     a = 0
+    off = offset.tolist()  # plain ints: avoids per-iter numpy-scalar slicing
     for i in range(n_out - 3):
+        o0, o1, o2 = off[i], off[i + 1], off[i + 2]
+        nxt_x = xf[o1:o2]
+        nxt_y = yf[o1:o2]
+        # slice.sum()/n is bit-identical to np.mean (same umr_sum reduction)
+        # with far less dispatch overhead — the loop is overhead-bound
         a = (
             _argmax_area(
                 prev_x=xf[a],
                 prev_y=yf[a],
-                avg_next_x=np.mean(xf[offset[i + 1] : offset[i + 2]]),
-                avg_next_y=yf[offset[i + 1] : offset[i + 2]].mean(),
-                x_bucket=xf[offset[i] : offset[i + 1]],
-                y_bucket=yf[offset[i] : offset[i + 1]],
+                avg_next_x=nxt_x.sum() / (o2 - o1),
+                avg_next_y=nxt_y.sum() / (o2 - o1),
+                x_bucket=xf[o0:o1],
+                y_bucket=yf[o0:o1],
             )
-            + offset[i]
+            + o0
         )
         sampled[i + 1] = a
 
