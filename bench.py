@@ -104,7 +104,10 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "input_series_rows": n_input,
         "rolledup_rows_15m": n_rows,
+        # the north-rule metric: raw points rolled up per second per node,
+        # end-to-end (read -> rollup -> downsample -> compress -> write)
         "points_per_sec": round(n_input / headline, 1),
+        "rolledup_rows_per_sec": round(n_rows / headline, 1),
     }
     ray.shutdown()
     return result
