@@ -163,6 +163,31 @@ def test_retention_pipeline_resume(ray_session, tmp_path):
     pd.testing.assert_frame_equal(t1, direct)
 
 
+def test_resume_repairs_interrupted_sinks(ray_session, tmp_path):
+    """A tier whose chunk/downsample sink was interrupted (manifest missing)
+    must be repaired on resume even though the tier itself is complete."""
+    import shutil
+
+    from tsdownsample_ray.pipelines.retention import run_retention_pipeline
+    from tsdownsample_ray.state import checkpoint as ckpt
+
+    out = str(tmp_path / "repair")
+    tiers = (("15m", 900_000_000),)
+    run_retention_pipeline(SF, out, tiers=tiers, snapshots=2,
+                           compress=True, downsample=True)
+    cd = ckpt.tier_dir(out, "chunks", "15m")
+    assert ckpt.is_complete(cd)
+    shutil.rmtree(cd)  # simulate a sink killed mid-write (no manifest)
+
+    s = run_retention_pipeline(SF, out, tiers=tiers, snapshots=2,
+                               resume=True, compress=True, downsample=True)
+    assert s["resumed"] == ["15m"]        # tier rows NOT recomputed
+    assert ckpt.is_complete(cd)           # but the sink was rebuilt
+    import ray.data as rd
+
+    assert rd.read_parquet(cd).count() > 0
+
+
 def test_entry_smoke(ray_session):
     import sys
 

@@ -199,3 +199,19 @@ def test_frame_sample_counts():
     frames = out["frame_ts_ms"][0].as_py()
     assert len(frames) == 16
     assert frames[0] == 0
+
+
+def test_exact_dedup_stage(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.dedup import exact_dedup
+
+    t = pa.table({
+        "text": ["aa", "bb", "aa", "cc", "bb"],
+        "ts": [5, 1, 2, 9, 0],
+        "id": [1, 2, 3, 4, 5],
+    })
+    out = exact_dedup(rd.from_arrow(t), order_col="ts").to_pandas()
+    # one row per distinct text, the earliest by ts kept
+    kept = {r.text: r.id for r in out.itertuples()}
+    assert kept == {"aa": 3, "bb": 5, "cc": 4}

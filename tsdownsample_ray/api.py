@@ -164,11 +164,13 @@ class MinMaxLTTBDownsampler(AbstractDownsampler):
         self, *args, n_out: int, minmax_ratio: int = 4, parallel: bool = False, **_
     ):
         assert minmax_ratio > 0, "minmax_ratio must be greater than 0"
-        self._ratio = int(minmax_ratio)
-        return super().downsample(*args, n_out=n_out, parallel=parallel)
+        # ratio flows through the call, never through instance state: the
+        # downsampler stays stateless/thread-safe like the reference's
+        return super().downsample(*args, n_out=n_out, parallel=parallel,
+                                  minmax_ratio=int(minmax_ratio))
 
     def _kernel_kwargs(self, **kwargs):
-        return {"minmax_ratio": getattr(self, "_ratio", 4)}
+        return {"minmax_ratio": kwargs.get("minmax_ratio", 4)}
 
 
 class NaNMinMaxLTTBDownsampler(MinMaxLTTBDownsampler):

@@ -118,7 +118,10 @@ def q_crawl_rate_1h(sf_dir: str):
 
 
 def q_topk_domains(sf_dir: str):
-    totals = rollup(_series(sf_dir), 10 * 365 * W1D)  # one giant window
+    # window >= any epoch-us value -> exactly ONE bucket per series (a
+    # calendar-sized window would have an epoch-aligned boundary a large
+    # corpus could straddle, splitting a domain into two partial sums)
+    totals = rollup(_series(sf_dir), 1 << 62)
 
     def _proj(b: pa.Table) -> pa.Table:
         return pa.table({"series_id": b["series_id"], "sum_chars": b["sum_y"]})
@@ -360,7 +363,8 @@ def q_minmax_events_partitioned(sf_dir: str):
 
     out = downsample_partitioned(
         ds, kernel=_no_x_minmax, n_out=20, num_partitions=3,
-        series_col="event_type", x_col="ts_us", y_col="value")
+        series_col="event_type", x_col="ts_us", y_col="value",
+        tiebreak_cols=("event_id",))  # same order as the oracle's (ts, id)
     return out.select_columns(["event_type", "event_id", "value"])
 
 
@@ -418,14 +422,14 @@ def q_dedup_exact_pages(sf_dir: str):
     """Exact dedup: md5(text) hash-partition, keep the earliest crawl."""
     pages = read_pages(sf_dir, snapshots=SNAPSHOTS, columns=["url", "warc_ts", "text"])
 
+    from ..stages.dedup import content_hash_batch
+
     def _hash(b: pa.Table) -> pa.Table:
-        md5 = pa.array(
-            [hashlib.md5(t.encode()).hexdigest() for t in b["text"].to_pylist()]
-        )
+        hashed = content_hash_batch(b, "text", out_col="text_md5")
         return pa.table({
-            "text_md5": md5,
-            "url": b["url"],
-            "ts_us": b["warc_ts"].cast(pa.int64()),
+            "text_md5": hashed["text_md5"],
+            "url": hashed["url"],
+            "ts_us": hashed["warc_ts"].cast(pa.int64()),
         })
 
     hashed = pages.map_batches(_hash, batch_format="pyarrow")

@@ -63,14 +63,16 @@ def run_retention_pipeline(
     prev_ds = None
     for i, (name, window) in enumerate(tiers):
         d = ckpt.tier_dir(out_dir, "tier", name)
-        if resume and ckpt.is_complete(d):
+        tier_resumed = resume and ckpt.is_complete(d)
+        if tier_resumed:
             summary["resumed"].append(name)
             summary["tiers"][name] = ckpt.read_manifest(d)
             prev_ds = rd.read_parquet(d)
-            continue
 
         t0 = time.time()
-        if i == 0 or prev_ds is None:
+        if tier_resumed:
+            tier = None  # tier rows already on disk; sinks repaired below
+        elif i == 0 or prev_ds is None:
             if series_ds is None:
                 if extract:
                     # honest end-to-end: carry html, extract text, derive
@@ -95,31 +97,38 @@ def run_retention_pipeline(
             tier = rollup(src, window, salt=salt)
         else:
             tier = cascade(prev_ds, window)
-        if gap_fill:
-            tier = gapfill(tier, window, fill="zero")
-        if horizons and horizons.get(name) is not None:
-            from ..stages.retention_policy import apply_retention
 
-            if now_us is None:
-                raise ValueError("now_us required when horizons are set")
-            tier = apply_retention(tier, now_us, horizons[name])
+        if tier is not None:
+            if gap_fill:
+                tier = gapfill(tier, window, fill="zero")
+            if horizons and horizons.get(name) is not None:
+                from ..stages.retention_policy import apply_retention
 
-        ckpt.reset_dir(d)
-        # coalesce before the sink: tier rows are small; dozens of tiny part
-        # files would re-inflate the NEXT tier's block count (and its shuffle
-        # overhead). Still >1 file -> a rerun can skip finished partitions.
-        # materialize() pins the (small) tier rows so the heavy upstream plan
-        # executes exactly once; compress/downsample/cascade feed from memory
-        # while the parquet files remain the durable checkpoint for resume.
-        tier = tier.repartition(8).materialize()
-        tier.write_parquet(d)
-        summary["tiers"][name] = ckpt.write_manifest(
-            d, rows=-1, seconds=time.time() - t0,
-            lineage={"input": "corpus" if i == 0 else f"tier={tiers[i-1][0]}",
-                     "window_us": window, "sf_dir": sf_dir,
-                     "snapshots": snapshots},
-        )
-        prev_ds = tier
+                if now_us is None:
+                    raise ValueError("now_us required when horizons are set")
+                tier = apply_retention(tier, now_us, horizons[name])
+
+            ckpt.reset_dir(d)
+            # coalesce before the sink: tier rows are small; dozens of tiny
+            # part files would re-inflate the NEXT tier's block count (and
+            # its shuffle overhead). Still >1 file -> a rerun can skip
+            # finished partitions. materialize() pins the (small) tier rows
+            # so the heavy upstream plan executes exactly once;
+            # compress/downsample/cascade feed from memory while the parquet
+            # files remain the durable checkpoint for resume.
+            tier = tier.repartition(8).materialize()
+            tier.write_parquet(d)
+            summary["tiers"][name] = ckpt.write_manifest(
+                d, rows=-1, seconds=time.time() - t0,
+                lineage={"input": "corpus" if i == 0
+                         else f"tier={tiers[i-1][0]}",
+                         "window_us": window, "sf_dir": sf_dir,
+                         "snapshots": snapshots},
+            )
+            prev_ds = tier
+        # on resume, prev_ds already reads the tier's parquet; the sink jobs
+        # below still run so an interrupted chunk/downsample sink is REPAIRED
+        # (each checks its own manifest and no-ops when complete)
 
         # the chunk and downsample sinks both consume the MATERIALIZED tier
         # and write to independent directories -> run them on driver threads

@@ -61,8 +61,14 @@ def expand_documents_to_pages(batch: pa.Table, *, snapshots: int = 3,
         hot = pc.equal(source, "src0").to_numpy(zero_copy_only=False)
         per_row[hot] = snapshots * hot_domain_factor
     row_idx = np.repeat(np.arange(n), per_row)
-    k = (np.concatenate([np.arange(c) for c in per_row]) + first_snapshot
-         ) if n else np.empty(0, np.int64)
+    # within-row snapshot index, fully vectorized (no per-row arange):
+    # global position minus each row's starting offset
+    if n:
+        starts = np.concatenate(([0], np.cumsum(per_row)[:-1]))
+        k = (np.arange(per_row.sum()) - np.repeat(starts, per_row)
+             + first_snapshot)
+    else:
+        k = np.empty(0, np.int64)
 
     rep = batch.take(pa.array(row_idx))
     doc_rep = doc_id[row_idx]

@@ -90,6 +90,7 @@ def downsample_partitioned(
     series_col: str = "series_id",
     x_col: str = "x",
     y_col: str = "y",
+    tiebreak_cols: tuple = (),
     **kernel_kwargs,
 ):
     """Explicit hash partitioning on the series key (the north-star
@@ -109,15 +110,19 @@ def downsample_partitioned(
         kernel = get_kernel(kernel)
 
     def _add_part(b: pa.Table) -> pa.Table:
-        part = [zlib.crc32(s.encode()) % num_partitions
+        part = [zlib.crc32(str(s).encode()) % num_partitions
                 for s in b[series_col].to_pylist()]
         return b.append_column("__part", pa.array(part, pa.int32()))
+
+    # deterministic order even with duplicate x: callers with possible ties
+    # pass tiebreak_cols (e.g. an id column), matching the per-series path
+    sort_keys = ([(series_col, "ascending"), (x_col, "ascending")]
+                 + [(c, "ascending") for c in tiebreak_cols])
 
     def _partition_fn(tbl: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        idx = pc.sort_indices(tbl, sort_keys=[(series_col, "ascending"),
-                                              (x_col, "ascending")])
+        idx = pc.sort_indices(tbl, sort_keys=sort_keys)
         tbl = tbl.take(idx)
         series = tbl[series_col].to_numpy(zero_copy_only=False)
         change = np.flatnonzero(series[1:] != series[:-1]) + 1

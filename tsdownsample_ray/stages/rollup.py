@@ -115,20 +115,24 @@ def rollup(ds, window_us: int, *, series_col: str = "series_id",
            combine: str = "tree"):
     """series rows -> tier-0 continuous aggregate
     ``(series_id, bucket, min_y, max_y, sum_y, n)``."""
+    # salting exists to split a hot key across SHUFFLE reducers; the tree
+    # combine has no per-key reducers. Asking for salt implies a key space
+    # worth sharding, so salt>1 selects the shuffle combine.
+    if salt > 1:
+        combine = "shuffle"
+    use_salt = salt if salt > 1 else 1
     partials = ds.map_batches(
         lambda b: partial_rollup_batch(
             b, window_us, series_col=series_col, x_col=x_col, y_col=y_col,
-            salt=salt,
+            salt=use_salt,
         ),
         batch_format="pyarrow",
     )
-    if salt > 1 and combine == "shuffle":
+    if use_salt > 1:
         salted = _combine(partials, ["series_id", "bucket", "salt"],
                           mode=combine)
         salted = salted.drop_columns(["salt"])
         return _combine(salted, ["series_id", "bucket"], mode=combine)
-    # tree mode merges straight to (series,bucket); the salt column (if any)
-    # is ignored by the key list and dropped by the group_by projection
     return _combine(partials, ["series_id", "bucket"], mode=combine)
 
 

@@ -32,10 +32,14 @@ def _registers(hashes: np.ndarray, p: int) -> np.ndarray:
     m = 1 << p
     idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
     rem = (hashes << np.uint64(p)) | np.uint64(1 << (p - 1))  # sentinel bit
-    # rank = leading zeros of rem + 1, vectorized via log2 on the top bits
-    # (exact for the <= 2^53 mantissa range after the shift-down)
-    lz = 63 - np.floor(np.log2(rem.astype(np.float64) + 0.5)).astype(np.int64)
-    rank = (lz + 1).astype(np.uint8)
+    # rank = leading zeros of rem + 1. log2 gives a candidate exponent but
+    # float64 rounding can bump values just below a power of two UP one
+    # exponent (e.g. 2^63-1 -> 2^63); correct exactly with a shift check.
+    e = np.floor(np.log2(rem.astype(np.float64))).astype(np.int64)
+    e = np.minimum(e, 63)
+    over = (rem >> e.astype(np.uint64)) == 0  # rounded up -> exponent -1
+    e[over] -= 1
+    rank = (64 - e).astype(np.uint8)  # = leading_zeros(rem) + 1
     regs = np.zeros(m, dtype=np.uint8)
     np.maximum.at(regs, idx, rank)
     return regs

@@ -104,8 +104,9 @@ class StreamingRollup:
         import zlib
 
         series = batch["series_id"].to_pylist()
-        # stable hash (not PYTHONHASHSEED-randomized) -> reproducible routing
-        part = np.array([zlib.crc32(s.encode()) % self.partitions
+        # stable hash (not PYTHONHASHSEED-randomized) -> reproducible
+        # routing; str() admits non-string series keys (ints etc.)
+        part = np.array([zlib.crc32(str(s).encode()) % self.partitions
                          for s in series])
         for p in range(self.partitions):
             mask = part == p
@@ -123,4 +124,6 @@ class StreamingRollup:
         import ray
 
         tables = ray.get([a.flush.remote() for a in self.actors])
-        return pa.concat_tables([t for t in tables if t.num_rows])
+        non_empty = [t for t in tables if t.num_rows]
+        # empty stream -> empty table with the schema, not a concat error
+        return pa.concat_tables(non_empty) if non_empty else tables[0]
