@@ -37,6 +37,36 @@ def test_pipeline_horizons(ray_session, tmp_path):
     assert s["tiers"]["15m"]["complete"]
 
 
+def test_all_features_pipeline(ray_session, tmp_path):
+    """Every retention feature at once: extraction, gap-fill, horizons,
+    salting, compression, downsampling — runs end to end and resumes."""
+    import ray.data as rd
+
+    from tsdownsample_ray.pipelines.retention import run_retention_pipeline
+    from tsdownsample_ray.sources.corpus import BASE_EPOCH_S
+    from tsdownsample_ray.state import checkpoint as ckpt
+
+    out = str(tmp_path / "full")
+    now = (BASE_EPOCH_S + 10 * 3600) * 1_000_000
+    kw = dict(
+        snapshots=2, hot_domain_factor=3, extract=True, gap_fill=True,
+        salt=2, horizons={"15m": 8 * 3600 * 1_000_000}, now_us=now,
+        tiers=(("15m", 900_000_000), ("1h", 3_600_000_000)),
+        compress=True, downsample=True,
+    )
+    s1 = run_retention_pipeline("/root/testdata/sf0.001", out, **kw)
+    for tier in ("15m", "1h"):
+        assert s1["tiers"][tier]["complete"]
+        for kind in ("tier", "chunks", "downsample"):
+            assert ckpt.is_complete(ckpt.tier_dir(out, kind, tier)), (kind, tier)
+    t = rd.read_parquet(ckpt.tier_dir(out, "tier", "15m")).to_pandas()
+    assert (t["bucket"] >= now - 8 * 3600 * 1_000_000).all()  # horizon held
+    assert "is_gap" in t.columns  # gap-fill rows present
+
+    s2 = run_retention_pipeline("/root/testdata/sf0.001", out, resume=True, **kw)
+    assert s2["resumed"] == ["15m", "1h"]  # nothing recomputed
+
+
 def test_downsample_invariant_to_partitioning(ray_session):
     """The distributed-parallelism analog of the reference's
     parallel==sequential equivalence (test_tsdownsample.py:129-145)."""
