@@ -38,6 +38,18 @@ def test_streaming_equals_batch(ray_session):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_streaming_empty_flush(ray_session):
+    """flush() on an empty stream returns an empty, correctly-schema'd
+    table instead of crashing."""
+    from tsdownsample_ray.streaming import StreamingRollup
+
+    sr = StreamingRollup(100, partitions=2)
+    out = sr.flush()
+    assert out.num_rows == 0
+    assert set(out.column_names) == {"series_id", "bucket", "min_y",
+                                     "max_y", "sum_y", "n"}
+
+
 def test_streaming_lateness_budget(ray_session):
     """Out-of-order events within the allowed lateness still land in their
     bucket; the watermark only finalizes window_end <= max_ts - lateness."""
