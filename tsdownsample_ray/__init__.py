@@ -24,6 +24,25 @@ from .api import (
 )
 from .kernels import KERNELS, get_kernel, register_kernel
 
+
+def __getattr__(name):
+    # lazy re-exports of the Dataset-level operators (importing them eagerly
+    # would pull ray.data into every kernel-only use of the package)
+    if name in ("downsample_dataset", "downsample_partitioned"):
+        from .stages import downsample as _d
+
+        return getattr(_d, name)
+    if name in ("rollup", "cascade", "rollup_multi", "finalize_mean"):
+        from .stages import rollup as _r
+
+        return getattr(_r, name)
+    if name == "run_retention_pipeline":
+        from .pipelines.retention import run_retention_pipeline
+
+        return run_retention_pipeline
+    raise AttributeError(name)
+
+
 __version__ = "0.1.0"
 
 __all__ = [
