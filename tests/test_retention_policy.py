@@ -67,6 +67,43 @@ def test_all_features_pipeline(ray_session, tmp_path):
     assert s2["resumed"] == ["15m", "1h"]  # nothing recomputed
 
 
+def test_gapfill_does_not_poison_cascade(ray_session, tmp_path):
+    """Zero-filled gap rows (n=0) must NOT flow into the coarser tier's
+    min/max, and the downsample sink must never see an n=0 mean (NaN)."""
+    import ray.data as rd
+
+    from tsdownsample_ray.pipelines.retention import run_retention_pipeline
+    from tsdownsample_ray.state import checkpoint as ckpt
+
+    tiers = (("15m", 900_000_000), ("1h", 3_600_000_000))
+    kw = dict(snapshots=2, compress=False, downsample=True, n_out=8)
+    a = str(tmp_path / "gap")
+    b = str(tmp_path / "nogap")
+    run_retention_pipeline("/root/testdata/sf0.001", a, gap_fill=True,
+                           tiers=tiers, **kw)
+    run_retention_pipeline("/root/testdata/sf0.001", b, gap_fill=False,
+                           tiers=tiers, **kw)
+
+    cols = ["series_id", "bucket", "min_y", "max_y", "sum_y", "n"]
+    for tier in ("15m", "1h"):
+        ta = (rd.read_parquet(ckpt.tier_dir(a, "tier", tier)).to_pandas())
+        tb = (rd.read_parquet(ckpt.tier_dir(b, "tier", tier)).to_pandas())
+        ta = ta[ta["n"] > 0][cols]  # real rows only
+        ta = ta.sort_values(cols[:2]).reset_index(drop=True)
+        tb = tb[cols].sort_values(cols[:2]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(ta, tb)  # gap rows changed nothing
+
+        da = (rd.read_parquet(ckpt.tier_dir(a, "downsample", tier))
+              .to_pandas())
+        db = (rd.read_parquet(ckpt.tier_dir(b, "downsample", tier))
+              .to_pandas())
+        assert not da["mean_y"].isna().any()
+        dcols = ["series_id", "bucket", "mean_y"]
+        pd.testing.assert_frame_equal(
+            da[dcols].sort_values(dcols[:2]).reset_index(drop=True),
+            db[dcols].sort_values(dcols[:2]).reset_index(drop=True))
+
+
 def test_downsample_invariant_to_partitioning(ray_session):
     """The distributed-parallelism analog of the reference's
     parallel==sequential equivalence (test_tsdownsample.py:129-145)."""

@@ -11,7 +11,18 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["col_to_numpy", "table_sorted_by"]
+__all__ = ["col_to_numpy", "table_sorted_by", "rename_agg"]
+
+
+def rename_agg(g: pa.Table, mapping: dict) -> pa.Table:
+    """Select + rename a ``group_by().aggregate()`` output BY NAME.
+
+    pyarrow's aggregate output column order is version-dependent (older
+    releases emit aggregate columns before keys), so positional
+    ``rename_columns`` would silently relabel columns across versions;
+    ``mapping`` is {generated_name: wanted_name} and also fixes the order.
+    """
+    return g.select(list(mapping)).rename_columns(list(mapping.values()))
 
 
 def col_to_numpy(col) -> np.ndarray:

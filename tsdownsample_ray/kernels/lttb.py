@@ -1,9 +1,14 @@
 """Largest-Triangle-Three-Buckets (LTTB) kernel (single series, NumPy).
 
 Re-derived from the reference Python oracle ``LTTB_py``
-(``/root/reference/tsdownsample/_python/downsamplers.py:31-116``), which the
-reference's compliance suite certifies equivalent to its Rust kernel
-(``downsample_rs/src/lttb.rs:17-180``):
+(``/root/reference/tsdownsample/_python/downsamplers.py:31-116``). The
+reference's compliance suite certifies LTTB_py equivalent to its Rust
+kernel ONLY on equidistant x (``tests/test_algos_python_compliance.py``
+uses ``x = arange(n)``): the shipped Rust kernel uses the bucket x
+*midpoint* ``(x[end-1] + x[start]) / 2`` (``lttb.rs:46-50``) where LTTB_py
+— and this kernel — use the bucket x *mean*. On equidistant x the two
+coincide; on irregular/gapped x this kernel follows LTTB_py, the engine's
+golden oracle (SURVEY.md §2.3):
 
 - first and last points always kept;
 - bucket offsets ``arange(1, n, (n-2)/(n_out-2)).astype(int64)``;

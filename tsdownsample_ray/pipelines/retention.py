@@ -154,8 +154,16 @@ def run_retention_pipeline(
                 return
             t1 = time.time()
             ckpt.reset_dir(vd)
+            # drop gap rows (n == 0): the kernels represent gaps natively by
+            # empty x-bins (reference README.md:99) — a zero-filled mean_y
+            # would instead be downsampled as real data
+            import pyarrow.compute as _pc
+
+            real = tier_ds.map_batches(
+                lambda b: b.filter(_pc.greater(b["n"], 0)),
+                batch_format="pyarrow")
             viz = downsample_dataset(
-                finalize_mean(tier_ds), kernel=kernel, n_out=n_out,
+                finalize_mean(real), kernel=kernel, n_out=n_out,
                 x_col="bucket", y_col="mean_y")
             viz.write_parquet(vd)
             ckpt.write_manifest(vd, rows=-1, seconds=time.time() - t1,

@@ -30,6 +30,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..arrow_utils import rename_agg
+
 __all__ = ["bucketize", "partial_rollup_batch", "rollup", "cascade",
            "finalize_mean", "rollup_multi"]
 
@@ -65,7 +67,9 @@ def partial_rollup_batch(batch: pa.Table, window_us: int, *,
     g = t.group_by(keys).aggregate(
         [("y", "min"), ("y", "max"), ("y", "sum"), ("y", "count")]
     )
-    return g.rename_columns(keys + ["min_y", "max_y", "sum_y", "n"])
+    return rename_agg(g, {**{k: k for k in keys}, "y_min": "min_y",
+                          "y_max": "max_y", "y_sum": "sum_y",
+                          "y_count": "n"})
 
 
 def _arrow_combine(b: pa.Table, keys=("series_id", "bucket")) -> pa.Table:
@@ -74,7 +78,9 @@ def _arrow_combine(b: pa.Table, keys=("series_id", "bucket")) -> pa.Table:
     g = b.group_by(keys).aggregate(
         [("min_y", "min"), ("max_y", "max"), ("sum_y", "sum"), ("n", "sum")]
     )
-    return g.rename_columns(list(keys) + ["min_y", "max_y", "sum_y", "n"])
+    return rename_agg(g, {**{k: k for k in keys}, "min_y_min": "min_y",
+                          "max_y_max": "max_y", "sum_y_sum": "sum_y",
+                          "n_sum": "n"})
 
 
 def _combine(ds, keys, *, mode: str = "tree", fanin: int = 16):
@@ -154,14 +160,20 @@ def rollup_multi(ds, window_us: int, y_cols: list, *,
         })
         g = t.group_by(["series_id", "bucket"]).aggregate(
             aggs + [(y_cols[0], "count")])
-        return g.rename_columns(["series_id", "bucket"] + out_names + ["n"])
+        return rename_agg(g, {
+            "series_id": "series_id", "bucket": "bucket",
+            **{f"{c}_{f}": f"{f}_{c}" for c, f in aggs},
+            f"{y_cols[0]}_count": "n"})
 
     merge_aggs = ([(n, n.split("_", 1)[0]) for n in out_names]
                   + [("n", "sum")])
 
     def _merge(b: pa.Table) -> pa.Table:
         g = b.group_by(["series_id", "bucket"]).aggregate(merge_aggs)
-        return g.rename_columns(["series_id", "bucket"] + out_names + ["n"])
+        return rename_agg(g, {
+            "series_id": "series_id", "bucket": "bucket",
+            **{f"{n}_{f}": n for n, f in merge_aggs[:-1]},
+            "n_sum": "n"})
 
     partials = ds.map_batches(_partial, batch_format="pyarrow")
     lvl1 = partials.repartition(fanin).map_batches(_merge, batch_format="pyarrow")
@@ -170,9 +182,17 @@ def rollup_multi(ds, window_us: int, y_cols: list, *,
 
 def cascade(tier_ds, coarser_window_us: int, *, combine: str = "tree"):
     """tier k aggregate -> tier k+1 on a coarser window (exact associative
-    re-merge of (min,max,sum,count) partials)."""
+    re-merge of (min,max,sum,count) partials).
+
+    Gap-filled rows (``n == 0``) are dropped on input: their zero-filled
+    min/max would otherwise poison the coarser tier's extremes (a phantom
+    ``min_y = 0`` on an all-positive series). Gap materialization is a
+    per-tier presentation concern; every tier re-derives its own gaps."""
 
     def _rebucket(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["n"], 0))
+        if "is_gap" in b.column_names:
+            b = b.drop_columns(["is_gap"])
         return b.set_column(
             b.column_names.index("bucket"),
             "bucket",
@@ -184,12 +204,16 @@ def cascade(tier_ds, coarser_window_us: int, *, combine: str = "tree"):
 
 
 def finalize_mean(ds):
-    """Append ``mean_y = sum_y / n`` (f64)."""
+    """Append ``mean_y = sum_y / n`` (f64); null where ``n == 0`` (gap
+    rows), never NaN/inf."""
 
     def _mean(b: pa.Table) -> pa.Table:
+        empty = pc.equal(b["n"], 0)
+        denom = pc.if_else(empty, pa.scalar(1, b["n"].type), b["n"])
         mean = pc.divide(
-            pc.cast(b["sum_y"], pa.float64()), pc.cast(b["n"], pa.float64())
+            pc.cast(b["sum_y"], pa.float64()), pc.cast(denom, pa.float64())
         )
+        mean = pc.if_else(empty, pa.scalar(None, pa.float64()), mean)
         return b.append_column("mean_y", mean)
 
     return ds.map_batches(_mean, batch_format="pyarrow")

@@ -21,6 +21,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..arrow_utils import rename_agg
 from .rollup import _combine
 
 __all__ = ["sliding_rollup", "sessionize"]
@@ -47,8 +48,9 @@ def sliding_rollup(ds, window_us: int, slide_us: int, *,
         t = pa.table({"series_id": series, "bucket": pa.array(ws), "y": y})
         g = t.group_by(["series_id", "bucket"]).aggregate(
             [("y", "min"), ("y", "max"), ("y", "sum"), ("y", "count")])
-        return g.rename_columns(
-            ["series_id", "bucket", "min_y", "max_y", "sum_y", "n"])
+        return rename_agg(g, {"series_id": "series_id", "bucket": "bucket",
+                              "y_min": "min_y", "y_max": "max_y",
+                              "y_sum": "sum_y", "y_count": "n"})
 
     partials = ds.map_batches(_replicate, batch_format="pyarrow")
     return _combine(partials, ["series_id", "bucket"])
@@ -75,8 +77,8 @@ def sessionize(ds, gap_us: int, *, series_col: str = "series_id",
         })
         agg = t.group_by(["sess"]).aggregate(
             [("x", "min"), ("x", "max"), ("x", "count")])
-        agg = agg.rename_columns(["sess", "session_start", "session_end",
-                                  "n_events"])
+        agg = rename_agg(agg, {"sess": "sess", "x_min": "session_start",
+                               "x_max": "session_end", "x_count": "n_events"})
         sid = g[series_col][0].as_py()
         return pa.table({
             "series_id": pa.array([sid] * agg.num_rows),

@@ -38,11 +38,16 @@ def _actor_cls():
             self.open: dict = {}  # (series, bucket) -> [min,max,sum,n]
             self.max_ts = -(1 << 62)
             self.emitted = []
+            # pinned by the first ingest (sum may widen vs min/max)
+            self.val_types = {"min_y": pa.int64(), "max_y": pa.int64(),
+                              "sum_y": pa.int64()}
 
         def ingest(self, batch: pa.Table) -> int:
             """Merge one (ts-ordered) chunk; emit buckets passed by the
             watermark. Returns number of rows emitted so far."""
             part = partial_rollup_batch(batch, self.window)
+            self.val_types = {c: part.schema.field(c).type
+                              for c in ("min_y", "max_y", "sum_y")}
             series = part["series_id"].to_pylist()
             buckets = part["bucket"].to_pylist()
             mn = part["min_y"].to_pylist()
@@ -77,12 +82,15 @@ def _actor_cls():
                 st = self.open.pop(k)
                 self.emitted.append((k[0], k[1], st[0], st[1], st[2], st[3]))
             cols = list(zip(*self.emitted)) if self.emitted else [[]] * 6
+            # value arrays get EXPLICIT types: an empty flush must share the
+            # non-empty schema (pa.array([]) would infer null type and break
+            # concat / parquet append downstream)
             return pa.table({
                 "series_id": pa.array(cols[0], pa.string()),
                 "bucket": pa.array(cols[1], pa.int64()),
-                "min_y": pa.array(cols[2]),
-                "max_y": pa.array(cols[3]),
-                "sum_y": pa.array(cols[4]),
+                "min_y": pa.array(cols[2], self.val_types["min_y"]),
+                "max_y": pa.array(cols[3], self.val_types["max_y"]),
+                "sum_y": pa.array(cols[4], self.val_types["sum_y"]),
                 "n": pa.array(cols[5], pa.int64()),
             })
 
