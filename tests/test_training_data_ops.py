@@ -111,6 +111,52 @@ def test_fingerprint_deterministic_and_sensitive():
     assert fps[0] != fps[2]
 
 
+def test_fingerprint_matches_byte_horner():
+    """The vectorized power-table fingerprint equals the defining
+    byte-Horner recurrence h = (h*BASE + byte) % (2^61-1)."""
+    import random
+
+    from tsdownsample_ray.stages.textstats import _BASE, _MOD
+
+    rng = random.Random(3)
+    texts = ["", "a", "Ω unicode ✓ bytes", "x" * 5000] + [
+        "".join(chr(rng.randrange(32, 127)) for _ in range(rng.randrange(0, 400)))
+        for _ in range(50)]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = fingerprint_batch(t)["fingerprint"].to_pylist()
+    for txt, g in zip(texts, got):
+        h = 0
+        for b in txt.encode():
+            h = (h * _BASE + b) % _MOD
+        assert g == h, txt[:40]
+
+
+def test_quality_batch_matches_python_reference():
+    """Vectorized quality signals equal the per-row Python definition,
+    including the non-ASCII fallback path."""
+    import random
+
+    from tsdownsample_ray.stages.textstats import (LangId, _quality_row,
+                                                   quality_batch)
+
+    rng = random.Random(9)
+    words = ["the", "Cat", "sat!", "on", "a", "MAT.", "und", "42", "--"]
+    texts = ["", "   ", "The quick; brown FOX!", "naïve café — ünïcode",
+             "\tleading and trailing \n"] + [
+        " ".join(rng.choice(words) for _ in range(rng.randrange(0, 60)))
+        for _ in range(40)]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    # exercise the sliced-array path too
+    out = quality_batch(t.slice(2)).to_pydict()
+    stop = frozenset(LangId.PROFILES["en"])
+    for i, txt in enumerate(texts[2:]):
+        exp = _quality_row(txt, stop)
+        got = (out["n_chars"][i], out["n_tokens"][i],
+               out["stopword_ratio"][i], out["punct_ratio"][i],
+               out["upper_ratio"][i])
+        assert got == exp, (txt, got, exp)
+
+
 # --- similarity ------------------------------------------------------------
 
 def test_ivf_recall_vs_bruteforce(ray_session):

@@ -546,6 +546,16 @@ def q_lang_id_docs(sf_dir: str):
 
 
 def q_quality_docs(sf_dir: str):
+    """Full quality-signal panel (length/tokens/stopword/punct/upper) —
+    every column SQL-oracled."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    from ..stages.textstats import quality_batch
+
+    return ds.map_batches(quality_batch, batch_format="pyarrow")
+
+
+def q_token_stats_docs(sf_dir: str):
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     from ..stages.textstats import token_stats_batch
@@ -702,6 +712,7 @@ QUERIES = {
     "minhash_docs": q_minhash_docs,
     "lang_id_docs": q_lang_id_docs,
     "quality_docs": q_quality_docs,
+    "token_stats_docs": q_token_stats_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "token_count_bpeish": q_token_count_bpeish,
     "embedding_near_dups": q_embedding_near_dups,
@@ -943,13 +954,45 @@ ORACLE_SQL = {
         SELECT x.pid AS a, y.pid AS b, 1.0 AS jaccard
         FROM p x JOIN p y ON x.text = y.text AND x.pid < y.pid
     """,
+    # quality panel: exact ASCII re-statement of quality_batch —
+    # n_tokens counts non-empty whitespace-split tokens, ratios divide by
+    # max(1, denominator) in f64 (identical rounding: one division)
     "quality_docs": """
+        WITH t AS (
+            SELECT doc_id, text, length(text) AS n_chars,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        )
+        SELECT doc_id, n_chars,
+               len(toks) AS n_tokens,
+               CAST(len(list_filter(toks, x -> x IN
+                    ('the','and','of','to','a','in','is','it','that','for')))
+                    AS DOUBLE) / greatest(1, len(toks)) AS stopword_ratio,
+               CAST(length(regexp_replace(text, '[[:alnum:][:space:]]', '',
+                    'g')) AS DOUBLE) / greatest(1, n_chars) AS punct_ratio,
+               CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                    AS DOUBLE) / greatest(1, n_chars) AS upper_ratio
+        FROM t
+    """,
+    "token_stats_docs": """
         SELECT doc_id,
                length(text) AS n_chars,
                length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
                CAST(length(replace(text, ' ', '')) AS DOUBLE)
                  / (length(text) - length(replace(text, ' ', '')) + 1)
                  AS mean_token_len
+        FROM documents
+    """,
+    # the defining byte-Horner recurrence, replayed exactly in HUGEINT
+    # (ASCII corpus: unicode(char) == utf-8 byte)
+    "fingerprint_docs": """
+        SELECT doc_id,
+               CAST(list_reduce(list_prepend(0::HUGEINT,
+                    list_transform(range(1, length(text) + 1),
+                                   i -> unicode(substring(text, i, 1))::HUGEINT)),
+                    (h, c) -> (h * 1000003 + c) % 2305843009213693951)
+                    AS BIGINT) AS fingerprint
         FROM documents
     """,
     "knn_embeddings": """

@@ -110,9 +110,16 @@ def downsample_partitioned(
         kernel = get_kernel(kernel)
 
     def _add_part(b: pa.Table) -> pa.Table:
-        part = [zlib.crc32(str(s).encode()) % num_partitions
-                for s in b[series_col].to_pylist()]
-        return b.append_column("__part", pa.array(part, pa.int32()))
+        # dictionary-encode, crc32 only the uniques, take back by code —
+        # O(uniques) hashing instead of O(rows)
+        col = b[series_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d = col.dictionary_encode()
+        upart = np.array([zlib.crc32(str(s).encode()) % num_partitions
+                          for s in d.dictionary.to_pylist()], dtype=np.int32)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("__part", pa.array(upart[codes], pa.int32()))
 
     # deterministic order even with duplicate x: callers with possible ties
     # pass tiebreak_cols (e.g. an id column), matching the per-series path

@@ -109,38 +109,141 @@ class LangId:
         return batch.append_column("lang_pred", pa.array(preds, pa.string()))
 
 
+# growing power table BASE^k mod M (built with exact Python ints, read as
+# uint64 — every value < 2^61)
+_POWS = np.ones(1, dtype=np.uint64)
+
+
+def _powers(n: int) -> np.ndarray:
+    global _POWS
+    if len(_POWS) < n:
+        ext, h = [], int(_POWS[-1])
+        for _ in range(n - len(_POWS)):
+            h = (h * _BASE) % _MOD
+            ext.append(h)
+        _POWS = np.concatenate([_POWS, np.array(ext, dtype=np.uint64)])
+    return _POWS
+
+
+def _mulmod_byte(b: np.ndarray, p: np.ndarray) -> np.ndarray:
+    """(b * p) mod 2^61-1 for b < 2^8, p < 2^61, fully in uint64.
+
+    Split p = hi*2^32 + lo; b*lo < 2^40 needs no reduction, and
+    (b*hi)*2^32 reduces with 2^61 === 1 (mod M): t*2^32 =
+    (t>>29)*2^61 + (t & (2^29-1))*2^32 === (t>>29) + (t&mask)<<32."""
+    t = (p >> np.uint64(32)) * b                       # < 2^37
+    hi = (t >> np.uint64(29)) + ((t & np.uint64((1 << 29) - 1))
+                                 << np.uint64(32))     # < 2^61 + 2^8
+    v = hi + (p & np.uint64(0xFFFFFFFF)) * b           # < 2^62 < 2M
+    return np.where(v >= _MOD, v - np.uint64(_MOD), v)
+
+
+def _modsum(v: np.ndarray) -> int:
+    """Tree-sum of values < M without overflow (pairwise add + one
+    conditional subtract per level; a+b < 2M always)."""
+    while len(v) > 1:
+        if len(v) & 1:
+            v = np.concatenate([v, np.zeros(1, np.uint64)])
+        v = v[0::2] + v[1::2]
+        v = np.where(v >= _MOD, v - np.uint64(_MOD), v)
+    return int(v[0]) if len(v) else 0
+
+
 def fingerprint_batch(batch: pa.Table, *, text_col: str = "text",
                       id_col: str = "doc_id") -> pa.Table:
     """Polynomial rolling hash mod 2^61-1 of the full text (stable document
-    fingerprint; two byte-identical docs share it, any byte change flips it)."""
+    fingerprint; two byte-identical docs share it, any byte change flips
+    it). Vectorized: h = sum(byte_i * BASE^(n-1-i)) mod M via a power table
+    and branch-free uint64 modular arithmetic — equal to the byte-Horner
+    definition (pytest-pinned) at ~vector throughput."""
+    texts = batch[text_col].to_pylist()
+    pows = _powers(max((len(t) for t in texts), default=1)
+                   * 4 + 1)  # *4: worst-case utf-8 bytes per char
     fps = []
-    for t in batch[text_col].to_pylist():
-        h = 0
-        for b in t.encode():
-            h = (h * _BASE + b) % _MOD
-        fps.append(h)
+    for t in texts:
+        codes = np.frombuffer(t.encode(), dtype=np.uint8).astype(np.uint64)
+        n = len(codes)
+        fps.append(_modsum(_mulmod_byte(codes, pows[n - 1::-1])) if n else 0)
     return pa.table({
         id_col: batch[id_col],
         "fingerprint": pa.array(np.array(fps, dtype=np.uint64).view(np.int64)),
     })
 
 
+# byte-class tables matching Python's str.isalnum/isspace/isupper for the
+# ASCII range (non-ASCII rows take the exact per-row fallback below)
+_IS_PUNCT = np.array([not chr(i).isalnum() and not chr(i).isspace()
+                      for i in range(128)] + [False] * 128, dtype=np.int64)
+_IS_UPPER = np.array([chr(i).isupper() for i in range(128)] + [False] * 128,
+                     dtype=np.int64)
+
+
+def _seg_counts(flags: np.ndarray, starts: np.ndarray,
+                ends: np.ndarray) -> np.ndarray:
+    """Per-segment sums of ``flags`` (safe for empty segments)."""
+    cs = np.concatenate([[0], np.cumsum(flags)])
+    return cs[ends] - cs[starts]
+
+
+def _quality_row(t: str, stop: frozenset) -> tuple:
+    toks = t.split()
+    n = len(t)
+    return (n, len(toks),
+            sum(tok in stop for tok in toks) / max(1, len(toks)),
+            sum(not c.isalnum() and not c.isspace() for c in t) / max(1, n),
+            sum(c.isupper() for c in t) / max(1, n))
+
+
 def quality_batch(batch: pa.Table, *, text_col: str = "text",
                   id_col: str = "doc_id") -> pa.Table:
     """Heuristic quality signals: length, token stats, stopword ratio,
-    uppercase/punct ratios. (Richer than token_stats; rows-only check.)"""
-    stop = LangId.PROFILES["en"]
-    ids = batch[id_col]
-    rows = {"n_chars": [], "n_tokens": [], "stopword_ratio": [],
-            "punct_ratio": [], "upper_ratio": []}
-    for t in batch[text_col].to_pylist():
-        toks = t.split()
-        n = len(t)
-        rows["n_chars"].append(n)
-        rows["n_tokens"].append(len(toks))
-        rows["stopword_ratio"].append(
-            sum(tok in stop for tok in toks) / max(1, len(toks)))
-        rows["punct_ratio"].append(
-            sum(not c.isalnum() and not c.isspace() for c in t) / max(1, n))
-        rows["upper_ratio"].append(sum(c.isupper() for c in t) / max(1, n))
-    return pa.table({id_col: ids, **{k: pa.array(v) for k, v in rows.items()}})
+    uppercase/punct ratios. Vectorized over the Arrow string column's raw
+    UTF-8 buffer (zero-copy byte-class lookups + cumsum segment counts);
+    rows containing non-ASCII take an exact per-row fallback so outputs
+    match the reference Python semantics bit-for-bit."""
+    stop = frozenset(LangId.PROFILES["en"])
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    # absolute byte offsets into the (possibly shared) utf-8 data buffer —
+    # correct for sliced/offset arrays without copying
+    odt = np.int32 if pa.types.is_string(text.type) else np.int64
+    off_buf = np.frombuffer(text.buffers()[1], dtype=odt)
+    offsets = off_buf[text.offset: text.offset + len(text) + 1].astype(np.int64)
+    data = np.frombuffer(text.buffers()[2], dtype=np.uint8)
+    starts, ends = offsets[:-1], offsets[1:]
+
+    n_bytes = ends - starts
+    non_ascii = _seg_counts((data >= 128).astype(np.int64), starts, ends) > 0
+    punct = _seg_counts(_IS_PUNCT[data], starts, ends)
+    upper = _seg_counts(_IS_UPPER[data], starts, ends)
+
+    toks = pc.utf8_split_whitespace(text)
+    tok_off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.values  # absolute indexing to match .offsets
+    valid = pc.invert(pc.equal(pc.utf8_length(flat), 0))  # drop edge empties
+    is_stop = pc.and_(valid, pc.is_in(flat, value_set=pa.array(sorted(stop))))
+    n_tok = _seg_counts(valid.to_numpy(zero_copy_only=False).astype(np.int64),
+                        tok_off[:-1], tok_off[1:])
+    stop_hits = _seg_counts(
+        is_stop.to_numpy(zero_copy_only=False).astype(np.int64),
+        tok_off[:-1], tok_off[1:])
+
+    n_chars = n_bytes.copy()  # == len(t) for pure-ASCII rows
+    stop_ratio = stop_hits / np.maximum(1, n_tok)
+    punct_ratio = punct / np.maximum(1, n_chars)
+    upper_ratio = upper / np.maximum(1, n_chars)
+
+    if non_ascii.any():  # exact Python semantics for non-ASCII rows
+        for i in np.flatnonzero(non_ascii):
+            (n_chars[i], n_tok[i], stop_ratio[i], punct_ratio[i],
+             upper_ratio[i]) = _quality_row(text[i].as_py(), stop)
+
+    return pa.table({
+        id_col: batch[id_col],
+        "n_chars": pa.array(n_chars, pa.int64()),
+        "n_tokens": pa.array(n_tok, pa.int64()),
+        "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+        "punct_ratio": pa.array(punct_ratio, pa.float64()),
+        "upper_ratio": pa.array(upper_ratio, pa.float64()),
+    })

@@ -111,11 +111,16 @@ class StreamingRollup:
     def _route(self, batch: pa.Table):
         import zlib
 
-        series = batch["series_id"].to_pylist()
+        col = batch["series_id"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
         # stable hash (not PYTHONHASHSEED-randomized) -> reproducible
-        # routing; str() admits non-string series keys (ints etc.)
-        part = np.array([zlib.crc32(str(s).encode()) % self.partitions
-                         for s in series])
+        # routing; str() admits non-string series keys (ints etc.);
+        # dictionary-encode so only UNIQUE keys are hashed
+        d = col.dictionary_encode()
+        upart = np.array([zlib.crc32(str(s).encode()) % self.partitions
+                          for s in d.dictionary.to_pylist()])
+        part = upart[d.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
         for p in range(self.partitions):
             mask = part == p
             if mask.any():
