@@ -72,6 +72,253 @@ GROUP BY 1, 2
 """
 
 
+def _events_s_cte(nan_every: int | None) -> str:
+    """The per-series row-numbered events CTE shared by all kernel oracles:
+    ``cy`` = integer cents (exact sums -> f64 arithmetic bit-identical to
+    the NumPy kernels), optionally NaN-injected for the NaN-policy kernels."""
+    if nan_every is None:
+        cy = "CAST(round(value * 100) AS BIGINT)"
+    else:
+        cy = (f"CASE WHEN event_id % {nan_every} = 0 THEN 'NaN'::DOUBLE "
+              "ELSE round(value * 100) END")
+    return f"""s AS (
+    SELECT event_type, event_id, {cy} AS cy,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) - 1 AS rn,
+           count(*) OVER (PARTITION BY event_type) AS cnt
+    FROM events
+)"""
+
+
+def _lttb_phase2_sql(n_out: int, src: str) -> str:
+    """LTTB bucket-loop replay over table ``src(event_type, p, x, cy, m2)``
+    (positions p = 0..m2-1): np.arange offset replay, exact integer bucket
+    means, and the sequential argmax recursion — numpy's first-occurrence /
+    NaN-propagating argmax is ``max(struct_pack(area, -p))`` under DuckDB's
+    NaN-is-greatest total float order."""
+    return f"""
+meta AS (
+    SELECT event_type, any_value(m2) AS m2,
+           (any_value(m2) - 2.0) / {n_out - 2} AS bs,
+           CAST(CEIL((any_value(m2) - 1.0)
+                / ((any_value(m2) - 2.0) / {n_out - 2})) AS BIGINT) AS n_off
+    FROM {src} GROUP BY 1
+),
+off AS (
+    SELECT m.event_type, k.k,
+           CAST(FLOOR(1.0 + k.k * m.bs) AS BIGINT) AS o, m.n_off, m.m2
+    FROM meta m JOIN generate_series(0, 100000000) k(k) ON k.k < m.n_off
+),
+buckets AS (
+    SELECT event_type, k AS b, o AS lo,
+           lead(o) OVER (PARTITION BY event_type ORDER BY k) AS hi,
+           n_off, m2
+    FROM off
+),
+bstats AS (
+    SELECT b.event_type, b.b,
+           CAST(sum(t.x) AS DOUBLE) / count(*) AS avg_x,
+           sum(CAST(t.cy AS DOUBLE)) / count(*) AS avg_y
+    FROM buckets b JOIN {src} t ON t.event_type = b.event_type
+                               AND t.p >= b.lo AND t.p < b.hi
+    WHERE b.hi IS NOT NULL
+    GROUP BY 1, 2
+),
+tavg AS (
+    SELECT b.event_type, b.b AS t, b.lo, b.hi, st.avg_x, st.avg_y
+    FROM buckets b JOIN bstats st ON st.event_type = b.event_type
+                                 AND st.b = b.b + 1
+    WHERE b.b <= {n_out - 4}
+    UNION ALL
+    SELECT b.event_type, {n_out - 3} AS t, b.lo, b.hi,
+           sl.x_last AS avg_x, sl.cy_last AS avg_y
+    FROM buckets b
+    JOIN (SELECT event_type, CAST(x AS DOUBLE) AS x_last,
+                 CAST(cy AS DOUBLE) AS cy_last
+          FROM {src} WHERE p = m2 - 1) sl ON sl.event_type = b.event_type
+    WHERE b.b = b.n_off - 2
+),
+rec AS (
+    SELECT event_type, -1::BIGINT AS t, 0::BIGINT AS a FROM meta
+    UNION ALL
+    SELECT event_type, t, -(m).nr AS a FROM (
+        SELECT q.event_type, q.t,
+               max(struct_pack(ar := q.area, nr := -q.p)) AS m
+        FROM (
+            SELECT r.event_type, r.t + 1 AS t, c.p,
+                   abs(CAST(c.x AS DOUBLE)
+                         * (CAST(pp.cy AS DOUBLE) - ta.avg_y)
+                       + CAST(c.cy AS DOUBLE)
+                         * (ta.avg_x - CAST(pp.x AS DOUBLE))
+                       + (CAST(pp.x AS DOUBLE) * ta.avg_y
+                          - ta.avg_x * CAST(pp.cy AS DOUBLE))) AS area
+            FROM rec r
+            JOIN {src} pp ON pp.event_type = r.event_type AND pp.p = r.a
+            JOIN tavg ta ON ta.event_type = r.event_type AND ta.t = r.t + 1
+            JOIN {src} c ON c.event_type = r.event_type
+                        AND c.p >= ta.lo AND c.p < ta.hi
+            WHERE r.t + 1 <= {n_out - 3}
+        ) q GROUP BY q.event_type, q.t
+    )
+)"""
+
+
+def _lttb_sql(n_out: int) -> str:
+    """Exact LTTB oracle over the full series (y = integer cents)."""
+    return f"""
+WITH RECURSIVE {_events_s_cte(None)},
+sp AS (SELECT event_type, rn AS p, rn AS x, cy, cnt AS m2 FROM s),
+{_lttb_phase2_sql(n_out, "sp")},
+picked AS (
+    SELECT event_type, a AS rn FROM rec
+    UNION ALL SELECT event_type, m2 - 1 FROM meta
+)
+SELECT s.event_type, s.event_id, s.cy AS cents
+FROM s JOIN picked p ON s.event_type = p.event_type AND s.rn = p.rn
+"""
+
+
+def _minmaxlttb_sql(n_out: int, ratio: int, nan_every: int | None,
+                    with_cents: bool) -> str:
+    """Exact MinMaxLTTB oracle: phase-1 MinMax pairs over the interior
+    (NaN-returning when ``nan_every`` is set), phase-2 LTTB over the
+    positioned preselection with x = original index (the kernel's no-x
+    variant, ``minmaxlttb.rs:198``)."""
+    nb1 = n_out * ratio // 2
+    if nan_every is None:
+        sel_min = "min(ib.irn) FILTER (WHERE ib.cy = e.mn)"
+        sel_max = "min(ib.irn) FILTER (WHERE ib.cy = e.mx)"
+        ext_nan = ""
+    else:
+        sel_min = ("CASE WHEN any_value(e.has_nan) THEN any_value(e.rn_nan) "
+                   "ELSE min(ib.irn) FILTER (WHERE ib.cy = e.mn) END")
+        sel_max = ("CASE WHEN any_value(e.has_nan) THEN any_value(e.rn_nan) "
+                   "ELSE min(ib.irn) FILTER (WHERE ib.cy = e.mx) END")
+        ext_nan = (", bool_or(isnan(cy)) AS has_nan, "
+                   "min(irn) FILTER (WHERE isnan(cy)) AS rn_nan")
+    out_cols = (", s.cy AS cents" if with_cents else "")
+    return f"""
+WITH RECURSIVE {_events_s_cte(nan_every)},
+interior AS (
+    SELECT event_type, cy, rn - 1 AS irn, cnt - 2 AS m
+    FROM s WHERE rn >= 1 AND rn < cnt - 1
+),
+binned AS (
+    SELECT i.*, b.i AS bin,
+           CASE WHEN b.i = 0 THEN 0
+                ELSE CAST(FLOOR(b.i * ((i.m - 1.0) / {nb1})) AS BIGINT) + 1
+           END AS blo,
+           CASE WHEN b.i = {nb1 - 1} THEN i.m
+                ELSE CAST(FLOOR((b.i + 1) * ((i.m - 1.0) / {nb1}))
+                          AS BIGINT) + 1
+           END AS bhi
+    FROM interior i JOIN generate_series(0, {nb1 - 1}) b(i) ON TRUE
+),
+inbin AS (SELECT * FROM binned WHERE irn >= blo AND irn < bhi),
+ext AS (
+    SELECT event_type, bin, min(cy) AS mn, max(cy) AS mx{ext_nan}
+    FROM inbin GROUP BY 1, 2
+),
+selbin AS (
+    SELECT ib.event_type, ib.bin,
+           {sel_min} AS rn_min,
+           {sel_max} AS rn_max
+    FROM inbin ib JOIN ext e ON ib.event_type = e.event_type
+                            AND ib.bin = e.bin
+    GROUP BY ib.event_type, ib.bin
+),
+presel_rns AS (
+    SELECT event_type, 0::BIGINT AS rn
+    FROM (SELECT DISTINCT event_type FROM s)
+    UNION ALL SELECT event_type, least(rn_min, rn_max) + 1 FROM selbin
+    UNION ALL SELECT event_type, greatest(rn_min, rn_max) + 1 FROM selbin
+    UNION ALL SELECT event_type, any_value(cnt) - 1 FROM s GROUP BY event_type
+),
+presel AS (
+    SELECT p.event_type,
+           row_number() OVER (PARTITION BY p.event_type
+                              ORDER BY p.rn) - 1 AS p,
+           p.rn AS x, s.cy,
+           count(*) OVER (PARTITION BY p.event_type) AS m2
+    FROM presel_rns p JOIN s ON s.event_type = p.event_type AND s.rn = p.rn
+),
+{_lttb_phase2_sql(n_out, "presel")},
+picked AS (
+    SELECT r.event_type, t.x AS rn
+    FROM rec r JOIN presel t ON t.event_type = r.event_type AND t.p = r.a
+    UNION ALL SELECT event_type, cnt - 1 FROM s WHERE rn = 0
+)
+SELECT s.event_type, s.event_id{out_cols}
+FROM s JOIN picked p ON s.event_type = p.event_type AND s.rn = p.rn
+"""
+
+
+def _nan_binned_sql(nb: int, extra_ext: str = "", extra_pick: str = "") -> str:
+    """Shared binned/ext/sel scaffold for the NaN-policy MinMax/M4 oracles
+    (NaN in a bin -> its FIRST NaN index is both extremes, matching
+    np.argmin/argmax propagation)."""
+    return f"""
+binned AS (
+    SELECT s.*, b.i,
+           CASE WHEN b.i = 0 THEN 0
+                ELSE CAST(FLOOR(b.i * ((s.cnt - 1.0) / {nb})) AS BIGINT) + 1
+           END AS lo,
+           CASE WHEN b.i = {nb - 1} THEN s.cnt
+                ELSE CAST(FLOOR((b.i + 1) * ((s.cnt - 1.0) / {nb}))
+                          AS BIGINT) + 1
+           END AS hi
+    FROM s JOIN generate_series(0, {nb - 1}) b(i) ON TRUE
+),
+inbin AS (SELECT * FROM binned WHERE rn >= lo AND rn < hi),
+ext AS (
+    SELECT event_type, i, min(cy) AS mn, max(cy) AS mx,
+           bool_or(isnan(cy)) AS has_nan,
+           min(rn) FILTER (WHERE isnan(cy)) AS rn_nan{extra_ext}
+    FROM inbin GROUP BY 1, 2
+),
+sel AS (
+    SELECT ib.event_type, ib.i,{extra_pick}
+           CASE WHEN any_value(e.has_nan) THEN any_value(e.rn_nan)
+                ELSE min(ib.rn) FILTER (WHERE ib.cy = e.mn) END AS rn_min,
+           CASE WHEN any_value(e.has_nan) THEN any_value(e.rn_nan)
+                ELSE min(ib.rn) FILTER (WHERE ib.cy = e.mx) END AS rn_max
+    FROM inbin ib JOIN ext e ON ib.event_type = e.event_type AND ib.i = e.i
+    GROUP BY ib.event_type, ib.i
+)"""
+
+
+def _nanminmax_sql(n_out: int, nan_every: int) -> str:
+    return f"""
+WITH {_events_s_cte(nan_every)},
+{_nan_binned_sql(n_out // 2)},
+picked AS (
+    SELECT event_type, rn_min AS rn FROM sel
+    UNION ALL SELECT event_type, rn_max FROM sel
+)
+SELECT s.event_type, s.event_id
+FROM s JOIN picked p ON s.event_type = p.event_type AND s.rn = p.rn
+"""
+
+
+def _nanm4_sql(n_out: int, nan_every: int) -> str:
+    return f"""
+WITH {_events_s_cte(nan_every)},
+{_nan_binned_sql(
+    n_out // 4,
+    extra_ext=", min(rn) AS first_rn, max(rn) AS last_rn",
+    extra_pick=(" any_value(e.first_rn) AS first_rn,"
+                " any_value(e.last_rn) AS last_rn,"))},
+picked AS (
+    SELECT event_type, first_rn AS rn FROM sel
+    UNION ALL SELECT event_type, least(rn_min, rn_max) FROM sel
+    UNION ALL SELECT event_type, greatest(rn_min, rn_max) FROM sel
+    UNION ALL SELECT event_type, last_rn FROM sel
+)
+SELECT s.event_type, s.event_id
+FROM s JOIN picked p ON s.event_type = p.event_type AND s.rn = p.rn
+"""
+
+
 # ---------------------------------------------------------------------------
 # corpus / extraction
 # ---------------------------------------------------------------------------
@@ -177,8 +424,11 @@ def q_backfill_15m(sf_dir: str):
 
 
 def q_distinct_urls_per_domain(sf_dir: str):
-    """Approximate distinct urls per domain via mergeable HLL sketches
-    (rows-only check; accuracy vs exact is pytest-bounded at <6%)."""
+    """Distinct urls per domain, twice: EXACT (batch-local dedup partial ->
+    per-domain distinct count — the hash-verified column) and the mergeable
+    HLL sketch, reported as ``est_in_band`` = |est - exact|/exact <= 6%
+    (the sketch's accuracy contract, checked against the SQL oracle's
+    TRUE). The final merge touches only |domains| rows."""
     from ..stages.sketches import distinct_approx
 
     pages = read_pages(sf_dir, snapshots=SNAPSHOTS, columns=["url", "warc_ts"])
@@ -193,8 +443,27 @@ def q_distinct_urls_per_domain(sf_dir: str):
                                  "domain")
         return pa.table({"domain": domain, "url": url})
 
-    return distinct_approx(pages.map_batches(_dom, batch_format="pyarrow"),
-                           key_col="domain", value_col="url")
+    du = pages.map_batches(_dom, batch_format="pyarrow")
+    est = distinct_approx(du, key_col="domain", value_col="url").to_pandas()
+
+    def _dedupe(b: pa.Table) -> pa.Table:
+        return b.group_by(["domain", "url"]).aggregate([])
+
+    def _cnt(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "domain": g["domain"][:1],
+            "exact_distinct": pa.array(
+                [pc.count_distinct(g["url"]).as_py()], pa.int64()),
+        })
+
+    exact = (du.map_batches(_dedupe, batch_format="pyarrow")
+             .groupby("domain").map_groups(_cnt, batch_format="pyarrow")
+             .to_pandas())
+    m = exact.merge(est, on="domain")
+    m["est_in_band"] = (
+        (m["distinct_est"] - m["exact_distinct"]).abs()
+        / m["exact_distinct"] <= 0.06)
+    return m[["domain", "exact_distinct", "est_in_band"]]
 
 
 def q_topk_buckets_per_domain(sf_dir: str):
@@ -316,19 +585,50 @@ def q_sessions_users(sf_dir: str):
                       x_col="ts_us", id_col="event_id")
 
 
-def _downsample_events(sf_dir: str, kernel: str, n_out: int):
-    """Per-event_type series (sorted by ts,event_id), no-x kernel over
-    ``value``; returns the selected original rows."""
+def _events_cents(sf_dir: str, *, nan_every: int | None = None):
+    """events + ``cents = round(value*100)``: int64, or float64 with NaN
+    injected at ``event_id % nan_every == 0`` (the NaN-policy test fixture;
+    deterministic and SQL-restatable). Integer cents keep every bucket sum
+    EXACT, so kernel-vs-SQL float arithmetic is bit-identical."""
     ds = _events_series(sf_dir, cols=("event_id", "event_type", "ts", "value"))
+
+    def _cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+                        pa.int64())
+        if nan_every is not None:
+            import numpy as _np
+
+            v = cents.to_numpy(zero_copy_only=False).astype(_np.float64)
+            eid = b["event_id"].to_numpy(zero_copy_only=False)
+            v = v.copy()
+            v[eid % nan_every == 0] = _np.nan
+            cents = pa.array(v)
+        return pa.table({"event_type": b["event_type"],
+                         "event_id": b["event_id"],
+                         "ts_us": b["ts_us"], "cents": cents})
+
+    return ds.map_batches(_cents, batch_format="pyarrow")
+
+
+def _downsample_events(sf_dir: str, kernel: str, n_out: int, *,
+                       y_col: str = "value", nan_every: int | None = None,
+                       out_cols=("event_type", "event_id", "value")):
+    """Per-event_type series (sorted by ts,event_id), no-x kernel over
+    ``y_col``; returns the selected original rows."""
+    if y_col == "cents":
+        ds = _events_cents(sf_dir, nan_every=nan_every)
+    else:
+        ds = _events_series(sf_dir,
+                            cols=("event_id", "event_type", "ts", "value"))
 
     def _group(tbl: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
             tbl, sort_keys=[("ts_us", "ascending"), ("event_id", "ascending")]
         )
         tbl = tbl.take(idx)
-        out = downsample_table(tbl, kernel, n_out, x_col=None, y_col="value",
+        out = downsample_table(tbl, kernel, n_out, x_col=None, y_col=y_col,
                                presorted=True)
-        return out.select(["event_type", "event_id", "value"])
+        return out.select(list(out_cols))
 
     return ds.groupby("event_type").map_groups(_group, batch_format="pyarrow")
 
@@ -342,11 +642,51 @@ def q_m4_events(sf_dir: str):
 
 
 def q_lttb_events(sf_dir: str):
-    return _downsample_events(sf_dir, "lttb", 50)
+    """LTTB over integer cents (exact bucket means -> the SQL oracle's
+    recursive bucket-loop replay is bit-identical)."""
+    return _downsample_events(sf_dir, "lttb", 50, y_col="cents",
+                              out_cols=("event_type", "event_id", "cents"))
 
 
 def q_minmaxlttb_events(sf_dir: str):
-    return _downsample_events(sf_dir, "minmaxlttb", 20)
+    return _downsample_events(sf_dir, "minmaxlttb", 20, y_col="cents",
+                              out_cols=("event_type", "event_id", "cents"))
+
+
+def q_nanminmaxlttb_events(sf_dir: str):
+    """NaN-returning MinMaxLTTB: float cents with NaN at event_id%37==0."""
+    return _downsample_events(sf_dir, "nanminmaxlttb", 20, y_col="cents",
+                              nan_every=37,
+                              out_cols=("event_type", "event_id"))
+
+
+def q_minmax_events_withx(sf_dir: str, n_out: int = 20):
+    """MinMax WITH x (timestamps) over a gappy series: keep only days with
+    ``day % 9 < 4`` (5-day holes >> bin width), bins equidistant in x-VALUE
+    space -> empty bins emit nothing (the reference's gap semantic,
+    README.md:99 / searchsorted.rs:118-122) and <=2-point bins pass all
+    points through (minmax.rs:199-203). Output shrinks below n_out."""
+    day = 86_400_000_000
+    ds = _events_cents(sf_dir)
+
+    def _gap_filter(b: pa.Table) -> pa.Table:
+        d = pc.divide(b["ts_us"], day)
+        keep = pc.less(pc.subtract(d, pc.multiply(pc.divide(d, 9), 9)), 4)
+        return b.filter(keep)
+
+    gappy = ds.map_batches(_gap_filter, batch_format="pyarrow")
+
+    def _group(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            tbl, sort_keys=[("ts_us", "ascending"), ("event_id", "ascending")]
+        )
+        tbl = tbl.take(idx)
+        out = downsample_table(tbl, "minmax", n_out, x_col="ts_us",
+                               y_col="cents", presorted=True)
+        return out.select(["event_type", "event_id", "cents"])
+
+    return gappy.groupby("event_type").map_groups(_group,
+                                                  batch_format="pyarrow")
 
 
 def q_minmax_events_partitioned(sf_dir: str):
@@ -369,34 +709,20 @@ def q_minmax_events_partitioned(sf_dir: str):
 
 
 def q_nanminmax_events(sf_dir: str):
-    """NaN-returning MinMax over events with NaN injected for error events
-    (rows-only: NaN-index selection is not SQL-expressible; the NaN
-    postconditions are pytest-checked)."""
-    ds = _events_series(sf_dir, cols=("event_id", "event_type", "ts", "value"))
+    """NaN-returning MinMax: NaN injected at event_id%37==0 (every series
+    gets scattered NaNs); a bin containing NaN returns its FIRST NaN index
+    as both extremes (np.argmin/argmax propagation) — SQL-oracled via
+    DuckDB's NaN-is-greatest total order."""
+    return _downsample_events(sf_dir, "nanminmax", 20, y_col="cents",
+                              nan_every=37,
+                              out_cols=("event_type", "event_id"))
 
-    def _inject(b: pa.Table) -> pa.Table:
-        import numpy as _np
 
-        v = b["value"].to_numpy(zero_copy_only=False).astype(_np.float64).copy()
-        is_err = pc.equal(b["event_type"], "error").to_numpy(
-            zero_copy_only=False)
-        v[is_err] = _np.nan
-        return b.set_column(b.column_names.index("value"), "value",
-                            pa.array(v))
-
-    injected = ds.map_batches(_inject, batch_format="pyarrow")
-
-    def _group(tbl: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            tbl, sort_keys=[("ts_us", "ascending"), ("event_id", "ascending")]
-        )
-        tbl = tbl.take(idx)
-        out = downsample_table(tbl, "nanminmax", 20, x_col=None,
-                               y_col="value", presorted=True)
-        return out.select(["event_type", "event_id"])
-
-    return injected.groupby("event_type").map_groups(
-        _group, batch_format="pyarrow")
+def q_nanm4_events(sf_dir: str):
+    """NaN-returning M4 (first, NaN-propagating argmin/argmax, last)."""
+    return _downsample_events(sf_dir, "nanm4", 20, y_col="cents",
+                              nan_every=37,
+                              out_cols=("event_type", "event_id"))
 
 
 def q_everynth_events(sf_dir: str, n_out: int = 50):
@@ -703,7 +1029,10 @@ QUERIES = {
     "m4_events": q_m4_events,
     "lttb_events": q_lttb_events,
     "minmaxlttb_events": q_minmaxlttb_events,
+    "nanminmaxlttb_events": q_nanminmaxlttb_events,
     "nanminmax_events": q_nanminmax_events,
+    "nanm4_events": q_nanm4_events,
+    "minmax_events_withx": q_minmax_events_withx,
     "minmax_events_partitioned": q_minmax_events_partitioned,
     "dedup_exact_pages": q_dedup_exact_pages,
     "token_count_docs": q_token_count_docs,
@@ -795,6 +1124,14 @@ ORACLE_SQL = {
         FROM g LEFT JOIN r ON g.series_id = r.series_id AND g.bucket = r.bucket
     """,
     "compress_roundtrip_15m": _ROLLUP_SQL.format(cte=PAGES_CTE, w=W15M),
+    # exact side hash-verified; TRUE pins the sketch's <=6% accuracy band
+    "distinct_urls_per_domain": f"""
+        WITH {PAGES_CTE}
+        SELECT series_id AS domain,
+               count(DISTINCT url) AS exact_distinct,
+               TRUE AS est_in_band
+        FROM pages GROUP BY 1
+    """,
     "window_events_1h": f"""
         SELECT event_type,
                (epoch_us(ts) // {W1H}) * {W1H} AS bucket,
@@ -935,6 +1272,67 @@ ORACLE_SQL = {
         )
         SELECT s.event_type, s.event_id, s.value
         FROM s JOIN picked p ON s.event_type = p.event_type AND s.rn = p.rn
+    """,
+    # exact index-selection oracles for the sequential kernels: the LTTB
+    # bucket loop replayed as a recursive CTE (same f64 operation order,
+    # exact integer bucket sums, argmax == max(struct(area, -idx)))
+    "lttb_events": _lttb_sql(50),
+    "minmaxlttb_events": _minmaxlttb_sql(20, 4, None, True),
+    "nanminmaxlttb_events": _minmaxlttb_sql(20, 4, 37, False),
+    "nanminmax_events": _nanminmax_sql(20, 37),
+    "nanm4_events": _nanm4_sql(20, 37),
+    # with-x + gaps: bins equidistant in x-value (searchsorted-over-linspace
+    # replayed as "count of interior boundaries strictly below x"), empty
+    # bins vanish, <=2-point bins pass through
+    "minmax_events_withx": f"""
+        WITH e AS (
+            SELECT event_type, event_id, epoch_us(ts) AS x,
+                   CAST(round(value * 100) AS BIGINT) AS cy
+            FROM events
+            WHERE (epoch_us(ts) // {86_400_000_000}) % 9 < 4
+        ),
+        s AS (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                                         ORDER BY x, event_id) - 1 AS rn,
+                   min(x) OVER (PARTITION BY event_type) AS x0,
+                   max(x) OVER (PARTITION BY event_type) AS xn
+            FROM e
+        ),
+        assigned AS (
+            SELECT s.event_type, s.event_id, s.x, s.cy, s.rn,
+                   count(k.k) AS bin
+            FROM s LEFT JOIN generate_series(1, 9) k(k)
+              ON CAST(s.x0 AS DOUBLE)
+                 + k.k * ((CAST(s.xn AS DOUBLE)
+                           - CAST(s.x0 AS DOUBLE)) / 10.0)
+                 < CAST(s.x AS DOUBLE)
+            GROUP BY ALL
+        ),
+        ext AS (
+            SELECT event_type, bin, count(*) AS nbin,
+                   min(cy) AS mn, max(cy) AS mx
+            FROM assigned GROUP BY 1, 2
+        ),
+        sel AS (
+            SELECT a.event_type, a.bin,
+                   min(a.rn) FILTER (WHERE a.cy = e.mn) AS rn_min,
+                   min(a.rn) FILTER (WHERE a.cy = e.mx) AS rn_max
+            FROM assigned a JOIN ext e ON a.event_type = e.event_type
+                                      AND a.bin = e.bin
+            WHERE e.nbin > 2
+            GROUP BY 1, 2
+        ),
+        picked AS (
+            SELECT event_type, rn_min AS rn FROM sel
+            UNION SELECT event_type, rn_max FROM sel
+            UNION SELECT a.event_type, a.rn
+                  FROM assigned a JOIN ext e ON a.event_type = e.event_type
+                                            AND a.bin = e.bin
+                  WHERE e.nbin <= 2
+        )
+        SELECT a.event_type, a.event_id, a.cy AS cents
+        FROM assigned a
+        JOIN picked p ON a.event_type = p.event_type AND a.rn = p.rn
     """,
     "dedup_exact_pages": f"""
         WITH {PAGES_CTE}
