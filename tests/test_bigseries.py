@@ -1,0 +1,66 @@
+"""Distributed single-series MinMaxLTTB == the single-node kernel,
+regardless of block structure (the within-series analog of the reference's
+parallel==sequential equivalence, minmaxlttb.rs:280-291)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _series(n, seed=3, nan_every=None):
+    rng = np.random.default_rng(seed)
+    x = np.cumsum(rng.integers(1, 5, n)).astype(np.int64)  # strict, gappy
+    y = np.round(rng.standard_normal(n) * 100).astype(np.float64)
+    if nan_every:
+        y[::nan_every] = np.nan
+    return x, y
+
+
+def _run(x, y, n_out, nparts, shuffle_seed, nan=False):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.bigseries import downsample_big_series
+
+    df = pd.DataFrame({"x": x, "y": y}).sample(frac=1.0,
+                                               random_state=shuffle_seed)
+    ds = rd.from_pandas(df).repartition(nparts)
+    out = downsample_big_series(ds, n_out, x_col="x", y_col="y",
+                                nan_policy_return=nan)
+    return out.to_pandas()
+
+
+def test_big_series_equals_kernel(ray_session):
+    from tsdownsample_ray.kernels.minmaxlttb import minmaxlttb
+
+    x, y = _series(50_000)
+    idx = minmaxlttb(x, y, 100).astype(np.intp)
+    want = pd.DataFrame({"x": x[idx], "y": y[idx]})
+    for nparts, seed in ((1, 0), (7, 1), (32, 2)):
+        got = _run(x, y, 100, nparts, seed)
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      want.reset_index(drop=True),
+                                      check_dtype=False)
+
+
+def test_big_series_nan_policy(ray_session):
+    from tsdownsample_ray.kernels.minmaxlttb import nanminmaxlttb
+
+    x, y = _series(30_000, seed=8, nan_every=97)
+    idx = nanminmaxlttb(x, y, 60).astype(np.intp)
+    want = pd.DataFrame({"x": x[idx], "y": y[idx]})
+    got = _run(x, y, 60, 16, 5, nan=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_big_series_rejects_small_input(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.bigseries import downsample_big_series
+
+    x, y = _series(200)
+    ds = rd.from_pandas(pd.DataFrame({"x": x, "y": y}))
+    with pytest.raises(ValueError):
+        downsample_big_series(ds, 100)

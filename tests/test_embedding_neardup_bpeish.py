@@ -20,8 +20,11 @@ def test_embedding_near_dup_recall(ray_session):
         "embedding": pa.array(E.astype(np.float32).tolist(),
                               pa.list_(pa.float32())),
     })
+    # num_partitions small: each join reserves ~0.125 CPU per aggregator
+    # and the 4-cpu test session must keep slots free for map tasks
     got = embedding_near_dup_pairs(
-        rd.from_arrow(t).repartition(1), threshold=0.95, planes=64, bands=8
+        rd.from_arrow(t).repartition(1), threshold=0.95, planes=64, bands=8,
+        num_partitions=4,
     ).to_pandas()
     found = {(r.a, r.b) for r in got.itertuples()}
 

@@ -49,7 +49,6 @@ def test_minhash_estimates_jaccard():
 
 
 def test_lsh_finds_near_dups(ray_session):
-    import ray
     import ray.data as rd
 
     from tsdownsample_ray.stages.dedup import near_dup_pairs
@@ -63,8 +62,8 @@ def test_lsh_finds_near_dups(ray_session):
     }
     t = pa.table({"doc_id": list(docs), "text": list(docs.values())})
     pairs = near_dup_pairs(
-        rd.from_arrow(t), ray.put(docs), id_col="doc_id",
-        num_perm=128, bands=32, threshold=0.5,
+        rd.from_arrow(t), id_col="doc_id",
+        num_perm=128, bands=32, threshold=0.5, num_partitions=2,
     ).to_pandas()
     found = {tuple(sorted((r.a, r.b))) for r in pairs.itertuples()}
     assert (1, 2) in found

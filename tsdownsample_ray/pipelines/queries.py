@@ -287,6 +287,154 @@ sel AS (
 )"""
 
 
+def _langid_sql() -> str:
+    """The LangId heuristic restated in SQL, generated from the class's own
+    stopword/n-gram tables: per-language stopword score over
+    whitespace-split lowercase tokens, n-gram substring-count fallback,
+    'und' when both are zero. Python's ``max(key=(score, lang))`` is
+    ``max(struct_pack(s, l))`` (ties broken by the greater language code).
+    The han/'zh' branch is omitted — the driver corpus is pure ASCII."""
+    from ..stages.textstats import LangId
+
+    def _sw_case():
+        parts = []
+        for lang, words in LangId.PROFILES.items():
+            ws = ", ".join(f"'{w}'" for w in sorted(words))
+            parts.append(f"WHEN '{lang}' THEN len(list_filter(toks,"
+                         f" x -> x IN ({ws})))")
+        return "CASE l.lang " + " ".join(parts) + " END"
+
+    def _ng_case():
+        parts = []
+        for lang, grams in LangId.NGRAMS.items():
+            terms = " + ".join(
+                f"((length(low) - length(replace(low, '{g}', '')))"
+                f" // {len(g)})" for g in grams)
+            parts.append(f"WHEN '{lang}' THEN {terms}")
+        return "CASE l.lang " + " ".join(parts) + " END"
+
+    langs = ", ".join(f"('{k}')" for k in LangId.PROFILES)
+    return f"""
+WITH t AS (
+    SELECT doc_id, lower(text) AS low,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+scores AS (
+    SELECT t.doc_id, l.lang,
+           {_sw_case()} AS sw_score,
+           {_ng_case()} AS ng_score
+    FROM t CROSS JOIN (VALUES {langs}) l(lang)
+),
+agg AS (
+    SELECT doc_id,
+           max(struct_pack(s := sw_score, l := lang)) AS msw,
+           max(struct_pack(s := ng_score, l := lang)) AS mng
+    FROM scores GROUP BY 1
+)
+SELECT t.doc_id,
+       CASE WHEN len(t.toks) = 0 THEN 'und'
+            WHEN (a.msw).s > 0 THEN (a.msw).l
+            WHEN (a.mng).s > 0 THEN (a.mng).l
+            ELSE 'und' END AS lang_pred
+FROM t JOIN agg a ON t.doc_id = a.doc_id
+"""
+
+
+# md5's first 8 bytes as uint64 ("big"), exactly dedup._stable_u64
+_MD5U64 = """list_reduce(list_prepend(0::HUGEINT,
+    list_transform(range(1, 17),
+        i -> CAST(strpos('0123456789abcdef', substring(md5(tok), i, 1)) - 1
+                  AS HUGEINT))), (h, d) -> h * 16 + d)"""
+_POW2 = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+
+
+def _simhash_sql() -> str:
+    """SimHash replayed exactly: per-bit +/-1 majority over md5-u64 token
+    hashes, signature re-packed and wrapped to signed int64."""
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+    FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+th AS (SELECT doc_id, {_MD5U64} AS h FROM tok),
+bits AS (
+    SELECT th.doc_id, p.b,
+           sum(CASE WHEN (th.h // p.pw) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+    FROM th CROSS JOIN (VALUES {_POW2}) p(b, pw)
+    GROUP BY 1, 2
+),
+sig AS (
+    SELECT b.doc_id,
+           sum(CASE WHEN b.acc > 0 THEN p.pw ELSE 0::HUGEINT END) AS v
+    FROM bits b JOIN (VALUES {_POW2}) p(b, pw) ON p.b = b.b
+    GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(CASE WHEN COALESCE(s.v, 0) >= 9223372036854775808::HUGEINT
+                 THEN COALESCE(s.v, 0) - 18446744073709551616::HUGEINT
+                 ELSE COALESCE(s.v, 0) END AS BIGINT) AS simhash
+FROM t LEFT JOIN sig s ON t.doc_id = s.doc_id
+"""
+
+
+def _minhash_sql(num_perm: int = 64, w: int = 3, seed: int = 7) -> str:
+    """Every MinHash signature slot replayed exactly: md5-u64 token hashes
+    -> 31-bit shingle mix (mod-2^31 ring arithmetic == the kernel's uint64
+    wrap + mask) -> min over (a*g + b) mod 2^31-1 per embedded
+    permutation (the MinHasher's own seeded constants)."""
+    from ..stages.dedup import _SHINGLE_MIX, MinHasher
+
+    mh = MinHasher(num_perm=num_perm, shingle_w=w, seed=seed)
+    m31 = 1 << 31
+    mer = (1 << 31) - 1
+    c = [int(x) % m31 for x in _SHINGLE_MIX[:w]]
+    perms = ", ".join(f"({k}, {int(a)}, {int(b)})"
+                      for k, (a, b) in enumerate(zip(mh.a, mh.b)))
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+    FROM documents
+),
+tokidx AS (
+    SELECT doc_id, i, toks[i] AS tok, len(toks) AS n
+    FROM t, unnest(range(1, len(toks) + 1)) r(i)
+),
+th AS (
+    SELECT doc_id, i, n, CAST({_MD5U64} % {m31} AS BIGINT) AS h31
+    FROM tokidx
+),
+th2 AS (
+    SELECT doc_id, n, h31,
+           lead(h31, 1) OVER win AS h1, lead(h31, 2) OVER win AS h2
+    FROM th WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+),
+grams AS (
+    SELECT doc_id,
+           ((h31 * {c[0]}) % {m31} + (h1 * {c[1]}) % {m31}
+            + (h2 * {c[2]}) % {m31}) % {m31} AS g
+    FROM th2 WHERE h2 IS NOT NULL AND n >= {w}
+    UNION ALL
+    -- short docs (< w tokens): one shingle = hash of the joined tokens
+    SELECT doc_id, CAST({_MD5U64} % {m31} AS BIGINT) AS g
+    FROM (SELECT doc_id, array_to_string(toks, ' ') AS tok FROM t
+          WHERE len(toks) > 0 AND len(toks) < {w}) short
+),
+sig AS (
+    SELECT g.doc_id, p.k, min((g.g * p.a + p.b) % {mer}) AS sig
+    FROM grams g CROSS JOIN (VALUES {perms}) p(k, a, b)
+    GROUP BY 1, 2
+)
+SELECT t.doc_id, p.k AS perm, COALESCE(s.sig, 0) AS sig
+FROM t CROSS JOIN (VALUES {perms}) p(k, a, b)
+LEFT JOIN sig s ON s.doc_id = t.doc_id AND s.k = p.k
+"""
+
+
 def _nanminmax_sql(n_out: int, nan_every: int) -> str:
     return f"""
 WITH {_events_s_cte(nan_every)},
@@ -689,6 +837,103 @@ def q_minmax_events_withx(sf_dir: str, n_out: int = 20):
                                                   batch_format="pyarrow")
 
 
+_XBASE = 1_704_000_000_000_000  # rebase epoch-us x so f64 bucket sums are
+# exact (< 2^53) in BOTH the kernel and the SQL replay
+
+
+def q_minmaxlttb_bigseries(sf_dir: str, n_out: int = 40):
+    """Distributed MinMaxLTTB over ALL events as ONE series spanning many
+    blocks (stages/bigseries.py): per-bin partials in map_batches, LTTB
+    phase-2 on the gathered preselection. x = rebased timestamp (strictly
+    increasing — verified collision-free in this corpus)."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "x": pc.subtract(b["ts"].cast(pa.int64()), _XBASE),
+            "cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                      ndigits=0), pa.int64()),
+        })
+
+    from ..stages.bigseries import downsample_big_series
+
+    series = ds.map_batches(_prep, batch_format="pyarrow").repartition(24)
+    out = downsample_big_series(series, n_out, x_col="x", y_col="cents",
+                                ratio=4)
+    return out.set_column(out.column_names.index("cents"), "cents",
+                          pc.cast(out["cents"], pa.int64()))
+
+
+def _bigseries_sql(n_out: int, ratio: int) -> str:
+    """The big-series path's oracle: with-x MinMax pairs over the interior
+    (x-value bins via boundary counts, tiny-bin passthrough, empty-bin
+    skip) + the LTTB recursion over the positioned preselection."""
+    nb = n_out * ratio // 2
+    return f"""
+WITH RECURSIVE e AS (
+    SELECT epoch_us(ts) - {_XBASE} AS x,
+           CAST(round(value * 100) AS BIGINT) AS cy
+    FROM events
+),
+s AS (
+    SELECT 'all' AS event_type, x, cy,
+           row_number() OVER (ORDER BY x) - 1 AS rn,
+           count(*) OVER () AS cnt
+    FROM e
+),
+edges AS (
+    SELECT max(CASE WHEN rn = 1 THEN x END) AS x1,
+           max(CASE WHEN rn = cnt - 2 THEN x END) AS xm2
+    FROM s
+),
+assigned AS (
+    SELECT i.event_type, i.x, i.cy, i.rn, count(k.k) AS bin
+    FROM (SELECT s.*, e2.x1, e2.xm2 FROM s, edges e2
+          WHERE rn >= 1 AND rn <= cnt - 2) i
+    LEFT JOIN generate_series(1, {nb - 1}) k(k)
+      ON CAST(i.x1 AS DOUBLE)
+         + k.k * ((CAST(i.xm2 AS DOUBLE) - CAST(i.x1 AS DOUBLE)) / {nb}.0)
+         < CAST(i.x AS DOUBLE)
+    GROUP BY ALL
+),
+ext AS (
+    SELECT bin, count(*) AS nbin, min(cy) AS mn, max(cy) AS mx
+    FROM assigned GROUP BY 1
+),
+selp AS (
+    SELECT a.bin,
+           min(a.rn) FILTER (WHERE a.cy = e.mn) AS rn_min,
+           min(a.rn) FILTER (WHERE a.cy = e.mx) AS rn_max
+    FROM assigned a JOIN ext e USING (bin)
+    WHERE e.nbin > 2
+    GROUP BY 1
+),
+presel_rns AS (
+    SELECT 0::BIGINT AS rn
+    UNION ALL SELECT least(rn_min, rn_max) FROM selp
+    UNION ALL SELECT greatest(rn_min, rn_max) FROM selp
+    UNION ALL SELECT a.rn FROM assigned a JOIN ext e USING (bin)
+              WHERE e.nbin <= 2
+    UNION ALL SELECT any_value(cnt) - 1 FROM s
+),
+presel AS (
+    SELECT s.event_type,
+           row_number() OVER (ORDER BY p.rn) - 1 AS p,
+           s.x, s.cy,
+           count(*) OVER () AS m2
+    FROM presel_rns p JOIN s ON s.rn = p.rn
+),
+{_lttb_phase2_sql(n_out, "presel")},
+picked AS (
+    SELECT t.x, t.cy FROM rec r
+    JOIN presel t ON t.event_type = r.event_type AND t.p = r.a
+    UNION ALL SELECT x, cy FROM s WHERE rn = cnt - 1
+)
+SELECT x, cy AS cents FROM picked
+"""
+
+
 def q_minmax_events_partitioned(sf_dir: str):
     """The explicit hash-partitioned downsample path over the same series —
     shares minmax_events' bin-exact SQL oracle (paths must agree)."""
@@ -807,29 +1052,14 @@ def _pages_with_pid(sf_dir: str):
 def q_near_dup_pages(sf_dir: str):
     """MinHash+LSH near-dup pairs (threshold ~1.0 -> exact-dup pairs here,
     which makes the result SQL-checkable; lower thresholds exercised in
-    pytest with synthetic mutations)."""
-    import pyarrow.parquet as pq
-    import ray
-
-    from ..sources.corpus import expand_documents_to_pages
-
-    ds = _pages_with_pid(sf_dir)
-    # broadcast side built in-process from the same deterministic expansion
-    # (cheaper than an extra Dataset pass; at corpus scale this becomes a
-    # hash-partitioned join instead — see verify_jaccard_pairs docstring)
-    docs = pq.read_table(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "source", "text"])
-    docs = docs.append_column("lang", pa.array([""] * docs.num_rows))
-    pages_t = expand_documents_to_pages(docs, snapshots=SNAPSHOTS,
-                                        out_cols=("url", "warc_ts", "text"))
-    ts = pages_t["warc_ts"].cast(pa.int64()).to_pylist()
-    texts = {f"{u}#{t}": x for u, t, x in zip(pages_t["url"].to_pylist(), ts,
-                                              pages_t["text"].to_pylist())}
-    texts_ref = ray.put(texts)
+    pytest with synthetic mutations). Fully distributed: candidate pairs
+    re-acquire their texts through hash-partitioned joins — no broadcast,
+    no single-block funnel."""
     from ..stages.dedup import near_dup_pairs
 
-    pairs = near_dup_pairs(ds, texts_ref, id_col="pid", num_perm=64, bands=8,
-                           threshold=0.999)
+    ds = _pages_with_pid(sf_dir)
+    pairs = near_dup_pairs(ds, id_col="pid", text_col="text", num_perm=64,
+                           bands=8, threshold=0.999)
 
     def _proj(b: pa.Table) -> pa.Table:
         return b.select(["a", "b", "jaccard"])
@@ -846,20 +1076,30 @@ def q_simhash_docs(sf_dir: str):
 
 
 def q_minhash_docs(sf_dir: str):
+    """Full MinHash signatures, exploded to one row per (doc, permutation)
+    so EVERY signature slot is hash-verified against the SQL replay."""
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     from ..stages.dedup import minhash_signatures
 
     sigs = minhash_signatures(ds, num_perm=64)
 
-    def _digest(b: pa.Table) -> pa.Table:
+    def _explode(b: pa.Table) -> pa.Table:
         import numpy as _np
 
-        out = [hashlib.md5(_np.asarray(s, dtype=_np.uint64).tobytes()).hexdigest()
-               for s in b["minhash"].to_pylist()]
-        return pa.table({"doc_id": b["doc_id"], "sig_md5": pa.array(out)})
+        mh = b["minhash"]
+        if isinstance(mh, pa.ChunkedArray):
+            mh = mh.combine_chunks()
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        flat = mh.values.to_numpy(zero_copy_only=False).view(_np.int64)
+        n_perm = len(flat) // max(1, len(ids))
+        return pa.table({
+            "doc_id": pa.array(_np.repeat(ids, n_perm)),
+            "perm": pa.array(_np.tile(_np.arange(n_perm), len(ids))),
+            "sig": pa.array(flat),
+        })
 
-    return sigs.map_batches(_digest, batch_format="pyarrow")
+    return sigs.map_batches(_explode, batch_format="pyarrow")
 
 
 def q_lang_id_docs(sf_dir: str):
@@ -1033,6 +1273,7 @@ QUERIES = {
     "nanminmax_events": q_nanminmax_events,
     "nanm4_events": q_nanm4_events,
     "minmax_events_withx": q_minmax_events_withx,
+    "minmaxlttb_bigseries": q_minmaxlttb_bigseries,
     "minmax_events_partitioned": q_minmax_events_partitioned,
     "dedup_exact_pages": q_dedup_exact_pages,
     "token_count_docs": q_token_count_docs,
@@ -1281,6 +1522,7 @@ ORACLE_SQL = {
     "nanminmaxlttb_events": _minmaxlttb_sql(20, 4, 37, False),
     "nanminmax_events": _nanminmax_sql(20, 37),
     "nanm4_events": _nanm4_sql(20, 37),
+    "minmaxlttb_bigseries": _bigseries_sql(40, 4),
     # with-x + gaps: bins equidistant in x-value (searchsorted-over-linspace
     # replayed as "count of interior boundaries strictly below x"), empty
     # bins vanish, <=2-point bins pass through
@@ -1380,6 +1622,19 @@ ORACLE_SQL = {
                CAST(length(replace(text, ' ', '')) AS DOUBLE)
                  / (length(text) - length(replace(text, ' ', '')) + 1)
                  AS mean_token_len
+        FROM documents
+    """,
+    "lang_id_docs": _langid_sql(),
+    "simhash_docs": _simhash_sql(),
+    "minhash_docs": _minhash_sql(),
+    # the GPT-2-style pretokenizer count; RE2 has no lookahead, so the
+    # `\\s+(?!\\S)` (trailing-whitespace) branch is dropped — equivalent on
+    # this corpus (no trailing whitespace), verified doc-by-doc
+    "token_count_bpeish": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '''s|''t|''re|''ve|''m|''ll|''d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+'
+               )) AS n_bpeish_tokens
         FROM documents
     """,
     # the defining byte-Horner recurrence, replayed exactly in HUGEINT

@@ -8,10 +8,10 @@ so results are reproducible and testable. Scale shapes:
   (one shuffle on the hash — uniform by construction, no skew).
 - MinHash+LSH: signatures per batch (vectorized) -> explode to
   ``(band_id, band_hash, doc)`` rows -> ``groupby(band)`` -> candidate
-  pairs -> verify true Jaccard. The band groupby is the only wide op and
-  its key space is huge (band hashes), so it shuffles evenly; verification
-  joins text back via an explicit hash-partitioned join at real scale —
-  here the small side is broadcast with ``ray.put``.
+  pairs (per-bucket emission cap with logged drops) -> hash-partitioned
+  pair distinct -> verification joins the text back through TWO
+  hash-partitioned ``Dataset.join``s (on a, then on b) — nothing is ever
+  broadcast or funneled into one block, so the shape survives 100 TB.
 - SimHash: 64-bit signature per doc; near-dups = signatures at small
   Hamming distance, banded into 4x16-bit blocks for candidate generation
   (any pair within distance 3 shares at least one block).
@@ -40,33 +40,53 @@ _MERSENNE = (1 << 31) - 1
 
 
 def _stable_u64(token: bytes) -> int:
-    return int.from_bytes(hashlib.blake2b(token, digest_size=8).digest(), "big")
+    """First 8 md5 bytes, big-endian. md5 (not blake2b) so the full MinHash
+    and SimHash pipelines are restatable in ANSI SQL (DuckDB ``md5()``) for
+    the driver's exact-value oracle."""
+    return int.from_bytes(hashlib.md5(token).digest()[:8], "big")
+
+
+# odd constants for the w-slot shingle combiner (uint64 wraparound mixing)
+_SHINGLE_MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                         0x165667B19E3779F9, 0x27D4EB2F165667C5,
+                         0x85EBCA6B2F165667], dtype=np.uint64)
 
 
 def word_shingles(text: str, w: int = 3, cache: dict | None = None) -> np.ndarray:
     """w-word shingle hashes (31-bit, uint64 dtype), deduplicated.
 
-    ``cache`` (gram -> hash) amortizes the digest across repeated grams —
-    an actor-held cache turns the per-gram blake2b into a dict hit for the
-    common-vocabulary bulk of a corpus."""
+    Vectorized: each TOKEN is md5-hashed once (``cache`` — an
+    actor-held token->hash dict — turns the digest into a dict hit for the
+    common-vocabulary bulk of a corpus), then the w-gram hash is a
+    position-weighted uint64 mix of consecutive token hashes (three numpy
+    adds for w=3 instead of a per-gram digest)."""
     toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
     if len(toks) < w:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)]
+        return np.array([_stable_u64(" ".join(toks).encode()) & _MERSENNE],
+                        dtype=np.uint64)
     if cache is None:
-        it = (_stable_u64(g.encode()) & _MERSENNE for g in grams)
+        th = np.fromiter((_stable_u64(t.encode()) for t in toks),
+                         dtype=np.uint64, count=len(toks))
     else:
         if len(cache) > 4_000_000:  # bound actor memory
             cache.clear()
-        def _h(g):
-            v = cache.get(g)
+
+        def _h(t):
+            v = cache.get(t)
             if v is None:
-                v = _stable_u64(g.encode()) & _MERSENNE
-                cache[g] = v
+                v = _stable_u64(t.encode())
+                cache[t] = v
             return v
-        it = (_h(g) for g in grams)
-    return np.unique(np.fromiter(it, dtype=np.uint64, count=len(grams)))
+
+        th = np.fromiter((_h(t) for t in toks), dtype=np.uint64,
+                         count=len(toks))
+    n_grams = len(toks) - w + 1
+    acc = np.zeros(n_grams, dtype=np.uint64)
+    for j in range(w):  # w is tiny; each step is one vector FMA
+        acc += th[j: j + n_grams] * _SHINGLE_MIX[j]
+    return np.unique(acc & np.uint64(_MERSENNE))
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -143,8 +163,62 @@ def minhash_signatures(ds, **kw):
                           batch_format="pyarrow", concurrency=(1, 8))
 
 
-def lsh_candidate_pairs(sig_ds, *, bands: int = 16, id_col: str = "doc_id"):
-    """signatures -> banded buckets -> unique candidate pairs (a < b)."""
+def _emit_bucket_pairs(ids: list, max_bucket: int, log_fn=None) -> tuple:
+    """All-pairs over one bucket, vectorized; buckets beyond ``max_bucket``
+    are truncated (logged) — an unbounded hot bucket (boilerplate-heavy
+    corpora) would otherwise emit O(n^2) pairs."""
+    ids = sorted(ids)
+    if len(ids) > max_bucket:
+        if log_fn is not None:
+            log_fn(len(ids))
+        ids = ids[:max_bucket]
+    n = len(ids)
+    if n < 2:
+        return [], []
+    iu = np.triu_indices(n, k=1)
+    arr = np.asarray(ids, dtype=object)
+    return arr[iu[0]].tolist(), arr[iu[1]].tolist()
+
+
+def distinct_pairs(pairs_ds, *, num_partitions: int = 64,
+                   cols: tuple = ("a", "b")):
+    """Scale-safe pair distinct: ONE int-keyed hash shuffle (partition =
+    hash(a,b) % P) + per-partition Arrow distinct — no single-block funnel,
+    parallelism bounded by ``num_partitions``."""
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        import zlib
+
+        a = b[cols[0]].to_pylist()
+        bb = b[cols[1]].to_pylist()
+        part = np.fromiter(
+            (zlib.crc32(f"{x}\x00{y}".encode()) % num_partitions
+             for x, y in zip(a, bb)), dtype=np.int32, count=len(a))
+        return b.append_column("__part", pa.array(part, pa.int32()))
+
+    def _distinct(g: pa.Table) -> pa.Table:
+        keep = [c for c in g.column_names if c != "__part"]
+        agg = g.group_by(list(cols)).aggregate(
+            [(c, "min") for c in keep if c not in cols])
+        mapping = {c: c for c in cols}
+        mapping.update({f"{c}_min": c for c in keep if c not in cols})
+        from ..arrow_utils import rename_agg
+
+        return rename_agg(agg, mapping)
+
+    parted = pairs_ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.groupby("__part").map_groups(_distinct,
+                                               batch_format="pyarrow")
+
+
+def lsh_candidate_pairs(sig_ds, *, bands: int = 16, id_col: str = "doc_id",
+                        max_bucket: int = 512, num_partitions: int = 64):
+    """signatures -> banded buckets -> distinct candidate pairs (a < b).
+
+    The band groupby shuffles ``(band, band_hash, id)`` rows only (key
+    space = band hashes -> uniform); per-bucket pair emission is capped at
+    ``max_bucket`` ids (dropped counts logged) and the cross-band pair
+    dedup is a hash-partitioned distinct, never a single block."""
 
     def _bands(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_pylist()
@@ -152,10 +226,10 @@ def lsh_candidate_pairs(sig_ds, *, bands: int = 16, id_col: str = "doc_id"):
         out_band, out_hash, out_id = [], [], []
         for i, sig in enumerate(sigs):
             r = len(sig) // bands
+            sa = np.asarray(sig, dtype=np.uint64)
             for bi in range(bands):
-                h = hashlib.blake2b(
-                    np.asarray(sig[bi * r : (bi + 1) * r], dtype=np.uint64)
-                    .tobytes(), digest_size=8).hexdigest()
+                h = hashlib.blake2b(sa[bi * r: (bi + 1) * r].tobytes(),
+                                    digest_size=8).hexdigest()
                 out_band.append(bi)
                 out_hash.append(h)
                 out_id.append(ids[i])
@@ -168,63 +242,82 @@ def lsh_candidate_pairs(sig_ds, *, bands: int = 16, id_col: str = "doc_id"):
     banded = sig_ds.map_batches(_bands, batch_format="pyarrow")
 
     def _pairs(g: pa.Table) -> pa.Table:
-        ids = sorted(g[id_col].to_pylist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+        import logging
+
+        a, b = _emit_bucket_pairs(
+            g[id_col].to_pylist(), max_bucket,
+            log_fn=lambda n: logging.getLogger(__name__).warning(
+                "lsh bucket truncated: %d ids > max_bucket=%d (band %s)",
+                n, max_bucket, g["band"][0].as_py()))
+        t = g[id_col].type
+        return pa.table({"a": pa.array(a, t), "b": pa.array(b, t)})
 
     pairs = banded.groupby(["band", "band_hash"]).map_groups(
         _pairs, batch_format="pyarrow")
-
-    # dedupe pairs produced by multiple bands. Candidate pairs are orders of
-    # magnitude fewer than rows, so a coalesced Arrow distinct beats a second
-    # sort-shuffle; pair_dedup="shuffle" remains for pathological candidate
-    # explosions.
-    def _distinct(b: pa.Table) -> pa.Table:
-        return b.group_by(["a", "b"]).aggregate([]).rename_columns(["a", "b"])
-
-    return pairs.repartition(1).map_batches(_distinct, batch_format="pyarrow")
+    return distinct_pairs(pairs, num_partitions=num_partitions)
 
 
-def verify_jaccard_pairs(pairs_ds, texts_ref, *, shingle_w: int = 3,
-                         threshold: float = 0.8):
-    """Exact-Jaccard verification of candidate pairs. ``texts_ref`` is a
-    ``ray.put`` handle of {id: text} (broadcast small side; at corpus scale
-    replace with a hash-partitioned join on id)."""
-    import ray
+def verify_jaccard_pairs(pairs_ds, texts_ds, *, id_col: str = "doc_id",
+                         text_col: str = "text", shingle_w: int = 3,
+                         threshold: float = 0.8, num_partitions: int = 16):
+    """Exact-Jaccard verification of candidate pairs via TWO
+    hash-partitioned joins against the text table (pairs shuffle on ``a``,
+    join, shuffle on ``b``, join) — the text table is never broadcast or
+    materialized on the driver, so the stage survives any corpus size.
+    An actor-held shingle cache (keyed by id) amortizes re-shingling of
+    ids that appear in many pairs."""
+    texts = texts_ds.map_batches(
+        lambda b: pa.table({id_col: b[id_col], text_col: b[text_col]}),
+        batch_format="pyarrow")
+    j1 = pairs_ds.join(texts, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("a",), right_on=(id_col,))
+    j1 = j1.map_batches(
+        lambda b: pa.table({"a": b["a"], "b": b["b"],
+                            "text_a": b[text_col]}),
+        batch_format="pyarrow")
+    j2 = j1.join(texts, join_type="inner", num_partitions=num_partitions,
+                 on=("b",), right_on=(id_col,))
 
     class _Verify:
         def __init__(self):
-            self.texts = ray.get(texts_ref)  # once per actor
             self.cache: dict = {}
 
-        def _sh(self, i):
-            if i not in self.cache:
-                self.cache[i] = word_shingles(self.texts[i], shingle_w)
-            return self.cache[i]
+        def _sh(self, key, text):
+            v = self.cache.get(key)
+            if v is None:
+                if len(self.cache) > 200_000:
+                    self.cache.clear()
+                v = word_shingles(text, shingle_w)
+                self.cache[key] = v
+            return v
 
         def __call__(self, b: pa.Table) -> pa.Table:
             a_ids = b["a"].to_pylist()
             b_ids = b["b"].to_pylist()
-            js = [jaccard(self._sh(x), self._sh(y))
-                  for x, y in zip(a_ids, b_ids)]
-            out = b.append_column("jaccard", pa.array(js, pa.float64()))
+            ta = b["text_a"].to_pylist()
+            tb = b[text_col].to_pylist()
+            js = [jaccard(self._sh(x, xt), self._sh(y, yt))
+                  for x, xt, y, yt in zip(a_ids, ta, b_ids, tb)]
+            out = pa.table({"a": b["a"], "b": b["b"],
+                            "jaccard": pa.array(js, pa.float64())})
             return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
-    return pairs_ds.map_batches(_Verify, batch_format="pyarrow", concurrency=(1, 8))
+    return j2.map_batches(_Verify, batch_format="pyarrow",
+                          concurrency=(1, 8))
 
 
-def near_dup_pairs(ds, texts_ref, *, id_col: str = "doc_id",
+def near_dup_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                    num_perm: int = 128, bands: int = 16, shingle_w: int = 3,
-                   threshold: float = 0.8):
+                   threshold: float = 0.8, num_partitions: int = 16):
+    """MinHash+LSH near-duplicate pairs end to end over ONE Dataset (it is
+    consumed twice: signatures and the verify joins)."""
     sigs = minhash_signatures(ds, num_perm=num_perm, shingle_w=shingle_w,
-                              id_col=id_col)
+                              id_col=id_col, text_col=text_col)
     cands = lsh_candidate_pairs(sigs, bands=bands, id_col=id_col)
-    return verify_jaccard_pairs(cands, texts_ref, shingle_w=shingle_w,
-                                threshold=threshold)
+    return verify_jaccard_pairs(cands, ds, id_col=id_col, text_col=text_col,
+                                shingle_w=shingle_w, threshold=threshold,
+                                num_partitions=num_partitions)
 
 
 # ---------------------------------------------------------------------------

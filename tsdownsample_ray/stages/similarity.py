@@ -65,16 +65,24 @@ def knn_bruteforce(ds, query_ref, k: int = 10, *, id_col: str = "vec_id",
 
 def embedding_near_dup_pairs(ds, *, threshold: float = 0.9,
                              id_col: str = "vec_id", col: str = "embedding",
-                             planes: int = 32, bands: int = 4, seed: int = 23):
+                             planes: int = 32, bands: int = 4, seed: int = 23,
+                             max_bucket: int = 512, num_partitions: int = 16):
     """Embedding-cosine near-duplicate pairs via random-hyperplane LSH.
 
     SimHash-for-vectors: sign bits of ``E @ R`` (R = ``planes`` seeded
     hyperplanes) banded into ``bands`` buckets; vectors agreeing on all
     bits of any band become candidates; candidates are verified with the
     exact f64 cosine. P[bit match] = 1 - angle/pi, so high thresholds
-    collide with high probability in at least one band. The band groupby is
-    the only shuffle; exactness of survivors is guaranteed by the verify
-    step (recall bounded by LSH, pytest-checked vs brute force)."""
+    collide with high probability in at least one band.
+
+    Scale shape: band rows carry ``(band, key, id)`` ONLY — the band
+    shuffle moves ids, never vectors (was: every vector replicated x
+    ``bands``). Candidate pairs are hash-partition-deduped, then the two
+    vectors are re-acquired through hash-partitioned ``Dataset.join``s and
+    verified with a vectorized batch cosine. Recall is pytest-checked vs
+    brute force."""
+    from .dedup import _emit_bucket_pairs, distinct_pairs
+
     r = planes // bands
 
     def _buckets(b: pa.Table) -> pa.Table:
@@ -82,53 +90,80 @@ def embedding_near_dup_pairs(ds, *, threshold: float = 0.9,
         rng = np.random.default_rng(seed)  # same planes in every task
         R = rng.standard_normal((E.shape[1], planes))
         bits = (E @ R) > 0
-        ids = b[id_col].to_numpy(zero_copy_only=False)
-        out_band, out_key, out_id, out_vec = [], [], [], []
-        vecs = E.tolist()
-        for bi in range(bands):
-            seg = bits[:, bi * r : (bi + 1) * r]
-            keys = np.packbits(seg, axis=1).tobytes()
-            w = (r + 7) // 8
-            for i in range(len(ids)):
-                out_band.append(bi)
-                out_key.append(keys[i * w : (i + 1) * w].hex())
-                out_id.append(int(ids[i]))
-                out_vec.append(vecs[i])
+        n = len(E)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # vectorized band-row construction: (bands * n) rows via repeat/tile;
+        # the bucket key is the band's bit pattern packed into ONE int64
+        # (r <= 64) — no strings, minimal shuffle bytes
+        packed = np.packbits(bits.reshape(n * bands, r), axis=1)
+        padded = np.zeros((n * bands, 8), dtype=np.uint8)
+        padded[:, : packed.shape[1]] = packed
+        keys = padded.view(np.uint64).ravel().view(np.int64)
         return pa.table({
-            "band": pa.array(out_band, pa.int32()),
-            "key": pa.array(out_key, pa.string()),
-            id_col: pa.array(out_id, pa.int64()),
-            "vec": pa.array(out_vec, pa.list_(pa.float64())),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "key": pa.array(keys),
+            id_col: pa.array(np.repeat(ids, bands)),
         })
 
     banded = ds.map_batches(_buckets, batch_format="pyarrow")
 
-    def _verify(g: pa.Table) -> pa.Table:
-        ids = g[id_col].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        E = np.asarray(g["vec"].to_pylist(), dtype=np.float64)[order]
-        norms = np.linalg.norm(E, axis=1)
-        a_out, b_out, cos_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                c = float(E[i] @ E[j] / (norms[i] * norms[j]))
-                if c >= threshold:
-                    a_out.append(int(ids[i]))
-                    b_out.append(int(ids[j]))
-                    cos_out.append(c)
-        return pa.table({"a": pa.array(a_out, pa.int64()),
-                         "b": pa.array(b_out, pa.int64()),
-                         "cosine": pa.array(cos_out, pa.float64())})
+    def _pairs(g: pa.Table) -> pa.Table:
+        import logging
 
-    pairs = banded.groupby(["band", "key"]).map_groups(
-        _verify, batch_format="pyarrow")
+        a, b = _emit_bucket_pairs(
+            g[id_col].to_pylist(), max_bucket,
+            log_fn=lambda k: logging.getLogger(__name__).warning(
+                "embedding LSH bucket truncated: %d ids > max_bucket=%d",
+                k, max_bucket))
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
 
-    def _distinct(b: pa.Table) -> pa.Table:
-        g = b.group_by(["a", "b"]).aggregate([("cosine", "min")])
-        return g.rename_columns(["a", "b", "cosine"])
+    cands = banded.groupby(["band", "key"]).map_groups(
+        _pairs, batch_format="pyarrow")
+    cands = distinct_pairs(cands, num_partitions=num_partitions)
 
-    return pairs.repartition(1).map_batches(_distinct, batch_format="pyarrow")
+    def _serialize(b: pa.Table) -> pa.Table:
+        # acero joins reject list<float> payloads -> ship f64 row bytes
+        E = embedding_matrix(b, col)
+        return pa.table({
+            id_col: b[id_col],
+            "vec_bin": pa.array([E[i].tobytes() for i in range(len(E))],
+                                pa.binary()),
+        })
+
+    vecs = ds.map_batches(_serialize, batch_format="pyarrow")
+    j1 = cands.join(vecs, join_type="inner", num_partitions=num_partitions,
+                    on=("a",), right_on=(id_col,))
+    j1 = j1.map_batches(
+        lambda b: pa.table({"a": b["a"], "b": b["b"],
+                            "vec_a": b["vec_bin"]}),
+        batch_format="pyarrow")
+    j2 = j1.join(vecs, join_type="inner", num_partitions=num_partitions,
+                 on=("b",), right_on=(id_col,))
+
+    def _unpack(column) -> np.ndarray:
+        if isinstance(column, pa.ChunkedArray):
+            column = column.combine_chunks()
+        raw = b"".join(column.to_pylist())
+        E = np.frombuffer(raw, dtype=np.float64)
+        return E.reshape(len(column), -1)
+
+    def _verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        Ea = _unpack(b["vec_a"])
+        Eb = _unpack(b["vec_bin"])
+        cos = (Ea * Eb).sum(axis=1) / (
+            np.linalg.norm(Ea, axis=1) * np.linalg.norm(Eb, axis=1))
+        out = pa.table({"a": b["a"], "b": b["b"],
+                        "cosine": pa.array(cos, pa.float64())})
+        import pyarrow.compute as pc
+
+        return out.filter(pc.greater_equal(out["cosine"], threshold))
+
+    return j2.map_batches(_verify, batch_format="pyarrow")
 
 
 def train_ivf_centroids(E: np.ndarray, n_lists: int, *, iters: int = 8,
