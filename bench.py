@@ -87,13 +87,35 @@ def run_bench() -> dict:
 
     qnames = () if os.environ.get("BENCH_SKIP_QUERIES") else (
         "dedup_exact_pages", "near_dup_pages", "knn_embeddings",
-        "minhash_docs", "simhash_docs")
+        "minhash_docs", "simhash_docs", "embedding_near_dups",
+        "fingerprint_docs", "quality_docs")
     for qname in qnames:
         t0 = time.time()
         res = Q.QUERIES[qname](SF_DIR)
         if hasattr(res, "count"):
             res.count()
         timings[f"q_{qname}"] = round(time.time() - t0, 3)
+
+    if not os.environ.get("BENCH_SKIP_QUERIES"):
+        # skew handling, like for like (all three on the SHUFFLE combine —
+        # the mode salting exists for): uniform, skewed unsalted, skewed
+        # salted. The bar: salted skewed within 1.3x of uniform (the
+        # skewed input itself is ~1.1x more rows). Tree-combine uniform
+        # recorded for context (the small-key-space default).
+        from tsdownsample_ray.stages.rollup import rollup as _rollup
+
+        for tag, (hot, salt, mode) in (
+                ("rollup_uniform_tree", (1, 1, "tree")),
+                ("rollup_uniform_shuffle", (1, 1, "shuffle")),
+                ("rollup_skewed_shuffle", (3, 1, "shuffle")),
+                ("rollup_skewed_salt4", (3, 4, "shuffle"))):
+            pages = read_pages(SF_DIR, snapshots=SNAPSHOTS // 2 or 1,
+                               hot_domain_factor=hot,
+                               columns=["url", "warc_ts", "text"])
+            series = derive_series(pages)
+            t0 = time.time()
+            _rollup(series, 900_000_000, salt=salt, combine=mode).count()
+            timings[tag] = round(time.time() - t0, 3)
 
     result = {
         "metric": "retention_pipeline_sec",

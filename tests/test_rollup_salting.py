@@ -71,3 +71,27 @@ def test_hot_domain_corpus_rollup(ray_session):
     # and src0 really is hot (5x the pages of any other domain)
     per_dom = exp.groupby("series_id")["n"].sum()
     assert per_dom["src0.example.com"] == 5 * per_dom["src1.example.com"]
+
+
+def test_combine_auto_mode_equivalence(ray_session):
+    """combine='auto' with a huge est_keys (-> shuffle) equals the tree
+    path row for row."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.rollup import rollup
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "series_id": rng.choice(["a", "b", "c"], 3000),
+        "x": rng.integers(0, 10_000_000, 3000),
+        "y": rng.integers(0, 100, 3000),
+    })
+    ds = rd.from_pandas(df).repartition(5)
+    cols = ["series_id", "bucket", "min_y", "max_y", "sum_y", "n"]
+    tree = (rollup(ds, 1_000_000, combine="auto").to_pandas()[cols]
+            .sort_values(cols[:2]).reset_index(drop=True))
+    shuf = (rollup(ds, 1_000_000, combine="auto", est_keys=10_000_000)
+            .to_pandas()[cols].sort_values(cols[:2]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(tree, shuf, check_dtype=False)

@@ -1160,8 +1160,13 @@ def q_embedding_near_dups(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    # the synthetic embeddings' strongest pair sits just above 0.5
-    return embedding_near_dup_pairs(ds, threshold=0.5, planes=64, bands=16)
+    # the synthetic embeddings' strongest pair sits just above 0.5;
+    # 8-bit band keys keep buckets selective (r=4 made every bucket a
+    # quadratic hot spot at scale); at this low a cosine LSH recall is
+    # partial by design — the >=0.9-recall contract is pytest-pinned at
+    # near-dup-grade thresholds where P[band match] is high
+    return embedding_near_dup_pairs(ds, threshold=0.5, planes=128, bands=16,
+                                    num_partitions=8)
 
 
 def q_knn_embeddings(sf_dir: str):

@@ -180,7 +180,7 @@ def _emit_bucket_pairs(ids: list, max_bucket: int, log_fn=None) -> tuple:
     return arr[iu[0]].tolist(), arr[iu[1]].tolist()
 
 
-def distinct_pairs(pairs_ds, *, num_partitions: int = 64,
+def distinct_pairs(pairs_ds, *, num_partitions: int = 16,
                    cols: tuple = ("a", "b")):
     """Scale-safe pair distinct: ONE int-keyed hash shuffle (partition =
     hash(a,b) % P) + per-partition Arrow distinct — no single-block funnel,
@@ -212,7 +212,7 @@ def distinct_pairs(pairs_ds, *, num_partitions: int = 64,
 
 
 def lsh_candidate_pairs(sig_ds, *, bands: int = 16, id_col: str = "doc_id",
-                        max_bucket: int = 512, num_partitions: int = 64):
+                        max_bucket: int = 512, num_partitions: int = 16):
     """signatures -> banded buckets -> distinct candidate pairs (a < b).
 
     The band groupby shuffles ``(band, band_hash, id)`` rows only (key
@@ -259,7 +259,7 @@ def lsh_candidate_pairs(sig_ds, *, bands: int = 16, id_col: str = "doc_id",
 
 def verify_jaccard_pairs(pairs_ds, texts_ds, *, id_col: str = "doc_id",
                          text_col: str = "text", shingle_w: int = 3,
-                         threshold: float = 0.8, num_partitions: int = 16):
+                         threshold: float = 0.8, num_partitions: int = 8):
     """Exact-Jaccard verification of candidate pairs via TWO
     hash-partitioned joins against the text table (pairs shuffle on ``a``,
     join, shuffle on ``b``, join) — the text table is never broadcast or
@@ -309,12 +309,18 @@ def verify_jaccard_pairs(pairs_ds, texts_ds, *, id_col: str = "doc_id",
 
 def near_dup_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                    num_perm: int = 128, bands: int = 16, shingle_w: int = 3,
-                   threshold: float = 0.8, num_partitions: int = 16):
+                   threshold: float = 0.8, num_partitions: int = 8):
     """MinHash+LSH near-duplicate pairs end to end over ONE Dataset (it is
-    consumed twice: signatures and the verify joins)."""
+    consumed twice: signatures and the verify joins).
+
+    ``num_partitions`` sizes the pair-distinct and the two verify joins;
+    each join reserves ~0.125 CPU per aggregator, so keep it a small
+    fraction of the cluster (measured: 4-8 optimal at 32 cpus, 32+
+    starves the map stages)."""
     sigs = minhash_signatures(ds, num_perm=num_perm, shingle_w=shingle_w,
                               id_col=id_col, text_col=text_col)
-    cands = lsh_candidate_pairs(sigs, bands=bands, id_col=id_col)
+    cands = lsh_candidate_pairs(sigs, bands=bands, id_col=id_col,
+                                num_partitions=max(4, num_partitions))
     return verify_jaccard_pairs(cands, ds, id_col=id_col, text_col=text_col,
                                 shingle_w=shingle_w, threshold=threshold,
                                 num_partitions=num_partitions)

@@ -116,11 +116,26 @@ def _combine(ds, keys, *, mode: str = "tree", fanin: int = 16):
     )
 
 
+# above this many distinct (series, bucket) keys the tree combine's final
+# single-block merge (~40 B/row -> ~200 MB and one core) becomes the
+# bottleneck; the sort-based shuffle scales its reducers instead
+TREE_MAX_KEYS = 5_000_000
+
+
 def rollup(ds, window_us: int, *, series_col: str = "series_id",
            x_col: str = "x", y_col: str = "y", salt: int = 1,
-           combine: str = "tree"):
+           combine: str = "auto", est_keys: int | None = None):
     """series rows -> tier-0 continuous aggregate
-    ``(series_id, bucket, min_y, max_y, sum_y, n)``."""
+    ``(series_id, bucket, min_y, max_y, sum_y, n)``.
+
+    ``combine="auto"`` picks the merge strategy from ``est_keys`` (the
+    caller's estimate of |series| x |buckets|): tree for key spaces whose
+    final merge fits one block (< TREE_MAX_KEYS), sort-shuffle beyond —
+    a billion-series corpus must never funnel into one block. Without an
+    estimate the tree is used (measured 10x faster at small key spaces;
+    see _combine)."""
+    if combine == "auto":
+        combine = "shuffle" if (est_keys or 0) > TREE_MAX_KEYS else "tree"
     # salting exists to split a hot key across SHUFFLE reducers; the tree
     # combine has no per-key reducers. Asking for salt implies a key space
     # worth sharding, so salt>1 selects the shuffle combine.
