@@ -97,18 +97,19 @@ def run_bench() -> dict:
         timings[f"q_{qname}"] = round(time.time() - t0, 3)
 
     if not os.environ.get("BENCH_SKIP_QUERIES"):
-        # skew handling, like for like (all three on the SHUFFLE combine —
-        # the mode salting exists for): uniform, skewed unsalted, skewed
-        # salted. The bar: salted skewed within 1.3x of uniform (the
-        # skewed input itself is ~1.1x more rows). Tree-combine uniform
-        # recorded for context (the small-key-space default).
+        # skew handling, like for like on the scale-safe hash-partitioned
+        # combine: uniform, skewed unsalted, skewed salted. The bar:
+        # skewed within 1.3x of uniform (map-side partials already
+        # collapse per-key skew; salt adds a desalt combine for the
+        # block-count regime where partials alone can't). Tree-combine
+        # uniform recorded for context (the small-key-space default).
         from tsdownsample_ray.stages.rollup import rollup as _rollup
 
         for tag, (hot, salt, mode) in (
                 ("rollup_uniform_tree", (1, 1, "tree")),
-                ("rollup_uniform_shuffle", (1, 1, "shuffle")),
-                ("rollup_skewed_shuffle", (3, 1, "shuffle")),
-                ("rollup_skewed_salt4", (3, 4, "shuffle"))):
+                ("rollup_uniform_hashpart", (1, 1, "hashpart")),
+                ("rollup_skewed_hashpart", (3, 1, "hashpart")),
+                ("rollup_skewed_salt4", (3, 4, "auto"))):
             pages = read_pages(SF_DIR, snapshots=SNAPSHOTS // 2 or 1,
                                hot_domain_factor=hot,
                                columns=["url", "warc_ts", "text"])
