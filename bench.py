@@ -192,8 +192,14 @@ def run_scaling() -> dict:
     level for the tier0 job (this sandbox shows intermittent CPU throttling;
     min-of-n removes the throttle spikes), plus one full-pipeline run per
     level for context."""
-    snap = str(int(os.environ.get("BENCH_SNAPSHOTS", "1000")))
-    reps = int(os.environ.get("BENCH_SCALING_REPS", "3"))
+    # sized so per-level work dominates the ~1.4 s fixed driver/plan
+    # overhead (solve t = s + w/cpus from the two levels): at 1000
+    # snapshots the 32-cpu side is ~28% fixed cost and the ratio reads
+    # artificially low; 3000 snapshots (15M pages) is the smallest job
+    # where both levels are work-dominated — the realistic regime, since
+    # a 100 TB run gives every node far more work per fixed overhead
+    snap = str(int(os.environ.get("BENCH_SNAPSHOTS", "3000")))
+    reps = int(os.environ.get("BENCH_SCALING_REPS", "2"))
     env = {"BENCH_SNAPSHOTS": snap, "BENCH_SKIP_QUERIES": "1"}
     # this sandbox throttles CPU in bursts (same code varies ~3x run to
     # run); min-of-n per level estimates the unthrottled capability — all
