@@ -185,14 +185,11 @@ def test_ivf_recall_vs_bruteforce(ray_session):
 # --- multimodal ------------------------------------------------------------
 
 def test_decode_stub_raises_without_fake():
-    from tsdownsample_ray.stages.multimodal import DecodeAudio
-
-    with pytest.raises(NotImplementedError):
-        DecodeImage(fake=False)
+    # image/audio decode is now REAL for BMP/WAV (tests/test_multimodal.py);
+    # only formats needing an external codec still raise — at CALL time,
+    # on the offending payload. Video remains construction-time stubbed.
     with pytest.raises(NotImplementedError):
         SampleFrames(fake=False)
-    with pytest.raises(NotImplementedError):
-        DecodeAudio(fake=False)
 
 
 def test_fake_audio_decode_and_downsample():

@@ -1252,6 +1252,55 @@ def q_multimodal_frame_sample(sf_dir: str):
 # catalog
 # ---------------------------------------------------------------------------
 
+def q_multimodal_wav_decode(sf_dir: str):
+    """REAL audio decode through the actor-pool stage: WAV payloads built
+    from the documents' own bytes (PCM16 sample i = byte i), decoded with
+    DecodeAudio (stdlib ``wave``), per-doc waveform stats hash-verified
+    against the SQL replay over the text."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    from ..stages.multimodal import DecodeAudio, encode_wav
+
+    def _media(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        payloads = [
+            encode_wav(_np.frombuffer(t.encode(), _np.uint8).astype("<i2"))
+            for t in b["text"].to_pylist()]
+        return pa.table({
+            "media_id": b["doc_id"],
+            "kind": pa.array(["audio"] * b.num_rows),
+            "payload": pa.array(payloads, pa.binary()),
+            "duration_ms": pa.array([0] * b.num_rows, pa.int32()),
+        })
+
+    media = ds.map_batches(_media, batch_format="pyarrow", batch_size=256)
+    dec = media.map_batches(DecodeAudio, batch_format="pyarrow",
+                            batch_size=256, concurrency=(1, 8))
+
+    def _stats(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        s = b["samples"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        flat = s.values.to_numpy(zero_copy_only=False)
+        codes = _np.rint(flat * 32768.0).astype(_np.int64)
+        off = s.offsets.to_numpy(zero_copy_only=False).astype(_np.int64)
+        cs = _np.concatenate([[0], _np.cumsum(codes)])
+        n = off[1:] - off[:-1]
+        return pa.table({
+            "media_id": b["media_id"],
+            "n_samples": pa.array(n, pa.int64()),
+            "sum_codes": pa.array(cs[off[1:]] - cs[off[:-1]], pa.int64()),
+            "first_code": pa.array(codes[off[:-1]], pa.int64()),
+            "last_code": pa.array(codes[off[1:] - 1], pa.int64()),
+        })
+
+    return dec.map_batches(_stats, batch_format="pyarrow")
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -1294,6 +1343,7 @@ QUERIES = {
     "knn_embeddings": q_knn_embeddings,
     "knn_ivf_embeddings": q_knn_ivf_embeddings,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_wav_decode": q_multimodal_wav_decode,
 }
 
 ORACLE_SQL = {
@@ -1632,6 +1682,19 @@ ORACLE_SQL = {
     "lang_id_docs": _langid_sql(),
     "simhash_docs": _simhash_sql(),
     "minhash_docs": _minhash_sql(),
+    # the WAV payload carries the text's own bytes as PCM16 samples, so
+    # the decoded waveform stats replay directly from the text (ASCII:
+    # unicode(char) == byte)
+    "multimodal_wav_decode": """
+        SELECT doc_id AS media_id,
+               length(text) AS n_samples,
+               CAST(list_sum(list_transform(range(1, length(text) + 1),
+                    i -> unicode(substring(text, i, 1)))) AS BIGINT)
+                    AS sum_codes,
+               unicode(substring(text, 1, 1)) AS first_code,
+               unicode(substring(text, length(text), 1)) AS last_code
+        FROM documents
+    """,
     # the GPT-2-style pretokenizer count; RE2 has no lookahead, so the
     # `\\s+(?!\\S)` (trailing-whitespace) branch is dropped — equivalent on
     # this corpus (no trailing whitespace), verified doc-by-doc

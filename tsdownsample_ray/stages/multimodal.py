@@ -1,22 +1,102 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata, with
 decode / feature-extract / resize / frame-sample as actor-pool stages.
 
-The container has no image/audio libraries, so the DECODE KERNELS ARE
-STUBS: ``DecodeImage(fake=False)`` raises ``NotImplementedError`` at actor
-construction (where a real build would import PIL/ffmpeg); ``fake=True``
-substitutes a deterministic pseudo-decoder so the Ray-side plumbing —
-schema, batch sizing, actor signature, output layout — is real and tested.
+Decode support is REAL for the formats the standard library + NumPy can
+handle — uncompressed 24-bit BMP images (struct header parse + strided
+NumPy pixel decode) and PCM WAV audio (stdlib ``wave``) — and STUBBED for
+codec formats (JPEG/PNG/MP3/MP4): there ``fake=True`` substitutes a
+deterministic payload-seeded pseudo-decoder so the Ray-side plumbing —
+schema, batch sizing, actor signature, output layout — stays real and
+tested, and ``fake=False`` raises ``NotImplementedError`` naming the
+missing codec library.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
 
 import numpy as np
 import pyarrow as pa
 
 __all__ = ["media_schema", "DecodeImage", "DecodeAudio", "ResizeImage",
-           "SampleFrames"]
+           "SampleFrames", "decode_bmp", "decode_wav", "encode_bmp",
+           "encode_wav"]
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> (h, w, 3) uint8 RGB tensor (pure
+    stdlib/NumPy: BITMAPINFOHEADER parse, 4-byte row padding, bottom-up
+    row order, BGR->RGB channel swap)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP is decodable without an image "
+            f"library (got bpp={bpp}, compression={compression})")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=h * stride,
+                        offset=data_off)
+    img = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        img = img[::-1]
+    return img[..., ::-1].copy()  # BGR -> RGB, contiguous
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed 24-bit BMP bytes (test/fixture
+    helper; inverse of decode_bmp)."""
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    body = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return header + info + body
+
+
+def decode_wav(payload: bytes) -> tuple:
+    """WAV (PCM) -> (mono float32 samples in [-1, 1], sample_rate) via the
+    stdlib ``wave`` module; multi-channel input is averaged to mono."""
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate = wf.getframerate()
+        nch = wf.getnchannels()
+        width = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if width == 2:
+        s = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:
+        s = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+             - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{8 * width}-bit WAV needs an audio lib")
+    if nch > 1:
+        s = s.reshape(-1, nch).mean(axis=1)
+    return s, rate
+
+
+def encode_wav(samples_i16: np.ndarray, rate: int = 16_000) -> bytes:
+    """int16 mono samples -> WAV bytes (test/fixture helper)."""
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.asarray(samples_i16, dtype="<i2").tobytes())
+    return buf.getvalue()
 
 
 def media_schema() -> pa.Schema:
@@ -45,30 +125,39 @@ def _pseudo_pixels(payload: bytes, h: int, w: int, c: int = 3) -> np.ndarray:
 class DecodeImage:
     """binary payload -> flat uint8 pixel tensor + shape columns.
 
-    Actor-pool stage: ``map_batches(DecodeImage(fake=True), batch_size=64,
-    concurrency=N)``. Real decode would live in ``__init__``/``__call__``
-    with the same signature.
+    Actor-pool stage: ``map_batches(DecodeImage(), batch_size=64,
+    concurrency=N)``. REAL decode for uncompressed 24-bit BMP payloads
+    (``decode_bmp``); other formats raise unless ``fake=True`` selects the
+    deterministic pseudo-decoder (JPEG/PNG need a codec library this
+    container lacks).
     """
 
     def __init__(self, fake: bool = False):
-        if not fake:
-            raise NotImplementedError(
-                "image decoding requires PIL/opencv, not present in this "
-                "container — construct with fake=True for the deterministic "
-                "stub decoder")
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         hs = batch["height"].to_pylist()
         ws = batch["width"].to_pylist()
-        pixels = [
-            _pseudo_pixels(p, h or 8, w or 8).reshape(-1)
-            for p, h, w in zip(payloads, hs, ws)
-        ]
+        pixels, out_h, out_w = [], [], []
+        for p, h, w in zip(payloads, hs, ws):
+            if self.fake:
+                img = _pseudo_pixels(p, h or 8, w or 8)
+            elif p[:2] == b"BM":
+                img = decode_bmp(p)
+            else:
+                raise NotImplementedError(
+                    "non-BMP image decoding requires PIL/opencv, not "
+                    "present in this container — construct with fake=True "
+                    "for the deterministic stub decoder")
+            pixels.append(img.reshape(-1))
+            out_h.append(img.shape[0])
+            out_w.append(img.shape[1])
         out = {n: batch[n] for n in batch.column_names if n != "payload"}
         out["pixels"] = pa.array([px.tolist() for px in pixels],
                                  type=pa.list_(pa.uint8()))
+        out["height"] = pa.array(out_h, pa.int32())
+        out["width"] = pa.array(out_w, pa.int32())
         return pa.table(out)
 
 
@@ -99,32 +188,40 @@ class ResizeImage:
 
 class DecodeAudio:
     """binary payload -> mono f32 sample tensor + sample-rate metadata.
-    Stubbed like DecodeImage (no audio libs in this container); the fake
-    decoder is deterministic in the payload. Feature extraction downstream
-    (e.g. the downsample kernels over the waveform) is real."""
+
+    REAL decode for WAV/PCM payloads (stdlib ``wave`` — ``decode_wav``);
+    compressed codecs (mp3/ogg/aac) raise unless ``fake=True`` selects the
+    deterministic pseudo-decoder. Feature extraction downstream (e.g. the
+    downsample kernels over the waveform) is real either way."""
 
     def __init__(self, fake: bool = False, sample_rate: int = 16_000):
-        if not fake:
-            raise NotImplementedError(
-                "audio decoding requires soundfile/ffmpeg, not present in "
-                "this container — construct with fake=True")
+        self.fake = fake
         self.sample_rate = sample_rate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         durs = batch["duration_ms"].to_pylist()
-        out = []
+        out, rates = [], []
         for p, d in zip(payloads, durs):
+            if not self.fake and p[:4] == b"RIFF":
+                s, rate = decode_wav(p)
+                out.append(s.tolist())
+                rates.append(rate)
+                continue
+            if not self.fake:
+                raise NotImplementedError(
+                    "non-WAV audio decoding requires soundfile/ffmpeg, not "
+                    "present in this container — construct with fake=True")
             n = max(1, (d or 100) * self.sample_rate // 1000)
             n = min(n, 160_000)  # cap fake waveforms at 10 s
             seed = int.from_bytes(
                 hashlib.blake2b(p, digest_size=8).digest(), "big")
             rng = np.random.default_rng(seed)
             out.append(rng.standard_normal(n).astype(np.float32).tolist())
+            rates.append(self.sample_rate)
         cols = {c: batch[c] for c in batch.column_names if c != "payload"}
         cols["samples"] = pa.array(out, type=pa.list_(pa.float32()))
-        cols["sample_rate"] = pa.array([self.sample_rate] * batch.num_rows,
-                                       pa.int32())
+        cols["sample_rate"] = pa.array(rates, pa.int32())
         return pa.table(cols)
 
 
