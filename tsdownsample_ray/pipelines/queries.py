@@ -287,13 +287,15 @@ sel AS (
 )"""
 
 
-def _langid_sql() -> str:
-    """The LangId heuristic restated in SQL, generated from the class's own
-    stopword/n-gram tables: per-language stopword score over
-    whitespace-split lowercase tokens, n-gram substring-count fallback,
-    'und' when both are zero. Python's ``max(key=(score, lang))`` is
-    ``max(struct_pack(s, l))`` (ties broken by the greater language code).
-    The han/'zh' branch is omitted — the driver corpus is pure ASCII."""
+def _langid_ctes(src: str) -> str:
+    """The LangId heuristic's CTE chain (over relation ``src`` providing
+    (doc_id, text)), generated from the class's own stopword/n-gram
+    tables: per-language stopword score over whitespace-split lowercase
+    tokens, n-gram substring-count fallback, 'und' when both are zero.
+    Python's ``max(key=(score, lang))`` is ``max(struct_pack(s, l))``
+    (ties broken by the greater language code). The han/'zh' branch is
+    omitted — the driver corpus is pure ASCII. Exposes ``lid_out(doc_id,
+    lang_pred)``."""
     from ..stages.textstats import LangId
 
     def _sw_case():
@@ -315,30 +317,76 @@ def _langid_sql() -> str:
 
     langs = ", ".join(f"('{k}')" for k in LangId.PROFILES)
     return f"""
-WITH t AS (
+lid_t AS (
     SELECT doc_id, lower(text) AS low,
            list_filter(string_split_regex(lower(text), '\\s+'),
                        x -> x <> '') AS toks
-    FROM documents
+    FROM {src}
 ),
-scores AS (
+lid_scores AS (
     SELECT t.doc_id, l.lang,
            {_sw_case()} AS sw_score,
            {_ng_case()} AS ng_score
-    FROM t CROSS JOIN (VALUES {langs}) l(lang)
+    FROM lid_t t CROSS JOIN (VALUES {langs}) l(lang)
 ),
-agg AS (
+lid_agg AS (
     SELECT doc_id,
            max(struct_pack(s := sw_score, l := lang)) AS msw,
            max(struct_pack(s := ng_score, l := lang)) AS mng
-    FROM scores GROUP BY 1
-)
-SELECT t.doc_id,
-       CASE WHEN len(t.toks) = 0 THEN 'und'
-            WHEN (a.msw).s > 0 THEN (a.msw).l
-            WHEN (a.mng).s > 0 THEN (a.mng).l
-            ELSE 'und' END AS lang_pred
-FROM t JOIN agg a ON t.doc_id = a.doc_id
+    FROM lid_scores GROUP BY 1
+),
+lid_out AS (
+    SELECT t.doc_id,
+           CASE WHEN len(t.toks) = 0 THEN 'und'
+                WHEN (a.msw).s > 0 THEN (a.msw).l
+                WHEN (a.mng).s > 0 THEN (a.mng).l
+                ELSE 'und' END AS lang_pred
+    FROM lid_t t JOIN lid_agg a ON t.doc_id = a.doc_id
+)"""
+
+
+def _langid_sql() -> str:
+    return f"""
+WITH {_langid_ctes("documents")}
+SELECT doc_id, lang_pred FROM lid_out
+"""
+
+
+_FP_EXPR = """CAST(list_reduce(list_prepend(0::HUGEINT,
+    list_transform(range(1, length(text) + 1),
+                   i -> unicode(substring(text, i, 1))::HUGEINT)),
+    (h, c) -> (h * 1000003 + c) % 2305843009213693951) AS BIGINT)"""
+
+
+def _curation_sql() -> str:
+    """quality filter -> fingerprint dedup (keep lowest doc_id) -> langid
+    -> per-language totals, composed from the stage oracles."""
+    return f"""
+WITH q0 AS (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(text, '\\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+q1 AS (
+    SELECT doc_id, text, len(toks) AS n_tokens FROM q0
+),
+filtered AS (
+    SELECT doc_id, text, n_tokens FROM q1 WHERE n_tokens >= 20
+),
+fp AS (
+    SELECT doc_id, text, n_tokens, {_FP_EXPR} AS fingerprint FROM filtered
+),
+deduped AS (
+    SELECT doc_id, text, n_tokens FROM fp
+    QUALIFY row_number() OVER (PARTITION BY fingerprint
+                               ORDER BY doc_id) = 1
+),
+{_langid_ctes("deduped")}
+SELECT l.lang_pred, count(*) AS n_docs,
+       CAST(sum(d.n_tokens) AS BIGINT) AS total_tokens
+FROM deduped d JOIN lid_out l ON d.doc_id = l.doc_id
+GROUP BY 1
 """
 
 
@@ -1252,6 +1300,69 @@ def q_multimodal_frame_sample(sf_dir: str):
 # catalog
 # ---------------------------------------------------------------------------
 
+def q_corpus_curation(sf_dir: str):
+    """The canonical training-data curation flow as ONE pipeline:
+    quality-filter (length + stopword ratio) -> exact dedup by fingerprint
+    (keep lowest doc_id) -> language ID -> per-language corpus totals.
+    Every stage is an existing operator; the composition is SQL-oracled."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    from ..arrow_utils import rename_agg
+    from ..stages.textstats import LangId, fingerprint_batch, quality_batch
+
+    def _quality_filter(b: pa.Table) -> pa.Table:
+        q = quality_batch(b)
+        # language-agnostic length gate (an EN-stopword gate would empty
+        # the non-en strata and leave a 1-row result — weak hash check)
+        keep = pc.greater_equal(q["n_tokens"], 20)
+        b = b.filter(keep)
+        q = q.filter(keep)
+        fp = fingerprint_batch(b)
+        return pa.table({"doc_id": b["doc_id"], "text": b["text"],
+                         "n_tokens": q["n_tokens"],
+                         "fingerprint": fp["fingerprint"]})
+
+    filtered = ds.map_batches(_quality_filter, batch_format="pyarrow")
+
+    def _keep_first(g: pa.Table) -> pa.Table:
+        i = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
+        return g.take(i[:1])
+
+    deduped = filtered.groupby("fingerprint").map_groups(
+        _keep_first, batch_format="pyarrow")
+    tagged = deduped.map_batches(LangId, batch_format="pyarrow",
+                                 concurrency=(1, 4))
+
+    def _agg(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang_pred"]).aggregate(
+            [("doc_id", "count"), ("n_tokens", "sum")])
+        return rename_agg(g, {"lang_pred": "lang_pred",
+                              "doc_id_count": "n_docs",
+                              "n_tokens_sum": "total_tokens"})
+
+    # per-lang partials then one tiny tree merge (<= |langs| rows)
+    partials = tagged.map_batches(_agg, batch_format="pyarrow")
+
+    def _merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang_pred"]).aggregate(
+            [("n_docs", "sum"), ("total_tokens", "sum")])
+        return rename_agg(g, {"lang_pred": "lang_pred",
+                              "n_docs_sum": "n_docs",
+                              "total_tokens_sum": "total_tokens"})
+
+    out = partials.repartition(1).map_batches(_merge, batch_format="pyarrow")
+
+    def _cast(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang_pred": b["lang_pred"],
+            "n_docs": pc.cast(b["n_docs"], pa.int64()),
+            "total_tokens": pc.cast(b["total_tokens"], pa.int64()),
+        })
+
+    return out.map_batches(_cast, batch_format="pyarrow")
+
+
 def q_multimodal_wav_decode(sf_dir: str):
     """REAL audio decode through the actor-pool stage: WAV payloads built
     from the documents' own bytes (PCM16 sample i = byte i), decoded with
@@ -1344,6 +1455,7 @@ QUERIES = {
     "knn_ivf_embeddings": q_knn_ivf_embeddings,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_wav_decode": q_multimodal_wav_decode,
+    "corpus_curation": q_corpus_curation,
 }
 
 ORACLE_SQL = {
@@ -1680,6 +1792,7 @@ ORACLE_SQL = {
         FROM documents
     """,
     "lang_id_docs": _langid_sql(),
+    "corpus_curation": _curation_sql(),
     "simhash_docs": _simhash_sql(),
     "minhash_docs": _minhash_sql(),
     # the WAV payload carries the text's own bytes as PCM16 samples, so

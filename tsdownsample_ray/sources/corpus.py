@@ -134,8 +134,20 @@ def read_pages(sf_dir: str, *, snapshots: int = 3, hot_domain_factor: int = 1,
         total = n_docs * snapshots
         # ~125k expanded rows (~90MB with html) per block: sized by DATA, not
         # by CPU count — oversized blocks pressure the object store, and the
-        # tree combine keeps many blocks cheap downstream
-        parallelism = min(max(total // 125_000, 1), 512)
+        # tree combine keeps many blocks cheap downstream. When the data-
+        # sized count can't fill the cluster (small corpora), floor it at
+        # the CPU count as long as blocks stay >= ~30k rows (~22 MB): the
+        # fused expand->extract->series map is compute-bound, so fewer
+        # tasks than cores directly forfeits wall time.
+        try:
+            import ray as _ray
+
+            cpus = int(_ray.available_resources().get("CPU", 0)) \
+                if _ray.is_initialized() else 0
+        except Exception:
+            cpus = 0
+        floor = min(cpus, max(total // 30_000, 1))
+        parallelism = min(max(total // 125_000, floor, 1), 512)
         if parallelism <= 1:
             parallelism = 0
     if parallelism > 1:
