@@ -257,3 +257,35 @@ def test_exact_dedup_stage(ray_session):
     # one row per distinct text, the earliest by ts kept
     kept = {r.text: r.id for r in out.itertuples()}
     assert kept == {"aa": 3, "bb": 5, "cc": 4}
+
+
+def test_simhash_near_dup_perfect_recall(ray_session):
+    """The 4x16-bit banding must find EVERY pair within hamming<=3
+    (pigeonhole) — compare against the quadratic ground truth."""
+    import itertools
+
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.dedup import (simhash_batch,
+                                               simhash_near_dup_pairs)
+
+    base = " ".join(f"tok{i}" for i in range(120))
+    docs = {0: base}
+    for k in range(1, 8):  # flip a few tokens -> small hamming distances
+        toks = base.split()
+        toks[k * 3] = f"alt{k}"
+        docs[k] = " ".join(toks)
+    docs[8] = " ".join(f"other{i}" for i in range(120))
+    t = pa.table({"doc_id": list(docs), "text": list(docs.values())})
+
+    sigs = simhash_batch(t)["simhash"].to_numpy().astype(np.uint64)
+    truth = set()
+    for i, j in itertools.combinations(range(len(docs)), 2):
+        if bin(int(sigs[i] ^ sigs[j])).count("1") <= 3:
+            truth.add((i, j))
+
+    got = simhash_near_dup_pairs(
+        rd.from_arrow(t).repartition(2), max_hamming=3,
+        num_partitions=2).to_pandas()
+    found = {tuple(sorted((r.a, r.b))) for r in got.itertuples()}
+    assert found == truth

@@ -398,34 +398,58 @@ _MD5U64 = """list_reduce(list_prepend(0::HUGEINT,
 _POW2 = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
 
 
-def _simhash_sql() -> str:
-    """SimHash replayed exactly: per-bit +/-1 majority over md5-u64 token
-    hashes, signature re-packed and wrapped to signed int64."""
+def _simhash_ctes(src: str, id_col: str) -> str:
+    """SimHash replayed exactly over relation ``src(id_col, text)``:
+    per-bit +/-1 majority over md5-u64 token hashes, signature re-packed
+    and wrapped to signed int64. Exposes ``sh_out(id_col, simhash)``."""
     return f"""
-WITH t AS (
-    SELECT doc_id,
+sh_t AS (
+    SELECT {id_col},
            list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
-    FROM documents
+    FROM {src}
 ),
-tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
-th AS (SELECT doc_id, {_MD5U64} AS h FROM tok),
-bits AS (
-    SELECT th.doc_id, p.b,
+sh_tok AS (SELECT {id_col}, unnest(toks) AS tok FROM sh_t),
+sh_th AS (SELECT {id_col}, {_MD5U64} AS h FROM sh_tok),
+sh_bits AS (
+    SELECT th.{id_col}, p.b,
            sum(CASE WHEN (th.h // p.pw) % 2 = 1 THEN 1 ELSE -1 END) AS acc
-    FROM th CROSS JOIN (VALUES {_POW2}) p(b, pw)
+    FROM sh_th th CROSS JOIN (VALUES {_POW2}) p(b, pw)
     GROUP BY 1, 2
 ),
-sig AS (
-    SELECT b.doc_id,
+sh_sig AS (
+    SELECT b.{id_col},
            sum(CASE WHEN b.acc > 0 THEN p.pw ELSE 0::HUGEINT END) AS v
-    FROM bits b JOIN (VALUES {_POW2}) p(b, pw) ON p.b = b.b
+    FROM sh_bits b JOIN (VALUES {_POW2}) p(b, pw) ON p.b = b.b
     GROUP BY 1
-)
-SELECT t.doc_id,
-       CAST(CASE WHEN COALESCE(s.v, 0) >= 9223372036854775808::HUGEINT
-                 THEN COALESCE(s.v, 0) - 18446744073709551616::HUGEINT
-                 ELSE COALESCE(s.v, 0) END AS BIGINT) AS simhash
-FROM t LEFT JOIN sig s ON t.doc_id = s.doc_id
+),
+sh_out AS (
+    SELECT t.{id_col},
+           CAST(CASE WHEN COALESCE(s.v, 0) >= 9223372036854775808::HUGEINT
+                     THEN COALESCE(s.v, 0) - 18446744073709551616::HUGEINT
+                     ELSE COALESCE(s.v, 0) END AS BIGINT) AS simhash
+    FROM sh_t t LEFT JOIN sh_sig s ON t.{id_col} = s.{id_col}
+)"""
+
+
+def _simhash_sql() -> str:
+    return f"""
+WITH {_simhash_ctes("documents", "doc_id")}
+SELECT doc_id, simhash FROM sh_out
+"""
+
+
+def _simhash_neardup_sql(max_hamming: int) -> str:
+    """Quadratic ground truth for the banded SimHash near-dup operator —
+    the 4x16-bit banding has PERFECT recall at hamming <= 3 (pigeonhole),
+    so the distributed result must EQUAL this all-pairs definition."""
+    return f"""
+WITH {PAGES_CTE},
+p AS (SELECT url || '#' || CAST(ts_us AS VARCHAR) AS pid, text FROM pages),
+{_simhash_ctes("p", "pid")}
+SELECT x.pid AS a, y.pid AS b,
+       bit_count(xor(x.simhash, y.simhash)) AS hamming
+FROM sh_out x JOIN sh_out y ON x.pid < y.pid
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
 """
 
 
@@ -1123,6 +1147,16 @@ def q_simhash_docs(sf_dir: str):
     return simhash_signatures(ds)
 
 
+def q_simhash_near_dup_pages(sf_dir: str):
+    """Banded SimHash near-dup pairs over pages — the banding is recall-
+    PERFECT at hamming <= 3, so the result equals the quadratic all-pairs
+    SQL oracle exactly."""
+    from ..stages.dedup import simhash_near_dup_pairs
+
+    ds = _pages_with_pid(sf_dir)
+    return simhash_near_dup_pairs(ds, id_col="pid", max_hamming=3)
+
+
 def q_minhash_docs(sf_dir: str):
     """Full MinHash signatures, exploded to one row per (doc, permutation)
     so EVERY signature slot is hash-verified against the SQL replay."""
@@ -1444,6 +1478,7 @@ QUERIES = {
     "token_count_docs": q_token_count_docs,
     "near_dup_pages": q_near_dup_pages,
     "simhash_docs": q_simhash_docs,
+    "simhash_near_dup_pages": q_simhash_near_dup_pages,
     "minhash_docs": q_minhash_docs,
     "lang_id_docs": q_lang_id_docs,
     "quality_docs": q_quality_docs,
@@ -1794,6 +1829,7 @@ ORACLE_SQL = {
     "lang_id_docs": _langid_sql(),
     "corpus_curation": _curation_sql(),
     "simhash_docs": _simhash_sql(),
+    "simhash_near_dup_pages": _simhash_neardup_sql(3),
     "minhash_docs": _minhash_sql(),
     # the WAV payload carries the text's own bytes as PCM16 samples, so
     # the decoded waveform stats replay directly from the text (ASCII:

@@ -30,8 +30,8 @@ __all__ = [
     "content_hash_batch", "exact_dedup",
     "MinHasher", "minhash_signatures", "lsh_candidate_pairs",
     "verify_jaccard_pairs", "near_dup_pairs",
-    "simhash_batch", "simhash_signatures",
-    "word_shingles", "jaccard",
+    "simhash_batch", "simhash_signatures", "simhash_near_dup_pairs",
+    "distinct_pairs", "word_shingles", "jaccard",
 ]
 
 # Mersenne-31: (a*x + b) with a, x < 2^31 fits uint64 exactly, so the
@@ -354,3 +354,81 @@ def simhash_batch(batch: pa.Table, *, text_col: str = "text",
 def simhash_signatures(ds, **kw):
     return ds.map_batches(lambda b: simhash_batch(b, **kw),
                           batch_format="pyarrow")
+
+
+def simhash_near_dup_pairs(ds, *, id_col: str = "doc_id",
+                           text_col: str = "text", max_hamming: int = 3,
+                           max_bucket: int = 512, num_partitions: int = 8):
+    """SimHash near-duplicate pairs: 64-bit signatures banded into FOUR
+    16-bit blocks; any pair within Hamming distance <= 3 must agree on at
+    least one whole block (pigeonhole: 3 differing bits cannot touch all 4
+    blocks), so the band groupby has PERFECT recall at ``max_hamming <= 3``
+    — the exact-hamming verify then keeps true pairs only, making the
+    whole operator's output EQUAL to the quadratic all-pairs definition
+    (the SQL oracle) at any scale. One band shuffle of (band, key16, id)
+    rows + a hash-partitioned pair distinct; the verify joins signatures
+    (8 bytes) back, never texts."""
+    sigs = simhash_signatures(ds, id_col=id_col, text_col=text_col)
+
+    def _bands(b: pa.Table) -> pa.Table:
+        sig = b["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = b[id_col]
+        n = len(sig)
+        keys = np.empty(4 * n, dtype=np.int32)
+        for bi in range(4):
+            keys[bi::4] = ((sig >> np.uint64(16 * bi))
+                           & np.uint64(0xFFFF)).astype(np.int32)
+        return pa.table({
+            "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+            "key": pa.array(keys),
+            id_col: ids.take(pa.array(np.repeat(np.arange(n), 4))),
+        })
+
+    banded = sigs.map_batches(_bands, batch_format="pyarrow")
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        import logging
+
+        a, b = _emit_bucket_pairs(
+            g[id_col].to_pylist(), max_bucket,
+            log_fn=lambda k: logging.getLogger(__name__).warning(
+                "simhash bucket truncated: %d ids > max_bucket=%d",
+                k, max_bucket))
+        t = g[id_col].type
+        return pa.table({"a": pa.array(a, t), "b": pa.array(b, t)})
+
+    cands = distinct_pairs(
+        banded.groupby(["band", "key"]).map_groups(_pairs,
+                                                   batch_format="pyarrow"),
+        num_partitions=num_partitions)
+
+    sig_tbl = sigs.map_batches(
+        lambda b: pa.table({id_col: b[id_col], "simhash": b["simhash"]}),
+        batch_format="pyarrow")
+    j1 = cands.join(sig_tbl, join_type="inner",
+                    num_partitions=num_partitions,
+                    on=("a",), right_on=(id_col,))
+    j1 = j1.map_batches(
+        lambda b: pa.table({"a": b["a"], "b": b["b"],
+                            "sig_a": b["simhash"]}),
+        batch_format="pyarrow")
+    j2 = j1.join(sig_tbl, join_type="inner", num_partitions=num_partitions,
+                 on=("b",), right_on=(id_col,))
+
+    def _verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        sa = b["sig_a"].to_numpy(zero_copy_only=False).view(np.uint64)
+        sb = b["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        x = sa ^ sb
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):  # branch-free popcount via shift-accumulate
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x = x >> np.uint64(1)
+        out = pa.table({"a": b["a"], "b": b["b"],
+                        "hamming": pa.array(ham, pa.int64())})
+        return out.filter(pc.less_equal(out["hamming"], max_hamming))
+
+    return j2.map_batches(_verify, batch_format="pyarrow")

@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..arrow_utils import rename_agg
-from .rollup import _combine
+from .rollup import _arrow_combine, _combine
 
 __all__ = ["sliding_rollup", "sessionize"]
 
@@ -31,26 +31,39 @@ def sliding_rollup(ds, window_us: int, slide_us: int, *,
                    series_col: str = "series_id", x_col: str = "x",
                    y_col: str = "y"):
     """Hopping-window aggregate: one output row per (series, window_start)
-    for every window [ws, ws+window) containing the event."""
+    for every window [ws, ws+window) containing the event.
+
+    Scale shape: rows are FIRST collapsed to per-(series, slide-bucket)
+    partials inside the block, and only those partials are replicated into
+    their ``window/slide`` member windows — the k-fold hopping-window
+    amplification applies to <= |keys| partial rows per block, never to
+    the raw events (associative (min,max,sum,count) merges make this
+    exact)."""
     if window_us % slide_us != 0:
         raise ValueError("window must be a multiple of slide")
     k = window_us // slide_us
 
     def _replicate(b: pa.Table) -> pa.Table:
-        n = b.num_rows
+        # 1) per-slide-bucket partial aggregate (the raw-row collapse)
         x = b[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         base = x // slide_us * slide_us
-        idx = np.repeat(np.arange(n), k)
-        ws = np.repeat(base, k) - np.tile(
-            np.arange(k, dtype=np.int64) * slide_us, n)
-        series = b[series_col].take(pa.array(idx))
-        y = b[y_col].take(pa.array(idx))
-        t = pa.table({"series_id": series, "bucket": pa.array(ws), "y": y})
+        t = pa.table({"series_id": b[series_col], "bucket": pa.array(base),
+                      "y": b[y_col]})
         g = t.group_by(["series_id", "bucket"]).aggregate(
             [("y", "min"), ("y", "max"), ("y", "sum"), ("y", "count")])
-        return rename_agg(g, {"series_id": "series_id", "bucket": "bucket",
-                              "y_min": "min_y", "y_max": "max_y",
-                              "y_sum": "sum_y", "y_count": "n"})
+        g = rename_agg(g, {"series_id": "series_id", "bucket": "bucket",
+                           "y_min": "min_y", "y_max": "max_y",
+                           "y_sum": "sum_y", "y_count": "n"})
+        # 2) replicate the PARTIALS into their k member windows
+        n = g.num_rows
+        idx = pa.array(np.repeat(np.arange(n), k))
+        rep = g.take(idx)
+        ws = (rep["bucket"].to_numpy(zero_copy_only=False)
+              - np.tile(np.arange(k, dtype=np.int64) * slide_us, n))
+        rep = rep.set_column(rep.column_names.index("bucket"), "bucket",
+                             pa.array(ws))
+        # 3) in-block merge of replicated partials
+        return _arrow_combine(rep)
 
     partials = ds.map_batches(_replicate, batch_format="pyarrow")
     return _combine(partials, ["series_id", "bucket"])
