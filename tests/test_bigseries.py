@@ -64,3 +64,27 @@ def test_big_series_rejects_small_input(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"x": x, "y": y}))
     with pytest.raises(ValueError):
         downsample_big_series(ds, 100)
+
+
+def test_big_series_gappy_singleton_bins(ray_session):
+    """Large x-gaps -> empty bins + <=2-point passthrough bins; many tiny
+    blocks -> per-block singleton partials (the nullable-column path)."""
+    from tsdownsample_ray.kernels.minmaxlttb import minmaxlttb
+    from tsdownsample_ray.stages.bigseries import downsample_big_series
+
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    # clustered x: dense runs separated by huge gaps
+    gaps = np.where(rng.random(8000) < 0.01, 500_000, 2)
+    x = np.cumsum(gaps).astype(np.int64)
+    y = np.round(rng.standard_normal(8000) * 50).astype(np.float64)
+    idx = minmaxlttb(x, y, 64).astype(np.intp)
+    want = pd.DataFrame({"x": x[idx], "y": y[idx]})
+
+    df = pd.DataFrame({"x": x, "y": y}).sample(frac=1.0, random_state=1)
+    ds = rd.from_pandas(df).repartition(40)
+    got = downsample_big_series(ds, 64).to_pandas()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)

@@ -81,7 +81,7 @@ def _events_s_cte(nan_every: int | None) -> str:
     else:
         cy = (f"CASE WHEN event_id % {nan_every} = 0 THEN 'NaN'::DOUBLE "
               "ELSE round(value * 100) END")
-    return f"""s AS (
+    return f"""s AS MATERIALIZED (
     SELECT event_type, event_id, {cy} AS cy,
            row_number() OVER (PARTITION BY event_type
                               ORDER BY ts, event_id) - 1 AS rn,
@@ -97,25 +97,28 @@ def _lttb_phase2_sql(n_out: int, src: str) -> str:
     NaN-propagating argmax is ``max(struct_pack(area, -p))`` under DuckDB's
     NaN-is-greatest total float order."""
     return f"""
-meta AS (
+meta AS MATERIALIZED (
     SELECT event_type, any_value(m2) AS m2,
            (any_value(m2) - 2.0) / {n_out - 2} AS bs,
            CAST(CEIL((any_value(m2) - 1.0)
                 / ((any_value(m2) - 2.0) / {n_out - 2})) AS BIGINT) AS n_off
     FROM {src} GROUP BY 1
 ),
-off AS (
-    SELECT m.event_type, k.k,
-           CAST(FLOOR(1.0 + k.k * m.bs) AS BIGINT) AS o, m.n_off, m.m2
-    FROM meta m JOIN generate_series(0, 100000000) k(k) ON k.k < m.n_off
+off AS MATERIALIZED (
+    -- per-series unnest(range(n_off)): exactly n_off rows per series (a
+    -- giant literal generate_series upper bound would materialize
+    -- hundreds of millions of rows before the join filter)
+    SELECT event_type, k,
+           CAST(FLOOR(1.0 + k * bs) AS BIGINT) AS o, n_off, m2
+    FROM (SELECT m.*, unnest(range(0, m.n_off)) AS k FROM meta m)
 ),
-buckets AS (
+buckets AS MATERIALIZED (
     SELECT event_type, k AS b, o AS lo,
            lead(o) OVER (PARTITION BY event_type ORDER BY k) AS hi,
            n_off, m2
     FROM off
 ),
-bstats AS (
+bstats AS MATERIALIZED (
     SELECT b.event_type, b.b,
            CAST(sum(t.x) AS DOUBLE) / count(*) AS avg_x,
            sum(CAST(t.cy AS DOUBLE)) / count(*) AS avg_y
@@ -124,7 +127,7 @@ bstats AS (
     WHERE b.hi IS NOT NULL
     GROUP BY 1, 2
 ),
-tavg AS (
+tavg AS MATERIALIZED (
     SELECT b.event_type, b.b AS t, b.lo, b.hi, st.avg_x, st.avg_y
     FROM buckets b JOIN bstats st ON st.event_type = b.event_type
                                  AND st.b = b.b + 1
@@ -167,7 +170,7 @@ def _lttb_sql(n_out: int) -> str:
     """Exact LTTB oracle over the full series (y = integer cents)."""
     return f"""
 WITH RECURSIVE {_events_s_cte(None)},
-sp AS (SELECT event_type, rn AS p, rn AS x, cy, cnt AS m2 FROM s),
+sp AS MATERIALIZED (SELECT event_type, rn AS p, rn AS x, cy, cnt AS m2 FROM s),
 {_lttb_phase2_sql(n_out, "sp")},
 picked AS (
     SELECT event_type, a AS rn FROM rec
@@ -199,11 +202,11 @@ def _minmaxlttb_sql(n_out: int, ratio: int, nan_every: int | None,
     out_cols = (", s.cy AS cents" if with_cents else "")
     return f"""
 WITH RECURSIVE {_events_s_cte(nan_every)},
-interior AS (
+interior AS MATERIALIZED (
     SELECT event_type, cy, rn - 1 AS irn, cnt - 2 AS m
     FROM s WHERE rn >= 1 AND rn < cnt - 1
 ),
-binned AS (
+binned AS MATERIALIZED (
     SELECT i.*, b.i AS bin,
            CASE WHEN b.i = 0 THEN 0
                 ELSE CAST(FLOOR(b.i * ((i.m - 1.0) / {nb1})) AS BIGINT) + 1
@@ -214,12 +217,12 @@ binned AS (
            END AS bhi
     FROM interior i JOIN generate_series(0, {nb1 - 1}) b(i) ON TRUE
 ),
-inbin AS (SELECT * FROM binned WHERE irn >= blo AND irn < bhi),
-ext AS (
+inbin AS MATERIALIZED (SELECT * FROM binned WHERE irn >= blo AND irn < bhi),
+ext AS MATERIALIZED (
     SELECT event_type, bin, min(cy) AS mn, max(cy) AS mx{ext_nan}
     FROM inbin GROUP BY 1, 2
 ),
-selbin AS (
+selbin AS MATERIALIZED (
     SELECT ib.event_type, ib.bin,
            {sel_min} AS rn_min,
            {sel_max} AS rn_max
@@ -234,7 +237,7 @@ presel_rns AS (
     UNION ALL SELECT event_type, greatest(rn_min, rn_max) + 1 FROM selbin
     UNION ALL SELECT event_type, any_value(cnt) - 1 FROM s GROUP BY event_type
 ),
-presel AS (
+presel AS MATERIALIZED (
     SELECT p.event_type,
            row_number() OVER (PARTITION BY p.event_type
                               ORDER BY p.rn) - 1 AS p,
@@ -258,7 +261,7 @@ def _nan_binned_sql(nb: int, extra_ext: str = "", extra_pick: str = "") -> str:
     (NaN in a bin -> its FIRST NaN index is both extremes, matching
     np.argmin/argmax propagation)."""
     return f"""
-binned AS (
+binned AS MATERIALIZED (
     SELECT s.*, b.i,
            CASE WHEN b.i = 0 THEN 0
                 ELSE CAST(FLOOR(b.i * ((s.cnt - 1.0) / {nb})) AS BIGINT) + 1
@@ -269,8 +272,8 @@ binned AS (
            END AS hi
     FROM s JOIN generate_series(0, {nb - 1}) b(i) ON TRUE
 ),
-inbin AS (SELECT * FROM binned WHERE rn >= lo AND rn < hi),
-ext AS (
+inbin AS MATERIALIZED (SELECT * FROM binned WHERE rn >= lo AND rn < hi),
+ext AS MATERIALIZED (
     SELECT event_type, i, min(cy) AS mn, max(cy) AS mx,
            bool_or(isnan(cy)) AS has_nan,
            min(rn) FILTER (WHERE isnan(cy)) AS rn_nan{extra_ext}
@@ -666,19 +669,29 @@ def q_distinct_urls_per_domain(sf_dir: str):
     du = pages.map_batches(_dom, batch_format="pyarrow")
     est = distinct_approx(du, key_col="domain", value_col="url").to_pandas()
 
-    def _dedupe(b: pa.Table) -> pa.Table:
-        return b.group_by(["domain", "url"]).aggregate([])
+    # exact side, scale-safe: hash-partitioned (domain, url) distinct (a
+    # hot domain spreads across partitions by url hash), then per-block
+    # partial counts -> tiny per-domain merge. Never one group per domain.
+    from ..arrow_utils import rename_agg
+    from ..stages.dedup import distinct_pairs
 
-    def _cnt(g: pa.Table) -> pa.Table:
-        return pa.table({
-            "domain": g["domain"][:1],
-            "exact_distinct": pa.array(
-                [pc.count_distinct(g["url"]).as_py()], pa.int64()),
-        })
+    distinct = distinct_pairs(du, cols=("domain", "url"), num_partitions=16)
 
-    exact = (du.map_batches(_dedupe, batch_format="pyarrow")
-             .groupby("domain").map_groups(_cnt, batch_format="pyarrow")
+    def _cnt_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["domain"]).aggregate([("url", "count")])
+        return rename_agg(g, {"domain": "domain",
+                              "url_count": "exact_distinct"})
+
+    def _cnt_merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["domain"]).aggregate([("exact_distinct", "sum")])
+        return rename_agg(g, {"domain": "domain",
+                              "exact_distinct_sum": "exact_distinct"})
+
+    exact = (distinct.map_batches(_cnt_partial, batch_format="pyarrow")
+             .repartition(1)
+             .map_batches(_cnt_merge, batch_format="pyarrow")
              .to_pandas())
+    exact["exact_distinct"] = exact["exact_distinct"].astype("int64")
     m = exact.merge(est, on="domain")
     m["est_in_band"] = (
         (m["distinct_est"] - m["exact_distinct"]).abs()
@@ -948,18 +961,18 @@ WITH RECURSIVE e AS (
            CAST(round(value * 100) AS BIGINT) AS cy
     FROM events
 ),
-s AS (
+s AS MATERIALIZED (
     SELECT 'all' AS event_type, x, cy,
            row_number() OVER (ORDER BY x) - 1 AS rn,
            count(*) OVER () AS cnt
     FROM e
 ),
-edges AS (
+edges AS MATERIALIZED (
     SELECT max(CASE WHEN rn = 1 THEN x END) AS x1,
            max(CASE WHEN rn = cnt - 2 THEN x END) AS xm2
     FROM s
 ),
-assigned AS (
+assigned AS MATERIALIZED (
     SELECT i.event_type, i.x, i.cy, i.rn, count(k.k) AS bin
     FROM (SELECT s.*, e2.x1, e2.xm2 FROM s, edges e2
           WHERE rn >= 1 AND rn <= cnt - 2) i
@@ -969,11 +982,11 @@ assigned AS (
          < CAST(i.x AS DOUBLE)
     GROUP BY ALL
 ),
-ext AS (
+ext AS MATERIALIZED (
     SELECT bin, count(*) AS nbin, min(cy) AS mn, max(cy) AS mx
     FROM assigned GROUP BY 1
 ),
-selp AS (
+selp AS MATERIALIZED (
     SELECT a.bin,
            min(a.rn) FILTER (WHERE a.cy = e.mn) AS rn_min,
            min(a.rn) FILTER (WHERE a.cy = e.mx) AS rn_max
@@ -989,7 +1002,7 @@ presel_rns AS (
               WHERE e.nbin <= 2
     UNION ALL SELECT any_value(cnt) - 1 FROM s
 ),
-presel AS (
+presel AS MATERIALIZED (
     SELECT s.event_type,
            row_number() OVER (ORDER BY p.rn) - 1 AS p,
            s.x, s.cy,
@@ -1598,7 +1611,7 @@ ORACLE_SQL = {
         WITH o AS (
             SELECT user_id, epoch_us(ts) AS t, event_id FROM events
         ),
-        s AS (
+        s AS MATERIALIZED (
             SELECT user_id, t, event_id,
                    CASE WHEN lag(t) OVER w IS NULL
                              OR t - lag(t) OVER w > {30 * 60 * US}
@@ -1619,7 +1632,7 @@ ORACLE_SQL = {
         FROM t2 GROUP BY user_id, sess
     """,
     "everynth_events": f"""
-        WITH s AS (
+        WITH s AS MATERIALIZED (
             SELECT event_type, event_id,
                    row_number() OVER (PARTITION BY event_type
                                       ORDER BY ts, event_id) - 1 AS rn,
@@ -1636,14 +1649,14 @@ ORACLE_SQL = {
     # argmin/argmax with FIRST-occurrence tie-breaking via min(rn) over the
     # rows attaining the bin extreme.
     "minmax_events": """
-        WITH s AS (
+        WITH s AS MATERIALIZED (
             SELECT event_type, event_id, value,
                    row_number() OVER (PARTITION BY event_type
                                       ORDER BY ts, event_id) - 1 AS rn,
                    count(*) OVER (PARTITION BY event_type) AS cnt
             FROM events
         ),
-        binned AS (
+        binned AS MATERIALIZED (
             SELECT s.*, b.i,
                    CASE WHEN b.i = 0 THEN 0
                         ELSE CAST(FLOOR(b.i * ((s.cnt - 1.0) / 10)) AS BIGINT) + 1
@@ -1653,8 +1666,8 @@ ORACLE_SQL = {
                    END AS hi
             FROM s JOIN generate_series(0, 9) b(i) ON TRUE
         ),
-        inbin AS (SELECT * FROM binned WHERE rn >= lo AND rn < hi),
-        ext AS (
+        inbin AS MATERIALIZED (SELECT * FROM binned WHERE rn >= lo AND rn < hi),
+        ext AS MATERIALIZED (
             SELECT event_type, i,
                    min(value) AS mn, max(value) AS mx
             FROM inbin GROUP BY 1, 2
@@ -1675,14 +1688,14 @@ ORACLE_SQL = {
         FROM s JOIN picked p ON s.event_type = p.event_type AND s.rn = p.rn
     """,
     "m4_events": """
-        WITH s AS (
+        WITH s AS MATERIALIZED (
             SELECT event_type, event_id, value,
                    row_number() OVER (PARTITION BY event_type
                                       ORDER BY ts, event_id) - 1 AS rn,
                    count(*) OVER (PARTITION BY event_type) AS cnt
             FROM events
         ),
-        binned AS (
+        binned AS MATERIALIZED (
             SELECT s.*, b.i,
                    CASE WHEN b.i = 0 THEN 0
                         ELSE CAST(FLOOR(b.i * ((s.cnt - 1.0) / 5)) AS BIGINT) + 1
@@ -1692,8 +1705,8 @@ ORACLE_SQL = {
                    END AS hi
             FROM s JOIN generate_series(0, 4) b(i) ON TRUE
         ),
-        inbin AS (SELECT * FROM binned WHERE rn >= lo AND rn < hi),
-        ext AS (
+        inbin AS MATERIALIZED (SELECT * FROM binned WHERE rn >= lo AND rn < hi),
+        ext AS MATERIALIZED (
             SELECT event_type, i, min(rn) AS first_rn, max(rn) AS last_rn,
                    min(value) AS mn, max(value) AS mx
             FROM inbin GROUP BY 1, 2
@@ -1735,14 +1748,14 @@ ORACLE_SQL = {
             FROM events
             WHERE (epoch_us(ts) // {86_400_000_000}) % 9 < 4
         ),
-        s AS (
+        s AS MATERIALIZED (
             SELECT *, row_number() OVER (PARTITION BY event_type
                                          ORDER BY x, event_id) - 1 AS rn,
                    min(x) OVER (PARTITION BY event_type) AS x0,
                    max(x) OVER (PARTITION BY event_type) AS xn
             FROM e
         ),
-        assigned AS (
+        assigned AS MATERIALIZED (
             SELECT s.event_type, s.event_id, s.x, s.cy, s.rn,
                    count(k.k) AS bin
             FROM s LEFT JOIN generate_series(1, 9) k(k)
@@ -1752,7 +1765,7 @@ ORACLE_SQL = {
                  < CAST(s.x AS DOUBLE)
             GROUP BY ALL
         ),
-        ext AS (
+        ext AS MATERIALIZED (
             SELECT event_type, bin, count(*) AS nbin,
                    min(cy) AS mn, max(cy) AS mx
             FROM assigned GROUP BY 1, 2

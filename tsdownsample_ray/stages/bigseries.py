@@ -186,7 +186,11 @@ def downsample_big_series(ds, n_out: int, *, x_col: str = "x",
     xs, ys = [int(x0)], [float(y0)]
     if len(pt):
         for _, grp in pt.sort_values("bin").groupby("bin", sort=True):
-            rows = {k: grp[k].to_numpy() for k in pt.columns}
+            # uniform float64 view (None -> NaN): pandas gives OBJECT dtype
+            # to nullable int columns, which breaks vectorized merging; x
+            # stays exact below 2^53 (already required by the f64 LTTB math)
+            rows = {k: pd.to_numeric(grp[k], errors="coerce")
+                    .to_numpy(dtype=np.float64) for k in pt.columns}
             for px, py in _merge_bin(rows, nan_policy_return):
                 xs.append(px)
                 ys.append(py)
