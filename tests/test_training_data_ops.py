@@ -289,3 +289,65 @@ def test_simhash_near_dup_perfect_recall(ray_session):
         num_partitions=2).to_pandas()
     found = {tuple(sorted((r.a, r.b))) for r in got.itertuples()}
     assert found == truth
+
+
+def test_simhash_near_dup_sparse_default_partitions(ray_session):
+    """Sparse candidates at the DEFAULT num_partitions: 1-id buckets emit
+    empty pair blocks which must not break the verify joins (Ray drops
+    empty blocks' schemas through its hash-shuffle join)."""
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.dedup import simhash_near_dup_pairs
+
+    base = " ".join(f"tok{i}" for i in range(120))
+    docs = {0: base}
+    for k in range(1, 8):
+        toks = base.split()
+        toks[k * 3] = f"alt{k}"
+        docs[k] = " ".join(toks)
+    docs[8] = " ".join(f"other{i}" for i in range(120))
+    t = pa.table({"doc_id": list(docs), "text": list(docs.values())})
+    out = simhash_near_dup_pairs(rd.from_arrow(t).repartition(2),
+                                 max_hamming=3).to_pandas()
+    assert len(out) > 0
+    assert (out["hamming"] <= 3).all()
+
+
+def test_near_dup_zero_candidates(ray_session):
+    """All-distinct corpus -> zero candidate pairs -> the verify joins see
+    an empty (possibly zero-block) left side and must return empty."""
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.dedup import (near_dup_pairs,
+                                               simhash_near_dup_pairs)
+
+    docs = {i: " ".join(f"w{i}_{j}" for j in range(80)) for i in range(6)}
+    t = pa.table({"doc_id": list(docs), "text": list(docs.values())})
+    nd = near_dup_pairs(rd.from_arrow(t), num_perm=32, bands=4,
+                        threshold=0.9, num_partitions=2).to_pandas()
+    assert len(nd) == 0
+    sh = simhash_near_dup_pairs(rd.from_arrow(t), max_hamming=1,
+                                num_partitions=2).to_pandas()
+    assert len(sh) == 0
+
+
+def test_partition_hash_null_series_keys(ray_session):
+    """Null series keys must route like the string 'None', not crash the
+    dictionary-code take (NaN index -> -2^63 -> IndexError)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tsdownsample_ray.arrow_utils import stable_part_codes
+    from tsdownsample_ray.stages.rollup import rollup
+
+    col = pa.array(["a", None, "b", None])
+    codes = stable_part_codes(col, 8)
+    ref = stable_part_codes(pa.array(["a", "None", "b", "None"]), 8)
+    assert list(codes) == list(ref)
+
+    t = pa.table({"series_id": pa.array(["a", None, "a", None]),
+                  "x": pa.array([0, 1, 2, 3], pa.int64()),
+                  "y": pa.array([1, 2, 3, 4], pa.int64())})
+    out = (rollup(rd.from_arrow(t), 10, combine="hashpart")
+           .to_pandas().sort_values("series_id", na_position="last"))
+    assert out["sum_y"].tolist() == [4, 6]  # a: 1+3, null: 2+4

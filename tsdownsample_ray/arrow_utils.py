@@ -11,7 +11,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["col_to_numpy", "table_sorted_by", "rename_agg"]
+__all__ = ["col_to_numpy", "table_sorted_by", "rename_agg",
+           "stable_part_codes", "drop_empty_blocks"]
 
 
 def rename_agg(g: pa.Table, mapping: dict) -> pa.Table:
@@ -23,6 +24,44 @@ def rename_agg(g: pa.Table, mapping: dict) -> pa.Table:
     ``mapping`` is {generated_name: wanted_name} and also fixes the order.
     """
     return g.select(list(mapping)).rename_columns(list(mapping.values()))
+
+
+def stable_part_codes(col, mod: int | None) -> np.ndarray:
+    """Deterministic hash per row: crc32 over the DICTIONARY-ENCODED
+    uniques (O(uniques) hashing, not O(rows)), null-safe — a null key
+    hashes like the string 'None' (matching the historical
+    ``crc32(str(s))`` row hash; a null index would otherwise surface as
+    NaN->-2^63 and crash the take). Returns int32 codes in ``[0, mod)``,
+    or the raw uint64 crc values when ``mod`` is None."""
+    import zlib
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = col.dictionary_encode()
+    crcs = [zlib.crc32(str(s).encode()) for s in d.dictionary.to_pylist()]
+    crcs.append(zlib.crc32(b"None"))  # slot -1: null rows
+    u = np.array(crcs, dtype=np.uint64)
+    if mod is not None:
+        u = (u % np.uint64(mod)).astype(np.int32)
+    idx = d.indices
+    if idx.null_count:
+        idx = idx.fill_null(-1)
+    codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+    return u[codes]
+
+
+def drop_empty_blocks(ds):
+    """Re-emit only non-empty batches (generator UDF -> zero yields emit no
+    block). Ray's hash-shuffle join loses the schema of empty blocks
+    ("Operator produced a RefBundle with a different schema ... new
+    schema: ."), which can crash a join partition fed only empties; sparse
+    candidate-pair stages produce exactly such blocks."""
+
+    def _gen(b: pa.Table):
+        if b.num_rows:
+            yield b
+
+    return ds.map_batches(_gen, batch_format="pyarrow")
 
 
 def col_to_numpy(col) -> np.ndarray:

@@ -1448,12 +1448,20 @@ def q_multimodal_wav_decode(sf_dir: str):
         off = s.offsets.to_numpy(zero_copy_only=False).astype(_np.int64)
         cs = _np.concatenate([[0], _np.cumsum(codes)])
         n = off[1:] - off[:-1]
+        # empty docs: clip the gather indices and mask to -1 (an unguarded
+        # codes[off[i]] would read the NEXT doc's first sample)
+        first = _np.where(
+            n > 0, codes[_np.minimum(off[:-1], len(codes) - 1)]
+            if len(codes) else 0, -1)
+        last = _np.where(
+            n > 0, codes[_np.maximum(off[1:] - 1, 0)]
+            if len(codes) else 0, -1)
         return pa.table({
             "media_id": b["media_id"],
             "n_samples": pa.array(n, pa.int64()),
             "sum_codes": pa.array(cs[off[1:]] - cs[off[:-1]], pa.int64()),
-            "first_code": pa.array(codes[off[:-1]], pa.int64()),
-            "last_code": pa.array(codes[off[1:] - 1], pa.int64()),
+            "first_code": pa.array(first, pa.int64()),
+            "last_code": pa.array(last, pa.int64()),
         })
 
     return dec.map_batches(_stats, batch_format="pyarrow")
@@ -1850,11 +1858,15 @@ ORACLE_SQL = {
     "multimodal_wav_decode": """
         SELECT doc_id AS media_id,
                length(text) AS n_samples,
-               CAST(list_sum(list_transform(range(1, length(text) + 1),
-                    i -> unicode(substring(text, i, 1)))) AS BIGINT)
+               CAST(COALESCE(list_sum(list_transform(
+                    range(1, length(text) + 1),
+                    i -> unicode(substring(text, i, 1)))), 0) AS BIGINT)
                     AS sum_codes,
-               unicode(substring(text, 1, 1)) AS first_code,
-               unicode(substring(text, length(text), 1)) AS last_code
+               CASE WHEN length(text) = 0 THEN -1
+                    ELSE unicode(substring(text, 1, 1)) END AS first_code,
+               CASE WHEN length(text) = 0 THEN -1
+                    ELSE unicode(substring(text, length(text), 1))
+               END AS last_code
         FROM documents
     """,
     # the GPT-2-style pretokenizer count; RE2 has no lookahead, so the

@@ -62,6 +62,10 @@ def _series_edges(ds, x_col: str, y_col: str):
     x = np.array([r["x"] for r in parts], dtype=np.int64)
     y = np.array([r["y"] for r in parts], dtype=np.float64)
     n = int(sum(r["cnt"] for r in parts))
+    if len(x) < 4 or n < 4:
+        raise ValueError(
+            f"series too small for the two-phase path ({n} points); use "
+            "downsample_dataset / the kernels directly")
     order = np.argsort(x, kind="stable")
     lo, hi = order[:2], order[-2:]
     return (x[lo[0]], y[lo[0]], x[lo[1]],       # x0, y0, x1

@@ -163,12 +163,14 @@ def minhash_signatures(ds, **kw):
                           batch_format="pyarrow", concurrency=(1, 8))
 
 
-def _emit_bucket_pairs(ids: list, max_bucket: int, log_fn=None) -> tuple:
-    """All-pairs over one bucket, vectorized; buckets beyond ``max_bucket``
-    are truncated (logged) — an unbounded hot bucket (boilerplate-heavy
-    corpora) would otherwise emit O(n^2) pairs."""
+def _emit_bucket_pairs(ids: list, max_bucket: int | None,
+                       log_fn=None) -> tuple:
+    """All-pairs over one bucket, vectorized. ``max_bucket`` truncates
+    oversized buckets (logged) as an OPT-IN scale guard — it trades
+    exactness for bounded O(max_bucket^2) emission, so operators that
+    promise equality with a quadratic definition must leave it None."""
     ids = sorted(ids)
-    if len(ids) > max_bucket:
+    if max_bucket is not None and len(ids) > max_bucket:
         if log_fn is not None:
             log_fn(len(ids))
         ids = ids[:max_bucket]
@@ -178,6 +180,60 @@ def _emit_bucket_pairs(ids: list, max_bucket: int, log_fn=None) -> tuple:
     iu = np.triu_indices(n, k=1)
     arr = np.asarray(ids, dtype=object)
     return arr[iu[0]].tolist(), arr[iu[1]].tolist()
+
+
+def join_pair_payload(pairs_ds, payload_ds, *, id_col: str,
+                      payload_col: str, num_partitions: int = 8):
+    """Re-acquire a per-id payload for BOTH sides of candidate pairs via
+    two hash-partitioned ``Dataset.join``s (shuffle pairs on ``a``, join,
+    shuffle on ``b``, join) — the scale-safe alternative to broadcasting
+    the payload table. Returns ``(a, b, payload_a, payload_b)`` where
+    ``payload_b`` keeps ``payload_col``'s name.
+
+    Empty candidate blocks (1-id buckets emit them structurally) are
+    dropped before each join — Ray's hash-shuffle join loses empty blocks'
+    schemas and a partition fed only empties fails to resolve the key
+    column — and an entirely-empty pair set short-circuits to a typed
+    empty result (a ZERO-block dataset has no schema to join on at all).
+    The candidate set is materialized first: it is orders of magnitude
+    smaller than the corpus, and the joins would otherwise re-execute the
+    whole candidate pipeline."""
+    import ray.data as rd
+
+    from ..arrow_utils import drop_empty_blocks
+
+    psch = payload_ds.schema()  # ray Schema: .names / .types (pyarrow)
+    ptype = dict(zip(psch.names, psch.types))[payload_col]
+
+    def _typed_empty(cands):
+        csch = cands.schema()
+        itype = (dict(zip(csch.names, csch.types)).get("a")
+                 if csch else None)
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], itype or pa.int64()),
+            "b": pa.array([], itype or pa.int64()),
+            "payload_a": pa.array([], ptype),
+            payload_col: pa.array([], ptype),
+        }))
+
+    payload = payload_ds.map_batches(
+        lambda b: pa.table({id_col: b[id_col], payload_col: b[payload_col]}),
+        batch_format="pyarrow")
+    cands = pairs_ds.materialize()
+    if cands.count() == 0:
+        return _typed_empty(cands)
+    j1 = drop_empty_blocks(cands).join(
+        payload, join_type="inner", num_partitions=num_partitions,
+        on=("a",), right_on=(id_col,))
+    j1 = j1.map_batches(
+        lambda b: pa.table({"a": b["a"], "b": b["b"],
+                            "payload_a": b[payload_col]}),
+        batch_format="pyarrow").materialize()
+    if j1.count() == 0:  # inner join may drop every pair
+        return _typed_empty(cands)
+    return drop_empty_blocks(j1).join(
+        payload, join_type="inner", num_partitions=num_partitions,
+        on=("b",), right_on=(id_col,))
 
 
 def distinct_pairs(pairs_ds, *, num_partitions: int = 16,
@@ -212,13 +268,15 @@ def distinct_pairs(pairs_ds, *, num_partitions: int = 16,
 
 
 def lsh_candidate_pairs(sig_ds, *, bands: int = 16, id_col: str = "doc_id",
-                        max_bucket: int = 512, num_partitions: int = 16):
+                        max_bucket: int | None = None,
+                        num_partitions: int = 16):
     """signatures -> banded buckets -> distinct candidate pairs (a < b).
 
     The band groupby shuffles ``(band, band_hash, id)`` rows only (key
-    space = band hashes -> uniform); per-bucket pair emission is capped at
-    ``max_bucket`` ids (dropped counts logged) and the cross-band pair
-    dedup is a hash-partitioned distinct, never a single block."""
+    space = band hashes -> uniform); the cross-band pair dedup is a
+    hash-partitioned distinct, never a single block. ``max_bucket`` is an
+    OPT-IN guard that truncates pathological buckets (logged) at the cost
+    of missed pairs — leave None when downstream claims exact recall."""
 
     def _bands(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_pylist()
@@ -260,24 +318,14 @@ def lsh_candidate_pairs(sig_ds, *, bands: int = 16, id_col: str = "doc_id",
 def verify_jaccard_pairs(pairs_ds, texts_ds, *, id_col: str = "doc_id",
                          text_col: str = "text", shingle_w: int = 3,
                          threshold: float = 0.8, num_partitions: int = 8):
-    """Exact-Jaccard verification of candidate pairs via TWO
-    hash-partitioned joins against the text table (pairs shuffle on ``a``,
-    join, shuffle on ``b``, join) — the text table is never broadcast or
-    materialized on the driver, so the stage survives any corpus size.
-    An actor-held shingle cache (keyed by id) amortizes re-shingling of
-    ids that appear in many pairs."""
-    texts = texts_ds.map_batches(
-        lambda b: pa.table({id_col: b[id_col], text_col: b[text_col]}),
-        batch_format="pyarrow")
-    j1 = pairs_ds.join(texts, join_type="inner",
-                       num_partitions=num_partitions,
-                       on=("a",), right_on=(id_col,))
-    j1 = j1.map_batches(
-        lambda b: pa.table({"a": b["a"], "b": b["b"],
-                            "text_a": b[text_col]}),
-        batch_format="pyarrow")
-    j2 = j1.join(texts, join_type="inner", num_partitions=num_partitions,
-                 on=("b",), right_on=(id_col,))
+    """Exact-Jaccard verification of candidate pairs: texts re-acquired
+    through the hash-partitioned ``join_pair_payload`` scaffold (never
+    broadcast / driver-materialized, so the stage survives any corpus
+    size). An actor-held shingle cache (keyed by id) amortizes
+    re-shingling of ids that appear in many pairs."""
+    j2 = join_pair_payload(pairs_ds, texts_ds, id_col=id_col,
+                           payload_col=text_col,
+                           num_partitions=num_partitions)
 
     class _Verify:
         def __init__(self):
@@ -295,7 +343,7 @@ def verify_jaccard_pairs(pairs_ds, texts_ds, *, id_col: str = "doc_id",
         def __call__(self, b: pa.Table) -> pa.Table:
             a_ids = b["a"].to_pylist()
             b_ids = b["b"].to_pylist()
-            ta = b["text_a"].to_pylist()
+            ta = b["payload_a"].to_pylist()
             tb = b[text_col].to_pylist()
             js = [jaccard(self._sh(x, xt), self._sh(y, yt))
                   for x, xt, y, yt in zip(a_ids, ta, b_ids, tb)]
@@ -358,16 +406,18 @@ def simhash_signatures(ds, **kw):
 
 def simhash_near_dup_pairs(ds, *, id_col: str = "doc_id",
                            text_col: str = "text", max_hamming: int = 3,
-                           max_bucket: int = 512, num_partitions: int = 8):
+                           max_bucket: int | None = None,
+                           num_partitions: int = 8):
     """SimHash near-duplicate pairs: 64-bit signatures banded into FOUR
     16-bit blocks; any pair within Hamming distance <= 3 must agree on at
     least one whole block (pigeonhole: 3 differing bits cannot touch all 4
     blocks), so the band groupby has PERFECT recall at ``max_hamming <= 3``
     — the exact-hamming verify then keeps true pairs only, making the
     whole operator's output EQUAL to the quadratic all-pairs definition
-    (the SQL oracle) at any scale. One band shuffle of (band, key16, id)
-    rows + a hash-partitioned pair distinct; the verify joins signatures
-    (8 bytes) back, never texts."""
+    (the SQL oracle) at any scale PROVIDED ``max_bucket`` stays None (the
+    opt-in truncation guard trades that exactness for bounded emission).
+    One band shuffle of (band, key16, id) rows + a hash-partitioned pair
+    distinct; the verify joins signatures (8 bytes) back, never texts."""
     sigs = simhash_signatures(ds, id_col=id_col, text_col=text_col)
 
     def _bands(b: pa.Table) -> pa.Table:
@@ -402,25 +452,16 @@ def simhash_near_dup_pairs(ds, *, id_col: str = "doc_id",
                                                    batch_format="pyarrow"),
         num_partitions=num_partitions)
 
-    sig_tbl = sigs.map_batches(
-        lambda b: pa.table({id_col: b[id_col], "simhash": b["simhash"]}),
-        batch_format="pyarrow")
-    j1 = cands.join(sig_tbl, join_type="inner",
-                    num_partitions=num_partitions,
-                    on=("a",), right_on=(id_col,))
-    j1 = j1.map_batches(
-        lambda b: pa.table({"a": b["a"], "b": b["b"],
-                            "sig_a": b["simhash"]}),
-        batch_format="pyarrow")
-    j2 = j1.join(sig_tbl, join_type="inner", num_partitions=num_partitions,
-                 on=("b",), right_on=(id_col,))
+    j2 = join_pair_payload(cands, sigs, id_col=id_col,
+                           payload_col="simhash",
+                           num_partitions=num_partitions)
 
     def _verify(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64()),
+            # typed empty: reuse the batch's OWN id/payload types
+            return pa.table({"a": b["a"], "b": b["b"],
                              "hamming": pa.array([], pa.int64())})
-        sa = b["sig_a"].to_numpy(zero_copy_only=False).view(np.uint64)
+        sa = b["payload_a"].to_numpy(zero_copy_only=False).view(np.uint64)
         sb = b["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
         x = sa ^ sb
         ham = np.zeros(len(x), dtype=np.int64)

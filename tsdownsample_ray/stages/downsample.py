@@ -104,22 +104,14 @@ def downsample_partitioned(
     ``num_partitions`` groups is flat. Salting a hot series is a matter of
     widening ``num_partitions`` — series stay whole by construction.
     Results are identical (pytest-checked)."""
-    import zlib
-
     if isinstance(kernel, str):
         kernel = get_kernel(kernel)
 
     def _add_part(b: pa.Table) -> pa.Table:
-        # dictionary-encode, crc32 only the uniques, take back by code —
-        # O(uniques) hashing instead of O(rows)
-        col = b[series_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        d = col.dictionary_encode()
-        upart = np.array([zlib.crc32(str(s).encode()) % num_partitions
-                          for s in d.dictionary.to_pylist()], dtype=np.int32)
-        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        return b.append_column("__part", pa.array(upart[codes], pa.int32()))
+        from ..arrow_utils import stable_part_codes
+
+        part = stable_part_codes(b[series_col], num_partitions)
+        return b.append_column("__part", pa.array(part, pa.int32()))
 
     # deterministic order even with duplicate x: callers with possible ties
     # pass tiebreak_cols (e.g. an id column), matching the per-series path

@@ -113,9 +113,9 @@ def _combine(ds, keys, *, mode: str = "tree", fanin: int = 16):
             lambda b: _arrow_combine(b, keys), batch_format="pyarrow")
 
     if mode == "hashpart":
-        import zlib
-
         import numpy as np
+
+        from ..arrow_utils import stable_part_codes
 
         kcols = list(keys)
 
@@ -123,15 +123,8 @@ def _combine(ds, keys, *, mode: str = "tree", fanin: int = 16):
             b = _arrow_combine(b, kcols)  # in-block pre-collapse
             # row hash mixes ALL group keys (a salted hot key must spread
             # across reducers): crc32 of the dictionary-encoded series
-            # uniques, then int keys folded in with a uint64 mix
-            col = b[kcols[0]]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            d = col.dictionary_encode()
-            uh = np.array([zlib.crc32(str(s).encode())
-                           for s in d.dictionary.to_pylist()],
-                          dtype=np.uint64)
-            h = uh[d.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+            # uniques (null-safe), then int keys folded in with a uint64 mix
+            h = stable_part_codes(b[kcols[0]], None)
             for kc in kcols[1:]:
                 v = b[kc]
                 if isinstance(v, pa.ChunkedArray):

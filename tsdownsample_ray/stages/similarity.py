@@ -131,15 +131,12 @@ def embedding_near_dup_pairs(ds, *, threshold: float = 0.9,
                                 pa.binary()),
         })
 
+    from .dedup import join_pair_payload
+
     vecs = ds.map_batches(_serialize, batch_format="pyarrow")
-    j1 = cands.join(vecs, join_type="inner", num_partitions=num_partitions,
-                    on=("a",), right_on=(id_col,))
-    j1 = j1.map_batches(
-        lambda b: pa.table({"a": b["a"], "b": b["b"],
-                            "vec_a": b["vec_bin"]}),
-        batch_format="pyarrow")
-    j2 = j1.join(vecs, join_type="inner", num_partitions=num_partitions,
-                 on=("b",), right_on=(id_col,))
+    j2 = join_pair_payload(cands, vecs, id_col=id_col,
+                           payload_col="vec_bin",
+                           num_partitions=num_partitions)
 
     def _unpack(column) -> np.ndarray:
         if isinstance(column, pa.ChunkedArray):
@@ -150,10 +147,10 @@ def embedding_near_dup_pairs(ds, *, threshold: float = 0.9,
 
     def _verify(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64()),
+            # typed empty: reuse the batch's own id types
+            return pa.table({"a": b["a"], "b": b["b"],
                              "cosine": pa.array([], pa.float64())})
-        Ea = _unpack(b["vec_a"])
+        Ea = _unpack(b["payload_a"])
         Eb = _unpack(b["vec_bin"])
         cos = (Ea * Eb).sum(axis=1) / (
             np.linalg.norm(Ea, axis=1) * np.linalg.norm(Eb, axis=1))

@@ -109,18 +109,12 @@ class StreamingRollup:
         self.partitions = partitions
 
     def _route(self, batch: pa.Table):
-        import zlib
+        from .arrow_utils import stable_part_codes
 
-        col = batch["series_id"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        # stable hash (not PYTHONHASHSEED-randomized) -> reproducible
-        # routing; str() admits non-string series keys (ints etc.);
-        # dictionary-encode so only UNIQUE keys are hashed
-        d = col.dictionary_encode()
-        upart = np.array([zlib.crc32(str(s).encode()) % self.partitions
-                          for s in d.dictionary.to_pylist()])
-        part = upart[d.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        # stable crc32 hash (not PYTHONHASHSEED-randomized) -> reproducible
+        # routing; str() admits non-string series keys; null-safe;
+        # dictionary-encoded so only UNIQUE keys are hashed
+        part = stable_part_codes(batch["series_id"], self.partitions)
         for p in range(self.partitions):
             mask = part == p
             if mask.any():
