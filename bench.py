@@ -99,11 +99,15 @@ def run_bench() -> dict:
         "minhash_docs", "simhash_docs", "embedding_near_dups",
         "fingerprint_docs", "quality_docs")
     for qname in qnames:
-        t0 = time.time()
-        res = Q.QUERIES[qname](SF_DIR)
-        if hasattr(res, "count"):
-            res.count()
-        timings[f"q_{qname}"] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):  # min-of-2: throttle bursts vary timings ~3x
+            t0 = time.time()
+            res = Q.QUERIES[qname](SF_DIR)
+            if hasattr(res, "count"):
+                res.count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[f"q_{qname}"] = round(best, 3)
 
     if not os.environ.get("BENCH_SKIP_QUERIES"):
         # skew handling, like for like on the scale-safe hash-partitioned
