@@ -1347,6 +1347,32 @@ def q_multimodal_frame_sample(sf_dir: str):
 # catalog
 # ---------------------------------------------------------------------------
 
+def q_chunkstore_downsample(sf_dir: str, n_out: int = 8):
+    """Serve a visualization downsample DIRECTLY from the compressed chunk
+    store: 15-min rollup -> canonical Gorilla/DoD chunks -> decode ->
+    per-series with-x MinMax over (bucket, sum_y). Proves the chunk store
+    is a first-class query source (decode feeds the kernels losslessly);
+    the oracle replays rollup + x-value-bin MinMax in SQL."""
+    from ..stages.compress import ChunkDecompressor, compress_chunks_per_series
+
+    t0 = rollup(_series(sf_dir), W15M)
+    chunks = compress_chunks_per_series(
+        t0, {"min_y": "i8", "max_y": "i8", "sum_y": "i8", "n": "i8"})
+    decoded = chunks.map_batches(
+        ChunkDecompressor, fn_constructor_kwargs={
+            "value_cols": {"min_y": "i8", "max_y": "i8", "sum_y": "i8",
+                           "n": "i8"}},
+        batch_format="pyarrow", concurrency=(1, 8))
+
+    def _group(tbl: pa.Table) -> pa.Table:
+        out = downsample_table(tbl, "minmax", n_out, x_col="bucket",
+                               y_col="sum_y")
+        return out.select(["series_id", "bucket", "sum_y"])
+
+    return decoded.groupby("series_id").map_groups(_group,
+                                                   batch_format="pyarrow")
+
+
 def q_corpus_curation(sf_dir: str):
     """The canonical training-data curation flow as ONE pipeline:
     quality-filter (length + stopword ratio) -> exact dedup by fingerprint
@@ -1512,6 +1538,7 @@ QUERIES = {
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_wav_decode": q_multimodal_wav_decode,
     "corpus_curation": q_corpus_curation,
+    "chunkstore_downsample": q_chunkstore_downsample,
 }
 
 ORACLE_SQL = {
@@ -1848,6 +1875,58 @@ ORACLE_SQL = {
         FROM documents
     """,
     "lang_id_docs": _langid_sql(),
+    # rollup -> (chunk store roundtrip is lossless, so the oracle skips it)
+    # per-series with-x MinMax over (bucket, sum_y): x-value bins via
+    # boundary counts, <=2-point passthrough, empty bins vanish, unique'd
+    "chunkstore_downsample": f"""
+        WITH {PAGES_CTE},
+        r AS MATERIALIZED (
+            SELECT series_id, (ts_us // {W15M}) * {W15M} AS x,
+                   CAST(sum(y) AS BIGINT) AS cy
+            FROM pages GROUP BY 1, 2
+        ),
+        s AS MATERIALIZED (
+            SELECT *, row_number() OVER (PARTITION BY series_id
+                                         ORDER BY x) - 1 AS rn,
+                   min(x) OVER (PARTITION BY series_id) AS x0,
+                   max(x) OVER (PARTITION BY series_id) AS xn
+            FROM r
+        ),
+        assigned AS MATERIALIZED (
+            SELECT s.series_id, s.x, s.cy, s.rn, count(k.k) AS bin
+            FROM s LEFT JOIN generate_series(1, 3) k(k)
+              ON CAST(s.x0 AS DOUBLE)
+                 + k.k * ((CAST(s.xn AS DOUBLE)
+                           - CAST(s.x0 AS DOUBLE)) / 4.0)
+                 < CAST(s.x AS DOUBLE)
+            GROUP BY ALL
+        ),
+        ext AS MATERIALIZED (
+            SELECT series_id, bin, count(*) AS nbin,
+                   min(cy) AS mn, max(cy) AS mx
+            FROM assigned GROUP BY 1, 2
+        ),
+        sel AS (
+            SELECT a.series_id, a.bin,
+                   min(a.rn) FILTER (WHERE a.cy = e.mn) AS rn_min,
+                   min(a.rn) FILTER (WHERE a.cy = e.mx) AS rn_max
+            FROM assigned a JOIN ext e ON a.series_id = e.series_id
+                                      AND a.bin = e.bin
+            WHERE e.nbin > 2
+            GROUP BY 1, 2
+        ),
+        picked AS (
+            SELECT series_id, rn_min AS rn FROM sel
+            UNION SELECT series_id, rn_max FROM sel
+            UNION SELECT a.series_id, a.rn
+                  FROM assigned a JOIN ext e ON a.series_id = e.series_id
+                                            AND a.bin = e.bin
+                  WHERE e.nbin <= 2
+        )
+        SELECT a.series_id, a.x AS bucket, a.cy AS sum_y
+        FROM assigned a
+        JOIN picked p ON a.series_id = p.series_id AND a.rn = p.rn
+    """,
     "corpus_curation": _curation_sql(),
     "simhash_docs": _simhash_sql(),
     "simhash_near_dup_pages": _simhash_neardup_sql(3),
