@@ -66,6 +66,78 @@ def test_big_series_rejects_small_input(ray_session):
         downsample_big_series(ds, 100)
 
 
+def _run_kernel(x, y, n_out, nparts, shuffle_seed, kernel):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.bigseries import downsample_big_series
+
+    df = pd.DataFrame({"x": x, "y": y}).sample(frac=1.0,
+                                               random_state=shuffle_seed)
+    ds = rd.from_pandas(df).repartition(nparts)
+    return downsample_big_series(ds, n_out, kernel=kernel,
+                                 x_col="x", y_col="y").to_pandas()
+
+
+def test_big_series_minmax_m4_equal_kernels(ray_session):
+    """Distributed full-range MinMax/M4 == the single-node with-x kernels
+    on any partitioning (minmax.rs:139-179 / m4.rs:145-187 analog)."""
+    from tsdownsample_ray.kernels.m4 import m4, nanm4
+    from tsdownsample_ray.kernels.minmax import minmax, nanminmax
+
+    x, y = _series(40_000, seed=5)
+    for kname, kfn, n_out in (("minmax", minmax, 100),
+                              ("nanminmax", nanminmax, 100),
+                              ("m4", m4, 96), ("nanm4", nanm4, 96)):
+        idx = kfn(x, y, n_out).astype(np.intp)
+        want = pd.DataFrame({"x": x[idx], "y": y[idx]})
+        for nparts, seed in ((1, 0), (13, 7)):
+            got = _run_kernel(x, y, n_out, nparts, seed, kname)
+            pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                          want.reset_index(drop=True),
+                                          check_dtype=False)
+
+
+def test_big_series_minmax_m4_nan_y(ray_session):
+    """NaN-y input: both NaN policies match the single-node kernels across
+    partitionings (nan-ignoring extreme selection incl. all-NaN-bin first-
+    point fallback; NaN-returning first-NaN emission)."""
+    from tsdownsample_ray.kernels.m4 import m4, nanm4
+    from tsdownsample_ray.kernels.minmax import minmax, nanminmax
+    from tsdownsample_ray.kernels.minmaxlttb import minmaxlttb
+
+    x, y = _series(30_000, seed=13, nan_every=61)
+    for kname, kfn, n_out in (("minmax", minmax, 80),
+                              ("nanminmax", nanminmax, 80),
+                              ("m4", m4, 80), ("nanm4", nanm4, 80)):
+        idx = kfn(x, y, n_out).astype(np.intp)
+        want = pd.DataFrame({"x": x[idx], "y": y[idx]})
+        got = _run_kernel(x, y, n_out, 11, 3, kname)
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      want.reset_index(drop=True),
+                                      check_dtype=False)
+    # plain (nan-ignoring) MinMaxLTTB path with NaN y, too
+    idx = minmaxlttb(x, y, 60).astype(np.intp)
+    want = pd.DataFrame({"x": x[idx], "y": y[idx]})
+    got = _run(x, y, 60, 9, 2, nan=False)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_big_series_duplicate_x_raises(ray_session):
+    """Strict-x violations error instead of silently mis-merging."""
+    import pytest
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.bigseries import downsample_big_series
+
+    x, y = _series(5_000, seed=2)
+    x[100] = x[101]  # duplicate interior x
+    ds = rd.from_pandas(pd.DataFrame({"x": x, "y": y})).repartition(4)
+    with pytest.raises(Exception, match="duplicate x"):
+        downsample_big_series(ds, 40)
+
+
 def test_big_series_gappy_singleton_bins(ray_session):
     """Large x-gaps -> empty bins + <=2-point passthrough bins; many tiny
     blocks -> per-block singleton partials (the nullable-column path)."""

@@ -74,7 +74,7 @@ def test_hot_domain_corpus_rollup(ray_session):
 
 
 def test_combine_auto_mode_equivalence(ray_session):
-    """combine='auto' with a huge est_keys (-> shuffle) equals the tree
+    """combine='auto' with a huge est_keys (-> hashpart) equals the tree
     path row for row."""
     import numpy as np
     import pandas as pd

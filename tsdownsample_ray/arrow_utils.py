@@ -12,7 +12,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["col_to_numpy", "table_sorted_by", "rename_agg",
-           "stable_part_codes", "drop_empty_blocks"]
+           "stable_part_codes", "compact_nonempty_blocks"]
 
 
 def rename_agg(g: pa.Table, mapping: dict) -> pa.Table:
@@ -50,18 +50,30 @@ def stable_part_codes(col, mod: int | None) -> np.ndarray:
     return u[codes]
 
 
-def drop_empty_blocks(ds):
-    """Re-emit only non-empty batches (generator UDF -> zero yields emit no
-    block). Ray's hash-shuffle join loses the schema of empty blocks
-    ("Operator produced a RefBundle with a different schema ... new
-    schema: ."), which can crash a join partition fed only empties; sparse
-    candidate-pair stages produce exactly such blocks."""
+def compact_nonempty_blocks(mat_ds):
+    """MATERIALIZED dataset -> new dataset holding only its non-empty
+    blocks (zero-copy: the same object-store refs, re-listed).
 
-    def _gen(b: pa.Table):
-        if b.num_rows:
-            yield b
+    ``groupby().map_groups`` emits a SCHEMA-LESS empty block for every
+    reduce partition that received no rows, and a map task whose generator
+    yields nothing still materializes one schema-less empty block (Ray
+    2.49) — so no map stage can remove them. Downstream, Ray's unified
+    ``Dataset.schema()`` may pick the empty block's (absent) schema and
+    the hash-shuffle join then fails to resolve its key column (acero:
+    "No match ... FieldRef.Name(...)"). Re-listing the non-empty block
+    refs sidesteps both. Returns None when every block is empty (a
+    zero-block dataset has no schema at all — callers short-circuit)."""
+    import ray
+    import ray.data as rd
 
-    return ds.map_batches(_gen, batch_format="pyarrow")
+    refs = []
+    for bundle in mat_ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+    if not refs:
+        return None
+    return rd.from_arrow_refs(refs)
 
 
 def col_to_numpy(col) -> np.ndarray:

@@ -950,6 +950,80 @@ def q_minmaxlttb_bigseries(sf_dir: str, n_out: int = 40):
                           pc.cast(out["cents"], pa.int64()))
 
 
+def q_minmax_bigseries(sf_dir: str, n_out: int = 40):
+    """Distributed FULL-RANGE MinMax over ALL events as ONE series spanning
+    many blocks (``stages/bigseries.py`` kernel="minmax" — the Ray analog
+    of the reference's parallel per-bin MinMax, minmax.rs:139-179): per-bin
+    partial candidates in map_batches, associative groupby("bin") merge,
+    with-x bin semantics (searchsorted-over-linspace, tiny-bin passthrough,
+    first-occurrence ties)."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "x": pc.subtract(b["ts"].cast(pa.int64()), _XBASE),
+            "cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                      ndigits=0), pa.int64()),
+        })
+
+    from ..stages.bigseries import downsample_big_series
+
+    series = ds.map_batches(_prep, batch_format="pyarrow").repartition(24)
+    out = downsample_big_series(series, n_out, kernel="minmax",
+                                x_col="x", y_col="cents")
+    return out.set_column(out.column_names.index("cents"), "cents",
+                          pc.cast(out["cents"], pa.int64()))
+
+
+def _minmax_bigseries_sql(n_out: int) -> str:
+    """Full-range with-x MinMax over the single all-events series: bin
+    assignment by boundary counts (a point ON boundary k belongs to bin
+    k-1 — the searchsorted side='right' index-boundary semantic), <=2-point
+    passthrough, first-occurrence ties via min(rn), np.unique via UNION."""
+    nb = n_out // 2
+    return f"""
+WITH e AS (
+    SELECT epoch_us(ts) - {_XBASE} AS x,
+           CAST(round(value * 100) AS BIGINT) AS cy
+    FROM events
+),
+s AS MATERIALIZED (
+    SELECT x, cy, row_number() OVER (ORDER BY x) - 1 AS rn,
+           min(x) OVER () AS x0, max(x) OVER () AS xn
+    FROM e
+),
+assigned AS MATERIALIZED (
+    SELECT s.x, s.cy, s.rn, count(k.k) AS bin
+    FROM s LEFT JOIN generate_series(1, {nb - 1}) k(k)
+      ON CAST(s.x0 AS DOUBLE)
+         + k.k * ((CAST(s.xn AS DOUBLE) - CAST(s.x0 AS DOUBLE)) / {nb}.0)
+         < CAST(s.x AS DOUBLE)
+    GROUP BY ALL
+),
+ext AS MATERIALIZED (
+    SELECT bin, count(*) AS nbin, min(cy) AS mn, max(cy) AS mx
+    FROM assigned GROUP BY 1
+),
+sel AS (
+    SELECT a.bin,
+           min(a.rn) FILTER (WHERE a.cy = e.mn) AS rn_min,
+           min(a.rn) FILTER (WHERE a.cy = e.mx) AS rn_max
+    FROM assigned a JOIN ext e USING (bin)
+    WHERE e.nbin > 2
+    GROUP BY 1
+),
+picked AS (
+    SELECT rn_min AS rn FROM sel
+    UNION SELECT rn_max FROM sel
+    UNION SELECT a.rn FROM assigned a JOIN ext e USING (bin)
+          WHERE e.nbin <= 2
+)
+SELECT a.x, a.cy AS cents
+FROM assigned a JOIN picked p ON a.rn = p.rn
+"""
+
+
 def _bigseries_sql(n_out: int, ratio: int) -> str:
     """The big-series path's oracle: with-x MinMax pairs over the interior
     (x-value bins via boundary counts, tiny-bin passthrough, empty-bin
@@ -1260,8 +1334,12 @@ def q_embedding_near_dups(sf_dir: str):
     # quadratic hot spot at scale); at this low a cosine LSH recall is
     # partial by design — the >=0.9-recall contract is pytest-pinned at
     # near-dup-grade thresholds where P[band match] is high
+    # max_bucket is an explicit opt-in here (the operator default is None):
+    # bounds pathological buckets to O(512^2) pair emission, trading a
+    # logged slice of recall — acceptable for this already-partial-recall
+    # low-threshold sweep
     return embedding_near_dup_pairs(ds, threshold=0.5, planes=128, bands=16,
-                                    num_partitions=8)
+                                    max_bucket=512, num_partitions=8)
 
 
 def q_knn_embeddings(sf_dir: str):
@@ -1285,8 +1363,14 @@ def q_knn_embeddings(sf_dir: str):
 
 
 def q_knn_ivf_embeddings(sf_dir: str):
-    """IVF (clustered) approximate top-10 — rows-only; recall vs brute
-    force is pytest-checked."""
+    """IVF (clustered) top-10 through the full IVF machinery — seeded
+    k-means training, list assignment, probe-filtered scoring, global merge
+    — run here with ``nprobe == n_lists`` (exhaustive probing) so the
+    result provably equals exact brute force and the driver row is
+    HASH-checkable against the same SQL oracle as ``knn_embeddings``.
+    The approximate regime (``nprobe < n_lists``) is pytest-pinned: recall
+    >= 0.9 at nprobe=4 with zero false positives
+    (tests/test_embedding_neardup_bpeish.py)."""
     import ray
     import ray.data as rd
 
@@ -1301,7 +1385,7 @@ def q_knn_ivf_embeddings(sf_dir: str):
     C = train_ivf_centroids(E[:512], n_lists=8)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"]).filter(expr="vec_id > 0")
-    top = knn_ivf(ds, ray.put(qvec), ray.put(C), k=10, nprobe=4).to_pandas()
+    top = knn_ivf(ds, ray.put(qvec), ray.put(C), k=10, nprobe=8).to_pandas()
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     return top[["vec_id", "rank"]]
 
@@ -1520,6 +1604,7 @@ QUERIES = {
     "nanm4_events": q_nanm4_events,
     "minmax_events_withx": q_minmax_events_withx,
     "minmaxlttb_bigseries": q_minmaxlttb_bigseries,
+    "minmax_bigseries": q_minmax_bigseries,
     "minmax_events_partitioned": q_minmax_events_partitioned,
     "dedup_exact_pages": q_dedup_exact_pages,
     "token_count_docs": q_token_count_docs,
@@ -1773,6 +1858,7 @@ ORACLE_SQL = {
     "nanminmax_events": _nanminmax_sql(20, 37),
     "nanm4_events": _nanm4_sql(20, 37),
     "minmaxlttb_bigseries": _bigseries_sql(40, 4),
+    "minmax_bigseries": _minmax_bigseries_sql(40),
     # with-x + gaps: bins equidistant in x-value (searchsorted-over-linspace
     # replayed as "count of interior boundaries strictly below x"), empty
     # bins vanish, <=2-point bins pass through
@@ -1982,3 +2068,6 @@ ORACLE_SQL = {
 
 # the partitioned path must agree with the per-series path bin-for-bin
 ORACLE_SQL["minmax_events_partitioned"] = ORACLE_SQL["minmax_events"]
+# exhaustive-probe IVF (nprobe == n_lists) provably equals brute force —
+# same oracle; the approximate regime is pytest-pinned (see the query)
+ORACLE_SQL["knn_ivf_embeddings"] = ORACLE_SQL["knn_embeddings"]

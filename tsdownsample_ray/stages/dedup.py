@@ -52,41 +52,71 @@ _SHINGLE_MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
                          0x85EBCA6B2F165667], dtype=np.uint64)
 
 
-def word_shingles(text: str, w: int = 3, cache: dict | None = None) -> np.ndarray:
-    """w-word shingle hashes (31-bit, uint64 dtype), deduplicated.
+def _hash_unique_tokens(uniq: list, cache: dict | None) -> np.ndarray:
+    """md5-hash a batch's UNIQUE tokens (one digest per distinct token;
+    ``cache`` — an actor-held token->hash dict — carries the common
+    vocabulary across batches so steady-state batches hash only novel
+    tokens)."""
+    if cache is None:
+        return np.fromiter((_stable_u64(t.encode()) for t in uniq),
+                           dtype=np.uint64, count=len(uniq))
+    if len(cache) > 4_000_000:  # bound actor memory
+        cache.clear()
+    out = np.empty(len(uniq), dtype=np.uint64)
+    for i, t in enumerate(uniq):
+        v = cache.get(t)
+        if v is None:
+            v = _stable_u64(t.encode())
+            cache[t] = v
+        out[i] = v
+    return out
 
-    Vectorized: each TOKEN is md5-hashed once (``cache`` — an
-    actor-held token->hash dict — turns the digest into a dict hit for the
-    common-vocabulary bulk of a corpus), then the w-gram hash is a
-    position-weighted uint64 mix of consecutive token hashes (three numpy
-    adds for w=3 instead of a per-gram digest)."""
+
+def _hash_tokens_batch(texts: list, cache: dict | None) -> tuple:
+    """Whitespace-tokenize every text (Python ``str.split`` semantics — the
+    tokenization the SQL oracles restate), hash each batch-unique token
+    ONCE (``pyarrow.dictionary_encode`` finds uniques at C speed), and
+    return ``(unique-token hashes, per-occurrence dictionary indices,
+    per-doc offsets)`` — per-occurrence hashes are the array gather
+    ``uh[inv]``."""
+    toks_per_doc = [t.split() for t in texts]
+    counts = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64,
+                         count=len(toks_per_doc))
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    flat = [tok for toks in toks_per_doc for tok in toks]
+    if not flat:
+        e = np.empty(0, dtype=np.uint64)
+        return e, np.empty(0, dtype=np.int64), offsets
+    enc = pa.array(flat, pa.string()).dictionary_encode()
+    uh = _hash_unique_tokens(enc.dictionary.to_pylist(), cache)
+    inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return uh, inv, offsets
+
+
+def _shingles_from_hashes(th: np.ndarray, w: int) -> np.ndarray:
+    """Per-occurrence token hashes -> deduplicated 31-bit w-gram hashes
+    (position-weighted uint64 mix of consecutive token hashes; three numpy
+    adds for w=3 instead of a per-gram digest). Requires len(th) >= w."""
+    n_grams = len(th) - w + 1
+    acc = np.zeros(n_grams, dtype=np.uint64)
+    for j in range(w):  # w is tiny; each step is one vector FMA
+        acc += th[j: j + n_grams] * _SHINGLE_MIX[j]
+    return np.unique(acc & np.uint64(_MERSENNE))
+
+
+def word_shingles(text: str, w: int = 3, cache: dict | None = None) -> np.ndarray:
+    """w-word shingle hashes (31-bit, uint64 dtype) of ONE text,
+    deduplicated. Batch callers (``MinHasher``) use ``_hash_tokens_batch``
+    + ``_shingles_from_hashes`` directly so each batch-unique token is
+    md5-hashed once for the whole batch."""
     toks = text.split()
     if not toks:
         return np.empty(0, dtype=np.uint64)
     if len(toks) < w:
         return np.array([_stable_u64(" ".join(toks).encode()) & _MERSENNE],
                         dtype=np.uint64)
-    if cache is None:
-        th = np.fromiter((_stable_u64(t.encode()) for t in toks),
-                         dtype=np.uint64, count=len(toks))
-    else:
-        if len(cache) > 4_000_000:  # bound actor memory
-            cache.clear()
-
-        def _h(t):
-            v = cache.get(t)
-            if v is None:
-                v = _stable_u64(t.encode())
-                cache[t] = v
-            return v
-
-        th = np.fromiter((_h(t) for t in toks), dtype=np.uint64,
-                         count=len(toks))
-    n_grams = len(toks) - w + 1
-    acc = np.zeros(n_grams, dtype=np.uint64)
-    for j in range(w):  # w is tiny; each step is one vector FMA
-        acc += th[j: j + n_grams] * _SHINGLE_MIX[j]
-    return np.unique(acc & np.uint64(_MERSENNE))
+    uh, inv, _ = _hash_tokens_batch([text], cache)
+    return _shingles_from_hashes(uh[inv], w)
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -140,8 +170,7 @@ class MinHasher:
         self.id_col = id_col
         self._cache: dict = {}  # gram -> hash, lives as long as the actor
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = word_shingles(text, self.shingle_w, self._cache)
+    def _sig_from_shingles(self, sh: np.ndarray) -> np.ndarray:
         if not len(sh):
             return np.zeros(self.num_perm, dtype=np.uint64)
         # (s x k) permuted hashes; products < 2^62 fit uint64 exactly
@@ -149,8 +178,27 @@ class MinHasher:
             _MERSENNE)
         return np.min(prods, axis=0)
 
+    def signature(self, text: str) -> np.ndarray:
+        return self._sig_from_shingles(
+            word_shingles(text, self.shingle_w, self._cache))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t) for t in batch[self.text_col].to_pylist()]
+        texts = batch[self.text_col].to_pylist()
+        # batch-level tokenization: every batch-unique token md5-hashed
+        # once (dictionary-encoded), per-doc hashes gathered by index
+        uh, inv, off = _hash_tokens_batch(texts, self._cache)
+        th = uh[inv]
+        w = self.shingle_w
+        sigs = []
+        for i, t in enumerate(texts):
+            d = th[off[i]: off[i + 1]]
+            if len(d) and len(d) < w:  # short-doc fallback: one joined gram
+                sh = np.array(
+                    [_stable_u64(" ".join(t.split()).encode()) & _MERSENNE],
+                    dtype=np.uint64)
+            else:
+                sh = _shingles_from_hashes(d, w) if len(d) else d
+            sigs.append(self._sig_from_shingles(sh))
         return pa.table({
             self.id_col: batch[self.id_col],
             "minhash": pa.array([s.tolist() for s in sigs],
@@ -190,25 +238,28 @@ def join_pair_payload(pairs_ds, payload_ds, *, id_col: str,
     the payload table. Returns ``(a, b, payload_a, payload_b)`` where
     ``payload_b`` keeps ``payload_col``'s name.
 
-    Empty candidate blocks (1-id buckets emit them structurally) are
-    dropped before each join — Ray's hash-shuffle join loses empty blocks'
-    schemas and a partition fed only empties fails to resolve the key
-    column — and an entirely-empty pair set short-circuits to a typed
-    empty result (a ZERO-block dataset has no schema to join on at all).
-    The candidate set is materialized first: it is orders of magnitude
-    smaller than the corpus, and the joins would otherwise re-execute the
-    whole candidate pipeline."""
+    Empty candidate blocks (sparse bucket/distinct partitions emit them
+    structurally, and they arrive SCHEMA-LESS from ``map_groups``) are
+    dropped at the BLOCK level before each join — Ray's hash-shuffle join
+    fails to resolve the key column on a schema-less block — and an
+    entirely-empty pair set short-circuits to a typed empty result (a
+    ZERO-block dataset has no schema to join on at all). The candidate set
+    is materialized first: it is orders of magnitude smaller than the
+    corpus, the block compaction needs block-level metadata, and the joins
+    would otherwise re-execute the whole candidate pipeline."""
     import ray.data as rd
 
-    from ..arrow_utils import drop_empty_blocks
+    from ..arrow_utils import compact_nonempty_blocks
 
     psch = payload_ds.schema()  # ray Schema: .names / .types (pyarrow)
     ptype = dict(zip(psch.names, psch.types))[payload_col]
 
     def _typed_empty(cands):
-        csch = cands.schema()
-        itype = (dict(zip(csch.names, csch.types)).get("a")
-                 if csch else None)
+        itype = None
+        if cands is not None:
+            csch = cands.schema()
+            itype = (dict(zip(csch.names, csch.types)).get("a")
+                     if csch else None)
         return rd.from_arrow(pa.table({
             "a": pa.array([], itype or pa.int64()),
             "b": pa.array([], itype or pa.int64()),
@@ -219,19 +270,19 @@ def join_pair_payload(pairs_ds, payload_ds, *, id_col: str,
     payload = payload_ds.map_batches(
         lambda b: pa.table({id_col: b[id_col], payload_col: b[payload_col]}),
         batch_format="pyarrow")
-    cands = pairs_ds.materialize()
-    if cands.count() == 0:
-        return _typed_empty(cands)
-    j1 = drop_empty_blocks(cands).join(
+    cands = compact_nonempty_blocks(pairs_ds.materialize())
+    if cands is None:  # no candidate rows at all
+        return _typed_empty(None)
+    j1 = cands.join(
         payload, join_type="inner", num_partitions=num_partitions,
         on=("a",), right_on=(id_col,))
-    j1 = j1.map_batches(
+    j1 = compact_nonempty_blocks(j1.map_batches(
         lambda b: pa.table({"a": b["a"], "b": b["b"],
                             "payload_a": b[payload_col]}),
-        batch_format="pyarrow").materialize()
-    if j1.count() == 0:  # inner join may drop every pair
+        batch_format="pyarrow").materialize())
+    if j1 is None:  # inner join may drop every pair
         return _typed_empty(cands)
-    return drop_empty_blocks(j1).join(
+    return j1.join(
         payload, join_type="inner", num_partitions=num_partitions,
         on=("b",), right_on=(id_col,))
 
@@ -239,17 +290,21 @@ def join_pair_payload(pairs_ds, payload_ds, *, id_col: str,
 def distinct_pairs(pairs_ds, *, num_partitions: int = 16,
                    cols: tuple = ("a", "b")):
     """Scale-safe pair distinct: ONE int-keyed hash shuffle (partition =
-    hash(a,b) % P) + per-partition Arrow distinct — no single-block funnel,
-    parallelism bounded by ``num_partitions``."""
+    hash(a,b) mod a dense part space) + per-partition Arrow distinct — no
+    single-block funnel, parallelism bounded by ``num_partitions`` (the
+    input is round-robined down to that many blocks so Ray's sort shuffle
+    never schedules an empty — schema-less — reduce partition)."""
 
     def _add_part(b: pa.Table) -> pa.Table:
-        import zlib
+        from ..arrow_utils import stable_part_codes
 
-        a = b[cols[0]].to_pylist()
-        bb = b[cols[1]].to_pylist()
-        part = np.fromiter(
-            (zlib.crc32(f"{x}\x00{y}".encode()) % num_partitions
-             for x, y in zip(a, bb)), dtype=np.int32, count=len(a))
+        # vectorized pair hash: per-column crc over dictionary-encoded
+        # uniques, folded with a uint64 odd-constant mix (same discipline
+        # as rollup._combine's hashpart) — no per-row Python
+        h = stable_part_codes(b[cols[0]], None)
+        h = (h * np.uint64(0x9E3779B97F4A7C15)
+             + stable_part_codes(b[cols[1]], None))
+        part = (h % np.uint64(num_partitions * 64)).astype(np.int32)
         return b.append_column("__part", pa.array(part, pa.int32()))
 
     def _distinct(g: pa.Table) -> pa.Table:
@@ -263,8 +318,8 @@ def distinct_pairs(pairs_ds, *, num_partitions: int = 16,
         return rename_agg(agg, mapping)
 
     parted = pairs_ds.map_batches(_add_part, batch_format="pyarrow")
-    return parted.groupby("__part").map_groups(_distinct,
-                                               batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _distinct, batch_format="pyarrow")
 
 
 def lsh_candidate_pairs(sig_ds, *, bands: int = 16, id_col: str = "doc_id",
@@ -279,22 +334,37 @@ def lsh_candidate_pairs(sig_ds, *, bands: int = 16, id_col: str = "doc_id",
     of missed pairs — leave None when downstream claims exact recall."""
 
     def _bands(b: pa.Table) -> pa.Table:
-        ids = b[id_col].to_pylist()
-        sigs = b["minhash"].to_pylist()
-        out_band, out_hash, out_id = [], [], []
-        for i, sig in enumerate(sigs):
-            r = len(sig) // bands
-            sa = np.asarray(sig, dtype=np.uint64)
-            for bi in range(bands):
-                h = hashlib.blake2b(sa[bi * r: (bi + 1) * r].tobytes(),
-                                    digest_size=8).hexdigest()
-                out_band.append(bi)
-                out_hash.append(h)
-                out_id.append(ids[i])
+        mh = b["minhash"]
+        if isinstance(mh, pa.ChunkedArray):
+            mh = mh.combine_chunks()
+        n = len(mh)
+        ids = b[id_col]
+        if n == 0:
+            return pa.table({
+                "band": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.int64()),
+                id_col: ids,
+            })
+        # vectorized FNV-1a over each band's slice of the signature matrix
+        # (the band key only buckets: equal slices always collide, unequal
+        # slices collide with ~2^-64 probability and any false candidate is
+        # removed by the exact verify stage — so no cryptographic digest is
+        # needed and the whole batch hashes in num_perm vector ops)
+        flat = mh.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        k = len(flat) // n  # num_perm (constant per signature)
+        r = k // bands
+        sa = flat.reshape(n, k)
+        prime = np.uint64(0x100000001B3)
+        hashes = np.empty((n, bands), dtype=np.uint64)
+        for bi in range(bands):
+            h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+            for j in range(r):
+                h = (h ^ sa[:, bi * r + j]) * prime
+            hashes[:, bi] = h
         return pa.table({
-            "band": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.string()),
-            id_col: pa.array(out_id),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(hashes.reshape(-1).view(np.int64)),
+            id_col: ids.take(pa.array(np.repeat(np.arange(n), bands))),
         })
 
     banded = sig_ds.map_batches(_bands, batch_format="pyarrow")
@@ -379,23 +449,28 @@ def near_dup_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 def simhash_batch(batch: pa.Table, *, text_col: str = "text",
-                  id_col: str = "doc_id") -> pa.Table:
+                  id_col: str = "doc_id",
+                  cache: dict | None = None) -> pa.Table:
+    texts = batch[text_col].to_pylist()
     shifts = np.arange(64, dtype=np.uint64)
-    out = []
-    for t in batch[text_col].to_pylist():
-        toks = t.split()
-        if not toks:
-            out.append(0)
-            continue
-        hs = np.fromiter((_stable_u64(tok.encode()) for tok in toks),
-                         dtype=np.uint64, count=len(toks))
-        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-        acc = (2 * bits - 1).sum(axis=0)  # +1 per set bit, -1 per clear bit
-        sig = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
-        out.append(sig)
+    # batch-unique tokens hashed once; the ±1 bit matrix is built per
+    # UNIQUE token (|vocab| x 64 int8) and per-doc sums gather through the
+    # dictionary indices — no per-occurrence md5, no per-token Python
+    uh, inv, off = _hash_tokens_batch(texts, cache)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if len(uh):
+        bits_u = ((((uh[:, None] >> shifts[None, :]) & np.uint64(1))
+                   .astype(np.int8) << 1) - 1)  # ±1 per (unique token, bit)
+        for i in range(len(texts)):
+            seg = inv[off[i]: off[i + 1]]
+            if not len(seg):
+                continue
+            acc = bits_u[seg].sum(axis=0, dtype=np.int64)
+            out[i] = ((acc > 0).astype(np.uint64) << shifts).sum(
+                dtype=np.uint64)
     return pa.table({
         id_col: batch[id_col],
-        "simhash": pa.array(np.array(out, dtype=np.uint64).view(np.int64)),
+        "simhash": pa.array(out.view(np.int64)),
     })
 
 

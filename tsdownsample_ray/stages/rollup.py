@@ -118,6 +118,14 @@ def _combine(ds, keys, *, mode: str = "tree", fanin: int = 16):
         from ..arrow_utils import stable_part_codes
 
         kcols = list(keys)
+        # part space is DENSER than the reducer count (x64) and the input is
+        # round-robined down to ``fanin`` blocks before the part groupby:
+        # reducer count == block count in Ray's sort shuffle, so bounding
+        # blocks at fanin with ~64 occupied part values per reducer keeps
+        # every reduce partition non-empty — empty reduce outputs carry no
+        # schema and trigger "RefBundle with a different schema" warnings
+        # downstream (the failure class that crashed joins in round 1)
+        mod = fanin * 64
 
         def _add_part(b: pa.Table) -> pa.Table:
             b = _arrow_combine(b, kcols)  # in-block pre-collapse
@@ -131,15 +139,15 @@ def _combine(ds, keys, *, mode: str = "tree", fanin: int = 16):
                     v = v.combine_chunks()
                 h = (h * np.uint64(0x9E3779B97F4A7C15)
                      + v.to_numpy(zero_copy_only=False).astype(np.uint64))
-            part = (h % np.uint64(fanin)).astype(np.int32)
+            part = (h % np.uint64(mod)).astype(np.int32)
             return b.append_column("__part", pa.array(part, pa.int32()))
 
         def _merge(g: pa.Table) -> pa.Table:
             return _arrow_combine(g.drop_columns(["__part"]), kcols)
 
         parted = ds.map_batches(_add_part, batch_format="pyarrow")
-        return parted.groupby("__part").map_groups(_merge,
-                                                   batch_format="pyarrow")
+        return parted.repartition(fanin).groupby("__part").map_groups(
+            _merge, batch_format="pyarrow")
 
     from ray.data.aggregate import Max, Min, Sum
 
@@ -165,10 +173,11 @@ def rollup(ds, window_us: int, *, series_col: str = "series_id",
 
     ``combine="auto"`` picks the merge strategy from ``est_keys`` (the
     caller's estimate of |series| x |buckets|): tree for key spaces whose
-    final merge fits one block (< TREE_MAX_KEYS), sort-shuffle beyond —
-    a billion-series corpus must never funnel into one block. Without an
-    estimate the tree is used (measured 10x faster at small key spaces;
-    see _combine)."""
+    final merge fits one block (< TREE_MAX_KEYS), the hash-partitioned
+    combine beyond (the desalt pass uses Ray's sort groupby, mode
+    "shuffle") — a billion-series corpus must never funnel into one
+    block. Without an estimate the tree is used (measured 10x faster at
+    small key spaces; see _combine)."""
     if combine == "auto":
         combine = "hashpart" if (est_keys or 0) > TREE_MAX_KEYS else "tree"
     # salting exists to split a hot key across sharded reducers; the tree

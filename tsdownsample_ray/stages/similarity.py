@@ -66,7 +66,8 @@ def knn_bruteforce(ds, query_ref, k: int = 10, *, id_col: str = "vec_id",
 def embedding_near_dup_pairs(ds, *, threshold: float = 0.9,
                              id_col: str = "vec_id", col: str = "embedding",
                              planes: int = 32, bands: int = 4, seed: int = 23,
-                             max_bucket: int = 512, num_partitions: int = 16):
+                             max_bucket: int | None = None,
+                             num_partitions: int = 16):
     """Embedding-cosine near-duplicate pairs via random-hyperplane LSH.
 
     SimHash-for-vectors: sign bits of ``E @ R`` (R = ``planes`` seeded
@@ -80,7 +81,11 @@ def embedding_near_dup_pairs(ds, *, threshold: float = 0.9,
     ``bands``). Candidate pairs are hash-partition-deduped, then the two
     vectors are re-acquired through hash-partitioned ``Dataset.join``s and
     verified with a vectorized batch cosine. Recall is pytest-checked vs
-    brute force."""
+    brute force.
+
+    ``max_bucket`` is OPT-IN (None, matching the dedup operators):
+    truncating a hot bucket silently drops candidate pairs (logged), so
+    callers must choose that recall trade explicitly."""
     from .dedup import _emit_bucket_pairs, distinct_pairs
 
     r = planes // bands
