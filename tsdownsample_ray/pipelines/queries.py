@@ -34,6 +34,12 @@ W1D = 86400 * US
 SNAPSHOTS = 3  # pages per document in the correctness corpus
 
 
+def _read_parquet_clean(*a, **kw):
+    from ..sources import read_parquet_clean
+
+    return read_parquet_clean(*a, **kw)
+
+
 def _rd():
     import ray.data as rd
 
@@ -747,7 +753,7 @@ def q_compress_roundtrip_15m(sf_dir: str):
 
 def _events_series(sf_dir: str, cols=("event_type", "ts", "value")):
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=list(cols))
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=list(cols))
 
     def _prep(b: pa.Table) -> pa.Table:
         out = {c: b[c] for c in b.column_names if c != "ts"}
@@ -803,7 +809,7 @@ def q_sessions_users(sf_dir: str):
     from ..stages.windows import sessionize
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "event_id"])
 
     def _prep(b: pa.Table) -> pa.Table:
@@ -932,7 +938,7 @@ def q_minmaxlttb_bigseries(sf_dir: str, n_out: int = 40):
     phase-2 on the gathered preselection. x = rebased timestamp (strictly
     increasing — verified collision-free in this corpus)."""
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "value"])
 
     def _prep(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -958,7 +964,7 @@ def q_minmax_bigseries(sf_dir: str, n_out: int = 40):
     with-x bin semantics (searchsorted-over-linspace, tiny-bin passthrough,
     first-occurrence ties)."""
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "value"])
 
     def _prep(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -974,6 +980,81 @@ def q_minmax_bigseries(sf_dir: str, n_out: int = 40):
                                 x_col="x", y_col="cents")
     return out.set_column(out.column_names.index("cents"), "cents",
                           pc.cast(out["cents"], pa.int64()))
+
+
+def q_m4_bigseries(sf_dir: str, n_out: int = 40):
+    """Distributed FULL-RANGE M4 over ALL events as ONE series
+    (``stages/bigseries.py`` kernel="m4" — the reference's parallel per-bin
+    M4, m4.rs:145-187): first/argmin/argmax/last per x-value bin,
+    duplicates retained, <=4-point passthrough."""
+    rd = _rd()
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "x": pc.subtract(b["ts"].cast(pa.int64()), _XBASE),
+            "cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                      ndigits=0), pa.int64()),
+        })
+
+    from ..stages.bigseries import downsample_big_series
+
+    series = ds.map_batches(_prep, batch_format="pyarrow").repartition(24)
+    out = downsample_big_series(series, n_out, kernel="m4",
+                                x_col="x", y_col="cents")
+    return out.set_column(out.column_names.index("cents"), "cents",
+                          pc.cast(out["cents"], pa.int64()))
+
+
+def _m4_bigseries_sql(n_out: int) -> str:
+    """Full-range with-x M4 over the single all-events series: per bin
+    emit first / argmin / argmax / last (duplicates RETAINED — UNION ALL),
+    <=4-point passthrough, first-occurrence ties via min(rn)."""
+    nb = n_out // 4
+    return f"""
+WITH e AS (
+    SELECT epoch_us(ts) - {_XBASE} AS x,
+           CAST(round(value * 100) AS BIGINT) AS cy
+    FROM events
+),
+s AS MATERIALIZED (
+    SELECT x, cy, row_number() OVER (ORDER BY x) - 1 AS rn,
+           min(x) OVER () AS x0, max(x) OVER () AS xn
+    FROM e
+),
+assigned AS MATERIALIZED (
+    SELECT s.x, s.cy, s.rn, count(k.k) AS bin
+    FROM s LEFT JOIN generate_series(1, {nb - 1}) k(k)
+      ON CAST(s.x0 AS DOUBLE)
+         + k.k * ((CAST(s.xn AS DOUBLE) - CAST(s.x0 AS DOUBLE)) / {nb}.0)
+         < CAST(s.x AS DOUBLE)
+    GROUP BY ALL
+),
+ext AS MATERIALIZED (
+    SELECT bin, count(*) AS nbin, min(cy) AS mn, max(cy) AS mx,
+           min(rn) AS rn_first, max(rn) AS rn_last
+    FROM assigned GROUP BY 1
+),
+sel AS (
+    SELECT a.bin, any_value(e.rn_first) AS rn_first,
+           any_value(e.rn_last) AS rn_last,
+           min(a.rn) FILTER (WHERE a.cy = e.mn) AS rn_min,
+           min(a.rn) FILTER (WHERE a.cy = e.mx) AS rn_max
+    FROM assigned a JOIN ext e USING (bin)
+    WHERE e.nbin > 4
+    GROUP BY 1
+),
+picked AS (
+    SELECT rn_first AS rn FROM sel
+    UNION ALL SELECT least(rn_min, rn_max) FROM sel
+    UNION ALL SELECT greatest(rn_min, rn_max) FROM sel
+    UNION ALL SELECT rn_last FROM sel
+    UNION ALL SELECT a.rn FROM assigned a JOIN ext e USING (bin)
+              WHERE e.nbin <= 4
+)
+SELECT a.x, a.cy AS cents
+FROM assigned a JOIN picked p ON a.rn = p.rn
+"""
 
 
 def _minmax_bigseries_sql(n_out: int) -> str:
@@ -1178,7 +1259,7 @@ def q_dedup_exact_pages(sf_dir: str):
 
 def q_token_count_docs(sf_dir: str):
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def _tok(b: pa.Table) -> pa.Table:
         spaces = pc.count_substring(b["text"], " ")
@@ -1228,7 +1309,7 @@ def q_near_dup_pages(sf_dir: str):
 
 def q_simhash_docs(sf_dir: str):
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     from ..stages.dedup import simhash_signatures
 
     return simhash_signatures(ds)
@@ -1248,7 +1329,7 @@ def q_minhash_docs(sf_dir: str):
     """Full MinHash signatures, exploded to one row per (doc, permutation)
     so EVERY signature slot is hash-verified against the SQL replay."""
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     from ..stages.dedup import minhash_signatures
 
     sigs = minhash_signatures(ds, num_perm=64)
@@ -1273,7 +1354,7 @@ def q_minhash_docs(sf_dir: str):
 
 def q_lang_id_docs(sf_dir: str):
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     from ..stages.textstats import LangId
 
     return ds.map_batches(LangId, batch_format="pyarrow",
@@ -1284,7 +1365,7 @@ def q_quality_docs(sf_dir: str):
     """Full quality-signal panel (length/tokens/stopword/punct/upper) —
     every column SQL-oracled."""
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     from ..stages.textstats import quality_batch
 
     return ds.map_batches(quality_batch, batch_format="pyarrow")
@@ -1292,7 +1373,7 @@ def q_quality_docs(sf_dir: str):
 
 def q_token_stats_docs(sf_dir: str):
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     from ..stages.textstats import token_stats_batch
 
     return ds.map_batches(token_stats_batch, batch_format="pyarrow")
@@ -1300,7 +1381,7 @@ def q_token_stats_docs(sf_dir: str):
 
 def q_fingerprint_docs(sf_dir: str):
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     from ..stages.textstats import fingerprint_batch
 
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
@@ -1313,7 +1394,7 @@ def q_fingerprint_docs(sf_dir: str):
 def q_token_count_bpeish(sf_dir: str):
     """BPE-ish regex token count (compiled pattern in an actor pool)."""
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     from ..stages.textstats import BpeishTokenizer
 
     return ds.map_batches(BpeishTokenizer, batch_format="pyarrow",
@@ -1327,7 +1408,7 @@ def q_embedding_near_dups(sf_dir: str):
 
     from ..stages.similarity import embedding_near_dup_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     # the synthetic embeddings' strongest pair sits just above 0.5;
     # 8-bit band keys keep buckets selective (r=4 made every bucket a
@@ -1352,7 +1433,7 @@ def q_knn_embeddings(sf_dir: str):
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qvec = np.asarray(t.filter(pc.equal(t["vec_id"], 0))["embedding"][0].as_py(),
                       dtype=np.float64)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     ds = ds.filter(expr="vec_id > 0")
     from ..stages.similarity import knn_bruteforce
@@ -1383,7 +1464,7 @@ def q_knn_ivf_embeddings(sf_dir: str):
     ids = t["vec_id"].to_numpy()
     qvec = E[ids == 0][0]
     C = train_ivf_centroids(E[:512], n_lists=8)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"]).filter(expr="vec_id > 0")
     top = knn_ivf(ds, ray.put(qvec), ray.put(C), k=10, nprobe=8).to_pandas()
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
@@ -1397,7 +1478,7 @@ def q_knn_ivf_embeddings(sf_dir: str):
 def q_multimodal_frame_sample(sf_dir: str):
     """documents -> fake media rows -> SampleFrames(fake) actor stage."""
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "n_chars"])
 
     def _media(b: pa.Table) -> pa.Table:
@@ -1463,7 +1544,7 @@ def q_corpus_curation(sf_dir: str):
     (keep lowest doc_id) -> language ID -> per-language corpus totals.
     Every stage is an existing operator; the composition is SQL-oracled."""
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     from ..arrow_utils import rename_agg
     from ..stages.textstats import LangId, fingerprint_batch, quality_batch
@@ -1526,7 +1607,7 @@ def q_multimodal_wav_decode(sf_dir: str):
     DecodeAudio (stdlib ``wave``), per-doc waveform stats hash-verified
     against the SQL replay over the text."""
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     from ..stages.multimodal import DecodeAudio, encode_wav
 
@@ -1605,6 +1686,7 @@ QUERIES = {
     "minmax_events_withx": q_minmax_events_withx,
     "minmaxlttb_bigseries": q_minmaxlttb_bigseries,
     "minmax_bigseries": q_minmax_bigseries,
+    "m4_bigseries": q_m4_bigseries,
     "minmax_events_partitioned": q_minmax_events_partitioned,
     "dedup_exact_pages": q_dedup_exact_pages,
     "token_count_docs": q_token_count_docs,
@@ -1859,6 +1941,7 @@ ORACLE_SQL = {
     "nanm4_events": _nanm4_sql(20, 37),
     "minmaxlttb_bigseries": _bigseries_sql(40, 4),
     "minmax_bigseries": _minmax_bigseries_sql(40),
+    "m4_bigseries": _m4_bigseries_sql(40),
     # with-x + gaps: bins equidistant in x-value (searchsorted-over-linspace
     # replayed as "count of interior boundaries strictly below x"), empty
     # bins vanish, <=2-point bins pass through

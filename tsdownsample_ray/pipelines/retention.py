@@ -67,7 +67,9 @@ def run_retention_pipeline(
         if tier_resumed:
             summary["resumed"].append(name)
             summary["tiers"][name] = ckpt.read_manifest(d)
-            prev_ds = rd.read_parquet(d)
+            from ..sources import read_parquet_clean
+
+            prev_ds = read_parquet_clean(d)
 
         t0 = time.time()
         if tier_resumed:
