@@ -86,7 +86,7 @@ def embedding_near_dup_pairs(ds, *, threshold: float = 0.9,
     ``max_bucket`` is OPT-IN (None, matching the dedup operators):
     truncating a hot bucket silently drops candidate pairs (logged), so
     callers must choose that recall trade explicitly."""
-    from .dedup import _emit_bucket_pairs, distinct_pairs
+    from .dedup import bucket_candidate_pairs, distinct_pairs
 
     r = planes // bands
 
@@ -111,20 +111,10 @@ def embedding_near_dup_pairs(ds, *, threshold: float = 0.9,
         })
 
     banded = ds.map_batches(_buckets, batch_format="pyarrow")
-
-    def _pairs(g: pa.Table) -> pa.Table:
-        import logging
-
-        a, b = _emit_bucket_pairs(
-            g[id_col].to_pylist(), max_bucket,
-            log_fn=lambda k: logging.getLogger(__name__).warning(
-                "embedding LSH bucket truncated: %d ids > max_bucket=%d",
-                k, max_bucket))
-        return pa.table({"a": pa.array(a, pa.int64()),
-                         "b": pa.array(b, pa.int64())})
-
-    cands = banded.groupby(["band", "key"]).map_groups(
-        _pairs, batch_format="pyarrow")
+    cands = bucket_candidate_pairs(
+        banded, key_cols=["band", "key"], id_col=id_col,
+        max_bucket=max_bucket, num_partitions=num_partitions,
+        log_tag="embedding LSH")
     cands = distinct_pairs(cands, num_partitions=num_partitions)
 
     def _serialize(b: pa.Table) -> pa.Table:
