@@ -37,28 +37,28 @@ def _cosine_to_query(E: np.ndarray, q: np.ndarray) -> np.ndarray:
 def knn_bruteforce(ds, query_ref, k: int = 10, *, id_col: str = "vec_id",
                    col: str = "embedding"):
     """Exact top-k by (cosine desc, id asc). ``query_ref`` is a ``ray.put``
-    handle of the query vector (np.ndarray f64)."""
+    handle of the query vector (np.ndarray f64) — broadcast once; each
+    task's ``ray.get`` is a local object-store hit. A stateless TASK pool
+    (not actors): the per-worker state is one tiny vector, so actor-pool
+    startup latency would buy nothing."""
     import ray
 
-    class _Score:
-        def __init__(self):
-            self.q = np.asarray(ray.get(query_ref), dtype=np.float64)
+    def _score(b: pa.Table) -> pa.Table:
+        q = np.asarray(ray.get(query_ref), dtype=np.float64)
+        E = embedding_matrix(b, col)
+        cos = _cosine_to_query(E, q)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        # local top-k prune before the global merge
+        if len(ids) > k:
+            part = np.argsort(-cos, kind="stable")[:k]
+        else:
+            part = np.arange(len(ids))
+        return pa.table({
+            id_col: pa.array(ids[part]),
+            "cosine": pa.array(cos[part], pa.float64()),
+        })
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            E = embedding_matrix(b, col)
-            cos = _cosine_to_query(E, self.q)
-            ids = b[id_col].to_numpy(zero_copy_only=False)
-            # local top-k prune before the global merge
-            if len(ids) > k:
-                part = np.argsort(-cos, kind="stable")[:k]
-            else:
-                part = np.arange(len(ids))
-            return pa.table({
-                id_col: pa.array(ids[part]),
-                "cosine": pa.array(cos[part], pa.float64()),
-            })
-
-    scored = ds.map_batches(_Score, batch_format="pyarrow", concurrency=(1, 8))
+    scored = ds.map_batches(_score, batch_format="pyarrow")
     return scored.sort(key=["cosine", id_col],
                        descending=[True, False]).limit(k)
 
@@ -193,31 +193,28 @@ def knn_ivf(ds, query_ref, centroids_ref, k: int = 10, *, nprobe: int = 4,
     """
     import ray
 
-    class _Probe:
-        def __init__(self):
-            self.q = np.asarray(ray.get(query_ref), dtype=np.float64)
-            self.C = np.asarray(ray.get(centroids_ref), dtype=np.float64)
-            d = ((self.C - self.q[None, :]) ** 2).sum(-1)
-            self.lists = np.sort(np.argsort(d, kind="stable")[:nprobe])
+    def _probe(b: pa.Table) -> pa.Table:
+        q = np.asarray(ray.get(query_ref), dtype=np.float64)
+        C = np.asarray(ray.get(centroids_ref), dtype=np.float64)
+        d = ((C - q[None, :]) ** 2).sum(-1)
+        probe_lists = np.sort(np.argsort(d, kind="stable")[:nprobe])
+        if "ivf_list" in b.column_names:
+            lists = b["ivf_list"].to_numpy(zero_copy_only=False)
+        else:
+            E_all = embedding_matrix(b, col)
+            d = ((E_all[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            lists = d.argmin(1)
+        b = b.filter(pa.array(np.isin(lists, probe_lists)))
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        E = embedding_matrix(b, col)
+        cos = _cosine_to_query(E, q)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        part = np.argsort(-cos, kind="stable")[:k]
+        return pa.table({id_col: pa.array(ids[part]),
+                         "cosine": pa.array(cos[part], pa.float64())})
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            if "ivf_list" in b.column_names:
-                lists = b["ivf_list"].to_numpy(zero_copy_only=False)
-            else:
-                E_all = embedding_matrix(b, col)
-                d = ((E_all[:, None, :] - self.C[None, :, :]) ** 2).sum(-1)
-                lists = d.argmin(1)
-            b = b.filter(pa.array(np.isin(lists, self.lists)))
-            if b.num_rows == 0:
-                return pa.table({id_col: pa.array([], pa.int64()),
-                                 "cosine": pa.array([], pa.float64())})
-            E = embedding_matrix(b, col)
-            cos = _cosine_to_query(E, self.q)
-            ids = b[id_col].to_numpy(zero_copy_only=False)
-            part = np.argsort(-cos, kind="stable")[:k]
-            return pa.table({id_col: pa.array(ids[part]),
-                             "cosine": pa.array(cos[part], pa.float64())})
-
-    scored = ds.map_batches(_Probe, batch_format="pyarrow", concurrency=(1, 8))
+    scored = ds.map_batches(_probe, batch_format="pyarrow")
     return scored.sort(key=["cosine", id_col],
                        descending=[True, False]).limit(k)
