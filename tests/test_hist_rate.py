@@ -1,0 +1,106 @@
+"""histogram_rollup+quantiles and counter_rate == local NumPy oracles on
+any partitioning (one hash shuffle each; partition structure invisible)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _series_df(n=20_000, keys=7, seed=9):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "series_id": [f"s{int(i)}" for i in rng.integers(0, keys, n)],
+        "x": rng.integers(0, 40 * 3_600_000_000, n).astype(np.int64),
+        "y": rng.integers(-350, 350, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+    })
+
+
+def _hist_oracle(df, window, bins, lo, hi, ps):
+    width = (hi - lo) / bins
+    d = df.copy()
+    d["bucket"] = (d.x // window) * window
+    d["bin"] = np.clip(np.floor((d.y.astype(np.float64) - lo) / width),
+                       0, bins - 1).astype(np.int64)
+    rows = []
+    for (s, b), g in d.groupby(["series_id", "bucket"]):
+        cnt = g.groupby("bin").size().sort_index()
+        cum = cnt.cumsum()
+        n = int(cnt.sum())
+        row = {"series_id": s, "bucket": b, "n": n}
+        for p in ps:
+            rank = (n * p + 99) // 100
+            qb = int(cum.index[np.searchsorted(cum.values, rank)])
+            row[f"p{p}"] = lo + (qb + 1) * width
+        rows.append(row)
+    return pd.DataFrame(rows).sort_values(
+        ["series_id", "bucket"]).reset_index(drop=True)
+
+
+def test_histogram_quantiles_match_oracle(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.histogram import (histogram_quantiles,
+                                                   histogram_rollup)
+
+    df = _series_df()
+    window, bins, lo, hi = 3_600_000_000, 32, -400.0, 400.0
+    want = _hist_oracle(df, window, bins, lo, hi, (50, 95, 99))
+    for parts in (1, 13):
+        ds = rd.from_pandas(df.sample(frac=1.0, random_state=parts)
+                            ).repartition(parts)
+        hist = histogram_rollup(ds, window, bins=bins, lo=lo, hi=hi,
+                                num_partitions=4)
+        got = histogram_quantiles(hist, bins=bins, lo=lo, hi=hi,
+                                  percentiles=(50, 95, 99)).to_pandas()
+        got = got.sort_values(["series_id", "bucket"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def _rate_oracle(df, window):
+    d = df.sort_values(["series_id", "x", "event_id"],
+                       kind="stable").copy()
+    d["prev"] = d.groupby("series_id")["y"].shift(1)
+    d = d[d.prev.notna()]
+    inc = np.where(d.y >= d.prev, d.y - d.prev, d.y).astype(np.int64)
+    d = d.assign(inc=inc, bucket=(d.x // window) * window)
+    g = d.groupby(["series_id", "bucket"]).agg(
+        increase=("inc", "sum"), n_incr=("inc", "size")).reset_index()
+    g["rate"] = g.increase.astype(np.float64) / (window / 1e6)
+    return g.sort_values(["series_id", "bucket"]).reset_index(drop=True)
+
+
+def test_counter_rate_matches_oracle(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.rate import counter_rate
+
+    df = _series_df(seed=4)
+    window = 3_600_000_000
+    want = _rate_oracle(df, window)
+    for parts in (1, 11):
+        ds = rd.from_pandas(df.sample(frac=1.0, random_state=parts)
+                            ).repartition(parts)
+        got = counter_rate(ds, window, tiebreak_col="event_id",
+                           num_partitions=4).to_pandas()
+        got = got.sort_values(["series_id", "bucket"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["series_id", "bucket", "increase", "n_incr", "rate"]],
+            want, check_dtype=False)
+
+
+def test_counter_reset_semantics(ray_session):
+    """y < prev is a reset: the new value counts whole."""
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.rate import counter_rate
+
+    df = pd.DataFrame({
+        "series_id": ["a"] * 4,
+        "x": np.array([0, 10, 20, 30], np.int64),
+        "y": np.array([100, 150, 30, 40], np.int64),  # reset at x=20
+        "event_id": np.arange(4, dtype=np.int64),
+    })
+    got = counter_rate(rd.from_pandas(df), 1_000, tiebreak_col="event_id",
+                       num_partitions=2).to_pandas()
+    assert int(got.increase.sum()) == 50 + 30 + 10  # delta, reset, delta

@@ -956,6 +956,188 @@ def q_minmaxlttb_bigseries(sf_dir: str, n_out: int = 40):
                           pc.cast(out["cents"], pa.int64()))
 
 
+def q_asof_enrich_events(sf_dir: str):
+    """As-of join (``stages/joins.py``): enrich every event with its
+    type's last CLOSED hourly aggregate — right rows become available at
+    ``bucket + 1h``, so the match is the latest window that finished
+    at-or-before the event (the stream-enrichment pattern; DuckDB native
+    ``ASOF LEFT JOIN`` is the oracle). One hash shuffle; no per-key
+    Python, no broadcast."""
+    US_H = 3_600_000_000
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    from ..stages.joins import asof_join
+    from ..stages.rollup import rollup
+
+    hourly = rollup(ev.map_batches(_series, batch_format="pyarrow"), US_H)
+
+    def _avail(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "series_id": b["series_id"],
+            "avail_us": pc.add(b["bucket"], US_H),
+            "hr_sum": b["sum_y"], "hr_n": b["n"],
+        })
+
+    right = hourly.map_batches(_avail, batch_format="pyarrow")
+
+    def _left(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"],
+                         "event_id": b["event_id"],
+                         "ts_us": b["ts_us"], "cents": b["cents"]})
+
+    left = ev.map_batches(_left, batch_format="pyarrow")
+    joined = asof_join(left, right, on="series_id", left_x="ts_us",
+                       right_x="avail_us", right_cols=["hr_sum", "hr_n"],
+                       num_partitions=8)
+
+    def _project(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b["series_id"],
+                         "event_id": b["event_id"],
+                         "cents": b["cents"],
+                         "hr_sum": b["hr_sum"], "hr_n": b["hr_n"]})
+
+    return joined.map_batches(_project, batch_format="pyarrow")
+
+
+ASOF_ENRICH_SQL = """
+WITH ev AS (
+    SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+h AS (
+    SELECT event_type,
+           (ts_us // 3600000000) * 3600000000 AS bucket,
+           sum(cents) AS hr_sum, count(*) AS hr_n
+    FROM ev GROUP BY 1, 2
+),
+r AS (SELECT event_type, bucket + 3600000000 AS avail_us, hr_sum, hr_n
+      FROM h)
+SELECT e.event_type, e.event_id, e.cents, r.hr_sum, r.hr_n
+FROM ev e
+ASOF LEFT JOIN r
+  ON e.event_type = r.event_type AND e.ts_us >= r.avail_us
+"""
+
+
+def q_hist_quantiles_1h(sf_dir: str):
+    """Histogram rollup + p50/p95/p99 per (event_type, hour)
+    (``stages/histogram.py``): deterministic fixed-bin sketch, mergeable
+    by count addition, quantile = upper edge of the first bin reaching
+    rank ceil(n*p/100) — every step SQL-replayable bit-for-bit."""
+    US_H = 3_600_000_000
+    BINS, LO, HI = 40, -400.0, 400.0
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": pc.cast(b["cents"], pa.float64())})
+
+    from ..stages.histogram import histogram_quantiles, histogram_rollup
+
+    hist = histogram_rollup(ev.map_batches(_series, batch_format="pyarrow"),
+                            US_H, bins=BINS, lo=LO, hi=HI, num_partitions=8)
+    q = histogram_quantiles(hist, bins=BINS, lo=LO, hi=HI,
+                            percentiles=(50, 95, 99))
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["event_type"] + b.column_names[1:])
+
+    return q.map_batches(_rename, batch_format="pyarrow")
+
+
+HIST_QUANTILES_SQL = """
+WITH ev AS (
+    SELECT event_type, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+hb AS (
+    SELECT event_type, (ts_us // 3600000000) * 3600000000 AS bucket,
+           CAST(least(39, greatest(0,
+               floor((CAST(cents AS DOUBLE) - (-400.0)) / 20.0)))
+               AS BIGINT) AS bin,
+           count(*) AS c
+    FROM ev GROUP BY 1, 2, 3
+),
+tot AS (SELECT event_type, bucket, sum(c) AS n FROM hb GROUP BY 1, 2),
+cum AS (
+    SELECT event_type, bucket, bin,
+           sum(c) OVER (PARTITION BY event_type, bucket
+                        ORDER BY bin) AS cum
+    FROM hb
+),
+q AS (
+    SELECT c.event_type, c.bucket,
+           any_value(t.n) AS n,
+           min(c.bin) FILTER (WHERE c.cum >= (t.n * 50 + 99) // 100) AS b50,
+           min(c.bin) FILTER (WHERE c.cum >= (t.n * 95 + 99) // 100) AS b95,
+           min(c.bin) FILTER (WHERE c.cum >= (t.n * 99 + 99) // 100) AS b99
+    FROM cum c JOIN tot t USING (event_type, bucket)
+    GROUP BY 1, 2
+)
+SELECT event_type, bucket, n,
+       -400.0 + (b50 + 1) * 20.0 AS p50,
+       -400.0 + (b95 + 1) * 20.0 AS p95,
+       -400.0 + (b99 + 1) * 20.0 AS p99
+FROM q
+"""
+
+
+def q_counter_rate_1h(sf_dir: str):
+    """PromQL-style counter rate per (event_type, hour)
+    (``stages/rate.py``): per-point increase with counter-reset handling
+    (y < prev -> the new value counts whole), summed per window; rate =
+    increase / 3600 s. Cross-row lag across block AND window boundaries —
+    one hash(series) shuffle, vectorized per partition."""
+    US_H = 3_600_000_000
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"], "event_id": b["event_id"]})
+
+    from ..stages.rate import counter_rate
+
+    out = counter_rate(ev.map_batches(_series, batch_format="pyarrow"),
+                       US_H, tiebreak_col="event_id", num_partitions=8)
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["event_type"] + b.column_names[1:])
+
+    return out.map_batches(_rename, batch_format="pyarrow")
+
+
+COUNTER_RATE_SQL = """
+WITH ev AS (
+    SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+d AS (
+    SELECT event_type, ts_us, cents,
+           lag(cents) OVER (PARTITION BY event_type
+                            ORDER BY ts_us, event_id) AS prev
+    FROM ev
+),
+i AS (
+    SELECT event_type, (ts_us // 3600000000) * 3600000000 AS bucket,
+           CASE WHEN prev IS NULL THEN NULL
+                WHEN cents >= prev THEN cents - prev
+                ELSE cents END AS inc
+    FROM d
+)
+SELECT event_type, bucket, sum(inc) AS increase, count(inc) AS n_incr,
+       CAST(sum(inc) AS DOUBLE) / 3600.0 AS rate
+FROM i WHERE inc IS NOT NULL GROUP BY 1, 2
+"""
+
+
 def q_minmax_bigseries(sf_dir: str, n_out: int = 40):
     """Distributed FULL-RANGE MinMax over ALL events as ONE series spanning
     many blocks (``stages/bigseries.py`` kernel="minmax" — the Ray analog
@@ -1687,6 +1869,9 @@ QUERIES = {
     "minmaxlttb_bigseries": q_minmaxlttb_bigseries,
     "minmax_bigseries": q_minmax_bigseries,
     "m4_bigseries": q_m4_bigseries,
+    "asof_enrich_events": q_asof_enrich_events,
+    "hist_quantiles_1h": q_hist_quantiles_1h,
+    "counter_rate_1h": q_counter_rate_1h,
     "minmax_events_partitioned": q_minmax_events_partitioned,
     "dedup_exact_pages": q_dedup_exact_pages,
     "token_count_docs": q_token_count_docs,
@@ -1942,6 +2127,9 @@ ORACLE_SQL = {
     "minmaxlttb_bigseries": _bigseries_sql(40, 4),
     "minmax_bigseries": _minmax_bigseries_sql(40),
     "m4_bigseries": _m4_bigseries_sql(40),
+    "asof_enrich_events": ASOF_ENRICH_SQL,
+    "hist_quantiles_1h": HIST_QUANTILES_SQL,
+    "counter_rate_1h": COUNTER_RATE_SQL,
     # with-x + gaps: bins equidistant in x-value (searchsorted-over-linspace
     # replayed as "count of interior boundaries strictly below x"), empty
     # bins vanish, <=2-point bins pass through

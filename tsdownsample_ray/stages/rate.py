@@ -1,0 +1,102 @@
+"""Counter rate / increase over windowed series (PromQL-style ``rate()``
+with counter-reset handling).
+
+No counterpart in the reference; core TSDB operator for monotone counters
+(bytes served, requests). Definition (restated exactly by the SQL
+oracle): per series ordered by (x, tiebreak), each point after the first
+contributes ``y - prev`` when ``y >= prev`` and ``y`` on a counter reset
+(``y < prev`` — the counter restarted from ~0, so the whole new value is
+growth); the per-window ``increase`` is the sum of contributions whose x
+falls in the window, and ``rate = increase / window_seconds``.
+
+Scale shape: needs each point's PREDECESSOR across block and window
+boundaries, so a series must be co-located: ONE hash(series) shuffle
+(dense part space, bounded reducers), then each partition sorts once and
+computes every series' lags, resets and per-window sums vectorized — no
+per-series Python round-trip. Partitioning assumption (documented): one
+series' rows fit one partition, the same contract as the per-series
+downsample path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .rollup import bucketize
+
+__all__ = ["counter_rate"]
+
+
+def counter_rate(ds, window_us: int, *, series_col: str = "series_id",
+                 x_col: str = "x", y_col: str = "y",
+                 tiebreak_col: str | None = None,
+                 num_partitions: int = 16):
+    """series rows -> ``(series_id, bucket, increase, n_incr, rate)``.
+
+    ``tiebreak_col`` breaks equal-x ordering deterministically (pass the
+    event id when x can collide — the oracle must order identically)."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    sort_keys = [(series_col, "ascending"), (x_col, "ascending")]
+    if tiebreak_col is not None:
+        sort_keys.append((tiebreak_col, "ascending"))
+
+    def _rate(g: pa.Table) -> pa.Table:
+        sid_type = g[series_col].type
+        empty = pa.table({
+            "series_id": pa.array([], sid_type),
+            "bucket": pa.array([], pa.int64()),
+            "increase": pa.array([], pa.int64()),
+            "n_incr": pa.array([], pa.int64()),
+            "rate": pa.array([], pa.float64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        t = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t[x_col]
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        n = len(y)
+        prev = np.empty(n, dtype=np.int64)
+        prev[1:] = y[:-1]
+        prev[0] = 0
+        first = np.ones(n, dtype=bool)
+        first[1:] = codes[1:] != codes[:-1]
+        inc = np.where(y >= prev, y - prev, y)  # reset -> full new value
+        keep = ~first
+        if not keep.any():
+            return empty
+        ki = np.flatnonzero(keep)
+        sel = pa.array(ki)
+        part = pa.table({
+            "series_id": sid.take(sel),
+            "bucket": bucketize(x, window_us).take(sel),
+            "inc": pa.array(inc[ki], pa.int64()),
+        })
+        m = part.group_by(["series_id", "bucket"]).aggregate(
+            [("inc", "sum"), ("inc", "count")])
+        from ..arrow_utils import rename_agg
+
+        m = rename_agg(m, {"series_id": "series_id", "bucket": "bucket",
+                           "inc_sum": "increase", "inc_count": "n_incr"})
+        rate = pc.divide(pc.cast(m["increase"], pa.float64()),
+                         window_us / 1e6)
+        return m.append_column("rate", rate)
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _rate, batch_format="pyarrow")
