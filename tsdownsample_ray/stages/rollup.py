@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 from ..arrow_utils import rename_agg
 
 __all__ = ["bucketize", "partial_rollup_batch", "rollup", "cascade",
-           "finalize_mean", "rollup_multi"]
+           "finalize_mean", "rollup_multi", "grouped_sum"]
 
 _PARTIAL_SCHEMA = ("min_y", "max_y", "sum_y", "n")
 
@@ -246,6 +246,36 @@ def rollup_multi(ds, window_us: int, y_cols: list, *,
 
     partials = ds.map_batches(_partial, batch_format="pyarrow")
     lvl1 = partials.repartition(fanin).map_batches(_merge, batch_format="pyarrow")
+    return lvl1.repartition(1).map_batches(_merge, batch_format="pyarrow")
+
+
+def grouped_sum(ds, keys: list, sum_cols: list, *, count_col: str = "n",
+                fanin: int = 16):
+    """Generic map-side-partial grouped SUM + row count: each block is
+    pre-aggregated to <= one row per key (Arrow hash group-by) before the
+    tree combine — the same shuffle-minimizing shape as ``rollup`` for
+    arbitrary additive summaries (e.g. pricing rollups over ``lineitem``).
+    Key spaces must fit one block (summaries — tens to thousands of keys);
+    use ``rollup``'s hashpart machinery for per-entity key spaces."""
+    keys = list(keys)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        g = b.select(keys + sum_cols).group_by(keys).aggregate(
+            [(c, "sum") for c in sum_cols] + [(keys[0], "count")])
+        return rename_agg(g, {**{k: k for k in keys},
+                              **{f"{c}_sum": c for c in sum_cols},
+                              f"{keys[0]}_count": count_col})
+
+    def _merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(keys).aggregate(
+            [(c, "sum") for c in sum_cols] + [(count_col, "sum")])
+        return rename_agg(g, {**{k: k for k in keys},
+                              **{f"{c}_sum": c for c in sum_cols},
+                              f"{count_col}_sum": count_col})
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    lvl1 = partials.repartition(fanin).map_batches(
+        _merge, batch_format="pyarrow")
     return lvl1.repartition(1).map_batches(_merge, batch_format="pyarrow")
 
 
