@@ -126,14 +126,14 @@ def read_pages(sf_dir: str, *, snapshots: int = 3, hot_domain_factor: int = 1,
         need.add("text")
     if "lang" in out_cols:
         need.add("lang")
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=sorted(need))
-    # strip the parquet writer's pandas schema metadata (zero-copy, fuses
-    # with the read): a metadata-bearing pa.Schema is UNHASHABLE
-    # ("unhashable type: 'dict'"), so every downstream shuffle's
-    # unify_schemas logs a "Failed to hash the schemas" warning per reduce
-    # task and skips its dedup fast path
-    ds = ds.map_batches(lambda b: b.replace_schema_metadata(None),
-                        batch_format="pyarrow")
+    # read through the metadata-stripping reader: a metadata-bearing
+    # pa.Schema is UNHASHABLE, so every downstream shuffle's unify_schemas
+    # would log a "Failed to hash the schemas" warning per reduce task and
+    # skip its dedup fast path (see sources.read_parquet_clean)
+    from . import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=sorted(need))
     if parallelism == 0:
         import pyarrow.parquet as pq
 
