@@ -77,3 +77,92 @@ def test_unsupported_formats_still_raise():
     # fake path still works for both
     assert DecodeImage(fake=True)(t).num_rows == 1
     assert DecodeAudio(fake=True)(t).num_rows == 1
+
+
+def test_png_roundtrip_exact():
+    from tsdownsample_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for h, w in ((1, 1), (3, 5), (17, 9), (40, 33)):
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_png(encode_png(img)) == img).all()
+
+
+def test_png_all_filter_types():
+    """Decode handles every PNG scanline filter (an independent filter
+    implementation builds the test payloads)."""
+    import struct
+    import zlib
+
+    from tsdownsample_ray.stages.multimodal import _PNG_SIG, decode_png
+
+    def filt(img, ftypes):
+        h, w = img.shape[:2]
+        stride = w * 3
+        flat = img.reshape(h, stride).astype(np.int64)
+        rows = []
+        for y in range(h):
+            f = ftypes[y % len(ftypes)]
+            cur = flat[y]
+            prev = flat[y - 1] if y else np.zeros(stride, np.int64)
+            line = np.empty(stride, np.int64)
+            for i in range(stride):
+                a = cur[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc) else (
+                        b if pb <= pc else c)
+                line[i] = (cur[i] - pred) % 256
+            rows.append(bytes([f]) + bytes(line.astype(np.uint8)))
+        return b"".join(rows)
+
+    def build(img, ftypes):
+        h, w = img.shape[:2]
+
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data)))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (_PNG_SIG + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(filt(img, ftypes)))
+                + chunk(b"IEND", b""))
+
+    img = np.random.default_rng(3).integers(0, 256, (10, 7, 3),
+                                            dtype=np.uint8)
+    for ftypes in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        assert (decode_png(build(img, ftypes)) == img).all()
+
+
+def test_decode_image_real_png_stage(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.multimodal import DecodeImage, encode_png
+
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, (6 + i, 5, 3), dtype=np.uint8)
+            for i in range(4)]
+    t = pa.table({
+        "media_id": pa.array(range(4), pa.int64()),
+        "kind": pa.array(["image"] * 4),
+        "payload": pa.array([encode_png(im) for im in imgs], pa.binary()),
+        "height": pa.array([im.shape[0] for im in imgs], pa.int32()),
+        "width": pa.array([5] * 4, pa.int32()),
+    })
+    out = rd.from_arrow(t).map_batches(
+        DecodeImage, batch_format="pyarrow", batch_size=2,
+        concurrency=(1, 2)).to_pandas().sort_values("media_id")
+    for i, row in out.reset_index(drop=True).iterrows():
+        assert (np.asarray(row.pixels, dtype=np.uint8)
+                == imgs[i].reshape(-1)).all()

@@ -2060,6 +2060,93 @@ def q_multimodal_wav_decode(sf_dir: str):
     return dec.map_batches(_stats, batch_format="pyarrow")
 
 
+def q_multimodal_png_decode(sf_dir: str):
+    """REAL image decode through the actor-pool stage: 8x?-pixel RGB PNGs
+    whose pixel bytes ARE the documents' own bytes (zero-padded to whole
+    rows), encoded with the stdlib-zlib PNG writer, decoded with
+    DecodeImage's stdlib-zlib PNG reader (full scanline de-filtering),
+    per-doc pixel stats hash-verified against the SQL replay over the
+    text."""
+    rd = _rd()
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+    from ..stages.multimodal import DecodeImage, encode_png
+
+    def _media(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        payloads, hs = [], []
+        for t in b["text"].to_pylist():
+            raw = t.encode()
+            h = max(1, -(-len(raw) // 24))  # ceil(bytes / (8 px * 3 ch))
+            buf = _np.zeros(h * 24, dtype=_np.uint8)
+            buf[: len(raw)] = _np.frombuffer(raw, _np.uint8)
+            payloads.append(encode_png(buf.reshape(h, 8, 3)))
+            hs.append(h)
+        return pa.table({
+            "media_id": b["doc_id"],
+            "kind": pa.array(["image"] * b.num_rows),
+            "payload": pa.array(payloads, pa.binary()),
+            "height": pa.array(hs, pa.int32()),
+            "width": pa.array([8] * b.num_rows, pa.int32()),
+        })
+
+    media = ds.map_batches(_media, batch_format="pyarrow", batch_size=256)
+    dec = media.map_batches(DecodeImage, batch_format="pyarrow",
+                            batch_size=256, concurrency=(1, 8))
+
+    def _stats(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        s = b["pixels"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        flat = s.values.to_numpy(zero_copy_only=False).astype(_np.int64)
+        off = s.offsets.to_numpy(zero_copy_only=False).astype(_np.int64)
+        cs = _np.concatenate([[0], _np.cumsum(flat)])
+        n = off[1:] - off[:-1]
+        first = _np.where(n > 0, flat[_np.minimum(off[:-1], len(flat) - 1)]
+                          if len(flat) else 0, -1)
+        # last NON-ZERO byte per doc == the text's last character (ASCII
+        # printable text has no NUL; the zero row padding is transparent)
+        nz = _np.flatnonzero(flat)
+        lo = _np.searchsorted(nz, off[:-1], side="left")
+        hi = _np.searchsorted(nz, off[1:], side="left")
+        has = hi > lo
+        last_nz = _np.where(
+            has, flat[nz[_np.maximum(hi - 1, 0)]] if len(nz) else 0, -1)
+        return pa.table({
+            "media_id": b["media_id"],
+            "n_bytes": pa.array(n, pa.int64()),
+            "sum_codes": pa.array(cs[off[1:]] - cs[off[:-1]], pa.int64()),
+            "first_code": pa.array(
+                _np.where(first == 0, -1, first), pa.int64()),
+            "last_code": pa.array(last_nz, pa.int64()),
+        })
+
+    return dec.map_batches(_stats, batch_format="pyarrow")
+
+
+# the PNG pixel payload carries the text's own bytes (zero-padded to whole
+# 8px rows), so the decoded pixel stats replay from the text (ASCII:
+# unicode(char) == byte; empty text -> a single all-zero row)
+MULTIMODAL_PNG_SQL = """
+SELECT doc_id AS media_id,
+       24 * greatest(1, CAST(ceil(length(text) / 24.0) AS BIGINT))
+           AS n_bytes,
+       CAST(COALESCE(list_sum(list_transform(
+            range(1, length(text) + 1),
+            i -> unicode(substring(text, i, 1)))), 0) AS BIGINT)
+            AS sum_codes,
+       CASE WHEN length(text) = 0 THEN -1
+            ELSE unicode(substring(text, 1, 1)) END AS first_code,
+       CASE WHEN length(text) = 0 THEN -1
+            ELSE unicode(substring(text, length(text), 1))
+       END AS last_code
+FROM documents
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -2112,6 +2199,7 @@ QUERIES = {
     "knn_ivf_embeddings": q_knn_ivf_embeddings,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_wav_decode": q_multimodal_wav_decode,
+    "multimodal_png_decode": q_multimodal_png_decode,
     "corpus_curation": q_corpus_curation,
     "chunkstore_downsample": q_chunkstore_downsample,
 }
@@ -2531,6 +2619,7 @@ ORACLE_SQL = {
                END AS last_code
         FROM documents
     """,
+    "multimodal_png_decode": MULTIMODAL_PNG_SQL,
     # the GPT-2-style pretokenizer count; RE2 has no lookahead, so the
     # `\\s+(?!\\S)` (trailing-whitespace) branch is dropped — equivalent on
     # this corpus (no trailing whitespace), verified doc-by-doc

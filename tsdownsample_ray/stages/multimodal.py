@@ -2,13 +2,15 @@
 decode / feature-extract / resize / frame-sample as actor-pool stages.
 
 Decode support is REAL for the formats the standard library + NumPy can
-handle — uncompressed 24-bit BMP images (struct header parse + strided
-NumPy pixel decode) and PCM WAV audio (stdlib ``wave``) — and STUBBED for
-codec formats (JPEG/PNG/MP3/MP4): there ``fake=True`` substitutes a
-deterministic payload-seeded pseudo-decoder so the Ray-side plumbing —
-schema, batch sizing, actor signature, output layout — stays real and
-tested, and ``fake=False`` raises ``NotImplementedError`` naming the
-missing codec library.
+handle — uncompressed 24-bit BMP (struct header parse + strided NumPy
+pixel decode), 8-bit RGB PNG (stdlib ``zlib`` inflate + full scanline
+de-filtering incl. Sub/Up/Average/Paeth), and PCM WAV audio (stdlib
+``wave``) — and STUBBED for formats that genuinely need a codec library
+(JPEG/MP3/MP4): there ``fake=True`` substitutes a deterministic
+payload-seeded pseudo-decoder so the Ray-side plumbing — schema, batch
+sizing, actor signature, output layout — stays real and tested, and
+``fake=False`` raises ``NotImplementedError`` naming the missing codec
+library.
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ import pyarrow as pa
 
 __all__ = ["media_schema", "DecodeImage", "DecodeAudio", "ResizeImage",
            "SampleFrames", "decode_bmp", "decode_wav", "encode_bmp",
-           "encode_wav"]
+           "encode_wav", "decode_png", "encode_png"]
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
@@ -62,6 +64,95 @@ def encode_bmp(img: np.ndarray) -> bytes:
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
                        2835, 2835, 0, 0)
     return header + info + body
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit RGB (color type 2) PNG -> (h, w, 3) uint8 tensor — REAL
+    decode via stdlib ``zlib``: chunk walk, IDAT inflate, and full
+    scanline de-filtering (None/Sub/Up/Average/Paeth). Interlaced images
+    and other color types raise (they need a real image library)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8 or color != 2 or interlace != 0:
+                raise NotImplementedError(
+                    f"only 8-bit non-interlaced RGB PNG is decodable "
+                    f"without an image library (depth={depth}, "
+                    f"color={color}, interlace={interlace})")
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * 3
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = rows[:, 0]
+    img = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        cur = rows[y, 1:].astype(np.int64)
+        prev = img[y - 1].astype(np.int64) if y else np.zeros(
+            stride, np.int64)
+        if f == 0:    # None
+            line = cur
+        elif f == 1:  # Sub: x + left — per-channel cumulative sum mod 256
+            line = np.cumsum(cur.reshape(-1, 3), axis=0).reshape(-1) % 256
+        elif f == 2:  # Up
+            line = (cur + prev) % 256
+        elif f == 3:  # Average (left dependency -> sequential in x)
+            line = np.empty(stride, np.int64)
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                line[i] = (cur[i] + (a + prev[i]) // 2) % 256
+        elif f == 4:  # Paeth
+            line = np.empty(stride, np.int64)
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                p = a + b - c
+                pa_, pb, pc2 = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc2) else (
+                    b if pb <= pc2 else c)
+                line[i] = (cur[i] + pred) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        img[y] = line.astype(np.uint8)
+    return img.reshape(h, w, 3)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG bytes (filter 0 scanlines, one zlib
+    IDAT; inverse of decode_png — test/fixture helper)."""
+    import zlib
+
+    h, w = img.shape[:2]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    rows = np.zeros((h, w * 3 + 1), dtype=np.uint8)
+    rows[:, 1:] = img.reshape(h, w * 3)
+    idat = zlib.compress(rows.tobytes(), 6)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
 
 
 def decode_wav(payload: bytes) -> tuple:
@@ -145,9 +236,11 @@ class DecodeImage:
                 img = _pseudo_pixels(p, h or 8, w or 8)
             elif p[:2] == b"BM":
                 img = decode_bmp(p)
+            elif p[:8] == _PNG_SIG:
+                img = decode_png(p)
             else:
                 raise NotImplementedError(
-                    "non-BMP image decoding requires PIL/opencv, not "
+                    "non-BMP/PNG image decoding requires PIL/opencv, not "
                     "present in this container — construct with fake=True "
                     "for the deterministic stub decoder")
             pixels.append(img.reshape(-1))
