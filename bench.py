@@ -100,7 +100,11 @@ def run_bench() -> dict:
         "fingerprint_docs", "quality_docs")
     for qname in qnames:
         best = None
-        for _ in range(2):  # min-of-2: throttle bursts vary timings ~3x
+        # min-of-n: throttle bursts vary timings ~3x; the two join-heavy
+        # queries get a third sample (their wall time is long enough that
+        # two samples often BOTH land inside one burst)
+        reps = 3 if qname in ("near_dup_pages", "embedding_near_dups") else 2
+        for _ in range(reps):
             t0 = time.time()
             res = Q.QUERIES[qname](SF_DIR)
             if hasattr(res, "count"):

@@ -1700,8 +1700,12 @@ def q_near_dup_pages(sf_dir: str):
     from ..stages.dedup import near_dup_pairs
 
     ds = _pages_with_pid(sf_dir)
+    # num_partitions sizes the pair-distinct and the two verify joins;
+    # each join reserves aggregator actors whose startup dominates at this
+    # corpus size (measured: 4 is ~20% faster than 8 at sf0.1) — a real
+    # cluster run raises it toward the node count
     pairs = near_dup_pairs(ds, id_col="pid", text_col="text", num_perm=64,
-                           bands=8, threshold=0.999)
+                           bands=8, threshold=0.999, num_partitions=4)
 
     def _proj(b: pa.Table) -> pa.Table:
         return b.select(["a", "b", "jaccard"])
