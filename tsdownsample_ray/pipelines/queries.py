@@ -1826,7 +1826,7 @@ def q_embedding_near_dups(sf_dir: str):
     # logged slice of recall — acceptable for this already-partial-recall
     # low-threshold sweep
     return embedding_near_dup_pairs(ds, threshold=0.5, planes=128, bands=16,
-                                    max_bucket=512, num_partitions=8)
+                                    max_bucket=512, num_partitions=4)
 
 
 def q_knn_embeddings(sf_dir: str):

@@ -137,17 +137,43 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text",
 
 
 def exact_dedup(ds, *, text_col: str = "text", order_col: str,
-                keep_cols: list | None = None):
-    """Keep the first row (by ``order_col``) of each distinct text."""
+                keep_cols: list | None = None, num_partitions: int = 16):
+    """Keep the first row (by ``order_col``) of each distinct text.
+
+    ONE hash(content_md5) shuffle; each partition then sorts once by
+    (hash, order) and keeps segment heads vectorized — one call per
+    PARTITION instead of one ``map_groups`` round-trip per distinct text
+    (the dominant cost at corpus scale: |groups| ~= |rows|)."""
     hashed = ds.map_batches(
         lambda b: content_hash_batch(b, text_col), batch_format="pyarrow")
 
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["content_md5"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
     def _first(g: pa.Table) -> pa.Table:
-        i = pc.sort_indices(g, sort_keys=[(order_col, "ascending")])
-        out = g.take(i[:1])
+        t = g.drop_columns(["__part"])
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("content_md5", "ascending"),
+                          (order_col, "ascending")]))
+        md5 = t["content_md5"]
+        if isinstance(md5, pa.ChunkedArray):
+            md5 = md5.combine_chunks()
+        codes = md5.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = np.ones(len(codes), dtype=bool)
+        keep[1:] = codes[1:] != codes[:-1]
+        out = t.take(pa.array(np.flatnonzero(keep)))
         return out.select(keep_cols) if keep_cols else out
 
-    return hashed.groupby("content_md5").map_groups(_first, batch_format="pyarrow")
+    parted = hashed.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _first, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
