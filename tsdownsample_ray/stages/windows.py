@@ -9,10 +9,12 @@ input as an ordered partitioned log), so:
   tree-combine rollup machinery aggregates per (series, window_start). The
   replication factor is the shuffle amplification — callers keep
   window/slide small (2-12x), exactly like any hopping-window engine.
-- **session**: per-series ``map_groups``: sort by (ts, id), break where the
-  gap to the previous event exceeds ``gap_us``, cumulative-sum the breaks
-  into session ids, aggregate per session. Ordering assumption: one series
-  fits one group (same assumption as every per-series stage here).
+- **session**: ONE hash(series) shuffle, then each partition sorts once by
+  (series, ts, id) and derives every series' session breaks vectorized
+  (gap > ``gap_us`` OR series boundary), cumulative-sums them into session
+  ids and aggregates — one call per partition, not per series. Ordering
+  assumption: one series fits one partition (the engine's standard
+  per-series contract).
 """
 
 from __future__ import annotations
@@ -70,34 +72,64 @@ def sliding_rollup(ds, window_us: int, slide_us: int, *,
 
 
 def sessionize(ds, gap_us: int, *, series_col: str = "series_id",
-               x_col: str = "x", id_col: str | None = None):
+               x_col: str = "x", id_col: str | None = None,
+               num_partitions: int = 16):
     """Session windows: consecutive events of one series belong to the same
     session while the inter-event gap is <= gap_us. Output one row per
-    session: (series_id, session_start, session_end, n_events)."""
+    session: (series_id, session_start, session_end, n_events).
+
+    Scale shape: ONE hash(series) shuffle (dense part space, bounded
+    reducers), then each partition sorts once by (series, x[, id]) and
+    derives EVERY series' session breaks in one vectorized pass (a series
+    boundary is itself a break) — one call per partition, not one
+    ``map_groups`` round-trip per series. Assumes one series' rows fit a
+    partition (the engine's standard per-series contract)."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
 
     def _sessions(g: pa.Table) -> pa.Table:
-        keys = [(x_col, "ascending")] + (
-            [(id_col, "ascending")] if id_col else [])
+        sid_type = g[series_col].type
+        if g.num_rows == 0:
+            return pa.table({
+                "series_id": pa.array([], sid_type),
+                "session_start": pa.array([], pa.int64()),
+                "session_end": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+            })
+        keys = ([(series_col, "ascending"), (x_col, "ascending")]
+                + ([(id_col, "ascending")] if id_col else []))
         g = g.take(pc.sort_indices(g, sort_keys=keys))
+        sid = g[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
         x = g[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        brk = np.empty(len(x), dtype=np.int64)
-        brk[0] = 1
-        brk[1:] = (np.diff(x) > gap_us).astype(np.int64)
-        sess = np.cumsum(brk)
-        t = pa.table({
-            "sess": pa.array(sess),
-            "x": pa.array(x),
-        })
+        brk = np.ones(len(x), dtype=np.int64)
+        brk[1:] = ((codes[1:] != codes[:-1])
+                   | (x[1:] - x[:-1] > gap_us)).astype(np.int64)
+        sess = np.cumsum(brk)  # unique per (series, session) by construction
+        t = pa.table({"sess": pa.array(sess), "x": pa.array(x),
+                      "row": pa.array(np.arange(len(x)))})
         agg = t.group_by(["sess"]).aggregate(
-            [("x", "min"), ("x", "max"), ("x", "count")])
+            [("x", "min"), ("x", "max"), ("x", "count"), ("row", "min")])
         agg = rename_agg(agg, {"sess": "sess", "x_min": "session_start",
-                               "x_max": "session_end", "x_count": "n_events"})
-        sid = g[series_col][0].as_py()
+                               "x_max": "session_end",
+                               "x_count": "n_events", "row_min": "row"})
+        first_rows = agg["row"]
         return pa.table({
-            "series_id": pa.array([sid] * agg.num_rows),
+            "series_id": sid.take(first_rows),
             "session_start": agg["session_start"],
             "session_end": agg["session_end"],
             "n_events": pc.cast(agg["n_events"], pa.int64()),
         })
 
-    return ds.groupby(series_col).map_groups(_sessions, batch_format="pyarrow")
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _sessions, batch_format="pyarrow")
