@@ -1647,16 +1647,16 @@ def q_dedup_exact_pages(sf_dir: str):
 
     hashed = pages.map_batches(_hash, batch_format="pyarrow")
 
-    def _keep_first(g: pa.Table) -> pa.Table:
-        i = pc.sort_indices(g, sort_keys=[("ts_us", "ascending"), ("url", "ascending")])
-        first = g.take(i[:1])
-        return pa.table({
-            "text_md5": first["text_md5"],
-            "url": first["url"],
-            "first_ts_us": first["ts_us"],
-        })
+    from ..stages.dedup import keep_first_by_key
 
-    return hashed.groupby("text_md5").map_groups(_keep_first, batch_format="pyarrow")
+    first = keep_first_by_key(hashed, key_col="text_md5",
+                              order_cols=["ts_us", "url"])
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return pa.table({"text_md5": b["text_md5"], "url": b["url"],
+                         "first_ts_us": b["ts_us"]})
+
+    return first.map_batches(_rename, batch_format="pyarrow")
 
 
 def q_token_count_docs(sf_dir: str):
@@ -1969,12 +1969,10 @@ def q_corpus_curation(sf_dir: str):
 
     filtered = ds.map_batches(_quality_filter, batch_format="pyarrow")
 
-    def _keep_first(g: pa.Table) -> pa.Table:
-        i = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
-        return g.take(i[:1])
+    from ..stages.dedup import keep_first_by_key
 
-    deduped = filtered.groupby("fingerprint").map_groups(
-        _keep_first, batch_format="pyarrow")
+    deduped = keep_first_by_key(filtered, key_col="fingerprint",
+                                order_cols=["doc_id"], num_partitions=8)
     tagged = deduped.map_batches(LangId, batch_format="pyarrow",
                                  concurrency=(1, 4))
 

@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = [
-    "content_hash_batch", "exact_dedup",
+    "content_hash_batch", "exact_dedup", "keep_first_by_key",
     "MinHasher", "minhash_signatures", "lsh_candidate_pairs",
     "verify_jaccard_pairs", "near_dup_pairs",
     "simhash_batch", "simhash_signatures", "simhash_near_dup_pairs",
@@ -136,44 +136,54 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text",
     return batch.append_column(out_col, md5)
 
 
-def exact_dedup(ds, *, text_col: str = "text", order_col: str,
-                keep_cols: list | None = None, num_partitions: int = 16):
-    """Keep the first row (by ``order_col``) of each distinct text.
+def keep_first_by_key(ds, *, key_col: str, order_cols: list,
+                      keep_cols: list | None = None,
+                      num_partitions: int = 16):
+    """Keep the minimum-(order_cols) row of each distinct ``key_col``.
 
-    ONE hash(content_md5) shuffle; each partition then sorts once by
-    (hash, order) and keeps segment heads vectorized — one call per
-    PARTITION instead of one ``map_groups`` round-trip per distinct text
-    (the dominant cost at corpus scale: |groups| ~= |rows|)."""
-    hashed = ds.map_batches(
-        lambda b: content_hash_batch(b, text_col), batch_format="pyarrow")
-
+    ONE hash(key) shuffle (dense part space, bounded reducers); each
+    partition then sorts once by (key, *order_cols) and keeps segment
+    heads vectorized — one call per PARTITION instead of one
+    ``map_groups`` round-trip per distinct key (the dominant cost at
+    corpus scale: |groups| ~= |rows| for dedup keys)."""
     from ..arrow_utils import stable_part_codes
 
     mod = num_partitions * 64
 
     def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["content_md5"], None)
+        h = stable_part_codes(b[key_col], None)
         return b.append_column(
             "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
 
     def _first(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
         t = t.take(pc.sort_indices(
-            t, sort_keys=[("content_md5", "ascending"),
-                          (order_col, "ascending")]))
-        md5 = t["content_md5"]
-        if isinstance(md5, pa.ChunkedArray):
-            md5 = md5.combine_chunks()
-        codes = md5.dictionary_encode().indices.to_numpy(
+            t, sort_keys=[(key_col, "ascending")]
+            + [(c, "ascending") for c in order_cols]))
+        key = t[key_col]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        codes = key.dictionary_encode().indices.to_numpy(
             zero_copy_only=False).astype(np.int64)
         keep = np.ones(len(codes), dtype=bool)
         keep[1:] = codes[1:] != codes[:-1]
         out = t.take(pa.array(np.flatnonzero(keep)))
         return out.select(keep_cols) if keep_cols else out
 
-    parted = hashed.map_batches(_add_part, batch_format="pyarrow")
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _first, batch_format="pyarrow")
+
+
+def exact_dedup(ds, *, text_col: str = "text", order_col: str,
+                keep_cols: list | None = None, num_partitions: int = 16):
+    """Keep the first row (by ``order_col``) of each distinct text
+    (content-md5 key -> :func:`keep_first_by_key`)."""
+    hashed = ds.map_batches(
+        lambda b: content_hash_batch(b, text_col), batch_format="pyarrow")
+    return keep_first_by_key(hashed, key_col="content_md5",
+                             order_cols=[order_col], keep_cols=keep_cols,
+                             num_partitions=num_partitions)
 
 
 # ---------------------------------------------------------------------------

@@ -1,18 +1,22 @@
 """Gap-fill stage: materialize missing windows of each series' rollup.
 
-Per series (one group): generate every bucket in ``[min_bucket,
-max_bucket]`` at the tier's window; buckets absent from the rollup become
-explicit rows with ``n = 0``, ``is_gap = true`` and value columns either
-null/zero ('zero') or carried forward from the previous present bucket
-('ffill' — what a charting client wants before running LTTB over a sparse
-series).
+Per series: generate every bucket in ``[min_bucket, max_bucket]`` at the
+tier's window; buckets absent from the rollup become explicit rows with
+``n = 0``, ``is_gap = true`` and value columns either null/zero ('zero')
+or carried forward from the previous present bucket ('ffill' — what a
+charting client wants before running LTTB over a sparse series).
 
 New design (no reference counterpart — SURVEY.md §2.4): the reference
 *represents* gaps by returning fewer indices (README.md:99); a retention
-engine must materialize them so cascaded tiers and downstream consumers see
-a dense time axis. Shuffle: the same ``series_id`` groupby key as every
-other per-series stage.
-"""
+engine must materialize them so cascaded tiers and downstream consumers
+see a dense time axis.
+
+Scale shape: ONE hash(series) shuffle (dense part space, bounded
+reducers), then each partition fills EVERY series in one vectorized pass —
+per-series dense ranges built with repeat/arange arithmetic, present rows
+scattered by their in-range position, forward-fill via a segment-reset
+maximum-accumulate — one call per partition, not one ``map_groups``
+round-trip per series."""
 
 from __future__ import annotations
 
@@ -24,41 +28,91 @@ __all__ = ["gapfill"]
 
 
 def gapfill(ds, window_us: int, *, value_cols: tuple = ("min_y", "max_y", "sum_y"),
-            count_col: str = "n", fill: str = "zero"):
+            count_col: str = "n", fill: str = "zero",
+            num_partitions: int = 16):
     if fill not in ("zero", "ffill"):
         raise ValueError("fill must be 'zero' or 'ffill'")
 
-    def _fill_group(g: pa.Table) -> pa.Table:
-        g = g.take(pc.sort_indices(g, sort_keys=[("bucket", "ascending")]))
-        buckets = g["bucket"].to_numpy(zero_copy_only=False)
-        full = np.arange(buckets[0], buckets[-1] + 1, window_us)
-        pos = np.searchsorted(buckets, full)
-        pos_clipped = np.minimum(pos, len(buckets) - 1)
-        present = buckets[pos_clipped] == full
-        src = pos_clipped  # index of the present row, valid where present
+    from ..arrow_utils import stable_part_codes
 
-        n_vals = g[count_col].to_numpy(zero_copy_only=False)
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["series_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _fill(g: pa.Table) -> pa.Table:
+        sid_type = g["series_id"].type
+        if g.num_rows == 0:
+            cols = {"series_id": pa.array([], sid_type),
+                    "bucket": pa.array([], pa.int64()),
+                    count_col: pa.array([], pa.int64()),
+                    "is_gap": pa.array([], pa.bool_())}
+            for c in value_cols:
+                cols[c] = pa.array([], g.schema.field(c).type)
+            return pa.table(cols)
+        t = g.take(pc.sort_indices(g, sort_keys=[("series_id", "ascending"),
+                                                 ("bucket", "ascending")]))
+        sid = t["series_id"]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        buckets = t["bucket"].to_numpy(zero_copy_only=False)
+        n = len(codes)
+        change = np.ones(n, dtype=bool)
+        change[1:] = codes[1:] != codes[:-1]
+        seg_first = np.flatnonzero(change)           # per-series first row
+        seg_last = np.concatenate([seg_first[1:] - 1, [n - 1]])
+        mins = buckets[seg_first]
+        k = (buckets[seg_last] - mins) // window_us + 1  # dense len/series
+        total = int(k.sum())
+        out_off = np.concatenate([[0], np.cumsum(k)[:-1]])
+        # dense bucket axis for every series at once
+        intra = np.arange(total) - np.repeat(out_off, k)
+        full = np.repeat(mins, k) + intra * window_us
+        # scatter present rows to their dense positions
+        series_of_row = np.repeat(np.arange(len(seg_first)), np.diff(
+            np.concatenate([seg_first, [n]])))
+        pos = (out_off[series_of_row]
+               + (buckets - mins[series_of_row]) // window_us)
+        present = np.zeros(total, dtype=bool)
+        present[pos] = True
+        src = np.zeros(total, dtype=np.int64)
+        src[pos] = np.arange(n)
+
+        n_vals = t[count_col].to_numpy(zero_copy_only=False)
         out = {
-            "series_id": pa.array(
-                np.repeat(g["series_id"][0].as_py(), len(full))),
+            "series_id": sid.take(pa.array(
+                np.repeat(seg_first, k))),
             "bucket": pa.array(full, pa.int64()),
-            count_col: pa.array(np.where(present, n_vals[src], 0), pa.int64()),
+            count_col: pa.array(np.where(present, n_vals[src], 0),
+                                pa.int64()),
             "is_gap": pa.array(~present),
         }
+        if fill == "ffill":
+            # last present dense position, reset at series boundaries via
+            # the segment-start validity check
+            out_start = np.repeat(out_off, k)
+            lastp = np.maximum.accumulate(
+                np.where(present, np.arange(total), -1))
+            has_prev = lastp >= out_start
         for c in value_cols:
-            v = g[c].to_numpy(zero_copy_only=False)
+            v = t[c].to_numpy(zero_copy_only=False)
             if fill == "ffill":
-                # carry forward the previous present bucket's value
-                last_present = np.maximum.accumulate(
-                    np.where(present, np.arange(len(full)), -1))
-                carried = v[src[np.maximum(last_present, 0)]]
-                filled = np.where(
-                    present, v[src],
-                    np.where(last_present >= 0, carried, v[0]))
+                carried = v[src[np.maximum(lastp, 0)]]
+                first_of_series = v[seg_first][
+                    np.repeat(np.arange(len(seg_first)), k)]
+                filled = np.where(present, v[src],
+                                  np.where(has_prev, carried,
+                                           first_of_series))
                 out[c] = pa.array(filled)
             else:
                 filled = np.where(present, v[src], 0)
                 out[c] = pa.array(filled.astype(v.dtype))
         return pa.table(out)
 
-    return ds.groupby("series_id").map_groups(_fill_group, batch_format="pyarrow")
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _fill, batch_format="pyarrow")
