@@ -2132,6 +2132,105 @@ def q_multimodal_png_decode(sf_dir: str):
 # the PNG pixel payload carries the text's own bytes (zero-padded to whole
 # 8px rows), so the decoded pixel stats replay from the text (ASCII:
 # unicode(char) == byte; empty text -> a single all-zero row)
+def q_multimodal_jpeg_decode(sf_dir: str):
+    """REAL JPEG decode through the actor-pool stage: grayscale baseline
+    JPEGs whose 8x8 blocks are each CONSTANT at one document byte (8
+    blocks per row, zero-padded to whole rows). With the DC quantizer
+    pinned to 8 (``dc_exact_quant``) constant blocks survive the lossy
+    codec EXACTLY (qDC = round(8*(v-128)/8) = v-128), so the full
+    encode -> Huffman entropy stream -> decode -> per-doc byte stats
+    pipeline is hash-verified against the SQL replay over the text. The
+    decoder itself is the general baseline codec
+    (``functions/jpeg.py``), not a special case."""
+    rd = _rd()
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+    from ..stages.multimodal import DecodeImage, encode_jpeg
+    from ..functions.jpeg import dc_exact_quant
+
+    quant = dc_exact_quant()
+
+    def _media(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        payloads, hs = [], []
+        for t in b["text"].to_pylist():
+            raw = t.encode()
+            hb = max(1, -(-len(raw) // 8))   # block rows (8 blocks/row)
+            grid = _np.zeros(hb * 8, dtype=_np.uint8)
+            grid[: len(raw)] = _np.frombuffer(raw, _np.uint8)
+            img = _np.kron(grid.reshape(hb, 8),
+                           _np.ones((8, 8), _np.uint8))
+            payloads.append(encode_jpeg(img, quant=quant))
+            hs.append(hb * 8)
+        return pa.table({
+            "media_id": b["doc_id"],
+            "kind": pa.array(["image"] * b.num_rows),
+            "payload": pa.array(payloads, pa.binary()),
+            "height": pa.array(hs, pa.int32()),
+            "width": pa.array([64] * b.num_rows, pa.int32()),
+        })
+
+    # batch_size 32: entropy coding is ~6 ms/doc of real CPU — small
+    # batches keep all 8 decode actors fed (128 -> only 4 tasks total)
+    media = ds.map_batches(_media, batch_format="pyarrow", batch_size=32)
+    dec = media.map_batches(DecodeImage, batch_format="pyarrow",
+                            batch_size=32, concurrency=(1, 8))
+
+    def _stats(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        s = b["pixels"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        flat = s.values.to_numpy(zero_copy_only=False).astype(_np.int64)
+        off = s.offsets.to_numpy(zero_copy_only=False).astype(_np.int64)
+        # one sample per 8x8 block: within each 64-px-wide grayscale
+        # image, block corners sit at rel % 512 in {0, 8, ..., 56}
+        n_px = off[1:] - off[:-1]
+        rel = _np.arange(len(flat)) - _np.repeat(off[:-1], n_px)
+        m = rel % 512
+        mask = (m < 64) & (m % 8 == 0)
+        codes = flat[mask]
+        n = n_px // 64                      # decoded bytes (padded) per doc
+        coff = _np.concatenate([[0], _np.cumsum(n)])
+        cs = _np.concatenate([[0], _np.cumsum(codes)])
+        first = codes[coff[:-1]]
+        nz = _np.flatnonzero(codes)
+        lo = _np.searchsorted(nz, coff[:-1], side="left")
+        hi = _np.searchsorted(nz, coff[1:], side="left")
+        has = hi > lo
+        last_nz = _np.where(
+            has, codes[nz[_np.maximum(hi - 1, 0)]] if len(nz) else 0, -1)
+        return pa.table({
+            "media_id": b["media_id"],
+            "n_bytes": pa.array(n, pa.int64()),
+            "sum_codes": pa.array(cs[coff[1:]] - cs[coff[:-1]], pa.int64()),
+            "first_code": pa.array(
+                _np.where(first == 0, -1, first), pa.int64()),
+            "last_code": pa.array(last_nz, pa.int64()),
+        })
+
+    return dec.map_batches(_stats, batch_format="pyarrow")
+
+
+MULTIMODAL_JPEG_SQL = """
+SELECT doc_id AS media_id,
+       8 * greatest(1, CAST(ceil(length(text) / 8.0) AS BIGINT))
+           AS n_bytes,
+       CAST(COALESCE(list_sum(list_transform(
+            range(1, length(text) + 1),
+            i -> unicode(substring(text, i, 1)))), 0) AS BIGINT)
+            AS sum_codes,
+       CASE WHEN length(text) = 0 THEN -1
+            ELSE unicode(substring(text, 1, 1)) END AS first_code,
+       CASE WHEN length(text) = 0 THEN -1
+            ELSE unicode(substring(text, length(text), 1))
+       END AS last_code
+FROM documents
+"""
+
+
 MULTIMODAL_PNG_SQL = """
 SELECT doc_id AS media_id,
        24 * greatest(1, CAST(ceil(length(text) / 24.0) AS BIGINT))
@@ -2202,6 +2301,7 @@ QUERIES = {
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_wav_decode": q_multimodal_wav_decode,
     "multimodal_png_decode": q_multimodal_png_decode,
+    "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     "corpus_curation": q_corpus_curation,
     "chunkstore_downsample": q_chunkstore_downsample,
 }
@@ -2622,6 +2722,7 @@ ORACLE_SQL = {
         FROM documents
     """,
     "multimodal_png_decode": MULTIMODAL_PNG_SQL,
+    "multimodal_jpeg_decode": MULTIMODAL_JPEG_SQL,
     # the GPT-2-style pretokenizer count; RE2 has no lookahead, so the
     # `\\s+(?!\\S)` (trailing-whitespace) branch is dropped — equivalent on
     # this corpus (no trailing whitespace), verified doc-by-doc

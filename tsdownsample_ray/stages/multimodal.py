@@ -4,9 +4,11 @@ decode / feature-extract / resize / frame-sample as actor-pool stages.
 Decode support is REAL for the formats the standard library + NumPy can
 handle — uncompressed 24-bit BMP (struct header parse + strided NumPy
 pixel decode), 8-bit RGB PNG (stdlib ``zlib`` inflate + full scanline
-de-filtering incl. Sub/Up/Average/Paeth), and PCM WAV audio (stdlib
+de-filtering incl. Sub/Up/Average/Paeth), baseline JPEG (a full
+entropy-coded DCT codec in ``functions/jpeg.py``: Huffman decode,
+dequant, vectorized block IDCT, YCbCr) and PCM WAV audio (stdlib
 ``wave``) — and STUBBED for formats that genuinely need a codec library
-(JPEG/MP3/MP4): there ``fake=True`` substitutes a deterministic
+(MP3/MP4 video): there ``fake=True`` substitutes a deterministic
 payload-seeded pseudo-decoder so the Ray-side plumbing — schema, batch
 sizing, actor signature, output layout — stays real and tested, and
 ``fake=False`` raises ``NotImplementedError`` naming the missing codec
@@ -22,9 +24,12 @@ import struct
 import numpy as np
 import pyarrow as pa
 
+from ..functions.jpeg import decode_jpeg, encode_jpeg  # noqa: E402
+
 __all__ = ["media_schema", "DecodeImage", "DecodeAudio", "ResizeImage",
            "SampleFrames", "decode_bmp", "decode_wav", "encode_bmp",
-           "encode_wav", "decode_png", "encode_png"]
+           "encode_wav", "decode_png", "encode_png", "decode_jpeg",
+           "encode_jpeg"]
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
@@ -217,10 +222,11 @@ class DecodeImage:
     """binary payload -> flat uint8 pixel tensor + shape columns.
 
     Actor-pool stage: ``map_batches(DecodeImage(), batch_size=64,
-    concurrency=N)``. REAL decode for uncompressed 24-bit BMP payloads
-    (``decode_bmp``); other formats raise unless ``fake=True`` selects the
-    deterministic pseudo-decoder (JPEG/PNG need a codec library this
-    container lacks).
+    concurrency=N)``. REAL decode for uncompressed 24-bit BMP
+    (``decode_bmp``), 8-bit RGB PNG (``decode_png``) and baseline JPEG
+    (``decode_jpeg`` — full Huffman+DCT codec, grayscale or 4:4:4 color);
+    other formats raise unless ``fake=True`` selects the deterministic
+    pseudo-decoder.
     """
 
     def __init__(self, fake: bool = False):
@@ -238,11 +244,13 @@ class DecodeImage:
                 img = decode_bmp(p)
             elif p[:8] == _PNG_SIG:
                 img = decode_png(p)
+            elif p[:3] == b"\xff\xd8\xff":
+                img = decode_jpeg(p)
             else:
                 raise NotImplementedError(
-                    "non-BMP/PNG image decoding requires PIL/opencv, not "
-                    "present in this container — construct with fake=True "
-                    "for the deterministic stub decoder")
+                    "non-BMP/PNG/JPEG image decoding requires PIL/opencv, "
+                    "not present in this container — construct with "
+                    "fake=True for the deterministic stub decoder")
             pixels.append(img.reshape(-1))
             out_h.append(img.shape[0])
             out_w.append(img.shape[1])
