@@ -166,3 +166,104 @@ def test_decode_image_real_png_stage(ray_session):
     for i, row in out.reset_index(drop=True).iterrows():
         assert (np.asarray(row.pixels, dtype=np.uint8)
                 == imgs[i].reshape(-1)).all()
+
+
+# --- MP4 container (ISO BMFF) demuxer --------------------------------------
+
+def test_mp4_roundtrip_sample_table():
+    from tsdownsample_ray.functions.mp4 import encode_mp4, mp4_sample_table
+
+    frames = [bytes([i]) * (10 + 7 * i) for i in range(20)]  # variable sizes
+    payload = encode_mp4(frames, fps=25, timescale=1000)
+    t = mp4_sample_table(payload)
+    assert t["timescale"] == 1000
+    assert list(t["sizes"]) == [len(f) for f in frames]
+    assert list(t["ts_ms"]) == [i * 40 for i in range(20)]
+    # offsets point at the actual frame bytes inside mdat
+    for off, size, f in zip(t["offsets"], t["sizes"], frames):
+        assert payload[off: off + size] == f
+
+
+def test_mp4_extract_samples():
+    from tsdownsample_ray.functions.mp4 import encode_mp4, mp4_extract_samples
+
+    frames = [f"frame-{i:03d}".encode() + bytes(i) for i in range(50)]
+    payload = encode_mp4(frames, fps=10)
+    got = mp4_extract_samples(payload, np.array([0, 7, 49]))
+    assert got == [frames[0], frames[7], frames[49]]
+
+
+def test_mp4_multichunk_stsc():
+    """Multi-chunk layout (stsc runs + multiple stco entries) resolves
+    per-sample offsets correctly — built by hand, not via encode_mp4."""
+    import struct
+
+    from tsdownsample_ray.functions import mp4 as m
+
+    frames = [bytes([65 + i]) * (4 + i) for i in range(6)]
+    # chunks: [f0,f1], [f2,f3], [f4,f5] with a gap byte between chunks
+    chunk_bytes = [b"".join(frames[0:2]), b"".join(frames[2:4]),
+                   b"".join(frames[4:6])]
+    mdat_payload = b"\x00".join(chunk_bytes)
+    ftyp = m._box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mdat = m._box(b"mdat", mdat_payload)
+    base = len(ftyp) + 8
+    offs = [base, base + len(chunk_bytes[0]) + 1,
+            base + len(chunk_bytes[0]) + len(chunk_bytes[1]) + 2]
+
+    stsd = m._full(b"stsd", 0, 0, struct.pack(">I", 1))
+    stts = m._full(b"stts", 0, 0, struct.pack(">III", 1, 6, 100))
+    # entry_count=1, first_chunk=1, samples_per_chunk=2, sdi=1
+    stsc = m._full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 2, 1))
+    stsz = m._full(b"stsz", 0, 0, struct.pack(">II", 0, 6)
+                   + b"".join(struct.pack(">I", len(f)) for f in frames))
+    stco = m._full(b"stco", 0, 0, struct.pack(">I", 3)
+                   + b"".join(struct.pack(">I", o) for o in offs))
+    stbl = m._box(b"stbl", stsd + stts + stsc + stsz + stco)
+    mdhd = m._full(b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, 1000, 600,
+                                              0x55C4, 0))
+    mdia = m._box(b"mdia", mdhd + m._box(b"minf", stbl))
+    moov = m._box(b"moov", m._box(b"trak", mdia))
+    payload = ftyp + mdat + moov
+
+    t = m.mp4_sample_table(payload)
+    assert list(t["sizes"]) == [len(f) for f in frames]
+    got = m.mp4_extract_samples(payload, np.arange(6))
+    assert got == frames
+    assert list(t["ts_ms"]) == [0, 100, 200, 300, 400, 500]
+
+
+def test_sample_frames_real_mp4():
+    """SampleFrames(fake=False) demuxes MP4: EveryNth over the stts
+    timeline, frame bytes sliced straight from mdat."""
+    from tsdownsample_ray.functions.mp4 import encode_mp4
+    from tsdownsample_ray.kernels import everynth
+    from tsdownsample_ray.stages.multimodal import SampleFrames
+
+    frames = [f"F{i:04d}".encode() * (1 + i % 3) for i in range(100)]
+    payload = encode_mp4(frames, fps=25, timescale=1000)
+    t = pa.table({
+        "media_id": pa.array([9], pa.int64()),
+        "payload": pa.array([payload], pa.binary()),
+        "duration_ms": pa.array([4000], pa.int32()),
+    })
+    out = SampleFrames(n_frames=16, fake=False)(t)
+    ts = np.arange(100, dtype=np.int64) * 40
+    idx = everynth(None, ts, 16).astype(np.intp)
+    assert out["frame_ts_ms"][0].as_py() == ts[idx].tolist()
+    assert out["frames"][0].as_py() == [frames[i] for i in idx]
+
+
+def test_sample_frames_corrupt_mp4_raises():
+    from tsdownsample_ray.stages.multimodal import SampleFrames
+
+    # ftyp magic present but box structure is garbage -> ValueError from
+    # the demuxer, not silently empty output
+    t = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "payload": pa.array([b"\x00\x00\x00\x08ftyp" + b"\xff" * 4],
+                            pa.binary()),
+        "duration_ms": pa.array([100], pa.int32()),
+    })
+    with pytest.raises(ValueError):
+        SampleFrames(fake=False)(t)

@@ -185,11 +185,16 @@ def test_ivf_recall_vs_bruteforce(ray_session):
 # --- multimodal ------------------------------------------------------------
 
 def test_decode_stub_raises_without_fake():
-    # image/audio decode is now REAL for BMP/WAV (tests/test_multimodal.py);
-    # only formats needing an external codec still raise — at CALL time,
-    # on the offending payload. Video remains construction-time stubbed.
+    # image/audio decode is REAL for BMP/PNG/JPEG/WAV and frame sampling
+    # is REAL for MP4 containers; only payloads needing an external codec
+    # still raise — at CALL time, on the offending payload.
+    t = pa.table({
+        "media_id": [1],
+        "payload": [b"not an mp4 container......."],
+        "duration_ms": pa.array([1000], pa.int32()),
+    })
     with pytest.raises(NotImplementedError):
-        SampleFrames(fake=False)
+        SampleFrames(fake=False)(t)
 
 
 def test_fake_audio_decode_and_downsample():

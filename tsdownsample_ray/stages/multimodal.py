@@ -7,8 +7,11 @@ pixel decode), 8-bit RGB PNG (stdlib ``zlib`` inflate + full scanline
 de-filtering incl. Sub/Up/Average/Paeth), baseline JPEG (a full
 entropy-coded DCT codec in ``functions/jpeg.py``: Huffman decode,
 dequant, vectorized block IDCT, YCbCr) and PCM WAV audio (stdlib
-``wave``) — and STUBBED for formats that genuinely need a codec library
-(MP3/MP4 video): there ``fake=True`` substitutes a deterministic
+``wave``), plus REAL MP4 container demuxing for frame sampling
+(``functions/mp4.py`` walks the ISO BMFF sample tables; the selected
+frames' bytes are sliced out without decoding) — and STUBBED only where
+a true codec library is unavoidable (MP3/compressed-audio decode, video
+bitstream decode): there ``fake=True`` substitutes a deterministic
 payload-seeded pseudo-decoder so the Ray-side plumbing — schema, batch
 sizing, actor signature, output layout — stays real and tested, and
 ``fake=False`` raises ``NotImplementedError`` naming the missing codec
@@ -25,11 +28,14 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.jpeg import decode_jpeg, encode_jpeg  # noqa: E402
+from ..functions.mp4 import (encode_mp4, mp4_extract_samples,  # noqa: E402
+                             mp4_sample_table)
 
 __all__ = ["media_schema", "DecodeImage", "DecodeAudio", "ResizeImage",
            "SampleFrames", "decode_bmp", "decode_wav", "encode_bmp",
            "encode_wav", "decode_png", "encode_png", "decode_jpeg",
-           "encode_jpeg"]
+           "encode_jpeg", "encode_mp4", "mp4_sample_table",
+           "mp4_extract_samples"]
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
@@ -327,24 +333,48 @@ class DecodeAudio:
 
 
 class SampleFrames:
-    """video payload -> every-nth frame timestamps (EveryNth over the time
-    axis — the downsample kernels applied to media). Decode itself stubbed."""
+    """video payload -> every-nth sampled frames (EveryNth over the time
+    axis — the downsample kernels applied to media).
+
+    REAL for MP4 payloads: the ISO BMFF demuxer (``functions/mp4.py``)
+    reconstructs the sample table from stsz/stco/stsc/stts, EveryNth
+    picks the frames, and their exact bytes are sliced out of mdat — no
+    codec library needed, because frame *sampling* is a container
+    operation. Decoding the selected frames' bitstreams (H.264 etc.)
+    still needs ffmpeg: non-MP4 payloads raise unless ``fake=True``
+    selects the duration-derived timestamp stub."""
 
     def __init__(self, n_frames: int = 16, fake: bool = False):
-        if not fake:
-            raise NotImplementedError(
-                "video decoding requires ffmpeg, not present in this "
-                "container — construct with fake=True")
         self.n_frames = n_frames
+        self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.mp4 import mp4_sample_table
         from ..kernels import everynth
 
-        out = []
-        for dur in batch["duration_ms"].to_pylist():
-            ts = np.arange(0, max(dur or 0, 1), 40)  # 25 fps timeline
-            idx = everynth(None, ts, self.n_frames)
-            out.append(ts[idx.astype(np.intp)].tolist())
+        payloads = batch["payload"].to_pylist()
+        durs = batch["duration_ms"].to_pylist()
+        ts_out, frames_out = [], []
+        for p, dur in zip(payloads, durs):
+            if not self.fake and len(p) >= 8 and p[4:8] == b"ftyp":
+                table = mp4_sample_table(p)
+                ts = table["ts_ms"]
+                idx = everynth(None, ts, self.n_frames).astype(np.intp)
+                off, siz = table["offsets"], table["sizes"]
+                ts_out.append(ts[idx].tolist())
+                frames_out.append(
+                    [p[off[i]: off[i] + siz[i]] for i in idx])
+            elif not self.fake:
+                raise NotImplementedError(
+                    "non-MP4 video containers require ffmpeg, not present "
+                    "in this container — construct with fake=True")
+            else:
+                ts = np.arange(0, max(dur or 0, 1), 40)  # 25 fps timeline
+                idx = everynth(None, ts, self.n_frames).astype(np.intp)
+                ts_out.append(ts[idx].tolist())
+                frames_out.append([])
         cols = {n: batch[n] for n in batch.column_names if n != "payload"}
-        cols["frame_ts_ms"] = pa.array(out, type=pa.list_(pa.int64()))
+        cols["frame_ts_ms"] = pa.array(ts_out, type=pa.list_(pa.int64()))
+        cols["frames"] = pa.array(frames_out,
+                                  type=pa.list_(pa.binary()))
         return pa.table(cols)
