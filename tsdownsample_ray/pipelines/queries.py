@@ -1882,33 +1882,57 @@ def q_knn_ivf_embeddings(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_multimodal_frame_sample(sf_dir: str):
-    """documents -> fake media rows -> SampleFrames(fake) actor stage."""
+    """REAL video frame sampling through the actor-pool stage: each doc
+    becomes a genuine single-track MP4 (``functions/mp4.py`` writer) whose
+    frame payloads are deterministic slices of the doc's own text; the
+    ISO BMFF demuxer in ``SampleFrames(fake=False)`` reconstructs the
+    sample table (stsz/stco/stsc/stts), EveryNth picks 16 frames, and the
+    selected frames' BYTES are sliced out of mdat. Per-doc stats computed
+    from those extracted bytes are hash-verified against the SQL replay
+    over ``text`` — binding the whole mux->demux->select->extract path.
+
+    Frame plan (replayed in SQL): n_total = 8 + n_chars % 25 frames at
+    25 fps; frame i = substr(text, 1 + (i*11) % (n_chars-4), 1 + (i+n_chars) % 5)
+    (slices may overlap — the container doesn't care)."""
     rd = _rd()
     ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "n_chars"])
 
+    from ..stages.multimodal import SampleFrames, encode_mp4
+
     def _media(b: pa.Table) -> pa.Table:
+        payloads = []
+        for t, nc in zip(b["text"].to_pylist(), b["n_chars"].to_pylist()):
+            raw = t.encode()
+            n_total = 8 + nc % 25
+            frames = [raw[(i * 11) % (nc - 4):
+                          (i * 11) % (nc - 4) + 1 + (i + nc) % 5]
+                      for i in range(n_total)]
+            payloads.append(encode_mp4(frames, fps=25, timescale=1000))
         return pa.table({
             "media_id": b["doc_id"],
             "kind": pa.array(["video"] * b.num_rows),
-            "payload": b["text"].cast(pa.binary()),
+            "payload": pa.array(payloads, pa.binary()),
             "duration_ms": pc.cast(pc.multiply(b["n_chars"], 40), pa.int32()),
         })
 
-    from ..stages.multimodal import SampleFrames
-
-    media = ds.map_batches(_media, batch_format="pyarrow")
+    media = ds.map_batches(_media, batch_format="pyarrow", batch_size=256)
     sampled = media.map_batches(
-        SampleFrames, fn_constructor_kwargs={"n_frames": 16, "fake": True},
+        SampleFrames, fn_constructor_kwargs={"n_frames": 16, "fake": False},
         batch_format="pyarrow", batch_size=256, concurrency=(1, 8))
 
     def _summ(b: pa.Table) -> pa.Table:
         fts = b["frame_ts_ms"].to_pylist()
+        frames = b["frames"].to_pylist()
         return pa.table({
             "media_id": b["media_id"],
-            "n_frames": pa.array([len(f) for f in fts], pa.int64()),
+            "n_sel": pa.array([len(f) for f in fts], pa.int64()),
             "first_ts": pa.array([f[0] for f in fts], pa.int64()),
             "last_ts": pa.array([f[-1] for f in fts], pa.int64()),
+            "sel_bytes": pa.array([sum(len(x) for x in fs)
+                                   for fs in frames], pa.int64()),
+            "head_cs": pa.array([sum(x[0] for x in fs)
+                                 for fs in frames], pa.int64()),
         })
 
     return sampled.map_batches(_summ, batch_format="pyarrow")
@@ -2720,6 +2744,32 @@ ORACLE_SQL = {
                     ELSE unicode(substring(text, length(text), 1))
                END AS last_code
         FROM documents
+    """,
+    # real MP4 demux replay: the frame plan (8 + n_chars%25 frames, frame i
+    # = substr(text, 1+(i*11)%(n_chars-4), 1+(i+n_chars)%5)) and the
+    # EveryNth float-step selection (same arithmetic as everynth_events)
+    # are restated over text; the Ray side computes the SAME stats from
+    # the bytes the ISO BMFF demuxer extracted out of mdat
+    "multimodal_frame_sample": """
+        WITH d AS MATERIALIZED (
+            SELECT doc_id, text, n_chars, 8 + n_chars % 25 AS n_total
+            FROM documents
+        ),
+        sel AS MATERIALIZED (
+            SELECT d.doc_id, d.text, d.n_chars,
+                   CAST(FLOOR(k.k * GREATEST(1.0, d.n_total / 16.0))
+                        AS BIGINT) AS i
+            FROM d JOIN generate_series(0, 15) k(k)
+              ON k.k * GREATEST(1.0, d.n_total / 16.0) < d.n_total - 0.1
+        )
+        SELECT doc_id AS media_id,
+               count(*) AS n_sel,
+               40 * min(i) AS first_ts,
+               40 * max(i) AS last_ts,
+               CAST(sum(1 + (i + n_chars) % 5) AS BIGINT) AS sel_bytes,
+               CAST(sum(unicode(substring(text,
+                    1 + (i * 11) % (n_chars - 4), 1))) AS BIGINT) AS head_cs
+        FROM sel GROUP BY doc_id
     """,
     "multimodal_png_decode": MULTIMODAL_PNG_SQL,
     "multimodal_jpeg_decode": MULTIMODAL_JPEG_SQL,
