@@ -356,3 +356,106 @@ def test_partition_hash_null_series_keys(ray_session):
     out = (rollup(rd.from_arrow(t), 10, combine="hashpart")
            .to_pandas().sort_values("series_id", na_position="last"))
     assert out["sum_y"].tolist() == [4, 6]  # a: 1+3, null: 2+4
+
+
+# --- character-n-gram Jaccard (prefix filter) ------------------------------
+
+def _naive_ngrams(text: str, n: int = 5) -> set:
+    return {text[i:i + n] for i in range(len(text) - n + 1)}
+
+
+def test_char_ngram_codes_match_naive():
+    from tsdownsample_ray.stages.dedup import char_ngram_codes
+
+    texts = ["hello world, hello again", "abcd", "abcde", "", "xy" * 40]
+    for n in (3, 5, 8):
+        got = char_ngram_codes(texts, n)
+        for t, codes in zip(texts, got):
+            want = _naive_ngrams(t, n)
+            dec = {bytes((int(c) >> (8 * (n - 1 - j))) & 0xFF
+                         for j in range(n)).decode() for c in codes}
+            assert dec == want, (t, n)
+            # sorted ascending == byte-lexicographic order of the grams
+            assert list(codes) == sorted(int(c) for c in codes)
+
+
+def _brute_jaccard_pairs(texts: dict, n: int, thr: float) -> set:
+    out = set()
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = _naive_ngrams(texts[a], n), _naive_ngrams(texts[b], n)
+            if not (sa | sb):
+                continue
+            if len(sa & sb) >= thr * len(sa | sb):
+                out.add((a, b))
+    return out
+
+
+@pytest.mark.parametrize("stop_m", [None, 64])
+def test_ngram_jaccard_equals_bruteforce(ray_session, stop_m):
+    """The prefix-filter join EQUALS the quadratic definition — with or
+    without the df-ascending stop-gram order (any consistent global
+    order is exact), across partitionings."""
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.dedup import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    base = " ".join(rng.choice(vocab, 30))
+    texts = {}
+    for i in range(40):
+        if i % 4 == 0 and i:
+            t = list(texts[i - 1])  # near-dup of the previous doc
+            t[rng.integers(len(t))] = "Q"
+            texts[i] = "".join(t)
+        else:
+            texts[i] = " ".join(rng.choice(vocab, rng.integers(10, 40)))
+    t = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                  "text": pa.array(list(texts.values()))})
+    want = _brute_jaccard_pairs(texts, 5, 0.5)
+    got = ngram_jaccard_pairs(
+        rd.from_arrow(t).repartition(3), n=5, threshold=0.5,
+        stop_m=stop_m, num_partitions=4).to_pandas()
+    assert set(zip(got.a, got.b)) == want
+    # exact counts, not just membership
+    for _, r in got.iterrows():
+        sa = _naive_ngrams(texts[r.a], 5)
+        sb = _naive_ngrams(texts[r.b], 5)
+        assert r.n_inter == len(sa & sb)
+        assert r.n_union == len(sa | sb)
+
+
+def test_ngram_jaccard_no_pairs(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.dedup import ngram_jaccard_pairs
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": ["completely different words here",
+                           "zzz yyy xxx qqq ppp mmm nnn"]})
+    out = ngram_jaccard_pairs(rd.from_arrow(t), threshold=0.9,
+                              num_partitions=2).to_pandas()
+    assert len(out) == 0
+
+
+def test_corpus_stop_grams_orders_by_df(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.dedup import corpus_stop_grams
+
+    # "AAAAA" in every doc, rarer grams elsewhere; sample_mod=1 samples all
+    t = pa.table({"doc_id": pa.array(range(8), pa.int64()),
+                  "text": [f"AAAAA unique{i}snippet" for i in range(8)]})
+    codes, dfs = corpus_stop_grams(rd.from_arrow(t), n=5, stop_m=4,
+                                   sample_mod=1)
+    assert len(codes) == 4 and len(dfs) == 4
+    # every selected stop gram appears in ALL 8 docs
+    assert (dfs == 8).all()
+    decs = {bytes((int(c) >> (8 * (4 - j))) & 0xFF
+                  for j in range(5)).decode() for c in codes}
+    texts = t["text"].to_pylist()
+    for d in decs:
+        assert all(d in x for x in texts), d
+    assert list(codes) == sorted(codes)  # sorted for searchsorted

@@ -1731,6 +1731,20 @@ def q_simhash_near_dup_pages(sf_dir: str):
     return simhash_near_dup_pairs(ds, id_col="pid", max_hamming=3)
 
 
+def q_ngram_jaccard_docs(sf_dir: str):
+    """EXACT character-5-gram Jaccard similarity join over documents at
+    t=0.5 via the lossless prefix filter (``ngram_jaccard_pairs``) — the
+    non-probabilistic member of the near-dup family (MinHash recall < 1,
+    SimHash bounded hamming; this one EQUALS the quadratic definition,
+    which the SQL oracle restates as an inverted-index join)."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, id_col="doc_id", text_col="text",
+                               n=5, threshold=0.5, num_partitions=4)
+
+
 def q_minhash_docs(sf_dir: str):
     """Full MinHash signatures, exploded to one row per (doc, permutation)
     so EVERY signature slot is hash-verified against the SQL replay."""
@@ -2313,6 +2327,7 @@ QUERIES = {
     "near_dup_pages": q_near_dup_pages,
     "simhash_docs": q_simhash_docs,
     "simhash_near_dup_pages": q_simhash_near_dup_pages,
+    "ngram_jaccard_docs": q_ngram_jaccard_docs,
     "minhash_docs": q_minhash_docs,
     "lang_id_docs": q_lang_id_docs,
     "quality_docs": q_quality_docs,
@@ -2727,6 +2742,35 @@ ORACLE_SQL = {
     "corpus_curation": _curation_sql(),
     "simhash_docs": _simhash_sql(),
     "simhash_near_dup_pages": _simhash_neardup_sql(3),
+    # the quadratic definition the prefix-filter join must EQUAL, restated
+    # as an inverted-index join (pairs at J >= 0.5 share >= 1 gram, so the
+    # gram equi-join finds every qualifying pair; n_inter >= t*n_union is
+    # the same double comparison the Ray verify runs)
+    "ngram_jaccard_docs": """
+        WITH g AS MATERIALIZED (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, length(text) - 3),
+                       i -> substring(text, i, 5)))) AS gram
+            FROM documents
+        ),
+        sz AS MATERIALIZED (
+            SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+        ),
+        inter AS MATERIALIZED (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+            FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+        )
+        SELECT i.a, i.b, i.n_inter,
+               sa.n + sb.n - i.n_inter AS n_union,
+               CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter)
+                    AS jaccard
+        FROM inter i
+        JOIN sz sa ON sa.doc_id = i.a
+        JOIN sz sb ON sb.doc_id = i.b
+        WHERE CAST(i.n_inter AS DOUBLE)
+              >= 0.5 * (sa.n + sb.n - i.n_inter)
+    """,
     "minhash_docs": _minhash_sql(),
     # the WAV payload carries the text's own bytes as PCM16 samples, so
     # the decoded waveform stats replay directly from the text (ASCII:
