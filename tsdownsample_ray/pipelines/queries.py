@@ -1807,6 +1807,111 @@ def q_fingerprint_docs(sf_dir: str):
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+# deterministic sampling: the query constants live here so the SQL oracles
+# below inject the IDENTICAL thresholds/rates the Ray path filters on
+_SAMPLE_RATE, _SAMPLE_SALT = 0.25, 7
+_STRAT_RATES = {"en": 0.05, "de": 0.5, "es": 0.3, "fr": 1.0, "zh": 0.1}
+_STRAT_SALT = 11
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SALT = 3
+
+
+def q_sample_docs(sf_dir: str):
+    """Deterministic 25% Bernoulli sample of documents by doc_id hash —
+    a pure map-side filter (no shuffle, no RNG state), reproducible on
+    any partitioning."""
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "lang", "n_chars"])
+    from ..stages.sampling import bernoulli_sample
+
+    return bernoulli_sample(ds, id_col="doc_id", rate=_SAMPLE_RATE,
+                            salt=_SAMPLE_SALT)
+
+
+def q_sample_stratified_docs(sf_dir: str):
+    """Language-rebalancing stratified sample: per-lang keep rates
+    (downsample the over-represented 'en', keep all 'fr'). The rate table
+    rides in the UDF closure; the filter stays map-side."""
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "lang", "n_chars"])
+    from ..stages.sampling import stratified_sample
+
+    return stratified_sample(ds, id_col="doc_id", strata_col="lang",
+                             rates=_STRAT_RATES, default_rate=0.1,
+                             salt=_STRAT_SALT)
+
+
+def q_train_split_docs(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test assignment by doc_id hash,
+    reported as per-split corpus totals (3 rows)."""
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "n_chars"])
+    from ..arrow_utils import rename_agg
+    from ..stages.sampling import assign_splits
+
+    labeled = assign_splits(ds, id_col="doc_id", splits=_SPLITS,
+                            salt=_SPLIT_SALT)
+
+    def _agg(b: pa.Table) -> pa.Table:
+        g = b.group_by(["split"]).aggregate(
+            [("doc_id", "count"), ("n_chars", "sum")])
+        return rename_agg(g, {"split": "split", "doc_id_count": "n_docs",
+                              "n_chars_sum": "total_chars"})
+
+    def _merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["split"]).aggregate(
+            [("n_docs", "sum"), ("total_chars", "sum")])
+        g = rename_agg(g, {"split": "split", "n_docs_sum": "n_docs",
+                           "total_chars_sum": "total_chars"})
+        return pa.table({
+            "split": g["split"],
+            "n_docs": pc.cast(g["n_docs"], pa.int64()),
+            "total_chars": pc.cast(g["total_chars"], pa.int64()),
+        })
+
+    # per-block partials (<= 3 rows each) then one tiny merge
+    return labeled.map_batches(_agg, batch_format="pyarrow") \
+                  .repartition(1).map_batches(_merge, batch_format="pyarrow")
+
+
+def _build_sampling_sql():
+    """Oracle SQL for the three sampling queries, generated from the same
+    constants/hash the Ray path uses (stages/sampling.py) so any drift is
+    a driver hash-mismatch, not a silent approximation."""
+    from ..stages.sampling import (hash61_sql, rate_threshold,
+                                   split_boundaries_sql)
+
+    h_sample = hash61_sql("doc_id", _SAMPLE_SALT)
+    sample = f"""
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE {h_sample} < {rate_threshold(_SAMPLE_RATE)}
+    """
+    h_strat = hash61_sql("doc_id", _STRAT_SALT)
+    cases = " ".join(f"WHEN '{k}' THEN {rate_threshold(v)}::HUGEINT"
+                     for k, v in _STRAT_RATES.items())
+    strat = f"""
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE {h_strat} < CASE lang {cases}
+                          ELSE {rate_threshold(0.1)}::HUGEINT END
+    """
+    h_split = hash61_sql("doc_id", _SPLIT_SALT)
+    bounds = split_boundaries_sql(_SPLITS)
+    whens = " ".join(f"WHEN hv < {b}::HUGEINT THEN '{name}'"
+                     for name, b in bounds[:-1])
+    split = f"""
+        WITH hashed AS (SELECT doc_id, n_chars, {h_split} AS hv
+                        FROM documents)
+        SELECT CASE {whens} ELSE '{bounds[-1][0]}' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM hashed GROUP BY 1
+    """
+    return sample, strat, split
+
+
+_SAMPLE_SQL, _STRAT_SQL, _SPLIT_SQL = _build_sampling_sql()
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -2333,6 +2438,9 @@ QUERIES = {
     "quality_docs": q_quality_docs,
     "token_stats_docs": q_token_stats_docs,
     "fingerprint_docs": q_fingerprint_docs,
+    "sample_docs": q_sample_docs,
+    "sample_stratified_docs": q_sample_stratified_docs,
+    "train_split_docs": q_train_split_docs,
     "token_count_bpeish": q_token_count_bpeish,
     "embedding_near_dups": q_embedding_near_dups,
     "knn_embeddings": q_knn_embeddings,
@@ -2838,6 +2946,11 @@ ORACLE_SQL = {
                     AS BIGINT) AS fingerprint
         FROM documents
     """,
+    # hash61 replayed in HUGEINT; thresholds are the SAME integers the Ray
+    # filter compares against (rate_threshold), so the row sets are equal
+    "sample_docs": _SAMPLE_SQL,
+    "sample_stratified_docs": _STRAT_SQL,
+    "train_split_docs": _SPLIT_SQL,
     "knn_embeddings": """
         WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,
