@@ -58,3 +58,49 @@ def test_sessionize(ray_session):
     assert list(out["session_start"]) == [0, 105]
     assert list(out["session_end"]) == [5, 110]
     assert list(out["n_events"]) == [2, 2]
+
+
+def test_rolling_stats_vs_pandas(ray_session):
+    """rolling_stats == pandas groupby().rolling(k, min_periods=1) on a
+    multi-series input, regardless of input partitioning."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.windows import rolling_stats
+
+    rng = np.random.default_rng(7)
+    n = 600
+    df = pd.DataFrame({
+        "series_id": rng.choice(["a", "b", "c"], size=n),
+        "x": rng.permutation(n).astype("int64"),
+        "rid": np.arange(n, dtype="int64"),
+        "y": rng.integers(-50, 50, size=n).astype("int64"),
+    })
+    out = rolling_stats(rd.from_pandas(df).repartition(7), 5,
+                        id_col="rid", num_partitions=2).to_pandas()
+    out = out.sort_values(["series_id", "x"]).reset_index(drop=True)
+
+    ref = df.sort_values(["series_id", "x"]).reset_index(drop=True)
+    g = ref.groupby("series_id")["y"]
+    roll = g.rolling(5, min_periods=1)
+    for col, want in [("roll_min", roll.min()), ("roll_max", roll.max()),
+                      ("roll_sum", roll.sum()),
+                      ("roll_n", roll.count())]:
+        assert (out[col].to_numpy()
+                == want.reset_index(drop=True).to_numpy()).all(), col
+    assert np.allclose(out["roll_mean"],
+                       (out["roll_sum"] / out["roll_n"]))
+
+
+def test_rolling_stats_k1_and_validation(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.windows import rolling_stats
+
+    t = pa.table({"series_id": ["s", "s"], "x": [1, 2],
+                  "y": np.array([10, 20], dtype=np.int64)})
+    out = rolling_stats(rd.from_arrow(t), 1, num_partitions=1).to_pandas()
+    assert list(out["roll_min"]) == [10, 20]
+    assert list(out["roll_n"]) == [1, 1]
+    with pytest.raises(ValueError):
+        rolling_stats(rd.from_arrow(t), 0)

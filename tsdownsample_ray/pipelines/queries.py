@@ -824,6 +824,38 @@ def q_sessions_users(sf_dir: str):
                       x_col="ts_us", id_col="event_id")
 
 
+def q_rolling_stats_events(sf_dir: str):
+    """Trailing 4-row window stats per event_type series (ROWS BETWEEN 3
+    PRECEDING AND CURRENT ROW), ordered by (ts, event_id) — one hash
+    shuffle then one vectorized pass per partition."""
+    from ..stages.windows import rolling_stats
+
+    ds = _events_cents(sf_dir)
+    # num_partitions sized to the series cardinality (4 event types): the
+    # dense-part-code contract needs #series >> partitions or sort reducers
+    # emit schema-less empty blocks
+    return rolling_stats(ds, 4, series_col="event_type", x_col="ts_us",
+                         y_col="cents", id_col="event_id", num_partitions=2)
+
+
+ROLLING_STATS_SQL = """
+WITH e AS (
+    SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+)
+SELECT event_type, ts_us, event_id,
+       min(cents) OVER w AS roll_min,
+       max(cents) OVER w AS roll_max,
+       CAST(sum(cents) OVER w AS BIGINT) AS roll_sum,
+       count(*) OVER w AS roll_n,
+       CAST(sum(cents) OVER w AS DOUBLE) / count(*) OVER w AS roll_mean
+FROM e
+WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
 def _events_cents(sf_dir: str, *, nan_every: int | None = None):
     """events + ``cents = round(value*100)``: int64, or float64 with NaN
     injected at ``event_id % nan_every == 0`` (the NaN-policy test fixture;
@@ -2408,6 +2440,7 @@ QUERIES = {
     "window_events_1h": q_window_events_1h,
     "sliding_events_1h_15m": q_sliding_events_1h_15m,
     "sessions_users": q_sessions_users,
+    "rolling_stats_events": q_rolling_stats_events,
     "everynth_events": q_everynth_events,
     "minmax_events": q_minmax_events,
     "m4_events": q_m4_events,
@@ -2948,6 +2981,7 @@ ORACLE_SQL = {
     """,
     # hash61 replayed in HUGEINT; thresholds are the SAME integers the Ray
     # filter compares against (rate_threshold), so the row sets are equal
+    "rolling_stats_events": ROLLING_STATS_SQL,
     "sample_docs": _SAMPLE_SQL,
     "sample_stratified_docs": _STRAT_SQL,
     "train_split_docs": _SPLIT_SQL,

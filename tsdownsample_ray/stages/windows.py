@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 from ..arrow_utils import rename_agg
 from .rollup import _arrow_combine, _combine
 
-__all__ = ["sliding_rollup", "sessionize"]
+__all__ = ["sliding_rollup", "sessionize", "rolling_stats"]
 
 
 def sliding_rollup(ds, window_us: int, slide_us: int, *,
@@ -133,3 +133,79 @@ def sessionize(ds, gap_us: int, *, series_col: str = "series_id",
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _sessions, batch_format="pyarrow")
+
+
+def rolling_stats(ds, k: int, *, series_col: str = "series_id",
+                  x_col: str = "x", y_col: str = "y",
+                  id_col: str | None = None, num_partitions: int = 16):
+    """Per-row trailing-window stats over each series: min/max/sum/count/
+    mean of the last ``k`` rows (the current row and up to k-1 preceding,
+    clipped at the series start) ordered by (x[, id]) — the SQL
+    ``ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW`` window, per series.
+
+    Scale shape (same contract as :func:`sessionize`): ONE hash(series)
+    shuffle, then each partition sorts once and computes EVERY series'
+    windows in one vectorized pass — rolling sums from one cumsum
+    difference, rolling min/max from k-1 shifted elementwise min/max with
+    series-boundary masking (O(n*k) vectorized; callers keep k modest,
+    which is what trailing-stat windows are). ``y`` must be int64 (exact
+    sums — the engine's integer-cents convention) so results are
+    bit-identical to any evaluation order."""
+    from ..arrow_utils import stable_part_codes
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    out_schema_tail = [("roll_min", pa.int64()), ("roll_max", pa.int64()),
+                       ("roll_sum", pa.int64()), ("roll_n", pa.int64()),
+                       ("roll_mean", pa.float64())]
+
+    def _roll(g: pa.Table) -> pa.Table:
+        cols = ([series_col, x_col] + ([id_col] if id_col else [])
+                + [y_col])
+        if g.num_rows == 0:
+            return pa.table({c: pa.array([], g[c].type) for c in cols[:-1]}
+                            | {n: pa.array([], t) for n, t in out_schema_tail})
+        keys = ([(series_col, "ascending"), (x_col, "ascending")]
+                + ([(id_col, "ascending")] if id_col else []))
+        g = g.take(pc.sort_indices(g, sort_keys=keys))
+        sid = g[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = g[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(y)
+        i = np.arange(n)
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = codes[1:] != codes[:-1]
+        ser_start = np.maximum.accumulate(np.where(brk, i, 0))
+        win_start = np.maximum(i - (k - 1), ser_start)
+        cs = np.concatenate([[0], np.cumsum(y)])
+        roll_sum = cs[i + 1] - cs[win_start]
+        roll_n = i - win_start + 1
+        roll_min = y.copy()
+        roll_max = y.copy()
+        for j in range(1, k):
+            src = np.maximum(i - j, 0)
+            valid = i - j >= win_start
+            yj = y[src]
+            roll_min = np.where(valid, np.minimum(roll_min, yj), roll_min)
+            roll_max = np.where(valid, np.maximum(roll_max, yj), roll_max)
+        out = {c: g[c] for c in cols[:-1]}
+        out["roll_min"] = pa.array(roll_min)
+        out["roll_max"] = pa.array(roll_max)
+        out["roll_sum"] = pa.array(roll_sum)
+        out["roll_n"] = pa.array(roll_n)
+        out["roll_mean"] = pa.array(roll_sum.astype(np.float64) / roll_n)
+        return pa.table(out)
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _roll, batch_format="pyarrow")
