@@ -267,3 +267,59 @@ def test_sample_frames_corrupt_mp4_raises():
     })
     with pytest.raises(ValueError):
         SampleFrames(fake=False)(t)
+
+
+def test_g711_bit_identical_to_audioop():
+    """Vectorized G.711 == stdlib audioop C reference, exhaustively."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from tsdownsample_ray.functions.g711 import (
+        alaw_decode, alaw_encode, mulaw_decode, mulaw_encode,
+    )
+
+    pcm = np.arange(-32768, 32768, dtype=np.int16)
+    allb = np.arange(256, dtype=np.uint8)
+    assert (mulaw_encode(pcm) ==
+            np.frombuffer(audioop.lin2ulaw(pcm.tobytes(), 2), np.uint8)).all()
+    assert (mulaw_decode(allb) ==
+            np.frombuffer(audioop.ulaw2lin(allb.tobytes(), 2), np.int16)).all()
+    assert (alaw_encode(pcm) ==
+            np.frombuffer(audioop.lin2alaw(pcm.tobytes(), 2), np.uint8)).all()
+    assert (alaw_decode(allb) ==
+            np.frombuffer(audioop.alaw2lin(allb.tobytes(), 2), np.int16)).all()
+
+
+def test_au_container_roundtrip_and_decode_audio():
+    from tsdownsample_ray.functions.g711 import decode_au, encode_au
+    from tsdownsample_ray.stages.multimodal import DecodeAudio
+
+    s = np.array([0, 500, -500, 30000, -30000], dtype=np.int16)
+    # linear PCM16 is lossless through AU
+    dec, rate = decode_au(encode_au(s, 16000, "pcm16"))
+    assert rate == 16000
+    assert (np.rint(dec * 32768).astype(np.int16) == s).all()
+    # companded paths are within G.711 quantization error
+    for enc in ("mulaw", "alaw"):
+        dec, _ = decode_au(encode_au(s, 8000, enc))
+        assert np.abs(dec * 32768 - s).max() < 1024
+    # the actor stage dispatches on the AU magic
+    batch = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "payload": pa.array([encode_au(s, 8000, "mulaw")], pa.binary()),
+        "duration_ms": pa.array([0], pa.int32()),
+    })
+    out = DecodeAudio()(batch)
+    assert out["sample_rate"][0].as_py() == 8000
+    assert len(out["samples"][0].as_py()) == len(s)
+    # bad magic still raises (honest stub for perceptual codecs)
+    bad = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "payload": pa.array([b"ID3\x03fakemp3"], pa.binary()),
+        "duration_ms": pa.array([0], pa.int32()),
+    })
+    with pytest.raises(NotImplementedError):
+        DecodeAudio()(bad)

@@ -2207,34 +2207,70 @@ def q_multimodal_wav_decode(sf_dir: str):
     dec = media.map_batches(DecodeAudio, batch_format="pyarrow",
                             batch_size=256, concurrency=(1, 8))
 
-    def _stats(b: pa.Table) -> pa.Table:
+    return dec.map_batches(_audio_code_stats, batch_format="pyarrow")
+
+
+def _audio_code_stats(b: pa.Table) -> pa.Table:
+    """Per-doc waveform stats over DecodeAudio output: n / sum / first /
+    last of the int16 codes (rint(f32*32768) recovers them exactly)."""
+    import numpy as _np
+
+    s = b["samples"]
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    flat = s.values.to_numpy(zero_copy_only=False)
+    codes = _np.rint(flat * 32768.0).astype(_np.int64)
+    off = s.offsets.to_numpy(zero_copy_only=False).astype(_np.int64)
+    cs = _np.concatenate([[0], _np.cumsum(codes)])
+    n = off[1:] - off[:-1]
+    # empty docs: clip the gather indices and mask to -1 (an unguarded
+    # codes[off[i]] would read the NEXT doc's first sample)
+    first = _np.where(
+        n > 0, codes[_np.minimum(off[:-1], len(codes) - 1)]
+        if len(codes) else 0, -1)
+    last = _np.where(
+        n > 0, codes[_np.maximum(off[1:] - 1, 0)]
+        if len(codes) else 0, -1)
+    return pa.table({
+        "media_id": b["media_id"],
+        "n_samples": pa.array(n, pa.int64()),
+        "sum_codes": pa.array(cs[off[1:]] - cs[off[:-1]], pa.int64()),
+        "first_code": pa.array(first, pa.int64()),
+        "last_code": pa.array(last, pa.int64()),
+    })
+
+
+def q_multimodal_mulaw_decode(sf_dir: str):
+    """REAL compressed-audio decode through the actor-pool stage: G.711
+    mu-law AU payloads companded from the documents' own bytes (PCM
+    sample i = byte i, mu-law encoded, Sun AU container), decoded with
+    DecodeAudio (vectorized G.711, bit-identical to the stdlib audioop
+    reference), per-doc waveform stats hash-verified against the SQL
+    replay of the companding arithmetic over the text."""
+    rd = _rd()
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    from ..functions.g711 import encode_au
+    from ..stages.multimodal import DecodeAudio
+
+    def _media(b: pa.Table) -> pa.Table:
         import numpy as _np
 
-        s = b["samples"]
-        if isinstance(s, pa.ChunkedArray):
-            s = s.combine_chunks()
-        flat = s.values.to_numpy(zero_copy_only=False)
-        codes = _np.rint(flat * 32768.0).astype(_np.int64)
-        off = s.offsets.to_numpy(zero_copy_only=False).astype(_np.int64)
-        cs = _np.concatenate([[0], _np.cumsum(codes)])
-        n = off[1:] - off[:-1]
-        # empty docs: clip the gather indices and mask to -1 (an unguarded
-        # codes[off[i]] would read the NEXT doc's first sample)
-        first = _np.where(
-            n > 0, codes[_np.minimum(off[:-1], len(codes) - 1)]
-            if len(codes) else 0, -1)
-        last = _np.where(
-            n > 0, codes[_np.maximum(off[1:] - 1, 0)]
-            if len(codes) else 0, -1)
+        payloads = [
+            encode_au(_np.frombuffer(t.encode(), _np.uint8)
+                      .astype(_np.int16), 8000, "mulaw")
+            for t in b["text"].to_pylist()]
         return pa.table({
-            "media_id": b["media_id"],
-            "n_samples": pa.array(n, pa.int64()),
-            "sum_codes": pa.array(cs[off[1:]] - cs[off[:-1]], pa.int64()),
-            "first_code": pa.array(first, pa.int64()),
-            "last_code": pa.array(last, pa.int64()),
+            "media_id": b["doc_id"],
+            "kind": pa.array(["audio"] * b.num_rows),
+            "payload": pa.array(payloads, pa.binary()),
+            "duration_ms": pa.array([0] * b.num_rows, pa.int32()),
         })
 
-    return dec.map_batches(_stats, batch_format="pyarrow")
+    media = ds.map_batches(_media, batch_format="pyarrow", batch_size=256)
+    dec = media.map_batches(DecodeAudio, batch_format="pyarrow",
+                            batch_size=256, concurrency=(1, 8))
+    return dec.map_batches(_audio_code_stats, batch_format="pyarrow")
 
 
 def q_multimodal_png_decode(sf_dir: str):
@@ -2480,6 +2516,7 @@ QUERIES = {
     "knn_ivf_embeddings": q_knn_ivf_embeddings,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_wav_decode": q_multimodal_wav_decode,
+    "multimodal_mulaw_decode": q_multimodal_mulaw_decode,
     "multimodal_png_decode": q_multimodal_png_decode,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     "corpus_curation": q_corpus_curation,
@@ -2929,6 +2966,36 @@ ORACLE_SQL = {
                     ELSE unicode(substring(text, length(text), 1))
                END AS last_code
         FROM documents
+    """,
+    # G.711 mu-law companding replayed arithmetically: sample = byte b,
+    # 14-bit mag = b//4 + 33 (positive branch, no clip below 8159), segment
+    # = (mag > 63), mantissa = (mag >> (seg+1)) & 15, decoded =
+    # ((mant*8 + 132) << seg) - 132 — the exact encode+decode the Ray side
+    # runs through the AU container and the vectorized G.711 codec
+    "multimodal_mulaw_decode": """
+        WITH codes AS MATERIALIZED (
+            SELECT doc_id,
+                   list_transform(range(1, length(text) + 1), i ->
+                       unicode(substring(text, i, 1)) // 4 + 33) AS mags
+            FROM documents
+        ),
+        dec AS MATERIALIZED (
+            SELECT doc_id,
+                   list_transform(mags, m ->
+                       ((m // (CASE WHEN m > 63 THEN 4 ELSE 2 END)) % 16)
+                       * 8 * (CASE WHEN m > 63 THEN 2 ELSE 1 END)
+                       + 132 * (CASE WHEN m > 63 THEN 2 ELSE 1 END)
+                       - 132) AS d
+            FROM codes
+        )
+        SELECT doc_id AS media_id,
+               len(d) AS n_samples,
+               CAST(COALESCE(list_sum(d), 0) AS BIGINT) AS sum_codes,
+               CAST(CASE WHEN len(d) = 0 THEN -1 ELSE d[1] END
+                    AS BIGINT) AS first_code,
+               CAST(CASE WHEN len(d) = 0 THEN -1 ELSE d[len(d)] END
+                    AS BIGINT) AS last_code
+        FROM dec
     """,
     # real MP4 demux replay: the frame plan (8 + n_chars%25 frames, frame i
     # = substr(text, 1+(i*11)%(n_chars-4), 1+(i+n_chars)%5)) and the

@@ -296,16 +296,21 @@ class ResizeImage:
 class DecodeAudio:
     """binary payload -> mono f32 sample tensor + sample-rate metadata.
 
-    REAL decode for WAV/PCM payloads (stdlib ``wave`` — ``decode_wav``);
-    compressed codecs (mp3/ogg/aac) raise unless ``fake=True`` selects the
-    deterministic pseudo-decoder. Feature extraction downstream (e.g. the
-    downsample kernels over the waveform) is real either way."""
+    REAL decode for WAV/PCM payloads (stdlib ``wave`` — ``decode_wav``)
+    and for Sun AU payloads carrying G.711 mu-law / A-law or 16-bit
+    linear PCM (``functions/g711.py`` — vectorized companding,
+    bit-identical to the stdlib ``audioop`` reference); perceptual codecs
+    (mp3/ogg/aac) raise unless ``fake=True`` selects the deterministic
+    pseudo-decoder. Feature extraction downstream (e.g. the downsample
+    kernels over the waveform) is real either way."""
 
     def __init__(self, fake: bool = False, sample_rate: int = 16_000):
         self.fake = fake
         self.sample_rate = sample_rate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.g711 import decode_au
+
         payloads = batch["payload"].to_pylist()
         durs = batch["duration_ms"].to_pylist()
         out, rates = [], []
@@ -315,10 +320,16 @@ class DecodeAudio:
                 out.append(s.tolist())
                 rates.append(rate)
                 continue
+            if not self.fake and p[:4] == b".snd":
+                s, rate = decode_au(p)
+                out.append(s.tolist())
+                rates.append(rate)
+                continue
             if not self.fake:
                 raise NotImplementedError(
-                    "non-WAV audio decoding requires soundfile/ffmpeg, not "
-                    "present in this container — construct with fake=True")
+                    "non-WAV/AU audio decoding requires soundfile/ffmpeg, "
+                    "not present in this container — construct with "
+                    "fake=True")
             n = max(1, (d or 100) * self.sample_rate // 1000)
             n = min(n, 160_000)  # cap fake waveforms at 10 s
             seed = int.from_bytes(
