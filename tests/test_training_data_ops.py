@@ -459,3 +459,35 @@ def test_corpus_stop_grams_orders_by_df(ray_session):
     for d in decs:
         assert all(d in x for x in texts), d
     assert list(codes) == sorted(codes)  # sorted for searchsorted
+
+
+def test_pii_scrub_batch_masks_and_counts():
+    from tsdownsample_ray.stages.pii import pii_scrub_batch
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "mail me at jo.doe+x@sub.example.org or call 555-123-4567",
+            "server at 192.168.0.1 and 10.0.0.254 no contact",
+            "clean text with no pii at all",
+        ]),
+    })
+    out = pii_scrub_batch(t)
+    clean = out["clean_text"].to_pylist()
+    assert clean[0] == "mail me at <EMAIL> or call <PHONE>"
+    assert clean[1] == "server at <IP> and <IP> no contact"
+    assert clean[2] == "clean text with no pii at all"
+    assert out["n_email"].to_pylist() == [1, 0, 0]
+    assert out["n_ipv4"].to_pylist() == [0, 2, 0]
+    assert out["n_phone"].to_pylist() == [1, 0, 0]
+
+
+def test_pii_scrub_email_digits_not_double_counted():
+    """Digit runs inside an email are masked by the email pass first and
+    never counted as phones."""
+    from tsdownsample_ray.stages.pii import pii_scrub_batch
+
+    t = pa.table({"text": pa.array(["x 555-123-4567@host.example.com y"])})
+    out = pii_scrub_batch(t)
+    assert out["clean_text"][0].as_py() == "x <EMAIL> y"
+    assert out["n_phone"][0].as_py() == 0

@@ -1839,6 +1839,69 @@ def q_fingerprint_docs(sf_dir: str):
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+def q_pii_scrub_docs(sf_dir: str):
+    """PII masking over documents: deterministic contact info (email, IP,
+    phone derived from doc_id) is appended to every third doc, then the
+    vectorized RE2 scrub masks it and counts per category. The scrubbed
+    TEXT itself is hash-compared against the DuckDB regexp_replace replay
+    (same RE2 engine), not just the counts."""
+    rd = _rd()
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    from ..stages.pii import pii_scrub_batch
+
+    def _inject_and_scrub(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        # fixture synthesis (not the operator hot path): every 3rd doc
+        # gets contact info derived from its id
+        suffix = [
+            (f" contact user{i}@mail.example.com from 10.{i % 256}.0.1"
+             f" call 555-{100 + i % 900}-{1000 + i % 9000}")
+            if i % 3 == 0 else ""
+            for i in ids]
+        aug = pa.table({
+            "doc_id": b["doc_id"],
+            "text": pc.binary_join_element_wise(
+                b["text"], pa.array(suffix, pa.string()), ""),
+        })
+        out = pii_scrub_batch(aug)
+        return out.drop_columns(["text"])
+
+    return ds.map_batches(_inject_and_scrub, batch_format="pyarrow")
+
+
+def _build_pii_sql() -> str:
+    """Chained regexp_replace replay generated from the SAME pattern table
+    the Ray scrub uses (stages/pii.py) — counts taken on each stage's
+    input, masking applied in the same category order."""
+    from ..stages.pii import PII_PATTERNS
+
+    sql = ("WITH aug AS MATERIALIZED (\n"
+           "  SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 THEN\n"
+           "    ' contact user' || CAST(doc_id AS VARCHAR) ||\n"
+           "    '@mail.example.com from 10.' ||\n"
+           "    CAST(doc_id % 256 AS VARCHAR) || '.0.1 call 555-' ||\n"
+           "    CAST(100 + doc_id % 900 AS VARCHAR) || '-' ||\n"
+           "    CAST(1000 + doc_id % 9000 AS VARCHAR)\n"
+           "    ELSE '' END AS t0 FROM documents\n)")
+    prev = "aug"
+    prev_col = "t0"
+    carry = []
+    for i, (name, (pat, rep)) in enumerate(PII_PATTERNS.items(), 1):
+        carried = ", ".join(carry) + (", " if carry else "")
+        sql += (f", s{i} AS MATERIALIZED (\n"
+                f"  SELECT doc_id, {carried}"
+                f"len(regexp_extract_all({prev_col}, '{pat}'))::BIGINT"
+                f" AS n_{name},\n"
+                f"  regexp_replace({prev_col}, '{pat}', '{rep}', 'g')"
+                f" AS t{i}\n  FROM {prev}\n)")
+        carry.append(f"n_{name}")
+        prev, prev_col = f"s{i}", f"t{i}"
+    names = ", ".join(carry)
+    return (sql + f"\nSELECT doc_id, {prev_col} AS clean_text, {names}"
+            f" FROM {prev}")
+
+
 # deterministic sampling: the query constants live here so the SQL oracles
 # below inject the IDENTICAL thresholds/rates the Ray path filters on
 _SAMPLE_RATE, _SAMPLE_SALT = 0.25, 7
@@ -2507,6 +2570,7 @@ QUERIES = {
     "quality_docs": q_quality_docs,
     "token_stats_docs": q_token_stats_docs,
     "fingerprint_docs": q_fingerprint_docs,
+    "pii_scrub_docs": q_pii_scrub_docs,
     "sample_docs": q_sample_docs,
     "sample_stratified_docs": q_sample_stratified_docs,
     "train_split_docs": q_train_split_docs,
@@ -3049,6 +3113,7 @@ ORACLE_SQL = {
     # hash61 replayed in HUGEINT; thresholds are the SAME integers the Ray
     # filter compares against (rate_threshold), so the row sets are equal
     "rolling_stats_events": ROLLING_STATS_SQL,
+    "pii_scrub_docs": _build_pii_sql(),
     "sample_docs": _SAMPLE_SQL,
     "sample_stratified_docs": _STRAT_SQL,
     "train_split_docs": _SPLIT_SQL,
