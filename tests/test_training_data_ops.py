@@ -491,3 +491,33 @@ def test_pii_scrub_email_digits_not_double_counted():
     out = pii_scrub_batch(t)
     assert out["clean_text"][0].as_py() == "x <EMAIL> y"
     assert out["n_phone"][0].as_py() == 0
+
+
+def test_tfidf_top_terms_hand_corpus(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.tfidf import tfidf_top_terms
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "source": pa.array(["a", "a", "b", "b"]),
+        "text": pa.array([
+            "x x common", "y common", "z z z common", "z common",
+        ]),
+    })
+    out = tfidf_top_terms(rd.from_arrow(t).repartition(3), 4,
+                          group_col="source", k=2,
+                          num_partitions=1).to_pandas()
+    out = out.sort_values(["source", "rank"]).reset_index(drop=True)
+    # group a: 'x' tf=2 df=1 beats 'common' tf=2 df=4; group b: 'z' tf=4 df=2
+    a = out[out["source"] == "a"]
+    assert list(a["term"]) == ["x", "common"]
+    assert list(a["tf"]) == [2, 2]
+    assert list(a["df"]) == [1, 4]
+    b = out[out["source"] == "b"]
+    assert list(b["term"]) == ["z", "common"]
+    assert list(b["tf"]) == [4, 2]
+    # df is corpus-global: 'common' appears in all 4 docs
+    assert list(b["df"]) == [2, 4]

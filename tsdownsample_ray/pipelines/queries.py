@@ -1839,6 +1839,45 @@ def q_fingerprint_docs(sf_dir: str):
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+def q_tfidf_terms(sf_dir: str):
+    """Top-5 characteristic terms per source by smoothed tf-idf
+    (sklearn-style idf = ln((1+N)/(1+df)) + 1). Ints (tf, df, rank) are
+    the hashed outputs; the float score only orders them."""
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+    from ..stages.tfidf import tfidf_top_terms
+
+    n_docs = ds.count()  # parquet metadata, no data pass
+    # toy vocab (~40 terms) -> 2 partitions keeps sort reducers non-empty
+    return tfidf_top_terms(ds, n_docs, group_col="source", k=5,
+                           num_partitions=2)
+
+
+TFIDF_SQL = """
+WITH tok AS MATERIALIZED (
+    SELECT doc_id, source, t.term
+    FROM documents, unnest(string_split(text, ' ')) AS t(term)
+    WHERE t.term <> ''
+),
+tf AS (SELECT source, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+    SELECT tf.source, tf.term, tf.tf, df.df,
+           tf.tf * (ln((1.0 + (SELECT n FROM n)) / (1.0 + df.df)) + 1.0)
+               AS score
+    FROM tf JOIN df USING (term)
+),
+ranked AS (
+    SELECT source, term, tf, df,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY score DESC, term) AS rank
+    FROM scored
+)
+SELECT source, term, tf, df, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def q_pii_scrub_docs(sf_dir: str):
     """PII masking over documents: deterministic contact info (email, IP,
     phone derived from doc_id) is appended to every third doc, then the
@@ -2571,6 +2610,7 @@ QUERIES = {
     "token_stats_docs": q_token_stats_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "pii_scrub_docs": q_pii_scrub_docs,
+    "tfidf_terms": q_tfidf_terms,
     "sample_docs": q_sample_docs,
     "sample_stratified_docs": q_sample_stratified_docs,
     "train_split_docs": q_train_split_docs,
@@ -3114,6 +3154,7 @@ ORACLE_SQL = {
     # filter compares against (rate_threshold), so the row sets are equal
     "rolling_stats_events": ROLLING_STATS_SQL,
     "pii_scrub_docs": _build_pii_sql(),
+    "tfidf_terms": TFIDF_SQL,
     "sample_docs": _SAMPLE_SQL,
     "sample_stratified_docs": _STRAT_SQL,
     "train_split_docs": _SPLIT_SQL,
