@@ -97,7 +97,8 @@ def run_bench() -> dict:
     qnames = () if os.environ.get("BENCH_SKIP_QUERIES") else (
         "dedup_exact_pages", "near_dup_pages", "knn_embeddings",
         "minhash_docs", "simhash_docs", "embedding_near_dups",
-        "fingerprint_docs", "quality_docs")
+        "fingerprint_docs", "quality_docs", "pii_scrub_docs",
+        "tfidf_terms")
     for qname in qnames:
         best = None
         # min-of-n: throttle bursts vary timings ~3x; the two join-heavy

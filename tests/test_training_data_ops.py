@@ -521,3 +521,56 @@ def test_tfidf_top_terms_hand_corpus(ray_session):
     assert list(b["tf"]) == [4, 2]
     # df is corpus-global: 'common' appears in all 4 docs
     assert list(b["df"]) == [2, 4]
+
+
+def test_warc_roundtrip_binary_safe():
+    """Content-Length framing survives payloads that CONTAIN the record
+    separator bytes (a scan-for-separator parser would mis-split)."""
+    from tsdownsample_ray.sources.archives import build_warc, parse_warc
+
+    recs = [
+        ("https://a.example/1", b"plain body"),
+        ("https://a.example/2", b"tricky\r\n\r\nWARC/1.0\r\n\r\nbody"),
+        ("https://a.example/3", b""),
+    ]
+    out = parse_warc(build_warc(recs))
+    assert [(u, p) for _, u, p in out] == recs
+    assert all(t == "response" for t, _, _ in out)
+    with pytest.raises(ValueError):
+        parse_warc(b"NOT-A-WARC")
+
+
+def test_gzip_batch_roundtrip():
+    from tsdownsample_ray.sources.archives import (
+        gunzip_batch, gzip_bytes, gunzip_bytes,
+    )
+
+    texts = ["hello world", "", "unicode é中文 text"]
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "payload": pa.array([gzip_bytes(s.encode()) for s in texts],
+                            pa.binary()),
+    })
+    out = gunzip_batch(t)
+    assert out["text"].to_pylist() == texts
+    assert "payload" not in out.column_names
+    # wbits=47 autodetects plain zlib streams too
+    import zlib
+
+    assert gunzip_bytes(zlib.compress(b"abc")) == b"abc"
+
+
+def test_warc_extractor_stage():
+    from tsdownsample_ray.sources.archives import (
+        WarcRecordExtractor, build_warc,
+    )
+
+    blob = build_warc([("u1", b"xx"), ("u2", b"yyy")])
+    batch = pa.table({
+        "archive_id": pa.array([7], pa.int64()),
+        "payload": pa.array([blob], pa.binary()),
+    })
+    out = WarcRecordExtractor()(batch)
+    assert out["archive_id"].to_pylist() == [7, 7]
+    assert out["uri"].to_pylist() == ["u1", "u2"]
+    assert out["payload"].to_pylist() == [b"xx", b"yyy"]

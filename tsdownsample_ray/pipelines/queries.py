@@ -1839,6 +1839,90 @@ def q_fingerprint_docs(sf_dir: str):
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+def q_gzip_text_docs(sf_dir: str):
+    """Real gzip ingestion roundtrip: each document's text is gzipped
+    (fixture), inflated back by the stdlib-zlib decode stage, and token
+    stats are computed on the INFLATED text — the oracle is the plain
+    token-stats SQL over the raw text, so passing proves the codec path
+    is lossless end to end."""
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    from ..sources.archives import gunzip_batch, gzip_bytes
+    from ..stages.textstats import token_stats_batch
+
+    def _compress(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "payload": pa.array([gzip_bytes(t.encode())
+                                 for t in b["text"].to_pylist()],
+                                pa.binary()),
+        })
+
+    gz = ds.map_batches(_compress, batch_format="pyarrow")
+    txt = gz.map_batches(gunzip_batch, batch_format="pyarrow")
+    return txt.map_batches(token_stats_batch, batch_format="pyarrow")
+
+
+def q_warc_extract_docs(sf_dir: str):
+    """Real WARC (ISO 28500) record extraction: documents are packed 50
+    per archive into WARC/1.0 response records (Content-Length framing),
+    then WarcRecordExtractor walks the archives back into one row per
+    record. Per-record byte stats are hash-verified against the SQL
+    replay over the raw documents."""
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    from ..sources.archives import WarcRecordExtractor, build_warc
+
+    def _pack(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "archive_id", pc.cast(pc.floor(pc.divide(
+                pc.cast(b["doc_id"], pa.float64()), 50.0)), pa.int64()))
+
+    def _build(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
+        g = g.take(idx)
+        recs = [(f"https://corpus.example/doc/{i}", t.encode())
+                for i, t in zip(g["doc_id"].to_pylist(),
+                                g["text"].to_pylist())]
+        return pa.table({
+            "archive_id": pa.array([g["archive_id"][0].as_py()],
+                                   pa.int64()),
+            "payload": pa.array([build_warc(recs)], pa.binary()),
+        })
+
+    archives = ds.map_batches(_pack, batch_format="pyarrow") \
+                 .groupby("archive_id").map_groups(_build,
+                                                   batch_format="pyarrow")
+    records = archives.map_batches(WarcRecordExtractor,
+                                   batch_format="pyarrow", batch_size=64,
+                                   concurrency=(1, 4))
+
+    def _stats(b: pa.Table) -> pa.Table:
+        payloads = b["payload"].to_pylist()
+        n = [len(p) for p in payloads]
+        head = [p[0] if p else -1 for p in payloads]
+        return pa.table({
+            "archive_id": b["archive_id"],
+            "uri": b["uri"],
+            "warc_type": b["warc_type"],
+            "n_bytes": pa.array(n, pa.int64()),
+            "head_code": pa.array(head, pa.int64()),
+        })
+
+    return records.map_batches(_stats, batch_format="pyarrow")
+
+
+WARC_EXTRACT_SQL = """
+SELECT doc_id // 50 AS archive_id,
+       'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+       'response' AS warc_type,
+       length(text) AS n_bytes,
+       CASE WHEN length(text) = 0 THEN -1
+            ELSE unicode(substring(text, 1, 1)) END AS head_code
+FROM documents
+"""
+
+
 def q_tfidf_terms(sf_dir: str):
     """Top-5 characteristic terms per source by smoothed tf-idf
     (sklearn-style idf = ln((1+N)/(1+df)) + 1). Ints (tf, df, rank) are
@@ -2611,6 +2695,8 @@ QUERIES = {
     "fingerprint_docs": q_fingerprint_docs,
     "pii_scrub_docs": q_pii_scrub_docs,
     "tfidf_terms": q_tfidf_terms,
+    "gzip_text_docs": q_gzip_text_docs,
+    "warc_extract_docs": q_warc_extract_docs,
     "sample_docs": q_sample_docs,
     "sample_stratified_docs": q_sample_stratified_docs,
     "train_split_docs": q_train_split_docs,
@@ -3155,6 +3241,17 @@ ORACLE_SQL = {
     "rolling_stats_events": ROLLING_STATS_SQL,
     "pii_scrub_docs": _build_pii_sql(),
     "tfidf_terms": TFIDF_SQL,
+    # gzip roundtrip is lossless -> the oracle is the plain token-stats SQL
+    "gzip_text_docs": """
+        SELECT doc_id,
+               length(text) AS n_chars,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / (length(text) - length(replace(text, ' ', '')) + 1)
+                 AS mean_token_len
+        FROM documents
+    """,
+    "warc_extract_docs": WARC_EXTRACT_SQL,
     "sample_docs": _SAMPLE_SQL,
     "sample_stratified_docs": _STRAT_SQL,
     "train_split_docs": _SPLIT_SQL,
