@@ -1839,6 +1839,76 @@ def q_fingerprint_docs(sf_dir: str):
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+def q_chunk_docs(sf_dir: str):
+    """Context-window chunking: 40-token chunks with 10-token overlap
+    (stride 30) per document; the chunk TEXT itself is hash-verified
+    against the SQL list_slice replay."""
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    from ..stages.packing import chunk_documents
+
+    return chunk_documents(ds, chunk_tokens=40, overlap=10)
+
+
+CHUNK_DOCS_SQL = """
+WITH t AS MATERIALIZED (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+c AS (
+    SELECT doc_id, toks, len(toks) AS n,
+           CASE WHEN len(toks) <= 40 THEN 1
+                ELSE 1 + (len(toks) - 40 + 29) // 30 END AS n_chunks
+    FROM t
+),
+e AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS ci FROM c)
+SELECT doc_id, ci AS chunk_idx,
+       array_to_string(list_slice(toks, ci*30 + 1, ci*30 + 40), ' ')
+           AS chunk_text,
+       len(list_slice(toks, ci*30 + 1, ci*30 + 40)) AS n_chunk_tokens
+FROM e
+"""
+
+
+def q_pack_sequences_docs(sf_dir: str):
+    """Concat-then-split sequence packing at capacity 1000: every doc's
+    global token offset via the distributed prefix sum (bucket partials
+    -> one tiny scan task -> broadcast offsets -> per-bucket cumsum)."""
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    from ..stages.packing import pack_sequences
+    from ..stages.textstats import token_stats_batch
+
+    def _counts(b: pa.Table) -> pa.Table:
+        t = token_stats_batch(b)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": t["n_tokens"]})
+
+    counts = ds.map_batches(_counts, batch_format="pyarrow")
+    # toy corpus: 500 docs / bucket_size 50 -> 10 dense buckets, 2 parts
+    return pack_sequences(counts, 1000, bucket_size=50, num_partitions=2)
+
+
+PACK_SEQUENCES_SQL = """
+WITH t AS (
+    SELECT doc_id,
+           length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+    FROM documents
+),
+o AS (
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(sum(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS token_start
+    FROM t
+)
+SELECT doc_id, n_tokens, token_start,
+       token_start // 1000 AS first_pack,
+       (token_start + GREATEST(n_tokens, 1) - 1) // 1000 AS last_pack
+FROM o
+"""
+
+
 def q_gzip_text_docs(sf_dir: str):
     """Real gzip ingestion roundtrip: each document's text is gzipped
     (fixture), inflated back by the stdlib-zlib decode stage, and token
@@ -2697,6 +2767,8 @@ QUERIES = {
     "tfidf_terms": q_tfidf_terms,
     "gzip_text_docs": q_gzip_text_docs,
     "warc_extract_docs": q_warc_extract_docs,
+    "chunk_docs": q_chunk_docs,
+    "pack_sequences_docs": q_pack_sequences_docs,
     "sample_docs": q_sample_docs,
     "sample_stratified_docs": q_sample_stratified_docs,
     "train_split_docs": q_train_split_docs,
@@ -3252,6 +3324,8 @@ ORACLE_SQL = {
         FROM documents
     """,
     "warc_extract_docs": WARC_EXTRACT_SQL,
+    "chunk_docs": CHUNK_DOCS_SQL,
+    "pack_sequences_docs": PACK_SEQUENCES_SQL,
     "sample_docs": _SAMPLE_SQL,
     "sample_stratified_docs": _STRAT_SQL,
     "train_split_docs": _SPLIT_SQL,
