@@ -574,3 +574,32 @@ def test_warc_extractor_stage():
     assert out["archive_id"].to_pylist() == [7, 7]
     assert out["uri"].to_pylist() == ["u1", "u2"]
     assert out["payload"].to_pylist() == [b"xx", b"yyy"]
+
+
+def test_connected_components_shapes(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.components import connected_components
+
+    # chain + triangle-with-cycle + isolated pair, across partitions
+    t = pa.table({
+        "a": ["c2", "c3", "c1", "t1", "t2", "t3", "p9"],
+        "b": ["c3", "c4", "c2", "t2", "t3", "t1", "p8"],
+    })
+    out = connected_components(rd.from_arrow(t).repartition(4),
+                               num_partitions=2).to_pandas()
+    comp = dict(zip(out["node"], out["component"]))
+    assert {comp[n] for n in ("c1", "c2", "c3", "c4")} == {"c1"}
+    assert {comp[n] for n in ("t1", "t2", "t3")} == {"t1"}
+    assert {comp[n] for n in ("p8", "p9")} == {"p8"}
+
+
+def test_connected_components_empty(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.components import connected_components
+
+    t = pa.table({"a": pa.array([], pa.string()),
+                  "b": pa.array([], pa.string())})
+    out = connected_components(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 0

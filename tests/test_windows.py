@@ -104,3 +104,43 @@ def test_rolling_stats_k1_and_validation(ray_session):
     assert list(out["roll_n"]) == [1, 1]
     with pytest.raises(ValueError):
         rolling_stats(rd.from_arrow(t), 0)
+
+
+def test_detect_anomalies_exact_flags(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.windows import detect_anomalies
+
+    # stable series then a spike: reference window [1,1,1,1] -> var 0,
+    # any deviation flags; the spike row itself flags, the next row's
+    # reference now contains the spike (var > 0)
+    t = pa.table({
+        "series_id": ["s"] * 6,
+        "x": list(range(6)),
+        "y": np.array([100, 100, 100, 100, 500, 100], dtype=np.int64),
+    })
+    out = detect_anomalies(rd.from_arrow(t).repartition(3), 4, 3,
+                           num_partitions=1).to_pandas()
+    out = out.sort_values("x").reset_index(drop=True)
+    assert out["is_anomaly"].tolist() == [False, False, False, False,
+                                          True, False]
+    # exact integer rule spot-check on the spike row
+    r = out.iloc[4]
+    assert (r["ref_n"] * 500 - r["ref_sum"]) ** 2 > \
+        9 * (r["ref_n"] * r["ref_sumsq"] - r["ref_sum"] ** 2)
+
+
+def test_detect_anomalies_min_ref(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.windows import detect_anomalies
+
+    # first rows of each series never flag (ref_n < min_ref)
+    t = pa.table({
+        "series_id": ["a", "a", "b"],
+        "x": [0, 1, 0],
+        "y": np.array([1, 1000000, 5], dtype=np.int64),
+    })
+    out = detect_anomalies(rd.from_arrow(t), 4, 3,
+                           num_partitions=1).to_pandas()
+    assert not out["is_anomaly"].any()

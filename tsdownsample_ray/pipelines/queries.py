@@ -856,6 +856,43 @@ WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
 """
 
 
+def q_anomaly_events(sf_dir: str):
+    """Trailing-window z-score anomalies per event_type series: flag rows
+    more than 3 reference-stddevs from the mean of the 8 preceding rows.
+    The z-test is pure integer arithmetic ((n*y-s)^2 > t^2*(n*q-s^2)), so
+    the flag column itself is hash-exact against the SQL window replay."""
+    from ..stages.windows import detect_anomalies
+
+    ds = _events_cents(sf_dir)
+    return detect_anomalies(ds, 8, 3, series_col="event_type",
+                            x_col="ts_us", y_col="cents",
+                            id_col="event_id", num_partitions=2)
+
+
+ANOMALY_SQL = """
+WITH e AS (
+    SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+w AS (
+    SELECT event_type, ts_us, event_id, cents,
+           count(*) OVER wref AS ref_n,
+           CAST(COALESCE(sum(cents) OVER wref, 0) AS BIGINT) AS ref_sum,
+           CAST(COALESCE(sum(cents * cents) OVER wref, 0) AS BIGINT)
+               AS ref_sumsq
+    FROM e
+    WINDOW wref AS (PARTITION BY event_type ORDER BY ts_us, event_id
+                    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, ts_us, event_id, cents, ref_n, ref_sum, ref_sumsq,
+       (ref_n >= 2 AND
+        (ref_n * cents - ref_sum) * (ref_n * cents - ref_sum)
+          > 9 * (ref_n * ref_sumsq - ref_sum * ref_sum)) AS is_anomaly
+FROM w
+"""
+
+
 def _events_cents(sf_dir: str, *, nan_every: int | None = None):
     """events + ``cents = round(value*100)``: int64, or float64 with NaN
     injected at ``event_id % nan_every == 0`` (the NaN-policy test fixture;
@@ -1743,6 +1780,21 @@ def q_near_dup_pages(sf_dir: str):
         return b.select(["a", "b", "jaccard"])
 
     return pairs.map_batches(_proj, batch_format="pyarrow")
+
+
+def q_near_dup_clusters(sf_dir: str):
+    """Near-dup PAIRS -> duplicate CLUSTERS: MinHash+LSH pairs (threshold
+    ~1.0) fed through distributed min-label propagation; every page in a
+    duplicate component gets the component's minimum pid. Oracle: the
+    exact-dup pair SQL + a recursive-CTE transitive closure."""
+    from ..stages.components import connected_components
+    from ..stages.dedup import near_dup_pairs
+
+    ds = _pages_with_pid(sf_dir)
+    pairs = near_dup_pairs(ds, id_col="pid", text_col="text", num_perm=64,
+                           bands=8, threshold=0.999, num_partitions=4)
+    return connected_components(pairs, a_col="a", b_col="b",
+                                num_partitions=4)
 
 
 def q_simhash_docs(sf_dir: str):
@@ -2733,6 +2785,7 @@ QUERIES = {
     "sliding_events_1h_15m": q_sliding_events_1h_15m,
     "sessions_users": q_sessions_users,
     "rolling_stats_events": q_rolling_stats_events,
+    "anomaly_events": q_anomaly_events,
     "everynth_events": q_everynth_events,
     "minmax_events": q_minmax_events,
     "m4_events": q_m4_events,
@@ -2755,6 +2808,7 @@ QUERIES = {
     "dedup_exact_pages": q_dedup_exact_pages,
     "token_count_docs": q_token_count_docs,
     "near_dup_pages": q_near_dup_pages,
+    "near_dup_clusters": q_near_dup_clusters,
     "simhash_docs": q_simhash_docs,
     "simhash_near_dup_pages": q_simhash_near_dup_pages,
     "ngram_jaccard_docs": q_ngram_jaccard_docs,
@@ -3096,6 +3150,24 @@ ORACLE_SQL = {
         SELECT x.pid AS a, y.pid AS b, 1.0 AS jaccard
         FROM p x JOIN p y ON x.text = y.text AND x.pid < y.pid
     """,
+    # pair SQL + recursive transitive closure: component = min reachable pid
+    "near_dup_clusters": f"""
+        WITH RECURSIVE {PAGES_CTE},
+        p AS MATERIALIZED (
+            SELECT url || '#' || CAST(ts_us AS VARCHAR) AS pid, text
+            FROM pages
+        ),
+        ed AS MATERIALIZED (
+            SELECT x.pid AS src, y.pid AS dst
+            FROM p x JOIN p y ON x.text = y.text AND x.pid <> y.pid
+        ),
+        reach(node, lbl) AS (
+            SELECT DISTINCT src, src FROM ed
+            UNION
+            SELECT ed.dst, r.lbl FROM reach r JOIN ed ON ed.src = r.node
+        )
+        SELECT node, min(lbl) AS component FROM reach GROUP BY node
+    """,
     # quality panel: exact ASCII re-statement of quality_batch —
     # n_tokens counts non-empty whitespace-split tokens, ratios divide by
     # max(1, denominator) in f64 (identical rounding: one division)
@@ -3311,6 +3383,7 @@ ORACLE_SQL = {
     # hash61 replayed in HUGEINT; thresholds are the SAME integers the Ray
     # filter compares against (rate_threshold), so the row sets are equal
     "rolling_stats_events": ROLLING_STATS_SQL,
+    "anomaly_events": ANOMALY_SQL,
     "pii_scrub_docs": _build_pii_sql(),
     "tfidf_terms": TFIDF_SQL,
     # gzip roundtrip is lossless -> the oracle is the plain token-stats SQL

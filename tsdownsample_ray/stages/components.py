@@ -1,0 +1,118 @@
+"""Connected components over a candidate-pair edge list — the step that
+turns near-duplicate PAIRS into duplicate CLUSTERS (so a curation run can
+keep one canonical doc per cluster, not arbitrary pair survivors).
+
+Algorithm: iterative min-label propagation (the BSP formulation):
+
+    label(v) <- min(label(v), min over neighbors u of label(u))
+
+repeated until a fixpoint; every node ends with the minimum node id of
+its component. Each round is edge-scale work — one hash join
+(edges x labels) + one per-node min — never corpus-scale, and the
+iteration count is the component diameter (near-dup clusters are tiny:
+a handful of rounds).
+
+Scale shape: edges and labels are hash-partitioned datasets; each round
+materializes the (node-scale) label table — truncating lineage so round
+N+1 does not re-execute rounds 1..N — and convergence is decided by an
+exact changed-row count (a join on the previous labels), not a heuristic.
+Empty-block hygiene follows ``join_pair_payload``: blocks are compacted
+before every join (Ray's hash join cannot resolve keys on the
+schema-less empty blocks map stages structurally emit).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["connected_components"]
+
+
+def _min_by_node(ds, num_partitions: int):
+    """(node, lbl) -> per-node min(lbl): dense-code hash partition +
+    vectorized per-partition Arrow aggregate (the rollup hashpart
+    discipline — no full sort of the label table)."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["node"], mod)
+        return b.append_column("__part", pa.array(h))
+
+    def _agg(g: pa.Table) -> pa.Table:
+        t = g.group_by(["node"]).aggregate([("lbl", "min")])
+        return pa.table({"node": t["node"], "lbl": t["lbl_min"]})
+
+    return ds.map_batches(_part, batch_format="pyarrow") \
+             .repartition(num_partitions).groupby("__part") \
+             .map_groups(_agg, batch_format="pyarrow")
+
+
+def connected_components(edges_ds, *, a_col: str = "a", b_col: str = "b",
+                         max_iters: int = 50, num_partitions: int = 4):
+    """Edge list -> (node, component) for every node appearing in an
+    edge, where component = min node id in its connected component.
+    Raises if ``max_iters`` rounds don't converge (diameter bound)."""
+    import ray.data as rd
+
+    from ..arrow_utils import compact_nonempty_blocks
+
+    def _both(b: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            pa.table({"src": b[a_col], "dst": b[b_col]}),
+            pa.table({"src": b[b_col], "dst": b[a_col]}),
+        ])
+
+    edges = compact_nonempty_blocks(
+        edges_ds.map_batches(_both, batch_format="pyarrow").materialize())
+    if edges is None:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "component": pa.array([], pa.string()),
+        }))
+
+    # initial labels: every node labels itself (src covers both endpoints
+    # because edges carry both directions)
+    init = edges.map_batches(
+        lambda b: pa.table({"node": b["src"].unique()
+                            if not isinstance(b["src"], pa.ChunkedArray)
+                            else b["src"].combine_chunks().unique()}),
+        batch_format="pyarrow")
+    labels = _min_by_node(init.map_batches(
+        lambda b: pa.table({"node": b["node"], "lbl": b["node"]}),
+        batch_format="pyarrow"), num_partitions).materialize()
+
+    for _ in range(max_iters):
+        msgs = edges.join(labels, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=("src",), right_on=("node",))
+        msgs = msgs.map_batches(
+            lambda b: pa.table({"node": b["dst"], "lbl": b["lbl"]}),
+            batch_format="pyarrow")
+        new_labels = _min_by_node(labels.union(msgs),
+                                  num_partitions).materialize()
+        # exact convergence test: count of nodes whose label changed
+        prev = labels.map_batches(
+            lambda b: pa.table({"node": b["node"], "lbl_old": b["lbl"]}),
+            batch_format="pyarrow")
+        diff = new_labels.join(prev, join_type="inner",
+                               num_partitions=num_partitions,
+                               on=("node",), right_on=("node",))
+        changed = diff.map_batches(
+            lambda b: pa.table({"c": pa.array([int(pc.sum(pc.cast(
+                pc.not_equal(b["lbl"], b["lbl_old"]), pa.int64()))
+                .as_py() or 0)], pa.int64())}),
+            batch_format="pyarrow").sum("c")
+        labels = new_labels
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds")
+
+    return labels.map_batches(
+        lambda b: pa.table({"node": b["node"], "component": b["lbl"]}),
+        batch_format="pyarrow")

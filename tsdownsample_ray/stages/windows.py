@@ -26,7 +26,8 @@ import pyarrow.compute as pc
 from ..arrow_utils import rename_agg
 from .rollup import _arrow_combine, _combine
 
-__all__ = ["sliding_rollup", "sessionize", "rolling_stats"]
+__all__ = ["sliding_rollup", "sessionize", "rolling_stats",
+           "detect_anomalies"]
 
 
 def sliding_rollup(ds, window_us: int, slide_us: int, *,
@@ -209,3 +210,81 @@ def rolling_stats(ds, k: int, *, series_col: str = "series_id",
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _roll, batch_format="pyarrow")
+
+
+def detect_anomalies(ds, k: int, t: int, *, series_col: str = "series_id",
+                     x_col: str = "x", y_col: str = "y",
+                     id_col: str | None = None, min_ref: int = 2,
+                     num_partitions: int = 16):
+    """Per-row z-score anomaly flags against the TRAILING reference
+    window of the k preceding rows (current row excluded, clipped at the
+    series start): flag when ``|y - mean_ref| > t * std_ref``.
+
+    The comparison is done ENTIRELY in integer arithmetic — with
+    ``s = sum(ref)``, ``q = sum(ref^2)``, ``n = |ref|``:
+
+        |y - s/n| > t * sqrt((n*q - s^2) / n^2)
+        <=>  (n*y - s)^2  >  t^2 * (n*q - s^2)
+
+    so the flag is EXACT (no float sqrt/division anywhere) and therefore
+    SQL-hash-verifiable bit for bit. ``y`` must be int64 (integer-cents
+    convention); ``t`` is an integer multiplier. Rows with fewer than
+    ``min_ref`` reference points are never flagged.
+
+    Same scale shape as :func:`rolling_stats`: one hash(series) shuffle,
+    one vectorized pass per partition (two cumsums)."""
+    from ..arrow_utils import stable_part_codes
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    tail = [("ref_n", pa.int64()), ("ref_sum", pa.int64()),
+            ("ref_sumsq", pa.int64()), ("is_anomaly", pa.bool_())]
+
+    def _flag(g: pa.Table) -> pa.Table:
+        cols = ([series_col, x_col] + ([id_col] if id_col else [])
+                + [y_col])
+        if g.num_rows == 0:
+            return pa.table({c: pa.array([], g[c].type) for c in cols}
+                            | {n: pa.array([], tp) for n, tp in tail})
+        keys = ([(series_col, "ascending"), (x_col, "ascending")]
+                + ([(id_col, "ascending")] if id_col else []))
+        g = g.take(pc.sort_indices(g, sort_keys=keys))
+        sid = g[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = g[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(y)
+        i = np.arange(n)
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = codes[1:] != codes[:-1]
+        ser_start = np.maximum.accumulate(np.where(brk, i, 0))
+        # reference window [max(i-k, ser_start), i) — current row excluded
+        ref_start = np.maximum(i - k, ser_start)
+        cs = np.concatenate([[0], np.cumsum(y)])
+        cq = np.concatenate([[0], np.cumsum(y * y)])  # |y|<2^31 -> exact
+        s = cs[i] - cs[ref_start]
+        q = cq[i] - cq[ref_start]
+        rn = i - ref_start
+        # exact integer z-test: (n*y - s)^2 > t^2 * (n*q - s^2)
+        lhs = (rn * y - s) ** 2
+        rhs = (t * t) * (rn * q - s * s)
+        flag = (rn >= min_ref) & (lhs > rhs)
+        out = {c: g[c] for c in cols}
+        out["ref_n"] = pa.array(rn)
+        out["ref_sum"] = pa.array(s)
+        out["ref_sumsq"] = pa.array(q)
+        out["is_anomaly"] = pa.array(flag)
+        return pa.table(out)
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _flag, batch_format="pyarrow")
