@@ -1,0 +1,72 @@
+"""Span-level (C4-style) dedup: explode tiling, corpus-wide keep-first,
+document reassembly — vs a brute-force Python replay."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tsdownsample_ray.stages.spans import explode_spans_batch, span_dedup
+
+ray = pytest.importorskip("ray")
+import ray.data as rd  # noqa: E402
+
+
+def _brute(docs: dict[int, str], w: int):
+    """Reference replay: tile, global first-occurrence by (doc_id, idx)."""
+    seen = {}
+    spans = {}
+    for doc_id in sorted(docs):
+        words = docs[doc_id].split(" ")
+        tiles = [" ".join(words[i:i + w]) for i in range(0, len(words), w)]
+        spans[doc_id] = tiles
+        for idx, s in enumerate(tiles):
+            seen.setdefault(s, (doc_id, idx))
+    out = {}
+    for doc_id, tiles in spans.items():
+        kept = [s for i, s in enumerate(tiles) if seen[s] == (doc_id, i)]
+        out[doc_id] = (len(tiles), len(kept), " ".join(kept))
+    return out
+
+
+def test_explode_tiling_exact():
+    b = pa.table({"doc_id": [1, 2], "text": ["a b c d e", ""]})
+    t = explode_spans_batch(b, span_w=2)
+    assert t["doc_id"].to_pylist() == [1, 1, 1, 2]
+    assert t["span_idx"].to_pylist() == [0, 1, 2, 0]
+    assert t["span"].to_pylist() == ["a b", "c d", "e", ""]
+
+
+def test_explode_empty_batch():
+    b = pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    t = explode_spans_batch(b, span_w=3)
+    assert t.num_rows == 0 and t.column_names == ["doc_id", "span_idx", "span"]
+
+
+def test_span_dedup_matches_brute_force(ray_session):
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = {i: " ".join(rng.choice(vocab, size=int(rng.integers(1, 40))))
+            for i in range(30)}
+    # force exact duplicate spans across docs
+    docs[40] = docs[0]
+    docs[41] = docs[1] + " " + docs[2]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(docs), "text": list(docs.values())}))
+    got = {r["doc_id"]: (r["n_spans"], r["n_kept"], r["clean_text"])
+           for r in span_dedup(ds.repartition(4), span_w=3,
+                               num_partitions=4).take_all()}
+    assert got == _brute(docs, 3)
+
+
+def test_span_dedup_result_partition_invariant(ray_session):
+    docs = {i: " ".join(["tok%d" % (j % 5) for j in range(i + 1)])
+            for i in range(12)}
+    tbl = pa.table({"doc_id": list(docs), "text": list(docs.values())})
+    a = {r["doc_id"]: r["clean_text"]
+         for r in span_dedup(rd.from_arrow(tbl).repartition(1), span_w=4,
+                             num_partitions=2).take_all()}
+    b = {r["doc_id"]: r["clean_text"]
+         for r in span_dedup(rd.from_arrow(tbl).repartition(6), span_w=4,
+                             num_partitions=5).take_all()}
+    assert a == b == {d: v for d, (_, _, v) in _brute(docs, 4).items()}

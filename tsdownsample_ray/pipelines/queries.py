@@ -1728,6 +1728,45 @@ def q_dedup_exact_pages(sf_dir: str):
     return first.map_batches(_rename, batch_format="pyarrow")
 
 
+def q_span_dedup_docs(sf_dir: str):
+    """C4-style span dedup: tile every document into 10-word spans,
+    drop corpus-wide duplicate spans (first (doc_id, span_idx) occurrence
+    wins), reassemble each document from its surviving spans. Explode is
+    map-side vectorized; ONE hash(span) shuffle + ONE hash(doc) shuffle."""
+    from ..stages.spans import span_dedup
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+    return span_dedup(ds, span_w=10, num_partitions=8)
+
+
+SPAN_DEDUP_SQL = """
+WITH w AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+),
+spans AS (
+    SELECT doc_id, (i - 1) // 10 AS span_idx,
+           string_agg(word, ' ' ORDER BY i) AS span
+    FROM w GROUP BY doc_id, span_idx
+),
+r AS (
+    SELECT doc_id, span_idx, span,
+           row_number() OVER (PARTITION BY span
+                              ORDER BY doc_id, span_idx) AS rn
+    FROM spans
+)
+SELECT doc_id,
+       count(*) AS n_spans,
+       count(*) FILTER (rn = 1) AS n_kept,
+       coalesce(string_agg(span, ' ' ORDER BY span_idx)
+                  FILTER (WHERE rn = 1), '') AS clean_text
+FROM r GROUP BY doc_id
+"""
+
+
 def q_token_count_docs(sf_dir: str):
     rd = _rd()
     ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -2807,6 +2846,7 @@ QUERIES = {
     "minmax_events_partitioned": q_minmax_events_partitioned,
     "dedup_exact_pages": q_dedup_exact_pages,
     "token_count_docs": q_token_count_docs,
+    "span_dedup_docs": q_span_dedup_docs,
     "near_dup_pages": q_near_dup_pages,
     "near_dup_clusters": q_near_dup_clusters,
     "simhash_docs": q_simhash_docs,
@@ -3139,6 +3179,7 @@ ORACLE_SQL = {
                min(ts_us) AS first_ts_us
         FROM pages GROUP BY 1
     """,
+    "span_dedup_docs": SPAN_DEDUP_SQL,
     "token_count_docs": """
         SELECT doc_id,
                length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens

@@ -177,6 +177,42 @@ def keep_first_by_key(ds, *, key_col: str, order_cols: list,
         _first, batch_format="pyarrow")
 
 
+def mark_first_by_key(ds, *, key_col: str, order_cols: list,
+                      flag_col: str = "is_first",
+                      num_partitions: int = 16):
+    """Like :func:`keep_first_by_key` but returns ALL rows, with a boolean
+    ``flag_col`` set on the minimum-(order_cols) row of each distinct key
+    (same ONE hash(key) shuffle + one vectorized pass per partition; hash
+    partitioning co-locates every occurrence of a key, so the partition
+    segment head IS the global first)."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[key_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _mark(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__part"])
+        t = g.take(pc.sort_indices(
+            g, sort_keys=[(key_col, "ascending")]
+            + [(c, "ascending") for c in order_cols]))
+        key = t[key_col]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        codes = key.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        first = np.ones(len(codes), dtype=bool)
+        first[1:] = codes[1:] != codes[:-1]
+        return t.append_column(flag_col, pa.array(first))
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _mark, batch_format="pyarrow")
+
+
 def exact_dedup(ds, *, text_col: str = "text", order_col: str,
                 keep_cols: list | None = None, num_partitions: int = 16):
     """Keep the first row (by ``order_col``) of each distinct text
