@@ -70,3 +70,40 @@ def test_span_dedup_result_partition_invariant(ray_session):
          for r in span_dedup(rd.from_arrow(tbl).repartition(6), span_w=4,
                              num_partitions=5).take_all()}
     assert a == b == {d: v for d, (_, _, v) in _brute(docs, 4).items()}
+
+
+# --- repetition signals ------------------------------------------------------
+
+def test_repetition_brute_force():
+    from collections import Counter
+
+    from tsdownsample_ray.stages.textstats import repetition_batch
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(9)]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(1, 30))))
+             for _ in range(50)] + ["solo", "", "a a a a"]
+    b = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    t = repetition_batch(b).to_pydict()
+    for i, txt in enumerate(texts):
+        words = txt.split(" ")
+        wc = Counter(words)
+        bigrams = [f"{a} {c}" for a, c in zip(words, words[1:])]
+        bc = Counter(bigrams)
+        assert t["n_words"][i] == len(words)
+        assert t["n_bigrams"][i] == len(bigrams)
+        assert t["dup_word_frac"][i] == sum(
+            c for c in wc.values() if c > 1) / len(words)
+        top_w = min(wc, key=lambda w: (-wc[w], w))
+        assert t["top_word"][i] == top_w
+        assert t["top_word_frac"][i] == wc[top_w] / len(words)
+        if bigrams:
+            top_b = min(bc, key=lambda g: (-bc[g], g))
+            assert t["top_bigram"][i] == top_b
+            assert t["top_bigram_frac"][i] == bc[top_b] / len(bigrams)
+            assert t["dup_bigram_frac"][i] == sum(
+                c for c in bc.values() if c > 1) / len(bigrams)
+        else:
+            assert t["top_bigram"][i] is None
+            assert t["top_bigram_frac"][i] == 0.0
+            assert t["dup_bigram_frac"][i] == 0.0

@@ -1767,6 +1767,70 @@ FROM r GROUP BY doc_id
 """
 
 
+def q_repetition_docs(sf_dir: str):
+    """Gopher-style repetition signals per doc (dup-word / top-word /
+    dup-bigram / top-bigram fractions) — purely map-side vectorized."""
+    from ..stages.textstats import repetition_batch
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+    return ds.map_batches(repetition_batch, batch_format="pyarrow")
+
+
+REPETITION_SQL = """
+WITH w AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+),
+wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+tw AS (
+    SELECT doc_id, word AS top_word, c AS top_c
+    FROM wc QUALIFY row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY c DESC, word) = 1
+),
+ws AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+           CAST(coalesce(sum(c) FILTER (c > 1), 0) AS BIGINT) AS dup_w
+    FROM wc GROUP BY doc_id
+),
+bg AS (
+    SELECT doc_id,
+           word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY i)
+             AS bigram
+    FROM w
+    QUALIFY lead(word) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
+),
+bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+tb AS (
+    SELECT doc_id, bigram AS top_bigram, c AS top_c
+    FROM bc QUALIFY row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY c DESC, bigram) = 1
+),
+bs AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(sum(c) FILTER (c > 1), 0) AS BIGINT) AS dup_b
+    FROM bc GROUP BY doc_id
+)
+SELECT ws.doc_id,
+       ws.n_words,
+       coalesce(bs.n_bigrams, 0) AS n_bigrams,
+       CAST(ws.dup_w AS DOUBLE) / ws.n_words AS dup_word_frac,
+       tw.top_word,
+       CAST(tw.top_c AS DOUBLE) / ws.n_words AS top_word_frac,
+       CASE WHEN bs.n_bigrams IS NULL THEN 0.0
+            ELSE CAST(bs.dup_b AS DOUBLE) / bs.n_bigrams
+       END AS dup_bigram_frac,
+       tb.top_bigram,
+       CASE WHEN bs.n_bigrams IS NULL THEN 0.0
+            ELSE CAST(tb.top_c AS DOUBLE) / bs.n_bigrams
+       END AS top_bigram_frac
+FROM ws JOIN tw USING (doc_id)
+LEFT JOIN bs USING (doc_id) LEFT JOIN tb USING (doc_id)
+"""
+
+
 def q_token_count_docs(sf_dir: str):
     rd = _rd()
     ds = _read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -2847,6 +2911,7 @@ QUERIES = {
     "dedup_exact_pages": q_dedup_exact_pages,
     "token_count_docs": q_token_count_docs,
     "span_dedup_docs": q_span_dedup_docs,
+    "repetition_docs": q_repetition_docs,
     "near_dup_pages": q_near_dup_pages,
     "near_dup_clusters": q_near_dup_clusters,
     "simhash_docs": q_simhash_docs,
@@ -3180,6 +3245,7 @@ ORACLE_SQL = {
         FROM pages GROUP BY 1
     """,
     "span_dedup_docs": SPAN_DEDUP_SQL,
+    "repetition_docs": REPETITION_SQL,
     "token_count_docs": """
         SELECT doc_id,
                length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens

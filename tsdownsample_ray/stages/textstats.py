@@ -247,3 +247,112 @@ def quality_batch(batch: pa.Table, *, text_col: str = "text",
         "punct_ratio": pa.array(punct_ratio, pa.float64()),
         "upper_ratio": pa.array(upper_ratio, pa.float64()),
     })
+
+
+def repetition_batch(batch: pa.Table, *, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 repetition filters, adapted to the
+    word level): fraction of word occurrences that are duplicates inside
+    the doc, the most-frequent word/bigram and the fraction of
+    occurrences it accounts for. Ties on the top count break to the
+    lexicographically smallest word / bigram string (binary collation,
+    matching DuckDB's default).
+
+    Fully vectorized per BATCH (never a per-doc loop): one
+    ``split_pattern`` explode, dictionary-encoded word codes, and
+    ``np.unique``/``lexsort`` segment reductions over (doc, code) keys.
+    Purely map-side — stat computation needs no shuffle at any scale."""
+    n_docs = batch.num_rows
+    empty = {
+        id_col: batch[id_col],
+        "n_words": pa.array([], pa.int64()),
+        "n_bigrams": pa.array([], pa.int64()),
+        "dup_word_frac": pa.array([], pa.float64()),
+        "top_word": pa.array([], pa.string()),
+        "top_word_frac": pa.array([], pa.float64()),
+        "dup_bigram_frac": pa.array([], pa.float64()),
+        "top_bigram": pa.array([], pa.string()),
+        "top_bigram_frac": pa.array([], pa.float64()),
+    }
+    if n_docs == 0:
+        return pa.table(empty)
+
+    words = pc.split_pattern(batch[text_col], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.values
+    off = words.offsets.to_numpy().astype(np.int64)
+    n_words = np.diff(off)  # >= 1 (split('') == [''])
+    doc_rep = np.repeat(np.arange(n_docs), n_words)
+
+    d = flat.dictionary_encode()
+    dict_vals = d.dictionary.to_numpy(zero_copy_only=False)
+    rank = np.empty(len(dict_vals), dtype=np.int64)
+    rank[np.argsort(dict_vals)] = np.arange(len(dict_vals))
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    # ---- words: key = doc*K + code (unique per (doc, word)) --------------
+    K = len(dict_vals)
+    wkeys = doc_rep * K + codes
+    u, inv, cnt = np.unique(wkeys, return_inverse=True, return_counts=True)
+    dup_w = np.bincount(doc_rep, weights=cnt[inv] > 1, minlength=n_docs)
+    u_doc = u // K
+    u_code = u % K
+    order = np.lexsort((rank[u_code], -cnt, u_doc))
+    heads = np.ones(len(order), dtype=bool)
+    heads[1:] = u_doc[order][1:] != u_doc[order][:-1]
+    top_w_cnt = np.zeros(n_docs, dtype=np.int64)
+    top_w_code = np.zeros(n_docs, dtype=np.int64)
+    top_w_cnt[u_doc[order][heads]] = cnt[order][heads]
+    top_w_code[u_doc[order][heads]] = u_code[order][heads]
+    top_word = d.dictionary.take(pa.array(top_w_code))
+
+    # ---- bigrams: adjacent word pairs within a doc ------------------------
+    valid = doc_rep[:-1] == doc_rep[1:] if len(doc_rep) else np.empty(0, bool)
+    n_bigrams = n_words - 1  # == per-doc count of valid positions
+    bg_doc = doc_rep[:-1][valid]
+    c1 = codes[:-1][valid]
+    c2 = codes[1:][valid]
+    bg_key = (bg_doc * K + c1) * K + c2
+    top_bigram = pa.nulls(n_docs, pa.string())
+    dup_b = np.zeros(n_docs, dtype=np.float64)
+    top_b_cnt = np.zeros(n_docs, dtype=np.int64)
+    if len(bg_key):
+        ub, binv, bcnt = np.unique(bg_key, return_inverse=True,
+                                   return_counts=True)
+        dup_b = np.bincount(bg_doc, weights=bcnt[binv] > 1,
+                            minlength=n_docs)
+        ub_doc = ub // (K * K)
+        ub_c1 = (ub // K) % K
+        ub_c2 = ub % K
+        border = np.lexsort((rank[ub_c2], rank[ub_c1], -bcnt, ub_doc))
+        bheads = np.ones(len(border), dtype=bool)
+        bheads[1:] = ub_doc[border][1:] != ub_doc[border][:-1]
+        hd = ub_doc[border][bheads]
+        top_b_cnt[hd] = bcnt[border][bheads]
+        w1 = d.dictionary.take(pa.array(ub_c1[border][bheads]))
+        w2 = d.dictionary.take(pa.array(ub_c2[border][bheads]))
+        joined = pc.binary_join_element_wise(w1, " ", w2, "")
+        tb = np.full(n_docs, None, dtype=object)
+        tb[hd] = joined.to_numpy(zero_copy_only=False)
+        top_bigram = pa.array(tb, pa.string())
+
+    nb_safe = np.maximum(1, n_bigrams).astype(np.float64)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_words": pa.array(n_words, pa.int64()),
+        "n_bigrams": pa.array(n_bigrams, pa.int64()),
+        "dup_word_frac": pa.array(dup_w / n_words.astype(np.float64),
+                                  pa.float64()),
+        "top_word": top_word,
+        "top_word_frac": pa.array(
+            top_w_cnt.astype(np.float64) / n_words.astype(np.float64),
+            pa.float64()),
+        "dup_bigram_frac": pa.array(
+            np.where(n_bigrams > 0, dup_b / nb_safe, 0.0), pa.float64()),
+        "top_bigram": top_bigram,
+        "top_bigram_frac": pa.array(
+            np.where(n_bigrams > 0, top_b_cnt.astype(np.float64) / nb_safe,
+                     0.0), pa.float64()),
+    })
