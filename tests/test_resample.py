@@ -1,0 +1,83 @@
+"""resample_linear: grid bounds, exact hits, duplicate-x collapse,
+partition invariance — vs np.interp on the collapsed series."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+ray = pytest.importorskip("ray")
+import ray.data as rd  # noqa: E402
+
+from tsdownsample_ray.stages.resample import resample_linear  # noqa: E402
+
+STEP = 10
+
+
+def _brute(x, y, step=STEP):
+    lo = -(-x.min() // step) * step
+    hi = x.max() // step * step
+    if hi < lo:
+        return np.empty(0, np.int64), np.empty(0)
+    t = np.arange(lo, hi + 1, step)
+    return t, np.interp(t, x, y)
+
+
+def _run(tbl, **kw):
+    out = resample_linear(rd.from_arrow(tbl), STEP, series_col="sid",
+                          x_col="x", y_col="y", id_col="rid", **kw)
+    rows = sorted((r["sid"], r["t_us"], r["value"])
+                  for r in out.take_all())
+    return rows
+
+
+def test_matches_np_interp(ray_session):
+    rng = np.random.default_rng(11)
+    tables, expect = [], []
+    for sid in ["a", "b", "c"]:
+        x = np.unique(rng.integers(0, 500, size=60)).astype(np.int64)
+        y = rng.integers(-100, 100, size=len(x)).astype(np.float64)
+        tables.append(pa.table({
+            "sid": [sid] * len(x), "x": x, "y": y,
+            "rid": np.arange(len(x), dtype=np.int64)}))
+        t, v = _brute(x, y)
+        expect += [(sid, int(tt), float(vv)) for tt, vv in zip(t, v)]
+    got = _run(pa.concat_tables(tables))
+    assert len(got) == len(expect)
+    for (gs, gt, gv), (es, et, ev) in zip(got, sorted(expect)):
+        assert (gs, gt) == (es, et)
+        assert gv == pytest.approx(ev, abs=1e-9)
+
+
+def test_exact_hits_and_single_point(ray_session):
+    tbl = pa.table({"sid": ["s", "s", "s", "one", "off"],
+                    "x": pa.array([10, 20, 35, 30, 7], pa.int64()),
+                    "y": pa.array([1.0, 5.0, 8.0, 42.0, 9.0]),
+                    "rid": pa.array([0, 1, 2, 3, 4], pa.int64())})
+    got = _run(tbl)
+    # 'off' has one sample off-grid -> no rows; 'one' exact single hit
+    assert ("one", 30, 42.0) in got
+    assert not any(s == "off" for s, _, _ in got)
+    d = {(s, t): v for s, t, v in got}
+    assert d[("s", 10)] == 1.0 and d[("s", 20)] == 5.0
+    assert d[("s", 30)] == pytest.approx(5.0 + 3.0 * 10 / 15)
+
+
+def test_duplicate_x_keeps_max_id(ray_session):
+    tbl = pa.table({"sid": ["s"] * 4,
+                    "x": pa.array([0, 10, 10, 20], pa.int64()),
+                    "y": pa.array([0.0, 99.0, 4.0, 8.0]),
+                    "rid": pa.array([0, 1, 2, 3], pa.int64())})
+    d = {t: v for _, t, v in _run(tbl)}
+    assert d[10] == 4.0  # rid=2 wins over rid=1
+    assert d[0] == 0.0 and d[20] == 8.0
+
+
+def test_partition_invariance(ray_session):
+    rng = np.random.default_rng(5)
+    x = np.unique(rng.integers(0, 2000, size=300)).astype(np.int64)
+    y = rng.normal(size=len(x))
+    tbl = pa.table({"sid": ["z"] * len(x), "x": x, "y": y,
+                    "rid": np.arange(len(x), dtype=np.int64)})
+    a = _run(tbl, num_partitions=1)
+    b = _run(tbl, num_partitions=7)
+    assert a == b

@@ -1025,6 +1025,69 @@ def q_minmaxlttb_bigseries(sf_dir: str, n_out: int = 40):
                           pc.cast(out["cents"], pa.int64()))
 
 
+def q_resample_linear_15m(sf_dir: str):
+    """Linear-interpolation resample of every event_type series onto the
+    uniform 15-minute grid (``stages/resample.py``): ONE hash(series)
+    shuffle, one vectorized composite-key searchsorted per partition.
+    Duplicate timestamps collapse to the max-event_id row; exact grid
+    hits return the sample. DuckDB oracle: two ASOF joins (floor +
+    ceiling bracket) with the identical float expression."""
+    from ..stages.resample import resample_linear
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"event_type": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"], "event_id": b["event_id"]})
+
+    ds = ev.map_batches(_series, batch_format="pyarrow")
+    return resample_linear(ds, 900 * US, series_col="event_type",
+                           x_col="x", y_col="y", id_col="event_id",
+                           num_partitions=2)
+
+
+RESAMPLE_SQL = """
+WITH e AS (
+    SELECT event_type, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS cents, event_id
+    FROM events
+),
+s AS (
+    SELECT event_type, ts_us, arg_max(cents, event_id) AS cents
+    FROM e GROUP BY event_type, ts_us
+),
+b AS (
+    SELECT event_type,
+           (min(ts_us) + 899999999) // 900000000 AS lo_k,
+           max(ts_us) // 900000000 AS hi_k
+    FROM s GROUP BY event_type
+),
+g AS (
+    SELECT event_type, unnest(range(lo_k, hi_k + 1)) * 900000000 AS t_us
+    FROM b WHERE hi_k >= lo_k
+),
+p AS (
+    SELECT g.event_type, g.t_us, s.ts_us AS x0, s.cents AS y0
+    FROM g ASOF JOIN s
+      ON g.event_type = s.event_type AND g.t_us >= s.ts_us
+),
+nsrc AS (SELECT event_type, -ts_us AS neg_ts, ts_us, cents FROM s),
+n AS (
+    SELECT g.event_type, g.t_us, nsrc.ts_us AS x1, nsrc.cents AS y1
+    FROM g ASOF JOIN nsrc
+      ON g.event_type = nsrc.event_type AND -g.t_us >= nsrc.neg_ts
+)
+SELECT p.event_type, p.t_us,
+       CASE WHEN n.x1 = p.x0 THEN CAST(n.y1 AS DOUBLE)
+            ELSE CAST(p.y0 AS DOUBLE)
+                 + CAST(n.y1 - p.y0 AS DOUBLE)
+                   * CAST(p.t_us - p.x0 AS DOUBLE)
+                   / CAST(n.x1 - p.x0 AS DOUBLE)
+       END AS value
+FROM p JOIN n ON p.event_type = n.event_type AND p.t_us = n.t_us
+"""
+
+
 def q_asof_enrich_events(sf_dir: str):
     """As-of join (``stages/joins.py``): enrich every event with its
     type's last CLOSED hourly aggregate — right rows become available at
@@ -2902,6 +2965,7 @@ QUERIES = {
     "minmax_bigseries": q_minmax_bigseries,
     "m4_bigseries": q_m4_bigseries,
     "asof_enrich_events": q_asof_enrich_events,
+    "resample_linear_15m": q_resample_linear_15m,
     "hist_quantiles_1h": q_hist_quantiles_1h,
     "counter_rate_1h": q_counter_rate_1h,
     "orders_by_nation_broadcast": q_orders_by_nation_broadcast,
@@ -3179,6 +3243,7 @@ ORACLE_SQL = {
     "minmax_bigseries": _minmax_bigseries_sql(40),
     "m4_bigseries": _m4_bigseries_sql(40),
     "asof_enrich_events": ASOF_ENRICH_SQL,
+    "resample_linear_15m": RESAMPLE_SQL,
     "hist_quantiles_1h": HIST_QUANTILES_SQL,
     "counter_rate_1h": COUNTER_RATE_SQL,
     "orders_by_nation_broadcast": ORDERS_BY_NATION_SQL,
