@@ -1088,6 +1088,67 @@ FROM p JOIN n ON p.event_type = n.event_type AND p.t_us = n.t_us
 """
 
 
+def q_corr_pairs_15m(sf_dir: str):
+    """Pairwise Pearson correlation between event_type series over their
+    co-populated 15m buckets (``stages/correlate.py``): rollup ->
+    hash(bucket) pair expansion -> integer sufficient statistics ->
+    pinned-IEEE corr. All-ways exact: the stats are int64 sums."""
+    from ..stages.correlate import pairwise_correlation
+    from ..stages.rollup import rollup
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"),
+                    900 * US)
+    return pairwise_correlation(rolled, num_partitions=2)
+
+
+CORR_PAIRS_SQL = """
+WITH e AS (
+    SELECT event_type, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+r AS (
+    SELECT event_type, ts_us // 900000000 * 900000000 AS bucket,
+           CAST(sum(cents) AS BIGINT) AS s
+    FROM e GROUP BY event_type, bucket
+),
+p AS (
+    SELECT a.event_type AS s1, b.event_type AS s2, a.s AS x, b.s AS y
+    FROM r a JOIN r b
+      ON a.bucket = b.bucket AND a.event_type < b.event_type
+),
+st AS (
+    SELECT s1, s2, count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(sum(x * y) AS BIGINT) AS sum_xy,
+           CAST(sum(x * x) AS BIGINT) AS sum_xx,
+           CAST(sum(y * y) AS BIGINT) AS sum_yy
+    FROM p GROUP BY s1, s2
+)
+SELECT s1, s2, n, sum_x, sum_y, sum_xy, sum_xx, sum_yy,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                  - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE)
+                    - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+                  - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                         - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE)
+                           - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)))
+            ELSE NULL
+       END AS corr
+FROM st
+"""
+
+
 def q_asof_enrich_events(sf_dir: str):
     """As-of join (``stages/joins.py``): enrich every event with its
     type's last CLOSED hourly aggregate — right rows become available at
@@ -2966,6 +3027,7 @@ QUERIES = {
     "m4_bigseries": q_m4_bigseries,
     "asof_enrich_events": q_asof_enrich_events,
     "resample_linear_15m": q_resample_linear_15m,
+    "corr_pairs_15m": q_corr_pairs_15m,
     "hist_quantiles_1h": q_hist_quantiles_1h,
     "counter_rate_1h": q_counter_rate_1h,
     "orders_by_nation_broadcast": q_orders_by_nation_broadcast,
@@ -3244,6 +3306,7 @@ ORACLE_SQL = {
     "m4_bigseries": _m4_bigseries_sql(40),
     "asof_enrich_events": ASOF_ENRICH_SQL,
     "resample_linear_15m": RESAMPLE_SQL,
+    "corr_pairs_15m": CORR_PAIRS_SQL,
     "hist_quantiles_1h": HIST_QUANTILES_SQL,
     "counter_rate_1h": COUNTER_RATE_SQL,
     "orders_by_nation_broadcast": ORDERS_BY_NATION_SQL,

@@ -1,0 +1,115 @@
+"""Pairwise Pearson correlation between series over aligned time buckets.
+
+Cross-series analytics the reference's single-array kernels cannot
+express: given the per-(series, bucket) rollup, compute for every series
+pair (s1 < s2) the correlation of their bucket values over the buckets
+BOTH series populated (inner-join semantics).
+
+Scale shape (100 TB): the input is the ROLLED-UP tier (|series| x
+|buckets| rows, already reduced from raw events by the rollup's partial
+combine), pairing is ONE hash(bucket) shuffle and a single vectorized
+segment-pair expansion per partition (``_segmented_pairs`` — a Python
+step per distinct co-population size, not per bucket), partials collapse
+per partition BEFORE the final merge, and the last shuffle carries at
+most |series|^2/2 keys of integer sufficient statistics. Pair emission is
+quadratic in the number of series co-populating a bucket — the operator
+targets metric fleets (10s-1000s of series), not per-user cardinality;
+callers with more series filter first.
+
+The correlation itself is derived from integer sufficient statistics
+(n, Σx, Σy, Σxy, Σx², Σy²) so any partitioning yields bit-identical
+output; the float ``corr`` is one pinned IEEE expression over them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["pairwise_correlation"]
+
+_STAT_COLS = ["n", "sum_x", "sum_y", "sum_xy", "sum_xx", "sum_yy"]
+
+
+def _corr_from_stats(t: pa.Table) -> pa.Table:
+    """corr = (n·Σxy − Σx·Σy) / sqrt((n·Σxx − Σx²)(n·Σyy − Σy²)), every
+    operand cast to float64 FIRST (the SQL oracle's exact expression);
+    NULL when either variance is zero."""
+    f = {c: t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+         for c in _STAT_COLS}
+    num = f["n"] * f["sum_xy"] - f["sum_x"] * f["sum_y"]
+    vx = f["n"] * f["sum_xx"] - f["sum_x"] * f["sum_x"]
+    vy = f["n"] * f["sum_yy"] - f["sum_y"] * f["sum_y"]
+    den = np.sqrt(vx * vy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = num / den
+    corr = pa.array(np.where(den > 0, r, np.nan), pa.float64(),
+                    mask=~(den > 0))
+    return t.append_column("corr", corr)
+
+
+def pairwise_correlation(rolled, *, series_col: str = "series_id",
+                         bucket_col: str = "bucket",
+                         value_col: str = "sum_y",
+                         num_partitions: int = 8):
+    """``rolled`` has ONE row per (series, bucket) with ``value_col``
+    (int64). Returns (s1, s2, n, sum_x, sum_y, sum_xy, sum_xx, sum_yy,
+    corr) for every co-populated pair with s1 < s2."""
+    from ..arrow_utils import rename_agg, stable_part_codes
+    from .dedup import _segmented_pairs
+
+    mod = num_partitions * 64
+
+    def _sum_combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["s1", "s2"]).aggregate(
+            [(c, "sum") for c in _STAT_COLS])
+        return rename_agg(g, {"s1": "s1", "s2": "s2",
+                              **{f"{c}_sum": c for c in _STAT_COLS}})
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[bucket_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _pair_partials(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t[series_col].type
+        empty = pa.table({"s1": pa.array([], s_type),
+                          "s2": pa.array([], s_type),
+                          **{c: pa.array([], pa.int64())
+                             for c in _STAT_COLS}})
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (bucket_col, "ascending"), (series_col, "ascending")]))
+        bkt = t[bucket_col].combine_chunks() if isinstance(
+            t[bucket_col], pa.ChunkedArray) else t[bucket_col]
+        codes = bkt.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        i, j = _segmented_pairs(np.arange(len(codes)), codes, None)
+        if len(i) == 0:
+            return empty
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = v[i], v[j]
+        pairs = pa.table({
+            "s1": sid.take(pa.array(i)), "s2": sid.take(pa.array(j)),
+            "n": pa.array(np.ones(len(i), np.int64)),
+            "sum_x": pa.array(x), "sum_y": pa.array(y),
+            "sum_xy": pa.array(x * y), "sum_xx": pa.array(x * x),
+            "sum_yy": pa.array(y * y),
+        })
+        # partition-local partial collapse before the tiny final merge
+        return _sum_combine(pairs)
+
+    parted = rolled.map_batches(_add_part, batch_format="pyarrow")
+    partials = parted.repartition(num_partitions).groupby(
+        "__part").map_groups(_pair_partials, batch_format="pyarrow")
+    # final tree merge: the key space is <= |series|^2/2 partial rows per
+    # partition — one funnel block of sufficient statistics
+    merged = partials.repartition(1).map_batches(
+        _sum_combine, batch_format="pyarrow")
+    return merged.map_batches(_corr_from_stats, batch_format="pyarrow")
