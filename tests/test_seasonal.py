@@ -1,0 +1,52 @@
+"""seasonal_profile / seasonal_anomalies: profile sums, broadcast flags."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+ray = pytest.importorskip("ray")
+import ray.data as rd  # noqa: E402
+
+from tsdownsample_ray.stages.seasonal import (  # noqa: E402
+    seasonal_anomalies,
+    seasonal_profile,
+)
+
+H = 3_600_000_000
+
+
+def _events():
+    # series 'a': slot 0 population {10, 10, 10, 100} (day-spread),
+    # slot 1 population {5}
+    rows = [("a", 0 * H, 10), ("a", 24 * H, 10), ("a", 48 * H, 10),
+            ("a", 72 * H, 100), ("a", 1 * H, 5),
+            ("b", 0 * H, 7), ("b", 24 * H, 7)]
+    return pa.table({
+        "series_id": [r[0] for r in rows],
+        "rid": pa.array(range(len(rows)), pa.int64()),
+        "x": pa.array([r[1] for r in rows], pa.int64()),
+        "y": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+def test_profile_sums(ray_session):
+    prof = {(r["series_id"], r["slot"]): (r["n"], r["s"], r["q"])
+            for r in seasonal_profile(
+                rd.from_arrow(_events()).repartition(3)).take_all()}
+    assert prof[("a", 0)] == (4, 130, 10300)
+    assert prof[("a", 1)] == (1, 5, 25)
+    assert prof[("b", 0)] == (2, 14, 98)
+
+
+def test_anomaly_flags(ray_session):
+    ds = rd.from_arrow(_events())
+    profile = pa.Table.from_pylist(seasonal_profile(ds).take_all())
+    out = {r["rid"]: r["is_anomaly"]
+           for r in seasonal_anomalies(ds, profile, id_col="rid",
+                                       threshold=1).take_all()}
+    # slot-0 'a': mean 32.5; the 100 outlier deviates far beyond 1 sigma
+    assert out[3] is True
+    # constant series 'b': zero variance, never anomalous
+    assert out[5] is False and out[6] is False
+    # singleton slot (n < 2) is never flagged
+    assert out[4] is False

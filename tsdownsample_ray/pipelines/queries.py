@@ -1149,6 +1149,54 @@ FROM st
 """
 
 
+def q_seasonal_hod_events(sf_dir: str):
+    """Hour-of-day seasonal baseline (``stages/seasonal.py``): build the
+    per-(event_type, hod) integer profile, broadcast it once (``ray.put``,
+    the brief's small-side pattern), flag events whose cents fail the
+    pure-integer z-test against their slot's population. No shuffle of
+    the event stream at all."""
+    import ray as _ray
+
+    from ..stages.seasonal import seasonal_anomalies, seasonal_profile
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"],
+                         "event_id": b["event_id"],
+                         "x": b["ts_us"], "y": b["cents"]})
+
+    ds = ev.map_batches(_series, batch_format="pyarrow")
+    prof_refs = seasonal_profile(ds).to_arrow_refs()
+    profile = pa.concat_tables([_ray.get(r) for r in prof_refs])
+    return seasonal_anomalies(ds, profile, id_col="event_id", threshold=3)
+
+
+SEASONAL_HOD_SQL = """
+WITH e AS (
+    SELECT event_type AS series_id, event_id, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+h AS (
+    SELECT series_id, event_id, (ts_us // 3600000000) % 24 AS slot, cents
+    FROM e
+),
+p AS (
+    SELECT series_id, slot, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS s,
+           CAST(sum(cents * cents) AS BIGINT) AS q
+    FROM h GROUP BY series_id, slot
+)
+SELECT h.series_id, h.event_id, h.slot, h.cents AS y,
+       p.n AS slot_n, p.s AS slot_sum,
+       (p.n >= 2 AND
+        (p.n * h.cents - p.s) * (p.n * h.cents - p.s)
+          > 9 * (p.n * p.q - p.s * p.s)) AS is_anomaly
+FROM h JOIN p USING (series_id, slot)
+"""
+
+
 def q_asof_enrich_events(sf_dir: str):
     """As-of join (``stages/joins.py``): enrich every event with its
     type's last CLOSED hourly aggregate — right rows become available at
@@ -3028,6 +3076,7 @@ QUERIES = {
     "asof_enrich_events": q_asof_enrich_events,
     "resample_linear_15m": q_resample_linear_15m,
     "corr_pairs_15m": q_corr_pairs_15m,
+    "seasonal_hod_events": q_seasonal_hod_events,
     "hist_quantiles_1h": q_hist_quantiles_1h,
     "counter_rate_1h": q_counter_rate_1h,
     "orders_by_nation_broadcast": q_orders_by_nation_broadcast,
@@ -3307,6 +3356,7 @@ ORACLE_SQL = {
     "asof_enrich_events": ASOF_ENRICH_SQL,
     "resample_linear_15m": RESAMPLE_SQL,
     "corr_pairs_15m": CORR_PAIRS_SQL,
+    "seasonal_hod_events": SEASONAL_HOD_SQL,
     "hist_quantiles_1h": HIST_QUANTILES_SQL,
     "counter_rate_1h": COUNTER_RATE_SQL,
     "orders_by_nation_broadcast": ORDERS_BY_NATION_SQL,

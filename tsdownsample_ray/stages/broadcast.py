@@ -19,21 +19,22 @@ import pyarrow as pa
 __all__ = ["broadcast_lookup_join"]
 
 
-def broadcast_lookup_join(ds, small: pa.Table, *, on: str,
+def broadcast_lookup_join(ds, small: pa.Table, *, on: str | list,
                           select: list | None = None,
                           join_type: str = "inner"):
     """Join every batch of ``ds`` against the broadcast ``small`` table on
-    column ``on`` (same name both sides). ``select`` prunes the small
+    column(s) ``on`` (same names both sides). ``select`` prunes the small
     side's payload columns (default: all non-key columns)."""
     import ray
 
+    keys = [on] if isinstance(on, str) else list(on)
     cols = select if select is not None else [
-        c for c in small.column_names if c != on]
-    small = small.select([on] + list(cols)).combine_chunks()
+        c for c in small.column_names if c not in keys]
+    small = small.select(keys + list(cols)).combine_chunks()
     ref = ray.put(small)
 
     def _join(b: pa.Table) -> pa.Table:
         s = ray.get(ref)
-        return b.join(s, keys=on, join_type=join_type)
+        return b.join(s, keys=keys, join_type=join_type)
 
     return ds.map_batches(_join, batch_format="pyarrow")
