@@ -50,3 +50,29 @@ def test_anomaly_flags(ray_session):
     assert out[5] is False and out[6] is False
     # singleton slot (n < 2) is never flagged
     assert out[4] is False
+
+
+# --- fixed-point EWMA --------------------------------------------------------
+
+def test_ewma_fixed_point_replay(ray_session):
+    from tsdownsample_ray.stages.smoothing import ewma_fixed_point
+
+    rng = np.random.default_rng(4)
+    rows = []
+    expect = {}
+    for sid in ["a", "b"]:
+        y = rng.integers(-500, 500, size=50)
+        state = None
+        for i, v in enumerate(map(int, y)):
+            rows.append((sid, i * 10, v))
+            state = v if state is None else state + ((v - state) >> 2)
+            expect[(sid, i * 10)] = state
+    tbl = pa.table({"series_id": [r[0] for r in rows],
+                    "bucket": pa.array([r[1] for r in rows], pa.int64()),
+                    "sum_y": pa.array([r[2] for r in rows], pa.int64())})
+    out = ewma_fixed_point(rd.from_arrow(tbl).repartition(4), k=2,
+                           x_col="bucket", num_partitions=3).take_all()
+    assert len(out) == len(rows)
+    for r in out:
+        assert r["ema"] == expect[(r["series_id"], r["bucket"])]
+        # negative diffs floor correctly (arithmetic shift semantics)

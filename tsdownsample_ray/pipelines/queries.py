@@ -1149,6 +1149,48 @@ FROM st
 """
 
 
+def q_ewma_15m(sf_dir: str):
+    """Fixed-point EWMA (alpha = 1/8) over the 15m rollup tier
+    (``stages/smoothing.py``): integer state, exact replay; the DuckDB
+    oracle is a recursive CTE walking each series' buckets in order."""
+    from ..stages.rollup import rollup
+    from ..stages.smoothing import ewma_fixed_point
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"),
+                    900 * US)
+    return ewma_fixed_point(rolled, k=3, num_partitions=2)
+
+
+EWMA_SQL = """
+WITH RECURSIVE numbered AS MATERIALIZED (
+    SELECT event_type AS series_id, bucket, y,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY bucket) AS idx
+    FROM (
+        SELECT event_type, epoch_us(ts) // 900000000 * 900000000 AS bucket,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY event_type, bucket
+    )
+),
+rec AS (
+    SELECT series_id, bucket, y, idx, y AS ema
+    FROM numbered WHERE idx = 1
+    UNION ALL
+    SELECT n.series_id, n.bucket, n.y, n.idx,
+           r.ema + CAST(floor(CAST(n.y - r.ema AS DOUBLE) / 8.0) AS BIGINT)
+    FROM rec r JOIN numbered n
+      ON n.series_id = r.series_id AND n.idx = r.idx + 1
+)
+SELECT series_id, bucket, y, ema FROM rec
+"""
+
+
 def q_seasonal_hod_events(sf_dir: str):
     """Hour-of-day seasonal baseline (``stages/seasonal.py``): build the
     per-(event_type, hod) integer profile, broadcast it once (``ray.put``,
@@ -3077,6 +3119,7 @@ QUERIES = {
     "resample_linear_15m": q_resample_linear_15m,
     "corr_pairs_15m": q_corr_pairs_15m,
     "seasonal_hod_events": q_seasonal_hod_events,
+    "ewma_15m": q_ewma_15m,
     "hist_quantiles_1h": q_hist_quantiles_1h,
     "counter_rate_1h": q_counter_rate_1h,
     "orders_by_nation_broadcast": q_orders_by_nation_broadcast,
@@ -3357,6 +3400,7 @@ ORACLE_SQL = {
     "resample_linear_15m": RESAMPLE_SQL,
     "corr_pairs_15m": CORR_PAIRS_SQL,
     "seasonal_hod_events": SEASONAL_HOD_SQL,
+    "ewma_15m": EWMA_SQL,
     "hist_quantiles_1h": HIST_QUANTILES_SQL,
     "counter_rate_1h": COUNTER_RATE_SQL,
     "orders_by_nation_broadcast": ORDERS_BY_NATION_SQL,

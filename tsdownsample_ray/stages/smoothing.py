@@ -1,0 +1,79 @@
+"""Fixed-point exponential smoothing (EWMA) over rolled-up tier rows.
+
+``ema_i = ema_{i-1} + floor((y_i - ema_{i-1}) / 2**k)`` with
+``ema_0 = y_0`` — the classic integer EMA (alpha = 2^-k) used by
+monitoring systems precisely because it is exact: integer state, no
+float drift, bit-identical on replay. The floor makes the recursion
+nonlinear, so there is no closed-form scan; it is computed sequentially
+PER SERIES.
+
+Scale shape (100 TB): EWMA consumes the ROLLED-UP tier (SURVEY.md §4.2:
+~100-1000x smaller than raw events), exactly like the downsampling
+kernels — the sequential per-row cost applies to tier rows only, off the
+raw-data critical path. ONE hash(series) shuffle co-locates each series;
+partitions then run one sorted pass (series advance independently —
+parallelism across series, sequential within, which is the operator's
+defining data dependency).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["ewma_fixed_point"]
+
+
+def ewma_fixed_point(ds, k: int = 3, *, series_col: str = "series_id",
+                     x_col: str = "bucket", y_col: str = "sum_y",
+                     num_partitions: int = 8):
+    """Returns ``(series_id, bucket, y, ema)``; ``y``/``ema`` int64.
+    The arithmetic shift ``>> k`` IS floor division by ``2**k`` for
+    signed ints (matches the SQL oracle's ``floor(d / 2^k)``)."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _ewma(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t[series_col].type
+        if t.num_rows == 0:
+            return pa.table({"series_id": pa.array([], s_type),
+                             "bucket": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64()),
+                             "ema": pa.array([], pa.int64())})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (x_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        head = np.ones(len(y), dtype=bool)
+        head[1:] = codes[1:] != codes[:-1]
+        ema = np.empty(len(y), dtype=np.int64)
+        state = 0
+        # inherently order-recursive (see module docstring); rows here are
+        # tier rows, not raw events
+        yl = y.tolist()
+        hl = head.tolist()
+        el = ema.tolist()
+        for i in range(len(yl)):
+            v = yl[i]
+            state = v if hl[i] else state + ((v - state) >> k)
+            el[i] = state
+        return pa.table({"series_id": sid,
+                         "bucket": t[x_col].cast(pa.int64()),
+                         "y": pa.array(y),
+                         "ema": pa.array(el, pa.int64())})
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _ewma, batch_format="pyarrow")
