@@ -603,3 +603,35 @@ def test_connected_components_empty(ray_session):
                   "b": pa.array([], pa.string())})
     out = connected_components(rd.from_arrow(t)).to_pandas()
     assert len(out) == 0
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+def test_contamination_check_flags_overlap(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.dedup import (
+        benchmark_shingle_set,
+        contamination_check,
+        word_shingles,
+    )
+
+    bench_texts = ["the quick brown fox jumps", "one two three four"]
+    train = {
+        0: "something about the quick brown fox here",  # shares a 3-gram
+        1: "completely unrelated words only here",
+        2: "one two",              # < w tokens: whole-text shingle, no hit
+        3: "",                      # zero grams
+    }
+    bench = benchmark_shingle_set(
+        rd.from_items([{"doc_id": i, "text": t}
+                       for i, t in enumerate(bench_texts)]), w=3)
+    assert set(bench) == set(np.concatenate(
+        [word_shingles(t, 3) for t in bench_texts]))
+    out = {r["doc_id"]: r for r in contamination_check(
+        rd.from_items([{"doc_id": i, "text": t}
+                       for i, t in train.items()]), bench, w=3).take_all()}
+    assert out[0]["contaminated"] is True and out[0]["n_hits"] >= 1
+    assert out[1]["contaminated"] is False
+    assert out[2]["contaminated"] is False and out[2]["n_grams"] == 1
+    assert out[3]["n_grams"] == 0 and out[3]["contaminated"] is False

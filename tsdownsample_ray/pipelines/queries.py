@@ -2146,6 +2146,85 @@ def q_ngram_jaccard_docs(sf_dir: str):
                                n=5, threshold=0.5, num_partitions=4)
 
 
+def q_contamination_docs(sf_dir: str):
+    """Benchmark decontamination (``stages/dedup.py``): docs with
+    ``doc_id % 97 == 0`` act as the eval suite; every other doc is
+    flagged if it shares any 3-gram shingle with that set. Benchmark
+    shingles are a driver-side union broadcast once (``ray.put``); the
+    training side streams with NO shuffle. Same md5/31-bit ring as
+    MinHash, so the oracle replays every hash (collisions included)."""
+    from ..stages.dedup import benchmark_shingle_set, contamination_check
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+
+    def _split(b: pa.Table, bench: bool) -> pa.Table:
+        import numpy as _np
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        m = (ids % 97) == 0
+        return b.filter(pa.array(m if bench else ~m))
+
+    bench_docs = ds.map_batches(lambda b: _split(b, True),
+                                batch_format="pyarrow")
+    train_docs = ds.map_batches(lambda b: _split(b, False),
+                                batch_format="pyarrow")
+    bench = benchmark_shingle_set(bench_docs, w=3)
+    return contamination_check(train_docs, bench, w=3)
+
+
+def _contamination_sql(w: int = 3, modulus: int = 97) -> str:
+    from ..stages.dedup import _SHINGLE_MIX
+
+    m31 = 1 << 31
+    c = [int(x) % m31 for x in _SHINGLE_MIX[:w]]
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+    FROM documents
+),
+tokidx AS (
+    SELECT doc_id, i, toks[i] AS tok, len(toks) AS n
+    FROM t, unnest(range(1, len(toks) + 1)) r(i)
+),
+th AS (
+    SELECT doc_id, i, n, CAST({_MD5U64} % {m31} AS BIGINT) AS h31
+    FROM tokidx
+),
+th2 AS (
+    SELECT doc_id, n, h31,
+           lead(h31, 1) OVER win AS h1, lead(h31, 2) OVER win AS h2
+    FROM th WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           ((h31 * {c[0]}) % {m31} + (h1 * {c[1]}) % {m31}
+            + (h2 * {c[2]}) % {m31}) % {m31} AS g
+    FROM th2 WHERE h2 IS NOT NULL AND n >= {w}
+    UNION
+    SELECT doc_id, CAST({_MD5U64} % {m31} AS BIGINT) AS g
+    FROM (SELECT doc_id, array_to_string(toks, ' ') AS tok FROM t
+          WHERE len(toks) > 0 AND len(toks) < {w}) short
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {modulus} = 0),
+agg AS (
+    SELECT gr.doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits
+    FROM grams gr LEFT JOIN bench b ON gr.g = b.g
+    WHERE gr.doc_id % {modulus} <> 0
+    GROUP BY gr.doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_grams, 0) AS n_grams,
+       coalesce(a.n_hits, 0) AS n_hits,
+       coalesce(a.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+WHERE d.doc_id % {modulus} <> 0
+"""
+
+
 def q_minhash_docs(sf_dir: str):
     """Full MinHash signatures, exploded to one row per (doc, permutation)
     so EVERY signature slot is hash-verified against the SQL replay."""
@@ -3135,6 +3214,7 @@ QUERIES = {
     "simhash_docs": q_simhash_docs,
     "simhash_near_dup_pages": q_simhash_near_dup_pages,
     "ngram_jaccard_docs": q_ngram_jaccard_docs,
+    "contamination_docs": q_contamination_docs,
     "minhash_docs": q_minhash_docs,
     "lang_id_docs": q_lang_id_docs,
     "quality_docs": q_quality_docs,
@@ -3612,6 +3692,7 @@ ORACLE_SQL = {
         WHERE CAST(i.n_inter AS DOUBLE)
               >= 0.5 * (sa.n + sb.n - i.n_inter)
     """,
+    "contamination_docs": _contamination_sql(),
     "minhash_docs": _minhash_sql(),
     # the WAV payload carries the text's own bytes as PCM16 samples, so
     # the decoded waveform stats replay directly from the text (ASCII:

@@ -941,3 +941,105 @@ def ngram_jaccard_pairs(ds, *, id_col: str = "doc_id",
 
     return j2.map_batches(_Verify, batch_format="pyarrow",
                           concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def benchmark_shingle_set(ds, *, w: int = 3, text_col: str = "text"):
+    """Distinct w-gram shingle hashes of a (SMALL) benchmark corpus as a
+    sorted uint64 array — the broadcast side of
+    :func:`contamination_check`. Eval suites are tiny next to the
+    training corpus, so a driver-side union is the right shape (the
+    standard decontamination layout: benchmark n-gram set in memory,
+    training corpus streamed)."""
+    import ray
+
+    def _sh(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        uh, inv, off = _hash_tokens_batch(texts, None)
+        th = uh[inv]
+        parts = []
+        for i in range(len(texts)):
+            seg = th[off[i]:off[i + 1]]
+            if len(seg) == 0:
+                continue
+            if len(seg) < w:
+                toks = texts[i].split()
+                parts.append(np.array(
+                    [_stable_u64(" ".join(toks).encode()) & _MERSENNE],
+                    dtype=np.uint64))
+            else:
+                parts.append(_shingles_from_hashes(seg, w))
+        u = (np.unique(np.concatenate(parts)) if parts
+             else np.empty(0, np.uint64))
+        return pa.table({"g": pa.array(u.view(np.int64))})
+
+    refs = ds.map_batches(_sh, batch_format="pyarrow").repartition(
+        1).to_arrow_refs()
+    tbl = pa.concat_tables([ray.get(r) for r in refs])
+    return np.unique(tbl["g"].to_numpy(zero_copy_only=False)
+                     .view(np.uint64))
+
+
+class ContaminationChecker:
+    """Actor-pool stage: flags training docs sharing any w-gram with the
+    broadcast benchmark set (the lm-eval-style n-gram decontamination
+    check, over the same md5/31-bit shingle ring as MinHash so the whole
+    operator — including hash collisions — replays exactly in SQL).
+    Benchmark array is fetched ONCE per actor in ``__init__``."""
+
+    def __init__(self, bench_ref, w: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        import ray
+
+        self._bench = ray.get(bench_ref)  # sorted uint64
+        self._w = w
+        self.id_col = id_col
+        self.text_col = text_col
+        self._cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        uh, inv, off = _hash_tokens_batch(texts, self._cache)
+        th = uh[inv]
+        n_grams = np.zeros(len(texts), np.int64)
+        n_hits = np.zeros(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            seg = th[off[i]:off[i + 1]]
+            if len(seg) == 0:
+                continue
+            if len(seg) < self._w:
+                toks = t.split()
+                sh = np.array(
+                    [_stable_u64(" ".join(toks).encode()) & _MERSENNE],
+                    dtype=np.uint64)
+            else:
+                sh = _shingles_from_hashes(seg, self._w)
+            n_grams[i] = len(sh)
+            idx = np.searchsorted(self._bench, sh)
+            idx[idx >= len(self._bench)] = 0
+            if len(self._bench):
+                n_hits[i] = int((self._bench[idx] == sh).sum())
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "n_grams": pa.array(n_grams),
+            "n_hits": pa.array(n_hits),
+            "contaminated": pa.array(n_hits > 0),
+        })
+
+
+def contamination_check(ds, bench: np.ndarray, *, w: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Stream the training corpus against the broadcast benchmark shingle
+    set: ``(id, n_grams, n_hits, contaminated)`` per doc. No shuffle —
+    the benchmark side is ``ray.put`` once and read per actor."""
+    import ray
+
+    ref = ray.put(np.sort(bench.astype(np.uint64)))
+    return ds.map_batches(
+        ContaminationChecker, fn_constructor_kwargs={
+            "bench_ref": ref, "w": w, "id_col": id_col,
+            "text_col": text_col},
+        batch_format="pyarrow", concurrency=(1, 8))
