@@ -945,6 +945,85 @@ def q_minmax_events(sf_dir: str):
     return _downsample_events(sf_dir, "minmax", 20)
 
 
+def _minmax_nox_sql(n_bins: int) -> str:
+    """The no-x MinMax oracle (first-occurrence ties, equidistant index
+    bins) parameterized over the bin count — the building block for the
+    LOD pyramid levels; ``n_bins=10`` is textually identical to the
+    ``minmax_events`` oracle."""
+    nb = int(n_bins)
+    return f"""
+        WITH s AS MATERIALIZED (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) - 1 AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS cnt
+            FROM events
+        ),
+        binned AS MATERIALIZED (
+            SELECT s.*, b.i,
+                   CASE WHEN b.i = 0 THEN 0
+                        ELSE CAST(FLOOR(b.i * ((s.cnt - 1.0) / {nb})) AS BIGINT) + 1
+                   END AS lo,
+                   CASE WHEN b.i = {nb - 1} THEN s.cnt
+                        ELSE CAST(FLOOR((b.i + 1) * ((s.cnt - 1.0) / {nb})) AS BIGINT) + 1
+                   END AS hi
+            FROM s JOIN generate_series(0, {nb - 1}) b(i) ON TRUE
+        ),
+        inbin AS MATERIALIZED (SELECT * FROM binned WHERE rn >= lo AND rn < hi),
+        ext AS MATERIALIZED (
+            SELECT event_type, i,
+                   min(value) AS mn, max(value) AS mx
+            FROM inbin GROUP BY 1, 2
+        ),
+        sel AS (
+            SELECT ib.event_type,
+                   min(ib.rn) FILTER (WHERE ib.value = e.mn) AS rn_min,
+                   min(ib.rn) FILTER (WHERE ib.value = e.mx) AS rn_max
+            FROM inbin ib JOIN ext e ON ib.event_type = e.event_type AND ib.i = e.i
+            GROUP BY ib.event_type, ib.i
+        ),
+        picked AS (
+            SELECT event_type, rn_min AS rn FROM sel
+            UNION
+            SELECT event_type, rn_max AS rn FROM sel
+        )
+        SELECT s.event_type, s.event_id, s.value
+        FROM s JOIN picked p ON s.event_type = p.event_type AND s.rn = p.rn
+    """
+
+
+_LOD_LEVELS = ((0, 100), (1, 20), (2, 4))  # (level, n_out); bins = n_out/2
+
+
+def q_lod_pyramid_events(sf_dir: str):
+    """The reference's flagship interactive-zoom use case as one
+    pipeline: MinMax downsample of every series at three zoom levels
+    (n_out 100/20/4), unioned with a ``level`` column — the
+    level-of-detail pyramid a plotting front-end pages through. Each
+    level is an independent streamed downsample; the union is lazy."""
+    out = None
+    for lvl, n_out in _LOD_LEVELS:
+        ds = _downsample_events(sf_dir, "minmax", n_out)
+
+        def _tag(b: pa.Table, _lvl=lvl) -> pa.Table:
+            return pa.table({
+                "level": pa.array(np.full(b.num_rows, _lvl, np.int64)),
+                "event_type": b["event_type"],
+                "event_id": b["event_id"],
+                "value": b["value"],
+            })
+
+        tagged = ds.map_batches(_tag, batch_format="pyarrow")
+        out = tagged if out is None else out.union(tagged)
+    return out
+
+
+def _lod_pyramid_sql() -> str:
+    parts = [f"SELECT {lvl} AS level, * FROM ({_minmax_nox_sql(n // 2)})"
+             for lvl, n in _LOD_LEVELS]
+    return " UNION ALL ".join(parts)
+
+
 def q_m4_events(sf_dir: str):
     return _downsample_events(sf_dir, "m4", 20)
 
@@ -3184,6 +3263,7 @@ QUERIES = {
     "anomaly_events": q_anomaly_events,
     "everynth_events": q_everynth_events,
     "minmax_events": q_minmax_events,
+    "lod_pyramid_events": q_lod_pyramid_events,
     "m4_events": q_m4_events,
     "lttb_events": q_lttb_events,
     "minmaxlttb_events": q_minmaxlttb_events,
@@ -3384,6 +3464,7 @@ ORACLE_SQL = {
     # replicate numpy's searchsorted-over-linspace (floor(i*((n-1)/nb))+1),
     # argmin/argmax with FIRST-occurrence tie-breaking via min(rn) over the
     # rows attaining the bin extreme.
+    "lod_pyramid_events": _lod_pyramid_sql(),
     "minmax_events": """
         WITH s AS MATERIALIZED (
             SELECT event_type, event_id, value,
