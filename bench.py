@@ -98,7 +98,8 @@ def run_bench() -> dict:
         "dedup_exact_pages", "near_dup_pages", "knn_embeddings",
         "minhash_docs", "simhash_docs", "embedding_near_dups",
         "fingerprint_docs", "quality_docs", "pii_scrub_docs",
-        "tfidf_terms")
+        "tfidf_terms", "span_dedup_docs", "repetition_docs",
+        "contamination_docs", "resample_linear_15m")
     for qname in qnames:
         best = None
         # min-of-n: throttle bursts vary timings ~3x; the two join-heavy
