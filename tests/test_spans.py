@@ -107,3 +107,36 @@ def test_repetition_brute_force():
             assert t["top_bigram"][i] is None
             assert t["top_bigram_frac"][i] == 0.0
             assert t["dup_bigram_frac"][i] == 0.0
+
+
+# --- vocabulary construction -------------------------------------------------
+
+def test_build_vocab_exact_topv(ray_session):
+    from collections import Counter
+
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.vocab import build_vocab
+
+    rng = np.random.default_rng(6)
+    vocab = [f"t{i:02d}" for i in range(25)]
+    # zipf-ish counts so the top-V boundary is meaningful
+    texts = [" ".join(rng.choice(vocab,
+                                 p=np.linspace(2, 0.1, 25)
+                                 / np.linspace(2, 0.1, 25).sum(),
+                                 size=int(rng.integers(2, 40))))
+             for _ in range(60)]
+    cnt, df = Counter(), Counter()
+    for t in texts:
+        words = t.split()
+        cnt.update(words)
+        df.update(set(words))
+    expect = sorted(cnt, key=lambda w: (-cnt[w], w))[:10]
+    ds = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in enumerate(texts)]).repartition(5)
+    out = build_vocab(ds, top_v=10, num_partitions=4).take_all()
+    assert [r["token"] for r in sorted(out, key=lambda r: r["vocab_id"])] \
+        == expect
+    for r in out:
+        assert r["count"] == cnt[r["token"]]
+        assert r["df"] == df[r["token"]]

@@ -2225,6 +2225,36 @@ def q_ngram_jaccard_docs(sf_dir: str):
                                n=5, threshold=0.5, num_partitions=4)
 
 
+def q_vocab_docs(sf_dir: str):
+    """Exact top-20 corpus vocabulary (``stages/vocab.py``): per-block
+    partial (token -> count, df), ONE hash(token) shuffle, per-partition
+    top-V, tiny exact final rank — the tokenizer-training precursor."""
+    from ..stages.vocab import build_vocab
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+    return build_vocab(ds, top_v=20, num_partitions=8)
+
+
+VOCAB_SQL = """
+WITH w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+),
+f AS (SELECT doc_id, token FROM w WHERE token <> ''),
+c AS (
+    SELECT token, count(*) AS count,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM f GROUP BY token
+)
+SELECT token, count, df,
+       row_number() OVER (ORDER BY count DESC, token) - 1 AS vocab_id
+FROM c
+ORDER BY count DESC, token
+LIMIT 20
+"""
+
+
 def q_contamination_docs(sf_dir: str):
     """Benchmark decontamination (``stages/dedup.py``): docs with
     ``doc_id % 97 == 0`` act as the eval suite; every other doc is
@@ -3295,6 +3325,7 @@ QUERIES = {
     "simhash_near_dup_pages": q_simhash_near_dup_pages,
     "ngram_jaccard_docs": q_ngram_jaccard_docs,
     "contamination_docs": q_contamination_docs,
+    "vocab_docs": q_vocab_docs,
     "minhash_docs": q_minhash_docs,
     "lang_id_docs": q_lang_id_docs,
     "quality_docs": q_quality_docs,
@@ -3774,6 +3805,7 @@ ORACLE_SQL = {
               >= 0.5 * (sa.n + sb.n - i.n_inter)
     """,
     "contamination_docs": _contamination_sql(),
+    "vocab_docs": VOCAB_SQL,
     "minhash_docs": _minhash_sql(),
     # the WAV payload carries the text's own bytes as PCM16 samples, so
     # the decoded waveform stats replay directly from the text (ASCII:
