@@ -76,3 +76,29 @@ def test_ewma_fixed_point_replay(ray_session):
     for r in out:
         assert r["ema"] == expect[(r["series_id"], r["bucket"])]
         # negative diffs floor correctly (arithmetic shift semantics)
+
+
+# --- exact quantiles ---------------------------------------------------------
+
+def test_exact_quantiles_vs_numpy(ray_session):
+    from tsdownsample_ray.stages.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(8)
+    rows = []
+    expect = {}
+    for sid, n in [("a", 101), ("b", 7), ("c", 1)]:
+        v = rng.integers(-1000, 1000, size=n)
+        for i, x in enumerate(map(int, v)):
+            rows.append((sid, i, x))
+        sv = np.sort(v)
+        expect[sid] = {p: int(sv[(n - 1) * p // 100]) for p in (50, 90, 99)}
+    tbl = pa.table({"series_id": [r[0] for r in rows],
+                    "bucket": pa.array([r[1] for r in rows], pa.int64()),
+                    "sum_y": pa.array([r[2] for r in rows], pa.int64())})
+    out = {r["series_id"]: r for r in exact_quantiles(
+        rd.from_arrow(tbl).repartition(4), num_partitions=3).take_all()}
+    for sid, e in expect.items():
+        assert out[sid]["p50"] == e[50]
+        assert out[sid]["p90"] == e[90]
+        assert out[sid]["p99"] == e[99]
+    assert out["c"]["n"] == 1 and out["c"]["p50"] == out["c"]["p99"]

@@ -1270,6 +1270,47 @@ SELECT series_id, bucket, y, ema FROM rec
 """
 
 
+def q_exact_quantiles_15m(sf_dir: str):
+    """Exact per-series p50/p90/p99 over the 15m tier's bucket sums
+    (``stages/quantiles.py``): one hash(series) shuffle, one sorted
+    vectorized segment pass — the exact companion to
+    ``hist_quantiles_1h``'s mergeable sketch."""
+    from ..stages.quantiles import exact_quantiles
+    from ..stages.rollup import rollup
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"),
+                    900 * US)
+    return exact_quantiles(rolled, probs=(50, 90, 99), num_partitions=2)
+
+
+EXACT_QUANTILES_SQL = """
+WITH r AS (
+    SELECT event_type AS series_id,
+           epoch_us(ts) // 900000000 * 900000000 AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+    FROM events GROUP BY series_id, bucket
+),
+o AS (
+    SELECT series_id, s,
+           row_number() OVER (PARTITION BY series_id
+                              ORDER BY s, bucket) - 1 AS rk,
+           count(*) OVER (PARTITION BY series_id) AS n
+    FROM r
+)
+SELECT series_id, CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN rk = (n - 1) * 50 // 100 THEN s END) AS p50,
+       max(CASE WHEN rk = (n - 1) * 90 // 100 THEN s END) AS p90,
+       max(CASE WHEN rk = (n - 1) * 99 // 100 THEN s END) AS p99
+FROM o GROUP BY series_id
+"""
+
+
 def q_seasonal_hod_events(sf_dir: str):
     """Hour-of-day seasonal baseline (``stages/seasonal.py``): build the
     per-(event_type, hod) integer profile, broadcast it once (``ray.put``,
@@ -3307,6 +3348,7 @@ QUERIES = {
     "asof_enrich_events": q_asof_enrich_events,
     "resample_linear_15m": q_resample_linear_15m,
     "corr_pairs_15m": q_corr_pairs_15m,
+    "exact_quantiles_15m": q_exact_quantiles_15m,
     "seasonal_hod_events": q_seasonal_hod_events,
     "ewma_15m": q_ewma_15m,
     "hist_quantiles_1h": q_hist_quantiles_1h,
@@ -3591,6 +3633,7 @@ ORACLE_SQL = {
     "asof_enrich_events": ASOF_ENRICH_SQL,
     "resample_linear_15m": RESAMPLE_SQL,
     "corr_pairs_15m": CORR_PAIRS_SQL,
+    "exact_quantiles_15m": EXACT_QUANTILES_SQL,
     "seasonal_hod_events": SEASONAL_HOD_SQL,
     "ewma_15m": EWMA_SQL,
     "hist_quantiles_1h": HIST_QUANTILES_SQL,
