@@ -635,3 +635,29 @@ def test_contamination_check_flags_overlap(ray_session):
     assert out[1]["contaminated"] is False
     assert out[2]["contaminated"] is False and out[2]["n_grams"] == 1
     assert out[3]["n_grams"] == 0 and out[3]["contaminated"] is False
+
+
+def test_dedup_against_base_corpus(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.dedup import dedup_against
+
+    base = rd.from_items([{"doc_id": i, "text": t} for i, t in
+                          enumerate(["aaa", "bbb", "ccc"])])
+    new = rd.from_items([{"doc_id": 100 + i, "text": t} for i, t in
+                         enumerate(["bbb", "xyz", "ccc", "qqq"])])
+    out = {r["doc_id"]: r["seen_in_base"]
+           for r in dedup_against(new, base, num_partitions=3).take_all()}
+    assert out == {100: True, 101: False, 102: True, 103: False}
+
+
+def test_dedup_against_empty_base(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.dedup import dedup_against
+
+    base = rd.from_items([{"doc_id": 0, "text": "zzz"}]).filter(
+        lambda r: False)
+    new = rd.from_items([{"doc_id": 1, "text": "aaa"}])
+    out = dedup_against(new, base, num_partitions=2).take_all()
+    assert out == [{"doc_id": 1, "seen_in_base": False}]

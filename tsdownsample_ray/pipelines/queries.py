@@ -2266,6 +2266,38 @@ def q_ngram_jaccard_docs(sf_dir: str):
                                n=5, threshold=0.5, num_partitions=4)
 
 
+def q_incremental_dedup_docs(sf_dir: str):
+    """Incremental-crawl dedup (``stages/dedup.py:dedup_against``): odd
+    doc_ids are the new batch, even doc_ids the existing base corpus; a
+    new doc is flagged when its exact content already exists in the base.
+    Anti-join shape: both sides meet in ONE hash(md5) shuffle — the base
+    is never broadcast (it is as large as the input)."""
+    from ..stages.dedup import dedup_against
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+
+    def _half(b: pa.Table, parity: int) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 2 == parity))
+
+    base = ds.map_batches(lambda b: _half(b, 0), batch_format="pyarrow")
+    new = ds.map_batches(lambda b: _half(b, 1), batch_format="pyarrow")
+    return dedup_against(new, base, num_partitions=8)
+
+
+INCREMENTAL_DEDUP_SQL = """
+WITH b AS (
+    SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id % 2 = 0
+),
+n AS (
+    SELECT doc_id, md5(text) AS k FROM documents WHERE doc_id % 2 = 1
+)
+SELECT n.doc_id, (b.k IS NOT NULL) AS seen_in_base
+FROM n LEFT JOIN b ON n.k = b.k
+"""
+
+
 def q_vocab_docs(sf_dir: str):
     """Exact top-20 corpus vocabulary (``stages/vocab.py``): per-block
     partial (token -> count, df), ONE hash(token) shuffle, per-partition
@@ -3368,6 +3400,7 @@ QUERIES = {
     "ngram_jaccard_docs": q_ngram_jaccard_docs,
     "contamination_docs": q_contamination_docs,
     "vocab_docs": q_vocab_docs,
+    "incremental_dedup_docs": q_incremental_dedup_docs,
     "minhash_docs": q_minhash_docs,
     "lang_id_docs": q_lang_id_docs,
     "quality_docs": q_quality_docs,
@@ -3849,6 +3882,7 @@ ORACLE_SQL = {
     """,
     "contamination_docs": _contamination_sql(),
     "vocab_docs": VOCAB_SQL,
+    "incremental_dedup_docs": INCREMENTAL_DEDUP_SQL,
     "minhash_docs": _minhash_sql(),
     # the WAV payload carries the text's own bytes as PCM16 samples, so
     # the decoded waveform stats replay directly from the text (ASCII:

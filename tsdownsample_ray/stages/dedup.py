@@ -1043,3 +1043,73 @@ def contamination_check(ds, bench: np.ndarray, *, w: int = 3,
             "bench_ref": ref, "w": w, "id_col": id_col,
             "text_col": text_col},
         batch_format="pyarrow", concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a base corpus
+# ---------------------------------------------------------------------------
+
+def dedup_against(new_ds, base_ds, *, text_col: str = "text",
+                  id_col: str = "doc_id", num_partitions: int = 16):
+    """Incremental-crawl dedup: flag every NEW doc whose content already
+    exists in the (large) BASE corpus — the recrawl-vs-index anti-join.
+
+    Scale shape (100 TB): the base corpus is NOT broadcast (it is as big
+    as the input); both sides collapse to (md5, side) rows map-side, meet
+    in ONE hash(md5) shuffle with bounded reducers, and each partition
+    answers membership with a single sorted vectorized pass. New-side
+    payload carries only (id, md5) — texts never travel.
+
+    Returns ``(id_col, seen_in_base: bool)`` for every new doc."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _tag(side: int):
+        def _f(b: pa.Table) -> pa.Table:
+            hashed = content_hash_batch(b, text_col, out_col="k")
+            ids = (hashed[id_col] if side == 1
+                   else pa.nulls(b.num_rows, b[id_col].type))
+            t = pa.table({
+                "k": hashed["k"], "id": ids,
+                "side": pa.array(np.full(b.num_rows, side, np.int8)),
+            })
+            if side == 0:  # base side: distinct md5 per block is enough
+                g = t.group_by(["k"]).aggregate([])
+                return pa.table({
+                    "k": g["k"], "id": pa.nulls(g.num_rows, b[id_col].type),
+                    "side": pa.array(np.zeros(g.num_rows, np.int8)),
+                })
+            return t
+        return _f
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["k"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _member(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        id_type = t["id"].type
+        new_mask = pc.equal(t["side"], 1)
+        new_rows = t.filter(new_mask)
+        if new_rows.num_rows == 0:
+            return pa.table({"id": pa.array([], id_type),
+                             "seen_in_base": pa.array([], pa.bool_())})
+        base_keys = t.filter(pc.equal(t["side"], 0))["k"]
+        if isinstance(base_keys, pa.ChunkedArray):
+            base_keys = base_keys.combine_chunks()
+        seen = pc.is_in(new_rows["k"], value_set=base_keys)
+        return pa.table({"id": new_rows["id"],
+                         "seen_in_base": pc.fill_null(seen, False)})
+
+    tagged = new_ds.map_batches(_tag(1), batch_format="pyarrow").union(
+        base_ds.map_batches(_tag(0), batch_format="pyarrow"))
+    parted = tagged.map_batches(_add_part, batch_format="pyarrow")
+    out = parted.repartition(num_partitions).groupby("__part").map_groups(
+        _member, batch_format="pyarrow")
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return pa.table({id_col: b["id"], "seen_in_base": b["seen_in_base"]})
+
+    return out.map_batches(_rename, batch_format="pyarrow")
