@@ -81,3 +81,52 @@ def test_partition_invariance(ray_session):
     a = _run(tbl, num_partitions=1)
     b = _run(tbl, num_partitions=7)
     assert a == b
+
+
+# --- time-weighted average ---------------------------------------------------
+
+def test_twa_matches_brute_force(ray_session):
+    from collections import defaultdict
+
+    from tsdownsample_ray.stages.twa import time_weighted_avg
+
+    W = 100
+    rng = np.random.default_rng(12)
+    rows = []
+    expect_num = defaultdict(int)
+    expect_den = defaultdict(int)
+    for sid in ["a", "b"]:
+        x = np.sort(rng.choice(np.arange(0, 1000), size=40, replace=False))
+        y = rng.integers(-50, 50, size=40)
+        for i, (t, v) in enumerate(zip(map(int, x), map(int, y))):
+            rows.append((sid, i, t, v))
+        for (t0, v), t1 in zip(zip(x, y), x[1:]):
+            for u in range(int(t0), int(t1)):  # brute per-microsecond
+                expect_num[(sid, u // W * W)] += int(v)
+                expect_den[(sid, u // W * W)] += 1
+    tbl = pa.table({"series_id": [r[0] for r in rows],
+                    "rid": pa.array([r[1] for r in rows], pa.int64()),
+                    "x": pa.array([r[2] for r in rows], pa.int64()),
+                    "y": pa.array([r[3] for r in rows], pa.int64())})
+    out = time_weighted_avg(rd.from_arrow(tbl).repartition(5), W,
+                            id_col="rid", num_partitions=3).take_all()
+    got = {(r["series_id"], r["bucket"]): (r["num"], r["den"], r["twa"])
+           for r in out}
+    assert set(got) == set(expect_num)
+    for key, (num, den, twa) in got.items():
+        assert num == expect_num[key] and den == expect_den[key]
+        assert twa == num / den
+
+
+def test_twa_duplicate_ts_last_holds(ray_session):
+    from tsdownsample_ray.stages.twa import time_weighted_avg
+
+    # two rows at t=0 (values 1 then 9 by id); 9 must hold over [0, 10)
+    tbl = pa.table({"series_id": ["s"] * 3,
+                    "rid": pa.array([0, 1, 2], pa.int64()),
+                    "x": pa.array([0, 0, 10], pa.int64()),
+                    "y": pa.array([1, 9, 5], pa.int64())})
+    out = time_weighted_avg(rd.from_arrow(tbl), 100,
+                            id_col="rid").take_all()
+    (r,) = out
+    assert (r["bucket"], r["num"], r["den"], r["twa"]) == (0, 90, 10, 9.0)

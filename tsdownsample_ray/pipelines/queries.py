@@ -1270,6 +1270,54 @@ SELECT series_id, bucket, y, ema FROM rec
 """
 
 
+def q_twa_events_1h(sf_dir: str):
+    """Time-weighted average per (event_type, 1h bucket)
+    (``stages/twa.py``): step-hold integral in exact int64
+    cents-microseconds; one hash(series) shuffle. DuckDB oracle: lead()
+    spans exploded over their overlapped buckets."""
+    from ..stages.twa import time_weighted_avg
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"], "event_id": b["event_id"]})
+
+    ds = ev.map_batches(_series, batch_format="pyarrow")
+    return time_weighted_avg(ds, 3600 * US, id_col="event_id",
+                             num_partitions=2)
+
+
+TWA_SQL = """
+WITH e AS (
+    SELECT event_type AS series_id, event_id, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+o AS (
+    SELECT series_id, ts_us AS t0, cents AS v,
+           lead(ts_us) OVER (PARTITION BY series_id
+                             ORDER BY ts_us, event_id) AS t1
+    FROM e
+),
+spans AS (SELECT * FROM o WHERE t1 IS NOT NULL AND t1 > t0),
+pieces AS (
+    SELECT series_id, v,
+           k * 3600000000 AS bucket,
+           greatest(t0, k * 3600000000) AS lo,
+           least(t1, (k + 1) * 3600000000) AS hi
+    FROM spans,
+         unnest(range(t0 // 3600000000, (t1 - 1) // 3600000000 + 1)) r(k)
+)
+SELECT series_id, bucket,
+       CAST(sum(v * (hi - lo)) AS BIGINT) AS num,
+       CAST(sum(hi - lo) AS BIGINT) AS den,
+       CAST(sum(v * (hi - lo)) AS DOUBLE) / CAST(sum(hi - lo) AS DOUBLE)
+         AS twa
+FROM pieces GROUP BY series_id, bucket
+"""
+
+
 def q_exact_quantiles_15m(sf_dir: str):
     """Exact per-series p50/p90/p99 over the 15m tier's bucket sums
     (``stages/quantiles.py``): one hash(series) shuffle, one sorted
@@ -3380,6 +3428,7 @@ QUERIES = {
     "asof_enrich_events": q_asof_enrich_events,
     "resample_linear_15m": q_resample_linear_15m,
     "corr_pairs_15m": q_corr_pairs_15m,
+    "twa_events_1h": q_twa_events_1h,
     "exact_quantiles_15m": q_exact_quantiles_15m,
     "seasonal_hod_events": q_seasonal_hod_events,
     "ewma_15m": q_ewma_15m,
@@ -3666,6 +3715,7 @@ ORACLE_SQL = {
     "asof_enrich_events": ASOF_ENRICH_SQL,
     "resample_linear_15m": RESAMPLE_SQL,
     "corr_pairs_15m": CORR_PAIRS_SQL,
+    "twa_events_1h": TWA_SQL,
     "exact_quantiles_15m": EXACT_QUANTILES_SQL,
     "seasonal_hod_events": SEASONAL_HOD_SQL,
     "ewma_15m": EWMA_SQL,
