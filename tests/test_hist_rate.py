@@ -104,3 +104,36 @@ def test_counter_reset_semantics(ray_session):
     got = counter_rate(rd.from_pandas(df), 1_000, tiebreak_col="event_id",
                        num_partitions=2).to_pandas()
     assert int(got.increase.sum()) == 50 + 30 + 10  # delta, reset, delta
+
+
+# --- threshold crossings & inter-arrival diffs -------------------------------
+
+def test_threshold_crossings_directions(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.rate import threshold_crossings
+
+    # y: 1 9 9 3 9 -> up at idx1, down at idx3, up at idx4
+    tbl = pa.table({"series_id": ["s"] * 5,
+                    "rid": pa.array(range(5), pa.int64()),
+                    "x": pa.array([0, 10, 20, 30, 40], pa.int64()),
+                    "y": pa.array([1, 9, 9, 3, 9], pa.int64())})
+    out = sorted((r["x"], r["direction"]) for r in threshold_crossings(
+        rd.from_arrow(tbl).repartition(3), 5, tiebreak_col="rid",
+        num_partitions=2).take_all())
+    assert out == [(10, 1), (30, -1), (40, 1)]
+
+
+def test_series_diffs_cross_block(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.rate import series_diffs
+
+    tbl = pa.table({"series_id": ["a"] * 4 + ["b"] * 2,
+                    "rid": pa.array(range(6), pa.int64()),
+                    "x": pa.array([0, 7, 9, 9, 100, 250], pa.int64())})
+    out = sorted((r["series_id"], r["x"], r["delta"])
+                 for r in series_diffs(
+                     rd.from_arrow(tbl).repartition(6),
+                     tiebreak_col="rid", num_partitions=3).take_all())
+    assert out == [("a", 7, 7), ("a", 9, 0), ("a", 9, 2), ("b", 250, 150)]

@@ -1270,6 +1270,92 @@ SELECT series_id, bucket, y, ema FROM rec
 """
 
 
+def q_interarrival_quantiles_events(sf_dir: str):
+    """Composite: per-series inter-arrival deltas
+    (``stages/rate.py:series_diffs``) -> exact p50/p90/p99
+    (``stages/quantiles.py``) — the crawl-politeness / sampling-cadence
+    audit. Two hash(series) shuffles (a composite of two one-shuffle
+    operators)."""
+    from ..stages.quantiles import exact_quantiles
+    from ..stages.rate import series_diffs
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "event_id": b["event_id"]})
+
+    ds = ev.map_batches(_series, batch_format="pyarrow")
+    diffs = series_diffs(ds, tiebreak_col="event_id", num_partitions=2)
+    return exact_quantiles(diffs, probs=(50, 90, 99), order_col="x",
+                           value_col="delta", num_partitions=2)
+
+
+INTERARRIVAL_SQL = """
+WITH e AS (
+    SELECT event_type AS series_id, event_id, epoch_us(ts) AS ts_us
+    FROM events
+),
+d AS (
+    SELECT series_id, ts_us AS x,
+           ts_us - lag(ts_us) OVER (PARTITION BY series_id
+                                    ORDER BY ts_us, event_id) AS delta
+    FROM e
+),
+f AS (SELECT * FROM d WHERE delta IS NOT NULL),
+o AS (
+    SELECT series_id, delta,
+           row_number() OVER (PARTITION BY series_id
+                              ORDER BY delta, x) - 1 AS rk,
+           count(*) OVER (PARTITION BY series_id) AS n
+    FROM f
+)
+SELECT series_id, CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN rk = (n - 1) * 50 // 100 THEN delta END) AS p50,
+       max(CASE WHEN rk = (n - 1) * 90 // 100 THEN delta END) AS p90,
+       max(CASE WHEN rk = (n - 1) * 99 // 100 THEN delta END) AS p99
+FROM o GROUP BY series_id
+"""
+
+
+def q_threshold_crossings_events(sf_dir: str):
+    """Alerting primitive (``stages/rate.py:threshold_crossings``): one
+    row per 50.00-threshold crossing of each event_type series, with
+    direction (1 = fire, -1 = recover). Cross-block predecessors via ONE
+    hash(series) shuffle; the SQL oracle is a lag() window replay."""
+    from ..stages.rate import threshold_crossings
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"], "event_id": b["event_id"]})
+
+    ds = ev.map_batches(_series, batch_format="pyarrow")
+    return threshold_crossings(ds, 5000, tiebreak_col="event_id",
+                               num_partitions=2)
+
+
+THRESHOLD_CROSSINGS_SQL = """
+WITH e AS (
+    SELECT event_type AS series_id, event_id, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+o AS (
+    SELECT series_id, ts_us AS x, cents AS y,
+           lag(cents) OVER (PARTITION BY series_id
+                            ORDER BY ts_us, event_id) AS prev
+    FROM e
+)
+SELECT series_id, x, y,
+       CASE WHEN prev < 5000 THEN 1 ELSE -1 END AS direction
+FROM o
+WHERE prev IS NOT NULL
+  AND ((prev < 5000 AND y >= 5000) OR (prev >= 5000 AND y < 5000))
+"""
+
+
 def q_twa_events_1h(sf_dir: str):
     """Time-weighted average per (event_type, 1h bucket)
     (``stages/twa.py``): step-hold integral in exact int64
@@ -3428,6 +3514,8 @@ QUERIES = {
     "asof_enrich_events": q_asof_enrich_events,
     "resample_linear_15m": q_resample_linear_15m,
     "corr_pairs_15m": q_corr_pairs_15m,
+    "threshold_crossings_events": q_threshold_crossings_events,
+    "interarrival_quantiles_events": q_interarrival_quantiles_events,
     "twa_events_1h": q_twa_events_1h,
     "exact_quantiles_15m": q_exact_quantiles_15m,
     "seasonal_hod_events": q_seasonal_hod_events,
@@ -3715,6 +3803,8 @@ ORACLE_SQL = {
     "asof_enrich_events": ASOF_ENRICH_SQL,
     "resample_linear_15m": RESAMPLE_SQL,
     "corr_pairs_15m": CORR_PAIRS_SQL,
+    "threshold_crossings_events": THRESHOLD_CROSSINGS_SQL,
+    "interarrival_quantiles_events": INTERARRIVAL_SQL,
     "twa_events_1h": TWA_SQL,
     "exact_quantiles_15m": EXACT_QUANTILES_SQL,
     "seasonal_hod_events": SEASONAL_HOD_SQL,

@@ -100,3 +100,112 @@ def counter_rate(ds, window_us: int, *, series_col: str = "series_id",
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _rate, batch_format="pyarrow")
+
+
+def threshold_crossings(ds, threshold: int, *, series_col: str = "series_id",
+                        x_col: str = "x", y_col: str = "y",
+                        tiebreak_col: str | None = None,
+                        num_partitions: int = 16):
+    """Alerting primitive: emit one row per threshold CROSSING of each
+    series — ``direction = 1`` where ``prev < T <= y`` (up-cross, the
+    alert fires), ``-1`` where ``prev >= T > y`` (recovery). The first
+    point of a series has no predecessor and never fires.
+
+    Same scale shape as :func:`counter_rate` (the predecessor must be
+    visible across block boundaries): ONE hash(series) shuffle, one
+    sorted vectorized pass per partition. Output:
+    ``(series_id, x, y, direction)``."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+    T = int(threshold)
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    sort_keys = [(series_col, "ascending"), (x_col, "ascending")]
+    if tiebreak_col is not None:
+        sort_keys.append((tiebreak_col, "ascending"))
+
+    def _cross(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        sid_type = t[series_col].type
+        empty = pa.table({"series_id": pa.array([], sid_type),
+                          "x": pa.array([], pa.int64()),
+                          "y": pa.array([], pa.int64()),
+                          "direction": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        same = codes[1:] == codes[:-1] if len(codes) > 1 else np.empty(0, bool)
+        up = same & (y[:-1] < T) & (y[1:] >= T)
+        dn = same & (y[:-1] >= T) & (y[1:] < T)
+        idx = np.flatnonzero(up | dn) + 1
+        if len(idx) == 0:
+            return empty
+        direction = np.where(up[idx - 1], 1, -1).astype(np.int64)
+        return pa.table({"series_id": sid.take(pa.array(idx)),
+                         "x": pa.array(x[idx]),
+                         "y": pa.array(y[idx]),
+                         "direction": pa.array(direction)})
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _cross, batch_format="pyarrow")
+
+
+def series_diffs(ds, *, series_col: str = "series_id", x_col: str = "x",
+                 tiebreak_col: str | None = None,
+                 num_partitions: int = 16):
+    """Consecutive inter-arrival deltas per series:
+    ``(series_id, x, delta)`` for every point after the first (delta =
+    x - prev_x >= 0). Same one-shuffle sorted-pass shape as
+    :func:`counter_rate`."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    sort_keys = [(series_col, "ascending"), (x_col, "ascending")]
+    if tiebreak_col is not None:
+        sort_keys.append((tiebreak_col, "ascending"))
+
+    def _diff(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        sid_type = t[series_col].type
+        empty = pa.table({"series_id": pa.array([], sid_type),
+                          "x": pa.array([], pa.int64()),
+                          "delta": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        same = codes[1:] == codes[:-1] if len(codes) > 1 else np.empty(0, bool)
+        idx = np.flatnonzero(same) + 1
+        if len(idx) == 0:
+            return empty
+        return pa.table({"series_id": sid.take(pa.array(idx)),
+                         "x": pa.array(x[idx]),
+                         "delta": pa.array(x[idx] - x[idx - 1])})
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _diff, batch_format="pyarrow")
