@@ -1,0 +1,84 @@
+"""Link extraction + integer fixed-point PageRank (stages/graph.py):
+vectorized extractor vs hand cases; distributed PageRank vs a NumPy
+sequential replay, across partitionings."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tsdownsample_ray.stages.graph import (extract_links_batch,
+                                           grouped_sum_parts, pagerank)
+
+ray = pytest.importorskip("ray")
+import ray.data as rd  # noqa: E402
+
+
+def test_extract_links_basic():
+    html = [
+        b'<a href="http://a/1">x</a> text <a href="http://b/2">y</a>',
+        b"no links at all",
+        b'<link href="s.css"><a HREF="upper-ignored">z</a>',
+        b"",
+    ]
+    t = pa.table({"url": [f"u{i}" for i in range(len(html))],
+                  "html": pa.array(html, pa.binary())})
+    out = extract_links_batch(t)
+    assert out["src"].to_pylist() == ["u0", "u0", "u2"]
+    # href= matching is case-sensitive and attribute-agnostic (<link> too)
+    assert out["link"].to_pylist() == ["http://a/1", "http://b/2", "s.css"]
+
+
+def test_extract_links_empty_batch():
+    t = pa.table({"url": pa.array([], pa.string()),
+                  "html": pa.array([], pa.binary())})
+    out = extract_links_batch(t)
+    assert out.num_rows == 0
+    assert out.column_names == ["src", "link"]
+
+
+def _pagerank_numpy(edges, n, iters=5, scale=10 ** 9, damp=85, den=100):
+    src = np.array([e[0] for e in edges], dtype=np.int64)
+    dst = np.array([e[1] for e in edges], dtype=np.int64)
+    outdeg = np.bincount(src, minlength=n).astype(np.int64)
+    tele = (den - damp) * scale // den
+    r = np.full(n, scale, dtype=np.int64)
+    for _ in range(iters):
+        c = (damp * r[src]) // (den * outdeg[src])
+        r = np.full(n, tele, dtype=np.int64)
+        np.add.at(r, dst, c)
+    return r
+
+
+@pytest.mark.parametrize("nparts", [1, 3])
+def test_pagerank_matches_numpy(ray_session, nparts):
+    rng = np.random.default_rng(7)
+    n = 40
+    edges = [(int(s), int(d))
+             for s in range(n)
+             for d in rng.integers(0, n, size=int(rng.integers(1, 4)))]
+    # one dangling node (no out-edges): mass leaks, teleport-only floor
+    edges = [e for e in edges if e[0] != 13]
+    # one sink-ish node with no in-edges is likely present by chance; the
+    # numpy replay covers both regimes either way
+    exp = _pagerank_numpy(edges, n)
+
+    nodes = rd.from_arrow(pa.table({"doc_id": list(range(n))})).repartition(
+        nparts)
+    e = rd.from_arrow(pa.table({
+        "src": [x[0] for x in edges],
+        "dst": [x[1] for x in edges]})).repartition(nparts)
+    out = pagerank(e, nodes, node_col="doc_id", iters=5,
+                   num_partitions=2, fanin=2).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == n
+    np.testing.assert_array_equal(out["pr_e9"].to_numpy(), exp)
+
+
+def test_grouped_sum_parts(ray_session):
+    t = pa.table({"k": [1, 2, 1, 3, 2, 1], "v": [10, 20, 30, 40, 50, 60]})
+    ds = rd.from_arrow(t).repartition(3)
+    out = grouped_sum_parts(ds, ["k"], ["v"], count_col="n",
+                            fanin=2).to_pandas().sort_values("k")
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out["v"].tolist() == [100, 70, 40]
+    assert out["n"].tolist() == [3, 2, 1]
