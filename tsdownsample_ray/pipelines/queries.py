@@ -3621,6 +3621,56 @@ SELECT v AS doc_id, CAST(r AS BIGINT) AS pr_e9 FROM it{iters}""")
 PAGERANK_SQL = _pagerank_sql()
 
 
+def q_cusum_events(sf_dir: str):
+    """Two-sided CUSUM changepoint statistic per event_type series
+    (``stages/rate.py:cusum``): target 50.00, slack 2.00, alarm threshold
+    200.00, all in integer cents. The recursion collapses to cumsum +
+    running-min (one vectorized pass per partition, ONE hash(series)
+    shuffle); the SQL oracle replays it with two window passes."""
+    from ..stages.rate import cusum
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"], "event_id": b["event_id"]})
+
+    ds = ev.map_batches(_series, batch_format="pyarrow")
+    return cusum(ds, target=5000, slack=200, h=20000,
+                 tiebreak_col="event_id", num_partitions=2)
+
+
+CUSUM_SQL = """
+WITH e AS (
+    SELECT event_type AS series_id, event_id, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+c AS (
+    SELECT series_id, event_id, ts_us AS x, cents AS y,
+           sum(cents - 5000 - 200) OVER w AS cp,
+           sum(5000 - cents - 200) OVER w AS cn
+    FROM e
+    WINDOW w AS (PARTITION BY series_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+    SELECT series_id, x, y,
+           cp - LEAST(0, MIN(cp) OVER w2) AS s_pos,
+           cn - LEAST(0, MIN(cn) OVER w2) AS s_neg
+    FROM c
+    WINDOW w2 AS (PARTITION BY series_id ORDER BY x, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT series_id, x, y,
+       CAST(s_pos AS BIGINT) AS s_pos, CAST(s_neg AS BIGINT) AS s_neg,
+       CASE WHEN s_pos > 20000 AND s_neg > 20000 THEN 2
+            WHEN s_pos > 20000 THEN 1
+            WHEN s_neg > 20000 THEN -1 ELSE 0 END AS alarm
+FROM s
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -3681,6 +3731,7 @@ QUERIES = {
     "vocab_docs": q_vocab_docs,
     "link_graph_docs": q_link_graph_docs,
     "pagerank_docs": q_pagerank_docs,
+    "cusum_events": q_cusum_events,
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "minhash_docs": q_minhash_docs,
     "lang_id_docs": q_lang_id_docs,
@@ -4168,6 +4219,7 @@ ORACLE_SQL = {
     "vocab_docs": VOCAB_SQL,
     "link_graph_docs": LINK_GRAPH_SQL,
     "pagerank_docs": PAGERANK_SQL,
+    "cusum_events": CUSUM_SQL,
     "incremental_dedup_docs": INCREMENTAL_DEDUP_SQL,
     "minhash_docs": _minhash_sql(),
     # the WAV payload carries the text's own bytes as PCM16 samples, so

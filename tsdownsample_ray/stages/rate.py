@@ -209,3 +209,91 @@ def series_diffs(ds, *, series_col: str = "series_id", x_col: str = "x",
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _diff, batch_format="pyarrow")
+
+
+def cusum(ds, *, target: int, slack: int, h: int,
+          series_col: str = "series_id", x_col: str = "x", y_col: str = "y",
+          tiebreak_col: str | None = None, num_partitions: int = 16):
+    """Two-sided CUSUM changepoint statistic per series (Page 1954):
+
+        s_pos[t] = max(0, s_pos[t-1] + (y[t] - target) - slack)
+        s_neg[t] = max(0, s_neg[t-1] + (target - y[t]) - slack)
+
+    emitted for EVERY row with ``alarm`` = 2 (both sides over ``h``),
+    1 (upper), -1 (lower), 0 (in control). All-integer arithmetic.
+
+    The recursion is NOT a plain scan, but it has the classic closed
+    form ``s[t] = C[t] - min(0, min_{j<=t} C[j])`` with ``C`` the prefix
+    sum of the drift-adjusted deviations — so the per-partition pass is
+    one cumsum + one ``np.minimum.accumulate``, no Python loop. Segment
+    restarts (many series per partition) use per-segment offsets spaced
+    wider than the global value range so one global accumulate serves
+    every series; an int64 headroom assertion guards the construction.
+
+    Scale shape: ONE hash(series) shuffle, one sorted vectorized pass per
+    partition (the ``counter_rate`` discipline). Output:
+    ``(series_id, x, y, s_pos, s_neg, alarm)``."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        hh = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((hh % np.uint64(mod)).astype(np.int32)))
+
+    sort_keys = [(series_col, "ascending"), (x_col, "ascending")]
+    if tiebreak_col is not None:
+        sort_keys.append((tiebreak_col, "ascending"))
+
+    def _segmented_cusum(vals: np.ndarray, starts: np.ndarray,
+                         seg_of_row: np.ndarray) -> np.ndarray:
+        """s[t] = C_local[t] - min(0, running min of C_local) per segment."""
+        c = np.cumsum(vals, dtype=np.int64)
+        base = (c[starts] - vals[starts])[seg_of_row]
+        local = c - base  # per-segment prefix sums
+        if local.size:
+            big = int(local.max()) - int(local.min()) + 1
+            nseg = int(seg_of_row[-1]) + 1
+            assert big * (nseg + 1) < 2 ** 62, "cusum offset headroom"
+            off = (nseg - seg_of_row).astype(np.int64) * big
+            runmin = np.minimum.accumulate(local + off) - off
+        else:
+            runmin = local
+        return local - np.minimum(runmin, 0)
+
+    def _scan(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        sid_type = t[series_col].type
+        empty = pa.table({"series_id": pa.array([], sid_type),
+                          "x": pa.array([], pa.int64()),
+                          "y": pa.array([], pa.int64()),
+                          "s_pos": pa.array([], pa.int64()),
+                          "s_neg": pa.array([], pa.int64()),
+                          "alarm": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        seg_of_row = np.cumsum(heads) - 1
+        s_pos = _segmented_cusum(y - target - slack, starts, seg_of_row)
+        s_neg = _segmented_cusum(target - y - slack, starts, seg_of_row)
+        alarm = np.where(s_pos > h, 1, 0) + np.where(s_neg > h, -1, 0)
+        alarm = np.where((s_pos > h) & (s_neg > h), 2, alarm)
+        return pa.table({"series_id": sid, "x": pa.array(x),
+                         "y": pa.array(y), "s_pos": pa.array(s_pos),
+                         "s_neg": pa.array(s_neg),
+                         "alarm": pa.array(alarm.astype(np.int64))})
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _scan, batch_format="pyarrow")
