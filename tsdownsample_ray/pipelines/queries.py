@@ -3671,6 +3671,33 @@ FROM s
 """
 
 
+def q_postings_docs(sf_dir: str):
+    """Inverted-index build (``stages/postings.py:build_postings``): per
+    corpus token its document frequency, total term count, and the
+    comma-joined posting list of ascending doc ids — map-side (doc,
+    token, tf) partials, ONE hash(token) shuffle, one sort + segment
+    reduction + binary_join per partition."""
+    from ..stages.postings import build_postings
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+    return build_postings(ds, num_partitions=8)
+
+
+POSTINGS_SQL = """
+WITH w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+),
+f AS (SELECT doc_id, token FROM w WHERE token <> ''),
+p AS (SELECT token, doc_id, count(*) AS tf FROM f GROUP BY token, doc_id)
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS tf_total,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS posting
+FROM p GROUP BY token
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -3732,6 +3759,7 @@ QUERIES = {
     "link_graph_docs": q_link_graph_docs,
     "pagerank_docs": q_pagerank_docs,
     "cusum_events": q_cusum_events,
+    "postings_docs": q_postings_docs,
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "minhash_docs": q_minhash_docs,
     "lang_id_docs": q_lang_id_docs,
@@ -4220,6 +4248,7 @@ ORACLE_SQL = {
     "link_graph_docs": LINK_GRAPH_SQL,
     "pagerank_docs": PAGERANK_SQL,
     "cusum_events": CUSUM_SQL,
+    "postings_docs": POSTINGS_SQL,
     "incremental_dedup_docs": INCREMENTAL_DEDUP_SQL,
     "minhash_docs": _minhash_sql(),
     # the WAV payload carries the text's own bytes as PCM16 samples, so
