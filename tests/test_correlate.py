@@ -65,3 +65,47 @@ def test_partition_invariance(ray_session):
                    rd.from_arrow(tbl).repartition(8),
                    num_partitions=6).take_all())
     assert a == b
+
+
+def test_lagged_correlation_matches_numpy(ray_session):
+    """Ordered pairs at lag=1 vs a numpy replay; values chosen so the
+    lagged alignment differs from the aligned one."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.correlate import lagged_correlation
+
+    rng = np.random.default_rng(11)
+    rows = []
+    series = {}
+    for s in ("a", "b", "c"):
+        buckets = np.sort(rng.choice(20, size=12, replace=False))
+        vals = rng.integers(-100, 100, size=12)
+        series[s] = dict(zip(buckets.tolist(), vals.tolist()))
+        rows += [(s, int(b), int(v)) for b, v in zip(buckets, vals)]
+
+    t = pa.table({"series_id": [r[0] for r in rows],
+                  "bucket": [r[1] for r in rows],
+                  "sum_y": [r[2] for r in rows]})
+    out = lagged_correlation(rd.from_arrow(t).repartition(3), lag=1,
+                             num_partitions=2).to_pandas()
+    for s1 in series:
+        for s2 in series:
+            if s1 == s2:
+                continue
+            xs, ys = [], []
+            for b, v in series[s1].items():
+                if b + 1 in series[s2]:
+                    xs.append(v)
+                    ys.append(series[s2][b + 1])
+            row = out[(out.s1 == s1) & (out.s2 == s2)]
+            if not xs:
+                assert row.empty
+                continue
+            assert row.n.iloc[0] == len(xs)
+            assert row.sum_xy.iloc[0] == int(
+                np.dot(np.array(xs, np.int64), np.array(ys, np.int64)))
+            if len(xs) > 1 and np.std(xs) > 0 and np.std(ys) > 0:
+                exp = np.corrcoef(xs, ys)[0, 1]
+                assert abs(row["corr"].iloc[0] - exp) < 1e-9

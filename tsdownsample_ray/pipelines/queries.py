@@ -3698,6 +3698,71 @@ FROM p GROUP BY token
 """
 
 
+def q_lag_corr_15m(sf_dir: str):
+    """Lead/lag cross-correlation at one 15m-bucket lag
+    (``stages/correlate.py:lagged_correlation``): every ORDERED
+    event_type pair's Pearson corr of (s1 at t, s2 at t+15m) — y side
+    re-keyed map-side, ONE hash(bucket) shuffle, vectorized per-bucket
+    cross-pair expansion, int64 sufficient stats, pinned-IEEE corr."""
+    from ..stages.correlate import lagged_correlation
+    from ..stages.rollup import rollup
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"),
+                    900 * US)
+    return lagged_correlation(rolled, lag=1, bucket_step=900 * US,
+                              num_partitions=2)
+
+
+LAG_CORR_SQL = """
+WITH e AS (
+    SELECT event_type, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+r AS (
+    SELECT event_type, ts_us // 900000000 * 900000000 AS bucket,
+           CAST(sum(cents) AS BIGINT) AS s
+    FROM e GROUP BY event_type, bucket
+),
+p AS (
+    SELECT a.event_type AS s1, b.event_type AS s2, a.s AS x, b.s AS y
+    FROM r a JOIN r b
+      ON b.bucket = a.bucket + 900000000
+     AND a.event_type <> b.event_type
+),
+st AS (
+    SELECT s1, s2, count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(sum(x * y) AS BIGINT) AS sum_xy,
+           CAST(sum(x * x) AS BIGINT) AS sum_xx,
+           CAST(sum(y * y) AS BIGINT) AS sum_yy
+    FROM p GROUP BY s1, s2
+)
+SELECT s1, s2, n, sum_x, sum_y, sum_xy, sum_xx, sum_yy,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                  - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE)
+                    - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+                  - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                         - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE)
+                           - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)))
+            ELSE NULL
+       END AS corr,
+       CAST(1 AS BIGINT) AS lag
+FROM st
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -3760,6 +3825,7 @@ QUERIES = {
     "pagerank_docs": q_pagerank_docs,
     "cusum_events": q_cusum_events,
     "postings_docs": q_postings_docs,
+    "lag_corr_15m": q_lag_corr_15m,
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "minhash_docs": q_minhash_docs,
     "lang_id_docs": q_lang_id_docs,
@@ -4249,6 +4315,7 @@ ORACLE_SQL = {
     "pagerank_docs": PAGERANK_SQL,
     "cusum_events": CUSUM_SQL,
     "postings_docs": POSTINGS_SQL,
+    "lag_corr_15m": LAG_CORR_SQL,
     "incremental_dedup_docs": INCREMENTAL_DEDUP_SQL,
     "minhash_docs": _minhash_sql(),
     # the WAV payload carries the text's own bytes as PCM16 samples, so

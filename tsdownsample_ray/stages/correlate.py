@@ -113,3 +113,121 @@ def pairwise_correlation(rolled, *, series_col: str = "series_id",
     merged = partials.repartition(1).map_batches(
         _sum_combine, batch_format="pyarrow")
     return merged.map_batches(_corr_from_stats, batch_format="pyarrow")
+
+
+def lagged_correlation(rolled, *, lag: int,
+                       series_col: str = "series_id",
+                       bucket_col: str = "bucket",
+                       value_col: str = "sum_y",
+                       bucket_step: int = 1,
+                       num_partitions: int = 8):
+    """Cross-correlation at a bucket lag: for every ORDERED series pair
+    (s1 != s2), the Pearson correlation of ``(s1 at bucket t, s2 at
+    bucket t + lag*bucket_step)`` over the t where both exist. Output
+    ``(s1, s2, lag, n, sufficient stats, corr)``.
+
+    Signed/ordered semantics: ``(s1, s2, lag)`` equals ``(s2, s1, -lag)``
+    — one call emits ALL ordered pairs at ONE lag; a lag scan is a loop
+    of independent calls (embarrassingly parallel across lags — each lag
+    is its own one-shuffle job, the scale-preferred shape over a single
+    (2L+1)x-replicated shuffle).
+
+    Scale shape: the y side is re-keyed to ``bucket - lag*step`` map-side,
+    both sides union under ONE hash(key) shuffle, and each partition runs
+    one sort + a fully vectorized per-bucket cross-pair expansion (x rows
+    x y rows; no Python per bucket). Stats/merge/corr identical to
+    :func:`pairwise_correlation` (int64 sufficient statistics,
+    pinned-IEEE float)."""
+    from ..arrow_utils import rename_agg, stable_part_codes
+
+    mod = num_partitions * 64
+    shift = lag * bucket_step
+
+    def _sum_combine(b: pa.Table) -> pa.Table:
+        g = b.group_by(["s1", "s2"]).aggregate(
+            [(c, "sum") for c in _STAT_COLS])
+        return rename_agg(g, {"s1": "s1", "s2": "s2",
+                              **{f"{c}_sum": c for c in _STAT_COLS}})
+
+    def _tag(side: int):
+        def _t(b: pa.Table) -> pa.Table:
+            key = pc.cast(b[bucket_col], pa.int64())
+            if side == 1:
+                key = pc.subtract(key, shift)
+            t = pa.table({"__key": key, "__side": pa.array(
+                np.full(b.num_rows, side, np.int8)),
+                series_col: b[series_col],
+                "__v": pc.cast(b[value_col], pa.int64())})
+            h = stable_part_codes(t["__key"], None)
+            return t.append_column(
+                "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+        return _t
+
+    tagged = rolled.map_batches(_tag(0), batch_format="pyarrow").union(
+        rolled.map_batches(_tag(1), batch_format="pyarrow"))
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t[series_col].type
+        empty = pa.table({"s1": pa.array([], s_type),
+                          "s2": pa.array([], s_type),
+                          **{c: pa.array([], pa.int64())
+                             for c in _STAT_COLS}})
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("__key", "ascending"), ("__side", "ascending"),
+            (series_col, "ascending")]))
+        key = t["__key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        side = t["__side"].to_numpy(zero_copy_only=False).astype(np.int64)
+        heads = np.ones(len(key), dtype=bool)
+        heads[1:] = key[1:] != key[:-1]
+        seg = np.flatnonzero(heads)
+        bounds = np.append(seg, len(key))
+        # per segment: x rows (side 0) first, then y rows (side 1)
+        cum1 = np.concatenate(([0], np.cumsum(side)))
+        n_y = cum1[bounds[1:]] - cum1[seg]
+        n_tot = np.diff(bounds)
+        n_x = n_tot - n_y
+        counts = n_x * n_y
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        live = counts > 0
+        x_start = seg[live]
+        y_start = (seg + n_x)[live]
+        ny = n_y[live]
+        cnt = counts[live]
+        starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        q = np.arange(total) - np.repeat(starts, cnt)
+        i = np.repeat(x_start, cnt) + q // np.repeat(ny, cnt)
+        j = np.repeat(y_start, cnt) + q % np.repeat(ny, cnt)
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        a = sid.take(pa.array(i))
+        b_ = sid.take(pa.array(j))
+        neq = pc.invert(pc.equal(a, b_)).to_numpy(zero_copy_only=False)
+        i, j = i[neq], j[neq]
+        if len(i) == 0:
+            return empty
+        v = t["__v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = v[i], v[j]
+        pairs = pa.table({
+            "s1": sid.take(pa.array(i)), "s2": sid.take(pa.array(j)),
+            "n": pa.array(np.ones(len(i), np.int64)),
+            "sum_x": pa.array(x), "sum_y": pa.array(y),
+            "sum_xy": pa.array(x * y), "sum_xx": pa.array(x * x),
+            "sum_yy": pa.array(y * y),
+        })
+        return _sum_combine(pairs)
+
+    partials = tagged.repartition(num_partitions).groupby(
+        "__part").map_groups(_pairs, batch_format="pyarrow")
+    merged = partials.repartition(1).map_batches(
+        _sum_combine, batch_format="pyarrow")
+    merged = merged.map_batches(_corr_from_stats, batch_format="pyarrow")
+    return merged.map_batches(
+        lambda b: b.append_column(
+            "lag", pa.array(np.full(b.num_rows, lag, np.int64))),
+        batch_format="pyarrow")
