@@ -661,3 +661,24 @@ def test_dedup_against_empty_base(ray_session):
     new = rd.from_items([{"doc_id": 1, "text": "aaa"}])
     out = dedup_against(new, base, num_partitions=2).take_all()
     assert out == [{"doc_id": 1, "seen_in_base": False}]
+
+
+def test_normalize_text_batch():
+    """NFC composes combining accents (non-ASCII fallback path), case
+    folds, collapses whitespace, trims; ASCII rows stay untouched-exact."""
+    import pyarrow as pa
+
+    from tsdownsample_ray.stages.textstats import normalize_text_batch
+
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["  Hello\t\tWORLD  ",
+                 "Café Du  Monde",   # decomposed e + U+0301
+                 "plain ascii"],
+    })
+    out = normalize_text_batch(t)
+    assert out["norm_text"].to_pylist() == [
+        "hello world", "café du monde", "plain ascii"]
+    assert out["n_chars_raw"].to_pylist() == [16, 15, 11]
+    # é composed: one codepoint shorter than the raw decomposed form
+    assert out["n_chars_norm"].to_pylist() == [11, 13, 11]

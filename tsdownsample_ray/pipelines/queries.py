@@ -3763,6 +3763,47 @@ FROM st
 """
 
 
+def q_normalize_docs(sf_dir: str):
+    """Unicode text normalization (``stages/textstats.py:
+    normalize_text_batch``): NFC -> lower -> whitespace collapse -> trim,
+    every step an Arrow kernel. The corpus text is ASCII by construction,
+    so each doc is decorated with combining-accent + mixed-case + tab
+    noise (same expression in the SQL oracle) to exercise the NFC and
+    case paths; the normalized TEXT itself is hash-verified."""
+    from ..stages.textstats import normalize_text_batch
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+
+    def _decorate(b: pa.Table) -> pa.Table:
+        deco = pc.binary_join_element_wise(
+            "Cafe\u0301 \t ", b["text"], "  E\u0301VIAN", "")
+        return pa.table({"doc_id": b["doc_id"], "text": deco})
+
+    return ds.map_batches(_decorate, batch_format="pyarrow").map_batches(
+        normalize_text_batch, batch_format="pyarrow")
+
+
+NORMALIZE_SQL = """
+WITH d AS (
+    SELECT doc_id,
+           'Cafe' || chr(769) || ' ' || chr(9) || ' ' || text
+           || '  E' || chr(769) || 'VIAN' AS text
+    FROM documents
+),
+n AS (
+    SELECT doc_id, text,
+           trim(regexp_replace(lower(nfc_normalize(text)),
+                               '\\s+', ' ', 'g')) AS norm_text
+    FROM d
+)
+SELECT doc_id, norm_text,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+FROM n
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -3826,6 +3867,7 @@ QUERIES = {
     "cusum_events": q_cusum_events,
     "postings_docs": q_postings_docs,
     "lag_corr_15m": q_lag_corr_15m,
+    "normalize_docs": q_normalize_docs,
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "minhash_docs": q_minhash_docs,
     "lang_id_docs": q_lang_id_docs,
@@ -4316,6 +4358,7 @@ ORACLE_SQL = {
     "cusum_events": CUSUM_SQL,
     "postings_docs": POSTINGS_SQL,
     "lag_corr_15m": LAG_CORR_SQL,
+    "normalize_docs": NORMALIZE_SQL,
     "incremental_dedup_docs": INCREMENTAL_DEDUP_SQL,
     "minhash_docs": _minhash_sql(),
     # the WAV payload carries the text's own bytes as PCM16 samples, so

@@ -356,3 +356,45 @@ def repetition_batch(batch: pa.Table, *, text_col: str = "text",
             np.where(n_bigrams > 0, top_b_cnt.astype(np.float64) / nb_safe,
                      0.0), pa.float64()),
     })
+
+
+def normalize_text_batch(batch: pa.Table, *, text_col: str = "text",
+                         id_col: str = "doc_id") -> pa.Table:
+    """Canonical text normalization for corpus hygiene: Unicode NFC
+    composition -> lowercase -> collapse ASCII whitespace runs to one
+    space -> trim. Map-side; lower/replace/trim are Arrow kernels over
+    the utf-8 buffer. NFC itself falls back to ``unicodedata`` for the
+    NON-ASCII rows only (mask via ``string_is_ascii``; NFC is the
+    identity on ASCII, so ASCII rows never leave Arrow) because this
+    pyarrow's ``utf8_normalize`` emits DEcomposed output for every
+    requested form (observed on 16.1.0) — swap back to the kernel when a
+    fixed Arrow lands. Whitespace class is RE2's ASCII ``\\s``
+    (identical in the DuckDB oracle, same engine). Output:
+    ``(id_col, norm_text, n_chars_raw, n_chars_norm)`` with codepoint
+    lengths."""
+    import unicodedata
+
+    txt = batch[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    ascii_mask = pc.string_is_ascii(txt).to_numpy(zero_copy_only=False)
+    if bool(ascii_mask.all()):
+        norm = txt
+    else:
+        idx = np.flatnonzero(~ascii_mask)
+        fixed = pa.array([unicodedata.normalize("NFC", s)
+                          for s in txt.take(pa.array(idx)).to_pylist()],
+                         pa.string())
+        vals = txt.to_pylist()
+        for k, i in enumerate(idx):
+            vals[i] = fixed[k].as_py()
+        norm = pa.array(vals, pa.string())
+    norm = pc.utf8_lower(norm)
+    norm = pc.replace_substring_regex(norm, r"\s+", " ")
+    norm = pc.utf8_trim_whitespace(norm)
+    return pa.table({id_col: batch[id_col],
+                     "norm_text": norm,
+                     "n_chars_raw": pc.cast(pc.utf8_length(txt),
+                                            pa.int64()),
+                     "n_chars_norm": pc.cast(pc.utf8_length(norm),
+                                             pa.int64())})
