@@ -137,3 +137,35 @@ def test_series_diffs_cross_block(ray_session):
                      rd.from_arrow(tbl).repartition(6),
                      tiebreak_col="rid", num_partitions=3).take_all())
     assert out == [("a", 7, 7), ("a", 9, 0), ("a", 9, 2), ("b", 250, 150)]
+
+
+def test_mad_outliers_matches_numpy(ray_session):
+    """Integer MAD flags vs a float numpy replay (values chosen so no
+    flag sits exactly on the threshold boundary)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.quantiles import mad_outliers
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for s in ("a", "b"):
+        vals = rng.integers(90, 110, size=21).tolist() + [500, -300]
+        rows += [(s, i, int(v)) for i, v in enumerate(vals)]
+    t = pa.table({"series_id": [r[0] for r in rows],
+                  "bucket": [r[1] for r in rows],
+                  "sum_y": [r[2] for r in rows]})
+    out = mad_outliers(rd.from_arrow(t).repartition(3),
+                       num_partitions=2).to_pandas()
+    assert len(out) == len(rows)
+    for s in ("a", "b"):
+        vs = np.array([r[2] for r in rows if r[0] == s], dtype=np.float64)
+        med = np.median(vs)
+        mad = np.median(np.abs(vs - med))
+        sub = out[out.series_id == s]
+        for _, r in sub.iterrows():
+            exp = abs(r["v"] - med) > 3 * 1.4826 * mad
+            assert bool(r["outlier"]) == exp, (s, r["v"])
+        # the planted extremes must flag
+        assert sub[sub.v.isin([500, -300])]["outlier"].eq(1).all()

@@ -3804,6 +3804,76 @@ FROM n
 """
 
 
+def q_mad_outliers_15m(sf_dir: str):
+    """Robust per-series outlier flags over the 15m tier
+    (``stages/quantiles.py:mad_outliers``): exact integer medians kept as
+    2x sums, deviation median, flag |v - med| > 3 * 1.4826 * MAD with the
+    consistency constant as the 14826/10000 integer ratio — no floats,
+    ONE hash(series) shuffle, two in-partition segment-gather passes."""
+    from ..stages.quantiles import mad_outliers
+    from ..stages.rollup import rollup
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"),
+                    900 * US)
+    return mad_outliers(rolled, num_partitions=2)
+
+
+MAD_OUTLIERS_SQL = """
+WITH e AS (
+    SELECT event_type, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+r AS (
+    SELECT event_type AS series_id,
+           ts_us // 900000000 * 900000000 AS bucket,
+           CAST(sum(cents) AS BIGINT) AS v
+    FROM e GROUP BY series_id, bucket
+),
+o AS (
+    SELECT series_id, bucket, v,
+           row_number() OVER (PARTITION BY series_id
+                              ORDER BY v, bucket) AS rn,
+           count(*) OVER (PARTITION BY series_id) AS n
+    FROM r
+),
+m AS (
+    SELECT series_id,
+           sum(CASE WHEN rn = (n - 1) // 2 + 1 THEN v ELSE 0 END)
+         + sum(CASE WHEN rn = n // 2 + 1 THEN v ELSE 0 END) AS m2
+    FROM o GROUP BY series_id
+),
+d AS (
+    SELECT o.series_id, o.bucket, o.v, m.m2,
+           abs(2 * o.v - m.m2) AS dev
+    FROM o JOIN m USING (series_id)
+),
+o2 AS (
+    SELECT *, row_number() OVER (PARTITION BY series_id
+                                 ORDER BY dev) AS rn2,
+           count(*) OVER (PARTITION BY series_id) AS n2
+    FROM d
+),
+md AS (
+    SELECT series_id,
+           sum(CASE WHEN rn2 = (n2 - 1) // 2 + 1 THEN dev ELSE 0 END)
+         + sum(CASE WHEN rn2 = n2 // 2 + 1 THEN dev ELSE 0 END) AS d2
+    FROM o2 GROUP BY series_id
+)
+SELECT d.series_id, d.bucket, d.v,
+       CAST(d.m2 AS BIGINT) AS m2, CAST(md.d2 AS BIGINT) AS d2,
+       CAST(CASE WHEN 10000 * d.dev > 3 * 14826 * md.d2
+                 THEN 1 ELSE 0 END AS BIGINT) AS outlier
+FROM d JOIN md USING (series_id)
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -3868,6 +3938,7 @@ QUERIES = {
     "postings_docs": q_postings_docs,
     "lag_corr_15m": q_lag_corr_15m,
     "normalize_docs": q_normalize_docs,
+    "mad_outliers_15m": q_mad_outliers_15m,
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "minhash_docs": q_minhash_docs,
     "lang_id_docs": q_lang_id_docs,
@@ -4359,6 +4430,7 @@ ORACLE_SQL = {
     "postings_docs": POSTINGS_SQL,
     "lag_corr_15m": LAG_CORR_SQL,
     "normalize_docs": NORMALIZE_SQL,
+    "mad_outliers_15m": MAD_OUTLIERS_SQL,
     "incremental_dedup_docs": INCREMENTAL_DEDUP_SQL,
     "minhash_docs": _minhash_sql(),
     # the WAV payload carries the text's own bytes as PCM16 samples, so
