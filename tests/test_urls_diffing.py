@@ -1,0 +1,101 @@
+"""URL canonicalization (stages/urls.py) and crawl snapshot diffing
+(stages/diffing.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tsdownsample_ray.stages.urls import canonicalize_urls_batch
+
+ray = pytest.importorskip("ray")
+import ray.data as rd  # noqa: E402
+
+
+def _canon(urls):
+    t = pa.table({"url": pa.array(urls, pa.string())})
+    return canonicalize_urls_batch(t)["canonical"].to_pylist()
+
+
+def test_canonicalize_cases():
+    assert _canon([
+        "HTTPS://WWW.Example.COM:443/Item/3?utm_source=a&id=1#frag",
+        "https://www.example.com/Item/3?id=1",
+        "http://Host.com:80/p?a=1&utm_b=2&c=3",
+        "https://h.com/p?utm_only=1",
+        "https://h.com/CaseKept/Path",
+        "https://h.com:8443/p",          # non-default port survives
+        "http://h.com:443/p",            # 443 on http is NOT default
+    ]) == [
+        "https://www.example.com/Item/3?id=1",
+        "https://www.example.com/Item/3?id=1",
+        "http://host.com/p?a=1&c=3",
+        "https://h.com/p",
+        "https://h.com/CaseKept/Path",
+        "https://h.com:8443/p",
+        "http://h.com:443/p",
+    ]
+
+
+def test_canonicalize_no_authority():
+    assert _canon(["relative/Path#x"]) == ["relative/path"]
+
+
+def test_snapshot_diff(ray_session):
+    from tsdownsample_ray.stages.diffing import snapshot_diff
+
+    old = rd.from_arrow(pa.table({
+        "url": ["u1", "u2", "u3", "u4"],
+        "text": ["a", "b", "c", "d"]})).repartition(2)
+    new = rd.from_arrow(pa.table({
+        "url": ["u2", "u3", "u5"],
+        "text": ["b", "CHANGED", "e"]})).repartition(2)
+    out = snapshot_diff(old, new, num_partitions=2).to_pandas()
+    got = dict(zip(out["url"], out["status"]))
+    assert got == {"u1": "removed", "u2": "same", "u3": "changed",
+                   "u4": "removed", "u5": "added"}
+
+
+def test_snapshot_diff_rejects_dup_key(ray_session):
+    from tsdownsample_ray.stages.diffing import snapshot_diff
+
+    old = rd.from_arrow(pa.table({"url": ["u1", "u1"],
+                                  "text": ["a", "b"]}))
+    new = rd.from_arrow(pa.table({"url": ["u1"], "text": ["a"]}))
+    with pytest.raises(Exception):
+        snapshot_diff(old, new, num_partitions=1).to_pandas()
+
+
+def test_holt_matches_recursion(ray_session):
+    """Holt fixed point vs the literal coupled recursion."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.smoothing import holt_fixed_point
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for s in ("a", "b", "c"):
+        ys = (rng.integers(0, 200, size=30)
+              + np.arange(30) * 5).tolist()  # drift so trend is nonzero
+        rows += [(s, i, int(y)) for i, y in enumerate(ys)]
+    t = pa.table({"series_id": [r[0] for r in rows],
+                  "bucket": [r[1] for r in rows],
+                  "sum_y": [r[2] for r in rows]})
+    got = holt_fixed_point(rd.from_arrow(t).repartition(4), ka=3, kb=4,
+                           num_partitions=2).to_pandas()
+    exp = {}
+    for s in ("a", "b", "c"):
+        ys = [r[2] for r in rows if r[0] == s]
+        level, trend = ys[0], 0
+        exp[(s, 0)] = (level, trend, ys[0])
+        for i, v in enumerate(ys[1:], start=1):
+            f = level + trend
+            nl = f + ((v - f) >> 3)
+            trend = trend + ((nl - level - trend) >> 4)
+            level = nl
+            exp[(s, i)] = (level, trend, f)
+    assert len(got) == len(rows)
+    for _, r in got.iterrows():
+        assert exp[(r["series_id"], r["bucket"])] == \
+            (r["level"], r["trend"], r["forecast"])

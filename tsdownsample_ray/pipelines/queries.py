@@ -3874,6 +3874,231 @@ FROM d JOIN md USING (series_id)
 """
 
 
+def q_canonical_urls_docs(sf_dir: str):
+    """URL canonicalization dedup (``stages/urls.py``): four messy
+    spellings (case, default ports, utm params, fragments) of each of 50
+    canonical URLs, canonicalized with vectorized Arrow RE2/split
+    kernels, then counted per canonical via the hashpart grouped sum —
+    the canonicalization itself is what the oracle hash-checks."""
+    import numpy as np
+
+    from ..stages.graph import grouped_sum_parts
+    from ..stages.urls import canonicalize_urls_batch
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"]).repartition(8)
+
+    def _mk_urls(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        base = pc.cast(pa.array(d % 50), pa.string())
+        variant = d % 4
+        full = pc.binary_join_element_wise(
+            "HTTPS://WWW.Example.COM:443/Item/", base,
+            "?utm_source=feed&id=1#frag", "")
+        v1 = pc.binary_join_element_wise(
+            "https://www.example.com/Item/", base, "?id=1", "")
+        v2 = pc.binary_join_element_wise(
+            "https://WWW.example.com:443/Item/", base,
+            "?utm_campaign=x&id=1", "")
+        v3 = pc.binary_join_element_wise(
+            "https://www.EXAMPLE.com/Item/", base, "?id=1&utm_term=z", "")
+        url = pc.if_else(pa.array(variant == 0), full,
+                         pc.if_else(pa.array(variant == 1), v1,
+                                    pc.if_else(pa.array(variant == 2),
+                                               v2, v3)))
+        return pa.table({"url": url})
+
+    canon = ds.map_batches(_mk_urls, batch_format="pyarrow").map_batches(
+        canonicalize_urls_batch, batch_format="pyarrow")
+    return grouped_sum_parts(
+        canon.map_batches(lambda b: pa.table({"canonical": b["canonical"]}),
+                          batch_format="pyarrow"),
+        ["canonical"], [], count_col="n", fanin=4)
+
+
+CANONICAL_URLS_SQL = """
+WITH u AS (
+    SELECT CASE doc_id % 4
+        WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/Item/'
+                    || CAST(doc_id % 50 AS VARCHAR)
+                    || '?utm_source=feed&id=1#frag'
+        WHEN 1 THEN 'https://www.example.com/Item/'
+                    || CAST(doc_id % 50 AS VARCHAR) || '?id=1'
+        WHEN 2 THEN 'https://WWW.example.com:443/Item/'
+                    || CAST(doc_id % 50 AS VARCHAR) || '?utm_campaign=x&id=1'
+        ELSE        'https://www.EXAMPLE.com/Item/'
+                    || CAST(doc_id % 50 AS VARCHAR) || '?id=1&utm_term=z'
+        END AS url
+    FROM documents
+),
+f AS (SELECT regexp_replace(url, '#.*$', '') AS url FROM u),
+a AS (
+    SELECT lower(split_part(url, '://', 1)) || '://'
+           || lower(split_part(split_part(url, '://', 2), '/', 1))
+           || CASE WHEN contains(split_part(url, '://', 2), '/')
+                   THEN '/' || substr(split_part(url, '://', 2),
+                                      length(split_part(
+                                          split_part(url, '://', 2),
+                                          '/', 1)) + 2)
+                   ELSE '' END AS url
+    FROM f
+),
+c AS (
+    SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(url,
+               '^(https://[^/?#]*):443(/|\\?|$)', '\\1\\2'),
+               '^(http://[^/?#]*):80(/|\\?|$)', '\\1\\2'),
+               '&utm_[^&#]*', '', 'g'),
+               '\\?utm_[^&#]*&', '?'),
+               '\\?utm_[^&#]*$', ''),
+               '\\?$', '') AS canonical
+    FROM a
+)
+SELECT canonical, count(*) AS n FROM c GROUP BY canonical
+"""
+
+
+def q_snapshot_diff_docs(sf_dir: str):
+    """Incremental-crawl snapshot diff (``stages/diffing.py``): old crawl
+    = every doc's page; new crawl drops doc_id%7==0 (removed), rewrites
+    text for doc_id%5==0 (changed), adds an /extra page for doc_id%11==0
+    — per-URL status via ONE hash(url) shuffle + vectorized segment
+    classification, then per-domain status counts."""
+    import numpy as np
+
+    from ..stages.diffing import snapshot_diff
+    from ..stages.graph import grouped_sum_parts
+
+    cols = ["doc_id", "text"]
+
+    def _page(b: pa.Table, *, extra: bool = False) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        dom = pc.cast(pa.array(d % 20), pa.string())
+        did = pc.cast(b["doc_id"], pa.string())
+        path = "/extra/" if extra else "/doc/"
+        url = pc.binary_join_element_wise(
+            "https://d", dom, ".example.com", path, did, "")
+        return pa.table({"url": url, "text": b["text"]})
+
+    old = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=cols).repartition(4)
+    old_pages = old.map_batches(_page, batch_format="pyarrow")
+
+    def _new_pages(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        keep = d % 7 != 0
+        t = b.filter(pa.array(keep))
+        dk = t["doc_id"].to_numpy()
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        changed = pa.array(dk % 5 == 0)
+        text = pc.if_else(changed, pc.binary_join_element_wise(
+            text, " v2", ""), text)
+        base = _page(pa.table({"doc_id": t["doc_id"], "text": text}))
+        extra_rows = b.filter(pa.array(d % 11 == 0))
+        extra = _page(extra_rows, extra=True)
+        return pa.concat_tables([base, extra])
+
+    new_pages = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=cols).repartition(4
+        ).map_batches(_new_pages, batch_format="pyarrow")
+
+    diff = snapshot_diff(old_pages, new_pages, num_partitions=4)
+
+    def _domain(b: pa.Table) -> pa.Table:
+        dom = pc.list_element(pc.split_pattern(b["url"], "/"), 2)
+        return pa.table({"domain": dom, "status": b["status"]})
+
+    return grouped_sum_parts(
+        diff.map_batches(_domain, batch_format="pyarrow"),
+        ["domain", "status"], [], count_col="n", fanin=4)
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+    SELECT 'https://d' || CAST(doc_id % 20 AS VARCHAR)
+           || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           text
+    FROM documents
+),
+new AS (
+    SELECT 'https://d' || CAST(doc_id % 20 AS VARCHAR)
+           || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+    FROM documents WHERE doc_id % 7 <> 0
+    UNION ALL
+    SELECT 'https://d' || CAST(doc_id % 20 AS VARCHAR)
+           || '.example.com/extra/' || CAST(doc_id AS VARCHAR) AS url,
+           text
+    FROM documents WHERE doc_id % 11 = 0
+),
+d AS (
+    SELECT COALESCE(o.url, n.url) AS url,
+           CASE WHEN o.url IS NULL THEN 'added'
+                WHEN n.url IS NULL THEN 'removed'
+                WHEN o.text = n.text THEN 'same'
+                ELSE 'changed' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.url = n.url
+)
+SELECT split_part(url, '/', 3) AS domain, status, count(*) AS n
+FROM d GROUP BY domain, status
+"""
+
+
+def q_holt_15m(sf_dir: str):
+    """Holt double exponential smoothing (level + trend, alpha=1/8,
+    beta=1/16 fixed point — ``stages/smoothing.py:holt_fixed_point``)
+    over the 15m tier: sequential per series (tier rows only), parallel
+    across series after ONE hash(series) shuffle. The SQL oracle replays
+    the coupled recursion with a recursive CTE."""
+    from ..stages.rollup import rollup
+    from ..stages.smoothing import holt_fixed_point
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"),
+                    900 * US)
+    return holt_fixed_point(rolled, ka=3, kb=4, num_partitions=2)
+
+
+HOLT_SQL = """
+WITH RECURSIVE numbered AS MATERIALIZED (
+    SELECT event_type AS series_id, bucket, y,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY bucket) AS idx
+    FROM (
+        SELECT event_type, epoch_us(ts) // 900000000 * 900000000 AS bucket,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY event_type, bucket
+    )
+),
+rec AS (
+    SELECT series_id, bucket, y, idx,
+           y AS level, CAST(0 AS BIGINT) AS trend, y AS forecast
+    FROM numbered WHERE idx = 1
+    UNION ALL
+    SELECT n.series_id, n.bucket, n.y, n.idx,
+           (r.level + r.trend)
+             + CAST(floor(CAST(n.y - r.level - r.trend AS DOUBLE) / 8.0)
+                    AS BIGINT) AS level,
+           r.trend + CAST(floor(CAST(
+               ((r.level + r.trend)
+                + CAST(floor(CAST(n.y - r.level - r.trend AS DOUBLE) / 8.0)
+                       AS BIGINT))
+               - r.level - r.trend AS DOUBLE) / 16.0) AS BIGINT) AS trend,
+           r.level + r.trend AS forecast
+    FROM rec r JOIN numbered n
+      ON n.series_id = r.series_id AND n.idx = r.idx + 1
+)
+SELECT series_id, bucket, y, level, trend, forecast FROM rec
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -3939,6 +4164,9 @@ QUERIES = {
     "lag_corr_15m": q_lag_corr_15m,
     "normalize_docs": q_normalize_docs,
     "mad_outliers_15m": q_mad_outliers_15m,
+    "canonical_urls_docs": q_canonical_urls_docs,
+    "snapshot_diff_docs": q_snapshot_diff_docs,
+    "holt_15m": q_holt_15m,
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "minhash_docs": q_minhash_docs,
     "lang_id_docs": q_lang_id_docs,
@@ -4431,6 +4659,9 @@ ORACLE_SQL = {
     "lag_corr_15m": LAG_CORR_SQL,
     "normalize_docs": NORMALIZE_SQL,
     "mad_outliers_15m": MAD_OUTLIERS_SQL,
+    "canonical_urls_docs": CANONICAL_URLS_SQL,
+    "snapshot_diff_docs": SNAPSHOT_DIFF_SQL,
+    "holt_15m": HOLT_SQL,
     "incremental_dedup_docs": INCREMENTAL_DEDUP_SQL,
     "minhash_docs": _minhash_sql(),
     # the WAV payload carries the text's own bytes as PCM16 samples, so

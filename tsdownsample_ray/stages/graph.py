@@ -119,8 +119,11 @@ def grouped_sum_parts(ds, keys: list, sum_cols: list, *,
             v = b[kc]
             if isinstance(v, pa.ChunkedArray):
                 v = v.combine_chunks()
-            h = (h * np.uint64(0x9E3779B97F4A7C15)
-                 + v.to_numpy(zero_copy_only=False).astype(np.uint64))
+            if pa.types.is_integer(v.type):
+                folded = v.to_numpy(zero_copy_only=False).astype(np.uint64)
+            else:  # string/binary keys hash like the primary key
+                folded = stable_part_codes(v, None)
+            h = h * np.uint64(0x9E3779B97F4A7C15) + folded
         part = (h % np.uint64(mod)).astype(np.int32)
         return b.append_column("__part", pa.array(part, pa.int32()))
 

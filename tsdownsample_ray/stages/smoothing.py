@@ -77,3 +77,78 @@ def ewma_fixed_point(ds, k: int = 3, *, series_col: str = "series_id",
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _ewma, batch_format="pyarrow")
+
+
+def holt_fixed_point(ds, ka: int = 3, kb: int = 4, *,
+                     series_col: str = "series_id", x_col: str = "bucket",
+                     y_col: str = "sum_y", num_partitions: int = 8):
+    """Holt's linear-trend double exponential smoothing, integer fixed
+    point (alpha = 2^-ka, beta = 2^-kb):
+
+        f_i = l_{i-1} + b_{i-1}                      (one-step forecast)
+        l_i = f_i + ((y_i - f_i) >> ka)              (level update)
+        b_i = b_{i-1} + ((l_i - l_{i-1} - b_{i-1}) >> kb)
+        l_0 = y_0, b_0 = 0
+
+    Same contract as :func:`ewma_fixed_point`: the arithmetic shift is
+    floor division by 2^k on signed ints, the recursion is nonlinear
+    (no closed-form scan) and runs sequentially PER SERIES over tier
+    rows only — parallel across series after ONE hash(series) shuffle.
+    Output ``(series_id, bucket, y, level, trend, forecast)`` with
+    ``forecast`` the pre-update one-step-ahead prediction (f_i; equals
+    y_0 at the head row by convention)."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _holt(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t[series_col].type
+        if t.num_rows == 0:
+            return pa.table({"series_id": pa.array([], s_type),
+                             "bucket": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64()),
+                             "level": pa.array([], pa.int64()),
+                             "trend": pa.array([], pa.int64()),
+                             "forecast": pa.array([], pa.int64())})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (x_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        head = np.ones(len(y), dtype=bool)
+        head[1:] = codes[1:] != codes[:-1]
+        yl = y.tolist()
+        hl = head.tolist()
+        lv = [0] * len(yl)
+        tr = [0] * len(yl)
+        fc = [0] * len(yl)
+        level = trend = 0
+        for i in range(len(yl)):
+            v = yl[i]
+            if hl[i]:
+                level, trend, f = v, 0, v
+            else:
+                f = level + trend
+                new_level = f + ((v - f) >> ka)
+                trend = trend + ((new_level - level - trend) >> kb)
+                level = new_level
+            lv[i], tr[i], fc[i] = level, trend, f
+        return pa.table({"series_id": sid,
+                         "bucket": t[x_col].cast(pa.int64()),
+                         "y": pa.array(y),
+                         "level": pa.array(lv, pa.int64()),
+                         "trend": pa.array(tr, pa.int64()),
+                         "forecast": pa.array(fc, pa.int64())})
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _holt, batch_format="pyarrow")
