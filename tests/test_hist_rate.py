@@ -169,3 +169,36 @@ def test_mad_outliers_matches_numpy(ray_session):
             assert bool(r["outlier"]) == exp, (s, r["v"])
         # the planted extremes must flag
         assert sub[sub.v.isin([500, -300])]["outlier"].eq(1).all()
+
+
+def test_theil_sen_matches_brute(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.quantiles import theil_sen
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for s in ("a", "b"):
+        buckets = np.sort(rng.choice(100, size=15, replace=False))
+        vals = rng.integers(-50, 50, size=15)
+        rows += [(s, int(b), int(v)) for b, v in zip(buckets, vals)]
+    rows.append(("single", 0, 5))  # 1-point series: no output row
+    t = pa.table({"series_id": [r[0] for r in rows],
+                  "bucket": [r[1] for r in rows],
+                  "sum_y": [r[2] for r in rows]})
+    out = theil_sen(rd.from_arrow(t).repartition(3),
+                    num_partitions=2).to_pandas()
+    assert set(out["series_id"]) == {"a", "b"}
+    for s in ("a", "b"):
+        pts = sorted((b, v) for ss, b, v in rows if ss == s)
+        slopes = sorted(
+            (v2 - v1) / (b2 - b1)
+            for i, (b1, v1) in enumerate(pts)
+            for (b2, v2) in pts[i + 1:])
+        n = len(slopes)
+        exp = slopes[(n - 1) // 2] + slopes[n // 2]
+        row = out[out.series_id == s]
+        assert row["n_pairs"].iloc[0] == n
+        assert row["slope2"].iloc[0] == exp

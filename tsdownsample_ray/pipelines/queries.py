@@ -4099,6 +4099,146 @@ SELECT series_id, bucket, y, level, trend, forecast FROM rec
 """
 
 
+def q_theil_sen_15m(sf_dir: str):
+    """Theil-Sen robust trend per series over the 15m tier
+    (``stages/quantiles.py:theil_sen``): 2x median of all pairwise
+    slopes; IEEE float64 division on both sides, order statistics with
+    (slope, dv, db) tie-break, tier rows only (O(n^2) pairs stay
+    partition-local)."""
+    from ..stages.quantiles import theil_sen
+    from ..stages.rollup import rollup
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"),
+                    900 * US)
+    return theil_sen(rolled, num_partitions=2)
+
+
+THEIL_SEN_SQL = """
+WITH e AS (
+    SELECT event_type, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+r AS (
+    SELECT event_type AS series_id,
+           ts_us // 900000000 * 900000000 AS bucket,
+           CAST(sum(cents) AS BIGINT) AS v
+    FROM e GROUP BY series_id, bucket
+),
+p AS (
+    SELECT a.series_id,
+           b.v - a.v AS dv, b.bucket - a.bucket AS db,
+           CAST(b.v - a.v AS DOUBLE)
+           / CAST(b.bucket - a.bucket AS DOUBLE) AS slope
+    FROM r a JOIN r b
+      ON a.series_id = b.series_id AND b.bucket > a.bucket
+),
+o AS (
+    SELECT series_id, slope,
+           row_number() OVER (PARTITION BY series_id
+                              ORDER BY slope, dv, db) AS rn,
+           count(*) OVER (PARTITION BY series_id) AS n
+    FROM p
+)
+SELECT series_id, CAST(max(n) AS BIGINT) AS n_pairs,
+       sum(CASE WHEN rn = (n - 1) // 2 + 1 THEN slope ELSE 0 END)
+     + sum(CASE WHEN rn = n // 2 + 1 THEN slope ELSE 0 END) AS slope2
+FROM o GROUP BY series_id
+"""
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H-Q3-style three-table pipeline: segment-filtered customers
+    hash-join orders (date-pruned at the read), the result hash-joins
+    date-filtered lineitem, revenue in exact integer e6 units aggregates
+    through the hashpart grouped sum (per-order key space), distributed
+    sort + limit takes the top 10. Demonstrates chained ``Dataset.join``s
+    with map-side filters BEFORE every exchange."""
+    from ..stages.graph import grouped_sum_parts
+
+    cutoff_us = 899_251_200 * US  # 1998-07-01 UTC
+
+    cust = _read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: pa.table({"o_custkey": b.filter(
+            pc.equal(b["c_mktsegment"], "BUILDING"))["c_custkey"]}),
+        batch_format="pyarrow")
+
+    def _orders(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["o_orderdate"], pa.int64())
+        t = b.append_column("o_date_us", ts)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"],
+            "o_date_us": t["o_date_us"],
+            "o_orderpriority": t["o_orderpriority"],
+        }).filter(pc.less(t["o_date_us"], cutoff_us))
+
+    orders = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"]).map_batches(
+        _orders, batch_format="pyarrow")
+    j1 = orders.join(cust, join_type="inner", num_partitions=4,
+                     on=("o_custkey",))
+    j1 = j1.map_batches(
+        lambda b: pa.table({"o_orderkey": b["o_orderkey"],
+                            "o_date_us": b["o_date_us"],
+                            "o_orderpriority": b["o_orderpriority"]}),
+        batch_format="pyarrow")
+
+    def _line(b: pa.Table) -> pa.Table:
+        keep = pc.greater(pc.cast(b["l_shipdate"], pa.int64()), cutoff_us)
+        t = b.filter(keep)
+        price = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0),
+                                 ndigits=0), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 10000.0),
+                                ndigits=0), pa.int64())
+        rev = pc.multiply(price, pc.subtract(pa.scalar(10000, pa.int64()),
+                                             disc))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "revenue_e6": rev})
+
+    line = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"]).map_batches(_line, batch_format="pyarrow")
+    j2 = line.join(j1, join_type="inner", num_partitions=4,
+                   on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = grouped_sum_parts(
+        j2.map_batches(lambda b: pa.table({
+            "l_orderkey": b["l_orderkey"], "o_date_us": b["o_date_us"],
+            "o_orderpriority": b["o_orderpriority"],
+            "revenue_e6": b["revenue_e6"]}), batch_format="pyarrow"),
+        ["l_orderkey", "o_date_us", "o_orderpriority"], ["revenue_e6"],
+        count_col=None, fanin=4)
+    return agg.sort(key=["revenue_e6", "o_date_us", "l_orderkey"],
+                    descending=[True, False, False]).limit(10)
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey, epoch_us(o_orderdate) AS o_date_us, o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+            AS BIGINT) AS revenue_e6
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-07-01'
+  AND l_shipdate > TIMESTAMP '1998-07-01'
+GROUP BY l_orderkey, o_date_us, o_orderpriority
+ORDER BY revenue_e6 DESC, o_date_us, l_orderkey
+LIMIT 10
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -4167,6 +4307,8 @@ QUERIES = {
     "canonical_urls_docs": q_canonical_urls_docs,
     "snapshot_diff_docs": q_snapshot_diff_docs,
     "holt_15m": q_holt_15m,
+    "theil_sen_15m": q_theil_sen_15m,
+    "shipping_priority": q_shipping_priority,
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "minhash_docs": q_minhash_docs,
     "lang_id_docs": q_lang_id_docs,
@@ -4662,6 +4804,8 @@ ORACLE_SQL = {
     "canonical_urls_docs": CANONICAL_URLS_SQL,
     "snapshot_diff_docs": SNAPSHOT_DIFF_SQL,
     "holt_15m": HOLT_SQL,
+    "theil_sen_15m": THEIL_SEN_SQL,
+    "shipping_priority": SHIPPING_PRIORITY_SQL,
     "incremental_dedup_docs": INCREMENTAL_DEDUP_SQL,
     "minhash_docs": _minhash_sql(),
     # the WAV payload carries the text's own bytes as PCM16 samples, so

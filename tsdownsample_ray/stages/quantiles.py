@@ -152,3 +152,94 @@ def mad_outliers(rolled, *, k: int = 3, mad_scale: int = 14826,
     parted = rolled.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _flag, batch_format="pyarrow")
+
+
+def theil_sen(rolled, *, series_col: str = "series_id",
+              order_col: str = "bucket", value_col: str = "sum_y",
+              num_partitions: int = 8):
+    """Theil-Sen robust trend estimate per series: the median of all
+    pairwise slopes ``(v_j - v_i) / (b_j - b_i)`` over the series' tier
+    rows (i < j by bucket). Median convention matches ``mad_outliers``:
+    the SUM of the two middle order statistics (``slope2`` = 2x median
+    slope), so even counts never divide.
+
+    Determinism contract: slopes are IEEE float64 divisions — identical
+    bit patterns on the NumPy and SQL sides (same operands, same IEEE
+    op) — ordered by (slope, dv, db) so equal slopes from different
+    pairs order deterministically. O(rows_per_series^2) pair expansion:
+    tier rows only (the engine's per-series contract, ~100-1000x reduced
+    from raw), NEVER raw events.
+
+    Scale shape: ONE hash(series) shuffle; per partition one sort, one
+    vectorized within-segment pair expansion (same index arithmetic as
+    ``correlate.lagged_correlation``), one slope sort, one segment
+    gather. Output: ``(series_id, n_pairs, slope2)``."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _slopes(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t[series_col].type
+        empty = pa.table({"series_id": pa.array([], s_type),
+                          "n_pairs": pa.array([], pa.int64()),
+                          "slope2": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (order_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        b_ = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        seg = np.flatnonzero(heads)
+        n = np.diff(np.append(seg, len(codes)))
+        # all (i < j) pairs within each segment: full n^2 cross product
+        # (same index arithmetic as lagged_correlation) then mask j > i —
+        # 2x transient memory for a branch-free decode; n is tier rows
+        # per series, so n^2 stays partition-local and small
+        sq = n * n
+        total_sq = int(sq.sum())
+        if total_sq == 0:
+            return empty
+        live = n > 1
+        if not bool(live.any()):
+            return empty
+        segl, nl = seg[live], n[live]
+        sql_ = nl * nl
+        starts = np.concatenate(([0], np.cumsum(sql_)[:-1]))
+        q = np.arange(int(sql_.sum())) - np.repeat(starts, sql_)
+        nn = np.repeat(nl, sql_)
+        i_loc = q // nn
+        j_loc = q % nn
+        keep = j_loc > i_loc
+        i = (np.repeat(segl, sql_) + i_loc)[keep]
+        j = (np.repeat(segl, sql_) + j_loc)[keep]
+        cntl = nl * (nl - 1) // 2
+        dv = v[j] - v[i]
+        db = b_[j] - b_[i]
+        slope = dv.astype(np.float64) / db.astype(np.float64)
+        seg_of_pair = np.repeat(np.arange(len(segl)), sql_)[keep]
+        order = np.lexsort((db, dv, slope, seg_of_pair))
+        s_sorted = slope[order]
+        p_starts = np.concatenate(([0], np.cumsum(cntl)[:-1]))
+        lo = p_starts + (cntl - 1) // 2
+        hi = p_starts + cntl // 2
+        slope2 = s_sorted[lo] + s_sorted[hi]
+        return pa.table({"series_id": sid.take(pa.array(segl)),
+                         "n_pairs": pa.array(cntl),
+                         "slope2": pa.array(slope2)})
+
+    parted = rolled.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _slopes, batch_format="pyarrow")
