@@ -1,0 +1,67 @@
+"""Funnel matching, cohort retention, and wide pivot vs Python replays."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+ray = pytest.importorskip("ray")
+import ray.data as rd  # noqa: E402
+
+
+def test_funnel_greedy_semantics(ray_session):
+    from tsdownsample_ray.stages.funnel import funnel
+
+    rows = [
+        # u1 full funnel
+        ("u1", "view", 10), ("u1", "click", 20), ("u1", "purchase", 30),
+        # u2: click BEFORE view never matches; later click does
+        ("u2", "click", 5), ("u2", "view", 10), ("u2", "click", 15),
+        # u3: purchase without click -> depth 1
+        ("u3", "view", 1), ("u3", "purchase", 2),
+        # u4: no funnel events at all -> depth 0
+        ("u4", "error", 9),
+        # u5: greedy-earliest view (t=1), click must be after 1 not 100
+        ("u5", "view", 100), ("u5", "view", 1), ("u5", "click", 50),
+        ("u5", "purchase", 49),
+    ]
+    t = pa.table({"user_id": [r[0] for r in rows],
+                  "t": [r[1] for r in rows],
+                  "x": [r[2] for r in rows]})
+    out = funnel(rd.from_arrow(t).repartition(3),
+                 ["view", "click", "purchase"],
+                 num_partitions=2).to_pandas().set_index("user_id")
+    assert out.loc["u1"].tolist() == [3, 10, 20, 30]
+    assert out.loc["u2"].tolist() == [2, 10, 15, -1]
+    assert out.loc["u3"].tolist() == [1, 1, -1, -1]
+    assert out.loc["u4"].tolist() == [0, -1, -1, -1]
+    # u5: view@1, click@50, purchase@49 < 50 -> unmatched
+    assert out.loc["u5"].tolist() == [2, 1, 50, -1]
+
+
+def test_cohort_retention(ray_session):
+    from tsdownsample_ray.stages.funnel import cohort_retention
+
+    W = 7 * 24 * 3600 * 1_000_000
+    rows = [("a", 0), ("a", 1), ("a", 1), ("a", 3),
+            ("b", 1), ("b", 2),
+            ("c", 0)]
+    t = pa.table({"user_id": [r[0] for r in rows],
+                  "x": [r[1] * W + 17 for r in rows]})
+    out = cohort_retention(rd.from_arrow(t).repartition(2),
+                           num_partitions=2).to_pandas()
+    got = {(r["cohort_week_us"] // W, r["week_offset"]): r["n_users"]
+           for _, r in out.iterrows()}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 1,
+                   (1, 0): 1, (1, 1): 1}
+
+
+def test_pivot_counts(ray_session):
+    from tsdownsample_ray.stages.pivot import pivot_counts
+
+    t = pa.table({"src": ["s1", "s1", "s1", "s2", "s2"],
+                  "lang": ["en", "en", "xx", "de", "en"]})
+    out = pivot_counts(rd.from_arrow(t).repartition(2), row_col="src",
+                       col_col="lang", columns=["en", "de"],
+                       fanin=2).to_pandas().set_index("src")
+    assert out.loc["s1"].tolist() == [2, 0, 1]   # n_en, n_de, other
+    assert out.loc["s2"].tolist() == [1, 1, 0]

@@ -4239,6 +4239,101 @@ LIMIT 10
 """
 
 
+def q_funnel_users(sf_dir: str):
+    """Ordered funnel view -> click -> purchase per user
+    (``stages/funnel.py:funnel``): greedy-earliest match with strictly
+    increasing timestamps, ONE hash(user) shuffle, vectorized
+    minimum.reduceat per step. The SQL oracle replays the greedy match
+    with nested min-filters."""
+    from ..stages.funnel import funnel
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"]).map_batches(
+        lambda b: pa.table({"user_id": b["user_id"],
+                            "t": b["event_type"],
+                            "x": pc.cast(b["ts"], pa.int64())}),
+        batch_format="pyarrow")
+    return funnel(ds, ["view", "click", "purchase"], num_partitions=2)
+
+
+FUNNEL_SQL = """
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) AS x FROM events
+),
+s1 AS (SELECT user_id, min(x) AS t1 FROM e
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(x) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND x > t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(x) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND x > t2 GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST((t1 IS NOT NULL) AS BIGINT) + CAST((t2 IS NOT NULL) AS BIGINT)
+       + CAST((t3 IS NOT NULL) AS BIGINT) AS depth,
+       COALESCE(t1, -1) AS step1_us,
+       COALESCE(t2, -1) AS step2_us,
+       COALESCE(t3, -1) AS step3_us
+FROM (SELECT DISTINCT user_id FROM e) u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+"""
+
+
+def q_cohort_retention_users(sf_dir: str):
+    """Weekly cohort retention (``stages/funnel.py:cohort_retention``):
+    cohort = week of the user's first event, one (cohort, offset) pair
+    per active week per user (first-occurrence mask after the per-user
+    sort), tiny grouped count."""
+    from ..stages.funnel import cohort_retention
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts"]).map_batches(
+        lambda b: pa.table({"user_id": b["user_id"],
+                            "x": pc.cast(b["ts"], pa.int64())}),
+        batch_format="pyarrow")
+    return cohort_retention(ds, num_partitions=2)
+
+
+COHORT_SQL = """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+),
+f AS (SELECT user_id, min(wk) AS cw FROM e GROUP BY user_id),
+p AS (SELECT DISTINCT e.user_id, f.cw, e.wk - f.cw AS off
+      FROM e JOIN f USING (user_id))
+SELECT cw * 604800000000 AS cohort_week_us, off AS week_offset,
+       count(*) AS n_users
+FROM p GROUP BY cw, off
+"""
+
+
+def q_lang_source_pivot(sf_dir: str):
+    """Corpus crosstab (``stages/pivot.py:pivot_counts``): documents per
+    source x language as a WIDE table with a caller-declared column set
+    ('es' intentionally undeclared -> lands in ``other``) — map-side
+    one-hot widening + the tree grouped sum."""
+    from ..stages.pivot import pivot_counts
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["source", "lang"]).repartition(4)
+    return pivot_counts(ds, row_col="source", col_col="lang",
+                        columns=["en", "zh", "fr", "de"], fanin=4)
+
+
+LANG_PIVOT_SQL = """
+SELECT source,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
+       CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+       CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+       CAST(sum(CASE WHEN lang NOT IN ('en', 'zh', 'fr', 'de')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS other
+FROM documents GROUP BY source
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -4309,6 +4404,9 @@ QUERIES = {
     "holt_15m": q_holt_15m,
     "theil_sen_15m": q_theil_sen_15m,
     "shipping_priority": q_shipping_priority,
+    "funnel_users": q_funnel_users,
+    "cohort_retention_users": q_cohort_retention_users,
+    "lang_source_pivot": q_lang_source_pivot,
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "minhash_docs": q_minhash_docs,
     "lang_id_docs": q_lang_id_docs,
@@ -4806,6 +4904,9 @@ ORACLE_SQL = {
     "holt_15m": HOLT_SQL,
     "theil_sen_15m": THEIL_SEN_SQL,
     "shipping_priority": SHIPPING_PRIORITY_SQL,
+    "funnel_users": FUNNEL_SQL,
+    "cohort_retention_users": COHORT_SQL,
+    "lang_source_pivot": LANG_PIVOT_SQL,
     "incremental_dedup_docs": INCREMENTAL_DEDUP_SQL,
     "minhash_docs": _minhash_sql(),
     # the WAV payload carries the text's own bytes as PCM16 samples, so
