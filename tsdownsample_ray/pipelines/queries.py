@@ -4334,6 +4334,84 @@ FROM documents GROUP BY source
 """
 
 
+def q_burn_rate_alerts(sf_dir: str):
+    """SRE multi-window burn-rate alerting over the events stream: error
+    fraction (value-cents > 9000 counts as 'bad') evaluated on BOTH a 5m
+    and a 1h window; a 5m row alerts when bad*1000 > 14*n holds in its
+    window AND in the enclosing hour (fast burn of a 0.1% budget at 14x,
+    the SRE-workbook pair). Two rollups (each map-side partials + one
+    exchange) + ONE multi-key hash join; all-integer cross-multiplied
+    ratios, no float division."""
+    ev = _events_cents(sf_dir)
+
+    def _flags(b: pa.Table) -> pa.Table:
+        bad = pc.cast(pc.greater(b["cents"], 9000), pa.int64())
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": bad})
+
+    from ..stages.rollup import rollup
+
+    flagged = ev.map_batches(_flags, batch_format="pyarrow")
+    r5 = rollup(flagged, 300 * US)
+    r1 = rollup(flagged, 3600 * US)
+
+    def _w5(b: pa.Table) -> pa.Table:
+        h = pc.multiply(pc.divide(b["bucket"],
+                                  pa.scalar(3600 * US, pa.int64())),
+                        pa.scalar(3600 * US, pa.int64()))
+        return pa.table({"series_id": b["series_id"], "b5": b["bucket"],
+                         "h": h, "bad5": b["sum_y"], "n5": b["n"]})
+
+    def _w1(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["series_id"], "h": b["bucket"],
+                         "bad1": b["sum_y"], "n1": b["n"]})
+
+    j = r5.map_batches(_w5, batch_format="pyarrow").join(
+        r1.map_batches(_w1, batch_format="pyarrow"), join_type="inner",
+        num_partitions=2, on=("series_id", "h"))
+
+    def _alert(b: pa.Table) -> pa.Table:
+        fast = pc.greater(pc.multiply(b["bad5"],
+                                      pa.scalar(1000, pa.int64())),
+                          pc.multiply(b["n5"], pa.scalar(14, pa.int64())))
+        slow = pc.greater(pc.multiply(b["bad1"],
+                                      pa.scalar(1000, pa.int64())),
+                          pc.multiply(b["n1"], pa.scalar(14, pa.int64())))
+        both = pc.and_(fast, slow)
+        return pa.table({"series_id": b["series_id"], "b5": b["b5"],
+                         "bad5": b["bad5"], "n5": b["n5"],
+                         "bad1": b["bad1"], "n1": b["n1"],
+                         "alert": pc.cast(both, pa.int64())})
+
+    return j.map_batches(_alert, batch_format="pyarrow")
+
+
+BURN_RATE_SQL = """
+WITH e AS (
+    SELECT event_type AS series_id, epoch_us(ts) AS ts_us,
+           CAST(CAST(round(value * 100) AS BIGINT) > 9000 AS BIGINT)
+               AS bad
+    FROM events
+),
+r5 AS (
+    SELECT series_id, ts_us // 300000000 * 300000000 AS b5,
+           CAST(sum(bad) AS BIGINT) AS bad5, count(*) AS n5
+    FROM e GROUP BY series_id, b5
+),
+r1 AS (
+    SELECT series_id, ts_us // 3600000000 * 3600000000 AS h,
+           CAST(sum(bad) AS BIGINT) AS bad1, count(*) AS n1
+    FROM e GROUP BY series_id, h
+)
+SELECT r5.series_id, r5.b5, r5.bad5, r5.n5, r1.bad1, r1.n1,
+       CAST(r5.bad5 * 1000 > 14 * r5.n5
+            AND r1.bad1 * 1000 > 14 * r1.n1 AS BIGINT) AS alert
+FROM r5 JOIN r1
+  ON r5.series_id = r1.series_id
+ AND r5.b5 // 3600000000 * 3600000000 = r1.h
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -4407,6 +4485,7 @@ QUERIES = {
     "funnel_users": q_funnel_users,
     "cohort_retention_users": q_cohort_retention_users,
     "lang_source_pivot": q_lang_source_pivot,
+    "burn_rate_alerts": q_burn_rate_alerts,
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "minhash_docs": q_minhash_docs,
     "lang_id_docs": q_lang_id_docs,
@@ -4907,6 +4986,7 @@ ORACLE_SQL = {
     "funnel_users": FUNNEL_SQL,
     "cohort_retention_users": COHORT_SQL,
     "lang_source_pivot": LANG_PIVOT_SQL,
+    "burn_rate_alerts": BURN_RATE_SQL,
     "incremental_dedup_docs": INCREMENTAL_DEDUP_SQL,
     "minhash_docs": _minhash_sql(),
     # the WAV payload carries the text's own bytes as PCM16 samples, so
