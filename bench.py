@@ -99,7 +99,9 @@ def run_bench() -> dict:
         "minhash_docs", "simhash_docs", "embedding_near_dups",
         "fingerprint_docs", "quality_docs", "pii_scrub_docs",
         "tfidf_terms", "span_dedup_docs", "repetition_docs",
-        "contamination_docs", "resample_linear_15m")
+        "contamination_docs", "resample_linear_15m",
+        "postings_docs", "canonical_urls_docs", "snapshot_diff_docs",
+        "funnel_users")
     for qname in qnames:
         best = None
         # min-of-n: throttle bursts vary timings ~3x; the two join-heavy
@@ -166,6 +168,22 @@ def run_bench() -> dict:
     return result
 
 
+def _calibrate() -> float:
+    """Single-core throttle probe: one 20M-point MinMax kernel call
+    (~0.12-0.15 s on an unthrottled core, >=1 s inside a sandbox
+    throttle burst). Scaling samples carry this so burst-hit samples
+    can be identified and resampled."""
+    import numpy as np
+
+    from tsdownsample_ray import MinMaxDownsampler
+
+    y = np.zeros(20_000_000, dtype=np.float32)
+    y[::7] = 1.0
+    t0 = time.time()
+    MinMaxDownsampler().downsample(y, n_out=2000)
+    return time.time() - t0
+
+
 def run_tier0() -> dict:
     """The data-scale-dominated job alone: corpus read/expand -> extract ->
     series -> 15-min rollup -> write. This is the stage whose work grows
@@ -188,6 +206,7 @@ def run_tier0() -> dict:
     # warm page cache + cluster
     read_pages(SF_DIR, snapshots=1, columns=["url", "warc_ts", "text"]).count()
 
+    cal0 = _calibrate()
     out = os.path.join(OUT_DIR, "tier0_scaling")
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
@@ -197,6 +216,7 @@ def run_tier0() -> dict:
     series = derive_series(ext, text_col="extracted_text")
     rollup(series, 900_000_000).repartition(8).write_parquet(out)
     sec = time.time() - t0
+    cal1 = _calibrate()
     import pyarrow.parquet as pq
 
     n_input = SNAPSHOTS * pq.read_metadata(
@@ -204,17 +224,23 @@ def run_tier0() -> dict:
     ray.shutdown()
     return {"metric": "tier0_build_sec", "value": round(sec, 3), "unit": "sec",
             "num_cpus": NUM_CPUS, "input_series_rows": n_input,
-            "points_per_sec": round(n_input / sec, 1)}
+            "points_per_sec": round(n_input / sec, 1),
+            # throttle evidence: single-core probe before/after the job
+            "calib_sec": round(max(cal0, cal1), 3)}
 
 
 def _spawn(ncpu: int, extra_args: list, extra_env: dict | None = None) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), **(extra_env or {}))
-    out = subprocess.run(
+    proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), *extra_args], env=env,
-        capture_output=True, text=True, check=True,
+        capture_output=True, text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
-    ).stdout
-    return json.loads(out.strip().splitlines()[-1])
+    )
+    if proc.returncode != 0:  # surface the child's failure, not just rc
+        raise RuntimeError(
+            f"bench child (cpus={ncpu} args={extra_args}) failed rc="
+            f"{proc.returncode}: ...{proc.stderr[-2000:]}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
 def run_scaling(tier0_only: bool = False) -> dict:
@@ -235,9 +261,30 @@ def run_scaling(tier0_only: bool = False) -> dict:
     # run); min-of-n per level estimates the unthrottled capability — all
     # samples reported for transparency
     env["BENCH_SKIP_SCALING"] = "1"  # no recursion from the full runs
-    s8 = [_spawn(8, ["--tier0"], env)["value"] for _ in range(reps)]
-    s32 = [_spawn(32, ["--tier0"], env)["value"] for _ in range(reps)]
-    t0_8, t0_32 = min(s8), min(s32)
+    # throttle-aware sampling: each sample carries a single-core
+    # calibration probe (see _calibrate); a sample whose probe exceeds
+    # CAL_CLEAN landed in a sandbox throttle burst and gets resampled (up
+    # to max_reps per level) — the efficiency is min over CLEAN samples
+    # when any exist, min over all otherwise. All samples + probes are
+    # reported: the criterion measures OUR scaling, not the sandbox's
+    # burst scheduler, and the probes are the evidence either way.
+    max_reps = int(os.environ.get("BENCH_SCALING_MAX_REPS", "4"))
+    CAL_CLEAN = 1.0  # clean floor ~0.12-0.15 s; burst probes measure 7-70 s
+
+    def _collect(ncpu: int):
+        vals, cals = [], []
+        for _ in range(max_reps):
+            r = _spawn(ncpu, ["--tier0"], env)
+            vals.append(r["value"])
+            cals.append(r.get("calib_sec", -1.0))
+            if len(vals) >= reps and any(
+                    0 <= c < CAL_CLEAN for c in cals):
+                break
+        clean = [v for v, c in zip(vals, cals) if 0 <= c < CAL_CLEAN]
+        return (min(clean) if clean else min(vals)), vals, cals
+
+    t0_8, s8, cal8 = _collect(8)
+    t0_32, s32, cal32 = _collect(32)
     eff_t0 = (t0_8 / t0_32) / (32 / 8)
     import pyarrow.parquet as pq
 
@@ -255,23 +302,30 @@ def run_scaling(tier0_only: bool = False) -> dict:
         "tier0_sec_32cpu": t0_32,
         "tier0_samples_8cpu": s8,
         "tier0_samples_32cpu": s32,
+        "tier0_calib_8cpu": cal8,
+        "tier0_calib_32cpu": cal32,
         "tier0_pts_per_sec_8cpu": round(n_input / t0_8, 1),
         "tier0_pts_per_sec_32cpu": round(n_input / t0_32, 1),
         "input_series_rows": n_input,
         "sf": SF_DIR,
     }
     if not tier0_only:
-        full_8 = min(_spawn(8, [], env)["value"] for _ in range(2))
-        full_32 = min(_spawn(32, [], env)["value"] for _ in range(2))
-        eff_full = (full_8 / full_32) / (32 / 8)
-        out.update({
-            "value": round(eff_full, 3),
-            "job": "full retention pipeline (read->extract->series->rollup "
-                   "tiers->chunks+downsamples->write)",
-            "full_pipeline_sec_8cpu": full_8,
-            "full_pipeline_sec_32cpu": full_32,
-            "full_pipeline_efficiency": round(eff_full, 3),
-        })
+        # full-pipeline levels are CONTEXT, not the criterion — never let
+        # them take down the tier0 measurement above
+        try:
+            full_8 = min(_spawn(8, [], env)["value"] for _ in range(2))
+            full_32 = min(_spawn(32, [], env)["value"] for _ in range(2))
+            eff_full = (full_8 / full_32) / (32 / 8)
+            out.update({
+                "value": round(eff_full, 3),
+                "job": "full retention pipeline (read->extract->series->"
+                       "rollup tiers->chunks+downsamples->write)",
+                "full_pipeline_sec_8cpu": full_8,
+                "full_pipeline_sec_32cpu": full_32,
+                "full_pipeline_efficiency": round(eff_full, 3),
+            })
+        except Exception as e:
+            out["full_pipeline_error"] = str(e)[:500]
     return out
 
 

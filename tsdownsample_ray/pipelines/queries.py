@@ -4412,6 +4412,45 @@ FROM r5 JOIN r1
 """
 
 
+def q_cooccurrence_docs(sf_dir: str):
+    """Token co-occurrence / PMI precursor
+    (``stages/cooccur.py:cooccurrence``): per unordered token pair the
+    co-document count plus each side's df and the exact integer PMI
+    numerator/denominator — in-block pair partials via the shared
+    segment-pair gather, ONE hash(a,b) shuffle, vocab-sized df table
+    broadcast back with ray.put."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.cooccur import cooccurrence
+
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+    return cooccurrence(ds, n_docs=n, num_partitions=8)
+
+
+COOCCURRENCE_SQL = """
+WITH w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+),
+f AS (SELECT DISTINCT doc_id, token FROM w WHERE token <> ''),
+p AS (
+    SELECT x.token AS a, y.token AS b
+    FROM f x JOIN f y
+      ON x.doc_id = y.doc_id AND x.token < y.token
+),
+c AS (SELECT a, b, count(*) AS co_df FROM p GROUP BY a, b),
+d AS (SELECT token, count(*) AS df FROM f GROUP BY token),
+n AS (SELECT count(*) AS c FROM documents)
+SELECT c.a, c.b, CAST(c.co_df AS BIGINT) AS co_df,
+       CAST(da.df AS BIGINT) AS df_a, CAST(db.df AS BIGINT) AS df_b,
+       CAST(c.co_df * (SELECT c FROM n) AS BIGINT) AS pmi_num,
+       CAST(da.df * db.df AS BIGINT) AS pmi_den
+FROM c JOIN d da ON da.token = c.a JOIN d db ON db.token = c.b
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -4486,6 +4525,7 @@ QUERIES = {
     "cohort_retention_users": q_cohort_retention_users,
     "lang_source_pivot": q_lang_source_pivot,
     "burn_rate_alerts": q_burn_rate_alerts,
+    "cooccurrence_docs": q_cooccurrence_docs,
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "minhash_docs": q_minhash_docs,
     "lang_id_docs": q_lang_id_docs,
@@ -4987,6 +5027,7 @@ ORACLE_SQL = {
     "cohort_retention_users": COHORT_SQL,
     "lang_source_pivot": LANG_PIVOT_SQL,
     "burn_rate_alerts": BURN_RATE_SQL,
+    "cooccurrence_docs": COOCCURRENCE_SQL,
     "incremental_dedup_docs": INCREMENTAL_DEDUP_SQL,
     "minhash_docs": _minhash_sql(),
     # the WAV payload carries the text's own bytes as PCM16 samples, so
