@@ -4451,6 +4451,78 @@ FROM c JOIN d da ON da.token = c.a JOIN d db ON db.token = c.b
 """
 
 
+def q_bpe_merges_docs(sf_dir: str):
+    """BPE merge training over the corpus word vocabulary
+    (``stages/bpe.py:train_bpe``, 4 merges): per step one pair-count
+    hashpart shuffle + a one-row distributed top-1 + a literal-replace
+    map — the inherently sequential tokenizer-training loop, with every
+    step replayed by the unrolled SQL oracle."""
+    from ..stages.bpe import train_bpe
+    from ..stages.graph import grouped_sum_parts
+
+    docs = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                               columns=["text"]).repartition(8)
+
+    def _words(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        t = pa.table({"word": toks.values})
+        return t.filter(pc.not_equal(t["word"], ""))
+
+    words = grouped_sum_parts(
+        docs.map_batches(_words, batch_format="pyarrow"),
+        ["word"], [], count_col="n", fanin=4)
+    merges, _final = train_bpe(words, merges=4, num_partitions=4)
+    return merges
+
+
+def _bpe_sql(merges: int = 4) -> str:
+    parts = ["""
+WITH w AS (
+    SELECT token AS word, count(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ) WHERE token <> '' GROUP BY token
+),
+s0 AS (
+    SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS tok, n
+    FROM w
+)"""]
+    for k in range(1, merges + 1):
+        p = k - 1
+        parts.append(f""",
+p{k} AS (
+    SELECT z.pr[1] AS lft, z.pr[2] AS rgt, z.n FROM (
+        SELECT unnest(list_zip(
+            list_slice(syms, 1, len(syms) - 1),
+            list_slice(syms, 2, len(syms)))) AS pr, n
+        FROM (SELECT string_split(trim(tok, ' '), ' ') AS syms, n
+              FROM s{p}) ) z
+),
+best{k} AS (
+    SELECT lft, rgt, CAST(sum(n) AS BIGINT) AS w
+    FROM p{k} GROUP BY lft, rgt
+    ORDER BY w DESC, lft, rgt LIMIT 1
+),
+s{k} AS (
+    SELECT replace(tok,
+                   ' ' || (SELECT lft FROM best{k}) || ' '
+                       || (SELECT rgt FROM best{k}) || ' ',
+                   ' ' || (SELECT lft FROM best{k})
+                       || (SELECT rgt FROM best{k}) || ' ') AS tok, n
+    FROM s{p}
+)""")
+    sel = "\nUNION ALL\n".join(
+        f'SELECT {k} AS step, lft AS "left", rgt AS "right",'
+        f" lft || rgt AS merged, w AS pair_count FROM best{k}"
+        for k in range(1, merges + 1))
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
+BPE_SQL = _bpe_sql()
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -4526,6 +4598,7 @@ QUERIES = {
     "lang_source_pivot": q_lang_source_pivot,
     "burn_rate_alerts": q_burn_rate_alerts,
     "cooccurrence_docs": q_cooccurrence_docs,
+    "bpe_merges_docs": q_bpe_merges_docs,
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "minhash_docs": q_minhash_docs,
     "lang_id_docs": q_lang_id_docs,
@@ -5028,6 +5101,7 @@ ORACLE_SQL = {
     "lang_source_pivot": LANG_PIVOT_SQL,
     "burn_rate_alerts": BURN_RATE_SQL,
     "cooccurrence_docs": COOCCURRENCE_SQL,
+    "bpe_merges_docs": BPE_SQL,
     "incremental_dedup_docs": INCREMENTAL_DEDUP_SQL,
     "minhash_docs": _minhash_sql(),
     # the WAV payload carries the text's own bytes as PCM16 samples, so
