@@ -54,3 +54,27 @@ def test_bpe_early_stop(ray_session):
     ds = rd.from_arrow(pa.table({"word": ["a", "b"], "n": [3, 2]}))
     merges, _ = train_bpe(ds, merges=3, num_partitions=1)
     assert merges.num_rows == 0
+
+
+def test_tokenize_docs(ray_session):
+    from tsdownsample_ray.stages.bpe import tokenize_docs
+
+    merges = pa.table({"step": [1, 2], "left": ["l", "o"],
+                       "right": ["o", "w"], "merged": ["lo", "ow"],
+                       "pair_count": [9, 9]})
+    # merge 1: l o -> lo ; merge 2: o w -> ow (only where o survives)
+    docs = pa.table({"doc_id": [1, 2, 3],
+                     "text": ["low slow", "own", ""]})
+    out = tokenize_docs(rd.from_arrow(docs),
+                        merges).to_pandas().set_index("doc_id")
+    # "low" -> l o w -> lo w ; "slow" -> s l o w -> s lo w
+    assert out.loc[1, "n_words"] == 2
+    assert out.loc[1, "n_tokens_bpe"] == 2 + 3
+    assert out.loc[1, "first_tok"] == "lo"
+    assert out.loc[1, "last_tok"] == "w"
+    # "own" -> o w n -> ow n (merge 1 doesn't apply, merge 2 does)
+    assert out.loc[2, "n_tokens_bpe"] == 2
+    assert out.loc[2, "first_tok"] == "ow"
+    assert out.loc[3, "n_words"] == 0
+    assert out.loc[3, "n_tokens_bpe"] == 0
+    assert out.loc[3, "first_tok"] == ""

@@ -4523,6 +4523,110 @@ s{k} AS (
 BPE_SQL = _bpe_sql()
 
 
+def q_percentile_rank_15m(sf_dir: str):
+    """Percentile-rank transform per series over the 15m tier
+    (``stages/quantiles.py:percentile_rank``): exact integer
+    (rank_lt, n) per row — SQL rank()-1 — via one hash(series) shuffle
+    and a vectorized first-occurrence scatter."""
+    from ..stages.quantiles import percentile_rank
+    from ..stages.rollup import rollup
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"),
+                    900 * US)
+    return percentile_rank(rolled, num_partitions=2)
+
+
+PERCENTILE_RANK_SQL = """
+WITH e AS (
+    SELECT event_type, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+r AS (
+    SELECT event_type AS series_id,
+           ts_us // 900000000 * 900000000 AS bucket,
+           CAST(sum(cents) AS BIGINT) AS v
+    FROM e GROUP BY series_id, bucket
+)
+SELECT series_id, bucket, v,
+       rank() OVER (PARTITION BY series_id ORDER BY v) - 1 AS rank_lt,
+       count(*) OVER (PARTITION BY series_id) AS n
+FROM r
+"""
+
+
+def q_bpe_tokenize_docs(sf_dir: str):
+    """Tokenizer rollout: train 4 BPE merges on the word vocab, then
+    apply them to every document map-side
+    (``stages/bpe.py:tokenize_docs``) — per doc the word count, BPE
+    token count (the compression diagnostic) and boundary tokens. The
+    SQL oracle replays training AND application end to end."""
+    from ..stages.bpe import tokenize_docs, train_bpe
+    from ..stages.graph import grouped_sum_parts
+
+    docs = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"]).repartition(8)
+
+    def _words(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        t = pa.table({"word": toks.values})
+        return t.filter(pc.not_equal(t["word"], ""))
+
+    words = grouped_sum_parts(
+        docs.map_batches(_words, batch_format="pyarrow"),
+        ["word"], [], count_col="n", fanin=4)
+    merges, _ = train_bpe(words, merges=4, num_partitions=4)
+    return tokenize_docs(docs, merges)
+
+
+def _bpe_tokenize_sql(merges: int = 4) -> str:
+    base = _bpe_sql(merges)
+    # reuse the training CTE chain (everything before the final SELECT)
+    body = base[:base.rindex("\nSELECT 1 AS step")]
+    parts = [body, """,
+d0 AS (
+    SELECT doc_id, text,
+           ' ' || regexp_replace(text, '(.)', '\\1 ', 'g') AS tok
+    FROM documents
+)"""]
+    for k in range(1, merges + 1):
+        parts.append(f""",
+d{k} AS (
+    SELECT doc_id, text,
+           replace(tok,
+                   ' ' || (SELECT lft FROM best{k}) || ' '
+                       || (SELECT rgt FROM best{k}) || ' ',
+                   ' ' || (SELECT lft FROM best{k})
+                       || (SELECT rgt FROM best{k}) || ' ') AS tok
+    FROM d{k - 1}
+)""")
+    parts.append(f""",
+fin AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+           list_filter(string_split(tok, ' '), x -> x <> '') AS ts
+    FROM d{merges}
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(ts) AS BIGINT) AS n_tokens_bpe,
+       CASE WHEN len(ts) = 0 THEN '' ELSE ts[1] END AS first_tok,
+       CASE WHEN len(ts) = 0 THEN '' ELSE ts[len(ts)] END AS last_tok
+FROM fin""")
+    return "".join(parts)
+
+
+BPE_TOKENIZE_SQL = _bpe_tokenize_sql()
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -4599,6 +4703,8 @@ QUERIES = {
     "burn_rate_alerts": q_burn_rate_alerts,
     "cooccurrence_docs": q_cooccurrence_docs,
     "bpe_merges_docs": q_bpe_merges_docs,
+    "percentile_rank_15m": q_percentile_rank_15m,
+    "bpe_tokenize_docs": q_bpe_tokenize_docs,
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "minhash_docs": q_minhash_docs,
     "lang_id_docs": q_lang_id_docs,
@@ -5102,6 +5208,8 @@ ORACLE_SQL = {
     "burn_rate_alerts": BURN_RATE_SQL,
     "cooccurrence_docs": COOCCURRENCE_SQL,
     "bpe_merges_docs": BPE_SQL,
+    "percentile_rank_15m": PERCENTILE_RANK_SQL,
+    "bpe_tokenize_docs": BPE_TOKENIZE_SQL,
     "incremental_dedup_docs": INCREMENTAL_DEDUP_SQL,
     "minhash_docs": _minhash_sql(),
     # the WAV payload carries the text's own bytes as PCM16 samples, so

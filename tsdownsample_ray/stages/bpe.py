@@ -126,3 +126,62 @@ def train_bpe(words_ds, *, merges: int, n_col: str = "n",
         state = state.map_batches(_apply,
                                   batch_format="pyarrow").materialize()
     return pa.table({k: pa.array(v) for k, v in out.items()}), state
+
+
+def tokenize_docs(docs_ds, merges_tbl: pa.Table, *,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """Apply learned merges to whole documents, purely map-side: each doc
+    is char-symbolized with the original spaces widening to a 3-space
+    word boundary no ``" l r "`` pattern can span, then every merge
+    replays in training order as one literal replace per block. Output:
+    ``(id_col, n_words, n_tokens_bpe, first_tok, last_tok)`` — the
+    compression diagnostic a tokenizer rollout needs (words vs BPE
+    tokens), plus boundary tokens as a content check."""
+    pats = [(f" {l} {r} ", f" {l}{r} ")
+            for l, r in zip(merges_tbl["left"].to_pylist(),
+                            merges_tbl["right"].to_pylist())]
+
+    def _tok(b: pa.Table) -> pa.Table:
+        spaced = pc.replace_substring_regex(b[text_col], "(.)", r"\1 ")
+        tok = pc.binary_join_element_wise(" ", spaced, "")
+        for pat, rep in pats:
+            tok = pc.replace_substring(tok, pat, rep)
+        parts = pc.split_pattern(tok, " ")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = parts.values
+        off = parts.offsets.to_numpy().astype(np.int64)
+        nonempty = (pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+        cum = np.concatenate(([0], np.cumsum(nonempty)))
+        n_tok = cum[off[1:]] - cum[off[:-1]]
+        # first/last non-empty symbol per doc via masked min/max position
+        posn = np.arange(len(flat), dtype=np.int64)
+        big = len(flat) + 1
+        first_idx = np.minimum.reduceat(
+            np.where(nonempty > 0, posn, big), off[:-1])
+        last_idx = np.maximum.reduceat(
+            np.where(nonempty > 0, posn, -1), off[:-1])
+        has = n_tok > 0
+        first = pc.if_else(
+            pa.array(has),
+            flat.take(pa.array(np.where(has, first_idx, 0))),
+            pa.scalar("", pa.string()))
+        last = pc.if_else(
+            pa.array(has),
+            flat.take(pa.array(np.where(has, last_idx, 0))),
+            pa.scalar("", pa.string()))
+        words = pc.split_pattern(b[text_col], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        woff = words.offsets.to_numpy().astype(np.int64)
+        wflat_ne = (pc.not_equal(words.values, "")
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+        wcum = np.concatenate(([0], np.cumsum(wflat_ne)))
+        n_words = wcum[woff[1:]] - wcum[woff[:-1]]
+        return pa.table({id_col: b[id_col],
+                         "n_words": pa.array(n_words),
+                         "n_tokens_bpe": pa.array(n_tok),
+                         "first_tok": first, "last_tok": last})
+
+    return docs_ds.map_batches(_tok, batch_format="pyarrow")

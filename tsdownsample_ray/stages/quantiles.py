@@ -243,3 +243,64 @@ def theil_sen(rolled, *, series_col: str = "series_id",
     parted = rolled.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _slopes, batch_format="pyarrow")
+
+
+def percentile_rank(rolled, *, series_col: str = "series_id",
+                    order_col: str = "bucket", value_col: str = "sum_y",
+                    num_partitions: int = 8):
+    """Percentile-rank transform per series: for every row, the number
+    of rows in its series with a strictly smaller value (``rank_lt``),
+    with ties below broken... not at all — ties share the count, exactly
+    SQL's ``rank() - 1``. Emitted as exact integers ``(rank_lt, n)``
+    rather than a float percentile, so the transform is bit-stable.
+
+    Scale shape: ONE hash(series) shuffle, one sort + vectorized
+    first-occurrence scatter per partition. Output:
+    ``(series_id, bucket, v, rank_lt, n)``."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _rank(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t[series_col].type
+        if t.num_rows == 0:
+            return pa.table({"series_id": pa.array([], s_type),
+                             "bucket": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "rank_lt": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (value_col, "ascending"),
+            (order_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        seg = np.flatnonzero(heads)
+        n = np.diff(np.append(seg, len(codes)))
+        seg_of_row = np.cumsum(heads) - 1
+        pos = np.arange(len(v)) - seg[seg_of_row]  # 0-based within series
+        # rank_lt = position of the FIRST row with this (series, value):
+        # a new value starts where value or series changes
+        newv = np.ones(len(v), dtype=bool)
+        newv[1:] = (v[1:] != v[:-1]) | heads[1:]
+        first_pos = pos[np.flatnonzero(newv)][np.cumsum(newv) - 1]
+        return pa.table({"series_id": sid, "bucket": pa.array(bkt),
+                         "v": pa.array(v),
+                         "rank_lt": pa.array(first_pos),
+                         "n": pa.array(n[seg_of_row])})
+
+    parted = rolled.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _rank, batch_format="pyarrow")
