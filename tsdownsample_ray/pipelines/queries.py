@@ -747,6 +747,22 @@ def q_compress_roundtrip_15m(sf_dir: str):
     return comp.map_batches(ChunkDecompressor, batch_format="pyarrow", concurrency=(1, 8))
 
 
+def q_compaction_roundtrip_15m(sf_dir: str):
+    """Chunk-store compaction (``stages/compress.py:compact_chunks``):
+    the tier is deliberately chunked SMALL (64-point runs -> many chunks
+    per series), compacted to 4096-point canonical chunks via one
+    hash(series) shuffle, then decoded — the oracle is the plain rollup
+    SQL, so passing proves compaction is lossless end to end."""
+    from ..stages.compress import compact_chunks, compress_chunks_per_series
+
+    t0 = finalize_mean(rollup(_series(sf_dir), W15M))
+    small = compress_chunks_per_series(t0, chunk_size=64)
+    compacted = compact_chunks(small, chunk_size=4096, num_partitions=4)
+    return compacted.map_batches(ChunkDecompressor,
+                                 batch_format="pyarrow",
+                                 concurrency=(1, 4))
+
+
 # ---------------------------------------------------------------------------
 # events windowed aggregates
 # ---------------------------------------------------------------------------
@@ -4640,6 +4656,7 @@ QUERIES = {
     "topk_buckets_per_domain": q_topk_buckets_per_domain,
     "distinct_urls_per_domain": q_distinct_urls_per_domain,
     "compress_roundtrip_15m": q_compress_roundtrip_15m,
+    "compaction_roundtrip_15m": q_compaction_roundtrip_15m,
     "topk_domains": q_topk_domains,
     "window_events_1h": q_window_events_1h,
     "sliding_events_1h_15m": q_sliding_events_1h_15m,
@@ -4807,6 +4824,7 @@ ORACLE_SQL = {
         FROM g LEFT JOIN r ON g.series_id = r.series_id AND g.bucket = r.bucket
     """,
     "compress_roundtrip_15m": _ROLLUP_SQL.format(cte=PAGES_CTE, w=W15M),
+    "compaction_roundtrip_15m": _ROLLUP_SQL.format(cte=PAGES_CTE, w=W15M),
     # exact side hash-verified; TRUE pins the sketch's <=6% accuracy band
     "distinct_urls_per_domain": f"""
         WITH {PAGES_CTE}

@@ -145,3 +145,41 @@ class ChunkDecompressor:
                 0, np.int64 if dt == _I64 else np.float64)
             cols[c] = pa.array(v)
         return pa.table(cols)
+
+
+def compact_chunks(chunks_ds, value_cols: dict[str, str] | None = None,
+                   *, series_col: str = "series_id", x_col: str = "bucket",
+                   chunk_size: int = 4096, num_partitions: int = 8):
+    """Chunk-store compaction: many small chunks per series (the natural
+    output of batch-boundary closes and incremental backfills) -> few
+    ``chunk_size``-point chunks, losslessly. The maintenance job every
+    Gorilla-style store runs continuously.
+
+    Scale shape: ONE hash(series) shuffle, then per partition decode ->
+    sort by (series, bucket) -> re-encode with the canonical fixed-run
+    chunker; Python cost is per CHUNK (codec framing), never per point
+    (the bit codecs are vectorized). Output layout is a pure function of
+    the data (same idempotence contract as
+    ``compress_chunks_per_series``), so re-running compaction is a
+    no-op byte-for-byte."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+    dec = ChunkDecompressor(value_cols, series_col=series_col, x_col=x_col)
+    comp = ChunkCompressor(value_cols, series_col=series_col, x_col=x_col,
+                           chunk_size=chunk_size)
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _compact(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return comp(dec(t))  # typed empty through the codec pair
+        return comp(dec(t))
+
+    parted = chunks_ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _compact, batch_format="pyarrow")
