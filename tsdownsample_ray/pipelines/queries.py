@@ -4643,6 +4643,88 @@ FROM fin""")
 BPE_TOKENIZE_SQL = _bpe_tokenize_sql()
 
 
+def q_domain_concentration_docs(sf_dir: str):
+    """Corpus balance audit (``stages/quantiles.py:top_share``): per
+    source, how many of its total chars the top-10 docs hold — exact
+    int64 (n, total, top-k sum), ties at the boundary by (chars DESC,
+    doc_id ASC), one hash(source) shuffle."""
+    from ..stages.quantiles import top_share
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"]).repartition(4)
+    return top_share(ds, group_col="source", weight_col="n_chars", k=10,
+                     tiebreak_col="doc_id", num_partitions=2)
+
+
+DOMAIN_CONCENTRATION_SQL = """
+WITH o AS (
+    SELECT source, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM documents
+)
+SELECT source AS "group", count(*) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS total_w,
+       CAST(sum(CASE WHEN rn <= 10 THEN n_chars ELSE 0 END) AS BIGINT)
+           AS top_w
+FROM o GROUP BY source
+"""
+
+
+def q_winsorize_15m(sf_dir: str):
+    """Per-series winsorization to the [p5, p95] discrete quantile band
+    (``stages/quantiles.py:winsorize``): the robust pre-transform for
+    heavy-tailed telemetry — all integer, one hash(series) shuffle,
+    clamp bounds from the same pinned lower-quantile convention as
+    ``exact_quantiles``."""
+    from ..stages.quantiles import winsorize
+    from ..stages.rollup import rollup
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"),
+                    900 * US)
+    return winsorize(rolled, num_partitions=2)
+
+
+WINSORIZE_SQL = """
+WITH e AS (
+    SELECT event_type, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+r AS (
+    SELECT event_type AS series_id,
+           ts_us // 900000000 * 900000000 AS bucket,
+           CAST(sum(cents) AS BIGINT) AS v
+    FROM e GROUP BY series_id, bucket
+),
+o AS (
+    SELECT series_id, bucket, v,
+           row_number() OVER (PARTITION BY series_id
+                              ORDER BY v, bucket) AS rn,
+           count(*) OVER (PARTITION BY series_id) AS n
+    FROM r
+),
+q AS (
+    SELECT series_id,
+           sum(CASE WHEN rn = (n - 1) * 5 // 100 + 1 THEN v END) AS lo_v,
+           sum(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN v END) AS hi_v
+    FROM o GROUP BY series_id
+)
+SELECT o.series_id, o.bucket, o.v,
+       CAST(least(greatest(o.v, q.lo_v), q.hi_v) AS BIGINT) AS v_wins,
+       CAST(o.v <> least(greatest(o.v, q.lo_v), q.hi_v) AS BIGINT)
+           AS clipped
+FROM o JOIN q USING (series_id)
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -4722,6 +4804,8 @@ QUERIES = {
     "bpe_merges_docs": q_bpe_merges_docs,
     "percentile_rank_15m": q_percentile_rank_15m,
     "bpe_tokenize_docs": q_bpe_tokenize_docs,
+    "domain_concentration_docs": q_domain_concentration_docs,
+    "winsorize_15m": q_winsorize_15m,
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "minhash_docs": q_minhash_docs,
     "lang_id_docs": q_lang_id_docs,
@@ -5228,6 +5312,8 @@ ORACLE_SQL = {
     "bpe_merges_docs": BPE_SQL,
     "percentile_rank_15m": PERCENTILE_RANK_SQL,
     "bpe_tokenize_docs": BPE_TOKENIZE_SQL,
+    "domain_concentration_docs": DOMAIN_CONCENTRATION_SQL,
+    "winsorize_15m": WINSORIZE_SQL,
     "incremental_dedup_docs": INCREMENTAL_DEDUP_SQL,
     "minhash_docs": _minhash_sql(),
     # the WAV payload carries the text's own bytes as PCM16 samples, so

@@ -304,3 +304,119 @@ def percentile_rank(rolled, *, series_col: str = "series_id",
     parted = rolled.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _rank, batch_format="pyarrow")
+
+
+def top_share(ds, *, group_col: str, weight_col: str, k: int = 10,
+              tiebreak_col: str | None = None, num_partitions: int = 8):
+    """Concentration summary per group: how much of the group's total
+    weight its top-``k`` members hold (the Lorenz/inequality audit every
+    corpus balance check runs — e.g. chars per domain). Output one row
+    per group: ``(group, n, total_w, top_w)`` — exact int64, callers
+    derive the share; ties at the k boundary resolve by
+    (weight DESC, tiebreak ASC).
+
+    Scale shape: ONE hash(group) shuffle, per partition one sort + one
+    segment-bounded prefix gather."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[group_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    sort_keys = [(group_col, "ascending"), ("__negw", "ascending")]
+    if tiebreak_col is not None:
+        sort_keys.append((tiebreak_col, "ascending"))
+
+    def _share(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        g_type = t[group_col].type
+        if t.num_rows == 0:
+            return pa.table({"group": pa.array([], g_type),
+                             "n": pa.array([], pa.int64()),
+                             "total_w": pa.array([], pa.int64()),
+                             "top_w": pa.array([], pa.int64())})
+        t = t.append_column("__negw", pc.negate_checked(
+            pc.cast(t[weight_col], pa.int64())))
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        grp = t[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        codes = grp.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        seg = np.flatnonzero(heads)
+        n = np.diff(np.append(seg, len(codes)))
+        seg_of_row = np.cumsum(heads) - 1
+        pos = np.arange(len(w)) - seg[seg_of_row]
+        cw = np.cumsum(w)
+        total = cw[seg + n - 1] - cw[seg] + w[seg]
+        in_top = pos < k
+        topw = np.zeros(len(seg), dtype=np.int64)
+        np.add.at(topw, seg_of_row[in_top], w[in_top])
+        return pa.table({"group": grp.take(pa.array(seg)),
+                         "n": pa.array(n),
+                         "total_w": pa.array(total),
+                         "top_w": pa.array(topw)})
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _share, batch_format="pyarrow")
+
+
+def winsorize(rolled, *, lo: int = 5, hi: int = 95,
+              series_col: str = "series_id", order_col: str = "bucket",
+              value_col: str = "sum_y", num_partitions: int = 8):
+    """Winsorization per series: clamp every value into the series' own
+    [p_lo, p_hi] discrete quantile band (``exact_quantiles``'s pinned
+    lower-quantile convention) — the standard robust pre-transform before
+    fitting on heavy-tailed telemetry. Output one row per input row:
+    ``(series_id, bucket, v, v_wins, clipped)``; all integer, one
+    hash(series) shuffle, one sorted segment pass."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _clamp(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t[series_col].type
+        if t.num_rows == 0:
+            return pa.table({"series_id": pa.array([], s_type),
+                             "bucket": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "v_wins": pa.array([], pa.int64()),
+                             "clipped": pa.array([], pa.int64())})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (value_col, "ascending"),
+            (order_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        seg = np.flatnonzero(heads)
+        n = np.diff(np.append(seg, len(codes)))
+        seg_of_row = np.cumsum(heads) - 1
+        lo_v = v[seg + (n - 1) * lo // 100][seg_of_row]
+        hi_v = v[seg + (n - 1) * hi // 100][seg_of_row]
+        vw = np.clip(v, lo_v, hi_v)
+        return pa.table({"series_id": sid, "bucket": pa.array(bkt),
+                         "v": pa.array(v), "v_wins": pa.array(vw),
+                         "clipped": pa.array((vw != v).astype(np.int64))})
+
+    parted = rolled.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _clamp, batch_format="pyarrow")
