@@ -326,7 +326,7 @@ def top_share(ds, *, group_col: str, weight_col: str, k: int = 10,
         return b.append_column(
             "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
 
-    sort_keys = [(group_col, "ascending"), ("__negw", "ascending")]
+    sort_keys = [(group_col, "ascending"), (weight_col, "descending")]
     if tiebreak_col is not None:
         sort_keys.append((tiebreak_col, "ascending"))
 
@@ -338,8 +338,6 @@ def top_share(ds, *, group_col: str, weight_col: str, k: int = 10,
                              "n": pa.array([], pa.int64()),
                              "total_w": pa.array([], pa.int64()),
                              "top_w": pa.array([], pa.int64())})
-        t = t.append_column("__negw", pc.negate_checked(
-            pc.cast(t[weight_col], pa.int64())))
         t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
         grp = t[group_col]
         if isinstance(grp, pa.ChunkedArray):
@@ -351,13 +349,10 @@ def top_share(ds, *, group_col: str, weight_col: str, k: int = 10,
         heads[1:] = codes[1:] != codes[:-1]
         seg = np.flatnonzero(heads)
         n = np.diff(np.append(seg, len(codes)))
-        seg_of_row = np.cumsum(heads) - 1
-        pos = np.arange(len(w)) - seg[seg_of_row]
         cw = np.cumsum(w)
         total = cw[seg + n - 1] - cw[seg] + w[seg]
-        in_top = pos < k
-        topw = np.zeros(len(seg), dtype=np.int64)
-        np.add.at(topw, seg_of_row[in_top], w[in_top])
+        end = seg + np.minimum(n, k)
+        topw = cw[end - 1] - cw[seg] + w[seg]
         return pa.table({"group": grp.take(pa.array(seg)),
                          "n": pa.array(n),
                          "total_w": pa.array(total),
