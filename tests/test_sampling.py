@@ -105,3 +105,26 @@ def test_hash61_sql_parity():
         f"SELECT CAST({hash61_sql('id', 4)} AS BIGINT) AS h FROM t"
     ).fetchnumpy()["h"].astype(np.uint64)
     assert (got == hash61(ids, salt=4)).all()
+
+
+def test_training_order_is_total_permutation(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.ordering import training_order
+    from tsdownsample_ray.stages.sampling import hash61
+
+    ids = np.arange(1000, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": ids})).repartition(5)
+    out = training_order(ds, salt=7, num_buckets=16).to_pandas()
+    assert sorted(out["shuffle_rank"]) == list(range(1000))
+    h = hash61(ids, 7)
+    exp = ids[np.lexsort((ids, h))]
+    got = out.sort_values("shuffle_rank")["doc_id"].to_numpy()
+    assert (got == exp).all()
+    # different salt -> different permutation
+    out2 = training_order(rd.from_arrow(pa.table({"doc_id": ids})),
+                          salt=8, num_buckets=16).to_pandas()
+    g2 = out2.sort_values("shuffle_rank")["doc_id"].to_numpy()
+    assert not (g2 == got).all()

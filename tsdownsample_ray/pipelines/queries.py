@@ -4725,6 +4725,68 @@ FROM o JOIN q USING (series_id)
 """
 
 
+def q_training_order_docs(sf_dir: str):
+    """Deterministic global shuffle order for a training epoch
+    (``stages/ordering.py:training_order``): rank by the salted
+    GF(2^61-1) hash — hash-range bucketing + a broadcast prefix sum, no
+    global sort barrier. Same hash family as sampling/splits, so the
+    whole data-prep story derives from one reproducible permutation."""
+    from ..stages.ordering import training_order
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"]).repartition(8)
+    return training_order(ds, salt=41, num_buckets=64)
+
+
+def _training_order_sql() -> str:
+    from ..stages.sampling import hash61_sql
+
+    h = hash61_sql("doc_id", 41)
+    return f"""
+SELECT doc_id,
+       row_number() OVER (ORDER BY {h}, doc_id) - 1 AS shuffle_rank
+FROM documents
+"""
+
+
+TRAINING_ORDER_SQL = _training_order_sql()
+
+
+def q_url_blocklist_docs(sf_dir: str):
+    """URL/domain blocklist filtering — the first gate of every web
+    pipeline: a (broadcast) blocklist of domains, pages dropped by
+    membership, per-domain kept/blocked counts. The blocklist is
+    deterministic (src index % 7 == 3) so the SQL oracle rebuilds it;
+    the filter is one vectorized ``is_in`` per block, no shuffle until
+    the tiny count aggregate."""
+    from ..stages.graph import grouped_sum_parts
+
+    blocked = {f"src{i}" for i in range(20) if i % 7 == 3}
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "source"]).repartition(4)
+
+    def _flag(b: pa.Table) -> pa.Table:
+        hit = pc.is_in(b["source"],
+                       value_set=pa.array(sorted(blocked)))
+        return pa.table({"source": b["source"],
+                         "blocked": pc.cast(hit, pa.int64())})
+
+    return grouped_sum_parts(
+        ds.map_batches(_flag, batch_format="pyarrow"),
+        ["source"], ["blocked"], count_col="n_docs", fanin=2)
+
+
+URL_BLOCKLIST_SQL = """
+SELECT source,
+       CAST(sum(CASE WHEN CAST(substr(source, 4) AS BIGINT) % 7 = 3
+                     THEN 1 ELSE 0 END) AS BIGINT) AS blocked,
+       count(*) AS n_docs
+FROM documents
+GROUP BY source
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -4806,6 +4868,8 @@ QUERIES = {
     "bpe_tokenize_docs": q_bpe_tokenize_docs,
     "domain_concentration_docs": q_domain_concentration_docs,
     "winsorize_15m": q_winsorize_15m,
+    "training_order_docs": q_training_order_docs,
+    "url_blocklist_docs": q_url_blocklist_docs,
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "minhash_docs": q_minhash_docs,
     "lang_id_docs": q_lang_id_docs,
@@ -5314,6 +5378,8 @@ ORACLE_SQL = {
     "bpe_tokenize_docs": BPE_TOKENIZE_SQL,
     "domain_concentration_docs": DOMAIN_CONCENTRATION_SQL,
     "winsorize_15m": WINSORIZE_SQL,
+    "training_order_docs": TRAINING_ORDER_SQL,
+    "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "incremental_dedup_docs": INCREMENTAL_DEDUP_SQL,
     "minhash_docs": _minhash_sql(),
     # the WAV payload carries the text's own bytes as PCM16 samples, so
