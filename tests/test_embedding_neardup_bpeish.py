@@ -64,3 +64,44 @@ def test_langid_ngram_fallback():
     preds = li(t)["lang_pred"].to_pylist()
     assert preds[0] == "en"
     assert preds[1] == "de"
+
+
+def test_embedding_near_dup_exact_finds_planted(ray_session):
+    """Integer-exact LSH variant: planted near-copies are found, every
+    reported pair truly clears the cross-multiplied threshold, and no
+    non-planted pair sneaks in (the base vectors are near-orthogonal)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.similarity import (
+        embedding_near_dup_pairs_exact)
+
+    rng = np.random.default_rng(17)
+    n, dim = 80, 32
+    E = rng.standard_normal((n, dim)).astype(np.float32)
+    ids = list(range(n))
+    # plant 8 near-copies (slight scale + tiny noise on one component)
+    extra, eids = [], []
+    for i in range(0, 80, 10):
+        v = E[i].astype(np.float64) * 0.9
+        v[1] += 0.05
+        extra.append(v.astype(np.float32))
+        eids.append(1000 + i)
+    allE = np.concatenate([E, np.stack(extra)])
+    flat = pa.array(allE.ravel())
+    off = pa.array(np.arange(0, (len(allE) + 1) * dim, dim,
+                             dtype=np.int32))
+    t = pa.table({"vec_id": ids + eids,
+                  "embedding": pa.ListArray.from_arrays(off, flat)})
+    out = embedding_near_dup_pairs_exact(
+        rd.from_arrow(t).repartition(3), tau_num=4, tau_den=5,
+        planes=64, bands=8, num_partitions=2).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    planted = {(i, 1000 + i) for i in range(0, 80, 10)}
+    assert len(pairs & planted) >= 7  # recall >= 7/8 at this geometry
+    # soundness: every reported pair clears the exact threshold
+    for _, r in out.iterrows():
+        d, na, nb = int(r["dot_ab"]), int(r["norm2_a"]), int(r["norm2_b"])
+        assert d > 0 and 25 * d * d >= 16 * na * nb
+    assert not (pairs - planted)  # no false pair among near-orthogonal base

@@ -4787,6 +4787,111 @@ GROUP BY source
 """
 
 
+def q_embedding_near_dups_exact(sf_dir: str):
+    """The hash-verifiable ANN pipeline
+    (``stages/similarity.py:embedding_near_dup_pairs_exact``): identical
+    distributed shape to the float LSH near-dup (band shuffle of id-only
+    rows, partitioned pair distinct, partitioned vector re-join) but
+    all-integer — quantized components, deterministic +-1 hyperplanes,
+    bit-packed band keys, exact cross-multiplied cosine threshold — so
+    the ENTIRE pipeline, recall behavior included, replays in SQL."""
+    from ..stages.similarity import embedding_near_dup_pairs_exact
+
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"]).repartition(4)
+
+    # the synthetic embeddings are near-orthogonal (max pair cosine
+    # ~0.48), so plant deterministic near-dups: every 10th vector gets a
+    # copy at id+1000000 scaled by 0.875 (exact in binary FP) with the
+    # d=0 component sign-flipped — cosine just under 1, LSH signs mostly
+    # preserved; the SQL oracle rebuilds the same augmentation
+    def _augment(b: pa.Table) -> pa.Table:
+        emb = b["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        E = np.stack([np.asarray(v, dtype=np.float32)
+                      for v in emb.to_pylist()])
+        sel = ids % 10 == 0
+        P = (E[sel].astype(np.float64) * 0.875)
+        P[:, 0] = -P[:, 0]
+        all_ids = np.concatenate([ids, ids[sel] + 1_000_000])
+        allE = np.concatenate([E.astype(np.float64),
+                               P]).astype(np.float32)
+        flat = pa.array(allE.ravel())
+        off = pa.array(np.arange(0, (len(allE) + 1) * allE.shape[1],
+                                 allE.shape[1], dtype=np.int32))
+        return pa.table({"vec_id": pa.array(all_ids),
+                         "embedding": pa.ListArray.from_arrays(off, flat)})
+
+    aug = ds.map_batches(_augment, batch_format="pyarrow")
+    return embedding_near_dup_pairs_exact(aug, tau_num=4, tau_den=5,
+                                          planes=64, bands=8,
+                                          num_partitions=4)
+
+
+EMBEDDING_EXACT_SQL = """
+WITH q0 AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS d,
+           unnest(embedding) AS x
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id, d,
+           CAST(trunc(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS qv
+    FROM q0
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id, d,
+           CAST(trunc(CAST(CAST(
+               CASE WHEN d = 0 THEN -0.875 * CAST(x AS DOUBLE)
+                    ELSE 0.875 * CAST(x AS DOUBLE) END
+               AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+    FROM q0 WHERE vec_id % 10 = 0
+),
+ks AS (SELECT unnest(range(64)) AS k),
+dots AS (
+    SELECT q.vec_id, ks.k,
+           sum(q.qv * (1 - 2 * (((ks.k * 73856093 + q.d * 19349663) % 97)
+                                % 2))) AS s
+    FROM q CROSS JOIN ks
+    GROUP BY q.vec_id, ks.k
+),
+keys AS (
+    SELECT vec_id, k // 8 AS band,
+           CAST(sum(CASE WHEN s > 0
+                         THEN (CAST(1 AS BIGINT) << (k % 8))
+                         ELSE 0 END) AS BIGINT) AS key
+    FROM dots GROUP BY vec_id, band
+),
+cand AS (
+    SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+    FROM keys x JOIN keys y
+      ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+),
+norms AS (
+    SELECT vec_id, CAST(sum(qv * qv) AS HUGEINT) AS n2
+    FROM q GROUP BY vec_id
+),
+pd AS (
+    SELECT c.a, c.b, CAST(sum(qa.qv * qb.qv) AS HUGEINT) AS dab
+    FROM cand c
+    JOIN q qa ON qa.vec_id = c.a
+    JOIN q qb ON qb.vec_id = c.b AND qb.d = qa.d
+    GROUP BY c.a, c.b
+)
+SELECT pd.a, pd.b,
+       CAST(pd.dab AS BIGINT) AS dot_ab,
+       CAST(na.n2 AS BIGINT) AS norm2_a,
+       CAST(nb.n2 AS BIGINT) AS norm2_b
+FROM pd
+JOIN norms na ON na.vec_id = pd.a
+JOIN norms nb ON nb.vec_id = pd.b
+WHERE pd.dab > 0
+  AND 25 * pd.dab * pd.dab >= 16 * na.n2 * nb.n2
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -4870,6 +4975,7 @@ QUERIES = {
     "winsorize_15m": q_winsorize_15m,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
+    "embedding_near_dups_exact": q_embedding_near_dups_exact,
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "minhash_docs": q_minhash_docs,
     "lang_id_docs": q_lang_id_docs,
@@ -5380,6 +5486,7 @@ ORACLE_SQL = {
     "winsorize_15m": WINSORIZE_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
+    "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,
     "incremental_dedup_docs": INCREMENTAL_DEDUP_SQL,
     "minhash_docs": _minhash_sql(),
     # the WAV payload carries the text's own bytes as PCM16 samples, so

@@ -218,3 +218,115 @@ def knn_ivf(ds, query_ref, centroids_ref, k: int = 10, *, nprobe: int = 4,
     scored = ds.map_batches(_probe, batch_format="pyarrow")
     return scored.sort(key=["cosine", id_col],
                        descending=[True, False]).limit(k)
+
+
+def embedding_near_dup_pairs_exact(ds, *, tau_num: int = 4,
+                                   tau_den: int = 5,
+                                   id_col: str = "vec_id",
+                                   col: str = "embedding",
+                                   planes: int = 64, bands: int = 8,
+                                   num_partitions: int = 16):
+    """The ORACLE-EXACT companion to :func:`embedding_near_dup_pairs`:
+    identical distributed shape (band shuffle of (band, key, id) rows,
+    hash-partitioned pair distinct, partitioned vector re-join, verify),
+    but every numeric step is integer so the WHOLE pipeline — bucketing
+    included — replays bit-exactly in SQL:
+
+    - components quantize as ``trunc(v * 1e6)`` (trunc, not round: no
+      half-way ties; the f64 multiply is IEEE-identical both sides);
+    - hyperplanes are deterministic +-1 matrices
+      (``parity((k*73856093 + d*19349663) % 97)`` — replayable
+      arithmetic; statistical quality is secondary to auditability here,
+      documented);
+    - band keys are integer bit-packs of the sign bits;
+    - the cosine threshold tau = tau_num/tau_den verifies as
+      ``dot > 0 AND tau_den^2 * dot^2 >= tau_num^2 * n2a * n2b`` in
+      unbounded ints (Python int per CANDIDATE pair — the candidate set
+      is orders of magnitude smaller than the corpus; SQL uses HUGEINT).
+
+    Output: ``(a, b, dot_ab, norm2_a, norm2_b)`` for every verified pair
+    — all int64."""
+    from .dedup import (bucket_candidate_pairs, distinct_pairs,
+                        join_pair_payload)
+
+    r = planes // bands
+    if r > 62:
+        raise ValueError("bits per band must fit an int64 key")
+
+    def _quantize(b: pa.Table) -> np.ndarray:
+        E = embedding_matrix(b, col).astype(np.float64)
+        return np.trunc(E * 1e6).astype(np.int64)
+
+    def _plane_matrix(dim: int) -> np.ndarray:
+        k = np.arange(planes, dtype=np.int64)[:, None]
+        d_ = np.arange(dim, dtype=np.int64)[None, :]
+        par = ((k * 73856093 + d_ * 19349663) % 97) % 2
+        return (1 - 2 * par).astype(np.int64)  # (planes, dim) of +-1
+
+    def _buckets(b: pa.Table) -> pa.Table:
+        Q = _quantize(b)
+        P = _plane_matrix(Q.shape[1])
+        bits = (Q @ P.T) > 0  # (n, planes)
+        n = len(Q)
+        weights = (np.int64(1) << np.arange(r, dtype=np.int64))
+        keys = bits.reshape(n, bands, r).astype(np.int64) @ weights
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "key": pa.array(keys.ravel()),
+            id_col: pa.array(np.repeat(ids, bands)),
+        })
+
+    banded = ds.map_batches(_buckets, batch_format="pyarrow")
+    cands = bucket_candidate_pairs(
+        banded, key_cols=["band", "key"], id_col=id_col,
+        max_bucket=None, num_partitions=num_partitions,
+        log_tag="exact embedding LSH")
+    cands = distinct_pairs(cands, num_partitions=num_partitions)
+
+    def _serialize(b: pa.Table) -> pa.Table:
+        Q = _quantize(b)
+        return pa.table({
+            id_col: b[id_col],
+            "vec_bin": pa.array([Q[i].tobytes() for i in range(len(Q))],
+                                pa.binary()),
+        })
+
+    vecs = ds.map_batches(_serialize, batch_format="pyarrow")
+    j2 = join_pair_payload(cands, vecs, id_col=id_col,
+                           payload_col="vec_bin",
+                           num_partitions=num_partitions)
+
+    tn2, td2 = tau_num * tau_num, tau_den * tau_den
+
+    def _unpack_i64(column) -> np.ndarray:
+        if isinstance(column, pa.ChunkedArray):
+            column = column.combine_chunks()
+        raw = b"".join(column.to_pylist())
+        Q = np.frombuffer(raw, dtype=np.int64)
+        return Q.reshape(len(column), -1)
+
+    def _verify(b: pa.Table) -> pa.Table:
+        empty = pa.table({"a": b["a"].slice(0, 0), "b": b["b"].slice(0, 0),
+                          "dot_ab": pa.array([], pa.int64()),
+                          "norm2_a": pa.array([], pa.int64()),
+                          "norm2_b": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        Qa = _unpack_i64(b["payload_a"])
+        Qb = _unpack_i64(b["vec_bin"])
+        dab = (Qa * Qb).sum(axis=1)
+        n2a = (Qa * Qa).sum(axis=1)
+        n2b = (Qb * Qb).sum(axis=1)
+        # exact threshold in unbounded ints (dot^2 overflows int64)
+        keep = np.fromiter(
+            (int(d) > 0 and td2 * int(d) * int(d)
+             >= tn2 * int(x) * int(y)
+             for d, x, y in zip(dab.tolist(), n2a.tolist(), n2b.tolist())),
+            dtype=bool, count=len(dab))
+        t = pa.table({"a": b["a"], "b": b["b"],
+                      "dot_ab": pa.array(dab), "norm2_a": pa.array(n2a),
+                      "norm2_b": pa.array(n2b)})
+        return t.filter(pa.array(keep))
+
+    return j2.map_batches(_verify, batch_format="pyarrow")
