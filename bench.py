@@ -281,10 +281,18 @@ def run_scaling(tier0_only: bool = False) -> dict:
                     0 <= c < CAL_CLEAN for c in cals):
                 break
         clean = [v for v, c in zip(vals, cals) if 0 <= c < CAL_CLEAN]
-        return (min(clean) if clean else min(vals)), vals, cals
+        return clean, vals, cals
 
-    t0_8, s8, cal8 = _collect(8)
-    t0_32, s32, cal32 = _collect(32)
+    c8, s8, cal8 = _collect(8)
+    c32, s32, cal32 = _collect(32)
+    # the two levels must compare in the SAME regime: clean mins only
+    # when BOTH levels produced a clean sample, else all-sample mins —
+    # comparing a clean min against a throttled min would bias the
+    # efficiency in either direction
+    if c8 and c32:
+        t0_8, t0_32, regime = min(c8), min(c32), "clean"
+    else:
+        t0_8, t0_32, regime = min(s8), min(s32), "all-samples"
     eff_t0 = (t0_8 / t0_32) / (32 / 8)
     import pyarrow.parquet as pq
 
@@ -304,6 +312,7 @@ def run_scaling(tier0_only: bool = False) -> dict:
         "tier0_samples_32cpu": s32,
         "tier0_calib_8cpu": cal8,
         "tier0_calib_32cpu": cal32,
+        "tier0_regime": regime,
         "tier0_pts_per_sec_8cpu": round(n_input / t0_8, 1),
         "tier0_pts_per_sec_32cpu": round(n_input / t0_32, 1),
         "input_series_rows": n_input,

@@ -25,6 +25,8 @@ def test_canonicalize_cases():
         "https://h.com/CaseKept/Path",
         "https://h.com:8443/p",          # non-default port survives
         "http://h.com:443/p",            # 443 on http is NOT default
+        "https://Example.com?Session=AbC",   # query, no path slash:
+        "HTTPS://H.com:443?Tok=AbC",         # case must be preserved
     ]) == [
         "https://www.example.com/Item/3?id=1",
         "https://www.example.com/Item/3?id=1",
@@ -33,6 +35,8 @@ def test_canonicalize_cases():
         "https://h.com/CaseKept/Path",
         "https://h.com:8443/p",
         "http://h.com:443/p",
+        "https://example.com?Session=AbC",
+        "https://h.com?Tok=AbC",
     ]
 
 

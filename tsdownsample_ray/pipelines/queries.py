@@ -3884,7 +3884,7 @@ md AS (
 )
 SELECT d.series_id, d.bucket, d.v,
        CAST(d.m2 AS BIGINT) AS m2, CAST(md.d2 AS BIGINT) AS d2,
-       CAST(CASE WHEN 10000 * d.dev > 3 * 14826 * md.d2
+       CAST(CASE WHEN 20000 * d.dev > 3 * 14826 * md.d2
                  THEN 1 ELSE 0 END AS BIGINT) AS outlier
 FROM d JOIN md USING (series_id)
 """
@@ -3949,14 +3949,12 @@ WITH u AS (
 ),
 f AS (SELECT regexp_replace(url, '#.*$', '') AS url FROM u),
 a AS (
+    -- authority ends at the FIRST '/' or '?'; path/query case preserved
     SELECT lower(split_part(url, '://', 1)) || '://'
-           || lower(split_part(split_part(url, '://', 2), '/', 1))
-           || CASE WHEN contains(split_part(url, '://', 2), '/')
-                   THEN '/' || substr(split_part(url, '://', 2),
-                                      length(split_part(
-                                          split_part(url, '://', 2),
-                                          '/', 1)) + 2)
-                   ELSE '' END AS url
+           || lower(regexp_extract(split_part(url, '://', 2), '^[^/?]*'))
+           || substr(split_part(url, '://', 2),
+                     length(regexp_extract(split_part(url, '://', 2),
+                                           '^[^/?]*')) + 1) AS url
     FROM f
 ),
 c AS (

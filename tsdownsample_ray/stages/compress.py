@@ -175,10 +175,8 @@ def compact_chunks(chunks_ds, value_cols: dict[str, str] | None = None,
             "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
 
     def _compact(g: pa.Table) -> pa.Table:
-        t = g.drop_columns(["__part"])
-        if t.num_rows == 0:
-            return comp(dec(t))  # typed empty through the codec pair
-        return comp(dec(t))
+        # empty groups flow through the codec pair as typed empties
+        return comp(dec(g.drop_columns(["__part"])))
 
     parted = chunks_ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(

@@ -55,7 +55,7 @@ def funnel(ds, steps, *, user_col: str = "user_id", type_col: str = "t",
         u_type = t[user_col].type
         if t.num_rows == 0:
             return pa.table({
-                "user_id": pa.array([], u_type),
+                user_col: pa.array([], u_type),
                 "depth": pa.array([], pa.int64()),
                 **{f"step{i + 1}_us": pa.array([], pa.int64())
                    for i in range(len(steps))}})
@@ -88,7 +88,7 @@ def funnel(ds, steps, *, user_col: str = "user_id", type_col: str = "t",
             depth += matched.astype(np.int64)
             cols[f"step{i + 1}_us"] = pa.array(np.where(matched, m, -1))
             prev = np.where(matched, m, big)  # unmatched kills later steps
-        return pa.table({"user_id": uid.take(pa.array(seg)),
+        return pa.table({user_col: uid.take(pa.array(seg)),
                          "depth": pa.array(depth), **cols})
 
     parted = _user_parted(ds, user_col, mod)

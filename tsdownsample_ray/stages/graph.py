@@ -65,6 +65,8 @@ def extract_links_batch(batch: pa.Table, *, html_col: str = "html",
         html = html.combine_chunks()
     if pa.types.is_binary(html.type) or pa.types.is_large_binary(html.type):
         html = html.cast(pa.string())
+    if html.null_count:  # null pages emit zero links (offsets math below
+        html = html.fill_null("")  # assumes every slot advances)
     src = batch[src_col]
     if isinstance(src, pa.ChunkedArray):
         src = src.combine_chunks()
@@ -104,10 +106,14 @@ def grouped_sum_parts(ds, keys: list, sum_cols: list, *,
         names = {**{k: k for k in keys},
                  **{f"{c}_sum": c for c in sum_cols}}
         if count_col:
-            aggs.append((count_col, "sum") if count_col in b.column_names
-                        else (keys[0], "count"))
-            names[f"{count_col}_sum" if count_col in b.column_names
-                  else f"{keys[0]}_count"] = count_col
+            if count_col not in b.column_names:
+                # count ROWS via a ones column — a (key, "count")
+                # aggregate counts non-null KEYS and would undercount
+                # null-key groups, which stable_part_codes routes through
+                b = b.append_column(count_col, pa.array(
+                    np.ones(b.num_rows, dtype=np.int64)))
+            aggs.append((count_col, "sum"))
+            names[f"{count_col}_sum"] = count_col
         return rename_agg(b.select([c for c in b.column_names
                                     if c != "__part"])
                           .group_by(keys).aggregate(aggs), names)

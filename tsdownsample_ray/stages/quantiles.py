@@ -82,8 +82,11 @@ def mad_outliers(rolled, *, k: int = 3, mad_scale: int = 14826,
 
         m2  = v[(n-1)//2] + v[n//2]          (2 x median, sorted values)
         dev = |2*v - m2|                      (2 x |v - median|)
-        d2  = dev[(n-1)//2] + dev[n//2]       (2 x median of dev = 4*MAD... /2)
-        outlier when  10000 * dev > k * mad_scale * d2
+        d2  = dev[(n-1)//2] + dev[n//2]       (2 x median of dev = 4 x MAD)
+        outlier when  20000 * dev > k * mad_scale * d2
+
+    (dev carries one factor of 2 and d2 two, so the left side needs the
+    extra 2 for the comparison to reduce to |v - med| vs k*1.4826*MAD)
 
     i.e. |v - med| > k * 1.4826 * MAD with every quantity doubled and the
     1.4826 consistency constant as the integer ratio mad_scale/10000 —
@@ -143,7 +146,7 @@ def mad_outliers(rolled, *, k: int = 3, mad_scale: int = 14826,
         order = np.lexsort((dev, seg_of_row))
         dev_sorted = dev[order]
         d2 = _twice_median_per_seg(dev_sorted, seg, n)[seg_of_row]
-        out = 10000 * dev > k * mad_scale * d2
+        out = 20000 * dev > k * mad_scale * d2
         return pa.table({
             "series_id": sid, "bucket": pa.array(bkt),
             "v": pa.array(v), "m2": pa.array(m2), "d2": pa.array(d2),

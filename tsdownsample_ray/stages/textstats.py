@@ -381,14 +381,18 @@ def normalize_text_batch(batch: pa.Table, *, text_col: str = "text",
     if bool(ascii_mask.all()):
         norm = txt
     else:
+        # only the non-ASCII rows round-trip to Python; ASCII rows stay
+        # in the original Arrow buffer via a concat + take reassembly
         idx = np.flatnonzero(~ascii_mask)
         fixed = pa.array([unicodedata.normalize("NFC", s)
                           for s in txt.take(pa.array(idx)).to_pylist()],
                          pa.string())
-        vals = txt.to_pylist()
-        for k, i in enumerate(idx):
-            vals[i] = fixed[k].as_py()
-        norm = pa.array(vals, pa.string())
+        combined = pa.concat_arrays([txt.combine_chunks()
+                                     if isinstance(txt, pa.ChunkedArray)
+                                     else txt, fixed])
+        gather = np.arange(len(ascii_mask), dtype=np.int64)
+        gather[idx] = len(ascii_mask) + np.arange(len(idx))
+        norm = combined.take(pa.array(gather))
     norm = pc.utf8_lower(norm)
     norm = pc.replace_substring_regex(norm, r"\s+", " ")
     norm = pc.utf8_trim_whitespace(norm)

@@ -40,10 +40,19 @@ def _lower_authority(u: pa.Array) -> pa.Array:
     parts = pc.split_pattern(safe, "://", max_splits=1)
     scheme = pc.list_element(parts, 0)
     rest = pc.list_element(parts, 1)
-    has_path = pc.match_substring(rest, "/")
-    safe_rest = pc.if_else(has_path, rest,
-                           pc.binary_join_element_wise(rest, "/", ""))
-    tail_parts = pc.split_pattern(safe_rest, "/", max_splits=1)
+    # the authority ends at the FIRST '/' or '?' (fragments are already
+    # stripped) — a query with no path slash must keep its case. Two
+    # sentinel-padded splits keep everything vectorized.
+    has_q = pc.match_substring(rest, "?")
+    safe_q = pc.if_else(has_q, rest,
+                        pc.binary_join_element_wise(rest, "?", ""))
+    q_parts = pc.split_pattern(safe_q, "?", max_splits=1)
+    ap = pc.list_element(q_parts, 0)     # authority [+ path]
+    qs = pc.list_element(q_parts, 1)     # query (case preserved)
+    has_path = pc.match_substring(ap, "/")
+    safe_ap = pc.if_else(has_path, ap,
+                         pc.binary_join_element_wise(ap, "/", ""))
+    tail_parts = pc.split_pattern(safe_ap, "/", max_splits=1)
     auth = pc.list_element(tail_parts, 0)
     path = pc.list_element(tail_parts, 1)
     lowered = pc.binary_join_element_wise(
@@ -51,6 +60,10 @@ def _lower_authority(u: pa.Array) -> pa.Array:
     lowered = pc.if_else(
         has_path,
         pc.binary_join_element_wise(lowered, "/", path, ""),
+        lowered)
+    lowered = pc.if_else(
+        has_q,
+        pc.binary_join_element_wise(lowered, "?", qs, ""),
         lowered)
     return pc.if_else(has_auth, lowered, pc.utf8_lower(u))
 
