@@ -65,3 +65,33 @@ def test_pivot_counts(ray_session):
                        fanin=2).to_pandas().set_index("src")
     assert out.loc["s1"].tolist() == [2, 0, 1]   # n_en, n_de, other
     assert out.loc["s2"].tolist() == [1, 1, 0]
+
+
+def test_cap_per_group(ray_session):
+    from tsdownsample_ray.stages.curation import cap_per_group
+
+    t = pa.table({"g": ["a"] * 5 + ["b"] * 2,
+                  "w": [10, 50, 30, 50, 20, 7, 9],
+                  "id": [1, 2, 3, 4, 5, 6, 7]})
+    out = cap_per_group(rd.from_arrow(t).repartition(3), group_col="g",
+                        k=2, order_col="w", tiebreak_col="id",
+                        num_partitions=2).to_pandas()
+    kept = set(zip(out["g"], out["id"], out["rk"]))
+    # a: w=50 twice, tie by id -> ids 2 (rk0), 4 (rk1); b: 9 then 7
+    assert kept == {("a", 2, 0), ("a", 4, 1), ("b", 7, 0), ("b", 6, 1)}
+
+
+def test_mixture_order_stride(ray_session):
+    """Weight-2 source appears twice per weight-1 appearance in any
+    schedule prefix (stride scheduling invariant)."""
+    import numpy as np
+
+    from tsdownsample_ray.stages.curation import mixture_order
+
+    t = pa.table({"doc_id": list(range(40)),
+                  "source": ["hi"] * 20 + ["lo"] * 20})
+    out = mixture_order(rd.from_arrow(t), {"hi": 2, "lo": 1}, salt=3,
+                        num_partitions=2).to_pandas()
+    sched = out.sort_values(["mix_key", "source", "doc_id"])
+    first12 = sched.head(12)["source"].tolist()
+    assert first12.count("hi") == 8 and first12.count("lo") == 4

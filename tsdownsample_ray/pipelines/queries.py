@@ -4890,6 +4890,70 @@ WHERE pd.dab > 0
 """
 
 
+def q_domain_cap_docs(sf_dir: str):
+    """Per-domain frequency cap (``stages/curation.py:cap_per_group``):
+    keep each source's top-3 docs by (n_chars DESC, doc_id) — the
+    FineWeb-style over-represented-domain lever; kept rows carry their
+    in-group rank for auditability."""
+    from ..stages.curation import cap_per_group
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"]).repartition(4)
+    return cap_per_group(ds, group_col="source", k=3,
+                         order_col="n_chars", tiebreak_col="doc_id",
+                         num_partitions=2)
+
+
+DOMAIN_CAP_SQL = """
+WITH o AS (
+    SELECT doc_id, source, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id) - 1 AS rk
+    FROM documents
+)
+SELECT doc_id, source, n_chars, rk FROM o WHERE rk < 3
+"""
+
+
+def q_mixture_order_docs(sf_dir: str):
+    """Deterministic weighted mixture schedule
+    (``stages/curation.py:mixture_order``): src0 at weight 4, src1 at 2,
+    the rest at 1 — order key = (rank_in_source + 1) * (lcm / weight),
+    integer stride scheduling over the salted-hash within-source
+    shuffle; sorting by (mix_key, source, doc_id) IS the training
+    order."""
+    from ..stages.curation import mixture_order
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "source"]).repartition(4)
+    return mixture_order(ds, {"src0": 4, "src1": 2}, salt=13,
+                         num_partitions=2)
+
+
+def _mixture_order_sql() -> str:
+    from ..stages.sampling import hash61_sql
+
+    h = hash61_sql("doc_id", 13)
+    return f"""
+WITH r AS (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY {h}, doc_id) - 1 AS rk
+    FROM documents
+)
+SELECT doc_id, source,
+       (rk + 1) * CASE source WHEN 'src0' THEN 1
+                              WHEN 'src1' THEN 2
+                              ELSE 4 END AS mix_key,
+       rk
+FROM r
+"""
+
+
+MIXTURE_ORDER_SQL = _mixture_order_sql()
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -4974,6 +5038,8 @@ QUERIES = {
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
+    "domain_cap_docs": q_domain_cap_docs,
+    "mixture_order_docs": q_mixture_order_docs,
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "minhash_docs": q_minhash_docs,
     "lang_id_docs": q_lang_id_docs,
@@ -5485,6 +5551,8 @@ ORACLE_SQL = {
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,
+    "domain_cap_docs": DOMAIN_CAP_SQL,
+    "mixture_order_docs": MIXTURE_ORDER_SQL,
     "incremental_dedup_docs": INCREMENTAL_DEDUP_SQL,
     "minhash_docs": _minhash_sql(),
     # the WAV payload carries the text's own bytes as PCM16 samples, so
