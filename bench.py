@@ -283,18 +283,21 @@ def run_scaling(tier0_only: bool = False) -> dict:
                     0 <= c < CAL_CLEAN for c in cals):
                 break
         clean = [v for v, c in zip(vals, cals) if 0 <= c < CAL_CLEAN]
-        return clean, vals, cals
+        thr = [v for v, c in zip(vals, cals) if not 0 <= c < CAL_CLEAN]
+        return clean, thr, vals, cals
 
-    c8, s8, cal8 = _collect(8)
-    c32, s32, cal32 = _collect(32)
-    # the two levels must compare in the SAME regime: clean mins only
-    # when BOTH levels produced a clean sample, else all-sample mins —
-    # comparing a clean min against a throttled min would bias the
-    # efficiency in either direction
+    c8, t8, s8, cal8 = _collect(8)
+    c32, t32, s32, cal32 = _collect(32)
+    # the two levels must compare in the SAME regime — clean-vs-clean,
+    # else throttled-vs-throttled; a clean min against a throttled min
+    # biases the efficiency in either direction. "mixed" (one level all
+    # clean, the other all throttled) is reported honestly.
     if c8 and c32:
         t0_8, t0_32, regime = min(c8), min(c32), "clean"
+    elif t8 and t32:
+        t0_8, t0_32, regime = min(t8), min(t32), "throttled"
     else:
-        t0_8, t0_32, regime = min(s8), min(s32), "all-samples"
+        t0_8, t0_32, regime = min(s8), min(s32), "mixed"
     eff_t0 = (t0_8 / t0_32) / (32 / 8)
     import pyarrow.parquet as pq
 

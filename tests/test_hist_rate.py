@@ -151,7 +151,7 @@ def test_mad_outliers_matches_numpy(ray_session):
     rng = np.random.default_rng(5)
     rows = []
     for s in ("a", "b"):
-        # 160 sits between 1x and 2x the threshold band for this
+        # 130 sits between 1x and 2x the threshold band for this
         # geometry (catches the historical 2x-threshold bug)
         vals = rng.integers(90, 110, size=21).tolist() + [500, -300, 130]
         rows += [(s, i, int(v)) for i, v in enumerate(vals)]

@@ -97,3 +97,21 @@ def table_sorted_by(tbl: pa.Table, col: str) -> pa.Table:
 
     idx = pc.sort_indices(tbl, sort_keys=[(col, "ascending")])
     return tbl.take(idx)
+
+
+def segment_positions(codes):
+    """Shared segment bookkeeping for sorted per-group passes: given
+    monotone group codes (rows pre-sorted by group), returns
+    ``(seg, seg_of_row, pos)`` — segment start indices, each row's
+    segment index, and each row's 0-based position within its segment.
+    Null-key note: callers derive ``codes`` from
+    ``dictionary_encode().indices``; fill nulls BEFORE the astype or a
+    null index becomes garbage."""
+    import numpy as np
+
+    heads = np.ones(len(codes), dtype=bool)
+    heads[1:] = codes[1:] != codes[:-1]
+    seg = np.flatnonzero(heads)
+    seg_of_row = np.cumsum(heads) - 1
+    pos = np.arange(len(codes)) - seg[seg_of_row]
+    return seg, seg_of_row, pos

@@ -4759,14 +4759,18 @@ def q_url_blocklist_docs(sf_dir: str):
     the tiny count aggregate."""
     from ..stages.graph import grouped_sum_parts
 
-    blocked = {f"src{i}" for i in range(20) if i % 7 == 3}
-
     ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
                              columns=["doc_id", "source"]).repartition(4)
 
+    # membership is computed from the source INDEX (idx % 7 == 3) on
+    # both sides — a frozen range(20) set would silently diverge from
+    # the SQL oracle if the corpus ever grew more sources
     def _flag(b: pa.Table) -> pa.Table:
-        hit = pc.is_in(b["source"],
-                       value_set=pa.array(sorted(blocked)))
+        idx = pc.cast(pc.utf8_slice_codeunits(b["source"], 3, 2 ** 30),
+                      pa.int64())
+        hit = pc.equal(pc.subtract(idx, pc.multiply(
+            pc.divide(idx, pa.scalar(7, pa.int64())),
+            pa.scalar(7, pa.int64()))), pa.scalar(3, pa.int64()))
         return pa.table({"source": b["source"],
                          "blocked": pc.cast(hit, pa.int64())})
 
@@ -4793,7 +4797,8 @@ def q_embedding_near_dups_exact(sf_dir: str):
     all-integer — quantized components, deterministic +-1 hyperplanes,
     bit-packed band keys, exact cross-multiplied cosine threshold — so
     the ENTIRE pipeline, recall behavior included, replays in SQL."""
-    from ..stages.similarity import embedding_near_dup_pairs_exact
+    from ..stages.similarity import (embedding_matrix,
+                                     embedding_near_dup_pairs_exact)
 
     ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                              columns=["vec_id", "embedding"]).repartition(4)
@@ -4804,12 +4809,8 @@ def q_embedding_near_dups_exact(sf_dir: str):
     # d=0 component sign-flipped — cosine just under 1, LSH signs mostly
     # preserved; the SQL oracle rebuilds the same augmentation
     def _augment(b: pa.Table) -> pa.Table:
-        emb = b["embedding"]
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
         ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        E = np.stack([np.asarray(v, dtype=np.float32)
-                      for v in emb.to_pylist()])
+        E = embedding_matrix(b).astype(np.float32)
         sel = ids % 10 == 0
         P = (E[sel].astype(np.float64) * 0.875)
         P[:, 0] = -P[:, 0]

@@ -64,11 +64,9 @@ def cap_per_group(ds, *, group_col: str, k: int, order_col: str,
             grp = grp.combine_chunks()
         codes = grp.dictionary_encode().indices.to_numpy(
             zero_copy_only=False).astype(np.int64)
-        heads = np.ones(len(codes), dtype=bool)
-        heads[1:] = codes[1:] != codes[:-1]
-        seg = np.flatnonzero(heads)
-        seg_of_row = np.cumsum(heads) - 1
-        pos = np.arange(len(codes)) - seg[seg_of_row]
+        from ..arrow_utils import segment_positions
+
+        _seg, _sor, pos = segment_positions(codes)
         t = t.append_column("rk", pa.array(pos))
         return t.filter(pa.array(pos < k))
 
@@ -116,11 +114,9 @@ def mixture_order(ds, weights: dict, *, group_col: str = "source",
             grp = grp.combine_chunks()
         codes = grp.dictionary_encode().indices.to_numpy(
             zero_copy_only=False).astype(np.int64)
-        heads = np.ones(len(codes), dtype=bool)
-        heads[1:] = codes[1:] != codes[:-1]
-        seg = np.flatnonzero(heads)
-        seg_of_row = np.cumsum(heads) - 1
-        rk = np.arange(len(codes)) - seg[seg_of_row]
+        from ..arrow_utils import segment_positions
+
+        seg, seg_of_row, rk = segment_positions(codes)
         inv_arr = np.array(
             [inv.get(s, inv_default) for s in
              grp.take(pa.array(seg)).to_pylist()],

@@ -34,17 +34,16 @@ __all__ = ["training_order"]
 
 
 def training_order(ds, *, id_col: str = "doc_id", salt: int = 0,
-                   num_buckets: int = 256, num_partitions: int = 8):
+                   num_buckets: int = 256):
     """Returns one row per input row: ``(id_col, shuffle_rank)`` with
     ``shuffle_rank`` the 0-based position in (hash61(id, salt), id)
-    order."""
+    order. Parallelism of the ranking exchange == the number of hash
+    buckets (``num_buckets``)."""
     import ray
 
     from .sampling import hash61
 
     shift = 61 - int(num_buckets - 1).bit_length()
-    if (1 << (61 - shift)) < num_buckets:
-        shift -= 1
 
     def _hb(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -91,12 +90,11 @@ def training_order(ds, *, id_col: str = "doc_id", salt: int = 0,
             (id_col, "ascending")]))
         offs = ray.get(off_ref)
         bkt = t["__bucket"].to_numpy(zero_copy_only=False)
-        heads = np.ones(len(bkt), dtype=bool)
-        heads[1:] = bkt[1:] != bkt[:-1]
-        seg = np.flatnonzero(heads)
-        seg_of_row = np.cumsum(heads) - 1
+        from ..arrow_utils import segment_positions
+
+        seg, seg_of_row, pos = segment_positions(bkt)
         base = np.array([offs[int(b)] for b in bkt[seg]], dtype=np.int64)
-        rank = base[seg_of_row] + (np.arange(len(bkt)) - seg[seg_of_row])
+        rank = base[seg_of_row] + pos
         return pa.table({id_col: t[id_col],
                          "shuffle_rank": pa.array(rank)})
 

@@ -249,6 +249,9 @@ def embedding_near_dup_pairs_exact(ds, *, tau_num: int = 4,
     from .dedup import (bucket_candidate_pairs, distinct_pairs,
                         join_pair_payload)
 
+    if planes % bands:
+        raise ValueError(f"planes ({planes}) must divide evenly into "
+                         f"bands ({bands})")
     r = planes // bands
     if r > 62:
         raise ValueError("bits per band must fit an int64 key")

@@ -384,12 +384,12 @@ def normalize_text_batch(batch: pa.Table, *, text_col: str = "text",
         # only the non-ASCII rows round-trip to Python; ASCII rows stay
         # in the original Arrow buffer via a concat + take reassembly
         idx = np.flatnonzero(~ascii_mask)
+        base = (txt.combine_chunks() if isinstance(txt, pa.ChunkedArray)
+                else txt)
         fixed = pa.array([unicodedata.normalize("NFC", s)
                           for s in txt.take(pa.array(idx)).to_pylist()],
-                         pa.string())
-        combined = pa.concat_arrays([txt.combine_chunks()
-                                     if isinstance(txt, pa.ChunkedArray)
-                                     else txt, fixed])
+                         base.type)  # match string/large_string exactly
+        combined = pa.concat_arrays([base, fixed])
         gather = np.arange(len(ascii_mask), dtype=np.int64)
         gather[idx] = len(ascii_mask) + np.arange(len(idx))
         norm = combined.take(pa.array(gather))
