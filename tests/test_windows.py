@@ -144,3 +144,50 @@ def test_detect_anomalies_min_ref(ray_session):
     out = detect_anomalies(rd.from_arrow(t), 4, 3,
                            num_partitions=1).to_pandas()
     assert not out["is_anomaly"].any()
+
+
+def test_rolling_median_vs_replay(ray_session):
+    """rolling_median == a per-row Python replay of the discrete trailing
+    median (sorted-window element (w-1)//2), on multi-series input,
+    regardless of input partitioning."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.windows import rolling_median
+
+    rng = np.random.default_rng(11)
+    n = 500
+    df = pd.DataFrame({
+        "series_id": rng.choice(["a", "b", "c", "d"], size=n),
+        "bucket": rng.permutation(n).astype("int64"),
+        "sum_y": rng.integers(-100, 100, size=n).astype("int64"),
+    })
+    k = 5
+    out = rolling_median(rd.from_pandas(df).repartition(7), k,
+                         num_partitions=3).to_pandas()
+    out = out.sort_values(["series_id", "bucket"]).reset_index(drop=True)
+
+    ref = df.sort_values(["series_id", "bucket"]).reset_index(drop=True)
+    med, wid = [], []
+    for _, g in ref.groupby("series_id", sort=True):
+        v = g["sum_y"].to_numpy()
+        for i in range(len(v)):
+            w = v[max(0, i - k + 1):i + 1]
+            med.append(int(np.sort(w)[(len(w) - 1) // 2]))
+            wid.append(len(w))
+    assert list(out["v"]) == list(ref["sum_y"])
+    assert list(out["roll_med"]) == med
+    assert list(out["roll_w"]) == wid
+
+
+def test_rolling_median_k1_and_validation(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.windows import rolling_median
+
+    t = pa.table({"series_id": ["s", "s"], "bucket": [1, 2],
+                  "sum_y": np.array([10, 20], dtype=np.int64)})
+    out = rolling_median(rd.from_arrow(t), 1, num_partitions=1).to_pandas()
+    assert list(out["roll_med"]) == [10, 20]
+    with pytest.raises(ValueError):
+        rolling_median(rd.from_arrow(t), 0)

@@ -4723,6 +4723,51 @@ FROM o JOIN q USING (series_id)
 """
 
 
+def q_rolling_median_15m(sf_dir: str):
+    """Per-series sliding DISCRETE median over the 15-min tier
+    (``stages/windows.py:rolling_median``): the order-statistic despike
+    window ``rolling_stats`` can't express — element ``(w-1)//2`` of
+    the sorted trailing-5 window, clipped at the series start. One
+    hash(series) shuffle, one vectorized (n,k) window-gather per
+    partition; all integer, replayed in SQL by
+    ``quantile_disc(v, 0.5) OVER (ROWS 4 PRECEDING)``."""
+    from ..stages.rollup import rollup
+    from ..stages.windows import rolling_median
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"),
+                    900 * US)
+    return rolling_median(rolled, 5, num_partitions=2)
+
+
+ROLLING_MEDIAN_SQL = """
+WITH e AS (
+    SELECT event_type, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+r AS (
+    SELECT event_type AS series_id,
+           ts_us // 900000000 * 900000000 AS bucket,
+           CAST(sum(cents) AS BIGINT) AS v
+    FROM e GROUP BY series_id, bucket
+)
+SELECT series_id, bucket, v,
+       quantile_disc(v, 0.5) OVER (
+           PARTITION BY series_id ORDER BY bucket
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_med,
+       CAST(least(row_number() OVER (PARTITION BY series_id
+                                     ORDER BY bucket), 5) AS BIGINT)
+           AS roll_w
+FROM r
+"""
+
+
 def q_training_order_docs(sf_dir: str):
     """Deterministic global shuffle order for a training epoch
     (``stages/ordering.py:training_order``): rank by the salted
@@ -5036,6 +5081,7 @@ QUERIES = {
     "bpe_tokenize_docs": q_bpe_tokenize_docs,
     "domain_concentration_docs": q_domain_concentration_docs,
     "winsorize_15m": q_winsorize_15m,
+    "rolling_median_15m": q_rolling_median_15m,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -5549,6 +5595,7 @@ ORACLE_SQL = {
     "bpe_tokenize_docs": BPE_TOKENIZE_SQL,
     "domain_concentration_docs": DOMAIN_CONCENTRATION_SQL,
     "winsorize_15m": WINSORIZE_SQL,
+    "rolling_median_15m": ROLLING_MEDIAN_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,

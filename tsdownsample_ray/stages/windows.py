@@ -27,7 +27,7 @@ from ..arrow_utils import rename_agg
 from .rollup import _arrow_combine, _combine
 
 __all__ = ["sliding_rollup", "sessionize", "rolling_stats",
-           "detect_anomalies"]
+           "rolling_median", "detect_anomalies"]
 
 
 def sliding_rollup(ds, window_us: int, slide_us: int, *,
@@ -210,6 +210,79 @@ def rolling_stats(ds, k: int, *, series_col: str = "series_id",
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _roll, batch_format="pyarrow")
+
+
+def rolling_median(rolled, k: int, *, series_col: str = "series_id",
+                   order_col: str = "bucket", value_col: str = "sum_y",
+                   num_partitions: int = 8):
+    """Per-row trailing-window DISCRETE median over each series: the
+    element at sorted index ``(w-1)//2`` of the window of up to ``k``
+    trailing rows (current row + k-1 preceding, clipped at the series
+    start) ordered by ``order_col`` — exactly SQL's
+    ``quantile_disc(v, 0.5) OVER (... ROWS k-1 PRECEDING)``. The
+    order-statistic companion to :func:`rolling_stats` (min/max/sum are
+    not robust to spikes; a sliding median is the classic despike
+    filter for telemetry).
+
+    Scale shape: ONE hash(series) shuffle, then each partition sorts
+    once and computes EVERY series' windows in one vectorized pass — an
+    (n, k) trailing-window gather with +inf sentinels for out-of-window
+    slots, one ``np.sort(axis=1)`` (O(n k log k), k modest by contract).
+    All integer: the discrete median of int64 values is an element, so
+    results are bit-identical to any evaluation order.
+
+    No counterpart in the reference (kernel library only); standard
+    continuous-aggregate engine surface.
+    """
+    from ..arrow_utils import stable_part_codes
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _med(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t[series_col].type
+        if t.num_rows == 0:
+            return pa.table({"series_id": pa.array([], s_type),
+                             "bucket": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "roll_med": pa.array([], pa.int64()),
+                             "roll_w": pa.array([], pa.int64())})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (order_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(v)
+        i = np.arange(n)
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = codes[1:] != codes[:-1]
+        ser_start = np.maximum.accumulate(np.where(brk, i, 0))
+        win_start = np.maximum(i - (k - 1), ser_start)
+        w = i - win_start + 1
+        idx = i[:, None] - np.arange(k)[None, :]
+        in_win = idx >= win_start[:, None]
+        M = v[np.maximum(idx, 0)]
+        M[~in_win] = np.iinfo(np.int64).max  # sentinel sorts last
+        M.sort(axis=1)
+        med = M[i, (w - 1) // 2]
+        return pa.table({"series_id": sid, "bucket": pa.array(bkt),
+                         "v": pa.array(v), "roll_med": pa.array(med),
+                         "roll_w": pa.array(w)})
+
+    parted = rolled.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _med, batch_format="pyarrow")
 
 
 def detect_anomalies(ds, k: int, t: int, *, series_col: str = "series_id",
