@@ -4768,6 +4768,59 @@ FROM r
 """
 
 
+def q_upsert_latest_events(sf_dir: str):
+    """CDC latest-wins compaction with delete tombstones
+    (``stages/cdc.py:upsert_latest``): the events table replayed as a
+    change log keyed by (user_id, event_type), survivor = greatest
+    (ts_us, event_id), tombstone when ``event_id % 17 == 0``. Map-side
+    per-key pre-reduce (latest-wins is mergeable) -> ONE hash(key)
+    shuffle of the partials -> final selection + tombstone filter; no
+    row_number over the full log, no global sort."""
+    from ..stages.cdc import upsert_latest
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    ).repartition(8)
+
+    def _log(b: pa.Table) -> pa.Table:
+        eid = b["event_id"]
+        tomb = pc.cast(pc.equal(
+            pc.subtract(eid, pc.multiply(
+                pc.divide(eid, pa.scalar(17, pa.int64())),
+                pa.scalar(17, pa.int64()))),
+            pa.scalar(0, pa.int64())), pa.int64())
+        return pa.table({
+            "user_id": b["user_id"], "event_type": b["event_type"],
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                      ndigits=0), pa.int64()),
+            "event_id": eid, "is_delete": tomb,
+        })
+
+    log = ds.map_batches(_log, batch_format="pyarrow")
+    return upsert_latest(log, key_cols=["event_type", "user_id"],
+                         order_cols=["ts_us", "event_id"],
+                         tombstone_col="is_delete", num_partitions=4)
+
+
+UPSERT_LATEST_SQL = """
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS cents, event_id,
+           CAST(event_id % 17 = 0 AS BIGINT) AS is_delete
+    FROM events
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts_us DESC, event_id DESC) AS rk
+    FROM e
+)
+SELECT user_id, event_type, ts_us, cents, event_id
+FROM r WHERE rk = 1 AND is_delete = 0
+"""
+
+
 def q_training_order_docs(sf_dir: str):
     """Deterministic global shuffle order for a training epoch
     (``stages/ordering.py:training_order``): rank by the salted
@@ -5082,6 +5135,7 @@ QUERIES = {
     "domain_concentration_docs": q_domain_concentration_docs,
     "winsorize_15m": q_winsorize_15m,
     "rolling_median_15m": q_rolling_median_15m,
+    "upsert_latest_events": q_upsert_latest_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -5596,6 +5650,7 @@ ORACLE_SQL = {
     "domain_concentration_docs": DOMAIN_CONCENTRATION_SQL,
     "winsorize_15m": WINSORIZE_SQL,
     "rolling_median_15m": ROLLING_MEDIAN_SQL,
+    "upsert_latest_events": UPSERT_LATEST_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,
