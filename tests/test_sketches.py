@@ -54,3 +54,29 @@ def test_distinct_approx_distributed(ray_session):
     for r in got.itertuples():
         assert abs(r.distinct_est - exact[r.k]) / exact[r.k] < 0.06, (
             r.k, r.distinct_est, exact[r.k])
+
+
+def test_cms_never_undercounts_and_exact_when_wide(ray_session):
+    """CMS one-sided error: est >= exact always; with width >> vocab and
+    no collisions the estimate is exact."""
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.sketches import cms_token_counts
+
+    t = pa.table({"doc_id": list(range(6)),
+                  "text": ["a b c", "a a d", "b e", "f", "a c", "g h a"]})
+    out = cms_token_counts(rd.from_arrow(t).repartition(3),
+                           depth=4, width=4096,
+                           num_partitions=2).to_pandas()
+    got = dict(zip(out["token"], out["exact_n"]))
+    assert got == {"a": 5, "b": 2, "c": 2, "d": 1, "e": 1, "f": 1,
+                   "g": 1, "h": 1}
+    assert (out["overcount"] == 0).all()
+    assert (out["est_n"] == out["exact_n"]).all()
+
+    tight = cms_token_counts(rd.from_arrow(t).repartition(2),
+                             depth=2, width=2,
+                             num_partitions=1).to_pandas()
+    assert (tight["est_n"] >= tight["exact_n"]).all()
+    # total mass per sketch row is conserved: min estimate still bounded
+    assert tight["est_n"].max() <= int(tight["exact_n"].sum())

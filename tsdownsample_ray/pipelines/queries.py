@@ -4821,6 +4821,56 @@ FROM r WHERE rk = 1 AND is_delete = 0
 """
 
 
+def q_cms_heavy_hitters_docs(sf_dir: str):
+    """Count-min sketch of corpus token frequencies
+    (``stages/sketches.py:cms_token_counts``): per-block depth x width
+    integer cells merged ADDITIVELY (no token leaves its block), final
+    <=depth*width-row sketch broadcast via ray.put; the exact counts
+    (one hash(token) shuffle) verify the one-sided error. md5-u64 token
+    hashes + hash61 row buckets keep the whole sketch SQL-replayable."""
+    from ..stages.sketches import cms_token_counts
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(4)
+    return cms_token_counts(ds, depth=4, width=32, num_partitions=4)
+
+
+def _cms_sql(depth: int = 4, width: int = 32) -> str:
+    from ..stages.sampling import hash61_sql
+
+    per_r_cells = "\n        UNION ALL\n        ".join(
+        f"SELECT {r} AS r, CAST({hash61_sql('h64', r)} % {width} AS BIGINT)"
+        f" AS bucket, exact_n FROM h"
+        for r in range(depth))
+    per_r_est = "\n    UNION ALL\n    ".join(
+        f"SELECT h.tok, h.exact_n, c.c FROM h JOIN cells c ON c.r = {r}"
+        f" AND c.bucket = CAST({hash61_sql('h.h64', r)} % {width} AS BIGINT)"
+        for r in range(depth))
+    return f"""
+WITH tk AS (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        AS tok
+    FROM documents
+),
+cnt AS (SELECT tok, count(*) AS exact_n FROM tk GROUP BY tok),
+h AS (SELECT tok, exact_n, {_MD5U64} AS h64 FROM cnt),
+cells AS (
+    SELECT r, bucket, CAST(sum(exact_n) AS BIGINT) AS c FROM (
+        {per_r_cells}
+    ) GROUP BY r, bucket
+),
+j AS (
+    {per_r_est}
+)
+SELECT tok AS token, exact_n, CAST(min(c) AS BIGINT) AS est_n,
+       CAST(min(c) - exact_n AS BIGINT) AS overcount
+FROM j GROUP BY tok, exact_n
+"""
+
+
+CMS_SQL = _cms_sql()
+
+
 def q_training_order_docs(sf_dir: str):
     """Deterministic global shuffle order for a training epoch
     (``stages/ordering.py:training_order``): rank by the salted
@@ -5136,6 +5186,7 @@ QUERIES = {
     "winsorize_15m": q_winsorize_15m,
     "rolling_median_15m": q_rolling_median_15m,
     "upsert_latest_events": q_upsert_latest_events,
+    "cms_heavy_hitters_docs": q_cms_heavy_hitters_docs,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -5651,6 +5702,7 @@ ORACLE_SQL = {
     "winsorize_15m": WINSORIZE_SQL,
     "rolling_median_15m": ROLLING_MEDIAN_SQL,
     "upsert_latest_events": UPSERT_LATEST_SQL,
+    "cms_heavy_hitters_docs": CMS_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,

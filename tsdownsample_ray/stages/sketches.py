@@ -18,7 +18,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["hll_sketch_batch", "hll_merge", "hll_estimate", "distinct_approx"]
+__all__ = ["hll_sketch_batch", "hll_merge", "hll_estimate",
+           "distinct_approx", "cms_token_counts"]
 
 
 def _hash64(values: list[str]) -> np.ndarray:
@@ -96,3 +97,98 @@ def distinct_approx(ds, *, key_col: str, value_col: str, p: int = 12):
 
     return sketches.groupby(key_col).map_groups(_merge_group,
                                                 batch_format="pyarrow")
+
+
+def cms_token_counts(ds, *, text_col: str = "text", depth: int = 4,
+                     width: int = 32, num_partitions: int = 8):
+    """Count-min sketch of corpus token frequencies, verified against the
+    exact counts (Cormode & Muthukrishnan 2005).
+
+    The sketch is the 100 TB story: each block folds its own tokens into
+    ``depth x width`` integer cells LOCALLY — no token string ever leaves
+    the block — and the cells merge ADDITIVELY through the standard
+    hashpart grouped sum (the exchange carries <= depth*width rows per
+    block, a constant). The merged sketch (<= depth*width rows) is the
+    only driver materialization, broadcast back with ``ray.put``. The
+    exact counts (ONE hash(token) shuffle) exist here to verify the
+    one-sided error bound; a production pipeline keeps just the sketch.
+
+    Hashing: md5-u64 per batch-UNIQUE token (``dedup._hash_unique_tokens``
+    — SQL-restatable), row ``r``'s bucket = ``hash61(h, salt=r) % width``
+    (``sampling.hash61``, already SQL-replayed). Output one row per
+    distinct token: ``(token, exact_n, est_n, overcount)`` with
+    ``est_n >= exact_n`` always (CMS never undercounts).
+
+    No counterpart in the reference (kernel library only).
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from ..arrow_utils import rename_agg
+    from .dedup import _hash_unique_tokens
+    from .graph import grouped_sum_parts
+    from .sampling import hash61
+
+    def _tok_counts(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        t = pa.table({"token": toks.values,
+                      "c": pa.array(np.ones(len(toks.values), np.int64))})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        g = t.group_by(["token"]).aggregate([("c", "sum")])
+        return rename_agg(g, {"token": "token", "c_sum": "c"})
+
+    def _buckets(tokens: list) -> np.ndarray:
+        """(depth, n) bucket indices for a list of unique tokens."""
+        uh = _hash_unique_tokens(tokens, None)
+        return np.stack([
+            (hash61(uh, salt=r) % np.uint64(width)).astype(np.int64)
+            for r in range(depth)])
+
+    def _cells(b: pa.Table) -> pa.Table:
+        t = _tok_counts(b)
+        if t.num_rows == 0:
+            return pa.table({"r": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        bkts = _buckets(t["token"].to_pylist())
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(c)
+        return pa.table({
+            "r": pa.array(np.repeat(np.arange(depth, dtype=np.int64), n)),
+            "bucket": pa.array(bkts.ravel()),
+            "c": pa.array(np.tile(c, depth)),
+        })
+
+    cells = grouped_sum_parts(
+        ds.map_batches(_cells, batch_format="pyarrow"),
+        ["r", "bucket"], ["c"], count_col=None, fanin=2)
+    grid = np.zeros((depth, width), dtype=np.int64)
+    for row in cells.take_all():  # <= depth*width rows: bounded constant
+        grid[row["r"], row["bucket"]] = row["c"]
+    grid_ref = ray.put(grid)
+
+    exact = grouped_sum_parts(
+        ds.map_batches(_tok_counts, batch_format="pyarrow"),
+        ["token"], ["c"], count_col=None, fanin=num_partitions)
+
+    def _estimate(b: pa.Table) -> pa.Table:
+        g = ray.get(grid_ref)
+        if b.num_rows == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "exact_n": pa.array([], pa.int64()),
+                             "est_n": pa.array([], pa.int64()),
+                             "overcount": pa.array([], pa.int64())})
+        tok = b["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        bkts = _buckets(tok.to_pylist())
+        est = np.min(
+            np.stack([g[r][bkts[r]] for r in range(depth)]), axis=0)
+        exact_n = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"token": tok, "exact_n": pa.array(exact_n),
+                         "est_n": pa.array(est),
+                         "overcount": pa.array(est - exact_n)})
+
+    return exact.map_batches(_estimate, batch_format="pyarrow")
