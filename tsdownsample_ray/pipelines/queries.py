@@ -4871,6 +4871,50 @@ FROM j GROUP BY tok, exact_n
 CMS_SQL = _cms_sql()
 
 
+def q_zorder_zone_maps_events(sf_dir: str):
+    """Z-order clustering manifest (``stages/zorder.py``): Morton-
+    interleave (user_id, hour-bucket) so ONE range partitioning bounds
+    BOTH dimensions, emit per-partition zone maps (the pruning manifest
+    of a z-clustered write). Vectorized shift/mask z-codes, block-local
+    zone-map partials, one constant-size shuffle; rows never move."""
+    from ..stages.zorder import zorder_zone_maps
+
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts"]).repartition(8)
+
+    def _dims(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(b["ts"], pa.int64())
+        hour = pc.divide(ts_us, pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({"d0": b["user_id"], "d1": hour})
+
+    return zorder_zone_maps(ds.map_batches(_dims, batch_format="pyarrow"),
+                            d0_col="d0", d1_col="d1", bits=8,
+                            parts_log2=4, num_partitions=2)
+
+
+def _zorder_sql(bits: int = 8, parts_log2: int = 4) -> str:
+    from ..stages.zorder import spread16_sql
+
+    m = (1 << bits) - 1
+    z = f"({spread16_sql('d0')} | ({spread16_sql('d1')} << 1))"
+    return f"""
+WITH e AS (
+    SELECT user_id % {m + 1} AS d0,
+           (epoch_us(ts) // 3600000000) % {m + 1} AS d1
+    FROM events
+),
+z AS (SELECT d0, d1, {z} AS zcode FROM e)
+SELECT zcode >> {2 * bits - parts_log2} AS p, count(*) AS n,
+       min(d0) AS min_d0, max(d0) AS max_d0,
+       min(d1) AS min_d1, max(d1) AS max_d1,
+       min(zcode) AS min_z, max(zcode) AS max_z
+FROM z GROUP BY 1
+"""
+
+
+ZORDER_SQL = _zorder_sql()
+
+
 def q_training_order_docs(sf_dir: str):
     """Deterministic global shuffle order for a training epoch
     (``stages/ordering.py:training_order``): rank by the salted
@@ -5187,6 +5231,7 @@ QUERIES = {
     "rolling_median_15m": q_rolling_median_15m,
     "upsert_latest_events": q_upsert_latest_events,
     "cms_heavy_hitters_docs": q_cms_heavy_hitters_docs,
+    "zorder_zone_maps_events": q_zorder_zone_maps_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -5703,6 +5748,7 @@ ORACLE_SQL = {
     "rolling_median_15m": ROLLING_MEDIAN_SQL,
     "upsert_latest_events": UPSERT_LATEST_SQL,
     "cms_heavy_hitters_docs": CMS_SQL,
+    "zorder_zone_maps_events": ZORDER_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,
