@@ -109,3 +109,59 @@ def test_lagged_correlation_matches_numpy(ray_session):
             if len(xs) > 1 and np.std(xs) > 0 and np.std(ys) > 0:
                 exp = np.corrcoef(xs, ys)[0, 1]
                 assert abs(row["corr"].iloc[0] - exp) < 1e-9
+
+
+def test_autocorrelation_vs_numpy_with_gaps(ray_session):
+    """autocorrelation == a per-series numpy replay over aligned
+    (t, t+lag) bucket pairs, gaps excluded, any input partitioning."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.correlate import autocorrelation
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for s in ("a", "b", "c"):
+        # irregular bucket grid with gaps
+        buckets = np.sort(rng.choice(np.arange(60), size=35,
+                                     replace=False)) * 10
+        vals = rng.integers(-20, 20, size=len(buckets))
+        rows += [(s, int(b), int(v)) for b, v in zip(buckets, vals)]
+    df = pd.DataFrame(rows, columns=["series_id", "bucket", "sum_y"])
+
+    out = autocorrelation(rd.from_pandas(df).repartition(5),
+                          lags=(1, 2), window_us=10,
+                          num_partitions=3).to_pandas()
+
+    for (s, lag), grp in out.set_index(["series_id", "lag"]).iterrows():
+        g = df[df.series_id == s]
+        by = dict(zip(g.bucket, g.sum_y))
+        pairs = [(v, by[b + 10 * lag]) for b, v in by.items()
+                 if b + 10 * lag in by]
+        assert grp["n"] == len(pairs)
+        x = np.array([p[0] for p in pairs], dtype=np.float64)
+        y = np.array([p[1] for p in pairs], dtype=np.float64)
+        assert grp["sum_xy"] == int((x * y).sum())
+        if len(pairs) > 2 and x.std() > 0 and y.std() > 0:
+            want = np.corrcoef(x, y)[0, 1]
+            assert abs(grp["corr"] - want) < 1e-12
+    # every (series, lag) with >=1 aligned pair is present
+    for s in ("a", "b", "c"):
+        for lag in (1, 2):
+            g = df[df.series_id == s]
+            by = set(g.bucket)
+            n_pairs = sum(1 for b in by if b + 10 * lag in by)
+            present = ((out.series_id == s) & (out.lag == lag)).any()
+            assert present == (n_pairs > 0)
+
+
+def test_autocorrelation_validation(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.correlate import autocorrelation
+
+    t = pa.table({"series_id": ["a"], "bucket": [0], "sum_y": [1]})
+    with pytest.raises(ValueError):
+        autocorrelation(rd.from_arrow(t), lags=(), window_us=10)
+    with pytest.raises(ValueError):
+        autocorrelation(rd.from_arrow(t), lags=(0,), window_us=10)

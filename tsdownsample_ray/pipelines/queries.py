@@ -4915,6 +4915,76 @@ FROM z GROUP BY 1
 ZORDER_SQL = _zorder_sql()
 
 
+def q_acf_15m(sf_dir: str):
+    """Per-series autocorrelation at lags 1..3 over the 15-min tier
+    (``stages/correlate.py:autocorrelation``): one hash(series) shuffle,
+    all lags matched in one composite-key searchsorted pass, int64
+    sufficient stats, pinned-IEEE corr — gaps excluded like the SQL
+    inner join."""
+    from ..stages.correlate import autocorrelation
+    from ..stages.rollup import rollup
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"),
+                    900 * US)
+    return autocorrelation(rolled, lags=(1, 2, 3), window_us=900 * US,
+                           num_partitions=2)
+
+
+_CORR_EXPR = """
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                  - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE)
+                    - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+                  - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                         - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE)
+                           - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)))
+            ELSE NULL
+       END AS corr
+"""
+
+ACF_SQL = f"""
+WITH e AS (
+    SELECT event_type, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+r AS (
+    SELECT event_type AS series_id,
+           ts_us // 900000000 * 900000000 AS bucket,
+           CAST(sum(cents) AS BIGINT) AS v
+    FROM e GROUP BY series_id, bucket
+),
+p AS (
+    SELECT a.series_id, l.lag, a.v AS x, b.v AS y
+    FROM r a
+    JOIN (VALUES (1), (2), (3)) l(lag) ON true
+    JOIN r b ON b.series_id = a.series_id
+            AND b.bucket = a.bucket + CAST(l.lag AS BIGINT) * 900000000
+),
+st AS (
+    SELECT series_id, CAST(lag AS BIGINT) AS lag, count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(sum(x * y) AS BIGINT) AS sum_xy,
+           CAST(sum(x * x) AS BIGINT) AS sum_xx,
+           CAST(sum(y * y) AS BIGINT) AS sum_yy
+    FROM p GROUP BY series_id, lag
+)
+SELECT series_id, lag, n, sum_x, sum_y, sum_xy, sum_xx, sum_yy,
+{_CORR_EXPR}
+FROM st
+"""
+
+
 def q_training_order_docs(sf_dir: str):
     """Deterministic global shuffle order for a training epoch
     (``stages/ordering.py:training_order``): rank by the salted
@@ -5232,6 +5302,7 @@ QUERIES = {
     "upsert_latest_events": q_upsert_latest_events,
     "cms_heavy_hitters_docs": q_cms_heavy_hitters_docs,
     "zorder_zone_maps_events": q_zorder_zone_maps_events,
+    "acf_15m": q_acf_15m,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -5749,6 +5820,7 @@ ORACLE_SQL = {
     "upsert_latest_events": UPSERT_LATEST_SQL,
     "cms_heavy_hitters_docs": CMS_SQL,
     "zorder_zone_maps_events": ZORDER_SQL,
+    "acf_15m": ACF_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,

@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["pairwise_correlation"]
+__all__ = ["pairwise_correlation", "lagged_correlation", "autocorrelation"]
 
 _STAT_COLS = ["n", "sum_x", "sum_y", "sum_xy", "sum_xx", "sum_yy"]
 
@@ -231,3 +231,93 @@ def lagged_correlation(rolled, *, lag: int,
         lambda b: b.append_column(
             "lag", pa.array(np.full(b.num_rows, lag, np.int64))),
         batch_format="pyarrow")
+
+
+def autocorrelation(rolled, *, lags=(1, 2, 3, 4), window_us: int,
+                    series_col: str = "series_id",
+                    bucket_col: str = "bucket", value_col: str = "sum_y",
+                    num_partitions: int = 8):
+    """Per-series autocorrelation function: Pearson corr of
+    ``(v at bucket t, v at bucket t + lag*window)`` for each lag, gaps
+    excluded (a pair exists only when BOTH buckets are populated — the
+    SQL inner-join semantic). Output ``(series_id, lag, n, integer
+    sufficient stats, corr)``; series with no aligned pair at a lag emit
+    no row for it.
+
+    Scale shape: ONE hash(series) shuffle, then each partition sorts
+    once and matches EVERY series' lagged pairs for ALL lags via
+    searchsorted on a composite (series-code << 32 | bucket-index) key —
+    no self-join exchange, no per-series Python. Stats accumulate in
+    int64 via ``np.add.at`` (bit-exact, order-independent); the float
+    ``corr`` is the same pinned IEEE expression as
+    :func:`pairwise_correlation`."""
+    from ..arrow_utils import stable_part_codes
+
+    lags = [int(x) for x in lags]
+    if not lags or min(lags) < 1:
+        raise ValueError(f"lags must be positive, got {lags}")
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _acf(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t[series_col].type
+        empty = {series_col: pa.array([], s_type),
+                 "lag": pa.array([], pa.int64()),
+                 **{c: pa.array([], pa.int64()) for c in _STAT_COLS}}
+        if t.num_rows == 0:
+            return pa.table(empty)
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (bucket_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        d = sid.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = d.dictionary
+        k = len(uniq)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bidx = (t[bucket_col].to_numpy(zero_copy_only=False)
+                .astype(np.int64) // window_us)
+        c = (codes << np.int64(32)) | (bidx & np.int64(0xFFFFFFFF))
+        n = len(c)
+        out_series, out_lag = [], []
+        stats = {sc: [] for sc in _STAT_COLS}
+        for lag in lags:
+            tgt = c + np.int64(lag)
+            pos = np.searchsorted(c, tgt)
+            posc = np.minimum(pos, n - 1)
+            m = (pos < n) & (c[posc] == tgt)
+            if not m.any():
+                continue
+            x = v[m]
+            y = v[posc[m]]
+            s = codes[m]
+            acc = {sc: np.zeros(k, np.int64) for sc in _STAT_COLS}
+            np.add.at(acc["n"], s, 1)
+            np.add.at(acc["sum_x"], s, x)
+            np.add.at(acc["sum_y"], s, y)
+            np.add.at(acc["sum_xy"], s, x * y)
+            np.add.at(acc["sum_xx"], s, x * x)
+            np.add.at(acc["sum_yy"], s, y * y)
+            present = np.flatnonzero(acc["n"] > 0)
+            out_series.append(uniq.take(pa.array(present)))
+            out_lag.append(np.full(len(present), lag, np.int64))
+            for sc in _STAT_COLS:
+                stats[sc].append(acc[sc][present])
+        if not out_series:
+            return pa.table(empty)
+        return pa.table({
+            series_col: pa.concat_arrays(out_series),
+            "lag": pa.array(np.concatenate(out_lag)),
+            **{sc: pa.array(np.concatenate(stats[sc]))
+               for sc in _STAT_COLS}})
+
+    parted = rolled.map_batches(_add_part, batch_format="pyarrow")
+    merged = parted.repartition(num_partitions).groupby("__part").map_groups(
+        _acf, batch_format="pyarrow")
+    return merged.map_batches(_corr_from_stats, batch_format="pyarrow")
