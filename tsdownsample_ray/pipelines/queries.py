@@ -4985,6 +4985,123 @@ FROM st
 """
 
 
+def q_cube_docs(sf_dir: str):
+    """CUBE(source, lang) totals in ONE pass
+    (``stages/cube.py:grouping_sets_sum``): per-(source,lang), per-source,
+    per-lang and grand totals with SQL's GROUPING() bitmask — block-local
+    replicate + pre-collapse, one hashpart grouped sum; the exchange
+    carries per-set partials, never replicated rows."""
+    from ..stages.cube import grouping_sets_sum
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["source", "lang", "n_chars"]).repartition(4)
+    return grouping_sets_sum(
+        ds, keys=["source", "lang"],
+        sets=[("source", "lang"), ("source",), ("lang",), ()],
+        sum_cols=["n_chars"], count_col="n_docs", num_partitions=4)
+
+
+CUBE_SQL = """
+SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       count(*) AS n_docs
+FROM documents
+GROUP BY CUBE (source, lang)
+"""
+
+
+def q_table_checksum_events(sf_dir: str):
+    """Order-independent per-series table digests
+    (``stages/integrity.py:grouped_checksum``): the anti-entropy /
+    replica-verification primitive — (n, sum-hash mod 2^61-1, xor-hash)
+    per event_type, identical on ANY row order or partitioning.
+    Block-local partial digests, one constant-size hashpart shuffle."""
+    from ..stages.integrity import grouped_checksum
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"]).repartition(8)
+
+    def _cols(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "event_id": b["event_id"],
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                      ndigits=0), pa.int64()),
+        })
+
+    return grouped_checksum(ds.map_batches(_cols, batch_format="pyarrow"),
+                            key_col="event_type",
+                            cols=["event_id", "ts_us", "cents"],
+                            salt=5, num_partitions=4)
+
+
+def _table_checksum_sql() -> str:
+    from ..stages.integrity import fold_sql
+    from ..stages.sampling import MOD61
+
+    h = fold_sql(["event_id", "ts_us", "cents"], salt=5)
+    m = MOD61
+    return f"""
+WITH e AS (
+    SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+d AS (SELECT event_type, CAST({h} AS BIGINT) AS h FROM e)
+SELECT event_type AS series_id, count(*) AS n,
+       CAST(((sum(CAST(h // 4294967296 AS HUGEINT)) % {m})
+             * 4294967296::HUGEINT % {m}
+             + (sum(CAST(h % 4294967296 AS HUGEINT)) % {m})) % {m}
+            AS BIGINT) AS checksum_sum,
+       bit_xor(h) AS checksum_xor
+FROM d GROUP BY 1
+"""
+
+
+TABLE_CHECKSUM_SQL = _table_checksum_sql()
+
+
+def q_event_transitions(sf_dir: str):
+    """Per-user behavior bigrams (``stages/funnel.py:event_transitions``):
+    the Markov transition matrix of adjacent event types per user —
+    one hash(user) shuffle + sorted vectorized pass, bigram cells (not
+    events) in the second exchange."""
+    from ..stages.funnel import event_transitions
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"]).repartition(8)
+
+    def _cols(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"],
+                         "event_type": b["event_type"],
+                         "event_id": b["event_id"],
+                         "ts_us": pc.cast(b["ts"], pa.int64())})
+
+    return event_transitions(ds.map_batches(_cols, batch_format="pyarrow"),
+                             num_partitions=4, fanin=2)
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH e AS (
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+    FROM events
+),
+s AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id) AS prev
+    FROM e
+)
+SELECT prev AS src, event_type AS dst, count(*) AS c
+FROM s WHERE prev IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def q_training_order_docs(sf_dir: str):
     """Deterministic global shuffle order for a training epoch
     (``stages/ordering.py:training_order``): rank by the salted
@@ -5303,6 +5420,9 @@ QUERIES = {
     "cms_heavy_hitters_docs": q_cms_heavy_hitters_docs,
     "zorder_zone_maps_events": q_zorder_zone_maps_events,
     "acf_15m": q_acf_15m,
+    "cube_docs": q_cube_docs,
+    "table_checksum_events": q_table_checksum_events,
+    "event_transitions": q_event_transitions,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -5821,6 +5941,9 @@ ORACLE_SQL = {
     "cms_heavy_hitters_docs": CMS_SQL,
     "zorder_zone_maps_events": ZORDER_SQL,
     "acf_15m": ACF_SQL,
+    "cube_docs": CUBE_SQL,
+    "table_checksum_events": TABLE_CHECKSUM_SQL,
+    "event_transitions": EVENT_TRANSITIONS_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,

@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["funnel", "cohort_retention"]
+__all__ = ["funnel", "cohort_retention", "event_transitions"]
 
 WEEK_US = 7 * 24 * 3600 * 1_000_000
 
@@ -137,3 +137,56 @@ def cohort_retention(ds, *, user_col: str = "user_id", x_col: str = "x",
         "__part").map_groups(_pairs, batch_format="pyarrow")
     return grouped_sum_parts(pairs, ["cohort_week_us", "week_offset"], [],
                              count_col="n_users", fanin=4)
+
+
+def event_transitions(ds, *, user_col: str = "user_id",
+                      ts_col: str = "ts_us", id_col: str = "event_id",
+                      event_col: str = "event_type",
+                      num_partitions: int = 8, fanin: int = 4):
+    """Per-user adjacent-transition bigram counts: for every consecutive
+    event pair in a user's (ts, id)-ordered stream, count (src -> dst) —
+    the Markov transition matrix of user behavior (next-action
+    prediction, anomaly routes, UX-path analysis). SQL's
+    ``lag() OVER (PARTITION BY user ORDER BY ts, id)`` + group count.
+
+    Scale shape: ONE hash(user) shuffle, one sorted vectorized pass per
+    partition producing (src, dst, c) PARTIALS collapsed per partition
+    (<= |event types|^2 rows each), then the standard hashpart grouped
+    sum — the second exchange carries bigram cells, never event rows."""
+    from .graph import grouped_sum_parts
+
+    mod = num_partitions * 64
+    parted = _user_parted(ds, user_col, mod)
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        e_type = t[event_col].type
+        if t.num_rows == 0:
+            return pa.table({"src": pa.array([], e_type),
+                             "dst": pa.array([], e_type),
+                             "c": pa.array([], pa.int64())})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (user_col, "ascending"), (ts_col, "ascending"),
+            (id_col, "ascending")]))
+        uid = t[user_col]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        codes = uid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        same = np.zeros(len(codes), dtype=bool)
+        same[1:] = codes[1:] == codes[:-1]
+        idx = np.flatnonzero(same)
+        ev = t[event_col]
+        if isinstance(ev, pa.ChunkedArray):
+            ev = ev.combine_chunks()
+        pairs = pa.table({"src": ev.take(pa.array(idx - 1)),
+                          "dst": ev.take(pa.array(idx)),
+                          "c": pa.array(np.ones(len(idx), np.int64))})
+        g2 = pairs.group_by(["src", "dst"]).aggregate([("c", "sum")])
+        from ..arrow_utils import rename_agg
+        return rename_agg(g2, {"src": "src", "dst": "dst", "c_sum": "c"})
+
+    cells = parted.repartition(num_partitions).groupby("__part").map_groups(
+        _pairs, batch_format="pyarrow")
+    return grouped_sum_parts(cells, ["src", "dst"], ["c"],
+                             count_col=None, fanin=fanin)
