@@ -5102,6 +5102,66 @@ GROUP BY 1, 2
 """
 
 
+def q_bloom_semi_join(sf_dir: str):
+    """Bloom runtime-filter semi-join (``stages/bloom.py``): lineitem
+    pruned map-side by a 2048-bit bloom over URGENT orders' keys (the
+    big table never shuffles on the filter), survivors confirmed by ONE
+    hash-partitioned left join — false positives kept and flagged, so
+    the exact bloom behavior (bit pattern included) is hash-verified."""
+    from ..stages.bloom import bloom_semi_join
+
+    orders = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"]).repartition(4)
+    urgent = orders.filter(
+        expr="o_orderpriority == '1-URGENT'").map_batches(
+        lambda b: pa.table({"o_orderkey": b["o_orderkey"]}),
+        batch_format="pyarrow")
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"]).repartition(4)
+    out = bloom_semi_join(li, urgent, key_col="l_orderkey",
+                          small_key_col="o_orderkey",
+                          m_bits=2048, k=3, num_partitions=4)
+    return out.map_batches(
+        lambda b: b.select(["l_orderkey", "l_linenumber", "is_member"]),
+        batch_format="pyarrow")
+
+
+def _bloom_sql(m_bits: int = 2048, k: int = 3) -> str:
+    from ..stages.sampling import hash61_sql
+
+    pos_union = "\n        UNION ALL\n        ".join(
+        f"SELECT CAST({hash61_sql('key', r)} % {m_bits} AS BIGINT) AS pos "
+        f"FROM sk"
+        for r in range(k))
+    probe_conds = "\n      AND ".join(
+        f"CAST({hash61_sql('l_orderkey', r)} % {m_bits} AS BIGINT)"
+        f" IN (SELECT pos FROM bits)"
+        for r in range(k))
+    return f"""
+WITH sk AS (
+    SELECT DISTINCT o_orderkey AS key FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+),
+bits AS (
+    SELECT DISTINCT pos FROM (
+        {pos_union}
+    )
+),
+probe AS (
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE {probe_conds}
+)
+SELECT l_orderkey, l_linenumber,
+       CAST(l_orderkey IN (SELECT key FROM sk) AS BIGINT) AS is_member
+FROM probe
+"""
+
+
+BLOOM_SQL = _bloom_sql()
+
+
 def q_training_order_docs(sf_dir: str):
     """Deterministic global shuffle order for a training epoch
     (``stages/ordering.py:training_order``): rank by the salted
@@ -5423,6 +5483,7 @@ QUERIES = {
     "cube_docs": q_cube_docs,
     "table_checksum_events": q_table_checksum_events,
     "event_transitions": q_event_transitions,
+    "bloom_semi_join": q_bloom_semi_join,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -5944,6 +6005,7 @@ ORACLE_SQL = {
     "cube_docs": CUBE_SQL,
     "table_checksum_events": TABLE_CHECKSUM_SQL,
     "event_transitions": EVENT_TRANSITIONS_SQL,
+    "bloom_semi_join": BLOOM_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,
