@@ -82,3 +82,21 @@ def test_grouped_sum_parts(ray_session):
     assert out["k"].tolist() == [1, 2, 3]
     assert out["v"].tolist() == [100, 70, 40]
     assert out["n"].tolist() == [3, 2, 1]
+
+
+def test_triangle_counts_known_graph(ray_session):
+    """Hand-checked graph: K4 on {0,1,2,3} (4 triangles, each vertex in
+    3) plus a pendant edge 3-4 and a disconnected edge 5-6; direction
+    and multi-edges must not matter."""
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]  # directed both ways
+    edges = k4 + [(3, 4), (4, 3), (5, 6), (2, 2)]
+    t = pa.table({"src": pa.array([e[0] for e in edges], pa.int64()),
+                  "dst": pa.array([e[1] for e in edges], pa.int64())})
+    out = triangle_counts(rd.from_arrow(t).repartition(3),
+                          num_partitions=2, fanin=2).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_triangles"]))
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}

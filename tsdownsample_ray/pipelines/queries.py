@@ -5162,6 +5162,64 @@ FROM probe
 BLOOM_SQL = _bloom_sql()
 
 
+def q_triangle_counts_docs(sf_dir: str):
+    """Per-node triangle counts over the deterministic doc link graph
+    (``stages/graph.py:triangle_counts``): canonical-edge distinct, one
+    self-join on the middle vertex (wedges), one composite-key join to
+    close, hashpart per-node counts — exact enumeration, each triangle
+    found once."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.graph import triangle_counts
+
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    nodes = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id"]).repartition(4)
+
+    def _edges(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        ts = _graph_targets(d, n)
+        src = np.concatenate([d.astype(np.int64)] * 3)
+        dst = np.concatenate(ts)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = nodes.map_batches(_edges, batch_format="pyarrow")
+    return triangle_counts(edges, num_partitions=4, fanin=4)
+
+
+TRIANGLES_SQL = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+    SELECT doc_id AS src, (doc_id * 31 + 97) % (SELECT n FROM nn) AS dst
+    FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id * 31 + 194) % (SELECT n FROM nn)
+    FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id * 31 + 291) % (SELECT n FROM nn)
+    FROM documents
+),
+e AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM e0 WHERE src <> dst
+),
+w AS (
+    SELECT e1.a, e1.b, e2.b AS c
+    FROM e e1 JOIN e e2 ON e1.b = e2.a
+),
+t AS (
+    SELECT w.a, w.b, w.c
+    FROM w JOIN e e3 ON e3.a = w.a AND e3.b = w.c
+),
+v AS (
+    SELECT a AS doc_id FROM t
+    UNION ALL SELECT b FROM t
+    UNION ALL SELECT c FROM t
+)
+SELECT doc_id, count(*) AS n_triangles FROM v GROUP BY doc_id
+"""
+
+
 def q_training_order_docs(sf_dir: str):
     """Deterministic global shuffle order for a training epoch
     (``stages/ordering.py:training_order``): rank by the salted
@@ -5484,6 +5542,7 @@ QUERIES = {
     "table_checksum_events": q_table_checksum_events,
     "event_transitions": q_event_transitions,
     "bloom_semi_join": q_bloom_semi_join,
+    "triangle_counts_docs": q_triangle_counts_docs,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -6006,6 +6065,7 @@ ORACLE_SQL = {
     "table_checksum_events": TABLE_CHECKSUM_SQL,
     "event_transitions": EVENT_TRANSITIONS_SQL,
     "bloom_semi_join": BLOOM_SQL,
+    "triangle_counts_docs": TRIANGLES_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,

@@ -199,3 +199,65 @@ def pagerank(edges_ds, nodes_ds, *, node_col: str = "doc_id",
     return ranks.map_batches(
         lambda b: pa.table({node_col: b["v"], "pr_e9": b["r"]}),
         batch_format="pyarrow")
+
+
+def triangle_counts(edges_ds, *, src: str = "src", dst: str = "dst",
+                    num_partitions: int = 4, fanin: int = 8):
+    """Per-node triangle participation counts over the UNDIRECTED simple
+    graph induced by ``edges_ds`` (direction ignored, self-loops dropped,
+    multi-edges collapsed) — the graph-analytics workhorse behind
+    clustering coefficients and community/spam detection.
+
+    The join-based distributed form (no adjacency broadcast):
+
+    1. canonicalize ``a < b`` + hashpart DISTINCT (block-local collapse
+       first, constant-size exchange);
+    2. wedges: ONE hash join of edges with themselves on the middle
+       vertex — ``(a<b) x (b<c)`` yields each candidate ``a<b<c`` path
+       exactly once;
+    3. close: ONE composite-key hash join of wedges against edges on
+       ``(a, c)`` — each triangle materializes exactly once, so no /3
+       correction is needed;
+    4. per-node counts: 3 rows per triangle into the hashpart grouped
+       sum.
+
+    Exchange volume is the wedge count (sum of deg^2 over mid vertices)
+    — the unavoidable cost of exact triangle enumeration; at scale,
+    degree-cap the hub vertices upstream (the engine's standard
+    logged-truncation lever) before calling this.
+    """
+
+    def _canon(b: pa.Table) -> pa.Table:
+        s = b[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = np.minimum(s, d)
+        c = np.maximum(s, d)
+        keep = a != c
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(c[keep])})
+
+    edges = grouped_sum_parts(
+        edges_ds.map_batches(_canon, batch_format="pyarrow"),
+        ["a", "b"], [], count_col="m", fanin=fanin).map_batches(
+        lambda b: b.drop_columns(["m"]), batch_format="pyarrow")
+
+    e2 = edges.map_batches(
+        lambda b: pa.table({"b2": b["a"], "c": b["b"]}),
+        batch_format="pyarrow")
+    wedges = edges.join(e2, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("b",), right_on=("b2",))
+    e3 = edges.map_batches(
+        lambda b: pa.table({"a3": b["a"], "c3": b["b"]}),
+        batch_format="pyarrow")
+    tris = wedges.join(e3, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("a", "c"), right_on=("a3", "c3"))
+
+    def _vertices(b: pa.Table) -> pa.Table:
+        cols = [b[c].to_numpy(zero_copy_only=False).astype(np.int64)
+                for c in ("a", "b", "c")]
+        return pa.table({"doc_id": pa.array(np.concatenate(cols))})
+
+    return grouped_sum_parts(
+        tris.map_batches(_vertices, batch_format="pyarrow"),
+        ["doc_id"], [], count_col="n_triangles", fanin=fanin)
