@@ -165,3 +165,45 @@ def test_autocorrelation_validation(ray_session):
         autocorrelation(rd.from_arrow(t), lags=(), window_us=10)
     with pytest.raises(ValueError):
         autocorrelation(rd.from_arrow(t), lags=(0,), window_us=10)
+
+
+def test_spearman_via_rank2avg_matches_scipyless_replay(ray_session):
+    """rank2avg + pairwise_correlation == textbook Spearman (Pearson of
+    tie-averaged ranks) on fully-aligned series, including ties."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.correlate import pairwise_correlation
+    from tsdownsample_ray.stages.quantiles import rank2avg
+
+    rng = np.random.default_rng(23)
+    buckets = np.arange(40, dtype=np.int64)
+    va = rng.integers(0, 8, size=40).astype(np.int64)   # ties guaranteed
+    vb = (va * 3 + rng.integers(0, 5, size=40)).astype(np.int64)
+    df = pd.DataFrame({
+        "series_id": ["a"] * 40 + ["b"] * 40,
+        "bucket": np.concatenate([buckets, buckets]),
+        "sum_y": np.concatenate([va, vb]),
+    })
+    ranks = rank2avg(rd.from_pandas(df).repartition(4), num_partitions=2)
+    out = pairwise_correlation(ranks, num_partitions=2).to_pandas()
+    assert len(out) == 1
+
+    # textbook replay: average ranks (ties averaged), then Pearson
+    ra = pd.Series(va).rank(method="average").to_numpy()
+    rb = pd.Series(vb).rank(method="average").to_numpy()
+    want = np.corrcoef(ra, rb)[0, 1]
+    assert abs(out["corr"].iloc[0] - want) < 1e-12
+
+
+def test_rank2avg_values(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.quantiles import rank2avg
+
+    t = pa.table({"series_id": ["s"] * 5, "bucket": [1, 2, 3, 4, 5],
+                  "sum_y": np.array([7, 3, 7, 1, 3], dtype=np.int64)})
+    out = rank2avg(rd.from_arrow(t), num_partitions=1).to_pandas()
+    out = out.sort_values("bucket")
+    # values 1,3,3,7,7 -> avg ranks 1, 2.5, 2.5, 4.5, 4.5 -> doubled
+    assert list(out["sum_y"]) == [9, 5, 9, 2, 5]

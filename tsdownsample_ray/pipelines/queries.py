@@ -1244,6 +1244,78 @@ FROM st
 """
 
 
+def q_spearman_pairs_15m(sf_dir: str):
+    """Pairwise SPEARMAN correlation between event_type series
+    (``stages/quantiles.py:rank2avg`` + ``correlate.pairwise_correlation``):
+    tie-aware 2x-average-rank transform per series (exact int64, one
+    hash(series) shuffle), then Pearson over the co-populated buckets of
+    the rank values. Rank-once-then-align (the scalable Spearman
+    convention; per-pair re-ranking would be O(pairs x buckets)) —
+    replayed identically in SQL."""
+    from ..stages.correlate import pairwise_correlation
+    from ..stages.quantiles import rank2avg
+    from ..stages.rollup import rollup
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"),
+                    900 * US)
+    ranks = rank2avg(rolled, num_partitions=2)
+    return pairwise_correlation(ranks, num_partitions=2)
+
+
+SPEARMAN_SQL = """
+WITH e AS (
+    SELECT event_type, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+r AS (
+    SELECT event_type, ts_us // 900000000 * 900000000 AS bucket,
+           CAST(sum(cents) AS BIGINT) AS v
+    FROM e GROUP BY event_type, bucket
+),
+rk AS (
+    SELECT event_type, bucket,
+           2 * rank() OVER (PARTITION BY event_type ORDER BY v)
+           + count(*) OVER (PARTITION BY event_type, v) - 1 AS s
+    FROM r
+),
+p AS (
+    SELECT a.event_type AS s1, b.event_type AS s2, a.s AS x, b.s AS y
+    FROM rk a JOIN rk b
+      ON a.bucket = b.bucket AND a.event_type < b.event_type
+),
+st AS (
+    SELECT s1, s2, count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(sum(x * y) AS BIGINT) AS sum_xy,
+           CAST(sum(x * x) AS BIGINT) AS sum_xx,
+           CAST(sum(y * y) AS BIGINT) AS sum_yy
+    FROM p GROUP BY s1, s2
+)
+SELECT s1, s2, n, sum_x, sum_y, sum_xy, sum_xx, sum_yy,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                  - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE)
+                    - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+                  - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                         - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE)
+                           - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)))
+            ELSE NULL
+       END AS corr
+FROM st
+"""
+
+
 def q_ewma_15m(sf_dir: str):
     """Fixed-point EWMA (alpha = 1/8) over the 15m rollup tier
     (``stages/smoothing.py``): integer state, exact replay; the DuckDB
@@ -5543,6 +5615,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "bloom_semi_join": q_bloom_semi_join,
     "triangle_counts_docs": q_triangle_counts_docs,
+    "spearman_pairs_15m": q_spearman_pairs_15m,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -6066,6 +6139,7 @@ ORACLE_SQL = {
     "event_transitions": EVENT_TRANSITIONS_SQL,
     "bloom_semi_join": BLOOM_SQL,
     "triangle_counts_docs": TRIANGLES_SQL,
+    "spearman_pairs_15m": SPEARMAN_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,

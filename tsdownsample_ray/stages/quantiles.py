@@ -22,7 +22,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["exact_quantiles"]
+__all__ = ["exact_quantiles", "mad_outliers", "theil_sen",
+           "percentile_rank", "top_share", "winsorize", "rank2avg"]
 
 
 def exact_quantiles(rolled, probs=(50, 90, 99), *,
@@ -418,3 +419,63 @@ def winsorize(rolled, *, lo: int = 5, hi: int = 95,
     parted = rolled.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _clamp, batch_format="pyarrow")
+
+
+def rank2avg(rolled, *, series_col: str = "series_id",
+             order_col: str = "bucket", value_col: str = "sum_y",
+             num_partitions: int = 8):
+    """Tie-aware rank transform per series: for every row, TWICE its
+    average (fractional) rank within the series — ``2*rank() + c - 1``
+    with ``c`` the tie-group size — kept as an exact int64 so the
+    transform is bit-stable (the x2 cancels in any scale-invariant
+    consumer, e.g. Spearman = Pearson over these). Output
+    ``(series_id, bucket, sum_y=r2)``, ready for
+    :func:`~tsdownsample_ray.stages.correlate.pairwise_correlation`.
+
+    Same one-shuffle segment discipline as :func:`percentile_rank`."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _rank(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t[series_col].type
+        if t.num_rows == 0:
+            return pa.table({"series_id": pa.array([], s_type),
+                             "bucket": pa.array([], pa.int64()),
+                             "sum_y": pa.array([], pa.int64())})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (value_col, "ascending"),
+            (order_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(v)
+        heads = np.ones(m, dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        seg = np.flatnonzero(heads)
+        seg_of_row = np.cumsum(heads) - 1
+        pos = np.arange(m) - seg[seg_of_row]
+        newv = np.ones(m, dtype=bool)
+        newv[1:] = (v[1:] != v[:-1]) | heads[1:]
+        runs = np.flatnonzero(newv)
+        run_of_row = np.cumsum(newv) - 1
+        run_len = np.diff(np.append(runs, m))
+        first_pos = pos[runs][run_of_row]           # rank_lt
+        c = run_len[run_of_row]                     # tie-group size
+        r2 = 2 * (first_pos + 1) + c - 1            # 2 * average rank
+        return pa.table({"series_id": sid, "bucket": pa.array(bkt),
+                         "sum_y": pa.array(r2)})
+
+    parted = rolled.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _rank, batch_format="pyarrow")
