@@ -1316,6 +1316,53 @@ FROM st
 """
 
 
+def q_profile_events(sf_dir: str):
+    """Table profiling / ANALYZE (``stages/profile.py:profile_columns``):
+    per-column n / nulls / min / max / exact NDV over the events table in
+    one pass — constant-size moment partials plus the standard exact-ndv
+    exchange (per-block unique collapse, one hash(column,value)
+    shuffle)."""
+    from ..stages.profile import profile_columns
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"]).repartition(8)
+
+    def _cols(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"], "user_id": b["user_id"],
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                      ndigits=0), pa.int64()),
+        })
+
+    return profile_columns(ds.map_batches(_cols, batch_format="pyarrow"),
+                           ["event_id", "user_id", "ts_us", "cents"],
+                           num_partitions=4)
+
+
+PROFILE_SQL = """
+WITH e AS (
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+)
+SELECT 'event_id' AS column, count(*) AS n,
+       count(*) - count(event_id) AS n_null,
+       min(event_id) AS min_v, max(event_id) AS max_v,
+       count(DISTINCT event_id) AS ndv FROM e
+UNION ALL
+SELECT 'user_id', count(*), count(*) - count(user_id),
+       min(user_id), max(user_id), count(DISTINCT user_id) FROM e
+UNION ALL
+SELECT 'ts_us', count(*), count(*) - count(ts_us),
+       min(ts_us), max(ts_us), count(DISTINCT ts_us) FROM e
+UNION ALL
+SELECT 'cents', count(*), count(*) - count(cents),
+       min(cents), max(cents), count(DISTINCT cents) FROM e
+"""
+
+
 def q_ewma_15m(sf_dir: str):
     """Fixed-point EWMA (alpha = 1/8) over the 15m rollup tier
     (``stages/smoothing.py``): integer state, exact replay; the DuckDB
@@ -5616,6 +5663,7 @@ QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
     "triangle_counts_docs": q_triangle_counts_docs,
     "spearman_pairs_15m": q_spearman_pairs_15m,
+    "profile_events": q_profile_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -6140,6 +6188,7 @@ ORACLE_SQL = {
     "bloom_semi_join": BLOOM_SQL,
     "triangle_counts_docs": TRIANGLES_SQL,
     "spearman_pairs_15m": SPEARMAN_SQL,
+    "profile_events": PROFILE_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,
