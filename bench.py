@@ -101,7 +101,9 @@ def run_bench() -> dict:
         "tfidf_terms", "span_dedup_docs", "repetition_docs",
         "contamination_docs", "resample_linear_15m",
         "postings_docs", "canonical_urls_docs", "snapshot_diff_docs",
-        "funnel_users", "bpe_tokenize_docs")
+        "funnel_users", "bpe_tokenize_docs",
+        "cms_heavy_hitters_docs", "bloom_semi_join",
+        "triangle_counts_docs")
     for qname in qnames:
         best = None
         # min-of-n: throttle bursts vary timings ~3x; the two join-heavy

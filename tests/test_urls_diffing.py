@@ -103,3 +103,33 @@ def test_holt_matches_recursion(ray_session):
     for _, r in got.iterrows():
         assert exp[(r["series_id"], r["bucket"])] == \
             (r["level"], r["trend"], r["forecast"])
+
+
+def test_state_changes_lossless_runs(ray_session):
+    """state_changes keeps exactly the first row + value changes per
+    series; run_len sums back to the input row count (lossless)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.diffing import state_changes
+
+    rng = np.random.default_rng(8)
+    n = 600
+    df = pd.DataFrame({
+        "series_id": rng.choice(["a", "b"], size=n),
+        "ts_us": rng.permutation(n).astype("int64"),
+        "event_id": np.arange(n, dtype="int64"),
+        "v": rng.integers(0, 3, size=n).astype("int64"),   # runs likely
+    })
+    out = state_changes(rd.from_pandas(df).repartition(5),
+                        num_partitions=3).to_pandas()
+    assert out["run_len"].sum() == n
+    for s, g in df.sort_values(["ts_us", "event_id"]).groupby("series_id"):
+        v = g["v"].to_numpy()
+        keep = np.ones(len(v), dtype=bool)
+        keep[1:] = v[1:] != v[:-1]
+        want_ids = g["event_id"].to_numpy()[keep]
+        got = out[out.series_id == s].sort_values("ts_us")
+        assert list(got["event_id"]) == list(want_ids)
+        runs = np.diff(np.append(np.flatnonzero(keep), len(v)))
+        assert list(got["run_len"]) == list(runs)

@@ -1363,6 +1363,58 @@ SELECT 'cents', count(*), count(*) - count(cents),
 """
 
 
+def q_state_changes_events(sf_dir: str):
+    """State-change compression (``stages/diffing.py:state_changes``):
+    per event_type series keep the first event + every value change; the
+    kept rows losslessly encode step-function telemetry (``run_len``
+    audit sums back to the input row count). One hash(series) shuffle,
+    one sorted shift-compare pass. Values are quantized to decicents
+    (cents // 10) so runs actually occur."""
+    from ..stages.diffing import state_changes
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"]).repartition(8)
+
+    def _cols(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                 ndigits=0), pa.int64())
+        return pa.table({
+            "series_id": b["event_type"],
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "event_id": b["event_id"],
+            "v": pc.divide(cents, pa.scalar(1000, pa.int64())),
+        })
+
+    return state_changes(ds.map_batches(_cols, batch_format="pyarrow"),
+                         num_partitions=4)
+
+
+STATE_CHANGES_SQL = """
+WITH e AS (
+    SELECT event_type AS series_id, epoch_us(ts) AS ts_us, event_id,
+           CAST(round(value * 100) AS BIGINT) // 1000 AS v
+    FROM events
+),
+s AS (
+    SELECT *,
+           lag(v) OVER w AS prev_v,
+           row_number() OVER w AS rk,
+           count(*) OVER (PARTITION BY series_id) AS n_rows
+    FROM e
+    WINDOW w AS (PARTITION BY series_id ORDER BY ts_us, event_id)
+),
+kept AS (
+    SELECT series_id, ts_us, event_id, v, rk, n_rows,
+           lead(rk) OVER (PARTITION BY series_id ORDER BY rk) AS next_rk
+    FROM s WHERE prev_v IS NULL OR v <> prev_v
+)
+SELECT series_id, ts_us, event_id, v,
+       CAST(COALESCE(next_rk, n_rows + 1) - rk AS BIGINT) AS run_len
+FROM kept
+"""
+
+
 def q_ewma_15m(sf_dir: str):
     """Fixed-point EWMA (alpha = 1/8) over the 15m rollup tier
     (``stages/smoothing.py``): integer state, exact replay; the DuckDB
@@ -5664,6 +5716,7 @@ QUERIES = {
     "triangle_counts_docs": q_triangle_counts_docs,
     "spearman_pairs_15m": q_spearman_pairs_15m,
     "profile_events": q_profile_events,
+    "state_changes_events": q_state_changes_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -6189,6 +6242,7 @@ ORACLE_SQL = {
     "triangle_counts_docs": TRIANGLES_SQL,
     "spearman_pairs_15m": SPEARMAN_SQL,
     "profile_events": PROFILE_SQL,
+    "state_changes_events": STATE_CHANGES_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,

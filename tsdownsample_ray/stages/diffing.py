@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["snapshot_diff"]
+__all__ = ["snapshot_diff", "state_changes"]
 
 _STATUS = {0: "removed", 1: "added", 2: "same", 3: "changed"}
 
@@ -96,3 +96,60 @@ def snapshot_diff(old_ds, new_ds, *, key_col: str = "url",
 
     return tagged.repartition(num_partitions).groupby("__part").map_groups(
         _classify, batch_format="pyarrow")
+
+
+def state_changes(ds, *, series_col: str = "series_id",
+                  ts_col: str = "ts_us", id_col: str = "event_id",
+                  value_col: str = "v", num_partitions: int = 8):
+    """State-change compression: per series (ordered by ts, id), keep the
+    first row and every row whose value differs from its predecessor —
+    the lossless encoding for step-function telemetry (feature flags,
+    device states, status gauges), where the kept rows ARE the series.
+
+    One hash(series) shuffle, one sorted vectorized pass (shift-compare
+    with series-boundary reset); output keeps the input columns plus
+    ``run_len`` — how many consecutive input rows the kept row stands
+    for (so ``sum(run_len) == n input rows`` is the lossless audit).
+    SQL: ``lag() OVER`` inequality filter + lead-position arithmetic."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _compress(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t[series_col].type
+        if t.num_rows == 0:
+            return pa.table({series_col: pa.array([], s_type),
+                             ts_col: pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             value_col: pa.array([], pa.int64()),
+                             "run_len": pa.array([], pa.int64())})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (ts_col, "ascending"),
+            (id_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(v)
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = (codes[1:] != codes[:-1]) | (v[1:] != v[:-1])
+        starts = np.flatnonzero(keep)
+        run_len = np.diff(np.append(starts, n))
+        kept = t.take(pa.array(starts))
+        return pa.table({
+            series_col: kept[series_col],
+            ts_col: kept[ts_col], id_col: kept[id_col],
+            value_col: kept[value_col],
+            "run_len": pa.array(run_len)})
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _compress, batch_format="pyarrow")
