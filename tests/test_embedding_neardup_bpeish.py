@@ -105,3 +105,49 @@ def test_embedding_near_dup_exact_finds_planted(ray_session):
         d, na, nb = int(r["dot_ab"]), int(r["norm2_a"]), int(r["norm2_b"])
         assert d > 0 and 25 * d * d >= 16 * na * nb
     assert not (pairs - planted)  # no false pair among near-orthogonal base
+
+
+def test_kmeans_integer_vs_replay(ray_session):
+    """kmeans_integer == a straight numpy Lloyd replay with the same
+    deterministic rules (trunc quantize, first-index argmin, trunc-div
+    centroid update), on any partitioning."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.similarity import kmeans_integer
+
+    rng = np.random.default_rng(3)
+    n, d, k, updates = 120, 8, 3, 2
+    E = rng.standard_normal((n, d)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(list(E))})
+    out = kmeans_integer(rd.from_arrow(t).repartition(5), k=k,
+                         updates=updates, scale=1000,
+                         num_partitions=2).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+
+    Q = np.trunc(E.astype(np.float64) * 1000).astype(np.int64)
+    C = Q[:k].copy()
+
+    def assign(Q, C):
+        qq = np.einsum("ij,ij->i", Q, Q)
+        cc = np.einsum("ij,ij->i", C, C)
+        d2 = qq[:, None] + cc[None, :] - 2 * (Q @ C.T)
+        a = np.argmin(d2, axis=1)
+        return a, d2[np.arange(n), a]
+
+    for _ in range(updates):
+        a, _ = assign(Q, C)
+        for kk in range(k):
+            m = a == kk
+            if m.any():
+                s = Q[m].sum(axis=0)
+                nn = int(m.sum())
+                C[kk] = np.where(s >= 0, s // nn, -((-s) // nn))
+    a, d2 = assign(Q, C)
+    assert list(out["cluster"]) == list(a)
+    assert list(out["d2"]) == list(d2)
+    # all k clusters in use on gaussian data
+    assert out["cluster"].nunique() == k

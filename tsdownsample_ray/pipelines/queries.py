@@ -1415,6 +1415,72 @@ FROM kept
 """
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Integer Lloyd k-means (k=4, 2 updates) over the embeddings table
+    (``stages/similarity.py:kmeans_integer``): trunc-quantized int64
+    components, exact integer distances, floor-division centroid
+    updates, smallest-id tie-breaks — every iteration replays in SQL
+    (unrolled CTEs with DuckDB list arithmetic). Per round: broadcast
+    centroids, map-side k x d partial sums, constant-size hashpart
+    merge."""
+    from ..stages.similarity import kmeans_integer
+
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"]).repartition(4)
+    return kmeans_integer(ds, k=4, updates=2, scale=1000,
+                          num_partitions=4)
+
+
+def _kmeans_sql(k: int = 4, updates: int = 2, scale: int = 1000,
+                dim: int = 64) -> str:
+    d2 = ("list_dot_product(q.v, q.v) + list_dot_product(c.v, c.v)"
+          " - 2 * list_dot_product(q.v, c.v)")
+    ctes = [f"""q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(trunc(CAST(x AS DOUBLE) * {scale}) AS BIGINT))
+               AS v
+    FROM embeddings
+)""", f"""c0 AS (SELECT vec_id AS k, v FROM q WHERE vec_id < {k})"""]
+
+    def _assign(name: str, cprev: str) -> str:
+        return f"""{name} AS (
+    SELECT vec_id, k, d2 FROM (
+        SELECT q.vec_id, c.k, CAST({d2} AS BIGINT) AS d2,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {d2}, c.k) AS rn
+        FROM q CROSS JOIN {cprev} c)
+    WHERE rn = 1
+)"""
+
+    cprev = "c0"
+    for it in range(1, updates + 1):
+        ctes.append(_assign(f"a{it}", cprev))
+        ctes.append(f"""s{it} AS (
+    SELECT a.k, r.range AS i, CAST(sum(q.v[r.range]) AS BIGINT) AS s,
+           count(*) AS n
+    FROM a{it} a JOIN q USING (vec_id) CROSS JOIN range(1, {dim + 1}) r
+    GROUP BY a.k, r.range
+)""")
+        ctes.append(f"""c{it} AS (
+    SELECT p.k, list(CASE WHEN s.n IS NULL THEN p.v[r.range]
+                          ELSE s.s // s.n END ORDER BY r.range) AS v
+    FROM {cprev} p CROSS JOIN range(1, {dim + 1}) r
+    LEFT JOIN s{it} s ON s.k = p.k AND s.i = r.range
+    GROUP BY p.k
+)""")
+        cprev = f"c{it}"
+    ctes.append(_assign("afinal", cprev))
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT vec_id, k AS cluster, d2 FROM afinal
+"""
+
+
+KMEANS_SQL = _kmeans_sql()
+
+
 def q_ewma_15m(sf_dir: str):
     """Fixed-point EWMA (alpha = 1/8) over the 15m rollup tier
     (``stages/smoothing.py``): integer state, exact replay; the DuckDB
@@ -5717,6 +5783,7 @@ QUERIES = {
     "spearman_pairs_15m": q_spearman_pairs_15m,
     "profile_events": q_profile_events,
     "state_changes_events": q_state_changes_events,
+    "kmeans_embeddings": q_kmeans_embeddings,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -6243,6 +6310,7 @@ ORACLE_SQL = {
     "spearman_pairs_15m": SPEARMAN_SQL,
     "profile_events": PROFILE_SQL,
     "state_changes_events": STATE_CHANGES_SQL,
+    "kmeans_embeddings": KMEANS_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,

@@ -16,7 +16,8 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["embedding_matrix", "knn_bruteforce", "train_ivf_centroids",
-           "assign_lists_batch", "knn_ivf", "embedding_near_dup_pairs"]
+           "assign_lists_batch", "knn_ivf", "embedding_near_dup_pairs",
+           "kmeans_integer"]
 
 
 def embedding_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
@@ -333,3 +334,112 @@ def embedding_near_dup_pairs_exact(ds, *, tau_num: int = 4,
         return t.filter(pa.array(keep))
 
     return j2.map_batches(_verify, batch_format="pyarrow")
+
+
+def kmeans_integer(ds, *, k: int = 4, updates: int = 2, scale: int = 1000,
+                   id_col: str = "vec_id", col: str = "embedding",
+                   num_partitions: int = 4):
+    """Integer Lloyd k-means over an embedding column — the clustering
+    workhorse behind IVF index builds, dataset balancing and topic
+    bucketing — made bit-deterministic so the WHOLE iteration replays in
+    SQL: components quantize as ``trunc(v * scale)`` (int64), distances
+    are exact integer cross products, argmin ties break to the smallest
+    cluster id, and centroid updates are elementwise TRUNCATING division
+    toward zero — DuckDB's integer ``//`` semantic, NOT Python's floor —
+    (empty clusters keep their previous centroid).
+
+    Init: clusters 0..k-1 seed from the vectors with ``id < k``
+    (documented contract: those ids exist — true for the 0-based corpus).
+
+    Distributed shape per round: centroids broadcast via ``ray.put``
+    (k x d ints), map-side per-cluster partial sums + counts
+    (``np.add.at``, one k*d-row partial per block), hashpart merge of the
+    constant-size partials, driver update of the k x d array. The
+    quantized input is materialized ONCE and re-scanned per round — the
+    standard iterative-ML residency assumption (at 100 TB the embedding
+    projection, not the corpus, is what must fit the aggregate object
+    store; it spills if not).
+
+    Returns the FINAL assignment ``(vec_id, cluster, d2)`` after
+    ``updates`` centroid updates (i.e. ``updates + 1`` assignment
+    passes, matching the SQL unroll).
+    """
+    import ray
+
+    from .graph import grouped_sum_parts
+
+    if k < 1 or updates < 0:
+        raise ValueError(f"need k >= 1, updates >= 0; got {k}, {updates}")
+
+    def _q(b: pa.Table) -> pa.Table:
+        E = embedding_matrix(b, col)
+        Q = np.trunc(E * scale).astype(np.int64)
+        flat = pa.array(Q.ravel())
+        off = pa.array(np.arange(0, (len(Q) + 1) * Q.shape[1],
+                                 Q.shape[1], dtype=np.int32))
+        return pa.table({id_col: b[id_col],
+                         "v": pa.ListArray.from_arrays(off, flat)})
+
+    qds = ds.map_batches(_q, batch_format="pyarrow").materialize()
+
+    def _qmat(b: pa.Table) -> np.ndarray:
+        arr = b["v"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(arr), -1).astype(np.int64)
+
+    seeds = qds.filter(expr=f"{id_col} < {k}").take_all()
+    if len(seeds) != k:
+        raise ValueError(f"init needs ids 0..{k - 1}; found {len(seeds)}")
+    seeds.sort(key=lambda r: r[id_col])
+    C = np.array([r["v"] for r in seeds], dtype=np.int64)
+    d = C.shape[1]
+
+    def _assign(Q: np.ndarray, Cm: np.ndarray):
+        qq = np.einsum("ij,ij->i", Q, Q)
+        cc = np.einsum("ij,ij->i", Cm, Cm)
+        d2 = qq[:, None] + cc[None, :] - 2 * (Q @ Cm.T)
+        a = np.argmin(d2, axis=1)  # ties -> smallest cluster id
+        return a, d2[np.arange(len(a)), a]
+
+    for _ in range(updates):
+        cref = ray.put(C)
+
+        def _partial(b: pa.Table) -> pa.Table:
+            Cm = ray.get(cref)
+            Q = _qmat(b)
+            a, _d2 = _assign(Q, Cm)
+            sums = np.zeros((k, d), np.int64)
+            np.add.at(sums, a, Q)
+            n = np.bincount(a, minlength=k).astype(np.int64)
+            ks = np.repeat(np.arange(k, dtype=np.int64), d)
+            return pa.table({
+                "k": pa.array(ks),
+                "i": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+                "s": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(n, d))})
+
+        cells = grouped_sum_parts(
+            qds.map_batches(_partial, batch_format="pyarrow"),
+            ["k", "i"], ["s", "n"], count_col=None, fanin=2)
+        newC = C.copy()
+        for row in cells.take_all():  # k*d rows: bounded constant
+            if row["n"] > 0:
+                s, nn = row["s"], row["n"]
+                # trunc toward zero (DuckDB //), not Python floor
+                newC[row["k"], row["i"]] = (s // nn if s >= 0
+                                            else -((-s) // nn))
+        C = newC
+
+    cref = ray.put(C)
+
+    def _final(b: pa.Table) -> pa.Table:
+        Cm = ray.get(cref)
+        Q = _qmat(b)
+        a, d2 = _assign(Q, Cm)
+        return pa.table({id_col: b[id_col],
+                         "cluster": pa.array(a.astype(np.int64)),
+                         "d2": pa.array(d2.astype(np.int64))})
+
+    return qds.map_batches(_final, batch_format="pyarrow")
