@@ -5689,6 +5689,55 @@ FROM r
 MIXTURE_ORDER_SQL = _mixture_order_sql()
 
 
+def q_gap_profile_events(sf_dir: str):
+    """Per-series inter-arrival heartbeat profile
+    (``stages/rate.py:gap_profile``): one hash(event_type) shuffle, then
+    vectorized segment reductions over the sorted deltas — n_events,
+    n_gaps, min/max/sum gap, pinned-IEEE mean, and an SLA counter of
+    gaps > 120 s. Single-event series yield null min/max/mean."""
+    from ..stages.rate import gap_profile
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type"]).repartition(8)
+
+    def _cols(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "series_id": b["event_type"],
+            "x": pc.cast(b["ts"], pa.int64()),
+            "event_id": b["event_id"],
+        })
+
+    return gap_profile(ds.map_batches(_cols, batch_format="pyarrow"),
+                       over_us=120 * US, id_col="event_id",
+                       num_partitions=4)
+
+
+GAP_PROFILE_SQL = f"""
+WITH e AS (
+    SELECT event_type AS series_id, epoch_us(ts) AS ts_us, event_id
+    FROM events
+),
+d AS (
+    SELECT series_id,
+           ts_us - lag(ts_us) OVER (PARTITION BY series_id
+                                    ORDER BY ts_us, event_id) AS gap
+    FROM e
+)
+SELECT series_id,
+       count(*) AS n_events,
+       count(gap) AS n_gaps,
+       min(gap) AS min_gap_us,
+       max(gap) AS max_gap_us,
+       CAST(coalesce(sum(gap), 0) AS BIGINT) AS sum_gap_us,
+       CASE WHEN count(gap) > 0
+            THEN CAST(sum(gap) AS DOUBLE) / count(gap) END AS mean_gap_us,
+       CAST(coalesce(sum(CASE WHEN gap > {120 * US} THEN 1 END), 0)
+            AS BIGINT) AS n_gaps_over
+FROM d GROUP BY series_id
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -5784,6 +5833,7 @@ QUERIES = {
     "profile_events": q_profile_events,
     "state_changes_events": q_state_changes_events,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "gap_profile_events": q_gap_profile_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -6311,6 +6361,7 @@ ORACLE_SQL = {
     "profile_events": PROFILE_SQL,
     "state_changes_events": STATE_CHANGES_SQL,
     "kmeans_embeddings": KMEANS_SQL,
+    "gap_profile_events": GAP_PROFILE_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,

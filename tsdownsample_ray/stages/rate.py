@@ -297,3 +297,95 @@ def cusum(ds, *, target: int, slack: int, h: int,
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _scan, batch_format="pyarrow")
+
+
+def gap_profile(ds, *, over_us: int, series_col: str = "series_id",
+                x_col: str = "x", id_col: str | None = None,
+                num_partitions: int = 16):
+    """Per-series inter-arrival (heartbeat) profile: sort each series by
+    ``(x, id)`` and reduce the consecutive deltas to ``(series_id,
+    n_events, n_gaps, min_gap_us, max_gap_us, sum_gap_us, mean_gap_us,
+    n_gaps_over)`` where ``n_gaps_over`` counts deltas strictly greater
+    than ``over_us`` (missed-heartbeat / SLA-breach detector).
+
+    Shape: ONE hash(series) shuffle; inside each partition the deltas and
+    all eight stats come from vectorized segment reductions
+    (``np.minimum.reduceat`` over series run starts) — no per-row Python.
+    All stats are exact int64 (mean is the pinned IEEE ``sum/n`` double);
+    single-event series report ``n_gaps = 0`` and null min/max/mean.
+    SQL restatement: ``lag(x) OVER (PARTITION BY series ORDER BY x, id)``
+    deltas + plain aggregates."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    sort_keys = [(series_col, "ascending"), (x_col, "ascending")]
+    if id_col is not None:
+        sort_keys.append((id_col, "ascending"))
+
+    def _profile(g: pa.Table) -> pa.Table:
+        sid_type = g[series_col].type
+        empty = pa.table({
+            "series_id": pa.array([], sid_type),
+            "n_events": pa.array([], pa.int64()),
+            "n_gaps": pa.array([], pa.int64()),
+            "min_gap_us": pa.array([], pa.int64()),
+            "max_gap_us": pa.array([], pa.int64()),
+            "sum_gap_us": pa.array([], pa.int64()),
+            "mean_gap_us": pa.array([], pa.float64()),
+            "n_gaps_over": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        t = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(x)
+        heads = np.ones(n, dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        n_events = np.diff(np.append(starts, n))
+        # deltas exist at rows that are NOT series heads
+        delta = np.empty(n, dtype=np.int64)
+        delta[1:] = x[1:] - x[:-1]
+        delta[heads] = 0
+        gap_rows = ~heads
+        n_gaps = n_events - 1
+        has_gap = n_gaps > 0
+        # reduceat over [start+1, next_start) windows, guarded for 1-row series
+        sum_gap = np.add.reduceat(delta, starts)  # heads contribute 0
+        over = (delta > over_us) & gap_rows
+        n_over = np.add.reduceat(over.astype(np.int64), starts)
+        # min/max need the head slot neutralized
+        big = np.iinfo(np.int64).max
+        dmin = np.where(gap_rows, delta, big)
+        dmax = np.where(gap_rows, delta, np.iinfo(np.int64).min)
+        min_gap = np.minimum.reduceat(dmin, starts)
+        max_gap = np.maximum.reduceat(dmax, starts)
+        mean_gap = np.where(has_gap,
+                            sum_gap.astype(np.float64) /
+                            np.maximum(n_gaps, 1), np.nan)
+        return pa.table({
+            "series_id": sid.take(pa.array(starts)),
+            "n_events": pa.array(n_events),
+            "n_gaps": pa.array(n_gaps),
+            "min_gap_us": pa.array(min_gap, pa.int64(), mask=~has_gap),
+            "max_gap_us": pa.array(max_gap, pa.int64(), mask=~has_gap),
+            "sum_gap_us": pa.array(sum_gap),
+            "mean_gap_us": pa.array(np.nan_to_num(mean_gap), pa.float64(),
+                                    mask=~has_gap),
+            "n_gaps_over": pa.array(n_over),
+        })
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _profile, batch_format="pyarrow")
