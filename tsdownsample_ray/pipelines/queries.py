@@ -5738,6 +5738,63 @@ FROM d GROUP BY series_id
 """
 
 
+def q_purchase_impact_events(sf_dir: str):
+    """Temporal overlap join without an equi-key
+    (``stages/joins.py:interval_count_join``): for every 'error' event's
+    30-minute impact window, count 'purchase' events inside it and sum
+    their integer cents. Grid-bucketed — both sides shuffle ONCE on the
+    30-minute time cell, each interval touches <= 2 cells, matching is
+    two searchsorted probes against a prefix-sum. LEFT-join semantics:
+    zero-purchase windows report 0/0."""
+    from ..stages.joins import interval_count_join
+
+    win = 1800 * US
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"]).repartition(8)
+
+    def _pts(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], "purchase"))
+        return pa.table({
+            "x": pc.cast(b["ts"], pa.int64()),
+            "cv": pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                   ndigits=0), pa.int64()),
+        })
+
+    def _ivls(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], "error"))
+        ts = pc.cast(b["ts"], pa.int64())
+        return pa.table({
+            "ivl_id": b["event_id"],
+            "start_us": ts,
+            "end_us": pc.add(ts, win),
+        })
+
+    pts = ev.map_batches(_pts, batch_format="pyarrow")
+    ivls = ev.map_batches(_ivls, batch_format="pyarrow")
+    return interval_count_join(pts, ivls, cell_us=win, val_col="cv",
+                               num_partitions=8)
+
+
+PURCHASE_IMPACT_SQL = f"""
+WITH p AS (
+    SELECT epoch_us(ts) AS x,
+           CAST(round(value * 100) AS BIGINT) AS cv
+    FROM events WHERE event_type = 'purchase'
+),
+iv AS (
+    SELECT event_id AS ivl_id, epoch_us(ts) AS start_us,
+           epoch_us(ts) + {1800 * US} AS end_us
+    FROM events WHERE event_type = 'error'
+)
+SELECT iv.ivl_id, iv.start_us, iv.end_us,
+       count(p.x) AS n_points,
+       CAST(coalesce(sum(p.cv), 0) AS BIGINT) AS sum_val
+FROM iv LEFT JOIN p ON p.x BETWEEN iv.start_us AND iv.end_us
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -5834,6 +5891,7 @@ QUERIES = {
     "state_changes_events": q_state_changes_events,
     "kmeans_embeddings": q_kmeans_embeddings,
     "gap_profile_events": q_gap_profile_events,
+    "purchase_impact_events": q_purchase_impact_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -6362,6 +6420,7 @@ ORACLE_SQL = {
     "state_changes_events": STATE_CHANGES_SQL,
     "kmeans_embeddings": KMEANS_SQL,
     "gap_profile_events": GAP_PROFILE_SQL,
+    "purchase_impact_events": PURCHASE_IMPACT_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,
