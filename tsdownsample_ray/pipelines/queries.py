@@ -5795,6 +5795,70 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_activity_coverage_events(sf_dir: str):
+    """Interval union / coverage (``stages/intervals.py:interval_union``):
+    every event opens a 10-minute activity window ``[ts, ts+600s)``;
+    per user, merge overlapping-or-touching windows into islands and
+    report total covered time, island count, and the longest island.
+    One hash(user) shuffle + a single reset-free sweep-line pass."""
+    from ..stages.intervals import interval_union
+
+    w = 600 * US
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts"]).repartition(8)
+
+    def _ivls(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["ts"], pa.int64())
+        return pa.table({
+            "series_id": b["user_id"],
+            "start_us": ts,
+            "end_us": pc.add(ts, w),
+        })
+
+    return interval_union(ev.map_batches(_ivls, batch_format="pyarrow"),
+                          num_partitions=8)
+
+
+ACTIVITY_COVERAGE_SQL = f"""
+WITH iv AS (
+    SELECT user_id AS series_id, epoch_us(ts) AS s,
+           epoch_us(ts) + {600 * US} AS e
+    FROM events
+),
+m AS (
+    SELECT series_id, s, e,
+           max(e) OVER (PARTITION BY series_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+    FROM iv
+),
+g AS (
+    SELECT series_id, s, e,
+           CASE WHEN prev_max IS NULL OR s > prev_max
+                THEN 1 ELSE 0 END AS brk
+    FROM m
+),
+isl AS (
+    SELECT series_id, s, e,
+           sum(brk) OVER (PARTITION BY series_id ORDER BY s, e
+                          ROWS UNBOUNDED PRECEDING) AS island
+    FROM g
+),
+a AS (
+    SELECT series_id, island, min(s) AS i_s, max(e) AS i_e,
+           count(*) AS n_iv
+    FROM isl GROUP BY 1, 2
+)
+SELECT series_id,
+       CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+       count(*) AS n_islands,
+       CAST(sum(i_e - i_s) AS BIGINT) AS covered_us,
+       CAST(max(i_e - i_s) AS BIGINT) AS max_island_us
+FROM a GROUP BY 1
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -5892,6 +5956,7 @@ QUERIES = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "gap_profile_events": q_gap_profile_events,
     "purchase_impact_events": q_purchase_impact_events,
+    "activity_coverage_events": q_activity_coverage_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -6421,6 +6486,7 @@ ORACLE_SQL = {
     "kmeans_embeddings": KMEANS_SQL,
     "gap_profile_events": GAP_PROFILE_SQL,
     "purchase_impact_events": PURCHASE_IMPACT_SQL,
+    "activity_coverage_events": ACTIVITY_COVERAGE_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,

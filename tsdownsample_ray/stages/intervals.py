@@ -1,0 +1,107 @@
+"""Interval-set operators: union / coverage (gaps-and-islands merge).
+
+No counterpart in the reference (a kernel library; see SURVEY.md §2.4);
+mandated by the build brief's custom-operator list. Classic uses: total
+user-activity time from per-event activity windows, SLA uptime from
+incident intervals, covered-airtime audits.
+
+Scale shape: ONE hash(series) shuffle, then each partition runs a single
+vectorized sweep-line pass over ALL its series at once. The sweep needs
+no per-series reset: every interval contributes a +1 at ``start`` and a
+-1 at ``end``, so the running depth returns to exactly 0 at each series
+boundary — ``np.cumsum`` over the (series, pos, +1-first) sorted deltas
+is already the per-series depth. Island starts are 0→1 transitions,
+ends are 1→0; the k-th start pairs with the k-th end, so per-island
+lengths and per-series reductions are plain ``np.*.reduceat`` calls.
+No per-row or per-series Python.
+
+Intervals are half-open ``[start, end)`` integer microseconds; touching
+intervals (``next.start == prev.end``) merge (the +1 sorts before the
+-1 at equal positions). Zero-length intervals (``end <= start``) cover
+nothing and are dropped before the sweep."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["interval_union"]
+
+
+def interval_union(ds, *, series_col: str = "series_id",
+                   start_col: str = "start_us", end_col: str = "end_us",
+                   num_partitions: int = 16):
+    """Merge each series' overlapping-or-touching ``[start, end)``
+    intervals into islands and reduce: ``(series_id, n_intervals,
+    n_islands, covered_us, max_island_us)``.
+
+    SQL restatement: gaps-and-islands — break where ``start >
+    max(end) OVER (... ROWS ... 1 PRECEDING)``, then two GROUP BYs."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        sid_type = g[series_col].type
+        empty = pa.table({
+            "series_id": pa.array([], sid_type),
+            "n_intervals": pa.array([], pa.int64()),
+            "n_islands": pa.array([], pa.int64()),
+            "covered_us": pa.array([], pa.int64()),
+            "max_island_us": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        s = pc.cast(g[start_col], pa.int64()).to_numpy(zero_copy_only=False)
+        e = pc.cast(g[end_col], pa.int64()).to_numpy(zero_copy_only=False)
+        live = e > s  # zero/negative length covers nothing
+        g = g.filter(pa.array(live))
+        if g.num_rows == 0:
+            return empty
+        s, e = s[live], e[live]
+        sid = g[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        enc = sid.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(s)
+        # sweep events: (+1 at start sorts before -1 at end on ties)
+        ev_sid = np.concatenate([codes, codes])
+        ev_pos = np.concatenate([s, e])
+        ev_delta = np.concatenate([np.ones(n, dtype=np.int64),
+                                   np.full(n, -1, dtype=np.int64)])
+        order = np.lexsort((-ev_delta, ev_pos, ev_sid))
+        ev_sid, ev_pos, ev_delta = (ev_sid[order], ev_pos[order],
+                                    ev_delta[order])
+        depth = np.cumsum(ev_delta)  # per-series: each series nets to 0
+        is_start = (ev_delta == 1) & (depth == 1)
+        is_end = (ev_delta == -1) & (depth == 0)
+        isl_sid = ev_sid[is_start]
+        isl_len = ev_pos[is_end] - ev_pos[is_start]
+        # per-series reductions over the (already sid-sorted) islands
+        heads = np.ones(len(isl_sid), dtype=bool)
+        heads[1:] = isl_sid[1:] != isl_sid[:-1]
+        starts = np.flatnonzero(heads)
+        n_islands = np.diff(np.append(starts, len(isl_sid)))
+        covered = np.add.reduceat(isl_len, starts)
+        max_isl = np.maximum.reduceat(isl_len, starts)
+        # n_intervals per series, aligned to the same series order
+        uniq_codes = isl_sid[starts]
+        n_ivls = np.bincount(codes, minlength=int(codes.max()) + 1)
+        return pa.table({
+            "series_id": enc.dictionary.take(pa.array(uniq_codes)),
+            "n_intervals": pa.array(n_ivls[uniq_codes]),
+            "n_islands": pa.array(n_islands),
+            "covered_us": pa.array(covered),
+            "max_island_us": pa.array(max_isl),
+        })
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _sweep, batch_format="pyarrow")
