@@ -5859,6 +5859,55 @@ FROM a GROUP BY 1
 """
 
 
+def q_skyline_orders(sf_dir: str):
+    """2-D Pareto skyline (``stages/skyline.py:skyline2d``): the orders no
+    other order beats on BOTH recency and total price — grid-bucketed by
+    order-date day, per-cell max broadcast as an exclusive suffix
+    threshold, one cell-hash shuffle, vectorized frontier scan."""
+    from ..stages.skyline import skyline2d
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"]).repartition(8)
+
+    def _cols(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "order_date_us": pc.cast(b["o_orderdate"], pa.int64()),
+            "price_cents": pc.cast(
+                pc.round(pc.multiply(b["o_totalprice"], 100.0), ndigits=0),
+                pa.int64()),
+        })
+
+    return skyline2d(ds.map_batches(_cols, batch_format="pyarrow"),
+                     x_col="order_date_us", y_col="price_cents",
+                     cell_w=86_400 * US, num_partitions=8)
+
+
+SKYLINE_ORDERS_SQL = """
+WITH w AS (
+    SELECT o_orderkey, epoch_us(o_orderdate) AS order_date_us,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders
+),
+s AS (
+    SELECT order_date_us, max(price_cents) AS mp
+    FROM w GROUP BY order_date_us
+),
+suf AS (
+    SELECT order_date_us, mp,
+           max(mp) OVER (ORDER BY order_date_us DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_above
+    FROM s
+)
+SELECT w.o_orderkey, w.order_date_us, w.price_cents
+FROM w JOIN suf USING (order_date_us)
+WHERE w.price_cents = suf.mp
+  AND (suf.best_above IS NULL OR w.price_cents > suf.best_above)
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -5957,6 +6006,7 @@ QUERIES = {
     "gap_profile_events": q_gap_profile_events,
     "purchase_impact_events": q_purchase_impact_events,
     "activity_coverage_events": q_activity_coverage_events,
+    "skyline_orders": q_skyline_orders,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -6487,6 +6537,7 @@ ORACLE_SQL = {
     "gap_profile_events": GAP_PROFILE_SQL,
     "purchase_impact_events": PURCHASE_IMPACT_SQL,
     "activity_coverage_events": ACTIVITY_COVERAGE_SQL,
+    "skyline_orders": SKYLINE_ORDERS_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,
