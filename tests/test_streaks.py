@@ -1,0 +1,71 @@
+"""Monotone streak profile (stages/diffing.py:streak_profile): the
+run-break vectorization vs a literal per-series replay, across
+partitionings; flat runs, singletons omitted, (x, id) tie order."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tsdownsample_ray.stages.diffing import streak_profile
+
+ray = pytest.importorskip("ray")
+import ray.data as rd  # noqa: E402
+
+
+def _brute(rows):
+    """rows = [(sid, x, id, y)] -> {sid: (up, down, flat, n_runs)}."""
+    by_sid = {}
+    for sid, x, i, y in sorted(rows):
+        by_sid.setdefault(sid, []).append(y)
+    out = {}
+    for sid, ys in by_sid.items():
+        dirs = [np.sign(b - a) for a, b in zip(ys, ys[1:])]
+        if not dirs:
+            continue
+        runs = []
+        for d in dirs:
+            if runs and runs[-1][0] == d:
+                runs[-1][1] += 1
+            else:
+                runs.append([d, 1])
+        mx = {1: 0, -1: 0, 0: 0}
+        for d, ln in runs:
+            mx[d] = max(mx[d], ln)
+        out[sid] = (mx[1], mx[-1], mx[0], len(runs))
+    return out
+
+
+@pytest.mark.parametrize("nparts", [1, 4])
+def test_streaks_match_replay(ray_session, nparts):
+    rng = np.random.default_rng(13)
+    rows = []
+    for s in range(6):
+        n = 50
+        xs = np.sort(rng.choice(100_000, size=n, replace=False))
+        ys = rng.integers(0, 4, size=n)  # small range -> many flats
+        rows += [(f"s{s}", int(x), k, int(y))
+                 for k, (x, y) in enumerate(zip(xs, ys))]
+    rows.append(("single", 5, 0, 9))  # no steps -> omitted
+    exp = _brute(rows)
+
+    t = pa.table({"series_id": [r[0] for r in rows],
+                  "x": [r[1] for r in rows],
+                  "event_id": [r[2] for r in rows],
+                  "y": [r[3] for r in rows]})
+    got = streak_profile(rd.from_arrow(t).repartition(nparts),
+                         id_col="event_id", num_partitions=2).to_pandas()
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert (r["max_up_steps"], r["max_down_steps"],
+                r["max_flat_steps"], r["n_runs"]) == exp[r["series_id"]]
+
+
+def test_streaks_hand_values(ray_session):
+    # y: 1,2,3,3,2 -> dirs: +,+,0,- -> up=2, down=1, flat=1, runs=3
+    t = pa.table({"series_id": ["a"] * 5, "x": [1, 2, 3, 4, 5],
+                  "event_id": [0, 1, 2, 3, 4], "y": [1, 2, 3, 3, 2]})
+    got = streak_profile(rd.from_arrow(t), id_col="event_id",
+                         num_partitions=1).to_pandas()
+    r = got.iloc[0]
+    assert (r["max_up_steps"], r["max_down_steps"], r["max_flat_steps"],
+            r["n_runs"]) == (2, 1, 1, 3)

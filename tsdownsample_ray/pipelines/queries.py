@@ -5908,6 +5908,73 @@ WHERE w.price_cents = suf.mp
 """
 
 
+def q_streaks_events(sf_dir: str):
+    """Monotone streak profile (``stages/diffing.py:streak_profile``):
+    per event_type, the longest strictly-increasing / decreasing / flat
+    run of integer-cents values ordered by (ts, event_id), plus the run
+    count. One hash shuffle + one sorted vectorized pass."""
+    from ..stages.diffing import streak_profile
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"]).repartition(8)
+
+    def _cols(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "series_id": b["event_type"],
+            "x": pc.cast(b["ts"], pa.int64()),
+            "event_id": b["event_id"],
+            "y": pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                  ndigits=0), pa.int64()),
+        })
+
+    return streak_profile(ds.map_batches(_cols, batch_format="pyarrow"),
+                          id_col="event_id", num_partitions=4)
+
+
+STREAKS_SQL = """
+WITH e AS (
+    SELECT event_type AS sid, epoch_us(ts) AS x, event_id AS id,
+           CAST(round(value * 100) AS BIGINT) AS y
+    FROM events
+),
+o AS (
+    SELECT sid, y, lag(y) OVER w AS py,
+           row_number() OVER w AS rn
+    FROM e WINDOW w AS (PARTITION BY sid ORDER BY x, id)
+),
+s AS (
+    SELECT sid, rn,
+           CASE WHEN y > py THEN 1 WHEN y < py THEN -1 ELSE 0 END AS dir
+    FROM o WHERE py IS NOT NULL
+),
+b AS (
+    SELECT sid, rn, dir,
+           CASE WHEN lag(dir) OVER (PARTITION BY sid ORDER BY rn)
+                     IS DISTINCT FROM dir THEN 1 ELSE 0 END AS brk
+    FROM s
+),
+r AS (
+    SELECT sid, dir,
+           sum(brk) OVER (PARTITION BY sid ORDER BY rn) AS run_id
+    FROM b
+),
+l AS (
+    SELECT sid, dir, run_id, count(*) AS len
+    FROM r GROUP BY 1, 2, 3
+)
+SELECT sid AS series_id,
+       CAST(coalesce(max(len) FILTER (WHERE dir = 1), 0) AS BIGINT)
+           AS max_up_steps,
+       CAST(coalesce(max(len) FILTER (WHERE dir = -1), 0) AS BIGINT)
+           AS max_down_steps,
+       CAST(coalesce(max(len) FILTER (WHERE dir = 0), 0) AS BIGINT)
+           AS max_flat_steps,
+       count(*) AS n_runs
+FROM l GROUP BY 1
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -6007,6 +6074,7 @@ QUERIES = {
     "purchase_impact_events": q_purchase_impact_events,
     "activity_coverage_events": q_activity_coverage_events,
     "skyline_orders": q_skyline_orders,
+    "streaks_events": q_streaks_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -6538,6 +6606,7 @@ ORACLE_SQL = {
     "purchase_impact_events": PURCHASE_IMPACT_SQL,
     "activity_coverage_events": ACTIVITY_COVERAGE_SQL,
     "skyline_orders": SKYLINE_ORDERS_SQL,
+    "streaks_events": STREAKS_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,

@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["snapshot_diff", "state_changes"]
+__all__ = ["snapshot_diff", "state_changes", "streak_profile"]
 
 _STATUS = {0: "removed", 1: "added", 2: "same", 3: "changed"}
 
@@ -153,3 +153,92 @@ def state_changes(ds, *, series_col: str = "series_id",
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _compress, batch_format="pyarrow")
+
+
+def streak_profile(ds, *, series_col: str = "series_id",
+                   x_col: str = "x", y_col: str = "y",
+                   id_col: str | None = None,
+                   num_partitions: int = 16):
+    """Monotone streak / run-length profile: per series, classify every
+    consecutive step (ordered by ``(x, id)``) as up / down / flat by the
+    sign of ``y[i] - y[i-1]``, group maximal same-direction runs, and
+    reduce to ``(series_id, max_up_steps, max_down_steps,
+    max_flat_steps, n_runs)``. Series with fewer than two rows have no
+    steps and are omitted (matching the SQL ``WHERE lag IS NOT NULL``).
+
+    Scale shape: ONE hash(series) shuffle; inside each partition one
+    sorted pass derives every series' steps, run breaks (direction OR
+    series change), run lengths (``np.bincount`` over the break-cumsum)
+    and the per-direction maxima (an arrow ``group_by`` over the
+    runs-sized table) — no per-row Python.
+
+    SQL restatement: ``lag()`` step signs + islands (window-summed
+    breaks) + ``max(len) FILTER (WHERE dir = …)``."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    sort_keys = [(series_col, "ascending"), (x_col, "ascending")]
+    if id_col is not None:
+        sort_keys.append((id_col, "ascending"))
+
+    def _profile(g: pa.Table) -> pa.Table:
+        sid_type = g[series_col].type
+        empty = pa.table({
+            "series_id": pa.array([], sid_type),
+            "max_up_steps": pa.array([], pa.int64()),
+            "max_down_steps": pa.array([], pa.int64()),
+            "max_flat_steps": pa.array([], pa.int64()),
+            "n_runs": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        t = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        enc = sid.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(y)
+        if n < 2:
+            return empty
+        same = codes[1:] == codes[:-1]  # step exists within a series
+        dir_ = np.sign(y[1:] - y[:-1]).astype(np.int64)
+        step_sid = codes[1:][same]
+        step_dir = dir_[same]
+        if len(step_sid) == 0:
+            return empty
+        brk = np.ones(len(step_sid), dtype=np.int64)
+        brk[1:] = ((step_sid[1:] != step_sid[:-1])
+                   | (step_dir[1:] != step_dir[:-1])).astype(np.int64)
+        run_id = np.cumsum(brk) - 1
+        lens = np.bincount(run_id)
+        heads = np.flatnonzero(brk)
+        run_sid = step_sid[heads]
+        run_dir = step_dir[heads]
+        runs = pa.table({
+            "sid": pa.array(run_sid),
+            "up": pa.array(np.where(run_dir == 1, lens, 0)),
+            "down": pa.array(np.where(run_dir == -1, lens, 0)),
+            "flat": pa.array(np.where(run_dir == 0, lens, 0)),
+            "one": pa.array(np.ones(len(run_sid), dtype=np.int64)),
+        }).group_by(["sid"]).aggregate(
+            [("up", "max"), ("down", "max"), ("flat", "max"),
+             ("one", "sum")])
+        return pa.table({
+            "series_id": enc.dictionary.take(runs["sid"]),
+            "max_up_steps": pc.cast(runs["up_max"], pa.int64()),
+            "max_down_steps": pc.cast(runs["down_max"], pa.int64()),
+            "max_flat_steps": pc.cast(runs["flat_max"], pa.int64()),
+            "n_runs": pc.cast(runs["one_sum"], pa.int64()),
+        })
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _profile, batch_format="pyarrow")
