@@ -5975,6 +5975,88 @@ FROM l GROUP BY 1
 """
 
 
+def q_calendar_rollup_month(sf_dir: str):
+    """Calendar-aware rollup: months are NOT fixed-width, so x is
+    truncated to its month start (``pc.floor_temporal``, == DuckDB
+    ``date_trunc('month', …)``) and the standard tier-0 rollup runs with
+    ``window_us=1`` — the bucket IS the month-start epoch. Monthly order
+    totals per priority class."""
+    ds = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderdate",
+                 "o_totalprice"]).repartition(8)
+
+    def _cols(b: pa.Table) -> pa.Table:
+        month = pc.floor_temporal(b["o_orderdate"], unit="month")
+        return pa.table({
+            "series_id": b["o_orderpriority"],
+            "x": pc.cast(month, pa.int64()),
+            "y": pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0),
+                                  ndigits=0), pa.int64()),
+        })
+
+    return finalize_mean(
+        rollup(ds.map_batches(_cols, batch_format="pyarrow"), 1))
+
+
+CALENDAR_ROLLUP_SQL = """
+WITH o AS (
+    SELECT o_orderpriority AS series_id,
+           epoch_us(date_trunc('month', o_orderdate)) AS bucket,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS y
+    FROM orders
+)
+SELECT series_id, bucket, min(y) AS min_y, max(y) AS max_y,
+       CAST(sum(y) AS BIGINT) AS sum_y, count(*) AS n,
+       CAST(sum(y) AS DOUBLE) / count(*) AS mean_y
+FROM o GROUP BY 1, 2
+"""
+
+
+def q_anti_join_lineitems(sf_dir: str):
+    """Exact distributed anti-join (``stages/joins.py:anti_join``):
+    lineitems whose order is NOT open ('O') — the exact complement of the
+    Bloom semi-join, with full left payload and no broadcast. Right side
+    reduces to distinct keys map-side; one hash(key) shuffle; bincount
+    membership."""
+    from ..stages.joins import anti_join
+
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber",
+                 "l_returnflag"]).repartition(8)
+    orders = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus"]).repartition(8)
+
+    def _open(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["o_orderstatus"], "O"))
+        return pa.table({"l_orderkey": b["o_orderkey"]})
+
+    right = orders.map_batches(_open, batch_format="pyarrow")
+    out = anti_join(li, right, on="l_orderkey", num_partitions=8)
+
+    def _cast(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_linenumber": pc.cast(b["l_linenumber"], pa.int64()),
+            "l_returnflag": b["l_returnflag"],
+        })
+
+    return out.map_batches(_cast, batch_format="pyarrow")
+
+
+ANTI_JOIN_SQL = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_returnflag
+FROM lineitem l
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'O'
+)
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -6075,6 +6157,8 @@ QUERIES = {
     "activity_coverage_events": q_activity_coverage_events,
     "skyline_orders": q_skyline_orders,
     "streaks_events": q_streaks_events,
+    "calendar_rollup_month": q_calendar_rollup_month,
+    "anti_join_lineitems": q_anti_join_lineitems,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -6607,6 +6691,8 @@ ORACLE_SQL = {
     "activity_coverage_events": ACTIVITY_COVERAGE_SQL,
     "skyline_orders": SKYLINE_ORDERS_SQL,
     "streaks_events": STREAKS_SQL,
+    "calendar_rollup_month": CALENDAR_ROLLUP_SQL,
+    "anti_join_lineitems": ANTI_JOIN_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,

@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["asof_join", "interval_count_join"]
+__all__ = ["asof_join", "interval_count_join", "anti_join"]
 
 
 def asof_join(left_ds, right_ds, *, on: str = "series_id",
@@ -301,3 +301,80 @@ def interval_count_join(points_ds, intervals_ds, *, cell_us: int,
         _add_part2, batch_format="pyarrow").repartition(
         num_partitions).groupby("__part").map_groups(
         _merge, batch_format="pyarrow")
+
+
+def anti_join(left_ds, right_ds, *, on: str, num_partitions: int = 16):
+    """Distributed anti semi-join: the left rows whose ``on`` key appears
+    NOWHERE in the right side (``WHERE NOT EXISTS``). The exact
+    complement of a semi-join — referential-integrity orphan audits,
+    "never-purchased parts", blocklist subtraction with full-row output.
+
+    Scale shape: the right side is reduced map-side to its DISTINCT keys
+    per block (no payload travels), both sides union under ONE hash(key)
+    shuffle, and each partition resolves membership in one vectorized
+    pass — dictionary-encode the combined key column once, bincount the
+    right codes, keep the left rows whose code count is zero. No
+    broadcast (unlike the Bloom runtime filter, this is exact with
+    arbitrarily large right sides), no driver materialization.
+
+    Left payload columns pass through unchanged; left rows with a null
+    key are kept only if the right side has no null key (SQL NOT EXISTS
+    on an equality predicate never matches nulls — so null-keyed left
+    rows are ALWAYS kept, and we match that)."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+    lsch = left_ds.schema()
+    ltypes = dict(zip(lsch.names, lsch.types))
+    lpay = [c for c in lsch.names if c != on]
+    key_t = ltypes[on]
+
+    def _tag_left(b: pa.Table) -> pa.Table:
+        cols = {on: b[on],
+                "__side": pa.array(np.zeros(b.num_rows, dtype=np.int8))}
+        for c in lpay:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    def _tag_right(b: pa.Table) -> pa.Table:
+        # distinct keys per block; drop nulls (they never match equality)
+        k = pc.unique(b[on])
+        k = k.filter(pc.is_valid(k))
+        k = pc.cast(k, key_t)
+        n = len(k)
+        cols = {on: k, "__side": pa.array(np.ones(n, dtype=np.int8))}
+        for c in lpay:
+            cols[c] = pa.nulls(n, ltypes[c])
+        return pa.table(cols)
+
+    tagged = left_ds.map_batches(_tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(_tag_right, batch_format="pyarrow"))
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[on], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _filter(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__part"])
+        side = g["__side"].to_numpy(zero_copy_only=False) \
+            if g.num_rows else np.array([], dtype=np.int8)
+        if g.num_rows == 0:
+            return g.drop_columns(["__side"])
+        key = g[on]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        enc = key.dictionary_encode()
+        idx = enc.indices
+        codes = (idx.fill_null(-1) if idx.null_count else idx) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        nuniq = len(enc.dictionary)
+        right_codes = codes[side == 1]
+        hit = np.zeros(nuniq + 1, dtype=bool)
+        hit[right_codes] = True  # right side never carries nulls (-1)
+        keep = (side == 0) & ~hit[codes]  # null left keys: codes=-1 slot
+        return g.filter(pa.array(keep)).drop_columns(["__side"])
+
+    parted = tagged.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _filter, batch_format="pyarrow")
