@@ -6057,6 +6057,49 @@ WHERE NOT EXISTS (
 """
 
 
+def q_group_samples_docs(sf_dir: str):
+    """Capped ordered string aggregation
+    (``stages/ordering.py:group_concat``): per (lang, source) group, the
+    first 3 doc ids (lexical string order on both sides), comma-joined,
+    plus the group's total count. One hash(group) shuffle; ListArray +
+    binary_join, never a group's full membership in one string."""
+    from ..stages.ordering import group_concat
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source"]).repartition(8)
+
+    def _cols(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "g": pc.binary_join_element_wise(b["lang"], b["source"], "|"),
+            "doc_id": b["doc_id"],
+        })
+
+    return group_concat(ds.map_batches(_cols, batch_format="pyarrow"),
+                        group_col="g", val_col="doc_id", k=3,
+                        num_partitions=4)
+
+
+GROUP_SAMPLES_SQL = """
+WITH d AS (
+    SELECT lang || '|' || source AS g, CAST(doc_id AS VARCHAR) AS v
+    FROM documents
+),
+c AS (SELECT g, count(*) AS n FROM d GROUP BY g),
+r AS (
+    SELECT g, v,
+           row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+    FROM d
+),
+s AS (
+    SELECT g, string_agg(v, ',' ORDER BY v) AS sample
+    FROM r WHERE rn <= 3 GROUP BY g
+)
+SELECT c.g AS group_id, c.n, s.sample
+FROM c JOIN s USING (g)
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -6159,6 +6202,7 @@ QUERIES = {
     "streaks_events": q_streaks_events,
     "calendar_rollup_month": q_calendar_rollup_month,
     "anti_join_lineitems": q_anti_join_lineitems,
+    "group_samples_docs": q_group_samples_docs,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -6693,6 +6737,7 @@ ORACLE_SQL = {
     "streaks_events": STREAKS_SQL,
     "calendar_rollup_month": CALENDAR_ROLLUP_SQL,
     "anti_join_lineitems": ANTI_JOIN_SQL,
+    "group_samples_docs": GROUP_SAMPLES_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,

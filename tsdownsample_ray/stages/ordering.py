@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["training_order"]
+__all__ = ["training_order", "group_concat"]
 
 
 def training_order(ds, *, id_col: str = "doc_id", salt: int = 0,
@@ -101,3 +101,75 @@ def training_order(ds, *, id_col: str = "doc_id", salt: int = 0,
     # a bucket must land wholly in one group: groupby(__bucket) ranges it
     return hashed.groupby("__bucket").map_groups(
         _rank, batch_format="pyarrow")
+
+
+def group_concat(ds, *, group_col: str, val_col: str, k: int,
+                 sep: str = ",", num_partitions: int = 16):
+    """Deterministic ordered string aggregation with a per-group cap:
+    for every group, the first ``k`` values (ascending, as strings)
+    joined by ``sep``, plus the group's TOTAL row count — the
+    "show me example members per group" audit (sample URLs per domain,
+    example doc ids per language) without ever materializing a group's
+    full membership into one string.
+
+    Scale shape: ONE hash(group) shuffle; each partition sorts once by
+    (group, val) and derives every group's rank mask, the capped
+    member ListArray (built from segment offsets, zero-copy over the
+    sorted string column) and the join in vectorized Arrow calls
+    (``pc.binary_join``); counts come from the pre-filter segment
+    sizes. No per-group Python, no unbounded string growth (output is
+    <= k values per group by construction).
+
+    SQL restatement: ``row_number() OVER (PARTITION BY g ORDER BY v)``
+    cap + ``string_agg(v, sep ORDER BY v)`` + a COUNT join."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[group_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _concat(g: pa.Table) -> pa.Table:
+        gt = g[group_col].type if g.num_rows else pa.string()
+        empty = pa.table({
+            "group_id": pa.array([], gt),
+            "n": pa.array([], pa.int64()),
+            "sample": pa.array([], pa.string()),
+        })
+        if g.num_rows == 0:
+            return empty
+        vals = pc.cast(g[val_col], pa.string())
+        t = pa.table({"g": g[group_col], "v": vals})
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("g", "ascending"), ("v", "ascending")]))
+        gcol = t["g"]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        enc = gcol.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(codes)
+        heads = np.ones(n, dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        sizes = np.diff(np.append(starts, n))
+        rank = np.arange(n) - starts[np.cumsum(heads) - 1]
+        keepmask = rank < k
+        v = t["v"]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        kept = v.filter(pa.array(keepmask))
+        capped = np.minimum(sizes, k)
+        offsets = np.concatenate([[0], np.cumsum(capped)]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets), kept)
+        joined = pc.binary_join(lists, sep)
+        return pa.table({
+            "group_id": enc.dictionary.take(pa.array(codes[starts])),
+            "n": pa.array(sizes),
+            "sample": joined,
+        })
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _concat, batch_format="pyarrow")
