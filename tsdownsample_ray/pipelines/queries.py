@@ -6100,6 +6100,105 @@ FROM c JOIN s USING (g)
 """
 
 
+def q_ols_slope_1h(sf_dir: str):
+    """Per-(event_type, 1h bucket) OLS trend slope in exact rational form
+    (``stages/correlate.py:ols_slope``): integer sufficient statistics
+    (t = seconds since bucket start, y = cents), pure mergeable sums,
+    one hashpart shuffle; slope_num/slope_den exact, slope the pinned
+    IEEE quotient."""
+    from ..stages.correlate import ols_slope
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "value"]).repartition(8)
+
+    def _cols(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "series_id": b["event_type"],
+            "x": pc.cast(b["ts"], pa.int64()),
+            "y": pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                  ndigits=0), pa.int64()),
+        })
+
+    return ols_slope(ds.map_batches(_cols, batch_format="pyarrow"),
+                     3600 * US, fanin=4)
+
+
+OLS_SLOPE_SQL = f"""
+WITH e AS (
+    SELECT event_type AS series_id,
+           (epoch_us(ts) // {3600 * US}) * {3600 * US} AS bucket,
+           (epoch_us(ts) % {3600 * US}) // {US} AS t,
+           CAST(round(value * 100) AS BIGINT) AS y
+    FROM events
+),
+s AS (
+    SELECT series_id, bucket, count(*) AS n,
+           CAST(sum(t) AS BIGINT) AS st,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(t * y) AS BIGINT) AS sty,
+           CAST(sum(t * t) AS BIGINT) AS stt
+    FROM e GROUP BY 1, 2
+)
+SELECT series_id, bucket, n,
+       n * sty - st * sy AS slope_num,
+       n * stt - st * st AS slope_den,
+       CASE WHEN n * stt - st * st > 0
+            THEN CAST(n * sty - st * sy AS DOUBLE)
+                 / (n * stt - st * st) END AS slope
+FROM s
+"""
+
+
+def q_weighted_median_lineitem(sf_dir: str):
+    """Exact weighted lower median
+    (``stages/quantiles.py:weighted_median``): per return flag, the
+    extended price (cents) at which half the shipped QUANTITY sits below
+    — one hash(key) shuffle, grouped-weight collapse, reset-by-base
+    cumulative weights, reduceat crossing pick."""
+    from ..stages.quantiles import weighted_median
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice",
+                 "l_quantity"]).repartition(8)
+
+    def _cols(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "series_id": b["l_returnflag"],
+            "y": pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0),
+                                  ndigits=0), pa.int64()),
+            "w": pc.cast(pc.round(b["l_quantity"], ndigits=0), pa.int64()),
+        })
+
+    return weighted_median(ds.map_batches(_cols, batch_format="pyarrow"),
+                           num_partitions=4)
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH l AS (
+    SELECT l_returnflag AS k,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+           CAST(round(l_quantity) AS BIGINT) AS w
+    FROM lineitem
+),
+c AS (
+    SELECT k, v, CAST(sum(w) AS BIGINT) AS wv
+    FROM l WHERE w > 0 GROUP BY 1, 2
+),
+a AS (
+    SELECT k, v,
+           CAST(sum(wv) OVER (PARTITION BY k ORDER BY v) AS BIGINT) AS cw,
+           CAST(sum(wv) OVER (PARTITION BY k) AS BIGINT) AS tw
+    FROM c
+)
+SELECT k AS series_id,
+       CAST(max(tw) AS BIGINT) AS total_w,
+       CAST(min(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT) AS wmedian
+FROM a GROUP BY 1
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -6203,6 +6302,8 @@ QUERIES = {
     "calendar_rollup_month": q_calendar_rollup_month,
     "anti_join_lineitems": q_anti_join_lineitems,
     "group_samples_docs": q_group_samples_docs,
+    "ols_slope_1h": q_ols_slope_1h,
+    "weighted_median_lineitem": q_weighted_median_lineitem,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -6738,6 +6839,8 @@ ORACLE_SQL = {
     "calendar_rollup_month": CALENDAR_ROLLUP_SQL,
     "anti_join_lineitems": ANTI_JOIN_SQL,
     "group_samples_docs": GROUP_SAMPLES_SQL,
+    "ols_slope_1h": OLS_SLOPE_SQL,
+    "weighted_median_lineitem": WEIGHTED_MEDIAN_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,

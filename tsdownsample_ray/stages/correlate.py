@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["pairwise_correlation", "lagged_correlation", "autocorrelation"]
+__all__ = ["pairwise_correlation", "lagged_correlation", "autocorrelation", "ols_slope"]
 
 _STAT_COLS = ["n", "sum_x", "sum_y", "sum_xy", "sum_xx", "sum_yy"]
 
@@ -321,3 +321,87 @@ def autocorrelation(rolled, *, lags=(1, 2, 3, 4), window_us: int,
     merged = parted.repartition(num_partitions).groupby("__part").map_groups(
         _acf, batch_format="pyarrow")
     return merged.map_batches(_corr_from_stats, batch_format="pyarrow")
+
+
+def ols_slope(ds, window_us: int, *, series_col: str = "series_id",
+              x_col: str = "x", y_col: str = "y", fanin: int = 8):
+    """Per-(series, bucket) ordinary-least-squares trend slope in EXACT
+    rational form: with t = whole seconds since the bucket start and y
+    integer, emit ``slope_num = n·Σty − Σt·Σy`` and ``slope_den =
+    n·Σt² − (Σt)²`` (slope = num/den, also emitted as a pinned-IEEE
+    double, null when the bucket has < 2 rows or zero t variance).
+    Integer sufficient statistics make the result bit-identical under
+    any partitioning; bounds: t < window seconds, so Σt² stays within
+    int64 for windows up to days at millions of rows per bucket.
+
+    Scale shape: a pure mergeable aggregation — map-side partial sums
+    per (series, bucket) inside each block, then the standard hashpart
+    grouped sum (``graph.grouped_sum_parts``); no sort, ONE shuffle of
+    constant-width partials.
+
+    SQL restatement: the same five integer sums + the same final
+    expressions."""
+    from .graph import grouped_sum_parts
+
+    us = 1_000_000
+
+    def _partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "series_id": pa.array([], b[series_col].type
+                                      if series_col in b.column_names
+                                      else pa.string()),
+                "bucket": pa.array([], pa.int64()),
+                "st": pa.array([], pa.int64()),
+                "sy": pa.array([], pa.int64()),
+                "sty": pa.array([], pa.int64()),
+                "stt": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            })
+        x = pc.cast(b[x_col], pa.int64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(b[y_col], pa.int64()).to_numpy(zero_copy_only=False)
+        bucket = (x // window_us) * window_us
+        t = (x - bucket) // us
+        part = pa.table({
+            "series_id": b[series_col],
+            "bucket": pa.array(bucket),
+            "st": pa.array(t),
+            "sy": pa.array(y),
+            "sty": pa.array(t * y),
+            "stt": pa.array(t * t),
+            "n": pa.array(np.ones(len(t), dtype=np.int64)),
+        })
+        from ..arrow_utils import rename_agg
+
+        return rename_agg(
+            part.group_by(["series_id", "bucket"]).aggregate(
+                [("st", "sum"), ("sy", "sum"), ("sty", "sum"),
+                 ("stt", "sum"), ("n", "sum")]),
+            {"series_id": "series_id", "bucket": "bucket",
+             "st_sum": "st", "sy_sum": "sy", "sty_sum": "sty",
+             "stt_sum": "stt", "n_sum": "n"})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow")
+    summed = grouped_sum_parts(parts, ["series_id", "bucket"],
+                               ["st", "sy", "sty", "stt", "n"],
+                               count_col=None, fanin=fanin)
+
+    def _finalize(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        st = b["st"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sy = b["sy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sty = b["sty"].to_numpy(zero_copy_only=False).astype(np.int64)
+        stt = b["stt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        num = n * sty - st * sy
+        den = n * stt - st * st
+        ok = den > 0
+        slope = np.where(ok, num / np.where(ok, den, 1), np.nan)
+        return pa.table({
+            "series_id": b["series_id"], "bucket": b["bucket"],
+            "n": b["n"],
+            "slope_num": pa.array(num), "slope_den": pa.array(den),
+            "slope": pa.array(np.nan_to_num(slope), pa.float64(),
+                              mask=~ok),
+        })
+
+    return summed.map_batches(_finalize, batch_format="pyarrow")

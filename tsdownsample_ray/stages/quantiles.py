@@ -23,7 +23,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["exact_quantiles", "mad_outliers", "theil_sen",
-           "percentile_rank", "top_share", "winsorize", "rank2avg"]
+           "percentile_rank", "top_share", "winsorize", "rank2avg",
+           "weighted_median"]
 
 
 def exact_quantiles(rolled, probs=(50, 90, 99), *,
@@ -479,3 +480,83 @@ def rank2avg(rolled, *, series_col: str = "series_id",
     parted = rolled.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _rank, batch_format="pyarrow")
+
+
+def weighted_median(ds, *, key_col: str = "series_id",
+                    val_col: str = "y", weight_col: str = "w",
+                    num_partitions: int = 16):
+    """Exact weighted (lower) median per key: the smallest value ``v``
+    whose cumulative weight (ascending value order) reaches half the
+    key's total — ``2·cumw(v) >= total_w``. Integer weights/values make
+    the result deterministic under any partitioning. Rows with
+    non-positive weight are dropped (they carry no mass); keys with no
+    positive-weight rows are omitted.
+
+    Scale shape: ONE hash(key) shuffle, then a single sorted pass per
+    partition: per-(key, value) weights collapse via an arrow group_by,
+    segment cumulative weights come from a global cumsum minus the
+    segment-head base (the reset), and the per-key answer is a
+    ``np.minimum.reduceat`` over the monotone crossing mask. No per-key
+    Python.
+
+    SQL restatement: grouped weights + a running-sum window +
+    ``min(v) FILTER (WHERE 2·cw >= tw)``."""
+    from ..arrow_utils import rename_agg, stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[key_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _median(g: pa.Table) -> pa.Table:
+        kt = g[key_col].type if g.num_rows else pa.string()
+        empty = pa.table({
+            "series_id": pa.array([], kt),
+            "total_w": pa.array([], pa.int64()),
+            "wmedian": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        w = pc.cast(g[weight_col], pa.int64())
+        g = g.filter(pc.greater(w, 0))
+        if g.num_rows == 0:
+            return empty
+        t = rename_agg(
+            pa.table({"k": g[key_col],
+                      "v": pc.cast(g[val_col], pa.int64()),
+                      "w": pc.cast(g[weight_col], pa.int64())})
+            .group_by(["k", "v"]).aggregate([("w", "sum")]),
+            {"k": "k", "v": "v", "w_sum": "w"})
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("k", "ascending"), ("v", "ascending")]))
+        k = t["k"]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        enc = k.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(w)
+        heads = np.ones(n, dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        seg = np.cumsum(heads) - 1
+        gcum = np.cumsum(w)
+        base = (gcum[starts] - w[starts])[seg]
+        cw = gcum - base
+        ends = np.append(starts[1:], n) - 1
+        tw = cw[ends][seg]
+        crossing = 2 * cw >= tw
+        first = np.minimum.reduceat(np.where(crossing, np.arange(n), n),
+                                    starts)
+        return pa.table({
+            "series_id": enc.dictionary.take(pa.array(codes[starts])),
+            "total_w": pa.array(cw[ends]),
+            "wmedian": pa.array(v[first]),
+        })
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _median, batch_format="pyarrow")
