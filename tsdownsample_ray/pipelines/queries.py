@@ -6199,6 +6199,57 @@ FROM a GROUP BY 1
 """
 
 
+def q_sax_events(sf_dir: str):
+    """SAX symbolic representation (``stages/sax.py:sax_symbols``): each
+    event_type's cents series PAA-reduced over 2-day windows, each
+    segment mean mapped to an a–d range-quartile symbol by exact integer
+    cross-multiplication, strings assembled zero-copy."""
+    from ..stages.sax import sax_symbols
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "value"]).repartition(8)
+
+    def _cols(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "series_id": b["event_type"],
+            "x": pc.cast(b["ts"], pa.int64()),
+            "y": pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                  ndigits=0), pa.int64()),
+        })
+
+    return sax_symbols(ds.map_batches(_cols, batch_format="pyarrow"),
+                       2 * 86_400 * US, alphabet=4, num_partitions=4)
+
+
+SAX_SQL = f"""
+WITH e AS (
+    SELECT event_type AS sid, epoch_us(ts) AS x,
+           CAST(round(value * 100) AS BIGINT) AS y
+    FROM events
+),
+g AS (SELECT sid, min(y) AS gmin, max(y) AS gmax FROM e GROUP BY 1),
+seg AS (
+    SELECT sid, (x // {2 * 86_400 * US}) * {2 * 86_400 * US} AS bucket,
+           CAST(sum(y) AS BIGINT) AS s, count(*) AS n
+    FROM e GROUP BY 1, 2
+),
+sym AS (
+    SELECT seg.sid, bucket,
+           (CASE WHEN 4 * s >= (4 * gmin + 1 * (gmax - gmin)) * n
+                 THEN 1 ELSE 0 END
+          + CASE WHEN 4 * s >= (4 * gmin + 2 * (gmax - gmin)) * n
+                 THEN 1 ELSE 0 END
+          + CASE WHEN 4 * s >= (4 * gmin + 3 * (gmax - gmin)) * n
+                 THEN 1 ELSE 0 END) AS q
+    FROM seg JOIN g ON seg.sid = g.sid
+)
+SELECT sid AS series_id, count(*) AS n_segments,
+       string_agg(chr(97 + q), '' ORDER BY bucket) AS sax
+FROM sym GROUP BY 1
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -6304,6 +6355,7 @@ QUERIES = {
     "group_samples_docs": q_group_samples_docs,
     "ols_slope_1h": q_ols_slope_1h,
     "weighted_median_lineitem": q_weighted_median_lineitem,
+    "sax_events": q_sax_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -6841,6 +6893,7 @@ ORACLE_SQL = {
     "group_samples_docs": GROUP_SAMPLES_SQL,
     "ols_slope_1h": OLS_SLOPE_SQL,
     "weighted_median_lineitem": WEIGHTED_MEDIAN_SQL,
+    "sax_events": SAX_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,
