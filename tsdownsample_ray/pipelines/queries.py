@@ -6250,6 +6250,51 @@ FROM sym GROUP BY 1
 """
 
 
+def q_gini_orders(sf_dir: str):
+    """Exact pairwise dispersion / Gini concentration
+    (``stages/quantiles.py:gini_dispersion``): per order priority, the
+    total |price_i − price_j| over all pairs via the sorted closed form
+    Σ(2i−n−1)·v — O(n log n), one hash shuffle, never the quadratic
+    expansion; Gini = total / (n·sum)."""
+    from ..stages.quantiles import gini_dispersion
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"]).repartition(8)
+
+    def _cols(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "series_id": b["o_orderpriority"],
+            "y": pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0),
+                                  ndigits=0), pa.int64()),
+        })
+
+    return gini_dispersion(ds.map_batches(_cols, batch_format="pyarrow"),
+                           num_partitions=4)
+
+
+GINI_SQL = """
+WITH o AS (
+    SELECT o_orderpriority AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS v
+    FROM orders
+),
+r AS (
+    SELECT k, v,
+           row_number() OVER (PARTITION BY k ORDER BY v) AS i,
+           count(*) OVER (PARTITION BY k) AS n
+    FROM o
+)
+SELECT k AS series_id, count(*) AS n,
+       CAST(sum(v) AS BIGINT) AS sum_y,
+       CAST(sum((2 * i - n - 1) * v) AS BIGINT) AS pairdiff_total,
+       CASE WHEN sum(v) > 0 AND count(*) >= 2
+            THEN CAST(sum((2 * i - n - 1) * v) AS DOUBLE)
+                 / (count(*) * CAST(sum(v) AS BIGINT)) END AS gini
+FROM r GROUP BY 1
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -6356,6 +6401,7 @@ QUERIES = {
     "ols_slope_1h": q_ols_slope_1h,
     "weighted_median_lineitem": q_weighted_median_lineitem,
     "sax_events": q_sax_events,
+    "gini_orders": q_gini_orders,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -6894,6 +6940,7 @@ ORACLE_SQL = {
     "ols_slope_1h": OLS_SLOPE_SQL,
     "weighted_median_lineitem": WEIGHTED_MEDIAN_SQL,
     "sax_events": SAX_SQL,
+    "gini_orders": GINI_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,

@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 
 __all__ = ["exact_quantiles", "mad_outliers", "theil_sen",
            "percentile_rank", "top_share", "winsorize", "rank2avg",
-           "weighted_median"]
+           "weighted_median", "gini_dispersion"]
 
 
 def exact_quantiles(rolled, probs=(50, 90, 99), *,
@@ -560,3 +560,76 @@ def weighted_median(ds, *, key_col: str = "series_id",
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _median, batch_format="pyarrow")
+
+
+def gini_dispersion(ds, *, key_col: str = "series_id",
+                    val_col: str = "y", num_partitions: int = 16):
+    """Exact pairwise-dispersion statistic per key: ``pairdiff_total``
+    = Σ_{i<j} |x_i − x_j| via the sorted closed form Σ_i (2i−n−1)·x_(i)
+    (1-based rank; the coefficient sum over a tie block is
+    order-invariant, so ties need no special handling) — all int64.
+    Also emits n, sum_y, and ``gini`` = pairdiff_total / (n·sum_y) as a
+    pinned IEEE double (the standard Gini coefficient for non-negative
+    data; null when sum_y <= 0 or n < 2). O(n log n), never the
+    quadratic pair expansion.
+
+    Scale shape: ONE hash(key) shuffle, per-partition sort + reduceat
+    segment reductions. Bound: ranks ≤ n per key, so Σ(2i−n−1)·x stays
+    within int64 for n·max|x| up to ~4e18.
+
+    SQL restatement: ``row_number()`` ranks + the same closed form."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[key_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _gini(g: pa.Table) -> pa.Table:
+        kt = g[key_col].type if g.num_rows else pa.string()
+        empty = pa.table({
+            "series_id": pa.array([], kt),
+            "n": pa.array([], pa.int64()),
+            "sum_y": pa.array([], pa.int64()),
+            "pairdiff_total": pa.array([], pa.int64()),
+            "gini": pa.array([], pa.float64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        t = pa.table({"k": g[key_col],
+                      "v": pc.cast(g[val_col], pa.int64())})
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("k", "ascending"), ("v", "ascending")]))
+        k = t["k"]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        enc = k.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(v)
+        heads = np.ones(m, dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        seg = np.cumsum(heads) - 1
+        n = np.diff(np.append(starts, m))
+        rank = np.arange(m) - starts[seg] + 1  # 1-based within key
+        coef = 2 * rank - n[seg] - 1
+        total = np.add.reduceat(coef * v, starts)
+        sy = np.add.reduceat(v, starts)
+        ok = (sy > 0) & (n >= 2)
+        gini = np.where(ok, total / np.where(n * sy == 0, 1, n * sy),
+                        np.nan)
+        return pa.table({
+            "series_id": enc.dictionary.take(pa.array(codes[starts])),
+            "n": pa.array(n),
+            "sum_y": pa.array(sy),
+            "pairdiff_total": pa.array(total),
+            "gini": pa.array(np.nan_to_num(gini), pa.float64(),
+                             mask=~ok),
+        })
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _gini, batch_format="pyarrow")
