@@ -6295,6 +6295,50 @@ FROM r GROUP BY 1
 """
 
 
+def q_benford_orders(sf_dir: str):
+    """Benford leading-digit audit
+    (``stages/integrity.py:benford_audit``): per order priority, the
+    first-digit distribution of positive price cents — mergeable
+    (key, digit) count partials, exact integer permille shares."""
+    from ..stages.integrity import benford_audit
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"]).repartition(8)
+
+    def _cols(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": b["o_orderpriority"],
+            "v": pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0),
+                                  ndigits=0), pa.int64()),
+        })
+
+    return benford_audit(ds.map_batches(_cols, batch_format="pyarrow"),
+                         key_col="k", val_col="v", fanin=4)
+
+
+BENFORD_SQL = """
+WITH o AS (
+    SELECT o_orderpriority AS k,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS v
+    FROM orders
+),
+d AS (
+    SELECT k, CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
+    FROM o WHERE v > 0
+),
+c AS (
+    SELECT k, digit, count(*) AS digit_count
+    FROM d GROUP BY 1, 2
+),
+t AS (SELECT k, CAST(sum(digit_count) AS BIGINT) AS n_values FROM c
+      GROUP BY 1)
+SELECT c.k AS series_id, c.digit, t.n_values, c.digit_count,
+       1000 * c.digit_count // t.n_values AS permille
+FROM c JOIN t ON c.k = t.k
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -6402,6 +6446,7 @@ QUERIES = {
     "weighted_median_lineitem": q_weighted_median_lineitem,
     "sax_events": q_sax_events,
     "gini_orders": q_gini_orders,
+    "benford_orders": q_benford_orders,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -6941,6 +6986,7 @@ ORACLE_SQL = {
     "weighted_median_lineitem": WEIGHTED_MEDIAN_SQL,
     "sax_events": SAX_SQL,
     "gini_orders": GINI_SQL,
+    "benford_orders": BENFORD_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,

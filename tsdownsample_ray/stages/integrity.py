@@ -21,10 +21,11 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .sampling import MOD61, hash61, mulmod61
 
-__all__ = ["grouped_checksum", "row_hash61", "fold_sql"]
+__all__ = ["grouped_checksum", "row_hash61", "fold_sql", "benford_audit"]
 
 _FOLD_K = 1000003  # odd multiplier for the column fold chain
 _OFFSET = 1 << 40  # shifts possibly-negative int columns positive
@@ -141,3 +142,100 @@ def grouped_checksum(ds, *, key_col: str, cols: list, salt: int = 0,
     parted = ds.map_batches(_partial, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _merge, batch_format="pyarrow")
+
+
+def benford_audit(ds, *, key_col: str, val_col: str,
+                  fanin: int = 8):
+    """Benford leading-digit audit: per key, the distribution of first
+    digits of the POSITIVE integer values — the classic
+    fabricated-number / instrumentation-bug screen. Output one row per
+    (key, digit 1..9): ``(series_id, digit, n_values, digit_count,
+    permille)`` with ``permille = 1000·digit_count // n_values`` (exact
+    integer share; compare with Benford's ~301/176/125/... by eye or a
+    downstream rule). Zero/negative/null values carry no leading digit
+    and are dropped; keys with no positive values are omitted. Digits
+    with zero count are omitted (sparse output, matching the SQL GROUP
+    BY).
+
+    Scale shape: a pure mergeable aggregation — the leading digit is
+    extracted vectorized (cast-to-string + 1-codeunit slice, exactly
+    the SQL ``substr(CAST(v AS VARCHAR), 1, 1)``), counts pre-reduce
+    map-side per block, and the standard hashpart grouped sum merges
+    (key, digit) partials; the per-key total re-joins by a second tiny
+    grouped sum over the digit rows. No sort, no driver materialization.
+
+    SQL restatement: two GROUP BYs over the same substr expression."""
+    from .graph import grouped_sum_parts
+    from ..arrow_utils import rename_agg
+
+    def _digits(b: pa.Table) -> pa.Table:
+        kt = b[key_col].type if b.num_rows else pa.string()
+        v = pc.cast(b[val_col], pa.int64())
+        mask = pc.and_(pc.is_valid(v), pc.greater(v, 0))
+        b2 = pa.table({"k": b[key_col], "v": v}).filter(mask)
+        if b2.num_rows == 0:
+            return pa.table({
+                "series_id": pa.array([], kt),
+                "digit": pa.array([], pa.int64()),
+                "digit_count": pa.array([], pa.int64()),
+            })
+        d = pc.cast(pc.utf8_slice_codeunits(
+            pc.cast(b2["v"], pa.string()), 0, 1), pa.int64())
+        t = pa.table({
+            "series_id": b2["k"], "digit": d,
+            "digit_count": pa.array(
+                np.ones(b2.num_rows, dtype=np.int64)),
+        })
+        return rename_agg(
+            t.group_by(["series_id", "digit"]).aggregate(
+                [("digit_count", "sum")]),
+            {"series_id": "series_id", "digit": "digit",
+             "digit_count_sum": "digit_count"})
+
+    parts = ds.map_batches(_digits, batch_format="pyarrow")
+    counts = grouped_sum_parts(parts, ["series_id", "digit"],
+                               ["digit_count"], count_col=None,
+                               fanin=fanin)
+
+    # per-key totals: re-aggregate the (key, digit) rows (<= 9 per key)
+    def _with_total(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "series_id": g["series_id"] if "series_id" in
+                g.column_names else pa.array([], pa.string()),
+                "digit": pa.array([], pa.int64()),
+                "n_values": pa.array([], pa.int64()),
+                "digit_count": pa.array([], pa.int64()),
+                "permille": pa.array([], pa.int64()),
+            })
+        k = g["series_id"]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        enc = k.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = g["digit_count"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        totals = np.zeros(int(codes.max()) + 1, dtype=np.int64)
+        np.add.at(totals, codes, cnt)
+        n_values = totals[codes]
+        return pa.table({
+            "series_id": g["series_id"], "digit": g["digit"],
+            "n_values": pa.array(n_values),
+            "digit_count": g["digit_count"],
+            "permille": pa.array(1000 * cnt // n_values),
+        })
+
+    from ..arrow_utils import stable_part_codes
+
+    mod = fanin * 64
+
+    def _part_key(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["series_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    parted = counts.map_batches(_part_key, batch_format="pyarrow")
+    grouped = parted.repartition(fanin).groupby("__part").map_groups(
+        lambda g: _with_total(g.drop_columns(["__part"])),
+        batch_format="pyarrow")
+    return grouped
