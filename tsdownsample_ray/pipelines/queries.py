@@ -6339,6 +6339,38 @@ FROM c JOIN t ON c.k = t.k
 """
 
 
+def q_kwic_docs(sf_dir: str):
+    """Keyword-in-context concordance (``stages/textstats.py:kwic``):
+    first occurrence of 'data' per document with 15 chars of context on
+    each side — no shuffle, scalar-arg Arrow slices only, character
+    semantics identical to SQL split_part/substr."""
+    from ..stages.textstats import kwic
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"]).repartition(8)
+    return kwic(ds, term="data", ctx=15)
+
+
+KWIC_SQL = """
+WITH m AS (
+    SELECT doc_id, text FROM documents WHERE contains(text, 'data')
+),
+p AS (
+    SELECT doc_id, split_part(text, 'data', 1) AS pre, text FROM m
+),
+s AS (
+    SELECT doc_id, pre,
+           substr(text, length(pre) + 4 + 1) AS suf
+    FROM p
+)
+SELECT doc_id, CAST(length(pre) + 1 AS BIGINT) AS char_pos,
+       substr(pre, greatest(length(pre) - 15 + 1, 1))
+           || 'data' || substr(suf, 1, 15) AS snippet
+FROM s
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -6447,6 +6479,7 @@ QUERIES = {
     "sax_events": q_sax_events,
     "gini_orders": q_gini_orders,
     "benford_orders": q_benford_orders,
+    "kwic_docs": q_kwic_docs,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -6987,6 +7020,7 @@ ORACLE_SQL = {
     "sax_events": SAX_SQL,
     "gini_orders": GINI_SQL,
     "benford_orders": BENFORD_SQL,
+    "kwic_docs": KWIC_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,

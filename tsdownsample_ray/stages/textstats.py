@@ -11,7 +11,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["token_stats_batch", "LangId", "fingerprint_batch",
-           "quality_batch", "BpeishTokenizer"]
+           "quality_batch", "BpeishTokenizer", "kwic"]
 
 # GPT-2-style pretokenizer pattern (contractions, letter runs, digit runs,
 # punctuation runs, whitespace) — the "BPE-ish regex" token count
@@ -402,3 +402,53 @@ def normalize_text_batch(batch: pa.Table, *, text_col: str = "text",
                                             pa.int64()),
                      "n_chars_norm": pc.cast(pc.utf8_length(norm),
                                              pa.int64())})
+
+
+def kwic(ds, *, term: str, ctx: int, text_col: str = "text",
+         id_col: str = "doc_id"):
+    """Keyword-in-context concordance: for every document containing
+    ``term``, the FIRST occurrence's 1-based character position and a
+    snippet of up to ``ctx`` characters of context on each side —
+    ``left_ctx + term + right_ctx``. The corpus-inspection primitive
+    (what surrounds this token?) and a contamination-triage aid.
+
+    Scale shape: embarrassingly parallel, NO shuffle — one stateless
+    ``map_batches`` pass. Variable-position windows are extracted with
+    only scalar-argument Arrow kernels: split on the first occurrence,
+    negative-start slice of the prefix (Python tail semantics), bounded
+    slice of the suffix, vectorized 3-way join. Character (codepoint)
+    semantics end to end — identical to SQL ``split_part`` / ``substr``.
+
+    SQL restatement: ``contains`` filter + ``split_part`` prefix +
+    ``substr`` windows + concatenation."""
+    if not term:
+        raise ValueError("term must be non-empty")
+    ctx = int(ctx)
+
+    def _kwic(b: pa.Table) -> pa.Table:
+        idt = b[id_col].type if b.num_rows else pa.int64()
+        txt = b[text_col]
+        m = pc.match_substring(txt, term)
+        m = pc.fill_null(m, False)
+        b2 = pa.table({"id": b[id_col], "t": txt}).filter(m)
+        if b2.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], idt),
+                "char_pos": pa.array([], pa.int64()),
+                "snippet": pa.array([], pa.string()),
+            })
+        parts = pc.split_pattern(b2["t"], term, max_splits=1)
+        pre = pc.list_element(parts, 0)
+        suf = pc.list_element(parts, 1)
+        left = pc.utf8_slice_codeunits(pre, -ctx) if ctx else \
+            pc.utf8_slice_codeunits(pre, 0, 0)
+        right = pc.utf8_slice_codeunits(suf, 0, ctx)
+        snippet = pc.binary_join_element_wise(left, term, right, "")
+        pos = pc.add(pc.cast(pc.utf8_length(pre), pa.int64()), 1)
+        return pa.table({
+            "doc_id": b2["id"],
+            "char_pos": pos,
+            "snippet": snippet,
+        })
+
+    return ds.map_batches(_kwic, batch_format="pyarrow")
