@@ -6371,6 +6371,62 @@ FROM s
 """
 
 
+def q_mann_whitney_events(sf_dir: str):
+    """Mann-Whitney U A/B comparison
+    (``stages/abtest.py:mann_whitney``): per event_type, do weekend
+    values shift vs weekday values — exact doubled tie-average ranks,
+    one hash shuffle; u_over_nanb is the common-language effect size."""
+    from ..stages.abtest import mann_whitney
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "value"]).repartition(8)
+
+    def _cols(b: pa.Table) -> pa.Table:
+        days = pc.divide(pc.cast(b["ts"], pa.int64()), 86_400 * US)
+        dow = pc.subtract(
+            pc.add(days, 4),
+            pc.multiply(pc.divide(pc.add(days, 4), 7), 7))
+        weekend = pc.or_(pc.equal(dow, 0), pc.equal(dow, 6))
+        return pa.table({
+            "series_id": b["event_type"],
+            "y": pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                  ndigits=0), pa.int64()),
+            "side": pc.cast(weekend, pa.int64()),
+        })
+
+    return mann_whitney(ds.map_batches(_cols, batch_format="pyarrow"),
+                        num_partitions=4)
+
+
+MANN_WHITNEY_SQL = """
+WITH e AS (
+    SELECT event_type AS k,
+           CAST(round(value * 100) AS BIGINT) AS v,
+           CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS s
+    FROM events
+),
+r AS (
+    SELECT k, v, s,
+           rank() OVER (PARTITION BY k ORDER BY v) AS fr,
+           count(*) OVER (PARTITION BY k, v) AS ties
+    FROM e
+),
+a AS (
+    SELECT k,
+           CAST(sum(s) AS BIGINT) AS n_a,
+           CAST(count(*) - sum(s) AS BIGINT) AS n_b,
+           CAST(sum((2 * fr + ties - 1) * s) AS BIGINT) AS r2_a
+    FROM r GROUP BY k
+)
+SELECT k AS series_id, n_a, n_b, r2_a,
+       r2_a - n_a * (n_a + 1) AS u2_a,
+       CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+           / (2 * n_a * n_b) AS u_over_nanb
+FROM a WHERE n_a > 0 AND n_b > 0
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -6480,6 +6536,7 @@ QUERIES = {
     "gini_orders": q_gini_orders,
     "benford_orders": q_benford_orders,
     "kwic_docs": q_kwic_docs,
+    "mann_whitney_events": q_mann_whitney_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -7021,6 +7078,7 @@ ORACLE_SQL = {
     "gini_orders": GINI_SQL,
     "benford_orders": BENFORD_SQL,
     "kwic_docs": KWIC_SQL,
+    "mann_whitney_events": MANN_WHITNEY_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,

@@ -1,0 +1,110 @@
+"""Mann-Whitney U (Wilcoxon rank-sum) A/B comparison per key — the
+nonparametric "did cohort A's values shift vs cohort B" test, computed
+in EXACT integer arithmetic: tie-averaged ranks are half-integers, so
+everything carries a factor of 2 (``r2_a`` = 2·(rank sum of side A),
+``u2_a`` = 2·U_A = r2_a − n_a·(n_a+1)) and stays int64. The common-
+language effect size ``u_over_nanb = (u2_a/2) / (n_a·n_b)`` is the one
+pinned IEEE division. Keys missing a side report null effect (U is
+still defined, trivially 0 when n_b = 0? no — a side with zero rows
+yields u2_a of a one-sample ranking; we omit keys that lack either
+side, matching the SQL inner grouping).
+
+No counterpart in the reference (kernel library; SURVEY.md §2.4) —
+the cohort-comparison primitive for curation experiments (does source
+A produce longer documents than source B?) and metric shift detection.
+
+Scale shape: ONE hash(key) shuffle; each partition sorts once by
+(key, value) and derives every key's tie blocks, doubled average ranks
+(2·first_rank + ties − 1, a reduceat/broadcast pass) and side-A sums —
+no per-key Python.
+
+SQL restatement: ``rank()`` + per-(key, value) tie counts + the same
+doubled-rank sums."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["mann_whitney"]
+
+
+def mann_whitney(ds, *, key_col: str = "series_id",
+                 side_col: str = "side", val_col: str = "y",
+                 num_partitions: int = 16):
+    """``side`` is int (1 = cohort A, 0 = cohort B). Output one row per
+    key having BOTH sides: ``(series_id, n_a, n_b, r2_a, u2_a,
+    u_over_nanb)``."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[key_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _test(g: pa.Table) -> pa.Table:
+        kt = g[key_col].type if g.num_rows else pa.string()
+        empty = pa.table({
+            "series_id": pa.array([], kt),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "r2_a": pa.array([], pa.int64()),
+            "u2_a": pa.array([], pa.int64()),
+            "u_over_nanb": pa.array([], pa.float64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        t = pa.table({"k": g[key_col],
+                      "v": pc.cast(g[val_col], pa.int64()),
+                      "s": pc.cast(g[side_col], pa.int64())})
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("k", "ascending"), ("v", "ascending")]))
+        k = t["k"]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        enc = k.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(v)
+        kheads = np.ones(m, dtype=bool)
+        kheads[1:] = codes[1:] != codes[:-1]
+        kstarts = np.flatnonzero(kheads)
+        kseg = np.cumsum(kheads) - 1
+        # tie blocks: same key AND same value
+        theads = kheads.copy()
+        theads[1:] |= v[1:] != v[:-1]
+        tstarts = np.flatnonzero(theads)
+        tseg = np.cumsum(theads) - 1
+        ties = np.diff(np.append(tstarts, m))
+        # 1-based first rank of each tie block within its key
+        first_rank = tstarts - kstarts[kseg[tstarts]] + 1
+        rank2 = (2 * first_rank + ties - 1)[tseg]  # doubled avg rank
+        # per-key side sums
+        n_a = np.add.reduceat(s, kstarts)
+        n_tot = np.diff(np.append(kstarts, m))
+        n_b = n_tot - n_a
+        r2_a = np.add.reduceat(rank2 * s, kstarts)
+        u2_a = r2_a - n_a * (n_a + 1)
+        both = (n_a > 0) & (n_b > 0)
+        if not both.any():
+            return empty
+        eff = np.where(both, u2_a / (2.0 * np.where(both, n_a * n_b, 1)),
+                       np.nan)
+        sel = np.flatnonzero(both)
+        return pa.table({
+            "series_id": enc.dictionary.take(
+                pa.array(codes[kstarts[sel]])),
+            "n_a": pa.array(n_a[sel]),
+            "n_b": pa.array(n_b[sel]),
+            "r2_a": pa.array(r2_a[sel]),
+            "u2_a": pa.array(u2_a[sel]),
+            "u_over_nanb": pa.array(eff[sel]),
+        })
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _test, batch_format="pyarrow")
