@@ -6427,6 +6427,102 @@ FROM a WHERE n_a > 0 AND n_b > 0
 """
 
 
+def q_sliding_wau_events(sf_dir: str):
+    """Sliding-window distinct actives
+    (``stages/windows.py:sliding_distinct``): per event_type per day,
+    the distinct users seen in the trailing 7 days — per-user coverage
+    islands + a reset-free ±1 sweep, never a per-day distinct set."""
+    from ..stages.windows import sliding_distinct
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "user_id"]).repartition(8)
+
+    def _cols(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "series_id": b["event_type"],
+            "user_id": b["user_id"],
+            "day": pc.divide(pc.cast(b["ts"], pa.int64()), 86_400 * US),
+        })
+
+    return sliding_distinct(ds.map_batches(_cols, batch_format="pyarrow"),
+                            window=7, num_partitions=4)
+
+
+SLIDING_WAU_SQL = f"""
+WITH d AS (
+    SELECT DISTINCT event_type AS sid, user_id AS u,
+           epoch_us(ts) // {86_400 * US} AS day
+    FROM events
+),
+bounds AS (
+    SELECT sid, min(day) AS d0, max(day) + 6 AS d1 FROM d GROUP BY 1
+),
+grid AS (
+    SELECT sid, unnest(generate_series(d0, d1)) AS day FROM bounds
+)
+SELECT g.sid AS series_id, g.day,
+       count(DISTINCT d.u) AS active_users
+FROM grid g
+JOIN d ON d.sid = g.sid AND d.day BETWEEN g.day - 6 AND g.day
+GROUP BY 1, 2
+"""
+
+
+def q_survivorship_users(sf_dir: str):
+    """Golden-record survivorship merge
+    (``stages/cdc.py:survivorship_merge``): per user, the latest
+    NON-NULL value of each column across all event versions (cents are
+    null on view/click rows, props null on error rows — the
+    deterministic null pattern both sides apply), plus version count
+    and last timestamp. One hash(key) shuffle, reduceat per column."""
+    from ..stages.cdc import survivorship_merge
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"]).repartition(8)
+
+    def _cols(b: pa.Table) -> pa.Table:
+        cv = pc.cast(pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+                     pa.int64())
+        null_cv = pc.or_(pc.equal(b["event_type"], "view"),
+                         pc.equal(b["event_type"], "click"))
+        null_pr = pc.equal(b["event_type"], "error")
+        n = b.num_rows
+        return pa.table({
+            "key": b["user_id"],
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "event_id": b["event_id"],
+            "cv": pc.if_else(null_cv, pa.nulls(n, pa.int64()), cv),
+            "pr": pc.if_else(null_pr, pa.nulls(n, pa.string()),
+                             b["props"]),
+        })
+
+    return survivorship_merge(
+        ds.map_batches(_cols, batch_format="pyarrow"),
+        key_col="key", ts_col="ts_us", id_col="event_id",
+        cols=["cv", "pr"], num_partitions=4)
+
+
+SURVIVORSHIP_SQL = """
+WITH v AS (
+    SELECT user_id AS key, epoch_us(ts) AS ts_us, event_id,
+           CASE WHEN event_type IN ('view', 'click') THEN NULL
+                ELSE CAST(round(value * 100) AS BIGINT) END AS cv,
+           CASE WHEN event_type = 'error' THEN NULL ELSE props END AS pr,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+)
+SELECT key, count(*) AS n_versions,
+       CAST(max(ts_us) AS BIGINT) AS last_ts,
+       max_by(cv, rn) FILTER (WHERE cv IS NOT NULL) AS cv,
+       max_by(pr, rn) FILTER (WHERE pr IS NOT NULL) AS pr
+FROM v GROUP BY 1
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -6537,6 +6633,8 @@ QUERIES = {
     "benford_orders": q_benford_orders,
     "kwic_docs": q_kwic_docs,
     "mann_whitney_events": q_mann_whitney_events,
+    "sliding_wau_events": q_sliding_wau_events,
+    "survivorship_users": q_survivorship_users,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -7079,6 +7177,8 @@ ORACLE_SQL = {
     "benford_orders": BENFORD_SQL,
     "kwic_docs": KWIC_SQL,
     "mann_whitney_events": MANN_WHITNEY_SQL,
+    "sliding_wau_events": SLIDING_WAU_SQL,
+    "survivorship_users": SURVIVORSHIP_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,

@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["upsert_latest"]
+__all__ = ["upsert_latest", "survivorship_merge"]
 
 
 def _survivors(t: pa.Table, key_cols: list, order_cols: list) -> pa.Table:
@@ -96,3 +96,83 @@ def upsert_latest(ds, *, key_cols: list, order_cols: list,
     parted = ds.map_batches(_partial, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _final, batch_format="pyarrow")
+
+
+def survivorship_merge(ds, *, key_col: str, ts_col: str,
+                       id_col: str, cols: list,
+                       num_partitions: int = 16):
+    """Column-level survivorship (golden-record merge): per key, one row
+    holding for EVERY payload column its latest NON-NULL value across
+    all versions (ordered by ``(ts, id)``), plus ``n_versions`` and
+    ``last_ts``. The master-data-management step ``upsert_latest``
+    cannot express: row-level latest-wins drops older rows entirely,
+    while survivorship back-fills each column from the newest version
+    that actually populated it. A key whose every version is null in a
+    column stays null there.
+
+    Scale shape: ONE hash(key) shuffle; each partition sorts once by
+    (key, ts, id) and resolves every column with one
+    ``np.maximum.reduceat`` over the non-null row positions (no per-key
+    or per-column Python loops beyond the constant-width column list).
+
+    SQL restatement: ``row_number()`` version ranks + per-column
+    ``max_by(col, rn) FILTER (WHERE col IS NOT NULL)``."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[key_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _merge(g: pa.Table) -> pa.Table:
+        kt = g[key_col].type if g.num_rows else pa.string()
+        sch = {c: (g[c].type if g.num_rows else pa.string())
+               for c in cols}
+        if g.num_rows == 0:
+            return pa.table({
+                "key": pa.array([], kt),
+                "n_versions": pa.array([], pa.int64()),
+                "last_ts": pa.array([], pa.int64()),
+                **{c: pa.array([], t) for c, t in sch.items()},
+            })
+        t = g.take(pc.sort_indices(g, sort_keys=[
+            (key_col, "ascending"), (ts_col, "ascending"),
+            (id_col, "ascending")]))
+        k = t[key_col]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        enc = k.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(codes)
+        heads = np.ones(n, dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        nv = np.diff(np.append(starts, n))
+        ends = np.append(starts[1:], n) - 1
+        ts = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        out = {
+            "key": enc.dictionary.take(pa.array(codes[starts])),
+            "n_versions": pa.array(nv),
+            "last_ts": pa.array(ts[ends]),
+        }
+        rows = np.arange(n)
+        for c in cols:
+            col = t[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            pos = np.where(valid, rows, -1)
+            best = np.maximum.reduceat(pos, starts)
+            has = best >= 0
+            taken = col.take(pa.array(np.where(has, best, 0)))
+            if not has.all():  # re-null keys with no populated version
+                taken = pc.if_else(pa.array(has), taken,
+                                   pa.nulls(len(starts), col.type))
+            out[c] = taken
+        return pa.table(out)
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _merge, batch_format="pyarrow")

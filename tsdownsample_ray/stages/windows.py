@@ -361,3 +361,145 @@ def detect_anomalies(ds, k: int, t: int, *, series_col: str = "series_id",
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _flag, batch_format="pyarrow")
+
+
+def sliding_distinct(ds, *, window: int = 7, series_col: str = "series_id",
+                     user_col: str = "user_id", day_col: str = "day",
+                     num_partitions: int = 16):
+    """Trailing-window distinct actives (sliding MAU/WAU): for every
+    (series, day) emit the number of DISTINCT users seen in the trailing
+    ``window`` days ``[day - window + 1, day]`` — only days with at
+    least one active user appear (inner semantics).
+
+    The naive form re-counts a set per day; this is exact without any
+    per-day set: a user seen on day d is active for the window-long span
+    ``[d, d + window)``, so per (series, user) the seen-days merge into
+    coverage islands (gap > window breaks), each island contributes
+    ``+1`` at its start and ``-1`` past its end, and the per-(series,
+    day) active count is the running sum of those deltas — the
+    ``intervals.py`` reset-free sweep idea, aggregated at day
+    granularity and exploded back to the covered days.
+
+    Scale shape: TWO bounded shuffles — hash(series, user) for the
+    per-user island merge (each user's days sit together; one sorted
+    vectorized pass per partition), then hash(series) of the ±1 deltas
+    (2 rows per island, << input) for the day cumsum + explode. No
+    per-day distinct set, no driver materialization.
+
+    SQL restatement: DISTINCT (series, user, day) + a day grid +
+    ``count(DISTINCT u)`` over the trailing-window join."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+    w = int(window)
+
+    def _part_su(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        h2 = stable_part_codes(b[user_col], None)
+        mix = (h * np.uint64(0x9E3779B97F4A7C15)) ^ h2
+        return b.append_column(
+            "__part", pa.array((mix % np.uint64(mod)).astype(np.int32)))
+
+    def _deltas(g: pa.Table) -> pa.Table:
+        st = g[series_col].type if g.num_rows else pa.string()
+        empty = pa.table({
+            "series_id": pa.array([], st),
+            "day": pa.array([], pa.int64()),
+            "delta": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        t = pa.table({"s": g[series_col],
+                      "u": pc.cast(g[user_col], pa.int64()),
+                      "d": pc.cast(g[day_col], pa.int64())})
+        # distinct (series, user, day), sorted by (series, user, day)
+        t = t.group_by(["s", "u", "d"]).aggregate([])
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("s", "ascending"), ("u", "ascending"), ("d", "ascending")]))
+        s = t["s"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        enc = s.dictionary_encode()
+        sc = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        n = len(d)
+        # island break: new (series, user) OR day gap > window
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = ((sc[1:] != sc[:-1]) | (u[1:] != u[:-1])
+                   | (d[1:] - d[:-1] > w))
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n) - 1
+        isl_start = d[starts]               # +1 at first covered day
+        isl_end = d[ends] + w               # -1 past the last covered day
+        sid_idx = sc[starts]
+        return pa.table({
+            "series_id": enc.dictionary.take(
+                pa.array(np.concatenate([sid_idx, sid_idx]))),
+            "day": pa.array(np.concatenate([isl_start, isl_end])),
+            "delta": pa.array(np.concatenate([
+                np.ones(len(starts), dtype=np.int64),
+                np.full(len(starts), -1, dtype=np.int64)])),
+        })
+
+    def _part_s(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["series_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _sweep(g: pa.Table) -> pa.Table:
+        st = g["series_id"].type if g.num_rows else pa.string()
+        empty = pa.table({
+            "series_id": pa.array([], st),
+            "day": pa.array([], pa.int64()),
+            "active_users": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0:
+            return empty
+        # collapse deltas per (series, day), then sweep each series
+        t = pa.table({"s": g["series_id"],
+                      "d": pc.cast(g["day"], pa.int64()),
+                      "x": pc.cast(g["delta"], pa.int64())})
+        t = t.group_by(["s", "d"]).aggregate([("x", "sum")])
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("s", "ascending"), ("d", "ascending")]))
+        s = t["s"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        enc = s.dictionary_encode()
+        sc = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        x = t["x_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(d)
+        heads = np.ones(n, dtype=bool)
+        heads[1:] = sc[1:] != sc[:-1]
+        # per-series deltas net to zero -> the global cumsum IS the
+        # per-series running count (intervals.py discipline)
+        count = np.cumsum(x)
+        # run [d_i, d_{i+1}) has `count[i]` actives; last run of each
+        # series has count 0 (all islands closed)
+        nxt = np.empty(n, dtype=np.int64)
+        nxt[:-1] = d[1:]
+        nxt[-1] = d[-1]
+        last = np.zeros(n, dtype=bool)
+        last[:-1] = heads[1:]
+        last[-1] = True
+        run_len = np.where(last, 0, nxt - d)
+        live = (count > 0) & (run_len > 0)
+        reps = np.where(live, run_len, 0)
+        idx = np.repeat(np.arange(n), reps)
+        total = int(reps.sum())
+        run_starts = np.cumsum(reps) - reps
+        days = d[idx] + (np.arange(total) - run_starts[idx])
+        return pa.table({
+            "series_id": enc.dictionary.take(pa.array(sc[idx])),
+            "day": pa.array(days),
+            "active_users": pa.array(count[idx]),
+        })
+
+    parted = ds.map_batches(_part_su, batch_format="pyarrow")
+    deltas = parted.repartition(num_partitions).groupby(
+        "__part").map_groups(_deltas, batch_format="pyarrow")
+    parted2 = deltas.map_batches(_part_s, batch_format="pyarrow")
+    return parted2.repartition(num_partitions).groupby(
+        "__part").map_groups(_sweep, batch_format="pyarrow")
