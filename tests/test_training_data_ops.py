@@ -682,3 +682,37 @@ def test_normalize_text_batch():
     assert out["n_chars_raw"].to_pylist() == [16, 15, 11]
     # é composed: one codepoint shorter than the raw decomposed form
     assert out["n_chars_norm"].to_pylist() == [11, 13, 11]
+
+
+def test_embedding_covariance_matches_numpy(ray_session):
+    """embedding_covariance sufficient statistics equal a direct numpy
+    replay of the quantized Gram, independent of block partitioning."""
+    import ray
+
+    from tsdownsample_ray.stages.similarity import embedding_covariance
+
+    rng = np.random.default_rng(17)
+    n, d, scale = 257, 6, 1000
+    E = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table({"embedding": pa.FixedSizeListArray.from_arrays(
+        pa.array(E.reshape(-1), pa.float32()), d)})
+
+    Q = np.trunc(E.astype(np.float64) * scale)
+    iu, ju = np.triu_indices(d)
+    G = Q.T @ Q
+    s = Q.sum(axis=0)
+
+    for nparts in (1, 3, 7):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        out = embedding_covariance(ds, scale=scale, fanin=2).to_pandas()
+        out = out.sort_values(["i", "j"]).reset_index(drop=True)
+        assert len(out) == d * (d + 1) // 2
+        assert (out["i"].to_numpy() == iu + 1).all()
+        assert (out["j"].to_numpy() == ju + 1).all()
+        assert (out["n"].to_numpy() == n).all()
+        assert (out["sxy"].to_numpy() == G[iu, ju].astype(np.int64)).all()
+        assert (out["sx"].to_numpy() == s[iu].astype(np.int64)).all()
+        assert (out["sy"].to_numpy() == s[ju].astype(np.int64)).all()
+        num = n * G[iu, ju] - s[iu] * s[ju]
+        assert (out["cov_num"].to_numpy() == num.astype(np.int64)).all()
+        np.testing.assert_array_equal(out["cov"].to_numpy(), num / (n * n))

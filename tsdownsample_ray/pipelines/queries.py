@@ -6523,6 +6523,42 @@ FROM v GROUP BY 1
 """
 
 
+def q_embedding_covariance(sf_dir: str):
+    """Exact integer embedding covariance
+    (``stages/similarity.py:embedding_covariance``): per dimension pair
+    (i <= j), sufficient statistics over trunc-quantized components and
+    the exact covariance numerator — one d×d partial Gram per block,
+    mergeable hashpart sums, vectors never shuffle."""
+    from ..stages.similarity import embedding_covariance
+
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["embedding"]).repartition(4)
+    return embedding_covariance(ds, scale=1000, fanin=4)
+
+
+EMBEDDING_COV_SQL = """
+WITH q AS (
+    SELECT vec_id, r.i AS i,
+           CAST(trunc(CAST(embedding[r.i] AS DOUBLE) * 1000) AS BIGINT)
+               AS v
+    FROM embeddings, range(1, 65) r(i)
+),
+p AS (
+    SELECT a.i AS i, b.i AS j, count(*) AS n,
+           CAST(sum(a.v * b.v) AS BIGINT) AS sxy,
+           CAST(sum(a.v) AS BIGINT) AS sx,
+           CAST(sum(b.v) AS BIGINT) AS sy
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+)
+SELECT i, j, n, sxy, sx, sy,
+       n * sxy - sx * sy AS cov_num,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+           / (CAST(n AS DOUBLE) * n) AS cov
+FROM p
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -6635,6 +6671,7 @@ QUERIES = {
     "mann_whitney_events": q_mann_whitney_events,
     "sliding_wau_events": q_sliding_wau_events,
     "survivorship_users": q_survivorship_users,
+    "embedding_covariance": q_embedding_covariance,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -7179,6 +7216,7 @@ ORACLE_SQL = {
     "mann_whitney_events": MANN_WHITNEY_SQL,
     "sliding_wau_events": SLIDING_WAU_SQL,
     "survivorship_users": SURVIVORSHIP_SQL,
+    "embedding_covariance": EMBEDDING_COV_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,

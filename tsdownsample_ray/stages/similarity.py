@@ -17,7 +17,7 @@ import pyarrow as pa
 
 __all__ = ["embedding_matrix", "knn_bruteforce", "train_ivf_centroids",
            "assign_lists_batch", "knn_ivf", "embedding_near_dup_pairs",
-           "kmeans_integer"]
+           "kmeans_integer", "embedding_covariance"]
 
 
 def embedding_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
@@ -443,3 +443,78 @@ def kmeans_integer(ds, *, k: int = 4, updates: int = 2, scale: int = 1000,
                          "d2": pa.array(d2.astype(np.int64))})
 
     return qds.map_batches(_final, batch_format="pyarrow")
+
+
+def embedding_covariance(ds, *, scale: int = 1000, col: str = "embedding",
+                         fanin: int = 4):
+    """Exact integer covariance / Gram statistics of an embedding
+    column: for every dimension pair (i <= j, 1-based), the sufficient
+    statistics ``(n, sxy, sx, sy)`` over trunc-quantized components
+    ``trunc(v·scale)`` and the exact covariance numerator
+    ``cov_num = n·sxy − sx·sy`` (cov = cov_num/n², the one pinned IEEE
+    division). The input to PCA whitening, feature-redundancy pruning
+    and drift monitors — computed without ever centering the data.
+
+    Scale shape: a pure mergeable aggregation — each block contributes
+    ONE d×d partial Gram via a float64 matmul (exact while per-cell
+    sums stay under 2^53 — asserted per block; quantized cents-scale
+    components keep products ~1e7, so ~1e8 rows/block fit) flattened to
+    (i, j, partial) rows, then the standard hashpart grouped sum over
+    d(d+1)/2 keys. No shuffle of vectors, no driver materialization
+    beyond the d×d result.
+
+    SQL restatement: 1-based list indexing over a dim range join + the
+    same integer sums."""
+    from .graph import grouped_sum_parts
+
+    def _partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "i": pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sxy": pa.array([], pa.int64()),
+                "sx": pa.array([], pa.int64()),
+                "sy": pa.array([], pa.int64()),
+            })
+        E = embedding_matrix(b, col)
+        Q = np.trunc(E * scale)  # float64 holding exact integers
+        n, d = Q.shape
+        G = Q.T @ Q
+        assert np.abs(G).max() < 2**53, \
+            "embedding_covariance: partial Gram exceeds exact f64 range"
+        s = Q.sum(axis=0)
+        assert np.abs(s).max() < 2**53
+        iu, ju = np.triu_indices(d)
+        ones = np.full(len(iu), n, dtype=np.int64)
+        return pa.table({
+            "i": pa.array(iu.astype(np.int64) + 1),
+            "j": pa.array(ju.astype(np.int64) + 1),
+            "n": pa.array(ones),
+            "sxy": pa.array(G[iu, ju].astype(np.int64)),
+            "sx": pa.array(s[iu].astype(np.int64)),
+            "sy": pa.array(s[ju].astype(np.int64)),
+        })
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow")
+    summed = grouped_sum_parts(parts, ["i", "j"],
+                               ["n", "sxy", "sx", "sy"],
+                               count_col=None, fanin=fanin)
+
+    def _finalize(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sxy = b["sxy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sx = b["sx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sy = b["sy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        num = n * sxy - sx * sy
+        ok = n > 0
+        cov = np.where(ok, num / np.where(ok, (n * n).astype(np.float64),
+                                          1.0), np.nan)
+        return pa.table({
+            "i": b["i"], "j": b["j"], "n": b["n"],
+            "sxy": b["sxy"], "sx": b["sx"], "sy": b["sy"],
+            "cov_num": pa.array(num),
+            "cov": pa.array(np.nan_to_num(cov), pa.float64(), mask=~ok),
+        })
+
+    return summed.map_batches(_finalize, batch_format="pyarrow")
