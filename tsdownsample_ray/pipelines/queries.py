@@ -6559,6 +6559,99 @@ FROM p
 """
 
 
+def q_hybrid_rrf_docs(sf_dir: str):
+    """Hybrid retrieval with reciprocal-rank fusion
+    (``stages/retrieval.py``): lexical candidates (integer
+    ``tf·((N·1000)//(df+1))`` weights over a fixed query-term set) and
+    vector candidates (integer dot products vs the broadcast vec_id=0
+    query vector) each produce a distributed top-50 (block-local prune
+    + sort/limit); the two BOUNDED lists fuse driver-side with exact
+    rational RRF (k0=60), the float score being one pinned division."""
+    import pyarrow.parquet as pq
+
+    from ..stages.retrieval import (lexical_scores, query_term_df,
+                                    rrf_fuse, topk_side, vector_scores)
+
+    terms = ["hash", "join", "merge", "sort", "scan"]
+    docs = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    n_docs = docs.count()  # parquet metadata, no data pass
+    docs = docs.filter(expr="doc_id > 0")
+    df = query_term_df(docs, terms)
+    weights = (np.int64(n_docs) * 1000) // (df + 1)
+    lex_top = topk_side(lexical_scores(docs, terms, weights), 50,
+                        "lex_score")
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    qvec = np.asarray(
+        t.filter(pc.equal(t["vec_id"], 0))["embedding"][0].as_py(),
+        dtype=np.float64)
+    emb = _read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"]).filter(
+        expr="vec_id > 0")
+    vec_top = topk_side(vector_scores(emb, qvec), 50, "dot")
+    return rrf_fuse(lex_top, vec_top)
+
+
+HYBRID_RRF_SQL = """
+WITH n AS (SELECT count(*) AS n FROM documents),
+tok AS (
+    SELECT doc_id, t.term
+    FROM documents, unnest(string_split(text, ' ')) AS t(term)
+    WHERE doc_id > 0
+      AND t.term IN ('hash', 'join', 'merge', 'sort', 'scan')
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+w AS (SELECT term, (SELECT n FROM n) * 1000 // (df + 1) AS w FROM df),
+tf AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+lex AS (
+    SELECT doc_id, CAST(sum(cnt * w) AS BIGINT) AS score
+    FROM tf JOIN w USING (term) GROUP BY 1
+),
+lex_top AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS r
+    FROM lex QUALIFY r <= 50
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+vec AS (
+    SELECT e.vec_id AS doc_id,
+           CAST(sum(
+               CAST(trunc(CAST(e.embedding[r.i] AS DOUBLE) * 1000)
+                    AS BIGINT)
+               * CAST(trunc(CAST((SELECT qe FROM q)[r.i] AS DOUBLE)
+                            * 1000) AS BIGINT)) AS BIGINT) AS dot
+    FROM embeddings e, range(1, 65) r(i)
+    WHERE e.vec_id > 0 GROUP BY 1
+),
+vec_top AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY dot DESC, doc_id) AS r
+    FROM vec QUALIFY r <= 50
+),
+f AS (
+    SELECT doc_id,
+           CAST(COALESCE(l.r, 0) AS BIGINT) AS r_lex,
+           CAST(COALESCE(v.r, 0) AS BIGINT) AS r_vec
+    FROM lex_top l FULL OUTER JOIN vec_top v USING (doc_id)
+)
+SELECT doc_id, r_lex, r_vec,
+       CAST(CASE WHEN r_lex > 0 AND r_vec > 0
+                 THEN (60 + r_lex) + (60 + r_vec) ELSE 1 END
+            AS BIGINT) AS rrf_num,
+       CAST(CASE WHEN r_lex > 0 AND r_vec > 0
+                 THEN (60 + r_lex) * (60 + r_vec)
+                 WHEN r_lex > 0 THEN 60 + r_lex
+                 ELSE 60 + r_vec END AS BIGINT) AS rrf_den,
+       CAST(rrf_num AS DOUBLE) / rrf_den AS rrf,
+       row_number() OVER (
+           ORDER BY CAST(rrf_num AS DOUBLE) / rrf_den DESC, doc_id
+       ) AS fused_rank
+FROM f
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -6672,6 +6765,7 @@ QUERIES = {
     "sliding_wau_events": q_sliding_wau_events,
     "survivorship_users": q_survivorship_users,
     "embedding_covariance": q_embedding_covariance,
+    "hybrid_rrf_docs": q_hybrid_rrf_docs,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -7217,6 +7311,7 @@ ORACLE_SQL = {
     "sliding_wau_events": SLIDING_WAU_SQL,
     "survivorship_users": SURVIVORSHIP_SQL,
     "embedding_covariance": EMBEDDING_COV_SQL,
+    "hybrid_rrf_docs": HYBRID_RRF_SQL,
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,
