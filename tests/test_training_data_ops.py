@@ -716,3 +716,71 @@ def test_embedding_covariance_matches_numpy(ray_session):
         num = n * G[iu, ju] - s[iu] * s[ju]
         assert (out["cov_num"].to_numpy() == num.astype(np.int64)).all()
         np.testing.assert_array_equal(out["cov"].to_numpy(), num / (n * n))
+
+
+def test_centroid_classify_matches_numpy(ray_session):
+    """centroid_classify equals a direct numpy replay (trunc-quantize,
+    trunc-div centroids, integer d2 argmin with smallest-label ties)
+    for every partitioning."""
+    import ray
+
+    from tsdownsample_ray.stages.similarity import centroid_classify
+
+    rng = np.random.default_rng(9)
+    n, d, scale, mod = 101, 5, 1000, 4
+    E = rng.normal(size=(n, d)).astype(np.float32)
+    lab = rng.integers(0, 3, size=n).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(E.reshape(-1), pa.float32()), d),
+        "label": pa.array(lab.astype(np.int32), pa.int32())})
+
+    Q = np.trunc(E.astype(np.float64) * scale).astype(np.int64)
+    train = ids % mod != 0
+    labels = np.unique(lab[train])
+    C = np.zeros((len(labels), d), np.int64)
+    for p, l in enumerate(labels):
+        s = Q[train & (lab == l)].sum(axis=0)
+        nn = (train & (lab == l)).sum()
+        C[p] = np.where(s >= 0, s // nn, -((-s) // nn))
+    test = ids % mod == 0
+    d2 = ((Q[test][:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = np.argmin(d2, axis=1)
+    exp = dict(zip(ids[test],
+                   zip(labels[a], d2[np.arange(test.sum()), a])))
+
+    for nparts in (1, 3):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        out = (centroid_classify(ds, scale=scale, holdout_mod=mod)
+               .to_pandas().sort_values("vec_id").reset_index(drop=True))
+        assert out["vec_id"].tolist() == sorted(ids[test])
+        for _, r in out.iterrows():
+            pl, pd2 = exp[r["vec_id"]]
+            assert r["pred"] == pl and r["d2"] == pd2
+        assert (out["label"].to_numpy() ==
+                lab[np.isin(ids, out["vec_id"])]).all()
+
+
+def test_semantic_prune_keeps_closest(ray_session):
+    import ray
+
+    from tsdownsample_ray.stages.similarity import semantic_prune
+
+    rng = np.random.default_rng(21)
+    n = 300
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "cluster": pa.array(rng.integers(0, 3, n).astype(np.int64)),
+        "d2": pa.array(rng.integers(0, 50, n).astype(np.int64))})
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = (semantic_prune(ds, keep=10).to_pandas()
+           .sort_values(["cluster", "rk"]).reset_index(drop=True))
+    import pandas as pd
+    df = t.to_pandas()
+    for c, g in df.groupby("cluster"):
+        want = g.sort_values(["d2", "vec_id"]).head(10)
+        got = out[out["cluster"] == c]
+        assert got["vec_id"].tolist() == want["vec_id"].tolist()
+        assert got["rk"].tolist() == list(range(1, len(want) + 1))

@@ -6652,6 +6652,66 @@ FROM f
 """
 
 
+def q_centroid_classify_embeddings(sf_dir: str):
+    """Nearest-centroid (Rocchio) classification
+    (``stages/similarity.py:centroid_classify``): vec_id % 5 != 0 rows
+    train per-label integer centroids (trunc-quantized sums, truncating
+    division), the held-out fifth classifies to the nearest centroid by
+    exact integer d2, ties to the smallest label. Bounded |labels|·d
+    partial-sum merge + broadcast centroids + one shuffle-free classify
+    pass."""
+    from ..stages.similarity import centroid_classify
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"]).repartition(4)
+    return centroid_classify(ds, scale=1000, holdout_mod=5, fanin=2)
+
+
+CENTROID_CLASSIFY_SQL = """
+WITH q AS (
+    SELECT vec_id, CAST(label AS BIGINT) AS label, r.i AS i,
+           CAST(trunc(CAST(embedding[r.i] AS DOUBLE) * 1000) AS BIGINT)
+               AS v
+    FROM embeddings, range(1, 65) r(i)
+),
+cent AS (
+    SELECT label, i, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+    FROM q WHERE vec_id % 5 <> 0 GROUP BY 1, 2
+),
+c AS (SELECT label, i, s // n AS cv FROM cent),
+d AS (
+    SELECT t.vec_id, t.label, c.label AS cl,
+           CAST(sum((t.v - c.cv) * (t.v - c.cv)) AS BIGINT) AS d2
+    FROM q t JOIN c ON t.i = c.i
+    WHERE t.vec_id % 5 = 0 GROUP BY 1, 2, 3
+),
+p AS (
+    SELECT vec_id, label, cl AS pred, d2,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cl) AS rn
+    FROM d
+)
+SELECT vec_id, label, pred, d2 FROM p WHERE rn = 1
+"""
+
+
+def q_semantic_prune_embeddings(sf_dir: str):
+    """SemDeDup-style semantic pruning
+    (``stages/similarity.py:semantic_prune``): the k-means assignment
+    (k=4, 2 updates — identical machinery to ``kmeans_embeddings``)
+    keeps only the 32 vectors closest to each centroid (d2 asc, id asc)
+    — cluster-based dataset pruning with a block-local prune before the
+    one bounded-key shuffle."""
+    from ..stages.similarity import kmeans_integer, semantic_prune
+
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"]).repartition(4)
+    assigned = kmeans_integer(ds, k=4, updates=2, scale=1000,
+                              num_partitions=4)
+    return semantic_prune(assigned, keep=32)
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -6766,6 +6826,8 @@ QUERIES = {
     "survivorship_users": q_survivorship_users,
     "embedding_covariance": q_embedding_covariance,
     "hybrid_rrf_docs": q_hybrid_rrf_docs,
+    "centroid_classify_embeddings": q_centroid_classify_embeddings,
+    "semantic_prune_embeddings": q_semantic_prune_embeddings,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -7312,6 +7374,14 @@ ORACLE_SQL = {
     "survivorship_users": SURVIVORSHIP_SQL,
     "embedding_covariance": EMBEDDING_COV_SQL,
     "hybrid_rrf_docs": HYBRID_RRF_SQL,
+    "centroid_classify_embeddings": CENTROID_CLASSIFY_SQL,
+    "semantic_prune_embeddings": """
+SELECT vec_id, cluster, d2,
+       row_number() OVER (PARTITION BY cluster
+                          ORDER BY d2, vec_id) AS rk
+FROM (""" + KMEANS_SQL + """) base
+QUALIFY rk <= 32
+""",
     "training_order_docs": TRAINING_ORDER_SQL,
     "url_blocklist_docs": URL_BLOCKLIST_SQL,
     "embedding_near_dups_exact": EMBEDDING_EXACT_SQL,

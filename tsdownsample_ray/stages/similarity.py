@@ -17,7 +17,8 @@ import pyarrow as pa
 
 __all__ = ["embedding_matrix", "knn_bruteforce", "train_ivf_centroids",
            "assign_lists_batch", "knn_ivf", "embedding_near_dup_pairs",
-           "kmeans_integer", "embedding_covariance"]
+           "kmeans_integer", "embedding_covariance", "centroid_classify",
+           "semantic_prune"]
 
 
 def embedding_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
@@ -518,3 +519,136 @@ def embedding_covariance(ds, *, scale: int = 1000, col: str = "embedding",
         })
 
     return summed.map_batches(_finalize, batch_format="pyarrow")
+
+
+def centroid_classify(ds, *, scale: int = 1000, id_col: str = "vec_id",
+                      col: str = "embedding", label_col: str = "label",
+                      holdout_mod: int = 5, fanin: int = 2):
+    """Nearest-centroid (Rocchio) classification over a labeled
+    embedding column — the supervised companion to ``kmeans_integer``,
+    bit-deterministic end to end: rows with ``id % holdout_mod != 0``
+    train per-label integer centroids (trunc-quantized components,
+    elementwise truncating division — DuckDB ``//``), held-out rows
+    (``id % holdout_mod == 0``) classify to the centroid with the
+    smallest exact integer squared distance, ties to the smallest label.
+
+    Scale shape: train side collapses to |labels|·d mergeable partial
+    sums per block (one hashpart grouped sum of a BOUNDED key space);
+    the centroid matrix broadcasts via ``ray.put``; the classify pass is
+    one shuffle-free ``map_batches``. Returns per-test-row
+    ``(vec_id, label, pred, d2)``.
+    """
+    import ray
+
+    from .graph import grouped_sum_parts
+
+    def _train_part(b: pa.Table) -> pa.Table:
+        empty = pa.table({"label": pa.array([], pa.int64()),
+                          "i": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        train = ids % holdout_mod != 0
+        if not train.any():
+            return empty
+        Q = np.trunc(embedding_matrix(b, col) * scale).astype(
+            np.int64)[train]
+        lab = b[label_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)[train]
+        d = Q.shape[1]
+        ul, codes = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ul), d), np.int64)
+        np.add.at(sums, codes, Q)
+        n = np.bincount(codes, minlength=len(ul)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(ul, d)),
+            "i": pa.array(np.tile(np.arange(d, dtype=np.int64), len(ul))),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(n, d)),
+        })
+
+    parts = ds.map_batches(_train_part, batch_format="pyarrow")
+    cells = grouped_sum_parts(parts, ["label", "i"], ["s", "n"],
+                              count_col=None, fanin=fanin)
+    rows = cells.take_all()  # |labels| x d rows: bounded constant
+    if not rows:
+        raise ValueError("centroid_classify: no training rows")
+    labels = np.array(sorted({r["label"] for r in rows}), dtype=np.int64)
+    lpos = {int(l): p for p, l in enumerate(labels)}
+    d = 1 + max(r["i"] for r in rows)
+    C = np.zeros((len(labels), d), np.int64)
+    for r in rows:
+        s, nn = int(r["s"]), int(r["n"])
+        # trunc toward zero (DuckDB //), not Python floor
+        C[lpos[int(r["label"])], r["i"]] = (s // nn if s >= 0
+                                            else -((-s) // nn))
+    cref = ray.put((labels, C))
+
+    def _classify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64()),
+                             "pred": pa.array([], pa.int64()),
+                             "d2": pa.array([], pa.int64())})
+        labs, Cm = ray.get(cref)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        test = ids % holdout_mod == 0
+        Q = np.trunc(embedding_matrix(b, col) * scale).astype(
+            np.int64)[test]
+        lab = b[label_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)[test]
+        qq = np.einsum("ij,ij->i", Q, Q)
+        cc = np.einsum("ij,ij->i", Cm, Cm)
+        d2 = qq[:, None] + cc[None, :] - 2 * (Q @ Cm.T)
+        a = np.argmin(d2, axis=1)  # labs sorted -> ties hit smallest
+        return pa.table({
+            "vec_id": pa.array(ids[test]),
+            "label": pa.array(lab),
+            "pred": pa.array(labs[a]),
+            "d2": pa.array(d2[np.arange(len(a)), a]),
+        })
+
+    return ds.map_batches(_classify, batch_format="pyarrow")
+
+
+def semantic_prune(assigned, *, keep: int = 32):
+    """SemDeDup-style semantic pruning: from a ``kmeans_integer``
+    assignment ``(vec_id, cluster, d2)``, keep the ``keep`` rows closest
+    to each centroid (rank by ``d2`` asc, id asc) — the deterministic
+    skeleton of cluster-based dataset pruning. Block-local per-cluster
+    prune bounds every group's final sort at ``keep × blocks`` rows;
+    clusters are the bounded key space of the one shuffle."""
+    import pyarrow.compute as pc
+
+    def _local(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        idx = pc.sort_indices(b, sort_keys=[
+            ("cluster", "ascending"), ("d2", "ascending"),
+            ("vec_id", "ascending")])
+        t = b.take(idx)
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        starts = np.r_[0, 1 + np.flatnonzero(cl[1:] != cl[:-1])]
+        pos = np.arange(len(cl)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(cl)]))
+        return t.filter(pa.array(pos < keep))
+
+    def _final(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "d2": pa.array([], pa.int64()),
+                             "rk": pa.array([], pa.int64())})
+        idx = pc.sort_indices(g, sort_keys=[("d2", "ascending"),
+                                            ("vec_id", "ascending")])
+        t = g.take(idx).slice(0, keep)
+        return pa.table({"vec_id": t["vec_id"], "cluster": t["cluster"],
+                         "d2": t["d2"],
+                         "rk": pa.array(np.arange(1, t.num_rows + 1,
+                                                  dtype=np.int64))})
+
+    return (assigned.map_batches(_local, batch_format="pyarrow")
+            .groupby("cluster").map_groups(_final,
+                                           batch_format="pyarrow"))
