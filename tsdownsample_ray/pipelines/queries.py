@@ -6712,6 +6712,151 @@ def q_semantic_prune_embeddings(sf_dir: str):
     return semantic_prune(assigned, keep=32)
 
 
+def q_mutual_nn_embeddings(sf_dir: str):
+    """Within-label mutual nearest neighbors
+    (``stages/neighbors.py:mutual_nn_pairs``): the record-linkage /
+    bitext-mining primitive — label is the blocking key (ONE
+    hash(label) shuffle), each group runs a vectorized integer Gram
+    matmul, pairs (a<b) kept when each is the other's nearest non-self
+    neighbor (exact int d2, smallest-id ties)."""
+    from ..stages.neighbors import mutual_nn_pairs
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"]).repartition(4)
+    return mutual_nn_pairs(ds, scale=1000)
+
+
+_NEIGHBOR_PAIRS_CTE = """
+q AS (
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           list_transform(embedding,
+               x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+),
+d AS (
+    SELECT a.vec_id AS ia, b.vec_id AS ib, a.label AS label,
+           CAST(list_dot_product(a.v, a.v) + list_dot_product(b.v, b.v)
+                - 2 * list_dot_product(a.v, b.v) AS BIGINT) AS d2
+    FROM q a JOIN q b
+      ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+nn AS (
+    SELECT ia, ib, label, d2,
+           row_number() OVER (PARTITION BY ia ORDER BY d2, ib) AS rn
+    FROM d
+)
+"""
+
+MUTUAL_NN_SQL = f"""
+WITH {_NEIGHBOR_PAIRS_CTE.strip()}
+SELECT l.ia AS a, l.ib AS b, l.label AS label, l.d2 AS d2
+FROM nn l JOIN nn r ON l.ib = r.ia AND r.ib = l.ia
+WHERE l.rn = 1 AND r.rn = 1 AND l.ia < l.ib
+"""
+
+
+def q_knn_outliers_embeddings(sf_dir: str):
+    """Distance-based outlier scores
+    (``stages/neighbors.py:kth_nn_distance``): each vector's exact
+    integer d2 to its 5th-nearest within-label neighbor; the 5 most
+    outlying rows per label (d2k desc, id asc) survive — the
+    anomaly-filtering gate of an embedding-curation pipeline. Same
+    blocked shape as ``mutual_nn_embeddings``."""
+    from ..stages.neighbors import kth_nn_distance
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"]).repartition(4)
+    return kth_nn_distance(ds, k=5, top=5, scale=1000)
+
+
+KNN_OUTLIERS_SQL = f"""
+WITH {_NEIGHBOR_PAIRS_CTE.strip()},
+kth AS (SELECT ia AS vec_id, label, d2 AS d2k FROM nn WHERE rn = 5),
+t AS (
+    SELECT vec_id, label, d2k,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY d2k DESC, vec_id) AS rk
+    FROM kth
+)
+SELECT vec_id, label, d2k, rk FROM t WHERE rk <= 5
+"""
+
+
+def q_seasonal_decompose_1h(sf_dir: str):
+    """Classical additive seasonal decomposition over the dense 1h tier
+    (``stages/decompose.py``): 2×24 centered moving-average trend,
+    per-(series, hour-of-day) seasonal index, remainder — every value an
+    integer numerator over a fixed denominator (48, 48·cnt), the
+    remainder's division the only float. One hash(series) shuffle; each
+    partition decomposes ALL its series in a single vectorized cumsum
+    pass (edges dropped, the classical NaN rows)."""
+    from ..stages.decompose import classical_decompose
+    from ..stages.gapfill import gapfill
+    from ..stages.rollup import rollup
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"), W1H)
+    dense = gapfill(rolled, W1H, value_cols=("sum_y",), fill="zero",
+                    num_partitions=4)
+    return classical_decompose(dense, window_us=W1H, period=24,
+                               num_partitions=4)
+
+
+SEASONAL_DECOMP_SQL = f"""
+WITH r AS (
+    SELECT event_type AS series_id,
+           (epoch_us(ts) // {W1H}) * {W1H} AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+    FROM events GROUP BY 1, 2
+),
+b AS (SELECT series_id, min(bucket) mn, max(bucket) mx FROM r GROUP BY 1),
+g AS (SELECT series_id, unnest(range(mn, mx + 1, {W1H})) AS bucket
+      FROM b),
+f AS (
+    SELECT g.series_id, g.bucket, COALESCE(r.s, 0) AS y,
+           row_number() OVER (PARTITION BY g.series_id
+                              ORDER BY g.bucket) - 1 AS p,
+           count(*) OVER (PARTITION BY g.series_id) AS n
+    FROM g LEFT JOIN r USING (series_id, bucket)
+),
+t AS (
+    SELECT series_id, bucket, y, p, n,
+           sum(y) OVER (PARTITION BY series_id ORDER BY bucket
+                        ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING)
+               AS inner23,
+           lag(y, 12) OVER (PARTITION BY series_id
+                            ORDER BY bucket) AS ym,
+           lead(y, 12) OVER (PARTITION BY series_id
+                             ORDER BY bucket) AS yp
+    FROM f
+),
+i AS (
+    SELECT series_id, bucket, y, (bucket // {W1H}) % 24 AS slot,
+           CAST(ym + 2 * inner23 + yp AS BIGINT) AS trend_num,
+           CAST(48 * y - (ym + 2 * inner23 + yp) AS BIGINT) AS detr
+    FROM t WHERE p >= 12 AND p <= n - 13
+),
+s AS (
+    SELECT series_id, slot, CAST(sum(detr) AS BIGINT) AS seas_num,
+           CAST(count(*) AS BIGINT) AS seas_cnt
+    FROM i GROUP BY 1, 2
+)
+SELECT i.series_id, i.bucket, i.y, i.slot, i.trend_num, i.detr,
+       s.seas_num, s.seas_cnt,
+       CAST(i.detr * s.seas_cnt - s.seas_num AS BIGINT) AS rem_num,
+       CAST(i.detr * s.seas_cnt - s.seas_num AS DOUBLE)
+           / (48.0 * s.seas_cnt) AS rem
+FROM i JOIN s USING (series_id, slot)
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -6828,6 +6973,9 @@ QUERIES = {
     "hybrid_rrf_docs": q_hybrid_rrf_docs,
     "centroid_classify_embeddings": q_centroid_classify_embeddings,
     "semantic_prune_embeddings": q_semantic_prune_embeddings,
+    "mutual_nn_embeddings": q_mutual_nn_embeddings,
+    "knn_outliers_embeddings": q_knn_outliers_embeddings,
+    "seasonal_decompose_1h": q_seasonal_decompose_1h,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -7375,6 +7523,9 @@ ORACLE_SQL = {
     "embedding_covariance": EMBEDDING_COV_SQL,
     "hybrid_rrf_docs": HYBRID_RRF_SQL,
     "centroid_classify_embeddings": CENTROID_CLASSIFY_SQL,
+    "mutual_nn_embeddings": MUTUAL_NN_SQL,
+    "knn_outliers_embeddings": KNN_OUTLIERS_SQL,
+    "seasonal_decompose_1h": SEASONAL_DECOMP_SQL,
     "semantic_prune_embeddings": """
 SELECT vec_id, cluster, d2,
        row_number() OVER (PARTITION BY cluster
