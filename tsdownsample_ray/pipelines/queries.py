@@ -6857,6 +6857,108 @@ FROM i JOIN s USING (series_id, slot)
 """
 
 
+def q_hysteresis_alerts_events(sf_dir: str):
+    """Schmitt-trigger alerting (``stages/rate.py:hysteresis_alerts``):
+    ALERT when cents >= 7000, clear only at <= 3000 — the hysteresis
+    band suppresses the flapping plain crossings emit. One hash(series)
+    shuffle; forward-fill of set/reset markers via
+    ``np.maximum.accumulate`` with segment-start validity (no per-row
+    Python). Emits one row per state transition."""
+    from ..stages.rate import hysteresis_alerts
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"], "event_id": b["event_id"]})
+
+    ds = ev.map_batches(_series, batch_format="pyarrow")
+    return hysteresis_alerts(ds, 7000, 3000, tiebreak_col="event_id",
+                             num_partitions=2)
+
+
+HYSTERESIS_SQL = """
+WITH e AS (
+    SELECT event_type AS series_id, event_id, epoch_us(ts) AS x,
+           CAST(round(value * 100) AS BIGINT) AS y
+    FROM events
+),
+m AS (
+    SELECT series_id, x, event_id, y,
+           CASE WHEN y >= 7000 THEN 1
+                WHEN y <= 3000 THEN 0 END AS mk
+    FROM e
+),
+s AS (
+    SELECT series_id, x, event_id, y,
+           CAST(COALESCE(last_value(mk IGNORE NULLS) OVER (
+               PARTITION BY series_id ORDER BY x, event_id
+               ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS state
+    FROM m
+),
+t AS (
+    SELECT series_id, x, y, state,
+           lag(state, 1, 0) OVER (PARTITION BY series_id
+                                  ORDER BY x, event_id) AS prev
+    FROM s
+)
+SELECT series_id, x, y, state FROM t WHERE state <> prev
+"""
+
+
+def q_coverage_sample_docs(sf_dir: str):
+    """Greedy maximum-coverage selection
+    (``stages/coverage.py:greedy_coverage``): 5 rounds of "pick the doc
+    adding the most uncovered distinct BIGRAMS" (ties to smallest id) —
+    the (1-1/e) facility-location heuristic for diverse seed-set /
+    eval-suite curation. Per round: broadcast covered set, vectorized
+    marginal gains, distributed sort/limit(1); only the winner's token
+    set reaches the driver."""
+    from ..stages.coverage import greedy_coverage
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+    return greedy_coverage(ds, 5, ngram=2)
+
+
+def _coverage_sql(k: int = 5) -> str:
+    parts = ["""tok AS (
+    SELECT DISTINCT doc_id, t.term
+    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         unnest(list_transform(range(1, array_length(l)),
+                               i -> l[i] || ' ' || l[i + 1]))
+             AS t(term)
+)"""]
+    selects = []
+    for r in range(1, k + 1):
+        cond = (f"\n    WHERE term NOT IN (SELECT term FROM c{r - 1})"
+                if r > 1 else "")
+        parts.append(f"""g{r} AS (
+    SELECT doc_id, count(*) AS gain FROM tok{cond} GROUP BY 1
+)""")
+        parts.append(f"""p{r} AS (
+    SELECT doc_id, gain FROM g{r} ORDER BY gain DESC, doc_id LIMIT 1
+)""")
+        if r == 1:
+            parts.append("""c1 AS (
+    SELECT term FROM tok WHERE doc_id = (SELECT doc_id FROM p1)
+)""")
+        else:
+            parts.append(f"""c{r} AS (
+    SELECT term FROM c{r - 1}
+    UNION
+    SELECT term FROM tok WHERE doc_id = (SELECT doc_id FROM p{r})
+)""")
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS rnd, doc_id, gain,\n"
+            f"       (SELECT count(*) FROM c{r}) AS covered FROM p{r}")
+    return ("WITH " + ",\n".join(parts) + "\n"
+            + "\nUNION ALL\n".join(selects))
+
+
+COVERAGE_SQL = _coverage_sql()
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -6976,6 +7078,8 @@ QUERIES = {
     "mutual_nn_embeddings": q_mutual_nn_embeddings,
     "knn_outliers_embeddings": q_knn_outliers_embeddings,
     "seasonal_decompose_1h": q_seasonal_decompose_1h,
+    "hysteresis_alerts_events": q_hysteresis_alerts_events,
+    "coverage_sample_docs": q_coverage_sample_docs,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -7526,6 +7630,8 @@ ORACLE_SQL = {
     "mutual_nn_embeddings": MUTUAL_NN_SQL,
     "knn_outliers_embeddings": KNN_OUTLIERS_SQL,
     "seasonal_decompose_1h": SEASONAL_DECOMP_SQL,
+    "hysteresis_alerts_events": HYSTERESIS_SQL,
+    "coverage_sample_docs": COVERAGE_SQL,
     "semantic_prune_embeddings": """
 SELECT vec_id, cluster, d2,
        row_number() OVER (PARTITION BY cluster

@@ -25,7 +25,8 @@ import pyarrow.compute as pc
 
 from .rollup import bucketize
 
-__all__ = ["counter_rate"]
+__all__ = ["counter_rate", "threshold_crossings", "series_diffs",
+           "cusum", "gap_profile", "hysteresis_alerts"]
 
 
 def counter_rate(ds, window_us: int, *, series_col: str = "series_id",
@@ -389,3 +390,80 @@ def gap_profile(ds, *, over_us: int, series_col: str = "series_id",
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _profile, batch_format="pyarrow")
+
+
+def hysteresis_alerts(ds, hi: int, lo: int, *,
+                      series_col: str = "series_id", x_col: str = "x",
+                      y_col: str = "y", tiebreak_col: str | None = None,
+                      num_partitions: int = 16):
+    """Schmitt-trigger alerting: a series enters the ALERT state when
+    ``y >= hi`` and leaves it only when ``y <= lo`` (the hysteresis band
+    (lo, hi) suppresses flapping that plain threshold crossings emit).
+    Emits one row per STATE TRANSITION ``(series_id, x, y, state)`` —
+    state 1 = alert fired, 0 = cleared; the implicit initial state is 0,
+    so a series whose first point is already ≥ hi fires on that point.
+
+    Scale shape: identical to :func:`threshold_crossings` — ONE
+    hash(series) shuffle, then per partition a single vectorized pass:
+    the forward-fill of the set/reset markers is a
+    ``np.maximum.accumulate`` over marker positions with a
+    segment-start validity check (no per-row Python, no recursion).
+    """
+    from ..arrow_utils import stable_part_codes
+
+    if not hi > lo:
+        raise ValueError(f"need hi > lo; got hi={hi}, lo={lo}")
+    mod = num_partitions * 64
+    HI, LO = int(hi), int(lo)
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    sort_keys = [(series_col, "ascending"), (x_col, "ascending")]
+    if tiebreak_col is not None:
+        sort_keys.append((tiebreak_col, "ascending"))
+
+    def _trans(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        sid_type = t[series_col].type
+        empty = pa.table({"series_id": pa.array([], sid_type),
+                          "x": pa.array([], pa.int64()),
+                          "y": pa.array([], pa.int64()),
+                          "state": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(y)
+        change = np.ones(n, dtype=bool)
+        change[1:] = codes[1:] != codes[:-1]
+        seg_first = np.flatnonzero(change)
+        seg_of = np.cumsum(change) - 1
+        defined = (y >= HI) | (y <= LO)
+        marker = (y >= HI).astype(np.int64)
+        lastdef = np.maximum.accumulate(np.where(defined, np.arange(n), -1))
+        valid = lastdef >= seg_first[seg_of]
+        state = np.where(valid, marker[np.maximum(lastdef, 0)], 0)
+        prev = np.empty(n, np.int64)
+        prev[0] = 0
+        prev[1:] = state[:-1]
+        prev[change] = 0  # implicit 0 before each series' first row
+        idx = np.flatnonzero(state != prev)
+        if len(idx) == 0:
+            return empty
+        return pa.table({"series_id": sid.take(pa.array(idx)),
+                         "x": pa.array(x[idx]),
+                         "y": pa.array(y[idx]),
+                         "state": pa.array(state[idx])})
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _trans, batch_format="pyarrow")
