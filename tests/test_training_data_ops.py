@@ -784,3 +784,46 @@ def test_semantic_prune_keeps_closest(ray_session):
         got = out[out["cluster"] == c]
         assert got["vec_id"].tolist() == want["vec_id"].tolist()
         assert got["rk"].tolist() == list(range(1, len(want) + 1))
+
+
+def test_term_drift_matches_python(ray_session):
+    """term_drift chi2 equals a direct python contingency replay,
+    partition-invariant."""
+    import ray
+
+    from tsdownsample_ray.stages.vocab import term_drift
+
+    docs = {0: "x y", 1: "x z", 2: "x y w", 3: "z w",
+            4: "y y q", 5: "z q"}
+    tbl = pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                    "text": pa.array([docs[i] for i in sorted(docs)])})
+    n0 = sum(1 for i in docs if i % 2 == 0)
+    n1 = len(docs) - n0
+    from collections import defaultdict
+    ab = defaultdict(lambda: [0, 0])
+    for did, t in docs.items():
+        for term in set(t.split()):
+            ab[term][did % 2] += 1
+    exp = {}
+    for term, (a, b) in ab.items():
+        c, d = n0 - a, n1 - b
+        if c + d == 0:
+            continue
+        p1 = (a + b) * (c + d)
+        d1 = a * n1 - b * n0
+        chi2 = (float(n0 + n1) * float(d1) * float(d1)) / (
+            float(p1) * float(n0 * n1))
+        exp[term] = (a, b, p1, d1, chi2)
+
+    for nparts in (1, 3):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        out = term_drift(ds, n0, n1, top=20, fanin=2)
+        assert len(out) == len(exp)
+        for _, r in out.iterrows():
+            a, b, p1, d1, chi2 = exp[r["term"]]
+            assert (r["a"], r["b"], r["p1"], r["d1"]) == (a, b, p1, d1)
+            assert r["chi2"] == chi2
+        # ranked by chi2 desc, term asc
+        key = sorted(exp.items(), key=lambda kv: (-kv[1][4], kv[0]))
+        assert out["term"].tolist() == [k for k, _ in key]
+        assert out["rank"].tolist() == list(range(1, len(exp) + 1))

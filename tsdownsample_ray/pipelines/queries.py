@@ -6959,6 +6959,65 @@ def _coverage_sql(k: int = 5) -> str:
 COVERAGE_SQL = _coverage_sql()
 
 
+def q_term_drift_docs(sf_dir: str):
+    """Vocabulary drift between corpus halves
+    (``stages/vocab.py:term_drift``): 2×2 chi-square presence drift per
+    term (doc_id parity as the snapshot split), top-20 most drifted.
+    Per-block distinct-(doc, term) partials, one hash(term) shuffle,
+    bounded sort/limit funnel; chi2 is the pinned 3-multiply/1-divide
+    float chain over exact integer contingency cells."""
+    import pyarrow.parquet as pq
+
+    from ..stages.vocab import term_drift
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+    halves = ds.map_batches(
+        lambda b: pa.table({
+            "n0": pa.array([int((b["doc_id"].to_numpy(
+                zero_copy_only=False) % 2 == 0).sum())], pa.int64()),
+            "n1": pa.array([int((b["doc_id"].to_numpy(
+                zero_copy_only=False) % 2 == 1).sum())], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    n0, n1 = int(halves["n0"].sum()), int(halves["n1"].sum())
+    return term_drift(ds, n0, n1, top=20)
+
+
+TERM_DRIFT_SQL = """
+WITH tok AS (
+    SELECT DISTINCT doc_id, t.term
+    FROM documents, unnest(string_split(text, ' ')) AS t(term)
+    WHERE t.term <> ''
+),
+n AS (
+    SELECT count(*) FILTER (doc_id % 2 = 0) AS n0,
+           count(*) FILTER (doc_id % 2 = 1) AS n1
+    FROM documents
+),
+h AS (
+    SELECT term,
+           CAST(count(*) FILTER (doc_id % 2 = 0) AS BIGINT) AS a,
+           CAST(count(*) FILTER (doc_id % 2 = 1) AS BIGINT) AS b
+    FROM tok GROUP BY 1
+),
+s AS (
+    SELECT term, a, b,
+           CAST((a + b) * ((n.n0 - a) + (n.n1 - b)) AS BIGINT) AS p1,
+           CAST(a * n.n1 - b * n.n0 AS BIGINT) AS d1,
+           CAST(n.n0 + n.n1 AS DOUBLE) * CAST(a * n.n1 - b * n.n0
+                                              AS DOUBLE)
+               * CAST(a * n.n1 - b * n.n0 AS DOUBLE)
+               / (CAST((a + b) * ((n.n0 - a) + (n.n1 - b)) AS DOUBLE)
+                  * CAST(n.n0 * n.n1 AS DOUBLE)) AS chi2
+    FROM h, n
+    WHERE (n.n0 - a) + (n.n1 - b) > 0
+)
+SELECT term, a, b, p1, d1, chi2,
+       row_number() OVER (ORDER BY chi2 DESC, term) AS rank
+FROM s QUALIFY rank <= 20
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -7080,6 +7139,7 @@ QUERIES = {
     "seasonal_decompose_1h": q_seasonal_decompose_1h,
     "hysteresis_alerts_events": q_hysteresis_alerts_events,
     "coverage_sample_docs": q_coverage_sample_docs,
+    "term_drift_docs": q_term_drift_docs,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -7632,6 +7692,7 @@ ORACLE_SQL = {
     "seasonal_decompose_1h": SEASONAL_DECOMP_SQL,
     "hysteresis_alerts_events": HYSTERESIS_SQL,
     "coverage_sample_docs": COVERAGE_SQL,
+    "term_drift_docs": TERM_DRIFT_SQL,
     "semantic_prune_embeddings": """
 SELECT vec_id, cluster, d2,
        row_number() OVER (PARTITION BY cluster

@@ -79,3 +79,89 @@ def build_vocab(ds, *, text_col: str = "text", id_col: str = "doc_id",
         "__part").map_groups(_part_merge, batch_format="pyarrow")
     return merged.repartition(1).map_batches(_final,
                                              batch_format="pyarrow")
+
+
+def term_drift(ds, n0: int, n1: int, *, text_col: str = "text",
+               id_col: str = "doc_id", top: int = 20, fanin: int = 4):
+    """2×2 chi-square PRESENCE drift of every term between two corpus
+    halves (``doc_id`` parity): the vocabulary-shift monitor between
+    crawl snapshots / data mixes. Contingency per term: ``a/b`` = docs
+    containing it in half 0/1, ``c/d`` the complements against the half
+    totals ``n0/n1``; the classic ``chi2 = N·(ad−bc)²/((a+b)(c+d)·n0·n1)``
+    with the identity ``ad−bc = a·n1 − b·n0``. Integers carry everything
+    except the final pinned float chain (3 multiplies + 1 divide, the
+    same expression tree in SQL).
+
+    Scale shape: per-block distinct (doc, term) membership partials
+    (vectorized dictionary-encode + unique), ONE hash(term) shuffle of
+    vocabulary-sized partials, a bounded ``sort().limit(top)`` funnel.
+    Returns the ``top`` most drifted terms (chi2 desc, term asc) with
+    rank."""
+    import pandas as pd
+
+    from .graph import grouped_sum_parts
+
+    def _part(b: pa.Table) -> pa.Table:
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(b[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        row = np.repeat(np.arange(b.num_rows, dtype=np.int64),
+                        np.diff(off))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        row = row[keep]
+        if len(row) == 0:
+            return empty
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = len(enc.dictionary)
+        pair = row * nt + codes
+        _, first = np.unique(pair, return_index=True)
+        row, codes = row[first], codes[first]
+        half = (b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                % 2)[row]
+        av = np.zeros(nt, np.int64)
+        bv = np.zeros(nt, np.int64)
+        np.add.at(av, codes[half == 0], 1)
+        np.add.at(bv, codes[half == 1], 1)
+        nz = (av > 0) | (bv > 0)
+        return pa.table({"term": enc.dictionary.filter(pa.array(nz)),
+                         "a": pa.array(av[nz]), "b": pa.array(bv[nz])})
+
+    summed = grouped_sum_parts(ds.map_batches(_part, batch_format="pyarrow"),
+                               ["term"], ["a", "b"], count_col=None,
+                               fanin=fanin)
+    Nf = float(n0 + n1)
+    p2f = float(n0 * n1)
+
+    def _final(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = n0 - a
+        d = n1 - bb
+        keep = (c + d) > 0
+        a, bb, c, d = a[keep], bb[keep], c[keep], d[keep]
+        p1 = (a + bb) * (c + d)
+        d1 = a * n1 - bb * n0
+        d1f = d1.astype(np.float64)
+        chi2 = (Nf * d1f * d1f) / (p1.astype(np.float64) * p2f)
+        term = t["term"]
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        return pa.table({"term": term.filter(pa.array(keep)),
+                         "a": pa.array(a), "b": pa.array(bb),
+                         "p1": pa.array(p1), "d1": pa.array(d1),
+                         "chi2": pa.array(chi2, pa.float64())})
+
+    topt = (summed.map_batches(_final, batch_format="pyarrow")
+            .sort(key=["chi2", "term"], descending=[True, False])
+            .limit(top).to_pandas())
+    topt["rank"] = np.arange(1, len(topt) + 1, dtype=np.int64)
+    return topt
