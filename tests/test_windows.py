@@ -191,3 +191,56 @@ def test_rolling_median_k1_and_validation(ray_session):
     assert list(out["roll_med"]) == [10, 20]
     with pytest.raises(ValueError):
         rolling_median(rd.from_arrow(t), 0)
+
+
+def test_session_paths_matches_python(ray_session):
+    """session_paths equals a sequential sessionize + first-k replay."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from tsdownsample_ray.stages.windows import session_paths
+
+    GAP = 100
+    rng = np.random.default_rng(13)
+    rows = []
+    eid = 0
+    for uid in range(6):
+        t = 0
+        for _ in range(rng.integers(3, 25)):
+            t += int(rng.integers(1, 300))  # gaps straddle GAP
+            rows.append((uid, t, eid, str(rng.choice(list("ABC")))))
+            eid += 1
+    # sequential replay
+    from collections import Counter, defaultdict
+    by_user = defaultdict(list)
+    for uid, t, e, ty in rows:
+        by_user[uid].append((t, e, ty))
+    paths = Counter()
+    for uid, evs in by_user.items():
+        evs.sort()
+        cur = []
+        prev = None
+        for t, e, ty in evs:
+            if prev is not None and t - prev > GAP:
+                paths[">".join(cur[:3])] += 1
+                cur = []
+            cur.append(ty)
+            prev = t
+        if cur:
+            paths[">".join(cur[:3])] += 1
+    expect = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts_us": pa.array([r[1] for r in rows], pa.int64()),
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows])})
+    for nparts in (1, 4):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        out = session_paths(ds, GAP, 3, series_col="user_id",
+                            x_col="ts_us", id_col="event_id", top=10,
+                            num_partitions=2, fanin=2)
+        got = list(zip(out["path"], out["cnt"]))
+        assert got == expect
+        assert out["rank"].tolist() == list(range(1, len(expect) + 1))

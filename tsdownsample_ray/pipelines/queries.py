@@ -7018,6 +7018,67 @@ FROM s QUALIFY rank <= 20
 """
 
 
+def q_session_paths_events(sf_dir: str):
+    """Clickstream path mining (``stages/windows.py:session_paths``):
+    the 10 most frequent session-opening paths — each 30-min-gap
+    session's first 3 event types joined with '>'. One hash(user)
+    shuffle with immediate collapse to (path, cnt) partials, one
+    hash(path) grouped sum, bounded top-10 funnel."""
+    from ..stages.windows import session_paths
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+        })
+
+    prepped = ds.map_batches(_prep, batch_format="pyarrow")
+    return session_paths(prepped, 30 * 60 * US, 3, series_col="user_id",
+                         x_col="ts_us", id_col="event_id", top=10,
+                         num_partitions=4)
+
+
+SESSION_PATHS_SQL = f"""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS x, event_id, event_type
+    FROM events
+),
+m AS (
+    SELECT user_id, x, event_id, event_type,
+           CASE WHEN lag(x) OVER w IS NULL
+                  OR x - lag(x) OVER w > {30 * 60 * US}
+                THEN 1 ELSE 0 END AS brk
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY x, event_id)
+),
+s AS (
+    SELECT user_id, x, event_id, event_type,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY x, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+    FROM m
+),
+r AS (
+    SELECT user_id, sess, x, event_id, event_type,
+           row_number() OVER (PARTITION BY user_id, sess
+                              ORDER BY x, event_id) AS rn
+    FROM s
+),
+p AS (
+    SELECT user_id, sess,
+           string_agg(event_type, '>' ORDER BY x, event_id) AS path
+    FROM r WHERE rn <= 3 GROUP BY 1, 2
+),
+c AS (SELECT path, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1)
+SELECT path, cnt, row_number() OVER (ORDER BY cnt DESC, path) AS rank
+FROM c QUALIFY rank <= 10
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -7140,6 +7201,7 @@ QUERIES = {
     "hysteresis_alerts_events": q_hysteresis_alerts_events,
     "coverage_sample_docs": q_coverage_sample_docs,
     "term_drift_docs": q_term_drift_docs,
+    "session_paths_events": q_session_paths_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -7693,6 +7755,7 @@ ORACLE_SQL = {
     "hysteresis_alerts_events": HYSTERESIS_SQL,
     "coverage_sample_docs": COVERAGE_SQL,
     "term_drift_docs": TERM_DRIFT_SQL,
+    "session_paths_events": SESSION_PATHS_SQL,
     "semantic_prune_embeddings": """
 SELECT vec_id, cluster, d2,
        row_number() OVER (PARTITION BY cluster

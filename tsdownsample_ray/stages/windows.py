@@ -27,7 +27,7 @@ from ..arrow_utils import rename_agg
 from .rollup import _arrow_combine, _combine
 
 __all__ = ["sliding_rollup", "sessionize", "rolling_stats",
-           "rolling_median", "detect_anomalies"]
+           "rolling_median", "detect_anomalies", "session_paths"]
 
 
 def sliding_rollup(ds, window_us: int, slide_us: int, *,
@@ -503,3 +503,81 @@ def sliding_distinct(ds, *, window: int = 7, series_col: str = "series_id",
     parted2 = deltas.map_batches(_part_s, batch_format="pyarrow")
     return parted2.repartition(num_partitions).groupby(
         "__part").map_groups(_sweep, batch_format="pyarrow")
+
+
+def session_paths(ds, gap_us: int, k: int, *, series_col: str = "series_id",
+                  x_col: str = "x", type_col: str = "event_type",
+                  id_col: str | None = None, top: int = 10,
+                  num_partitions: int = 16, fanin: int = 4):
+    """Clickstream path mining: the ``top`` most frequent session-opening
+    paths — each session's first ``k`` event types (time order) joined
+    with ``>``. The funnel-discovery companion to :func:`sessionize`.
+
+    Scale shape: ONE hash(series) shuffle; each partition derives every
+    session's break mask, in-session positions and the capped path
+    strings in one vectorized pass (ListArray offsets over the sorted
+    type column + ``pc.binary_join``), collapsing immediately to
+    (path, cnt) partials — paths are ≤ k types, so partials are
+    vocabulary-sized, not session-sized. One hash(path) grouped sum, a
+    bounded ``sort().limit(top)`` funnel."""
+    import numpy as np
+
+    from ..arrow_utils import stable_part_codes
+    from .graph import grouped_sum_parts
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    sort_keys = [(series_col, "ascending"), (x_col, "ascending")]
+    if id_col is not None:
+        sort_keys.append((id_col, "ascending"))
+
+    def _paths(g: pa.Table) -> pa.Table:
+        empty = pa.table({"path": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(codes)
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (codes[1:] != codes[:-1]) | (x[1:] - x[:-1] > gap_us)
+        sess = np.cumsum(brk) - 1
+        sess_first = np.flatnonzero(brk)
+        pos = np.arange(n) - sess_first[sess]
+        keep = pos < k
+        types = t[type_col]
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        kept = types.filter(pa.array(keep))
+        # kept rows are already (session, time) ordered; sessions are
+        # contiguous -> list offsets from per-session kept counts
+        cnts = np.bincount(sess[keep], minlength=len(sess_first))
+        off = pa.array(np.r_[0, np.cumsum(cnts)].astype(np.int32))
+        paths = pc.binary_join(pa.ListArray.from_arrays(off, kept), ">")
+        enc = paths.dictionary_encode()
+        pc_codes = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        agg = np.bincount(pc_codes, minlength=len(enc.dictionary))
+        return pa.table({"path": enc.dictionary,
+                         "cnt": pa.array(agg.astype(np.int64))})
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    partials = parted.repartition(num_partitions).groupby(
+        "__part").map_groups(_paths, batch_format="pyarrow")
+    summed = grouped_sum_parts(partials, ["path"], ["cnt"],
+                               count_col=None, fanin=fanin)
+    topt = (summed.sort(key=["cnt", "path"], descending=[True, False])
+            .limit(top).to_pandas())
+    topt["rank"] = np.arange(1, len(topt) + 1, dtype=np.int64)
+    return topt
