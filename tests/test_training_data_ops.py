@@ -827,3 +827,24 @@ def test_term_drift_matches_python(ray_session):
         key = sorted(exp.items(), key=lambda kv: (-kv[1][4], kv[0]))
         assert out["term"].tolist() == [k for k, _ in key]
         assert out["rank"].tolist() == list(range(1, len(exp) + 1))
+
+
+def test_classify_confusion_permille(ray_session):
+    """Confusion rollup: permille precision/recall replay from the
+    classifier's per-row output."""
+    from tsdownsample_ray.pipelines.queries import (
+        q_classify_confusion_embeddings, q_centroid_classify_embeddings)
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_centroid_classify_embeddings(sf).to_pandas()
+    out = q_classify_confusion_embeddings(sf)
+    for _, r in out.iterrows():
+        l = r["label"]
+        sup = (rows["label"] == l).sum()
+        pred = (rows["pred"] == l).sum()
+        tp = ((rows["label"] == l) & (rows["pred"] == l)).sum()
+        assert r["support"] == sup and r["predicted"] == pred
+        assert r["tp"] == tp
+        assert r["prec_pm"] == ((1000 * tp) // pred if pred else 0)
+        assert r["rec_pm"] == (1000 * tp) // sup
+    assert set(out["label"]) == set(rows["label"].unique())

@@ -7079,6 +7079,109 @@ FROM c QUALIFY rank <= 10
 """
 
 
+def q_heatmap_tiles_events(sf_dir: str):
+    """Density heatmap tiles — the rendering strategy when a series is
+    too dense even for M4: 2-D (1h time bucket × 10.00-value bin) tile
+    counts + exact cent sums per event_type. Map-side Arrow group_by
+    collapses each block to its distinct tiles before ONE hash shuffle
+    (``stages/graph.py:grouped_sum_parts``); tile space is bounded by
+    (time range × value range), never by row count."""
+    from ..stages.graph import grouped_sum_parts
+
+    ev = _events_cents(sf_dir)
+
+    def _tiles(b: pa.Table) -> pa.Table:
+        ts = b["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = b["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # all-positive domain: trunc-div == floor-div == DuckDB //
+        return pa.table({
+            "event_type": b["event_type"],
+            "tbucket": pa.array(ts // W1H * W1H),
+            "vbin": pa.array(cents // 1000),  # 10.00-unit value bins
+            "sum_cents": pa.array(cents),
+        })
+
+    tiles = ev.map_batches(_tiles, batch_format="pyarrow")
+    return grouped_sum_parts(tiles, ["event_type", "tbucket", "vbin"],
+                             ["sum_cents"], count_col="n", fanin=4)
+
+
+HEATMAP_TILES_SQL = f"""
+SELECT event_type,
+       (epoch_us(ts) // {W1H}) * {W1H} AS tbucket,
+       CAST(round(value * 100) AS BIGINT) // 1000 AS vbin,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q_classify_confusion_embeddings(sf_dir: str):
+    """Per-class evaluation of the nearest-centroid classifier
+    (``centroid_classify`` composed with a bounded confusion rollup):
+    per true label — support, predicted count, true positives, and
+    integer permille precision/recall (truncating division). The
+    (label, pred) confusion space is |labels|² — the rollup's one
+    shuffle and the final driver table are bounded constants."""
+    import pandas as pd
+
+    from ..stages.graph import grouped_sum_parts
+    from ..stages.similarity import centroid_classify
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"]).repartition(4)
+    assigned = centroid_classify(ds, scale=1000, holdout_mod=5, fanin=2)
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        return pa.table({"label": b["label"], "pred": b["pred"]})
+
+    cm = grouped_sum_parts(assigned.map_batches(_pairs,
+                                                batch_format="pyarrow"),
+                           ["label", "pred"], [], count_col="c",
+                           fanin=2).to_pandas()  # bounded |labels|^2 rows
+    per = {}
+    for _, r in cm.iterrows():
+        l, p, c = int(r["label"]), int(r["pred"]), int(r["c"])
+        per.setdefault(l, [0, 0])  # [support, tp]
+        per[l][0] += c
+        if l == p:
+            per[l][1] += c
+    predicted = cm.groupby("pred")["c"].sum().to_dict()
+    rows = []
+    for l in sorted(per):
+        support, tp = per[l]
+        pred_n = int(predicted.get(l, 0))
+        prec = (1000 * tp) // pred_n if pred_n > 0 else 0
+        rec = (1000 * tp) // support
+        rows.append((l, support, pred_n, tp, prec, rec))
+    return pd.DataFrame(rows, columns=[
+        "label", "support", "predicted", "tp", "prec_pm",
+        "rec_pm"]).astype(np.int64)
+
+
+CLASSIFY_CONFUSION_SQL = """
+WITH base AS ({base}),
+cm AS (SELECT label, pred, count(*) AS c FROM base GROUP BY 1, 2),
+per AS (
+    SELECT label, CAST(sum(c) AS BIGINT) AS support,
+           CAST(COALESCE(sum(c) FILTER (label = pred), 0) AS BIGINT)
+               AS tp
+    FROM cm GROUP BY 1
+),
+pr AS (SELECT pred, CAST(sum(c) AS BIGINT) AS predicted
+       FROM cm GROUP BY 1)
+SELECT l.label, l.support,
+       CAST(COALESCE(p.predicted, 0) AS BIGINT) AS predicted, l.tp,
+       CAST(CASE WHEN COALESCE(p.predicted, 0) > 0
+                 THEN (1000 * l.tp) // p.predicted ELSE 0 END
+            AS BIGINT) AS prec_pm,
+       CAST((1000 * l.tp) // l.support AS BIGINT) AS rec_pm
+FROM per l LEFT JOIN pr p ON p.pred = l.label
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -7202,6 +7305,8 @@ QUERIES = {
     "coverage_sample_docs": q_coverage_sample_docs,
     "term_drift_docs": q_term_drift_docs,
     "session_paths_events": q_session_paths_events,
+    "heatmap_tiles_events": q_heatmap_tiles_events,
+    "classify_confusion_embeddings": q_classify_confusion_embeddings,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -7756,6 +7861,9 @@ ORACLE_SQL = {
     "coverage_sample_docs": COVERAGE_SQL,
     "term_drift_docs": TERM_DRIFT_SQL,
     "session_paths_events": SESSION_PATHS_SQL,
+    "heatmap_tiles_events": HEATMAP_TILES_SQL,
+    "classify_confusion_embeddings":
+        CLASSIFY_CONFUSION_SQL.format(base=CENTROID_CLASSIFY_SQL),
     "semantic_prune_embeddings": """
 SELECT vec_id, cluster, d2,
        row_number() OVER (PARTITION BY cluster
