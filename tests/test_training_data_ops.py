@@ -848,3 +848,22 @@ def test_classify_confusion_permille(ray_session):
         assert r["prec_pm"] == ((1000 * tp) // pred if pred else 0)
         assert r["rec_pm"] == (1000 * tp) // sup
     assert set(out["label"]) == set(rows["label"].unique())
+
+
+def test_local_supplier_volume_matches_duckdb(ray_session):
+    """Q5-style six-table join equals the DuckDB replay at sf0.001."""
+    import duckdb
+
+    from tsdownsample_ray.pipelines.queries import (LOCAL_SUPPLIER_SQL,
+                                                    q_local_supplier_volume)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_local_supplier_volume(sf)
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "orders",
+              "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS FROM '{sf}/{t}.parquet'")
+    exp = con.sql(LOCAL_SUPPLIER_SQL).df().sort_values(
+        ["revenue_e6", "n_name"], ascending=[False, True])
+    assert got["n_name"].tolist() == exp["n_name"].tolist()
+    assert got["revenue_e6"].tolist() == exp["revenue_e6"].tolist()

@@ -7182,6 +7182,129 @@ FROM per l LEFT JOIN pr p ON p.pred = l.label
 """
 
 
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H-Q5-style six-table star join: per-nation revenue from
+    ASIA-region orders (1995–1996) where the supplier and customer share
+    a nation. The dimension tables (region, nation, supplier) are the
+    BROADCAST small sides — read once, shipped as sorted-key lookup
+    arrays via closure capture, probed map-side with ``searchsorted`` —
+    so the only exchanges are the two fact hash joins
+    (orders⋈customer, lineitem⋈·) plus a 25-key grouped sum. Revenue in
+    exact integer e6 units (cents × basis-point discount complement)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.graph import grouped_sum_parts
+
+    lo_us = 788_918_400 * US    # 1995-01-01 UTC
+    hi_us = 852_076_800 * US    # 1997-01-01 UTC
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    asia_key = region.filter(pc.equal(region["r_name"], "ASIA"))[
+        "r_regionkey"][0].as_py()
+    nat = nation.filter(pc.equal(nation["n_regionkey"], asia_key))
+    asia_nations = np.sort(nat["n_nationkey"].to_numpy(
+        zero_copy_only=False).astype(np.int64))
+    nation_name = dict(zip(nat["n_nationkey"].to_pylist(),
+                           nat["n_name"].to_pylist()))
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sn = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    order_ = np.argsort(sk)
+    sup_keys, sup_nat = sk[order_], sn[order_]
+
+    def _cust(b: pa.Table) -> pa.Table:
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        keep = np.isin(nk, asia_nations)
+        return pa.table({
+            "o_custkey": pc.cast(b["c_custkey"], pa.int64()).filter(
+                pa.array(keep)),
+            "c_nationkey": pa.array(nk[keep])})
+
+    cust = _read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"]).map_batches(
+        _cust, batch_format="pyarrow")
+
+    def _orders(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["o_orderdate"], pa.int64())
+        keep = pc.and_(pc.greater_equal(ts, lo_us), pc.less(ts, hi_us))
+        t = b.filter(keep)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"]})
+
+    orders = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        _orders, batch_format="pyarrow")
+    j1 = orders.join(cust, join_type="inner", num_partitions=4,
+                     on=("o_custkey",))
+    j1 = j1.map_batches(
+        lambda b: pa.table({"o_orderkey": b["o_orderkey"],
+                            "c_nationkey": b["c_nationkey"]}),
+        batch_format="pyarrow")
+
+    def _line(b: pa.Table) -> pa.Table:
+        price = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0),
+                                 ndigits=0), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(b["l_discount"], 10000.0),
+                                ndigits=0), pa.int64())
+        rev = pc.multiply(price, pc.subtract(pa.scalar(10000, pa.int64()),
+                                             disc))
+        lsk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        pos = np.searchsorted(sup_keys, lsk)
+        pos_c = np.minimum(pos, len(sup_keys) - 1)
+        valid = sup_keys[pos_c] == lsk
+        s_nat = np.where(valid, sup_nat[pos_c], np.int64(-1))
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "s_nationkey": pa.array(s_nat),
+                         "revenue_e6": rev})
+
+    line = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]).map_batches(_line, batch_format="pyarrow")
+    j2 = line.join(j1, join_type="inner", num_partitions=4,
+                   on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def _match(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["s_nationkey"], b["c_nationkey"])
+        t = b.filter(keep)
+        return pa.table({"n_nationkey": t["s_nationkey"],
+                         "revenue_e6": t["revenue_e6"]})
+
+    agg = grouped_sum_parts(j2.map_batches(_match, batch_format="pyarrow"),
+                            ["n_nationkey"], ["revenue_e6"],
+                            count_col=None, fanin=2).to_pandas()
+    agg["n_name"] = agg["n_nationkey"].map(nation_name)
+    agg = agg.sort_values(["revenue_e6", "n_name"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return agg[["n_name", "revenue_e6"]]
+
+
+LOCAL_SUPPLIER_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+            AS BIGINT) AS revenue_e6
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -7307,6 +7430,7 @@ QUERIES = {
     "session_paths_events": q_session_paths_events,
     "heatmap_tiles_events": q_heatmap_tiles_events,
     "classify_confusion_embeddings": q_classify_confusion_embeddings,
+    "local_supplier_volume": q_local_supplier_volume,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -7862,6 +7986,7 @@ ORACLE_SQL = {
     "term_drift_docs": TERM_DRIFT_SQL,
     "session_paths_events": SESSION_PATHS_SQL,
     "heatmap_tiles_events": HEATMAP_TILES_SQL,
+    "local_supplier_volume": LOCAL_SUPPLIER_SQL,
     "classify_confusion_embeddings":
         CLASSIFY_CONFUSION_SQL.format(base=CENTROID_CLASSIFY_SQL),
     "semantic_prune_embeddings": """
