@@ -867,3 +867,21 @@ def test_local_supplier_volume_matches_duckdb(ray_session):
         ["revenue_e6", "n_name"], ascending=[False, True])
     assert got["n_name"].tolist() == exp["n_name"].tolist()
     assert got["revenue_e6"].tolist() == exp["revenue_e6"].tolist()
+
+
+def test_promo_share_matches_duckdb(ray_session):
+    import duckdb
+
+    from tsdownsample_ray.pipelines.queries import (PROMO_SHARE_SQL,
+                                                    q_promo_share_month)
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_promo_share_month(sf).to_pandas()
+           .sort_values("bucket").reset_index(drop=True))
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.sql(f"CREATE VIEW {t} AS FROM '{sf}/{t}.parquet'")
+    exp = con.sql(PROMO_SHARE_SQL).df().sort_values(
+        "bucket").reset_index(drop=True)
+    for c in ("bucket", "promo_e6", "total_e6", "share_pm"):
+        assert got[c].tolist() == exp[c].tolist(), c

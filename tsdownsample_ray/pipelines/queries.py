@@ -7305,6 +7305,88 @@ GROUP BY 1
 """
 
 
+def q_promo_share_month(sf_dir: str):
+    """TPC-H-Q14-style promotion effect per ship month: the revenue
+    share (integer permille, truncating) of PROMO-type parts. The part
+    table is the broadcast small side (dense-key boolean lookup via
+    ``searchsorted``); lineitem collapses map-side to per-month
+    (promo_e6, total_e6) partials before one tiny grouped sum — the
+    fact table never shuffles at full width."""
+    import pyarrow.parquet as pq
+
+    from ..stages.graph import grouped_sum_parts
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    promo = pc.equal(part["p_type"], "PROMO").to_numpy(
+        zero_copy_only=False)
+    o = np.argsort(pk)
+    part_keys, part_promo = pk[o], promo[o]
+
+    def _line(b: pa.Table) -> pa.Table:
+        month = pc.cast(pc.floor_temporal(b["l_shipdate"], unit="month"),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        price = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0),
+                                 ndigits=0),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        disc = pc.cast(pc.round(pc.multiply(b["l_discount"], 10000.0),
+                                ndigits=0),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+        rev = price * (10000 - disc)
+        lpk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        pos = np.minimum(np.searchsorted(part_keys, lpk),
+                         len(part_keys) - 1)
+        is_promo = (part_keys[pos] == lpk) & part_promo[pos]
+        return pa.table({
+            "bucket": pa.array(month),
+            "promo_e6": pa.array(np.where(is_promo, rev, 0)),
+            "total_e6": pa.array(rev),
+        })
+
+    line = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"]).map_batches(_line, batch_format="pyarrow")
+    agg = grouped_sum_parts(line, ["bucket"], ["promo_e6", "total_e6"],
+                            count_col=None, fanin=2)
+
+    def _share(b: pa.Table) -> pa.Table:
+        p = b["promo_e6"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b["total_e6"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = t > 0
+        share = np.where(ok, (1000 * p) // np.where(ok, t, 1), 0)
+        return pa.table({"bucket": b["bucket"], "promo_e6": b["promo_e6"],
+                         "total_e6": b["total_e6"],
+                         "share_pm": pa.array(share)})
+
+    return agg.map_batches(_share, batch_format="pyarrow")
+
+
+PROMO_SHARE_SQL = """
+WITH l AS (
+    SELECT epoch_us(date_trunc('month', l_shipdate)) AS bucket,
+           CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+               AS rev,
+           p_type = 'PROMO' AS is_promo
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+a AS (
+    SELECT bucket,
+           CAST(COALESCE(sum(rev) FILTER (is_promo), 0) AS BIGINT)
+               AS promo_e6,
+           CAST(sum(rev) AS BIGINT) AS total_e6
+    FROM l GROUP BY 1
+)
+SELECT bucket, promo_e6, total_e6,
+       CAST(CASE WHEN total_e6 > 0 THEN (1000 * promo_e6) // total_e6
+                 ELSE 0 END AS BIGINT) AS share_pm
+FROM a
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -7431,6 +7513,7 @@ QUERIES = {
     "heatmap_tiles_events": q_heatmap_tiles_events,
     "classify_confusion_embeddings": q_classify_confusion_embeddings,
     "local_supplier_volume": q_local_supplier_volume,
+    "promo_share_month": q_promo_share_month,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -7987,6 +8070,7 @@ ORACLE_SQL = {
     "session_paths_events": SESSION_PATHS_SQL,
     "heatmap_tiles_events": HEATMAP_TILES_SQL,
     "local_supplier_volume": LOCAL_SUPPLIER_SQL,
+    "promo_share_month": PROMO_SHARE_SQL,
     "classify_confusion_embeddings":
         CLASSIFY_CONFUSION_SQL.format(base=CENTROID_CLASSIFY_SQL),
     "semantic_prune_embeddings": """
