@@ -885,3 +885,45 @@ def test_promo_share_matches_duckdb(ray_session):
         "bucket").reset_index(drop=True)
     for c in ("bucket", "promo_e6", "total_e6", "share_pm"):
         assert got[c].tolist() == exp[c].tolist(), c
+
+
+def test_cluster_ari_matches_sklearn_formula(ray_session):
+    """Exact-rational ARI equals the textbook formula computed from the
+    same contingency (independent python replay)."""
+    from tsdownsample_ray.pipelines.queries import q_cluster_ari_embeddings
+    from tsdownsample_ray.stages.similarity import kmeans_integer
+
+    import pyarrow.parquet as pq
+    import ray
+
+    sf = "/root/testdata/sf0.001"
+    out = q_cluster_ari_embeddings(sf)
+    r = out.iloc[0]
+
+    # independent replay: contingency from kmeans + labels
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    labels = dict(zip(t["vec_id"].to_pylist(), t["label"].to_pylist()))
+    ds = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    assigned = kmeans_integer(ds, k=4, updates=2, scale=1000,
+                              num_partitions=2).to_pandas()
+    from collections import Counter
+    ct = Counter((c, labels[v]) for v, c in
+                 zip(assigned["vec_id"], assigned["cluster"]))
+    n = sum(ct.values())
+    sumij = sum(c * (c - 1) // 2 for c in ct.values())
+    ca, cb = Counter(), Counter()
+    for (cl, la), c in ct.items():
+        ca[cl] += c
+        cb[la] += c
+    suma = sum(a * (a - 1) // 2 for a in ca.values())
+    sumb = sum(b * (b - 1) // 2 for b in cb.values())
+    C = n * (n - 1) // 2
+    num2 = 2 * C * sumij - 2 * suma * sumb
+    den2 = C * (suma + sumb) - 2 * suma * sumb
+    assert (r["n"], r["sumij"], r["suma"], r["sumb"]) == (n, sumij,
+                                                          suma, sumb)
+    assert (r["num2"], r["den2"]) == (num2, den2)
+    assert r["ari"] == float(num2) / float(den2)
+    # sanity: ARI of a non-degenerate clustering lies in (-0.5, 1]
+    assert -0.5 < r["ari"] <= 1.0

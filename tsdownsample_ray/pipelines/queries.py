@@ -7387,6 +7387,89 @@ FROM a
 """
 
 
+def q_cluster_ari_embeddings(sf_dir: str):
+    """Clustering evaluation: EXACT Adjusted Rand Index between the
+    k-means assignment and the true labels, as a rational
+    ``ari = num2/den2`` over pair-count sufficient statistics
+    (``num2 = 2·C·Σij − 2·Σa·Σb``, ``den2 = C·(Σa+Σb) − 2·Σa·Σb``,
+    C = n(n−1)/2) — the one division is the only float. The
+    contingency table (k × |labels|, BOUNDED) comes from one hash join
+    (assignment ⋈ labels) + one grouped sum; the pair algebra runs
+    driver-side on those bounded rows in arbitrary-precision ints."""
+    import pandas as pd
+
+    from ..stages.graph import grouped_sum_parts
+    from ..stages.similarity import kmeans_integer
+
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"]).repartition(4)
+    assigned = kmeans_integer(ds, k=4, updates=2, scale=1000,
+                              num_partitions=4)
+    labels = _read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "label"]).map_batches(
+        lambda b: pa.table({"vec_id": pc.cast(b["vec_id"], pa.int64()),
+                            "label": pc.cast(b["label"], pa.int64())}),
+        batch_format="pyarrow")
+    j = assigned.join(labels, join_type="inner", num_partitions=4,
+                      on=("vec_id",))
+    ct = grouped_sum_parts(
+        j.map_batches(lambda b: pa.table({
+            "cluster": b["cluster"], "label": b["label"]}),
+            batch_format="pyarrow"),
+        ["cluster", "label"], [], count_col="c", fanin=2).to_pandas()
+
+    # bounded k x |labels| rows: exact pair algebra in python ints
+    n = int(ct["c"].sum())
+    sumij = sum(int(c) * (int(c) - 1) // 2 for c in ct["c"])
+    suma = sum(int(a) * (int(a) - 1) // 2
+               for a in ct.groupby("cluster")["c"].sum())
+    sumb = sum(int(b) * (int(b) - 1) // 2
+               for b in ct.groupby("label")["c"].sum())
+    C = n * (n - 1) // 2
+    num2 = 2 * C * sumij - 2 * suma * sumb
+    den2 = C * (suma + sumb) - 2 * suma * sumb
+    ari = float(num2) / float(den2) if den2 else 1.0
+    return pd.DataFrame([(n, sumij, suma, sumb, num2, den2, ari)],
+                        columns=["n", "sumij", "suma", "sumb", "num2",
+                                 "den2", "ari"]).astype(
+        {c: np.int64 for c in ("n", "sumij", "suma", "sumb", "num2",
+                               "den2")})
+
+
+CLUSTER_ARI_SQL = """
+WITH base AS ({base}),
+j AS (
+    SELECT b.vec_id, b.cluster, CAST(e.label AS BIGINT) AS label
+    FROM base b JOIN embeddings e USING (vec_id)
+),
+ct AS (SELECT cluster, label, CAST(count(*) AS BIGINT) AS c
+       FROM j GROUP BY 1, 2),
+s AS (
+    SELECT CAST(sum(c) AS BIGINT) AS n,
+           CAST(sum(c * (c - 1) // 2) AS BIGINT) AS sumij
+    FROM ct
+),
+sa AS (
+    SELECT CAST(sum(a * (a - 1) // 2) AS BIGINT) AS suma
+    FROM (SELECT CAST(sum(c) AS BIGINT) AS a FROM ct GROUP BY cluster)
+),
+sb AS (
+    SELECT CAST(sum(b * (b - 1) // 2) AS BIGINT) AS sumb
+    FROM (SELECT CAST(sum(c) AS BIGINT) AS b FROM ct GROUP BY label)
+)
+SELECT n, sumij, suma, sumb,
+       CAST(2 * (n * (n - 1) // 2) * sumij - 2 * suma * sumb AS BIGINT)
+           AS num2,
+       CAST((n * (n - 1) // 2) * (suma + sumb) - 2 * suma * sumb
+            AS BIGINT) AS den2,
+       CAST(2 * (n * (n - 1) // 2) * sumij - 2 * suma * sumb AS DOUBLE)
+           / ((n * (n - 1) // 2) * (suma + sumb) - 2 * suma * sumb)
+           AS ari
+FROM s, sa, sb
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -7514,6 +7597,7 @@ QUERIES = {
     "classify_confusion_embeddings": q_classify_confusion_embeddings,
     "local_supplier_volume": q_local_supplier_volume,
     "promo_share_month": q_promo_share_month,
+    "cluster_ari_embeddings": q_cluster_ari_embeddings,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -8071,6 +8155,7 @@ ORACLE_SQL = {
     "heatmap_tiles_events": HEATMAP_TILES_SQL,
     "local_supplier_volume": LOCAL_SUPPLIER_SQL,
     "promo_share_month": PROMO_SHARE_SQL,
+    "cluster_ari_embeddings": CLUSTER_ARI_SQL.format(base=KMEANS_SQL),
     "classify_confusion_embeddings":
         CLASSIFY_CONFUSION_SQL.format(base=CENTROID_CLASSIFY_SQL),
     "semantic_prune_embeddings": """
