@@ -127,3 +127,39 @@ def test_everynth_formula(n, n_out):
 def test_identity_when_n_out_ge_len(fn):
     y = np.arange(50, dtype=np.float64)
     assert np.array_equal(fn(None, y, 100), np.arange(50))
+
+
+def test_lttb_fidelity_python_replay(ray_session):
+    """Fidelity audit equals a per-point python interpolation replay."""
+    from tsdownsample_ray.pipelines.queries import q_lttb_fidelity_events
+
+    import duckdb
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    out = (q_lttb_fidelity_events(sf).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    con = duckdb.connect()
+    rows = con.sql(f"""
+        SELECT event_type, round(value * 100) AS cy
+        FROM '{sf}/events.parquet' ORDER BY event_type, ts, event_id
+    """).df()
+    from tsdownsample_ray.kernels import lttb as lttb_kernel
+    for _, r in out.iterrows():
+        y = rows[rows["event_type"] == r["event_type"]]["cy"].to_numpy()
+        idx = np.sort(np.asarray(
+            lttb_kernel(None, y.astype(np.float64), 50), dtype=np.int64))
+        assert r["n_pts"] == len(y) and r["n_sel"] == len(idx)
+        sel = set(idx.tolist())
+        tot = mx = 0
+        for p in range(len(y)):
+            if p in sel:
+                continue
+            j = int(np.searchsorted(idx, p, side="right") - 1)
+            p0, p1 = int(idx[j]), int(idx[j + 1])
+            num = int(y[p0]) * (p1 - p) + int(y[p1]) * (p - p0)
+            yhat = (num * 1_000_000) // (p1 - p0)
+            err = abs(int(y[p]) * 1_000_000 - yhat)
+            tot += err
+            mx = max(mx, err)
+        assert r["sum_err_e6"] == tot and r["max_err_e6"] == mx

@@ -7470,6 +7470,103 @@ FROM s, sa, sb
 """
 
 
+def q_lttb_fidelity_events(sf_dir: str):
+    """Downsample QUALITY audit — the fidelity report a charting /
+    retention pipeline runs before trusting a tier's LTTB selection:
+    per series, the exact integer reconstruction error of the n_out=50
+    LTTB selection (linear interpolation between selected positions,
+    e6 fixed-point with truncating division; selected points score 0).
+    Same per-series groupby shape as the kernel queries; the fidelity
+    pass is one vectorized ``searchsorted`` bracket + interp per group.
+    Output: (event_type, n_pts, n_sel, sum_err_e6, max_err_e6)."""
+    ds = _events_cents(sf_dir)
+
+    def _fid(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("ts_us", "ascending"), ("event_id", "ascending")])
+        tbl = tbl.take(idx)
+        y = tbl["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(y)
+        out = downsample_table(tbl, "lttb", 50, x_col=None,
+                               y_col="cents", presorted=True)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        sel = np.isin(eid, out["event_id"].to_numpy(
+            zero_copy_only=False))
+        pos = np.flatnonzero(sel)
+        p = np.arange(n, dtype=np.int64)
+        j = np.searchsorted(pos, p, side="right") - 1
+        p0 = pos[np.clip(j, 0, len(pos) - 1)]
+        p1 = pos[np.clip(j + 1, 0, len(pos) - 1)]
+        interior = ~sel
+        gap = np.where(interior, p1 - p0, 1)
+        num = y[p0] * (p1 - p) + y[p1] * (p - p0)
+        yhat = (num * 1_000_000) // gap  # all-positive: trunc == //
+        err = np.where(interior, np.abs(y * 1_000_000 - yhat), 0)
+        return pa.table({
+            "event_type": tbl["event_type"].slice(0, 1),
+            "n_pts": pa.array([n], pa.int64()),
+            "n_sel": pa.array([int(sel.sum())], pa.int64()),
+            "sum_err_e6": pa.array([int(err.sum())], pa.int64()),
+            "max_err_e6": pa.array([int(err.max()) if n else 0],
+                                   pa.int64()),
+        })
+
+    return ds.groupby("event_type").map_groups(_fid,
+                                               batch_format="pyarrow")
+
+
+def _lttb_fidelity_sql(n_out: int) -> str:
+    return f"""
+WITH RECURSIVE {_events_s_cte(None)},
+sp AS MATERIALIZED (SELECT event_type, rn AS p, rn AS x, cy, cnt AS m2
+                    FROM s),
+{_lttb_phase2_sql(n_out, "sp")},
+picked AS (
+    SELECT DISTINCT event_type, rn FROM (
+        SELECT event_type, a AS rn FROM rec
+        UNION ALL SELECT event_type, m2 - 1 FROM meta
+    )
+),
+o AS (
+    SELECT s.event_type, s.rn, s.cy,
+           CASE WHEN p.rn IS NOT NULL THEN 1 ELSE 0 END AS is_sel
+    FROM s LEFT JOIN picked p
+      ON p.event_type = s.event_type AND p.rn = s.rn
+),
+w AS (
+    SELECT event_type, rn, cy, is_sel,
+           last_value(CASE WHEN is_sel = 1 THEN rn END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY rn
+                     ROWS UNBOUNDED PRECEDING) AS p0,
+           last_value(CASE WHEN is_sel = 1 THEN cy END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY rn
+                     ROWS UNBOUNDED PRECEDING) AS y0,
+           first_value(CASE WHEN is_sel = 1 THEN rn END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY rn
+                     ROWS BETWEEN CURRENT ROW
+                              AND UNBOUNDED FOLLOWING) AS p1,
+           first_value(CASE WHEN is_sel = 1 THEN cy END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY rn
+                     ROWS BETWEEN CURRENT ROW
+                              AND UNBOUNDED FOLLOWING) AS y1
+    FROM o
+),
+e AS (
+    SELECT event_type, is_sel,
+           CASE WHEN is_sel = 1 THEN 0
+                ELSE abs(cy * 1000000
+                         - (y0 * (p1 - rn) + y1 * (rn - p0)) * 1000000
+                           // (p1 - p0)) END AS err
+    FROM w
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(sum(is_sel) AS BIGINT) AS n_sel,
+       CAST(sum(err) AS BIGINT) AS sum_err_e6,
+       CAST(max(err) AS BIGINT) AS max_err_e6
+FROM e GROUP BY 1
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -7598,6 +7695,7 @@ QUERIES = {
     "local_supplier_volume": q_local_supplier_volume,
     "promo_share_month": q_promo_share_month,
     "cluster_ari_embeddings": q_cluster_ari_embeddings,
+    "lttb_fidelity_events": q_lttb_fidelity_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -8155,6 +8253,7 @@ ORACLE_SQL = {
     "heatmap_tiles_events": HEATMAP_TILES_SQL,
     "local_supplier_volume": LOCAL_SUPPLIER_SQL,
     "promo_share_month": PROMO_SHARE_SQL,
+    "lttb_fidelity_events": _lttb_fidelity_sql(50),
     "cluster_ari_embeddings": CLUSTER_ARI_SQL.format(base=KMEANS_SQL),
     "classify_confusion_embeddings":
         CLASSIFY_CONFUSION_SQL.format(base=CENTROID_CLASSIFY_SQL),
