@@ -927,3 +927,50 @@ def test_cluster_ari_matches_sklearn_formula(ray_session):
     assert r["ari"] == float(num2) / float(den2)
     # sanity: ARI of a non-degenerate clustering lies in (-0.5, 1]
     assert -0.5 < r["ari"] <= 1.0
+
+
+def test_association_rules_match_python(ray_session):
+    """Bitmask-histogram rule mining equals a direct set replay,
+    partition-invariant; unknown items are ignored."""
+    import ray
+
+    from tsdownsample_ray.stages.baskets import association_rules
+
+    rng = np.random.default_rng(2)
+    items = ["a", "b", "c", "d"]
+    rows = []
+    for uid in range(40):
+        for it in rng.choice(items + ["zz"], size=rng.integers(1, 6),
+                             replace=True):
+            rows.append((uid, str(it)))
+    tbl = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[1] for r in rows])})
+
+    from collections import defaultdict
+    baskets = defaultdict(set)
+    for uid, it in rows:
+        if it in items:
+            baskets[uid].add(it)
+    baskets = {u: s for u, s in baskets.items() if s}
+    n = len(baskets)
+    exp = {}
+    for a in items:
+        for b in items:
+            if a == b:
+                continue
+            n_a = sum(1 for s in baskets.values() if a in s)
+            n_b = sum(1 for s in baskets.values() if b in s)
+            n_ab = sum(1 for s in baskets.values() if a in s and b in s)
+            if n_ab:
+                exp[(a, b)] = (n, n_a, n_b, n_ab, (1000 * n_ab) // n_a,
+                               n * n_ab, n_a * n_b,
+                               float(n * n_ab) / float(n_a * n_b))
+
+    for nparts in (1, 4):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        out = association_rules(ds, items, num_partitions=2)
+        assert len(out) == len(exp)
+        for _, r in out.iterrows():
+            assert exp[(r["antecedent"], r["consequent"])] == (
+                r["n"], r["n_a"], r["n_b"], r["n_ab"], r["conf_pm"],
+                r["lift_num"], r["lift_den"], r["lift"])

@@ -7567,6 +7567,47 @@ FROM e GROUP BY 1
 """
 
 
+def q_assoc_rules_events(sf_dir: str):
+    """Market-basket association rules over user event-type baskets
+    (``stages/baskets.py:association_rules``): support, integer permille
+    confidence and exact-rational lift for every ordered type pair. One
+    hash(user) shuffle collapsing to CONSTANT-size bitmask-histogram
+    partials (2^|types| bins); all rule algebra runs on those bounded
+    counts."""
+    from ..stages.baskets import association_rules
+
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_type"])
+    types = sorted(ds.map_batches(
+        lambda b: pa.table({"t": pc.unique(b["event_type"])}),
+        batch_format="pyarrow").to_pandas()["t"].unique())
+    return association_rules(ds, list(types), num_partitions=4)
+
+
+ASSOC_RULES_SQL = """
+WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events),
+na AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_a
+       FROM b GROUP BY 1),
+pair AS (
+    SELECT x.event_type AS antecedent, y.event_type AS consequent,
+           CAST(count(*) AS BIGINT) AS n_ab
+    FROM b x JOIN b y ON x.user_id = y.user_id
+                     AND x.event_type <> y.event_type
+    GROUP BY 1, 2
+)
+SELECT p.antecedent, p.consequent, n.n, a1.n_a, a2.n_a AS n_b, p.n_ab,
+       CAST((1000 * p.n_ab) // a1.n_a AS BIGINT) AS conf_pm,
+       CAST(n.n * p.n_ab AS BIGINT) AS lift_num,
+       CAST(a1.n_a * a2.n_a AS BIGINT) AS lift_den,
+       CAST(n.n * p.n_ab AS DOUBLE) / (a1.n_a * a2.n_a) AS lift
+FROM pair p
+JOIN na a1 ON a1.event_type = p.antecedent
+JOIN na a2 ON a2.event_type = p.consequent
+CROSS JOIN n
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -7696,6 +7737,7 @@ QUERIES = {
     "promo_share_month": q_promo_share_month,
     "cluster_ari_embeddings": q_cluster_ari_embeddings,
     "lttb_fidelity_events": q_lttb_fidelity_events,
+    "assoc_rules_events": q_assoc_rules_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -8254,6 +8296,7 @@ ORACLE_SQL = {
     "local_supplier_volume": LOCAL_SUPPLIER_SQL,
     "promo_share_month": PROMO_SHARE_SQL,
     "lttb_fidelity_events": _lttb_fidelity_sql(50),
+    "assoc_rules_events": ASSOC_RULES_SQL,
     "cluster_ari_embeddings": CLUSTER_ARI_SQL.format(base=KMEANS_SQL),
     "classify_confusion_embeddings":
         CLASSIFY_CONFUSION_SQL.format(base=CENTROID_CLASSIFY_SQL),
