@@ -73,3 +73,43 @@ def test_sax_alphabet_validation(ray_session):
     t = pa.table({"series_id": ["a"], "x": [1], "y": [1]})
     with pytest.raises(ValueError, match="alphabet"):
         sax_symbols(rd.from_arrow(t), 10, alphabet=1)
+
+
+def test_haar_energy_matches_python(ray_session):
+    """Integer Haar lifting replay: per-level detail stats and the
+    roundtrip-reversible S-transform, partition-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from tsdownsample_ray.stages.wavelet import haar_energy
+
+    rng = np.random.default_rng(31)
+    tables, expect = [], {}
+    for sid, n in (("a", 33), ("b", 8), ("c", 1)):
+        y = rng.integers(0, 500, n).astype(np.int64)
+        tables.append(pa.table({
+            "series_id": pa.array([sid] * n),
+            "bucket": pa.array(np.arange(n, dtype=np.int64)),
+            "sum_y": pa.array(y)}))
+        cur = list(map(int, y))
+        for lvl in range(1, 4):
+            m = len(cur) // 2
+            d = [cur[2 * i] - cur[2 * i + 1] for i in range(m)]
+            s = [(cur[2 * i] + cur[2 * i + 1]) // 2 for i in range(m)]
+            if len(cur) % 2:
+                s.append(cur[-1])
+            expect[(sid, lvl)] = (m, sum(abs(x) for x in d),
+                                  max((abs(x) for x in d), default=0))
+            cur = s
+        expect[(sid, 0)] = (len(cur), sum(abs(x) for x in cur),
+                            max(abs(x) for x in cur))
+    tbl = pa.concat_tables(tables)
+
+    for nparts in (1, 3):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        out = haar_energy(ds, levels=3, num_partitions=2).to_pandas()
+        assert len(out) == len(expect)
+        for _, r in out.iterrows():
+            assert expect[(r["series_id"], r["level"])] == (
+                r["n"], r["sum_abs"], r["max_abs"])

@@ -7608,6 +7608,71 @@ CROSS JOIN n
 """
 
 
+def q_haar_energy_15m(sf_dir: str):
+    """Integer Haar wavelet energy profile of the 15m tier
+    (``stages/wavelet.py:haar_energy``): 3 lifting-scheme levels
+    (``s=(a+b)//2``, ``d=a−b`` — exactly reversible), per level the
+    detail count / Σ|d| / max|d| plus the final-approximation row. One
+    hash(series) shuffle; each level a vectorized even/odd slice."""
+    from ..stages.rollup import rollup
+    from ..stages.wavelet import haar_energy
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"),
+                    900 * US)
+    return haar_energy(rolled, levels=3, num_partitions=4)
+
+
+def _haar_sql(levels: int = 3) -> str:
+    ctes = [f"""r AS (
+    SELECT event_type AS series_id,
+           (epoch_us(ts) // {900 * US}) * {900 * US} AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+    FROM events GROUP BY 1, 2
+)""", """v0 AS (
+    SELECT series_id,
+           row_number() OVER (PARTITION BY series_id
+                              ORDER BY bucket) - 1 AS rn, v
+    FROM r
+)"""]
+    sels = []
+    for l in range(1, levels + 1):
+        ctes.append(f"""p{l} AS (
+    SELECT series_id, rn // 2 AS rn,
+           max(CASE WHEN rn % 2 = 0 THEN v END) AS a,
+           max(CASE WHEN rn % 2 = 1 THEN v END) AS b,
+           count(*) AS m
+    FROM v{l - 1} GROUP BY 1, 2
+)""")
+        ctes.append(f"""v{l} AS (
+    SELECT series_id, rn,
+           CASE WHEN m = 2 THEN (a + b) // 2 ELSE a END AS v
+    FROM p{l}
+)""")
+        sels.append(f"""SELECT series_id, CAST({l} AS BIGINT) AS level,
+       CAST(count(*) FILTER (m = 2) AS BIGINT) AS n,
+       CAST(COALESCE(sum(abs(a - b)) FILTER (m = 2), 0) AS BIGINT)
+           AS sum_abs,
+       CAST(COALESCE(max(abs(a - b)) FILTER (m = 2), 0) AS BIGINT)
+           AS max_abs
+FROM p{l} GROUP BY 1""")
+    sels.append(f"""SELECT series_id, CAST(0 AS BIGINT) AS level,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+       CAST(max(abs(v)) AS BIGINT) AS max_abs
+FROM v{levels} GROUP BY 1""")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(sels))
+
+
+HAAR_ENERGY_SQL = _haar_sql(3)
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -7738,6 +7803,7 @@ QUERIES = {
     "cluster_ari_embeddings": q_cluster_ari_embeddings,
     "lttb_fidelity_events": q_lttb_fidelity_events,
     "assoc_rules_events": q_assoc_rules_events,
+    "haar_energy_15m": q_haar_energy_15m,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -8297,6 +8363,7 @@ ORACLE_SQL = {
     "promo_share_month": PROMO_SHARE_SQL,
     "lttb_fidelity_events": _lttb_fidelity_sql(50),
     "assoc_rules_events": ASSOC_RULES_SQL,
+    "haar_energy_15m": HAAR_ENERGY_SQL,
     "cluster_ari_embeddings": CLUSTER_ARI_SQL.format(base=KMEANS_SQL),
     "classify_confusion_embeddings":
         CLASSIFY_CONFUSION_SQL.format(base=CENTROID_CLASSIFY_SQL),
