@@ -84,3 +84,40 @@ def test_asof_join_inclusive_tie(ray_session):
                     on="series_id", left_x="x", right_x="x",
                     num_partitions=2).to_pandas()
     assert got.loc[0, "agg"] == 7
+
+
+def test_last_touch_attribution_matches_python(ray_session):
+    """Deterministic last-touch: sequential replay incl. equal-ts ties
+    (larger event id wins) and window expiry."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from tsdownsample_ray.stages.joins import last_touch_attribution
+
+    W = 100
+    rows = [
+        # user 1: view@10, click@50, purchase@60 -> click
+        (1, 10, 1, "view"), (1, 50, 2, "click"), (1, 60, 3, "purchase"),
+        # user 1: purchase@200 -> window expired (200-50 > 100) -> none
+        (1, 200, 4, "purchase"),
+        # user 2: tie at x=30 between ids 6,7 -> larger id (7, 'b') wins
+        (2, 30, 6, "a"), (2, 30, 7, "b"), (2, 30, 8, "purchase"),
+        # user 3: purchase with no prior -> none
+        (3, 5, 9, "purchase"),
+        # user 4: later purchase of ANOTHER user must not cross users
+        (4, 31, 10, "view"), (4, 40, 11, "purchase"),
+    ]
+    expect = {"click": 1, "none": 2, "b": 1, "view": 1}
+
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts_us": pa.array([r[1] for r in rows], pa.int64()),
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows])})
+    for nparts in (1, 3):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        out = last_touch_attribution(ds, window_us=W, num_partitions=2,
+                                     fanin=2).to_pandas()
+        got = dict(zip(out["event_type"], out["n"]))
+        assert got == expect

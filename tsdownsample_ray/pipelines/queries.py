@@ -7673,6 +7673,57 @@ FROM v{levels} GROUP BY 1""")
 HAAR_ENERGY_SQL = _haar_sql(3)
 
 
+def q_attribution_events(sf_dir: str):
+    """Last-touch attribution
+    (``stages/joins.py:last_touch_attribution``): each purchase credits
+    the same user's most recent non-purchase event within 1h (equal-ts
+    ties to the larger event id — the exact `max_by(type, struct(x,id))`
+    semantic, deterministic where plain as-of is not); unmatched
+    purchases count as 'none'. One hash(user) shuffle collapsing to
+    type-vocabulary partials."""
+    from ..stages.joins import last_touch_attribution
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+        })
+
+    return last_touch_attribution(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        target="purchase", window_us=3_600_000_000, num_partitions=4)
+
+
+ATTRIBUTION_SQL = """
+WITH p AS (
+    SELECT user_id, epoch_us(ts) AS x, event_id
+    FROM events WHERE event_type = 'purchase'
+),
+e AS (
+    SELECT user_id, epoch_us(ts) AS x, event_id, event_type
+    FROM events WHERE event_type <> 'purchase'
+),
+m AS (
+    SELECT p.event_id AS pid,
+           max(struct_pack(x := e.x, eid := e.event_id,
+                           ty := e.event_type)) AS mx
+    FROM p LEFT JOIN e
+      ON e.user_id = p.user_id AND e.x <= p.x
+     AND p.x - e.x <= 3600000000
+    GROUP BY 1
+)
+SELECT COALESCE((mx).ty, 'none') AS event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM m GROUP BY 1
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -7804,6 +7855,7 @@ QUERIES = {
     "lttb_fidelity_events": q_lttb_fidelity_events,
     "assoc_rules_events": q_assoc_rules_events,
     "haar_energy_15m": q_haar_energy_15m,
+    "attribution_events": q_attribution_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -8364,6 +8416,7 @@ ORACLE_SQL = {
     "lttb_fidelity_events": _lttb_fidelity_sql(50),
     "assoc_rules_events": ASSOC_RULES_SQL,
     "haar_energy_15m": HAAR_ENERGY_SQL,
+    "attribution_events": ATTRIBUTION_SQL,
     "cluster_ari_embeddings": CLUSTER_ARI_SQL.format(base=KMEANS_SQL),
     "classify_confusion_embeddings":
         CLASSIFY_CONFUSION_SQL.format(base=CENTROID_CLASSIFY_SQL),

@@ -26,7 +26,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["asof_join", "interval_count_join", "anti_join"]
+__all__ = ["asof_join", "interval_count_join", "anti_join",
+           "last_touch_attribution"]
 
 
 def asof_join(left_ds, right_ds, *, on: str = "series_id",
@@ -378,3 +379,82 @@ def anti_join(left_ds, right_ds, *, on: str, num_partitions: int = 16):
     parted = tagged.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _filter, batch_format="pyarrow")
+
+
+def last_touch_attribution(events_ds, *, on: str = "user_id",
+                           x_col: str = "ts_us", id_col: str = "event_id",
+                           type_col: str = "event_type",
+                           target: str = "purchase",
+                           window_us: int = 3_600_000_000,
+                           num_partitions: int = 8, fanin: int = 2):
+    """Marketing last-touch attribution: every ``target`` event credits
+    the SAME user's most recent non-target event within ``window_us``
+    (ties at equal timestamp break by the larger event id — the exact
+    ``max_by(type, struct(x, id))`` SQL semantic, so the operator is
+    deterministic where a plain as-of would not be). Unattributed
+    targets count under ``'none'``. Returns ``(event_type, n)``.
+
+    Scale shape: ONE hash(user) shuffle; per partition one sorted pass —
+    non-target rows sort before targets at equal x, a
+    ``np.maximum.accumulate`` finds each target's latest predecessor,
+    and the partition collapses to per-type partial counts (bounded by
+    the type vocabulary) before a tiny grouped sum."""
+    from ..arrow_utils import stable_part_codes
+    from .graph import grouped_sum_parts
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[on], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _attrib(g: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return empty
+        is_tgt_arr = pc.equal(t[type_col], target)
+        side = pc.cast(is_tgt_arr, pa.int8())  # right(0) before left(1)
+        t = t.append_column("__side", side)
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (on, "ascending"), (x_col, "ascending"),
+            ("__side", "ascending"), (id_col, "ascending")]))
+        uid = t[on]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        codes = uid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_tgt = t["__side"].to_numpy(zero_copy_only=False).astype(bool)
+        n = len(x)
+        change = np.ones(n, dtype=bool)
+        change[1:] = codes[1:] != codes[:-1]
+        seg_first = np.flatnonzero(change)
+        seg_of = np.cumsum(change) - 1
+        lastsrc = np.maximum.accumulate(
+            np.where(~is_tgt, np.arange(n), -1))
+        tgt_idx = np.flatnonzero(is_tgt)
+        src = lastsrc[tgt_idx]
+        ok = (src >= seg_first[seg_of[tgt_idx]]) & (src >= 0)
+        ok &= np.where(ok, x[tgt_idx] - x[np.maximum(src, 0)]
+                       <= window_us, False)
+        types = t[type_col]
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        attributed = types.take(pa.array(np.maximum(src, 0)))
+        lab = np.where(ok, attributed.to_numpy(zero_copy_only=False),
+                       "none")
+        labels = pa.array(lab.astype(str))
+        enc = labels.dictionary_encode()
+        cnt = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
+                          minlength=len(enc.dictionary))
+        return pa.table({"event_type": enc.dictionary,
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    parted = events_ds.map_batches(_add_part, batch_format="pyarrow")
+    partials = parted.repartition(num_partitions).groupby(
+        "__part").map_groups(_attrib, batch_format="pyarrow")
+    return grouped_sum_parts(partials, ["event_type"], ["n"],
+                             count_col=None, fanin=fanin)
