@@ -61,3 +61,43 @@ def test_cusum_alarm_fires(ray_session):
     assert (got["s_pos"][:20] == 0).all()
     assert got["s_pos"].iloc[-1] == 17 * 20  # (30-10-3) per post-shift row
     assert (got["alarm"].iloc[-1]) == 1
+
+
+def test_amoc_changepoint_finds_planted_shift(ray_session):
+    """AMOC detects a planted mean shift exactly and matches a direct
+    numpy replay (incl. smallest-k ties), partition-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from tsdownsample_ray.stages.rate import amoc_changepoint
+
+    rng = np.random.default_rng(5)
+    tables, expect = [], {}
+    for sid, (n, shift_at, delta) in (("a", (60, 20, 400)),
+                                      ("b", (30, 15, -250)),
+                                      ("c", (2, 1, 100))):
+        y = rng.integers(90, 110, n).astype(np.int64)
+        y[shift_at:] += delta
+        tables.append(pa.table({
+            "series_id": pa.array([sid] * n),
+            "bucket": pa.array(np.arange(n, dtype=np.int64) * 900),
+            "sum_y": pa.array(y)}))
+        cs = np.cumsum(y)
+        k = np.arange(1, n)
+        s1 = cs[:-1]
+        s2 = cs[-1] - s1
+        f = (s1.astype(float) ** 2) / k + (s2.astype(float) ** 2) / (n - k)
+        b = int(np.argmax(f))
+        expect[sid] = (n, int(k[b]), int(s1[b]), int(s2[b]), float(f[b]))
+
+    tbl = pa.concat_tables(tables)
+    for nparts in (1, 3):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        out = amoc_changepoint(ds, num_partitions=2).to_pandas()
+        assert len(out) == len(expect)
+        for _, r in out.iterrows():
+            assert expect[r["series_id"]] == (r["n"], r["k"], r["s1"],
+                                              r["s2"], r["f"])
+    # the planted split is recovered for the long series
+    assert expect["a"][1] == 20 and expect["b"][1] == 15

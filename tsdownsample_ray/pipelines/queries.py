@@ -7724,6 +7724,62 @@ FROM m GROUP BY 1
 """
 
 
+def q_amoc_changepoint_15m(sf_dir: str):
+    """At-Most-One-Change mean-shift detection per series over the 15m
+    tier (``stages/rate.py:amoc_changepoint``): the split maximizing
+    ``f(k) = S1²/k + S2²/(n−k)`` (exact int prefix sums; squares pinned
+    in float64 with the identical SQL expression tree; ties to the
+    smallest k) — the closed-form companion to ``cusum_events``."""
+    from ..stages.rate import amoc_changepoint
+    from ..stages.rollup import rollup
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"),
+                    900 * US)
+    return amoc_changepoint(rolled, num_partitions=4)
+
+
+AMOC_SQL = f"""
+WITH r AS (
+    SELECT event_type AS series_id,
+           (epoch_us(ts) // {900 * US}) * {900 * US} AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+    FROM events GROUP BY 1, 2
+),
+o AS (
+    SELECT series_id,
+           row_number() OVER (PARTITION BY series_id
+                              ORDER BY bucket) AS p,
+           count(*) OVER (PARTITION BY series_id) AS n,
+           sum(s) OVER (PARTITION BY series_id ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS s1,
+           sum(s) OVER (PARTITION BY series_id) AS stot
+    FROM r
+),
+f AS (
+    SELECT series_id, p AS k, n, s1, stot - s1 AS s2,
+           (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / p
+           + (CAST(stot - s1 AS DOUBLE) * CAST(stot - s1 AS DOUBLE))
+             / (n - p) AS f
+    FROM o WHERE p < n
+),
+b AS (
+    SELECT series_id, k, n, s1, s2, f,
+           row_number() OVER (PARTITION BY series_id
+                              ORDER BY f DESC, k) AS rn
+    FROM f
+)
+SELECT series_id, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2, f
+FROM b WHERE rn = 1
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -7856,6 +7912,7 @@ QUERIES = {
     "assoc_rules_events": q_assoc_rules_events,
     "haar_energy_15m": q_haar_energy_15m,
     "attribution_events": q_attribution_events,
+    "amoc_changepoint_15m": q_amoc_changepoint_15m,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -8417,6 +8474,7 @@ ORACLE_SQL = {
     "assoc_rules_events": ASSOC_RULES_SQL,
     "haar_energy_15m": HAAR_ENERGY_SQL,
     "attribution_events": ATTRIBUTION_SQL,
+    "amoc_changepoint_15m": AMOC_SQL,
     "cluster_ari_embeddings": CLUSTER_ARI_SQL.format(base=KMEANS_SQL),
     "classify_confusion_embeddings":
         CLASSIFY_CONFUSION_SQL.format(base=CENTROID_CLASSIFY_SQL),

@@ -26,7 +26,8 @@ import pyarrow.compute as pc
 from .rollup import bucketize
 
 __all__ = ["counter_rate", "threshold_crossings", "series_diffs",
-           "cusum", "gap_profile", "hysteresis_alerts"]
+           "cusum", "gap_profile", "hysteresis_alerts",
+           "amoc_changepoint"]
 
 
 def counter_rate(ds, window_us: int, *, series_col: str = "series_id",
@@ -467,3 +468,86 @@ def hysteresis_alerts(ds, hi: int, lo: int, *,
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _trans, batch_format="pyarrow")
+
+
+def amoc_changepoint(rolled, *, series_col: str = "series_id",
+                     order_col: str = "bucket", value_col: str = "sum_y",
+                     num_partitions: int = 8):
+    """At-Most-One-Change (AMOC) mean-shift detection per series: the
+    split ``k`` (left block = first k points) maximizing the SSE
+    reduction — equivalently ``f(k) = S1²/k + S2²/(n−k)`` — ties to the
+    smallest k. Sufficient statistics are exact int64 prefix sums; the
+    two squared terms are pinned IEEE doubles (squared in float64, the
+    identical expression tree in SQL), so the argmax is deterministic.
+    The closed-form companion to :func:`cusum`'s sequential detector.
+
+    Output per series: ``(series_id, n, k, s1, s2, f)``.
+
+    Scale shape: ONE hash(series) shuffle, then a single vectorized
+    cumsum + argmax pass over every series in the partition."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _amoc(g: pa.Table) -> pa.Table:
+        sid_type = g[series_col].type
+        empty = pa.table({"series_id": pa.array([], sid_type),
+                          "n": pa.array([], pa.int64()),
+                          "k": pa.array([], pa.int64()),
+                          "s1": pa.array([], pa.int64()),
+                          "s2": pa.array([], pa.int64()),
+                          "f": pa.array([], pa.float64())})
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (order_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(y)
+        change = np.ones(n, dtype=bool)
+        change[1:] = codes[1:] != codes[:-1]
+        seg_first = np.flatnonzero(change)
+        seg_len = np.diff(np.r_[seg_first, n])
+        out = {k: [] for k in ("sid", "n", "k", "s1", "s2", "f")}
+        csum = np.cumsum(y)
+        for si, f0 in enumerate(seg_first):
+            m = int(seg_len[si])
+            if m < 2:
+                continue
+            base = csum[f0] - y[f0]
+            s1 = csum[f0:f0 + m - 1] - base          # k = 1..m-1
+            stot = csum[f0 + m - 1] - base
+            k = np.arange(1, m, dtype=np.int64)
+            s2 = stot - s1
+            s1f = s1.astype(np.float64)
+            s2f = s2.astype(np.float64)
+            fval = (s1f * s1f) / k + (s2f * s2f) / (m - k)
+            best = int(np.argmax(fval))              # ties -> smallest k
+            out["sid"].append(sid[int(f0)].as_py())
+            out["n"].append(m)
+            out["k"].append(int(k[best]))
+            out["s1"].append(int(s1[best]))
+            out["s2"].append(int(s2[best]))
+            out["f"].append(float(fval[best]))
+        # per-series loop over bounded series count; inner math vectorized
+        return pa.table({
+            "series_id": pa.array(out["sid"], sid_type),
+            "n": pa.array(out["n"], pa.int64()),
+            "k": pa.array(out["k"], pa.int64()),
+            "s1": pa.array(out["s1"], pa.int64()),
+            "s2": pa.array(out["s2"], pa.int64()),
+            "f": pa.array(out["f"], pa.float64())})
+
+    parted = rolled.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _amoc, batch_format="pyarrow")
