@@ -974,3 +974,22 @@ def test_association_rules_match_python(ray_session):
             assert exp[(r["antecedent"], r["consequent"])] == (
                 r["n"], r["n_a"], r["n_b"], r["n_ab"], r["conf_pm"],
                 r["lift_num"], r["lift_den"], r["lift"])
+
+
+def test_boolean_search_and_semantics(ray_session):
+    import ray
+
+    from tsdownsample_ray.pipelines.queries import q_boolean_search_docs
+
+    sf = "/root/testdata/sf0.001"
+    out = q_boolean_search_docs(sf).to_pandas()
+    import duckdb
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet'").df()
+    expect = {}
+    for _, d in docs.iterrows():
+        toks = [t for t in d["text"].split(" ") if t]
+        if {"hash", "join", "merge"} <= set(toks):
+            expect[d["doc_id"]] = len(toks)
+    assert dict(zip(out["doc_id"], out["n_terms"])) == expect
+    assert len(expect) > 0

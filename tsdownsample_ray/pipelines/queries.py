@@ -7780,6 +7780,152 @@ FROM b WHERE rn = 1
 """
 
 
+def q_boolean_search_docs(sf_dir: str):
+    """Conjunctive (AND) boolean retrieval: docs containing ALL query
+    terms — the postings-intersection primitive, here as a single
+    shuffle-free ``map_batches`` pass (distinct matched-term count per
+    doc == |query| via `index_in` + bitmask OR). Returns
+    ``(doc_id, n_terms)`` with the doc's total term count as evidence."""
+    terms = ["hash", "join", "merge"]
+    tarr = pa.array(terms, pa.string())
+    nt = len(terms)
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+
+    def _and(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        row = np.repeat(np.arange(b.num_rows, dtype=np.int64),
+                        np.diff(off))
+        tidx = pc.fill_null(pc.index_in(flat, value_set=tarr),
+                            -1).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        known = tidx >= 0
+        mask = np.zeros(b.num_rows, np.int64)
+        np.bitwise_or.at(mask, row[known],
+                         np.int64(1) << tidx[known])
+        hit = mask == (1 << nt) - 1
+        nonempty = ~pc.equal(flat, "").to_numpy(zero_copy_only=False)
+        ntok = np.bincount(row[nonempty], minlength=b.num_rows)
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()).filter(
+                pa.array(hit)),
+            "n_terms": pa.array(ntok[hit].astype(np.int64)),
+        })
+
+    return ds.map_batches(_and, batch_format="pyarrow")
+
+
+BOOLEAN_SEARCH_SQL = """
+WITH tok AS (
+    SELECT doc_id, t.term
+    FROM documents, unnest(string_split(text, ' ')) AS t(term)
+    WHERE t.term <> ''
+),
+hit AS (
+    SELECT doc_id
+    FROM tok WHERE term IN ('hash', 'join', 'merge')
+    GROUP BY 1 HAVING count(DISTINCT term) = 3
+)
+SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_terms
+FROM hit h JOIN tok t ON t.doc_id = h.doc_id
+GROUP BY 1
+"""
+
+
+def q_top_movers_events(sf_dir: str):
+    """Day-over-day top movers: per series the per-day cent sums, the
+    consecutive-PRESENT-day diff via one sorted lag pass, and the 5
+    largest absolute moves (ties |diff| desc, series asc, day asc).
+    Rollup partials → one hash(series) shuffle → bounded top-k funnel."""
+    from ..stages.rollup import rollup
+
+    DAY = 86_400_000_000
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"), DAY)
+    from ..arrow_utils import stable_part_codes
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["series_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(128)).astype(np.int32)))
+
+    def _diff(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        sid_type = t["series_id"].type
+        empty = pa.table({"series_id": pa.array([], sid_type),
+                          "day_us": pa.array([], pa.int64()),
+                          "prev_sum": pa.array([], pa.int64()),
+                          "cur_sum": pa.array([], pa.int64()),
+                          "diff": pa.array([], pa.int64()),
+                          "absdiff": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("series_id", "ascending"), ("bucket", "ascending")]))
+        sid = t["series_id"]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = t["sum_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        same = codes[1:] == codes[:-1] if len(codes) > 1 else \
+            np.empty(0, bool)
+        idx = np.flatnonzero(same) + 1
+        d = y[idx] - y[idx - 1]
+        return pa.table({"series_id": sid.take(pa.array(idx)),
+                         "day_us": pa.array(bk[idx]),
+                         "prev_sum": pa.array(y[idx - 1]),
+                         "cur_sum": pa.array(y[idx]),
+                         "diff": pa.array(d),
+                         "absdiff": pa.array(np.abs(d))})
+
+    diffs = (rolled.map_batches(_add_part, batch_format="pyarrow")
+             .repartition(2).groupby("__part")
+             .map_groups(_diff, batch_format="pyarrow"))
+    top = (diffs.sort(key=["absdiff", "series_id", "day_us"],
+                      descending=[True, False, False]).limit(5)
+           .to_pandas())
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top.drop(columns=["absdiff"])
+
+
+TOP_MOVERS_SQL = f"""
+WITH r AS (
+    SELECT event_type AS series_id,
+           (epoch_us(ts) // {86_400_000_000}) * {86_400_000_000}
+               AS day_us,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+    FROM events GROUP BY 1, 2
+),
+d AS (
+    SELECT series_id, day_us,
+           lag(s) OVER (PARTITION BY series_id ORDER BY day_us)
+               AS prev_sum,
+           s AS cur_sum
+    FROM r
+),
+f AS (
+    SELECT series_id, day_us, prev_sum, cur_sum,
+           cur_sum - prev_sum AS diff,
+           row_number() OVER (ORDER BY abs(cur_sum - prev_sum) DESC,
+                              series_id, day_us) AS rank
+    FROM d WHERE prev_sum IS NOT NULL
+)
+SELECT series_id, day_us, prev_sum, cur_sum, diff, rank
+FROM f WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -7913,6 +8059,8 @@ QUERIES = {
     "haar_energy_15m": q_haar_energy_15m,
     "attribution_events": q_attribution_events,
     "amoc_changepoint_15m": q_amoc_changepoint_15m,
+    "boolean_search_docs": q_boolean_search_docs,
+    "top_movers_events": q_top_movers_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -8475,6 +8623,8 @@ ORACLE_SQL = {
     "haar_energy_15m": HAAR_ENERGY_SQL,
     "attribution_events": ATTRIBUTION_SQL,
     "amoc_changepoint_15m": AMOC_SQL,
+    "boolean_search_docs": BOOLEAN_SEARCH_SQL,
+    "top_movers_events": TOP_MOVERS_SQL,
     "cluster_ari_embeddings": CLUSTER_ARI_SQL.format(base=KMEANS_SQL),
     "classify_confusion_embeddings":
         CLASSIFY_CONFUSION_SQL.format(base=CENTROID_CLASSIFY_SQL),
