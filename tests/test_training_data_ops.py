@@ -993,3 +993,42 @@ def test_boolean_search_and_semantics(ray_session):
             expect[d["doc_id"]] = len(toks)
     assert dict(zip(out["doc_id"], out["n_terms"])) == expect
     assert len(expect) > 0
+
+
+def test_rfm_segments_match_python(ray_session):
+    """RFM value-based quintiles equal a pure-python replay of the
+    discrete order-statistic thresholds."""
+    import duckdb
+
+    from tsdownsample_ray.pipelines.queries import q_rfm_segments_users
+
+    sf = "/root/testdata/sf0.001"
+    out = (q_rfm_segments_users(sf).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    pu = duckdb.sql(f"""
+        SELECT user_id, max(epoch_us(ts)) AS last_ts, count(*) AS cnt,
+               CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM '{sf}/events.parquet' WHERE event_type = 'purchase'
+        GROUP BY 1
+    """).df().sort_values("user_id").reset_index(drop=True)
+    assert out["user_id"].tolist() == pu["user_id"].tolist()
+
+    def thresholds(vals):
+        v = sorted(vals)
+        n = len(v)
+        return [v[(n - 1) * p // 100] for p in (20, 40, 60, 80)]
+
+    def quint(x, th):
+        return 1 + sum(x > t for t in th)
+
+    tr = thresholds(pu["last_ts"])
+    tf = thresholds(pu["cnt"])
+    tm = thresholds(pu["sum_cents"])
+    for i in range(len(pu)):
+        r = quint(pu["last_ts"][i], tr)
+        f = quint(pu["cnt"][i], tf)
+        m = quint(pu["sum_cents"][i], tm)
+        assert (out["r"][i], out["f"][i], out["m"][i]) == (r, f, m)
+        assert out["rfm"][i] == 100 * r + 10 * f + m
+    assert set(out["r"]) <= set(range(1, 6))

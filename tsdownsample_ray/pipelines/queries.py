@@ -7926,6 +7926,159 @@ FROM f WHERE rank <= 5
 """
 
 
+def q_rfm_segments_users(sf_dir: str):
+    """RFM customer segmentation over purchase events: per user the
+    recency (last purchase ts), frequency (count) and monetary (cent
+    sum) aggregates, quintile-scored by VALUE against exact discrete
+    20/40/60/80 order statistics (the ``exact_quantiles`` machinery,
+    all three dimensions as three series in ONE pass) — value-based
+    buckets are tie-deterministic without any global rank sort. Output
+    ``(user_id, last_ts, cnt, sum_cents, r, f, m, rfm)``."""
+    from ..stages.graph import grouped_sum_parts
+    from ..stages.quantiles import exact_quantiles
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"])
+
+    def _pur(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "purchase"))
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "neg_ts": pc.multiply(pc.cast(t["ts"].cast(pa.int64()),
+                                          pa.int64()),
+                                  pa.scalar(-1, pa.int64())),
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0),
+                                      ndigits=0), pa.int64()),
+        })
+
+    # max(ts) == -min(-ts): min is a SUM-like... not mergeable by sum —
+    # use the grouped min trick via Arrow group_by inside a hashpart pass
+    pur = ds.map_batches(_pur, batch_format="pyarrow")
+    from ..arrow_utils import rename_agg, stable_part_codes
+
+    def _agg(b: pa.Table) -> pa.Table:
+        b = b.select([c for c in b.column_names if c != "__part"])
+        g = b.group_by(["user_id"]).aggregate(
+            [("neg_ts", "min"), ("cents", "sum"), ("cents", "count")])
+        return rename_agg(g, {"user_id": "user_id",
+                              "neg_ts_min": "neg_ts",
+                              "cents_sum": "sum_cents",
+                              "cents_count": "cnt"})
+
+    def _agg2(g: pa.Table) -> pa.Table:
+        t = g.select([c for c in g.column_names if c != "__part"])
+        m = t.group_by(["user_id"]).aggregate(
+            [("neg_ts", "min"), ("sum_cents", "sum"), ("cnt", "sum")])
+        return rename_agg(m, {"user_id": "user_id",
+                              "neg_ts_min": "neg_ts",
+                              "sum_cents_sum": "sum_cents",
+                              "cnt_sum": "cnt"})
+
+    def _part(b: pa.Table) -> pa.Table:
+        b = _agg(b)
+        h = stable_part_codes(b["user_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(256)).astype(np.int32)))
+
+    pu = (pur.map_batches(_part, batch_format="pyarrow")
+          .repartition(4).groupby("__part")
+          .map_groups(_agg2, batch_format="pyarrow")).materialize()
+
+    def _dims(b: pa.Table) -> pa.Table:
+        uid = b["user_id"]
+        last_ts = pc.multiply(b["neg_ts"], pa.scalar(-1, pa.int64()))
+        parts = []
+        for name, col in (("r", last_ts), ("f", b["cnt"]),
+                          ("m", b["sum_cents"])):
+            parts.append(pa.table({
+                "series_id": pa.array([name] * b.num_rows),
+                "bucket": pc.cast(uid, pa.int64()),
+                "sum_y": pc.cast(col, pa.int64())}))
+        return pa.concat_tables(parts)
+
+    th = exact_quantiles(pu.map_batches(_dims, batch_format="pyarrow"),
+                         probs=(20, 40, 60, 80), num_partitions=2
+                         ).to_pandas().set_index("series_id")
+    T = {d: [int(th.loc[d][f"p{p}"]) for p in (20, 40, 60, 80)]
+         for d in ("r", "f", "m")}
+
+    def _score(b: pa.Table) -> pa.Table:
+        last_ts = pc.multiply(b["neg_ts"],
+                              pa.scalar(-1, pa.int64())).to_numpy(
+            zero_copy_only=False)
+        cnt = b["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = b["sum_cents"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+
+        def quint(v, d):
+            s = np.ones(len(v), np.int64)
+            for t in T[d]:
+                s += (v > t)
+            return s
+
+        r = quint(last_ts, "r")
+        f = quint(cnt, "f")
+        m = quint(cents, "m")
+        return pa.table({
+            "user_id": b["user_id"],
+            "last_ts": pa.array(last_ts.astype(np.int64)),
+            "cnt": pa.array(cnt), "sum_cents": pa.array(cents),
+            "r": pa.array(r), "f": pa.array(f), "m": pa.array(m),
+            "rfm": pa.array(100 * r + 10 * f + m)})
+
+    return pu.map_batches(_score, batch_format="pyarrow")
+
+
+RFM_SQL = """
+WITH pu AS (
+    SELECT user_id, max(epoch_us(ts)) AS last_ts,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+dims AS (
+    SELECT 'r' AS d, last_ts AS v, user_id FROM pu
+    UNION ALL SELECT 'f', cnt, user_id FROM pu
+    UNION ALL SELECT 'm', sum_cents, user_id FROM pu
+),
+o AS (
+    SELECT d, v,
+           row_number() OVER (PARTITION BY d ORDER BY v, user_id) - 1
+               AS rk,
+           count(*) OVER (PARTITION BY d) AS n
+    FROM dims
+),
+t AS (
+    SELECT d,
+           max(CASE WHEN rk = (n - 1) * 20 // 100 THEN v END) AS t20,
+           max(CASE WHEN rk = (n - 1) * 40 // 100 THEN v END) AS t40,
+           max(CASE WHEN rk = (n - 1) * 60 // 100 THEN v END) AS t60,
+           max(CASE WHEN rk = (n - 1) * 80 // 100 THEN v END) AS t80
+    FROM o GROUP BY 1
+),
+s AS (
+    SELECT pu.*,
+           CAST(1 + (pu.last_ts > tr.t20)::INT + (pu.last_ts > tr.t40)::INT
+                + (pu.last_ts > tr.t60)::INT + (pu.last_ts > tr.t80)::INT
+                AS BIGINT) AS r,
+           CAST(1 + (pu.cnt > tf.t20)::INT + (pu.cnt > tf.t40)::INT
+                + (pu.cnt > tf.t60)::INT + (pu.cnt > tf.t80)::INT
+                AS BIGINT) AS f,
+           CAST(1 + (pu.sum_cents > tm.t20)::INT
+                + (pu.sum_cents > tm.t40)::INT
+                + (pu.sum_cents > tm.t60)::INT
+                + (pu.sum_cents > tm.t80)::INT AS BIGINT) AS m
+    FROM pu, t tr, t tf, t tm
+    WHERE tr.d = 'r' AND tf.d = 'f' AND tm.d = 'm'
+)
+SELECT user_id, last_ts, cnt, sum_cents, r, f, m,
+       100 * r + 10 * f + m AS rfm
+FROM s
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -8061,6 +8214,7 @@ QUERIES = {
     "amoc_changepoint_15m": q_amoc_changepoint_15m,
     "boolean_search_docs": q_boolean_search_docs,
     "top_movers_events": q_top_movers_events,
+    "rfm_segments_users": q_rfm_segments_users,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -8625,6 +8779,7 @@ ORACLE_SQL = {
     "amoc_changepoint_15m": AMOC_SQL,
     "boolean_search_docs": BOOLEAN_SEARCH_SQL,
     "top_movers_events": TOP_MOVERS_SQL,
+    "rfm_segments_users": RFM_SQL,
     "cluster_ari_embeddings": CLUSTER_ARI_SQL.format(base=KMEANS_SQL),
     "classify_confusion_embeddings":
         CLASSIFY_CONFUSION_SQL.format(base=CENTROID_CLASSIFY_SQL),
