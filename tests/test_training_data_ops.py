@@ -1032,3 +1032,33 @@ def test_rfm_segments_match_python(ray_session):
         assert (out["r"][i], out["f"][i], out["m"][i]) == (r, f, m)
         assert out["rfm"][i] == 100 * r + 10 * f + m
     assert set(out["r"]) <= set(range(1, 6))
+
+
+def test_bigram_familiarity_matches_python(ray_session):
+    import ray
+
+    from tsdownsample_ray.stages.vocab import bigram_familiarity
+
+    texts = ["a b c a b", "a b", "x y z", "q"]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts)})
+    from collections import Counter
+    occ = []
+    for did, t in enumerate(texts):
+        w = t.split(" ")
+        occ += [(did, f"{w[i]} {w[i+1]}") for i in range(len(w) - 1)]
+    cnt = Counter(bg for _, bg in occ)
+    exp = {}
+    for did in range(4):
+        bgs = [bg for d, bg in occ if d == did]
+        if not bgs:
+            continue  # doc 'q' has no bigrams -> absent
+        fam = sum(cnt[bg] for bg in bgs)
+        exp[did] = (len(bgs), fam, (1000 * fam) // len(bgs))
+
+    for nparts in (1, 3):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        out = bigram_familiarity(ds, fanin=2, num_partitions=2).to_pandas()
+        got = {r["doc_id"]: (r["n_bg"], r["fam_sum"], r["fam_mean_pm"])
+               for _, r in out.iterrows()}
+        assert got == exp

@@ -8079,6 +8079,38 @@ FROM s
 """
 
 
+def q_bigram_familiarity_docs(sf_dir: str):
+    """Corpus-fit quality scoring
+    (``stages/vocab.py:bigram_familiarity``): per doc the mean corpus
+    frequency of its adjacent-token bigrams (truncating permille) — the
+    count-based perplexity stand-in that flags out-of-distribution
+    docs. Two vocabulary-sized exchanges (bigram grouped sum, then a
+    hash JOIN of occurrences against counts — no broadcast), one
+    hash(doc) grouped sum."""
+    from ..stages.vocab import bigram_familiarity
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+    return bigram_familiarity(ds, fanin=4, num_partitions=4)
+
+
+BIGRAM_FAM_SQL = """
+WITH occ AS (
+    SELECT doc_id, t.bg
+    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         unnest(list_transform(range(1, array_length(l)),
+                               i -> l[i] || ' ' || l[i + 1]))
+             AS t(bg)
+),
+c AS (SELECT bg, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY 1)
+SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+       CAST(sum(c.c) AS BIGINT) AS fam_sum,
+       CAST((1000 * sum(c.c)) // count(*) AS BIGINT) AS fam_mean_pm
+FROM occ o JOIN c USING (bg)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -8215,6 +8247,7 @@ QUERIES = {
     "boolean_search_docs": q_boolean_search_docs,
     "top_movers_events": q_top_movers_events,
     "rfm_segments_users": q_rfm_segments_users,
+    "bigram_familiarity_docs": q_bigram_familiarity_docs,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -8780,6 +8813,7 @@ ORACLE_SQL = {
     "boolean_search_docs": BOOLEAN_SEARCH_SQL,
     "top_movers_events": TOP_MOVERS_SQL,
     "rfm_segments_users": RFM_SQL,
+    "bigram_familiarity_docs": BIGRAM_FAM_SQL,
     "cluster_ari_embeddings": CLUSTER_ARI_SQL.format(base=KMEANS_SQL),
     "classify_confusion_embeddings":
         CLASSIFY_CONFUSION_SQL.format(base=CENTROID_CLASSIFY_SQL),

@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 
 from ..arrow_utils import rename_agg, stable_part_codes
 
-__all__ = ["build_vocab"]
+__all__ = ["build_vocab", "term_drift", "bigram_familiarity"]
 
 
 def build_vocab(ds, *, text_col: str = "text", id_col: str = "doc_id",
@@ -165,3 +165,69 @@ def term_drift(ds, n0: int, n1: int, *, text_col: str = "text",
             .limit(top).to_pandas())
     topt["rank"] = np.arange(1, len(topt) + 1, dtype=np.int64)
     return topt
+
+
+def bigram_familiarity(ds, *, text_col: str = "text",
+                       id_col: str = "doc_id", fanin: int = 4,
+                       num_partitions: int = 8):
+    """Corpus-fit quality signal (the count-based stand-in for LM
+    perplexity): per document, the mean corpus frequency of its
+    adjacent-token bigrams — ``fam_mean_pm = (1000·Σ count(bg)) //
+    n_bigrams`` — low scores flag out-of-distribution / garbled docs.
+
+    Scale shape: pass 1 builds the corpus bigram table (block-local
+    pre-collapse, ONE hash(bigram) grouped sum — vocabulary-sized);
+    pass 2 re-explodes occurrences and hash-JOINs them against the
+    counts (no broadcast of the bigram table), then one hash(doc)
+    grouped sum. All integers; the permille mean is truncating."""
+
+    def _explode(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "bg": pa.array([], pa.string())})
+        if b.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(b[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        row = np.repeat(np.arange(b.num_rows, dtype=np.int64),
+                        np.diff(off))
+        idx = np.arange(len(row), dtype=np.int64)
+        valid = idx < off[row + 1] - 1
+        li = idx[valid]
+        bg = pc.binary_join_element_wise(
+            flat.take(pa.array(li)), flat.take(pa.array(li + 1)), " ")
+        ids = pc.cast(b[id_col], pa.int64()).take(pa.array(row[valid]))
+        return pa.table({"doc_id": ids, "bg": bg})
+
+    from .graph import grouped_sum_parts
+
+    occ = ds.map_batches(_explode, batch_format="pyarrow")
+
+    def _ones(b: pa.Table) -> pa.Table:
+        return pa.table({"bg": b["bg"]})
+
+    counts = grouped_sum_parts(occ.map_batches(_ones,
+                                               batch_format="pyarrow"),
+                               ["bg"], [], count_col="c", fanin=fanin)
+    joined = occ.join(counts, join_type="inner",
+                      num_partitions=num_partitions, on=("bg",))
+
+    def _proj(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"], "c": b["c"]})
+
+    per_doc = grouped_sum_parts(joined.map_batches(_proj,
+                                                   batch_format="pyarrow"),
+                                ["doc_id"], ["c"], count_col="n_bg",
+                                fanin=fanin)
+
+    def _final(b: pa.Table) -> pa.Table:
+        fam = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n_bg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": b["doc_id"], "n_bg": b["n_bg"],
+            "fam_sum": pa.array(fam),
+            "fam_mean_pm": pa.array((1000 * fam) // n)})
+
+    return per_doc.map_batches(_final, batch_format="pyarrow")
