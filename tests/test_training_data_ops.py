@@ -1062,3 +1062,29 @@ def test_bigram_familiarity_matches_python(ray_session):
         got = {r["doc_id"]: (r["n_bg"], r["fam_sum"], r["fam_mean_pm"])
                for _, r in out.iterrows()}
         assert got == exp
+
+
+def test_json_props_extraction(ray_session):
+    """RE2 JSON extraction: malformed rows dropped, trunc-div decade
+    bins, exact sums — vs a python json replay."""
+    import json as _json
+
+    import ray
+
+    from tsdownsample_ray.pipelines.queries import q_json_props_events
+
+    sf = "/root/testdata/sf0.001"
+    out = q_json_props_events(sf).to_pandas()
+    import duckdb
+    rows = duckdb.sql(f"SELECT event_type, props FROM "
+                      f"'{sf}/events.parquet'").fetchall()
+    from collections import defaultdict
+    exp = defaultdict(lambda: [0, 0])
+    for et, pr in rows:
+        k = _json.loads(pr)["k"]
+        kbin = k // 10 if k >= 0 else -((-k) // 10)
+        exp[(et, kbin)][0] += k
+        exp[(et, kbin)][1] += 1
+    got = {(r["event_type"], r["kbin"]): (r["sum_k"], r["n"])
+           for _, r in out.iterrows()}
+    assert got == {k: tuple(v) for k, v in exp.items()}

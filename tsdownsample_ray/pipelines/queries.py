@@ -8111,6 +8111,50 @@ GROUP BY 1
 """
 
 
+def q_json_props_events(sf_dir: str):
+    """Semi-structured extraction: the JSON ``props`` payload is parsed
+    with the SAME RE2 engine on both sides (`pc.extract_regex` /
+    DuckDB `regexp_extract`) — no Python json loop — and the extracted
+    integer rolls up per (event_type, k//10 decade): count + exact sum.
+    Map-side Arrow group_by collapse before one bounded-key shuffle."""
+    from ..stages.graph import grouped_sum_parts
+
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "props"])
+
+    def _extract(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], r'"k":\s*(?P<k>-?\d+)')
+        kstr = pc.struct_field(m, "k")
+        valid = pc.is_valid(kstr)
+        t = pa.table({"event_type": b["event_type"],
+                      "k": pc.cast(kstr, pa.int64())}).filter(valid)
+        kv = t["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "kbin": pa.array(np.where(kv >= 0, kv // 10,
+                                      -((-kv) // 10))),  # trunc like //
+            "sum_k": pa.array(kv)})
+
+    ex = ds.map_batches(_extract, batch_format="pyarrow")
+    return grouped_sum_parts(ex, ["event_type", "kbin"], ["sum_k"],
+                             count_col="n", fanin=2)
+
+
+JSON_PROPS_SQL = """
+WITH e AS (
+    SELECT event_type,
+           CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)
+               AS k
+    FROM events
+    WHERE regexp_extract(props, '"k":\\s*(-?\\d+)', 1) <> ''
+)
+SELECT event_type, k // 10 AS kbin,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(count(*) AS BIGINT) AS n
+FROM e GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -8248,6 +8292,7 @@ QUERIES = {
     "top_movers_events": q_top_movers_events,
     "rfm_segments_users": q_rfm_segments_users,
     "bigram_familiarity_docs": q_bigram_familiarity_docs,
+    "json_props_events": q_json_props_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -8814,6 +8859,7 @@ ORACLE_SQL = {
     "top_movers_events": TOP_MOVERS_SQL,
     "rfm_segments_users": RFM_SQL,
     "bigram_familiarity_docs": BIGRAM_FAM_SQL,
+    "json_props_events": JSON_PROPS_SQL,
     "cluster_ari_embeddings": CLUSTER_ARI_SQL.format(base=KMEANS_SQL),
     "classify_confusion_embeddings":
         CLASSIFY_CONFUSION_SQL.format(base=CENTROID_CLASSIFY_SQL),
