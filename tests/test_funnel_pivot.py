@@ -95,3 +95,19 @@ def test_mixture_order_stride(ray_session):
     sched = out.sort_values(["mix_key", "source", "doc_id"])
     first12 = sched.head(12)["source"].tolist()
     assert first12.count("hi") == 8 and first12.count("lo") == 4
+
+
+def test_conversion_latency_matches_duckdb(ray_session):
+    import duckdb
+
+    from tsdownsample_ray.pipelines.queries import (
+        CONVERSION_LATENCY_SQL, q_conversion_latency_users)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_conversion_latency_users(sf)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS FROM '{sf}/events.parquet'")
+    exp = con.sql(CONVERSION_LATENCY_SQL).df()
+    for c in ("n", "p50", "p90", "p99", "sum_lat"):
+        assert int(got[c].iloc[0]) == int(exp[c].iloc[0]), c
+    assert int(got["n"].iloc[0]) > 0

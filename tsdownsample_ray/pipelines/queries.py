@@ -8155,6 +8155,82 @@ FROM e GROUP BY 1, 2
 """
 
 
+def q_conversion_latency_users(sf_dir: str):
+    """Time-to-convert distribution: the funnel's fully-converted users
+    (depth 3) reduced to exact discrete latency quantiles
+    (p50/p90/p99 of ``purchase_ts − view_ts``) plus count and exact sum
+    — the product-metric composition of ``funnel`` and
+    ``exact_quantiles``. One extra bounded aggregation beyond the
+    funnel's single hash(user) shuffle."""
+    from ..stages.funnel import funnel
+    from ..stages.quantiles import exact_quantiles
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"]).map_batches(
+        lambda b: pa.table({"user_id": b["user_id"],
+                            "t": b["event_type"],
+                            "x": pc.cast(b["ts"], pa.int64())}),
+        batch_format="pyarrow")
+    fu = funnel(ds, ["view", "click", "purchase"], num_partitions=2)
+
+    def _lat(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["depth"], 3))
+        lat = pc.subtract(t["step3_us"], t["step1_us"])
+        return pa.table({
+            "series_id": pa.array(["all"] * t.num_rows),
+            "bucket": pc.cast(t["user_id"], pa.int64()),
+            "sum_y": pc.cast(lat, pa.int64())})
+
+    # converted-user rows only: user-count sized, safe to pin once so
+    # the quantile and total passes don't re-run the funnel
+    lats = fu.map_batches(_lat, batch_format="pyarrow").materialize()
+    q = exact_quantiles(lats, probs=(50, 90, 99), num_partitions=2)
+
+    def _tot(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "series_id": pa.array(["all"]),
+            "n_part": pa.array([b.num_rows], pa.int64()),
+            "sum_part": pa.array(
+                [int(b["sum_y"].to_numpy(
+                    zero_copy_only=False).sum()) if b.num_rows else 0],
+                pa.int64())})
+
+    tot = lats.map_batches(_tot, batch_format="pyarrow").to_pandas()
+    qdf = q.to_pandas()
+    qdf["sum_lat"] = np.int64(tot["sum_part"].sum())
+    return qdf
+
+
+CONVERSION_LATENCY_SQL = """
+WITH e AS (
+    SELECT user_id, event_type, epoch_us(ts) AS x FROM events
+),
+s1 AS (SELECT user_id, min(x) AS t1 FROM e
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(x) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND x > t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(x) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND x > t2 GROUP BY e.user_id),
+lat AS (
+    SELECT s1.user_id, t3 - t1 AS l
+    FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+),
+o AS (
+    SELECT l, user_id,
+           row_number() OVER (ORDER BY l, user_id) - 1 AS rk,
+           count(*) OVER () AS n
+    FROM lat
+)
+SELECT 'all' AS series_id, CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN rk = (n - 1) * 50 // 100 THEN l END) AS p50,
+       max(CASE WHEN rk = (n - 1) * 90 // 100 THEN l END) AS p90,
+       max(CASE WHEN rk = (n - 1) * 99 // 100 THEN l END) AS p99,
+       CAST(sum(l) AS BIGINT) AS sum_lat
+FROM o
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -8293,6 +8369,7 @@ QUERIES = {
     "rfm_segments_users": q_rfm_segments_users,
     "bigram_familiarity_docs": q_bigram_familiarity_docs,
     "json_props_events": q_json_props_events,
+    "conversion_latency_users": q_conversion_latency_users,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -8860,6 +8937,7 @@ ORACLE_SQL = {
     "rfm_segments_users": RFM_SQL,
     "bigram_familiarity_docs": BIGRAM_FAM_SQL,
     "json_props_events": JSON_PROPS_SQL,
+    "conversion_latency_users": CONVERSION_LATENCY_SQL,
     "cluster_ari_embeddings": CLUSTER_ARI_SQL.format(base=KMEANS_SQL),
     "classify_confusion_embeddings":
         CLASSIFY_CONFUSION_SQL.format(base=CENTROID_CLASSIFY_SQL),
