@@ -70,3 +70,35 @@ def test_mann_whitney_hand_values(ray_session):
     r = got.iloc[0]
     assert (r["n_a"], r["n_b"], r["r2_a"], r["u2_a"]) == (2, 1, 8, 2)
     assert r["u_over_nanb"] == pytest.approx(0.5)
+
+
+def test_ks_statistic_matches_scipy_style_replay(ray_session):
+    """Exact KS numerator equals the classic D = sup|F_a - F_b| replay
+    over pooled values."""
+    from tsdownsample_ray.pipelines.queries import q_ks_test_events
+
+    import duckdb
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    out = q_ks_test_events(sf)
+    rows = duckdb.sql(f"""
+        SELECT event_type, CAST(round(value*100) AS BIGINT) v
+        FROM '{sf}/events.parquet'""").fetchall()
+    from collections import defaultdict
+    by_t = defaultdict(list)
+    for t, v in rows:
+        by_t[t].append(v)
+    for _, r in out.iterrows():
+        a = np.sort(by_t[r["type_a"]])
+        b = np.sort(by_t[r["type_b"]])
+        vals = np.unique(np.r_[a, b])
+        ca = np.searchsorted(a, vals, side="right")
+        cb = np.searchsorted(b, vals, side="right")
+        num = np.abs(ca * len(b) - cb * len(a))
+        assert r["ks_num"] == num.max()
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+        assert r["ks"] == num.max() / (len(a) * len(b))
+        # D matches the float definition too
+        d = np.abs(ca / len(a) - cb / len(b)).max()
+        assert abs(r["ks"] - d) < 1e-12

@@ -8231,6 +8231,93 @@ FROM o
 """
 
 
+def q_ks_test_events(sf_dir: str):
+    """Exact two-sample Kolmogorov–Smirnov statistic for every
+    event-type pair: ``D = max_v |A(v)·n_b − B(v)·n_a| / (n_a·n_b)``
+    with the cross-multiplied numerator in exact int64 and the argmax
+    cent (smallest on ties). The distribution-shift companion to
+    ``mann_whitney_events``. Scale shape: ONE (type, cent) grouped sum
+    — the key space is bounded by the VALUE DOMAIN (cents), not the row
+    count — then the pairwise ECDF scan runs on that bounded table."""
+    import pandas as pd
+
+    from ..stages.graph import grouped_sum_parts
+
+    ev = _events_cents(sf_dir)
+
+    def _tc(b: pa.Table) -> pa.Table:
+        return pa.table({"t": b["event_type"], "v": b["cents"]})
+
+    counts = grouped_sum_parts(ev.map_batches(_tc,
+                                              batch_format="pyarrow"),
+                               ["t", "v"], [], count_col="n",
+                               fanin=2).to_pandas()
+    # bounded by |types| x |cent domain| rows, never by event count
+    vals = np.sort(counts["v"].unique())
+    types = sorted(counts["t"].unique())
+    cum = {}
+    tot = {}
+    for t in types:
+        sub = counts[counts["t"] == t]
+        h = np.zeros(len(vals), np.int64)
+        h[np.searchsorted(vals, sub["v"].to_numpy())] = \
+            sub["n"].to_numpy()
+        cum[t] = np.cumsum(h)
+        tot[t] = int(cum[t][-1])
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            num = np.abs(cum[a] * tot[b] - cum[b] * tot[a])
+            best = int(num.argmax())  # ties -> smallest cent
+            ks_num = int(num[best])
+            ks_den = tot[a] * tot[b]
+            rows.append((a, b, tot[a], tot[b], ks_num, ks_den,
+                         int(vals[best]), float(ks_num) / float(ks_den)))
+    out = pd.DataFrame(rows, columns=[
+        "type_a", "type_b", "n_a", "n_b", "ks_num", "ks_den",
+        "at_cent", "ks"])
+    for c in ("n_a", "n_b", "ks_num", "ks_den", "at_cent"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+KS_TEST_SQL = """
+WITH c AS (
+    SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS v,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+vals AS (SELECT DISTINCT v FROM c),
+types AS (SELECT DISTINCT t FROM c),
+grid AS (SELECT t, v FROM types, vals),
+cum AS (
+    SELECT g.t, g.v,
+           CAST(sum(COALESCE(c.n, 0)) OVER (
+               PARTITION BY g.t ORDER BY g.v) AS BIGINT) AS cle
+    FROM grid g LEFT JOIN c ON c.t = g.t AND c.v = g.v
+),
+nt AS (SELECT t, CAST(sum(n) AS BIGINT) AS n FROM c GROUP BY 1),
+d AS (
+    SELECT a.t AS ta, b.t AS tb, a.v,
+           abs(a.cle * nb.n - b.cle * na.n) AS num
+    FROM cum a JOIN cum b ON a.v = b.v AND a.t < b.t
+    JOIN nt na ON na.t = a.t
+    JOIN nt nb ON nb.t = b.t
+),
+k AS (SELECT ta, tb, CAST(max(num) AS BIGINT) AS ks_num
+      FROM d GROUP BY 1, 2),
+at AS (
+    SELECT d.ta, d.tb, k.ks_num, CAST(min(d.v) AS BIGINT) AS at_cent
+    FROM d JOIN k ON d.ta = k.ta AND d.tb = k.tb AND d.num = k.ks_num
+    GROUP BY 1, 2, 3
+)
+SELECT at.ta AS type_a, at.tb AS type_b, na.n AS n_a, nb.n AS n_b,
+       at.ks_num, CAST(na.n * nb.n AS BIGINT) AS ks_den, at.at_cent,
+       CAST(at.ks_num AS DOUBLE) / (na.n * nb.n) AS ks
+FROM at JOIN nt na ON na.t = at.ta JOIN nt nb ON nb.t = at.tb
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -8370,6 +8457,7 @@ QUERIES = {
     "bigram_familiarity_docs": q_bigram_familiarity_docs,
     "json_props_events": q_json_props_events,
     "conversion_latency_users": q_conversion_latency_users,
+    "ks_test_events": q_ks_test_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -8938,6 +9026,7 @@ ORACLE_SQL = {
     "bigram_familiarity_docs": BIGRAM_FAM_SQL,
     "json_props_events": JSON_PROPS_SQL,
     "conversion_latency_users": CONVERSION_LATENCY_SQL,
+    "ks_test_events": KS_TEST_SQL,
     "cluster_ari_embeddings": CLUSTER_ARI_SQL.format(base=KMEANS_SQL),
     "classify_confusion_embeddings":
         CLASSIFY_CONFUSION_SQL.format(base=CENTROID_CLASSIFY_SQL),
