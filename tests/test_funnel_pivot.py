@@ -111,3 +111,31 @@ def test_conversion_latency_matches_duckdb(ray_session):
     for c in ("n", "p50", "p90", "p99", "sum_lat"):
         assert int(got[c].iloc[0]) == int(exp[c].iloc[0]), c
     assert int(got["n"].iloc[0]) > 0
+
+
+def test_markov_baseline_argmax_policy(ray_session):
+    import duckdb
+
+    from tsdownsample_ray.pipelines.queries import q_markov_baseline_events
+
+    sf = "/root/testdata/sf0.001"
+    out = q_markov_baseline_events(sf)
+    tm = duckdb.sql(f"""
+        WITH s AS (
+            SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY epoch_us(ts), event_id)
+                       AS prev
+            FROM '{sf}/events.parquet'
+        )
+        SELECT prev AS src, event_type AS dst, count(*) AS c
+        FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+    """).df()
+    for _, r in out.iterrows():
+        g = tm[tm["src"] == r["src"]].sort_values(
+            ["c", "dst"], ascending=[False, True])
+        assert r["pred"] == g.iloc[0]["dst"]
+        assert r["hits"] == g.iloc[0]["c"]
+        assert r["support"] == g["c"].sum()
+        assert r["acc_pm"] == (1000 * r["hits"]) // r["support"]
+    assert set(out["src"]) == set(tm["src"].unique())

@@ -8318,6 +8318,73 @@ FROM at JOIN nt na ON na.t = at.ta JOIN nt nb ON nb.t = at.tb
 """
 
 
+def q_markov_baseline_events(sf_dir: str):
+    """Next-action baseline evaluation: from the per-user transition
+    matrix (``event_transitions``), the always-predict-the-argmax
+    policy per source type — prediction (count desc, type asc ties),
+    support, hits, and truncating permille accuracy. The transition
+    matrix is \\|types\\|² BOUNDED rows; the policy evaluation runs on
+    those counts, never re-touching events."""
+    import pandas as pd
+
+    from ..stages.funnel import event_transitions
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"]).repartition(8)
+
+    def _cols(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"],
+                         "event_type": b["event_type"],
+                         "event_id": b["event_id"],
+                         "ts_us": pc.cast(b["ts"], pa.int64())})
+
+    tm = event_transitions(ds.map_batches(_cols, batch_format="pyarrow"),
+                           num_partitions=4, fanin=2).to_pandas()
+    rows = []
+    for src, g in tm.groupby("src"):
+        g = g.sort_values(["c", "dst"], ascending=[False, True])
+        pred = g.iloc[0]["dst"]
+        hits = int(g.iloc[0]["c"])
+        support = int(g["c"].sum())
+        rows.append((src, pred, support, hits,
+                     (1000 * hits) // support))
+    out = pd.DataFrame(rows, columns=["src", "pred", "support", "hits",
+                                      "acc_pm"]).sort_values(
+        "src").reset_index(drop=True)
+    for c in ("support", "hits", "acc_pm"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+MARKOV_BASELINE_SQL = """
+WITH e AS (
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+    FROM events
+),
+s AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id) AS prev
+    FROM e
+),
+tm AS (
+    SELECT prev AS src, event_type AS dst, count(*) AS c
+    FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+r AS (
+    SELECT src, dst, c,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY c DESC, dst) AS rn,
+           CAST(sum(c) OVER (PARTITION BY src) AS BIGINT) AS support
+    FROM tm
+)
+SELECT src, dst AS pred, support, CAST(c AS BIGINT) AS hits,
+       CAST((1000 * c) // support AS BIGINT) AS acc_pm
+FROM r WHERE rn = 1
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -8458,6 +8525,7 @@ QUERIES = {
     "json_props_events": q_json_props_events,
     "conversion_latency_users": q_conversion_latency_users,
     "ks_test_events": q_ks_test_events,
+    "markov_baseline_events": q_markov_baseline_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -9027,6 +9095,7 @@ ORACLE_SQL = {
     "json_props_events": JSON_PROPS_SQL,
     "conversion_latency_users": CONVERSION_LATENCY_SQL,
     "ks_test_events": KS_TEST_SQL,
+    "markov_baseline_events": MARKOV_BASELINE_SQL,
     "cluster_ari_embeddings": CLUSTER_ARI_SQL.format(base=KMEANS_SQL),
     "classify_confusion_embeddings":
         CLASSIFY_CONFUSION_SQL.format(base=CENTROID_CLASSIFY_SQL),
