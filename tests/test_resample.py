@@ -130,3 +130,44 @@ def test_twa_duplicate_ts_last_holds(ray_session):
                             id_col="rid").take_all()
     (r,) = out
     assert (r["bucket"], r["num"], r["den"], r["twa"]) == (0, 90, 10, 9.0)
+
+
+def test_gapfill_linear_interpolation(ray_session):
+    """Linear gap fill: exact e6 interpolation between present buckets,
+    present rows exact, edges present by grid construction."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from tsdownsample_ray.stages.gapfill import gapfill_linear
+
+    W = 10
+    rows = {
+        "a": [(0, 100), (30, 160), (40, -20)],  # gaps at 10,20
+        "b": [(50, 7)],                          # single point, no gaps
+    }
+    tables = []
+    for sid, pts in rows.items():
+        tables.append(pa.table({
+            "series_id": pa.array([sid] * len(pts)),
+            "bucket": pa.array([p[0] for p in pts], pa.int64()),
+            "sum_y": pa.array([p[1] for p in pts], pa.int64())}))
+    tbl = pa.concat_tables(tables)
+
+    def trunc_div(a, b):
+        return a // b if a >= 0 else -((-a) // b)
+
+    expect = {
+        ("a", 0): (100 * 10**6, False),
+        ("a", 10): (trunc_div((100 * 2 + 160 * 1) * 10**6, 3), True),
+        ("a", 20): (trunc_div((100 * 1 + 160 * 2) * 10**6, 3), True),
+        ("a", 30): (160 * 10**6, False),
+        ("a", 40): (-20 * 10**6, False),
+        ("b", 50): (7 * 10**6, False),
+    }
+    for nparts in (1, 3):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        out = gapfill_linear(ds, W, num_partitions=2).to_pandas()
+        got = {(r["series_id"], r["bucket"]): (r["y_e6"], r["is_gap"])
+               for _, r in out.iterrows()}
+        assert got == expect

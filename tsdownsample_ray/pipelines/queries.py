@@ -8385,6 +8385,70 @@ FROM r WHERE rn = 1
 """
 
 
+def q_gapfill_linear_15m(sf_dir: str):
+    """Linear-interpolation gap fill over the 15m tier
+    (``stages/gapfill.py:gapfill_linear``): missing buckets take the e6
+    fixed-point interpolation between bracketing present buckets
+    (window-index distances, truncating division); present rows carry
+    y·10⁶ exactly. The third fill mode beside zero/ffill."""
+    from ..stages.gapfill import gapfill_linear
+    from ..stages.rollup import rollup
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"),
+                    900 * US)
+    return gapfill_linear(rolled, 900 * US, num_partitions=4)
+
+
+GAPFILL_LINEAR_SQL = f"""
+WITH r AS (
+    SELECT event_type AS series_id,
+           (epoch_us(ts) // {900 * US}) * {900 * US} AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+    FROM events GROUP BY 1, 2
+),
+b AS (SELECT series_id, min(bucket) AS mn, max(bucket) AS mx
+      FROM r GROUP BY 1),
+g AS (SELECT series_id, unnest(range(mn, mx + 1, {900 * US}))
+          AS bucket, mn
+      FROM b),
+f AS (
+    SELECT g.series_id, g.bucket, r.s,
+           (g.bucket - g.mn) // {900 * US} AS k
+    FROM g LEFT JOIN r USING (series_id, bucket)
+),
+w AS (
+    SELECT series_id, bucket, s, k,
+           last_value(CASE WHEN s IS NOT NULL THEN k END IGNORE NULLS)
+               OVER (PARTITION BY series_id ORDER BY bucket
+                     ROWS UNBOUNDED PRECEDING) AS k0,
+           last_value(CASE WHEN s IS NOT NULL THEN s END IGNORE NULLS)
+               OVER (PARTITION BY series_id ORDER BY bucket
+                     ROWS UNBOUNDED PRECEDING) AS y0,
+           first_value(CASE WHEN s IS NOT NULL THEN k END IGNORE NULLS)
+               OVER (PARTITION BY series_id ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW
+                              AND UNBOUNDED FOLLOWING) AS k1,
+           first_value(CASE WHEN s IS NOT NULL THEN s END IGNORE NULLS)
+               OVER (PARTITION BY series_id ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW
+                              AND UNBOUNDED FOLLOWING) AS y1
+    FROM f
+)
+SELECT series_id, bucket,
+       CAST(CASE WHEN s IS NOT NULL THEN s * 1000000
+                 ELSE (y0 * (k1 - k) + y1 * (k - k0)) * 1000000
+                      // (k1 - k0) END AS BIGINT) AS y_e6,
+       s IS NULL AS is_gap
+FROM w
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -8526,6 +8590,7 @@ QUERIES = {
     "conversion_latency_users": q_conversion_latency_users,
     "ks_test_events": q_ks_test_events,
     "markov_baseline_events": q_markov_baseline_events,
+    "gapfill_linear_15m": q_gapfill_linear_15m,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -9096,6 +9161,7 @@ ORACLE_SQL = {
     "conversion_latency_users": CONVERSION_LATENCY_SQL,
     "ks_test_events": KS_TEST_SQL,
     "markov_baseline_events": MARKOV_BASELINE_SQL,
+    "gapfill_linear_15m": GAPFILL_LINEAR_SQL,
     "cluster_ari_embeddings": CLUSTER_ARI_SQL.format(base=KMEANS_SQL),
     "classify_confusion_embeddings":
         CLASSIFY_CONFUSION_SQL.format(base=CENTROID_CLASSIFY_SQL),

@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["gapfill"]
+__all__ = ["gapfill", "gapfill_linear"]
 
 
 def gapfill(ds, window_us: int, *, value_cols: tuple = ("min_y", "max_y", "sum_y"),
@@ -112,6 +112,95 @@ def gapfill(ds, window_us: int, *, value_cols: tuple = ("min_y", "max_y", "sum_y
                 filled = np.where(present, v[src], 0)
                 out[c] = pa.array(filled.astype(v.dtype))
         return pa.table(out)
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _fill, batch_format="pyarrow")
+
+
+def gapfill_linear(ds, window_us: int, *, value_col: str = "sum_y",
+                   num_partitions: int = 16):
+    """Linear-interpolation gap fill — the third fill mode (after
+    'zero' / 'ffill'): every missing bucket takes the e6 fixed-point
+    linear interpolation between its bracketing PRESENT buckets,
+    ``y_e6 = (y0·(k1−k) + y1·(k−k0))·10⁶ // (k1−k0)`` over WINDOW-INDEX
+    distances (k = bucket/window — small ints, so the integer product
+    never overflows), truncating toward zero (DuckDB ``//``). The dense
+    grid spans [min, max] per series, so every gap is interior. Present
+    rows carry ``y·10⁶`` exactly. Output:
+    ``(series_id, bucket, y_e6, is_gap)``.
+
+    Scale shape: identical to :func:`gapfill` — ONE hash(series)
+    shuffle, each partition fills all its series in one vectorized pass
+    (prev/next present indices via two ``maximum.accumulate`` scans)."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+    E6 = 1_000_000
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["series_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _fill(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        sid_type = t["series_id"].type
+        empty = pa.table({"series_id": pa.array([], sid_type),
+                          "bucket": pa.array([], pa.int64()),
+                          "y_e6": pa.array([], pa.int64()),
+                          "is_gap": pa.array([], pa.bool_())})
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("series_id", "ascending"), ("bucket", "ascending")]))
+        sid = t["series_id"]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        buckets = t["bucket"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        y = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(codes)
+        change = np.ones(n, dtype=bool)
+        change[1:] = codes[1:] != codes[:-1]
+        seg_first = np.flatnonzero(change)
+        seg_last = np.concatenate([seg_first[1:] - 1, [n - 1]])
+        mins = buckets[seg_first]
+        k = (buckets[seg_last] - mins) // window_us + 1
+        total = int(k.sum())
+        out_off = np.concatenate([[0], np.cumsum(k)[:-1]])
+        intra = np.arange(total) - np.repeat(out_off, k)
+        full = np.repeat(mins, k) + intra * window_us
+        series_of_row = np.repeat(np.arange(len(seg_first)), np.diff(
+            np.concatenate([seg_first, [n]])))
+        pos = (out_off[series_of_row]
+               + (buckets - mins[series_of_row]) // window_us)
+        present = np.zeros(total, dtype=bool)
+        present[pos] = True
+        dense_y = np.zeros(total, np.int64)
+        dense_y[pos] = y
+        # bracketing present positions (gaps are interior by grid
+        # construction, so prev/next always exist for gap rows)
+        idx = np.arange(total)
+        prev = np.maximum.accumulate(np.where(present, idx, -1))
+        nxt = total - 1 - np.maximum.accumulate(
+            np.where(present[::-1], idx, -1))[::-1]
+        gap = ~present
+        k0 = prev[gap]
+        k1 = nxt[gap]
+        num = (dense_y[k0] * (k1 - idx[gap])
+               + dense_y[k1] * (idx[gap] - k0)) * E6
+        den = k1 - k0
+        interp = np.where(num >= 0, num // den, -((-num) // den))
+        y_e6 = dense_y * E6
+        y_e6[gap] = interp
+        out_sid = sid.take(pa.array(np.repeat(seg_first, k)))
+        return pa.table({"series_id": out_sid,
+                         "bucket": pa.array(full, pa.int64()),
+                         "y_e6": pa.array(y_e6),
+                         "is_gap": pa.array(gap)})
 
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
