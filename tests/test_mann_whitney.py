@@ -102,3 +102,29 @@ def test_ks_statistic_matches_scipy_style_replay(ray_session):
         # D matches the float definition too
         d = np.abs(ca / len(a) - cb / len(b)).max()
         assert abs(r["ks"] - d) < 1e-12
+
+
+def test_welch_t_matches_scipy_formula(ray_session):
+    """Welch t equals the textbook unequal-variance formula (numpy
+    replay with sample variances)."""
+    from tsdownsample_ray.pipelines.queries import q_welch_t_events
+
+    import duckdb
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    out = q_welch_t_events(sf)
+    rows = duckdb.sql(f"""
+        SELECT event_type, CAST(round(value*100) AS BIGINT) v
+        FROM '{sf}/events.parquet'""").fetchall()
+    from collections import defaultdict
+    by_t = defaultdict(list)
+    for t, v in rows:
+        by_t[t].append(v)
+    for _, r in out.iterrows():
+        a = np.array(by_t[r["type_a"]], dtype=np.float64)
+        b = np.array(by_t[r["type_b"]], dtype=np.float64)
+        t_ref = (a.mean() - b.mean()) / np.sqrt(
+            a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+        assert abs(r["t"] - t_ref) < 1e-9

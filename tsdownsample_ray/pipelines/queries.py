@@ -8449,6 +8449,70 @@ FROM w
 """
 
 
+def q_welch_t_events(sf_dir: str):
+    """Welch's unequal-variance t statistic for every event-type pair —
+    the moments-based member of the shift-test family (alongside
+    ``mann_whitney_events`` ranks and ``ks_test_events`` ECDFs). One
+    grouped sum to \\|types\\| sufficient-statistic rows (n, Σx, Σx²);
+    the t chain (means, variances, sqrt) is the identical pinned IEEE
+    expression tree on both sides."""
+    import pandas as pd
+
+    from ..stages.graph import grouped_sum_parts
+
+    ev = _events_cents(sf_dir)
+
+    def _mom(b: pa.Table) -> pa.Table:
+        v = b["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"t": b["event_type"], "s": pa.array(v),
+                         "ss": pa.array(v * v)})
+
+    mom = grouped_sum_parts(ev.map_batches(_mom, batch_format="pyarrow"),
+                            ["t"], ["s", "ss"], count_col="n",
+                            fanin=2).to_pandas()  # |types| rows
+    mom = mom.sort_values("t").reset_index(drop=True)
+    rows = []
+    for i in range(len(mom)):
+        for j in range(i + 1, len(mom)):
+            a, b = mom.iloc[i], mom.iloc[j]
+            na, nb = int(a["n"]), int(b["n"])
+            sa, sb = int(a["s"]), int(b["s"])
+            ssa, ssb = int(a["ss"]), int(b["ss"])
+            ma = float(sa) / na
+            mb = float(sb) / nb
+            va = (float(ssa) - float(sa) * ma) / (na - 1)
+            vb = (float(ssb) - float(sb) * mb) / (nb - 1)
+            tstat = (ma - mb) / np.sqrt(va / na + vb / nb)
+            rows.append((a["t"], b["t"], na, nb, sa, sb, float(tstat)))
+    out = pd.DataFrame(rows, columns=["type_a", "type_b", "n_a", "n_b",
+                                      "sum_a", "sum_b", "t"])
+    for c in ("n_a", "n_b", "sum_a", "sum_b"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+WELCH_T_SQL = """
+WITH m AS (
+    SELECT event_type AS t, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)
+                    * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS ss
+    FROM events GROUP BY 1
+)
+SELECT a.t AS type_a, b.t AS type_b, a.n AS n_a, b.n AS n_b,
+       a.s AS sum_a, b.s AS sum_b,
+       (CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+       / sqrt(((CAST(a.ss AS DOUBLE)
+                - CAST(a.s AS DOUBLE) * (CAST(a.s AS DOUBLE) / a.n))
+               / (a.n - 1)) / a.n
+              + ((CAST(b.ss AS DOUBLE)
+                  - CAST(b.s AS DOUBLE) * (CAST(b.s AS DOUBLE) / b.n))
+                 / (b.n - 1)) / b.n) AS t
+FROM m a JOIN m b ON a.t < b.t
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -8591,6 +8655,7 @@ QUERIES = {
     "ks_test_events": q_ks_test_events,
     "markov_baseline_events": q_markov_baseline_events,
     "gapfill_linear_15m": q_gapfill_linear_15m,
+    "welch_t_events": q_welch_t_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -9162,6 +9227,7 @@ ORACLE_SQL = {
     "ks_test_events": KS_TEST_SQL,
     "markov_baseline_events": MARKOV_BASELINE_SQL,
     "gapfill_linear_15m": GAPFILL_LINEAR_SQL,
+    "welch_t_events": WELCH_T_SQL,
     "cluster_ari_embeddings": CLUSTER_ARI_SQL.format(base=KMEANS_SQL),
     "classify_confusion_embeddings":
         CLASSIFY_CONFUSION_SQL.format(base=CENTROID_CLASSIFY_SQL),
