@@ -99,3 +99,38 @@ def test_event_transitions_vs_replay(ray_session):
             want[(s, t)] += 1
     got = {(r.src, r.dst): r.c for r in out.itertuples()}
     assert got == dict(want)
+
+
+def test_tier_consistency_all_consistent(ray_session):
+    """The cascade invariant holds on real data: every tier total is
+    identical, and bucket counts shrink monotonically up the tiers."""
+    from tsdownsample_ray.pipelines.queries import q_tier_consistency_events
+
+    out = q_tier_consistency_events("/root/testdata/sf0.001")
+    assert out["consistent"].all()
+    assert (out["nb_15m"] >= out["nb_1h"]).all()
+    assert (out["nb_1h"] >= out["nb_1d"]).all()
+    assert len(out) == 5
+
+
+def test_fleet_bands_match_numpy(ray_session):
+    """Per-bucket cross-series discrete quantiles equal a numpy replay."""
+    import duckdb
+    import numpy as np
+
+    from tsdownsample_ray.pipelines.queries import q_fleet_bands_1h
+
+    sf = "/root/testdata/sf0.001"
+    out = (q_fleet_bands_1h(sf).to_pandas()
+           .sort_values("bucket").reset_index(drop=True))
+    r = duckdb.sql(f"""
+        SELECT event_type, (epoch_us(ts) // 3600000000) * 3600000000 b,
+               CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) s
+        FROM '{sf}/events.parquet' GROUP BY 1, 2
+    """).df()
+    for _, row in out.iterrows():
+        vals = np.sort(r[r["b"] == row["bucket"]]["s"].to_numpy())
+        n = len(vals)
+        assert row["n"] == n
+        for p, col in ((10, "p10"), (50, "p50"), (90, "p90")):
+            assert row[col] == vals[(n - 1) * p // 100], (p, row["bucket"])

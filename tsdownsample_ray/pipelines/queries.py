@@ -8513,6 +8513,142 @@ FROM m a JOIN m b ON a.t < b.t
 """
 
 
+def q_fleet_bands_1h(sf_dir: str):
+    """Fleet percentile ribbon: per 1h bucket, the exact discrete
+    p10/p50/p90 of the per-series sums ACROSS series — the
+    "thousands of hosts as one chart" dashboard band. Pure reuse of the
+    ``exact_quantiles`` machinery with the TIME BUCKET as the group key
+    (one hash(bucket) shuffle; groups are fleet-sized, not
+    history-sized)."""
+    from ..stages.quantiles import exact_quantiles
+    from ..stages.rollup import rollup
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"), W1H)
+
+    def _pivot(b: pa.Table) -> pa.Table:
+        sid = b["series_id"]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        # order col must be int64: dictionary-code the series name — the
+        # quantile VALUE picks are order-insensitive among ties anyway
+        codes = sid.dictionary_encode().indices
+        return pa.table({"series_id": b["bucket"],
+                         "bucket": pc.cast(codes, pa.int64()),
+                         "sum_y": b["sum_y"]})
+
+    q = exact_quantiles(rolled.map_batches(_pivot, batch_format="pyarrow"),
+                        probs=(10, 50, 90), num_partitions=4)
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["bucket"] + b.column_names[1:])
+
+    return q.map_batches(_rename, batch_format="pyarrow")
+
+
+FLEET_BANDS_SQL = f"""
+WITH r AS (
+    SELECT event_type AS series_id,
+           (epoch_us(ts) // {W1H}) * {W1H} AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+    FROM events GROUP BY 1, 2
+),
+o AS (
+    SELECT bucket, s,
+           row_number() OVER (PARTITION BY bucket
+                              ORDER BY s, series_id) - 1 AS rk,
+           count(*) OVER (PARTITION BY bucket) AS n
+    FROM r
+)
+SELECT bucket, CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN rk = (n - 1) * 10 // 100 THEN s END) AS p10,
+       max(CASE WHEN rk = (n - 1) * 50 // 100 THEN s END) AS p50,
+       max(CASE WHEN rk = (n - 1) * 90 // 100 THEN s END) AS p90
+FROM o GROUP BY 1
+"""
+
+
+def q_tier_consistency_events(sf_dir: str):
+    """Cascade trust audit: per series the exact cent totals of the
+    15m, 1h and 1d tiers plus equality bits — the invariant every
+    retention cascade must preserve (associative merges lose nothing).
+    Three rollups collapse to \\|series\\| rows each; the comparison is
+    a bounded merge."""
+    import pandas as pd
+
+    from ..stages.rollup import rollup
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    src = ev.map_batches(_series, batch_format="pyarrow").materialize()
+    totals = {}
+    for name, w in (("t15m", 900 * US), ("t1h", W1H),
+                    ("t1d", 86_400_000_000)):
+        rolled = rollup(src, w)
+
+        def _tot(b: pa.Table) -> pa.Table:
+            return pa.table({"series_id": b["series_id"],
+                             "s": b["sum_y"]})
+
+        from ..stages.graph import grouped_sum_parts
+
+        t = grouped_sum_parts(rolled.map_batches(_tot,
+                                                 batch_format="pyarrow"),
+                              ["series_id"], ["s"], count_col="nb",
+                              fanin=2).to_pandas()  # |series| rows
+        totals[name] = t.set_index("series_id")
+    idx = sorted(totals["t15m"].index)
+    rows = []
+    for sid in idx:
+        s15 = int(totals["t15m"].loc[sid, "s"])
+        s1h = int(totals["t1h"].loc[sid, "s"])
+        s1d = int(totals["t1d"].loc[sid, "s"])
+        rows.append((sid, s15, s1h, s1d,
+                     int(totals["t15m"].loc[sid, "nb"]),
+                     int(totals["t1h"].loc[sid, "nb"]),
+                     int(totals["t1d"].loc[sid, "nb"]),
+                     bool(s15 == s1h == s1d)))
+    out = pd.DataFrame(rows, columns=[
+        "series_id", "sum_15m", "sum_1h", "sum_1d", "nb_15m", "nb_1h",
+        "nb_1d", "consistent"])
+    for c in out.columns[1:-1]:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+TIER_CONSISTENCY_SQL = f"""
+WITH e AS (
+    SELECT event_type AS series_id, epoch_us(ts) AS x,
+           CAST(round(value * 100) AS BIGINT) AS y
+    FROM events
+),
+t15 AS (SELECT series_id, CAST(sum(y) AS BIGINT) AS s,
+               CAST(count(DISTINCT x // {900 * US}) AS BIGINT) AS nb
+        FROM e GROUP BY 1),
+t1h AS (SELECT series_id, CAST(sum(y) AS BIGINT) AS s,
+               CAST(count(DISTINCT x // {W1H}) AS BIGINT) AS nb
+        FROM e GROUP BY 1),
+t1d AS (SELECT series_id, CAST(sum(y) AS BIGINT) AS s,
+               CAST(count(DISTINCT x // {86_400_000_000}) AS BIGINT)
+                   AS nb
+        FROM e GROUP BY 1)
+SELECT t15.series_id, t15.s AS sum_15m, t1h.s AS sum_1h,
+       t1d.s AS sum_1d, t15.nb AS nb_15m, t1h.nb AS nb_1h,
+       t1d.nb AS nb_1d,
+       (t15.s = t1h.s AND t1h.s = t1d.s) AS consistent
+FROM t15 JOIN t1h USING (series_id) JOIN t1d USING (series_id)
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -8656,6 +8792,8 @@ QUERIES = {
     "markov_baseline_events": q_markov_baseline_events,
     "gapfill_linear_15m": q_gapfill_linear_15m,
     "welch_t_events": q_welch_t_events,
+    "fleet_bands_1h": q_fleet_bands_1h,
+    "tier_consistency_events": q_tier_consistency_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -9228,6 +9366,8 @@ ORACLE_SQL = {
     "markov_baseline_events": MARKOV_BASELINE_SQL,
     "gapfill_linear_15m": GAPFILL_LINEAR_SQL,
     "welch_t_events": WELCH_T_SQL,
+    "fleet_bands_1h": FLEET_BANDS_SQL,
+    "tier_consistency_events": TIER_CONSISTENCY_SQL,
     "cluster_ari_embeddings": CLUSTER_ARI_SQL.format(base=KMEANS_SQL),
     "classify_confusion_embeddings":
         CLASSIFY_CONFUSION_SQL.format(base=CENTROID_CLASSIFY_SQL),
