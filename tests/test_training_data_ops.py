@@ -1088,3 +1088,43 @@ def test_json_props_extraction(ray_session):
     got = {(r["event_type"], r["kbin"]): (r["sum_k"], r["n"])
            for _, r in out.iterrows()}
     assert got == {k: tuple(v) for k, v in exp.items()}
+
+
+def test_ed1_pairs_fastss_complete(ray_session):
+    """FastSS candidate generation + exact verify finds EXACTLY the
+    Levenshtein<=1 pairs (substitution, insertion, deletion; the
+    shared-variant false positive 'ab'/'ba' is rejected)."""
+    import itertools
+
+    import ray
+
+    from tsdownsample_ray.stages.strsim import _ed_le1, ed1_pairs
+
+    terms = ["cat", "cut", "cart", "car", "dog", "dig", "ab", "ba",
+             "hello", "hallo", "hell", "xyz"]
+    tbl = pa.table({"token": pa.array(terms)})
+
+    def lev(a, b):
+        m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            m[i][0] = i
+        for j in range(len(b) + 1):
+            m[0][j] = j
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i][j] = min(m[i - 1][j] + 1, m[i][j - 1] + 1,
+                              m[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+        return m[len(a)][len(b)]
+
+    expect = {tuple(sorted(p)) for p in itertools.combinations(terms, 2)
+              if lev(*p) <= 1}
+    assert ("ab", "ba") not in expect  # distance 2 guard
+    for a, b in itertools.combinations(terms, 2):
+        assert _ed_le1(a, b) == (lev(a, b) <= 1), (a, b)
+
+    for nparts in (1, 3):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        out = ed1_pairs(ds, num_partitions=2).to_pandas()
+        got = {tuple(sorted((r["a"], r["b"]))) for _, r in out.iterrows()}
+        assert got == expect
+        assert len(out) == len(expect)  # distinct: no duplicate pairs

@@ -8649,6 +8649,65 @@ FROM t15 JOIN t1h USING (series_id) JOIN t1d USING (series_id)
 """
 
 
+def q_ed1_pairs_docs(sf_dir: str):
+    """String-similarity join (``stages/strsim.py:ed1_pairs``): every
+    vocabulary term pair within Levenshtein distance 1 via FastSS
+    deletion neighborhoods — one hash(variant) shuffle of
+    neighborhood-sized rows, in-bucket exact verify, hash-partitioned
+    pair distinct. The typo-mining / spelling-variant primitive."""
+    from ..stages.graph import grouped_sum_parts
+    from ..stages.strsim import ed1_pairs
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["text"])
+
+    def _toks(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        flat = flat.filter(pc.not_equal(flat, ""))
+        u = pc.unique(flat)
+        # fixture synthesis (not the operator hot path): the toy vocab
+        # has no true near-spellings, so every token of length >= 5
+        # contributes its last-char-dropped "typo" variant — the
+        # deterministic rule the SQL oracle replays
+        longs = u.filter(pc.greater_equal(pc.utf8_length(u), 5))
+        typo = pa.array([t[:-1] for t in longs.to_pylist()],
+                        pa.string())  # vocab-sized, not corpus-sized
+        return pa.table({"token": pa.concat_arrays(
+            [u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u,
+             typo])})
+
+    vocab = grouped_sum_parts(ds.map_batches(_toks,
+                                             batch_format="pyarrow"),
+                              ["token"], [], count_col="c", fanin=2)
+    vocab = vocab.map_batches(
+        lambda b: pa.table({"token": b["token"]}),
+        batch_format="pyarrow")
+    return ed1_pairs(vocab, num_partitions=4)
+
+
+ED1_PAIRS_SQL = """
+WITH base AS (
+    SELECT DISTINCT t.term AS tok
+    FROM documents, unnest(string_split(text, ' ')) AS t(term)
+    WHERE t.term <> ''
+),
+v AS (
+    SELECT DISTINCT tok FROM (
+        SELECT tok FROM base
+        UNION ALL
+        SELECT substr(tok, 1, length(tok) - 1) FROM base
+        WHERE length(tok) >= 5
+    )
+)
+SELECT a.tok AS a, b.tok AS b
+FROM v a JOIN v b
+  ON a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 1
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -8794,6 +8853,7 @@ QUERIES = {
     "welch_t_events": q_welch_t_events,
     "fleet_bands_1h": q_fleet_bands_1h,
     "tier_consistency_events": q_tier_consistency_events,
+    "ed1_pairs_docs": q_ed1_pairs_docs,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -9368,6 +9428,7 @@ ORACLE_SQL = {
     "welch_t_events": WELCH_T_SQL,
     "fleet_bands_1h": FLEET_BANDS_SQL,
     "tier_consistency_events": TIER_CONSISTENCY_SQL,
+    "ed1_pairs_docs": ED1_PAIRS_SQL,
     "cluster_ari_embeddings": CLUSTER_ARI_SQL.format(base=KMEANS_SQL),
     "classify_confusion_embeddings":
         CLASSIFY_CONFUSION_SQL.format(base=CENTROID_CLASSIFY_SQL),

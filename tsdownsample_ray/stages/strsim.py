@@ -1,0 +1,113 @@
+"""String-similarity join: all vocabulary term pairs within edit
+distance 1 (typo mining / spelling-variant clustering) via FastSS
+deletion neighborhoods (Bocek et al. 2007) — candidates from shared
+1-deletion variants, then an exact Levenshtein-≤1 verify.
+
+Scale shape: the candidate key space is the deletion neighborhood
+(|term|+1 variants per term), so the only exchange is ONE hash(variant)
+shuffle of (variant, term) rows; pairs emerge inside each variant
+bucket. Verification touches candidate PAIRS (vocabulary-neighborhood
+sized, never corpus sized); the per-pair check is O(len) on short terms
+and runs inside the bucket pass. A final hash-partitioned distinct
+dedupes pairs found via multiple shared variants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["ed1_pairs"]
+
+
+def _ed_le1(a: str, b: str) -> bool:
+    """Exact edit-distance <= 1 for short tokens."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b is a plus one inserted char
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def ed1_pairs(terms_ds, *, term_col: str = "token",
+              num_partitions: int = 8):
+    """(a < b) term pairs with Levenshtein distance exactly <= 1
+    (excluding identical terms). ``terms_ds`` holds DISTINCT terms."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _variants(b: pa.Table) -> pa.Table:
+        col = b[term_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        terms = col.to_pylist()
+        keys, names = [], []
+        for t in terms:  # vocabulary rows, not corpus rows
+            keys.append(t)
+            names.append(t)
+            for i in range(len(t)):
+                keys.append(t[:i] + t[i + 1:])
+                names.append(t)
+        return pa.table({"variant": pa.array(keys, pa.string()),
+                         "term": pa.array(names, pa.string())})
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["variant"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _bucket_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string())})
+        t = g.drop_columns(["__part"])
+        if t.num_rows < 2:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("variant", "ascending"), ("term", "ascending")]))
+        var = t["variant"].to_pylist()
+        term = t["term"].to_pylist()
+        out_a, out_b = [], []
+        i = 0
+        n = len(var)
+        while i < n:
+            j = i
+            while j < n and var[j] == var[i]:
+                j += 1
+            bucket = sorted(set(term[i:j]))
+            for x in range(len(bucket)):
+                for y in range(x + 1, len(bucket)):
+                    if _ed_le1(bucket[x], bucket[y]):
+                        out_a.append(bucket[x])
+                        out_b.append(bucket[y])
+            i = j
+        return pa.table({"a": pa.array(out_a, pa.string()),
+                         "b": pa.array(out_b, pa.string())})
+
+    def _distinct(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string())})
+        return t.group_by(["a", "b"]).aggregate([])
+
+    def _pair_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["a"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    cands = (terms_ds.map_batches(_variants, batch_format="pyarrow")
+             .map_batches(_add_part, batch_format="pyarrow")
+             .repartition(num_partitions).groupby("__part")
+             .map_groups(_bucket_pairs, batch_format="pyarrow"))
+    return (cands.map_batches(_pair_part, batch_format="pyarrow")
+            .repartition(num_partitions).groupby("__part")
+            .map_groups(_distinct, batch_format="pyarrow"))
