@@ -100,3 +100,41 @@ def test_triangle_counts_known_graph(ray_session):
                           num_partitions=2, fanin=2).to_pandas()
     got = dict(zip(out["doc_id"], out["n_triangles"]))
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_graph_degree_stats_python_replay(ray_session):
+    """Degree histograms + reciprocity vs a direct edge-rule replay."""
+    from collections import Counter
+
+    from tsdownsample_ray.pipelines.queries import q_graph_degree_stats_docs
+
+    sf = "/root/testdata/sf0.001"
+    out = q_graph_degree_stats_docs(sf)
+    import pyarrow.parquet as pq
+    n = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    edges = set()
+    for d in range(n):
+        for j in (1, 2, 3):
+            edges.add((d, (d * 31 + 97 * j) % n))
+    od = Counter(); idg = Counter()
+    for s, t in edges:
+        od[s] += 1
+        idg[t] += 1
+    oh = Counter(od.values())
+    ih = Counter(idg.values())
+    zero_in = n - len(idg)
+    pairs = Counter()
+    for s, t in edges:
+        if s != t:
+            pairs[(min(s, t), max(s, t))] += 1
+    mutual = sum(1 for c in pairs.values() if c == 2)
+    nonself = sum(pairs.values())
+
+    got = {(r["kind"], r["k"]): r["n"] for _, r in out.iterrows()}
+    for k, c in oh.items():
+        assert got[("out", k)] == c
+    for k, c in ih.items():
+        assert got[("in", k)] == c
+    if zero_in:
+        assert got[("in", 0)] == zero_in
+    assert got[("recip", 2 * mutual)] == nonself

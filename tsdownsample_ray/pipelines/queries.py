@@ -8708,6 +8708,118 @@ FROM v a JOIN v b
 """
 
 
+def q_graph_degree_stats_docs(sf_dir: str):
+    """Graph topology profile over the deterministic link graph
+    (`_graph_targets` edges): out/in-degree distributions (including
+    the 0-in-degree class) and edge reciprocity — the completeness
+    companion to pagerank / triangles / components. All steps are
+    bounded grouped counts: distinct edges → per-node degrees → tiny
+    degree histogram; reciprocity via canonical-pair counts. Output
+    ``(kind, k, n)`` rows ('out'/'in' degree classes; one 'recip' row
+    with k = reciprocated directed edges, n = distinct non-self
+    edges)."""
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    from ..stages.graph import grouped_sum_parts
+
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"]).repartition(8)
+
+    def _edges(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _graph_targets(d, n_docs)
+        src = np.concatenate([d, d, d])
+        dst = np.concatenate(ts)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = grouped_sum_parts(ds.map_batches(_edges,
+                                             batch_format="pyarrow"),
+                              ["src", "dst"], [], count_col="m",
+                              fanin=4)  # distinct directed edges
+
+    def _clean(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["src"], "dst": b["dst"]})
+
+    e = edges.map_batches(_clean, batch_format="pyarrow").materialize()
+
+    outdeg = grouped_sum_parts(e.map_batches(
+        lambda b: pa.table({"src": b["src"]}), batch_format="pyarrow"),
+        ["src"], [], count_col="d", fanin=2)
+    indeg = grouped_sum_parts(e.map_batches(
+        lambda b: pa.table({"dst": b["dst"]}), batch_format="pyarrow"),
+        ["dst"], [], count_col="d", fanin=2)
+
+    def _hist(ds_, col):
+        t = grouped_sum_parts(ds_.map_batches(
+            lambda b: pa.table({"k": b["d"]}), batch_format="pyarrow"),
+            ["k"], [], count_col="n", fanin=2).to_pandas()
+        return t  # bounded: degree classes
+
+    oh = _hist(outdeg, "d")
+    ih = _hist(indeg, "d")
+    nodes_with_in = int(ih["n"].sum())
+    rows = [("out", int(r["k"]), int(r["n"])) for _, r in oh.iterrows()]
+    rows += [("in", int(r["k"]), int(r["n"])) for _, r in ih.iterrows()]
+    if n_docs - nodes_with_in > 0:
+        rows.append(("in", 0, n_docs - nodes_with_in))
+
+    def _canon(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"lo": pa.array(np.minimum(s, d)),
+                         "hi": pa.array(np.maximum(s, d))})
+
+    pairs = grouped_sum_parts(e.map_batches(_canon,
+                                            batch_format="pyarrow"),
+                              ["lo", "hi"], [], count_col="c",
+                              fanin=2).to_pandas()
+    mutual_pairs = int((pairs["c"] == 2).sum())
+    nonself_edges = int(pairs["c"].sum())
+    rows.append(("recip", 2 * mutual_pairs, nonself_edges))
+    out = pd.DataFrame(rows, columns=["kind", "k", "n"]).sort_values(
+        ["kind", "k"]).reset_index(drop=True)
+    out["k"] = out["k"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+GRAPH_DEGREE_SQL = """
+WITH n AS (SELECT count(*) AS c FROM documents),
+raw AS (
+    SELECT doc_id AS src,
+           (doc_id * 31 + 97 * j.j) % (SELECT c FROM n) AS dst
+    FROM documents, generate_series(1, 3) j(j)
+),
+e AS (SELECT DISTINCT src, dst FROM raw),
+od AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+idg AS (SELECT dst, count(*) AS d FROM e GROUP BY 1),
+oh AS (SELECT 'out' AS kind, CAST(d AS BIGINT) AS k,
+              CAST(count(*) AS BIGINT) AS n
+       FROM od GROUP BY 2),
+ih AS (SELECT 'in' AS kind, CAST(d AS BIGINT) AS k,
+              CAST(count(*) AS BIGINT) AS n
+       FROM idg GROUP BY 2),
+iz AS (SELECT 'in' AS kind, CAST(0 AS BIGINT) AS k,
+              CAST((SELECT c FROM n) - count(*) AS BIGINT) AS n
+       FROM idg HAVING (SELECT c FROM n) > count(*)),
+p AS (
+    SELECT least(src, dst) AS lo, greatest(src, dst) AS hi,
+           count(*) AS c
+    FROM e WHERE src <> dst GROUP BY 1, 2
+),
+r AS (SELECT 'recip' AS kind,
+             CAST(2 * count(*) FILTER (c = 2) AS BIGINT) AS k,
+             CAST(sum(c) AS BIGINT) AS n
+      FROM p)
+SELECT * FROM oh UNION ALL SELECT * FROM ih
+UNION ALL SELECT * FROM iz UNION ALL SELECT * FROM r
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -8854,6 +8966,7 @@ QUERIES = {
     "fleet_bands_1h": q_fleet_bands_1h,
     "tier_consistency_events": q_tier_consistency_events,
     "ed1_pairs_docs": q_ed1_pairs_docs,
+    "graph_degree_stats_docs": q_graph_degree_stats_docs,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -9429,6 +9542,7 @@ ORACLE_SQL = {
     "fleet_bands_1h": FLEET_BANDS_SQL,
     "tier_consistency_events": TIER_CONSISTENCY_SQL,
     "ed1_pairs_docs": ED1_PAIRS_SQL,
+    "graph_degree_stats_docs": GRAPH_DEGREE_SQL,
     "cluster_ari_embeddings": CLUSTER_ARI_SQL.format(base=KMEANS_SQL),
     "classify_confusion_embeddings":
         CLASSIFY_CONFUSION_SQL.format(base=CENTROID_CLASSIFY_SQL),
