@@ -15,7 +15,9 @@ a handful of rounds).
 Scale shape: edges and labels are hash-partitioned datasets; each round
 materializes the (node-scale) label table — truncating lineage so round
 N+1 does not re-execute rounds 1..N — and convergence is decided by an
-exact changed-row count (a join on the previous labels), not a heuristic.
+exact changed-row count computed INSIDE the min-combine (the node's old
+label rides the union as a null-elsewhere column, so no second join per
+round), not a heuristic.
 Empty-block hygiene follows ``join_pair_payload``: blocks are compacted
 before every join (Ray's hash join cannot resolve keys on the
 schema-less empty blocks map stages structurally emit).
@@ -85,28 +87,56 @@ def connected_components(edges_ds, *, a_col: str = "a", b_col: str = "b",
         lambda b: pa.table({"node": b["node"], "lbl": b["node"]}),
         batch_format="pyarrow"), num_partitions).materialize()
 
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["node"], mod)
+        return b.append_column("__part", pa.array(h))
+
+    def _min_with_changed(g: pa.Table) -> pa.Table:
+        """Per-node min over the union of the node's OLD label row
+        (``old`` = its label) and propagated messages (``old`` = null,
+        skipped by the min), plus a per-node changed bit (new < old) —
+        the convergence test riding the combine instead of costing a
+        second join per round."""
+        g = g.drop_columns(["__part"])
+        if g.num_rows == 0:
+            return pa.table({"node": pa.array([], g.schema.field(
+                                 "node").type),
+                             "lbl": pa.array([], g.schema.field(
+                                 "lbl").type),
+                             "chg": pa.array([], pa.int64())})
+        t = g.group_by(["node"]).aggregate([("lbl", "min"),
+                                            ("old", "min")])
+        new = t["lbl_min"]
+        old = t["old_min"]  # exactly one non-null old row per node
+        chg = pc.cast(pc.less(new, old), pa.int64())
+        return pa.table({"node": t["node"], "lbl": new, "chg": chg})
+
     for _ in range(max_iters):
         msgs = edges.join(labels, join_type="inner",
                           num_partitions=num_partitions,
                           on=("src",), right_on=("node",))
         msgs = msgs.map_batches(
-            lambda b: pa.table({"node": b["dst"], "lbl": b["lbl"]}),
+            lambda b: pa.table({"node": b["dst"], "lbl": b["lbl"],
+                                "old": pa.nulls(b.num_rows,
+                                                b["lbl"].type)}),
             batch_format="pyarrow")
-        new_labels = _min_by_node(labels.union(msgs),
-                                  num_partitions).materialize()
-        # exact convergence test: count of nodes whose label changed
-        prev = labels.map_batches(
-            lambda b: pa.table({"node": b["node"], "lbl_old": b["lbl"]}),
+        tagged_old = labels.map_batches(
+            lambda b: pa.table({"node": b["node"], "lbl": b["lbl"],
+                                "old": b["lbl"]}),
             batch_format="pyarrow")
-        diff = new_labels.join(prev, join_type="inner",
-                               num_partitions=num_partitions,
-                               on=("node",), right_on=("node",))
-        changed = diff.map_batches(
-            lambda b: pa.table({"c": pa.array([int(pc.sum(pc.cast(
-                pc.not_equal(b["lbl"], b["lbl_old"]), pa.int64()))
-                .as_py() or 0)], pa.int64())}),
-            batch_format="pyarrow").sum("c")
-        labels = new_labels
+        merged = (tagged_old.union(msgs)
+                  .map_batches(_part, batch_format="pyarrow")
+                  .repartition(num_partitions).groupby("__part")
+                  .map_groups(_min_with_changed,
+                              batch_format="pyarrow")).materialize()
+        changed = merged.sum("chg")
+        labels = merged.map_batches(
+            lambda b: pa.table({"node": b["node"], "lbl": b["lbl"]}),
+            batch_format="pyarrow")
         if not changed:
             break
     else:
