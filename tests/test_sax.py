@@ -113,3 +113,23 @@ def test_haar_energy_matches_python(ray_session):
         for _, r in out.iterrows():
             assert expect[(r["series_id"], r["level"])] == (
                 r["n"], r["sum_abs"], r["max_abs"])
+
+
+def test_sax_motifs_top_trigram(ray_session):
+    """Motif = most frequent trigram of the SAX string, smallest
+    lexicographic on count ties."""
+    from collections import Counter
+
+    from tsdownsample_ray.pipelines.queries import (q_sax_events,
+                                                    q_sax_motifs_events)
+
+    sf = "/root/testdata/sf0.001"
+    base = q_sax_events(sf).to_pandas().set_index("series_id")
+    out = q_sax_motifs_events(sf)
+    for _, r in out.iterrows():
+        s = base.loc[r["series_id"], "sax"]
+        grams = Counter(s[i:i + 3] for i in range(len(s) - 2))
+        motif, cnt = sorted(grams.items(),
+                            key=lambda kv: (-kv[1], kv[0]))[0]
+        assert (r["motif"], r["cnt"]) == (motif, cnt)
+        assert r["n_grams"] == len(s) - 2

@@ -8820,6 +8820,32 @@ UNION ALL SELECT * FROM iz UNION ALL SELECT * FROM r
 """
 
 
+def q_sax_motifs_events(sf_dir: str):
+    """Time-series motif discovery over the SAX representation: each
+    series' most frequent symbol TRIGRAM (ties to the lexicographically
+    smallest) with its count — the classic symbolic-motif primitive
+    built on ``sax_symbols``. The trigram pass touches one short string
+    per SERIES (tier-reduced), never raw points."""
+    import pandas as pd
+
+    base = q_sax_events(sf_dir).to_pandas()  # one row per series
+    rows = []
+    from collections import Counter
+    for _, r in base.iterrows():
+        s = r["sax"]
+        grams = Counter(s[i:i + 3] for i in range(len(s) - 2))
+        if not grams:
+            continue
+        motif, cnt = sorted(grams.items(),
+                            key=lambda kv: (-kv[1], kv[0]))[0]
+        rows.append((r["series_id"], motif, cnt, len(s) - 2))
+    out = pd.DataFrame(rows, columns=["series_id", "motif", "cnt",
+                                      "n_grams"])
+    out["cnt"] = out["cnt"].astype(np.int64)
+    out["n_grams"] = out["n_grams"].astype(np.int64)
+    return out.sort_values("series_id").reset_index(drop=True)
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -8967,6 +8993,7 @@ QUERIES = {
     "tier_consistency_events": q_tier_consistency_events,
     "ed1_pairs_docs": q_ed1_pairs_docs,
     "graph_degree_stats_docs": q_graph_degree_stats_docs,
+    "sax_motifs_events": q_sax_motifs_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -9543,6 +9570,26 @@ ORACLE_SQL = {
     "tier_consistency_events": TIER_CONSISTENCY_SQL,
     "ed1_pairs_docs": ED1_PAIRS_SQL,
     "graph_degree_stats_docs": GRAPH_DEGREE_SQL,
+    "sax_motifs_events": """
+WITH base AS ({sax}),
+m0 AS (
+    SELECT series_id, sax,
+           unnest(range(1, length(sax) - 1)) AS i
+    FROM base
+),
+m AS (SELECT series_id, substr(sax, CAST(i AS INT), 3) AS g FROM m0),
+c AS (SELECT series_id, g, count(*) AS c FROM m GROUP BY 1, 2),
+r AS (
+    SELECT series_id, g, c,
+           row_number() OVER (PARTITION BY series_id
+                              ORDER BY c DESC, g) AS rn,
+           CAST(sum(c) OVER (PARTITION BY series_id) AS BIGINT)
+               AS n_grams
+    FROM c
+)
+SELECT series_id, g AS motif, CAST(c AS BIGINT) AS cnt, n_grams
+FROM r WHERE rn = 1
+""".format(sax=SAX_SQL),
     "cluster_ari_embeddings": CLUSTER_ARI_SQL.format(base=KMEANS_SQL),
     "classify_confusion_embeddings":
         CLASSIFY_CONFUSION_SQL.format(base=CENTROID_CLASSIFY_SQL),
