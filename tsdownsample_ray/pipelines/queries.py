@@ -8846,6 +8846,89 @@ def q_sax_motifs_events(sf_dir: str):
     return out.sort_values("series_id").reset_index(drop=True)
 
 
+def q_ohlc_15m(sf_dir: str):
+    """OHLC candles per (series, 15m bucket): open/close = first/last
+    value in (ts, event_id) order (the deterministic struct-argmin/max
+    semantic), high/low = exact extremes, plus count — the financial /
+    monitoring candle view that complements M4's extreme-POSITION
+    selection. One hash(series) shuffle, sorted segment pass with
+    `reduceat` extremes and first/last gathers."""
+    from ..arrow_utils import stable_part_codes
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"],
+                         "x": b["ts_us"], "eid": b["event_id"],
+                         "y": b["cents"]})
+
+    ds = ev.map_batches(_series, batch_format="pyarrow")
+    mod = 2 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["series_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _candles(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        sid_type = t["series_id"].type
+        empty = pa.table({"series_id": pa.array([], sid_type),
+                          "bucket": pa.array([], pa.int64()),
+                          "open": pa.array([], pa.int64()),
+                          "high": pa.array([], pa.int64()),
+                          "low": pa.array([], pa.int64()),
+                          "close": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        x = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = x // (900 * US) * (900 * US)
+        t = t.append_column("bucket", pa.array(bucket))
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("series_id", "ascending"), ("bucket", "ascending"),
+            ("x", "ascending"), ("eid", "ascending")]))
+        sid = t["series_id"]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bk = t["bucket"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(y)
+        change = np.ones(n, dtype=bool)
+        change[1:] = (codes[1:] != codes[:-1]) | (bk[1:] != bk[:-1])
+        first = np.flatnonzero(change)
+        last = np.r_[first[1:] - 1, n - 1]
+        return pa.table({
+            "series_id": sid.take(pa.array(first)),
+            "bucket": pa.array(bk[first]),
+            "open": pa.array(y[first]),
+            "high": pa.array(np.maximum.reduceat(y, first)),
+            "low": pa.array(np.minimum.reduceat(y, first)),
+            "close": pa.array(y[last]),
+            "n": pa.array((last - first + 1).astype(np.int64))})
+
+    return (ds.map_batches(_add_part, batch_format="pyarrow")
+            .repartition(2).groupby("__part")
+            .map_groups(_candles, batch_format="pyarrow"))
+
+
+OHLC_SQL = f"""
+WITH e AS (
+    SELECT event_type AS series_id, epoch_us(ts) AS x, event_id,
+           CAST(round(value * 100) AS BIGINT) AS y
+    FROM events
+)
+SELECT series_id, (x // {900 * US}) * {900 * US} AS bucket,
+       (min(struct_pack(x := x, eid := event_id, y := y))).y AS open,
+       max(y) AS high, min(y) AS low,
+       (max(struct_pack(x := x, eid := event_id, y := y))).y AS close,
+       CAST(count(*) AS BIGINT) AS n
+FROM e GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -8994,6 +9077,7 @@ QUERIES = {
     "ed1_pairs_docs": q_ed1_pairs_docs,
     "graph_degree_stats_docs": q_graph_degree_stats_docs,
     "sax_motifs_events": q_sax_motifs_events,
+    "ohlc_15m": q_ohlc_15m,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -9570,6 +9654,7 @@ ORACLE_SQL = {
     "tier_consistency_events": TIER_CONSISTENCY_SQL,
     "ed1_pairs_docs": ED1_PAIRS_SQL,
     "graph_degree_stats_docs": GRAPH_DEGREE_SQL,
+    "ohlc_15m": OHLC_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
