@@ -139,3 +139,23 @@ def test_markov_baseline_argmax_policy(ray_session):
         assert r["support"] == g["c"].sum()
         assert r["acc_pm"] == (1000 * r["hits"]) // r["support"]
     assert set(out["src"]) == set(tm["src"].unique())
+
+
+def test_ltv_curve_matches_duckdb(ray_session):
+    import duckdb
+
+    from tsdownsample_ray.pipelines.queries import (LTV_CURVE_SQL,
+                                                    q_ltv_curve_users)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_ltv_curve_users(sf)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS FROM '{sf}/events.parquet'")
+    exp = con.sql(LTV_CURVE_SQL).df().sort_values(
+        "woff").reset_index(drop=True)
+    for c in ("woff", "rev", "u", "cum_rev"):
+        assert got[c].tolist() == exp[c].tolist(), c
+    # offset-0 row exists (every purchaser's first week) and cum is
+    # monotone
+    assert got["woff"].iloc[0] == 0
+    assert got["cum_rev"].is_monotonic_increasing

@@ -8929,6 +8929,105 @@ FROM e GROUP BY 1, 2
 """
 
 
+def q_ltv_curve_users(sf_dir: str):
+    """Customer lifetime-value curve: per week offset since each
+    purchaser's FIRST purchase week — active purchasers, exact cent
+    revenue, and the cumulative revenue (ints cumsummed over the
+    BOUNDED offset axis). One hash(user) shuffle collapsing to
+    (user, offset) partials inside the pass, one tiny offset grouped
+    sum."""
+    import pandas as pd
+
+    from ..arrow_utils import stable_part_codes
+    from ..stages.graph import grouped_sum_parts
+
+    WEEK = 7 * 86_400_000_000
+    ds = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"])
+
+    def _pur(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "purchase"))
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "week": pa.array(t["ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False) // WEEK),
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0),
+                                      ndigits=0), pa.int64())})
+
+    pur = ds.map_batches(_pur, batch_format="pyarrow")
+    mod = 2 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["user_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _offsets(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        empty = pa.table({"woff": pa.array([], pa.int64()),
+                          "rev": pa.array([], pa.int64()),
+                          "u": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("week", "ascending")]))
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        wk = t["week"].to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        change = np.ones(len(uid), dtype=bool)
+        change[1:] = uid[1:] != uid[:-1]
+        first_wk = wk[np.flatnonzero(change)][
+            (np.cumsum(change) - 1)]
+        off = wk - first_wk
+        # rows are (user, week)-sorted, so (user, offset) groups are
+        # CONTIGUOUS — segment reduction, no composite key to overflow
+        pair_change = np.ones(len(uid), dtype=bool)
+        pair_change[1:] = (uid[1:] != uid[:-1]) | (off[1:] != off[:-1])
+        fi = np.flatnonzero(pair_change)
+        rev = np.add.reduceat(c, fi)
+        return pa.table({"woff": pa.array(off[fi]),
+                         "rev": pa.array(rev),
+                         "u": pa.array(np.ones(len(fi), np.int64))})
+
+    per_off = grouped_sum_parts(
+        pur.map_batches(_add_part, batch_format="pyarrow")
+        .repartition(2).groupby("__part")
+        .map_groups(_offsets, batch_format="pyarrow"),
+        ["woff"], ["rev", "u"], count_col=None,
+        fanin=2).to_pandas()  # bounded: week-span rows
+    per_off = per_off.sort_values("woff").reset_index(drop=True)
+    per_off["cum_rev"] = per_off["rev"].cumsum()
+    for c in ("woff", "rev", "u", "cum_rev"):
+        per_off[c] = per_off[c].astype(np.int64)
+    return per_off
+
+
+LTV_CURVE_SQL = f"""
+WITH p AS (
+    SELECT user_id, epoch_us(ts) // {7 * 86_400_000_000} AS week,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+),
+f AS (SELECT user_id, min(week) AS w0 FROM p GROUP BY 1),
+o AS (
+    SELECT p.user_id, p.week - f.w0 AS woff,
+           CAST(sum(p.cents) AS BIGINT) AS rev
+    FROM p JOIN f USING (user_id) GROUP BY 1, 2
+),
+a AS (
+    SELECT woff, CAST(sum(rev) AS BIGINT) AS rev,
+           CAST(count(*) AS BIGINT) AS u
+    FROM o GROUP BY 1
+)
+SELECT woff, rev, u,
+       CAST(sum(rev) OVER (ORDER BY woff
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_rev
+FROM a
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -9078,6 +9177,7 @@ QUERIES = {
     "graph_degree_stats_docs": q_graph_degree_stats_docs,
     "sax_motifs_events": q_sax_motifs_events,
     "ohlc_15m": q_ohlc_15m,
+    "ltv_curve_users": q_ltv_curve_users,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -9655,6 +9755,7 @@ ORACLE_SQL = {
     "ed1_pairs_docs": ED1_PAIRS_SQL,
     "graph_degree_stats_docs": GRAPH_DEGREE_SQL,
     "ohlc_15m": OHLC_SQL,
+    "ltv_curve_users": LTV_CURVE_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
