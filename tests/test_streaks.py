@@ -69,3 +69,38 @@ def test_streaks_hand_values(ray_session):
     r = got.iloc[0]
     assert (r["max_up_steps"], r["max_down_steps"], r["max_flat_steps"],
             r["n_runs"]) == (2, 1, 1, 3)
+
+
+def test_clamped_balance_prefix_identity(ray_session):
+    """b_i = max(0, b_{i-1}+d_i) equals S_i - min(0, min prefix S) —
+    checked against a direct sequential replay on the real fixture."""
+    import duckdb
+    import numpy as np
+
+    from tsdownsample_ray.pipelines.queries import q_clamped_balance_events
+
+    sf = "/root/testdata/sf0.001"
+    out = (q_clamped_balance_events(sf).to_pandas()
+           .set_index("series_id"))
+    rows = duckdb.sql(f"""
+        SELECT event_type,
+               CASE WHEN event_id % 2 = 0
+                    THEN CAST(round(value*100) AS BIGINT)
+                    ELSE -CAST(round(value*100) AS BIGINT) END AS d
+        FROM '{sf}/events.parquet' ORDER BY event_type, ts, event_id
+    """).fetchall()
+    from collections import defaultdict
+    by_s = defaultdict(list)
+    for t, d in rows:
+        by_s[t].append(d)
+    for sid, ds_ in by_s.items():
+        b = 0
+        mx = 0
+        for d in ds_:
+            b = max(0, b + d)
+            mx = max(mx, b)
+        r = out.loc[sid]
+        assert r["final_balance"] == b
+        assert r["max_balance"] == mx
+        assert r["n"] == len(ds_) and r["sum_d"] == sum(ds_)
+        assert r["final_balance"] == r["sum_d"] - r["min_prefix"]

@@ -9028,6 +9028,118 @@ FROM a
 """
 
 
+def q_clamped_balance_events(sf_dir: str):
+    """Inventory / queue-depth simulation: the floor-at-zero running
+    balance ``b_i = max(0, b_{i-1} + d_i)`` — a SEQUENTIAL recurrence
+    made distributable by the prefix identity
+    ``b_i = S_i − min(0, min_{j≤i} S_j)`` (cumsum + running min, both
+    vectorizable and window-expressible). Signed deltas are the
+    deterministic fixture ``even event_id → +cents, odd → −cents``.
+    Output per series: n, Σd, the final prefix floor, final and max
+    balance — all exact int64. One hash(series) shuffle, per-segment
+    cumsum/cummin pass."""
+    from ..arrow_utils import stable_part_codes
+
+    ev = _events_cents(sf_dir)
+
+    def _signed(b: pa.Table) -> pa.Table:
+        c = b["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        d = np.where(eid % 2 == 0, c, -c)
+        return pa.table({"series_id": b["event_type"],
+                         "x": b["ts_us"], "eid": b["event_id"],
+                         "d": pa.array(d)})
+
+    ds = ev.map_batches(_signed, batch_format="pyarrow")
+    mod = 2 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["series_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _balance(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        sid_type = t["series_id"].type
+        empty = pa.table({"series_id": pa.array([], sid_type),
+                          "n": pa.array([], pa.int64()),
+                          "sum_d": pa.array([], pa.int64()),
+                          "min_prefix": pa.array([], pa.int64()),
+                          "final_balance": pa.array([], pa.int64()),
+                          "max_balance": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("series_id", "ascending"), ("x", "ascending"),
+            ("eid", "ascending")]))
+        sid = t["series_id"]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        d = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(d)
+        change = np.ones(n, dtype=bool)
+        change[1:] = codes[1:] != codes[:-1]
+        seg = np.flatnonzero(change)
+        ends = np.r_[seg[1:], n]
+        rows = {k: [] for k in ("sid", "n", "sum", "mp", "fin", "mx")}
+        for f, l in zip(seg, ends):  # series loop; inner fully vector
+            S = np.cumsum(d[f:l])
+            mp = np.minimum(np.minimum.accumulate(S), 0)
+            b_ = S - mp
+            rows["sid"].append(sid[int(f)].as_py())
+            rows["n"].append(l - f)
+            rows["sum"].append(int(S[-1]))
+            rows["mp"].append(int(mp[-1]))
+            rows["fin"].append(int(b_[-1]))
+            rows["mx"].append(int(b_.max()))
+        return pa.table({
+            "series_id": pa.array(rows["sid"], sid_type),
+            "n": pa.array(rows["n"], pa.int64()),
+            "sum_d": pa.array(rows["sum"], pa.int64()),
+            "min_prefix": pa.array(rows["mp"], pa.int64()),
+            "final_balance": pa.array(rows["fin"], pa.int64()),
+            "max_balance": pa.array(rows["mx"], pa.int64())})
+
+    return (ds.map_batches(_add_part, batch_format="pyarrow")
+            .repartition(2).groupby("__part")
+            .map_groups(_balance, batch_format="pyarrow"))
+
+
+CLAMPED_BALANCE_SQL = """
+WITH e AS (
+    SELECT event_type AS series_id, epoch_us(ts) AS x, event_id,
+           CASE WHEN event_id % 2 = 0
+                THEN CAST(round(value * 100) AS BIGINT)
+                ELSE -CAST(round(value * 100) AS BIGINT) END AS d
+    FROM events
+),
+s AS (
+    SELECT series_id, x, event_id, d,
+           CAST(sum(d) OVER (PARTITION BY series_id
+                             ORDER BY x, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS S
+    FROM e
+),
+m AS (
+    SELECT series_id, d, S,
+           CAST(least(min(S) OVER (PARTITION BY series_id
+                                   ORDER BY x, event_id
+                                   ROWS UNBOUNDED PRECEDING), 0)
+                AS BIGINT) AS mp
+    FROM s
+)
+SELECT series_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(d) AS BIGINT) AS sum_d,
+       CAST(min(mp) AS BIGINT) AS min_prefix,
+       CAST(sum(d) - min(mp) AS BIGINT) AS final_balance,
+       CAST(max(S - mp) AS BIGINT) AS max_balance
+FROM m GROUP BY 1
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -9178,6 +9290,7 @@ QUERIES = {
     "sax_motifs_events": q_sax_motifs_events,
     "ohlc_15m": q_ohlc_15m,
     "ltv_curve_users": q_ltv_curve_users,
+    "clamped_balance_events": q_clamped_balance_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -9756,6 +9869,7 @@ ORACLE_SQL = {
     "graph_degree_stats_docs": GRAPH_DEGREE_SQL,
     "ohlc_15m": OHLC_SQL,
     "ltv_curve_users": LTV_CURVE_SQL,
+    "clamped_balance_events": CLAMPED_BALANCE_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
