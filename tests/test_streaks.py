@@ -104,3 +104,46 @@ def test_clamped_balance_prefix_identity(ray_session):
         assert r["max_balance"] == mx
         assert r["n"] == len(ds_) and r["sum_d"] == sum(ds_)
         assert r["final_balance"] == r["sum_d"] - r["min_prefix"]
+
+
+def test_token_bucket_sequential_replay(ray_session):
+    """The segmented clamp-monoid scan must equal a direct sequential
+    replay of b_i = min(C, max(0, b_{i-1}+d_i)) on the real fixture."""
+    import duckdb
+
+    from tsdownsample_ray.pipelines.queries import q_token_bucket_events
+
+    sf = "/root/testdata/sf0.001"
+    CAP = 25_000
+    out = (q_token_bucket_events(sf).to_pandas().set_index("series_id"))
+    rows = duckdb.sql(f"""
+        SELECT event_type,
+               CASE WHEN event_id % 2 = 0
+                    THEN CAST(round(value*100) AS BIGINT)
+                    ELSE -CAST(round(value*100) AS BIGINT) END AS d
+        FROM '{sf}/events.parquet' ORDER BY event_type, ts, event_id
+    """).fetchall()
+    from collections import defaultdict
+    by_s = defaultdict(list)
+    for t, d in rows:
+        by_s[t].append(d)
+    assert set(out.index) == set(by_s)
+    for sid, ds_ in by_s.items():
+        b = CAP
+        mn, mx, n_empty, n_full, spill, short = CAP, CAP, 0, 0, 0, 0
+        for d in ds_:
+            raw = b + d
+            spill += max(0, raw - CAP)
+            short += max(0, -raw)
+            b = min(CAP, max(0, raw))
+            mn, mx = min(mn, b), max(mx, b)
+            n_empty += b == 0
+            n_full += b == CAP
+        r = out.loc[sid]
+        assert r["final_balance"] == b and r["min_balance"] == mn
+        assert r["max_balance"] == mx
+        assert (r["n_empty"], r["n_full"]) == (n_empty, n_full)
+        assert (r["total_spill"], r["total_shortfall"]) == (spill, short)
+        assert r["n"] == len(ds_) and r["sum_d"] == sum(ds_)
+        # conservation: final = C + sum_d - spill + short
+        assert r["final_balance"] == CAP + r["sum_d"] - spill + short

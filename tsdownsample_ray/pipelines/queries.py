@@ -9140,6 +9140,174 @@ FROM m GROUP BY 1
 """
 
 
+def q_token_bucket_events(sf_dir: str):
+    """Token-bucket / bounded-inventory simulation: the TWO-sided clamp
+    recurrence ``b_i = min(C, max(0, b_{i-1} + d_i))`` (capacity C,
+    bucket starts full). Unlike the one-sided floor walk
+    (``clamped_balance_events``), the two-sided clamp has no running
+    min/max closed form — but each step is the clamp-affine map
+    ``phi(x) = min(h, max(l, x + a))`` and that family is CLOSED under
+    composition (``a'=a1+a2, l'=max(l2, l1+a2),
+    h'=min(h2, max(l2, h1+a2))``), i.e. an associative monoid. Per-row
+    balances therefore come from a segmented Hillis-Steele scan over
+    ``(a, l, h)`` triples — log2(n) rounds of whole-array NumPy
+    combines, no per-row Python — the same monoid merge that combines
+    per-block partials across nodes at cluster scale. Deltas: even
+    event_id → +cents, odd → −cents; C = 25_000. Output per series:
+    n, Σd, final/min/max balance, floor/ceiling saturation counts and
+    total ceiling-spilled / floor-shortfall volume — all exact int64,
+    internally consistent via ``final = C + Σd − spill + short``."""
+    from ..arrow_utils import stable_part_codes
+
+    CAP = 25_000
+    ev = _events_cents(sf_dir)
+
+    def _signed(b: pa.Table) -> pa.Table:
+        c = b["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        d = np.where(eid % 2 == 0, c, -c)
+        return pa.table({"series_id": b["event_type"],
+                         "x": b["ts_us"], "eid": b["event_id"],
+                         "d": pa.array(d)})
+
+    ds = ev.map_batches(_signed, batch_format="pyarrow")
+    mod = 2 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["series_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _bucket(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        sid_type = t["series_id"].type
+        int_cols = ("n", "sum_d", "final_balance", "min_balance",
+                    "max_balance", "n_empty", "n_full", "total_spill",
+                    "total_shortfall")
+        empty = pa.table(
+            {"series_id": pa.array([], sid_type),
+             **{c: pa.array([], pa.int64()) for c in int_cols}})
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("series_id", "ascending"), ("x", "ascending"),
+            ("eid", "ascending")]))
+        sid = t["series_id"]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        d = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(d)
+        # segmented Hillis-Steele scan over the clamp-affine monoid:
+        # element i holds phi_i; after the scan, (a,l,h)[i] is the
+        # composition phi_i o ... o phi_first-of-segment.
+        a = d.copy()
+        lo = np.zeros(n, np.int64)
+        hi = np.full(n, CAP, np.int64)
+        k = 1
+        while k < n:
+            same = codes[k:] == codes[:-k]
+            a1, l1, h1 = a[:-k], lo[:-k], hi[:-k]
+            a2, l2, h2 = a[k:], lo[k:], hi[k:]
+            na = a1 + a2
+            nl = np.maximum(l2, l1 + a2)
+            nh = np.minimum(h2, np.maximum(l2, h1 + a2))
+            a, lo, hi = a.copy(), lo.copy(), hi.copy()
+            a[k:] = np.where(same, na, a2)
+            lo[k:] = np.where(same, nl, l2)
+            hi[k:] = np.where(same, nh, h2)
+            k *= 2
+        bal = np.minimum(hi, np.maximum(lo, CAP + a))
+        starts = np.flatnonzero(
+            np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], n]
+        prev = np.empty(n, np.int64)
+        prev[1:] = bal[:-1]
+        prev[starts] = CAP
+        raw = prev + d
+        spill = np.maximum(0, raw - CAP)
+        short = np.maximum(0, -raw)
+        out = {
+            "series_id": pa.array(
+                [sid[int(f)].as_py() for f in starts], sid_type),
+            "n": ends - starts,
+            "sum_d": np.add.reduceat(d, starts),
+            "final_balance": bal[ends - 1],
+            "min_balance": np.minimum.reduceat(bal, starts),
+            "max_balance": np.maximum.reduceat(bal, starts),
+            "n_empty": np.add.reduceat((bal == 0).astype(np.int64),
+                                       starts),
+            "n_full": np.add.reduceat((bal == CAP).astype(np.int64),
+                                      starts),
+            "total_spill": np.add.reduceat(spill, starts),
+            "total_shortfall": np.add.reduceat(short, starts),
+        }
+        return pa.table({c: (v if isinstance(v, pa.Array)
+                             else pa.array(np.asarray(v, np.int64)))
+                         for c, v in out.items()})
+
+    return (ds.map_batches(_add_part, batch_format="pyarrow")
+            .repartition(2).groupby("__part")
+            .map_groups(_bucket, batch_format="pyarrow"))
+
+
+TOKEN_BUCKET_SQL = """
+WITH RECURSIVE e AS (
+    SELECT event_type AS series_id, epoch_us(ts) AS x, event_id,
+           CASE WHEN event_id % 2 = 0
+                THEN CAST(round(value * 100) AS BIGINT)
+                ELSE -CAST(round(value * 100) AS BIGINT) END AS d
+    FROM events
+),
+o AS (
+    SELECT series_id, d,
+           CAST(row_number() OVER (PARTITION BY series_id
+                                   ORDER BY x, event_id) AS BIGINT) AS rn
+    FROM e
+),
+r AS (
+    SELECT series_id, CAST(0 AS BIGINT) AS rn,
+           CAST(25000 AS BIGINT) AS bal,
+           CAST(0 AS BIGINT) AS spill, CAST(0 AS BIGINT) AS short
+    FROM (SELECT DISTINCT series_id FROM o)
+    UNION ALL
+    SELECT o.series_id, o.rn,
+           least(25000, greatest(0, r.bal + o.d)),
+           greatest(0, r.bal + o.d - 25000),
+           greatest(0, -(r.bal + o.d))
+    FROM r JOIN o ON o.series_id = r.series_id AND o.rn = r.rn + 1
+),
+agg AS (
+    SELECT series_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(bal) AS BIGINT) AS min_balance,
+           CAST(max(bal) AS BIGINT) AS max_balance,
+           CAST(sum(CASE WHEN bal = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_empty,
+           CAST(sum(CASE WHEN bal = 25000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_full,
+           CAST(sum(spill) AS BIGINT) AS total_spill,
+           CAST(sum(short) AS BIGINT) AS total_shortfall
+    FROM r WHERE rn >= 1 GROUP BY 1
+),
+sd AS (SELECT series_id, CAST(sum(d) AS BIGINT) AS sum_d
+       FROM o GROUP BY 1),
+fin AS (
+    SELECT r.series_id, CAST(r.bal AS BIGINT) AS final_balance
+    FROM r JOIN (SELECT series_id, max(rn) AS mx FROM r GROUP BY 1) f
+      ON r.series_id = f.series_id AND r.rn = f.mx
+)
+SELECT agg.series_id, agg.n, sd.sum_d, fin.final_balance,
+       agg.min_balance, agg.max_balance, agg.n_empty, agg.n_full,
+       agg.total_spill, agg.total_shortfall
+FROM agg
+JOIN sd ON sd.series_id = agg.series_id
+JOIN fin ON fin.series_id = agg.series_id
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -9291,6 +9459,7 @@ QUERIES = {
     "ohlc_15m": q_ohlc_15m,
     "ltv_curve_users": q_ltv_curve_users,
     "clamped_balance_events": q_clamped_balance_events,
+    "token_bucket_events": q_token_bucket_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -9870,6 +10039,7 @@ ORACLE_SQL = {
     "ohlc_15m": OHLC_SQL,
     "ltv_curve_users": LTV_CURVE_SQL,
     "clamped_balance_events": CLAMPED_BALANCE_SQL,
+    "token_bucket_events": TOKEN_BUCKET_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
