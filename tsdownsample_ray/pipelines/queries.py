@@ -9308,6 +9308,97 @@ JOIN fin ON fin.series_id = agg.series_id
 """
 
 
+def q_rdp_simplify_15m(sf_dir: str):
+    """Ramer-Douglas-Peucker simplification of each series' 15m tier
+    polyline (``stages/simplify.py``) — the tolerance-band downsampling
+    family complementing the bin-based kernels. Exact integer geometry:
+    keep/split decisions are ``cross^2 > eps^2 * |AB|^2`` on (bucket
+    index, cents) int64 coordinates, so the kept set is bit-identical to
+    the DuckDB recursive-CTE replay (one iteration per split depth,
+    every active segment split in parallel). One hash(series) shuffle;
+    per-partition split-stack walk with vectorized interior argmax."""
+    from ..stages.rollup import rollup
+    from ..stages.simplify import rdp_simplify
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"),
+                    900 * US)
+
+    def _xi(b: pa.Table) -> pa.Table:
+        bkt = b["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"series_id": b["series_id"],
+                         "bucket": pa.array(bkt // (900 * US)),
+                         "sum_y": b["sum_y"]})
+
+    return rdp_simplify(rolled.map_batches(_xi, batch_format="pyarrow"),
+                        eps=250, num_partitions=2)
+
+
+RDP_SIMPLIFY_SQL = """
+WITH RECURSIVE r AS (
+    SELECT event_type AS series_id,
+           epoch_us(ts) // 900000000 AS xi,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+p AS (
+    SELECT series_id, xi, y,
+           CAST(row_number() OVER (PARTITION BY series_id ORDER BY xi)
+                AS BIGINT) AS rn
+    FROM r
+),
+seg AS (
+    SELECT series_id, CAST(1 AS BIGINT) AS lo,
+           CAST(max(rn) AS BIGINT) AS hi
+    FROM p GROUP BY 1
+    UNION ALL
+    SELECT q.series_id,
+           CASE WHEN v.side = 0 THEN q.lo ELSE q.split END AS lo,
+           CASE WHEN v.side = 0 THEN q.split ELSE q.hi END AS hi
+    FROM (
+        SELECT series_id, lo, hi, split, c2, l2 FROM (
+            SELECT g.series_id, g.lo, g.hi, i.rn AS split,
+                   CAST((b.xi - a.xi) * (i.y - a.y)
+                        - (b.y - a.y) * (i.xi - a.xi) AS HUGEINT)
+                   * ((b.xi - a.xi) * (i.y - a.y)
+                      - (b.y - a.y) * (i.xi - a.xi)) AS c2,
+                   CAST((b.xi - a.xi) AS HUGEINT) * (b.xi - a.xi)
+                   + CAST((b.y - a.y) AS HUGEINT) * (b.y - a.y) AS l2,
+                   row_number() OVER (
+                       PARTITION BY g.series_id, g.lo, g.hi
+                       ORDER BY CAST((b.xi - a.xi) * (i.y - a.y)
+                                     - (b.y - a.y) * (i.xi - a.xi)
+                                     AS HUGEINT)
+                                * ((b.xi - a.xi) * (i.y - a.y)
+                                   - (b.y - a.y) * (i.xi - a.xi)) DESC,
+                                i.rn) AS rk
+            FROM seg g
+            JOIN p a ON a.series_id = g.series_id AND a.rn = g.lo
+            JOIN p b ON b.series_id = g.series_id AND b.rn = g.hi
+            JOIN p i ON i.series_id = g.series_id
+                    AND i.rn > g.lo AND i.rn < g.hi
+        ) WHERE rk = 1
+    ) q
+    CROSS JOIN (VALUES (0), (1)) v(side)
+    WHERE q.c2 > 62500 * q.l2
+),
+k AS (
+    SELECT DISTINCT series_id, rn FROM (
+        SELECT series_id, lo AS rn FROM seg
+        UNION ALL
+        SELECT series_id, hi AS rn FROM seg
+    )
+)
+SELECT p.series_id, CAST(p.xi AS BIGINT) AS x, p.y AS y
+FROM p JOIN k ON k.series_id = p.series_id AND k.rn = p.rn
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -9460,6 +9551,7 @@ QUERIES = {
     "ltv_curve_users": q_ltv_curve_users,
     "clamped_balance_events": q_clamped_balance_events,
     "token_bucket_events": q_token_bucket_events,
+    "rdp_simplify_15m": q_rdp_simplify_15m,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -10040,6 +10132,7 @@ ORACLE_SQL = {
     "ltv_curve_users": LTV_CURVE_SQL,
     "clamped_balance_events": CLAMPED_BALANCE_SQL,
     "token_bucket_events": TOKEN_BUCKET_SQL,
+    "rdp_simplify_15m": RDP_SIMPLIFY_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
