@@ -82,3 +82,45 @@ def test_rdp_query_nontrivial(ray_session):
     assert len(per) == 5
     # non-trivial: strictly fewer than all tier rows, more than endpoints
     assert (per > 2).all()
+
+
+def _vw_reference(x, y, T):
+    """Naive VW: recompute all areas each round, remove global (area, x)
+    min while < T. Python ints, exact."""
+    pts = list(range(len(x)))
+    while len(pts) > 2:
+        best, best_a = None, None
+        for j in range(1, len(pts) - 1):
+            a, i, b = pts[j - 1], pts[j], pts[j + 1]
+            ar = abs(int(x[b] - x[a]) * int(y[i] - y[a])
+                     - int(y[b] - y[a]) * int(x[i] - x[a]))
+            if best_a is None or ar < best_a:
+                best, best_a = j, ar
+        if best_a >= T:
+            break
+        pts.pop(best)
+    keep = np.zeros(len(x), dtype=bool)
+    keep[pts] = True
+    return keep
+
+
+def test_vw_mask_matches_reference():
+    from tsdownsample_ray.stages.simplify import vw_keep_mask
+
+    rng = np.random.default_rng(11)
+    for _ in range(150):
+        n = int(rng.integers(1, 90))
+        x = np.cumsum(rng.integers(1, 4, n)).astype(np.int64)
+        y = np.cumsum(rng.integers(-40, 41, n)).astype(np.int64)
+        T = int(rng.integers(1, 250))
+        got = vw_keep_mask(x, y, T)
+        want = _vw_reference(x, y, T)
+        assert np.array_equal(got, want), (n, T)
+
+
+def test_vw_query_nontrivial(ray_session):
+    from tsdownsample_ray.pipelines.queries import q_vw_simplify_15m
+
+    out = q_vw_simplify_15m("/root/testdata/sf0.001").to_pandas()
+    per = out.groupby("series_id").size()
+    assert len(per) == 5 and (per > 2).all()

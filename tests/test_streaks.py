@@ -147,3 +147,40 @@ def test_token_bucket_sequential_replay(ray_session):
         assert r["n"] == len(ds_) and r["sum_d"] == sum(ds_)
         # conservation: final = C + sum_d - spill + short
         assert r["final_balance"] == CAP + r["sum_d"] - spill + short
+
+
+def test_deadband_sequential_replay(ray_session):
+    """deadband_filter must equal a direct sequential replay: emit iff
+    |y - last_emitted| > delta, plus the LOCF tolerance-band property."""
+    import duckdb
+
+    from tsdownsample_ray.pipelines.queries import q_deadband_events
+
+    sf = "/root/testdata/sf0.001"
+    out = q_deadband_events(sf).to_pandas()
+    rows = duckdb.sql(f"""
+        SELECT event_type, epoch_us(ts),
+               CAST(round(value*100) AS BIGINT)
+        FROM '{sf}/events.parquet' ORDER BY event_type, ts, event_id
+    """).fetchall()
+    from collections import defaultdict
+    by_s = defaultdict(list)
+    for t, x, y in rows:
+        by_s[t].append((x, y))
+    for sid, pts in by_s.items():
+        want = [pts[0]]
+        last = pts[0][1]
+        for x, y in pts[1:]:
+            if abs(y - last) > 6000:
+                want.append((x, y))
+                last = y
+        got = sorted(map(tuple, out[out.series_id == sid]
+                         [["x", "y"]].itertuples(index=False)))
+        assert got == sorted(want), sid
+        # every dropped point is within delta of its LOCF value
+        last = pts[0][1]
+        for x, y in pts[1:]:
+            if abs(y - last) > 6000:
+                last = y
+            else:
+                assert abs(y - last) <= 6000

@@ -9399,6 +9399,134 @@ FROM p JOIN k ON k.series_id = p.series_id AND k.rn = p.rn
 """
 
 
+def q_vw_simplify_15m(sf_dir: str):
+    """Visvalingam-Whyatt simplification of each series' 15m tier
+    polyline (``stages/simplify.py:vw_simplify``): repeatedly drop the
+    interior point with the smallest doubled triangle area ``|cross|``
+    (< 20000, ties toward smallest x) with its CURRENT neighbors — the
+    area-based tolerance family beside RDP's distance-based one. Exact
+    int64 areas; the removal sequence is replayed by the SQL oracle one
+    removal per series per recursive-CTE iteration (lag/lead areas +
+    encoded (area, rn) window argmin)."""
+    from ..stages.rollup import rollup
+    from ..stages.simplify import vw_simplify
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"),
+                    900 * US)
+
+    def _xi(b: pa.Table) -> pa.Table:
+        bkt = b["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"series_id": b["series_id"],
+                         "bucket": pa.array(bkt // (900 * US)),
+                         "sum_y": b["sum_y"]})
+
+    return vw_simplify(rolled.map_batches(_xi, batch_format="pyarrow"),
+                       min_area2=20000, num_partitions=2)
+
+
+VW_SIMPLIFY_SQL = """
+WITH RECURSIVE r AS (
+    SELECT event_type AS series_id,
+           epoch_us(ts) // 900000000 AS xi,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+p AS (
+    SELECT series_id, xi, y,
+           CAST(row_number() OVER (PARTITION BY series_id ORDER BY xi)
+                AS BIGINT) AS rn
+    FROM r
+),
+w AS (
+    SELECT CAST(0 AS BIGINT) AS iter, series_id, rn, xi, y FROM p
+    UNION ALL
+    SELECT iter + 1, series_id, rn, xi, y FROM (
+        SELECT iter, series_id, rn, xi, y, k,
+               min(k) OVER (PARTITION BY series_id) AS vick
+        FROM (
+            SELECT iter, series_id, rn, xi, y,
+                   CASE WHEN a2 IS NOT NULL AND a2 < 20000
+                        THEN a2 * 1000000 + rn END AS k
+            FROM (
+                SELECT iter, series_id, rn, xi, y,
+                       CASE WHEN xp IS NULL OR xn IS NULL THEN NULL
+                            ELSE abs((xn - xp) * (y - yp)
+                                     - (yn - yp) * (xi - xp)) END AS a2
+                FROM (
+                    SELECT iter, series_id, rn, xi, y,
+                           lag(xi) OVER win AS xp, lag(y) OVER win AS yp,
+                           lead(xi) OVER win AS xn, lead(y) OVER win AS yn
+                    FROM w
+                    WINDOW win AS (PARTITION BY series_id ORDER BY rn)
+                )
+            )
+        )
+    )
+    WHERE vick IS NOT NULL AND (k IS NULL OR k <> vick)
+)
+SELECT series_id, CAST(xi AS BIGINT) AS x, y FROM (
+    SELECT series_id, xi, y, iter,
+           max(iter) OVER (PARTITION BY series_id) AS mx
+    FROM w
+) WHERE iter = mx
+"""
+
+
+def q_deadband_events(sf_dir: str):
+    """Dead-band / report-by-exception compression of each event series
+    (``stages/compress.py:deadband_filter``): emit a point iff its cents
+    value moved more than delta=6000 from the LAST EMITTED value (first
+    point always emits) — LOCF reconstruction stays within ±delta. The
+    state jumps data-dependently (no prefix identity), so the per-series
+    pass hops emission-to-emission with a vectorized tail scan, and the
+    oracle replays the walk row-by-row in a recursive CTE."""
+    from ..stages.compress import deadband_filter
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"],
+                         "x": b["ts_us"], "eid": b["event_id"],
+                         "y": b["cents"]})
+
+    ds = ev.map_batches(_series, batch_format="pyarrow")
+    return deadband_filter(ds, delta=6000, order_cols=("x", "eid"),
+                           num_partitions=2)
+
+
+DEADBAND_SQL = """
+WITH RECURSIVE e AS (
+    SELECT event_type AS series_id, epoch_us(ts) AS x, event_id,
+           CAST(round(value * 100) AS BIGINT) AS y
+    FROM events
+),
+o AS (
+    SELECT series_id, x, y,
+           CAST(row_number() OVER (PARTITION BY series_id
+                                   ORDER BY x, event_id) AS BIGINT) AS rn
+    FROM e
+),
+r AS (
+    SELECT series_id, rn, x, y, y AS last_emit, 1 AS emitted
+    FROM o WHERE rn = 1
+    UNION ALL
+    SELECT o.series_id, o.rn, o.x, o.y,
+           CASE WHEN abs(o.y - r.last_emit) > 6000
+                THEN o.y ELSE r.last_emit END,
+           CASE WHEN abs(o.y - r.last_emit) > 6000 THEN 1 ELSE 0 END
+    FROM r JOIN o ON o.series_id = r.series_id AND o.rn = r.rn + 1
+)
+SELECT series_id, CAST(x AS BIGINT) AS x, y
+FROM r WHERE emitted = 1
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -9552,6 +9680,8 @@ QUERIES = {
     "clamped_balance_events": q_clamped_balance_events,
     "token_bucket_events": q_token_bucket_events,
     "rdp_simplify_15m": q_rdp_simplify_15m,
+    "vw_simplify_15m": q_vw_simplify_15m,
+    "deadband_events": q_deadband_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -10133,6 +10263,8 @@ ORACLE_SQL = {
     "clamped_balance_events": CLAMPED_BALANCE_SQL,
     "token_bucket_events": TOKEN_BUCKET_SQL,
     "rdp_simplify_15m": RDP_SIMPLIFY_SQL,
+    "vw_simplify_15m": VW_SIMPLIFY_SQL,
+    "deadband_events": DEADBAND_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (

@@ -30,7 +30,8 @@ from ..functions.gorilla import (
     encode_values,
 )
 
-__all__ = ["ChunkCompressor", "ChunkDecompressor", "compress_chunks_per_series"]
+__all__ = ["ChunkCompressor", "ChunkDecompressor",
+           "compress_chunks_per_series", "deadband_filter"]
 
 _F64 = "f8"
 _I64 = "i8"
@@ -181,3 +182,82 @@ def compact_chunks(chunks_ds, value_cols: dict[str, str] | None = None,
     parted = chunks_ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _compact, batch_format="pyarrow")
+
+
+def deadband_filter(ds, *, delta: int, series_col: str = "series_id",
+                    x_col: str = "x", y_col: str = "y",
+                    order_cols: tuple = ("x",), num_partitions: int = 8):
+    """Dead-band / report-by-exception compression (the industrial
+    historian's ingest filter, e.g. PI compression's simpler cousin):
+    per series in time order, a point is EMITTED iff its value differs
+    from the LAST EMITTED value by more than ``delta`` (the first point
+    always emits). The emitted subset reconstructs the series within a
+    +-delta band under last-observation-carried-forward.
+
+    The recurrence's state (last emitted value) jumps data-dependently,
+    so unlike ``clamped_balance``/``token_bucket`` there is no prefix
+    identity — the per-series pass advances emission-to-emission, each
+    hop one vectorized scan of the remaining tail (O(n * emitted); cheap
+    exactly when compression is effective, and bounded by the tier-row
+    per-series contract). Parallel across series via one hash shuffle.
+
+    Output: the emitted rows ``(series_id, x, y)`` — exact int64,
+    SQL-replayable by a recursive CTE walking each series row by row.
+    """
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _emit_mask(y: np.ndarray) -> np.ndarray:
+        n = len(y)
+        keep = np.zeros(n, dtype=bool)
+        if n == 0:
+            return keep
+        keep[0] = True
+        e = 0
+        while True:
+            tail = np.abs(y[e + 1:] - y[e]) > delta
+            hit = int(np.argmax(tail)) if tail.any() else -1
+            if hit < 0:
+                return keep
+            e = e + 1 + hit
+            keep[e] = True
+
+    def _filter(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t[series_col].type
+        empty = pa.table({"series_id": pa.array([], s_type),
+                          "x": pa.array([], pa.int64()),
+                          "y": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        sort_keys = [(series_col, "ascending")] + [
+            (c, "ascending") for c in order_cols]
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        ends = np.r_[starts[1:], len(codes)]
+        keep = np.zeros(len(codes), dtype=bool)
+        for f, l in zip(starts, ends):  # series loop
+            keep[f:l] = _emit_mask(y[f:l])
+        idx = pa.array(np.flatnonzero(keep))
+        return pa.table({"series_id": sid.take(idx),
+                         "x": pa.array(x[keep]),
+                         "y": pa.array(y[keep])})
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _filter, batch_format="pyarrow")

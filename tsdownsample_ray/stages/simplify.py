@@ -35,7 +35,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["rdp_simplify", "rdp_keep_mask"]
+__all__ = ["rdp_simplify", "rdp_keep_mask", "vw_simplify", "vw_keep_mask"]
 
 _CROSS_GUARD = 3_000_000_000  # |cross| bound keeping cross^2 in int64
 
@@ -81,6 +81,55 @@ def rdp_keep_mask(x: np.ndarray, y: np.ndarray, eps: int) -> np.ndarray:
     return keep
 
 
+def vw_keep_mask(x: np.ndarray, y: np.ndarray, min_area2: int) -> np.ndarray:
+    """Visvalingam-Whyatt keep-mask of one series' points (x strictly
+    increasing): repeatedly remove the ACTIVE interior point whose
+    triangle with its current active neighbors has the smallest doubled
+    area ``|cross|`` (< ``min_area2``), ties toward the smallest x.
+    Endpoints are never removed. The removal order is the defining
+    sequential dependency (each removal relinks neighbors) — parallel
+    across series, exact int64 within one (same overflow bound as RDP).
+    """
+    n = len(x)
+    keep = np.ones(n, dtype=bool)
+    if n <= 2:
+        return keep
+    if np.any(x[1:] <= x[:-1]):
+        raise ValueError("vw requires strictly increasing x per series")
+    span_x = int(x[-1]) - int(x[0])
+    span_y = int(y.max()) - int(y.min())
+    if 2 * span_x * span_y >= _CROSS_GUARD:
+        raise OverflowError(
+            f"vw area bound exceeded: {span_x=} {span_y=}; rescale y")
+    prv = np.arange(-1, n - 1)
+    nxt = np.arange(1, n + 1)
+    BIG = np.iinfo(np.int64).max
+
+    def _area2(i):
+        a, b = prv[i], nxt[i]
+        return abs((x[b] - x[a]) * (y[i] - y[a])
+                   - (y[b] - y[a]) * (x[i] - x[a]))
+
+    area = np.full(n, BIG, dtype=np.int64)
+    interior = np.arange(1, n - 1)
+    a, b = prv[interior], nxt[interior]
+    area[interior] = np.abs((x[b] - x[a]) * (y[interior] - y[a])
+                            - (y[b] - y[a]) * (x[interior] - x[a]))
+    while True:
+        i = int(np.argmin(area))  # first min = smallest x (tie-break)
+        if area[i] >= min_area2:
+            break
+        keep[i] = False
+        area[i] = BIG
+        p, q = prv[i], nxt[i]
+        nxt[p], prv[q] = q, p
+        if p > 0:
+            area[p] = _area2(p)
+        if q < n - 1:
+            area[q] = _area2(q)
+    return keep
+
+
 def rdp_simplify(rolled, *, eps: int, series_col: str = "series_id",
                  x_col: str = "bucket", y_col: str = "sum_y",
                  num_partitions: int = 8):
@@ -120,6 +169,57 @@ def rdp_simplify(rolled, *, eps: int, series_col: str = "series_id",
         keep = np.zeros(len(codes), dtype=bool)
         for f, l in zip(starts, ends):  # series loop; split walk inside
             keep[f:l] = rdp_keep_mask(x[f:l], y[f:l], eps)
+        idx = pa.array(np.flatnonzero(keep))
+        return pa.table({"series_id": sid.take(idx),
+                         "x": pa.array(x[keep]),
+                         "y": pa.array(y[keep])})
+
+    parted = rolled.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _simplify, batch_format="pyarrow")
+
+
+def vw_simplify(rolled, *, min_area2: int, series_col: str = "series_id",
+                x_col: str = "bucket", y_col: str = "sum_y",
+                num_partitions: int = 8):
+    """Per-series Visvalingam-Whyatt simplification over tier rows;
+    returns the kept points ``(series_id, x, y)``. Same one-shuffle
+    segment discipline as :func:`rdp_simplify`; the per-series removal
+    loop is the algorithm's defining sequential dependency (each removal
+    relinks neighbors), parallel across series."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _simplify(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t[series_col].type
+        empty = pa.table({"series_id": pa.array([], s_type),
+                          "x": pa.array([], pa.int64()),
+                          "y": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (x_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        ends = np.r_[starts[1:], len(codes)]
+        keep = np.zeros(len(codes), dtype=bool)
+        for f, l in zip(starts, ends):  # series loop
+            keep[f:l] = vw_keep_mask(x[f:l], y[f:l], min_area2)
         idx = pa.array(np.flatnonzero(keep))
         return pa.table({"series_id": sid.take(idx),
                          "x": pa.array(x[keep]),
