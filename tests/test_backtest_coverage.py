@@ -1,0 +1,58 @@
+"""Incident-coverage range join and naive-forecast backtest."""
+
+import duckdb
+import numpy as np
+
+
+def test_incident_coverage_properties(ray_session):
+    from tsdownsample_ray.pipelines.queries import (
+        q_incident_coverage_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = (q_incident_coverage_events(sf).to_pandas()
+           .set_index("event_type"))
+    assert set(out.index) == {"click", "error", "purchase", "signup",
+                              "view"}
+    assert (out.n_covered <= out.n_events).all()
+    assert (out.total_coverage >= out.n_covered).all()
+    # every error event covers itself -> the error series is fully covered
+    assert out.loc["error", "n_covered"] == out.loc["error", "n_events"]
+    # hand replay one series
+    te = np.sort(duckdb.sql(
+        f"SELECT epoch_us(ts) FROM '{sf}/events.parquet' "
+        "WHERE event_type='error'").df().iloc[:, 0].to_numpy())
+    t = duckdb.sql(
+        f"SELECT epoch_us(ts) FROM '{sf}/events.parquet' "
+        "WHERE event_type='click'").df().iloc[:, 0].to_numpy()
+    W = 1_800_000_000
+    cov = (np.searchsorted(te, t, "right")
+           - np.searchsorted(te, t - W, "left"))
+    assert out.loc["click", "total_coverage"] == int(cov.sum())
+    assert out.loc["click", "n_covered"] == int((cov > 0).sum())
+
+
+def test_backtest_naive_replay(ray_session):
+    from tsdownsample_ray.pipelines.queries import q_backtest_naive_1h
+
+    sf = "/root/testdata/sf0.001"
+    out = (q_backtest_naive_1h(sf).to_pandas().set_index("series_id"))
+    H = 3_600_000_000
+    df = duckdb.sql(f"""
+        SELECT event_type s, epoch_us(ts)//{H}*{H} b,
+               CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) y
+        FROM '{sf}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    for s, g in df.groupby("s"):
+        by_b = dict(zip(g.b, g.y))
+        n_s = sae_s = n_1 = sae_1 = 0
+        for b, y in by_b.items():
+            if b - 24 * H in by_b:
+                n_s += 1
+                sae_s += abs(int(y) - int(by_b[b - 24 * H]))
+            if b - H in by_b:
+                n_1 += 1
+                sae_1 += abs(int(y) - int(by_b[b - H]))
+        r = out.loc[s]
+        assert (r.n, r.n_seasonal, r.sae_seasonal, r.n_naive,
+                r.sae_naive) == (len(by_b), n_s, sae_s, n_1, sae_1)

@@ -9527,6 +9527,171 @@ FROM r WHERE emitted = 1
 """
 
 
+def q_incident_coverage_events(sf_dir: str):
+    """Interval-overlap range join, monitoring flavor: every ``error``
+    event opens a 30-minute incident window ``[ts, ts+30m]``; for each
+    series count its events covered by >=1 window and the total
+    coverage multiplicity. The interval side is the SMALL side (an
+    incident list stays small at any corpus scale), so it is broadcast
+    once (``ray.put``) as a sorted int64 array and each batch answers
+    stab queries with two ``searchsorted`` calls — ``cov(t) =
+    #(te <= t) − #(te < t−W)`` — instead of a range-join shuffle.
+    Map-side per-batch partials; final merge is <=|series| rows."""
+    import ray as _ray
+
+    W = 1_800_000_000
+    ev = _events_series(sf_dir, cols=("event_id", "event_type", "ts"))
+
+    def _errs(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["event_type"], "error")
+        return b.filter(m).select(["ts_us"])
+
+    err = ev.map_batches(_errs, batch_format="pyarrow").take_all()
+    te = np.sort(np.array([r["ts_us"] for r in err], dtype=np.int64))
+    te_ref = _ray.put(te)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        t = b["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        te_s = _ray.get(te_ref)
+        cov = (np.searchsorted(te_s, t, side="right")
+               - np.searchsorted(te_s, t - W, side="left"))
+        tbl = pa.table({"event_type": b["event_type"],
+                        "one": np.ones(len(t), dtype=np.int64),
+                        "covered": (cov > 0).astype(np.int64),
+                        "cov": cov.astype(np.int64)})
+        g = tbl.group_by(["event_type"]).aggregate(
+            [("one", "sum"), ("covered", "sum"), ("cov", "sum")])
+        return g.rename_columns(
+            ["event_type", "n_events", "n_covered", "total_coverage"])
+
+    def _merge(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": g["event_type"].slice(0, 1),
+            "n_events": pa.array([pc.sum(g["n_events"]).as_py()],
+                                 pa.int64()),
+            "n_covered": pa.array([pc.sum(g["n_covered"]).as_py()],
+                                  pa.int64()),
+            "total_coverage": pa.array(
+                [pc.sum(g["total_coverage"]).as_py()], pa.int64())})
+
+    return (ev.map_batches(_partial, batch_format="pyarrow")
+            .groupby("event_type").map_groups(_merge,
+                                              batch_format="pyarrow"))
+
+
+INCIDENT_COVERAGE_SQL = """
+WITH err AS (
+    SELECT epoch_us(ts) AS te FROM events WHERE event_type = 'error'
+),
+ev AS (
+    SELECT event_type, event_id, epoch_us(ts) AS t FROM events
+),
+c AS (
+    SELECT e.event_type, e.event_id, count(w.te) AS cov
+    FROM ev e LEFT JOIN err w
+      ON w.te BETWEEN e.t - 1800000000 AND e.t
+    GROUP BY 1, 2
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN cov > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_covered,
+       CAST(sum(cov) AS BIGINT) AS total_coverage
+FROM c GROUP BY 1
+"""
+
+
+def q_backtest_naive_1h(sf_dir: str):
+    """Forecast backtest over the 1h tier: score the two standard
+    baselines per series — seasonal-naive (y[t−24h]) and naive-1
+    (y[t−1h]) — as exact integer error sums (the MASE building blocks;
+    callers divide). A row is scored against a baseline only where that
+    lagged bucket EXISTS (no gap-fill assumptions). One hash(series)
+    shuffle; per-segment bucket alignment via two ``searchsorted``
+    probes — no self-join shuffle."""
+    from ..arrow_utils import stable_part_codes
+    from ..stages.rollup import rollup
+
+    H = 3_600_000_000
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"), H)
+    mod = 2 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["series_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _score(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t["series_id"].type
+        cols = ("n", "n_seasonal", "sae_seasonal", "n_naive",
+                "sae_naive")
+        if t.num_rows == 0:
+            return pa.table({"series_id": pa.array([], s_type),
+                             **{c: pa.array([], pa.int64())
+                                for c in cols}})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("series_id", "ascending"), ("bucket", "ascending")]))
+        sid = t["series_id"]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bkt = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["sum_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        ends = np.r_[starts[1:], len(codes)]
+        out = {k: [] for k in ("sid",) + cols}
+        for f, l in zip(starts, ends):  # series loop; inner vectorized
+            b_, y_ = bkt[f:l], y[f:l]
+            out["sid"].append(sid[int(f)].as_py())
+            out["n"].append(l - f)
+            for lag, nk, sk in ((24 * H, "n_seasonal", "sae_seasonal"),
+                                (H, "n_naive", "sae_naive")):
+                tgt = b_ - lag
+                idx = np.searchsorted(b_, tgt)
+                ok = (idx < len(b_)) & (b_[np.minimum(idx, len(b_) - 1)]
+                                        == tgt)
+                err = np.abs(y_[ok] - y_[idx[ok]])
+                out[nk].append(int(ok.sum()))
+                out[sk].append(int(err.sum()))
+        return pa.table({"series_id": pa.array(out["sid"], s_type),
+                         **{c: pa.array(out[c], pa.int64())
+                            for c in cols}})
+
+    return (rolled.map_batches(_add_part, batch_format="pyarrow")
+            .repartition(2).groupby("__part")
+            .map_groups(_score, batch_format="pyarrow"))
+
+
+BACKTEST_NAIVE_SQL = """
+WITH r AS (
+    SELECT event_type AS series_id,
+           epoch_us(ts) // 3600000000 * 3600000000 AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+)
+SELECT a.series_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(s.bucket) AS BIGINT) AS n_seasonal,
+       CAST(coalesce(sum(abs(a.y - s.y)), 0) AS BIGINT) AS sae_seasonal,
+       CAST(count(n1.bucket) AS BIGINT) AS n_naive,
+       CAST(coalesce(sum(abs(a.y - n1.y)), 0) AS BIGINT) AS sae_naive
+FROM r a
+LEFT JOIN r s  ON s.series_id = a.series_id
+              AND s.bucket = a.bucket - 86400000000
+LEFT JOIN r n1 ON n1.series_id = a.series_id
+              AND n1.bucket = a.bucket - 3600000000
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -9682,6 +9847,8 @@ QUERIES = {
     "rdp_simplify_15m": q_rdp_simplify_15m,
     "vw_simplify_15m": q_vw_simplify_15m,
     "deadband_events": q_deadband_events,
+    "incident_coverage_events": q_incident_coverage_events,
+    "backtest_naive_1h": q_backtest_naive_1h,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -10265,6 +10432,8 @@ ORACLE_SQL = {
     "rdp_simplify_15m": RDP_SIMPLIFY_SQL,
     "vw_simplify_15m": VW_SIMPLIFY_SQL,
     "deadband_events": DEADBAND_SQL,
+    "incident_coverage_events": INCIDENT_COVERAGE_SQL,
+    "backtest_naive_1h": BACKTEST_NAIVE_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
