@@ -56,3 +56,43 @@ def test_backtest_naive_replay(ray_session):
         r = out.loc[s]
         assert (r.n, r.n_seasonal, r.sae_seasonal, r.n_naive,
                 r.sae_naive) == (len(by_b), n_s, sae_s, n_1, sae_1)
+
+
+def test_rate_limit_replay(ray_session):
+    from tsdownsample_ray.pipelines.queries import q_rate_limit_users
+
+    sf = "/root/testdata/sf0.001"
+    out = q_rate_limit_users(sf).to_pandas().set_index("user_id")
+    W, L = 86_400_000_000, 4
+    df = duckdb.sql(f"""
+        SELECT user_id u, epoch_us(ts) t FROM '{sf}/events.parquet'
+        ORDER BY 1, 2
+    """).df()
+    for u, g in df.groupby("u"):
+        t = g.t.to_numpy()
+        cnt = np.array([((t > ti - W) & (t <= ti)).sum() for ti in t])
+        r = out.loc[u]
+        assert (r.n_events, r.max_trailing, r.n_throttled) == (
+            len(t), int(cnt.max()), int((cnt > L).sum()))
+
+
+def test_readability_hand_values(ray_session):
+    import pyarrow as pa
+
+    from tsdownsample_ray.stages.textstats import readability_batch
+
+    b = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["Hello world. It is day!",
+                           "x# .!? yy",
+                           "zzz"]})
+    out = readability_batch(b).to_pandas().set_index("doc_id")
+    # doc 1: 5 words; runs of [.!?]: '.'+'!' = 2; vowel runs:
+    # e,o,o,I,i,ay -> hEllO wOrld It Is dAy -> e|o|o|I|i|a+y(run 'ay')
+    r = out.loc[1]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (5, 2, 6)
+    # doc 2: '#' in text must not inflate run counts; '.!?' is ONE run
+    r = out.loc[2]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (3, 1, 1)
+    # doc 3: no vowels, no sentences -> flesch null
+    import math
+    assert math.isnan(out.loc[3].flesch)

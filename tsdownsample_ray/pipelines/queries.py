@@ -9692,6 +9692,123 @@ GROUP BY 1
 """
 
 
+def q_rate_limit_users(sf_dir: str):
+    """Sliding-window rate-limiter audit: for every event, the TRAILING
+    count of the same user's events in ``(t − 24h, t]``; an event is
+    throttled when that count exceeds L=4. Per user output: n_events,
+    the peak trailing count and the throttled total — exact int64.
+    One hash(user) shuffle; the trailing counts for ALL rows of a
+    partition come from two global ``searchsorted`` probes on a
+    composite ``user_code*SPAN + (t − tmin)`` key (no per-user Python,
+    no self-join shuffle)."""
+    from ..arrow_utils import stable_part_codes
+
+    W = 86_400_000_000
+    L = 4
+    ev = _events_series(sf_dir, cols=("event_id", "user_id", "ts"))
+    mod = 4 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["user_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _audit(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        u_type = t["user_id"].type
+        cols = ("n_events", "max_trailing", "n_throttled")
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], u_type),
+                             **{c: pa.array([], pa.int64())
+                                for c in cols}})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("ts_us", "ascending"),
+            ("event_id", "ascending")]))
+        uid = t["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        codes = uid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tmin = int(ts.min())
+        span = int(ts.max()) - tmin + W + 2
+        key = codes * span + (ts - tmin)
+        # trailing count in (t-W, t]: both bounds via side='right'
+        cnt = (np.searchsorted(key, key, side="right")
+               - np.searchsorted(key, codes * span + (ts - tmin - W),
+                                 side="right"))
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        return pa.table({
+            "user_id": uid.take(pa.array(starts)),
+            "n_events": pa.array(np.diff(np.append(starts, len(codes)))),
+            "max_trailing": pa.array(np.maximum.reduceat(cnt, starts)),
+            "n_throttled": pa.array(np.add.reduceat(
+                (cnt > L).astype(np.int64), starts))})
+
+    return (ev.map_batches(_add_part, batch_format="pyarrow")
+            .repartition(4).groupby("__part")
+            .map_groups(_audit, batch_format="pyarrow"))
+
+
+RATE_LIMIT_SQL = """
+WITH e AS (
+    SELECT user_id AS u, event_id, epoch_us(ts) AS t FROM events
+),
+c AS (
+    SELECT a.u, a.event_id, count(*) AS cnt
+    FROM e a JOIN e b
+      ON b.u = a.u AND b.t > a.t - 86400000000 AND b.t <= a.t
+    GROUP BY 1, 2
+)
+SELECT u AS user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(cnt) AS BIGINT) AS max_trailing,
+       CAST(sum(CASE WHEN cnt > 4 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_throttled
+FROM c GROUP BY 1
+"""
+
+
+def q_readability_docs(sf_dir: str):
+    """Flesch reading-ease panel per document
+    (``stages/textstats.py:readability_batch``): words / sentence-runs /
+    vowel-group syllables as byte-exact integers plus the pinned-IEEE
+    Flesch score — one vectorized pass over the UTF-8 buffer, no
+    shuffle at all (embarrassingly parallel map)."""
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+    from ..stages.textstats import readability_batch
+
+    return ds.map_batches(readability_batch, batch_format="pyarrow")
+
+
+READABILITY_SQL = """
+WITH m AS (
+    SELECT doc_id,
+           length(text) - length(replace(text, ' ', '')) + 1 AS n_words,
+           length(regexp_replace(text, '[.!?]+', 'X', 'g'))
+             - length(regexp_replace(text, '[.!?]+', '', 'g'))
+               AS n_sentences,
+           length(regexp_replace(lower(text), '[aeiouy]+', 'X', 'g'))
+             - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+               AS n_syllables
+    FROM documents
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+            206.835
+            - 1.015 * (CAST(n_words AS DOUBLE)
+                       / CAST(n_sentences AS DOUBLE))
+            - 84.6 * (CAST(n_syllables AS DOUBLE)
+                      / CAST(n_words AS DOUBLE))
+       END AS flesch
+FROM m
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -9849,6 +9966,8 @@ QUERIES = {
     "deadband_events": q_deadband_events,
     "incident_coverage_events": q_incident_coverage_events,
     "backtest_naive_1h": q_backtest_naive_1h,
+    "rate_limit_users": q_rate_limit_users,
+    "readability_docs": q_readability_docs,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -10434,6 +10553,8 @@ ORACLE_SQL = {
     "deadband_events": DEADBAND_SQL,
     "incident_coverage_events": INCIDENT_COVERAGE_SQL,
     "backtest_naive_1h": BACKTEST_NAIVE_SQL,
+    "rate_limit_users": RATE_LIMIT_SQL,
+    "readability_docs": READABILITY_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (

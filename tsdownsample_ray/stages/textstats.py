@@ -11,7 +11,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["token_stats_batch", "LangId", "fingerprint_batch",
-           "quality_batch", "BpeishTokenizer", "kwic"]
+           "quality_batch", "BpeishTokenizer", "kwic",
+           "readability_batch"]
 
 # GPT-2-style pretokenizer pattern (contractions, letter runs, digit runs,
 # punctuation runs, whitespace) — the "BPE-ish regex" token count
@@ -452,3 +453,65 @@ def kwic(ds, *, term: str, ctx: int, text_col: str = "text",
         })
 
     return ds.map_batches(_kwic, batch_format="pyarrow")
+
+
+_IS_VOWEL = np.zeros(256, dtype=bool)
+for _c in b"aeiouyAEIOUY":
+    _IS_VOWEL[_c] = True
+_IS_SENT = np.zeros(256, dtype=bool)
+for _c in b".!?":
+    _IS_SENT[_c] = True
+
+
+def readability_batch(batch: pa.Table, *, text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """Flesch reading-ease inputs, pinned to byte-exact definitions:
+    words = space count + 1 (the corpus token convention), sentences =
+    maximal runs of ``[.!?]``, syllables = maximal runs of
+    ``[aeiouyAEIOUY]`` (the classic vowel-group heuristic). Run
+    boundaries are identical measured in bytes or characters (the
+    classes are pure ASCII), so the counts are exact for any UTF-8
+    text with no per-row fallback. Flesch itself is one pinned IEEE
+    expression over the three counts (null when words or sentences are
+    zero).
+
+    Vectorized: one pass over the column's raw UTF-8 buffer — class
+    lookup tables, run-start flags, cumsum segment counts."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    odt = np.int32 if pa.types.is_string(text.type) else np.int64
+    off_buf = np.frombuffer(text.buffers()[1], dtype=odt)
+    offsets = off_buf[text.offset: text.offset + len(text) + 1].astype(
+        np.int64)
+    data = np.frombuffer(text.buffers()[2], dtype=np.uint8)
+    starts, ends = offsets[:-1], offsets[1:]
+
+    spaces = _seg_counts((data == 32).astype(np.int64), starts, ends)
+    n_words = spaces + 1
+
+    def _runs(cls: np.ndarray) -> np.ndarray:
+        m = cls[data]
+        start_flag = m.copy()
+        start_flag[1:] &= ~m[:-1]
+        # a doc-initial class byte always starts a run (reset at docs)
+        inb = starts[starts < len(data)]
+        start_flag[inb] = m[inb]
+        return _seg_counts(start_flag.astype(np.int64), starts, ends)
+
+    n_syllables = _runs(_IS_VOWEL)
+    n_sentences = _runs(_IS_SENT)
+
+    ok = (n_words > 0) & (n_sentences > 0)
+    w = n_words.astype(np.float64)
+    s = np.where(n_sentences == 0, 1, n_sentences).astype(np.float64)
+    sy = n_syllables.astype(np.float64)
+    flesch = 206.835 - 1.015 * (w / s) - 84.6 * (sy / w)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_words": pa.array(n_words, pa.int64()),
+        "n_sentences": pa.array(n_sentences, pa.int64()),
+        "n_syllables": pa.array(n_syllables, pa.int64()),
+        "flesch": pa.array(np.where(ok, flesch, np.nan), pa.float64(),
+                           mask=~ok),
+    })
