@@ -96,3 +96,30 @@ def test_readability_hand_values(ray_session):
     # doc 3: no vowels, no sentences -> flesch null
     import math
     assert math.isnan(out.loc[3].flesch)
+
+
+def test_isotonic_fit_properties(ray_session):
+    from fractions import Fraction
+
+    from tsdownsample_ray.pipelines.queries import q_isotonic_fit_1h
+
+    sf = "/root/testdata/sf0.001"
+    out = q_isotonic_fit_1h(sf).to_pandas()
+    for s, g in out.groupby("series_id"):
+        g = g.sort_values("bucket")
+        fits = [Fraction(int(n), int(d))
+                for n, d in zip(g.fit_num, g.fit_den)]
+        # non-decreasing fit
+        assert all(a <= b for a, b in zip(fits, fits[1:]))
+        # total mass preserved (sum of fits == sum of y)
+        assert sum(fits) == sum(int(v) for v in g.y)
+        # each maximal constant block's fit is the block mean of y
+        i = 0
+        vals = list(g.y)
+        while i < len(fits):
+            j = i
+            while j < len(fits) and fits[j] == fits[i]:
+                j += 1
+            assert Fraction(sum(int(v) for v in vals[i:j]),
+                            j - i) == fits[i]
+            i = j

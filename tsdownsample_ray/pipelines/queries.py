@@ -9809,6 +9809,150 @@ FROM m
 """
 
 
+def q_isotonic_fit_1h(sf_dir: str):
+    """Isotonic (non-decreasing) regression per series over the 1h tier
+    via pool-adjacent-violators: classic stack PAVA per series (merge
+    while the previous pool's mean exceeds the last's, compared by
+    int64 cross-multiplication — no floats). The isotonic FIT is the
+    unique L2 projection onto the monotone cone and PAVA reaches it
+    under ANY adjacent-violator merge order, so the per-ROW fitted
+    value is well-defined even where pool boundaries are not; it is
+    emitted as the gcd-reduced exact fraction ``(fit_num, fit_den)``.
+    The SQL oracle replays PAVA merging the FIRST violating pair per
+    series per recursive-CTE iteration — a different merge order,
+    provably the same row-level fit. One hash(series) shuffle; the
+    per-series stack walk is O(n) amortized (each row merges at most
+    once)."""
+    from ..arrow_utils import stable_part_codes
+    from ..stages.rollup import rollup
+
+    H = 3_600_000_000
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"), H)
+    mod = 2 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["series_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _pava(y: np.ndarray):
+        """Stack PAVA -> per-row (pool_sum, pool_cnt)."""
+        sums, cnts = [], []
+        for v in y:
+            s, c = int(v), 1
+            while sums and sums[-1] * c > s * cnts[-1]:
+                s += sums.pop()
+                c += cnts.pop()
+            sums.append(s)
+            cnts.append(c)
+        ps = np.repeat(np.array(sums, np.int64),
+                       np.array(cnts, np.int64))
+        pc_ = np.repeat(np.array(cnts, np.int64),
+                        np.array(cnts, np.int64))
+        return ps, pc_
+
+    def _fit(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t["series_id"].type
+        if t.num_rows == 0:
+            return pa.table({"series_id": pa.array([], s_type),
+                             "bucket": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64()),
+                             "fit_num": pa.array([], pa.int64()),
+                             "fit_den": pa.array([], pa.int64())})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("series_id", "ascending"), ("bucket", "ascending")]))
+        sid = t["series_id"]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bkt = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["sum_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        ends = np.r_[starts[1:], len(codes)]
+        num = np.empty(len(y), np.int64)
+        den = np.empty(len(y), np.int64)
+        for f, l in zip(starts, ends):  # series loop (tier contract)
+            ps, pcnt = _pava(y[f:l])
+            num[f:l], den[f:l] = ps, pcnt
+        g_ = np.gcd(num, den)
+        return pa.table({"series_id": sid, "bucket": pa.array(bkt),
+                         "y": pa.array(y),
+                         "fit_num": pa.array(num // g_),
+                         "fit_den": pa.array(den // g_)})
+
+    return (rolled.map_batches(_add_part, batch_format="pyarrow")
+            .repartition(2).groupby("__part")
+            .map_groups(_fit, batch_format="pyarrow"))
+
+
+ISOTONIC_SQL = """
+WITH RECURSIVE r AS (
+    SELECT event_type AS series_id,
+           epoch_us(ts) // 3600000000 * 3600000000 AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+p AS (
+    SELECT series_id, bucket, y,
+           CAST(row_number() OVER (PARTITION BY series_id
+                                   ORDER BY bucket) AS BIGINT) AS rn
+    FROM r
+),
+w AS (
+    SELECT CAST(0 AS BIGINT) AS iter, series_id, rn AS start_rn,
+           rn AS end_rn, y AS psum, CAST(1 AS BIGINT) AS pcnt
+    FROM p
+    UNION ALL
+    SELECT iter + 1, series_id,
+           start_rn,
+           CASE WHEN start_rn = fv THEN nend ELSE end_rn END,
+           CASE WHEN start_rn = fv THEN psum + nsum ELSE psum END,
+           CASE WHEN start_rn = fv THEN pcnt + ncnt ELSE pcnt END
+    FROM (
+        SELECT iter, series_id, start_rn, end_rn, psum, pcnt,
+               nsum, ncnt, nend, pstart,
+               min(viol) OVER (PARTITION BY series_id) AS fv
+        FROM (
+            SELECT iter, series_id, start_rn, end_rn, psum, pcnt,
+                   lead(psum) OVER ws AS nsum,
+                   lead(pcnt) OVER ws AS ncnt,
+                   lead(end_rn) OVER ws AS nend,
+                   lag(start_rn) OVER ws AS pstart,
+                   CASE WHEN lead(psum) OVER ws IS NOT NULL
+                         AND psum * lead(pcnt) OVER ws
+                             > lead(psum) OVER ws * pcnt
+                        THEN start_rn END AS viol
+            FROM w
+            WINDOW ws AS (PARTITION BY series_id ORDER BY start_rn)
+        )
+    )
+    WHERE fv IS NOT NULL AND (pstart IS NULL OR pstart <> fv)
+),
+f AS (
+    SELECT series_id, start_rn, end_rn, psum, pcnt FROM (
+        SELECT w.*, max(iter) OVER (PARTITION BY series_id) AS mx
+        FROM w
+    ) WHERE iter = mx
+)
+SELECT p.series_id, CAST(p.bucket AS BIGINT) AS bucket, p.y,
+       CAST(f.psum // gcd(f.psum, f.pcnt) AS BIGINT) AS fit_num,
+       CAST(f.pcnt // gcd(f.psum, f.pcnt) AS BIGINT) AS fit_den
+FROM p JOIN f
+  ON f.series_id = p.series_id
+ AND p.rn BETWEEN f.start_rn AND f.end_rn
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -9968,6 +10112,7 @@ QUERIES = {
     "backtest_naive_1h": q_backtest_naive_1h,
     "rate_limit_users": q_rate_limit_users,
     "readability_docs": q_readability_docs,
+    "isotonic_fit_1h": q_isotonic_fit_1h,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -10555,6 +10700,7 @@ ORACLE_SQL = {
     "backtest_naive_1h": BACKTEST_NAIVE_SQL,
     "rate_limit_users": RATE_LIMIT_SQL,
     "readability_docs": READABILITY_SQL,
+    "isotonic_fit_1h": ISOTONIC_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
