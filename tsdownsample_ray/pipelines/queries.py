@@ -9953,6 +9953,434 @@ FROM p JOIN f
 """
 
 
+def q_mmr_select_embeddings(sf_dir: str):
+    """Maximal-marginal-relevance selection (the RAG/result-diversity
+    primitive): greedily pick k=10 of the top-M=50 candidates by
+    ``score = qsim − max_sim_to_selected`` (lambda=1/2, scaled by 2),
+    all on exact integer dot products over trunc(x*1000)-quantized
+    components (the catalog's embedding convention), ties to the
+    smallest vec_id. Distributed shape: the query vector broadcasts in
+    a closure; each batch computes qsim with one integer matmul and
+    keeps only its LOCAL top-M rows, so the driver merge sees
+    blocks×M rows, never the corpus; the greedy loop then runs on the
+    M-row candidate set. Query vector: vec_id=7 (excluded)."""
+    QID, M, K = 7, 50, 10
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+
+    from ..stages.similarity import embedding_matrix
+
+    def _qrow(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["vec_id"], QID)
+        return b.filter(m)
+
+    qrows = ds.map_batches(_qrow, batch_format="pyarrow").take_all()
+    qv = np.trunc(np.asarray(qrows[0]["embedding"], np.float64)
+                  * 1000).astype(np.int64)
+
+    def _local_top(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        E = np.trunc(embedding_matrix(b).astype(np.float64)
+                     * 1000).astype(np.int64)
+        keep = ids != QID
+        ids, E = ids[keep], E[keep]
+        qsim = E @ qv
+        order = np.lexsort((ids, -qsim))[:M]
+        return pa.table({
+            "vec_id": pa.array(ids[order]),
+            "qsim": pa.array(qsim[order]),
+            "v": pa.array(list(E[order]),
+                          pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(_local_top, batch_format="pyarrow").take_all()
+    ids = np.array([r["vec_id"] for r in parts], dtype=np.int64)
+    qsim = np.array([r["qsim"] for r in parts], dtype=np.int64)
+    V = np.array([r["v"] for r in parts], dtype=np.int64)
+    order = np.lexsort((ids, -qsim))[:M]
+    ids, qsim, V = ids[order], qsim[order], V[order]
+
+    red = np.zeros(len(ids), dtype=np.int64)
+    alive = np.ones(len(ids), dtype=bool)
+    out = {"rank": [], "vec_id": [], "qsim": [], "redundancy": []}
+    for k in range(1, K + 1):
+        score = qsim - red
+        cand = np.flatnonzero(alive)
+        w = cand[np.lexsort((ids[cand], -score[cand]))[0]]
+        out["rank"].append(k)
+        out["vec_id"].append(int(ids[w]))
+        out["qsim"].append(int(qsim[w]))
+        out["redundancy"].append(int(red[w]))
+        alive[w] = False
+        red = np.maximum(red, V @ V[w])
+    return pa.table({c: pa.array(v, pa.int64())
+                     for c, v in out.items()})
+
+
+MMR_SELECT_SQL = """
+WITH RECURSIVE q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+),
+qq AS (SELECT v FROM q WHERE vec_id = 7),
+s AS (
+    SELECT q.vec_id, CAST(list_dot_product(q.v, qq.v) AS BIGINT) AS qsim,
+           q.v
+    FROM q, qq WHERE q.vec_id <> 7
+),
+cand AS (
+    SELECT vec_id, qsim, v FROM (
+        SELECT vec_id, qsim, v,
+               row_number() OVER (ORDER BY qsim DESC, vec_id) AS rk
+        FROM s
+    ) WHERE rk <= 50
+),
+w AS (
+    SELECT CAST(0 AS BIGINT) AS iter, vec_id, qsim, v,
+           CAST(0 AS BIGINT) AS red
+    FROM cand
+    UNION ALL
+    SELECT iter + 1, vec_id, qsim, v,
+           greatest(red, CAST(list_dot_product(v, wv) AS BIGINT))
+    FROM (
+        SELECT iter, vec_id, qsim, v, red,
+               first_value(v) OVER wo AS wv,
+               first_value(vec_id) OVER wo AS wid
+        FROM w
+        WINDOW wo AS (ORDER BY qsim - red DESC, vec_id)
+    )
+    WHERE vec_id <> wid AND iter < 9
+)
+SELECT CAST(iter + 1 AS BIGINT) AS rank, vec_id, qsim,
+       red AS redundancy
+FROM (
+    SELECT iter, vec_id, qsim, red,
+           row_number() OVER (PARTITION BY iter
+                              ORDER BY qsim - red DESC, vec_id) AS rk
+    FROM w
+) WHERE rk = 1 AND iter < 10
+"""
+
+
+def q_kalman_1h(sf_dir: str):
+    """Kalman local-level filter over the 1h tier
+    (``stages/smoothing.py:kalman_local_level``): converging
+    time-varying gain in pinned e6 fixed point (q=1, r=9 variance
+    units), the filtering companion to ``ewma_15m``/``holt_15m``.
+    Sequential per series (the defining data dependency), parallel
+    across series; oracle replays each step in a recursive CTE."""
+    from ..stages.rollup import rollup
+    from ..stages.smoothing import kalman_local_level
+
+    H = 3_600_000_000
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"), H)
+    return kalman_local_level(rolled, num_partitions=2)
+
+
+KALMAN_SQL = """
+WITH RECURSIVE r AS (
+    SELECT event_type AS series_id,
+           epoch_us(ts) // 3600000000 * 3600000000 AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+o AS (
+    SELECT series_id, bucket, y,
+           CAST(row_number() OVER (PARTITION BY series_id
+                                   ORDER BY bucket) AS BIGINT) AS rn
+    FROM r
+),
+w AS (
+    SELECT series_id, rn, bucket, y,
+           y * 1000000 AS x, CAST(9000000 AS BIGINT) AS p,
+           CAST(0 AS BIGINT) AS k
+    FROM o WHERE rn = 1
+    UNION ALL
+    SELECT o.series_id, o.rn, o.bucket, o.y,
+           w.x + (((w.p + 1000000) * 1000000
+                   // (w.p + 1000000 + 9000000))
+                  * (o.y * 1000000 - w.x)) // 1000000,
+           ((1000000 - ((w.p + 1000000) * 1000000
+                        // (w.p + 1000000 + 9000000)))
+            * (w.p + 1000000)) // 1000000,
+           (w.p + 1000000) * 1000000 // (w.p + 1000000 + 9000000)
+    FROM w JOIN o ON o.series_id = w.series_id AND o.rn = w.rn + 1
+)
+SELECT series_id, CAST(bucket AS BIGINT) AS bucket, y,
+       x AS x_e6, k AS k_e6
+FROM w
+"""
+
+
+def q_expectations_events(sf_dir: str):
+    """Declarative data-quality audit (the expectations/contract layer
+    every production ingest runs): one row per check with exact
+    violation counts over the events table —
+
+      id_unique        duplicate event_id rows (count − distinct)
+      value_in_range   value outside (0, 300]
+      type_in_set      event_type outside the 5 known labels
+      user_nonnull     missing user_id
+      ts_monotonic_id  rows where (ts, event_id) order disagrees with
+                       event_id order per user (id assigned out of
+                       arrival order)
+
+    Distributed shape: every check except id_unique is a map-side
+    per-batch partial (tiny merge); id_unique counts distinct via one
+    hash(event_id) shuffle's per-group sizes; the monotonicity check
+    rides the same hash(user) segment pass as the rate-limit audit."""
+    from ..arrow_utils import stable_part_codes
+
+    ALLOWED = {"click", "view", "signup", "purchase", "error"}
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "ts", "user_id", "value"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        out = {c: b[c] for c in b.column_names if c != "ts"}
+        out["ts_us"] = b["ts"].cast(pa.int64())
+        return pa.table(out)
+
+    ds = ev.map_batches(_prep, batch_format="pyarrow")
+
+    # map-side partials for the row-local checks
+    def _local(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        bad_range = int(((v <= 0) | (v > 300)).sum())
+        et = b["event_type"]
+        in_set = pc.is_in(et, value_set=pa.array(sorted(ALLOWED)))
+        bad_type = int(pc.sum(pc.cast(pc.invert(in_set),
+                                      pa.int64())).as_py() or 0)
+        bad_user = int(b["user_id"].null_count)
+        return pa.table({
+            "check": pa.array(["value_in_range", "type_in_set",
+                               "user_nonnull"]),
+            "n_violations": pa.array([bad_range, bad_type, bad_user],
+                                     pa.int64()),
+            "n_rows": pa.array([b.num_rows] * 3, pa.int64())})
+
+    local = ds.map_batches(_local, batch_format="pyarrow")
+
+    # id uniqueness: hash(event_id) shuffle, per-group excess
+    mod = 4 * 64
+
+    def _part_id(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["event_id"], None)
+        return pa.table({
+            "event_id": b["event_id"],
+            "__part": pa.array((h % np.uint64(mod)).astype(np.int32))})
+
+    def _dups(g: pa.Table) -> pa.Table:
+        ids = g["event_id"].to_numpy(zero_copy_only=False)
+        extra = len(ids) - len(np.unique(ids))
+        return pa.table({"check": pa.array(["id_unique"]),
+                         "n_violations": pa.array([extra], pa.int64()),
+                         "n_rows": pa.array([len(ids)], pa.int64())})
+
+    dups = (ds.map_batches(_part_id, batch_format="pyarrow")
+            .repartition(4).groupby("__part")
+            .map_groups(_dups, batch_format="pyarrow"))
+
+    # per-user monotonicity of event_id vs (ts, event_id) arrival order
+    def _part_u(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["user_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _mono(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return pa.table({"check": pa.array([], pa.string()),
+                             "n_violations": pa.array([], pa.int64()),
+                             "n_rows": pa.array([], pa.int64())})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("ts_us", "ascending"),
+            ("event_id", "ascending")]))
+        uid = t["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        codes = uid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        same = np.zeros(len(eid), dtype=bool)
+        same[1:] = codes[1:] == codes[:-1]
+        viol = int((same & np.r_[False, eid[1:] < eid[:-1]]).sum())
+        return pa.table({"check": pa.array(["ts_monotonic_id"]),
+                         "n_violations": pa.array([viol], pa.int64()),
+                         "n_rows": pa.array([t.num_rows], pa.int64())})
+
+    mono = (ds.map_batches(_part_u, batch_format="pyarrow")
+            .repartition(4).groupby("__part")
+            .map_groups(_mono, batch_format="pyarrow"))
+
+    def _merge(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "check": g["check"].slice(0, 1),
+            "n_violations": pa.array(
+                [pc.sum(g["n_violations"]).as_py() or 0], pa.int64()),
+            "n_rows": pa.array([pc.sum(g["n_rows"]).as_py() or 0],
+                               pa.int64())})
+
+    return (local.union(dups).union(mono)
+            .groupby("check").map_groups(_merge, batch_format="pyarrow"))
+
+
+EXPECTATIONS_SQL = """
+WITH e AS (
+    SELECT event_id, event_type, epoch_us(ts) AS t, user_id, value
+    FROM events
+),
+mono AS (
+    SELECT count(*) AS n,
+           sum(CASE WHEN prev_id IS NOT NULL AND event_id < prev_id
+                    THEN 1 ELSE 0 END) AS v
+    FROM (
+        SELECT event_id,
+               lag(event_id) OVER (PARTITION BY user_id
+                                   ORDER BY t, event_id) AS prev_id
+        FROM e
+    )
+)
+SELECT * FROM (
+    SELECT 'id_unique' AS "check",
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+               AS n_violations,
+           CAST(count(*) AS BIGINT) AS n_rows FROM e
+    UNION ALL
+    SELECT 'value_in_range',
+           CAST(sum(CASE WHEN value <= 0 OR value > 300
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT) FROM e
+    UNION ALL
+    SELECT 'type_in_set',
+           CAST(sum(CASE WHEN event_type NOT IN
+                         ('click','view','signup','purchase','error')
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT) FROM e
+    UNION ALL
+    SELECT 'user_nonnull',
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(*) AS BIGINT) FROM e
+    UNION ALL
+    SELECT 'ts_monotonic_id', CAST(v AS BIGINT), CAST(n AS BIGINT)
+    FROM mono
+)
+"""
+
+
+def q_huffman_code_docs(sf_dir: str):
+    """Optimal-prefix-code construction (the compression-theory
+    companion to ``gzip_text_docs``): corpus-wide character frequencies
+    for [a-z ] reduce map-side to a 27-bin histogram per batch (one
+    tiny merge — the distributed part), then the Huffman tree is built
+    with the PINNED deterministic convention: repeatedly merge the two
+    nodes with smallest ``(freq, min-symbol-in-subtree)``. Output per
+    symbol: frequency, code length, and the corpus' total encoded bits
+    (Σ freq·len) — the entropy-coding size every storage planner
+    estimates. The SQL oracle replays the same merges one per
+    recursive-CTE iteration via dense-rank windows over the leaf rows.
+    """
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+
+    SYMS = "abcdefghijklmnopqrstuvwxyz "
+
+    def _hist(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        data = np.frombuffer(text.buffers()[2], dtype=np.uint8)
+        off = np.frombuffer(
+            text.buffers()[1],
+            dtype=np.int32 if pa.types.is_string(text.type)
+            else np.int64)
+        lo = int(off[text.offset])
+        hi = int(off[text.offset + len(text)])
+        counts = np.bincount(data[lo:hi], minlength=256)
+        freqs = [int(counts[ord(c)]) for c in SYMS]
+        return pa.table({"sym": pa.array(list(SYMS)),
+                         "freq": pa.array(freqs, pa.int64())})
+
+    rows = ds.map_batches(_hist, batch_format="pyarrow").take_all()
+    freq = {}
+    for r in rows:
+        freq[r["sym"]] = freq.get(r["sym"], 0) + r["freq"]
+
+    import heapq
+    # node = (freq, min_symbol, [leaf syms]); merge two smallest
+    heap = [(f, s, [s]) for s, f in freq.items()]
+    heapq.heapify(heap)
+    length = {s: 0 for s in freq}
+    while len(heap) > 1:
+        f1, m1, l1 = heapq.heappop(heap)
+        f2, m2, l2 = heapq.heappop(heap)
+        for s in l1 + l2:
+            length[s] += 1
+        heapq.heappush(heap, (f1 + f2, min(m1, m2), l1 + l2))
+    total_bits = sum(freq[s] * length[s] for s in freq)
+    syms = sorted(freq)
+    return pa.table({
+        "sym": pa.array(syms),
+        "freq": pa.array([freq[s] for s in syms], pa.int64()),
+        "code_len": pa.array([length[s] for s in syms], pa.int64()),
+        "total_bits": pa.array([total_bits] * len(syms), pa.int64())})
+
+
+HUFFMAN_SQL = """
+WITH RECURSIVE syms AS (
+    SELECT unnest(string_split('a b c d e f g h i j k l m n o p q r s'
+                               || ' t u v w x y z _SP', ' ')) AS tok
+),
+leaf AS (
+    SELECT CASE WHEN tok = '_SP' THEN ' ' ELSE tok END AS sym,
+           (SELECT CAST(coalesce(sum(
+                length(text) - length(replace(text,
+                    CASE WHEN tok = '_SP' THEN ' ' ELSE tok END, ''))
+            ), 0) AS BIGINT) FROM documents) AS freq
+    FROM syms
+),
+w AS (
+    SELECT CAST(0 AS BIGINT) AS iter, sym, freq, sym AS node_min,
+           freq AS node_freq, CAST(0 AS BIGINT) AS len,
+           CAST((SELECT count(*) FROM leaf) AS BIGINT) AS n_nodes
+    FROM leaf
+    UNION ALL
+    SELECT iter + 1, sym, freq,
+           CASE WHEN rnk <= 2 THEN mmin ELSE node_min END,
+           CASE WHEN rnk <= 2 THEN f1 + f2 ELSE node_freq END,
+           CASE WHEN rnk <= 2 THEN len + 1 ELSE len END,
+           n_nodes - 1
+    FROM (
+        SELECT iter, sym, freq, node_min, node_freq, len, n_nodes, rnk,
+               min(CASE WHEN rnk <= 2 THEN node_min END) OVER ()
+                   AS mmin,
+               min(CASE WHEN rnk = 1 THEN node_freq END) OVER () AS f1,
+               min(CASE WHEN rnk = 2 THEN node_freq END) OVER () AS f2
+        FROM (
+            SELECT iter, sym, freq, node_min, node_freq, len, n_nodes,
+                   dense_rank() OVER (ORDER BY node_freq, node_min)
+                       AS rnk
+            FROM w
+        )
+    )
+    WHERE n_nodes > 1
+),
+f AS (SELECT w.*, max(iter) OVER () AS mx FROM w)
+SELECT sym, freq, len AS code_len,
+       CAST(sum(freq * len) OVER () AS BIGINT) AS total_bits
+FROM f WHERE iter = mx
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -10113,6 +10541,10 @@ QUERIES = {
     "rate_limit_users": q_rate_limit_users,
     "readability_docs": q_readability_docs,
     "isotonic_fit_1h": q_isotonic_fit_1h,
+    "mmr_select_embeddings": q_mmr_select_embeddings,
+    "kalman_1h": q_kalman_1h,
+    "expectations_events": q_expectations_events,
+    "huffman_code_docs": q_huffman_code_docs,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -10701,6 +11133,10 @@ ORACLE_SQL = {
     "rate_limit_users": RATE_LIMIT_SQL,
     "readability_docs": READABILITY_SQL,
     "isotonic_fit_1h": ISOTONIC_SQL,
+    "mmr_select_embeddings": MMR_SELECT_SQL,
+    "kalman_1h": KALMAN_SQL,
+    "expectations_events": EXPECTATIONS_SQL,
+    "huffman_code_docs": HUFFMAN_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (

@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["ewma_fixed_point"]
+__all__ = ["ewma_fixed_point", "kalman_local_level"]
 
 
 def ewma_fixed_point(ds, k: int = 3, *, series_col: str = "series_id",
@@ -152,3 +152,84 @@ def holt_fixed_point(ds, ka: int = 3, kb: int = 4, *,
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _holt, batch_format="pyarrow")
+
+
+def kalman_local_level(ds, *, q_e6: int = 1_000_000,
+                       r_e6: int = 9_000_000,
+                       series_col: str = "series_id",
+                       x_col: str = "bucket", y_col: str = "sum_y",
+                       num_partitions: int = 8):
+    """Kalman filter for the local-level model (random-walk state +
+    observation noise), pinned integer fixed point so every row is
+    bit-stable and SQL-replayable — completing the smoothing trio
+    (EWMA = constant gain, Holt = trend, Kalman = converging
+    time-varying gain). Per step, all e6-scaled int64:
+
+        p     <- p + q_e6                                (predict)
+        k_e6  <- (p * 1000000) // (p + r_e6)             (gain; p,r > 0)
+        x     <- x + trunc(k_e6 * (y*1000000 - x) / 1e6) (update)
+        p     <- ((1000000 - k_e6) * p) // 1000000       (posterior)
+
+    The innovation product is the only signed quantity; its division
+    truncates TOWARD ZERO on both sides (DuckDB ``//`` semantics),
+    applied explicitly here since NumPy ``//`` floors. Initial state:
+    x = first y (exact), p = r_e6. Gains depend only on the step index,
+    converging to the steady-state Wiener gain. Returns
+    ``(series_id, bucket, y, x_e6, k_e6)``; same one-shuffle sequential
+    per-series contract as :func:`ewma_fixed_point` (tier rows only).
+    """
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+    E6 = 1_000_000
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _kalman(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t[series_col].type
+        if t.num_rows == 0:
+            return pa.table({"series_id": pa.array([], s_type),
+                             "bucket": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64()),
+                             "x_e6": pa.array([], pa.int64()),
+                             "k_e6": pa.array([], pa.int64())})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (x_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        head = np.ones(len(y), dtype=bool)
+        head[1:] = codes[1:] != codes[:-1]
+        xs = [0] * len(y)
+        ks = [0] * len(y)
+        x = p = 0
+        yl = y.tolist()
+        hl = head.tolist()
+        for i in range(len(yl)):  # order-recursive; tier rows only
+            v = yl[i]
+            if hl[i]:
+                x, p, k = v * E6, r_e6, 0
+            else:
+                p = p + q_e6
+                k = (p * E6) // (p + r_e6)
+                s = k * (v * E6 - x)
+                x = x + (abs(s) // E6 if s >= 0 else -(abs(s) // E6))
+                p = ((E6 - k) * p) // E6
+            xs[i] = x
+            ks[i] = k
+        return pa.table({"series_id": sid,
+                         "bucket": t[x_col].cast(pa.int64()),
+                         "y": pa.array(y),
+                         "x_e6": pa.array(xs, pa.int64()),
+                         "k_e6": pa.array(ks, pa.int64())})
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _kalman, batch_format="pyarrow")
