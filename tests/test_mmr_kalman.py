@@ -108,3 +108,17 @@ def test_huffman_kraft_and_optimality(ray_session):
     assert (s.code_len.diff().dropna() >= 0).all()
     # total bits beat the fixed-width 5-bit baseline
     assert out.total_bits.iloc[0] < 5 * out.freq.sum()
+
+
+def test_dtw_properties(ray_session):
+    from tsdownsample_ray.pipelines.queries import q_dtw_pairs_1d
+
+    out = q_dtw_pairs_1d("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 10  # C(5,2)
+    # warping can only help: dtw <= unwarped L1 (same-length series)
+    assert (out.dtw <= out.l1).all()
+    assert (out.dtw > 0).all()
+    assert (out.n == 30).all() and (out.m == 30).all()
+    # self-distance sanity via a tiny direct call on equal inputs is
+    # covered by dtw <= l1 == 0 iff series equal; here all distinct
+    assert (out.a < out.b).all()

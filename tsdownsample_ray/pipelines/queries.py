@@ -10381,6 +10381,197 @@ FROM f WHERE iter = mx
 """
 
 
+def q_dtw_pairs_1d(sf_dir: str):
+    """Dynamic-time-warping distance between every pair of series over
+    the 1d tier (30 points each, the engine's tier-reduction contract
+    for quadratic ops — same rule as Theil-Sen's pair expansion):
+    exact integer |Δy| costs, the classic
+    ``D[i,j] = c + min(left, up, diag)`` recurrence. Distributed
+    shape: each series' tier rows fan out once per pair it belongs to
+    (k−1 replication of 1000×-reduced rows), then ONE hash(pair)
+    shuffle and an independent per-pair DP. Also emits the unwarped L1
+    distance for contrast. The SQL oracle advances the DP one
+    anti-diagonal per recursive-CTE iteration (all pairs in
+    parallel), with pass-through/contribution moves in a single scan.
+    """
+    from ..arrow_utils import stable_part_codes
+    from ..stages.rollup import rollup
+
+    D1 = 86_400_000_000
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"), D1)
+    rolled = rolled.select_columns(["series_id", "bucket", "sum_y"])
+
+    names = sorted({r["series_id"]
+                    for r in rolled.groupby("series_id").count()
+                    .take_all()})
+    pairs = [(a, b) for i, a in enumerate(names)
+             for b in names[i + 1:]]
+
+    def _fan(b: pa.Table) -> pa.Table:
+        out = {"pair": [], "role": [], "bucket": [], "y": []}
+        sid = b["series_id"].to_pylist()
+        bkt = b["bucket"].to_pylist()
+        y = b["sum_y"].to_pylist()
+        for a, c in pairs:
+            for s, k, v in zip(sid, bkt, y):
+                if s == a:
+                    out["pair"].append(f"{a}|{c}")
+                    out["role"].append(0)
+                    out["bucket"].append(k)
+                    out["y"].append(v)
+                elif s == c:
+                    out["pair"].append(f"{a}|{c}")
+                    out["role"].append(1)
+                    out["bucket"].append(k)
+                    out["y"].append(v)
+        return pa.table({"pair": pa.array(out["pair"]),
+                         "role": pa.array(out["role"], pa.int64()),
+                         "bucket": pa.array(out["bucket"], pa.int64()),
+                         "y": pa.array(out["y"], pa.int64())})
+
+    mod = 4 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["pair"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _dtw(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        empty = pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "m": pa.array([], pa.int64()),
+                          "dtw": pa.array([], pa.int64()),
+                          "l1": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("pair", "ascending"), ("role", "ascending"),
+            ("bucket", "ascending")]))
+        pairc = t["pair"].to_pylist()
+        role = t["role"].to_pylist()
+        y = t["y"].to_pylist()
+        out = {k: [] for k in ("a", "b", "n", "m", "dtw", "l1")}
+        from itertools import groupby as _gb
+        idx = 0
+        for pr, grp in _gb(range(len(pairc)), key=lambda i: pairc[i]):
+            rows = list(grp)
+            va = [y[i] for i in rows if role[i] == 0]
+            vb = [y[i] for i in rows if role[i] == 1]
+            n, m = len(va), len(vb)
+            INF = 1 << 60
+            prev = [INF] * (m + 1)
+            prev[0] = 0
+            first = True
+            for i in range(1, n + 1):
+                cur = [INF] * (m + 1)
+                for j in range(1, m + 1):
+                    c = abs(va[i - 1] - vb[j - 1])
+                    best = min(prev[j], cur[j - 1], prev[j - 1])
+                    if i == 1 and j == 1:
+                        best = 0
+                    cur[j] = c + best
+                prev = cur
+                first = False
+            aname, bname = pr.split("|")
+            out["a"].append(aname)
+            out["b"].append(bname)
+            out["n"].append(n)
+            out["m"].append(m)
+            out["dtw"].append(prev[m] if n and m else 0)
+            out["l1"].append(sum(abs(p - q) for p, q in zip(va, vb)))
+            idx += 1
+        return pa.table({"a": pa.array(out["a"]),
+                         "b": pa.array(out["b"]),
+                         "n": pa.array(out["n"], pa.int64()),
+                         "m": pa.array(out["m"], pa.int64()),
+                         "dtw": pa.array(out["dtw"], pa.int64()),
+                         "l1": pa.array(out["l1"], pa.int64())})
+
+    return (rolled.map_batches(_fan, batch_format="pyarrow")
+            .map_batches(_add_part, batch_format="pyarrow")
+            .repartition(4).groupby("__part")
+            .map_groups(_dtw, batch_format="pyarrow"))
+
+
+DTW_PAIRS_SQL = """
+WITH RECURSIVE r AS (
+    SELECT event_type AS series_id,
+           epoch_us(ts) // 86400000000 AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+p AS (
+    SELECT series_id, y,
+           CAST(row_number() OVER (PARTITION BY series_id
+                                   ORDER BY bucket) AS BIGINT) AS rk
+    FROM r
+),
+dims AS (SELECT series_id, max(rk) AS n FROM p GROUP BY 1),
+pairs AS (
+    SELECT x.series_id AS a, y.series_id AS b, x.n AS na, y.n AS nb
+    FROM dims x JOIN dims y ON x.series_id < y.series_id
+),
+c AS (
+    SELECT pr.a, pr.b, pr.na, pr.nb, x.rk AS i, y.rk AS j,
+           abs(x.y - y.y) AS cost
+    FROM pairs pr
+    JOIN p x ON x.series_id = pr.a
+    JOIN p y ON y.series_id = pr.b
+),
+w AS (
+    SELECT a, b, na, nb, i, j, CAST(i + j AS BIGINT) AS diag,
+           CAST(cost AS BIGINT) AS val
+    FROM c WHERE i = 1 AND j = 1
+    UNION ALL
+    SELECT t.a, t.b, t.na, t.nb, t.i, t.j, t.diag,
+           t.val + CASE WHEN t.is_new THEN cc.cost ELSE 0 END
+    FROM (
+        SELECT a, b, na, nb, i + di AS i, j + dj AS j,
+               diag + di + dj AS diag,
+               min(val) AS val,
+               (di + dj > 0) AS is_new
+        FROM (
+            SELECT q.*, mv.di, mv.dj
+            FROM (
+                SELECT a, b, na, nb, i, j, diag, val,
+                       max(diag) OVER (PARTITION BY a, b) AS mxd
+                FROM w
+            ) q
+            CROSS JOIN (VALUES (0, 0), (1, 0), (0, 1), (1, 1))
+                 mv(di, dj)
+            WHERE (q.diag = q.mxd AND mv.di + mv.dj = 1)
+               OR (q.diag = q.mxd - 1 AND mv.di = 1 AND mv.dj = 1)
+               OR (q.diag = q.mxd AND mv.di = 0 AND mv.dj = 0
+                   AND q.diag < q.na + q.nb)
+        )
+        WHERE i + di <= na AND j + dj <= nb
+          AND diag + di + dj <= na + nb
+        GROUP BY a, b, na, nb, i + di, j + dj, diag + di + dj,
+                 (di + dj > 0)
+    ) t
+    LEFT JOIN c cc ON cc.a = t.a AND cc.b = t.b AND cc.i = t.i
+                  AND cc.j = t.j AND t.is_new
+)
+SELECT w.a, w.b, CAST(w.na AS BIGINT) AS n, CAST(w.nb AS BIGINT) AS m,
+       CAST(min(w.val) AS BIGINT) AS dtw,
+       (SELECT CAST(sum(abs(x.y - y.y)) AS BIGINT)
+        FROM p x JOIN p y
+          ON x.series_id = w.a AND y.series_id = w.b AND x.rk = y.rk)
+           AS l1
+FROM w
+WHERE w.i = w.na AND w.j = w.nb
+GROUP BY w.a, w.b, w.na, w.nb
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -10545,6 +10736,7 @@ QUERIES = {
     "kalman_1h": q_kalman_1h,
     "expectations_events": q_expectations_events,
     "huffman_code_docs": q_huffman_code_docs,
+    "dtw_pairs_1d": q_dtw_pairs_1d,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -11137,6 +11329,7 @@ ORACLE_SQL = {
     "kalman_1h": KALMAN_SQL,
     "expectations_events": EXPECTATIONS_SQL,
     "huffman_code_docs": HUFFMAN_SQL,
+    "dtw_pairs_1d": DTW_PAIRS_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
