@@ -122,3 +122,22 @@ def test_dtw_properties(ray_session):
     # self-distance sanity via a tiny direct call on equal inputs is
     # covered by dtw <= l1 == 0 iff series equal; here all distinct
     assert (out.a < out.b).all()
+
+
+def test_dbscan_properties(ray_session):
+    from tsdownsample_ray.pipelines.queries import q_dbscan_embeddings
+
+    out = q_dbscan_embeddings("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 500
+    core = out[out.is_core == 1]
+    noise = out[out.is_core == 0]
+    assert len(core) > 20 and len(noise) > 100  # real structure
+    # every core has a cluster label <= its own id; noise has none
+    assert core.cluster.notna().all()
+    assert (core.cluster <= core.vec_id).all()
+    assert noise.cluster.isna().all()
+    # cluster label is itself a core id of the same cluster
+    cids = set(core.vec_id)
+    assert set(core.cluster.astype(int)) <= cids
+    # degrees consistent with coreness
+    assert (core.deg >= 5).all() and (noise.deg < 5).all()

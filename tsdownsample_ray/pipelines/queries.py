@@ -10572,6 +10572,155 @@ GROUP BY w.a, w.b, w.na, w.nb
 """
 
 
+def q_dbscan_embeddings(sf_dir: str):
+    """Density-based clustering, DBSCAN* flavor (no order-dependent
+    border assignment — clusters are the connected components of
+    CORE-core eps-edges, which is deterministic): exact integer
+    distances over trunc(x*1000)-quantized vectors, eps^2 = 1_380_000,
+    minPts = 5 (self excluded). Distributed shape: the quantized
+    matrix broadcasts once (``ray.put`` — the bounded-corpus/sample
+    contract shared with kmeans' centroid rounds; at full scale this
+    runs per LSH/IVF block), each batch computes its rows' degrees and
+    core-core edges with one integer matmul, and the component merge
+    reuses ``stages/components.py`` (the same hash-partitioned
+    min-label propagation as near-dup clustering). Output per vector:
+    degree, core flag, cluster label (min core id; NULL for
+    non-core)."""
+    import ray as _ray
+
+    from ..stages.similarity import embedding_matrix
+
+    EPS2, MINPTS = 1_380_000, 5
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+
+    def _quant(b: pa.Table) -> pa.Table:
+        E = np.trunc(embedding_matrix(b).astype(np.float64)
+                     * 1000).astype(np.int64)
+        return pa.table({"vec_id": b["vec_id"],
+                         "v": pa.array(list(E), pa.list_(pa.int64()))})
+
+    rows = ds.map_batches(_quant, batch_format="pyarrow").take_all()
+    all_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    order = np.argsort(all_ids)
+    all_ids = all_ids[order]
+    M = np.array([rows[i]["v"] for i in order], dtype=np.int64)
+    nrm = (M * M).sum(axis=1)
+    ref = _ray.put((all_ids, M, nrm))
+
+    def _deg(b: pa.Table) -> pa.Table:
+        ids_b = b["vec_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        E = np.trunc(embedding_matrix(b).astype(np.float64)
+                     * 1000).astype(np.int64)
+        aid, AM, an = _ray.get(ref)
+        d2 = ((E * E).sum(axis=1)[:, None] + an[None, :]
+              - 2 * (E @ AM.T))
+        within = d2 <= EPS2
+        self_col = aid[None, :] == ids_b[:, None]
+        deg = (within & ~self_col).sum(axis=1)
+        return pa.table({"vec_id": pa.array(ids_b),
+                         "deg": pa.array(deg.astype(np.int64))})
+
+    deg_rows = (ds.map_batches(_deg, batch_format="pyarrow").take_all())
+    deg = {int(r["vec_id"]): int(r["deg"]) for r in deg_rows}
+    core = {i for i, d in deg.items() if d >= MINPTS}
+    core_ref = _ray.put(core)
+
+    def _edges(b: pa.Table) -> pa.Table:
+        ids_b = b["vec_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        E = np.trunc(embedding_matrix(b).astype(np.float64)
+                     * 1000).astype(np.int64)
+        aid, AM, an = _ray.get(ref)
+        cset = _ray.get(core_ref)
+        row_core = np.array([int(i) in cset for i in ids_b])
+        col_core = np.array([int(i) in cset for i in aid])
+        d2 = ((E * E).sum(axis=1)[:, None] + an[None, :]
+              - 2 * (E @ AM.T))
+        m = ((d2 <= EPS2) & row_core[:, None] & col_core[None, :]
+             & (ids_b[:, None] < aid[None, :]))
+        ri, ci = np.nonzero(m)
+        return pa.table({"a": pa.array(ids_b[ri]),
+                         "b": pa.array(aid[ci])})
+
+    # core-core edges are bounded by the same sample contract as the
+    # broadcast matrix, so the component merge is a driver union-find;
+    # a full-scale corpus run swaps in stages/components.py's
+    # hash-partitioned min-label propagation (as near_dup_clusters does)
+    edge_rows = (ds.map_batches(_edges, batch_format="pyarrow")
+                 .take_all())
+    parent: dict = {}
+
+    def _find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for r in edge_rows:
+        ra, rb = _find(int(r["a"])), _find(int(r["b"]))
+        if ra != rb:
+            hi, lo = max(ra, rb), min(ra, rb)
+            parent[hi] = lo
+    comp = {i: _find(i)
+            for i in {int(r["a"]) for r in edge_rows}
+            | {int(r["b"]) for r in edge_rows}}
+
+    ids_sorted = sorted(deg)
+    cluster = [comp.get(i, i if i in core else None)
+               for i in ids_sorted]
+    return pa.table({
+        "vec_id": pa.array(ids_sorted, pa.int64()),
+        "deg": pa.array([deg[i] for i in ids_sorted], pa.int64()),
+        "is_core": pa.array([int(i in core) for i in ids_sorted],
+                            pa.int64()),
+        "cluster": pa.array(cluster, pa.int64())})
+
+
+DBSCAN_SQL = """
+WITH RECURSIVE q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+),
+d AS (
+    SELECT a.vec_id AS ia, b.vec_id AS ib,
+           CAST(list_dot_product(a.v, a.v) + list_dot_product(b.v, b.v)
+                - 2 * list_dot_product(a.v, b.v) AS BIGINT) AS d2
+    FROM q a JOIN q b ON a.vec_id <> b.vec_id
+),
+deg AS (
+    SELECT ia AS vec_id,
+           CAST(count(*) FILTER (WHERE d2 <= 1380000) AS BIGINT) AS deg
+    FROM d GROUP BY 1
+),
+core AS (SELECT vec_id FROM deg WHERE deg >= 5),
+ed AS (
+    SELECT d.ia AS src, d.ib AS dst
+    FROM d JOIN core x ON x.vec_id = d.ia
+           JOIN core y ON y.vec_id = d.ib
+    WHERE d.d2 <= 1380000
+),
+reach(node, lbl) AS (
+    SELECT DISTINCT src, src FROM ed
+    UNION
+    SELECT ed.dst, r.lbl FROM reach r JOIN ed ON ed.src = r.node
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+SELECT deg.vec_id, deg.deg,
+       CAST(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS is_core,
+       CAST(CASE WHEN c.vec_id IS NULL THEN NULL
+                 ELSE coalesce(comp.component, deg.vec_id) END
+            AS BIGINT) AS cluster
+FROM deg
+LEFT JOIN core c ON c.vec_id = deg.vec_id
+LEFT JOIN comp ON comp.node = deg.vec_id
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -10737,6 +10886,7 @@ QUERIES = {
     "expectations_events": q_expectations_events,
     "huffman_code_docs": q_huffman_code_docs,
     "dtw_pairs_1d": q_dtw_pairs_1d,
+    "dbscan_embeddings": q_dbscan_embeddings,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -11330,6 +11480,7 @@ ORACLE_SQL = {
     "expectations_events": EXPECTATIONS_SQL,
     "huffman_code_docs": HUFFMAN_SQL,
     "dtw_pairs_1d": DTW_PAIRS_SQL,
+    "dbscan_embeddings": DBSCAN_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
