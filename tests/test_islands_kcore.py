@@ -1,0 +1,61 @@
+"""Interval union, experiment readout, k-core."""
+
+import duckdb
+import numpy as np
+
+
+def test_interval_union_replay(ray_session):
+    from tsdownsample_ray.pipelines.queries import q_interval_union_events
+
+    sf = "/root/testdata/sf0.001"
+    out = (q_interval_union_events(sf).to_pandas()
+           .set_index("series_id"))
+    W = 1_800_000_000
+    df = duckdb.sql(f"""
+        SELECT event_type s, epoch_us(ts) t FROM '{sf}/events.parquet'
+        ORDER BY 1, 2""").df()
+    for s, g in df.groupby("s"):
+        t = g.t.to_numpy()
+        islands = []
+        lo, hi = t[0], t[0] + W
+        for x in t[1:]:
+            if x > hi:
+                islands.append((lo, hi))
+                lo, hi = x, x + W
+            else:
+                hi = max(hi, x + W)
+        islands.append((lo, hi))
+        r = out.loc[s]
+        assert r.n_islands == len(islands)
+        assert r.covered_us == sum(h - l for l, h in islands)
+        assert r.longest_island_us == max(h - l for l, h in islands)
+        gaps = [islands[i + 1][0] - islands[i][1]
+                for i in range(len(islands) - 1)]
+        assert r.longest_gap_us == (max(gaps) if gaps else 0)
+
+
+def test_experiment_readout_consistency(ray_session):
+    from tsdownsample_ray.pipelines.queries import (
+        q_experiment_readout_users,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_experiment_readout_users(sf).to_pandas().set_index("arm")
+    assert set(out.index) == {0, 1}
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM '{sf}/events.parquet'"
+    ).fetchone()[0]
+    n_events = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/events.parquet'").fetchone()[0]
+    assert out.n_users.sum() == n_users
+    assert out.n_events.sum() == n_events
+    assert (out.n_converted <= out.n_users).all()
+
+
+def test_kcore_fixpoint(ray_session):
+    from tsdownsample_ray.pipelines.queries import q_kcore_docs
+
+    out = q_kcore_docs("/root/testdata/sf0.001").to_pandas()
+    # every surviving node has core degree >= k in the surviving graph
+    assert (out.core_deg >= 5).all()
+    assert 0 < len(out) < 500  # a real peel happened

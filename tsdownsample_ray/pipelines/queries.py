@@ -10721,6 +10721,368 @@ LEFT JOIN comp ON comp.node = deg.vec_id
 """
 
 
+def q_interval_union_events(sf_dir: str):
+    """Islands-and-gaps interval merge: every event opens a 30-minute
+    activity window ``[t, t+30m)``; per series, merge overlapping /
+    touching windows into maximal islands and report island count,
+    total covered microseconds, the longest island and the longest
+    uncovered gap between islands — the classic uptime/coverage
+    reduction. One hash(series) shuffle; per segment the island
+    boundaries fall out of one running-max pass (``new island iff
+    t > cummax(prev ends)``), all exact int64."""
+    from ..arrow_utils import stable_part_codes
+
+    W = 1_800_000_000
+    ev = _events_series(sf_dir, cols=("event_id", "event_type", "ts"))
+    mod = 2 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["event_type"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _islands(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t["event_type"].type
+        cols = ("n_islands", "covered_us", "longest_island_us",
+                "longest_gap_us")
+        if t.num_rows == 0:
+            return pa.table({"series_id": pa.array([], s_type),
+                             **{c: pa.array([], pa.int64())
+                                for c in cols}})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("event_type", "ascending"), ("ts_us", "ascending")]))
+        sid = t["event_type"]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        ends_seg = np.r_[starts[1:], len(codes)]
+        out = {k: [] for k in ("sid",) + cols}
+        for f, l in zip(starts, ends_seg):  # series loop; inner vector
+            s_ = ts[f:l]
+            e_ = s_ + W
+            cm = np.maximum.accumulate(e_)
+            new = np.ones(l - f, dtype=bool)
+            new[1:] = s_[1:] > cm[:-1]
+            isl = np.flatnonzero(new)
+            isl_end = np.r_[isl[1:], l - f]
+            lo = s_[isl]
+            hi = cm[isl_end - 1]
+            lens = hi - lo
+            gaps = lo[1:] - hi[:-1]
+            out["sid"].append(sid[int(f)].as_py())
+            out["n_islands"].append(len(isl))
+            out["covered_us"].append(int(lens.sum()))
+            out["longest_island_us"].append(int(lens.max()))
+            out["longest_gap_us"].append(
+                int(gaps.max()) if len(gaps) else 0)
+        return pa.table({"series_id": pa.array(out["sid"], s_type),
+                         **{c: pa.array(out[c], pa.int64())
+                            for c in cols}})
+
+    return (ev.map_batches(_add_part, batch_format="pyarrow")
+            .repartition(2).groupby("__part")
+            .map_groups(_islands, batch_format="pyarrow"))
+
+
+INTERVAL_UNION_SQL = """
+WITH e AS (
+    SELECT event_type AS series_id, epoch_us(ts) AS s,
+           epoch_us(ts) + 1800000000 AS f
+    FROM events
+),
+m AS (
+    SELECT series_id, s, f,
+           max(f) OVER (PARTITION BY series_id ORDER BY s, f
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS prev_max
+    FROM e
+),
+g AS (
+    SELECT series_id, s, f,
+           sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY series_id ORDER BY s, f
+                     ROWS UNBOUNDED PRECEDING) AS island
+    FROM m
+),
+isl AS (
+    SELECT series_id, island, min(s) AS lo, max(f) AS hi
+    FROM g GROUP BY 1, 2
+),
+gaps AS (
+    SELECT series_id, island, lo, hi,
+           lo - lag(hi) OVER (PARTITION BY series_id
+                              ORDER BY island) AS gap
+    FROM isl
+)
+SELECT series_id, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(hi - lo) AS BIGINT) AS covered_us,
+       CAST(max(hi - lo) AS BIGINT) AS longest_island_us,
+       CAST(coalesce(max(gap), 0) AS BIGINT) AS longest_gap_us
+FROM gaps GROUP BY 1
+"""
+
+
+def q_experiment_readout_users(sf_dir: str):
+    """A/B experiment readout: deterministic arm assignment
+    (``user_id % 2``), per-arm user counts, converters (>=1 purchase),
+    purchase revenue and event volume — the exact integer inputs to any
+    conversion test (the chi-square / Welch layers already exist as
+    ``welch_t_events`` / ``term_drift_docs``'s 2x2 machinery). One
+    hash(user) shuffle builds per-user rows; arm partials reduce
+    map-side; final merge is two rows."""
+    from ..arrow_utils import stable_part_codes
+
+    ds = _events_series(
+        sf_dir, cols=("event_id", "user_id", "event_type", "ts",
+                      "value"))
+
+    def _prep(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                 ndigits=0), pa.int64())
+        is_p = pc.equal(b["event_type"], "purchase")
+        return pa.table({
+            "user_id": b["user_id"],
+            "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "purch": pc.cast(is_p, pa.int64()),
+            "pcents": pc.if_else(is_p, cents,
+                                 pa.scalar(0, pa.int64()))})
+
+    mod = 4 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["user_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _arm_partial(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return pa.table({
+                "arm": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64()),
+                "n_converted": pa.array([], pa.int64()),
+                "sum_purchase_cents": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64())})
+        per_u = t.group_by(["user_id"]).aggregate(
+            [("one", "sum"), ("purch", "sum"), ("pcents", "sum")])
+        uid = per_u["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        arm = uid % 2
+        nev = per_u["one_sum"].to_numpy(zero_copy_only=False)
+        npu = per_u["purch_sum"].to_numpy(zero_copy_only=False)
+        cts = per_u["pcents_sum"].to_numpy(zero_copy_only=False)
+        rows = {"arm": [], "n_users": [], "n_converted": [],
+                "sum_purchase_cents": [], "n_events": []}
+        for a in (0, 1):
+            m = arm == a
+            if not m.any():
+                continue
+            rows["arm"].append(a)
+            rows["n_users"].append(int(m.sum()))
+            rows["n_converted"].append(int((npu[m] > 0).sum()))
+            rows["sum_purchase_cents"].append(int(cts[m].sum()))
+            rows["n_events"].append(int(nev[m].sum()))
+        return pa.table({c: pa.array(v, pa.int64())
+                         for c, v in rows.items()})
+
+    def _merge(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "arm": g["arm"].slice(0, 1),
+            **{c: pa.array([pc.sum(g[c]).as_py() or 0], pa.int64())
+               for c in ("n_users", "n_converted",
+                         "sum_purchase_cents", "n_events")}})
+
+    return (ds.map_batches(_prep, batch_format="pyarrow")
+            .map_batches(_add_part, batch_format="pyarrow")
+            .repartition(4).groupby("__part")
+            .map_groups(_arm_partial, batch_format="pyarrow")
+            .groupby("arm").map_groups(_merge, batch_format="pyarrow"))
+
+
+EXPERIMENT_SQL = """
+WITH u AS (
+    SELECT user_id, user_id % 2 AS arm,
+           count(*) AS n_events,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS n_purch,
+           sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               AS cents
+    FROM events GROUP BY 1, 2
+)
+SELECT CAST(arm AS BIGINT) AS arm,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_converted,
+       CAST(sum(cents) AS BIGINT) AS sum_purchase_cents,
+       CAST(sum(n_events) AS BIGINT) AS n_events
+FROM u GROUP BY 1
+"""
+
+
+def q_kcore_docs(sf_dir: str):
+    """k-core decomposition (k=5) of the deterministic variable-degree
+    link graph (doc d emits ``1 + d % 6`` links ``(d*31 + 97j) % N``,
+    undirected simple graph): iteratively peel nodes of degree < k
+    until the fixpoint — the standard graph-mining density filter.
+    Distributed shape per round (the pagerank/kmeans driver-round
+    precedent): degrees from one hash-partitioned grouped count over
+    the doubled edge list; the shrinking LOW-degree id set broadcasts
+    (``ray.put``) and edges filter map-side; the edge Dataset
+    materializes once per round. ~10 rounds at this fixture. Output:
+    ``(node, core_deg)`` for the surviving 5-core."""
+    import pyarrow.parquet as _pq
+    import ray as _ray
+
+    from ..arrow_utils import stable_part_codes
+
+    K = 5
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"]).repartition(4)
+
+    def _edges(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs, dsts = [], []
+        for j in range(1, 7):
+            m = j <= 1 + d % 6
+            s = d[m]
+            t = (s * 31 + 97 * j) % n
+            keep = s != t
+            srcs.append(np.minimum(s[keep], t[keep]))
+            dsts.append(np.maximum(s[keep], t[keep]))
+        return pa.table({"u": pa.array(np.concatenate(srcs)),
+                         "v": pa.array(np.concatenate(dsts))})
+
+    mod = 4 * 64
+
+    def _part_u(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["u"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _dedup(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.unique(u * np.int64(2 ** 32) + v)
+        return pa.table({"u": pa.array(key // np.int64(2 ** 32)),
+                         "v": pa.array(key % np.int64(2 ** 32))})
+
+    edges = (ds.map_batches(_edges, batch_format="pyarrow")
+             .map_batches(_part_u, batch_format="pyarrow")
+             .repartition(4).groupby("__part")
+             .map_groups(_dedup, batch_format="pyarrow")).materialize()
+
+    def _doubled_deg(ed):
+        def _both(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "x": pa.concat_arrays([
+                    b["u"].combine_chunks() if isinstance(
+                        b["u"], pa.ChunkedArray) else b["u"],
+                    b["v"].combine_chunks() if isinstance(
+                        b["v"], pa.ChunkedArray) else b["v"]])})
+
+        def _cnt(g: pa.Table) -> pa.Table:
+            t = g.drop_columns(["__part"])
+            if t.num_rows == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "deg": pa.array([], pa.int64())})
+            x = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq, cnt = np.unique(x, return_counts=True)
+            return pa.table({"node": pa.array(uniq),
+                             "deg": pa.array(cnt.astype(np.int64))})
+
+        def _part_x(b: pa.Table) -> pa.Table:
+            h = stable_part_codes(b["x"], None)
+            return b.append_column(
+                "__part",
+                pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+        return (ed.map_batches(_both, batch_format="pyarrow")
+                .map_batches(_part_x, batch_format="pyarrow")
+                .repartition(4).groupby("__part")
+                .map_groups(_cnt, batch_format="pyarrow"))
+
+    for _round in range(60):
+        deg_rows = _doubled_deg(edges).take_all()
+        low = {int(r["node"]) for r in deg_rows if r["deg"] < K}
+        if not low:
+            break
+        low_ref = _ray.put(low)
+
+        def _filter(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return b
+            bad = np.fromiter(_ray.get(low_ref), dtype=np.int64)
+            u = b["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = ~np.isin(u, bad) & ~np.isin(v, bad)
+            return b.filter(pa.array(keep))
+
+        edges = edges.map_batches(
+            _filter, batch_format="pyarrow").materialize()
+    else:
+        raise RuntimeError("k-core peel did not converge in 60 rounds")
+
+    final = _doubled_deg(edges)
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "core_deg": b["deg"]})
+
+    return final.map_batches(_rename, batch_format="pyarrow")
+
+
+KCORE_SQL = """
+WITH RECURSIVE nn AS (SELECT count(*) AS c FROM documents),
+e0 AS (
+    SELECT doc_id AS src,
+           (doc_id * 31 + 97 * j) % (SELECT c FROM nn) AS dst
+    FROM documents, unnest([1, 2, 3, 4, 5, 6]) t(j)
+    WHERE j <= 1 + doc_id % 6
+),
+und AS (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM e0 WHERE src <> dst
+),
+seed AS (
+    SELECT u AS src, v AS dst FROM und
+    UNION ALL
+    SELECT v, u FROM und
+),
+w AS (
+    SELECT CAST(0 AS BIGINT) AS iter, src, dst FROM seed
+    UNION ALL
+    SELECT iter + 1, src, dst FROM (
+        SELECT iter, src, dst, keep,
+               sum(CASE WHEN keep THEN 1 ELSE 0 END) OVER () AS kept,
+               count(*) OVER () AS tot
+        FROM (
+            SELECT iter, src, dst,
+                   (count(*) OVER (PARTITION BY src) >= 5 AND
+                    count(*) OVER (PARTITION BY dst) >= 5) AS keep
+            FROM w
+        )
+    )
+    WHERE keep AND kept < tot
+)
+SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+FROM (SELECT w.*, max(iter) OVER () AS mx FROM w)
+WHERE iter = mx
+GROUP BY src
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -10887,6 +11249,9 @@ QUERIES = {
     "huffman_code_docs": q_huffman_code_docs,
     "dtw_pairs_1d": q_dtw_pairs_1d,
     "dbscan_embeddings": q_dbscan_embeddings,
+    "interval_union_events": q_interval_union_events,
+    "experiment_readout_users": q_experiment_readout_users,
+    "kcore_docs": q_kcore_docs,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -11481,6 +11846,9 @@ ORACLE_SQL = {
     "huffman_code_docs": HUFFMAN_SQL,
     "dtw_pairs_1d": DTW_PAIRS_SQL,
     "dbscan_embeddings": DBSCAN_SQL,
+    "interval_union_events": INTERVAL_UNION_SQL,
+    "experiment_readout_users": EXPERIMENT_SQL,
+    "kcore_docs": KCORE_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
