@@ -59,3 +59,25 @@ def test_kcore_fixpoint(ray_session):
     # every surviving node has core degree >= k in the surviving graph
     assert (out.core_deg >= 5).all()
     assert 0 < len(out) < 500  # a real peel happened
+
+
+def test_weighted_sample_determinism_and_bias(ray_session):
+    import hashlib
+
+    from tsdownsample_ray.pipelines.queries import q_weighted_sample_docs
+
+    sf = "/root/testdata/sf0.001"
+    out = q_weighted_sample_docs(sf).to_pandas()
+    assert len(out) == 20
+    # exact replay
+    df = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM '{sf}/documents.parquet'").df()
+    pri = {}
+    for d, w in zip(df.doc_id, df.n_chars):
+        h = int.from_bytes(
+            hashlib.md5(str(int(d)).encode()).digest()[:8], "big")
+        pri[int(d)] = (int(w) << 80) // (h + 1)
+    want = sorted(pri, key=lambda d: (-pri[d], d))[:20]
+    assert out.doc_id.tolist() == want
+    # weight bias: sampled docs skew heavier than the corpus median
+    assert out.w.median() >= df.n_chars.median()

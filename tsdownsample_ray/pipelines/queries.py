@@ -11083,6 +11083,62 @@ GROUP BY src
 """
 
 
+def q_weighted_sample_docs(sf_dir: str):
+    """Weighted priority sampling (Duffield-Lund-Thorup shape with the
+    uniform draw PINNED to the md5-u64 of the doc id, the catalog's
+    SQL-restatable hash): priority = ``(w << 80) // (h + 1)`` — exact
+    integer, no float pow/ln, ties broken by doc_id — and the sample is
+    the top-k=20 priorities. Heavier docs (w = n_chars) are
+    proportionally more likely under the pinned draw, and the selection
+    is deterministic and replayable. Distributed shape: per-batch
+    local top-k, driver merge sees blocks×k rows."""
+    K = 20
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "n_chars"])
+
+    from ..stages.dedup import _stable_u64
+
+    def _local(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        w = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pri = np.array([(int(wi) << 80) //
+                        (_stable_u64(str(int(di)).encode()) + 1)
+                        for di, wi in zip(ids, w)], dtype=np.int64)
+        order = np.lexsort((ids, -pri))[:K]
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "w": pa.array(w[order]),
+                         "priority": pa.array(pri[order])})
+
+    parts = ds.map_batches(_local, batch_format="pyarrow").take_all()
+    ids = np.array([r["doc_id"] for r in parts], dtype=np.int64)
+    w = np.array([r["w"] for r in parts], dtype=np.int64)
+    pri = np.array([r["priority"] for r in parts], dtype=np.int64)
+    order = np.lexsort((ids, -pri))[:K]
+    return pa.table({"doc_id": pa.array(ids[order]),
+                     "w": pa.array(w[order]),
+                     "priority": pa.array(pri[order])})
+
+
+_MD5U64_DOCID = _MD5U64.replace("md5(tok)",
+                                "md5(CAST(doc_id AS VARCHAR))")
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH t AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+           {_MD5U64_DOCID} AS h
+    FROM documents
+)
+SELECT doc_id, w,
+       CAST((CAST(w AS HUGEINT) * 1208925819614629174706176)
+            // (h + 1) AS BIGINT)
+           AS priority
+FROM t
+ORDER BY priority DESC, doc_id
+LIMIT 20
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -11252,6 +11308,7 @@ QUERIES = {
     "interval_union_events": q_interval_union_events,
     "experiment_readout_users": q_experiment_readout_users,
     "kcore_docs": q_kcore_docs,
+    "weighted_sample_docs": q_weighted_sample_docs,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -11849,6 +11906,7 @@ ORACLE_SQL = {
     "interval_union_events": INTERVAL_UNION_SQL,
     "experiment_readout_users": EXPERIMENT_SQL,
     "kcore_docs": KCORE_SQL,
+    "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
