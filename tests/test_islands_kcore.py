@@ -81,3 +81,41 @@ def test_weighted_sample_determinism_and_bias(ray_session):
     assert out.doc_id.tolist() == want
     # weight bias: sampled docs skew heavier than the corpus median
     assert out.w.median() >= df.n_chars.median()
+
+
+def test_bfs_hops_replay(ray_session):
+    import collections
+
+    from tsdownsample_ray.pipelines.queries import q_bfs_hops_docs
+
+    out = (q_bfs_hops_docs("/root/testdata/sf0.001").to_pandas()
+           .set_index("node"))
+    df = duckdb.sql('''
+        WITH n AS (SELECT count(*) c
+                   FROM read_parquet('/root/testdata/sf0.001/documents.parquet')),
+        d0 AS (SELECT doc_id
+               FROM read_parquet('/root/testdata/sf0.001/documents.parquet')),
+        e0 AS (SELECT doc_id src,
+                      (doc_id*31 + 97*j) % (SELECT c FROM n) dst
+               FROM d0, unnest([1,2,3,4,5,6]) t(j)
+               WHERE j <= 1 + doc_id % 6),
+        und AS (SELECT DISTINCT least(src,dst) u, greatest(src,dst) v
+                FROM e0 WHERE src <> dst)
+        SELECT u, v FROM und''').df()
+    adj = collections.defaultdict(set)
+    for u, v in zip(df.u, df.v):
+        adj[u].add(v)
+        adj[v].add(u)
+    dist = {0: 0}
+    frontier = [0]
+    hop = 0
+    while frontier:
+        hop += 1
+        nxt = []
+        for x in frontier:
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = hop
+                    nxt.append(y)
+        frontier = nxt
+    assert out.hop.to_dict() == dist

@@ -11139,6 +11139,120 @@ LIMIT 20
 """
 
 
+def q_bfs_hops_docs(sf_dir: str):
+    """Single-source BFS hop distances from doc 0 over the same
+    variable-degree undirected link graph as ``kcore_docs`` —
+    completing the graph family (PageRank, components, triangles,
+    degree stats, k-core, reachability). Driver-round frontier BFS
+    (diameter rounds, 6 here): each round the current frontier
+    broadcasts (``ray.put``) and one map over the edge Dataset emits
+    the next ring; the distance table accumulates driver-side under
+    the same bounded-node contract as the k-core peel. Output:
+    ``(node, hop)`` for every reachable node."""
+    import pyarrow.parquet as _pq
+    import ray as _ray
+
+    from ..arrow_utils import stable_part_codes
+
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"]).repartition(4)
+
+    def _edges(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs, dsts = [], []
+        for j in range(1, 7):
+            m = j <= 1 + d % 6
+            s = d[m]
+            t = (s * 31 + 97 * j) % n
+            keep = s != t
+            srcs.append(np.minimum(s[keep], t[keep]))
+            dsts.append(np.maximum(s[keep], t[keep]))
+        return pa.table({"u": pa.array(np.concatenate(srcs)),
+                         "v": pa.array(np.concatenate(dsts))})
+
+    mod = 4 * 64
+
+    def _part_u(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["u"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _dedup(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.unique(u * np.int64(2 ** 32) + v)
+        return pa.table({"u": pa.array(key // np.int64(2 ** 32)),
+                         "v": pa.array(key % np.int64(2 ** 32))})
+
+    edges = (ds.map_batches(_edges, batch_format="pyarrow")
+             .map_batches(_part_u, batch_format="pyarrow")
+             .repartition(4).groupby("__part")
+             .map_groups(_dedup, batch_format="pyarrow")).materialize()
+
+    dist = {0: 0}
+    frontier = {0}
+    hop = 0
+    while frontier:
+        hop += 1
+        f_ref = _ray.put(frontier)
+
+        def _ring(b: pa.Table) -> pa.Table:
+            fr = np.fromiter(_ray.get(f_ref), dtype=np.int64)
+            u = b["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            mu = np.isin(u, fr)
+            mv = np.isin(v, fr)
+            nb = np.unique(np.concatenate([v[mu], u[mv]]))
+            return pa.table({"node": pa.array(nb)})
+
+        ring = {int(r["node"]) for r in
+                edges.map_batches(_ring,
+                                  batch_format="pyarrow").take_all()}
+        frontier = {x for x in ring if x not in dist}
+        for x in frontier:
+            dist[x] = hop
+        if hop > 64:
+            raise RuntimeError("bfs exceeded the diameter bound")
+    nodes = sorted(dist)
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "hop": pa.array([dist[x] for x in nodes],
+                                     pa.int64())})
+
+
+BFS_HOPS_SQL = """
+WITH RECURSIVE nn AS (SELECT count(*) AS c FROM documents),
+e0 AS (
+    SELECT doc_id AS src,
+           (doc_id * 31 + 97 * j) % (SELECT c FROM nn) AS dst
+    FROM documents, unnest([1, 2, 3, 4, 5, 6]) t(j)
+    WHERE j <= 1 + doc_id % 6
+),
+und AS (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM e0 WHERE src <> dst
+),
+ed AS (
+    SELECT u AS src, v AS dst FROM und
+    UNION ALL
+    SELECT v, u FROM und
+),
+reach(node, hop) AS (
+    SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION
+    SELECT ed.dst, r.hop + 1
+    FROM reach r JOIN ed ON ed.src = r.node
+    WHERE r.hop < 15
+)
+SELECT node, CAST(min(hop) AS BIGINT) AS hop
+FROM reach GROUP BY 1
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -11309,6 +11423,7 @@ QUERIES = {
     "experiment_readout_users": q_experiment_readout_users,
     "kcore_docs": q_kcore_docs,
     "weighted_sample_docs": q_weighted_sample_docs,
+    "bfs_hops_docs": q_bfs_hops_docs,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -11907,6 +12022,7 @@ ORACLE_SQL = {
     "experiment_readout_users": EXPERIMENT_SQL,
     "kcore_docs": KCORE_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
+    "bfs_hops_docs": BFS_HOPS_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
