@@ -119,3 +119,40 @@ def test_bfs_hops_replay(ray_session):
                     nxt.append(y)
         frontier = nxt
     assert out.hop.to_dict() == dist
+
+
+def test_churn_features_replay(ray_session):
+    from tsdownsample_ray.pipelines.queries import q_churn_features_users
+
+    sf = "/root/testdata/sf0.001"
+    out = q_churn_features_users(sf).to_pandas().set_index("user_id")
+    df = duckdb.sql(f"""
+        SELECT user_id u, epoch_us(ts) t, event_type et,
+               CAST(round(value*100) AS BIGINT) c
+        FROM '{sf}/events.parquet' ORDER BY 1, 2""").df()
+    tmax = df.t.max()
+    D7 = 7 * 86_400_000_000
+    for u, g in df.groupby("u"):
+        r = out.loc[u]
+        t = g.t.to_numpy()
+        assert r.n_events == len(g)
+        assert r.n_purchases == (g.et == "purchase").sum()
+        assert r.purchase_cents == g[g.et == "purchase"].c.sum()
+        assert r.active_days == len(set(t // 86_400_000_000))
+        assert r.span_us == t.max() - t.min()
+        assert r.max_gap_us == (int(np.diff(t).max())
+                                if len(t) > 1 else 0)
+        assert r.churned == int(t.max() < tmax - D7)
+
+
+def test_ips_policy_eval_consistency(ray_session):
+    from tsdownsample_ray.pipelines.queries import (
+        q_ips_policy_eval_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_ips_policy_eval_events(sf).to_pandas().iloc[0]
+    assert out.n == 1000
+    assert 0 < out.n_matched < out.n
+    assert out.reward_matched_x5 % 5 == 0
+    assert out.reward_matched_x5 // 5 <= out.reward_all

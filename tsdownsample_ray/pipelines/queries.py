@@ -11253,6 +11253,183 @@ FROM reach GROUP BY 1
 """
 
 
+def q_churn_features_users(sf_dir: str):
+    """Per-user churn feature/label table (the feature-engineering step
+    of a training pipeline): activity counts, span, distinct active
+    days, largest inter-event gap, purchase stats, and the label
+    ``churned = no activity in the final 7 days of the corpus window``
+    — all exact int64, point-in-time consistent (every feature derives
+    only from the user's own ordered events; the global window end is
+    the one broadcast scalar). One hash(user) shuffle, vectorized
+    segment pass."""
+    from ..arrow_utils import stable_part_codes
+
+    D7 = 7 * 86_400_000_000
+    ds = _events_series(
+        sf_dir, cols=("event_id", "user_id", "event_type", "ts",
+                      "value"))
+
+    def _prep(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                 ndigits=0), pa.int64())
+        is_p = pc.equal(b["event_type"], "purchase")
+        return pa.table({"user_id": b["user_id"],
+                         "ts_us": b["ts_us"],
+                         "event_id": b["event_id"],
+                         "purch": pc.cast(is_p, pa.int64()),
+                         "pcents": pc.if_else(
+                             is_p, cents, pa.scalar(0, pa.int64()))})
+
+    prepped = ds.map_batches(_prep, batch_format="pyarrow")
+    tmax = max(r["tmax"] for r in prepped.map_batches(
+        lambda b: pa.table({"tmax": pa.array(
+            [int(b["ts_us"].to_numpy(zero_copy_only=False).max())
+             if b.num_rows else 0], pa.int64())}),
+        batch_format="pyarrow").take_all())
+
+    mod = 4 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["user_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _features(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        u_type = t["user_id"].type
+        cols = ("n_events", "n_purchases", "purchase_cents",
+                "active_days", "span_us", "max_gap_us", "churned")
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], u_type),
+                             **{c: pa.array([], pa.int64())
+                                for c in cols}})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("ts_us", "ascending"),
+            ("event_id", "ascending")]))
+        uid = t["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        codes = uid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        purch = t["purch"].to_numpy(zero_copy_only=False)
+        pcents = t["pcents"].to_numpy(zero_copy_only=False)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        ends = np.r_[starts[1:], len(codes)]
+        n = ends - starts
+        day = ts // 86_400_000_000
+        gaps = np.diff(ts)
+        gaps = np.where(heads[1:], 0, gaps)
+        # per-segment max gap over the boundary-masked diffs
+        max_gap = np.array(
+            [int(gaps[f:l - 1].max()) if l - f > 1 else 0
+             for f, l in zip(starts, ends)], dtype=np.int64)
+        active = np.array(
+            [len(np.unique(day[f:l])) for f, l in zip(starts, ends)],
+            dtype=np.int64)
+        last = ts[ends - 1]
+        return pa.table({
+            "user_id": uid.take(pa.array(starts)),
+            "n_events": pa.array(n),
+            "n_purchases": pa.array(np.add.reduceat(purch, starts)),
+            "purchase_cents": pa.array(np.add.reduceat(pcents, starts)),
+            "active_days": pa.array(active),
+            "span_us": pa.array(last - ts[starts]),
+            "max_gap_us": pa.array(max_gap),
+            "churned": pa.array(
+                (last < tmax - D7).astype(np.int64))})
+
+    return (prepped.map_batches(_add_part, batch_format="pyarrow")
+            .repartition(4).groupby("__part")
+            .map_groups(_features, batch_format="pyarrow"))
+
+
+CHURN_FEATURES_SQL = """
+WITH e AS (
+    SELECT user_id, event_id, epoch_us(ts) AS t, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+mx AS (SELECT max(t) AS tmax FROM e),
+g AS (
+    SELECT user_id, t,
+           t - lag(t) OVER (PARTITION BY user_id
+                            ORDER BY t, event_id) AS gap
+    FROM e
+)
+SELECT e.user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
+                ELSE 0 END) AS BIGINT) AS purchase_cents,
+       CAST(count(DISTINCT t // 86400000000) AS BIGINT) AS active_days,
+       CAST(max(t) - min(t) AS BIGINT) AS span_us,
+       CAST(coalesce((SELECT max(gap) FROM g
+                      WHERE g.user_id = e.user_id), 0) AS BIGINT)
+           AS max_gap_us,
+       CAST(CASE WHEN max(t) < (SELECT tmax FROM mx) - 604800000000
+                 THEN 1 ELSE 0 END AS BIGINT) AS churned
+FROM e GROUP BY e.user_id
+"""
+
+
+def q_ips_policy_eval_events(sf_dir: str):
+    """Off-policy evaluation by inverse-propensity scoring (the RL /
+    recommender counterfactual estimator): behavior policy = the
+    logged uniform-over-5-arms stream (propensity 1/5), target policy
+    ``pi(user) = 'purchase' if user_id % 3 == 0 else 'click'``, reward
+    ``value > 50``. The IPS estimate ``(1/n) Σ r·1[a=pi(x)]/p`` is
+    emitted as exact integer numerators (×5): matched count, matched
+    reward sum, n — purely map-side partials, one tiny merge, no
+    shuffle at all."""
+    ds = _events_series(
+        sf_dir, cols=("event_id", "user_id", "event_type", "ts",
+                      "value"))
+
+    def _partial(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        v = b["value"].to_numpy(zero_copy_only=False)
+        target = np.where(uid % 3 == 0, "purchase", "click")
+        match = pc.equal(b["event_type"],
+                         pa.array(target.tolist())).to_numpy(
+            zero_copy_only=False)
+        r = v > 50
+        return pa.table({
+            "n": pa.array([b.num_rows], pa.int64()),
+            "n_matched": pa.array([int(match.sum())], pa.int64()),
+            "reward_matched_x5": pa.array(
+                [int((match & r).sum()) * 5], pa.int64()),
+            "reward_all": pa.array([int(r.sum())], pa.int64())})
+
+    rows = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    agg = {k: sum(int(r[k]) for r in rows)
+           for k in ("n", "n_matched", "reward_matched_x5",
+                     "reward_all")}
+    return pa.table({k: pa.array([v], pa.int64())
+                     for k, v in agg.items()})
+
+
+IPS_POLICY_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN event_type =
+                     (CASE WHEN user_id % 3 = 0
+                           THEN 'purchase' ELSE 'click' END)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(5 * sum(CASE WHEN value > 50 AND event_type =
+                         (CASE WHEN user_id % 3 = 0
+                               THEN 'purchase' ELSE 'click' END)
+                    THEN 1 ELSE 0 END) AS BIGINT)
+           AS reward_matched_x5,
+       CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT)
+           AS reward_all
+FROM events
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -11424,6 +11601,8 @@ QUERIES = {
     "kcore_docs": q_kcore_docs,
     "weighted_sample_docs": q_weighted_sample_docs,
     "bfs_hops_docs": q_bfs_hops_docs,
+    "churn_features_users": q_churn_features_users,
+    "ips_policy_eval_events": q_ips_policy_eval_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -12023,6 +12202,8 @@ ORACLE_SQL = {
     "kcore_docs": KCORE_SQL,
     "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
     "bfs_hops_docs": BFS_HOPS_SQL,
+    "churn_features_users": CHURN_FEATURES_SQL,
+    "ips_policy_eval_events": IPS_POLICY_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
