@@ -156,3 +156,15 @@ def test_ips_policy_eval_consistency(ray_session):
     assert 0 < out.n_matched < out.n
     assert out.reward_matched_x5 % 5 == 0
     assert out.reward_matched_x5 // 5 <= out.reward_all
+
+
+def test_returned_revenue_top20(ray_session):
+    from tsdownsample_ray.pipelines.queries import (
+        q_returned_revenue_customers,
+    )
+
+    out = q_returned_revenue_customers(
+        "/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 20
+    assert out.revenue_e6.is_monotonic_decreasing
+    assert out.c_name.notna().all() and out.n_name.notna().all()

@@ -11430,6 +11430,111 @@ FROM events
 """
 
 
+def q_returned_revenue_customers(sf_dir: str):
+    """TPC-H-Q10-style returned-item report: revenue lost to returns
+    per customer over one half-year of orders, top 20 with customer /
+    nation labels. Shape: date-pruned orders hash-join
+    returnflag-filtered lineitem (both filtered BEFORE the exchange),
+    exact e6 integer revenue partial-sums per customer (hashpart
+    grouped sum), distributed sort+limit — and only the 20 surviving
+    rows are labeled (dimension lookups AFTER the top-k, so customer
+    is never broadcast)."""
+    from ..stages.graph import grouped_sum_parts
+
+    lo_us = 820_454_400 * US   # 1996-01-01 UTC
+    hi_us = 836_179_200 * US   # 1996-07-01 UTC
+
+    def _orders(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["o_orderdate"], pa.int64())
+        t = b.append_column("o_date_us", ts)
+        keep = pc.and_(pc.greater_equal(t["o_date_us"],
+                                        pa.scalar(lo_us, pa.int64())),
+                       pc.less(t["o_date_us"],
+                               pa.scalar(hi_us, pa.int64())))
+        t = t.filter(keep)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"]})
+
+    orders = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        _orders, batch_format="pyarrow")
+
+    def _line(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["l_returnflag"], "R"))
+        price = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             100.0), ndigits=0),
+                        pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 10000.0),
+                                ndigits=0), pa.int64())
+        rev = pc.multiply(price,
+                          pc.subtract(pa.scalar(10000, pa.int64()),
+                                      disc))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "revenue_e6": rev})
+
+    line = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"]).map_batches(_line,
+                                            batch_format="pyarrow")
+    j = line.join(orders, join_type="inner", num_partitions=4,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = grouped_sum_parts(
+        j.map_batches(lambda b: pa.table({
+            "o_custkey": b["o_custkey"],
+            "revenue_e6": b["revenue_e6"]}), batch_format="pyarrow"),
+        ["o_custkey"], ["revenue_e6"], count_col=None, fanin=4)
+    top = (agg.sort(key=["revenue_e6", "o_custkey"],
+                    descending=[True, False]).limit(20).take_all())
+    keys = {int(r["o_custkey"]) for r in top}
+
+    cust = {int(r["c_custkey"]): (r["c_name"], int(r["c_nationkey"]))
+            for r in _read_parquet_clean(
+                f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_name", "c_nationkey"])
+            .map_batches(
+                lambda b: b.filter(pc.is_in(
+                    b["c_custkey"],
+                    value_set=pa.array(sorted(keys), pa.int64()))),
+                batch_format="pyarrow").take_all()}
+    nation = {int(r["n_nationkey"]): r["n_name"]
+              for r in _read_parquet_clean(
+                  f"{sf_dir}/nation.parquet",
+                  columns=["n_nationkey", "n_name"]).take_all()}
+    return pa.table({
+        "c_custkey": pa.array([int(r["o_custkey"]) for r in top],
+                              pa.int64()),
+        "c_name": pa.array([cust[int(r["o_custkey"])][0]
+                            for r in top]),
+        "n_name": pa.array([nation[cust[int(r["o_custkey"])][1]]
+                            for r in top]),
+        "revenue_e6": pa.array([int(r["revenue_e6"]) for r in top],
+                               pa.int64())})
+
+
+RETURNED_REVENUE_SQL = """
+WITH r AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (10000 - CAST(round(l_discount * 10000)
+                                    AS BIGINT))) AS BIGINT)
+               AS revenue_e6
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY 1
+)
+SELECT c_custkey, c_name, n_name, revenue_e6
+FROM r
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+ORDER BY revenue_e6 DESC, c_custkey
+LIMIT 20
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -11603,6 +11708,7 @@ QUERIES = {
     "bfs_hops_docs": q_bfs_hops_docs,
     "churn_features_users": q_churn_features_users,
     "ips_policy_eval_events": q_ips_policy_eval_events,
+    "returned_revenue_customers": q_returned_revenue_customers,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -12204,6 +12310,7 @@ ORACLE_SQL = {
     "bfs_hops_docs": BFS_HOPS_SQL,
     "churn_features_users": CHURN_FEATURES_SQL,
     "ips_policy_eval_events": IPS_POLICY_SQL,
+    "returned_revenue_customers": RETURNED_REVENUE_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
