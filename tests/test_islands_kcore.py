@@ -168,3 +168,23 @@ def test_returned_revenue_top20(ray_session):
     assert len(out) == 20
     assert out.revenue_e6.is_monotonic_decreasing
     assert out.c_name.notna().all() and out.n_name.notna().all()
+
+
+def test_quantile_normalize_properties(ray_session):
+    from tsdownsample_ray.pipelines.queries import q_quantile_normalize_1d
+
+    out = q_quantile_normalize_1d("/root/testdata/sf0.001").to_pandas()
+    # equal-length series, ranks 1..30 each
+    for s, g in out.groupby("series_id"):
+        assert sorted(g["rank"]) == list(range(1, 31))
+        g = g.sort_values("rank")
+        # qn profile is monotone in rank and shared across series
+        assert g.qn_sum.is_monotonic_increasing
+    # after normalization every series has the IDENTICAL multiset
+    sets = {tuple(sorted(g.qn_sum))
+            for _, g in out.groupby("series_id")}
+    assert len(sets) == 1
+    # rank-r qn_sum equals the cross-series sum of rank-r values
+    for r in (1, 15, 30):
+        rows = out[out["rank"] == r]
+        assert (rows.qn_sum == rows.y.sum()).all()

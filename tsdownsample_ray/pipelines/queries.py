@@ -11535,6 +11535,110 @@ LIMIT 20
 """
 
 
+def q_quantile_normalize_1d(sf_dir: str):
+    """Quantile normalization across series (the cross-sample
+    calibration classic): every series' rank-r value is replaced by
+    the cross-series SUM of rank-r values (the exact-integer form of
+    the usual rank mean — divide by the series count to taste). The
+    1d tier gives equal-length series (30 buckets), the method's
+    requirement. Shape: one hash(series) shuffle ranks each series
+    (ties pinned by (y, bucket)); the 30-row rank-sum profile reduces
+    map-side and broadcasts back in a closure; one more pass maps each
+    row. Output: ``(series_id, bucket, y, rank, qn_sum)``."""
+    from ..arrow_utils import stable_part_codes
+    from ..stages.rollup import rollup
+
+    D1 = 86_400_000_000
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = (rollup(ev.map_batches(_series, batch_format="pyarrow"),
+                     D1)
+              .select_columns(["series_id", "bucket", "sum_y"]))
+    mod = 2 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["series_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _rank(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t["series_id"].type
+        if t.num_rows == 0:
+            return pa.table({"series_id": pa.array([], s_type),
+                             "bucket": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("series_id", "ascending"), ("sum_y", "ascending"),
+            ("bucket", "ascending")]))
+        sid = t["series_id"]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        seg_of = np.cumsum(heads) - 1
+        pos = np.arange(len(codes)) - starts[seg_of]
+        return pa.table({
+            "series_id": sid,
+            "bucket": t["bucket"].cast(pa.int64()),
+            "y": t["sum_y"].cast(pa.int64()),
+            "rank": pa.array(pos + 1)})
+
+    ranked = (rolled.map_batches(_add_part, batch_format="pyarrow")
+              .repartition(2).groupby("__part")
+              .map_groups(_rank, batch_format="pyarrow")).materialize()
+
+    def _profile(b: pa.Table) -> pa.Table:
+        g = pa.table({"rank": b["rank"], "y": b["y"]}).group_by(
+            ["rank"]).aggregate([("y", "sum")])
+        return g.rename_columns(["rank", "ysum"])
+
+    prof_rows = ranked.map_batches(
+        _profile, batch_format="pyarrow").take_all()
+    prof: dict = {}
+    for r in prof_rows:
+        prof[int(r["rank"])] = prof.get(int(r["rank"]), 0) + int(
+            r["ysum"])
+
+    def _apply(b: pa.Table) -> pa.Table:
+        rk = b["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qn = np.array([prof[int(r)] for r in rk], dtype=np.int64)
+        return b.append_column("qn_sum", pa.array(qn))
+
+    return ranked.map_batches(_apply, batch_format="pyarrow")
+
+
+QUANTILE_NORMALIZE_SQL = """
+WITH r AS (
+    SELECT event_type AS series_id,
+           epoch_us(ts) // 86400000000 * 86400000000 AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+rk AS (
+    SELECT series_id, bucket, y,
+           CAST(row_number() OVER (PARTITION BY series_id
+                                   ORDER BY y, bucket) AS BIGINT)
+               AS rank
+    FROM r
+),
+prof AS (
+    SELECT rank, CAST(sum(y) AS BIGINT) AS qn_sum FROM rk GROUP BY 1
+)
+SELECT rk.series_id, CAST(rk.bucket AS BIGINT) AS bucket, rk.y,
+       rk.rank, prof.qn_sum
+FROM rk JOIN prof ON prof.rank = rk.rank
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -11709,6 +11813,7 @@ QUERIES = {
     "churn_features_users": q_churn_features_users,
     "ips_policy_eval_events": q_ips_policy_eval_events,
     "returned_revenue_customers": q_returned_revenue_customers,
+    "quantile_normalize_1d": q_quantile_normalize_1d,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -12311,6 +12416,7 @@ ORACLE_SQL = {
     "churn_features_users": CHURN_FEATURES_SQL,
     "ips_policy_eval_events": IPS_POLICY_SQL,
     "returned_revenue_customers": RETURNED_REVENUE_SQL,
+    "quantile_normalize_1d": QUANTILE_NORMALIZE_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
