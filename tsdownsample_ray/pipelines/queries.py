@@ -11639,6 +11639,64 @@ FROM rk JOIN prof ON prof.rank = rk.rank
 """
 
 
+def q_pmi_pairs_docs(sf_dir: str):
+    """Collocation mining: the top-30 token pairs by pointwise mutual
+    information, ranked WITHOUT floats — the existing co-occurrence
+    stage already emits exact ``pmi_num = co_df·N`` / ``pmi_den =
+    df_a·df_b``, and the ranking key is the scaled integer quotient
+    ``(pmi_num·1e6) // pmi_den`` with (a, b) tie-breaks. Composes
+    ``stages/cooccur.py`` with a distributed sort+limit; a minimum
+    co-document support of 3 filters hapax noise."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.cooccur import cooccurrence
+
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+    co = cooccurrence(ds, n_docs=n, num_partitions=8)
+
+    def _score(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["co_df"],
+                                      pa.scalar(3, pa.int64())))
+        num = t["pmi_num"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        den = t["pmi_den"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        score = num * 1_000_000 // den
+        return pa.table({"a": t["a"], "b": t["b"],
+                         "co_df": t["co_df"],
+                         "pmi_score_e6": pa.array(score)})
+
+    return (co.map_batches(_score, batch_format="pyarrow")
+            .sort(key=["pmi_score_e6", "a", "b"],
+                  descending=[True, False, False]).limit(30))
+
+
+PMI_PAIRS_SQL = """
+WITH w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+),
+f AS (SELECT DISTINCT doc_id, token FROM w WHERE token <> ''),
+p AS (
+    SELECT x.token AS a, y.token AS b
+    FROM f x JOIN f y
+      ON x.doc_id = y.doc_id AND x.token < y.token
+),
+c AS (SELECT a, b, count(*) AS co_df FROM p GROUP BY a, b),
+d AS (SELECT token, count(*) AS df FROM f GROUP BY token),
+n AS (SELECT count(*) AS c FROM documents)
+SELECT c.a, c.b, CAST(c.co_df AS BIGINT) AS co_df,
+       CAST(c.co_df * (SELECT c FROM n) * 1000000
+            // (da.df * db.df) AS BIGINT) AS pmi_score_e6
+FROM c JOIN d da ON da.token = c.a JOIN d db ON db.token = c.b
+WHERE c.co_df >= 3
+ORDER BY pmi_score_e6 DESC, a, b
+LIMIT 30
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -11814,6 +11872,7 @@ QUERIES = {
     "ips_policy_eval_events": q_ips_policy_eval_events,
     "returned_revenue_customers": q_returned_revenue_customers,
     "quantile_normalize_1d": q_quantile_normalize_1d,
+    "pmi_pairs_docs": q_pmi_pairs_docs,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -12417,6 +12476,7 @@ ORACLE_SQL = {
     "ips_policy_eval_events": IPS_POLICY_SQL,
     "returned_revenue_customers": RETURNED_REVENUE_SQL,
     "quantile_normalize_1d": QUANTILE_NORMALIZE_SQL,
+    "pmi_pairs_docs": PMI_PAIRS_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
