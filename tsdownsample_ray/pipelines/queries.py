@@ -11697,6 +11697,160 @@ LIMIT 30
 """
 
 
+def q_class_terms_docs(sf_dir: str):
+    """Class-characteristic terms (the BERTopic/c-TF-IDF readout,
+    float-free): for each embedding label, the top-5 tokens by the
+    integer lift ``(c_lt · T · 1e6) // (t_total · T_l)`` — occurrences
+    of t in the label's docs vs the corpus rate, min support 5,
+    (score, token) tie-breaks. Shape: the 500-row doc→label map
+    broadcasts in a closure (dimension contract); per-batch
+    (label, token) count partials reduce through one hashpart grouped
+    sum; token totals come from the same table re-reduced; the final
+    per-label top-5 is one segment pass over a label-hash shuffle."""
+    from ..arrow_utils import stable_part_codes
+
+    ds_lab = _read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "label"])
+    lab = {int(r["vec_id"]): int(r["label"])
+           for r in ds_lab.take_all()}
+
+    docs = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"]).repartition(8)
+
+    def _counts(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        toks = pc.split_pattern(b["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        flat = toks.values.slice(int(off[0]), int(off[-1] - off[0]))
+        nonempty = pc.invert(pc.equal(pc.utf8_length(flat), 0))
+        labels = np.array([lab[int(i)] for i in ids], dtype=np.int64)
+        per_tok_label = np.repeat(labels, np.diff(off))
+        keep = nonempty.to_numpy(zero_copy_only=False)
+        t = pa.table({"label": pa.array(per_tok_label[keep]),
+                      "token": flat.filter(nonempty)})
+        g = t.group_by(["label", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["label", "token", "c"])
+
+    counts = docs.map_batches(_counts, batch_format="pyarrow")
+    mod = 4 * 64
+
+    def _part_lt(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["token"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _sum_lt(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        s = t.group_by(["label", "token"]).aggregate([("c", "sum")])
+        return s.rename_columns(["label", "token", "c"])
+
+    lt = (counts.map_batches(_part_lt, batch_format="pyarrow")
+          .repartition(4).groupby("__part")
+          .map_groups(_sum_lt, batch_format="pyarrow")).materialize()
+
+    tot_rows = lt.map_batches(
+        lambda b: pa.table({
+            "token": b["token"], "c": b["c"],
+            "label": b["label"]}),
+        batch_format="pyarrow").take_all()
+    t_total: dict = {}
+    t_label: dict = {}
+    T = 0
+    for r in tot_rows:
+        t_total[r["token"]] = t_total.get(r["token"], 0) + int(r["c"])
+        t_label[int(r["label"])] = (t_label.get(int(r["label"]), 0)
+                                    + int(r["c"]))
+        T += int(r["c"])
+
+    def _score(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["c"], pa.scalar(5, pa.int64())))
+        toks = t["token"].to_pylist()
+        labs = t["label"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        score = np.array(
+            [int(ci) * T * 1_000_000
+             // (t_total[tk] * t_label[int(li)])
+             for ci, tk, li in zip(c, toks, labs)], dtype=np.int64)
+        return pa.table({"label": pa.array(labs), "token": t["token"],
+                         "c": pa.array(c),
+                         "score_e6": pa.array(score)})
+
+    scored = lt.map_batches(_score, batch_format="pyarrow")
+
+    def _part_l(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["label"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _top5(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64()),
+                             "score_e6": pa.array([], pa.int64())})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("label", "ascending"), ("score_e6", "descending"),
+            ("token", "ascending")]))
+        labs = t["label"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        heads = np.ones(len(labs), dtype=bool)
+        heads[1:] = labs[1:] != labs[:-1]
+        starts = np.flatnonzero(heads)
+        seg_of = np.cumsum(heads) - 1
+        pos = np.arange(len(labs)) - starts[seg_of]
+        return t.filter(pa.array(pos < 5))
+
+    return (scored.map_batches(_part_l, batch_format="pyarrow")
+            .repartition(4).groupby("__part")
+            .map_groups(_top5, batch_format="pyarrow"))
+
+
+CLASS_TERMS_SQL = """
+WITH lab AS (SELECT vec_id AS doc_id, CAST(label AS BIGINT) AS label
+             FROM embeddings),
+w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+),
+wf AS (
+    SELECT w.doc_id, lab.label, token
+    FROM w JOIN lab ON lab.doc_id = w.doc_id
+    WHERE token <> ''
+),
+ct AS (SELECT label, token, CAST(count(*) AS BIGINT) AS c
+       FROM wf GROUP BY 1, 2),
+tt AS (SELECT token, CAST(count(*) AS BIGINT) AS t_total
+       FROM wf GROUP BY 1),
+tl AS (SELECT label, CAST(count(*) AS BIGINT) AS t_label
+       FROM wf GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM wf),
+s AS (
+    SELECT ct.label, ct.token, ct.c,
+           CAST(ct.c * (SELECT t FROM tot) * 1000000
+                // (tt.t_total * tl.t_label) AS BIGINT) AS score_e6
+    FROM ct
+    JOIN tt ON tt.token = ct.token
+    JOIN tl ON tl.label = ct.label
+    WHERE ct.c >= 5
+)
+SELECT label, token, c, score_e6 FROM (
+    SELECT s.*, row_number() OVER (PARTITION BY label
+                                   ORDER BY score_e6 DESC, token) AS rk
+    FROM s
+) WHERE rk <= 5
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -11873,6 +12027,7 @@ QUERIES = {
     "returned_revenue_customers": q_returned_revenue_customers,
     "quantile_normalize_1d": q_quantile_normalize_1d,
     "pmi_pairs_docs": q_pmi_pairs_docs,
+    "class_terms_docs": q_class_terms_docs,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -12477,6 +12632,7 @@ ORACLE_SQL = {
     "returned_revenue_customers": RETURNED_REVENUE_SQL,
     "quantile_normalize_1d": QUANTILE_NORMALIZE_SQL,
     "pmi_pairs_docs": PMI_PAIRS_SQL,
+    "class_terms_docs": CLASS_TERMS_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
