@@ -11851,6 +11851,52 @@ SELECT label, token, c, score_e6 FROM (
 """
 
 
+def q_langid_confusion_docs(sf_dir: str):
+    """Language-ID quality audit: confusion matrix of the LangId
+    heuristic's predictions against the corpus' ground-truth ``lang``
+    column — (true, predicted, count) cells, the standard classifier
+    acceptance report. Actor-pool prediction (profiles built once per
+    actor in ``__init__``), per-batch cell partials, tiny final merge
+    (<=|langs|² rows)."""
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "lang"])
+
+    from ..stages.textstats import LangId
+
+    class _Conf:
+        def __init__(self):
+            self.lid = LangId()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            preds = self.lid(b.select(["doc_id", "text"]))
+            t = pa.table({"true_lang": b["lang"],
+                          "pred_lang": preds["lang_pred"]})
+            g = t.group_by(["true_lang", "pred_lang"]).aggregate(
+                [([], "count_all")])
+            return g.rename_columns(["true_lang", "pred_lang", "n"])
+
+    def _merge(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "true_lang": g["true_lang"].slice(0, 1),
+            "pred_lang": g["pred_lang"].slice(0, 1),
+            "n": pa.array([pc.sum(g["n"]).as_py() or 0], pa.int64())})
+
+    return (ds.map_batches(_Conf, batch_format="pyarrow",
+                           concurrency=(1, 8))
+            .groupby(["true_lang", "pred_lang"])
+            .map_groups(_merge, batch_format="pyarrow"))
+
+
+def _langid_confusion_sql() -> str:
+    return f"""
+WITH {_langid_ctes("documents")}
+SELECT d.lang AS true_lang, l.lang_pred AS pred_lang,
+       CAST(count(*) AS BIGINT) AS n
+FROM lid_out l JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -12028,6 +12074,7 @@ QUERIES = {
     "quantile_normalize_1d": q_quantile_normalize_1d,
     "pmi_pairs_docs": q_pmi_pairs_docs,
     "class_terms_docs": q_class_terms_docs,
+    "langid_confusion_docs": q_langid_confusion_docs,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -12633,6 +12680,7 @@ ORACLE_SQL = {
     "quantile_normalize_1d": QUANTILE_NORMALIZE_SQL,
     "pmi_pairs_docs": PMI_PAIRS_SQL,
     "class_terms_docs": CLASS_TERMS_SQL,
+    "langid_confusion_docs": _langid_confusion_sql(),
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
