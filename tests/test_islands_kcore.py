@@ -188,3 +188,44 @@ def test_quantile_normalize_properties(ray_session):
     for r in (1, 15, 30):
         rows = out[out["rank"] == r]
         assert (rows.qn_sum == rows.y.sum()).all()
+
+
+def test_pmi_pairs_properties(ray_session):
+    from tsdownsample_ray.pipelines.queries import q_pmi_pairs_docs
+
+    out = q_pmi_pairs_docs("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 30
+    assert out.pmi_score_e6.is_monotonic_decreasing
+    assert (out.co_df >= 3).all()
+    assert (out.a < out.b).all()
+
+
+def test_class_terms_properties(ray_session):
+    from tsdownsample_ray.pipelines.queries import q_class_terms_docs
+
+    out = q_class_terms_docs("/root/testdata/sf0.001").to_pandas()
+    per = out.groupby("label").size()
+    assert len(per) == 10 and (per == 5).all()
+    for _, g in out.groupby("label"):
+        assert g.score_e6.is_monotonic_decreasing or len(g) == 1
+    assert (out.c >= 5).all()
+
+
+def test_langid_confusion_properties(ray_session):
+    from tsdownsample_ray.pipelines.queries import (
+        q_langid_confusion_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_langid_confusion_docs(sf).to_pandas()
+    total = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/documents.parquet'").fetchone()[0]
+    assert out.n.sum() == total
+    # the synthetic corpus text is English-like regardless of its lang
+    # LABEL — the audit's job is to surface exactly that: predictions
+    # concentrate on 'en', and the true-en row is strongly diagonal
+    pred_en = out[out.pred_lang == "en"].n.sum()
+    assert pred_en > total * 0.7
+    en_row = out[out.true_lang == "en"]
+    assert (en_row[en_row.pred_lang == "en"].n.sum()
+            > en_row.n.sum() * 0.8)
