@@ -229,3 +229,15 @@ def test_langid_confusion_properties(ray_session):
     en_row = out[out.true_lang == "en"]
     assert (en_row[en_row.pred_lang == "en"].n.sum()
             > en_row.n.sum() * 0.8)
+
+
+def test_busday_rollup_no_weekends(ray_session):
+    from tsdownsample_ray.pipelines.queries import q_busday_rollup_orders
+
+    sf = "/root/testdata/sf0.001"
+    out = q_busday_rollup_orders(sf).to_pandas()
+    dow = (out.busday + 4) % 7
+    assert ((dow != 0) & (dow != 6)).all()  # no weekend buckets
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/orders.parquet'").fetchone()[0]
+    assert out.n_orders.sum() == n

@@ -11897,6 +11897,63 @@ GROUP BY 1, 2
 """
 
 
+def q_busday_rollup_orders(sf_dir: str):
+    """Business-day settlement rollup: weekend orders roll FORWARD to
+    the next business day (Sat → +2, Sun → +1, pinned epoch-day
+    arithmetic ``dow = (day + 4) % 7`` — no calendar library on either
+    side), then exact cents totals per business day through the
+    hashpart grouped sum. The settlement-calendar semantics every
+    finance pipeline needs, minus the holiday table (which would
+    broadcast exactly like the seasonal profile)."""
+    from ..stages.graph import grouped_sum_parts
+
+    DAY = 86_400_000_000
+
+    def _prep(b: pa.Table) -> pa.Table:
+        day = (pc.cast(b["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False) // DAY)
+        dow = (day + 4) % 7
+        bus = day + np.where(dow == 6, 2, np.where(dow == 0, 1, 0))
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0),
+                                 ndigits=0), pa.int64())
+        return pa.table({"busday": pa.array(bus.astype(np.int64)),
+                         "total_cents": cents,
+                         "one": pa.array(
+                             np.ones(b.num_rows, dtype=np.int64))})
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_totalprice"]).map_batches(
+        _prep, batch_format="pyarrow")
+    agg = grouped_sum_parts(ds, ["busday"], ["total_cents", "one"],
+                            count_col=None, fanin=4)
+    return agg.map_batches(
+        lambda b: pa.table({"busday": b["busday"],
+                            "n_orders": b["one"],
+                            "total_cents": b["total_cents"]}),
+        batch_format="pyarrow")
+
+
+BUSDAY_ROLLUP_SQL = """
+WITH o AS (
+    SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+b AS (
+    SELECT day + CASE WHEN (day + 4) % 7 = 6 THEN 2
+                      WHEN (day + 4) % 7 = 0 THEN 1
+                      ELSE 0 END AS busday,
+           cents
+    FROM o
+)
+SELECT CAST(busday AS BIGINT) AS busday,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM b GROUP BY 1
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -12075,6 +12132,7 @@ QUERIES = {
     "pmi_pairs_docs": q_pmi_pairs_docs,
     "class_terms_docs": q_class_terms_docs,
     "langid_confusion_docs": q_langid_confusion_docs,
+    "busday_rollup_orders": q_busday_rollup_orders,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -12681,6 +12739,7 @@ ORACLE_SQL = {
     "pmi_pairs_docs": PMI_PAIRS_SQL,
     "class_terms_docs": CLASS_TERMS_SQL,
     "langid_confusion_docs": _langid_confusion_sql(),
+    "busday_rollup_orders": BUSDAY_ROLLUP_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
