@@ -103,7 +103,11 @@ def run_bench() -> dict:
         "postings_docs", "canonical_urls_docs", "snapshot_diff_docs",
         "funnel_users", "bpe_tokenize_docs",
         "cms_heavy_hitters_docs", "bloom_semi_join",
-        "triangle_counts_docs")
+        "triangle_counts_docs",
+        # round-3 closing-session marquee operators
+        "token_bucket_events", "rdp_simplify_15m", "deadband_events",
+        "isotonic_fit_1h", "dtw_pairs_1d", "dbscan_embeddings",
+        "rate_limit_users", "kcore_docs", "churn_features_users")
     for qname in qnames:
         best = None
         # min-of-n: throttle bursts vary timings ~3x; the two join-heavy
