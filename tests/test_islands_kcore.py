@@ -241,3 +241,39 @@ def test_busday_rollup_no_weekends(ray_session):
     n = duckdb.sql(
         f"SELECT count(*) FROM '{sf}/orders.parquet'").fetchone()[0]
     assert out.n_orders.sum() == n
+
+
+def test_clustering_coeff_replay(ray_session):
+    import collections
+    import math
+
+    from tsdownsample_ray.pipelines.queries import q_clustering_coeff_docs
+
+    out = (q_clustering_coeff_docs("/root/testdata/sf0.001")
+           .to_pandas().set_index("node"))
+    df = duckdb.sql('''
+        WITH nn AS (SELECT count(*) n
+                    FROM read_parquet('/root/testdata/sf0.001/documents.parquet')),
+        d0 AS (SELECT doc_id
+               FROM read_parquet('/root/testdata/sf0.001/documents.parquet')),
+        e0 AS (SELECT doc_id src,
+                      (doc_id*31 + 97*j) % (SELECT n FROM nn) dst
+               FROM d0, unnest([1,2,3]) t(j)),
+        und AS (SELECT DISTINCT least(src,dst) u, greatest(src,dst) v
+                FROM e0 WHERE src <> dst)
+        SELECT u, v FROM und''').df()
+    adj = collections.defaultdict(set)
+    for u, v in zip(df.u, df.v):
+        adj[u].add(v)
+        adj[v].add(u)
+    for node, r in out.iterrows():
+        nb = adj[node]
+        assert r.deg == len(nb)
+        tri = sum(1 for x in nb for y in nb
+                  if x < y and y in adj[x])
+        assert r.n_triangles == tri
+        g = math.gcd(2 * tri, r.deg * (r.deg - 1)) or 1
+        assert (r.cc_num, r.cc_den) == (2 * tri // g,
+                                        r.deg * (r.deg - 1) // g)
+    # coefficients live in [0, 1]
+    assert (out.cc_num <= out.cc_den).all()

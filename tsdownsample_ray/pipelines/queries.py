@@ -11954,6 +11954,173 @@ FROM b GROUP BY 1
 """
 
 
+def q_clustering_coeff_docs(sf_dir: str):
+    """Local clustering coefficient per node — ``2·tri / (deg·(deg−1))``
+    as an exact gcd-reduced fraction — composing the per-node triangle
+    counts (``stages/graph.py:triangle_counts``) with doubled-edge
+    degree counts. Join-free merge: both per-node tables union as
+    zero-padded partials ``(node, deg, tri)`` and reduce through ONE
+    hashpart grouped sum; nodes with deg < 2 are omitted (undefined
+    coefficient)."""
+    import pyarrow.parquet as _pq
+
+    from ..arrow_utils import stable_part_codes
+    from ..stages.graph import triangle_counts
+
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    nodes = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id"]).repartition(4)
+
+    def _edges(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        ts = _graph_targets(d, n)
+        src = np.concatenate([d.astype(np.int64)] * 3)
+        dst = np.concatenate(ts)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = nodes.map_batches(_edges, batch_format="pyarrow")
+    tri = triangle_counts(edges, num_partitions=4, fanin=4)
+
+    def _tri_part(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b["doc_id"].cast(pa.int64()),
+            "deg": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            "tri": b["n_triangles"].cast(pa.int64())})
+
+    mod = 4 * 64
+
+    # exact degrees need a hashpart distinct over canonical edges first
+    # (hash by u co-locates every copy of an edge; per-node partial
+    # degrees from different partitions merge in the final grouped sum)
+    def _canon(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = src != dst
+        u = np.minimum(src[keep], dst[keep])
+        v = np.maximum(src[keep], dst[keep])
+        return pa.table({"u": pa.array(u), "v": pa.array(v)})
+
+    def _part_u(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["u"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _dedup(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64()),
+                             "tri": pa.array([], pa.int64())})
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.unique(u * np.int64(2 ** 32) + v)
+        both = np.concatenate([key // np.int64(2 ** 32),
+                               key % np.int64(2 ** 32)])
+        uniq, cnt = np.unique(both, return_counts=True)
+        return pa.table({"node": pa.array(uniq),
+                         "deg": pa.array(cnt.astype(np.int64)),
+                         "tri": pa.array(np.zeros(len(uniq),
+                                                  dtype=np.int64))})
+
+    deg = (edges.map_batches(_canon, batch_format="pyarrow")
+           .map_batches(_part_u, batch_format="pyarrow")
+           .repartition(4).groupby("__part")
+           .map_groups(_dedup, batch_format="pyarrow"))
+
+    unioned = deg.union(tri.map_batches(_tri_part,
+                                        batch_format="pyarrow"))
+
+    def _part_n(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["node"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _cc(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        empty = pa.table({"node": pa.array([], pa.int64()),
+                          "deg": pa.array([], pa.int64()),
+                          "n_triangles": pa.array([], pa.int64()),
+                          "cc_num": pa.array([], pa.int64()),
+                          "cc_den": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        degv = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        triv = t["tri"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(node, kind="stable")
+        node, degv, triv = node[order], degv[order], triv[order]
+        heads = np.ones(len(node), dtype=bool)
+        heads[1:] = node[1:] != node[:-1]
+        starts = np.flatnonzero(heads)
+        nd = node[starts]
+        d = np.add.reduceat(degv, starts)
+        tr = np.add.reduceat(triv, starts)
+        keep = d >= 2
+        nd, d, tr = nd[keep], d[keep], tr[keep]
+        num = 2 * tr
+        den = d * (d - 1)
+        g_ = np.gcd(num, den)
+        g_ = np.where(g_ == 0, 1, g_)
+        return pa.table({"node": pa.array(nd), "deg": pa.array(d),
+                         "n_triangles": pa.array(tr),
+                         "cc_num": pa.array(num // g_),
+                         "cc_den": pa.array(den // g_)})
+
+    return (unioned.map_batches(_part_n, batch_format="pyarrow")
+            .repartition(4).groupby("__part")
+            .map_groups(_cc, batch_format="pyarrow"))
+
+
+CLUSTERING_COEFF_SQL = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+    SELECT doc_id AS src, (doc_id * 31 + 97) % (SELECT n FROM nn) AS dst
+    FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id * 31 + 194) % (SELECT n FROM nn)
+    FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id * 31 + 291) % (SELECT n FROM nn)
+    FROM documents
+),
+e AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM e0 WHERE src <> dst
+),
+deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e
+    ) GROUP BY 1
+),
+w AS (
+    SELECT e1.a, e1.b, e2.b AS c
+    FROM e e1 JOIN e e2 ON e1.b = e2.a
+),
+t AS (
+    SELECT w.a, w.b, w.c
+    FROM w JOIN e e3 ON e3.a = w.a AND e3.b = w.c
+),
+v AS (
+    SELECT a AS node FROM t
+    UNION ALL SELECT b FROM t
+    UNION ALL SELECT c FROM t
+),
+tri AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM v GROUP BY 1)
+SELECT deg.node, deg.deg,
+       CAST(coalesce(tri.tri, 0) AS BIGINT) AS n_triangles,
+       CAST(2 * coalesce(tri.tri, 0)
+            // greatest(gcd(2 * coalesce(tri.tri, 0),
+                            deg.deg * (deg.deg - 1)), 1) AS BIGINT)
+           AS cc_num,
+       CAST(deg.deg * (deg.deg - 1)
+            // greatest(gcd(2 * coalesce(tri.tri, 0),
+                            deg.deg * (deg.deg - 1)), 1) AS BIGINT)
+           AS cc_den
+FROM deg LEFT JOIN tri ON tri.node = deg.node
+WHERE deg.deg >= 2
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -12133,6 +12300,7 @@ QUERIES = {
     "class_terms_docs": q_class_terms_docs,
     "langid_confusion_docs": q_langid_confusion_docs,
     "busday_rollup_orders": q_busday_rollup_orders,
+    "clustering_coeff_docs": q_clustering_coeff_docs,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -12740,6 +12908,7 @@ ORACLE_SQL = {
     "class_terms_docs": CLASS_TERMS_SQL,
     "langid_confusion_docs": _langid_confusion_sql(),
     "busday_rollup_orders": BUSDAY_ROLLUP_SQL,
+    "clustering_coeff_docs": CLUSTERING_COEFF_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
