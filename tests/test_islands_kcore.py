@@ -277,3 +277,18 @@ def test_clustering_coeff_replay(ray_session):
                                         r.deg * (r.deg - 1) // g)
     # coefficients live in [0, 1]
     assert (out.cc_num <= out.cc_den).all()
+
+
+def test_lateness_accounting_partition(ray_session):
+    from tsdownsample_ray.pipelines.queries import (
+        q_lateness_accounting_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_lateness_accounting_events(sf).to_pandas()
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/events.parquet'").fetchone()[0]
+    # trichotomy partitions the stream
+    assert (out.n_on_time + out.n_late_ok + out.n_dropped).sum() == n
+    assert (out.n_dropped > 0).any()  # the 13.5-min max delay drops some
+    assert (out.n_on_time > 0).all()

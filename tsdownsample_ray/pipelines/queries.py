@@ -12121,6 +12121,79 @@ WHERE deg.deg >= 2
 """
 
 
+def q_lateness_accounting_events(sf_dir: str):
+    """Streaming watermark/lateness accounting (the Beam/Flink triage
+    every windowed pipeline reports): with the deterministic ingest
+    delay ``(event_id % 10) * 90 s`` and 15-minute tumbling windows, an
+    event is ON TIME if it arrives before its window closes, LATE-OK
+    within the 5-minute allowed lateness, DROPPED after. Per series:
+    the three counts plus total delay — pure per-row arithmetic, so the
+    whole audit is map-side partials + a ≤|series| merge, no shuffle of
+    the stream."""
+    W15 = 900 * US
+    ALLOW = 300 * US
+
+    ev = _events_series(sf_dir, cols=("event_id", "event_type", "ts"))
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ts = b["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        delay = (eid % 10) * 90 * US
+        ingest = ts + delay
+        close = (ts // W15 + 1) * W15
+        on_time = ingest <= close
+        late_ok = ~on_time & (ingest <= close + ALLOW)
+        dropped = ~on_time & ~late_ok
+        t = pa.table({"event_type": b["event_type"],
+                      "on_time": pa.array(on_time.astype(np.int64)),
+                      "late_ok": pa.array(late_ok.astype(np.int64)),
+                      "dropped": pa.array(dropped.astype(np.int64)),
+                      "delay_us": pa.array(delay)})
+        g = t.group_by(["event_type"]).aggregate(
+            [("on_time", "sum"), ("late_ok", "sum"),
+             ("dropped", "sum"), ("delay_us", "sum")])
+        return g.rename_columns(["event_type", "n_on_time",
+                                 "n_late_ok", "n_dropped",
+                                 "total_delay_us"])
+
+    def _merge(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": g["event_type"].slice(0, 1),
+            **{c: pa.array([pc.sum(g[c]).as_py() or 0], pa.int64())
+               for c in ("n_on_time", "n_late_ok", "n_dropped",
+                         "total_delay_us")}})
+
+    return (ev.map_batches(_partial, batch_format="pyarrow")
+            .groupby("event_type").map_groups(_merge,
+                                              batch_format="pyarrow"))
+
+
+LATENESS_SQL = """
+WITH e AS (
+    SELECT event_type, epoch_us(ts) AS t,
+           (event_id % 10) * 90000000 AS delay
+    FROM events
+),
+c AS (
+    SELECT event_type, delay,
+           t + delay AS ingest,
+           (t // 900000000 + 1) * 900000000 AS wclose
+    FROM e
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN ingest <= wclose THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_on_time,
+       CAST(sum(CASE WHEN ingest > wclose
+                      AND ingest <= wclose + 300000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_late_ok,
+       CAST(sum(CASE WHEN ingest > wclose + 300000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(sum(delay) AS BIGINT) AS total_delay_us
+FROM c GROUP BY 1
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -12301,6 +12374,7 @@ QUERIES = {
     "langid_confusion_docs": q_langid_confusion_docs,
     "busday_rollup_orders": q_busday_rollup_orders,
     "clustering_coeff_docs": q_clustering_coeff_docs,
+    "lateness_accounting_events": q_lateness_accounting_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -12909,6 +12983,7 @@ ORACLE_SQL = {
     "langid_confusion_docs": _langid_confusion_sql(),
     "busday_rollup_orders": BUSDAY_ROLLUP_SQL,
     "clustering_coeff_docs": CLUSTERING_COEFF_SQL,
+    "lateness_accounting_events": LATENESS_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
