@@ -292,3 +292,37 @@ def test_lateness_accounting_partition(ray_session):
     assert (out.n_on_time + out.n_late_ok + out.n_dropped).sum() == n
     assert (out.n_dropped > 0).any()  # the 13.5-min max delay drops some
     assert (out.n_on_time > 0).all()
+
+
+def test_decision_stump_optimality(ray_session):
+    from fractions import Fraction
+
+    from tsdownsample_ray.pipelines.queries import q_decision_stump_users
+
+    sf = "/root/testdata/sf0.001"
+    out = q_decision_stump_users(sf).to_pandas().iloc[0]
+    df = duckdb.sql(f"""
+        WITH u AS (SELECT user_id, count(*) x,
+                   CAST(max(epoch_us(ts)) <
+                        (SELECT max(epoch_us(ts))
+                         FROM '{sf}/events.parquet') - 604800000000
+                        AS BIGINT) churned
+                   FROM '{sf}/events.parquet' GROUP BY 1)
+        SELECT x, churned FROM u""").df()
+    xs = df.x.to_numpy()
+    ch = df.churned.to_numpy()
+    N = len(xs)
+    # exact-rational check: no threshold beats the chosen one
+    def h(t):
+        l = xs <= t
+        nl, nr = int(l.sum()), int(N - l.sum())
+        if nl == 0 or nr == 0:
+            return None
+        pl, pr = int(ch[l].sum()), int(ch[~l].sum())
+        return (Fraction(pl * pl + (nl - pl) ** 2, nl)
+                + Fraction(pr * pr + (nr - pr) ** 2, nr))
+    chosen = h(out.threshold)
+    for t in sorted(set(xs))[:-1]:
+        v = h(t)
+        assert v is None or v <= chosen or t == out.threshold
+    assert out.n_left + out.n_right == N

@@ -12194,6 +12194,146 @@ FROM c GROUP BY 1
 """
 
 
+def q_decision_stump_users(sf_dir: str):
+    """Train a depth-1 decision tree (stump) on the churn table:
+    the exact Gini-optimal threshold on ``n_events`` for predicting
+    ``churned``. Minimizing weighted Gini = maximizing
+    ``h(t) = (p_l²+q_l²)/n_l + (p_r²+q_r²)/n_r``; candidates are
+    ordered by the e12-scaled integer quotient of h's common-denominator
+    form (ties → smaller threshold) — no floats, both sides identical.
+    Scale shape: the stream reduces map-side to the BOUNDED
+    (feature value → (count, churned)) histogram (distinct n_events
+    values, not users); the prefix-sum scan over candidates is
+    driver-side on that bounded table. Output: one row with the chosen
+    threshold and its split counts."""
+    from ..arrow_utils import stable_part_codes
+
+    D7 = 7 * 86_400_000_000
+    ds = _events_series(sf_dir, cols=("event_id", "user_id", "ts"))
+
+    tmax = max(r["tmax"] for r in ds.map_batches(
+        lambda b: pa.table({"tmax": pa.array(
+            [int(b["ts_us"].to_numpy(zero_copy_only=False).max())
+             if b.num_rows else 0], pa.int64())}),
+        batch_format="pyarrow").take_all())
+
+    mod = 4 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["user_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _hist(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return pa.table({"x": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "churn": pa.array([], pa.int64())})
+        uid = t["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        codes = uid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        codes, ts = codes[order], ts[order]
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        n_ev = np.diff(np.append(starts, len(codes)))
+        last = np.maximum.reduceat(ts, starts)
+        churned = (last < tmax - D7).astype(np.int64)
+        xs, inv = np.unique(n_ev, return_inverse=True)
+        cnt = np.bincount(inv)
+        ch = np.bincount(inv, weights=churned).astype(np.int64)
+        return pa.table({"x": pa.array(xs.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64)),
+                         "churn": pa.array(ch)})
+
+    rows = (ds.map_batches(_add_part, batch_format="pyarrow")
+            .repartition(4).groupby("__part")
+            .map_groups(_hist, batch_format="pyarrow")).take_all()
+    hist: dict = {}
+    for r in rows:
+        x = int(r["x"])
+        n0, c0 = hist.get(x, (0, 0))
+        hist[x] = (n0 + int(r["n"]), c0 + int(r["churn"]))
+    xs = sorted(hist)
+    N = sum(n for n, _ in hist.values())
+    P = sum(c for _, c in hist.values())
+    best = None
+    nl = pl = 0
+    for t in xs[:-1]:
+        n, c = hist[t]
+        nl += n
+        pl += c
+        nr, pr = N - nl, P - pl
+        ql, qr = nl - pl, nr - pr
+        A = pl * pl + ql * ql
+        B = pr * pr + qr * qr
+        score_q = (A * nr + B * nl) * 10 ** 12 // (nl * nr)
+        key = (-score_q, t)
+        if best is None or key < best[0]:
+            best = (key, t, nl, pl, nr, pr)
+    _, thr, n_left, churn_left, n_right, churn_right = best
+    return pa.table({
+        "threshold": pa.array([thr], pa.int64()),
+        "n_left": pa.array([n_left], pa.int64()),
+        "churn_left": pa.array([churn_left], pa.int64()),
+        "n_right": pa.array([n_right], pa.int64()),
+        "churn_right": pa.array([churn_right], pa.int64())})
+
+
+DECISION_STUMP_SQL = """
+WITH u AS (
+    SELECT user_id, count(*) AS n_events,
+           CAST(max(epoch_us(ts)) <
+                (SELECT max(epoch_us(ts)) FROM events) - 604800000000
+                AS BIGINT) AS churned
+    FROM events GROUP BY 1
+),
+h AS (
+    SELECT n_events AS x, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(churned) AS BIGINT) AS churn
+    FROM u GROUP BY 1
+),
+tot AS (SELECT sum(n) AS nn, sum(churn) AS pp FROM h),
+pre AS (
+    SELECT x,
+           CAST(sum(n) OVER (ORDER BY x
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS nl,
+           CAST(sum(churn) OVER (ORDER BY x
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS pl
+    FROM h
+),
+cand AS (
+    SELECT x AS threshold, nl, pl,
+           (SELECT nn FROM tot) - nl AS nr,
+           (SELECT pp FROM tot) - pl AS pr
+    FROM pre
+    WHERE (SELECT nn FROM tot) - nl > 0
+),
+scored AS (
+    SELECT threshold, nl, pl, nr, pr,
+           ((pl * pl + (nl - pl) * (nl - pl)) * nr
+            + (pr * pr + (nr - pr) * (nr - pr)) * nl)
+           * 1000000000000 // (nl * nr) AS score_q
+    FROM cand
+)
+SELECT CAST(threshold AS BIGINT) AS threshold,
+       nl AS n_left, pl AS churn_left,
+       nr AS n_right, pr AS churn_right
+FROM (
+    SELECT scored.*, row_number() OVER (ORDER BY score_q DESC,
+                                        threshold) AS rk
+    FROM scored
+) WHERE rk = 1
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -12375,6 +12515,7 @@ QUERIES = {
     "busday_rollup_orders": q_busday_rollup_orders,
     "clustering_coeff_docs": q_clustering_coeff_docs,
     "lateness_accounting_events": q_lateness_accounting_events,
+    "decision_stump_users": q_decision_stump_users,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -12984,6 +13125,7 @@ ORACLE_SQL = {
     "busday_rollup_orders": BUSDAY_ROLLUP_SQL,
     "clustering_coeff_docs": CLUSTERING_COEFF_SQL,
     "lateness_accounting_events": LATENESS_SQL,
+    "decision_stump_users": DECISION_STUMP_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
