@@ -326,3 +326,60 @@ def test_decision_stump_optimality(ray_session):
         v = h(t)
         assert v is None or v <= chosen or t == out.threshold
     assert out.n_left + out.n_right == N
+
+
+def test_mann_kendall_replay(ray_session):
+    from tsdownsample_ray.pipelines.queries import q_mann_kendall_15m
+
+    sf = "/root/testdata/sf0.001"
+    out = q_mann_kendall_15m(sf).to_pandas().set_index("series_id")
+    df = duckdb.sql(f"""
+        SELECT event_type s, epoch_us(ts)//900000000 b,
+               CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) y
+        FROM '{sf}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    for s, g in df.groupby("s"):
+        y = g.y.tolist()
+        n = len(y)
+        S = sum((y[j] > y[i]) - (y[j] < y[i])
+                for i in range(n) for j in range(i + 1, n))
+        from collections import Counter
+
+        ties = Counter(y)
+        var18 = (n * (n - 1) * (2 * n + 5)
+                 - sum(t * (t - 1) * (2 * t + 5)
+                       for t in ties.values()))
+        r = out.loc[s]
+        assert (r.n, r.s_stat, r.var18) == (n, S, var18)
+
+
+def test_page_hinkley_replay(ray_session):
+    from tsdownsample_ray.pipelines.queries import q_page_hinkley_15m
+
+    sf = "/root/testdata/sf0.001"
+    out = q_page_hinkley_15m(sf).to_pandas().set_index("series_id")
+    df = duckdb.sql(f"""
+        SELECT event_type s, epoch_us(ts)//900000000*900000000 b,
+               CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) y
+        FROM '{sf}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    for s, g in df.groupby("s"):
+        y = g.y.tolist()
+        n = len(y)
+        tot = sum(y)
+        mn = None  # running min over M_1..M_t (no empty-prefix zero)
+        maxph = n_alarms = 0
+        first = None
+        cur = 0
+        for b, v in zip(g.b, y):
+            cur += n * v - tot
+            mn = cur if mn is None else min(mn, cur)
+            ph = cur - mn
+            maxph = max(maxph, ph)
+            if ph > n * 50_000:
+                n_alarms += 1
+                if first is None:
+                    first = b
+        r = out.loc[s]
+        assert (r.n, r.final_ph, r.max_ph) == (n, cur - mn, maxph)
+        assert r.n_alarms == n_alarms
+        assert (r.first_alarm == first
+                or (first is None and np.isnan(r.first_alarm)))

@@ -12334,6 +12334,261 @@ FROM (
 """
 
 
+def q_mann_kendall_15m(sf_dir: str):
+    """Mann-Kendall nonparametric trend test per series over the 15m
+    tier: ``S = Σ_{i<j} sign(y_j − y_i)`` and the tie-corrected
+    variance NUMERATOR ``18·Var = n(n−1)(2n+5) − Σ t(t−1)(2t+5)`` —
+    all exact int64 (the significance z is one float away, left to the
+    caller). The standard companion to Theil-Sen's slope: same ONE
+    hash(series) shuffle; S accumulates earlier-smaller minus
+    earlier-larger counts through a Fenwick tree over compressed value
+    ranks — O(n log n) on tier rows, never the quadratic pair
+    expansion."""
+    from ..arrow_utils import stable_part_codes
+    from ..stages.rollup import rollup
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"),
+                    900 * US)
+    mod = 2 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["series_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _mk(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t["series_id"].type
+        cols = ("n", "s_stat", "var18")
+        if t.num_rows == 0:
+            return pa.table({"series_id": pa.array([], s_type),
+                             **{c: pa.array([], pa.int64())
+                                for c in cols}})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("series_id", "ascending"), ("bucket", "ascending")]))
+        sid = t["series_id"]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = t["sum_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        ends = np.r_[starts[1:], len(codes)]
+        out = {k: [] for k in ("sid",) + cols}
+        for f, l in zip(starts, ends):  # series loop; inner vectorized
+            yy = y[f:l]
+            n = l - f
+            order = np.argsort(yy, kind="stable")
+            ys = yy[order]
+            newv = np.ones(n, dtype=bool)
+            newv[1:] = ys[1:] != ys[:-1]
+            vstart = np.flatnonzero(newv)
+            tcnt = np.diff(np.append(vstart, n))
+            # S = sum over time-ordered pairs of sign(y_later - y_early)
+            # = per position j: (#earlier smaller) - (#earlier larger),
+            # counted with a Fenwick tree over compressed value ranks
+            ranks = np.searchsorted(ys[newv], yy)
+            tree = np.zeros(len(vstart) + 1, dtype=np.int64)
+
+            def _upd(i):
+                i += 1
+                while i < len(tree):
+                    tree[i] += 1
+                    i += i & (-i)
+
+            def _qry(i):
+                s = 0
+                i += 1
+                while i > 0:
+                    s += tree[i]
+                    i -= i & (-i)
+                return s
+
+            S = 0
+            for j in range(n):  # Fenwick walk; tier rows only
+                r = int(ranks[j])
+                smaller = _qry(r - 1)
+                eq = _qry(r) - smaller
+                S += smaller - (j - smaller - eq)
+                _upd(r)
+            var18 = (n * (n - 1) * (2 * n + 5)
+                     - int((tcnt * (tcnt - 1) * (2 * tcnt + 5)).sum()))
+            out["sid"].append(sid[int(f)].as_py())
+            out["n"].append(n)
+            out["s_stat"].append(int(S))
+            out["var18"].append(var18)
+        return pa.table({"series_id": pa.array(out["sid"], s_type),
+                         **{c: pa.array(out[c], pa.int64())
+                            for c in cols}})
+
+    return (rolled.map_batches(_add_part, batch_format="pyarrow")
+            .repartition(2).groupby("__part")
+            .map_groups(_mk, batch_format="pyarrow"))
+
+
+MANN_KENDALL_SQL = """
+WITH r AS (
+    SELECT event_type AS series_id,
+           epoch_us(ts) // 900000000 * 900000000 AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+p AS (
+    SELECT a.series_id,
+           CAST(sum(CASE WHEN b.y > a.y THEN 1
+                         WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+    FROM r a JOIN r b
+      ON a.series_id = b.series_id AND b.bucket > a.bucket
+    GROUP BY 1
+),
+nn AS (SELECT series_id, CAST(count(*) AS BIGINT) AS n
+       FROM r GROUP BY 1),
+ties AS (
+    SELECT series_id,
+           CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+    FROM (SELECT series_id, y, count(*) AS t FROM r GROUP BY 1, 2)
+    GROUP BY 1
+)
+SELECT nn.series_id, nn.n, coalesce(p.s_stat, 0) AS s_stat,
+       CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term
+            AS BIGINT) AS var18
+FROM nn
+LEFT JOIN p ON p.series_id = nn.series_id
+JOIN ties ON ties.series_id = nn.series_id
+"""
+
+
+def q_page_hinkley_15m(sf_dir: str):
+    """Page-Hinkley mean-shift drift detector per series over the 15m
+    tier (the streaming-ML drift test beside CUSUM/AMOC): deviations
+    are scaled by the series count to stay integer
+    (``d_i = n·y_i − Σy``), ``PH_t = cumsum(d) − running_min`` and an
+    alarm fires when ``PH_t > n·λ`` (λ = 50 000 cents). Output per
+    series: n, final/max PH (in the n-scaled units), alarm count and
+    first alarm bucket. One hash(series) shuffle; cumsum + running min
+    per segment — the one-sided clamp family's window identity again.
+    """
+    from ..arrow_utils import stable_part_codes
+    from ..stages.rollup import rollup
+
+    LAM = 50_000
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"),
+                    900 * US)
+    mod = 2 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["series_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _ph(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t["series_id"].type
+        cols = ("n", "final_ph", "max_ph", "n_alarms", "first_alarm")
+        if t.num_rows == 0:
+            return pa.table({"series_id": pa.array([], s_type),
+                             **{c: pa.array([], pa.int64())
+                                for c in cols}})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("series_id", "ascending"), ("bucket", "ascending")]))
+        sid = t["series_id"]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = t["sum_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = t["bucket"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        ends = np.r_[starts[1:], len(codes)]
+        out = {k: [] for k in ("sid",) + cols}
+        for f, l in zip(starts, ends):  # series loop; inner vector
+            yy = y[f:l]
+            n = l - f
+            d = n * yy - yy.sum()
+            M = np.cumsum(d)
+            ph = M - np.minimum.accumulate(M)
+            alarm = ph > n * LAM
+            out["sid"].append(sid[int(f)].as_py())
+            out["n"].append(n)
+            out["final_ph"].append(int(ph[-1]))
+            out["max_ph"].append(int(ph.max()))
+            out["n_alarms"].append(int(alarm.sum()))
+            first = np.flatnonzero(alarm)
+            out["first_alarm"].append(
+                int(bkt[f + first[0]]) if len(first) else None)
+        return pa.table({
+            "series_id": pa.array(out["sid"], s_type),
+            "n": pa.array(out["n"], pa.int64()),
+            "final_ph": pa.array(out["final_ph"], pa.int64()),
+            "max_ph": pa.array(out["max_ph"], pa.int64()),
+            "n_alarms": pa.array(out["n_alarms"], pa.int64()),
+            "first_alarm": pa.array(out["first_alarm"], pa.int64())})
+
+    return (rolled.map_batches(_add_part, batch_format="pyarrow")
+            .repartition(2).groupby("__part")
+            .map_groups(_ph, batch_format="pyarrow"))
+
+
+PAGE_HINKLEY_SQL = """
+WITH r AS (
+    SELECT event_type AS series_id,
+           epoch_us(ts) // 900000000 * 900000000 AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+s AS (
+    SELECT series_id, bucket, y,
+           CAST(count(*) OVER (PARTITION BY series_id) AS BIGINT) AS n,
+           CAST(sum(y) OVER (PARTITION BY series_id) AS BIGINT) AS sy
+    FROM r
+),
+m AS (
+    SELECT series_id, bucket, n,
+           CAST(sum(n * y - sy) OVER w AS BIGINT) AS M
+    FROM s
+    WINDOW w AS (PARTITION BY series_id ORDER BY bucket
+                 ROWS UNBOUNDED PRECEDING)
+),
+p AS (
+    SELECT series_id, bucket, n,
+           M - min(M) OVER (PARTITION BY series_id ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS ph
+    FROM m
+)
+SELECT series_id, CAST(max(n) AS BIGINT) AS n,
+       CAST(max(CASE WHEN rk = n THEN ph END) AS BIGINT) AS final_ph,
+       CAST(max(ph) AS BIGINT) AS max_ph,
+       CAST(sum(CASE WHEN ph > n * 50000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_alarms,
+       CAST(min(CASE WHEN ph > n * 50000 THEN bucket END) AS BIGINT)
+           AS first_alarm
+FROM (
+    SELECT p.*, row_number() OVER (PARTITION BY series_id
+                                   ORDER BY bucket) AS rk
+    FROM p
+) GROUP BY 1
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -12516,6 +12771,8 @@ QUERIES = {
     "clustering_coeff_docs": q_clustering_coeff_docs,
     "lateness_accounting_events": q_lateness_accounting_events,
     "decision_stump_users": q_decision_stump_users,
+    "mann_kendall_15m": q_mann_kendall_15m,
+    "page_hinkley_15m": q_page_hinkley_15m,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -13126,6 +13383,8 @@ ORACLE_SQL = {
     "clustering_coeff_docs": CLUSTERING_COEFF_SQL,
     "lateness_accounting_events": LATENESS_SQL,
     "decision_stump_users": DECISION_STUMP_SQL,
+    "mann_kendall_15m": MANN_KENDALL_SQL,
+    "page_hinkley_15m": PAGE_HINKLEY_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
