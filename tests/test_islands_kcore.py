@@ -383,3 +383,25 @@ def test_page_hinkley_replay(ray_session):
         assert r.n_alarms == n_alarms
         assert (r.first_alarm == first
                 or (first is None and np.isnan(r.first_alarm)))
+
+
+def test_covisit_replay(ray_session):
+    import collections
+    import itertools
+
+    from tsdownsample_ray.pipelines.queries import q_covisit_users
+
+    sf = "/root/testdata/sf0.001"
+    out = q_covisit_users(sf).to_pandas()
+    df = duckdb.sql(f"""
+        SELECT DISTINCT event_type ct, epoch_us(ts)//3600000000 cb,
+               user_id u
+        FROM '{sf}/events.parquet'""").df()
+    cnt = collections.Counter()
+    for _, g in df.groupby(["ct", "cb"]):
+        for a, b in itertools.combinations(sorted(g.u), 2):
+            cnt[(a, b)] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [((int(r.u), int(r.v)), int(r.n_cocells))
+           for r in out.itertuples()]
+    assert got == want

@@ -12589,6 +12589,110 @@ FROM (
 """
 
 
+def q_covisit_users(sf_dir: str):
+    """Co-visitation pairs (the collaborative-filtering bipartite
+    projection): two users co-visit when both are active in the same
+    (event_type, 1h bucket) cell; emit the top-20 user pairs by
+    co-cell count — exact integers, (count DESC, u, v) total order.
+    Shape: one hash(cell) shuffle; per-cell DISTINCT user lists expand
+    to (u < v) pairs with the segment-pair gather (cells are bounded —
+    a production run caps hot cells with logged drops, as the dedup
+    operators do); pair counts reduce through one hashpart grouped
+    sum; distributed sort + limit."""
+    from ..arrow_utils import stable_part_codes
+    from ..stages.graph import grouped_sum_parts
+
+    H = 3_600_000_000
+    ev = _events_series(sf_dir, cols=("event_id", "user_id",
+                                      "event_type", "ts"))
+
+    def _cells(b: pa.Table) -> pa.Table:
+        bkt = (b["ts_us"].to_numpy(zero_copy_only=False).astype(
+            np.int64) // H)
+        return pa.table({"cell_type": b["event_type"],
+                         "cell_bucket": pa.array(bkt),
+                         "user_id": b["user_id"].cast(pa.int64())})
+
+    mod = 4 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["cell_type"], None)
+        bkt = b["cell_bucket"].to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        mix = (h ^ (bkt * np.uint64(0x9E3779B97F4A7C15)))
+        return b.append_column(
+            "__part", pa.array((mix % np.uint64(mod)).astype(np.int32)))
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        empty = pa.table({"u": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64()),
+                          "one": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        key = pa.table({"ct": t["cell_type"], "cb": t["cell_bucket"],
+                        "u": t["user_id"]})
+        key = key.group_by(["ct", "cb", "u"]).aggregate([])
+        key = key.take(pc.sort_indices(key, sort_keys=[
+            ("ct", "ascending"), ("cb", "ascending"),
+            ("u", "ascending")]))
+        ct = key["ct"]
+        if isinstance(ct, pa.ChunkedArray):
+            ct = ct.combine_chunks()
+        ccode = ct.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cb = key["cb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = key["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cell = ccode * np.int64(2 ** 32) + cb % np.int64(2 ** 32)
+        heads = np.ones(len(cell), dtype=bool)
+        heads[1:] = cell[1:] != cell[:-1]
+        starts = np.flatnonzero(heads)
+        n = np.diff(np.append(starts, len(cell)))
+        live = n > 1
+        if not live.any():
+            return empty
+        segl, nl = starts[live], n[live]
+        sq = nl * nl
+        offs = np.concatenate(([0], np.cumsum(sq)[:-1]))
+        q = np.arange(int(sq.sum())) - np.repeat(offs, sq)
+        nn_ = np.repeat(nl, sq)
+        i_loc = q // nn_
+        j_loc = q % nn_
+        keep = j_loc > i_loc
+        i = (np.repeat(segl, sq) + i_loc)[keep]
+        j = (np.repeat(segl, sq) + j_loc)[keep]
+        return pa.table({"u": pa.array(u[i]), "v": pa.array(u[j]),
+                         "one": pa.array(np.ones(len(i),
+                                                 dtype=np.int64))})
+
+    pairs = (ev.map_batches(_cells, batch_format="pyarrow")
+             .map_batches(_add_part, batch_format="pyarrow")
+             .repartition(4).groupby("__part")
+             .map_groups(_pairs, batch_format="pyarrow"))
+    agg = grouped_sum_parts(pairs, ["u", "v"], ["one"],
+                            count_col=None, fanin=4)
+    return (agg.map_batches(
+        lambda b: pa.table({"u": b["u"], "v": b["v"],
+                            "n_cocells": b["one"]}),
+        batch_format="pyarrow")
+        .sort(key=["n_cocells", "u", "v"],
+              descending=[True, False, False]).limit(20))
+
+
+COVISIT_SQL = """
+WITH c AS (
+    SELECT DISTINCT event_type AS ct, epoch_us(ts) // 3600000000 AS cb,
+           user_id AS u
+    FROM events
+)
+SELECT a.u AS u, b.u AS v, CAST(count(*) AS BIGINT) AS n_cocells
+FROM c a JOIN c b ON a.ct = b.ct AND a.cb = b.cb AND a.u < b.u
+GROUP BY 1, 2
+ORDER BY n_cocells DESC, u, v
+LIMIT 20
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -12773,6 +12877,7 @@ QUERIES = {
     "decision_stump_users": q_decision_stump_users,
     "mann_kendall_15m": q_mann_kendall_15m,
     "page_hinkley_15m": q_page_hinkley_15m,
+    "covisit_users": q_covisit_users,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -13385,6 +13490,7 @@ ORACLE_SQL = {
     "decision_stump_users": DECISION_STUMP_SQL,
     "mann_kendall_15m": MANN_KENDALL_SQL,
     "page_hinkley_15m": PAGE_HINKLEY_SQL,
+    "covisit_users": COVISIT_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
