@@ -405,3 +405,18 @@ def test_covisit_replay(ray_session):
     got = [((int(r.u), int(r.v)), int(r.n_cocells))
            for r in out.itertuples()]
     assert got == want
+
+
+def test_boxplot_properties(ray_session):
+    from tsdownsample_ray.pipelines.queries import q_boxplot_15m
+
+    out = q_boxplot_15m("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 5
+    for _, r in out.iterrows():
+        assert (r.y_min <= r.lo_whisker <= r.q1 <= r.median
+                <= r.q3 <= r.hi_whisker <= r.y_max)
+        assert r.n_outliers >= 0
+        # whiskers inside the 1.5 IQR fences (doubled arithmetic)
+        iqr = r.q3 - r.q1
+        assert 2 * r.lo_whisker >= 2 * r.q1 - 3 * iqr
+        assert 2 * r.hi_whisker <= 2 * r.q3 + 3 * iqr

@@ -12693,6 +12693,124 @@ LIMIT 20
 """
 
 
+def q_boxplot_15m(sf_dir: str):
+    """Tukey boxplot summary per series over the 15m tier: min, Q1,
+    median, Q3, max (the pinned lower-quantile convention shared with
+    ``exact_quantiles``), the 1.5·IQR whiskers and the outlier count —
+    fences kept exact by doubling (``upper2 = 2·Q3 + 3·IQR``, compare
+    ``2·y`` against it; never a .5 float). One hash(series) shuffle,
+    one sorted segment pass for every statistic."""
+    from ..arrow_utils import stable_part_codes
+    from ..stages.rollup import rollup
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"),
+                    900 * US)
+    mod = 2 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["series_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _box(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t["series_id"].type
+        cols = ("n", "y_min", "q1", "median", "q3", "y_max",
+                "lo_whisker", "hi_whisker", "n_outliers")
+        if t.num_rows == 0:
+            return pa.table({"series_id": pa.array([], s_type),
+                             **{c: pa.array([], pa.int64())
+                                for c in cols}})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("series_id", "ascending"), ("sum_y", "ascending"),
+            ("bucket", "ascending")]))
+        sid = t["series_id"]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = t["sum_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        ends = np.r_[starts[1:], len(codes)]
+        out = {k: [] for k in ("sid",) + cols}
+        for f, l in zip(starts, ends):  # series loop; inner vector
+            yy = y[f:l]
+            n = l - f
+            q1 = int(yy[(n - 1) * 25 // 100])
+            q2 = int(yy[(n - 1) * 50 // 100])
+            q3 = int(yy[(n - 1) * 75 // 100])
+            iqr = q3 - q1
+            lo2 = 2 * q1 - 3 * iqr
+            hi2 = 2 * q3 + 3 * iqr
+            inside = (2 * yy >= lo2) & (2 * yy <= hi2)
+            out["sid"].append(sid[int(f)].as_py())
+            out["n"].append(n)
+            out["y_min"].append(int(yy[0]))
+            out["q1"].append(q1)
+            out["median"].append(q2)
+            out["q3"].append(q3)
+            out["y_max"].append(int(yy[-1]))
+            out["lo_whisker"].append(int(yy[inside].min()))
+            out["hi_whisker"].append(int(yy[inside].max()))
+            out["n_outliers"].append(int((~inside).sum()))
+        return pa.table({"series_id": pa.array(out["sid"], s_type),
+                         **{c: pa.array(out[c], pa.int64())
+                            for c in cols}})
+
+    return (rolled.map_batches(_add_part, batch_format="pyarrow")
+            .repartition(2).groupby("__part")
+            .map_groups(_box, batch_format="pyarrow"))
+
+
+BOXPLOT_SQL = """
+WITH r AS (
+    SELECT event_type AS series_id,
+           epoch_us(ts) // 900000000 * 900000000 AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+o AS (
+    SELECT series_id, y,
+           row_number() OVER (PARTITION BY series_id
+                              ORDER BY y, bucket) - 1 AS rk,
+           count(*) OVER (PARTITION BY series_id) AS n
+    FROM r
+),
+q AS (
+    SELECT series_id, CAST(max(n) AS BIGINT) AS n,
+           CAST(min(y) AS BIGINT) AS y_min,
+           CAST(max(CASE WHEN rk = (n - 1) * 25 // 100 THEN y END)
+                AS BIGINT) AS q1,
+           CAST(max(CASE WHEN rk = (n - 1) * 50 // 100 THEN y END)
+                AS BIGINT) AS median,
+           CAST(max(CASE WHEN rk = (n - 1) * 75 // 100 THEN y END)
+                AS BIGINT) AS q3,
+           CAST(max(y) AS BIGINT) AS y_max
+    FROM o GROUP BY series_id
+)
+SELECT q.series_id, q.n, q.y_min, q.q1, q.median, q.q3, q.y_max,
+       CAST(min(CASE WHEN 2 * r.y >= 2 * q.q1 - 3 * (q.q3 - q.q1)
+                      AND 2 * r.y <= 2 * q.q3 + 3 * (q.q3 - q.q1)
+                THEN r.y END) AS BIGINT) AS lo_whisker,
+       CAST(max(CASE WHEN 2 * r.y >= 2 * q.q1 - 3 * (q.q3 - q.q1)
+                      AND 2 * r.y <= 2 * q.q3 + 3 * (q.q3 - q.q1)
+                THEN r.y END) AS BIGINT) AS hi_whisker,
+       CAST(sum(CASE WHEN 2 * r.y < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                      OR 2 * r.y > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM q JOIN r ON r.series_id = q.series_id
+GROUP BY 1, 2, 3, 4, 5, 6, 7
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -12878,6 +12996,7 @@ QUERIES = {
     "mann_kendall_15m": q_mann_kendall_15m,
     "page_hinkley_15m": q_page_hinkley_15m,
     "covisit_users": q_covisit_users,
+    "boxplot_15m": q_boxplot_15m,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -13491,6 +13610,7 @@ ORACLE_SQL = {
     "mann_kendall_15m": MANN_KENDALL_SQL,
     "page_hinkley_15m": PAGE_HINKLEY_SQL,
     "covisit_users": COVISIT_SQL,
+    "boxplot_15m": BOXPLOT_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
