@@ -413,7 +413,7 @@ def test_boxplot_properties(ray_session):
     out = q_boxplot_15m("/root/testdata/sf0.001").to_pandas()
     assert len(out) == 5
     for _, r in out.iterrows():
-        assert (r.y_min <= r.lo_whisker <= r.q1 <= r.median
+        assert (r.y_min <= r.lo_whisker <= r.q1 <= r["median"]
                 <= r.q3 <= r.hi_whisker <= r.y_max)
         assert r.n_outliers >= 0
         # whiskers inside the 1.5 IQR fences (doubled arithmetic)
