@@ -420,3 +420,30 @@ def test_boxplot_properties(ray_session):
         iqr = r.q3 - r.q1
         assert 2 * r.lo_whisker >= 2 * r.q1 - 3 * iqr
         assert 2 * r.hi_whisker <= 2 * r.q3 + 3 * iqr
+
+
+def test_median_of_means_replay(ray_session):
+    from fractions import Fraction
+
+    from tsdownsample_ray.pipelines.queries import q_median_of_means_15m
+
+    sf = "/root/testdata/sf0.001"
+    out = (q_median_of_means_15m(sf).to_pandas()
+           .set_index("series_id"))
+    df = duckdb.sql(f"""
+        SELECT event_type s, epoch_us(ts)//900000000 b,
+               CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) y
+        FROM '{sf}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    for s, g in df.groupby("s"):
+        y = g.y.tolist()
+        n = len(y)
+        groups = {}
+        for rk, v in enumerate(y):
+            groups.setdefault(rk * 10 // n, []).append(v)
+        means = sorted(
+            ((Fraction(sum(v), len(v)), k) for k, v in groups.items()))
+        med_frac, med_k = means[(len(means) - 1) // 2]
+        r = out.loc[s]
+        assert (r.n, r.n_groups) == (n, len(groups))
+        assert Fraction(int(r.mom_sum), int(r.mom_cnt)) == med_frac
+        assert r.total_sum == sum(y)

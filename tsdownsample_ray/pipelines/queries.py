@@ -12811,6 +12811,134 @@ GROUP BY 1, 2, 3, 4, 5, 6, 7
 """
 
 
+def q_median_of_means_15m(sf_dir: str):
+    """Median-of-means robust mean per series (the heavy-tail-safe
+    estimator behind every streaming robust-statistics bound): tier
+    rows stripe into g=10 contiguous groups (``grp = (rk−1)·g // n``),
+    group means stay EXACT rationals (sum, count), and the median
+    group is selected by exact rational order — keys are
+    ``sum_i · (D / cnt_i)`` with D = the ≤2 distinct group sizes'
+    product, ties by group index; the lower median. Output per series:
+    n, n_groups, the median group's (sum, count) and the plain overall
+    sum for contrast. One hash(series) shuffle, one segment pass."""
+    from ..arrow_utils import stable_part_codes
+    from ..stages.rollup import rollup
+
+    G = 10
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"),
+                    900 * US)
+    mod = 2 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["series_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _mom(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t["series_id"].type
+        cols = ("n", "n_groups", "mom_sum", "mom_cnt", "total_sum")
+        if t.num_rows == 0:
+            return pa.table({"series_id": pa.array([], s_type),
+                             **{c: pa.array([], pa.int64())
+                                for c in cols}})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("series_id", "ascending"), ("bucket", "ascending")]))
+        sid = t["series_id"]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = t["sum_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        ends = np.r_[starts[1:], len(codes)]
+        out = {k: [] for k in ("sid",) + cols}
+        for f, l in zip(starts, ends):  # series loop; inner vector
+            yy = y[f:l]
+            n = l - f
+            rk = np.arange(n)
+            grp = rk * G // n
+            ng = int(grp.max()) + 1
+            sums = np.bincount(grp, weights=yy).astype(np.int64)
+            cnts = np.bincount(grp).astype(np.int64)
+            D = int(np.unique(cnts).prod())
+            keys = sums * (D // cnts)
+            order = np.lexsort((np.arange(ng), keys))
+            med = order[(ng - 1) // 2]
+            out["sid"].append(sid[int(f)].as_py())
+            out["n"].append(n)
+            out["n_groups"].append(ng)
+            out["mom_sum"].append(int(sums[med]))
+            out["mom_cnt"].append(int(cnts[med]))
+            out["total_sum"].append(int(yy.sum()))
+        return pa.table({"series_id": pa.array(out["sid"], s_type),
+                         **{c: pa.array(out[c], pa.int64())
+                            for c in cols}})
+
+    return (rolled.map_batches(_add_part, batch_format="pyarrow")
+            .repartition(2).groupby("__part")
+            .map_groups(_mom, batch_format="pyarrow"))
+
+
+MEDIAN_OF_MEANS_SQL = """
+WITH r AS (
+    SELECT event_type AS series_id,
+           epoch_us(ts) // 900000000 * 900000000 AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+o AS (
+    SELECT series_id, y,
+           CAST(row_number() OVER (PARTITION BY series_id
+                                   ORDER BY bucket) - 1 AS BIGINT)
+               AS rk,
+           CAST(count(*) OVER (PARTITION BY series_id) AS BIGINT) AS n
+    FROM r
+),
+grps AS (
+    SELECT series_id, n, rk * 10 // n AS grp,
+           CAST(sum(y) AS BIGINT) AS gsum,
+           CAST(count(*) AS BIGINT) AS gcnt
+    FROM o GROUP BY 1, 2, 3
+),
+dd AS (
+    -- product of the (<=2) distinct group sizes: striping makes sizes
+    -- take at most two values, so max*min covers it (just max if equal)
+    SELECT series_id,
+           CAST(max(cnt) * min(cnt)
+                // CASE WHEN max(cnt) = min(cnt) THEN max(cnt)
+                        ELSE 1 END AS BIGINT) AS d
+    FROM (SELECT DISTINCT series_id, gcnt AS cnt FROM grps)
+    GROUP BY 1
+),
+keyed AS (
+    SELECT g.series_id, g.n, g.grp, g.gsum, g.gcnt,
+           g.gsum * (dd.d // g.gcnt) AS k,
+           count(*) OVER (PARTITION BY g.series_id) AS ng
+    FROM grps g JOIN dd ON dd.series_id = g.series_id
+)
+SELECT series_id, n, CAST(ng AS BIGINT) AS n_groups,
+       CAST(gsum AS BIGINT) AS mom_sum,
+       CAST(gcnt AS BIGINT) AS mom_cnt,
+       (SELECT CAST(sum(y) AS BIGINT) FROM o
+        WHERE o.series_id = keyed.series_id) AS total_sum
+FROM (
+    SELECT keyed.*, row_number() OVER (PARTITION BY series_id
+                                       ORDER BY k, grp) AS rnk
+    FROM keyed
+) keyed
+WHERE rnk = (ng - 1) // 2 + 1
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -12997,6 +13125,7 @@ QUERIES = {
     "page_hinkley_15m": q_page_hinkley_15m,
     "covisit_users": q_covisit_users,
     "boxplot_15m": q_boxplot_15m,
+    "median_of_means_15m": q_median_of_means_15m,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -13611,6 +13740,7 @@ ORACLE_SQL = {
     "page_hinkley_15m": PAGE_HINKLEY_SQL,
     "covisit_users": COVISIT_SQL,
     "boxplot_15m": BOXPLOT_SQL,
+    "median_of_means_15m": MEDIAN_OF_MEANS_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
