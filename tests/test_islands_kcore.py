@@ -447,3 +447,35 @@ def test_median_of_means_replay(ray_session):
         assert (r.n, r.n_groups) == (n, len(groups))
         assert Fraction(int(r.mom_sum), int(r.mom_cnt)) == med_frac
         assert r.total_sum == sum(y)
+
+
+def test_discord_replay(ray_session):
+    from tsdownsample_ray.pipelines.queries import q_discord_1h
+
+    sf = "/root/testdata/sf0.001"
+    out = q_discord_1h(sf).to_pandas().set_index("series_id")
+    H = 3_600_000_000
+    df = duckdb.sql(f"""
+        SELECT event_type s, epoch_us(ts)//{H}*{H} b,
+               CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) y
+        FROM '{sf}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    W = 6
+    for s, g in df.groupby("s"):
+        y = g.y.to_numpy().astype(np.int64)
+        b = g.b.to_numpy()
+        m = len(y) - W + 1
+        best = None
+        for i in range(m):
+            wi = y[i:i + W]
+            nn = None
+            for j in range(m):
+                if abs(i - j) < W:
+                    continue
+                wj = y[j:j + W]
+                d2 = int(((wi - wj) ** 2).sum())
+                nn = d2 if nn is None else min(nn, d2)
+            if nn is not None and (best is None or nn > best[0]):
+                best = (nn, i)
+        r = out.loc[s]
+        assert (r.n_windows, r.discord_bucket, r.nn_d2) == (
+            m, b[best[1]], best[0])

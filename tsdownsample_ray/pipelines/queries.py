@@ -12939,6 +12939,135 @@ WHERE rnk = (ng - 1) // 2 + 1
 """
 
 
+def q_discord_1h(sf_dir: str):
+    """Time-series discord discovery (matrix-profile-lite): per series
+    over the 1h tier, the length-6 window whose exact integer squared
+    Euclidean distance to its NEAREST non-overlapping neighbor
+    (exclusion zone |i−j| >= w) is LARGEST — the classic anomaly
+    primitive. Engine: one integer Gram matmul per series
+    (``D² = S_i + S_j − 2·A·Aᵀ``, windows as rows), exclusion-zone
+    mask, row-min then argmax with smallest-index ties; tier rows keep
+    the quadratic profile partition-local. Output per series:
+    discord position (bucket), its nearest-neighbor D² and the window
+    count."""
+    from ..arrow_utils import stable_part_codes
+    from ..stages.rollup import rollup
+
+    W = 6
+    H = 3_600_000_000
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"), H)
+    mod = 2 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["series_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _discord(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t["series_id"].type
+        cols = ("n_windows", "discord_bucket", "nn_d2")
+        if t.num_rows == 0:
+            return pa.table({"series_id": pa.array([], s_type),
+                             **{c: pa.array([], pa.int64())
+                                for c in cols}})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("series_id", "ascending"), ("bucket", "ascending")]))
+        sid = t["series_id"]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = t["sum_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = t["bucket"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        ends = np.r_[starts[1:], len(codes)]
+        out = {k: [] for k in ("sid",) + cols}
+        BIG = np.int64(1 << 62)
+        for f, l in zip(starts, ends):  # series loop; inner matmul
+            yy = y[f:l]
+            n = l - f
+            m = n - W + 1
+            if m < 2:
+                continue
+            A = np.lib.stride_tricks.sliding_window_view(yy, W)
+            A = np.ascontiguousarray(A)
+            S = (A * A).sum(axis=1)
+            D2 = S[:, None] + S[None, :] - 2 * (A @ A.T)
+            ii = np.arange(m)
+            mask = np.abs(ii[:, None] - ii[None, :]) < W
+            D2 = np.where(mask, BIG, D2)
+            nn = D2.min(axis=1)
+            valid = nn < BIG
+            if not valid.any():
+                continue
+            nn_v = np.where(valid, nn, -1)
+            best = int(np.argmax(nn_v))  # first max = smallest index
+            out["sid"].append(sid[int(f)].as_py())
+            out["n_windows"].append(m)
+            out["discord_bucket"].append(int(bkt[f + best]))
+            out["nn_d2"].append(int(nn[best]))
+        return pa.table({"series_id": pa.array(out["sid"], s_type),
+                         **{c: pa.array(out[c], pa.int64())
+                            for c in cols}})
+
+    return (rolled.map_batches(_add_part, batch_format="pyarrow")
+            .repartition(2).groupby("__part")
+            .map_groups(_discord, batch_format="pyarrow"))
+
+
+DISCORD_SQL = """
+WITH r AS (
+    SELECT event_type AS series_id,
+           epoch_us(ts) // 3600000000 * 3600000000 AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+o AS (
+    SELECT series_id, bucket, y,
+           CAST(row_number() OVER win AS BIGINT) AS rk,
+           list(y) OVER (PARTITION BY series_id ORDER BY bucket
+                         ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING)
+               AS v,
+           count(*) OVER (PARTITION BY series_id ORDER BY bucket
+                          ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING)
+               AS wlen
+    FROM r
+    WINDOW win AS (PARTITION BY series_id ORDER BY bucket)
+),
+wv AS (SELECT series_id, bucket, rk, v FROM o WHERE wlen = 6),
+d AS (
+    SELECT a.series_id, a.rk AS i, a.bucket,
+           min(CAST(list_dot_product(a.v, a.v)
+                    + list_dot_product(b.v, b.v)
+                    - 2 * list_dot_product(a.v, b.v) AS BIGINT))
+               AS nn_d2
+    FROM wv a JOIN wv b
+      ON a.series_id = b.series_id AND abs(a.rk - b.rk) >= 6
+    GROUP BY 1, 2, 3
+),
+m AS (SELECT series_id, CAST(count(*) AS BIGINT) AS n_windows
+      FROM wv GROUP BY 1)
+SELECT d.series_id, m.n_windows,
+       CAST(d.bucket AS BIGINT) AS discord_bucket, d.nn_d2
+FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY series_id
+                                   ORDER BY nn_d2 DESC, i) AS rnk
+    FROM d
+) d JOIN m ON m.series_id = d.series_id
+WHERE d.rnk = 1
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -13126,6 +13255,7 @@ QUERIES = {
     "covisit_users": q_covisit_users,
     "boxplot_15m": q_boxplot_15m,
     "median_of_means_15m": q_median_of_means_15m,
+    "discord_1h": q_discord_1h,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -13741,6 +13871,7 @@ ORACLE_SQL = {
     "covisit_users": COVISIT_SQL,
     "boxplot_15m": BOXPLOT_SQL,
     "median_of_means_15m": MEDIAN_OF_MEANS_SQL,
+    "discord_1h": DISCORD_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
