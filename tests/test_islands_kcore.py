@@ -479,3 +479,30 @@ def test_discord_replay(ray_session):
         r = out.loc[s]
         assert (r.n_windows, r.discord_bucket, r.nn_d2) == (
             m, b[best[1]], best[0])
+
+
+def test_motif_replay(ray_session):
+    from tsdownsample_ray.pipelines.queries import q_motif_1h
+
+    sf = "/root/testdata/sf0.001"
+    out = q_motif_1h(sf).to_pandas().set_index("series_id")
+    H = 3_600_000_000
+    df = duckdb.sql(f"""
+        SELECT event_type s, epoch_us(ts)//{H}*{H} b,
+               CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) y
+        FROM '{sf}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    W = 6
+    for s, g in df.groupby("s"):
+        y = g.y.to_numpy().astype(np.int64)
+        b = g.b.to_numpy()
+        m = len(y) - W + 1
+        best = None
+        for i in range(m):
+            for j in range(i + W, m):
+                d2 = int(((y[i:i + W] - y[j:j + W]) ** 2).sum())
+                k = (d2, i, j)
+                if best is None or k < best:
+                    best = k
+        r = out.loc[s]
+        assert (r.bucket_a, r.bucket_b, r.d2) == (
+            b[best[1]], b[best[2]], best[0])

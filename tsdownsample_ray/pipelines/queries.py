@@ -13068,6 +13068,125 @@ WHERE d.rnk = 1
 """
 
 
+def q_motif_1h(sf_dir: str):
+    """Top motif (the discord's complement): per series the PAIR of
+    non-overlapping length-6 windows with the smallest exact integer
+    squared distance — the repeated-pattern primitive (numeric sibling
+    of the SAX trigram motifs). Same per-series integer Gram machinery
+    as ``discord_1h``; ties resolve by (d2, i, j). Output:
+    (series_id, bucket_a, bucket_b, d2)."""
+    from ..arrow_utils import stable_part_codes
+    from ..stages.rollup import rollup
+
+    W = 6
+    H = 3_600_000_000
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"), H)
+    mod = 2 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["series_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _motif(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t["series_id"].type
+        cols = ("bucket_a", "bucket_b", "d2")
+        if t.num_rows == 0:
+            return pa.table({"series_id": pa.array([], s_type),
+                             **{c: pa.array([], pa.int64())
+                                for c in cols}})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("series_id", "ascending"), ("bucket", "ascending")]))
+        sid = t["series_id"]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = t["sum_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = t["bucket"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        ends = np.r_[starts[1:], len(codes)]
+        out = {k: [] for k in ("sid",) + cols}
+        BIG = np.int64(1 << 62)
+        for f, l in zip(starts, ends):
+            yy = y[f:l]
+            n = l - f
+            m = n - W + 1
+            if m < 2:
+                continue
+            A = np.ascontiguousarray(
+                np.lib.stride_tricks.sliding_window_view(yy, W))
+            S = (A * A).sum(axis=1)
+            D2 = S[:, None] + S[None, :] - 2 * (A @ A.T)
+            ii = np.arange(m)
+            bad = (ii[:, None] >= ii[None, :] - W + 1)
+            # keep only j - i >= W (i < j, non-overlapping, each pair once)
+            D2 = np.where(bad, BIG, D2)
+            if D2.min() >= BIG:
+                continue
+            flat = int(np.argmin(D2))  # first min = smallest (i, j)
+            i, j = divmod(flat, m)
+            out["sid"].append(sid[int(f)].as_py())
+            out["bucket_a"].append(int(bkt[f + i]))
+            out["bucket_b"].append(int(bkt[f + j]))
+            out["d2"].append(int(D2[i, j]))
+        return pa.table({"series_id": pa.array(out["sid"], s_type),
+                         **{c: pa.array(out[c], pa.int64())
+                            for c in cols}})
+
+    return (rolled.map_batches(_add_part, batch_format="pyarrow")
+            .repartition(2).groupby("__part")
+            .map_groups(_motif, batch_format="pyarrow"))
+
+
+MOTIF_SQL = """
+WITH r AS (
+    SELECT event_type AS series_id,
+           epoch_us(ts) // 3600000000 * 3600000000 AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+o AS (
+    SELECT series_id, bucket, y,
+           CAST(row_number() OVER win AS BIGINT) AS rk,
+           list(y) OVER (PARTITION BY series_id ORDER BY bucket
+                         ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING)
+               AS v,
+           count(*) OVER (PARTITION BY series_id ORDER BY bucket
+                          ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING)
+               AS wlen
+    FROM r
+    WINDOW win AS (PARTITION BY series_id ORDER BY bucket)
+),
+wv AS (SELECT series_id, bucket, rk, v FROM o WHERE wlen = 6),
+d AS (
+    SELECT a.series_id, a.rk AS i, b.rk AS j,
+           a.bucket AS bucket_a, b.bucket AS bucket_b,
+           CAST(list_dot_product(a.v, a.v) + list_dot_product(b.v, b.v)
+                - 2 * list_dot_product(a.v, b.v) AS BIGINT) AS d2
+    FROM wv a JOIN wv b
+      ON a.series_id = b.series_id AND b.rk - a.rk >= 6
+)
+SELECT series_id, CAST(bucket_a AS BIGINT) AS bucket_a,
+       CAST(bucket_b AS BIGINT) AS bucket_b, d2
+FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY series_id
+                                   ORDER BY d2, i, j) AS rnk
+    FROM d
+) WHERE rnk = 1
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -13256,6 +13375,7 @@ QUERIES = {
     "boxplot_15m": q_boxplot_15m,
     "median_of_means_15m": q_median_of_means_15m,
     "discord_1h": q_discord_1h,
+    "motif_1h": q_motif_1h,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -13872,6 +13992,7 @@ ORACLE_SQL = {
     "boxplot_15m": BOXPLOT_SQL,
     "median_of_means_15m": MEDIAN_OF_MEANS_SQL,
     "discord_1h": DISCORD_SQL,
+    "motif_1h": MOTIF_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
