@@ -506,3 +506,38 @@ def test_motif_replay(ray_session):
         r = out.loc[s]
         assert (r.bucket_a, r.bucket_b, r.d2) == (
             b[best[1]], b[best[2]], best[0])
+
+
+def test_label_propagation_replay(ray_session):
+    import collections
+
+    from tsdownsample_ray.pipelines.queries import (
+        q_label_propagation_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = (q_label_propagation_docs(sf).to_pandas()
+           .set_index("node"))
+    lab = dict(duckdb.sql(
+        f"SELECT vec_id, label FROM '{sf}/embeddings.parquet'"
+    ).fetchall())
+    df = duckdb.sql(f'''
+        WITH n AS (SELECT count(*) c FROM '{sf}/documents.parquet'),
+        e0 AS (SELECT doc_id src,
+                      (doc_id*31 + 97*j) % (SELECT c FROM n) dst
+               FROM '{sf}/documents.parquet',
+                    unnest([1,2,3,4,5,6]) t(j)
+               WHERE j <= 1 + doc_id % 6),
+        und AS (SELECT DISTINCT least(src,dst) u, greatest(src,dst) v
+                FROM e0 WHERE src <> dst)
+        SELECT u, v FROM und''').df()
+    adj = collections.defaultdict(list)
+    for u, v in zip(df.u, df.v):
+        adj[u].append(v)
+        adj[v].append(u)
+    for node, nbs in adj.items():
+        votes = collections.Counter(lab[x] for x in nbs)
+        pred = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+        r = out.loc[node]
+        assert (r.pred_label, r.n_votes, r.n_neighbors) == (
+            pred[0], pred[1], len(nbs))

@@ -13187,6 +13187,142 @@ FROM (
 """
 
 
+def q_label_propagation_docs(sf_dir: str):
+    """One synchronous round of label propagation (the semi-supervised
+    graph-ML baseline): every node's predicted label is the MAJORITY of
+    its neighbors' seed labels (embeddings.label keyed by
+    vec_id = doc_id), ties to the smallest label — deterministic by
+    construction. Shape: undirected edges fan both directions, seed
+    labels ride a broadcast closure (dimension contract), per-(node,
+    label) vote partials reduce through one hashpart grouped sum, and
+    the per-node argmax is a sorted segment pass. Output:
+    (node, pred_label, n_votes, n_neighbors)."""
+    import pyarrow.parquet as _pq
+
+    from ..arrow_utils import stable_part_codes
+
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    lab_rows = _read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "label"]
+                                   ).take_all()
+    lab = {int(r["vec_id"]): int(r["label"]) for r in lab_rows}
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"]).repartition(4)
+
+    mod = 4 * 64
+
+    def _edges(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs, dsts = [], []
+        for j in range(1, 7):
+            m = j <= 1 + d % 6
+            s = d[m]
+            t = (s * 31 + 97 * j) % n
+            keep = s != t
+            srcs.append(np.minimum(s[keep], t[keep]))
+            dsts.append(np.maximum(s[keep], t[keep]))
+        return pa.table({"u": pa.array(np.concatenate(srcs)),
+                         "v": pa.array(np.concatenate(dsts))})
+
+    def _part_e(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["u"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _votes(g: pa.Table) -> pa.Table:
+        # hash(u) co-locates every copy of an edge -> exact distinct,
+        # then votes fan both directions with broadcast seed labels
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "vote": pa.array([], pa.int64()),
+                             "one": pa.array([], pa.int64())})
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.unique(u * np.int64(2 ** 32) + v)
+        u, v = key // np.int64(2 ** 32), key % np.int64(2 ** 32)
+        node = np.concatenate([u, v])
+        nb = np.concatenate([v, u])
+        votes = np.array([lab[int(x)] for x in nb], dtype=np.int64)
+        return pa.table({"node": pa.array(node),
+                         "vote": pa.array(votes),
+                         "one": pa.array(np.ones(len(node),
+                                                 dtype=np.int64))})
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["node"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _majority(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "pred_label": pa.array([], pa.int64()),
+                             "n_votes": pa.array([], pa.int64()),
+                             "n_neighbors": pa.array([], pa.int64())})
+        s = t.group_by(["node", "vote"]).aggregate([("one", "sum")])
+        node = s["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vote = s["vote"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = s["one_sum"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        order = np.lexsort((vote, -cnt, node))
+        node, vote, cnt = node[order], vote[order], cnt[order]
+        heads = np.ones(len(node), dtype=bool)
+        heads[1:] = node[1:] != node[:-1]
+        starts = np.flatnonzero(heads)
+        tot = np.add.reduceat(cnt, starts)
+        return pa.table({"node": pa.array(node[starts]),
+                         "pred_label": pa.array(vote[starts]),
+                         "n_votes": pa.array(cnt[starts]),
+                         "n_neighbors": pa.array(tot)})
+
+    return (ds.map_batches(_edges, batch_format="pyarrow")
+            .map_batches(_part_e, batch_format="pyarrow")
+            .repartition(4).groupby("__part")
+            .map_groups(_votes, batch_format="pyarrow")
+            .map_batches(_add_part, batch_format="pyarrow")
+            .repartition(4).groupby("__part")
+            .map_groups(_majority, batch_format="pyarrow"))
+
+
+LABEL_PROP_SQL = """
+WITH nn AS (SELECT count(*) AS c FROM documents),
+e0 AS (
+    SELECT doc_id AS src,
+           (doc_id * 31 + 97 * j) % (SELECT c FROM nn) AS dst
+    FROM documents, unnest([1, 2, 3, 4, 5, 6]) t(j)
+    WHERE j <= 1 + doc_id % 6
+),
+und AS (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM e0 WHERE src <> dst
+),
+ed AS (
+    SELECT u AS node, v AS nb FROM und
+    UNION ALL
+    SELECT v, u FROM und
+),
+votes AS (
+    SELECT ed.node, CAST(l.label AS BIGINT) AS vote,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM ed JOIN embeddings l ON l.vec_id = ed.nb
+    GROUP BY 1, 2
+),
+tot AS (SELECT node, CAST(sum(cnt) AS BIGINT) AS n_neighbors
+        FROM votes GROUP BY 1)
+SELECT v.node, v.vote AS pred_label, v.cnt AS n_votes,
+       tot.n_neighbors
+FROM (
+    SELECT votes.*, row_number() OVER (PARTITION BY node
+                                       ORDER BY cnt DESC, vote) AS rk
+    FROM votes
+) v JOIN tot ON tot.node = v.node
+WHERE v.rk = 1
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -13376,6 +13512,7 @@ QUERIES = {
     "median_of_means_15m": q_median_of_means_15m,
     "discord_1h": q_discord_1h,
     "motif_1h": q_motif_1h,
+    "label_propagation_docs": q_label_propagation_docs,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -13993,6 +14130,7 @@ ORACLE_SQL = {
     "median_of_means_15m": MEDIAN_OF_MEANS_SQL,
     "discord_1h": DISCORD_SQL,
     "motif_1h": MOTIF_SQL,
+    "label_propagation_docs": LABEL_PROP_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
