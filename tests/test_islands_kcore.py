@@ -541,3 +541,23 @@ def test_label_propagation_replay(ray_session):
         r = out.loc[node]
         assert (r.pred_label, r.n_votes, r.n_neighbors) == (
             pred[0], pred[1], len(nbs))
+
+
+def test_burstiness_replay(ray_session):
+    from fractions import Fraction
+
+    from tsdownsample_ray.pipelines.queries import q_burstiness_events
+
+    sf = "/root/testdata/sf0.001"
+    out = q_burstiness_events(sf).to_pandas().set_index("series_id")
+    df = duckdb.sql(f"""
+        SELECT event_type s, epoch_us(ts)//3600000000 b, count(*) c
+        FROM '{sf}/events.parquet' GROUP BY 1, 2""").df()
+    for s, g in df.groupby("s"):
+        c = g.c.to_numpy().astype(np.int64)
+        n = len(c)
+        want = Fraction(int(n * (c * c).sum() - c.sum() ** 2),
+                        int(n * c.sum()))
+        r = out.loc[s]
+        assert Fraction(int(r.fano_num), int(r.fano_den)) == want
+        assert (r.n_buckets, r.n_events) == (n, c.sum())

@@ -13323,6 +13323,99 @@ WHERE v.rk = 1
 """
 
 
+def q_burstiness_events(sf_dir: str):
+    """Burstiness / Fano factor per series (the overdispersion index:
+    variance-to-mean of 1h event COUNTS over observed buckets; > 1 =
+    bursty, 1 = Poisson-like): kept as the exact gcd-reduced rational
+    ``(n·Σc² − (Σc)²) / (n·Σc)``. Map-side (series, bucket) count
+    partials, one hashpart grouped sum, tiny per-series reduction."""
+    from ..arrow_utils import stable_part_codes
+
+    H = 3_600_000_000
+    ev = _events_series(sf_dir, cols=("event_id", "event_type", "ts"))
+
+    def _counts(b: pa.Table) -> pa.Table:
+        bkt = (b["ts_us"].to_numpy(zero_copy_only=False).astype(
+            np.int64) // H)
+        t = pa.table({"series_id": b["event_type"],
+                      "bucket": pa.array(bkt),
+                      "one": pa.array(np.ones(b.num_rows,
+                                              dtype=np.int64))})
+        g = t.group_by(["series_id", "bucket"]).aggregate(
+            [("one", "sum")])
+        return g.rename_columns(["series_id", "bucket", "c"])
+
+    mod = 2 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["series_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _fano(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t["series_id"].type
+        cols = ("n_buckets", "n_events", "fano_num", "fano_den")
+        if t.num_rows == 0:
+            return pa.table({"series_id": pa.array([], s_type),
+                             **{c: pa.array([], pa.int64())
+                                for c in cols}})
+        s = t.group_by(["series_id", "bucket"]).aggregate([("c", "sum")])
+        sid = s["series_id"]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        c = s["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        codes, c = codes[order], c[order]
+        sidx = sid.take(pa.array(order))
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        n = np.diff(np.append(starts, len(codes)))
+        sc = np.add.reduceat(c, starts)
+        sc2 = np.add.reduceat(c * c, starts)
+        num = n * sc2 - sc * sc
+        den = n * sc
+        g_ = np.gcd(num, den)
+        g_ = np.where(g_ == 0, 1, g_)
+        return pa.table({
+            "series_id": sidx.take(pa.array(starts)),
+            "n_buckets": pa.array(n),
+            "n_events": pa.array(sc),
+            "fano_num": pa.array(num // g_),
+            "fano_den": pa.array(den // g_)})
+
+    return (ev.map_batches(_counts, batch_format="pyarrow")
+            .map_batches(_add_part, batch_format="pyarrow")
+            .repartition(2).groupby("__part")
+            .map_groups(_fano, batch_format="pyarrow"))
+
+
+BURSTINESS_SQL = """
+WITH c AS (
+    SELECT event_type AS series_id, epoch_us(ts) // 3600000000 AS b,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+a AS (
+    SELECT series_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS BIGINT) AS sc,
+           CAST(sum(c * c) AS BIGINT) AS sc2
+    FROM c GROUP BY 1
+)
+SELECT series_id, n AS n_buckets, sc AS n_events,
+       CAST((n * sc2 - sc * sc)
+            // greatest(gcd(n * sc2 - sc * sc, n * sc), 1) AS BIGINT)
+           AS fano_num,
+       CAST((n * sc)
+            // greatest(gcd(n * sc2 - sc * sc, n * sc), 1) AS BIGINT)
+           AS fano_den
+FROM a
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -13513,6 +13606,7 @@ QUERIES = {
     "discord_1h": q_discord_1h,
     "motif_1h": q_motif_1h,
     "label_propagation_docs": q_label_propagation_docs,
+    "burstiness_events": q_burstiness_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -14131,6 +14225,7 @@ ORACLE_SQL = {
     "discord_1h": DISCORD_SQL,
     "motif_1h": MOTIF_SQL,
     "label_propagation_docs": LABEL_PROP_SQL,
+    "burstiness_events": BURSTINESS_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
