@@ -561,3 +561,17 @@ def test_burstiness_replay(ray_session):
         r = out.loc[s]
         assert Fraction(int(r.fano_num), int(r.fano_den)) == want
         assert (r.n_buckets, r.n_events) == (n, c.sum())
+
+
+def test_sweepline_conservation(ray_session):
+    from tsdownsample_ray.pipelines.queries import (
+        q_sweepline_audit_events,
+    )
+
+    out = (q_sweepline_audit_events("/root/testdata/sf0.001")
+           .to_pandas().iloc[0])
+    # Fubini: the two independent measurements must agree exactly
+    assert out.conserved == 1
+    assert out.covered_sum_us == out.sweep_integral_us
+    assert 1 <= out.max_concurrency <= 5  # at most one island/series
+    assert out.n_islands > 5

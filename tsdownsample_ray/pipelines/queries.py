@@ -13416,6 +13416,132 @@ FROM a
 """
 
 
+def q_sweepline_audit_events(sf_dir: str):
+    """Sweep-line / Little's-law style conservation audit: each series'
+    30-minute activity islands (the ``interval_union_events`` merge)
+    are measured TWO independent ways — (a) per-series island-length
+    sums, (b) the global sweep-line integral ``∫ concurrency(t) dt``
+    over all series' island endpoints — and by Fubini the totals must
+    agree EXACTLY (int64 microseconds). Emits both sides, the equality
+    flag and the peak concurrency; the kind of cross-computation
+    invariant a 100 TB pipeline runs to catch partition-merge bugs.
+    Islands reduce per series (one hash shuffle); endpoints are
+    islands-count-bounded (<< events), so the sweep is a tiny ordered
+    pass."""
+    from ..arrow_utils import stable_part_codes
+
+    W = 1_800_000_000
+    ev = _events_series(sf_dir, cols=("event_id", "event_type", "ts"))
+    mod = 2 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["event_type"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _islands(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("event_type", "ascending"), ("ts_us", "ascending")]))
+        sid = t["event_type"]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        ends_seg = np.r_[starts[1:], len(codes)]
+        los, his = [], []
+        for f, l in zip(starts, ends_seg):
+            s_ = ts[f:l]
+            e_ = s_ + W
+            cm = np.maximum.accumulate(e_)
+            new = np.ones(l - f, dtype=bool)
+            new[1:] = s_[1:] > cm[:-1]
+            isl = np.flatnonzero(new)
+            isl_end = np.r_[isl[1:], l - f]
+            los.append(s_[isl])
+            his.append(cm[isl_end - 1])
+        return pa.table({"lo": pa.array(np.concatenate(los)),
+                         "hi": pa.array(np.concatenate(his))})
+
+    rows = (ev.map_batches(_add_part, batch_format="pyarrow")
+            .repartition(2).groupby("__part")
+            .map_groups(_islands, batch_format="pyarrow")).take_all()
+    lo = np.array([r["lo"] for r in rows], dtype=np.int64)
+    hi = np.array([r["hi"] for r in rows], dtype=np.int64)
+    covered = int((hi - lo).sum())
+
+    pts = np.concatenate([lo, hi])
+    delta = np.concatenate([np.ones(len(lo), np.int64),
+                            -np.ones(len(hi), np.int64)])
+    order = np.lexsort((-delta, pts))  # opens before closes at ties
+    pts, delta = pts[order], delta[order]
+    level = np.cumsum(delta)
+    dt = np.diff(pts)
+    integral = int((level[:-1] * dt).sum())
+    return pa.table({
+        "covered_sum_us": pa.array([covered], pa.int64()),
+        "sweep_integral_us": pa.array([integral], pa.int64()),
+        "conserved": pa.array([int(covered == integral)], pa.int64()),
+        "max_concurrency": pa.array([int(level.max())], pa.int64()),
+        "n_islands": pa.array([len(lo)], pa.int64())})
+
+
+SWEEPLINE_SQL = """
+WITH e AS (
+    SELECT event_type AS series_id, epoch_us(ts) AS s,
+           epoch_us(ts) + 1800000000 AS f
+    FROM events
+),
+m AS (
+    SELECT series_id, s, f,
+           max(f) OVER (PARTITION BY series_id ORDER BY s, f
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS prev_max
+    FROM e
+),
+g AS (
+    SELECT series_id, s, f,
+           sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY series_id ORDER BY s, f
+                     ROWS UNBOUNDED PRECEDING) AS island
+    FROM m
+),
+isl AS (
+    SELECT series_id, island, min(s) AS lo, max(f) AS hi
+    FROM g GROUP BY 1, 2
+),
+pts AS (
+    SELECT lo AS t, 1 AS d FROM isl
+    UNION ALL
+    SELECT hi, -1 FROM isl
+),
+sw AS (
+    SELECT t, d,
+           sum(d) OVER (ORDER BY t, d DESC
+                        ROWS UNBOUNDED PRECEDING) AS level,
+           lead(t) OVER (ORDER BY t, d DESC) AS nxt
+    FROM pts
+)
+SELECT
+    (SELECT CAST(sum(hi - lo) AS BIGINT) FROM isl) AS covered_sum_us,
+    CAST(sum(level * (nxt - t)) AS BIGINT) AS sweep_integral_us,
+    CAST(CASE WHEN (SELECT sum(hi - lo) FROM isl)
+               = sum(level * (nxt - t)) THEN 1 ELSE 0 END AS BIGINT)
+        AS conserved,
+    CAST(max(level) AS BIGINT) AS max_concurrency,
+    (SELECT CAST(count(*) AS BIGINT) FROM isl) AS n_islands
+FROM sw WHERE nxt IS NOT NULL
+"""
+
+
 QUERIES = {
     "pages_extract": q_pages_extract,
     "page_rollup_15m": q_page_rollup_15m,
@@ -13607,6 +13733,7 @@ QUERIES = {
     "motif_1h": q_motif_1h,
     "label_propagation_docs": q_label_propagation_docs,
     "burstiness_events": q_burstiness_events,
+    "sweepline_audit_events": q_sweepline_audit_events,
     "training_order_docs": q_training_order_docs,
     "url_blocklist_docs": q_url_blocklist_docs,
     "embedding_near_dups_exact": q_embedding_near_dups_exact,
@@ -14226,6 +14353,7 @@ ORACLE_SQL = {
     "motif_1h": MOTIF_SQL,
     "label_propagation_docs": LABEL_PROP_SQL,
     "burstiness_events": BURSTINESS_SQL,
+    "sweepline_audit_events": SWEEPLINE_SQL,
     "sax_motifs_events": """
 WITH base AS ({sax}),
 m0 AS (
