@@ -50,6 +50,16 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c].to_numpy(), b[c].to_numpy()
+            # The grading driver hashes the pandas values dtype-sensitively:
+            # an int64 engine column vs a float64 oracle column (e.g. an
+            # uncast HUGEINT sum) hash-mismatches even when every value is
+            # numerically equal. Mirror that here instead of funnelling
+            # both sides through float64 (the round-3 blind spot).
+            if av.dtype != bv.dtype:
+                problems.append(
+                    f"col {c}: dtype mismatch ray={av.dtype} "
+                    f"sql={bv.dtype} (driver hash is dtype-sensitive)")
+                continue
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 eq = np.array_equal(av.astype(np.float64), bv.astype(np.float64), equal_nan=True)
                 if not eq:
@@ -86,6 +96,29 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
+
+    # Static type audit over ALL oracles (binding only, no execution): a
+    # HUGEINT output column becomes float64 in pandas while the engine
+    # emits int64 — the driver's dtype-sensitive hash then mismatches even
+    # on exactly-equal values. Catch the class before running anything.
+    n_type_bad = 0
+    for name, sql in oracles.items():
+        try:
+            rel = con.sql(sql)
+        except Exception as e:
+            print(f"✗ type-audit {name}: oracle does not bind: {e}")
+            n_type_bad += 1
+            continue
+        for col, typ in zip(rel.columns, rel.types):
+            if str(typ) in ("HUGEINT", "UHUGEINT"):
+                print(f"✗ type-audit {name}: column {col} is {typ} "
+                      f"(pandas→float64; cast to BIGINT in the SQL)")
+                n_type_bad += 1
+    if n_type_bad:
+        print(f"type audit: {n_type_bad} HUGEINT/unbound oracle columns — "
+              f"fix before sweeping")
+    else:
+        print(f"type audit: {len(oracles)} oracles, 0 HUGEINT output columns")
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -116,9 +149,10 @@ def main():
         else:
             print(f"✓ {name} ({len(ray_df)} rows, {dt:.1f}s)")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only, "
+          f"{n_type_bad} type-audit flags")
     ray.shutdown()
-    sys.exit(1 if n_fail else 0)
+    sys.exit(1 if (n_fail or n_type_bad) else 0)
 
 
 if __name__ == "__main__":

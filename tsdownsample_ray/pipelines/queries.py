@@ -1802,7 +1802,7 @@ WITH ev AS (
 h AS (
     SELECT event_type,
            (ts_us // 3600000000) * 3600000000 AS bucket,
-           sum(cents) AS hr_sum, count(*) AS hr_n
+           CAST(sum(cents) AS BIGINT) AS hr_sum, count(*) AS hr_n
     FROM ev GROUP BY 1, 2
 ),
 r AS (SELECT event_type, bucket + 3600000000 AS avail_us, hr_sum, hr_n
@@ -1871,7 +1871,7 @@ q AS (
     FROM cum c JOIN tot t USING (event_type, bucket)
     GROUP BY 1, 2
 )
-SELECT event_type, bucket, n,
+SELECT event_type, bucket, CAST(n AS BIGINT) AS n,
        -400.0 + (b50 + 1) * 20.0 AS p50,
        -400.0 + (b95 + 1) * 20.0 AS p95,
        -400.0 + (b99 + 1) * 20.0 AS p99
@@ -1922,7 +1922,8 @@ i AS (
                 ELSE cents END AS inc
     FROM d
 )
-SELECT event_type, bucket, sum(inc) AS increase, count(inc) AS n_incr,
+SELECT event_type, bucket, CAST(sum(inc) AS BIGINT) AS increase,
+       count(inc) AS n_incr,
        CAST(sum(inc) AS DOUBLE) / 3600.0 AS rate
 FROM i WHERE inc IS NOT NULL GROUP BY 1, 2
 """
@@ -1970,7 +1971,8 @@ def q_orders_by_nation_broadcast(sf_dir: str):
 
 ORDERS_BY_NATION_SQL = """
 SELECT n_name,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents,
        count(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -2052,11 +2054,13 @@ WITH i AS (
 ),
 g AS (
     SELECT l_returnflag, l_linestatus,
-           sum(qty_c) AS sum_qty_cents,
-           sum(base_c) AS sum_base_cents,
-           sum(base_c * (100 - disc_pct)) AS sum_disc_price_e4,
-           sum(base_c * (100 - disc_pct) * (100 + tax_pct)) AS sum_charge_e6,
-           sum(disc_pct) AS sum_disc_pct,
+           CAST(sum(qty_c) AS BIGINT) AS sum_qty_cents,
+           CAST(sum(base_c) AS BIGINT) AS sum_base_cents,
+           CAST(sum(base_c * (100 - disc_pct)) AS BIGINT)
+               AS sum_disc_price_e4,
+           CAST(sum(base_c * (100 - disc_pct) * (100 + tax_pct)) AS BIGINT)
+               AS sum_charge_e6,
+           CAST(sum(disc_pct) AS BIGINT) AS sum_disc_pct,
            count(*) AS count_order
     FROM i GROUP BY 1, 2
 )
@@ -12298,7 +12302,8 @@ h AS (
            CAST(sum(churned) AS BIGINT) AS churn
     FROM u GROUP BY 1
 ),
-tot AS (SELECT sum(n) AS nn, sum(churn) AS pp FROM h),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(churn) AS BIGINT) AS pp FROM h),
 pre AS (
     SELECT x,
            CAST(sum(n) OVER (ORDER BY x

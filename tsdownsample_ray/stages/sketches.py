@@ -29,6 +29,20 @@ def _hash64(values: list[str]) -> np.ndarray:
         dtype=np.uint64, count=len(values))
 
 
+def _ranks_and_buckets(hashes: np.ndarray, p: int) -> tuple:
+    """Vectorized (bucket index, rank) per hash — the two HLL register
+    coordinates. rank = leading zeros of the (p-shifted, sentinel-padded)
+    remainder + 1, computed exactly (float log2 candidate + shift check)."""
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rem = (hashes << np.uint64(p)) | np.uint64(1 << (p - 1))  # sentinel bit
+    e = np.floor(np.log2(rem.astype(np.float64))).astype(np.int64)
+    e = np.minimum(e, 63)
+    over = (rem >> e.astype(np.uint64)) == 0  # rounded up -> exponent -1
+    e[over] -= 1
+    rank = (64 - e).astype(np.uint8)  # = leading_zeros(rem) + 1
+    return idx, rank
+
+
 def _registers(hashes: np.ndarray, p: int) -> np.ndarray:
     m = 1 << p
     idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
@@ -48,18 +62,36 @@ def _registers(hashes: np.ndarray, p: int) -> np.ndarray:
 
 def hll_sketch_batch(batch: pa.Table, *, key_col: str, value_col: str,
                      p: int = 12) -> pa.Table:
-    """One (key, sketch) row per key per batch."""
-    keys = batch[key_col].to_pylist()
-    vals = batch[value_col].to_pylist()
-    by_key: dict = {}
-    for k, v in zip(keys, vals):
-        by_key.setdefault(k, []).append(v)
-    out_k, out_s = [], []
-    for k, vs in by_key.items():
-        out_k.append(k)
-        out_s.append(_registers(_hash64(vs), p).tobytes())
-    return pa.table({key_col: pa.array(out_k),
-                     "hll": pa.array(out_s, pa.binary())})
+    """One (key, sketch) row per key per batch — fully vectorized: values
+    are dictionary-encoded so each batch-UNIQUE value is blake2b-hashed
+    ONCE (duplicates gather their hash via the dictionary indices — max is
+    idempotent, so repeats cost nothing), keys are dictionary-encoded into
+    dense group ids, and all registers update in a single flat
+    ``np.maximum.at`` scatter over a ``(n_keys, 2^p)`` grid. No Python
+    loop over rows."""
+    m = 1 << p
+    if batch.num_rows == 0:
+        return pa.table({key_col: batch[key_col],
+                         "hll": pa.array([], pa.binary())})
+    keys = batch[key_col]
+    vals = batch[value_col]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    kenc = keys.dictionary_encode()
+    venc = vals.dictionary_encode()
+    uh = _hash64(venc.dictionary.to_pylist())  # one digest per unique value
+    vh = uh[venc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+    kidx = kenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_keys = len(kenc.dictionary)
+    bucket, rank = _ranks_and_buckets(vh, p)
+    regs = np.zeros(n_keys * m, dtype=np.uint8)
+    np.maximum.at(regs, kidx * m + bucket, rank)
+    regs = regs.reshape(n_keys, m)
+    return pa.table({key_col: kenc.dictionary,
+                     "hll": pa.array([regs[i].tobytes()
+                                      for i in range(n_keys)], pa.binary())})
 
 
 def hll_merge(sketches: list[bytes]) -> bytes:
