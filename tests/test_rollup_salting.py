@@ -95,3 +95,41 @@ def test_combine_auto_mode_equivalence(ray_session):
     shuf = (rollup(ds, 1_000_000, combine="auto", est_keys=10_000_000)
             .to_pandas()[cols].sort_values(cols[:2]).reset_index(drop=True))
     pd.testing.assert_frame_equal(tree, shuf, check_dtype=False)
+
+
+def test_pick_combine_thresholds():
+    """combine='auto' resolution: tree below TREE_MAX_KEYS, hashpart (and
+    a shuffle desalt) above; salt>1 always forces hashpart."""
+    from tsdownsample_ray.stages.rollup import TREE_MAX_KEYS, pick_combine
+
+    assert pick_combine("auto", 1, None) == ("tree", "tree")
+    assert pick_combine("auto", 1, TREE_MAX_KEYS) == ("tree", "tree")
+    assert pick_combine("auto", 1, TREE_MAX_KEYS + 1) == (
+        "hashpart", "shuffle")
+    assert pick_combine("auto", 4, 100) == ("hashpart", "tree")
+    assert pick_combine("tree", 4, None) == ("hashpart", "tree")
+    assert pick_combine("hashpart", 1, None) == ("hashpart", "tree")
+
+
+def test_flagship_est_keys_selects_hashpart(tmp_path):
+    """The flagship/retention tier-0 rollup passes a metadata-only
+    est_keys upper bound (pages = docs x snapshots); above TREE_MAX_KEYS
+    the auto combine must select the hash-partitioned merge -- no
+    single-block funnel at 100x corpus scale."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tsdownsample_ray.sources.corpus import estimate_pages
+    from tsdownsample_ray.stages.rollup import TREE_MAX_KEYS, pick_combine
+
+    n_docs = 2_000_000  # footer metadata only -- writing ids is cheap
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n_docs), pa.int64())}),
+        tmp_path / "documents.parquet")
+    est = estimate_pages(str(tmp_path), snapshots=3)
+    assert est == 3 * n_docs > TREE_MAX_KEYS
+    assert pick_combine("auto", 1, est) == ("hashpart", "shuffle")
+    # and the sf0.001 fixture stays on the fast tree path
+    small = estimate_pages("/root/testdata/sf0.001", snapshots=3)
+    assert small < TREE_MAX_KEYS
+    assert pick_combine("auto", 1, small) == ("tree", "tree")

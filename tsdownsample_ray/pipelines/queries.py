@@ -9535,37 +9535,62 @@ def q_incident_coverage_events(sf_dir: str):
     """Interval-overlap range join, monitoring flavor: every ``error``
     event opens a 30-minute incident window ``[ts, ts+30m]``; for each
     series count its events covered by >=1 window and the total
-    coverage multiplicity. The interval side is the SMALL side (an
-    incident list stays small at any corpus scale), so it is broadcast
-    once (``ray.put``) as a sorted int64 array and each batch answers
-    stab queries with two ``searchsorted`` calls — ``cov(t) =
-    #(te <= t) − #(te < t−W)`` — instead of a range-join shuffle.
-    Map-side per-batch partials; final merge is <=|series| rows."""
-    import ray as _ray
-
+    coverage multiplicity. Bounded-overlap range join, fully streaming
+    (no driver materialization of the error stream): both sides are
+    time-bucketed at the window width W, each error timestamp is
+    replicated to its own bucket and the next (with bucket size == W,
+    every ``te`` in ``[t-W, t]`` lands in the stab event's bucket or
+    the one before, so 2 copies suffice) and to every salt lane
+    (errors are the small side, so replication is cheap; salting keeps
+    a hot 30-minute window from funneling into one task). Each
+    ``(bucket, salt)`` group sorts its local errors once and answers
+    its stab queries with two ``searchsorted`` calls: ``cov(t) =
+    #(te <= t) - #(te < t-W)``. Per-group partials; final merge is
+    <=|series| rows."""
     W = 1_800_000_000
+    SALT = 4
     ev = _events_series(sf_dir, cols=("event_id", "event_type", "ts"))
 
-    def _errs(b: pa.Table) -> pa.Table:
-        m = pc.equal(b["event_type"], "error")
-        return b.filter(m).select(["ts_us"])
-
-    err = ev.map_batches(_errs, batch_format="pyarrow").take_all()
-    te = np.sort(np.array([r["ts_us"] for r in err], dtype=np.int64))
-    te_ref = _ray.put(te)
-
-    def _partial(b: pa.Table) -> pa.Table:
+    def _tag(b: pa.Table) -> pa.Table:
         t = b["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
-        te_s = _ray.get(te_ref)
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = t // W
+        left = pa.table({
+            "part": k * SALT + (eid % SALT),
+            "role": np.zeros(len(t), dtype=np.int8),
+            "ts_us": t,
+            "event_type": b["event_type"]})
+        m = pc.equal(b["event_type"], "error")
+        te = t[m.to_numpy(zero_copy_only=False)]
+        n_err = len(te)
+        te_rep = np.repeat(te, 2 * SALT)
+        kk = np.repeat(te // W, 2 * SALT)
+        off = np.tile(np.repeat(np.array([0, 1], dtype=np.int64), SALT),
+                      n_err)
+        lanes = np.tile(np.arange(SALT, dtype=np.int64), 2 * n_err)
+        right = pa.table({
+            "part": (kk + off) * SALT + lanes,
+            "role": np.ones(2 * SALT * n_err, dtype=np.int8),
+            "ts_us": te_rep,
+            "event_type": pa.array(["error"] * (2 * SALT * n_err),
+                                   type=left["event_type"].type)})
+        return pa.concat_tables([left, right])
+
+    def _cover(g: pa.Table) -> pa.Table:
+        role = g["role"].to_numpy(zero_copy_only=False)
+        t_all = g["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        te_s = np.sort(t_all[role == 1])
+        lm = role == 0
+        t = t_all[lm]
         cov = (np.searchsorted(te_s, t, side="right")
                - np.searchsorted(te_s, t - W, side="left"))
-        tbl = pa.table({"event_type": b["event_type"],
+        tbl = pa.table({"event_type": g["event_type"].filter(pa.array(lm)),
                         "one": np.ones(len(t), dtype=np.int64),
                         "covered": (cov > 0).astype(np.int64),
                         "cov": cov.astype(np.int64)})
-        g = tbl.group_by(["event_type"]).aggregate(
+        p = tbl.group_by(["event_type"]).aggregate(
             [("one", "sum"), ("covered", "sum"), ("cov", "sum")])
-        return g.rename_columns(
+        return p.rename_columns(
             ["event_type", "n_events", "n_covered", "total_coverage"])
 
     def _merge(g: pa.Table) -> pa.Table:
@@ -9578,7 +9603,8 @@ def q_incident_coverage_events(sf_dir: str):
             "total_coverage": pa.array(
                 [pc.sum(g["total_coverage"]).as_py()], pa.int64())})
 
-    return (ev.map_batches(_partial, batch_format="pyarrow")
+    return (ev.map_batches(_tag, batch_format="pyarrow")
+            .groupby("part").map_groups(_cover, batch_format="pyarrow")
             .groupby("event_type").map_groups(_merge,
                                               batch_format="pyarrow"))
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 import time
 from concurrent.futures import ThreadPoolExecutor
 
-from ..sources.corpus import read_pages
+from ..sources.corpus import estimate_pages, read_pages
 from ..stages.compress import compress_chunks_per_series
 from ..stages.downsample import downsample_dataset
 from ..stages.gapfill import gapfill
@@ -94,9 +94,16 @@ def run_retention_pipeline(
                                        hot_domain_factor=hot_domain_factor,
                                        columns=["url", "warc_ts", "text"])
                     src = derive_series(pages)
+                # metadata-only key-space upper bound (one page -> at
+                # most one (series, bucket) key) so combine="auto"
+                # selects hashpart before the tree's single-block final
+                # merge bottlenecks at 100x corpus scale
+                est = estimate_pages(sf_dir, snapshots=snapshots,
+                                     hot_domain_factor=hot_domain_factor)
             else:
                 src = series_ds
-            tier = rollup(src, window, salt=salt)
+                est = None
+            tier = rollup(src, window, salt=salt, est_keys=est)
         else:
             tier = cascade(prev_ds, window)
 

@@ -171,3 +171,19 @@ def read_pages(sf_dir: str, *, snapshots: int = 3, hot_domain_factor: int = 1,
         )
 
     return ds.map_batches(_expand, batch_format="pyarrow")
+
+
+def estimate_pages(sf_dir: str, *, snapshots: int = 3,
+                   hot_domain_factor: int = 1) -> int:
+    """Metadata-only upper bound on the number of pages ``read_pages``
+    will emit (parquet footer row count x expansion factor — nothing is
+    read). Each page contributes at most one ``(series, bucket)`` key to
+    a rollup, so this also upper-bounds the tier-0 key space: pipelines
+    pass it as ``rollup(..., est_keys=...)`` so ``combine="auto"`` flips
+    to the hash-partitioned merge BEFORE the tree combine's single-block
+    final merge becomes the bottleneck (VERDICT r3 item 6)."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(
+        f"{sf_dir}/documents.parquet").metadata.num_rows
+    return n_docs * snapshots * max(hot_domain_factor, 1)

@@ -170,6 +170,19 @@ def _combine(ds, keys, *, mode: str = "tree", fanin: int = 16,
 TREE_MAX_KEYS = 5_000_000
 
 
+def pick_combine(combine: str, salt: int, est_keys: int | None) -> tuple:
+    """Resolve ``combine="auto"`` + salt into the (combine, desalt) merge
+    strategies ``rollup`` will run. Pure function so pipelines can be
+    tested for selecting the hash-partitioned path above TREE_MAX_KEYS
+    without executing a shuffle."""
+    if combine == "auto":
+        combine = "hashpart" if (est_keys or 0) > TREE_MAX_KEYS else "tree"
+    if salt > 1 and combine == "tree":
+        combine = "hashpart"
+    desalt = "shuffle" if (est_keys or 0) > TREE_MAX_KEYS else "tree"
+    return combine, desalt
+
+
 def rollup(ds, window_us: int, *, series_col: str = "series_id",
            x_col: str = "x", y_col: str = "y", salt: int = 1,
            combine: str = "auto", est_keys: int | None = None):
@@ -183,14 +196,11 @@ def rollup(ds, window_us: int, *, series_col: str = "series_id",
     "shuffle") — a billion-series corpus must never funnel into one
     block. Without an estimate the tree is used (measured 10x faster at
     small key spaces; see _combine)."""
-    if combine == "auto":
-        combine = "hashpart" if (est_keys or 0) > TREE_MAX_KEYS else "tree"
     # salting exists to split a hot key across sharded reducers; the tree
     # combine has no per-key reducers. Asking for salt implies a key space
     # worth sharding, so salt>1 selects the hash-partitioned combine
     # (callers may force mode="shuffle" for Ray's native sort groupby).
-    if salt > 1 and combine == "tree":
-        combine = "hashpart"
+    combine, desalt_mode = pick_combine(combine, salt, est_keys)
     use_salt = salt if salt > 1 else 1
     partials = ds.map_batches(
         lambda b: partial_rollup_batch(
@@ -206,8 +216,7 @@ def rollup(ds, window_us: int, *, series_col: str = "series_id",
         # the desalt merge sees <= |keys| x salt already-combined rows —
         # the hot key is already split, so the cheap tree merge suffices
         # unless the FINAL key space itself outgrows one block
-        desalt = "shuffle" if (est_keys or 0) > TREE_MAX_KEYS else "tree"
-        return _combine(salted, ["series_id", "bucket"], mode=desalt)
+        return _combine(salted, ["series_id", "bucket"], mode=desalt_mode)
     return _combine(partials, ["series_id", "bucket"], mode=combine)
 
 
