@@ -163,3 +163,61 @@ def test_lttb_fidelity_python_replay(ray_session):
             tot += err
             mx = max(mx, err)
         assert r["sum_err_e6"] == tot and r["max_err_e6"] == mx
+
+
+def test_lttb_bucket_x_midpoint_matches_mean_on_equidistant():
+    """On equidistant x the Rust binary's midpoint and LTTB_py's mean
+    coincide (the regime the reference compliance suite certifies)."""
+    import numpy as np
+
+    from tsdownsample_ray.kernels.lttb import lttb
+
+    rng = np.random.default_rng(11)
+    y = rng.normal(0, 1, 10_000)
+    x = np.arange(10_000, dtype=np.int64)
+    a = lttb(x, y, 97)
+    b = lttb(x, y, 97, bucket_x="midpoint")
+    assert np.array_equal(a, b)
+    # no-x defaults to arange -> also identical
+    assert np.array_equal(lttb(None, y, 97, bucket_x="midpoint"),
+                          lttb(None, y, 97))
+
+
+def test_lttb_bucket_x_midpoint_diverges_on_gapped_x():
+    """On gapped x the two bucket-x conventions can pick different points
+    (lttb.rs:46-50 vs LTTB_py) -- construct a bucket where the gap pulls
+    mean and midpoint apart and assert the selections differ."""
+    import numpy as np
+
+    from tsdownsample_ray.kernels.lttb import lttb
+
+    x = np.array([21, 755, 1283, 69092, 69224, 69261, 69696, 69703,
+                  69789, 80079, 80563, 154506, 215704, 215967, 215974,
+                  232866, 233765, 282600, 282993, 283000, 284256, 285296,
+                  342532], dtype=np.int64)
+    y = np.array([0, 30, 41, -21, -12, 31, -27, -16, 40, -16, 28, -38,
+                  -17, 30, 18, 28, -3, -7, 32, 35, 9, 4, -19],
+                 dtype=np.float64)
+    a = lttb(x, y, 6)
+    b = lttb(x, y, 6, bucket_x="midpoint")
+    assert a.tolist() == [0, 2, 6, 13, 19, 22]
+    assert b.tolist() == [0, 2, 6, 11, 19, 22]
+    # both remain valid monotone selections with pinned endpoints
+    for s in (a, b):
+        assert s[0] == 0 and s[-1] == len(x) - 1
+        assert np.all(np.diff(s.astype(np.int64)) > 0)
+
+
+def test_lttb_downsampler_accepts_bucket_x():
+    import numpy as np
+
+    from tsdownsample_ray import LTTBDownsampler
+
+    y = np.sin(np.arange(3000) / 10.0)
+    idx = LTTBDownsampler().downsample(y, n_out=50, bucket_x="midpoint")
+    assert len(idx) == 50
+    try:
+        LTTBDownsampler().downsample(y, n_out=50, bucket_x="nope")
+        raise AssertionError("bad bucket_x accepted")
+    except ValueError:
+        pass

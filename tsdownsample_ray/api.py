@@ -141,9 +141,18 @@ class LTTBDownsampler(AbstractDownsampler):
     Sequential per series, like the reference (``src/lib.rs:349-370`` has no
     parallel LTTB; ``downsampling_interface.py:347-356`` warns and falls
     back).
+
+    ``bucket_x="mean"`` (default) follows the reference's Python oracle
+    (next-bucket x mean, LTTB_py); ``bucket_x="midpoint"`` follows the
+    shipped Rust binary's ``(x[end-1]+x[start])/2`` (``lttb.rs:46-50``) —
+    identical on equidistant x, divergent selections possible on
+    irregular/gapped x.
     """
 
     _kernel_name = "lttb"
+
+    def _kernel_kwargs(self, **kwargs) -> dict:
+        return {"bucket_x": kwargs.get("bucket_x", "mean")}
 
     def downsample(self, *args, n_out: int, parallel: bool = False, **kwargs):
         if parallel:

@@ -6,9 +6,12 @@ reference's compliance suite certifies LTTB_py equivalent to its Rust
 kernel ONLY on equidistant x (``tests/test_algos_python_compliance.py``
 uses ``x = arange(n)``): the shipped Rust kernel uses the bucket x
 *midpoint* ``(x[end-1] + x[start]) / 2`` (``lttb.rs:46-50``) where LTTB_py
-— and this kernel — use the bucket x *mean*. On equidistant x the two
-coincide; on irregular/gapped x this kernel follows LTTB_py, the engine's
-golden oracle (SURVEY.md §2.3):
+uses the bucket x *mean*. On equidistant x the two coincide; on
+irregular/gapped x they can select different points. This kernel follows
+LTTB_py, the engine's golden oracle (SURVEY.md §2.3), by default and
+offers ``bucket_x="midpoint"`` for bit-parity with the shipped Rust
+binary on non-equidistant x (the one reference-behavior divergence,
+VERDICT r3 "what's missing" #1):
 
 - first and last points always kept;
 - bucket offsets ``arange(1, n, (n-2)/(n_out-2)).astype(int64)``;
@@ -43,7 +46,9 @@ def _argmax_area(prev_x, prev_y, avg_next_x, avg_next_y, x_bucket, y_bucket) -> 
     )
 
 
-def lttb(x, y, n_out: int) -> np.ndarray:
+def lttb(x, y, n_out: int, *, bucket_x: str = "mean") -> np.ndarray:
+    if bucket_x not in ("mean", "midpoint"):
+        raise ValueError("bucket_x must be 'mean' or 'midpoint'")
     y = view_y(np.asarray(y))
     if n_out >= len(y):
         return np.arange(len(y), dtype=np.uint64)
@@ -70,18 +75,23 @@ def lttb(x, y, n_out: int) -> np.ndarray:
     sampled[-1] = y.shape[0] - 1
 
     a = 0
+    midpoint = bucket_x == "midpoint"
     off = offset.tolist()  # plain ints: avoids per-iter numpy-scalar slicing
     for i in range(n_out - 3):
         o0, o1, o2 = off[i], off[i + 1], off[i + 2]
-        nxt_x = xf[o1:o2]
         nxt_y = yf[o1:o2]
-        # slice.sum()/n is bit-identical to np.mean (same umr_sum reduction)
-        # with far less dispatch overhead — the loop is overhead-bound
+        if midpoint:
+            # shipped Rust kernel: (x[end-1] + x[start]) / 2 (lttb.rs:46-50)
+            avg_x = (xf[o2 - 1] + xf[o1]) / 2.0
+        else:
+            # slice.sum()/n is bit-identical to np.mean (same umr_sum
+            # reduction) with far less dispatch overhead (loop-bound)
+            avg_x = xf[o1:o2].sum() / (o2 - o1)
         a = (
             _argmax_area(
                 prev_x=xf[a],
                 prev_y=yf[a],
-                avg_next_x=nxt_x.sum() / (o2 - o1),
+                avg_next_x=avg_x,
                 avg_next_y=nxt_y.sum() / (o2 - o1),
                 x_bucket=xf[o0:o1],
                 y_bucket=yf[o0:o1],

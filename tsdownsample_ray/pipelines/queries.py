@@ -96,12 +96,20 @@ def _events_s_cte(nan_every: int | None) -> str:
 )"""
 
 
-def _lttb_phase2_sql(n_out: int, src: str) -> str:
+def _lttb_phase2_sql(n_out: int, src: str, *, bucket_x: str = "mean") -> str:
     """LTTB bucket-loop replay over table ``src(event_type, p, x, cy, m2)``
     (positions p = 0..m2-1): np.arange offset replay, exact integer bucket
     means, and the sequential argmax recursion — numpy's first-occurrence /
     NaN-propagating argmax is ``max(struct_pack(area, -p))`` under DuckDB's
-    NaN-is-greatest total float order."""
+    NaN-is-greatest total float order. ``bucket_x="midpoint"`` replays the
+    shipped Rust binary's next-bucket x ``(x[hi-1] + x[lo]) / 2``
+    (``lttb.rs:46-50``) instead of LTTB_py's mean — the identical IEEE
+    add-then-halve both sides, so gapped-x runs stay bit-exact."""
+    if bucket_x == "midpoint":
+        avg_x = ("(CAST(arg_max(t.x, t.p) AS DOUBLE) "
+                 "+ CAST(arg_min(t.x, t.p) AS DOUBLE)) / 2.0")
+    else:
+        avg_x = "CAST(sum(t.x) AS DOUBLE) / count(*)"
     return f"""
 meta AS MATERIALIZED (
     SELECT event_type, any_value(m2) AS m2,
@@ -126,7 +134,7 @@ buckets AS MATERIALIZED (
 ),
 bstats AS MATERIALIZED (
     SELECT b.event_type, b.b,
-           CAST(sum(t.x) AS DOUBLE) / count(*) AS avg_x,
+           {avg_x} AS avg_x,
            sum(CAST(t.cy AS DOUBLE)) / count(*) AS avg_y
     FROM buckets b JOIN {src} t ON t.event_type = b.event_type
                                AND t.p >= b.lo AND t.p < b.hi
@@ -1049,6 +1057,68 @@ def q_lttb_events(sf_dir: str):
     recursive bucket-loop replay is bit-identical)."""
     return _downsample_events(sf_dir, "lttb", 50, y_col="cents",
                               out_cols=("event_type", "event_id", "cents"))
+
+
+def q_lttb_events_gapped_midpoint(sf_dir: str, n_out: int = 40):
+    """LTTB WITH x over a GAPPED series using the shipped Rust binary's
+    bucket-x *midpoint* semantics (``lttb.rs:46-50``, exposed as
+    ``lttb(..., bucket_x="midpoint")``) — the one input regime where the
+    reference's Rust kernel and its Python oracle diverge (the compliance
+    suite only certifies equidistant x). Keep only days with
+    ``day % 9 < 4`` (5-day holes ≫ bucket width); x = rebased epoch-us so
+    f64 arithmetic is pinned-IEEE on both sides."""
+    day = 86_400_000_000
+    ds = _events_cents(sf_dir)
+
+    def _gap_filter(b: pa.Table) -> pa.Table:
+        d = pc.divide(b["ts_us"], day)
+        keep = pc.less(pc.subtract(d, pc.multiply(pc.divide(d, 9), 9)), 4)
+        return b.filter(keep)
+
+    gappy = ds.map_batches(_gap_filter, batch_format="pyarrow")
+
+    def _group(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            tbl, sort_keys=[("ts_us", "ascending"), ("event_id", "ascending")]
+        )
+        tbl = tbl.take(idx)
+        tbl = tbl.append_column("x", pc.subtract(tbl["ts_us"], _XBASE))
+        out = downsample_table(tbl, "lttb", n_out, x_col="x", y_col="cents",
+                               presorted=True, bucket_x="midpoint")
+        return out.select(["event_type", "event_id", "cents"])
+
+    return gappy.groupby("event_type").map_groups(_group,
+                                                  batch_format="pyarrow")
+
+
+def _lttb_gapped_midpoint_sql(n_out: int) -> str:
+    """Exact oracle for the gapped-x midpoint LTTB: same recursive
+    bucket-loop replay, next-bucket x = (last + first) / 2."""
+    return f"""
+WITH RECURSIVE s0 AS MATERIALIZED (
+    SELECT event_type, event_id,
+           CAST(round(value * 100) AS BIGINT) AS cy,
+           epoch_us(ts) AS ts_us
+    FROM events
+    WHERE ((epoch_us(ts) // 86400000000) % 9) < 4
+),
+s AS MATERIALIZED (
+    SELECT event_type, event_id, cy,
+           ts_us - {_XBASE} AS x,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY ts_us, event_id) - 1 AS rn,
+           count(*) OVER (PARTITION BY event_type) AS cnt
+    FROM s0
+),
+sp AS MATERIALIZED (SELECT event_type, rn AS p, x, cy, cnt AS m2 FROM s),
+{_lttb_phase2_sql(n_out, "sp", bucket_x="midpoint")},
+picked AS (
+    SELECT event_type, a AS rn FROM rec
+    UNION ALL SELECT event_type, m2 - 1 FROM meta
+)
+SELECT s.event_type, s.event_id, s.cy AS cents
+FROM s JOIN picked p ON s.event_type = p.event_type AND s.rn = p.rn
+"""
 
 
 def q_minmaxlttb_events(sf_dir: str):
@@ -13598,6 +13668,7 @@ QUERIES = {
     "lod_pyramid_events": q_lod_pyramid_events,
     "m4_events": q_m4_events,
     "lttb_events": q_lttb_events,
+    "lttb_events_gapped_midpoint": q_lttb_events_gapped_midpoint,
     "minmaxlttb_events": q_minmaxlttb_events,
     "nanminmaxlttb_events": q_nanminmaxlttb_events,
     "nanminmax_events": q_nanminmax_events,
@@ -14027,6 +14098,7 @@ ORACLE_SQL = {
     # bucket loop replayed as a recursive CTE (same f64 operation order,
     # exact integer bucket sums, argmax == max(struct(area, -idx)))
     "lttb_events": _lttb_sql(50),
+    "lttb_events_gapped_midpoint": _lttb_gapped_midpoint_sql(40),
     "minmaxlttb_events": _minmaxlttb_sql(20, 4, None, True),
     "nanminmaxlttb_events": _minmaxlttb_sql(20, 4, 37, False),
     "nanminmax_events": _nanminmax_sql(20, 37),
