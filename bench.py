@@ -175,15 +175,16 @@ def run_bench() -> dict:
 
 
 def _calibrate() -> float:
-    """Single-core throttle probe: one 20M-point MinMax kernel call
-    (~0.12-0.15 s on an unthrottled core, >=1 s inside a sandbox
-    throttle burst). Scaling samples carry this so burst-hit samples
-    can be identified and resampled."""
+    """Single-core throttle probe: one 100M-point MinMax kernel call
+    (~0.05-0.10 s on an unthrottled core since the r4 fused argminmax
+    loop — was 20M points/0.12-0.15 s on the r3 candidate-pass kernel —
+    >=1 s inside a sandbox throttle burst). Scaling samples carry this
+    so burst-hit samples can be identified and resampled."""
     import numpy as np
 
     from tsdownsample_ray import MinMaxDownsampler
 
-    y = np.zeros(20_000_000, dtype=np.float32)
+    y = np.zeros(100_000_000, dtype=np.float32)
     y[::7] = 1.0
     t0 = time.time()
     MinMaxDownsampler().downsample(y, n_out=2000)
@@ -277,7 +278,7 @@ def run_scaling(tier0_only: bool = False) -> dict:
     # 3 bounds the driver-run wall time under sustained bursts (each
     # level stops early at the first clean sample anyway)
     max_reps = int(os.environ.get("BENCH_SCALING_MAX_REPS", "3"))
-    CAL_CLEAN = 1.0  # clean floor ~0.12-0.15 s; burst probes measure 7-70 s
+    CAL_CLEAN = 1.0  # clean floor ~0.05-0.10 s (100M probe); bursts >= seconds
 
     def _collect(ncpu: int):
         vals, cals = [], []

@@ -1,9 +1,19 @@
 """Vectorized per-bin argmin/argmax — the NumPy analog of the reference's
 SIMD ``argminmax`` crate (``downsample_rs/src/minmax.rs:4``).
 
-A naive per-bin ``np.nanargmin`` loop costs one Python call + a masked copy
-per bin; this module computes argmin/argmax for ALL bins in a handful of
-O(n) vectorized passes:
+Two regimes, picked by average bin width:
+
+**Wide bins** (``>= LOOP_MIN_BIN`` points/bin — the 50M-point viz probe has
+~50k): a per-bin ``ndarray.argmin()/.argmax()`` loop. Each bin is scanned
+exactly once per extreme (2 passes total over the data) and ties break to
+the first occurrence natively. NaNs are detected for free: NumPy's
+``argmin``/``argmax`` land on the FIRST NaN whenever one exists, so a
+single O(1) ``isnan(y[winner])`` probe routes the rare NaN-carrying bin to
+the policy path. The Python dispatch (~4 calls/bin) is noise when bins are
+thousands of points wide.
+
+**Narrow bins**: the dispatch would dominate, so all bins are computed in a
+handful of O(n) vectorized passes:
 
 1. segment min/max via ``np.fmin.reduceat`` / ``np.fmax.reduceat``
    (NaN-ignoring, like the crate's default) over the non-empty bin starts
@@ -28,6 +38,11 @@ import numpy as np
 
 __all__ = ["bin_argminmax"]
 
+# below this average bin width the vectorized candidate path wins (the
+# per-bin loop costs ~4 NumPy dispatches/bin; the vectorized path ~8 full
+# passes over the window) — crossover measured at a few thousand points
+LOOP_MIN_BIN = 4096
+
 
 def _first_candidate_per_bin(cand: np.ndarray, starts: np.ndarray, n_bins: int,
                              default: np.ndarray) -> np.ndarray:
@@ -42,6 +57,32 @@ def _first_candidate_per_bin(cand: np.ndarray, starts: np.ndarray, n_bins: int,
     return out
 
 
+def _loop_argminmax(y: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                    *, nan_policy_return: bool, is_float: bool):
+    """Per-bin argmin/argmax scan — 2 passes over the data, first-occurrence
+    ties and first-NaN propagation for free."""
+    n_bins = len(starts)
+    amin = np.empty(n_bins, dtype=np.int64)
+    amax = np.empty(n_bins, dtype=np.int64)
+    propagate = nan_policy_return and is_float
+    for i in range(n_bins):
+        s = starts[i]
+        sl = y[s:ends[i]]
+        im = int(sl.argmin())
+        iM = int(sl.argmax())
+        if is_float and not propagate and np.isnan(sl[im]):
+            # argmin lands on the first NaN iff the bin contains one ->
+            # O(1) detection; only then pay the nan-ignoring masked scan
+            try:
+                im = int(np.nanargmin(sl))
+                iM = int(np.nanargmax(sl))
+            except ValueError:  # all-NaN bin
+                im = iM = 0
+        amin[i] = s + im
+        amax[i] = s + iM
+    return amin, amax
+
+
 def bin_argminmax(y: np.ndarray, starts: np.ndarray, ends: np.ndarray,
                   *, nan_policy_return: bool):
     """Per-bin (argmin, argmax) absolute indices.
@@ -53,23 +94,12 @@ def bin_argminmax(y: np.ndarray, starts: np.ndarray, ends: np.ndarray,
     n_bins = len(starts)
     is_float = np.issubdtype(y.dtype, np.floating)
 
-    if n_bins < 8:  # tiny series: the loop is cheaper than the setup
-        amin = np.empty(n_bins, dtype=np.int64)
-        amax = np.empty(n_bins, dtype=np.int64)
-        f_min, f_max = (
-            (np.argmin, np.argmax) if (nan_policy_return and is_float)
-            else (np.nanargmin, np.nanargmax)
-        )
-        for i in range(n_bins):
-            sl = y[starts[i] : ends[i]]
-            try:
-                amin[i] = starts[i] + f_min(sl)
-                amax[i] = starts[i] + f_max(sl)
-            except ValueError:
-                amin[i] = amax[i] = starts[i]
-        return amin, amax
-
     lo, hi = starts[0], ends[-1]
+    if n_bins < 8 or (hi - lo) >= LOOP_MIN_BIN * n_bins:
+        return _loop_argminmax(y, starts, ends,
+                               nan_policy_return=nan_policy_return,
+                               is_float=is_float)
+
     yw = y[lo:hi]
     rel_starts = (starts - lo).astype(np.intp)
     counts = (ends - starts).astype(np.intp)

@@ -1043,7 +1043,8 @@ def q_lod_pyramid_events(sf_dir: str):
 
 
 def _lod_pyramid_sql() -> str:
-    parts = [f"SELECT {lvl} AS level, * FROM ({_minmax_nox_sql(n // 2)})"
+    parts = [f"SELECT CAST({lvl} AS BIGINT) AS level, * "
+             f"FROM ({_minmax_nox_sql(n // 2)})"
              for lvl, n in _LOD_LEVELS]
     return " UNION ALL ".join(parts)
 
