@@ -107,8 +107,11 @@ def test_last_touch_attribution_matches_python(ray_session):
         (3, 5, 9, "purchase"),
         # user 4: later purchase of ANOTHER user must not cross users
         (4, 31, 10, "view"), (4, 40, 11, "purchase"),
+        # user 5: null source type attributes to the documented 'none'
+        # fallback, never the accidental str(None) == 'None' label
+        (5, 10, 12, None), (5, 20, 13, "purchase"),
     ]
-    expect = {"click": 1, "none": 2, "b": 1, "view": 1}
+    expect = {"click": 1, "none": 3, "b": 1, "view": 1}
 
     tbl = pa.table({
         "user_id": pa.array([r[0] for r in rows], pa.int64()),

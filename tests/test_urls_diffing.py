@@ -59,6 +59,23 @@ def test_snapshot_diff(ray_session):
                    "u4": "removed", "u5": "added"}
 
 
+def test_snapshot_diff_null_payload_is_changed(ray_session):
+    # SQL '=' semantics (documented in the docstring): a null payload is
+    # never equal to anything, including another null, so null-vs-null
+    # and null-vs-value both classify 'changed'.
+    from tsdownsample_ray.stages.diffing import snapshot_diff
+
+    old = rd.from_arrow(pa.table({
+        "url": ["u1", "u2", "u3"],
+        "text": pa.array([None, None, "c"], pa.string())}))
+    new = rd.from_arrow(pa.table({
+        "url": ["u1", "u2", "u3"],
+        "text": pa.array([None, "b", "c"], pa.string())}))
+    out = snapshot_diff(old, new, num_partitions=2).to_pandas()
+    got = dict(zip(out["url"], out["status"]))
+    assert got == {"u1": "changed", "u2": "changed", "u3": "same"}
+
+
 def test_snapshot_diff_rejects_dup_key(ray_session):
     from tsdownsample_ray.stages.diffing import snapshot_diff
 

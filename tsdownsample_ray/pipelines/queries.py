@@ -464,7 +464,7 @@ WITH {PAGES_CTE},
 p AS (SELECT url || '#' || CAST(ts_us AS VARCHAR) AS pid, text FROM pages),
 {_simhash_ctes("p", "pid")}
 SELECT x.pid AS a, y.pid AS b,
-       bit_count(xor(x.simhash, y.simhash)) AS hamming
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
 FROM sh_out x JOIN sh_out y ON x.pid < y.pid
 WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
 """
@@ -518,7 +518,7 @@ sig AS (
     FROM grams g CROSS JOIN (VALUES {perms}) p(k, a, b)
     GROUP BY 1, 2
 )
-SELECT t.doc_id, p.k AS perm, COALESCE(s.sig, 0) AS sig
+SELECT t.doc_id, CAST(p.k AS BIGINT) AS perm, COALESCE(s.sig, 0) AS sig
 FROM t CROSS JOIN (VALUES {perms}) p(k, a, b)
 LEFT JOIN sig s ON s.doc_id = t.doc_id AND s.k = p.k
 """
@@ -1673,7 +1673,7 @@ o AS (
     FROM e
 )
 SELECT series_id, x, y,
-       CASE WHEN prev < 5000 THEN 1 ELSE -1 END AS direction
+       CAST(CASE WHEN prev < 5000 THEN 1 ELSE -1 END AS BIGINT) AS direction
 FROM o
 WHERE prev IS NOT NULL
   AND ((prev < 5000 AND y >= 5000) OR (prev >= 5000 AND y < 5000))
@@ -3079,8 +3079,8 @@ SELECT doc_id // 50 AS archive_id,
        'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS uri,
        'response' AS warc_type,
        length(text) AS n_bytes,
-       CASE WHEN length(text) = 0 THEN -1
-            ELSE unicode(substring(text, 1, 1)) END AS head_code
+       CAST(CASE WHEN length(text) = 0 THEN -1
+            ELSE unicode(substring(text, 1, 1)) END AS BIGINT) AS head_code
 FROM documents
 """
 
@@ -3781,11 +3781,11 @@ SELECT doc_id AS media_id,
             range(1, length(text) + 1),
             i -> unicode(substring(text, i, 1)))), 0) AS BIGINT)
             AS sum_codes,
-       CASE WHEN length(text) = 0 THEN -1
-            ELSE unicode(substring(text, 1, 1)) END AS first_code,
-       CASE WHEN length(text) = 0 THEN -1
+       CAST(CASE WHEN length(text) = 0 THEN -1
+            ELSE unicode(substring(text, 1, 1)) END AS BIGINT) AS first_code,
+       CAST(CASE WHEN length(text) = 0 THEN -1
             ELSE unicode(substring(text, length(text), 1))
-       END AS last_code
+       END AS BIGINT) AS last_code
 FROM documents
 """
 
@@ -3798,11 +3798,11 @@ SELECT doc_id AS media_id,
             range(1, length(text) + 1),
             i -> unicode(substring(text, i, 1)))), 0) AS BIGINT)
             AS sum_codes,
-       CASE WHEN length(text) = 0 THEN -1
-            ELSE unicode(substring(text, 1, 1)) END AS first_code,
-       CASE WHEN length(text) = 0 THEN -1
+       CAST(CASE WHEN length(text) = 0 THEN -1
+            ELSE unicode(substring(text, 1, 1)) END AS BIGINT) AS first_code,
+       CAST(CASE WHEN length(text) = 0 THEN -1
             ELSE unicode(substring(text, length(text), 1))
-       END AS last_code
+       END AS BIGINT) AS last_code
 FROM documents
 """
 
@@ -3992,9 +3992,9 @@ s AS (
 )
 SELECT series_id, x, y,
        CAST(s_pos AS BIGINT) AS s_pos, CAST(s_neg AS BIGINT) AS s_neg,
-       CASE WHEN s_pos > 20000 AND s_neg > 20000 THEN 2
+       CAST(CASE WHEN s_pos > 20000 AND s_neg > 20000 THEN 2
             WHEN s_pos > 20000 THEN 1
-            WHEN s_neg > 20000 THEN -1 ELSE 0 END AS alarm
+            WHEN s_neg > 20000 THEN -1 ELSE 0 END AS BIGINT) AS alarm
 FROM s
 """
 
@@ -4839,7 +4839,7 @@ s{k} AS (
     FROM s{p}
 )""")
     sel = "\nUNION ALL\n".join(
-        f'SELECT {k} AS step, lft AS "left", rgt AS "right",'
+        f'SELECT CAST({k} AS BIGINT) AS step, lft AS "left", rgt AS "right",'
         f" lft || rgt AS merged, w AS pair_count FROM best{k}"
         for k in range(1, merges + 1))
     parts.append("\n" + sel)
@@ -4916,7 +4916,7 @@ def q_bpe_tokenize_docs(sf_dir: str):
 def _bpe_tokenize_sql(merges: int = 4) -> str:
     base = _bpe_sql(merges)
     # reuse the training CTE chain (everything before the final SELECT)
-    body = base[:base.rindex("\nSELECT 1 AS step")]
+    body = base[:base.rindex("\nSELECT CAST(1 AS BIGINT) AS step")]
     parts = [body, """,
 d0 AS (
     SELECT doc_id, text,
@@ -14505,11 +14505,11 @@ QUALIFY rk <= 32
                     range(1, length(text) + 1),
                     i -> unicode(substring(text, i, 1)))), 0) AS BIGINT)
                     AS sum_codes,
-               CASE WHEN length(text) = 0 THEN -1
-                    ELSE unicode(substring(text, 1, 1)) END AS first_code,
-               CASE WHEN length(text) = 0 THEN -1
+               CAST(CASE WHEN length(text) = 0 THEN -1
+                    ELSE unicode(substring(text, 1, 1)) END AS BIGINT) AS first_code,
+               CAST(CASE WHEN length(text) = 0 THEN -1
                     ELSE unicode(substring(text, length(text), 1))
-               END AS last_code
+               END AS BIGINT) AS last_code
         FROM documents
     """,
     # G.711 mu-law companding replayed arithmetically: sample = byte b,

@@ -31,7 +31,10 @@ def snapshot_diff(old_ds, new_ds, *, key_col: str = "url",
                   val_col: str = "text", num_partitions: int = 8):
     """Returns one row per distinct key: ``(key_col, status)`` with
     status in {'same', 'changed', 'added', 'removed'}; 'changed' compares
-    ``val_col`` for binary equality."""
+    ``val_col`` for binary equality with SQL ``=`` null semantics: a null
+    payload is never equal to anything — including another null — so a
+    key whose value is null on BOTH sides classifies as 'changed' (match
+    the oracle with plain ``=``, not ``IS NOT DISTINCT FROM``)."""
     from ..arrow_utils import stable_part_codes
 
     mod = num_partitions * 64

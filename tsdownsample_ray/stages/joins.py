@@ -415,6 +415,11 @@ def last_touch_attribution(events_ds, *, on: str = "user_id",
         t = g.drop_columns(["__part"])
         if t.num_rows == 0:
             return empty
+        # a null event_type is a non-target source labelled 'none' (the
+        # documented fallback) — fill BEFORE the target test, where a
+        # null would otherwise poison both __side and the final label
+        t = t.set_column(t.schema.get_field_index(type_col), type_col,
+                         pc.fill_null(t[type_col], "none"))
         is_tgt_arr = pc.equal(t[type_col], target)
         side = pc.cast(is_tgt_arr, pa.int8())  # right(0) before left(1)
         t = t.append_column("__side", side)
