@@ -14,13 +14,17 @@ def entry() -> Any:
     """Flagship pipeline at sf0.001: synthetic CC-style pages -> extract ->
     per-domain series -> 15-min rollup -> MinMaxLTTB downsample per series."""
     from tsdownsample_ray.pipelines.flagship import flagship_dataset
+    from tsdownsample_ray.tuning import tune_data_context
 
+    tune_data_context()
     return flagship_dataset("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from tsdownsample_ray.pipelines.queries import QUERIES
+    from tsdownsample_ray.tuning import tune_data_context
 
+    tune_data_context()
     return dict(QUERIES)
 
 

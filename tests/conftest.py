@@ -20,7 +20,10 @@ def ray_session():
         )
     from ray.data import DataContext
 
+    from tsdownsample_ray.tuning import tune_data_context
+
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    tune_data_context(ctx)  # the engine's execution profile (see tuning.py)
     yield
     ray.shutdown()
