@@ -1,0 +1,200 @@
+"""Round-4 operators: Kendall tau-b, ordinal patterns, HITS,
+reciprocity, assortativity, KMV sketch, log2-histogram quantiles —
+each replayed against an independent brute-force / DuckDB oracle on
+seeded data (partitioning must not change any value)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rolled_df():
+    rng = np.random.default_rng(7)
+    n = 4000
+    df = pd.DataFrame({
+        "series_id": rng.choice(["a", "b", "c", "d"], n),
+        "bucket": rng.integers(0, 300, n) * 900,
+        "sum_y": rng.integers(-50, 50, n).astype(np.int64),
+    })
+    return df.groupby(["series_id", "bucket"], as_index=False).agg(
+        sum_y=("sum_y", "sum"))
+
+
+def test_kendall_pairs_matches_bruteforce(ray_session, rolled_df):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.correlate import kendall_pairs
+
+    ds = rd.from_pandas(rolled_df).repartition(5)
+    out = kendall_pairs(ds, num_partitions=2).to_pandas().sort_values(
+        ["s1", "s2"]).reset_index(drop=True)
+
+    piv = rolled_df.pivot(index="bucket", columns="series_id",
+                          values="sum_y")
+    for _, row in out.iterrows():
+        sub = piv[[row.s1, row.s2]].dropna()
+        x = sub[row.s1].to_numpy(np.int64)
+        y = sub[row.s2].to_numpy(np.int64)
+        assert row.n == len(x)
+        nc = nd = tx = ty = txy = 0
+        for i in range(len(x)):
+            dx = np.sign(x[i + 1:] - x[i])
+            dy = np.sign(y[i + 1:] - y[i])
+            nc += int(((dx * dy) > 0).sum())
+            nd += int(((dx * dy) < 0).sum())
+            tx += int(((dx == 0) & (dy != 0)).sum())
+            ty += int(((dy == 0) & (dx != 0)).sum())
+            txy += int(((dx == 0) & (dy == 0)).sum())
+        assert (row.nc, row.nd, row.tie_x, row.tie_y, row.tie_xy) == \
+            (nc, nd, tx, ty, txy)
+        n0 = row.n * (row.n - 1) / 2.0
+        d1, d2 = n0 - (tx + txy), n0 - (ty + txy)
+        if d1 > 0 and d2 > 0:
+            assert row.tau == (nc - nd) / math.sqrt(d1 * d2)
+        else:
+            assert pd.isna(row.tau)
+
+
+def test_ordinal_patterns_matches_replay(ray_session, rolled_df):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.sax import ordinal_patterns
+
+    ds = rd.from_pandas(rolled_df).repartition(4)
+    out = ordinal_patterns(ds, num_partitions=2).to_pandas()
+
+    exp = {}
+    for sid, g in rolled_df.sort_values("bucket").groupby("series_id"):
+        v = g["sum_y"].to_numpy(np.int64)
+        for i in range(len(v) - 2):
+            code = (4 * int(v[i] <= v[i + 1]) + 2 * int(v[i] <= v[i + 2])
+                    + int(v[i + 1] <= v[i + 2]))
+            exp[(sid, code)] = exp.get((sid, code), 0) + 1
+    got = {(r.series_id, r.pattern): r.n for r in out.itertuples()}
+    assert got == exp
+    assert not any(p in (2, 5) for _, p in got)  # transitivity-excluded
+
+
+@pytest.fixture(scope="module")
+def edges_df():
+    rng = np.random.default_rng(3)
+    return pd.DataFrame({"src": rng.integers(0, 50, 400),
+                         "dst": rng.integers(0, 50, 400)})
+
+
+def test_hits_matches_python_replay(ray_session, edges_df):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.graph import hits
+
+    nodes = pd.DataFrame({"doc_id": np.arange(50)})
+    out = hits(rd.from_pandas(edges_df).repartition(3),
+               rd.from_pandas(nodes).repartition(2),
+               iters=3).to_pandas().sort_values("doc_id").reset_index(
+                   drop=True)
+    SC = 10 ** 6
+    hh = {v: SC for v in nodes.doc_id}
+    aa = {v: 0 for v in nodes.doc_id}
+    for _ in range(3):
+        s = {}
+        for r in edges_df.itertuples():
+            s[r.dst] = s.get(r.dst, 0) + hh.get(r.src, 0)
+        mx = max(s.values(), default=0)
+        aa = {v: s.get(v, 0) * SC // mx if mx else 0 for v in nodes.doc_id}
+        s2 = {}
+        for r in edges_df.itertuples():
+            s2[r.src] = s2.get(r.src, 0) + aa.get(r.dst, 0)
+        mx2 = max(s2.values(), default=0)
+        hh = {v: s2.get(v, 0) * SC // mx2 if mx2 else 0
+              for v in nodes.doc_id}
+    assert list(out.hub_e6) == [hh[v] for v in nodes.doc_id]
+    assert list(out.auth_e6) == [aa[v] for v in nodes.doc_id]
+
+
+def test_reciprocity_and_assortativity(ray_session, edges_df):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.graph import (degree_assortativity,
+                                               reciprocity)
+
+    eds = rd.from_pandas(edges_df).repartition(3)
+    d = edges_df.query("src != dst").drop_duplicates()
+    rset = set(zip(d.src, d.dst))
+    n_recip = sum((b, a) in rset for a, b in rset)
+    r = reciprocity(eds)
+    assert r.n_edges[0] == len(rset) and r.n_recip[0] == n_recip
+    assert math.gcd(int(r.recip_num[0]), int(r.recip_den[0])) == 1
+
+    a = degree_assortativity(eds).to_pandas()
+    od = d.groupby("src").size()
+    idg = d.groupby("dst").size()
+    x = d.src.map(od).to_numpy(np.int64)
+    y = d.dst.map(idg).to_numpy(np.int64)
+    assert a.n[0] == len(x) and a.sum_xy[0] == int((x * y).sum())
+    num = len(x) * (x * y).sum() - x.sum() * y.sum()
+    den = math.sqrt((len(x) * (x * x).sum() - x.sum() ** 2)
+                    * (len(x) * (y * y).sum() - y.sum() ** 2))
+    assert abs(a["corr"][0] - num / den) < 1e-12
+
+
+def test_kmv_distinct_small_keys_exact_and_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.sketches import kmv_distinct
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "domain": rng.choice(["a", "b", "c"], 3000),
+        "url": [f"u{i % 700}" for i in range(3000)]})
+    outs = []
+    for parts in (2, 7):
+        ds = rd.from_pandas(df).repartition(parts)
+        out = kmv_distinct(ds, key_col="domain", value_col="url",
+                           k=32).to_pandas().sort_values(
+                               "domain").reset_index(drop=True)
+        outs.append(out)
+    assert outs[0].equals(outs[1])  # partition-invariant
+    exact = df.groupby("domain").url.nunique()
+    for r in outs[0].itertuples():
+        assert r.kmv_kept == min(32, exact[r.domain])
+        if exact[r.domain] < 32:
+            assert r.kmv_est == exact[r.domain]  # under-k keys are exact
+        else:  # KMV accuracy: ~1/sqrt(k) relative error, generous band
+            assert abs(r.kmv_est - exact[r.domain]) / exact[r.domain] < 0.6
+
+
+def test_log2hist_quantiles_bounds_and_replay(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.sketches import log2hist_quantiles
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"k": rng.choice(["x", "y"], 5000),
+                       "v": rng.integers(1, 100000, 5000).astype(np.int64)})
+    out = log2hist_quantiles(
+        rd.from_pandas(df).repartition(4), key_col="k",
+        value_col="v").to_pandas().set_index("k")
+    for key, g in df.groupby("k"):
+        v = np.sort(g.v.to_numpy())
+        n = len(v)
+        for q in (50, 90, 99):
+            rank = -(-q * n // 100)
+            true = v[rank - 1]
+            b = int(out.loc[key, f"q{q}_bucket"])
+            lo = int(out.loc[key, f"q{q}_lo"])
+            assert lo == 1 << b
+            assert lo <= true < 2 * lo  # factor-2 sketch guarantee
+
+
+def test_log2hist_rejects_nonpositive(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.sketches import log2hist_quantiles
+
+    df = pd.DataFrame({"k": ["a", "a"], "v": [3, 0]})
+    with pytest.raises(Exception):
+        log2hist_quantiles(rd.from_pandas(df), key_col="k",
+                           value_col="v").to_pandas()

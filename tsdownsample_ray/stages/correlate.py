@@ -27,7 +27,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["pairwise_correlation", "lagged_correlation", "autocorrelation", "ols_slope"]
+__all__ = ["pairwise_correlation", "lagged_correlation", "autocorrelation",
+           "ols_slope", "kendall_pairs"]
 
 _STAT_COLS = ["n", "sum_x", "sum_y", "sum_xy", "sum_xx", "sum_yy"]
 
@@ -405,3 +406,145 @@ def ols_slope(ds, window_us: int, *, series_col: str = "series_id",
         })
 
     return summed.map_batches(_finalize, batch_format="pyarrow")
+
+
+def kendall_pairs(rolled, *, series_col: str = "series_id",
+                  bucket_col: str = "bucket", value_col: str = "sum_y",
+                  num_partitions: int = 8, block: int = 2048):
+    """Kendall tau-b between every co-populated series pair (s1 < s2):
+    classify every bucket pair (b_i < b_j) of the pair's aligned values
+    by the sign of (dx, dy) — concordant / discordant / x-tie / y-tie /
+    both-tie — and derive tau-b from the exact integer counts:
+
+        tau_b = (nc - nd) / sqrt((n0 - n1) * (n0 - n2))
+
+    with ``n0 = n(n-1)/2``, ``n1 = tie_x + tie_xy``, ``n2 = tie_y +
+    tie_xy`` (NULL when either factor is zero). Unlike Pearson/Spearman
+    (`pairwise_correlation`) the statistic is not a sum of per-bucket
+    partials — it needs every bucket PAIR — so the shape is: one
+    hash(bucket) shuffle aligns co-populated values (the
+    `pairwise_correlation` expansion, values kept), one hash(s1, s2)
+    shuffle co-locates each pair's aligned sequence, and the per-pair
+    count is a blocked vectorized O(n^2) sign pass (``block`` rows of the
+    comparison matrix at a time — O(n * block) peak memory). Quadratic in
+    buckets-per-pair BY DEFINITION (so is the SQL replay); callers bound
+    n by the tier window (a 1h tier over a month is ~720 buckets ->
+    260k comparisons per pair). Exact integer counts make the output
+    partitioning-invariant; tau is ONE pinned IEEE expression."""
+    from ..arrow_utils import stable_part_codes
+    from .dedup import _segmented_pairs
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[bucket_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _pair_rows(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t[series_col].type
+        empty = pa.table({"s1": pa.array([], s_type),
+                          "s2": pa.array([], s_type),
+                          "bucket": pa.array([], pa.int64()),
+                          "x": pa.array([], pa.int64()),
+                          "y": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (bucket_col, "ascending"), (series_col, "ascending")]))
+        bkt = t[bucket_col].combine_chunks() if isinstance(
+            t[bucket_col], pa.ChunkedArray) else t[bucket_col]
+        codes = bkt.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        i, j = _segmented_pairs(np.arange(len(codes)), codes, None)
+        if len(i) == 0:
+            return empty
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b_np = bkt.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "s1": sid.take(pa.array(i)), "s2": sid.take(pa.array(j)),
+            "bucket": pa.array(b_np[i]),
+            "x": pa.array(v[i]), "y": pa.array(v[j])})
+
+    def _add_pair_part(b: pa.Table) -> pa.Table:
+        h1 = stable_part_codes(b["s1"], None)
+        h2 = stable_part_codes(b["s2"], None)
+        h = (h1 * np.uint64(0x9E3779B97F4A7C15)) ^ h2
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _kendall_counts(x: np.ndarray, y: np.ndarray):
+        n = len(x)
+        idx = np.arange(n)
+        nc = nd = tx = ty = txy = 0
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            dx = np.sign(x[s:e, None] - x[None, :])
+            dy = np.sign(y[s:e, None] - y[None, :])
+            m = idx[None, :] > idx[s:e, None]
+            prod = dx * dy
+            nc += int(((prod > 0) & m).sum())
+            nd += int(((prod < 0) & m).sum())
+            tx += int(((dx == 0) & (dy != 0) & m).sum())
+            ty += int(((dy == 0) & (dx != 0) & m).sum())
+            txy += int(((dx == 0) & (dy == 0) & m).sum())
+        return nc, nd, tx, ty, txy
+
+    def _per_pair(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t["s1"].type
+        out = {"s1": [], "s2": [], "n": [], "nc": [], "nd": [],
+               "tie_x": [], "tie_y": [], "tie_xy": []}
+        if t.num_rows:
+            t = t.take(pc.sort_indices(t, sort_keys=[
+                ("s1", "ascending"), ("s2", "ascending"),
+                ("bucket", "ascending")]))
+            s1 = t["s1"].to_numpy(zero_copy_only=False)
+            s2 = t["s2"].to_numpy(zero_copy_only=False)
+            x = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+            y = t["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+            heads = np.ones(len(s1), dtype=bool)
+            heads[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+            seg = np.flatnonzero(heads)
+            ends = np.append(seg[1:], len(s1))
+            for a, b_ in zip(seg, ends):
+                nc, nd, tx, ty, txy = _kendall_counts(x[a:b_], y[a:b_])
+                out["s1"].append(s1[a])
+                out["s2"].append(s2[a])
+                out["n"].append(int(b_ - a))
+                out["nc"].append(nc)
+                out["nd"].append(nd)
+                out["tie_x"].append(tx)
+                out["tie_y"].append(ty)
+                out["tie_xy"].append(txy)
+        res = pa.table({
+            "s1": pa.array(out["s1"], s_type),
+            "s2": pa.array(out["s2"], s_type),
+            **{c: pa.array(out[c], pa.int64())
+               for c in ("n", "nc", "nd", "tie_x", "tie_y", "tie_xy")}})
+        return res
+
+    def _tau(b: pa.Table) -> pa.Table:
+        f = {c: b[c].to_numpy(zero_copy_only=False).astype(np.float64)
+             for c in ("n", "nc", "nd", "tie_x", "tie_y", "tie_xy")}
+        n0 = f["n"] * (f["n"] - 1.0) / 2.0
+        d1 = n0 - (f["tie_x"] + f["tie_xy"])
+        d2 = n0 - (f["tie_y"] + f["tie_xy"])
+        den = np.sqrt(d1 * d2)
+        ok = (d1 > 0) & (d2 > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tau = (f["nc"] - f["nd"]) / den
+        return b.append_column("tau", pa.array(
+            np.where(ok, tau, np.nan), pa.float64(), mask=~ok))
+
+    parted = rolled.map_batches(_add_part, batch_format="pyarrow")
+    aligned = parted.repartition(num_partitions).groupby(
+        "__part").map_groups(_pair_rows, batch_format="pyarrow")
+    paired = aligned.map_batches(_add_pair_part, batch_format="pyarrow")
+    counts = paired.repartition(num_partitions).groupby(
+        "__part").map_groups(_per_pair, batch_format="pyarrow")
+    return counts.map_batches(_tau, batch_format="pyarrow")

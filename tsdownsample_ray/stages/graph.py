@@ -44,7 +44,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["extract_links_batch", "grouped_sum_parts", "pagerank"]
+__all__ = ["extract_links_batch", "grouped_sum_parts", "pagerank",
+           "hits", "reciprocity", "degree_assortativity"]
 
 
 def extract_links_batch(batch: pa.Table, *, html_col: str = "html",
@@ -261,3 +262,184 @@ def triangle_counts(edges_ds, *, src: str = "src", dst: str = "dst",
     return grouped_sum_parts(
         tris.map_batches(_vertices, batch_format="pyarrow"),
         ["doc_id"], [], count_col="n_triangles", fanin=fanin)
+
+
+def hits(edges_ds, nodes_ds, *, node_col: str = "doc_id",
+         src: str = "src", dst: str = "dst", iters: int = 4,
+         scale: int = 10 ** 6, num_partitions: int = 4, fanin: int = 8):
+    """Integer fixed-point HITS (Kleinberg, JACM 46(5), 1999) over
+    ``edges_ds(src, dst)`` / ``nodes_ds(node_col)``. Returns one row per
+    node: ``(node_col, hub_e6, auth_e6)`` after ``iters`` rounds of
+
+        a(v) = (sum_{u->v} h(u)) * scale // max_w(sum h)      (auth)
+        h(u) = (sum_{u->v} a(v)) * scale // max_w(sum a)      (hub)
+
+    Max-normalization instead of the classic L2: it keeps every step in
+    EXACT int64 (no sqrt), is deterministic under any partitioning, and
+    is replayed verbatim by the unrolled SQL oracle. Initial h = scale
+    for every node; a node with no in-edges has auth 0, no out-edges hub
+    0 (from round 1 on). Overflow contract: max in-degree (and
+    out-degree) x scale^2 must fit int64 — at scale 1e6 that is degree
+    <= ~9.2e6/scale*1e6 ≈ 9200; the per-round max is a single scalar
+    driver read (bounded: one int per round).
+
+    Scale shape: degree-free — each round is two edge->state hash joins
+    + two hashpart grouped sums (``grouped_sum_parts``); state tables
+    are |V| rows of two ints, never broadcast."""
+    import numpy as np
+
+    def _init(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": pc.cast(b[node_col], pa.int64()),
+            "s": pa.array(np.full(b.num_rows, scale, dtype=np.int64))})
+
+    state_h = nodes_ds.map_batches(_init, batch_format="pyarrow").materialize()
+    state_a = None
+
+    def _half_round(state, out_key, in_key):
+        # sum state over edges grouped by the opposite endpoint
+        j = edges_ds.join(state, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=(out_key,), right_on=("v",))
+        summed = grouped_sum_parts(
+            j.map_batches(lambda b: pa.table({
+                "v": pc.cast(b[in_key], pa.int64()), "s": b["s"]}),
+                batch_format="pyarrow"),
+            ["v"], ["s"], count_col=None, fanin=fanin)
+        summed = summed.materialize()
+        mx = summed.max("s") or 0
+        if mx <= 0:
+            return summed
+        assert mx <= (2 ** 63 - 1) // scale, (
+            "hits: max degree x scale^2 exceeds int64 — lower `scale`")
+
+        def _norm(b: pa.Table) -> pa.Table:
+            s = b["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"v": b["v"],
+                             "s": pa.array(s * scale // mx)})
+
+        return summed.map_batches(_norm, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        state_a = _half_round(state_h, src, dst)
+        state_h = _half_round(state_a, dst, src)
+
+    def _lab(name):
+        def _m(b: pa.Table) -> pa.Table:
+            return pa.table({node_col: b["v"], name: b["s"]})
+        return _m
+
+    hubs = state_h.map_batches(_lab("hub_e6"), batch_format="pyarrow")
+    auths = state_a.map_batches(_lab("auth_e6"), batch_format="pyarrow")
+    nodes = nodes_ds.map_batches(
+        lambda b: pa.table({node_col: pc.cast(b[node_col], pa.int64())}),
+        batch_format="pyarrow")
+    out = nodes.join(hubs, join_type="left_outer",
+                     num_partitions=num_partitions, on=(node_col,))
+    out = out.join(auths, join_type="left_outer",
+                   num_partitions=num_partitions, on=(node_col,))
+
+    def _fill(b: pa.Table) -> pa.Table:
+        return pa.table({
+            node_col: b[node_col],
+            "hub_e6": pc.fill_null(pc.cast(b["hub_e6"], pa.int64()), 0),
+            "auth_e6": pc.fill_null(pc.cast(b["auth_e6"], pa.int64()), 0)})
+
+    return out.map_batches(_fill, batch_format="pyarrow")
+
+
+def reciprocity(edges_ds, *, src: str = "src", dst: str = "dst",
+                num_partitions: int = 4, fanin: int = 8):
+    """Edge reciprocity of a directed graph: the fraction of distinct
+    non-loop edges (u, v) whose reverse (v, u) is also present. ONE row:
+    ``(n_edges, n_recip, recip_num, recip_den, reciprocity)`` — exact
+    reduced fraction (gcd) plus the one-expression float. Shape: distinct
+    via one hashpart grouped count, then one hash join of the edge set
+    against its own reversal — never all-pairs, never a broadcast."""
+    import math
+
+    import numpy as np
+
+    def _clean(b: pa.Table) -> pa.Table:
+        s = pc.cast(b[src], pa.int64())
+        d = pc.cast(b[dst], pa.int64())
+        t = pa.table({src: s, dst: d})
+        return t.filter(pc.invert(pc.equal(t[src], t[dst])))
+
+    dedup = grouped_sum_parts(
+        edges_ds.map_batches(_clean, batch_format="pyarrow"),
+        [src, dst], [], count_col="n", fanin=fanin).drop_columns(["n"])
+    rev = dedup.map_batches(
+        lambda b: pa.table({src: b[dst], dst: b[src],
+                            "__r": pa.array(
+                                np.ones(b.num_rows, np.int8))}),
+        batch_format="pyarrow")
+    j = dedup.join(rev, join_type="inner", num_partitions=num_partitions,
+                   on=(src, dst))
+    n_edges = dedup.count()
+    n_recip = j.count()
+    g = math.gcd(n_recip, n_edges) or 1
+    import pandas as pd
+
+    return pd.DataFrame({
+        "n_edges": [n_edges], "n_recip": [n_recip],
+        "recip_num": [n_recip // g], "recip_den": [max(n_edges // g, 0)],
+        "reciprocity": [float(n_recip) / n_edges if n_edges else None]})
+
+
+def degree_assortativity(edges_ds, *, src: str = "src", dst: str = "dst",
+                         num_partitions: int = 4, fanin: int = 8):
+    """Directed out-in degree assortativity (Newman, PRL 89:208701
+    (2002), eq. 4 in Pearson form): over the DISTINCT non-loop edge set,
+    the Pearson correlation of (out-degree of the source, in-degree of
+    the target). ONE output row of exact int64 sufficient statistics
+    ``(n, sum_x, sum_y, sum_xy, sum_xx, sum_yy)`` + the pinned-IEEE
+    ``corr`` (`correlate._corr_from_stats` — identical expression to the
+    SQL). Shape: two hashpart degree counts + two hash joins attach the
+    endpoint degrees; partials collapse per block before one tiny merge."""
+    import numpy as np
+
+    def _clean(b: pa.Table) -> pa.Table:
+        s = pc.cast(b[src], pa.int64())
+        d = pc.cast(b[dst], pa.int64())
+        t = pa.table({src: s, dst: d})
+        return t.filter(pc.invert(pc.equal(t[src], t[dst])))
+
+    dedup = grouped_sum_parts(
+        edges_ds.map_batches(_clean, batch_format="pyarrow"),
+        [src, dst], [], count_col="n", fanin=fanin).drop_columns(["n"])
+    outdeg = grouped_sum_parts(
+        dedup.map_batches(lambda b: pa.table({src: b[src]}),
+                          batch_format="pyarrow"),
+        [src], [], count_col="outdeg", fanin=fanin)
+    indeg = grouped_sum_parts(
+        dedup.map_batches(lambda b: pa.table({dst: b[dst]}),
+                          batch_format="pyarrow"),
+        [dst], [], count_col="indeg", fanin=fanin)
+    e = dedup.join(outdeg, join_type="inner",
+                   num_partitions=num_partitions, on=(src,))
+    e = e.join(indeg, join_type="inner",
+               num_partitions=num_partitions, on=(dst,))
+
+    def _partial(b: pa.Table) -> pa.Table:
+        x = b["outdeg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b["indeg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n": pa.array([np.int64(len(x))]),
+            "sum_x": pa.array([x.sum()]), "sum_y": pa.array([y.sum()]),
+            "sum_xy": pa.array([(x * y).sum()]),
+            "sum_xx": pa.array([(x * x).sum()]),
+            "sum_yy": pa.array([(y * y).sum()])})
+
+    def _merge(b: pa.Table) -> pa.Table:
+        import pyarrow as _pa
+        return _pa.table({c: _pa.array(
+            [b[c].to_numpy(zero_copy_only=False).astype(np.int64).sum()])
+            for c in ("n", "sum_x", "sum_y", "sum_xy", "sum_xx", "sum_yy")})
+
+    from .correlate import _corr_from_stats
+
+    partials = e.map_batches(_partial, batch_format="pyarrow")
+    merged = partials.repartition(1).map_batches(
+        _merge, batch_format="pyarrow")
+    return merged.map_batches(_corr_from_stats, batch_format="pyarrow")

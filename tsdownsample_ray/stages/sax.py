@@ -34,7 +34,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["sax_symbols"]
+__all__ = ["sax_symbols", "ordinal_patterns"]
 
 
 def sax_symbols(ds, window_us: int, *, alphabet: int = 4,
@@ -116,3 +116,75 @@ def sax_symbols(ds, window_us: int, *, alphabet: int = 4,
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _sax, batch_format="pyarrow")
+
+
+def ordinal_patterns(rolled, *, series_col: str = "series_id",
+                     bucket_col: str = "bucket", value_col: str = "sum_y",
+                     num_partitions: int = 8):
+    """Ordinal-pattern (permutation-entropy) histogram, order m = 3: for
+    every run of three CONSECUTIVE rows of a series (in bucket order —
+    calendar gaps do not break runs; gap-sensitive callers gap-fill
+    first), the rank pattern of ``(v0, v1, v2)`` with ties broken by
+    position (earlier index outranks on equality — the stable-argsort
+    convention of Bandt & Pompe, PRL 88:174102 (2002)). Encoded as three
+    comparison bits, each "is the earlier value <= the later" (the
+    stable tie rule makes <= the exact ordering predicate):
+
+        code = 4*(v0 <= v1) + 2*(v0 <= v2) + (v1 <= v2)   in {0..7}
+
+    (codes 2 and 5 are excluded by transitivity — 6 reachable patterns,
+    the 3! permutations). Output: one row per (series, code) with the
+    exact int64 count ``n`` — the permutation-entropy histogram; the
+    float entropy, if wanted, is one expression over it. Exact integers
+    make any partitioning bit-identical, and the SQL replay is two
+    ``lead()`` windows + the same three comparisons.
+
+    Scale shape: ONE hash(series) shuffle; each partition sorts once by
+    (series, bucket) and computes every window's code in one vectorized
+    shift pass (series boundaries masked), then collapses to (series,
+    code) counts with an Arrow group_by. Assumes one series' rollup rows
+    fit a partition (the engine's per-series contract)."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _patterns(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t[series_col].type
+        empty = pa.table({series_col: pa.array([], s_type),
+                          "pattern": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows < 3:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (bucket_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v0, v1, v2 = v[:-2], v[1:-1], v[2:]
+        same = (codes[:-2] == codes[2:])  # run fully inside one series
+        code = (4 * (v0 <= v1).astype(np.int64)
+                + 2 * (v0 <= v2).astype(np.int64)
+                + (v1 <= v2).astype(np.int64))
+        keep = np.flatnonzero(same)
+        if len(keep) == 0:
+            return empty
+        win = pa.table({series_col: sid.take(pa.array(keep)),
+                        "pattern": pa.array(code[keep])})
+        agg = win.group_by([series_col, "pattern"]).aggregate(
+            [([], "count_all")])
+        return pa.table({series_col: agg[series_col],
+                         "pattern": agg["pattern"],
+                         "n": pc.cast(agg["count_all"], pa.int64())})
+
+    parted = rolled.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby(
+        "__part").map_groups(_patterns, batch_format="pyarrow")

@@ -19,7 +19,8 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["hll_sketch_batch", "hll_merge", "hll_estimate",
-           "distinct_approx", "cms_token_counts"]
+           "distinct_approx", "cms_token_counts", "kmv_distinct",
+           "log2hist_quantiles"]
 
 
 def _hash64(values: list[str]) -> np.ndarray:
@@ -224,3 +225,203 @@ def cms_token_counts(ds, *, text_col: str = "text", depth: int = 4,
                          "overcount": pa.array(est - exact_n)})
 
     return exact.map_batches(_estimate, batch_format="pyarrow")
+
+
+def kmv_distinct(ds, *, key_col: str, value_col: str, k: int = 64,
+                 fanin: int = 8):
+    """KMV (k-minimum-values) distinct-count sketch per key (Bar-Yossef
+    et al., RANDOM 2002): keep the k smallest DISTINCT md5-u64 hashes of
+    ``value_col``; estimate = (k-1) * 2^64 // kth_min when k values were
+    kept, else the exact kept count. Unlike HLL the whole sketch is
+    order-invariant set algebra (k smallest of a union), so the ESTIMATE
+    itself is SQL-replayable bit-exactly (DuckDB md5 -> HUGEINT, row_number
+    <= k) — not just an accuracy band. Output: ``(key_col, kmv_kept,
+    kmv_est)`` int64 (estimate clamped to 2^62 both sides — an
+    adversarially tiny kth hash cannot overflow the BIGINT cast).
+
+    Scale shape: per batch, values dictionary-encode and only UNIQUE
+    values md5 (the dedup._hash_unique_tokens pattern); each batch emits
+    at most k hashes per key (vectorized lexsort + segment heads), the
+    one shuffle moves <= |keys| x k u64 cells, and the per-key merge is
+    again take-k-smallest."""
+    import pyarrow.compute as pc
+
+    from ..arrow_utils import rename_agg, stable_part_codes  # noqa: F401
+    from .dedup import _hash_unique_tokens
+
+    mod = fanin * 64
+    CAP = np.int64(1) << np.int64(62)
+
+    def _topk_per_key(keys_arr: pa.Array, hashes: np.ndarray) -> pa.Table:
+        """(key, hash) rows -> per-key k smallest distinct hashes."""
+        codes = keys_arr.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((hashes, codes))
+        c, h = codes[order], hashes[order]
+        # distinct within key
+        first = np.ones(len(c), dtype=bool)
+        first[1:] = (c[1:] != c[:-1]) | (h[1:] != h[:-1])
+        c, h, order = c[first], h[first], order[first]
+        # rank within key
+        heads = np.ones(len(c), dtype=bool)
+        heads[1:] = c[1:] != c[:-1]
+        seg = np.flatnonzero(heads)
+        rank = np.arange(len(c)) - np.repeat(seg, np.diff(
+            np.append(seg, len(c))))
+        keep = rank < k
+        return pa.table({
+            key_col: keys_arr.take(pa.array(order[keep])),
+            # u64 hash stored SHIFTED by 2^63 into int64 — the shift is
+            # order-preserving over the full u64 range, so min-k / sort
+            # semantics survive the signed storage
+            "__h": pa.array((h[keep] - np.uint64(1 << 63)).astype(np.int64)),
+        })
+
+    def _partial(b: pa.Table) -> pa.Table:
+        kv = b.select([key_col, value_col])
+        v = kv[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        d = v.dictionary_encode()
+        uniq_h = _hash_unique_tokens(d.dictionary.to_pylist(), None)
+        hashes = uniq_h[d.indices.to_numpy(zero_copy_only=False)]
+        keys_arr = kv[key_col]
+        if isinstance(keys_arr, pa.ChunkedArray):
+            keys_arr = keys_arr.combine_chunks()
+        t = _topk_per_key(keys_arr, hashes)
+        h = stable_part_codes(t[key_col], None)
+        return t.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _merge(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        ktype = t[key_col].type
+        if t.num_rows == 0:
+            return pa.table({key_col: pa.array([], ktype),
+                             "kmv_kept": pa.array([], pa.int64()),
+                             "kmv_est": pa.array([], pa.int64())})
+        keys_arr = t[key_col]
+        if isinstance(keys_arr, pa.ChunkedArray):
+            keys_arr = keys_arr.combine_chunks()
+        hs = (t["__h"].to_numpy(zero_copy_only=False).astype(np.int64)
+              .astype(np.uint64) + np.uint64(1 << 63))
+        mt = _topk_per_key(keys_arr, hs)
+        mk = mt[key_col]
+        if isinstance(mk, pa.ChunkedArray):
+            mk = mk.combine_chunks()
+        codes = mk.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        h2 = (mt["__h"].to_numpy(zero_copy_only=False).astype(np.int64)
+              .astype(np.uint64) + np.uint64(1 << 63))
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        seg = np.flatnonzero(heads)
+        cnt = np.diff(np.append(seg, len(codes)))
+        kth = h2[np.minimum(seg + k - 1, np.append(seg[1:], len(codes)) - 1)]
+        est = np.empty(len(seg), dtype=np.int64)
+        full = cnt >= k
+        # python-int exact (k-1)*2^64 // kth, clamped; bounded rows/key
+        for i in np.flatnonzero(full):
+            est[i] = min((k - 1) * (1 << 64) // int(kth[i]), int(CAP))
+        est[~full] = cnt[~full]
+        return pa.table({
+            key_col: mk.take(pa.array(seg)),
+            "kmv_kept": pa.array(np.minimum(cnt, k).astype(np.int64)),
+            "kmv_est": pa.array(est)})
+
+    parted = ds.map_batches(_partial, batch_format="pyarrow")
+    return parted.repartition(fanin).groupby("__part").map_groups(
+        _merge, batch_format="pyarrow")
+
+
+_POW2_TABLE = (np.int64(1) << np.arange(63, dtype=np.int64))
+
+
+def log2hist_quantiles(ds, *, key_col: str, value_col: str,
+                       quantiles=(50, 90, 99), fanin: int = 8):
+    """DDSketch-style log-bucket quantile sketch with base 2 (Masson et
+    al., VLDB 12(12), 2019, with the float gamma replaced by exact
+    bit-length buckets): POSITIVE int64 values land in bucket
+    ``floor(log2(v)) = bit_length(v) - 1``; per-key bucket counts are
+    exact int64 cells (mergeable by addition, any order), and the
+    q-quantile estimate is the LOWER BOUND ``2^b`` of the bucket holding
+    the ``ceil(q/100 * n)``-th smallest value — a factor-2 guarantee that
+    is bit-exactly SQL-replayable (``length(bin(v)) - 1``), unlike
+    interpolating sketches. Output per key: ``(key_col, n, and per q:
+    q{q}_bucket, q{q}_lo)``. Raises on non-positive values (callers
+    offset or filter first — the contract keeps the SQL replay exact).
+
+    Scale shape: one vectorized searchsorted per batch (63-entry power
+    table), per-(key, bucket) partial counts collapse per block, the one
+    shuffle moves <= |keys| x 63 count cells, per-key finalize is a
+    cumsum over <= 63 cells."""
+    from ..arrow_utils import rename_agg, stable_part_codes
+
+    mod = fanin * 64
+    qs = tuple(int(q) for q in quantiles)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) and v.min() <= 0:
+            raise ValueError("log2hist_quantiles: values must be > 0")
+        bkt = np.searchsorted(_POW2_TABLE, v, side="right") - 1
+        t = pa.table({key_col: b[key_col],
+                      "__b": pa.array(bkt.astype(np.int64))})
+        g = t.group_by([key_col, "__b"]).aggregate([([], "count_all")])
+        g = rename_agg(g, {key_col: key_col, "__b": "__b",
+                           "count_all": "c"})
+        h = stable_part_codes(g[key_col], None)
+        return g.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _finalize(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        ktype = t[key_col].type
+        cols = {key_col: pa.array([], ktype),
+                "n": pa.array([], pa.int64())}
+        for q in qs:
+            cols[f"q{q}_bucket"] = pa.array([], pa.int64())
+            cols[f"q{q}_lo"] = pa.array([], pa.int64())
+        if t.num_rows == 0:
+            return pa.table(cols)
+        agg = t.group_by([key_col, "__b"]).aggregate([("c", "sum")])
+        agg = agg.sort_by([(key_col, "ascending"), ("__b", "ascending")])
+        keys_arr = agg[key_col]
+        if isinstance(keys_arr, pa.ChunkedArray):
+            keys_arr = keys_arr.combine_chunks()
+        codes = keys_arr.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bkt = agg["__b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = agg["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        seg = np.flatnonzero(heads)
+        ends = np.append(seg[1:], len(codes))
+        cs = np.cumsum(c)
+        base = np.repeat(np.concatenate([[0], cs[ends[:-1] - 1]]),
+                         ends - seg)
+        run = cs - base                       # within-key cumulative count
+        n_per = cs[ends - 1] - np.concatenate([[0], cs[ends[:-1] - 1]])
+        out = {key_col: keys_arr.take(pa.array(seg)),
+               "n": pa.array(n_per.astype(np.int64))}
+        for q in qs:
+            # rank = ceil(q/100 * n), 1-indexed
+            rank = -(-(q * n_per) // 100)
+            rank_rep = np.repeat(rank, ends - seg)
+            ok = run >= rank_rep
+            # first bucket per key where cumulative count reaches rank
+            idx = np.full(len(seg), -1, dtype=np.int64)
+            pos = np.flatnonzero(ok)
+            key_of = np.searchsorted(ends, pos, side="right")
+            first = np.ones(len(pos), dtype=bool)
+            first[1:] = key_of[1:] != key_of[:-1]
+            idx[key_of[first]] = pos[first]
+            bq = bkt[idx]
+            out[f"q{q}_bucket"] = pa.array(bq.astype(np.int64))
+            out[f"q{q}_lo"] = pa.array(
+                (np.int64(1) << bq).astype(np.int64))
+        return pa.table(out)
+
+    parted = ds.map_batches(_partial, batch_format="pyarrow")
+    return parted.repartition(fanin).groupby("__part").map_groups(
+        _finalize, batch_format="pyarrow")
