@@ -198,3 +198,99 @@ def test_log2hist_rejects_nonpositive(ray_session):
     with pytest.raises(Exception):
         log2hist_quantiles(rd.from_pandas(df), key_col="k",
                            value_col="v").to_pandas()
+
+
+def test_gif_codec_roundtrip():
+    from tsdownsample_ray.functions.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(0)
+    for h, w in ((40, 8), (1, 8), (300, 8), (64, 64)):
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        rt = decode_gif(encode_gif(img))
+        assert rt.shape == (h, w, 3)
+        assert (rt == img[..., None]).all()
+    # repetitive text: dictionary growth across width boundaries + the
+    # 4096-entry reset; long zero runs: the KwKwK case
+    txt = np.frombuffer(b"the quick brown fox " * 2000, np.uint8)
+    img = txt[: (len(txt) // 8) * 8].reshape(-1, 8)
+    assert (decode_gif(encode_gif(img))[..., 0] == img).all()
+    payload = encode_gif(img)
+    assert len(payload) < img.size * 0.25  # real LZW compression
+    assert (decode_gif(encode_gif(np.zeros((600, 8), np.uint8))) == 0).all()
+
+
+def test_gif_decoder_rejects_garbage():
+    from tsdownsample_ray.functions.gif import decode_gif
+
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF" + b"\x00" * 32)
+
+
+def test_chi2_contingency_matches_replay(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.abtest import chi2_contingency
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"r": rng.choice(["a", "b", "c"], 2000),
+                       "c": rng.choice(["x", "y", "z", "w"], 2000)})
+    out = chi2_contingency(rd.from_pandas(df).repartition(4),
+                           row_col="r", col_col="c").to_pandas()
+    o = df.groupby(["r", "c"]).size()
+    rt, ct, N = df.r.value_counts(), df.c.value_counts(), len(df)
+    chi2_e = 0
+    for a in sorted(df.r.unique()):
+        for b in sorted(df.c.unique()):
+            ov = int(o.get((a, b), 0))
+            rc = int(rt[a]) * int(ct[b])
+            chi2_e += ((ov * N - rc) ** 2 * 10 ** 6) // (N * rc)
+    assert out.chi2_e6[0] == chi2_e
+    assert out.dof[0] == 6
+    # sanity vs the float statistic
+    chi2 = sum((int(o.get((a, b), 0)) - rt[a] * ct[b] / N) ** 2
+               / (rt[a] * ct[b] / N)
+               for a in df.r.unique() for b in df.c.unique())
+    assert abs(out.chi2_e6[0] / 1e6 - chi2) < 1e-3 * max(chi2, 1)
+
+
+def test_holt_winters_matches_python_replay(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.smoothing import holt_winters_fixed_point
+
+    rng = np.random.default_rng(13)
+    W = 3_600_000_000
+    rows = []
+    for sid in ("a", "b"):
+        base = rng.integers(100, 200)
+        for i in range(100):
+            rows.append((sid, i * W,
+                         int(base + 20 * np.sin(i % 24) + rng.integers(-5, 6))))
+    df = pd.DataFrame(rows, columns=["series_id", "bucket", "sum_y"])
+    out = holt_winters_fixed_point(
+        rd.from_pandas(df).repartition(3), 3, 4, 3, m=24, window_us=W,
+        num_partitions=2).to_pandas().sort_values(
+            ["series_id", "bucket"]).reset_index(drop=True)
+    exp_rows = []
+    for sid, g in df.groupby("series_id"):
+        level = trend = 0
+        season = [0] * 24
+        for i, r in enumerate(g.sort_values("bucket").itertuples()):
+            sj = (r.bucket // W) % 24
+            if i == 0:
+                level, trend, season = r.sum_y, 0, [0] * 24
+                f, s_out = r.sum_y, 0
+            else:
+                f = level + trend + season[sj]
+                nl = (level + trend) + ((r.sum_y - f) >> 3)
+                trend = trend + ((nl - level - trend) >> 4)
+                level = nl
+                season[sj] += (r.sum_y - level - season[sj]) >> 3
+                s_out = season[sj]
+            exp_rows.append((sid, r.bucket, r.sum_y, level, trend, s_out, f))
+    exp = pd.DataFrame(exp_rows, columns=[
+        "series_id", "bucket", "y", "level", "trend", "seasonal",
+        "forecast"]).sort_values(["series_id", "bucket"]).reset_index(
+            drop=True)
+    assert out.astype({c: "int64" for c in exp.columns[1:]}).equals(
+        exp.astype({c: "int64" for c in exp.columns[1:]}))

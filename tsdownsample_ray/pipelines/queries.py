@@ -13644,6 +13644,209 @@ FROM sw WHERE nxt IS NOT NULL
 """
 
 
+def q_multimodal_gif_decode(sf_dir: str):
+    """REAL GIF decode through the actor-pool stage: 8px-wide grayscale
+    GIF87a images whose palette indices ARE the documents' own bytes
+    (zero-padded to whole rows), compressed with the from-scratch
+    adaptive LZW encoder and decoded with DecodeImage's full LZW decoder
+    (variable code width, dictionary reset, KwKwK) —
+    ``functions/gif.py``. The gray palette replicates each byte into RGB,
+    so the per-doc pixel stats replay from the text with a factor 3 on
+    counts/sums (ASCII: unicode(char) == byte)."""
+    rd = _rd()
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+    from ..functions.gif import encode_gif
+    from ..stages.multimodal import DecodeImage
+
+    def _media(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        payloads, hs = [], []
+        for t in b["text"].to_pylist():
+            raw = t.encode()
+            h = max(1, -(-len(raw) // 8))
+            buf = _np.zeros(h * 8, dtype=_np.uint8)
+            buf[: len(raw)] = _np.frombuffer(raw, _np.uint8)
+            payloads.append(encode_gif(buf.reshape(h, 8)))
+            hs.append(h)
+        return pa.table({
+            "media_id": b["doc_id"],
+            "kind": pa.array(["image"] * b.num_rows),
+            "payload": pa.array(payloads, pa.binary()),
+            "height": pa.array(hs, pa.int32()),
+            "width": pa.array([8] * b.num_rows, pa.int32()),
+        })
+
+    media = ds.map_batches(_media, batch_format="pyarrow", batch_size=256)
+    dec = media.map_batches(DecodeImage, batch_format="pyarrow",
+                            batch_size=256, concurrency=(1, 8))
+
+    def _stats(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        s = b["pixels"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        flat = s.values.to_numpy(zero_copy_only=False).astype(_np.int64)
+        off = s.offsets.to_numpy(zero_copy_only=False).astype(_np.int64)
+        cs = _np.concatenate([[0], _np.cumsum(flat)])
+        n = off[1:] - off[:-1]
+        first = _np.where(n > 0, flat[_np.minimum(off[:-1], len(flat) - 1)]
+                          if len(flat) else 0, -1)
+        nz = _np.flatnonzero(flat)
+        lo = _np.searchsorted(nz, off[:-1], side="left")
+        hi = _np.searchsorted(nz, off[1:], side="left")
+        has = hi > lo
+        last_nz = _np.where(
+            has, flat[nz[_np.maximum(hi - 1, 0)]] if len(nz) else 0, -1)
+        return pa.table({
+            "media_id": b["media_id"],
+            "n_bytes": pa.array(n, pa.int64()),
+            "sum_codes": pa.array(cs[off[1:]] - cs[off[:-1]], pa.int64()),
+            "first_code": pa.array(
+                _np.where(first == 0, -1, first), pa.int64()),
+            "last_code": pa.array(last_nz, pa.int64()),
+        })
+
+    return dec.map_batches(_stats, batch_format="pyarrow")
+
+
+# gray-palette GIF replicates each text byte into R,G,B: counts and sums
+# replay from the text x3; first/last byte values are channel-invariant
+MULTIMODAL_GIF_SQL = """
+SELECT doc_id AS media_id,
+       24 * greatest(1, CAST(ceil(length(text) / 8.0) AS BIGINT))
+           AS n_bytes,
+       CAST(3 * COALESCE(list_sum(list_transform(
+            range(1, length(text) + 1),
+            i -> unicode(substring(text, i, 1)))), 0) AS BIGINT)
+            AS sum_codes,
+       CAST(CASE WHEN length(text) = 0 THEN -1
+            ELSE unicode(substring(text, 1, 1)) END AS BIGINT) AS first_code,
+       CAST(CASE WHEN length(text) = 0 THEN -1
+            ELSE unicode(substring(text, length(text), 1))
+       END AS BIGINT) AS last_code
+FROM documents
+"""
+
+
+def q_chi2_lang_source(sf_dir: str):
+    """Chi-square independence test of (lang x source) over documents
+    (``stages/abtest.py:chi2_contingency``): exact floor-per-cell scaled
+    statistic over the full R x C cross product (zero cells included),
+    one hashpart grouped count, bounded-cell finalize; Cramer's V is the
+    one pinned float."""
+    from ..stages.abtest import chi2_contingency
+
+    docs = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "source"]).repartition(4)
+    return chi2_contingency(docs, row_col="lang", col_col="source",
+                            fanin=4)
+
+
+CHI2_SQL = """
+WITH o AS (
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+    FROM documents GROUP BY 1, 2
+),
+r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM o GROUP BY 1),
+c AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY 1),
+n_ AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+grid AS (
+    SELECT r.lang, c.source, r.r, c.c,
+           coalesce(o.o, 0) AS o, n_.n
+    FROM r CROSS JOIN c CROSS JOIN n_
+    LEFT JOIN o ON o.lang = r.lang AND o.source = c.source
+),
+terms AS (
+    SELECT n,
+           (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+           * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+           * 1000000 // (CAST(n AS HUGEINT) * r * c) AS term
+    FROM grid
+),
+agg AS (
+    SELECT any_value(n) AS n, CAST(sum(term) AS BIGINT) AS chi2_e6,
+           (SELECT count(*) FROM r) AS n_rows,
+           (SELECT count(*) FROM c) AS n_cols
+    FROM terms
+)
+SELECT n, CAST(n_rows AS BIGINT) AS n_rows, CAST(n_cols AS BIGINT) AS n_cols,
+       CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+       chi2_e6,
+       sqrt((CAST(chi2_e6 AS DOUBLE) / 1000000)
+            / (CAST(n AS DOUBLE) * (least(n_rows, n_cols) - 1)))
+           AS cramers_v
+FROM agg
+"""
+
+
+def q_holtwinters_1h(sf_dir: str):
+    """Additive Holt-Winters (alpha 1/8, beta 1/16, gamma 1/8, season
+    m=24 hour-of-day) per event_type over the 1h tier
+    (``stages/smoothing.py:holt_winters_fixed_point``): exact integer
+    shift arithmetic, seasonal vector carried per series; the SQL oracle
+    replays the recursion with a LIST-typed seasonal state in a
+    recursive CTE."""
+    from ..stages.rollup import rollup
+    from ..stages.smoothing import holt_winters_fixed_point
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"), W1H)
+    return holt_winters_fixed_point(rolled, 3, 4, 3, m=24, window_us=W1H,
+                                    num_partitions=2)
+
+
+HOLTWINTERS_SQL = f"""
+WITH RECURSIVE numbered AS MATERIALIZED (
+    SELECT event_type AS series_id, bucket, y,
+           (bucket // {W1H}) % 24 AS slot,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY bucket) AS idx
+    FROM (
+        SELECT event_type, epoch_us(ts) // {W1H} * {W1H} AS bucket,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY event_type, bucket
+    )
+),
+rec AS (
+    SELECT series_id, bucket, y, idx, slot,
+           y AS level, CAST(0 AS BIGINT) AS trend, y AS forecast,
+           list_transform(range(1, 25), j -> CAST(0 AS BIGINT)) AS season
+    FROM numbered WHERE idx = 1
+    UNION ALL
+    SELECT series_id, bucket, y, idx, slot, level,
+           trend0 + CAST(floor(CAST(level - l0 - trend0 AS DOUBLE) / 16.0)
+                         AS BIGINT) AS trend,
+           f AS forecast,
+           list_transform(range(1, 25), j -> CASE WHEN j = slot + 1
+               THEN s0[j] + CAST(floor(CAST(y - level - s0[j] AS DOUBLE)
+                                       / 8.0) AS BIGINT)
+               ELSE s0[j] END) AS season
+    FROM (
+        SELECT n.series_id, n.bucket, n.y, n.idx, n.slot,
+               r.level AS l0, r.trend AS trend0, r.season AS s0,
+               r.level + r.trend + r.season[n.slot + 1] AS f,
+               (r.level + r.trend)
+                 + CAST(floor(CAST(n.y - (r.level + r.trend
+                                          + r.season[n.slot + 1])
+                                   AS DOUBLE) / 8.0) AS BIGINT) AS level
+        FROM rec r JOIN numbered n
+          ON n.series_id = r.series_id AND n.idx = r.idx + 1
+    ) z
+)
+SELECT series_id, bucket, y, level, trend,
+       season[slot + 1] AS seasonal, forecast
+FROM rec
+"""
+
+
 # --- round 4 additions: rank correlation, ordinal patterns, HITS,
 # --- reciprocity, assortativity, KMV distinct, log2-histogram quantiles
 
@@ -15069,3 +15272,12 @@ QUERIES["kmv_distinct_domains"] = q_kmv_distinct_domains
 ORACLE_SQL["kmv_distinct_domains"] = KMV_SQL
 QUERIES["log2hist_events"] = q_log2hist_events
 ORACLE_SQL["log2hist_events"] = LOG2HIST_SQL
+
+QUERIES["multimodal_gif_decode"] = q_multimodal_gif_decode
+ORACLE_SQL["multimodal_gif_decode"] = MULTIMODAL_GIF_SQL
+
+QUERIES["chi2_lang_source"] = q_chi2_lang_source
+ORACLE_SQL["chi2_lang_source"] = CHI2_SQL
+
+QUERIES["holtwinters_1h"] = q_holtwinters_1h
+ORACLE_SQL["holtwinters_1h"] = HOLTWINTERS_SQL

@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["mann_whitney"]
+__all__ = ["mann_whitney", "chi2_contingency"]
 
 
 def mann_whitney(ds, *, key_col: str = "series_id",
@@ -108,3 +108,74 @@ def mann_whitney(ds, *, key_col: str = "series_id",
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _test, batch_format="pyarrow")
+
+
+def chi2_contingency(ds, *, row_col: str, col_col: str, fanin: int = 8,
+                     scale: int = 10 ** 6):
+    """Pearson chi-square test of independence over a two-way contingency
+    table, in EXACT integer arithmetic: with observed cell counts ``o``,
+    margins ``r``/``c`` and total ``N``, each of the R x C cells (ZERO
+    cells included — they contribute their expectation) adds
+
+        term = ((o*N - r*c)^2 * scale) // (N * r * c)
+
+    to ``chi2_e6 = sum(term)`` — the floor-per-cell convention makes the
+    scaled statistic deterministic under any partitioning and replayable
+    verbatim in SQL (HUGEINT intermediates; the final sum fits BIGINT).
+    Cramer's V is the ONE pinned float expression
+    ``sqrt((chi2_e6/scale) / (N * (min(R,C)-1)))``. Output: one row
+    ``(n, n_rows, n_cols, dof, chi2_e6, cramers_v)``.
+
+    Scale shape: one hashpart grouped count by (row, col) — the only
+    shuffle touching data volume; the cell table is bounded by the
+    category cross product (documented driver-side contract, like the
+    CMS grid), so the finalize is a single bounded block."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .graph import grouped_sum_parts
+
+    def _kv(b: pa.Table) -> pa.Table:
+        return pa.table({"__r": b[row_col], "__c": b[col_col]})
+
+    cells = grouped_sum_parts(
+        ds.map_batches(_kv, batch_format="pyarrow"),
+        ["__r", "__c"], [], count_col="o", fanin=fanin)
+
+    def _finalize(b: pa.Table) -> pa.Table:
+        import math
+
+        r_lab = b["__r"].to_pylist()
+        c_lab = b["__c"].to_pylist()
+        o = b["o"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = sorted(set(r_lab))
+        colsv = sorted(set(c_lab))
+        obs = {(a, bb): int(v) for a, bb, v in zip(r_lab, c_lab, o)}
+        r_tot = {a: 0 for a in rows}
+        c_tot = {bb: 0 for bb in colsv}
+        for (a, bb), v in obs.items():
+            r_tot[a] += v
+            c_tot[bb] += v
+        N = int(o.sum())
+        chi2_e = 0
+        for a in rows:
+            for bb in colsv:
+                ov = obs.get((a, bb), 0)
+                rc = r_tot[a] * c_tot[bb]
+                num = ov * N - rc
+                chi2_e += (num * num * scale) // (N * rc)
+        dof = (len(rows) - 1) * (len(colsv) - 1)
+        mind = min(len(rows), len(colsv)) - 1
+        v = (math.sqrt((chi2_e / scale) / (N * mind))
+             if N > 0 and mind > 0 else None)
+        return pa.table({
+            "n": pa.array([N], pa.int64()),
+            "n_rows": pa.array([len(rows)], pa.int64()),
+            "n_cols": pa.array([len(colsv)], pa.int64()),
+            "dof": pa.array([dof], pa.int64()),
+            "chi2_e6": pa.array([chi2_e], pa.int64()),
+            "cramers_v": pa.array([v], pa.float64()),
+        })
+
+    return cells.repartition(1).map_batches(_finalize,
+                                            batch_format="pyarrow")

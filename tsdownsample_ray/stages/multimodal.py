@@ -252,11 +252,15 @@ class DecodeImage:
                 img = decode_png(p)
             elif p[:3] == b"\xff\xd8\xff":
                 img = decode_jpeg(p)
+            elif p[:4] == b"GIF8":
+                from ..functions.gif import decode_gif
+
+                img = decode_gif(p)
             else:
                 raise NotImplementedError(
-                    "non-BMP/PNG/JPEG image decoding requires PIL/opencv, "
-                    "not present in this container — construct with "
-                    "fake=True for the deterministic stub decoder")
+                    "non-BMP/PNG/JPEG/GIF image decoding requires "
+                    "PIL/opencv, not present in this container — construct "
+                    "with fake=True for the deterministic stub decoder")
             pixels.append(img.reshape(-1))
             out_h.append(img.shape[0])
             out_w.append(img.shape[1])

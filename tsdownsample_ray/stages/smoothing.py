@@ -22,7 +22,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["ewma_fixed_point", "kalman_local_level"]
+__all__ = ["ewma_fixed_point", "kalman_local_level",
+           "holt_winters_fixed_point"]
 
 
 def ewma_fixed_point(ds, k: int = 3, *, series_col: str = "series_id",
@@ -233,3 +234,92 @@ def kalman_local_level(ds, *, q_e6: int = 1_000_000,
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _kalman, batch_format="pyarrow")
+
+
+def holt_winters_fixed_point(ds, ka: int = 3, kb: int = 4, kc: int = 3,
+                             *, m: int = 24, window_us: int,
+                             series_col: str = "series_id",
+                             x_col: str = "bucket", y_col: str = "sum_y",
+                             num_partitions: int = 8):
+    """Additive Holt-Winters triple exponential smoothing, integer fixed
+    point (alpha = 2^-ka, beta = 2^-kb, gamma = 2^-kc), season length
+    ``m`` with slot = (bucket // window_us) % m (hour-of-day for a 1h
+    tier, m=24):
+
+        f_i = l + b + s[slot]                         (forecast)
+        l_i = (l + b) + ((y_i - f_i) >> ka)           (level)
+        b_i = b + ((l_i - l - b) >> kb)               (trend)
+        s[slot] += (y_i - l_i - s[slot]) >> kc        (seasonal)
+        head row: l = y_0, b = 0, s = zeros, f = y_0 (no updates)
+
+    Arithmetic shift = floor division by 2^k on signed ints — the exact
+    SQL-replayable convention of :func:`holt_fixed_point`; the seasonal
+    state rides the recursion as an m-slot vector (a LIST column in the
+    recursive-CTE oracle). Sequential per series over TIER rows only,
+    parallel across series after ONE hash(series) shuffle. Output
+    ``(series_id, bucket, y, level, trend, seasonal, forecast)`` with
+    ``seasonal`` the slot value AFTER the row's update (0 on the head
+    row)."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[series_col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _hw(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t[series_col].type
+        if t.num_rows == 0:
+            return pa.table({"series_id": pa.array([], s_type),
+                             "bucket": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64()),
+                             "level": pa.array([], pa.int64()),
+                             "trend": pa.array([], pa.int64()),
+                             "seasonal": pa.array([], pa.int64()),
+                             "forecast": pa.array([], pa.int64())})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (x_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        slot = ((x // window_us) % m).astype(np.int64)
+        head = np.ones(len(y), dtype=bool)
+        head[1:] = codes[1:] != codes[:-1]
+        yl, sl, hl = y.tolist(), slot.tolist(), head.tolist()
+        lv = [0] * len(yl)
+        tr = [0] * len(yl)
+        se = [0] * len(yl)
+        fc = [0] * len(yl)
+        level = trend = 0
+        season = [0] * m
+        for i in range(len(yl)):
+            v, sj = yl[i], sl[i]
+            if hl[i]:
+                level, trend, season = v, 0, [0] * m
+                f, s_out = v, 0
+            else:
+                f = level + trend + season[sj]
+                new_level = (level + trend) + ((v - f) >> ka)
+                trend = trend + ((new_level - level - trend) >> kb)
+                level = new_level
+                season[sj] = season[sj] + ((v - level - season[sj]) >> kc)
+                s_out = season[sj]
+            lv[i], tr[i], se[i], fc[i] = level, trend, s_out, f
+        return pa.table({"series_id": sid,
+                         "bucket": t[x_col].cast(pa.int64()),
+                         "y": pa.array(y),
+                         "level": pa.array(lv, pa.int64()),
+                         "trend": pa.array(tr, pa.int64()),
+                         "seasonal": pa.array(se, pa.int64()),
+                         "forecast": pa.array(fc, pa.int64())})
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _hw, batch_format="pyarrow")
