@@ -294,3 +294,22 @@ def test_holt_winters_matches_python_replay(ray_session):
             drop=True)
     assert out.astype({c: "int64" for c in exp.columns[1:]}).equals(
         exp.astype({c: "int64" for c in exp.columns[1:]}))
+
+
+def test_keyword_tag_and_snaive_and_twohop_run(ray_session):
+    """sf0.001 smoke: shapes + internal invariants (values are
+    hash-verified vs DuckDB by tools/check_correctness)."""
+    from tsdownsample_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    kw = QUERIES["keyword_tag_docs"](sf).to_pandas()
+    assert set(kw.columns) == {"pattern", "n_docs", "n_occurrences"}
+    assert (kw.n_occurrences >= kw.n_docs).all()
+
+    bt = QUERIES["backtest_snaive_1h"](sf).to_pandas()
+    assert (bt.n_naive == bt.n_forecasts + 23).all()  # 24-lag vs 1-lag
+    assert (bt.mase > 0).all()
+
+    th = QUERIES["twohop_docs"](sf).to_pandas()
+    # <= 3 one-hop + 9 two-hop distinct targets per node
+    assert th.n_within_2.between(1, 12).all()

@@ -13847,6 +13847,249 @@ FROM rec
 """
 
 
+# deterministic multi-pattern dictionary for the keyword tagger — the
+# patterns include substring-of-each-other and multi-token cases so the
+# non-overlapping leftmost count semantics are actually exercised
+_KEYWORDS = ("scan", "hash scan", "window", "batch batch", "order",
+             "merge part", "an")
+
+
+def q_keyword_tag_docs(sf_dir: str):
+    """Multi-pattern keyword tagging over the corpus: count the
+    NON-OVERLAPPING leftmost occurrences of each dictionary pattern in
+    every document (the Aho-Corasick use case, vectorized as one Arrow
+    ``count_substring`` kernel pass per pattern — P kernel calls per
+    batch, zero Python per row; the pattern list is a broadcast-small
+    closure constant). Output per pattern: docs matched + total
+    occurrences. SQL replays via the replace-length trick, which has the
+    identical greedy leftmost semantics."""
+    docs = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"]).repartition(4)
+
+    def _tag(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        text = b["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        pats, n_docs, n_occ = [], [], []
+        for p in _KEYWORDS:
+            c = pc.count_substring(text, p).to_numpy(zero_copy_only=False)
+            c = c.astype(_np.int64)
+            pats.append(p)
+            n_docs.append(int((c > 0).sum()))
+            n_occ.append(int(c.sum()))
+        return pa.table({"pattern": pa.array(pats),
+                         "n_docs": pa.array(n_docs, pa.int64()),
+                         "n_occurrences": pa.array(n_occ, pa.int64())})
+
+    def _merge(b: pa.Table) -> pa.Table:
+        g = b.group_by(["pattern"]).aggregate(
+            [("n_docs", "sum"), ("n_occurrences", "sum")])
+        from ..arrow_utils import rename_agg
+
+        return rename_agg(g, {"pattern": "pattern",
+                              "n_docs_sum": "n_docs",
+                              "n_occurrences_sum": "n_occurrences"})
+
+    # per-block P-row partials -> one tiny merge (|patterns| rows total)
+    return docs.map_batches(_tag, batch_format="pyarrow").repartition(
+        1).map_batches(_merge, batch_format="pyarrow")
+
+
+KEYWORD_TAG_SQL = """
+WITH pat AS (SELECT * FROM (VALUES {values}) p(pattern)),
+cnt AS (
+    SELECT p.pattern,
+           (length(d.text) - length(replace(d.text, p.pattern, '')))
+               // length(p.pattern) AS c
+    FROM documents d CROSS JOIN pat p
+)
+SELECT pattern,
+       CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS n_docs,
+       CAST(sum(c) AS BIGINT) AS n_occurrences
+FROM cnt GROUP BY pattern
+""".format(values=", ".join(f"('{p}')" for p in _KEYWORDS))
+
+
+def q_backtest_snaive_1h(sf_dir: str):
+    """Seasonal-naive forecasting backtest with exact-integer MASE parts
+    per event_type over the 1h tier: forecast y[t] = y[t-24 buckets by
+    ROW position], absolute errors and the in-sample naive denominator
+    (mean |y_t - y_{t-1}|) accumulated as exact int64 sums; MASE is the
+    ONE pinned float ratio of the two rational means. One hash(series)
+    shuffle + one sorted shift pass (`stages/backfill.py`-style row
+    positioning); SQL replays via lag(24)/lag(1) windows."""
+    from ..stages.rollup import rollup
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"), W1H)
+
+    from ..arrow_utils import stable_part_codes
+
+    mod = 2 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["series_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _mase(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t["series_id"].type
+        empty = pa.table({
+            "series_id": pa.array([], s_type),
+            "n_forecasts": pa.array([], pa.int64()),
+            "sum_abs_err": pa.array([], pa.int64()),
+            "n_naive": pa.array([], pa.int64()),
+            "sum_abs_naive": pa.array([], pa.int64()),
+            "mase": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("series_id", "ascending"), ("bucket", "ascending")]))
+        sid = t["series_id"]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = t["sum_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {k: [] for k in ("i", "nf", "se", "nn", "sn")}
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        seg = np.flatnonzero(heads)
+        ends = np.append(seg[1:], len(codes))
+        for a, b_ in zip(seg, ends):
+            v = y[a:b_]
+            e24 = np.abs(v[24:] - v[:-24]) if len(v) > 24 else v[:0]
+            e1 = np.abs(v[1:] - v[:-1]) if len(v) > 1 else v[:0]
+            out["i"].append(a)
+            out["nf"].append(len(e24))
+            out["se"].append(int(e24.sum()))
+            out["nn"].append(len(e1))
+            out["sn"].append(int(e1.sum()))
+        nf = np.array(out["nf"], np.int64)
+        se = np.array(out["se"], np.int64)
+        nn = np.array(out["nn"], np.int64)
+        sn = np.array(out["sn"], np.int64)
+        ok = (nf > 0) & (sn > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mase = (se.astype(np.float64) / nf) / (sn.astype(np.float64)
+                                                   / nn)
+        return pa.table({
+            "series_id": sid.take(pa.array(np.array(out["i"], np.int64))),
+            "n_forecasts": pa.array(nf),
+            "sum_abs_err": pa.array(se),
+            "n_naive": pa.array(nn),
+            "sum_abs_naive": pa.array(sn),
+            "mase": pa.array(np.where(ok, mase, np.nan), pa.float64(),
+                             mask=~ok)})
+
+    parted = rolled.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(2).groupby("__part").map_groups(
+        _mase, batch_format="pyarrow")
+
+
+BACKTEST_SNAIVE_SQL = f"""
+WITH r AS (
+    SELECT event_type AS series_id,
+           epoch_us(ts) // {W1H} * {W1H} AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+l AS (
+    SELECT series_id, y,
+           lag(y, 24) OVER (PARTITION BY series_id ORDER BY bucket) AS y24,
+           lag(y, 1) OVER (PARTITION BY series_id ORDER BY bucket) AS y1
+    FROM r
+),
+agg AS (
+    SELECT series_id,
+           CAST(count(y24) AS BIGINT) AS n_forecasts,
+           CAST(coalesce(sum(abs(y - y24)), 0) AS BIGINT) AS sum_abs_err,
+           CAST(count(y1) AS BIGINT) AS n_naive,
+           CAST(coalesce(sum(abs(y - y1)), 0) AS BIGINT) AS sum_abs_naive
+    FROM l GROUP BY series_id
+)
+SELECT series_id, n_forecasts, sum_abs_err, n_naive, sum_abs_naive,
+       CASE WHEN n_forecasts > 0 AND sum_abs_naive > 0
+            THEN (CAST(sum_abs_err AS DOUBLE) / n_forecasts)
+                 / (CAST(sum_abs_naive AS DOUBLE) / n_naive)
+            ELSE NULL END AS mase
+FROM agg
+"""
+
+
+def q_twohop_docs(sf_dir: str):
+    """2-hop neighborhood profile of the doc link graph: for every node,
+    the count of DISTINCT nodes reachable in exactly <= 2 directed hops
+    (excluding the node itself) — one edges-to-edges hash join + one
+    hashpart distinct count; the neighborhood-growth signal used for
+    supernode detection. SQL replays with the identical join."""
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from ..stages.dedup import distinct_pairs
+    from ..stages.graph import grouped_sum_parts
+
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    nodes = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id"]).repartition(4)
+
+    def _edges(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        ts = _graph_targets(d, n)
+        src = np.concatenate([d.astype(np.int64)] * 3)
+        dst = np.concatenate(ts)
+        t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+        return t.filter(pc.invert(pc.equal(t["src"], t["dst"])))
+
+    edges = nodes.map_batches(_edges, batch_format="pyarrow")
+    e1 = distinct_pairs(edges, cols=("src", "dst"), num_partitions=4)
+    hop2 = e1.join(
+        e1.map_batches(lambda b: pa.table({"mid": b["src"],
+                                           "dst2": b["dst"]}),
+                       batch_format="pyarrow"),
+        join_type="inner", num_partitions=4, on=("dst",),
+        right_on=("mid",))
+    reach = hop2.map_batches(
+        lambda b: pa.table({"src": b["src"], "v": b["dst2"]}),
+        batch_format="pyarrow").union(
+        e1.map_batches(lambda b: pa.table({"src": b["src"],
+                                           "v": b["dst"]}),
+                       batch_format="pyarrow"))
+    reach = reach.map_batches(
+        lambda b: b.filter(pc.invert(pc.equal(b["src"], b["v"]))),
+        batch_format="pyarrow")
+    dr = distinct_pairs(reach, cols=("src", "v"), num_partitions=4)
+    return grouped_sum_parts(
+        dr.map_batches(lambda b: pa.table({"doc_id": b["src"]}),
+                       batch_format="pyarrow"),
+        ["doc_id"], [], count_col="n_within_2", fanin=4)
+
+
+TWOHOP_SQL = """
+WITH n AS (SELECT count(*) AS c FROM documents),
+e AS (
+    SELECT DISTINCT d.doc_id AS src,
+           (d.doc_id*31 + 97*j.j) % (SELECT c FROM n) AS dst
+    FROM documents d CROSS JOIN (VALUES (1), (2), (3)) AS j(j)),
+d_ AS (SELECT src, dst FROM e WHERE src != dst),
+reach AS (
+    SELECT src, dst AS v FROM d_
+    UNION
+    SELECT a.src, b.dst AS v FROM d_ a JOIN d_ b ON a.dst = b.src
+)
+SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS n_within_2
+FROM reach WHERE src != v GROUP BY src
+"""
+
+
 # --- round 4 additions: rank correlation, ordinal patterns, HITS,
 # --- reciprocity, assortativity, KMV distinct, log2-histogram quantiles
 
@@ -15281,3 +15524,10 @@ ORACLE_SQL["chi2_lang_source"] = CHI2_SQL
 
 QUERIES["holtwinters_1h"] = q_holtwinters_1h
 ORACLE_SQL["holtwinters_1h"] = HOLTWINTERS_SQL
+
+QUERIES["keyword_tag_docs"] = q_keyword_tag_docs
+ORACLE_SQL["keyword_tag_docs"] = KEYWORD_TAG_SQL
+QUERIES["backtest_snaive_1h"] = q_backtest_snaive_1h
+ORACLE_SQL["backtest_snaive_1h"] = BACKTEST_SNAIVE_SQL
+QUERIES["twohop_docs"] = q_twohop_docs
+ORACLE_SQL["twohop_docs"] = TWOHOP_SQL
