@@ -14090,6 +14090,186 @@ FROM reach WHERE src != v GROUP BY src
 """
 
 
+def q_order_priority_check(sf_dir: str):
+    """TPC-H Q4 analog (order priority checking — the corpus lineitem has
+    no commit/receipt dates, so the late-ship predicate is ``l_shipdate >
+    o_orderdate``): orders in a fixed quarter with at least one late
+    lineitem, counted per priority. Distributed semi-join shape: the
+    probe side reduces to DISTINCT qualifying orderkeys map-side
+    (`dedup.distinct_pairs` on one column), ONE hash(orderkey) join, then
+    a hashpart grouped count by priority."""
+    from ..stages.dedup import distinct_pairs
+    from ..stages.graph import grouped_sum_parts
+
+    orders = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def _win(b: pa.Table) -> pa.Table:
+        d = pc.cast(b["o_orderdate"], pa.date32())
+        lo = pa.scalar(__import__("datetime").date(1996, 1, 1))
+        hi = pa.scalar(__import__("datetime").date(1996, 4, 1))
+        m = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        t = pa.table({"o_orderkey": b["o_orderkey"],
+                      "o_orderdate": d,
+                      "o_orderpriority": b["o_orderpriority"]})
+        return t.filter(m)
+
+    owin = orders.map_batches(_win, batch_format="pyarrow")
+    li = _read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                             columns=["l_orderkey", "l_shipdate"])
+    j = owin.join(
+        li.map_batches(lambda b: pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_shipdate": pc.cast(b["l_shipdate"], pa.date32())}),
+            batch_format="pyarrow"),
+        join_type="inner", num_partitions=4,
+        on=("o_orderkey",), right_on=("l_orderkey",))
+    late = j.map_batches(
+        lambda b: b.filter(pc.greater(b["l_shipdate"], b["o_orderdate"])),
+        batch_format="pyarrow")
+    keys = distinct_pairs(
+        late.map_batches(lambda b: pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_orderpriority": b["o_orderpriority"]}),
+            batch_format="pyarrow"),
+        cols=("o_orderkey", "o_orderpriority"), num_partitions=4)
+    return grouped_sum_parts(
+        keys.map_batches(lambda b: pa.table(
+            {"o_orderpriority": b["o_orderpriority"]}),
+            batch_format="pyarrow"),
+        ["o_orderpriority"], [], count_col="order_count", fanin=4)
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q_custdist_orders(sf_dir: str):
+    """TPC-H Q13 analog (customer order-count distribution): per-customer
+    order counts via one hashpart grouped count, LEFT join back to
+    customers (zero-order customers kept, fill 0), then the histogram —
+    a second bounded grouped count keyed by c_count."""
+    from ..stages.graph import grouped_sum_parts
+
+    cust = _read_parquet_clean(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey"]).repartition(4)
+    orders = _read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                 columns=["o_custkey"])
+    per_cust = grouped_sum_parts(
+        orders.map_batches(lambda b: pa.table({"c_custkey": b["o_custkey"]}),
+                           batch_format="pyarrow"),
+        ["c_custkey"], [], count_col="c_count", fanin=4)
+    j = cust.join(per_cust, join_type="left_outer", num_partitions=4,
+                  on=("c_custkey",))
+    filled = j.map_batches(
+        lambda b: pa.table({
+            "c_count": pc.fill_null(pc.cast(b["c_count"], pa.int64()), 0)}),
+        batch_format="pyarrow")
+    return grouped_sum_parts(filled, ["c_count"], [], count_col="custdist",
+                             fanin=4)
+
+
+CUSTDIST_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_sales_opportunity_nations(sf_dir: str):
+    """TPC-H Q22 analog (global sales opportunity): customers with
+    above-average positive account balance and no RECENT orders (none
+    since 2001-01-01 — the corpus gives every customer at least one
+    lifetime order, so the dormancy window carries the Q22 semantics),
+    grouped by nation. The average is never materialized as a float: the filter is
+    the exact integer cross-multiplication ``acctbal_cents * n_pos >
+    sum_pos_cents`` (broadcast scalars), the no-orders side is the exact
+    hash anti-join (`stages/joins.py:anti_join`), and the output carries
+    exact cent sums."""
+    from ..stages.graph import grouped_sum_parts
+    from ..stages.joins import anti_join
+
+    cust = _read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def _cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+            "bal_cents": pc.cast(pc.round(pc.multiply(
+                b["c_acctbal"], 100.0), ndigits=0), pa.int64())})
+
+    cc = cust.map_batches(_cents, batch_format="pyarrow")
+    pos = cc.map_batches(
+        lambda b: b.filter(pc.greater(b["bal_cents"], 0)),
+        batch_format="pyarrow")
+    # bounded scalar aggregate: (n_pos, sum_pos) — two driver ints
+    n_pos = pos.count()
+    sum_pos = pos.sum("bal_cents") or 0
+
+    def _above(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        bal = b["bal_cents"].to_numpy(zero_copy_only=False).astype(
+            _np.int64)
+        return b.filter(pa.array(bal * n_pos > sum_pos))
+
+    rich = cc.map_batches(_above, batch_format="pyarrow")
+    orders = _read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                 columns=["o_custkey", "o_orderdate"])
+
+    def _recent(b: pa.Table) -> pa.Table:
+        d = pc.cast(b["o_orderdate"], pa.date32())
+        lo = pa.scalar(__import__("datetime").date(2001, 1, 1))
+        t = pa.table({"c_custkey": b["o_custkey"], "__d": d})
+        return t.filter(pc.greater_equal(t["__d"], lo)).drop_columns(
+            ["__d"])
+
+    no_orders = anti_join(rich,
+                          orders.map_batches(_recent,
+                                             batch_format="pyarrow"),
+                          on="c_custkey", num_partitions=4)
+    return grouped_sum_parts(no_orders.map_batches(
+        lambda b: pa.table({"c_nationkey": b["c_nationkey"],
+                            "bal_cents": b["bal_cents"]}),
+        batch_format="pyarrow"),
+        ["c_nationkey"], ["bal_cents"], count_col="numcust", fanin=4)
+
+
+SALES_OPPORTUNITY_SQL = """
+WITH c AS (
+    SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+    FROM customer
+),
+s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_pos,
+           CAST(sum(bal_cents) AS BIGINT) AS sum_pos
+    FROM c WHERE bal_cents > 0
+)
+SELECT c_nationkey,
+       CAST(sum(bal_cents) AS BIGINT) AS bal_cents,
+       CAST(count(*) AS BIGINT) AS numcust
+FROM c, s
+WHERE bal_cents * n_pos > sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= DATE '2001-01-01')
+GROUP BY c_nationkey
+"""
+
+
 # --- round 4 additions: rank correlation, ordinal patterns, HITS,
 # --- reciprocity, assortativity, KMV distinct, log2-histogram quantiles
 
@@ -15531,3 +15711,10 @@ QUERIES["backtest_snaive_1h"] = q_backtest_snaive_1h
 ORACLE_SQL["backtest_snaive_1h"] = BACKTEST_SNAIVE_SQL
 QUERIES["twohop_docs"] = q_twohop_docs
 ORACLE_SQL["twohop_docs"] = TWOHOP_SQL
+
+QUERIES["order_priority_check"] = q_order_priority_check
+ORACLE_SQL["order_priority_check"] = ORDER_PRIORITY_SQL
+QUERIES["custdist_orders"] = q_custdist_orders
+ORACLE_SQL["custdist_orders"] = CUSTDIST_SQL
+QUERIES["sales_opportunity_nations"] = q_sales_opportunity_nations
+ORACLE_SQL["sales_opportunity_nations"] = SALES_OPPORTUNITY_SQL
