@@ -313,3 +313,40 @@ def test_keyword_tag_and_snaive_and_twohop_run(ray_session):
     th = QUERIES["twohop_docs"](sf).to_pandas()
     # <= 3 one-hop + 9 two-hop distinct targets per node
     assert th.n_within_2.between(1, 12).all()
+
+
+def test_personalized_pagerank_seeds_and_zeros(ray_session, edges_df):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.graph import pagerank
+
+    nodes = pd.DataFrame({"doc_id": np.arange(50)})
+    seeds = pd.DataFrame({"doc_id": [0, 17, 34]})
+    out = pagerank(rd.from_pandas(edges_df).repartition(3),
+                   rd.from_pandas(nodes).repartition(2), iters=3,
+                   seeds_ds=rd.from_pandas(seeds),
+                   num_partitions=2, fanin=2).to_pandas().sort_values(
+                       "doc_id").reset_index(drop=True)
+    assert len(out) == 50
+    # python replay
+    SC, DAMP, DEN = 10 ** 9, 85, 100
+    tele = (DEN - DAMP) * SC // DEN
+    deg = edges_df.groupby("src").size().to_dict()
+    r = {v: (SC if v in (0, 17, 34) else 0) for v in range(50)}
+    for _ in range(3):
+        nxt = {v: (tele if v in (0, 17, 34) else 0) for v in range(50)}
+        for e in edges_df.itertuples():
+            nxt[e.dst] += (DAMP * r[e.src]) // (DEN * deg[e.src])
+        r = nxt
+    assert list(out.pr_e9) == [r[v] for v in range(50)]
+
+
+def test_vocab_overlap_identities(ray_session):
+    from tsdownsample_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["vocab_overlap_sources"](
+        "/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 190  # C(20, 2)
+    assert (out.n_union == out.n_a + out.n_b - out.n_inter).all()
+    assert (out.n_inter <= out[["n_a", "n_b"]].min(axis=1)).all()
+    assert ((out.jaccard > 0) & (out.jaccard <= 1)).all()

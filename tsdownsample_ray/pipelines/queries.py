@@ -14270,6 +14270,186 @@ GROUP BY c_nationkey
 """
 
 
+def q_vocab_overlap_sources(sf_dir: str):
+    """Vocabulary overlap between every source pair: exact |V_a inter
+    V_b|, |V_a|, |V_b|, union and Jaccard over the sources' distinct
+    token sets — the corpus-mixture redundancy signal. Shape: distinct
+    (token, source) via one hash(token, source) shuffle
+    (`dedup.distinct_pairs`), per-token source lists expand to (s1 < s2)
+    pairs with the segment-pair gather (bounded by |sources|^2 per
+    token), one hashpart pair sum; per-source sizes are a bounded
+    broadcast joined in the final map. Jaccard is the one pinned float."""
+    from ..arrow_utils import stable_part_codes
+    from ..stages.dedup import distinct_pairs
+    from ..stages.graph import grouped_sum_parts
+
+    docs = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"]).repartition(4)
+
+    def _toks(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = b["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        idx = np.repeat(np.arange(b.num_rows), n)
+        t = pa.table({"token": toks.values, "source": src.take(
+            pa.array(idx))})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        # in-block distinct before the shuffle
+        return t.group_by(["token", "source"]).aggregate([])
+
+    ts = distinct_pairs(docs.map_batches(_toks, batch_format="pyarrow"),
+                        cols=("token", "source"), num_partitions=4)
+    sizes = grouped_sum_parts(
+        ts.map_batches(lambda b: pa.table({"source": b["source"]}),
+                       batch_format="pyarrow"),
+        ["source"], [], count_col="n", fanin=4).to_pandas()
+    size_of = dict(zip(sizes["source"], sizes["n"].astype(int)))
+
+    mod = 4 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["token"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        empty = pa.table({"s1": pa.array([], pa.string()),
+                          "s2": pa.array([], pa.string()),
+                          "one": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("token", "ascending"), ("source", "ascending")]))
+        tok = t["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        codes = tok.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        from ..stages.dedup import _segmented_pairs
+
+        i, j = _segmented_pairs(np.arange(len(codes)), codes, None)
+        if len(i) == 0:
+            return empty
+        return pa.table({"s1": src.take(pa.array(i)),
+                         "s2": src.take(pa.array(j)),
+                         "one": pa.array(np.ones(len(i), np.int64))})
+
+    inter = grouped_sum_parts(
+        ts.map_batches(_add_part, batch_format="pyarrow")
+          .repartition(4).groupby("__part")
+          .map_groups(_pairs, batch_format="pyarrow"),
+        ["s1", "s2"], ["one"], count_col=None, fanin=4)
+
+    def _final(b: pa.Table) -> pa.Table:
+        s1 = b["s1"].to_pylist()
+        s2 = b["s2"].to_pylist()
+        it = b["one"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = np.array([size_of[s] for s in s1], np.int64)
+        nb = np.array([size_of[s] for s in s2], np.int64)
+        un = na + nb - it
+        return pa.table({
+            "s1": b["s1"], "s2": b["s2"],
+            "n_inter": pa.array(it), "n_a": pa.array(na),
+            "n_b": pa.array(nb), "n_union": pa.array(un),
+            "jaccard": pa.array(it.astype(np.float64)
+                                / un.astype(np.float64), pa.float64())})
+
+    return inter.map_batches(_final, batch_format="pyarrow")
+
+
+VOCAB_OVERLAP_SQL = """
+WITH ts AS (
+    SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token
+    FROM documents
+),
+ts_ AS (SELECT source, token FROM ts WHERE token <> ''),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ts_ GROUP BY 1),
+pr AS (
+    SELECT a.source AS s1, b.source AS s2,
+           CAST(count(*) AS BIGINT) AS n_inter
+    FROM ts_ a JOIN ts_ b ON a.token = b.token AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT pr.s1, pr.s2, pr.n_inter, za.n AS n_a, zb.n AS n_b,
+       za.n + zb.n - pr.n_inter AS n_union,
+       CAST(pr.n_inter AS DOUBLE)
+           / CAST(za.n + zb.n - pr.n_inter AS DOUBLE) AS jaccard
+FROM pr JOIN sz za ON za.source = pr.s1 JOIN sz zb ON zb.source = pr.s2
+"""
+
+
+def q_ppr_docs(sf_dir: str):
+    """Personalized PageRank (random walk with restart) from the seed set
+    ``doc_id % 17 == 0`` over the deterministic doc link graph
+    (``stages/graph.py:pagerank(seeds_ds=...)``): teleport mass lands
+    only on seeds, init r = scale on seeds and 0 elsewhere, 5 integer
+    fixed-point iterations; unreachable nodes report 0. Same join-based
+    distributed shape as global PageRank — no rank-vector broadcast."""
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from ..stages.graph import pagerank
+
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    nodes = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id"]).repartition(4)
+
+    def _edges(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        ts = _graph_targets(d, n)
+        src = np.concatenate([d.astype(np.int64)] * 3)
+        dst = np.concatenate(ts)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = nodes.map_batches(_edges, batch_format="pyarrow")
+    seeds = nodes.map_batches(
+        lambda b: b.filter(pc.equal(
+            pc.bit_wise_and(pa.array(
+                b["doc_id"].to_numpy() % 17), 0xFFFF), 0)),
+        batch_format="pyarrow")
+    return pagerank(edges, nodes, node_col="doc_id", iters=5,
+                    num_partitions=4, fanin=4, seeds_ds=seeds)
+
+
+def _ppr_sql(iters: int = 5, scale: int = 10 ** 9, damp: int = 85,
+             den: int = 100) -> str:
+    tele = (den - damp) * scale // den
+    parts = [f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+e AS (
+    SELECT d.doc_id AS src,
+           (d.doc_id*31 + 97*j.j) % (SELECT c FROM n) AS dst
+    FROM documents d CROSS JOIN (VALUES (1), (2), (3)) AS j(j)),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+it0 AS (SELECT doc_id AS v, CAST({scale} AS BIGINT) AS r
+        FROM documents WHERE doc_id % 17 = 0)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+it{k} AS (
+    SELECT d.doc_id AS v,
+           (CASE WHEN d.doc_id % 17 = 0 THEN {tele} ELSE 0 END)
+             + COALESCE(SUM(({damp} * r.r) // ({den} * g.outdeg)), 0) AS r
+    FROM documents d
+    LEFT JOIN e ON e.dst = d.doc_id
+    LEFT JOIN it{k - 1} r ON r.v = e.src
+    LEFT JOIN deg g ON g.src = e.src
+    GROUP BY d.doc_id)""")
+    parts.append(f"""
+SELECT v AS doc_id, CAST(r AS BIGINT) AS pr_e9 FROM it{iters}""")
+    return "".join(parts)
+
+
+PPR_SQL = _ppr_sql()
+
+
 # --- round 4 additions: rank correlation, ordinal patterns, HITS,
 # --- reciprocity, assortativity, KMV distinct, log2-histogram quantiles
 
@@ -15718,3 +15898,9 @@ QUERIES["custdist_orders"] = q_custdist_orders
 ORACLE_SQL["custdist_orders"] = CUSTDIST_SQL
 QUERIES["sales_opportunity_nations"] = q_sales_opportunity_nations
 ORACLE_SQL["sales_opportunity_nations"] = SALES_OPPORTUNITY_SQL
+
+QUERIES["vocab_overlap_sources"] = q_vocab_overlap_sources
+ORACLE_SQL["vocab_overlap_sources"] = VOCAB_OVERLAP_SQL
+
+QUERIES["ppr_docs"] = q_ppr_docs
+ORACLE_SQL["ppr_docs"] = PPR_SQL

@@ -142,7 +142,8 @@ def grouped_sum_parts(ds, keys: list, sum_cols: list, *,
 def pagerank(edges_ds, nodes_ds, *, node_col: str = "doc_id",
              src: str = "src", dst: str = "dst", iters: int = 5,
              scale: int = 10 ** 9, damp: int = 85, den: int = 100,
-             num_partitions: int = 4, fanin: int = 8):
+             num_partitions: int = 4, fanin: int = 8,
+             seeds_ds=None):
     """Integer fixed-point PageRank over ``edges_ds(src, dst)`` /
     ``nodes_ds(node_col)``. Returns one row per node:
     ``(node_col, pr_e9)`` with ``pr_e9`` the rank after ``iters``
@@ -152,6 +153,11 @@ def pagerank(edges_ds, nodes_ds, *, node_col: str = "doc_id",
     and nodes with no in-edges hold the teleport constant — both choices
     are deterministic and replayed by the SQL oracle. See the module
     docstring for the exactness/overflow contract.
+
+    ``seeds_ds`` (node_col rows) switches to PERSONALIZED PageRank: the
+    teleport mass lands only on the seed set (init r = scale on seeds, 0
+    elsewhere) — the standard random-walk-with-restart; non-seed nodes
+    unreachable from a seed report 0.
     """
     import ray.data as rd
 
@@ -176,8 +182,9 @@ def pagerank(edges_ds, nodes_ds, *, node_col: str = "doc_id",
             dst: pc.cast(b[node_col], pa.int64()),
             "c": pa.array(np.full(b.num_rows, teleport, dtype=np.int64))})
 
-    ranks = nodes_ds.map_batches(_init, batch_format="pyarrow").materialize()
-    tele = nodes_ds.map_batches(_tele, batch_format="pyarrow").materialize()
+    init_src = seeds_ds if seeds_ds is not None else nodes_ds
+    ranks = init_src.map_batches(_init, batch_format="pyarrow").materialize()
+    tele = init_src.map_batches(_tele, batch_format="pyarrow").materialize()
 
     def _contrib(b: pa.Table) -> pa.Table:
         r = b["r"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -197,8 +204,22 @@ def pagerank(edges_ds, nodes_ds, *, node_col: str = "doc_id",
             lambda b: pa.table({"v": b[dst], "r": b["c"]}),
             batch_format="pyarrow").materialize()
 
-    return ranks.map_batches(
+    out = ranks.map_batches(
         lambda b: pa.table({node_col: b["v"], "pr_e9": b["r"]}),
+        batch_format="pyarrow")
+    if seeds_ds is None:
+        return out
+    # personalized: nodes never reached carry rank 0 (absent from the
+    # contribution stream) — restore them with a left join + fill
+    nodes = nodes_ds.map_batches(
+        lambda b: pa.table({node_col: pc.cast(b[node_col], pa.int64())}),
+        batch_format="pyarrow")
+    j = nodes.join(out, join_type="left_outer",
+                   num_partitions=num_partitions, on=(node_col,))
+    return j.map_batches(
+        lambda b: pa.table({
+            node_col: b[node_col],
+            "pr_e9": pc.fill_null(pc.cast(b["pr_e9"], pa.int64()), 0)}),
         batch_format="pyarrow")
 
 
