@@ -110,7 +110,11 @@ def run_bench() -> dict:
         # round-3 closing-session marquee operators
         "token_bucket_events", "rdp_simplify_15m", "deadband_events",
         "isotonic_fit_1h", "dtw_pairs_1d", "dbscan_embeddings",
-        "rate_limit_users", "kcore_docs", "churn_features_users")
+        "rate_limit_users", "kcore_docs", "churn_features_users",
+        # round-4 marquee operators
+        "kendall_pairs_1h", "hits_docs", "kmv_distinct_domains",
+        "log2hist_events", "holtwinters_1h", "multimodal_gif_decode",
+        "vocab_overlap_sources", "keyword_tag_docs")
     for qname in qnames:
         best = None
         # min-of-n: throttle bursts vary timings ~3x; the two join-heavy

@@ -350,3 +350,28 @@ def test_vocab_overlap_identities(ray_session):
     assert (out.n_union == out.n_a + out.n_b - out.n_inter).all()
     assert (out.n_inter <= out[["n_a", "n_b"]].min(axis=1)).all()
     assert ((out.jaccard > 0) & (out.jaccard <= 1)).all()
+
+
+def test_modularity_sums_and_bounds(ray_session):
+    from tsdownsample_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["modularity_docs"]("/root/testdata/sf0.001").to_pandas()
+    m = int(out.m.iloc[0])
+    assert (out.m == m).all()
+    assert out.n_intra.sum() <= m            # intra edges partition m
+    assert out.deg_sum.sum() == 2 * m        # handshake lemma
+    q = out.contrib_num.sum() / (4 * m * m)
+    assert -0.5 <= q <= 1.0                  # modularity range
+    assert abs(out.q_contrib.sum() - q) < 1e-9
+
+
+def test_dominant_period_is_argmax(ray_session):
+    from tsdownsample_ray.pipelines.queries import QUERIES
+    from tsdownsample_ray.stages.correlate import autocorrelation
+    from tsdownsample_ray.stages.rollup import rollup
+    import pyarrow as pa
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["dominant_period_1h"](sf).to_pandas()
+    assert out.period_lag.between(2, 48).all()
+    assert len(out) == out.series_id.nunique()

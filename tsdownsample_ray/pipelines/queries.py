@@ -14450,6 +14450,239 @@ SELECT v AS doc_id, CAST(r AS BIGINT) AS pr_e9 FROM it{iters}""")
 PPR_SQL = _ppr_sql()
 
 
+def q_modularity_docs(sf_dir: str):
+    """Newman modularity of the embedding-label partition over the
+    undirected simple doc graph (Newman & Girvan, PRE 69:026113 (2004)):
+    per community c, intra-edge count ``e_c`` and degree sum ``d_c``
+    yield the EXACT per-community contribution numerator
+    ``4*m*e_c - d_c^2`` over the common denominator ``4*m^2``; the float
+    ``q_contrib`` is one pinned expression. Shape: distinct undirected
+    edges via one hash shuffle, labels ride a broadcast closure (the
+    bounded dimension contract, like label propagation), intra counts
+    and degree sums reduce through hashpart grouped sums — community
+    rows are bounded by |labels|."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.dedup import distinct_pairs
+    from ..stages.graph import grouped_sum_parts
+
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    lab_rows = _read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "label"]).take_all()
+    lab = {int(r["vec_id"]): int(r["label"]) for r in lab_rows}
+
+    nodes = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id"]).repartition(4)
+
+    def _edges(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy().astype(np.int64)
+        srcs, dsts = [], []
+        for j in range(1, 7):
+            keep = (d % 6) >= (j - 1)
+            dd = d[keep]
+            srcs.append(dd)
+            dsts.append((dd * 31 + 97 * j) % n)
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        u = np.minimum(src, dst)
+        v = np.maximum(src, dst)
+        t = pa.table({"u": pa.array(u), "v": pa.array(v)})
+        return t.filter(pc.invert(pc.equal(t["u"], t["v"])))
+
+    und = distinct_pairs(nodes.map_batches(_edges, batch_format="pyarrow"),
+                         cols=("u", "v"), num_partitions=4)
+    m = und.count()
+
+    def _intra(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lu = np.array([lab[x] for x in u], np.int64)
+        lv = np.array([lab[x] for x in v], np.int64)
+        t = pa.table({"label": pa.array(lu)})
+        return t.filter(pa.array(lu == lv))
+
+    intra = grouped_sum_parts(
+        und.map_batches(_intra, batch_format="pyarrow"),
+        ["label"], [], count_col="n_intra", fanin=4)
+
+    def _degs(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ends = np.concatenate([u, v])
+        return pa.table({"label": pa.array(
+            np.array([lab[x] for x in ends], np.int64))})
+
+    degs = grouped_sum_parts(
+        und.map_batches(_degs, batch_format="pyarrow"),
+        ["label"], [], count_col="deg_sum", fanin=4)
+    j = degs.join(intra, join_type="left_outer", num_partitions=4,
+                  on=("label",))
+
+    def _final(b: pa.Table) -> pa.Table:
+        e_c = pc.fill_null(pc.cast(b["n_intra"], pa.int64()), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        d_c = b["deg_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        contrib = 4 * m * e_c - d_c * d_c
+        q = contrib.astype(np.float64) / float(4 * m * m)
+        return pa.table({
+            "label": b["label"],
+            "n_intra": pa.array(e_c), "deg_sum": pa.array(d_c),
+            "m": pa.array(np.full(len(e_c), m, np.int64)),
+            "contrib_num": pa.array(contrib),
+            "q_contrib": pa.array(q, pa.float64())})
+
+    return j.map_batches(_final, batch_format="pyarrow")
+
+
+MODULARITY_SQL = """
+WITH nn AS (SELECT count(*) AS c FROM documents),
+e0 AS (
+    SELECT doc_id AS src,
+           (doc_id * 31 + 97 * j) % (SELECT c FROM nn) AS dst
+    FROM documents, unnest([1, 2, 3, 4, 5, 6]) t(j)
+    WHERE j <= 1 + doc_id % 6
+),
+und AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM e0 WHERE src <> dst
+),
+m_ AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+intra AS (
+    SELECT CAST(a.label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_intra
+    FROM und JOIN embeddings a ON a.vec_id = und.u
+             JOIN embeddings b ON b.vec_id = und.v
+    WHERE a.label = b.label GROUP BY 1
+),
+ends AS (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und
+),
+degs AS (
+    SELECT CAST(l.label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS deg_sum
+    FROM ends JOIN embeddings l ON l.vec_id = ends.node GROUP BY 1
+)
+SELECT d.label, coalesce(i.n_intra, 0) AS n_intra, d.deg_sum, m_.m,
+       4 * m_.m * coalesce(i.n_intra, 0) - d.deg_sum * d.deg_sum
+           AS contrib_num,
+       CAST(4 * m_.m * coalesce(i.n_intra, 0)
+            - d.deg_sum * d.deg_sum AS DOUBLE)
+           / CAST(4 * m_.m * m_.m AS DOUBLE) AS q_contrib
+FROM degs d CROSS JOIN m_ LEFT JOIN intra i ON i.label = d.label
+"""
+
+
+def q_dominant_period_1h(sf_dir: str):
+    """Dominant seasonality period per series: the ACF lag (2..48 hours)
+    with the maximum autocorrelation. The ACF stats are exact int64
+    (``correlate.autocorrelation``); the argmax orders by
+    ``floor(corr * 1e12)`` — corr is already ONE pinned IEEE expression
+    on both sides, so its floored fixed-point image is bit-identical
+    too — with smallest-lag tie-break. Output: (series_id, period_lag,
+    corr_e12, n)."""
+    from ..stages.correlate import autocorrelation
+    from ..stages.rollup import rollup
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"), W1H)
+    acf = autocorrelation(rolled, lags=tuple(range(2, 49)),
+                          window_us=W1H, num_partitions=2)
+
+    def _argmax(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        corr = b["corr"].to_numpy(zero_copy_only=False)
+        ok = ~_np.isnan(corr)
+        t = pa.table({
+            "series_id": b["series_id"], "lag": b["lag"], "n": b["n"],
+            "corr_e12": pa.array(
+                _np.where(ok, _np.floor(
+                    _np.nan_to_num(corr) * 1e12), 0).astype(_np.int64)),
+        }).filter(pa.array(ok))
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("series_id", "ascending"), ("corr_e12", "descending"),
+            ("lag", "ascending")]))
+        sid = t["series_id"]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(_np.int64)
+        heads = _np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        seg = pa.array(_np.flatnonzero(heads))
+        return pa.table({
+            "series_id": sid.take(seg),
+            "period_lag": t["lag"].take(seg),
+            "corr_e12": t["corr_e12"].take(seg),
+            "n": t["n"].take(seg)})
+
+    # |series| x 47 rows total — one bounded block, documented
+    return acf.repartition(1).map_batches(_argmax, batch_format="pyarrow")
+
+
+DOMINANT_PERIOD_SQL = f"""
+WITH e AS (
+    SELECT event_type, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+r AS (
+    SELECT event_type AS series_id,
+           ts_us // {W1H} * {W1H} AS bucket,
+           CAST(sum(cents) AS BIGINT) AS v
+    FROM e GROUP BY series_id, bucket
+),
+p AS (
+    SELECT a.series_id, l.lag, a.v AS x, b.v AS y
+    FROM r a
+    JOIN (SELECT unnest(range(2, 49)) AS lag) l ON true
+    JOIN r b ON b.series_id = a.series_id
+            AND b.bucket = a.bucket + CAST(l.lag AS BIGINT) * {W1H}
+),
+st AS (
+    SELECT series_id, CAST(lag AS BIGINT) AS lag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(sum(x * y) AS BIGINT) AS sum_xy,
+           CAST(sum(x * x) AS BIGINT) AS sum_xx,
+           CAST(sum(y * y) AS BIGINT) AS sum_yy
+    FROM p GROUP BY series_id, lag
+),
+c AS (
+    SELECT series_id, lag, n,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                      - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE)
+                        - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+                      - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+                             - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE)
+                               - CAST(sum_y AS DOUBLE)
+                                 * CAST(sum_y AS DOUBLE)))
+                ELSE NULL
+           END AS corr
+    FROM st
+),
+f AS (
+    SELECT series_id, lag, n,
+           CAST(floor(corr * 1e12) AS BIGINT) AS corr_e12,
+           row_number() OVER (PARTITION BY series_id
+                              ORDER BY CAST(floor(corr * 1e12) AS BIGINT)
+                                       DESC, lag) AS rk
+    FROM c WHERE corr IS NOT NULL
+)
+SELECT series_id, lag AS period_lag, corr_e12, n FROM f WHERE rk = 1
+"""
+
+
 # --- round 4 additions: rank correlation, ordinal patterns, HITS,
 # --- reciprocity, assortativity, KMV distinct, log2-histogram quantiles
 
@@ -15904,3 +16137,9 @@ ORACLE_SQL["vocab_overlap_sources"] = VOCAB_OVERLAP_SQL
 
 QUERIES["ppr_docs"] = q_ppr_docs
 ORACLE_SQL["ppr_docs"] = PPR_SQL
+
+QUERIES["modularity_docs"] = q_modularity_docs
+ORACLE_SQL["modularity_docs"] = MODULARITY_SQL
+
+QUERIES["dominant_period_1h"] = q_dominant_period_1h
+ORACLE_SQL["dominant_period_1h"] = DOMINANT_PERIOD_SQL
