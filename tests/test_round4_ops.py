@@ -375,3 +375,29 @@ def test_dominant_period_is_argmax(ray_session):
     out = QUERIES["dominant_period_1h"](sf).to_pandas()
     assert out.period_lag.between(2, 48).all()
     assert len(out) == out.series_id.nunique()
+
+
+def test_quantized_knn_recall_bounds(ray_session):
+    from tsdownsample_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["quantized_knn_recall"](
+        "/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 10
+    assert out.n_overlap.between(0, 10).all()
+    assert out.top1_match.isin((0, 1)).all()
+    # int8 over 128-dim near-unit vectors keeps most of the ranking
+    assert out.n_overlap.mean() >= 5
+
+
+def test_join_size_profile_equals_real_join(ray_session):
+    import duckdb
+
+    from tsdownsample_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["join_size_profile"](sf).to_pandas()
+    real = duckdb.sql(f"""
+        SELECT count(*) FROM '{sf}/orders.parquet' o
+        JOIN '{sf}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey
+    """).fetchone()[0]
+    assert int(out.join_rows[0]) == real

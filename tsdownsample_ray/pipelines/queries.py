@@ -14683,6 +14683,296 @@ SELECT series_id, lag AS period_lag, corr_e12, n FROM f WHERE rk = 1
 """
 
 
+def q_quantized_knn_recall(sf_dir: str):
+    """Embedding-quantization recall audit: int8 quantization
+    (``clamp(trunc(v*127), -127, 127)`` — the symmetric-scale int8 used
+    for memory-bound ANN serving) versus the exact e6 baseline
+    (``trunc(v*1e6)``, the engine's standard integer-dot convention).
+    For each of 10 query vectors (vec_id 0..9), both metrics rank all
+    other vectors by integer dot product ((dot DESC, vec_id ASC) total
+    order) and the audit reports the top-10 overlap + whether the top-1
+    agrees. Shape: the 10 query vectors broadcast as a closure matrix;
+    each batch computes BOTH dot sets in two (batch x dim) @ (dim x 10)
+    matmuls and emits only its per-(query, metric) top-10 partials
+    (<= 200 rows per block); the bounded final merge re-sorts and
+    intersects."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.similarity import embedding_matrix
+
+    t = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    qmask = pc.less(t["vec_id"], 10)
+    qt = t.filter(qmask)
+    order = pc.sort_indices(qt, sort_keys=[("vec_id", "ascending")])
+    qt = qt.take(order)
+    Qf = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    Q8 = np.clip(np.trunc(Qf * 127), -127, 127).astype(np.int64)
+    Qe6 = np.trunc(Qf * 1e6).astype(np.int64)
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    ds = ds.filter(expr="vec_id >= 10")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        E = embedding_matrix(b, "embedding").astype(np.float64)
+        V8 = np.clip(np.trunc(E * 127), -127, 127).astype(np.int64)
+        Ve6 = np.trunc(E * 1e6).astype(np.int64)
+        vid = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {"query_id": [], "metric": [], "vec_id": [], "dot": []}
+        for mname, V, Qm in (("int8", V8, Q8), ("e6", Ve6, Qe6)):
+            D = V @ Qm.T  # (n, 10) exact int64
+            for c in range(D.shape[1]):
+                d = D[:, c]
+                k = min(10, len(d))
+                # top-k by (dot DESC, vec_id ASC)
+                idx = np.lexsort((vid, -d))[:k]
+                out["query_id"].extend([int(qids[c])] * k)
+                out["metric"].extend([mname] * k)
+                out["vec_id"].extend(vid[idx].tolist())
+                out["dot"].extend(d[idx].tolist())
+        return pa.table({
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "metric": pa.array(out["metric"]),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "dot": pa.array(out["dot"], pa.int64())})
+
+    def _final(b: pa.Table) -> pa.Table:
+        qid = b["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        met = np.asarray(b["metric"].to_pylist())
+        vid = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dot = b["dot"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = {"query_id": [], "n_overlap": [], "top1_match": []}
+        for q in sorted(set(qid.tolist())):
+            tops = {}
+            for mname in ("int8", "e6"):
+                sel = (qid == q) & (met == mname)
+                idx = np.lexsort((vid[sel], -dot[sel]))[:10]
+                tops[mname] = vid[sel][idx]
+            rows["query_id"].append(q)
+            rows["n_overlap"].append(
+                len(set(tops["int8"]) & set(tops["e6"])))
+            rows["top1_match"].append(
+                int(tops["int8"][0] == tops["e6"][0]))
+        return pa.table({
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "n_overlap": pa.array(rows["n_overlap"], pa.int64()),
+            "top1_match": pa.array(rows["top1_match"], pa.int64())})
+
+    return ds.map_batches(_partial, batch_format="pyarrow").repartition(
+        1).map_batches(_final, batch_format="pyarrow")
+
+
+QUANTIZED_KNN_SQL = """
+WITH q AS (
+    SELECT vec_id AS qid,
+           list_transform(embedding, x ->
+               greatest(-127, least(127, CAST(trunc(x * 127) AS BIGINT))))
+               AS v8,
+           list_transform(embedding,
+               x -> CAST(trunc(x * 1000000) AS BIGINT)) AS ve6
+    FROM embeddings WHERE vec_id < 10
+),
+c AS (
+    SELECT vec_id,
+           list_transform(embedding, x ->
+               greatest(-127, least(127, CAST(trunc(x * 127) AS BIGINT))))
+               AS v8,
+           list_transform(embedding,
+               x -> CAST(trunc(x * 1000000) AS BIGINT)) AS ve6
+    FROM embeddings WHERE vec_id >= 10
+),
+d AS (
+    SELECT q.qid, c.vec_id,
+           list_dot_product(q.v8, c.v8) AS d8,
+           list_dot_product(q.ve6, c.ve6) AS d6
+    FROM q CROSS JOIN c
+),
+r AS (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY d8 DESC, vec_id)
+               AS r8,
+           row_number() OVER (PARTITION BY qid ORDER BY d6 DESC, vec_id)
+               AS r6
+    FROM d
+)
+SELECT qid AS query_id,
+       CAST(count(*) FILTER (WHERE r8 <= 10 AND r6 <= 10) AS BIGINT)
+           AS n_overlap,
+       CAST(max(CASE WHEN r8 = 1 AND r6 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS top1_match
+FROM r GROUP BY qid
+"""
+
+
+def q_profit_by_nation_year(sf_dir: str):
+    """TPC-H Q9 analog (product-type profit by nation and year; the
+    corpus has no partsupp, so profit = revenue =
+    ``l_extendedprice * (1 - l_discount)`` in exact e4 cents): lineitems
+    whose part name contains 'widget', joined part -> supplier ->
+    nation -> orders through four hash joins (dimension sides reduce
+    map-side to the join keys), rolled up per (nation, order year) via
+    one hashpart grouped sum. Revenue arithmetic is exact int64:
+    ``price_cents * (10000 - disc_e4)`` summed, one pinned float
+    division at the end."""
+    from ..stages.graph import grouped_sum_parts
+
+    li = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_orderkey",
+                 "l_extendedprice", "l_discount"])
+    part = _read_parquet_clean(f"{sf_dir}/part.parquet",
+                               columns=["p_partkey", "p_name"])
+    widget = part.map_batches(
+        lambda b: pa.table({"p_partkey": b["p_partkey"]}).filter(
+            pc.match_substring(b["p_name"], "widget")),
+        batch_format="pyarrow")
+    supp = _read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                               columns=["s_suppkey", "s_nationkey"])
+    nation = _read_parquet_clean(f"{sf_dir}/nation.parquet",
+                                 columns=["n_nationkey", "n_name"])
+    orders = _read_parquet_clean(f"{sf_dir}/orders.parquet",
+                                 columns=["o_orderkey", "o_orderdate"])
+
+    def _rev(b: pa.Table) -> pa.Table:
+        price = pc.cast(pc.round(pc.multiply(
+            b["l_extendedprice"], 100.0), ndigits=0), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            b["l_discount"], 10000.0), ndigits=0), pa.int64())
+        import numpy as _np
+
+        p = price.to_numpy(zero_copy_only=False).astype(_np.int64)
+        d = disc.to_numpy(zero_copy_only=False).astype(_np.int64)
+        return pa.table({
+            "l_partkey": b["l_partkey"], "l_suppkey": b["l_suppkey"],
+            "l_orderkey": b["l_orderkey"],
+            "rev_e4": pa.array(p * (10000 - d))})
+
+    j = li.map_batches(_rev, batch_format="pyarrow")
+    j = j.join(widget, join_type="inner", num_partitions=4,
+               on=("l_partkey",), right_on=("p_partkey",))
+    j = j.join(supp, join_type="inner", num_partitions=4,
+               on=("l_suppkey",), right_on=("s_suppkey",))
+    j = j.join(orders, join_type="inner", num_partitions=4,
+               on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def _ny(b: pa.Table) -> pa.Table:
+        yr = pc.year(pc.cast(b["o_orderdate"], pa.timestamp("us")))
+        return pa.table({"s_nationkey": pc.cast(b["s_nationkey"],
+                                                pa.int64()),
+                         "o_year": pc.cast(yr, pa.int64()),
+                         "rev_e4": b["rev_e4"]})
+
+    agg = grouped_sum_parts(j.map_batches(_ny, batch_format="pyarrow"),
+                            ["s_nationkey", "o_year"], ["rev_e4"],
+                            count_col="n_items", fanin=4)
+    named = agg.join(
+        nation.map_batches(lambda b: pa.table({
+            "s_nationkey": pc.cast(b["n_nationkey"], pa.int64()),
+            "nation": b["n_name"]}), batch_format="pyarrow"),
+        join_type="inner", num_partitions=4, on=("s_nationkey",))
+
+    def _fin(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        r = b["rev_e4"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        return pa.table({
+            "nation": b["nation"], "o_year": b["o_year"],
+            "rev_e4": b["rev_e4"], "n_items": b["n_items"],
+            "profit": pa.array(r.astype(_np.float64) / 1e6, pa.float64())})
+
+    return named.map_batches(_fin, batch_format="pyarrow")
+
+
+PROFIT_SQL = """
+WITH j AS (
+    SELECT s.s_nationkey,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT))
+             AS rev_e4
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+),
+agg AS (
+    SELECT s_nationkey, o_year, CAST(sum(rev_e4) AS BIGINT) AS rev_e4,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM j GROUP BY 1, 2
+)
+SELECT n.n_name AS nation, a.o_year, a.rev_e4, a.n_items,
+       CAST(a.rev_e4 AS DOUBLE) / 1000000 AS profit
+FROM agg a JOIN nation n ON n.n_nationkey = a.s_nationkey
+"""
+
+
+def q_join_size_profile(sf_dir: str):
+    """Join-cardinality profile of orders x lineitem on orderkey — the
+    planner-calibration audit: exact join row count WITHOUT running the
+    join (sum over keys of count products), plus key-overlap counts and
+    the hottest key's contribution. Two hashpart per-key counts meet in
+    ONE count-table join (|keys| rows, never the payload); all outputs
+    exact int64."""
+    from ..stages.graph import grouped_sum_parts
+
+    o = grouped_sum_parts(
+        _read_parquet_clean(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey"]).map_batches(
+            lambda b: pa.table({"k": b["o_orderkey"]}),
+            batch_format="pyarrow"),
+        ["k"], [], count_col="n_o", fanin=4)
+    li = grouped_sum_parts(
+        _read_parquet_clean(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey"]).map_batches(
+            lambda b: pa.table({"k": b["l_orderkey"]}),
+            batch_format="pyarrow"),
+        ["k"], [], count_col="n_l", fanin=4)
+    j = o.join(li, join_type="inner", num_partitions=4, on=("k",))
+
+    def _partial(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        a = b["n_o"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        c = b["n_l"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        prod = a * c
+        return pa.table({
+            "n_keys_both": pa.array([_np.int64(len(a))]),
+            "join_rows": pa.array([prod.sum()]),
+            "max_key_rows": pa.array([prod.max() if len(prod) else
+                                      _np.int64(0)])})
+
+    def _merge(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        def s(c):
+            return b[c].to_numpy(zero_copy_only=False).astype(
+                _np.int64)
+
+        return pa.table({
+            "n_keys_both": pa.array([s("n_keys_both").sum()]),
+            "join_rows": pa.array([s("join_rows").sum()]),
+            "max_key_rows": pa.array([s("max_key_rows").max()])})
+
+    return j.map_batches(_partial, batch_format="pyarrow").repartition(
+        1).map_batches(_merge, batch_format="pyarrow")
+
+
+JOIN_SIZE_SQL = """
+WITH o AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS n_o
+           FROM orders GROUP BY 1),
+l AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n_l
+      FROM lineitem GROUP BY 1),
+j AS (SELECT o.n_o * l.n_l AS prod FROM o JOIN l USING (k))
+SELECT CAST(count(*) AS BIGINT) AS n_keys_both,
+       CAST(sum(prod) AS BIGINT) AS join_rows,
+       CAST(max(prod) AS BIGINT) AS max_key_rows
+FROM j
+"""
+
+
 # --- round 4 additions: rank correlation, ordinal patterns, HITS,
 # --- reciprocity, assortativity, KMV distinct, log2-histogram quantiles
 
@@ -16143,3 +16433,11 @@ ORACLE_SQL["modularity_docs"] = MODULARITY_SQL
 
 QUERIES["dominant_period_1h"] = q_dominant_period_1h
 ORACLE_SQL["dominant_period_1h"] = DOMINANT_PERIOD_SQL
+
+QUERIES["quantized_knn_recall"] = q_quantized_knn_recall
+ORACLE_SQL["quantized_knn_recall"] = QUANTIZED_KNN_SQL
+
+QUERIES["profit_by_nation_year"] = q_profit_by_nation_year
+ORACLE_SQL["profit_by_nation_year"] = PROFIT_SQL
+QUERIES["join_size_profile"] = q_join_size_profile
+ORACLE_SQL["join_size_profile"] = JOIN_SIZE_SQL
