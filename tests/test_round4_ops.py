@@ -401,3 +401,18 @@ def test_join_size_profile_equals_real_join(ray_session):
         JOIN '{sf}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey
     """).fetchone()[0]
     assert int(out.join_rows[0]) == real
+
+
+def test_lod_route_tier_choice_and_counts(ray_session):
+    from tsdownsample_ray.pipelines.queries import QUERIES, W1D, W1H
+
+    out = QUERIES["lod_route_events"](
+        "/root/testdata/sf0.001").to_pandas()
+    # case 1 (n_out=100) must route to the 1h tier, cases 2/3 to 1d
+    for cid, w in ((1, W1H), (2, W1D), (3, W1D)):
+        b = out[out.case_id == cid].bucket
+        assert (b % w == 0).all()
+    # per series, selected points never exceed n_out
+    for cid, n_out in ((1, 100), (2, 20), (3, 4)):
+        per = out[out.case_id == cid].groupby("series_id").size()
+        assert (per <= n_out).all() and (per > 0).all()

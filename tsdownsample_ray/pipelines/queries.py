@@ -14973,6 +14973,135 @@ FROM j
 """
 
 
+# (case_id, n_out) pairs for the LOD router — picked so the rule lands on
+# DIFFERENT tiers over the 30-day corpus (1h for 100, 1d for 20/4)
+_LOD_ROUTE_CASES = ((1, 100), (2, 20), (3, 4))
+
+
+def q_lod_route_events(sf_dir: str):
+    """The interactive-zoom READ path end-to-end (the Grafana router):
+    given (time range, n_out), choose the COARSEST retention tier whose
+    bucket estimate still covers n_out points —
+
+        w = first w in (1d, 1h, 15m) with range_us // w + 1 >= n_out
+
+    — build that tier with the standard rollup, and MinMax-downsample
+    each series' tier values to n_out (no-x binning over bucket order,
+    ties -> first, the reference kernel semantics). The range scalars are
+    TWO bounded driver aggregates; everything else streams. Output:
+    (case_id, series_id, bucket, v) — the points a plot would draw."""
+    from ..stages.downsample import downsample_table
+    from ..stages.rollup import rollup
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    src = ev.map_batches(_series, batch_format="pyarrow")
+    lo = src.min("x")
+    hi = src.max("x")
+    rng = int(hi) - int(lo)
+
+    out = None
+    for case_id, n_out in _LOD_ROUTE_CASES:
+        w = next((wu for wu in (W1D, W1H, W15M)
+                  if rng // wu + 1 >= n_out), W15M)
+        tier = rollup(src, w)
+
+        def _ds_group(tbl: pa.Table, _n=n_out) -> pa.Table:
+            t = tbl.take(pc.sort_indices(tbl, sort_keys=[
+                ("bucket", "ascending")]))
+            t2 = pa.table({"series_id": t["series_id"],
+                           "bucket": t["bucket"], "v": t["sum_y"]})
+            return downsample_table(t2, "minmax", _n, x_col=None,
+                                    y_col="v")
+
+        sel = tier.groupby("series_id").map_groups(
+            _ds_group, batch_format="pyarrow")
+
+        def _tag(b: pa.Table, _c=case_id) -> pa.Table:
+            return pa.table({
+                "case_id": pa.array(np.full(b.num_rows, _c, np.int64)),
+                "series_id": b["series_id"], "bucket": b["bucket"],
+                "v": b["v"]})
+
+        tagged = sel.map_batches(_tag, batch_format="pyarrow")
+        out = tagged if out is None else out.union(tagged)
+    return out
+
+
+def _lod_route_case_sql(case_id: int, n_out: int) -> str:
+    bins = n_out // 2
+    return f"""
+SELECT CAST({case_id} AS BIGINT) AS case_id, series_id, bucket, v
+FROM (
+    WITH rng AS (
+        SELECT max(epoch_us(ts)) - min(epoch_us(ts)) AS r FROM events
+    ),
+    w_ AS (
+        SELECT CASE WHEN r // {W1D} + 1 >= {n_out} THEN {W1D}
+                    WHEN r // {W1H} + 1 >= {n_out} THEN {W1H}
+                    ELSE {W15M} END AS w
+        FROM rng
+    ),
+    r AS MATERIALIZED (
+        SELECT event_type AS series_id,
+               epoch_us(ts) // (SELECT w FROM w_) * (SELECT w FROM w_)
+                   AS bucket,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM events GROUP BY 1, 2
+    ),
+    s AS MATERIALIZED (
+        SELECT series_id, bucket, v,
+               row_number() OVER (PARTITION BY series_id
+                                  ORDER BY bucket) - 1 AS rn,
+               count(*) OVER (PARTITION BY series_id) AS cnt
+        FROM r
+    ),
+    binned AS MATERIALIZED (
+        SELECT s.*, b.i,
+               CASE WHEN b.i = 0 THEN 0
+                    ELSE CAST(FLOOR(b.i * ((s.cnt - 1.0) / {bins}))
+                              AS BIGINT) + 1 END AS lo,
+               CASE WHEN b.i = {bins - 1} THEN s.cnt
+                    ELSE CAST(FLOOR((b.i + 1) * ((s.cnt - 1.0) / {bins}))
+                              AS BIGINT) + 1 END AS hi
+        FROM s JOIN generate_series(0, {bins - 1}) b(i) ON TRUE
+    ),
+    inbin AS MATERIALIZED (SELECT * FROM binned
+                           WHERE rn >= lo AND rn < hi AND cnt > {n_out}),
+    ext AS MATERIALIZED (
+        SELECT series_id, i, min(v) AS mn, max(v) AS mx
+        FROM inbin GROUP BY 1, 2
+    ),
+    sel AS (
+        SELECT ib.series_id,
+               min(ib.rn) FILTER (WHERE ib.v = e.mn) AS rn_min,
+               min(ib.rn) FILTER (WHERE ib.v = e.mx) AS rn_max
+        FROM inbin ib JOIN ext e
+          ON e.series_id = ib.series_id AND e.i = ib.i
+        GROUP BY ib.series_id, ib.i
+    ),
+    keep AS (
+        SELECT series_id, rn_min AS rn FROM sel
+        UNION
+        SELECT series_id, rn_max FROM sel
+        UNION ALL
+        SELECT series_id, rn FROM s WHERE cnt <= {n_out}
+    )
+    SELECT s.series_id, s.bucket, s.v
+    FROM s JOIN keep k ON k.series_id = s.series_id AND k.rn = s.rn
+) q
+"""
+
+
+LOD_ROUTE_SQL = " UNION ALL ".join(
+    _lod_route_case_sql(c, n) for c, n in _LOD_ROUTE_CASES)
+
+
 # --- round 4 additions: rank correlation, ordinal patterns, HITS,
 # --- reciprocity, assortativity, KMV distinct, log2-histogram quantiles
 
@@ -16441,3 +16570,6 @@ QUERIES["profit_by_nation_year"] = q_profit_by_nation_year
 ORACLE_SQL["profit_by_nation_year"] = PROFIT_SQL
 QUERIES["join_size_profile"] = q_join_size_profile
 ORACLE_SQL["join_size_profile"] = JOIN_SIZE_SQL
+
+QUERIES["lod_route_events"] = q_lod_route_events
+ORACLE_SQL["lod_route_events"] = LOD_ROUTE_SQL
