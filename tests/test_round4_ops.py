@@ -416,3 +416,24 @@ def test_lod_route_tier_choice_and_counts(ray_session):
     for cid, n_out in ((1, 100), (2, 20), (3, 4)):
         per = out[out.case_id == cid].groupby("series_id").size()
         assert (per <= n_out).all() and (per > 0).all()
+
+
+def test_ed2_pairs_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.strsim import _ed, ed2_pairs
+
+    vocab = ["spark", "spar", "spa", "shark", "stark", "sort", "part",
+             "sport", "xyzzy", "ab", "ba", "abc"]
+    ds = rd.from_pandas(pd.DataFrame({"token": vocab})).repartition(3)
+    out = ed2_pairs(ds, num_partitions=2).to_pandas()
+    got = {(r.a, r.b): r.dist for r in out.itertuples()}
+    exp = {}
+    for i in range(len(vocab)):
+        for j in range(len(vocab)):
+            a, b = sorted((vocab[i], vocab[j]))
+            if a < b:
+                d = _ed(a, b)
+                if 1 <= d <= 2:
+                    exp[(a, b)] = d
+    assert got == exp

@@ -15102,6 +15102,45 @@ LOD_ROUTE_SQL = " UNION ALL ".join(
     _lod_route_case_sql(c, n) for c, n in _LOD_ROUTE_CASES)
 
 
+def q_ed2_pairs_docs(sf_dir: str):
+    """Edit-distance-<=2 similarity join (``stages/strsim.py:ed2_pairs``)
+    — spelling-correction candidate generation: FastSS depth-2 deletion
+    neighborhoods (1 + L + C(L,2) variant keys per vocabulary term), one
+    hash(variant) shuffle, in-bucket exact-DP verify reporting the exact
+    distance, hash-partitioned pair distinct. Runs on the corpus
+    vocabulary (distinct tokens), never corpus rows."""
+    from ..stages.strsim import ed2_pairs
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["text"])
+
+    def _toks(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return pa.table({"token": pc.unique(flat)})
+
+    # per-batch unique is enough: ed2_pairs' buckets set-dedup terms and
+    # its distinct tail dedups pairs found via multiple shared variants
+    vocab = ds.map_batches(_toks, batch_format="pyarrow")
+    return ed2_pairs(vocab, num_partitions=4)
+
+
+ED2_PAIRS_SQL = """
+WITH v AS (
+    SELECT DISTINCT t.term AS tok
+    FROM documents, unnest(string_split(text, ' ')) AS t(term)
+    WHERE t.term <> ''
+)
+SELECT a.tok AS a, b.tok AS b,
+       CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist
+FROM v a JOIN v b ON a.tok < b.tok
+WHERE levenshtein(a.tok, b.tok) BETWEEN 1 AND 2
+"""
+
+
 # --- round 4 additions: rank correlation, ordinal patterns, HITS,
 # --- reciprocity, assortativity, KMV distinct, log2-histogram quantiles
 
@@ -16573,3 +16612,6 @@ ORACLE_SQL["join_size_profile"] = JOIN_SIZE_SQL
 
 QUERIES["lod_route_events"] = q_lod_route_events
 ORACLE_SQL["lod_route_events"] = LOD_ROUTE_SQL
+
+QUERIES["ed2_pairs_docs"] = q_ed2_pairs_docs
+ORACLE_SQL["ed2_pairs_docs"] = ED2_PAIRS_SQL

@@ -18,7 +18,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["ed1_pairs"]
+__all__ = ["ed1_pairs", "ed2_pairs"]
 
 
 def _ed_le1(a: str, b: str) -> bool:
@@ -98,6 +98,115 @@ def ed1_pairs(terms_ds, *, term_col: str = "token",
             return pa.table({"a": pa.array([], pa.string()),
                              "b": pa.array([], pa.string())})
         return t.group_by(["a", "b"]).aggregate([])
+
+    def _pair_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["a"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    cands = (terms_ds.map_batches(_variants, batch_format="pyarrow")
+             .map_batches(_add_part, batch_format="pyarrow")
+             .repartition(num_partitions).groupby("__part")
+             .map_groups(_bucket_pairs, batch_format="pyarrow"))
+    return (cands.map_batches(_pair_part, batch_format="pyarrow")
+            .repartition(num_partitions).groupby("__part")
+            .map_groups(_distinct, batch_format="pyarrow"))
+
+
+def _ed(a: str, b: str) -> int:
+    """Exact Levenshtein distance (full DP — verify-phase only: inputs
+    are vocabulary-neighborhood candidate pairs of short tokens)."""
+    la, lb = len(a), len(b)
+    if la < lb:
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+def ed2_pairs(terms_ds, *, term_col: str = "token",
+              num_partitions: int = 8):
+    """(a < b) term pairs with Levenshtein distance in [1, 2] plus the
+    exact distance — FastSS at depth 2 (Bocek et al. 2007): two terms
+    are within edit distance k iff their <=k-deletion neighborhoods
+    intersect, so candidates come from ONE hash shuffle of
+    (variant, term) rows over the 1 + L + C(L,2) depth-2 deletion keys
+    per vocabulary term, and each bucket verifies its pairs with the
+    exact DP. Output (a, b, dist). Same distinct/dedup tail as
+    :func:`ed1_pairs`."""
+    from ..arrow_utils import stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _variants(b: pa.Table) -> pa.Table:
+        col = b[term_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        terms = col.to_pylist()
+        keys, names = [], []
+        for t in terms:  # vocabulary rows, not corpus rows
+            vs = {t}
+            for i in range(len(t)):
+                d1 = t[:i] + t[i + 1:]
+                vs.add(d1)
+                for j in range(len(d1)):
+                    vs.add(d1[:j] + d1[j + 1:])
+            keys.extend(vs)
+            names.extend([t] * len(vs))
+        return pa.table({"variant": pa.array(keys, pa.string()),
+                         "term": pa.array(names, pa.string())})
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["variant"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _bucket_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string()),
+                          "dist": pa.array([], pa.int64())})
+        t = g.drop_columns(["__part"])
+        if t.num_rows < 2:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("variant", "ascending"), ("term", "ascending")]))
+        var = t["variant"].to_pylist()
+        term = t["term"].to_pylist()
+        out_a, out_b, out_d = [], [], []
+        i = 0
+        n = len(var)
+        while i < n:
+            j = i
+            while j < n and var[j] == var[i]:
+                j += 1
+            bucket = sorted(set(term[i:j]))
+            for x in range(len(bucket)):
+                for y in range(x + 1, len(bucket)):
+                    d = _ed(bucket[x], bucket[y])
+                    if 1 <= d <= 2:
+                        out_a.append(bucket[x])
+                        out_b.append(bucket[y])
+                        out_d.append(d)
+            i = j
+        return pa.table({"a": pa.array(out_a, pa.string()),
+                         "b": pa.array(out_b, pa.string()),
+                         "dist": pa.array(out_d, pa.int64())})
+
+    def _distinct(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "dist": pa.array([], pa.int64())})
+        g2 = t.group_by(["a", "b"]).aggregate([("dist", "min")])
+        return pa.table({"a": g2["a"], "b": g2["b"],
+                         "dist": g2["dist_min"]})
 
     def _pair_part(b: pa.Table) -> pa.Table:
         h = stable_part_codes(b["a"], None)
