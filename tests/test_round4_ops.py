@@ -437,3 +437,29 @@ def test_ed2_pairs_matches_bruteforce(ray_session):
                 if 1 <= d <= 2:
                     exp[(a, b)] = d
     assert got == exp
+
+
+def test_cdc_chunks_lossless_and_shift_resistant(ray_session):
+    import pyarrow as pa
+
+    from tsdownsample_ray.stages.packing import cdc_chunk_batch
+
+    t = pa.table({"doc_id": [1, 2],
+                  "text": ["the quick brown fox jumps over the lazy dog "
+                           * 20,
+                           "xy" * 3]})
+    out = cdc_chunk_batch(t)
+    df = out.to_pandas()
+    # lossless: chunks concatenate back to the text, in chunk_id order
+    for did, txt in ((1, t["text"][0].as_py()), (2, t["text"][1].as_py())):
+        g = df[df.doc_id == did].sort_values("chunk_id")
+        assert "".join(g.chunk) == txt
+    # shift resistance: prepending bytes leaves the TAIL chunks identical
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    a = cdc_chunk_batch(pa.table({"doc_id": [1], "text": [base]}))
+    b = cdc_chunk_batch(pa.table({"doc_id": [1],
+                                  "text": ["ZZZZ" + base]}))
+    ca = a["chunk"].to_pylist()
+    cb = b["chunk"].to_pylist()
+    assert len(ca) > 3  # boundaries actually fire on this text
+    assert ca[-3:] == cb[-3:]  # unchanged content re-chunks identically

@@ -15141,6 +15141,134 @@ WHERE levenshtein(a.tok, b.tok) BETWEEN 1 AND 2
 """
 
 
+_CDC_SQL_CORE = """
+pos AS (
+    SELECT doc_id, text, length(text) AS n,
+           CAST(t.p AS BIGINT) AS p
+    FROM documents, unnest(range(
+        1, greatest(length(text) - 7, 0) + 1)) t(p)
+),
+hw AS (
+    SELECT doc_id, text, n, p,
+           list_reduce(list_prepend(0::HUGEINT,
+               list_transform(range(0, 8),
+                   k -> unicode(substring(text, CAST(p + k AS INT),
+                                          1))::HUGEINT)),
+               (h, c) -> (h * 1000003 + c) % 2305843009213693951) AS hv
+    FROM pos
+),
+allcuts AS (
+    SELECT DISTINCT doc_id, p + 7 AS cut FROM hw WHERE hv % 64 = 0
+    UNION
+    SELECT doc_id, length(text) FROM documents WHERE length(text) > 0
+),
+seg AS (
+    SELECT a.doc_id,
+           coalesce(lag(a.cut) OVER (PARTITION BY a.doc_id
+                                     ORDER BY a.cut), 0) AS s,
+           a.cut AS e
+    FROM allcuts a
+),
+chunks AS (
+    SELECT seg.doc_id,
+           row_number() OVER (PARTITION BY seg.doc_id
+                              ORDER BY seg.s) - 1 AS chunk_id,
+           substring(d.text, CAST(seg.s + 1 AS INT),
+                     CAST(seg.e - seg.s AS INT)) AS chunk,
+           seg.e - seg.s AS chunk_len
+    FROM seg JOIN documents d ON d.doc_id = seg.doc_id
+)
+"""
+
+
+def q_cdc_chunk_docs(sf_dir: str):
+    """Content-defined chunking stats per document
+    (``stages/packing.py:cdc_chunk_batch`` — rsync/FastCDC boundaries
+    from the engine's Horner-mod-2^61-1 window hash): (doc_id, n_chunks,
+    min/max/total chunk length). Pure map stage + in-block aggregate —
+    no shuffle touches chunk text here."""
+    from ..arrow_utils import rename_agg
+    from ..stages.packing import cdc_chunk_batch
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+    chunks = ds.map_batches(cdc_chunk_batch, batch_format="pyarrow")
+
+    def _stats(b: pa.Table) -> pa.Table:
+        g = b.group_by(["doc_id"]).aggregate(
+            [("chunk_len", "count"), ("chunk_len", "min"),
+             ("chunk_len", "max"), ("chunk_len", "sum")])
+        return rename_agg(g, {
+            "doc_id": "doc_id", "chunk_len_count": "n_chunks",
+            "chunk_len_min": "min_len", "chunk_len_max": "max_len",
+            "chunk_len_sum": "total_len"})
+
+    def _cast(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_chunks": pc.cast(b["n_chunks"], pa.int64()),
+            "min_len": b["min_len"], "max_len": b["max_len"],
+            "total_len": b["total_len"]})
+
+    # chunk rows of one doc stay in the producing block (map stage), so
+    # the per-doc aggregate needs no shuffle at all
+    return chunks.map_batches(_stats, batch_format="pyarrow").map_batches(
+        _cast, batch_format="pyarrow")
+
+
+CDC_CHUNK_SQL = f"""
+WITH {_CDC_SQL_CORE}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(min(chunk_len) AS BIGINT) AS min_len,
+       CAST(max(chunk_len) AS BIGINT) AS max_len,
+       CAST(sum(chunk_len) AS BIGINT) AS total_len
+FROM chunks GROUP BY doc_id
+"""
+
+
+def q_cdc_dedup_corpus(sf_dir: str):
+    """Corpus-level chunk dedup ratio over the content-defined chunks:
+    total chunks vs distinct chunk TEXTS (one hash(chunk) distinct
+    exchange — the block-level dedup storage win CDC exists to expose).
+    ONE row: (total_chunks, distinct_chunks, total_bytes,
+    distinct_bytes, dedup_ratio)."""
+    from ..stages.dedup import distinct_pairs
+    from ..stages.packing import cdc_chunk_batch
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+    chunks = ds.map_batches(cdc_chunk_batch, batch_format="pyarrow")
+    total = chunks.count()
+    tot_bytes = chunks.sum("chunk_len") or 0
+    dchunks = distinct_pairs(
+        chunks.map_batches(lambda b: pa.table({"chunk": b["chunk"],
+                                               "chunk_len":
+                                               b["chunk_len"]}),
+                           batch_format="pyarrow"),
+        cols=("chunk", "chunk_len"), num_partitions=4)
+    distinct = dchunks.count()
+    dis_bytes = dchunks.sum("chunk_len") or 0
+    import pandas as pd
+
+    return pd.DataFrame({
+        "total_chunks": [total], "distinct_chunks": [distinct],
+        "total_bytes": [int(tot_bytes)], "distinct_bytes": [int(dis_bytes)],
+        "dedup_ratio": [float(distinct) / total if total else None]})
+
+
+CDC_DEDUP_SQL = f"""
+WITH {_CDC_SQL_CORE}
+SELECT CAST(count(*) AS BIGINT) AS total_chunks,
+       CAST(count(DISTINCT chunk) AS BIGINT) AS distinct_chunks,
+       CAST(sum(chunk_len) AS BIGINT) AS total_bytes,
+       CAST((SELECT sum(l) FROM (SELECT DISTINCT chunk, chunk_len AS l
+                                 FROM chunks)) AS BIGINT)
+           AS distinct_bytes,
+       CAST(count(DISTINCT chunk) AS DOUBLE) / count(*) AS dedup_ratio
+FROM chunks
+"""
+
+
 # --- round 4 additions: rank correlation, ordinal patterns, HITS,
 # --- reciprocity, assortativity, KMV distinct, log2-histogram quantiles
 
@@ -16615,3 +16743,8 @@ ORACLE_SQL["lod_route_events"] = LOD_ROUTE_SQL
 
 QUERIES["ed2_pairs_docs"] = q_ed2_pairs_docs
 ORACLE_SQL["ed2_pairs_docs"] = ED2_PAIRS_SQL
+
+QUERIES["cdc_chunk_docs"] = q_cdc_chunk_docs
+ORACLE_SQL["cdc_chunk_docs"] = CDC_CHUNK_SQL
+QUERIES["cdc_dedup_corpus"] = q_cdc_dedup_corpus
+ORACLE_SQL["cdc_dedup_corpus"] = CDC_DEDUP_SQL

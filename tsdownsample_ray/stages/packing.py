@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["chunk_documents", "pack_sequences"]
+__all__ = ["chunk_documents", "pack_sequences", "cdc_chunk_batch"]
 
 
 def chunk_documents(ds, *, chunk_tokens: int, overlap: int = 0,
@@ -158,3 +158,57 @@ def pack_sequences(ds, capacity: int, *, id_col: str = "doc_id",
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _offsets, batch_format="pyarrow")
+
+
+def cdc_chunk_batch(batch: pa.Table, *, text_col: str = "text",
+                    id_col: str = "doc_id", window: int = 8,
+                    mask: int = 63) -> pa.Table:
+    """Content-defined chunking (the rsync/FastCDC family, Muthitacharoen
+    et al., SOSP 2001): a chunk boundary falls AFTER every ``window``-char
+    run whose polynomial hash (the engine's Horner base-1000003 mod
+    2^61-1 — ``textstats.fingerprint_batch``'s function) satisfies
+    ``h % (mask+1) == 0``; a byte edit only moves boundaries inside its
+    own neighborhood, so unchanged content re-chunks identically — the
+    dedup-friendly splitter, unlike fixed-stride chunking. Emits one row
+    per chunk: (id, chunk_id, chunk, chunk_len). Pure map stage; window
+    hashes are vectorized per doc (one mulmod per window offset), only
+    the per-CHUNK substring gather is a Python loop (bounded by
+    chunks-per-doc, ~len/(mask+1))."""
+    import numpy as np
+
+    from .textstats import _MOD, _mulmod_byte, _powers
+
+    pows = _powers(window)
+    texts = batch[text_col].to_pylist()
+    ids = batch[id_col].to_pylist()
+    out_id, out_cid, out_chunk = [], [], []
+    for did, t in zip(ids, texts):
+        raw = t.encode()
+        n = len(raw)
+        if n == 0:
+            continue
+        cuts = []
+        if n >= window:
+            codes = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
+            acc = np.zeros(n - window + 1, dtype=np.uint64)
+            for k in range(window):
+                term = _mulmod_byte(codes[k: n - window + 1 + k],
+                                    pows[window - 1 - k: window - k])
+                acc = acc + term
+                acc = np.where(acc >= _MOD, acc - np.uint64(_MOD), acc)
+            cuts = (np.flatnonzero(acc % np.uint64(mask + 1) == 0)
+                    + window).tolist()
+        if not cuts or cuts[-1] != n:
+            cuts.append(n)
+        prev = 0
+        for ci, c in enumerate(cuts):
+            out_id.append(did)
+            out_cid.append(ci)
+            out_chunk.append(raw[prev:c].decode())
+            prev = c
+    return pa.table({
+        id_col: pa.array(out_id, batch[id_col].type),
+        "chunk_id": pa.array(out_cid, pa.int64()),
+        "chunk": pa.array(out_chunk, pa.string()),
+        "chunk_len": pa.array([len(c) for c in out_chunk], pa.int64()),
+    })
