@@ -15650,8 +15650,12 @@ def q_log2hist_events(sf_dir: str):
     ev = _events_cents(sf_dir)
 
     def _kv(b: pa.Table) -> pa.Table:
-        return pa.table({"event_type": b["event_type"],
-                         "cents": b["cents"]})
+        t = pa.table({"event_type": b["event_type"],
+                      "cents": b["cents"]})
+        # the log-bucket sketch's domain is v > 0 (it raises otherwise);
+        # zero-cent events (sub-cent values, present from sf0.1 up) are
+        # filtered on BOTH sides
+        return t.filter(pc.greater(t["cents"], 0))
 
     return log2hist_quantiles(ev.map_batches(_kv, batch_format="pyarrow"),
                               key_col="event_type", value_col="cents",
@@ -15662,7 +15666,7 @@ LOG2HIST_SQL = """
 WITH e AS (
     SELECT event_type,
            length(bin(CAST(round(value * 100) AS BIGINT))) - 1 AS b
-    FROM events
+    FROM events WHERE CAST(round(value * 100) AS BIGINT) > 0
 ),
 c AS (
     SELECT event_type, b, CAST(count(*) AS BIGINT) AS c
