@@ -32,4 +32,14 @@ def tune_data_context(ctx=None):
 
         ctx = DataContext.get_current()
     ctx.op_resource_reservation_enabled = False
+    # pre-import the module Ray's write-path filesystem check pulls in
+    # lazily (`path_util._is_http_filesystem`): two driver threads writing
+    # concurrently (the retention pipeline's overlapped tier sinks) can
+    # race the import and one sees a partially-initialized module —
+    # an intermittent "cannot import name 'HTTPFileSystem'" crash.
+    # Importing once here, before any threads spawn, removes the race.
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except Exception:
+        pass  # no fsspec/aiohttp -> Ray's check raises ImportError itself
     return ctx
