@@ -11,7 +11,7 @@ from __future__ import annotations
 from ..stages.downsample import downsample_dataset
 from ..stages.rollup import finalize_mean, rollup
 from ..stages.series import derive_series
-from ..sources.corpus import estimate_pages, read_pages
+from ..sources.corpus import estimate_rollup_keys, read_pages
 
 US = 1_000_000
 
@@ -22,10 +22,11 @@ def flagship_dataset(sf_dir: str, *, snapshots: int = 3,
     pages = read_pages(sf_dir, snapshots=snapshots,
                        columns=["url", "warc_ts", "text"])
     series = derive_series(pages)
-    # metadata-only key-space upper bound so combine="auto" flips to the
-    # hash-partitioned merge before the tree's single-block final merge
-    # becomes the bottleneck at 100x corpus scale
-    est = estimate_pages(sf_dir, snapshots=snapshots)
+    # tight |domains| x |buckets| key estimate (estimate_rollup_keys —
+    # the pages bound overestimates by orders of magnitude and flips
+    # combine="auto" to the 2x-slower hashpart merge at toy key counts;
+    # a genuinely huge key space still selects hashpart)
+    est = estimate_rollup_keys(sf_dir, window_us, snapshots=snapshots)
     tier0 = finalize_mean(rollup(series, window_us, est_keys=est))
     return downsample_dataset(
         tier0, kernel=kernel, n_out=n_out, x_col="bucket", y_col="mean_y"

@@ -14,7 +14,7 @@ from __future__ import annotations
 import time
 from concurrent.futures import ThreadPoolExecutor
 
-from ..sources.corpus import estimate_pages, read_pages
+from ..sources.corpus import estimate_rollup_keys, read_pages
 from ..stages.compress import compress_chunks_per_series
 from ..stages.downsample import downsample_dataset
 from ..stages.gapfill import gapfill
@@ -94,12 +94,12 @@ def run_retention_pipeline(
                                        hot_domain_factor=hot_domain_factor,
                                        columns=["url", "warc_ts", "text"])
                     src = derive_series(pages)
-                # metadata-only key-space upper bound (one page -> at
-                # most one (series, bucket) key) so combine="auto"
-                # selects hashpart before the tree's single-block final
-                # merge bottlenecks at 100x corpus scale
-                est = estimate_pages(sf_dir, snapshots=snapshots,
-                                     hot_domain_factor=hot_domain_factor)
+                # tight |domains| x |buckets| bound (the pages bound
+                # overestimates by orders of magnitude and picks the
+                # 2x-slower hashpart merge at toy key counts; a real
+                # billion-key space still crosses TREE_MAX_KEYS)
+                est = estimate_rollup_keys(sf_dir, window,
+                                           snapshots=snapshots)
             else:
                 src = series_ds
                 est = None

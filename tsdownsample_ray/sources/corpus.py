@@ -36,7 +36,7 @@ SNAPSHOT_CADENCE_S = 971  # seconds between snapshots of one url
 
 __all__ = [
     "HTML_PREFIX", "HTML_SUFFIX", "BASE_EPOCH_S",
-    "DOC_CADENCE_S", "SNAPSHOT_CADENCE_S",
+    "DOC_CADENCE_S", "SNAPSHOT_CADENCE_S", "estimate_rollup_keys",
     "read_pages", "expand_documents_to_pages",
 ]
 
@@ -187,3 +187,27 @@ def estimate_pages(sf_dir: str, *, snapshots: int = 3,
     n_docs = pq.ParquetFile(
         f"{sf_dir}/documents.parquet").metadata.num_rows
     return n_docs * snapshots * max(hot_domain_factor, 1)
+
+
+def estimate_rollup_keys(sf_dir: str, window_us: int, *,
+                         snapshots: int = 3) -> int:
+    """Tight |series| x |buckets| bound for ``rollup(..., est_keys=...)``.
+
+    ``estimate_pages`` (every page its own key) overestimates the tier-0
+    key space by orders of magnitude — series are per-DOMAIN, and domains
+    come from the bounded ``source`` dimension. A 40M-page sf0.1 run has
+    ~20 domains x ~3k buckets ≈ 60k keys, where the pages bound says 40M
+    and flips ``combine="auto"`` to the hash-partitioned merge whose two
+    all-to-all exchanges cost ~2x the tree combine at this key count
+    (round-4 A/B in BASELINE.md). Reads ONE small dictionary column
+    (``source``, |docs| rows) — bounded, not a corpus scan; the time span
+    derives from the generator's cadence constants."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+    n_domains = len(t["source"].combine_chunks().unique())
+    n_docs = t.num_rows
+    span_us = (n_docs * DOC_CADENCE_S
+               + snapshots * SNAPSHOT_CADENCE_S) * 1_000_000
+    n_buckets = span_us // window_us + 2
+    return int(n_domains * n_buckets)
