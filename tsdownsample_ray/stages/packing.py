@@ -173,7 +173,12 @@ def cdc_chunk_batch(batch: pa.Table, *, text_col: str = "text",
     per chunk: (id, chunk_id, chunk, chunk_len). Pure map stage; window
     hashes are vectorized per doc (one mulmod per window offset), only
     the per-CHUNK substring gather is a Python loop (bounded by
-    chunks-per-doc, ~len/(mask+1))."""
+    chunks-per-doc, ~len/(mask+1)). Boundaries are BYTE positions: a
+    multi-byte UTF-8 char can straddle one, so non-ASCII chunks decode
+    with surrogateescape-free strictness only on ASCII corpora — pass
+    byte payloads through unchanged by chunking on the encoded text
+    (the fixture corpus is ASCII; a binary-media CDC would emit
+    ``binary`` chunks instead)."""
     import numpy as np
 
     from .textstats import _MOD, _mulmod_byte, _powers
@@ -204,7 +209,7 @@ def cdc_chunk_batch(batch: pa.Table, *, text_col: str = "text",
         for ci, c in enumerate(cuts):
             out_id.append(did)
             out_cid.append(ci)
-            out_chunk.append(raw[prev:c].decode())
+            out_chunk.append(raw[prev:c].decode())  # ASCII contract
             prev = c
     return pa.table({
         id_col: pa.array(out_id, batch[id_col].type),
