@@ -339,7 +339,11 @@ def hits(edges_ds, nodes_ds, *, node_col: str = "doc_id",
             return pa.table({"v": b["v"],
                              "s": pa.array(s * scale // mx)})
 
-        return summed.map_batches(_norm, batch_format="pyarrow").materialize()
+        # no materialize: the normalize is one cheap map over the
+        # ALREADY-materialized sums — downstream consumers re-derive it
+        # from cached blocks instead of paying another barrier job
+        # (per-round barriers: sum-materialize + scalar max only)
+        return summed.map_batches(_norm, batch_format="pyarrow")
 
     for _ in range(iters):
         state_a = _half_round(state_h, src, dst)
