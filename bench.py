@@ -27,6 +27,12 @@ SNAPSHOTS = int(os.environ.get("BENCH_SNAPSHOTS", "500"))
 OUT_DIR = os.environ.get("BENCH_OUT", "/tmp/tsdownsample_ray_bench")
 
 
+def _timed(fn, y) -> float:
+    t0 = time.time()
+    fn(None, y, 2000)
+    return time.time() - t0
+
+
 def run_bench() -> dict:
     timings: dict[str, float] = {}
 
@@ -36,13 +42,18 @@ def run_bench() -> dict:
 
     from tsdownsample_ray.kernels import m4, minmax, minmaxlttb
 
+    from tsdownsample_ray.kernels import lttb
+
     y = np.random.default_rng(0).standard_normal(50_000_000).astype(np.float32)
     for name, fn in [("kernel_minmax_50m", minmax), ("kernel_m4_50m", m4),
-                     ("kernel_minmaxlttb_50m", minmaxlttb)]:
+                     ("kernel_minmaxlttb_50m", minmaxlttb),
+                     ("kernel_lttb_50m", lttb)]:
         fn(None, y[:1_000_000], 2000)  # warm
-        t0 = time.time()
-        fn(None, y, 2000)
-        timings[name] = round(time.time() - t0, 3)
+        # min-of-3: one timed shot is exposed to the sandbox's burst
+        # throttle / page-reclaim stalls (observed 0.5 s vs 31 s for the
+        # IDENTICAL call with clean probes around it)
+        timings[name] = round(min(
+            _timed(fn, y) for _ in range(3)), 3)
     del y
 
     import ray
@@ -326,10 +337,15 @@ def run_scaling(tier0_only: bool = False) -> dict:
     # load suppresses wide runs more than narrow ones, so sampling one
     # level's block in a loaded window and the other's in a clean one
     # biases the ratio in either direction; adjacent pairs see ~the same
-    # window. Stop once both levels have >= reps samples and the paired
-    # efficiency of some round clears 0.75 (a clean-window pair), else
-    # run out max_reps rounds and keep per-level mins.
+    # window. Stopping is METRIC-INDEPENDENT (r4 advice: conditioning the
+    # stop on the efficiency itself is optional stopping and biases the
+    # headline upward): stop once >= reps rounds have BOTH calibration
+    # probes clean, else run out max_reps rounds. The reported efficiency
+    # is the MIN over clean-pair rounds (the conservative paired
+    # estimate), falling back to per-level same-regime mins only when no
+    # round is clean on both sides.
     s_lo, cal_lo, s_hi, cal_hi = [], [], [], []
+    clean_pair_rounds: list[int] = []
     for rnd in range(max_reps):
         r = _spawn(lo, ["--tier0"], env)
         s_lo.append(r["value"])
@@ -337,8 +353,9 @@ def run_scaling(tier0_only: bool = False) -> dict:
         r = _spawn(hi, ["--tier0"], env)
         s_hi.append(r["value"])
         cal_hi.append(r.get("calib_sec", -1.0))
-        if (len(s_lo) >= reps
-                and (s_lo[-1] / s_hi[-1]) / (hi / lo) >= 0.75):
+        if 0 <= cal_lo[-1] < CAL_CLEAN and 0 <= cal_hi[-1] < CAL_CLEAN:
+            clean_pair_rounds.append(rnd)
+        if len(clean_pair_rounds) >= reps:
             break
 
     def _split(vals, cals):
@@ -346,10 +363,17 @@ def run_scaling(tier0_only: bool = False) -> dict:
         thr = [v for v, c in zip(vals, cals) if not 0 <= c < CAL_CLEAN]
         return clean, thr
 
-    c_lo, t_lo = _split(s_lo, cal_lo)
-    c_hi, t_hi = _split(s_hi, cal_hi)
-    t0_lo, t0_hi, regime = _pick(c_lo, t_lo, s_lo, c_hi, t_hi, s_hi)
-    eff_t0 = (t0_lo / t0_hi) / (hi / lo)
+    pair_effs = [
+        round((s_lo[k] / s_hi[k]) / (hi / lo), 3) for k in clean_pair_rounds]
+    if pair_effs:
+        k_min = clean_pair_rounds[pair_effs.index(min(pair_effs))]
+        t0_lo, t0_hi, regime = s_lo[k_min], s_hi[k_min], "clean"
+        eff_t0 = min(pair_effs)
+    else:
+        c_lo, t_lo = _split(s_lo, cal_lo)
+        c_hi, t_hi = _split(s_hi, cal_hi)
+        t0_lo, t0_hi, regime = _pick(c_lo, t_lo, s_lo, c_hi, t_hi, s_hi)
+        eff_t0 = (t0_lo / t0_hi) / (hi / lo)
     import pyarrow.parquet as pq
 
     n_input = int(snap) * pq.read_metadata(
@@ -371,6 +395,7 @@ def run_scaling(tier0_only: bool = False) -> dict:
         "tier0_calib_lo": cal_lo,
         "tier0_calib_hi": cal_hi,
         "tier0_regime": regime,
+        "tier0_pair_efficiencies": pair_effs,
         "tier0_pts_per_sec_lo": round(n_input / t0_lo, 1),
         "tier0_pts_per_sec_hi": round(n_input / t0_hi, 1),
         "input_series_rows": n_input,
@@ -404,10 +429,62 @@ def run_scaling(tier0_only: bool = False) -> dict:
     return out
 
 
+def _compact(res: dict) -> dict:
+    """The final stdout line, sized to survive a ~2000-char tail capture.
+
+    The driver records only the tail of stdout; r3/r4 lost the structured
+    record because the single full JSON line exceeded the capture window
+    and arrived head-truncated ("parsed": null). Full detail goes to
+    BENCH_DETAIL (and an earlier stdout line); this compact summary —
+    headline, kernel grid, scaling verdict, slowest queries — is printed
+    LAST so the tail always ends with one parseable line."""
+    q = res.get("queries", {})
+    kernels = {k: v for k, v in q.items() if k.startswith("kernel_")}
+    slow = dict(sorted(
+        ((k, v) for k, v in q.items() if not k.startswith("kernel_")),
+        key=lambda kv: -kv[1])[:8])
+    out = {
+        "metric": res["metric"],
+        "value": res["value"],
+        "unit": res["unit"],
+        "sf": res.get("sf"),
+        "num_cpus": res.get("num_cpus"),
+        "points_per_sec": res.get("points_per_sec"),
+        "headline_samples": res.get("headline_samples"),
+        "kernels": kernels,
+        "slowest_queries": slow,
+        "detail": res.get("detail_path"),
+    }
+    sc = res.get("scaling")
+    if isinstance(sc, dict) and "value" in sc:
+        out["scaling"] = {
+            "value": sc["value"],
+            "lo_cpus": sc.get("lo_cpus"), "hi_cpus": sc.get("hi_cpus"),
+            "sec_lo": sc.get("tier0_sec_lo"), "sec_hi": sc.get("tier0_sec_hi"),
+            "regime": sc.get("tier0_regime"),
+            "pair_effs": sc.get("tier0_pair_efficiencies"),
+            "smt_8_to_32": (sc.get("smt_context_8_to_32") or {}).get(
+                "efficiency"),
+        }
+    elif isinstance(sc, dict):
+        out["scaling"] = {"error": str(sc.get("error"))[:200]}
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--tier0" in sys.argv:
         print(json.dumps(run_tier0()))
     else:
-        print(json.dumps(run_bench()))
+        res = run_bench()
+        detail_path = os.environ.get(
+            "BENCH_DETAIL", "/tmp/tsdownsample_ray_bench_detail.json")
+        res["detail_path"] = detail_path
+        try:
+            with open(detail_path, "w") as f:
+                json.dump(res, f, indent=1)
+        except OSError:
+            pass
+        print(json.dumps(res))  # full record (earlier line; may be long)
+        print(json.dumps(_compact(res)))  # LAST line: compact + parseable
