@@ -304,73 +304,185 @@ def hits(edges_ds, nodes_ds, *, node_col: str = "doc_id",
     <= ~9.2e6/scale*1e6 ≈ 9200; the per-round max is a single scalar
     driver read (bounded: one int per round).
 
-    Scale shape: degree-free — each round is two edge->state hash joins
-    + two hashpart grouped sums (``grouped_sum_parts``); state tables
-    are |V| rows of two ints, never broadcast."""
-    import numpy as np
+    Scale shape: degree-free, PARTITIONED-ITERATIVE (raw Ray tasks — the
+    brief's sanctioned escape hatch for iterative algorithms whose
+    per-round scalar feedback the Dataset API cannot express without one
+    full streaming-executor job per half-round). Edges are hash-
+    partitioned ONCE per direction (by src for auth rounds, by dst for
+    hub rounds — the only edge movement in the whole algorithm); state
+    lives as ``num_partitions`` Arrow tables partitioned by the SAME
+    hash of v, so every half-round is: P local pyarrow hash joins +
+    per-in-key partial sums (task-parallel), one partial exchange
+    bounded by distinct-keys-per-partition, P merge tasks. The driver
+    reads ONE int per partition per half-round (the running max) —
+    never the state. The r4 shape (Ray Data join + hashpart grouped sum
+    per half-round) was scale-safe but paid ~0.7 s of join-operator
+    startup per half-round at toy scale; this shape keeps the same
+    partitioned-hash-join dataflow with none of the per-round operator
+    spin-up. Partitioning assumption: one hash fn routes v everywhere
+    (edge out-key, state, nodes), so joins are partition-local by
+    construction."""
+    if iters < 1:
+        raise ValueError("hits: iters must be >= 1")
+    import ray
 
-    def _init(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "v": pc.cast(b[node_col], pa.int64()),
-            "s": pa.array(np.full(b.num_rows, scale, dtype=np.int64))})
+    P = num_partitions
+    fns = _hits_remote_fns()
 
-    state_h = nodes_ds.map_batches(_init, batch_format="pyarrow").materialize()
-    state_a = None
+    edge_refs = edges_ds.materialize().to_arrow_refs()
+    node_refs = nodes_ds.materialize().to_arrow_refs()
 
-    def _half_round(state, out_key, in_key):
-        # sum state over edges grouped by the opposite endpoint
-        j = edges_ds.join(state, join_type="inner",
-                          num_partitions=num_partitions,
-                          on=(out_key,), right_on=("v",))
-        summed = grouped_sum_parts(
-            j.map_batches(lambda b: pa.table({
-                "v": pc.cast(b[in_key], pa.int64()), "s": b["s"]}),
-                batch_format="pyarrow"),
-            ["v"], ["s"], count_col=None, fanin=fanin)
-        summed = summed.materialize()
-        mx = summed.max("s") or 0
+    def _partition(refs, split_fn, *args):
+        # manual shuffle: per-block split into P sub-tables, then one
+        # concat task per partition (fan-in = |blocks|; tree-merge here
+        # if block counts ever warrant it)
+        cols = [split_fn.options(num_returns=P).remote(r, *args, P)
+                for r in refs]
+        if P == 1:  # num_returns=1 yields the bare value, not a list
+            cols = [[c] for c in cols]
+        return [fns.concat.remote(*[c[p] for c in cols]) for p in range(P)]
+
+    e_by_src = _partition(edge_refs, fns.split_edges, src, dst)
+    e_by_dst = _partition(edge_refs, fns.split_edges, dst, src)
+    n_parts = _partition(node_refs, fns.split_nodes, node_col)
+
+    # state: P (v, s) tables partitioned by hash(v); norm=None means the
+    # consumer must NOT normalize (initial state, or an all-<=0 round —
+    # same contract as the r4 shape's mx<=0 early return)
+    state_h = [fns.init_state.remote(p, scale) for p in n_parts]
+    norm_h: int | None = None
+    state_a, norm_a = None, None
+
+    def _half_round(state, norm, eparts):
+        outs = [fns.half_task.options(num_returns=P).remote(
+            eparts[p], state[p], norm, scale, P) for p in range(P)]
+        if P == 1:
+            outs = [[o] for o in outs]
+        merged = [fns.merge_part.options(num_returns=2).remote(
+            *[outs[p][q] for p in range(P)]) for q in range(P)]
+        new_state = [m[0] for m in merged]
+        maxes = ray.get([m[1] for m in merged])
+        mx = max((m for m in maxes if m is not None), default=0)
         if mx <= 0:
-            return summed
+            return new_state, None
         assert mx <= (2 ** 63 - 1) // scale, (
             "hits: max degree x scale^2 exceeds int64 — lower `scale`")
-
-        def _norm(b: pa.Table) -> pa.Table:
-            s = b["s"].to_numpy(zero_copy_only=False).astype(np.int64)
-            return pa.table({"v": b["v"],
-                             "s": pa.array(s * scale // mx)})
-
-        # no materialize: the normalize is one cheap map over the
-        # ALREADY-materialized sums — downstream consumers re-derive it
-        # from cached blocks instead of paying another barrier job
-        # (per-round barriers: sum-materialize + scalar max only)
-        return summed.map_batches(_norm, batch_format="pyarrow")
+        return new_state, mx
 
     for _ in range(iters):
-        state_a = _half_round(state_h, src, dst)
-        state_h = _half_round(state_a, dst, src)
+        state_a, norm_a = _half_round(state_h, norm_h, e_by_src)
+        state_h, norm_h = _half_round(state_a, norm_a, e_by_dst)
 
-    def _lab(name):
-        def _m(b: pa.Table) -> pa.Table:
-            return pa.table({node_col: b["v"], name: b["s"]})
-        return _m
+    import ray.data as rd
 
-    hubs = state_h.map_batches(_lab("hub_e6"), batch_format="pyarrow")
-    auths = state_a.map_batches(_lab("auth_e6"), batch_format="pyarrow")
-    nodes = nodes_ds.map_batches(
-        lambda b: pa.table({node_col: pc.cast(b[node_col], pa.int64())}),
-        batch_format="pyarrow")
-    out = nodes.join(hubs, join_type="left_outer",
-                     num_partitions=num_partitions, on=(node_col,))
-    out = out.join(auths, join_type="left_outer",
-                   num_partitions=num_partitions, on=(node_col,))
+    return rd.from_arrow_refs([
+        fns.final_part.remote(n_parts[p], state_h[p], norm_h,
+                              state_a[p], norm_a, scale, node_col)
+        for p in range(P)])
 
-    def _fill(b: pa.Table) -> pa.Table:
+
+_HITS_REMOTES = None
+
+
+def _hits_remote_fns():
+    """Cached raw-task kit for `hits` (defined lazily so importing this
+    module never touches `ray`)."""
+    global _HITS_REMOTES
+    if _HITS_REMOTES is not None:
+        return _HITS_REMOTES
+    import types
+
+    import ray
+
+    MULT = np.uint64(0x9E3779B97F4A7C15)
+
+    def _pcodes(v: np.ndarray, P: int) -> np.ndarray:
+        # one multiply-hash routes v EVERYWHERE (edges, state, nodes)
+        return (((v.astype(np.uint64) * MULT) >> np.uint64(33))
+                % np.uint64(P)).astype(np.int64)
+
+    def _col64(t: pa.Table, name: str) -> np.ndarray:
+        return pc.cast(t[name], pa.int64()).combine_chunks().to_numpy(
+            zero_copy_only=False)
+
+    @ray.remote
+    def split_edges(tbl: pa.Table, out_key: str, in_key: str, P: int):
+        k = _col64(tbl, out_key)
+        o = _col64(tbl, in_key)
+        parts = _pcodes(k, P)
+        return tuple(
+            pa.table({"k": pa.array(k[parts == p]),
+                      "o": pa.array(o[parts == p])}) for p in range(P))
+
+    @ray.remote
+    def split_nodes(tbl: pa.Table, node_col: str, P: int):
+        v = _col64(tbl, node_col)
+        parts = _pcodes(v, P)
+        return tuple(pa.table({"v": pa.array(v[parts == p])})
+                     for p in range(P))
+
+    @ray.remote
+    def concat(*tbls: pa.Table) -> pa.Table:
+        return pa.concat_tables(tbls)
+
+    @ray.remote
+    def init_state(npart: pa.Table, scale: int) -> pa.Table:
         return pa.table({
-            node_col: b[node_col],
-            "hub_e6": pc.fill_null(pc.cast(b["hub_e6"], pa.int64()), 0),
-            "auth_e6": pc.fill_null(pc.cast(b["auth_e6"], pa.int64()), 0)})
+            "v": npart["v"],
+            "s": pa.array(np.full(npart.num_rows, scale, dtype=np.int64))})
 
-    return out.map_batches(_fill, batch_format="pyarrow")
+    def _normalized(spart: pa.Table, norm, scale: int) -> pa.Table:
+        if norm is None:
+            return spart
+        s = spart["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"v": spart["v"], "s": pa.array(s * scale // norm)})
+
+    @ray.remote
+    def half_task(epart: pa.Table, spart: pa.Table, norm, scale: int,
+                  P: int):
+        # local join is exact because both sides are partitioned by the
+        # SAME hash of the join key; per-in-key partial sum collapses
+        # the task's output to its distinct in-keys before the exchange
+        j = epart.join(_normalized(spart, norm, scale), keys=["k"],
+                       right_keys=["v"], join_type="inner")
+        g = pa.table({"v": j["o"], "s": j["s"]}).group_by(
+            ["v"]).aggregate([("s", "sum")])
+        v = _col64(g, "v")
+        s = _col64(g, "s_sum")
+        parts = _pcodes(v, P)
+        return tuple(
+            pa.table({"v": pa.array(v[parts == p]),
+                      "s": pa.array(s[parts == p])}) for p in range(P))
+
+    @ray.remote
+    def merge_part(*parts: pa.Table):
+        t = pa.concat_tables(parts)
+        g = t.group_by(["v"]).aggregate([("s", "sum")])
+        g = pa.table({"v": g["v"], "s": g["s_sum"]})
+        mx = pc.max(g["s"]).as_py() if g.num_rows else None
+        return g, mx
+
+    @ray.remote
+    def final_part(npart: pa.Table, hpart: pa.Table, norm_h,
+                   apart: pa.Table, norm_a, scale: int,
+                   node_col: str) -> pa.Table:
+        hub = _normalized(hpart, norm_h, scale).rename_columns(
+            [node_col, "hub_e6"])
+        auth = _normalized(apart, norm_a, scale).rename_columns(
+            [node_col, "auth_e6"])
+        out = npart.rename_columns([node_col]).join(
+            hub, keys=[node_col], join_type="left outer").join(
+            auth, keys=[node_col], join_type="left outer")
+        return pa.table({
+            node_col: out[node_col],
+            "hub_e6": pc.fill_null(pc.cast(out["hub_e6"], pa.int64()), 0),
+            "auth_e6": pc.fill_null(pc.cast(out["auth_e6"], pa.int64()), 0)})
+
+    _HITS_REMOTES = types.SimpleNamespace(
+        split_edges=split_edges, split_nodes=split_nodes, concat=concat,
+        init_state=init_state, half_task=half_task, merge_part=merge_part,
+        final_part=final_part)
+    return _HITS_REMOTES
 
 
 def reciprocity(edges_ds, *, src: str = "src", dst: str = "dst",
