@@ -2667,7 +2667,14 @@ def q_near_dup_pages(sf_dir: str):
     no single-block funnel."""
     from ..stages.dedup import near_dup_pairs
 
-    ds = _pages_with_pid(sf_dir)
+    # the corpus is consumed twice (signature pass + verify payload
+    # joins); materialize the 2-column (pid, text) projection once so the
+    # read/expand/pid chain doesn't run twice. Object-store resident at
+    # toy scale; at 100 TB the same line relies on Ray's object spilling
+    # — or drop the materialize and pay the recompute, whichever the
+    # deployment prefers (read-twice of a columnar projection is the
+    # usual choice on real clusters; both shapes are scale-safe).
+    ds = _pages_with_pid(sf_dir).materialize()
     # num_partitions sizes the pair-distinct and the two verify joins;
     # each join reserves aggregator actors whose startup dominates at this
     # corpus size (measured: 4 is ~20% faster than 8 at sf0.1) — a real

@@ -280,9 +280,26 @@ class MinHasher:
         })
 
 
+_MINHASH_WORKER_CACHE: dict = {}
+
+
+def _minhash_task(batch: pa.Table, **kw) -> pa.Table:
+    # per-WORKER-PROCESS singleton: task-based map_batches reuses warm Ray
+    # workers, so the token-hash cache amortizes across batches exactly as
+    # an actor's would — without paying actor-pool spin-up (~1-2 s of the
+    # near_dup query's fixed cost at toy scale was the two (1,8) pools)
+    key = tuple(sorted(kw.items()))
+    mh = _MINHASH_WORKER_CACHE.get(key)
+    if mh is None:
+        mh = _MINHASH_WORKER_CACHE[key] = MinHasher(**kw)
+    return mh(batch)
+
+
 def minhash_signatures(ds, **kw):
-    return ds.map_batches(MinHasher, fn_constructor_kwargs=kw,
-                          batch_format="pyarrow", concurrency=(1, 8))
+    import functools
+
+    return ds.map_batches(functools.partial(_minhash_task, **kw),
+                          batch_format="pyarrow")
 
 
 def _emit_bucket_pairs(ids: list, max_bucket: int | None,
@@ -551,6 +568,9 @@ def lsh_candidate_pairs(sig_ds, *, bands: int = 16, id_col: str = "doc_id",
     return distinct_pairs(pairs, num_partitions=num_partitions)
 
 
+_VERIFY_WORKER_CACHE: dict = {}
+
+
 def verify_jaccard_pairs(pairs_ds, texts_ds, *, id_col: str = "doc_id",
                          text_col: str = "text", shingle_w: int = 3,
                          threshold: float = 0.8, num_partitions: int = 8):
@@ -563,32 +583,32 @@ def verify_jaccard_pairs(pairs_ds, texts_ds, *, id_col: str = "doc_id",
                            payload_col=text_col,
                            num_partitions=num_partitions)
 
-    class _Verify:
-        def __init__(self):
-            self.cache: dict = {}
+    def _verify(b: pa.Table) -> pa.Table:
+        # task-based (no actor-pool spin-up); the shingle cache lives per
+        # WORKER PROCESS (warm workers are reused across batches), capped
+        # the same way the old per-actor cache was
+        cache = _VERIFY_WORKER_CACHE.setdefault(shingle_w, {})
 
-        def _sh(self, key, text):
-            v = self.cache.get(key)
+        def _sh(key, text):
+            v = cache.get(key)
             if v is None:
-                if len(self.cache) > 200_000:
-                    self.cache.clear()
+                if len(cache) > 200_000:
+                    cache.clear()
                 v = word_shingles(text, shingle_w)
-                self.cache[key] = v
+                cache[key] = v
             return v
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            a_ids = b["a"].to_pylist()
-            b_ids = b["b"].to_pylist()
-            ta = b["payload_a"].to_pylist()
-            tb = b[text_col].to_pylist()
-            js = [jaccard(self._sh(x, xt), self._sh(y, yt))
-                  for x, xt, y, yt in zip(a_ids, ta, b_ids, tb)]
-            out = pa.table({"a": b["a"], "b": b["b"],
-                            "jaccard": pa.array(js, pa.float64())})
-            return out.filter(pc.greater_equal(out["jaccard"], threshold))
+        a_ids = b["a"].to_pylist()
+        b_ids = b["b"].to_pylist()
+        ta = b["payload_a"].to_pylist()
+        tb = b[text_col].to_pylist()
+        js = [jaccard(_sh(x, xt), _sh(y, yt))
+              for x, xt, y, yt in zip(a_ids, ta, b_ids, tb)]
+        out = pa.table({"a": b["a"], "b": b["b"],
+                        "jaccard": pa.array(js, pa.float64())})
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
-    return j2.map_batches(_Verify, batch_format="pyarrow",
-                          concurrency=(1, 8))
+    return j2.map_batches(_verify, batch_format="pyarrow")
 
 
 def near_dup_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
