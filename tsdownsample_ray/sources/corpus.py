@@ -70,37 +70,44 @@ def expand_documents_to_pages(batch: pa.Table, *, snapshots: int = 3,
     else:
         k = np.empty(0, np.int64)
 
-    rep = batch.take(pa.array(row_idx))
+    # bytes-per-page discipline: every string/binary column is built ONCE
+    # at DOC level (n rows) and replicated to page level by a single
+    # `take` — the prior shape replicated `text` first and then ran the
+    # html/url joins over the replicated arrays, writing each payload
+    # byte twice per page instead of once (at `snapshots` >= 100 the
+    # doc-level build amortizes to ~0 per page; the take is the one
+    # unavoidable payload write of the expansion)
     doc_rep = doc_id[row_idx]
     ts_us = (BASE_EPOCH_S + doc_rep * DOC_CADENCE_S + k * SNAPSHOT_CADENCE_S) * 1_000_000
     warc_ts = pa.array(ts_us, type=pa.int64()).cast(pa.timestamp("us"))
 
-    cols = {}
+    doc_cols = {}
     if "url" in out_cols:
-        src_rep = rep["source"]
-        if isinstance(src_rep, pa.ChunkedArray):
-            src_rep = src_rep.combine_chunks()
-        doc_str = pc.cast(pa.array(doc_rep), pa.string())
-        domain = pc.binary_join_element_wise(src_rep, ".example.com", "")
-        cols["url"] = pc.binary_join_element_wise(
+        source_c = source
+        doc_str = pc.cast(batch["doc_id"], pa.string())
+        domain = pc.binary_join_element_wise(source_c, ".example.com", "")
+        doc_cols["url"] = pc.binary_join_element_wise(
             "https://", domain, "/doc/", doc_str, "")
-    if "warc_ts" in out_cols:
-        cols["warc_ts"] = warc_ts
     if "html" in out_cols or "text" in out_cols:
-        text = rep["text"]
+        text = batch["text"]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         if "html" in out_cols:
-            cols["html"] = pc.binary_join_element_wise(
+            doc_cols["html"] = pc.binary_join_element_wise(
                 pa.scalar(HTML_PREFIX, type=pa.binary()),
                 text.cast(pa.binary()),
                 pa.scalar(HTML_SUFFIX, type=pa.binary()),
                 pa.scalar(b"", type=pa.binary()),
             )
         if "text" in out_cols:
-            cols["text"] = text
+            doc_cols["text"] = text
     if "lang" in out_cols:
-        cols["lang"] = rep["lang"]
+        doc_cols["lang"] = batch["lang"]
+
+    rep = pa.table(doc_cols).take(pa.array(row_idx)) if doc_cols else None
+    cols = {}
+    for c in out_cols:
+        cols[c] = warc_ts if c == "warc_ts" else rep[c]
     return pa.table({c: cols[c] for c in out_cols})
 
 
