@@ -74,55 +74,103 @@ def lttb(x, y, n_out: int, *, bucket_x: str = "mean") -> np.ndarray:
     if bucket_x not in ("mean", "midpoint"):
         raise ValueError("bucket_x must be 'mean' or 'midpoint'")
     y = view_y(np.asarray(y))
-    if n_out >= len(y):
-        return np.arange(len(y), dtype=np.uint64)
+    n = y.shape[0]
+    if n_out >= n:
+        return np.arange(n, dtype=np.uint64)
     if n_out < 3:
         raise ValueError("n_out must be >= 3 for LTTB")
 
     # float upcast for the area arithmetic, matching AsPrimitive<f64>
     # (lttb.rs generic bound); int64 x (e.g. viewed timestamps) keeps enough
     # precision through f64 for realistic ranges, same as the reference.
-    if x is None:
-        # arange(n).astype(f64) == arange(n, dtype=f64) exactly for n < 2^53;
-        # build f64 directly to skip the 8·n-byte int64 intermediate.
-        xf = np.arange(y.shape[0], dtype=np.float64)
-    else:
+    # The implicit-x path never materializes the 8·n-byte arange: bucket x
+    # values are regenerated into an L2-resident scratch (exact — every
+    # index < 2^53 round-trips f64), and bucket x sums use the closed-form
+    # integer series sum, which equals the float reduction bit-for-bit while
+    # the true integer sum is f64-exact (guarded below).
+    have_x = x is not None
+    if have_x:
         xf = view_x(np.asarray(x)).astype(np.float64, copy=False)
-    yf = y.astype(np.float64, copy=False)
 
-    block_size = (y.shape[0] - 2) / (n_out - 2)
+    block_size = (n - 2) / (n_out - 2)
     # astype AFTER creation — arange with a float step then truncate
-    # (LTTB_py:70-75)
-    offset = np.arange(start=1, stop=y.shape[0], step=block_size).astype(np.int64)
+    # (LTTB_py:70-75); block_size > 1 for n_out < n, so offsets are strictly
+    # increasing (no empty buckets, reduceat segments == slice sums).
+    offset = np.arange(start=1, stop=n, step=block_size).astype(np.int64)
+    off = offset.tolist()  # plain ints: avoids per-iter numpy-scalar slicing
+    wmax = int(np.diff(offset).max()) if offset.shape[0] > 1 else 1
+
+    # ALL interior bucket y sums in one C pass (f64 accumulation regardless of
+    # y dtype — each f16/f32/int element casts to f64 exactly) instead of
+    # n_out per-bucket slice dispatches. numpy's reduceat inner loop applies
+    # the same blocked-pairwise reduction as slice.sum() at these segment
+    # widths, so the means are bit-identical to the previous per-slice path.
+    ysum = np.add.reduceat(y, offset, dtype=np.float64)
+
+    mean_x = bucket_x == "mean"
+    exact_ix = not have_x and n * wmax < 2**53  # closed-form int sums f64-exact
+    if have_x and mean_x:
+        xsum = np.add.reduceat(xf, offset)
+    elif mean_x and not exact_ix:  # pathological n: fall back to real arange
+        xf = np.arange(n, dtype=np.float64)
+        xsum = np.add.reduceat(xf, offset)
+        have_x = True
 
     sampled = np.empty(n_out, dtype=np.int64)
     sampled[0] = 0
-    sampled[-1] = y.shape[0] - 1
+    sampled[-1] = n - 1
 
     a = 0
-    midpoint = bucket_x == "midpoint"
-    off = offset.tolist()  # plain ints: avoids per-iter numpy-scalar slicing
     # reused scratch for the area pass — widest bucket wins
-    wmax = int(np.diff(offset).max()) if offset.shape[0] > 1 else 1
     t1 = np.empty(wmax, dtype=np.float64)
     t2 = np.empty(wmax, dtype=np.float64)
+    if not have_x:
+        xbase = np.arange(wmax, dtype=np.float64)
+        xb_s = np.empty(wmax, dtype=np.float64)
+    cast_y = y.dtype != np.float64
+    if cast_y:
+        yb_s = np.empty(wmax, dtype=np.float64)
+
+    def _bucket_views(o0: int, o1: int):
+        w = o1 - o0
+        if have_x:
+            xb = xf[o0:o1]
+        else:
+            # xb[j] = f64(o0 + j), exact (both operands are exact integers)
+            xb = xb_s[:w]
+            np.add(xbase[:w], float(o0), out=xb)
+        if cast_y:
+            yb = yb_s[:w]
+            yb[:] = y[o0:o1]  # widening cast, exact
+        else:
+            yb = y[o0:o1]
+        return xb, yb
+
     for i in range(n_out - 3):
         o0, o1, o2 = off[i], off[i + 1], off[i + 2]
-        if midpoint:
-            # shipped Rust kernel: (x[end-1] + x[start]) / 2 (lttb.rs:46-50)
-            avg_x = (xf[o2 - 1] + xf[o1]) / 2.0
+        if mean_x:
+            # reduceat sum / n is bit-identical to the old slice.sum()/n;
+            # the implicit-x series sum is an exact integer, which the float
+            # reduction also computes exactly (sums < 2^53, guarded above)
+            if have_x:
+                avg_x = xsum[i + 1] / (o2 - o1)
+            else:
+                avg_x = float(((o1 + o2 - 1) * (o2 - o1)) // 2) / (o2 - o1)
         else:
-            # slice.sum()/n is bit-identical to np.mean (same umr_sum
-            # reduction) with far less dispatch overhead (loop-bound)
-            avg_x = xf[o1:o2].sum() / (o2 - o1)
+            # shipped Rust kernel: (x[end-1] + x[start]) / 2 (lttb.rs:46-50)
+            if have_x:
+                avg_x = (xf[o2 - 1] + xf[o1]) / 2.0
+            else:
+                avg_x = (float(o2 - 1) + float(o1)) / 2.0
+        xb, yb = _bucket_views(o0, o1)
         a = (
             _argmax_area_scratch(
-                prev_x=xf[a],
-                prev_y=yf[a],
+                prev_x=xf[a] if have_x else float(a),
+                prev_y=float(y[a]),
                 avg_next_x=avg_x,
-                avg_next_y=yf[o1:o2].sum() / (o2 - o1),
-                x_bucket=xf[o0:o1],
-                y_bucket=yf[o0:o1],
+                avg_next_y=ysum[i + 1] / (o2 - o1),
+                x_bucket=xb,
+                y_bucket=yb,
                 t1=t1,
                 t2=t2,
             )
@@ -131,17 +179,19 @@ def lttb(x, y, n_out: int, *, bucket_x: str = "mean") -> np.ndarray:
         sampled[i + 1] = a
 
     # last interior bucket: next-average is the final point (LTTB_py:103-115)
+    o0, o1 = off[-2], off[-1]
+    xb, yb = _bucket_views(o0, o1)
     sampled[-2] = (
         _argmax_area_scratch(
-            prev_x=xf[a],
-            prev_y=yf[a],
-            avg_next_x=xf[-1],
-            avg_next_y=yf[-1],
-            x_bucket=xf[offset[-2] : offset[-1]],
-            y_bucket=yf[offset[-2] : offset[-1]],
+            prev_x=xf[a] if have_x else float(a),
+            prev_y=float(y[a]),
+            avg_next_x=xf[-1] if have_x else float(n - 1),
+            avg_next_y=float(y[-1]),
+            x_bucket=xb,
+            y_bucket=yb,
             t1=t1,
             t2=t2,
         )
-        + offset[-2]
+        + o0
     )
     return sampled.astype(np.uint64)
