@@ -1167,6 +1167,42 @@ _XBASE = 1_704_000_000_000_000  # rebase epoch-us x so f64 bucket sums are
 # exact (< 2^53) in BOTH the kernel and the SQL replay
 
 
+def q_minmax_events_dt64bool(sf_dir: str, n_out: int = 20):
+    """MinMax end-to-end through the DTYPE-VIEW path: x stays a
+    datetime64[us] timestamp column (``view_x`` i64-views it,
+    ``downsampling_interface.py:205-227`` parity) and y is a BOOL column
+    (``view_y`` i8-views it) — the reference's dtype matrix
+    (``downsample_rs`` datetime/bool support) exercised as a driver row
+    rather than only the pytest matrix (r4 verdict next-round #8).
+    Equidistant x-VALUE bins over the full per-type series; flag =
+    value >= 0."""
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "event_type", "ts",
+                                      "value"]).repartition(4)
+
+    def _flag(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "event_id": b["event_id"],
+            "ts": b["ts"],  # KEEP timestamp type — the view under test
+            "flag": pc.greater_equal(b["value"], 0.0),
+        })
+
+    flagged = ds.map_batches(_flag, batch_format="pyarrow")
+
+    def _group(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            tbl, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        tbl = tbl.take(idx)
+        out = downsample_table(tbl, "minmax", n_out, x_col="ts",
+                               y_col="flag", presorted=True)
+        return out.select(["event_type", "event_id", "flag"])
+
+    return flagged.groupby("event_type").map_groups(_group,
+                                                    batch_format="pyarrow")
+
+
 def q_minmaxlttb_bigseries(sf_dir: str, n_out: int = 40):
     """Distributed MinMaxLTTB over ALL events as ONE series spanning many
     blocks (stages/bigseries.py): per-bin partials in map_batches, LTTB
@@ -13829,21 +13865,32 @@ rec AS (
     FROM numbered WHERE idx = 1
     UNION ALL
     SELECT series_id, bucket, y, idx, slot, level,
-           trend0 + CAST(floor(CAST(level - l0 - trend0 AS DOUBLE) / 16.0)
-                         AS BIGINT) AS trend,
+           -- exact BIGINT floor(v / 2^k): DuckDB // truncates toward zero,
+           -- so negatives take -((-v + 2^k - 1) // 2^k); no double
+           -- round-trip, so the replay stays exact past 2^53 (r4 advice)
+           trend0 + (CASE WHEN level - l0 - trend0 >= 0
+                     THEN (level - l0 - trend0) // 16
+                     ELSE -(((-(level - l0 - trend0)) + 15) // 16)
+                     END) AS trend,
            f AS forecast,
            list_transform(range(1, 25), j -> CASE WHEN j = slot + 1
-               THEN s0[j] + CAST(floor(CAST(y - level - s0[j] AS DOUBLE)
-                                       / 8.0) AS BIGINT)
+               THEN s0[j] + (CASE WHEN y - level - s0[j] >= 0
+                             THEN (y - level - s0[j]) // 8
+                             ELSE -(((-(y - level - s0[j])) + 7) // 8)
+                             END)
                ELSE s0[j] END) AS season
     FROM (
         SELECT n.series_id, n.bucket, n.y, n.idx, n.slot,
                r.level AS l0, r.trend AS trend0, r.season AS s0,
                r.level + r.trend + r.season[n.slot + 1] AS f,
                (r.level + r.trend)
-                 + CAST(floor(CAST(n.y - (r.level + r.trend
-                                          + r.season[n.slot + 1])
-                                   AS DOUBLE) / 8.0) AS BIGINT) AS level
+                 + (CASE WHEN n.y - (r.level + r.trend
+                                     + r.season[n.slot + 1]) >= 0
+                    THEN (n.y - (r.level + r.trend
+                                 + r.season[n.slot + 1])) // 8
+                    ELSE -(((-(n.y - (r.level + r.trend
+                                      + r.season[n.slot + 1]))) + 7) // 8)
+                    END) AS level
         FROM rec r JOIN numbered n
           ON n.series_id = r.series_id AND n.idx = r.idx + 1
     ) z
@@ -15735,6 +15782,7 @@ QUERIES = {
     "nanminmax_events": q_nanminmax_events,
     "nanm4_events": q_nanm4_events,
     "minmax_events_withx": q_minmax_events_withx,
+    "minmax_events_dt64bool": q_minmax_events_dt64bool,
     "minmaxlttb_bigseries": q_minmaxlttb_bigseries,
     "minmax_bigseries": q_minmax_bigseries,
     "m4_bigseries": q_m4_bigseries,
@@ -16231,6 +16279,59 @@ ORACLE_SQL = {
                   WHERE e.nbin <= 2
         )
         SELECT a.event_type, a.event_id, a.cy AS cents
+        FROM assigned a
+        JOIN picked p ON a.event_type = p.event_type AND a.rn = p.rn
+    """,
+    # dtype-view row: x = raw timestamp (i64 view), y = bool (i8 view);
+    # same equidistant x-value binning replay as minmax_events_withx but
+    # over the FULL series and a boolean y (false < true ordering == the
+    # kernel's i8 view ordering; first-occurrence ties both sides)
+    "minmax_events_dt64bool": """
+        WITH e AS (
+            SELECT event_type, event_id, epoch_us(ts) AS x,
+                   (value >= 0) AS flag
+            FROM events
+        ),
+        s AS MATERIALIZED (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                                         ORDER BY x, event_id) - 1 AS rn,
+                   min(x) OVER (PARTITION BY event_type) AS x0,
+                   max(x) OVER (PARTITION BY event_type) AS xn
+            FROM e
+        ),
+        assigned AS MATERIALIZED (
+            SELECT s.event_type, s.event_id, s.x, s.flag, s.rn,
+                   count(k.k) AS bin
+            FROM s LEFT JOIN generate_series(1, 9) k(k)
+              ON CAST(s.x0 AS DOUBLE)
+                 + k.k * ((CAST(s.xn AS DOUBLE)
+                           - CAST(s.x0 AS DOUBLE)) / 10.0)
+                 < CAST(s.x AS DOUBLE)
+            GROUP BY ALL
+        ),
+        ext AS MATERIALIZED (
+            SELECT event_type, bin, count(*) AS nbin,
+                   min(flag) AS mn, max(flag) AS mx
+            FROM assigned GROUP BY 1, 2
+        ),
+        sel AS (
+            SELECT a.event_type, a.bin,
+                   min(a.rn) FILTER (WHERE a.flag = e.mn) AS rn_min,
+                   min(a.rn) FILTER (WHERE a.flag = e.mx) AS rn_max
+            FROM assigned a JOIN ext e ON a.event_type = e.event_type
+                                      AND a.bin = e.bin
+            WHERE e.nbin > 2
+            GROUP BY 1, 2
+        ),
+        picked AS (
+            SELECT event_type, rn_min AS rn FROM sel
+            UNION SELECT event_type, rn_max FROM sel
+            UNION SELECT a.event_type, a.rn
+                  FROM assigned a JOIN ext e ON a.event_type = e.event_type
+                                            AND a.bin = e.bin
+                  WHERE e.nbin <= 2
+        )
+        SELECT a.event_type, a.event_id, a.flag
         FROM assigned a
         JOIN picked p ON a.event_type = p.event_type AND a.rn = p.rn
     """,
