@@ -15195,11 +15195,18 @@ WHERE levenshtein(a.tok, b.tok) BETWEEN 1 AND 2
 """
 
 
-_CDC_SQL_CORE = """
+def _cdc_sql_core(src: str = "SELECT doc_id, text FROM documents") -> str:
+    """The CDC chunk replay parameterized over the source relation.
+    ``unicode``/``substring``/``length`` are all CODEPOINT-based in
+    DuckDB — the exact unit the engine chunker hashes and cuts on
+    (``stages/packing.py:cdc_chunk_batch``), so the replay is corpus-
+    general, not ASCII-only."""
+    return f"""
+corpus AS MATERIALIZED ({src}),
 pos AS (
     SELECT doc_id, text, length(text) AS n,
            CAST(t.p AS BIGINT) AS p
-    FROM documents, unnest(range(
+    FROM corpus, unnest(range(
         1, greatest(length(text) - 7, 0) + 1)) t(p)
 ),
 hw AS (
@@ -15214,7 +15221,7 @@ hw AS (
 allcuts AS (
     SELECT DISTINCT doc_id, p + 7 AS cut FROM hw WHERE hv % 64 = 0
     UNION
-    SELECT doc_id, length(text) FROM documents WHERE length(text) > 0
+    SELECT doc_id, length(text) FROM corpus WHERE length(text) > 0
 ),
 seg AS (
     SELECT a.doc_id,
@@ -15230,23 +15237,19 @@ chunks AS (
            substring(d.text, CAST(seg.s + 1 AS INT),
                      CAST(seg.e - seg.s AS INT)) AS chunk,
            seg.e - seg.s AS chunk_len
-    FROM seg JOIN documents d ON d.doc_id = seg.doc_id
+    FROM seg JOIN corpus d ON d.doc_id = seg.doc_id
 )
 """
 
 
-def q_cdc_chunk_docs(sf_dir: str):
-    """Content-defined chunking stats per document
-    (``stages/packing.py:cdc_chunk_batch`` — rsync/FastCDC boundaries
-    from the engine's Horner-mod-2^61-1 window hash): (doc_id, n_chunks,
-    min/max/total chunk length). Pure map stage + in-block aggregate —
-    no shuffle touches chunk text here."""
-    from ..arrow_utils import rename_agg
-    from ..stages.packing import cdc_chunk_batch
+_CDC_SQL_CORE = _cdc_sql_core()
 
-    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
-                             columns=["doc_id", "text"])
-    chunks = ds.map_batches(cdc_chunk_batch, batch_format="pyarrow")
+
+def _cdc_chunk_stats(chunks):
+    """(doc_id, n_chunks, min/max/total chunk length) from a chunk
+    stream. Chunk rows of one doc stay in the producing block (map
+    stage), so the per-doc aggregate needs no shuffle at all."""
+    from ..arrow_utils import rename_agg
 
     def _stats(b: pa.Table) -> pa.Table:
         g = b.group_by(["doc_id"]).aggregate(
@@ -15264,20 +15267,60 @@ def q_cdc_chunk_docs(sf_dir: str):
             "min_len": b["min_len"], "max_len": b["max_len"],
             "total_len": b["total_len"]})
 
-    # chunk rows of one doc stay in the producing block (map stage), so
-    # the per-doc aggregate needs no shuffle at all
     return chunks.map_batches(_stats, batch_format="pyarrow").map_batches(
         _cast, batch_format="pyarrow")
 
 
-CDC_CHUNK_SQL = f"""
-WITH {_CDC_SQL_CORE}
+def q_cdc_chunk_docs(sf_dir: str):
+    """Content-defined chunking stats per document
+    (``stages/packing.py:cdc_chunk_batch`` — rsync/FastCDC boundaries
+    from the engine's Horner-mod-2^61-1 window hash): (doc_id, n_chunks,
+    min/max/total chunk length). Pure map stage + in-block aggregate —
+    no shuffle touches chunk text here."""
+    from ..stages.packing import cdc_chunk_batch
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+    return _cdc_chunk_stats(
+        ds.map_batches(cdc_chunk_batch, batch_format="pyarrow"))
+
+
+def q_cdc_chunk_docs_utf8(sf_dir: str):
+    """CDC chunking over a NON-ASCII corpus (r4 verdict next-round #7):
+    every 'e' becomes 'é' (a 2-byte UTF-8 codepoint, so byte and
+    codepoint positions diverge on ~every doc), then the same
+    codepoint-based chunker runs. Boundaries are codepoint positions —
+    all chunks are valid strings and the DuckDB replay (codepoint
+    ``unicode``/``substring``/``length``) is exact."""
+    from ..stages.packing import cdc_chunk_batch
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+
+    def _accent(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "text": pc.replace_substring(b["text"], "e", "é"),
+        })
+
+    accented = ds.map_batches(_accent, batch_format="pyarrow")
+    return _cdc_chunk_stats(
+        accented.map_batches(cdc_chunk_batch, batch_format="pyarrow"))
+
+
+_CDC_STATS_SELECT = """
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
        CAST(min(chunk_len) AS BIGINT) AS min_len,
        CAST(max(chunk_len) AS BIGINT) AS max_len,
        CAST(sum(chunk_len) AS BIGINT) AS total_len
 FROM chunks GROUP BY doc_id
 """
+
+CDC_CHUNK_SQL = f"WITH {_CDC_SQL_CORE} {_CDC_STATS_SELECT}"
+
+CDC_CHUNK_UTF8_SQL = "WITH " + _cdc_sql_core(
+    "SELECT doc_id, replace(text, 'e', 'é') AS text FROM documents"
+) + _CDC_STATS_SELECT
 
 
 def q_cdc_dedup_corpus(sf_dir: str):
@@ -16858,5 +16901,7 @@ ORACLE_SQL["ed2_pairs_docs"] = ED2_PAIRS_SQL
 
 QUERIES["cdc_chunk_docs"] = q_cdc_chunk_docs
 ORACLE_SQL["cdc_chunk_docs"] = CDC_CHUNK_SQL
+QUERIES["cdc_chunk_docs_utf8"] = q_cdc_chunk_docs_utf8
+ORACLE_SQL["cdc_chunk_docs_utf8"] = CDC_CHUNK_UTF8_SQL
 QUERIES["cdc_dedup_corpus"] = q_cdc_dedup_corpus
 ORACLE_SQL["cdc_dedup_corpus"] = CDC_DEDUP_SQL

@@ -173,12 +173,14 @@ def cdc_chunk_batch(batch: pa.Table, *, text_col: str = "text",
     per chunk: (id, chunk_id, chunk, chunk_len). Pure map stage; window
     hashes are vectorized per doc (one mulmod per window offset), only
     the per-CHUNK substring gather is a Python loop (bounded by
-    chunks-per-doc, ~len/(mask+1)). Boundaries are BYTE positions: a
-    multi-byte UTF-8 char can straddle one, so non-ASCII chunks decode
-    with surrogateescape-free strictness only on ASCII corpora — pass
-    byte payloads through unchanged by chunking on the encoded text
-    (the fixture corpus is ASCII; a binary-media CDC would emit
-    ``binary`` chunks instead)."""
+    chunks-per-doc, ~len/(mask+1)). Boundaries are CODEPOINT positions
+    (the utf-32 view of the text, vectorized by ``np.frombuffer``), so
+    the chunker is corpus-general: every boundary falls between unicode
+    scalar values and every chunk is a valid string — on ASCII input
+    this is byte-identical to byte-position chunking (the pre-r5
+    contract), and chunk_len counts codepoints, matching SQL
+    ``length()``. A binary-media CDC would instead hash raw bytes and
+    emit ``binary`` chunks."""
     import numpy as np
 
     from .textstats import _MOD, _mulmod_byte, _powers
@@ -188,13 +190,13 @@ def cdc_chunk_batch(batch: pa.Table, *, text_col: str = "text",
     ids = batch[id_col].to_pylist()
     out_id, out_cid, out_chunk = [], [], []
     for did, t in zip(ids, texts):
-        raw = t.encode()
-        n = len(raw)
+        n = len(t)  # codepoints
         if n == 0:
             continue
         cuts = []
         if n >= window:
-            codes = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
+            codes = np.frombuffer(t.encode("utf-32-le"),
+                                  dtype=np.uint32).astype(np.uint64)
             acc = np.zeros(n - window + 1, dtype=np.uint64)
             for k in range(window):
                 term = _mulmod_byte(codes[k: n - window + 1 + k],
@@ -209,7 +211,7 @@ def cdc_chunk_batch(batch: pa.Table, *, text_col: str = "text",
         for ci, c in enumerate(cuts):
             out_id.append(did)
             out_cid.append(ci)
-            out_chunk.append(raw[prev:c].decode())  # ASCII contract
+            out_chunk.append(t[prev:c])  # str slice = codepoint slice
             prev = c
     return pa.table({
         id_col: pa.array(out_id, batch[id_col].type),

@@ -127,15 +127,16 @@ def _powers(n: int) -> np.ndarray:
 
 
 def _mulmod_byte(b: np.ndarray, p: np.ndarray) -> np.ndarray:
-    """(b * p) mod 2^61-1 for b < 2^8, p < 2^61, fully in uint64.
+    """(b * p) mod 2^61-1 for b < 2^21 (bytes OR unicode codepoints),
+    p < 2^61, fully in uint64.
 
-    Split p = hi*2^32 + lo; b*lo < 2^40 needs no reduction, and
+    Split p = hi*2^32 + lo; b*lo < 2^53 needs no reduction, and
     (b*hi)*2^32 reduces with 2^61 === 1 (mod M): t*2^32 =
     (t>>29)*2^61 + (t & (2^29-1))*2^32 === (t>>29) + (t&mask)<<32."""
-    t = (p >> np.uint64(32)) * b                       # < 2^37
+    t = (p >> np.uint64(32)) * b                       # < 2^50
     hi = (t >> np.uint64(29)) + ((t & np.uint64((1 << 29) - 1))
-                                 << np.uint64(32))     # < 2^61 + 2^8
-    v = hi + (p & np.uint64(0xFFFFFFFF)) * b           # < 2^62 < 2M
+                                 << np.uint64(32))     # < 2^61 + 2^21
+    v = hi + (p & np.uint64(0xFFFFFFFF)) * b           # < 2^61+2^53+2^21 < 2M
     return np.where(v >= _MOD, v - np.uint64(_MOD), v)
 
 
