@@ -1,0 +1,1393 @@
+"""Stateful control ops: clamped balance, token bucket, RDP/VW simplify, deadband, backtests, rate limit, isotonic, MMR, Kalman, Huffman.
+
+Split from the former pipelines/queries.py monolith (r4 verdict
+next-round #5); statement order inside this module is the original
+file order. Explicit cross-module imports are generated: backward
+dependencies at the top, forward (function-body-only) dependencies at
+the bottom so package import order stays acyclic.
+"""
+from __future__ import annotations
+
+from ._shared import US, _read_parquet_clean, np, pa, pc
+from .events_windows import _events_series
+from .downsample_core import _events_cents
+
+def q_clamped_balance_events(sf_dir: str):
+    """Inventory / queue-depth simulation: the floor-at-zero running
+    balance ``b_i = max(0, b_{i-1} + d_i)`` — a SEQUENTIAL recurrence
+    made distributable by the prefix identity
+    ``b_i = S_i − min(0, min_{j≤i} S_j)`` (cumsum + running min, both
+    vectorizable and window-expressible). Signed deltas are the
+    deterministic fixture ``even event_id → +cents, odd → −cents``.
+    Output per series: n, Σd, the final prefix floor, final and max
+    balance — all exact int64. One hash(series) shuffle, per-segment
+    cumsum/cummin pass."""
+    from ...arrow_utils import stable_part_codes
+
+    ev = _events_cents(sf_dir)
+
+    def _signed(b: pa.Table) -> pa.Table:
+        c = b["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        d = np.where(eid % 2 == 0, c, -c)
+        return pa.table({"series_id": b["event_type"],
+                         "x": b["ts_us"], "eid": b["event_id"],
+                         "d": pa.array(d)})
+
+    ds = ev.map_batches(_signed, batch_format="pyarrow")
+    mod = 2 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["series_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _balance(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        sid_type = t["series_id"].type
+        empty = pa.table({"series_id": pa.array([], sid_type),
+                          "n": pa.array([], pa.int64()),
+                          "sum_d": pa.array([], pa.int64()),
+                          "min_prefix": pa.array([], pa.int64()),
+                          "final_balance": pa.array([], pa.int64()),
+                          "max_balance": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("series_id", "ascending"), ("x", "ascending"),
+            ("eid", "ascending")]))
+        sid = t["series_id"]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        d = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(d)
+        change = np.ones(n, dtype=bool)
+        change[1:] = codes[1:] != codes[:-1]
+        seg = np.flatnonzero(change)
+        ends = np.r_[seg[1:], n]
+        rows = {k: [] for k in ("sid", "n", "sum", "mp", "fin", "mx")}
+        for f, l in zip(seg, ends):  # series loop; inner fully vector
+            S = np.cumsum(d[f:l])
+            mp = np.minimum(np.minimum.accumulate(S), 0)
+            b_ = S - mp
+            rows["sid"].append(sid[int(f)].as_py())
+            rows["n"].append(l - f)
+            rows["sum"].append(int(S[-1]))
+            rows["mp"].append(int(mp[-1]))
+            rows["fin"].append(int(b_[-1]))
+            rows["mx"].append(int(b_.max()))
+        return pa.table({
+            "series_id": pa.array(rows["sid"], sid_type),
+            "n": pa.array(rows["n"], pa.int64()),
+            "sum_d": pa.array(rows["sum"], pa.int64()),
+            "min_prefix": pa.array(rows["mp"], pa.int64()),
+            "final_balance": pa.array(rows["fin"], pa.int64()),
+            "max_balance": pa.array(rows["mx"], pa.int64())})
+
+    return (ds.map_batches(_add_part, batch_format="pyarrow")
+            .repartition(2).groupby("__part")
+            .map_groups(_balance, batch_format="pyarrow"))
+
+
+CLAMPED_BALANCE_SQL = """
+WITH e AS (
+    SELECT event_type AS series_id, epoch_us(ts) AS x, event_id,
+           CASE WHEN event_id % 2 = 0
+                THEN CAST(round(value * 100) AS BIGINT)
+                ELSE -CAST(round(value * 100) AS BIGINT) END AS d
+    FROM events
+),
+s AS (
+    SELECT series_id, x, event_id, d,
+           CAST(sum(d) OVER (PARTITION BY series_id
+                             ORDER BY x, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS S
+    FROM e
+),
+m AS (
+    SELECT series_id, d, S,
+           CAST(least(min(S) OVER (PARTITION BY series_id
+                                   ORDER BY x, event_id
+                                   ROWS UNBOUNDED PRECEDING), 0)
+                AS BIGINT) AS mp
+    FROM s
+)
+SELECT series_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(d) AS BIGINT) AS sum_d,
+       CAST(min(mp) AS BIGINT) AS min_prefix,
+       CAST(sum(d) - min(mp) AS BIGINT) AS final_balance,
+       CAST(max(S - mp) AS BIGINT) AS max_balance
+FROM m GROUP BY 1
+"""
+
+
+def q_token_bucket_events(sf_dir: str):
+    """Token-bucket / bounded-inventory simulation: the TWO-sided clamp
+    recurrence ``b_i = min(C, max(0, b_{i-1} + d_i))`` (capacity C,
+    bucket starts full). Unlike the one-sided floor walk
+    (``clamped_balance_events``), the two-sided clamp has no running
+    min/max closed form — but each step is the clamp-affine map
+    ``phi(x) = min(h, max(l, x + a))`` and that family is CLOSED under
+    composition (``a'=a1+a2, l'=max(l2, l1+a2),
+    h'=min(h2, max(l2, h1+a2))``), i.e. an associative monoid. Per-row
+    balances therefore come from a segmented Hillis-Steele scan over
+    ``(a, l, h)`` triples — log2(n) rounds of whole-array NumPy
+    combines, no per-row Python — the same monoid merge that combines
+    per-block partials across nodes at cluster scale. Deltas: even
+    event_id → +cents, odd → −cents; C = 25_000. Output per series:
+    n, Σd, final/min/max balance, floor/ceiling saturation counts and
+    total ceiling-spilled / floor-shortfall volume — all exact int64,
+    internally consistent via ``final = C + Σd − spill + short``."""
+    from ...arrow_utils import stable_part_codes
+
+    CAP = 25_000
+    ev = _events_cents(sf_dir)
+
+    def _signed(b: pa.Table) -> pa.Table:
+        c = b["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        d = np.where(eid % 2 == 0, c, -c)
+        return pa.table({"series_id": b["event_type"],
+                         "x": b["ts_us"], "eid": b["event_id"],
+                         "d": pa.array(d)})
+
+    ds = ev.map_batches(_signed, batch_format="pyarrow")
+    mod = 2 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["series_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _bucket(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        sid_type = t["series_id"].type
+        int_cols = ("n", "sum_d", "final_balance", "min_balance",
+                    "max_balance", "n_empty", "n_full", "total_spill",
+                    "total_shortfall")
+        empty = pa.table(
+            {"series_id": pa.array([], sid_type),
+             **{c: pa.array([], pa.int64()) for c in int_cols}})
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("series_id", "ascending"), ("x", "ascending"),
+            ("eid", "ascending")]))
+        sid = t["series_id"]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        d = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(d)
+        # segmented Hillis-Steele scan over the clamp-affine monoid:
+        # element i holds phi_i; after the scan, (a,l,h)[i] is the
+        # composition phi_i o ... o phi_first-of-segment.
+        a = d.copy()
+        lo = np.zeros(n, np.int64)
+        hi = np.full(n, CAP, np.int64)
+        k = 1
+        while k < n:
+            same = codes[k:] == codes[:-k]
+            a1, l1, h1 = a[:-k], lo[:-k], hi[:-k]
+            a2, l2, h2 = a[k:], lo[k:], hi[k:]
+            na = a1 + a2
+            nl = np.maximum(l2, l1 + a2)
+            nh = np.minimum(h2, np.maximum(l2, h1 + a2))
+            a, lo, hi = a.copy(), lo.copy(), hi.copy()
+            a[k:] = np.where(same, na, a2)
+            lo[k:] = np.where(same, nl, l2)
+            hi[k:] = np.where(same, nh, h2)
+            k *= 2
+        bal = np.minimum(hi, np.maximum(lo, CAP + a))
+        starts = np.flatnonzero(
+            np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], n]
+        prev = np.empty(n, np.int64)
+        prev[1:] = bal[:-1]
+        prev[starts] = CAP
+        raw = prev + d
+        spill = np.maximum(0, raw - CAP)
+        short = np.maximum(0, -raw)
+        out = {
+            "series_id": pa.array(
+                [sid[int(f)].as_py() for f in starts], sid_type),
+            "n": ends - starts,
+            "sum_d": np.add.reduceat(d, starts),
+            "final_balance": bal[ends - 1],
+            "min_balance": np.minimum.reduceat(bal, starts),
+            "max_balance": np.maximum.reduceat(bal, starts),
+            "n_empty": np.add.reduceat((bal == 0).astype(np.int64),
+                                       starts),
+            "n_full": np.add.reduceat((bal == CAP).astype(np.int64),
+                                      starts),
+            "total_spill": np.add.reduceat(spill, starts),
+            "total_shortfall": np.add.reduceat(short, starts),
+        }
+        return pa.table({c: (v if isinstance(v, pa.Array)
+                             else pa.array(np.asarray(v, np.int64)))
+                         for c, v in out.items()})
+
+    return (ds.map_batches(_add_part, batch_format="pyarrow")
+            .repartition(2).groupby("__part")
+            .map_groups(_bucket, batch_format="pyarrow"))
+
+
+TOKEN_BUCKET_SQL = """
+WITH RECURSIVE e AS (
+    SELECT event_type AS series_id, epoch_us(ts) AS x, event_id,
+           CASE WHEN event_id % 2 = 0
+                THEN CAST(round(value * 100) AS BIGINT)
+                ELSE -CAST(round(value * 100) AS BIGINT) END AS d
+    FROM events
+),
+o AS (
+    SELECT series_id, d,
+           CAST(row_number() OVER (PARTITION BY series_id
+                                   ORDER BY x, event_id) AS BIGINT) AS rn
+    FROM e
+),
+r AS (
+    SELECT series_id, CAST(0 AS BIGINT) AS rn,
+           CAST(25000 AS BIGINT) AS bal,
+           CAST(0 AS BIGINT) AS spill, CAST(0 AS BIGINT) AS short
+    FROM (SELECT DISTINCT series_id FROM o)
+    UNION ALL
+    SELECT o.series_id, o.rn,
+           least(25000, greatest(0, r.bal + o.d)),
+           greatest(0, r.bal + o.d - 25000),
+           greatest(0, -(r.bal + o.d))
+    FROM r JOIN o ON o.series_id = r.series_id AND o.rn = r.rn + 1
+),
+agg AS (
+    SELECT series_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(bal) AS BIGINT) AS min_balance,
+           CAST(max(bal) AS BIGINT) AS max_balance,
+           CAST(sum(CASE WHEN bal = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_empty,
+           CAST(sum(CASE WHEN bal = 25000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_full,
+           CAST(sum(spill) AS BIGINT) AS total_spill,
+           CAST(sum(short) AS BIGINT) AS total_shortfall
+    FROM r WHERE rn >= 1 GROUP BY 1
+),
+sd AS (SELECT series_id, CAST(sum(d) AS BIGINT) AS sum_d
+       FROM o GROUP BY 1),
+fin AS (
+    SELECT r.series_id, CAST(r.bal AS BIGINT) AS final_balance
+    FROM r JOIN (SELECT series_id, max(rn) AS mx FROM r GROUP BY 1) f
+      ON r.series_id = f.series_id AND r.rn = f.mx
+)
+SELECT agg.series_id, agg.n, sd.sum_d, fin.final_balance,
+       agg.min_balance, agg.max_balance, agg.n_empty, agg.n_full,
+       agg.total_spill, agg.total_shortfall
+FROM agg
+JOIN sd ON sd.series_id = agg.series_id
+JOIN fin ON fin.series_id = agg.series_id
+"""
+
+
+def q_rdp_simplify_15m(sf_dir: str):
+    """Ramer-Douglas-Peucker simplification of each series' 15m tier
+    polyline (``stages/simplify.py``) — the tolerance-band downsampling
+    family complementing the bin-based kernels. Exact integer geometry:
+    keep/split decisions are ``cross^2 > eps^2 * |AB|^2`` on (bucket
+    index, cents) int64 coordinates, so the kept set is bit-identical to
+    the DuckDB recursive-CTE replay (one iteration per split depth,
+    every active segment split in parallel). One hash(series) shuffle;
+    per-partition split-stack walk with vectorized interior argmax."""
+    from ...stages.rollup import rollup
+    from ...stages.simplify import rdp_simplify
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"),
+                    900 * US)
+
+    def _xi(b: pa.Table) -> pa.Table:
+        bkt = b["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"series_id": b["series_id"],
+                         "bucket": pa.array(bkt // (900 * US)),
+                         "sum_y": b["sum_y"]})
+
+    return rdp_simplify(rolled.map_batches(_xi, batch_format="pyarrow"),
+                        eps=250, num_partitions=2)
+
+
+RDP_SIMPLIFY_SQL = """
+WITH RECURSIVE r AS (
+    SELECT event_type AS series_id,
+           epoch_us(ts) // 900000000 AS xi,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+p AS (
+    SELECT series_id, xi, y,
+           CAST(row_number() OVER (PARTITION BY series_id ORDER BY xi)
+                AS BIGINT) AS rn
+    FROM r
+),
+seg AS (
+    SELECT series_id, CAST(1 AS BIGINT) AS lo,
+           CAST(max(rn) AS BIGINT) AS hi
+    FROM p GROUP BY 1
+    UNION ALL
+    SELECT q.series_id,
+           CASE WHEN v.side = 0 THEN q.lo ELSE q.split END AS lo,
+           CASE WHEN v.side = 0 THEN q.split ELSE q.hi END AS hi
+    FROM (
+        SELECT series_id, lo, hi, split, c2, l2 FROM (
+            SELECT g.series_id, g.lo, g.hi, i.rn AS split,
+                   CAST((b.xi - a.xi) * (i.y - a.y)
+                        - (b.y - a.y) * (i.xi - a.xi) AS HUGEINT)
+                   * ((b.xi - a.xi) * (i.y - a.y)
+                      - (b.y - a.y) * (i.xi - a.xi)) AS c2,
+                   CAST((b.xi - a.xi) AS HUGEINT) * (b.xi - a.xi)
+                   + CAST((b.y - a.y) AS HUGEINT) * (b.y - a.y) AS l2,
+                   row_number() OVER (
+                       PARTITION BY g.series_id, g.lo, g.hi
+                       ORDER BY CAST((b.xi - a.xi) * (i.y - a.y)
+                                     - (b.y - a.y) * (i.xi - a.xi)
+                                     AS HUGEINT)
+                                * ((b.xi - a.xi) * (i.y - a.y)
+                                   - (b.y - a.y) * (i.xi - a.xi)) DESC,
+                                i.rn) AS rk
+            FROM seg g
+            JOIN p a ON a.series_id = g.series_id AND a.rn = g.lo
+            JOIN p b ON b.series_id = g.series_id AND b.rn = g.hi
+            JOIN p i ON i.series_id = g.series_id
+                    AND i.rn > g.lo AND i.rn < g.hi
+        ) WHERE rk = 1
+    ) q
+    CROSS JOIN (VALUES (0), (1)) v(side)
+    WHERE q.c2 > 62500 * q.l2
+),
+k AS (
+    SELECT DISTINCT series_id, rn FROM (
+        SELECT series_id, lo AS rn FROM seg
+        UNION ALL
+        SELECT series_id, hi AS rn FROM seg
+    )
+)
+SELECT p.series_id, CAST(p.xi AS BIGINT) AS x, p.y AS y
+FROM p JOIN k ON k.series_id = p.series_id AND k.rn = p.rn
+"""
+
+
+def q_vw_simplify_15m(sf_dir: str):
+    """Visvalingam-Whyatt simplification of each series' 15m tier
+    polyline (``stages/simplify.py:vw_simplify``): repeatedly drop the
+    interior point with the smallest doubled triangle area ``|cross|``
+    (< 20000, ties toward smallest x) with its CURRENT neighbors — the
+    area-based tolerance family beside RDP's distance-based one. Exact
+    int64 areas; the removal sequence is replayed by the SQL oracle one
+    removal per series per recursive-CTE iteration (lag/lead areas +
+    encoded (area, rn) window argmin)."""
+    from ...stages.rollup import rollup
+    from ...stages.simplify import vw_simplify
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"),
+                    900 * US)
+
+    def _xi(b: pa.Table) -> pa.Table:
+        bkt = b["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"series_id": b["series_id"],
+                         "bucket": pa.array(bkt // (900 * US)),
+                         "sum_y": b["sum_y"]})
+
+    return vw_simplify(rolled.map_batches(_xi, batch_format="pyarrow"),
+                       min_area2=20000, num_partitions=2)
+
+
+VW_SIMPLIFY_SQL = """
+WITH RECURSIVE r AS (
+    SELECT event_type AS series_id,
+           epoch_us(ts) // 900000000 AS xi,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+p AS (
+    SELECT series_id, xi, y,
+           CAST(row_number() OVER (PARTITION BY series_id ORDER BY xi)
+                AS BIGINT) AS rn
+    FROM r
+),
+w AS (
+    SELECT CAST(0 AS BIGINT) AS iter, series_id, rn, xi, y FROM p
+    UNION ALL
+    SELECT iter + 1, series_id, rn, xi, y FROM (
+        SELECT iter, series_id, rn, xi, y, k,
+               min(k) OVER (PARTITION BY series_id) AS vick
+        FROM (
+            SELECT iter, series_id, rn, xi, y,
+                   CASE WHEN a2 IS NOT NULL AND a2 < 20000
+                        THEN a2 * 1000000 + rn END AS k
+            FROM (
+                SELECT iter, series_id, rn, xi, y,
+                       CASE WHEN xp IS NULL OR xn IS NULL THEN NULL
+                            ELSE abs((xn - xp) * (y - yp)
+                                     - (yn - yp) * (xi - xp)) END AS a2
+                FROM (
+                    SELECT iter, series_id, rn, xi, y,
+                           lag(xi) OVER win AS xp, lag(y) OVER win AS yp,
+                           lead(xi) OVER win AS xn, lead(y) OVER win AS yn
+                    FROM w
+                    WINDOW win AS (PARTITION BY series_id ORDER BY rn)
+                )
+            )
+        )
+    )
+    WHERE vick IS NOT NULL AND (k IS NULL OR k <> vick)
+)
+SELECT series_id, CAST(xi AS BIGINT) AS x, y FROM (
+    SELECT series_id, xi, y, iter,
+           max(iter) OVER (PARTITION BY series_id) AS mx
+    FROM w
+) WHERE iter = mx
+"""
+
+
+def q_deadband_events(sf_dir: str):
+    """Dead-band / report-by-exception compression of each event series
+    (``stages/compress.py:deadband_filter``): emit a point iff its cents
+    value moved more than delta=6000 from the LAST EMITTED value (first
+    point always emits) — LOCF reconstruction stays within ±delta. The
+    state jumps data-dependently (no prefix identity), so the per-series
+    pass hops emission-to-emission with a vectorized tail scan, and the
+    oracle replays the walk row-by-row in a recursive CTE."""
+    from ...stages.compress import deadband_filter
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"],
+                         "x": b["ts_us"], "eid": b["event_id"],
+                         "y": b["cents"]})
+
+    ds = ev.map_batches(_series, batch_format="pyarrow")
+    return deadband_filter(ds, delta=6000, order_cols=("x", "eid"),
+                           num_partitions=2)
+
+
+DEADBAND_SQL = """
+WITH RECURSIVE e AS (
+    SELECT event_type AS series_id, epoch_us(ts) AS x, event_id,
+           CAST(round(value * 100) AS BIGINT) AS y
+    FROM events
+),
+o AS (
+    SELECT series_id, x, y,
+           CAST(row_number() OVER (PARTITION BY series_id
+                                   ORDER BY x, event_id) AS BIGINT) AS rn
+    FROM e
+),
+r AS (
+    SELECT series_id, rn, x, y, y AS last_emit, 1 AS emitted
+    FROM o WHERE rn = 1
+    UNION ALL
+    SELECT o.series_id, o.rn, o.x, o.y,
+           CASE WHEN abs(o.y - r.last_emit) > 6000
+                THEN o.y ELSE r.last_emit END,
+           CASE WHEN abs(o.y - r.last_emit) > 6000 THEN 1 ELSE 0 END
+    FROM r JOIN o ON o.series_id = r.series_id AND o.rn = r.rn + 1
+)
+SELECT series_id, CAST(x AS BIGINT) AS x, y
+FROM r WHERE emitted = 1
+"""
+
+
+def q_incident_coverage_events(sf_dir: str):
+    """Interval-overlap range join, monitoring flavor: every ``error``
+    event opens a 30-minute incident window ``[ts, ts+30m]``; for each
+    series count its events covered by >=1 window and the total
+    coverage multiplicity. Bounded-overlap range join, fully streaming
+    (no driver materialization of the error stream): both sides are
+    time-bucketed at the window width W, each error timestamp is
+    replicated to its own bucket and the next (with bucket size == W,
+    every ``te`` in ``[t-W, t]`` lands in the stab event's bucket or
+    the one before, so 2 copies suffice) and to every salt lane
+    (errors are the small side, so replication is cheap; salting keeps
+    a hot 30-minute window from funneling into one task). Each
+    ``(bucket, salt)`` group sorts its local errors once and answers
+    its stab queries with two ``searchsorted`` calls: ``cov(t) =
+    #(te <= t) - #(te < t-W)``. Per-group partials; final merge is
+    <=|series| rows."""
+    W = 1_800_000_000
+    SALT = 4
+    ev = _events_series(sf_dir, cols=("event_id", "event_type", "ts"))
+
+    def _tag(b: pa.Table) -> pa.Table:
+        t = b["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = t // W
+        left = pa.table({
+            "part": k * SALT + (eid % SALT),
+            "role": np.zeros(len(t), dtype=np.int8),
+            "ts_us": t,
+            "event_type": b["event_type"]})
+        m = pc.equal(b["event_type"], "error")
+        te = t[m.to_numpy(zero_copy_only=False)]
+        n_err = len(te)
+        te_rep = np.repeat(te, 2 * SALT)
+        kk = np.repeat(te // W, 2 * SALT)
+        off = np.tile(np.repeat(np.array([0, 1], dtype=np.int64), SALT),
+                      n_err)
+        lanes = np.tile(np.arange(SALT, dtype=np.int64), 2 * n_err)
+        right = pa.table({
+            "part": (kk + off) * SALT + lanes,
+            "role": np.ones(2 * SALT * n_err, dtype=np.int8),
+            "ts_us": te_rep,
+            "event_type": pa.array(["error"] * (2 * SALT * n_err),
+                                   type=left["event_type"].type)})
+        return pa.concat_tables([left, right])
+
+    def _cover(g: pa.Table) -> pa.Table:
+        role = g["role"].to_numpy(zero_copy_only=False)
+        t_all = g["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        te_s = np.sort(t_all[role == 1])
+        lm = role == 0
+        t = t_all[lm]
+        cov = (np.searchsorted(te_s, t, side="right")
+               - np.searchsorted(te_s, t - W, side="left"))
+        tbl = pa.table({"event_type": g["event_type"].filter(pa.array(lm)),
+                        "one": np.ones(len(t), dtype=np.int64),
+                        "covered": (cov > 0).astype(np.int64),
+                        "cov": cov.astype(np.int64)})
+        p = tbl.group_by(["event_type"]).aggregate(
+            [("one", "sum"), ("covered", "sum"), ("cov", "sum")])
+        return p.rename_columns(
+            ["event_type", "n_events", "n_covered", "total_coverage"])
+
+    def _merge(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": g["event_type"].slice(0, 1),
+            "n_events": pa.array([pc.sum(g["n_events"]).as_py()],
+                                 pa.int64()),
+            "n_covered": pa.array([pc.sum(g["n_covered"]).as_py()],
+                                  pa.int64()),
+            "total_coverage": pa.array(
+                [pc.sum(g["total_coverage"]).as_py()], pa.int64())})
+
+    return (ev.map_batches(_tag, batch_format="pyarrow")
+            .groupby("part").map_groups(_cover, batch_format="pyarrow")
+            .groupby("event_type").map_groups(_merge,
+                                              batch_format="pyarrow"))
+
+
+INCIDENT_COVERAGE_SQL = """
+WITH err AS (
+    SELECT epoch_us(ts) AS te FROM events WHERE event_type = 'error'
+),
+ev AS (
+    SELECT event_type, event_id, epoch_us(ts) AS t FROM events
+),
+c AS (
+    SELECT e.event_type, e.event_id, count(w.te) AS cov
+    FROM ev e LEFT JOIN err w
+      ON w.te BETWEEN e.t - 1800000000 AND e.t
+    GROUP BY 1, 2
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN cov > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_covered,
+       CAST(sum(cov) AS BIGINT) AS total_coverage
+FROM c GROUP BY 1
+"""
+
+
+def q_backtest_naive_1h(sf_dir: str):
+    """Forecast backtest over the 1h tier: score the two standard
+    baselines per series — seasonal-naive (y[t−24h]) and naive-1
+    (y[t−1h]) — as exact integer error sums (the MASE building blocks;
+    callers divide). A row is scored against a baseline only where that
+    lagged bucket EXISTS (no gap-fill assumptions). One hash(series)
+    shuffle; per-segment bucket alignment via two ``searchsorted``
+    probes — no self-join shuffle."""
+    from ...arrow_utils import stable_part_codes
+    from ...stages.rollup import rollup
+
+    H = 3_600_000_000
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"), H)
+    mod = 2 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["series_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _score(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t["series_id"].type
+        cols = ("n", "n_seasonal", "sae_seasonal", "n_naive",
+                "sae_naive")
+        if t.num_rows == 0:
+            return pa.table({"series_id": pa.array([], s_type),
+                             **{c: pa.array([], pa.int64())
+                                for c in cols}})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("series_id", "ascending"), ("bucket", "ascending")]))
+        sid = t["series_id"]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bkt = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["sum_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        ends = np.r_[starts[1:], len(codes)]
+        out = {k: [] for k in ("sid",) + cols}
+        for f, l in zip(starts, ends):  # series loop; inner vectorized
+            b_, y_ = bkt[f:l], y[f:l]
+            out["sid"].append(sid[int(f)].as_py())
+            out["n"].append(l - f)
+            for lag, nk, sk in ((24 * H, "n_seasonal", "sae_seasonal"),
+                                (H, "n_naive", "sae_naive")):
+                tgt = b_ - lag
+                idx = np.searchsorted(b_, tgt)
+                ok = (idx < len(b_)) & (b_[np.minimum(idx, len(b_) - 1)]
+                                        == tgt)
+                err = np.abs(y_[ok] - y_[idx[ok]])
+                out[nk].append(int(ok.sum()))
+                out[sk].append(int(err.sum()))
+        return pa.table({"series_id": pa.array(out["sid"], s_type),
+                         **{c: pa.array(out[c], pa.int64())
+                            for c in cols}})
+
+    return (rolled.map_batches(_add_part, batch_format="pyarrow")
+            .repartition(2).groupby("__part")
+            .map_groups(_score, batch_format="pyarrow"))
+
+
+BACKTEST_NAIVE_SQL = """
+WITH r AS (
+    SELECT event_type AS series_id,
+           epoch_us(ts) // 3600000000 * 3600000000 AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+)
+SELECT a.series_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(s.bucket) AS BIGINT) AS n_seasonal,
+       CAST(coalesce(sum(abs(a.y - s.y)), 0) AS BIGINT) AS sae_seasonal,
+       CAST(count(n1.bucket) AS BIGINT) AS n_naive,
+       CAST(coalesce(sum(abs(a.y - n1.y)), 0) AS BIGINT) AS sae_naive
+FROM r a
+LEFT JOIN r s  ON s.series_id = a.series_id
+              AND s.bucket = a.bucket - 86400000000
+LEFT JOIN r n1 ON n1.series_id = a.series_id
+              AND n1.bucket = a.bucket - 3600000000
+GROUP BY 1
+"""
+
+
+def q_rate_limit_users(sf_dir: str):
+    """Sliding-window rate-limiter audit: for every event, the TRAILING
+    count of the same user's events in ``(t − 24h, t]``; an event is
+    throttled when that count exceeds L=4. Per user output: n_events,
+    the peak trailing count and the throttled total — exact int64.
+    One hash(user) shuffle; the trailing counts for ALL rows of a
+    partition come from two global ``searchsorted`` probes on a
+    composite ``user_code*SPAN + (t − tmin)`` key (no per-user Python,
+    no self-join shuffle)."""
+    from ...arrow_utils import stable_part_codes
+
+    W = 86_400_000_000
+    L = 4
+    ev = _events_series(sf_dir, cols=("event_id", "user_id", "ts"))
+    mod = 4 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["user_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _audit(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        u_type = t["user_id"].type
+        cols = ("n_events", "max_trailing", "n_throttled")
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], u_type),
+                             **{c: pa.array([], pa.int64())
+                                for c in cols}})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("ts_us", "ascending"),
+            ("event_id", "ascending")]))
+        uid = t["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        codes = uid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tmin = int(ts.min())
+        span = int(ts.max()) - tmin + W + 2
+        key = codes * span + (ts - tmin)
+        # trailing count in (t-W, t]: both bounds via side='right'
+        cnt = (np.searchsorted(key, key, side="right")
+               - np.searchsorted(key, codes * span + (ts - tmin - W),
+                                 side="right"))
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        return pa.table({
+            "user_id": uid.take(pa.array(starts)),
+            "n_events": pa.array(np.diff(np.append(starts, len(codes)))),
+            "max_trailing": pa.array(np.maximum.reduceat(cnt, starts)),
+            "n_throttled": pa.array(np.add.reduceat(
+                (cnt > L).astype(np.int64), starts))})
+
+    return (ev.map_batches(_add_part, batch_format="pyarrow")
+            .repartition(4).groupby("__part")
+            .map_groups(_audit, batch_format="pyarrow"))
+
+
+RATE_LIMIT_SQL = """
+WITH e AS (
+    SELECT user_id AS u, event_id, epoch_us(ts) AS t FROM events
+),
+c AS (
+    SELECT a.u, a.event_id, count(*) AS cnt
+    FROM e a JOIN e b
+      ON b.u = a.u AND b.t > a.t - 86400000000 AND b.t <= a.t
+    GROUP BY 1, 2
+)
+SELECT u AS user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(cnt) AS BIGINT) AS max_trailing,
+       CAST(sum(CASE WHEN cnt > 4 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_throttled
+FROM c GROUP BY 1
+"""
+
+
+def q_readability_docs(sf_dir: str):
+    """Flesch reading-ease panel per document
+    (``stages/textstats.py:readability_batch``): words / sentence-runs /
+    vowel-group syllables as byte-exact integers plus the pinned-IEEE
+    Flesch score — one vectorized pass over the UTF-8 buffer, no
+    shuffle at all (embarrassingly parallel map)."""
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+    from ...stages.textstats import readability_batch
+
+    return ds.map_batches(readability_batch, batch_format="pyarrow")
+
+
+READABILITY_SQL = """
+WITH m AS (
+    SELECT doc_id,
+           length(text) - length(replace(text, ' ', '')) + 1 AS n_words,
+           length(regexp_replace(text, '[.!?]+', 'X', 'g'))
+             - length(regexp_replace(text, '[.!?]+', '', 'g'))
+               AS n_sentences,
+           length(regexp_replace(lower(text), '[aeiouy]+', 'X', 'g'))
+             - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+               AS n_syllables
+    FROM documents
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+            206.835
+            - 1.015 * (CAST(n_words AS DOUBLE)
+                       / CAST(n_sentences AS DOUBLE))
+            - 84.6 * (CAST(n_syllables AS DOUBLE)
+                      / CAST(n_words AS DOUBLE))
+       END AS flesch
+FROM m
+"""
+
+
+def q_isotonic_fit_1h(sf_dir: str):
+    """Isotonic (non-decreasing) regression per series over the 1h tier
+    via pool-adjacent-violators: classic stack PAVA per series (merge
+    while the previous pool's mean exceeds the last's, compared by
+    int64 cross-multiplication — no floats). The isotonic FIT is the
+    unique L2 projection onto the monotone cone and PAVA reaches it
+    under ANY adjacent-violator merge order, so the per-ROW fitted
+    value is well-defined even where pool boundaries are not; it is
+    emitted as the gcd-reduced exact fraction ``(fit_num, fit_den)``.
+    The SQL oracle replays PAVA merging the FIRST violating pair per
+    series per recursive-CTE iteration — a different merge order,
+    provably the same row-level fit. One hash(series) shuffle; the
+    per-series stack walk is O(n) amortized (each row merges at most
+    once)."""
+    from ...arrow_utils import stable_part_codes
+    from ...stages.rollup import rollup
+
+    H = 3_600_000_000
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"), H)
+    mod = 2 * 64
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["series_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _pava(y: np.ndarray):
+        """Stack PAVA -> per-row (pool_sum, pool_cnt)."""
+        sums, cnts = [], []
+        for v in y:
+            s, c = int(v), 1
+            while sums and sums[-1] * c > s * cnts[-1]:
+                s += sums.pop()
+                c += cnts.pop()
+            sums.append(s)
+            cnts.append(c)
+        ps = np.repeat(np.array(sums, np.int64),
+                       np.array(cnts, np.int64))
+        pc_ = np.repeat(np.array(cnts, np.int64),
+                        np.array(cnts, np.int64))
+        return ps, pc_
+
+    def _fit(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t["series_id"].type
+        if t.num_rows == 0:
+            return pa.table({"series_id": pa.array([], s_type),
+                             "bucket": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64()),
+                             "fit_num": pa.array([], pa.int64()),
+                             "fit_den": pa.array([], pa.int64())})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("series_id", "ascending"), ("bucket", "ascending")]))
+        sid = t["series_id"]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = sid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bkt = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["sum_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        ends = np.r_[starts[1:], len(codes)]
+        num = np.empty(len(y), np.int64)
+        den = np.empty(len(y), np.int64)
+        for f, l in zip(starts, ends):  # series loop (tier contract)
+            ps, pcnt = _pava(y[f:l])
+            num[f:l], den[f:l] = ps, pcnt
+        g_ = np.gcd(num, den)
+        return pa.table({"series_id": sid, "bucket": pa.array(bkt),
+                         "y": pa.array(y),
+                         "fit_num": pa.array(num // g_),
+                         "fit_den": pa.array(den // g_)})
+
+    return (rolled.map_batches(_add_part, batch_format="pyarrow")
+            .repartition(2).groupby("__part")
+            .map_groups(_fit, batch_format="pyarrow"))
+
+
+ISOTONIC_SQL = """
+WITH RECURSIVE r AS (
+    SELECT event_type AS series_id,
+           epoch_us(ts) // 3600000000 * 3600000000 AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+p AS (
+    SELECT series_id, bucket, y,
+           CAST(row_number() OVER (PARTITION BY series_id
+                                   ORDER BY bucket) AS BIGINT) AS rn
+    FROM r
+),
+w AS (
+    SELECT CAST(0 AS BIGINT) AS iter, series_id, rn AS start_rn,
+           rn AS end_rn, y AS psum, CAST(1 AS BIGINT) AS pcnt
+    FROM p
+    UNION ALL
+    SELECT iter + 1, series_id,
+           start_rn,
+           CASE WHEN start_rn = fv THEN nend ELSE end_rn END,
+           CASE WHEN start_rn = fv THEN psum + nsum ELSE psum END,
+           CASE WHEN start_rn = fv THEN pcnt + ncnt ELSE pcnt END
+    FROM (
+        SELECT iter, series_id, start_rn, end_rn, psum, pcnt,
+               nsum, ncnt, nend, pstart,
+               min(viol) OVER (PARTITION BY series_id) AS fv
+        FROM (
+            SELECT iter, series_id, start_rn, end_rn, psum, pcnt,
+                   lead(psum) OVER ws AS nsum,
+                   lead(pcnt) OVER ws AS ncnt,
+                   lead(end_rn) OVER ws AS nend,
+                   lag(start_rn) OVER ws AS pstart,
+                   CASE WHEN lead(psum) OVER ws IS NOT NULL
+                         AND psum * lead(pcnt) OVER ws
+                             > lead(psum) OVER ws * pcnt
+                        THEN start_rn END AS viol
+            FROM w
+            WINDOW ws AS (PARTITION BY series_id ORDER BY start_rn)
+        )
+    )
+    WHERE fv IS NOT NULL AND (pstart IS NULL OR pstart <> fv)
+),
+f AS (
+    SELECT series_id, start_rn, end_rn, psum, pcnt FROM (
+        SELECT w.*, max(iter) OVER (PARTITION BY series_id) AS mx
+        FROM w
+    ) WHERE iter = mx
+)
+SELECT p.series_id, CAST(p.bucket AS BIGINT) AS bucket, p.y,
+       CAST(f.psum // gcd(f.psum, f.pcnt) AS BIGINT) AS fit_num,
+       CAST(f.pcnt // gcd(f.psum, f.pcnt) AS BIGINT) AS fit_den
+FROM p JOIN f
+  ON f.series_id = p.series_id
+ AND p.rn BETWEEN f.start_rn AND f.end_rn
+"""
+
+
+def q_mmr_select_embeddings(sf_dir: str):
+    """Maximal-marginal-relevance selection (the RAG/result-diversity
+    primitive): greedily pick k=10 of the top-M=50 candidates by
+    ``score = qsim − max_sim_to_selected`` (lambda=1/2, scaled by 2),
+    all on exact integer dot products over trunc(x*1000)-quantized
+    components (the catalog's embedding convention), ties to the
+    smallest vec_id. Distributed shape: the query vector broadcasts in
+    a closure; each batch computes qsim with one integer matmul and
+    keeps only its LOCAL top-M rows, so the driver merge sees
+    blocks×M rows, never the corpus; the greedy loop then runs on the
+    M-row candidate set. Query vector: vec_id=7 (excluded)."""
+    QID, M, K = 7, 50, 10
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+
+    from ...stages.similarity import embedding_matrix
+
+    def _qrow(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["vec_id"], QID)
+        return b.filter(m)
+
+    qrows = ds.map_batches(_qrow, batch_format="pyarrow").take_all()
+    qv = np.trunc(np.asarray(qrows[0]["embedding"], np.float64)
+                  * 1000).astype(np.int64)
+
+    def _local_top(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        E = np.trunc(embedding_matrix(b).astype(np.float64)
+                     * 1000).astype(np.int64)
+        keep = ids != QID
+        ids, E = ids[keep], E[keep]
+        qsim = E @ qv
+        order = np.lexsort((ids, -qsim))[:M]
+        return pa.table({
+            "vec_id": pa.array(ids[order]),
+            "qsim": pa.array(qsim[order]),
+            "v": pa.array(list(E[order]),
+                          pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(_local_top, batch_format="pyarrow").take_all()
+    ids = np.array([r["vec_id"] for r in parts], dtype=np.int64)
+    qsim = np.array([r["qsim"] for r in parts], dtype=np.int64)
+    V = np.array([r["v"] for r in parts], dtype=np.int64)
+    order = np.lexsort((ids, -qsim))[:M]
+    ids, qsim, V = ids[order], qsim[order], V[order]
+
+    red = np.zeros(len(ids), dtype=np.int64)
+    alive = np.ones(len(ids), dtype=bool)
+    out = {"rank": [], "vec_id": [], "qsim": [], "redundancy": []}
+    for k in range(1, K + 1):
+        score = qsim - red
+        cand = np.flatnonzero(alive)
+        w = cand[np.lexsort((ids[cand], -score[cand]))[0]]
+        out["rank"].append(k)
+        out["vec_id"].append(int(ids[w]))
+        out["qsim"].append(int(qsim[w]))
+        out["redundancy"].append(int(red[w]))
+        alive[w] = False
+        red = np.maximum(red, V @ V[w])
+    return pa.table({c: pa.array(v, pa.int64())
+                     for c, v in out.items()})
+
+
+MMR_SELECT_SQL = """
+WITH RECURSIVE q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+    FROM embeddings
+),
+qq AS (SELECT v FROM q WHERE vec_id = 7),
+s AS (
+    SELECT q.vec_id, CAST(list_dot_product(q.v, qq.v) AS BIGINT) AS qsim,
+           q.v
+    FROM q, qq WHERE q.vec_id <> 7
+),
+cand AS (
+    SELECT vec_id, qsim, v FROM (
+        SELECT vec_id, qsim, v,
+               row_number() OVER (ORDER BY qsim DESC, vec_id) AS rk
+        FROM s
+    ) WHERE rk <= 50
+),
+w AS (
+    SELECT CAST(0 AS BIGINT) AS iter, vec_id, qsim, v,
+           CAST(0 AS BIGINT) AS red
+    FROM cand
+    UNION ALL
+    SELECT iter + 1, vec_id, qsim, v,
+           greatest(red, CAST(list_dot_product(v, wv) AS BIGINT))
+    FROM (
+        SELECT iter, vec_id, qsim, v, red,
+               first_value(v) OVER wo AS wv,
+               first_value(vec_id) OVER wo AS wid
+        FROM w
+        WINDOW wo AS (ORDER BY qsim - red DESC, vec_id)
+    )
+    WHERE vec_id <> wid AND iter < 9
+)
+SELECT CAST(iter + 1 AS BIGINT) AS rank, vec_id, qsim,
+       red AS redundancy
+FROM (
+    SELECT iter, vec_id, qsim, red,
+           row_number() OVER (PARTITION BY iter
+                              ORDER BY qsim - red DESC, vec_id) AS rk
+    FROM w
+) WHERE rk = 1 AND iter < 10
+"""
+
+
+def q_kalman_1h(sf_dir: str):
+    """Kalman local-level filter over the 1h tier
+    (``stages/smoothing.py:kalman_local_level``): converging
+    time-varying gain in pinned e6 fixed point (q=1, r=9 variance
+    units), the filtering companion to ``ewma_15m``/``holt_15m``.
+    Sequential per series (the defining data dependency), parallel
+    across series; oracle replays each step in a recursive CTE."""
+    from ...stages.rollup import rollup
+    from ...stages.smoothing import kalman_local_level
+
+    H = 3_600_000_000
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"), H)
+    return kalman_local_level(rolled, num_partitions=2)
+
+
+KALMAN_SQL = """
+WITH RECURSIVE r AS (
+    SELECT event_type AS series_id,
+           epoch_us(ts) // 3600000000 * 3600000000 AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+o AS (
+    SELECT series_id, bucket, y,
+           CAST(row_number() OVER (PARTITION BY series_id
+                                   ORDER BY bucket) AS BIGINT) AS rn
+    FROM r
+),
+w AS (
+    SELECT series_id, rn, bucket, y,
+           y * 1000000 AS x, CAST(9000000 AS BIGINT) AS p,
+           CAST(0 AS BIGINT) AS k
+    FROM o WHERE rn = 1
+    UNION ALL
+    SELECT o.series_id, o.rn, o.bucket, o.y,
+           w.x + (((w.p + 1000000) * 1000000
+                   // (w.p + 1000000 + 9000000))
+                  * (o.y * 1000000 - w.x)) // 1000000,
+           ((1000000 - ((w.p + 1000000) * 1000000
+                        // (w.p + 1000000 + 9000000)))
+            * (w.p + 1000000)) // 1000000,
+           (w.p + 1000000) * 1000000 // (w.p + 1000000 + 9000000)
+    FROM w JOIN o ON o.series_id = w.series_id AND o.rn = w.rn + 1
+)
+SELECT series_id, CAST(bucket AS BIGINT) AS bucket, y,
+       x AS x_e6, k AS k_e6
+FROM w
+"""
+
+
+def q_expectations_events(sf_dir: str):
+    """Declarative data-quality audit (the expectations/contract layer
+    every production ingest runs): one row per check with exact
+    violation counts over the events table —
+
+      id_unique        duplicate event_id rows (count − distinct)
+      value_in_range   value outside (0, 300]
+      type_in_set      event_type outside the 5 known labels
+      user_nonnull     missing user_id
+      ts_monotonic_id  rows where (ts, event_id) order disagrees with
+                       event_id order per user (id assigned out of
+                       arrival order)
+
+    Distributed shape: every check except id_unique is a map-side
+    per-batch partial (tiny merge); id_unique counts distinct via one
+    hash(event_id) shuffle's per-group sizes; the monotonicity check
+    rides the same hash(user) segment pass as the rate-limit audit."""
+    from ...arrow_utils import stable_part_codes
+
+    ALLOWED = {"click", "view", "signup", "purchase", "error"}
+    ev = _read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "ts", "user_id", "value"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        out = {c: b[c] for c in b.column_names if c != "ts"}
+        out["ts_us"] = b["ts"].cast(pa.int64())
+        return pa.table(out)
+
+    ds = ev.map_batches(_prep, batch_format="pyarrow")
+
+    # map-side partials for the row-local checks
+    def _local(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        bad_range = int(((v <= 0) | (v > 300)).sum())
+        et = b["event_type"]
+        in_set = pc.is_in(et, value_set=pa.array(sorted(ALLOWED)))
+        bad_type = int(pc.sum(pc.cast(pc.invert(in_set),
+                                      pa.int64())).as_py() or 0)
+        bad_user = int(b["user_id"].null_count)
+        return pa.table({
+            "check": pa.array(["value_in_range", "type_in_set",
+                               "user_nonnull"]),
+            "n_violations": pa.array([bad_range, bad_type, bad_user],
+                                     pa.int64()),
+            "n_rows": pa.array([b.num_rows] * 3, pa.int64())})
+
+    local = ds.map_batches(_local, batch_format="pyarrow")
+
+    # id uniqueness: hash(event_id) shuffle, per-group excess
+    mod = 4 * 64
+
+    def _part_id(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["event_id"], None)
+        return pa.table({
+            "event_id": b["event_id"],
+            "__part": pa.array((h % np.uint64(mod)).astype(np.int32))})
+
+    def _dups(g: pa.Table) -> pa.Table:
+        ids = g["event_id"].to_numpy(zero_copy_only=False)
+        extra = len(ids) - len(np.unique(ids))
+        return pa.table({"check": pa.array(["id_unique"]),
+                         "n_violations": pa.array([extra], pa.int64()),
+                         "n_rows": pa.array([len(ids)], pa.int64())})
+
+    dups = (ds.map_batches(_part_id, batch_format="pyarrow")
+            .repartition(4).groupby("__part")
+            .map_groups(_dups, batch_format="pyarrow"))
+
+    # per-user monotonicity of event_id vs (ts, event_id) arrival order
+    def _part_u(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["user_id"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _mono(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return pa.table({"check": pa.array([], pa.string()),
+                             "n_violations": pa.array([], pa.int64()),
+                             "n_rows": pa.array([], pa.int64())})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("ts_us", "ascending"),
+            ("event_id", "ascending")]))
+        uid = t["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        codes = uid.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        same = np.zeros(len(eid), dtype=bool)
+        same[1:] = codes[1:] == codes[:-1]
+        viol = int((same & np.r_[False, eid[1:] < eid[:-1]]).sum())
+        return pa.table({"check": pa.array(["ts_monotonic_id"]),
+                         "n_violations": pa.array([viol], pa.int64()),
+                         "n_rows": pa.array([t.num_rows], pa.int64())})
+
+    mono = (ds.map_batches(_part_u, batch_format="pyarrow")
+            .repartition(4).groupby("__part")
+            .map_groups(_mono, batch_format="pyarrow"))
+
+    def _merge(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "check": g["check"].slice(0, 1),
+            "n_violations": pa.array(
+                [pc.sum(g["n_violations"]).as_py() or 0], pa.int64()),
+            "n_rows": pa.array([pc.sum(g["n_rows"]).as_py() or 0],
+                               pa.int64())})
+
+    return (local.union(dups).union(mono)
+            .groupby("check").map_groups(_merge, batch_format="pyarrow"))
+
+
+EXPECTATIONS_SQL = """
+WITH e AS (
+    SELECT event_id, event_type, epoch_us(ts) AS t, user_id, value
+    FROM events
+),
+mono AS (
+    SELECT count(*) AS n,
+           sum(CASE WHEN prev_id IS NOT NULL AND event_id < prev_id
+                    THEN 1 ELSE 0 END) AS v
+    FROM (
+        SELECT event_id,
+               lag(event_id) OVER (PARTITION BY user_id
+                                   ORDER BY t, event_id) AS prev_id
+        FROM e
+    )
+)
+SELECT * FROM (
+    SELECT 'id_unique' AS "check",
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+               AS n_violations,
+           CAST(count(*) AS BIGINT) AS n_rows FROM e
+    UNION ALL
+    SELECT 'value_in_range',
+           CAST(sum(CASE WHEN value <= 0 OR value > 300
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT) FROM e
+    UNION ALL
+    SELECT 'type_in_set',
+           CAST(sum(CASE WHEN event_type NOT IN
+                         ('click','view','signup','purchase','error')
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT) FROM e
+    UNION ALL
+    SELECT 'user_nonnull',
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(*) AS BIGINT) FROM e
+    UNION ALL
+    SELECT 'ts_monotonic_id', CAST(v AS BIGINT), CAST(n AS BIGINT)
+    FROM mono
+)
+"""
+
+
+def q_huffman_code_docs(sf_dir: str):
+    """Optimal-prefix-code construction (the compression-theory
+    companion to ``gzip_text_docs``): corpus-wide character frequencies
+    for [a-z ] reduce map-side to a 27-bin histogram per batch (one
+    tiny merge — the distributed part), then the Huffman tree is built
+    with the PINNED deterministic convention: repeatedly merge the two
+    nodes with smallest ``(freq, min-symbol-in-subtree)``. Output per
+    symbol: frequency, code length, and the corpus' total encoded bits
+    (Σ freq·len) — the entropy-coding size every storage planner
+    estimates. The SQL oracle replays the same merges one per
+    recursive-CTE iteration via dense-rank windows over the leaf rows.
+    """
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+
+    SYMS = "abcdefghijklmnopqrstuvwxyz "
+
+    def _hist(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        data = np.frombuffer(text.buffers()[2], dtype=np.uint8)
+        off = np.frombuffer(
+            text.buffers()[1],
+            dtype=np.int32 if pa.types.is_string(text.type)
+            else np.int64)
+        lo = int(off[text.offset])
+        hi = int(off[text.offset + len(text)])
+        counts = np.bincount(data[lo:hi], minlength=256)
+        freqs = [int(counts[ord(c)]) for c in SYMS]
+        return pa.table({"sym": pa.array(list(SYMS)),
+                         "freq": pa.array(freqs, pa.int64())})
+
+    rows = ds.map_batches(_hist, batch_format="pyarrow").take_all()
+    freq = {}
+    for r in rows:
+        freq[r["sym"]] = freq.get(r["sym"], 0) + r["freq"]
+
+    import heapq
+    # node = (freq, min_symbol, [leaf syms]); merge two smallest
+    heap = [(f, s, [s]) for s, f in freq.items()]
+    heapq.heapify(heap)
+    length = {s: 0 for s in freq}
+    while len(heap) > 1:
+        f1, m1, l1 = heapq.heappop(heap)
+        f2, m2, l2 = heapq.heappop(heap)
+        for s in l1 + l2:
+            length[s] += 1
+        heapq.heappush(heap, (f1 + f2, min(m1, m2), l1 + l2))
+    total_bits = sum(freq[s] * length[s] for s in freq)
+    syms = sorted(freq)
+    return pa.table({
+        "sym": pa.array(syms),
+        "freq": pa.array([freq[s] for s in syms], pa.int64()),
+        "code_len": pa.array([length[s] for s in syms], pa.int64()),
+        "total_bits": pa.array([total_bits] * len(syms), pa.int64())})
+
+
+HUFFMAN_SQL = """
+WITH RECURSIVE syms AS (
+    SELECT unnest(string_split('a b c d e f g h i j k l m n o p q r s'
+                               || ' t u v w x y z _SP', ' ')) AS tok
+),
+leaf AS (
+    SELECT CASE WHEN tok = '_SP' THEN ' ' ELSE tok END AS sym,
+           (SELECT CAST(coalesce(sum(
+                length(text) - length(replace(text,
+                    CASE WHEN tok = '_SP' THEN ' ' ELSE tok END, ''))
+            ), 0) AS BIGINT) FROM documents) AS freq
+    FROM syms
+),
+w AS (
+    SELECT CAST(0 AS BIGINT) AS iter, sym, freq, sym AS node_min,
+           freq AS node_freq, CAST(0 AS BIGINT) AS len,
+           CAST((SELECT count(*) FROM leaf) AS BIGINT) AS n_nodes
+    FROM leaf
+    UNION ALL
+    SELECT iter + 1, sym, freq,
+           CASE WHEN rnk <= 2 THEN mmin ELSE node_min END,
+           CASE WHEN rnk <= 2 THEN f1 + f2 ELSE node_freq END,
+           CASE WHEN rnk <= 2 THEN len + 1 ELSE len END,
+           n_nodes - 1
+    FROM (
+        SELECT iter, sym, freq, node_min, node_freq, len, n_nodes, rnk,
+               min(CASE WHEN rnk <= 2 THEN node_min END) OVER ()
+                   AS mmin,
+               min(CASE WHEN rnk = 1 THEN node_freq END) OVER () AS f1,
+               min(CASE WHEN rnk = 2 THEN node_freq END) OVER () AS f2
+        FROM (
+            SELECT iter, sym, freq, node_min, node_freq, len, n_nodes,
+                   dense_rank() OVER (ORDER BY node_freq, node_min)
+                       AS rnk
+            FROM w
+        )
+    )
+    WHERE n_nodes > 1
+),
+f AS (SELECT w.*, max(iter) OVER () AS mx FROM w)
+SELECT sym, freq, len AS code_len,
+       CAST(sum(freq * len) OVER () AS BIGINT) AS total_bits
+FROM f WHERE iter = mx
+"""
+
+
