@@ -139,8 +139,6 @@ def read_pages(sf_dir: str, *, snapshots: int = 3, hot_domain_factor: int = 1,
     # skip its dedup fast path (see sources.read_parquet_clean)
     from . import read_parquet_clean
 
-    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
-                            columns=sorted(need))
     if parallelism == 0:
         import pyarrow.parquet as pq
 
@@ -164,6 +162,13 @@ def read_pages(sf_dir: str, *, snapshots: int = 3, hot_domain_factor: int = 1,
         parallelism = min(max(total // 125_000, floor, 1), 512)
         if parallelism <= 1:
             parallelism = 0
+    # NOTE: a post-read repartition (not override_num_blocks) is the right
+    # splitter here — measured: the reader's own SplitBlocks dribbles
+    # blocks through the streaming-generator buffer and GATES the fused
+    # expand map (map-only wall 6.8 s vs 2.4 s), while the repartition's
+    # operator wall fully overlaps with downstream execution.
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=sorted(need))
     if parallelism > 1:
         ds = ds.repartition(parallelism)
 
