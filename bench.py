@@ -243,6 +243,36 @@ def _calibrate() -> float:
     return time.time() - t0
 
 
+def _mc_calibrate() -> float:
+    """Multi-core throttle probe: NUM_CPUS concurrent compute-bound Ray
+    tasks, each a fixed run of L2-resident dot products (no memory-bus
+    pressure, so the clean floor is width-independent). The single-core
+    probe misses co-tenant windows that steal MULTI-core capacity while
+    leaving one core fast (observed r5: hi-width tier0 samples swinging
+    10.1 -> 13.8 s with single-core probes flat at 0.066-0.068 s); the
+    SLOWEST of NUM_CPUS concurrent tasks exposes exactly that — on a
+    quiet host every task runs ~solo speed, under a burst some tasks
+    timeshare and the max inflates. Requires an initialized Ray; the
+    caller must have warmed the worker pool (run_tier0's warm count()
+    does). Clean floor ~0.05-0.12 s/task on this host."""
+    import numpy as np
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def _probe() -> float:
+        a = np.arange(250_000, dtype=np.float64)  # 2 MB, cache-resident
+        t0 = time.time()
+        s = 0.0
+        for _ in range(400):
+            s += float(np.dot(a, a))
+        assert s >= 0.0
+        return time.time() - t0
+
+    # one warm pass so worker spin-up isn't measured, then the real one
+    ray.get([_probe.remote() for _ in range(NUM_CPUS)])
+    return max(ray.get([_probe.remote() for _ in range(NUM_CPUS)]))
+
+
 def run_tier0() -> dict:
     """The data-scale-dominated job alone: corpus read/expand -> extract ->
     series -> 15-min rollup -> write. This is the stage whose work grows
@@ -269,6 +299,7 @@ def run_tier0() -> dict:
     read_pages(SF_DIR, snapshots=1, columns=["url", "warc_ts", "text"]).count()
 
     cal0 = _calibrate()
+    mc0 = _mc_calibrate()
     out = os.path.join(OUT_DIR, "tier0_scaling")
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
@@ -284,6 +315,7 @@ def run_tier0() -> dict:
     rollup(series, 900_000_000, est_keys=est).repartition(8).write_parquet(out)
     sec = time.time() - t0
     cal1 = _calibrate()
+    mc1 = _mc_calibrate()
     import pyarrow.parquet as pq
 
     n_input = SNAPSHOTS * pq.read_metadata(
@@ -292,8 +324,10 @@ def run_tier0() -> dict:
     return {"metric": "tier0_build_sec", "value": round(sec, 3), "unit": "sec",
             "num_cpus": NUM_CPUS, "input_series_rows": n_input,
             "points_per_sec": round(n_input / sec, 1),
-            # throttle evidence: single-core probe before/after the job
-            "calib_sec": round(max(cal0, cal1), 3)}
+            # throttle evidence: single-core + multi-core probes
+            # before/after the job (max of the two passes each)
+            "calib_sec": round(max(cal0, cal1), 3),
+            "mc_calib_sec": round(max(mc0, mc1), 3)}
 
 
 def _spawn(ncpu: int, extra_args: list, extra_env: dict | None = None) -> dict:
@@ -342,20 +376,30 @@ def run_scaling(tier0_only: bool = False) -> dict:
     # when any exist, min over all otherwise. All samples + probes are
     # reported: the criterion measures OUR scaling, not the sandbox's
     # burst scheduler, and the probes are the evidence either way.
-    max_reps = int(os.environ.get("BENCH_SCALING_MAX_REPS", "4"))
+    max_reps = int(os.environ.get("BENCH_SCALING_MAX_REPS", "5"))
     CAL_CLEAN = 1.0  # clean floor ~0.05-0.10 s (100M probe); bursts >= seconds
+    # multi-core probe (slowest of NUM_CPUS concurrent cache-resident
+    # tasks, see _mc_calibrate): floor 0.04-0.09 s at widths 2-32 on this
+    # host; co-tenant windows that steal multi-core capacity while the
+    # single-core probe stays flat push it well past 0.2 s. A sample is
+    # clean only if BOTH probes sit at their floors.
+    MC_CAL_CLEAN = float(os.environ.get("BENCH_MC_CAL_CLEAN", "0.2"))
+
+    def _is_clean(cal: float, mc: float) -> bool:
+        return 0 <= cal < CAL_CLEAN and 0 <= mc < MC_CAL_CLEAN
 
     def _collect(ncpu: int, n_reps: int, n_max: int, c_env=None):
-        vals, cals = [], []
+        vals, cals, mcs = [], [], []
         for _ in range(n_max):
             r = _spawn(ncpu, ["--tier0"], c_env or env)
             vals.append(r["value"])
             cals.append(r.get("calib_sec", -1.0))
+            mcs.append(r.get("mc_calib_sec", -1.0))
             if len(vals) >= n_reps and any(
-                    0 <= c < CAL_CLEAN for c in cals):
+                    _is_clean(c, m) for c, m in zip(cals, mcs)):
                 break
-        clean = [v for v, c in zip(vals, cals) if 0 <= c < CAL_CLEAN]
-        thr = [v for v, c in zip(vals, cals) if not 0 <= c < CAL_CLEAN]
+        clean = [v for v, c, m in zip(vals, cals, mcs) if _is_clean(c, m)]
+        thr = [v for v, c, m in zip(vals, cals, mcs) if not _is_clean(c, m)]
         return clean, thr, vals, cals
 
     def _pick(c_lo, t_lo, s_lo, c_hi, t_hi, s_hi):
@@ -378,23 +422,26 @@ def run_scaling(tier0_only: bool = False) -> dict:
     # is the MIN over clean-pair rounds (the conservative paired
     # estimate), falling back to per-level same-regime mins only when no
     # round is clean on both sides.
-    s_lo, cal_lo, s_hi, cal_hi = [], [], [], []
+    s_lo, cal_lo, mc_lo, s_hi, cal_hi, mc_hi = [], [], [], [], [], []
     clean_pair_rounds: list[int] = []
     for rnd in range(max_reps):
         r = _spawn(lo, ["--tier0"], env)
         s_lo.append(r["value"])
         cal_lo.append(r.get("calib_sec", -1.0))
+        mc_lo.append(r.get("mc_calib_sec", -1.0))
         r = _spawn(hi, ["--tier0"], env)
         s_hi.append(r["value"])
         cal_hi.append(r.get("calib_sec", -1.0))
-        if 0 <= cal_lo[-1] < CAL_CLEAN and 0 <= cal_hi[-1] < CAL_CLEAN:
+        mc_hi.append(r.get("mc_calib_sec", -1.0))
+        if _is_clean(cal_lo[-1], mc_lo[-1]) and _is_clean(
+                cal_hi[-1], mc_hi[-1]):
             clean_pair_rounds.append(rnd)
         if len(clean_pair_rounds) >= reps:
             break
 
-    def _split(vals, cals):
-        clean = [v for v, c in zip(vals, cals) if 0 <= c < CAL_CLEAN]
-        thr = [v for v, c in zip(vals, cals) if not 0 <= c < CAL_CLEAN]
+    def _split(vals, cals, mcs):
+        clean = [v for v, c, m in zip(vals, cals, mcs) if _is_clean(c, m)]
+        thr = [v for v, c, m in zip(vals, cals, mcs) if not _is_clean(c, m)]
         return clean, thr
 
     pair_effs = [
@@ -404,8 +451,8 @@ def run_scaling(tier0_only: bool = False) -> dict:
         t0_lo, t0_hi, regime = s_lo[k_min], s_hi[k_min], "clean"
         eff_t0 = min(pair_effs)
     else:
-        c_lo, t_lo = _split(s_lo, cal_lo)
-        c_hi, t_hi = _split(s_hi, cal_hi)
+        c_lo, t_lo = _split(s_lo, cal_lo, mc_lo)
+        c_hi, t_hi = _split(s_hi, cal_hi, mc_hi)
         t0_lo, t0_hi, regime = _pick(c_lo, t_lo, s_lo, c_hi, t_hi, s_hi)
         eff_t0 = (t0_lo / t0_hi) / (hi / lo)
     import pyarrow.parquet as pq
@@ -428,6 +475,8 @@ def run_scaling(tier0_only: bool = False) -> dict:
         "tier0_samples_hi": s_hi,
         "tier0_calib_lo": cal_lo,
         "tier0_calib_hi": cal_hi,
+        "tier0_mc_calib_lo": mc_lo,
+        "tier0_mc_calib_hi": mc_hi,
         "tier0_regime": regime,
         "tier0_pair_efficiencies": pair_effs,
         "tier0_pts_per_sec_lo": round(n_input / t0_lo, 1),
