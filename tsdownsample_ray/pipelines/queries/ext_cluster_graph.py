@@ -564,11 +564,16 @@ def q_kcore_docs(sf_dir: str):
     undirected simple graph): iteratively peel nodes of degree < k
     until the fixpoint — the standard graph-mining density filter.
     Distributed shape per round (the pagerank/kmeans driver-round
-    precedent): degrees from one hash-partitioned grouped count over
-    the doubled edge list; the shrinking LOW-degree id set broadcasts
-    (``ray.put``) and edges filter map-side; the edge Dataset
-    materializes once per round. ~10 rounds at this fixture. Output:
-    ``(node, core_deg)`` for the surviving 5-core."""
+    precedent): per-block partial doubled-degree counts merged on the
+    driver (the driver already reads every node's degree to build the
+    peel set, so partials — at most #blocks rows per node — cost the
+    same bounded read and drop the per-round repartition+groupby
+    shuffle entirely); the shrinking LOW-degree id set broadcasts
+    (``ray.put``, sorted, searchsorted membership) and edges filter
+    map-side; the edge Dataset materializes once per round. ~10 rounds
+    at this fixture. Output: ``(node, core_deg)`` for the surviving
+    5-core (one partitioned grouped count, the only shuffle after the
+    edge build)."""
     import pyarrow.parquet as _pq
     import ray as _ray
 
@@ -645,20 +650,40 @@ def q_kcore_docs(sf_dir: str):
                 .repartition(4).groupby("__part")
                 .map_groups(_cnt, batch_format="pyarrow"))
 
-    for _round in range(60):
-        deg_rows = _doubled_deg(edges).take_all()
-        low = {int(r["node"]) for r in deg_rows if r["deg"] < K}
-        if not low:
-            break
-        low_ref = _ray.put(low)
+    def _deg_partials(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64())})
+        u = b["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(np.concatenate([u, v]), return_counts=True)
+        return pa.table({"node": pa.array(uniq),
+                         "deg": pa.array(cnt.astype(np.int64))})
 
-        def _filter(b: pa.Table) -> pa.Table:
+    for _round in range(60):
+        parts = edges.map_batches(
+            _deg_partials, batch_format="pyarrow").take_all()
+        if parts:
+            nodes = np.array([r["node"] for r in parts], dtype=np.int64)
+            degs = np.array([r["deg"] for r in parts], dtype=np.int64)
+            uniq, inv = np.unique(nodes, return_inverse=True)
+            tot = np.bincount(inv, weights=degs).astype(np.int64)
+            low_arr = np.sort(uniq[tot < K])
+        else:
+            low_arr = np.array([], dtype=np.int64)
+        if low_arr.size == 0:
+            break
+        low_ref = _ray.put(low_arr)
+
+        def _filter(b: pa.Table, _ref=low_ref) -> pa.Table:
             if b.num_rows == 0:
                 return b
-            bad = np.fromiter(_ray.get(low_ref), dtype=np.int64)
+            bad = _ray.get(_ref)  # sorted int64 ids
             u = b["u"].to_numpy(zero_copy_only=False).astype(np.int64)
             v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-            keep = ~np.isin(u, bad) & ~np.isin(v, bad)
+            iu = np.minimum(np.searchsorted(bad, u), bad.size - 1)
+            iv = np.minimum(np.searchsorted(bad, v), bad.size - 1)
+            keep = (bad[iu] != u) & (bad[iv] != v)
             return b.filter(pa.array(keep))
 
         edges = edges.map_batches(
