@@ -411,20 +411,24 @@ def run_scaling(tier0_only: bool = False) -> dict:
             return min(t_lo), min(t_hi), "throttled"
         return min(s_lo), min(s_hi), "mixed"
 
-    # INTERLEAVED rounds (lo, hi, lo, hi, ...): the sandbox's co-tenant
-    # load suppresses wide runs more than narrow ones, so sampling one
-    # level's block in a loaded window and the other's in a clean one
-    # biases the ratio in either direction; adjacent pairs see ~the same
-    # window. Stopping is METRIC-INDEPENDENT (r4 advice: conditioning the
-    # stop on the efficiency itself is optional stopping and biases the
-    # headline upward): stop once >= reps rounds have BOTH calibration
-    # probes clean, else run out max_reps rounds. The reported efficiency
-    # is the MIN over clean-pair rounds (the conservative paired
-    # estimate), falling back to per-level same-regime mins only when no
-    # round is clean on both sides.
+    # INTERLEAVED rounds (lo, hi, lo, hi, ...) so neither level is
+    # systematically sampled in a worse co-tenant window, with a FIXED
+    # round count (r4 advice: any stop conditioned on the metric is
+    # optional stopping). Estimator: MIN PER LEVEL over probe-clean
+    # samples. Rationale (measured r5): sandbox interference is
+    # one-sided — it only ever INFLATES a sample — and mid-job bursts
+    # longer than the ~0.07 s boundary probes evade both the single-
+    # and multi-core probe (observed: all probes at floor while lo read
+    # 37.4/41.1 s vs a 34.2 s steady state and hi 18.9/14.1 s vs 10.0 s).
+    # Under such independent one-sided noise each level's min converges
+    # to its clean time from above, so min-lo/min-hi is a consistent
+    # estimator; the previously-reported min-of-pairs is NOT — a clean-lo
+    # +burst-hi round reads low and a burst-lo+clean-hi round reads high
+    # (the same session produced pair efficiencies 0.495 and 0.728 around
+    # a true 0.85). Pair efficiencies are still reported as evidence.
     s_lo, cal_lo, mc_lo, s_hi, cal_hi, mc_hi = [], [], [], [], [], []
-    clean_pair_rounds: list[int] = []
-    for rnd in range(max_reps):
+    n_rounds = max(reps, int(os.environ.get("BENCH_SCALING_ROUNDS", "3")))
+    for rnd in range(n_rounds):
         r = _spawn(lo, ["--tier0"], env)
         s_lo.append(r["value"])
         cal_lo.append(r.get("calib_sec", -1.0))
@@ -433,11 +437,6 @@ def run_scaling(tier0_only: bool = False) -> dict:
         s_hi.append(r["value"])
         cal_hi.append(r.get("calib_sec", -1.0))
         mc_hi.append(r.get("mc_calib_sec", -1.0))
-        if _is_clean(cal_lo[-1], mc_lo[-1]) and _is_clean(
-                cal_hi[-1], mc_hi[-1]):
-            clean_pair_rounds.append(rnd)
-        if len(clean_pair_rounds) >= reps:
-            break
 
     def _split(vals, cals, mcs):
         clean = [v for v, c, m in zip(vals, cals, mcs) if _is_clean(c, m)]
@@ -445,16 +444,11 @@ def run_scaling(tier0_only: bool = False) -> dict:
         return clean, thr
 
     pair_effs = [
-        round((s_lo[k] / s_hi[k]) / (hi / lo), 3) for k in clean_pair_rounds]
-    if pair_effs:
-        k_min = clean_pair_rounds[pair_effs.index(min(pair_effs))]
-        t0_lo, t0_hi, regime = s_lo[k_min], s_hi[k_min], "clean"
-        eff_t0 = min(pair_effs)
-    else:
-        c_lo, t_lo = _split(s_lo, cal_lo, mc_lo)
-        c_hi, t_hi = _split(s_hi, cal_hi, mc_hi)
-        t0_lo, t0_hi, regime = _pick(c_lo, t_lo, s_lo, c_hi, t_hi, s_hi)
-        eff_t0 = (t0_lo / t0_hi) / (hi / lo)
+        round((a / b) / (hi / lo), 3) for a, b in zip(s_lo, s_hi)]
+    c_lo, t_lo = _split(s_lo, cal_lo, mc_lo)
+    c_hi, t_hi = _split(s_hi, cal_hi, mc_hi)
+    t0_lo, t0_hi, regime = _pick(c_lo, t_lo, s_lo, c_hi, t_hi, s_hi)
+    eff_t0 = (t0_lo / t0_hi) / (hi / lo)
     import pyarrow.parquet as pq
 
     n_input = int(snap) * pq.read_metadata(
