@@ -273,6 +273,38 @@ def _mc_calibrate() -> float:
     return max(ray.get([_probe.remote() for _ in range(NUM_CPUS)]))
 
 
+def _bw_calibrate() -> float:
+    """Memory-bandwidth probe: aggregate GB/s of 8 concurrent processes
+    each streaming a 100 MB read+write copy. The third and decisive
+    cleanness signal: hypervisor co-tenants steal BANDWIDTH invisibly to
+    both CPU probes (measured r5: VM load 0.22 and both CPU probes at
+    floor while this probe read 6.0 GB/s against the quiet-window
+    20 GB/s plateau — precisely the windows where the bandwidth-bound
+    tier0 job crawls at any width). Fixed 8 processes regardless of the
+    Ray width under test: plain multiprocessing, outside Ray's CPU
+    accounting, so the floor is width-independent. ~1 s per call."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def _worker(q):
+        a = np.zeros(100_000_000 // 8, dtype=np.float64)
+        b = np.empty_like(a)
+        t0 = time.time()
+        for _ in range(5):
+            np.copyto(b, a)
+        q.put(2 * a.nbytes * 5 / (time.time() - t0))
+
+    q = mp.Queue()
+    ps = [mp.Process(target=_worker, args=(q,)) for _ in range(8)]
+    for p in ps:
+        p.start()
+    rates = [q.get() for _ in ps]
+    for p in ps:
+        p.join()
+    return sum(rates) / 1e9
+
+
 def run_tier0() -> dict:
     """The data-scale-dominated job alone: corpus read/expand -> extract ->
     series -> 15-min rollup -> write. This is the stage whose work grows
@@ -300,6 +332,7 @@ def run_tier0() -> dict:
 
     cal0 = _calibrate()
     mc0 = _mc_calibrate()
+    bw0 = _bw_calibrate()
     out = os.path.join(OUT_DIR, "tier0_scaling")
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
@@ -316,6 +349,7 @@ def run_tier0() -> dict:
     sec = time.time() - t0
     cal1 = _calibrate()
     mc1 = _mc_calibrate()
+    bw1 = _bw_calibrate()
     import pyarrow.parquet as pq
 
     n_input = SNAPSHOTS * pq.read_metadata(
@@ -324,10 +358,11 @@ def run_tier0() -> dict:
     return {"metric": "tier0_build_sec", "value": round(sec, 3), "unit": "sec",
             "num_cpus": NUM_CPUS, "input_series_rows": n_input,
             "points_per_sec": round(n_input / sec, 1),
-            # throttle evidence: single-core + multi-core probes
-            # before/after the job (max of the two passes each)
+            # throttle evidence: single-core, multi-core, and bandwidth
+            # probes before/after the job (worst of the two passes each)
             "calib_sec": round(max(cal0, cal1), 3),
-            "mc_calib_sec": round(max(mc0, mc1), 3)}
+            "mc_calib_sec": round(max(mc0, mc1), 3),
+            "bw_calib_gbps": round(min(bw0, bw1), 1)}
 
 
 def _spawn(ncpu: int, extra_args: list, extra_env: dict | None = None) -> dict:
@@ -381,25 +416,34 @@ def run_scaling(tier0_only: bool = False) -> dict:
     # multi-core probe (slowest of NUM_CPUS concurrent cache-resident
     # tasks, see _mc_calibrate): floor 0.04-0.09 s at widths 2-32 on this
     # host; co-tenant windows that steal multi-core capacity while the
-    # single-core probe stays flat push it well past 0.2 s. A sample is
-    # clean only if BOTH probes sit at their floors.
+    # single-core probe stays flat push it well past 0.2 s.
     MC_CAL_CLEAN = float(os.environ.get("BENCH_MC_CAL_CLEAN", "0.2"))
+    # bandwidth probe (8-proc aggregate copy GB/s, see _bw_calibrate):
+    # quiet plateau ~20 GB/s; hypervisor co-tenants drag it to ~6 GB/s
+    # with BOTH CPU probes at floor — the windows where the bandwidth-
+    # bound tier0 job crawls. A sample is clean only if all three probes
+    # sit at their floors.
+    BW_CAL_CLEAN = float(os.environ.get("BENCH_BW_CAL_CLEAN", "12.0"))
 
-    def _is_clean(cal: float, mc: float) -> bool:
-        return 0 <= cal < CAL_CLEAN and 0 <= mc < MC_CAL_CLEAN
+    def _is_clean(cal: float, mc: float, bw: float = -1.0) -> bool:
+        return (0 <= cal < CAL_CLEAN and 0 <= mc < MC_CAL_CLEAN
+                and (bw < 0 or bw >= BW_CAL_CLEAN))
 
     def _collect(ncpu: int, n_reps: int, n_max: int, c_env=None):
-        vals, cals, mcs = [], [], []
+        vals, cals, mcs, bws = [], [], [], []
         for _ in range(n_max):
             r = _spawn(ncpu, ["--tier0"], c_env or env)
             vals.append(r["value"])
             cals.append(r.get("calib_sec", -1.0))
             mcs.append(r.get("mc_calib_sec", -1.0))
+            bws.append(r.get("bw_calib_gbps", -1.0))
             if len(vals) >= n_reps and any(
-                    _is_clean(c, m) for c, m in zip(cals, mcs)):
+                    _is_clean(c, m, w) for c, m, w in zip(cals, mcs, bws)):
                 break
-        clean = [v for v, c, m in zip(vals, cals, mcs) if _is_clean(c, m)]
-        thr = [v for v, c, m in zip(vals, cals, mcs) if not _is_clean(c, m)]
+        clean = [v for v, c, m, w in zip(vals, cals, mcs, bws)
+                 if _is_clean(c, m, w)]
+        thr = [v for v, c, m, w in zip(vals, cals, mcs, bws)
+               if not _is_clean(c, m, w)]
         return clean, thr, vals, cals
 
     def _pick(c_lo, t_lo, s_lo, c_hi, t_hi, s_hi):
@@ -426,7 +470,8 @@ def run_scaling(tier0_only: bool = False) -> dict:
     # +burst-hi round reads low and a burst-lo+clean-hi round reads high
     # (the same session produced pair efficiencies 0.495 and 0.728 around
     # a true 0.85). Pair efficiencies are still reported as evidence.
-    s_lo, cal_lo, mc_lo, s_hi, cal_hi, mc_hi = [], [], [], [], [], []
+    s_lo, cal_lo, mc_lo, bw_lo = [], [], [], []
+    s_hi, cal_hi, mc_hi, bw_hi = [], [], [], []
     # 4 rounds: the min-per-level estimator needs ONE clean window per
     # level; observed burst trains can suppress one level for ~3 rounds
     # straight (a 3-round session read hi minima 11.3/13.4/13.0 s around
@@ -438,20 +483,24 @@ def run_scaling(tier0_only: bool = False) -> dict:
         s_lo.append(r["value"])
         cal_lo.append(r.get("calib_sec", -1.0))
         mc_lo.append(r.get("mc_calib_sec", -1.0))
+        bw_lo.append(r.get("bw_calib_gbps", -1.0))
         r = _spawn(hi, ["--tier0"], env)
         s_hi.append(r["value"])
         cal_hi.append(r.get("calib_sec", -1.0))
         mc_hi.append(r.get("mc_calib_sec", -1.0))
+        bw_hi.append(r.get("bw_calib_gbps", -1.0))
 
-    def _split(vals, cals, mcs):
-        clean = [v for v, c, m in zip(vals, cals, mcs) if _is_clean(c, m)]
-        thr = [v for v, c, m in zip(vals, cals, mcs) if not _is_clean(c, m)]
+    def _split(vals, cals, mcs, bws):
+        clean = [v for v, c, m, w in zip(vals, cals, mcs, bws)
+                 if _is_clean(c, m, w)]
+        thr = [v for v, c, m, w in zip(vals, cals, mcs, bws)
+               if not _is_clean(c, m, w)]
         return clean, thr
 
     pair_effs = [
         round((a / b) / (hi / lo), 3) for a, b in zip(s_lo, s_hi)]
-    c_lo, t_lo = _split(s_lo, cal_lo, mc_lo)
-    c_hi, t_hi = _split(s_hi, cal_hi, mc_hi)
+    c_lo, t_lo = _split(s_lo, cal_lo, mc_lo, bw_lo)
+    c_hi, t_hi = _split(s_hi, cal_hi, mc_hi, bw_hi)
     t0_lo, t0_hi, regime = _pick(c_lo, t_lo, s_lo, c_hi, t_hi, s_hi)
     eff_t0 = (t0_lo / t0_hi) / (hi / lo)
     import pyarrow.parquet as pq
@@ -476,6 +525,8 @@ def run_scaling(tier0_only: bool = False) -> dict:
         "tier0_calib_hi": cal_hi,
         "tier0_mc_calib_lo": mc_lo,
         "tier0_mc_calib_hi": mc_hi,
+        "tier0_bw_calib_lo": bw_lo,
+        "tier0_bw_calib_hi": bw_hi,
         "tier0_regime": regime,
         "tier0_pair_efficiencies": pair_effs,
         "tier0_pts_per_sec_lo": round(n_input / t0_lo, 1),
