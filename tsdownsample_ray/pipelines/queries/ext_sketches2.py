@@ -160,10 +160,12 @@ GROUP BY 1, 2
 
 def q_hits_docs(sf_dir: str):
     """Integer fixed-point HITS (4 rounds, scale 1e6, max-normalized) over
-    the deterministic doc link graph (``stages/graph.py:hits``): per
-    half-round ONE hash join (state onto edges) + ONE hashpart grouped
-    sum + a scalar max read — the join-based distributed form, no state
-    broadcast. Bit-exact vs the unrolled SQL replay (int64 floor division
+    the deterministic doc link graph (``stages/graph.py:hits``):
+    partitioned-iterative raw tasks — edges hash-partitioned once per
+    direction, state co-partitioned by the same hash, per half-round P
+    local Arrow joins + a distinct-key-bounded partial exchange; the
+    driver reads one int per partition per half-round, never the state.
+    Bit-exact vs the unrolled SQL replay (int64 floor division
     throughout)."""
     import numpy as np
     import pyarrow.parquet as _pq
@@ -183,7 +185,7 @@ def q_hits_docs(sf_dir: str):
 
     edges = nodes.map_batches(_edges, batch_format="pyarrow")
     return hits(edges, nodes, node_col="doc_id", iters=4,
-                num_partitions=4, fanin=4)
+                num_partitions=4)
 
 
 def _hits_sql(iters: int = 4, scale: int = 10 ** 6) -> str:

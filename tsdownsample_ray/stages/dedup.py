@@ -450,10 +450,9 @@ def join_pair_payload(pairs_ds, payload_ds, *, id_col: str,
     smaller than the corpus and the block compaction needs block-level
     metadata.
 
-    Contract: payload values must be non-null (a null payload row would
-    be indistinguishable from a pair row in the union tagging); every
-    engine payload here (corpus text, embedding vectors) is non-null by
-    construction."""
+    Rows are told apart by an explicit ``__side`` int8 tag (the
+    ``stages/joins.py`` discipline), so null payload values pass through
+    correctly rather than being misclassified as pair rows."""
     import ray.data as rd
 
     from ..arrow_utils import compact_nonempty_blocks, stable_part_codes
@@ -489,6 +488,8 @@ def join_pair_payload(pairs_ds, payload_ds, *, id_col: str,
             for c in carry:
                 cols[c] = b[c]
             cols["__pay"] = pa.nulls(b.num_rows, ptype)
+            cols["__side"] = pa.array(
+                np.zeros(b.num_rows, dtype=np.int8))
             part = stable_part_codes(b[key_col], nparts)
             cols["__part"] = pa.array(part, pa.int32())
             return pa.table(cols)
@@ -500,15 +501,16 @@ def join_pair_payload(pairs_ds, payload_ds, *, id_col: str,
             for c in carry:
                 cols[c] = pa.nulls(n, ptype)
             cols["__pay"] = b[payload_col]
+            cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
             part = stable_part_codes(b[id_col], nparts)
             cols["__part"] = pa.array(part, pa.int32())
             return pa.table(cols)
 
         def _merge(g: pa.Table) -> pa.Table:
-            is_pay = pc.is_valid(g["__pay"])
+            is_pay = pc.equal(g["__side"], 1)
             pay = g.filter(is_pay).select(["__k", "__pay"])
             prs = g.filter(pc.invert(is_pay)).drop_columns(
-                ["__pay", "__part"])
+                ["__pay", "__part", "__side"])
             j = prs.join(pay, keys=["__k"], join_type="inner")
             out = {"a": j["a"], "b": j["b"]}
             for c in carry:
@@ -613,9 +615,6 @@ def lsh_candidate_pairs(sig_ds, *, bands: int = 16, id_col: str = "doc_id",
     return distinct_pairs(pairs, num_partitions=num_partitions)
 
 
-_VERIFY_WORKER_CACHE: dict = {}
-
-
 def verify_jaccard_pairs(pairs_ds, texts_ds, *, id_col: str = "doc_id",
                          text_col: str = "text", shingle_w: int = 3,
                          threshold: float = 0.8, num_partitions: int = 8):
@@ -628,11 +627,14 @@ def verify_jaccard_pairs(pairs_ds, texts_ds, *, id_col: str = "doc_id",
                            payload_col=text_col,
                            num_partitions=num_partitions)
 
+    # task-based (no actor-pool spin-up); cloudpickle captures this dict
+    # BY VALUE into each task's closure, so every task deserializes its
+    # own copy — the cache amortizes re-shingling across the batches one
+    # task processes (ids repeated across many pairs), never across
+    # executions, so stale entries cannot leak between runs
+    cache: dict = {}
+
     def _verify(b: pa.Table) -> pa.Table:
-        # task-based (no actor-pool spin-up); the shingle cache lives per
-        # WORKER PROCESS (warm workers are reused across batches), capped
-        # the same way the old per-actor cache was
-        cache = _VERIFY_WORKER_CACHE.setdefault(shingle_w, {})
 
         def _sh(key, text):
             v = cache.get(key)

@@ -287,7 +287,7 @@ def triangle_counts(edges_ds, *, src: str = "src", dst: str = "dst",
 
 def hits(edges_ds, nodes_ds, *, node_col: str = "doc_id",
          src: str = "src", dst: str = "dst", iters: int = 4,
-         scale: int = 10 ** 6, num_partitions: int = 4, fanin: int = 8):
+         scale: int = 10 ** 6, num_partitions: int = 4):
     """Integer fixed-point HITS (Kleinberg, JACM 46(5), 1999) over
     ``edges_ds(src, dst)`` / ``nodes_ds(node_col)``. Returns one row per
     node: ``(node_col, hub_e6, auth_e6)`` after ``iters`` rounds of
