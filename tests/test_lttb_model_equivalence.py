@@ -105,3 +105,16 @@ def test_implicit_x_equals_explicit_arange(bucket_x):
 def test_identity_short_circuit():
     y = np.arange(5, dtype=np.float64)
     np.testing.assert_array_equal(lttb(None, y, 10), np.arange(5))
+
+
+@pytest.mark.parametrize("dtype", [np.int64, np.int32, np.float32])
+def test_wide_buckets_exactly_summable_dtypes(dtype):
+    # buckets wider than numpy's ~128-element pairwise-sum block: reduceat
+    # (sequential) and slice.sum() (pairwise) only agree bit-for-bit when
+    # every partial sum is exact in f64 — integers and small-magnitude f32
+    # are; continuous f64 may differ by ~1 ulp (documented in the kernel).
+    # width here is ~5000 elements per bucket.
+    rng = np.random.default_rng(11)
+    y = rng.integers(-1000, 1000, size=500_000).astype(dtype)
+    np.testing.assert_array_equal(
+        lttb(None, y, 100), _naive_lttb(None, y, 100))

@@ -44,7 +44,11 @@ __all__ = [
 
 
 def _parse_args(args):
-    """(y,) or (x, y) -> (x_or_None, y)  — downsampling_interface.py:56-84."""
+    """(y,) or (x, y) -> (x_or_None, y)  — downsampling_interface.py:56-84.
+
+    Non-ndarray inputs (lists, tuples) are coerced with ``np.array`` like
+    the reference (``:69-72``); the dtype gates downstream then reject
+    anything the kernels cannot take."""
     if len(args) == 1:
         x, y = None, args[0]
     elif len(args) == 2:
@@ -54,12 +58,12 @@ def _parse_args(args):
             f"downsample takes 1 or 2 positional arguments, got {len(args)}"
         )
     if not isinstance(y, np.ndarray):
-        raise ValueError("y must be a numpy array")
+        y = np.array(y)
     if y.ndim != 1:
         raise ValueError("y must be 1D")
     if x is not None:
         if not isinstance(x, np.ndarray):
-            raise ValueError("x must be a numpy array")
+            x = np.array(x)
         if x.ndim != 1:
             raise ValueError("x must be 1D")
         if len(x) != len(y):
@@ -77,6 +81,12 @@ class AbstractDownsampler:
 
     _kernel_name: str = ""
     check_contiguous: bool = True
+    # kwargs the class understands. The reference's MinMax/M4/LTTB classes
+    # forward **kwargs into the Rust function, which raises TypeError on
+    # unknown keywords; MinMaxLTTB and EveryNth swallow extras via `**_`
+    # (downsamplers.py:111/131/149). Matching that exactly: this base
+    # REJECTS unknown kwargs, the swallowing classes override.
+    _accepted_kwargs: frozenset = frozenset()
 
     def _check_valid_n_out(self, n_out: int) -> None:
         if not isinstance(n_out, (int, np.integer)):
@@ -88,6 +98,11 @@ class AbstractDownsampler:
         return {}
 
     def downsample(self, *args, n_out: int, parallel: bool = False, **kwargs):
+        unknown = sorted(set(kwargs) - set(self._accepted_kwargs))
+        if unknown:
+            raise TypeError(
+                f"downsample() got unexpected keyword arguments {unknown} "
+                f"(the reference's kernel call raises on unknown keywords)")
         self._check_valid_n_out(n_out)
         x, y = _parse_args(args)
         check_y_dtype(y)
@@ -150,6 +165,7 @@ class LTTBDownsampler(AbstractDownsampler):
     """
 
     _kernel_name = "lttb"
+    _accepted_kwargs = frozenset({"bucket_x"})
 
     def _kernel_kwargs(self, **kwargs) -> dict:
         return {"bucket_x": kwargs.get("bucket_x", "mean")}
@@ -165,21 +181,37 @@ class LTTBDownsampler(AbstractDownsampler):
 
 
 class MinMaxLTTBDownsampler(AbstractDownsampler):
-    """MinMax preselection + LTTB (arXiv:2305.00332; downsamplers.py:98-116)."""
+    """MinMax preselection + LTTB (arXiv:2305.00332; downsamplers.py:98-116).
+
+    Extra keyword arguments are swallowed like the reference's ``**_``
+    (``downsamplers.py:111``). ``bucket_x`` is this engine's extension for
+    the refinement phase: ``"mean"`` (default) follows the Python-oracle
+    LTTB convention; ``"midpoint"`` follows the shipped Rust binary, whose
+    inner LTTB always sees the preselected points' irregular x
+    (``minmaxlttb.rs:162/:198`` + ``lttb.rs:46-50``), so the two variants
+    can select differently even on equidistant input whenever the MinMax
+    preselection phase is active."""
 
     _kernel_name = "minmaxlttb"
+    _accepted_kwargs = frozenset({"minmax_ratio", "bucket_x"})
 
     def downsample(
-        self, *args, n_out: int, minmax_ratio: int = 4, parallel: bool = False, **_
+        self, *args, n_out: int, minmax_ratio: int = 4,
+        parallel: bool = False, bucket_x: str = "mean", **_
     ):
+        # the reference's Python layer asserts > 0 (downsamplers.py:113);
+        # its Rust layer then asserts > 1 (minmaxlttb.rs:134) — the kernel
+        # replays the Rust-side rejection for 0 < ratio <= 1
         assert minmax_ratio > 0, "minmax_ratio must be greater than 0"
         # ratio flows through the call, never through instance state: the
         # downsampler stays stateless/thread-safe like the reference's
         return super().downsample(*args, n_out=n_out, parallel=parallel,
-                                  minmax_ratio=int(minmax_ratio))
+                                  minmax_ratio=int(minmax_ratio),
+                                  bucket_x=bucket_x)
 
     def _kernel_kwargs(self, **kwargs):
-        return {"minmax_ratio": kwargs.get("minmax_ratio", 4)}
+        return {"minmax_ratio": kwargs.get("minmax_ratio", 4),
+                "bucket_x": kwargs.get("bucket_x", "mean")}
 
 
 class NaNMinMaxLTTBDownsampler(MinMaxLTTBDownsampler):
@@ -189,18 +221,27 @@ class NaNMinMaxLTTBDownsampler(MinMaxLTTBDownsampler):
 
 
 class EveryNthDownsampler(AbstractDownsampler):
-    """Strided selection; x ignored with a warning (downsamplers.py:142-158)."""
+    """Strided selection; x ignored with a warning (downsamplers.py:142-158).
+
+    Mirrors the reference exactly: no y dtype gate (the reference class is
+    built with no dtype restriction — strided selection never inspects y
+    values, so strings/objects are valid), no contiguity check, extra
+    kwargs swallowed (``**_``, :149), and ``n_out`` only needs to be
+    positive (``_check_valid_n_out`` tests ``<= 0`` alone, so a float
+    n_out flows into the pure-Python step arithmetic like the
+    reference's)."""
 
     _kernel_name = "everynth"
     check_contiguous = False
 
-    def downsample(self, *args, n_out: int, parallel: bool = False, **kwargs):
-        x, _ = _parse_args(args)
+    def downsample(self, *args, n_out, parallel: bool = False, **_):
+        if n_out <= 0:
+            raise ValueError("n_out must be > 0")
+        x, y = _parse_args(args)
         if x is not None:
             warnings.warn(
                 f"x is passed to downsample method of {self.__class__.__name__}, "
                 "but is not taken into account by the current implementation of "
                 "the EveryNth algorithm."
             )
-            args = args[1:]
-        return super().downsample(*args, n_out=n_out, parallel=parallel, **kwargs)
+        return KERNELS[self._kernel_name](None, y, n_out)

@@ -100,11 +100,16 @@ def lttb(x, y, n_out: int, *, bucket_x: str = "mean") -> np.ndarray:
     off = offset.tolist()  # plain ints: avoids per-iter numpy-scalar slicing
     wmax = int(np.diff(offset).max()) if offset.shape[0] > 1 else 1
 
-    # ALL interior bucket y sums in one C pass (f64 accumulation regardless of
-    # y dtype — each f16/f32/int element casts to f64 exactly) instead of
-    # n_out per-bucket slice dispatches. numpy's reduceat inner loop applies
-    # the same blocked-pairwise reduction as slice.sum() at these segment
-    # widths, so the means are bit-identical to the previous per-slice path.
+    # ALL interior bucket y sums in one C pass (f64 accumulation regardless
+    # of y dtype — each f16/f32/int element casts to f64 exactly) instead of
+    # n_out per-bucket slice dispatches. Accumulation-order contract:
+    # reduceat sums sequentially while slice.sum() switches to pairwise
+    # blocking above ~128 elements, so for CONTINUOUS f64 data in buckets
+    # wider than that the bucket mean can differ from LTTB_py's by ~1 ulp
+    # (argmax flips only on exact area near-ties; the engine's SQL oracles
+    # replay THIS kernel and the model-equivalence suite pins both the
+    # narrow-bucket bit-exact regime and wide-bucket exactly-summable
+    # dtypes, where any order is exact).
     ysum = np.add.reduceat(y, offset, dtype=np.float64)
 
     mean_x = bucket_x == "mean"
@@ -149,9 +154,9 @@ def lttb(x, y, n_out: int, *, bucket_x: str = "mean") -> np.ndarray:
     for i in range(n_out - 3):
         o0, o1, o2 = off[i], off[i + 1], off[i + 2]
         if mean_x:
-            # reduceat sum / n is bit-identical to the old slice.sum()/n;
-            # the implicit-x series sum is an exact integer, which the float
-            # reduction also computes exactly (sums < 2^53, guarded above)
+            # reduceat sum / n (accumulation-order caveat above); the
+            # implicit-x series sum is an exact integer, which any float
+            # reduction order computes exactly (sums < 2^53, guarded above)
             if have_x:
                 avg_x = xsum[i + 1] / (o2 - o1)
             else:

@@ -23,6 +23,16 @@ Re-derived from the reference:
 
 On ties, ``argmin``/``argmax`` return the FIRST occurrence — same as the
 ``argminmax`` crate used by the reference.
+
+Known Python-oracle/Rust-binary split (the same class as LTTB's
+mean-vs-midpoint bucket x): the shipped Rust ``MinMaxDownsampler`` always
+emits two indices per bin — duplicating the index when argmin == argmax —
+so on constant/quantized data it returns ``n_out`` indices where this
+kernel (following ``MinMax_py:149``'s ``np.unique``) returns fewer. The
+reference's own compliance suite never covers tied data, so the two
+reference implementations disagree there too; this engine follows its
+declared golden oracle (the Python one). ``minmax_pairs`` below exposes
+the duplicate-retaining Rust vector for callers that need it.
 """
 
 from __future__ import annotations

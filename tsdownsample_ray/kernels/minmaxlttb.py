@@ -28,9 +28,13 @@ from .minmax import minmax_pairs
 __all__ = ["minmaxlttb", "nanminmaxlttb"]
 
 
-def _minmaxlttb(x, y, n_out: int, ratio: int, *, nan_policy_return: bool) -> np.ndarray:
-    if ratio <= 0:
-        raise ValueError("minmax_ratio must be greater than 0")
+def _minmaxlttb(x, y, n_out: int, ratio: int, *, nan_policy_return: bool,
+                bucket_x: str = "mean") -> np.ndarray:
+    if ratio <= 1:
+        # the reference's Rust layer rejects ratio <= 1 unconditionally
+        # (minmaxlttb.rs:134/:180 `assert!(minmax_ratio > 1)`); silently
+        # computing would diverge from every reference deployment
+        raise ValueError("minmax_ratio must be greater than 1")
     y = view_y(np.asarray(y))
     n = len(y)
     if x is not None:
@@ -51,19 +55,28 @@ def _minmaxlttb(x, y, n_out: int, ratio: int, *, nan_policy_return: bool) -> np.
         # with-x: LTTB over original x values; no-x: over the preselected
         # indices themselves (minmaxlttb.rs:162 vs :198)
         x_sel = index if x is None else x[index]
-        pos = lttb(x_sel, y_sel, n_out)
+        pos = lttb(x_sel, y_sel, n_out, bucket_x=bucket_x)
         return index[pos.astype(np.intp)].astype(np.uint64)
 
-    if x is None:
-        return lttb(None, y, n_out)
-    return lttb(x, y, n_out)
+    return lttb(x, y, n_out, bucket_x=bucket_x)
 
 
-def minmaxlttb(x, y, n_out: int, minmax_ratio: int = 4) -> np.ndarray:
-    """NaN-ignoring MinMaxLTTB (default ratio 4, ``downsamplers.py:110-116``)."""
-    return _minmaxlttb(x, y, n_out, minmax_ratio, nan_policy_return=False)
+def minmaxlttb(x, y, n_out: int, minmax_ratio: int = 4, *,
+               bucket_x: str = "mean") -> np.ndarray:
+    """NaN-ignoring MinMaxLTTB (default ratio 4, ``downsamplers.py:110-116``).
+
+    ``bucket_x="mean"`` (default) follows the Python-oracle LTTB in the
+    refinement phase; ``bucket_x="midpoint"`` follows the shipped Rust
+    binary (``lttb.rs:46-50``). The inner LTTB always runs over the
+    preselected points, whose x (or index) spacing is irregular whenever
+    phase 1 is active, so the two variants can differ even on equidistant
+    input — the same mean/midpoint split documented in ``kernels/lttb.py``."""
+    return _minmaxlttb(x, y, n_out, minmax_ratio, nan_policy_return=False,
+                       bucket_x=bucket_x)
 
 
-def nanminmaxlttb(x, y, n_out: int, minmax_ratio: int = 4) -> np.ndarray:
+def nanminmaxlttb(x, y, n_out: int, minmax_ratio: int = 4, *,
+                  bucket_x: str = "mean") -> np.ndarray:
     """NaN-returning MinMaxLTTB (``downsamplers.py:119-136``)."""
-    return _minmaxlttb(x, y, n_out, minmax_ratio, nan_policy_return=True)
+    return _minmaxlttb(x, y, n_out, minmax_ratio, nan_policy_return=True,
+                       bucket_x=bucket_x)
