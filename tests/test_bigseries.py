@@ -160,3 +160,31 @@ def test_big_series_gappy_singleton_bins(ray_session):
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   want.reset_index(drop=True),
                                   check_dtype=False)
+
+
+def test_big_series_cross_block_interior_duplicate_x_raises(ray_session):
+    """Round-5 regression: a duplicate x living in two DIFFERENT blocks,
+    away from the global edges, used to slip past both the per-block
+    strict-x guard and the edge check; the merge tie-break then depended
+    on shuffle arrival order. Detection now covers every candidate source
+    in the per-bin merge."""
+    import pytest
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.bigseries import downsample_big_series
+
+    rng = np.random.default_rng(3)
+    # interleaved blocks, each internally strict; narrow bins (~4 points
+    # per block per bin) so every point is a merge candidate — a dup that
+    # never becomes a candidate provably cannot reach the output
+    xa = np.arange(0, 5_000, 2, dtype=np.int64)
+    xb = np.arange(1, 5_000, 2, dtype=np.int64)
+    xb[1_000] = xa[1_000]  # cross-block dup away from global min/max
+    xb = np.unique(xb)
+    ya = rng.standard_normal(len(xa))
+    yb = rng.standard_normal(len(xb))
+    dsa = rd.from_pandas(pd.DataFrame({"x": xa, "y": ya}))
+    dsb = rd.from_pandas(pd.DataFrame({"x": xb, "y": yb}))
+    ds = dsa.union(dsb)
+    with pytest.raises(Exception, match="duplicate x"):
+        downsample_big_series(ds, 1_200, kernel="minmax").to_pandas()

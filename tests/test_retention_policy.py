@@ -1,5 +1,6 @@
 """Retention policy + partition-count invariance + timestamp-x plumbing."""
 
+import pytest
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -147,3 +148,55 @@ def test_downsample_with_timestamp_x(ray_session):
     expected_idx = minmax(np.arange(n) * 60_000_000 + 1735689600_000_000, y, 40)
     assert np.array_equal(out["y"].to_numpy(), y[expected_idx.astype(np.intp)])
     assert str(out["x"].dtype).startswith("datetime64")
+
+
+def test_coarser_tier_keeps_history_beyond_finer_horizon(ray_session, tmp_path):
+    """Round-5 regression: the cascade must consume the PRE-trim tier.
+    A coarser tier with no (or a longer) horizon keeps history the finer
+    tier's horizon drops from storage — trimming before the cascade used
+    to silently truncate every later tier to the finest horizon."""
+    import ray.data as rd
+
+    from tsdownsample_ray.pipelines.retention import run_retention_pipeline
+    from tsdownsample_ray.sources.corpus import BASE_EPOCH_S
+    from tsdownsample_ray.state import checkpoint as ckpt
+
+    out = str(tmp_path / "hz")
+    now = (BASE_EPOCH_S + 6 * 3600) * 1_000_000
+    horizon_15m = 2 * 3600 * 1_000_000
+    run_retention_pipeline(
+        "/root/testdata/sf0.001", out, snapshots=2,
+        tiers=(("15m", 900_000_000), ("1h", 3_600_000_000)),
+        compress=False, downsample=False,
+        horizons={"15m": horizon_15m}, now_us=now)
+    t15 = rd.read_parquet(ckpt.tier_dir(out, "tier", "15m")).to_pandas()
+    t1h = rd.read_parquet(ckpt.tier_dir(out, "tier", "1h")).to_pandas()
+    # storage honors the 15m horizon...
+    assert (t15["bucket"] >= now - horizon_15m).all()
+    # ...but the 1h tier (horizon None) retains the full pre-trim span
+    assert (t1h["bucket"] < now - horizon_15m).any(), \
+        "1h tier lost history older than the 15m horizon"
+
+
+def test_misaligned_tier_ladder_rejected(ray_session, tmp_path):
+    from tsdownsample_ray.pipelines.retention import run_retention_pipeline
+    from tsdownsample_ray.stages.rollup import cascade
+
+    with pytest.raises(ValueError, match="misaligned"):
+        run_retention_pipeline(
+            "/root/testdata/sf0.001", str(tmp_path / "bad"), snapshots=2,
+            tiers=(("15m", 900_000_000), ("40m", 2_400_000_000)),
+            compress=False, downsample=False)
+    with pytest.raises(ValueError, match="not a multiple"):
+        cascade(None, 2_400_000_000, finer_window_us=900_000_000)
+
+
+def test_combine_mode_typo_rejected(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.rollup import rollup
+
+    t = pa.table({"series_id": ["a"] * 4, "x": [0, 1, 2, 3],
+                  "y": [1.0, 2.0, 3.0, 4.0]})
+    with pytest.raises(ValueError, match="unknown combine mode"):
+        rollup(rd.from_arrow(t), 2, combine="treee").materialize()

@@ -57,9 +57,36 @@ def run_retention_pipeline(
     metrics. ``series_ds`` overrides the corpus-derived series input."""
     rd = _rd()
     summary = {"tiers": {}, "resumed": [], "out_dir": out_dir}
+    # the cascade rebuckets by bucket START — exact only on an aligned
+    # ladder (stages/rollup.py:cascade); reject a bad ladder up front
+    for (n1, w1), (n2, w2) in zip(tiers, tiers[1:]):
+        if w2 % w1:
+            raise ValueError(
+                f"tier ladder misaligned: {n2} window {w2} is not a "
+                f"multiple of {n1} window {w1}")
     pool = ThreadPoolExecutor(max_workers=4)
     sink_jobs = []
 
+    # try/finally: a mid-loop failure (e.g. a tier write raising) must not
+    # abandon running sink threads — they would keep writing into out_dir
+    # during unwinding. Running sinks are awaited, queued ones cancelled;
+    # the primary exception still propagates.
+    try:
+        return _run_tiers(
+            tiers, sf_dir, out_dir, summary, pool, sink_jobs, rd,
+            snapshots=snapshots, hot_domain_factor=hot_domain_factor,
+            n_out=n_out, kernel=kernel, salt=salt, resume=resume,
+            compress=compress, downsample=downsample, gap_fill=gap_fill,
+            extract=extract, horizons=horizons, now_us=now_us,
+            series_ds=series_ds)
+    finally:
+        pool.shutdown(wait=True, cancel_futures=True)
+
+
+def _run_tiers(tiers, sf_dir, out_dir, summary, pool, sink_jobs, rd, *,
+               snapshots, hot_domain_factor, n_out, kernel, salt, resume,
+               compress, downsample, gap_fill, extract, horizons, now_us,
+               series_ds):
     prev_ds = None
     for i, (name, window) in enumerate(tiers):
         d = ckpt.tier_dir(out_dir, "tier", name)
@@ -98,24 +125,45 @@ def run_retention_pipeline(
                 # overestimates by orders of magnitude and picks the
                 # 2x-slower hashpart merge at toy key counts; a real
                 # billion-key space still crosses TREE_MAX_KEYS)
-                est = estimate_rollup_keys(sf_dir, window,
-                                           snapshots=snapshots)
+                est = estimate_rollup_keys(
+                    sf_dir, window, snapshots=snapshots,
+                    hot_domain_factor=hot_domain_factor)
             else:
                 src = series_ds
                 est = None
             tier = rollup(src, window, salt=salt, est_keys=est)
         else:
-            tier = cascade(prev_ds, window)
+            # the coarser tier's key estimate follows the same
+            # |domains| x |buckets| metadata bound as tier 0, so a
+            # >TREE_MAX_KEYS cascade picks the hash-partitioned merge
+            # instead of the tree's single-block funnel
+            cas_est = (estimate_rollup_keys(
+                sf_dir, window, snapshots=snapshots,
+                hot_domain_factor=hot_domain_factor)
+                if series_ds is None else None)
+            tier = cascade(prev_ds, window, est_keys=cas_est,
+                           finer_window_us=tiers[i - 1][1])
 
         if tier is not None:
             if gap_fill:
                 tier = gapfill(tier, window, fill="zero")
+            # materialize the FULL tier first: the next tier's cascade must
+            # see pre-trim history — a coarser tier with a longer horizon
+            # keeps rows the finer tier drops, so trimming before the
+            # cascade would silently truncate every later tier to the
+            # finest tier's horizon. Storage still holds the trimmed rows
+            # (retention IS the disk trim); on resume a later tier
+            # therefore cascades from the retained rows only — the same
+            # contract as any store whose source tier was already trimmed.
+            full = tier.repartition(8).materialize()
+            tier = full
             if horizons and horizons.get(name) is not None:
                 from ..stages.retention_policy import apply_retention
 
                 if now_us is None:
                     raise ValueError("now_us required when horizons are set")
-                tier = apply_retention(tier, now_us, horizons[name])
+                tier = apply_retention(full, now_us,
+                                       horizons[name]).materialize()
 
             ckpt.reset_dir(d)
             # coalesce before the sink: tier rows are small; dozens of tiny
@@ -125,7 +173,6 @@ def run_retention_pipeline(
             # so the heavy upstream plan executes exactly once;
             # compress/downsample/cascade feed from memory while the parquet
             # files remain the durable checkpoint for resume.
-            tier = tier.repartition(8).materialize()
             tier.write_parquet(d)
             # write_manifest derives rows from the parquet footers and
             # records rows/wall_seconds/rows_per_sec + per-file lineage
@@ -136,7 +183,10 @@ def run_retention_pipeline(
                          "window_us": window, "sf_dir": sf_dir,
                          "snapshots": snapshots},
             )
-            prev_ds = tier
+            sink_src = tier       # sinks reflect the STORED (trimmed) rows
+            prev_ds = full        # the cascade sees pre-trim history
+        else:
+            sink_src = prev_ds
         # on resume, prev_ds already reads the tier's parquet; the sink jobs
         # below still run so an interrupted chunk/downsample sink is REPAIRED
         # (each checks its own manifest and no-ops when complete)
@@ -145,7 +195,7 @@ def run_retention_pipeline(
         # and write to independent directories -> run them on driver threads
         # so their (small) executions overlap each other and the next tier's
         # cascade instead of serializing the tail
-        def _do_compress(tier_ds=prev_ds, tname=name):
+        def _do_compress(tier_ds=sink_src, tname=name):
             cd = ckpt.tier_dir(out_dir, "chunks", tname)
             if resume and ckpt.is_complete(cd):
                 return
@@ -159,7 +209,7 @@ def run_retention_pipeline(
             ckpt.write_manifest(cd, rows=-1, seconds=time.time() - t1,
                                 lineage={"input": f"tier={tname}"})
 
-        def _do_downsample(tier_ds=prev_ds, tname=name):
+        def _do_downsample(tier_ds=sink_src, tname=name):
             vd = ckpt.tier_dir(out_dir, "downsample", tname)
             if resume and ckpt.is_complete(vd):
                 return
@@ -188,5 +238,4 @@ def run_retention_pipeline(
 
     for f in sink_jobs:
         f.result()  # propagate sink errors
-    pool.shutdown()
     return summary

@@ -143,7 +143,10 @@ def read_pages(sf_dir: str, *, snapshots: int = 3, hot_domain_factor: int = 1,
         import pyarrow.parquet as pq
 
         n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-        total = n_docs * snapshots
+        # upper bound including the hot-domain expansion (estimate_pages'
+        # bound): sizing by n_docs*snapshots alone would leave hot-skewed
+        # corpora with blocks up to hot_domain_factor x the ~90 MB target
+        total = n_docs * snapshots * max(hot_domain_factor, 1)
         # ~125k expanded rows (~90MB with html) per block: sized by DATA, not
         # by CPU count — oversized blocks pressure the object store, and the
         # tree combine keeps many blocks cheap downstream. When the data-
@@ -202,7 +205,8 @@ def estimate_pages(sf_dir: str, *, snapshots: int = 3,
 
 
 def estimate_rollup_keys(sf_dir: str, window_us: int, *,
-                         snapshots: int = 3) -> int:
+                         snapshots: int = 3, hot_domain_factor: int = 1,
+                         first_snapshot: int = 0) -> int:
     """Tight |series| x |buckets| bound for ``rollup(..., est_keys=...)``.
 
     ``estimate_pages`` (every page its own key) overestimates the tier-0
@@ -219,7 +223,13 @@ def estimate_rollup_keys(sf_dir: str, window_us: int, *,
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
     n_domains = len(t["source"].combine_chunks().unique())
     n_docs = t.num_rows
+    # hot src0 docs carry snapshot indices up to
+    # first_snapshot + snapshots*factor - 1 (expand_documents_to_pages),
+    # so the bucket span must use the SAME max index — the n_docs-only
+    # formula under-counts hot corpora by up to factor x and could keep
+    # combine="auto" on the tree merge past TREE_MAX_KEYS
+    max_k = first_snapshot + snapshots * max(hot_domain_factor, 1)
     span_us = (n_docs * DOC_CADENCE_S
-               + snapshots * SNAPSHOT_CADENCE_S) * 1_000_000
+               + max_k * SNAPSHOT_CADENCE_S) * 1_000_000
     n_buckets = span_us // window_us + 2
     return int(n_domains * n_buckets)

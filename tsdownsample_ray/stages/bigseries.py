@@ -28,9 +28,14 @@ Partitioning assumption (documented per the build brief): ``x`` is
 STRICTLY increasing within the series — the engine's per-series stages
 guarantee this for rollup buckets (one bucket value per row). Violations
 are DETECTED, not silently mis-merged: every phase-1 block raises on
-duplicate x within its rows, and the edge pre-pass raises when the global
-first/last x collide (first-occurrence tie-breaks are positional, and
-position is unrecoverable across unordered blocks).
+duplicate x within its rows, the edge pre-pass raises when the global
+first/last x collide, and the per-bin merge raises on any duplicate x
+among its candidate sources (first-4 / min / max / last per block) —
+the only points that can reach the output, so every dup whose
+tie-break could change the result is caught (first-occurrence
+tie-breaks are positional, and position is unrecoverable across
+unordered blocks). A dup that never surfaces as a candidate cannot
+affect the selection.
 
 NaN semantics match the single-node kernels on ANY partitioning: the
 nan-ignoring policy (plain kernels) selects extremes over non-NaN values
@@ -189,6 +194,14 @@ def _first_points(rows: dict, k: int) -> list:
     keep = ~np.isnan(sx)
     sx, sy = sx[keep], sy[keep]
     o = np.argsort(sx, kind="stable")
+    ssx = sx[o]
+    if ssx.size > 1 and np.any(ssx[1:] == ssx[:-1]):
+        # in-block dups are rejected in _phase1_partial, so a dup here is
+        # a cross-block duplicate x in the bin INTERIOR — exactly the case
+        # whose tie-break would otherwise depend on shuffle arrival order
+        raise ValueError(
+            "duplicate x across blocks inside a bin: downsample_big_series "
+            "requires strictly increasing x")
     return [(int(sx[i]), float(sy[i])) for i in o[:k]]
 
 
@@ -204,6 +217,19 @@ def _merge_bin(rows: dict, *, family: str, nan_return: bool) -> list:
     cnt = int(np.nansum(rows["cnt"]))
     if cnt == 0:
         return []
+    # cross-block duplicate-x detection over every candidate source that
+    # can reach the output (first-4 are checked inside _first_points):
+    # each partial row is one block's contribution, so a repeated value
+    # within any of these arrays is the same x in two blocks
+    for key in ("xminy", "xmaxy", "lx"):
+        v = rows[key]
+        v = v[~np.isnan(v)]
+        if v.size > 1:
+            vs = np.sort(v)
+            if np.any(vs[1:] == vs[:-1]):
+                raise ValueError(
+                    "duplicate x across blocks inside a bin: "
+                    "downsample_big_series requires strictly increasing x")
     thresh = 2 if family == "minmax" else 4
     if cnt <= thresh:  # tiny-bin passthrough: emit every point
         return _first_points(rows, cnt)

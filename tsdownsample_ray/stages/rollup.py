@@ -58,10 +58,16 @@ def partial_rollup_batch(batch: pa.Table, window_us: int, *,
     keys = ["series_id", "bucket"]
     if salt > 1:
         # deterministic sub-key (salt must be a power of two): spread one hot
-        # key's rows over `salt` reducers; de-salted by the second combine
+        # key's rows over `salt` reducers; de-salted by the second combine.
+        # Mix bits from three x scales (128 us, 128 ms, ~1 s) so the spread
+        # survives ANY window size — the old x // 1_000_003 alone collapsed
+        # to 1-2 sub-keys for sub-second windows, silently disabling the
+        # salt exactly where the hot key lives in one ~1 s bucket
         if salt & (salt - 1):
             raise ValueError("salt must be a power of two")
-        h = pc.divide(batch[x_col], 1_000_003)  # x-derived, window-independent
+        x = batch[x_col]
+        h = pc.bit_wise_xor(pc.shift_right(x, 7), pc.shift_right(x, 17))
+        h = pc.bit_wise_xor(h, pc.divide(x, 1_000_003))
         t = t.append_column("salt", pc.cast(pc.bit_wise_and(h, salt - 1), pa.int32()))
         keys.append("salt")
     g = t.group_by(keys).aggregate(
@@ -81,6 +87,18 @@ def _arrow_combine(b: pa.Table, keys=("series_id", "bucket")) -> pa.Table:
     return rename_agg(g, {**{k: k for k in keys}, "min_y_min": "min_y",
                           "max_y_max": "max_y", "sum_y_sum": "sum_y",
                           "n_sum": "n"})
+
+
+def tree_combine(ds, merge_fn, *, fanin: int = 16, spread: bool = True):
+    """Two-level in-block associative merge: ``repartition(fanin)`` ->
+    per-block ``merge_fn`` -> ``repartition(1)`` -> final ``merge_fn``.
+    The shared skeleton behind ``_combine(mode="tree")``, ``rollup_multi``
+    and ``grouped_sum`` — one place to carry the spread optimization and
+    the single-final-block contract (callers own the key-space bound;
+    see TREE_MAX_KEYS)."""
+    lvl1 = (ds.repartition(fanin) if spread else ds).map_batches(
+        merge_fn, batch_format="pyarrow")
+    return lvl1.repartition(1).map_batches(merge_fn, batch_format="pyarrow")
 
 
 def _combine(ds, keys, *, mode: str = "tree", fanin: int = 16,
@@ -112,10 +130,8 @@ def _combine(ds, keys, *, mode: str = "tree", fanin: int = 16,
         # input is ALREADY few well-sized blocks of combined rows (a
         # materialized tier feeding a cascade) gain nothing from an extra
         # shuffle before the per-block merge
-        lvl1 = (ds.repartition(fanin) if spread else ds).map_batches(
-            lambda b: _arrow_combine(b, keys), batch_format="pyarrow")
-        return lvl1.repartition(1).map_batches(
-            lambda b: _arrow_combine(b, keys), batch_format="pyarrow")
+        return tree_combine(ds, lambda b: _arrow_combine(b, keys),
+                            fanin=fanin, spread=spread)
 
     if mode == "hashpart":
         import numpy as np
@@ -154,6 +170,9 @@ def _combine(ds, keys, *, mode: str = "tree", fanin: int = 16,
         return parted.repartition(fanin).groupby("__part").map_groups(
             _merge, batch_format="pyarrow")
 
+    if mode != "shuffle":  # typos must not silently take the 10x path
+        raise ValueError(f"unknown combine mode {mode!r} "
+                         "(expected tree | hashpart | shuffle)")
     from ray.data.aggregate import Max, Min, Sum
 
     return ds.repartition(fanin).groupby(list(keys)).aggregate(
@@ -254,8 +273,7 @@ def rollup_multi(ds, window_us: int, y_cols: list, *,
             "n_sum": "n"})
 
     partials = ds.map_batches(_partial, batch_format="pyarrow")
-    lvl1 = partials.repartition(fanin).map_batches(_merge, batch_format="pyarrow")
-    return lvl1.repartition(1).map_batches(_merge, batch_format="pyarrow")
+    return tree_combine(partials, _merge, fanin=fanin)
 
 
 def grouped_sum(ds, keys: list, sum_cols: list, *, count_col: str = "n",
@@ -283,19 +301,36 @@ def grouped_sum(ds, keys: list, sum_cols: list, *, count_col: str = "n",
                               f"{count_col}_sum": count_col})
 
     partials = ds.map_batches(_partial, batch_format="pyarrow")
-    lvl1 = partials.repartition(fanin).map_batches(
-        _merge, batch_format="pyarrow")
-    return lvl1.repartition(1).map_batches(_merge, batch_format="pyarrow")
+    return tree_combine(partials, _merge, fanin=fanin)
 
 
-def cascade(tier_ds, coarser_window_us: int, *, combine: str = "tree"):
+def cascade(tier_ds, coarser_window_us: int, *, combine: str = "auto",
+            est_keys: int | None = None,
+            finer_window_us: int | None = None):
     """tier k aggregate -> tier k+1 on a coarser window (exact associative
     re-merge of (min,max,sum,count) partials).
 
     Gap-filled rows (``n == 0``) are dropped on input: their zero-filled
     min/max would otherwise poison the coarser tier's extremes (a phantom
     ``min_y = 0`` on an all-positive series). Gap materialization is a
-    per-tier presentation concern; every tier re-derives its own gaps."""
+    per-tier presentation concern; every tier re-derives its own gaps.
+
+    ``combine="auto"`` resolves through ``pick_combine`` exactly like
+    ``rollup``: callers pass the coarser tier's |series| x |buckets|
+    estimate so a >TREE_MAX_KEYS cascade takes the hash-partitioned merge
+    instead of funnelling into one block (without an estimate the tree is
+    used — the pre-round-5 behavior).
+
+    ``finer_window_us``: the input tier's window. The cascade rebuckets by
+    each finer bucket's START, which is only exact when the coarser window
+    is an integer multiple of the finer one — pass it to get that checked
+    instead of silently mis-attributing boundary rows."""
+    if finer_window_us is not None and coarser_window_us % finer_window_us:
+        raise ValueError(
+            f"coarser window {coarser_window_us} is not a multiple of the "
+            f"finer tier's window {finer_window_us}: rebucketing by bucket "
+            "start would split finer buckets across coarse windows")
+    mode, _ = pick_combine(combine, 1, est_keys)
 
     def _rebucket(b: pa.Table) -> pa.Table:
         b = b.filter(pc.greater(b["n"], 0))
@@ -310,7 +345,7 @@ def cascade(tier_ds, coarser_window_us: int, *, combine: str = "tree"):
     rebucketed = tier_ds.map_batches(_rebucket, batch_format="pyarrow")
     # a tier is already combined rows in a handful of blocks — per-block
     # merge directly (spread=False), saving one shuffle per cascade tier
-    return _combine(rebucketed, ["series_id", "bucket"], mode=combine,
+    return _combine(rebucketed, ["series_id", "bucket"], mode=mode,
                     spread=False)
 
 
