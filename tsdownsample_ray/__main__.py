@@ -28,6 +28,13 @@ def _ensure_ray(num_cpus: int | None):
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    # the same context tuning every other entry point applies: operator
+    # reservation off (measured 5x tier-0 starvation on small clusters)
+    # and the fsspec http pre-import that fixes the concurrent-import
+    # race in overlapped tier sink threads
+    from .tuning import tune_data_context
+
+    tune_data_context()
 
 
 def main(argv=None):

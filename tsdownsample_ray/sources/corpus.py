@@ -113,11 +113,14 @@ def expand_documents_to_pages(batch: pa.Table, *, snapshots: int = 3,
 
 def read_pages(sf_dir: str, *, snapshots: int = 3, hot_domain_factor: int = 1,
                first_snapshot: int = 0,
-               columns: list | None = None, parallelism: int = 0):
+               columns: list | None = None, parallelism: int = 0,
+               doc_range: tuple | None = None):
     """Dataset of synthetic pages derived from ``{sf_dir}/documents.parquet``.
 
     ``columns`` prunes the OUTPUT page columns; the read itself only loads
     the document columns actually needed (prune-at-the-read).
+    ``doc_range=(lo, hi)`` keeps only docs with ``lo <= doc_id < hi``,
+    applied BEFORE the page expansion (shard pruning at the source).
 
     The documents file is a single small parquet -> one read block; the
     expansion multiplies rows by ``snapshots``, so the source is split into
@@ -172,6 +175,19 @@ def read_pages(sf_dir: str, *, snapshots: int = 3, hot_domain_factor: int = 1,
     # operator wall fully overlaps with downstream execution.
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                             columns=sorted(need))
+    if doc_range is not None:
+        # shard pruning BEFORE the expansion: filtering pages after
+        # expand would build every html/url payload shards times over
+        # just to discard most of them (the expansion's string building
+        # dominates its cost)
+        lo, hi = int(doc_range[0]), int(doc_range[1])
+
+        def _prune(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"]
+            return b.filter(pc.and_(pc.greater_equal(ids, lo),
+                                    pc.less(ids, hi)))
+
+        ds = ds.map_batches(_prune, batch_format="pyarrow")
     if parallelism > 1:
         ds = ds.repartition(parallelism)
 
