@@ -1,0 +1,140 @@
+"""Pin the defensive guards added to the dedup/similarity stages:
+mis-sized LSH banding, out-of-contract SimHash radii, string doc ids in
+the stop-gram sampler, empty-block embedding batches, and the
+covariance numerator overflow escape."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tsdownsample_ray.stages.similarity import (
+    embedding_matrix,
+    embedding_near_dup_pairs,
+)
+
+
+def test_lsh_bands_must_divide_signature(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.dedup import lsh_candidate_pairs
+
+    sigs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "minhash": pa.array([list(range(10)), list(range(10, 20))],
+                            pa.list_(pa.uint64())),
+    })
+    # bands=16 > num_perm=10: r would be 0 -> one global bucket
+    with pytest.raises(Exception, match="must divide"):
+        lsh_candidate_pairs(rd.from_arrow(sigs), bands=16).materialize()
+    # bands=3 leaves a remainder over 10 values
+    with pytest.raises(Exception, match="must divide"):
+        lsh_candidate_pairs(rd.from_arrow(sigs), bands=3).materialize()
+
+
+def test_lsh_dividing_bands_still_pass(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.dedup import lsh_candidate_pairs
+
+    sig = list(range(10))
+    sigs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "minhash": pa.array([sig, sig], pa.list_(pa.uint64())),
+    })
+    out = lsh_candidate_pairs(rd.from_arrow(sigs), bands=5).materialize()
+    got = out.to_pandas()
+    assert len(got) == 1  # identical signatures -> the one (1, 2) pair
+    assert got.iloc[0]["a"] == 1 and got.iloc[0]["b"] == 2
+
+
+def test_simhash_max_hamming_contract(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.dedup import simhash_near_dup_pairs
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()), "text": ["hello world"]}))
+    # the 4x16 banding's pigeonhole recall stops at 3 differing bits
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_pairs(docs, max_hamming=4)
+    # the boundary value stays accepted
+    out = simhash_near_dup_pairs(docs, max_hamming=3).materialize()
+    assert out.count() == 0  # one doc -> no pairs
+
+
+def test_embedding_lsh_plane_guards():
+    dummy = None  # guards fire before the dataset is touched
+    with pytest.raises(ValueError, match="divide"):
+        embedding_near_dup_pairs(dummy, planes=100, bands=16)
+    with pytest.raises(ValueError, match="int64"):
+        embedding_near_dup_pairs(dummy, planes=130, bands=2)  # r = 65
+
+
+def test_corpus_stop_grams_string_ids(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.dedup import corpus_stop_grams
+
+    texts = [f"AAAAA unique{i}snippet" for i in range(8)]
+    int_t = pa.table({"doc_id": pa.array(range(8), pa.int64()),
+                      "text": texts})
+    str_t = pa.table({"doc_id": [f"doc-{i}" for i in range(8)],
+                      "text": texts})
+    # sample_mod=1 samples every doc under both id hash disciplines, so
+    # the string-id path must reproduce the integer-id result exactly
+    ci, di = corpus_stop_grams(rd.from_arrow(int_t), n=5, stop_m=4,
+                               sample_mod=1)
+    cs, ds_ = corpus_stop_grams(rd.from_arrow(str_t), n=5, stop_m=4,
+                                sample_mod=1)
+    assert np.array_equal(ci, cs) and np.array_equal(di, ds_)
+    # a real subsample over string ids is deterministic and non-crashing
+    c1, _ = corpus_stop_grams(rd.from_arrow(str_t), n=5, stop_m=4,
+                              sample_mod=2)
+    c2, _ = corpus_stop_grams(rd.from_arrow(str_t), n=5, stop_m=4,
+                              sample_mod=2)
+    assert np.array_equal(c1, c2)
+
+
+def test_embedding_matrix_empty_batch():
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "embedding": pa.array([], pa.list_(pa.float64()))})
+    E = embedding_matrix(empty)
+    assert E.shape == (0, 0) and E.dtype == np.float64
+
+
+def test_embedding_covariance_overflow_raises(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.similarity import embedding_covariance
+
+    # 2000 rows alternating q = ±2.1e6 (raw ±2100, scale 1000): the
+    # per-partial Gram 8.8e15 stays under the 2^53 exactness assert and
+    # sx = 0, so the numerator n*sxy = 2000 * 8.8e15 = 1.76e19 exceeds
+    # int64 with no sx*sy cancellation — the guard must surface the
+    # OverflowError, not wrap silently
+    t = pa.table({"vec_id": pa.array(range(2000), pa.int64()),
+                  "embedding": pa.array(
+                      [[2100.0], [-2100.0]] * 1000,
+                      pa.list_(pa.float64()))})
+    with pytest.raises(Exception, match="exceeds int64"):
+        embedding_covariance(rd.from_arrow(t), scale=1000).materialize()
+
+
+def test_embedding_covariance_in_range_unchanged(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.similarity import embedding_covariance
+
+    rng = np.random.default_rng(7)
+    V = rng.normal(size=(50, 3))
+    t = pa.table({"vec_id": pa.array(range(50), pa.int64()),
+                  "embedding": pa.array(V.tolist(), pa.list_(pa.float64()))})
+    out = (embedding_covariance(rd.from_arrow(t), scale=1000)
+           .to_pandas().set_index(["i", "j"]).sort_index())
+    Q = np.trunc(V * 1000).astype(np.int64)
+    n = 50
+    for (i, j), row in out.iterrows():
+        x, y = Q[:, i - 1], Q[:, j - 1]
+        num = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+        assert row["cov_num"] == num
+        assert row["cov"] == pytest.approx(num / (n * n))

@@ -83,9 +83,15 @@ def connected_components(edges_ds, *, a_col: str = "a", b_col: str = "b",
                             if not isinstance(b["src"], pa.ChunkedArray)
                             else b["src"].combine_chunks().unique()}),
         batch_format="pyarrow")
-    labels = _min_by_node(init.map_batches(
+    # compact after EVERY map_groups producer: sparse reduce partitions
+    # emit schema-less empty blocks which can poison the acero hash join
+    # below when Dataset.schema() lands on one (the documented
+    # compact_nonempty_blocks failure class) — edges alone being
+    # compacted is not enough, labels is the other join side
+    labels = compact_nonempty_blocks(_min_by_node(init.map_batches(
         lambda b: pa.table({"node": b["node"], "lbl": b["node"]}),
-        batch_format="pyarrow"), num_partitions).materialize()
+        batch_format="pyarrow"), num_partitions).materialize())
+    assert labels is not None  # edges is non-empty here, so nodes exist
 
     from ..arrow_utils import stable_part_codes
 
@@ -128,11 +134,12 @@ def connected_components(edges_ds, *, a_col: str = "a", b_col: str = "b",
             lambda b: pa.table({"node": b["node"], "lbl": b["lbl"],
                                 "old": b["lbl"]}),
             batch_format="pyarrow")
-        merged = (tagged_old.union(msgs)
-                  .map_batches(_part, batch_format="pyarrow")
-                  .repartition(num_partitions).groupby("__part")
-                  .map_groups(_min_with_changed,
-                              batch_format="pyarrow")).materialize()
+        merged = compact_nonempty_blocks(
+            (tagged_old.union(msgs)
+             .map_batches(_part, batch_format="pyarrow")
+             .repartition(num_partitions).groupby("__part")
+             .map_groups(_min_with_changed,
+                         batch_format="pyarrow")).materialize())
         changed = merged.sum("chg")
         labels = merged.map_batches(
             lambda b: pa.table({"node": b["node"], "lbl": b["lbl"]}),

@@ -593,6 +593,12 @@ def lsh_candidate_pairs(sig_ds, *, bands: int = 16, id_col: str = "doc_id",
         # needed and the whole batch hashes in num_perm vector ops)
         flat = mh.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
         k = len(flat) // n  # num_perm (constant per signature)
+        if bands > k or k % bands:
+            # bands > k makes r = 0 -> every band hash a CONSTANT -> one
+            # global bucket -> a silent O(n^2) candidate explosion; a
+            # remainder silently discards trailing signature values
+            raise ValueError(
+                f"bands ({bands}) must divide the signature length ({k})")
         r = k // bands
         sa = flat.reshape(n, k)
         prime = np.uint64(0x100000001B3)
@@ -726,6 +732,13 @@ def simhash_near_dup_pairs(ds, *, id_col: str = "doc_id",
     opt-in truncation guard trades that exactness for bounded emission).
     One band shuffle of (band, key16, id) rows + a hash-partitioned pair
     distinct; the verify joins signatures (8 bytes) back, never texts."""
+    if max_hamming > 3:
+        # the 4x16-bit banding's pigeonhole recall guarantee stops at 3
+        # differing bits; accepting a larger bound would silently drop
+        # qualifying pairs whose diffs touch all four blocks
+        raise ValueError(
+            "max_hamming > 3 breaks the 4-band pigeonhole recall "
+            "guarantee; use more/narrower bands or the all-pairs verify")
     sigs = simhash_signatures(ds, id_col=id_col, text_col=text_col)
 
     def _bands(b: pa.Table) -> pa.Table:
@@ -826,8 +839,18 @@ def corpus_stop_grams(ds, *, id_col: str = "doc_id",
         ids = b[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        mask = (ids.to_numpy(zero_copy_only=False).astype(np.int64)
-                % sample_mod) == 0
+        if pa.types.is_integer(ids.type):
+            # id % mod — the SQL-restatable form the oracles replay
+            mask = (ids.to_numpy(zero_copy_only=False).astype(np.int64)
+                    % sample_mod) == 0
+        else:
+            # string ids (supported throughout the pair machinery): the
+            # vectorized stable hash gives the same deterministic 1/mod
+            # sample without the int cast that used to crash here
+            from ..arrow_utils import stable_part_codes
+
+            mask = (stable_part_codes(ids, None)
+                    % np.uint64(sample_mod)) == 0
         texts = [t for t, m in zip(b[text_col].to_pylist(), mask) if m]
         sets = char_ngram_codes(texts, n)
         allg = (np.concatenate(sets) if sets

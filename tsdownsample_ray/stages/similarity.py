@@ -25,6 +25,11 @@ def embedding_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if len(arr) == 0:
+        # Ray emits empty blocks structurally (filters, sparse maps);
+        # dim is unknowable from zero rows — (0, 0) keeps every caller's
+        # matmul/argsort path trivially correct for the no-rows case
+        return np.empty((0, 0), dtype=np.float64)
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     dim = len(arr[0])
     return flat.reshape(-1, dim)
@@ -46,13 +51,19 @@ def knn_bruteforce(ds, query_ref, k: int = 10, *, id_col: str = "vec_id",
     import ray
 
     def _score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:  # structural empty block (filter/sparse map)
+            return pa.table({id_col: b[id_col],
+                             "cosine": pa.array([], pa.float64())})
         q = np.asarray(ray.get(query_ref), dtype=np.float64)
         E = embedding_matrix(b, col)
         cos = _cosine_to_query(E, q)
         ids = b[id_col].to_numpy(zero_copy_only=False)
-        # local top-k prune before the global merge
+        # local top-k prune before the global merge — ties broken by id
+        # asc (lexsort minor key), matching the GLOBAL (cosine desc, id
+        # asc) order: a stable position-order argsort could prune the
+        # smaller-id row of a tied pair at the k boundary
         if len(ids) > k:
-            part = np.argsort(-cos, kind="stable")[:k]
+            part = np.lexsort((ids, -cos))[:k]
         else:
             part = np.arange(len(ids))
         return pa.table({
@@ -90,7 +101,13 @@ def embedding_near_dup_pairs(ds, *, threshold: float = 0.9,
     callers must choose that recall trade explicitly."""
     from .dedup import bucket_candidate_pairs, distinct_pairs
 
+    if planes % bands:  # same guard as the exact sibling: a remainder
+        # would reshape to the wrong row count deep inside a Ray task
+        raise ValueError(f"planes ({planes}) must divide evenly into "
+                         f"bands ({bands})")
     r = planes // bands
+    if r > 64:
+        raise ValueError("bits per band must fit an int64 key")
 
     def _buckets(b: pa.Table) -> pa.Table:
         E = embedding_matrix(b, col)
@@ -181,6 +198,8 @@ def assign_lists_batch(batch: pa.Table, centroids_ref, *,
 
     C = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) \
         else centroids_ref
+    if batch.num_rows == 0:  # structural empty block
+        return batch.append_column("ivf_list", pa.array([], pa.int32()))
     E = embedding_matrix(batch, col)
     d = ((E[:, None, :] - C[None, :, :]) ** 2).sum(-1)
     return batch.append_column("ivf_list", pa.array(d.argmin(1).astype(np.int32)))
@@ -196,6 +215,9 @@ def knn_ivf(ds, query_ref, centroids_ref, k: int = 10, *, nprobe: int = 4,
     import ray
 
     def _probe(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:  # structural empty block
+            return pa.table({id_col: b[id_col],
+                             "cosine": pa.array([], pa.float64())})
         q = np.asarray(ray.get(query_ref), dtype=np.float64)
         C = np.asarray(ray.get(centroids_ref), dtype=np.float64)
         d = ((C - q[None, :]) ** 2).sum(-1)
@@ -213,7 +235,7 @@ def knn_ivf(ds, query_ref, centroids_ref, k: int = 10, *, nprobe: int = 4,
         E = embedding_matrix(b, col)
         cos = _cosine_to_query(E, q)
         ids = b[id_col].to_numpy(zero_copy_only=False)
-        part = np.argsort(-cos, kind="stable")[:k]
+        part = np.lexsort((ids, -cos))[:k]  # id-asc ties, like the sort
         return pa.table({id_col: pa.array(ids[part]),
                          "cosine": pa.array(cos[part], pa.float64())})
 
@@ -373,6 +395,9 @@ def kmeans_integer(ds, *, k: int = 4, updates: int = 2, scale: int = 1000,
         raise ValueError(f"need k >= 1, updates >= 0; got {k}, {updates}")
 
     def _q(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:  # structural empty block
+            return pa.table({id_col: b[id_col],
+                             "v": pa.array([], pa.list_(pa.int64()))})
         E = embedding_matrix(b, col)
         Q = np.trunc(E * scale).astype(np.int64)
         flat = pa.array(Q.ravel())
@@ -408,6 +433,11 @@ def kmeans_integer(ds, *, k: int = 4, updates: int = 2, scale: int = 1000,
         cref = ray.put(C)
 
         def _partial(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:  # structural empty block
+                return pa.table({"k": pa.array([], pa.int64()),
+                                 "i": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
             Cm = ray.get(cref)
             Q = _qmat(b)
             a, _d2 = _assign(Q, Cm)
@@ -436,6 +466,10 @@ def kmeans_integer(ds, *, k: int = 4, updates: int = 2, scale: int = 1000,
     cref = ray.put(C)
 
     def _final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:  # structural empty block
+            return pa.table({id_col: b[id_col],
+                             "cluster": pa.array([], pa.int64()),
+                             "d2": pa.array([], pa.int64())})
         Cm = ray.get(cref)
         Q = _qmat(b)
         a, d2 = _assign(Q, Cm)
@@ -507,7 +541,19 @@ def embedding_covariance(ds, *, scale: int = 1000, col: str = "embedding",
         sxy = b["sxy"].to_numpy(zero_copy_only=False).astype(np.int64)
         sx = b["sx"].to_numpy(zero_copy_only=False).astype(np.int64)
         sy = b["sy"].to_numpy(zero_copy_only=False).astype(np.int64)
-        num = n * sxy - sx * sy
+        # exact arbitrary-precision numerator: n*sxy and sx*sy overflow
+        # int64 well inside the docstring's supported scale (n ~ 1e7 x
+        # sxy ~ 1e13 -> 1e20 >> 2^63) — the <= d(d+1)/2 rows here are a
+        # bounded driver-side-sized table, so Python ints cost nothing
+        # (the same reasoning as the exact near-dup verify's dot^2)
+        num_py = [int(a) * int(bb) - int(c) * int(dd)
+                  for a, bb, c, dd in zip(n, sxy, sx, sy)]
+        if all(-2**63 <= v < 2**63 for v in num_py):
+            num = np.array(num_py, dtype=np.int64)
+        else:
+            raise OverflowError(
+                "embedding_covariance: cov numerator exceeds int64; "
+                "lower `scale` or center the embeddings first")
         ok = n > 0
         cov = np.where(ok, num / np.where(ok, (n * n).astype(np.float64),
                                           1.0), np.nan)
