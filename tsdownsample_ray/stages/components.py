@@ -71,9 +71,14 @@ def connected_components(edges_ds, *, a_col: str = "a", b_col: str = "b",
     edges = compact_nonempty_blocks(
         edges_ds.map_batches(_both, batch_format="pyarrow").materialize())
     if edges is None:
+        # typed empty result: mirror the INPUT id type so downstream
+        # unions/joins/appends against non-empty runs stay schema-stable
+        sch = edges_ds.schema()
+        id_t = (dict(zip(sch.names, sch.types)).get(a_col, pa.string())
+                if sch is not None else pa.string())
         return rd.from_arrow(pa.table({
-            "node": pa.array([], pa.string()),
-            "component": pa.array([], pa.string()),
+            "node": pa.array([], id_t),
+            "component": pa.array([], id_t),
         }))
 
     # initial labels: every node labels itself (src covers both endpoints

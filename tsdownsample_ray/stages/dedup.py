@@ -138,16 +138,17 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text",
     return batch.append_column(out_col, md5)
 
 
-def keep_first_by_key(ds, *, key_col: str, order_cols: list,
-                      keep_cols: list | None = None,
-                      num_partitions: int = 16):
-    """Keep the minimum-(order_cols) row of each distinct ``key_col``.
-
-    ONE hash(key) shuffle (dense part space, bounded reducers); each
-    partition then sorts once by (key, *order_cols) and keeps segment
-    heads vectorized — one call per PARTITION instead of one
-    ``map_groups`` round-trip per distinct key (the dominant cost at
-    corpus scale: |groups| ~= |rows| for dedup keys)."""
+def _firsts_by_key(ds, *, key_col: str, order_cols: list,
+                   num_partitions: int, finish):
+    """Shared scaffold of :func:`keep_first_by_key` /
+    :func:`mark_first_by_key`: ONE hash(key) shuffle (dense part space,
+    bounded reducers), then each partition sorts once by
+    (key, *order_cols) and computes the segment-head mask vectorized —
+    one call per PARTITION instead of one ``map_groups`` round-trip per
+    distinct key (the dominant cost at corpus scale: |groups| ~= |rows|
+    for dedup keys). Hash partitioning co-locates every occurrence of a
+    key, so a partition segment head IS the global first.
+    ``finish(sorted_table, first_mask)`` shapes the partition output."""
     from ..arrow_utils import stable_part_codes
 
     mod = num_partitions * 64
@@ -157,7 +158,7 @@ def keep_first_by_key(ds, *, key_col: str, order_cols: list,
         return b.append_column(
             "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
 
-    def _first(g: pa.Table) -> pa.Table:
+    def _heads(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
         t = t.take(pc.sort_indices(
             t, sort_keys=[(key_col, "ascending")]
@@ -167,50 +168,40 @@ def keep_first_by_key(ds, *, key_col: str, order_cols: list,
             key = key.combine_chunks()
         codes = key.dictionary_encode().indices.to_numpy(
             zero_copy_only=False).astype(np.int64)
-        keep = np.ones(len(codes), dtype=bool)
-        keep[1:] = codes[1:] != codes[:-1]
-        out = t.take(pa.array(np.flatnonzero(keep)))
-        return out.select(keep_cols) if keep_cols else out
+        first = np.ones(len(codes), dtype=bool)
+        first[1:] = codes[1:] != codes[:-1]
+        return finish(t, first)
 
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
-        _first, batch_format="pyarrow")
+        _heads, batch_format="pyarrow")
+
+
+def keep_first_by_key(ds, *, key_col: str, order_cols: list,
+                      keep_cols: list | None = None,
+                      num_partitions: int = 16):
+    """Keep the minimum-(order_cols) row of each distinct ``key_col``
+    (one hash shuffle + a vectorized per-partition segment-head pass —
+    see :func:`_firsts_by_key` for the scale rationale)."""
+
+    def _keep(t: pa.Table, first: np.ndarray) -> pa.Table:
+        out = t.take(pa.array(np.flatnonzero(first)))
+        return out.select(keep_cols) if keep_cols else out
+
+    return _firsts_by_key(ds, key_col=key_col, order_cols=order_cols,
+                          num_partitions=num_partitions, finish=_keep)
 
 
 def mark_first_by_key(ds, *, key_col: str, order_cols: list,
                       flag_col: str = "is_first",
                       num_partitions: int = 16):
     """Like :func:`keep_first_by_key` but returns ALL rows, with a boolean
-    ``flag_col`` set on the minimum-(order_cols) row of each distinct key
-    (same ONE hash(key) shuffle + one vectorized pass per partition; hash
-    partitioning co-locates every occurrence of a key, so the partition
-    segment head IS the global first)."""
-    from ..arrow_utils import stable_part_codes
-
-    mod = num_partitions * 64
-
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[key_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
-
-    def _mark(g: pa.Table) -> pa.Table:
-        g = g.drop_columns(["__part"])
-        t = g.take(pc.sort_indices(
-            g, sort_keys=[(key_col, "ascending")]
-            + [(c, "ascending") for c in order_cols]))
-        key = t[key_col]
-        if isinstance(key, pa.ChunkedArray):
-            key = key.combine_chunks()
-        codes = key.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        first = np.ones(len(codes), dtype=bool)
-        first[1:] = codes[1:] != codes[:-1]
-        return t.append_column(flag_col, pa.array(first))
-
-    parted = ds.map_batches(_add_part, batch_format="pyarrow")
-    return parted.repartition(num_partitions).groupby("__part").map_groups(
-        _mark, batch_format="pyarrow")
+    ``flag_col`` set on the minimum-(order_cols) row of each distinct
+    key."""
+    return _firsts_by_key(
+        ds, key_col=key_col, order_cols=order_cols,
+        num_partitions=num_partitions,
+        finish=lambda t, first: t.append_column(flag_col, pa.array(first)))
 
 
 def exact_dedup(ds, *, text_col: str = "text", order_col: str,
@@ -302,25 +293,6 @@ def minhash_signatures(ds, **kw):
                           batch_format="pyarrow")
 
 
-def _emit_bucket_pairs(ids: list, max_bucket: int | None,
-                       log_fn=None) -> tuple:
-    """All-pairs over one bucket, vectorized. ``max_bucket`` truncates
-    oversized buckets (logged) as an OPT-IN scale guard — it trades
-    exactness for bounded O(max_bucket^2) emission, so operators that
-    promise equality with a quadratic definition must leave it None."""
-    ids = sorted(ids)
-    if max_bucket is not None and len(ids) > max_bucket:
-        if log_fn is not None:
-            log_fn(len(ids))
-        ids = ids[:max_bucket]
-    n = len(ids)
-    if n < 2:
-        return [], []
-    iu = np.triu_indices(n, k=1)
-    arr = np.asarray(ids, dtype=object)
-    return arr[iu[0]].tolist(), arr[iu[1]].tolist()
-
-
 def _segmented_pairs(ids_sorted: np.ndarray, codes: np.ndarray,
                      max_bucket: int | None, log_fn=None) -> tuple:
     """Within-bucket all-pairs for EVERY bucket of a partition at once.
@@ -331,7 +303,9 @@ def _segmented_pairs(ids_sorted: np.ndarray, codes: np.ndarray,
     per distinct bucket size, not per bucket (dup clusters share a handful
     of sizes, so a 40k-bucket partition pairs in a few vector ops).
     ``max_bucket`` keeps the first ``max_bucket`` sorted ids of an
-    oversized bucket, exactly like ``_emit_bucket_pairs``."""
+    oversized bucket (logged) as an OPT-IN scale guard — it trades
+    exactness for bounded O(max_bucket^2) emission, so operators that
+    promise equality with a quadratic definition must leave it None."""
     n = len(codes)
     if n == 0:
         return ids_sorted[:0], ids_sorted[:0]

@@ -410,16 +410,21 @@ def _hits_remote_fns():
         k = _col64(tbl, out_key)
         o = _col64(tbl, in_key)
         parts = _pcodes(k, P)
-        return tuple(
+        out = tuple(
             pa.table({"k": pa.array(k[parts == p]),
                       "o": pa.array(o[parts == p])}) for p in range(P))
+        # num_returns=P unpacks a P-tuple only for P > 1; at P == 1 the
+        # single ObjectRef holds the RETURN VALUE itself, so hand back
+        # the bare table (callers wrap the ref in a 1-list)
+        return out[0] if P == 1 else out
 
     @ray.remote
     def split_nodes(tbl: pa.Table, node_col: str, P: int):
         v = _col64(tbl, node_col)
         parts = _pcodes(v, P)
-        return tuple(pa.table({"v": pa.array(v[parts == p])})
-                     for p in range(P))
+        out = tuple(pa.table({"v": pa.array(v[parts == p])})
+                    for p in range(P))
+        return out[0] if P == 1 else out  # see split_edges
 
     @ray.remote
     def concat(*tbls: pa.Table) -> pa.Table:
@@ -450,9 +455,10 @@ def _hits_remote_fns():
         v = _col64(g, "v")
         s = _col64(g, "s_sum")
         parts = _pcodes(v, P)
-        return tuple(
+        out = tuple(
             pa.table({"v": pa.array(v[parts == p]),
                       "s": pa.array(s[parts == p])}) for p in range(P))
+        return out[0] if P == 1 else out  # see split_edges
 
     @ray.remote
     def merge_part(*parts: pa.Table):

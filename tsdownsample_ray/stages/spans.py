@@ -44,7 +44,10 @@ def explode_spans_batch(batch: pa.Table, *, span_w: int,
     if batch.num_rows == 0:
         return pa.table({id_col: ids, "span_idx": pa.array([], pa.int64()),
                          "span": pa.array([], pa.string())})
-    words = pc.split_pattern(batch[text_col], " ")
+    # null text -> '' (one empty span), NOT a silent doc drop: a null
+    # list slot from split_pattern has zero offset width (n_spans = 0)
+    # and the doc would vanish from the one-row-per-document contract
+    words = pc.split_pattern(pc.fill_null(batch[text_col], ""), " ")
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
     flat = words.values
