@@ -470,18 +470,27 @@ rec AS (
            y AS level, CAST(0 AS BIGINT) AS trend, y AS forecast
     FROM numbered WHERE idx = 1
     UNION ALL
-    SELECT n.series_id, n.bucket, n.y, n.idx,
-           (r.level + r.trend)
-             + CAST(floor(CAST(n.y - r.level - r.trend AS DOUBLE) / 8.0)
-                    AS BIGINT) AS level,
-           r.trend + CAST(floor(CAST(
-               ((r.level + r.trend)
-                + CAST(floor(CAST(n.y - r.level - r.trend AS DOUBLE) / 8.0)
-                       AS BIGINT))
-               - r.level - r.trend AS DOUBLE) / 16.0) AS BIGINT) AS trend,
-           r.level + r.trend AS forecast
-    FROM rec r JOIN numbered n
-      ON n.series_id = r.series_id AND n.idx = r.idx + 1
+    SELECT series_id, bucket, y, idx,
+           l0 + t0 + d8 AS level,
+           -- level_new - l0 - t0 == d8, so the trend correction is
+           -- floor(d8 / 16) with the same exact-integer idiom
+           t0 + (CASE WHEN d8 >= 0 THEN d8 // 16
+                 ELSE -(((-d8) + 15) // 16) END) AS trend,
+           l0 + t0 AS forecast
+    FROM (
+        SELECT n.series_id, n.bucket, n.y, n.idx,
+               r.level AS l0, r.trend AS t0,
+               -- exact BIGINT floor(v / 8): DuckDB // truncates toward
+               -- zero, so negatives take -((-v + 7) // 8); no double
+               -- round-trip, so the replay stays exact past 2^53
+               -- (r4 advice)
+               CASE WHEN n.y - r.level - r.trend >= 0
+                    THEN (n.y - r.level - r.trend) // 8
+                    ELSE -(((-(n.y - r.level - r.trend)) + 7) // 8)
+               END AS d8
+        FROM rec r JOIN numbered n
+          ON n.series_id = r.series_id AND n.idx = r.idx + 1
+    ) z
 )
 SELECT series_id, bucket, y, level, trend, forecast FROM rec
 """

@@ -406,7 +406,11 @@ rec AS (
     FROM numbered WHERE idx = 1
     UNION ALL
     SELECT n.series_id, n.bucket, n.y, n.idx,
-           r.ema + CAST(floor(CAST(n.y - r.ema AS DOUBLE) / 8.0) AS BIGINT)
+           -- exact BIGINT floor(v / 8): DuckDB // truncates toward zero,
+           -- so negatives take -((-v + 7) // 8); no double round-trip,
+           -- so the replay stays exact past 2^53 (r4 advice)
+           r.ema + (CASE WHEN n.y - r.ema >= 0 THEN (n.y - r.ema) // 8
+                    ELSE -(((-(n.y - r.ema)) + 7) // 8) END)
     FROM rec r JOIN numbered n
       ON n.series_id = r.series_id AND n.idx = r.idx + 1
 )
