@@ -45,7 +45,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["extract_links_batch", "grouped_sum_parts", "pagerank",
-           "hits", "reciprocity", "degree_assortativity"]
+           "triangle_counts", "hits", "reciprocity",
+           "degree_assortativity"]
 
 
 def extract_links_batch(batch: pa.Table, *, html_col: str = "html",
@@ -162,6 +163,15 @@ def pagerank(edges_ds, nodes_ds, *, node_col: str = "doc_id",
     import ray.data as rd
 
     teleport = (den - damp) * scale // den
+
+    # normalize edge keys to int64 up-front: ranks/tele carry int64 "v"
+    # (cast from node_col below), and a join between an int32/uint edge
+    # key and an int64 rank key raises a type-mismatch deep inside the
+    # exchange — fail fast here instead, and prune extra edge columns
+    edges_ds = edges_ds.map_batches(
+        lambda b: pa.table({src: pc.cast(b[src], pa.int64()),
+                            dst: pc.cast(b[dst], pa.int64())}),
+        batch_format="pyarrow")
 
     # out-degree once, attached to edges once, reused every iteration
     deg = grouped_sum_parts(
@@ -491,6 +501,21 @@ def _hits_remote_fns():
     return _HITS_REMOTES
 
 
+def _distinct_nonloop_edges(edges_ds, src: str, dst: str, fanin: int):
+    """DISTINCT non-loop ``(src, dst)`` pairs as int64 — the shared
+    prelude of :func:`reciprocity` / :func:`degree_assortativity` (one
+    hashpart grouped count collapses multi-edges)."""
+
+    def _clean(b: pa.Table) -> pa.Table:
+        t = pa.table({src: pc.cast(b[src], pa.int64()),
+                      dst: pc.cast(b[dst], pa.int64())})
+        return t.filter(pc.invert(pc.equal(t[src], t[dst])))
+
+    return grouped_sum_parts(
+        edges_ds.map_batches(_clean, batch_format="pyarrow"),
+        [src, dst], [], count_col="n", fanin=fanin).drop_columns(["n"])
+
+
 def reciprocity(edges_ds, *, src: str = "src", dst: str = "dst",
                 num_partitions: int = 4, fanin: int = 8):
     """Edge reciprocity of a directed graph: the fraction of distinct
@@ -501,32 +526,21 @@ def reciprocity(edges_ds, *, src: str = "src", dst: str = "dst",
     against its own reversal — never all-pairs, never a broadcast."""
     import math
 
-    import numpy as np
+    import pandas as pd
 
-    def _clean(b: pa.Table) -> pa.Table:
-        s = pc.cast(b[src], pa.int64())
-        d = pc.cast(b[dst], pa.int64())
-        t = pa.table({src: s, dst: d})
-        return t.filter(pc.invert(pc.equal(t[src], t[dst])))
-
-    dedup = grouped_sum_parts(
-        edges_ds.map_batches(_clean, batch_format="pyarrow"),
-        [src, dst], [], count_col="n", fanin=fanin).drop_columns(["n"])
+    dedup = _distinct_nonloop_edges(edges_ds, src, dst, fanin)
     rev = dedup.map_batches(
-        lambda b: pa.table({src: b[dst], dst: b[src],
-                            "__r": pa.array(
-                                np.ones(b.num_rows, np.int8))}),
+        lambda b: pa.table({src: b[dst], dst: b[src]}),
         batch_format="pyarrow")
     j = dedup.join(rev, join_type="inner", num_partitions=num_partitions,
                    on=(src, dst))
     n_edges = dedup.count()
     n_recip = j.count()
     g = math.gcd(n_recip, n_edges) or 1
-    import pandas as pd
-
     return pd.DataFrame({
         "n_edges": [n_edges], "n_recip": [n_recip],
-        "recip_num": [n_recip // g], "recip_den": [max(n_edges // g, 0)],
+        # empty graph: 0/1 (a well-formed zero), not the malformed 0/0
+        "recip_num": [n_recip // g], "recip_den": [(n_edges // g) or 1],
         "reciprocity": [float(n_recip) / n_edges if n_edges else None]})
 
 
@@ -540,17 +554,7 @@ def degree_assortativity(edges_ds, *, src: str = "src", dst: str = "dst",
     ``corr`` (`correlate._corr_from_stats` — identical expression to the
     SQL). Shape: two hashpart degree counts + two hash joins attach the
     endpoint degrees; partials collapse per block before one tiny merge."""
-    import numpy as np
-
-    def _clean(b: pa.Table) -> pa.Table:
-        s = pc.cast(b[src], pa.int64())
-        d = pc.cast(b[dst], pa.int64())
-        t = pa.table({src: s, dst: d})
-        return t.filter(pc.invert(pc.equal(t[src], t[dst])))
-
-    dedup = grouped_sum_parts(
-        edges_ds.map_batches(_clean, batch_format="pyarrow"),
-        [src, dst], [], count_col="n", fanin=fanin).drop_columns(["n"])
+    dedup = _distinct_nonloop_edges(edges_ds, src, dst, fanin)
     outdeg = grouped_sum_parts(
         dedup.map_batches(lambda b: pa.table({src: b[src]}),
                           batch_format="pyarrow"),

@@ -37,82 +37,6 @@ def _ed_le1(a: str, b: str) -> bool:
     return a[i:] == b[i + 1:]
 
 
-def ed1_pairs(terms_ds, *, term_col: str = "token",
-              num_partitions: int = 8):
-    """(a < b) term pairs with Levenshtein distance exactly <= 1
-    (excluding identical terms). ``terms_ds`` holds DISTINCT terms."""
-    from ..arrow_utils import stable_part_codes
-
-    mod = num_partitions * 64
-
-    def _variants(b: pa.Table) -> pa.Table:
-        col = b[term_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        terms = col.to_pylist()
-        keys, names = [], []
-        for t in terms:  # vocabulary rows, not corpus rows
-            keys.append(t)
-            names.append(t)
-            for i in range(len(t)):
-                keys.append(t[:i] + t[i + 1:])
-                names.append(t)
-        return pa.table({"variant": pa.array(keys, pa.string()),
-                         "term": pa.array(names, pa.string())})
-
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["variant"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
-
-    def _bucket_pairs(g: pa.Table) -> pa.Table:
-        empty = pa.table({"a": pa.array([], pa.string()),
-                          "b": pa.array([], pa.string())})
-        t = g.drop_columns(["__part"])
-        if t.num_rows < 2:
-            return empty
-        t = t.take(pc.sort_indices(t, sort_keys=[
-            ("variant", "ascending"), ("term", "ascending")]))
-        var = t["variant"].to_pylist()
-        term = t["term"].to_pylist()
-        out_a, out_b = [], []
-        i = 0
-        n = len(var)
-        while i < n:
-            j = i
-            while j < n and var[j] == var[i]:
-                j += 1
-            bucket = sorted(set(term[i:j]))
-            for x in range(len(bucket)):
-                for y in range(x + 1, len(bucket)):
-                    if _ed_le1(bucket[x], bucket[y]):
-                        out_a.append(bucket[x])
-                        out_b.append(bucket[y])
-            i = j
-        return pa.table({"a": pa.array(out_a, pa.string()),
-                         "b": pa.array(out_b, pa.string())})
-
-    def _distinct(g: pa.Table) -> pa.Table:
-        t = g.drop_columns(["__part"])
-        if t.num_rows == 0:
-            return pa.table({"a": pa.array([], pa.string()),
-                             "b": pa.array([], pa.string())})
-        return t.group_by(["a", "b"]).aggregate([])
-
-    def _pair_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["a"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
-
-    cands = (terms_ds.map_batches(_variants, batch_format="pyarrow")
-             .map_batches(_add_part, batch_format="pyarrow")
-             .repartition(num_partitions).groupby("__part")
-             .map_groups(_bucket_pairs, batch_format="pyarrow"))
-    return (cands.map_batches(_pair_part, batch_format="pyarrow")
-            .repartition(num_partitions).groupby("__part")
-            .map_groups(_distinct, batch_format="pyarrow"))
-
-
 def _ed(a: str, b: str) -> int:
     """Exact Levenshtein distance (full DP — verify-phase only: inputs
     are vocabulary-neighborhood candidate pairs of short tokens)."""
@@ -130,16 +54,18 @@ def _ed(a: str, b: str) -> int:
     return prev[lb]
 
 
-def ed2_pairs(terms_ds, *, term_col: str = "token",
-              num_partitions: int = 8):
-    """(a < b) term pairs with Levenshtein distance in [1, 2] plus the
-    exact distance — FastSS at depth 2 (Bocek et al. 2007): two terms
-    are within edit distance k iff their <=k-deletion neighborhoods
-    intersect, so candidates come from ONE hash shuffle of
-    (variant, term) rows over the 1 + L + C(L,2) depth-2 deletion keys
-    per vocabulary term, and each bucket verifies its pairs with the
-    exact DP. Output (a, b, dist). Same distinct/dedup tail as
-    :func:`ed1_pairs`."""
+def _fastss_pairs(terms_ds, *, term_col: str, num_partitions: int,
+                  variants_of, pair_fn, schema: list, distinct):
+    """Shared FastSS scaffold of :func:`ed1_pairs` / :func:`ed2_pairs`:
+    ONE hash(variant) shuffle of (variant, term) rows, per-bucket
+    sorted-set all-pairs verify, then a hash-partitioned distinct over
+    the pair stream.
+
+    ``variants_of(term)`` yields the term's deletion-neighborhood keys
+    (term included); ``pair_fn(a, b)`` returns the verified pair's
+    column values (ordered like ``schema``) or None; ``schema`` is the
+    ``[(name, pa_type), ...]`` of the pair stream (first column is the
+    final partition key); ``distinct(table)`` dedupes one partition."""
     from ..arrow_utils import stable_part_codes
 
     mod = num_partitions * 64
@@ -148,37 +74,33 @@ def ed2_pairs(terms_ds, *, term_col: str = "token",
         col = b[term_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        terms = col.to_pylist()
         keys, names = [], []
-        for t in terms:  # vocabulary rows, not corpus rows
-            vs = {t}
-            for i in range(len(t)):
-                d1 = t[:i] + t[i + 1:]
-                vs.add(d1)
-                for j in range(len(d1)):
-                    vs.add(d1[:j] + d1[j + 1:])
+        for t in col.to_pylist():  # vocabulary rows, not corpus rows
+            vs = list(variants_of(t))
             keys.extend(vs)
             names.extend([t] * len(vs))
         return pa.table({"variant": pa.array(keys, pa.string()),
                          "term": pa.array(names, pa.string())})
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["variant"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    def _part_on(col_name: str):
+        def _p(b: pa.Table) -> pa.Table:
+            h = stable_part_codes(b[col_name], None)
+            return b.append_column(
+                "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+        return _p
+
+    def _empty() -> pa.Table:
+        return pa.table({name: pa.array([], typ) for name, typ in schema})
 
     def _bucket_pairs(g: pa.Table) -> pa.Table:
-        empty = pa.table({"a": pa.array([], pa.string()),
-                          "b": pa.array([], pa.string()),
-                          "dist": pa.array([], pa.int64())})
         t = g.drop_columns(["__part"])
         if t.num_rows < 2:
-            return empty
+            return _empty()
         t = t.take(pc.sort_indices(t, sort_keys=[
             ("variant", "ascending"), ("term", "ascending")]))
         var = t["variant"].to_pylist()
         term = t["term"].to_pylist()
-        out_a, out_b, out_d = [], [], []
+        rows = {name: [] for name, _ in schema}
         i = 0
         n = len(var)
         while i < n:
@@ -188,35 +110,79 @@ def ed2_pairs(terms_ds, *, term_col: str = "token",
             bucket = sorted(set(term[i:j]))
             for x in range(len(bucket)):
                 for y in range(x + 1, len(bucket)):
-                    d = _ed(bucket[x], bucket[y])
-                    if 1 <= d <= 2:
-                        out_a.append(bucket[x])
-                        out_b.append(bucket[y])
-                        out_d.append(d)
+                    vals = pair_fn(bucket[x], bucket[y])
+                    if vals is not None:
+                        for (name, _), v in zip(schema, vals):
+                            rows[name].append(v)
             i = j
-        return pa.table({"a": pa.array(out_a, pa.string()),
-                         "b": pa.array(out_b, pa.string()),
-                         "dist": pa.array(out_d, pa.int64())})
+        return pa.table({name: pa.array(rows[name], typ)
+                         for name, typ in schema})
 
     def _distinct(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
         if t.num_rows == 0:
-            return pa.table({"a": pa.array([], pa.string()),
-                             "b": pa.array([], pa.string()),
-                             "dist": pa.array([], pa.int64())})
+            return _empty()
+        return distinct(t)
+
+    cands = (terms_ds.map_batches(_variants, batch_format="pyarrow")
+             .map_batches(_part_on("variant"), batch_format="pyarrow")
+             .repartition(num_partitions).groupby("__part")
+             .map_groups(_bucket_pairs, batch_format="pyarrow"))
+    return (cands.map_batches(_part_on(schema[0][0]),
+                              batch_format="pyarrow")
+            .repartition(num_partitions).groupby("__part")
+            .map_groups(_distinct, batch_format="pyarrow"))
+
+
+def ed1_pairs(terms_ds, *, term_col: str = "token",
+              num_partitions: int = 8):
+    """(a < b) term pairs with Levenshtein distance exactly <= 1
+    (excluding identical terms). ``terms_ds`` holds DISTINCT terms."""
+
+    def _variants_of(t: str) -> list:
+        return [t] + [t[:i] + t[i + 1:] for i in range(len(t))]
+
+    return _fastss_pairs(
+        terms_ds, term_col=term_col, num_partitions=num_partitions,
+        variants_of=_variants_of,
+        pair_fn=lambda a, b: (a, b) if _ed_le1(a, b) else None,
+        schema=[("a", pa.string()), ("b", pa.string())],
+        distinct=lambda t: t.group_by(["a", "b"]).aggregate([]))
+
+
+def ed2_pairs(terms_ds, *, term_col: str = "token",
+              num_partitions: int = 8):
+    """(a < b) term pairs with Levenshtein distance in [1, 2] plus the
+    exact distance — FastSS at depth 2 (Bocek et al. 2007): two terms
+    are within edit distance k iff their <=k-deletion neighborhoods
+    intersect, so candidates come from ONE hash shuffle of
+    (variant, term) rows over the 1 + L + C(L,2) depth-2 deletion keys
+    per vocabulary term, and each bucket verifies its pairs with the
+    exact DP. Output (a, b, dist). Same distinct/dedup tail as
+    :func:`ed1_pairs` (min over the duplicate pair stream — every
+    duplicate carries the same exact distance)."""
+
+    def _variants_of(t: str) -> set:
+        vs = {t}
+        for i in range(len(t)):
+            d1 = t[:i] + t[i + 1:]
+            vs.add(d1)
+            for j in range(len(d1)):
+                vs.add(d1[:j] + d1[j + 1:])
+        return vs
+
+    def _pair(a: str, b: str):
+        d = _ed(a, b)
+        return (a, b, d) if 1 <= d <= 2 else None
+
+    def _distinct(t: pa.Table) -> pa.Table:
         g2 = t.group_by(["a", "b"]).aggregate([("dist", "min")])
         return pa.table({"a": g2["a"], "b": g2["b"],
                          "dist": g2["dist_min"]})
 
-    def _pair_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["a"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
-
-    cands = (terms_ds.map_batches(_variants, batch_format="pyarrow")
-             .map_batches(_add_part, batch_format="pyarrow")
-             .repartition(num_partitions).groupby("__part")
-             .map_groups(_bucket_pairs, batch_format="pyarrow"))
-    return (cands.map_batches(_pair_part, batch_format="pyarrow")
-            .repartition(num_partitions).groupby("__part")
-            .map_groups(_distinct, batch_format="pyarrow"))
+    return _fastss_pairs(
+        terms_ds, term_col=term_col, num_partitions=num_partitions,
+        variants_of=_variants_of, pair_fn=_pair,
+        schema=[("a", pa.string()), ("b", pa.string()),
+                ("dist", pa.int64())],
+        distinct=_distinct)
