@@ -159,78 +159,65 @@ def pagerank(edges_ds, nodes_ds, *, node_col: str = "doc_id",
     teleport mass lands only on the seed set (init r = scale on seeds, 0
     elsewhere) — the standard random-walk-with-restart; non-seed nodes
     unreachable from a seed report 0.
-    """
+
+    Scale shape: PARTITIONED-ITERATIVE on the same raw-task kit as
+    :func:`hits` (see its docstring for the escape-hatch rationale and
+    the one-hash-routes-everything partitioning assumption). Edges are
+    hash-partitioned by src ONCE — co-locating every occurrence of a
+    src, so out-degree is a partition-LOCAL count, no degree join —
+    and, unlike HITS, PageRank has no per-round scalar feedback, so all
+    ``iters`` rounds are submitted as one asynchronous task graph with
+    ZERO driver synchronization between rounds (the r4 Dataset shape
+    paid a join-operator spin-up plus a materialize barrier per round).
+    ``fanin`` is retained for API compatibility (the raw-task shape has
+    no hashpart reducers)."""
+    del fanin
+    import ray
     import ray.data as rd
 
+    P = num_partitions
+    fns = _hits_remote_fns()
+    prf = _pagerank_remote_fns()
     teleport = (den - damp) * scale // den
 
-    # normalize edge keys to int64 up-front: ranks/tele carry int64 "v"
-    # (cast from node_col below), and a join between an int32/uint edge
-    # key and an int64 rank key raises a type-mismatch deep inside the
-    # exchange — fail fast here instead, and prune extra edge columns
-    edges_ds = edges_ds.map_batches(
-        lambda b: pa.table({src: pc.cast(b[src], pa.int64()),
-                            dst: pc.cast(b[dst], pa.int64())}),
-        batch_format="pyarrow")
+    def _partition(refs, split_fn, *args):
+        cols = [split_fn.options(num_returns=P).remote(r, *args, P)
+                for r in refs]
+        if P == 1:  # num_returns=1 yields the bare value, not a list
+            cols = [[c] for c in cols]
+        return [fns.concat.remote(*[c[p] for c in cols]) for p in range(P)]
 
-    # out-degree once, attached to edges once, reused every iteration
-    deg = grouped_sum_parts(
-        edges_ds.map_batches(lambda b: pa.table({src: b[src]}),
-                             batch_format="pyarrow"),
-        [src], [], count_col="outdeg", fanin=fanin)
-    edges = edges_ds.join(deg, join_type="inner",
-                          num_partitions=num_partitions,
-                          on=(src,)).materialize()
-
-    def _init(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "v": pc.cast(b[node_col], pa.int64()),
-            "r": pa.array(np.full(b.num_rows, scale, dtype=np.int64))})
-
-    def _tele(b: pa.Table) -> pa.Table:
-        return pa.table({
-            dst: pc.cast(b[node_col], pa.int64()),
-            "c": pa.array(np.full(b.num_rows, teleport, dtype=np.int64))})
+    e_by_src = _partition(edges_ds.materialize().to_arrow_refs(),
+                          fns.split_edges, src, dst)
+    # out-degree once per partition (local: hash(src) co-locates a
+    # src's every edge), attached per edge row, reused every iteration
+    e_by_src = [prf.attach_outdeg.remote(e) for e in e_by_src]
 
     init_src = seeds_ds if seeds_ds is not None else nodes_ds
-    ranks = init_src.map_batches(_init, batch_format="pyarrow").materialize()
-    tele = init_src.map_batches(_tele, batch_format="pyarrow").materialize()
-
-    def _contrib(b: pa.Table) -> pa.Table:
-        r = b["r"].to_numpy(zero_copy_only=False).astype(np.int64)
-        od = b["outdeg"].to_numpy(zero_copy_only=False).astype(np.int64)
-        c = (damp * r) // (den * od)
-        return pa.table({dst: pc.cast(b[dst], pa.int64()),
-                         "c": pa.array(c)})
+    n_parts = _partition(init_src.materialize().to_arrow_refs(),
+                         fns.split_nodes, node_col)
+    tele = [prf.tele_part.remote(p, teleport) for p in n_parts]
+    state = [fns.init_state.remote(p, scale) for p in n_parts]
 
     for _ in range(iters):
-        j = edges.join(ranks, join_type="inner",
-                       num_partitions=num_partitions,
-                       on=(src,), right_on=("v",))
-        contrib = j.map_batches(_contrib, batch_format="pyarrow")
-        agg = grouped_sum_parts(contrib.union(tele), [dst], ["c"],
-                                count_col=None, fanin=fanin)
-        ranks = agg.map_batches(
-            lambda b: pa.table({"v": b[dst], "r": b["c"]}),
-            batch_format="pyarrow").materialize()
+        outs = [prf.pr_half.options(num_returns=P).remote(
+            e_by_src[p], state[p], damp, den, P) for p in range(P)]
+        if P == 1:
+            outs = [[o] for o in outs]
+        state = [prf.pr_merge.remote(
+            tele[q], *[outs[p][q] for p in range(P)]) for q in range(P)]
 
-    out = ranks.map_batches(
-        lambda b: pa.table({node_col: b["v"], "pr_e9": b["r"]}),
-        batch_format="pyarrow")
     if seeds_ds is None:
-        return out
+        return rd.from_arrow_refs(
+            [prf.pr_final.remote(s, node_col) for s in state])
     # personalized: nodes never reached carry rank 0 (absent from the
-    # contribution stream) — restore them with a left join + fill
-    nodes = nodes_ds.map_batches(
-        lambda b: pa.table({node_col: pc.cast(b[node_col], pa.int64())}),
-        batch_format="pyarrow")
-    j = nodes.join(out, join_type="left_outer",
-                   num_partitions=num_partitions, on=(node_col,))
-    return j.map_batches(
-        lambda b: pa.table({
-            node_col: b[node_col],
-            "pr_e9": pc.fill_null(pc.cast(b["pr_e9"], pa.int64()), 0)}),
-        batch_format="pyarrow")
+    # contribution stream) — restore them with a partition-local left
+    # join + fill (nodes ride the same hash as state)
+    all_nodes = _partition(nodes_ds.materialize().to_arrow_refs(),
+                           fns.split_nodes, node_col)
+    return rd.from_arrow_refs([
+        prf.pr_final_join.remote(all_nodes[p], state[p], node_col)
+        for p in range(P)])
 
 
 def triangle_counts(edges_ds, *, src: str = "src", dst: str = "dst",
@@ -497,8 +484,92 @@ def _hits_remote_fns():
     _HITS_REMOTES = types.SimpleNamespace(
         split_edges=split_edges, split_nodes=split_nodes, concat=concat,
         init_state=init_state, half_task=half_task, merge_part=merge_part,
-        final_part=final_part)
+        final_part=final_part, pcodes=_pcodes, col64=_col64)
     return _HITS_REMOTES
+
+
+_PR_REMOTES = None
+
+
+def _pagerank_remote_fns():
+    """Cached raw-task kit for :func:`pagerank` (split/concat/init come
+    from the shared :func:`_hits_remote_fns` kit)."""
+    global _PR_REMOTES
+    if _PR_REMOTES is not None:
+        return _PR_REMOTES
+    import types
+
+    import ray
+
+    fns = _hits_remote_fns()
+    _pcodes, _col64 = fns.pcodes, fns.col64
+
+    @ray.remote
+    def attach_outdeg(epart: pa.Table) -> pa.Table:
+        # hash(src) co-located every edge of a src in this partition, so
+        # the out-degree count is exact without any exchange
+        if epart.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "o": pa.array([], pa.int64()),
+                             "od": pa.array([], pa.int64())})
+        g = epart.group_by(["k"]).aggregate([("k", "count")])
+        j = epart.join(g.rename_columns(["k", "od"]), keys=["k"],
+                       join_type="inner")
+        return pa.table({"k": j["k"], "o": j["o"],
+                         "od": pc.cast(j["od"], pa.int64())})
+
+    @ray.remote
+    def tele_part(npart: pa.Table, teleport: int) -> pa.Table:
+        return pa.table({
+            "v": npart["v"],
+            "s": pa.array(np.full(npart.num_rows, teleport,
+                                  dtype=np.int64))})
+
+    @ray.remote
+    def pr_half(epart: pa.Table, spart: pa.Table, damp: int, den: int,
+                P: int):
+        # partition-local exact join (both sides keyed by the same hash
+        # of the src/v); per-dst partial sum collapses the task's output
+        # to its distinct dsts before the exchange
+        j = epart.join(spart, keys=["k"], right_keys=["v"],
+                       join_type="inner")
+        r = j["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        od = j["od"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = (damp * r) // (den * od)
+        g = pa.table({"v": j["o"], "s": pa.array(c)}).group_by(
+            ["v"]).aggregate([("s", "sum")])
+        v = _col64(g, "v")
+        s = _col64(g, "s_sum")
+        parts = _pcodes(v, P)
+        out = tuple(
+            pa.table({"v": pa.array(v[parts == p]),
+                      "s": pa.array(s[parts == p])}) for p in range(P))
+        return out[0] if P == 1 else out  # see split_edges
+
+    @ray.remote
+    def pr_merge(tele: pa.Table, *parts: pa.Table) -> pa.Table:
+        t = pa.concat_tables(parts + (tele,))
+        g = t.group_by(["v"]).aggregate([("s", "sum")])
+        return pa.table({"v": g["v"], "s": g["s_sum"]})
+
+    @ray.remote
+    def pr_final(state: pa.Table, node_col: str) -> pa.Table:
+        return state.rename_columns([node_col, "pr_e9"])
+
+    @ray.remote
+    def pr_final_join(npart: pa.Table, state: pa.Table,
+                      node_col: str) -> pa.Table:
+        out = npart.rename_columns([node_col]).join(
+            state.rename_columns([node_col, "pr_e9"]), keys=[node_col],
+            join_type="left outer")
+        return pa.table({
+            node_col: out[node_col],
+            "pr_e9": pc.fill_null(pc.cast(out["pr_e9"], pa.int64()), 0)})
+
+    _PR_REMOTES = types.SimpleNamespace(
+        attach_outdeg=attach_outdeg, tele_part=tele_part, pr_half=pr_half,
+        pr_merge=pr_merge, pr_final=pr_final, pr_final_join=pr_final_join)
+    return _PR_REMOTES
 
 
 def _distinct_nonloop_edges(edges_ds, src: str, dst: str, fanin: int):
