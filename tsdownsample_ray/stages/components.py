@@ -7,20 +7,22 @@ Algorithm: iterative min-label propagation (the BSP formulation):
     label(v) <- min(label(v), min over neighbors u of label(u))
 
 repeated until a fixpoint; every node ends with the minimum node id of
-its component. Each round is edge-scale work — one hash join
-(edges x labels) + one per-node min — never corpus-scale, and the
+its component. Each round is edge-scale work — one partition-local hash
+join (edges x labels) + one per-node min — never corpus-scale, and the
 iteration count is the component diameter (near-dup clusters are tiny:
 a handful of rounds).
 
-Scale shape: edges and labels are hash-partitioned datasets; each round
-materializes the (node-scale) label table — truncating lineage so round
-N+1 does not re-execute rounds 1..N — and convergence is decided by an
-exact changed-row count computed INSIDE the min-combine (the node's old
-label rides the union as a null-elsewhere column, so no second join per
-round), not a heuristic.
-Empty-block hygiene follows ``join_pair_payload``: blocks are compacted
-before every join (Ray's hash join cannot resolve keys on the
-schema-less empty blocks map stages structurally emit).
+Scale shape: PARTITIONED-ITERATIVE raw Ray tasks (the same
+escape-hatch shape as ``stages/graph.py:hits`` — an iterative algorithm
+whose per-round convergence scalar the Dataset API cannot express
+without one full streaming-executor job per round). Edges are
+partitioned ONCE by a type-agnostic hash of src (both directions, so a
+node's every edge AND its label live at hash(node)); each round is P
+partition-local joins + per-dst min partials, one bounded exchange, P
+min-combine tasks. The driver reads ONE int per partition per round
+(the changed count, computed inside the min-combine by riding the
+node's old label through the union as a null-elsewhere column) — never
+the label table itself.
 """
 
 from __future__ import annotations
@@ -31,46 +33,107 @@ import pyarrow.compute as pc
 
 __all__ = ["connected_components"]
 
+_CC_REMOTES = None
 
-def _min_by_node(ds, num_partitions: int):
-    """(node, lbl) -> per-node min(lbl): dense-code hash partition +
-    vectorized per-partition Arrow aggregate (the rollup hashpart
-    discipline — no full sort of the label table)."""
+
+def _cc_remote_fns():
+    """Cached raw-task kit for :func:`connected_components` (lazy so
+    importing this module never touches `ray`)."""
+    global _CC_REMOTES
+    if _CC_REMOTES is not None:
+        return _CC_REMOTES
+    import types
+
+    import ray
+
     from ..arrow_utils import stable_part_codes
 
-    mod = num_partitions * 64
+    def _split(t: pa.Table, key: str, P: int):
+        h = stable_part_codes(t[key], None) % np.uint64(P)
+        out = tuple(t.filter(pa.array(h == p)) for p in range(P))
+        # num_returns=P unpacks a P-tuple only for P > 1; at P == 1 the
+        # single ObjectRef holds the RETURN VALUE itself, so hand back
+        # the bare table (callers wrap the ref in a 1-list)
+        return out[0] if P == 1 else out
 
-    def _part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["node"], mod)
-        return b.append_column("__part", pa.array(h))
+    @ray.remote
+    def split_edges(tbl: pa.Table, a_col: str, b_col: str, P: int):
+        # both directions: a node's out-rows, in-rows and label all land
+        # at hash(node), so every join below is partition-local exact
+        both = pa.concat_tables([
+            pa.table({"src": tbl[a_col], "dst": tbl[b_col]}),
+            pa.table({"src": tbl[b_col], "dst": tbl[a_col]})])
+        return _split(both, "src", P)
 
-    def _agg(g: pa.Table) -> pa.Table:
-        t = g.group_by(["node"]).aggregate([("lbl", "min")])
-        return pa.table({"node": t["node"], "lbl": t["lbl_min"]})
+    @ray.remote
+    def concat(*tbls: pa.Table) -> pa.Table:
+        return pa.concat_tables(tbls)
 
-    return ds.map_batches(_part, batch_format="pyarrow") \
-             .repartition(num_partitions).groupby("__part") \
-             .map_groups(_agg, batch_format="pyarrow")
+    @ray.remote
+    def init_labels(epart: pa.Table) -> pa.Table:
+        # src covers both endpoints (edges carry both directions) and
+        # hash(src) co-locates a node's every occurrence, so the
+        # partition-local unique IS the partition's exact node set
+        src = epart["src"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        u = src.unique()
+        return pa.table({"node": u, "lbl": u})
+
+    @ray.remote
+    def msgs_task(epart: pa.Table, lpart: pa.Table, P: int):
+        j = epart.join(lpart, keys=["src"], right_keys=["node"],
+                       join_type="inner")
+        g = pa.table({"node": j["dst"], "lbl": j["lbl"]}).group_by(
+            ["node"]).aggregate([("lbl", "min")])  # per-dst partial min
+        return _split(pa.table({"node": g["node"], "lbl": g["lbl_min"]}),
+                      "node", P)
+
+    @ray.remote(num_returns=2)
+    def merge_task(lpart: pa.Table, *msg_parts: pa.Table):
+        """Per-node min over (old labels ∪ messages) + the changed
+        count. The node's OLD label rides the union as a null-elsewhere
+        column, so convergence costs no second join; every message dst
+        is also some edge's src, hence already present in ``lpart``."""
+        msgs = pa.concat_tables(msg_parts)
+        if msgs.num_rows == 0:
+            return lpart, 0
+        tagged = pa.concat_tables([
+            pa.table({"node": lpart["node"], "lbl": lpart["lbl"],
+                      "old": lpart["lbl"]}),
+            pa.table({"node": msgs["node"], "lbl": msgs["lbl"],
+                      "old": pa.nulls(msgs.num_rows, msgs["lbl"].type)})])
+        g = tagged.group_by(["node"]).aggregate([("lbl", "min"),
+                                                 ("old", "min")])
+        chg = pc.sum(pc.cast(pc.less(g["lbl_min"], g["old_min"]),
+                             pa.int64())).as_py() or 0
+        return pa.table({"node": g["node"], "lbl": g["lbl_min"]}), int(chg)
+
+    @ray.remote
+    def final_part(lpart: pa.Table) -> pa.Table:
+        return lpart.rename_columns(["node", "component"])
+
+    _CC_REMOTES = types.SimpleNamespace(
+        split_edges=split_edges, concat=concat, init_labels=init_labels,
+        msgs_task=msgs_task, merge_task=merge_task, final_part=final_part)
+    return _CC_REMOTES
 
 
 def connected_components(edges_ds, *, a_col: str = "a", b_col: str = "b",
                          max_iters: int = 50, num_partitions: int = 4):
     """Edge list -> (node, component) for every node appearing in an
-    edge, where component = min node id in its connected component.
-    Raises if ``max_iters`` rounds don't converge (diameter bound)."""
+    edge, where component = min node id in its connected component
+    (lexicographic min for string ids, numeric min for ints — Arrow's
+    ``min``). Raises if ``max_iters`` rounds don't converge (diameter
+    bound)."""
+    import ray
     import ray.data as rd
 
-    from ..arrow_utils import compact_nonempty_blocks
+    P = num_partitions
+    fns = _cc_remote_fns()
 
-    def _both(b: pa.Table) -> pa.Table:
-        return pa.concat_tables([
-            pa.table({"src": b[a_col], "dst": b[b_col]}),
-            pa.table({"src": b[b_col], "dst": b[a_col]}),
-        ])
-
-    edges = compact_nonempty_blocks(
-        edges_ds.map_batches(_both, batch_format="pyarrow").materialize())
-    if edges is None:
+    mat = edges_ds.materialize()
+    if mat.count() == 0:
         # typed empty result: mirror the INPUT id type so downstream
         # unions/joins/appends against non-empty runs stay schema-stable
         sch = edges_ds.schema()
@@ -81,80 +144,25 @@ def connected_components(edges_ds, *, a_col: str = "a", b_col: str = "b",
             "component": pa.array([], id_t),
         }))
 
-    # initial labels: every node labels itself (src covers both endpoints
-    # because edges carry both directions)
-    init = edges.map_batches(
-        lambda b: pa.table({"node": b["src"].unique()
-                            if not isinstance(b["src"], pa.ChunkedArray)
-                            else b["src"].combine_chunks().unique()}),
-        batch_format="pyarrow")
-    # compact after EVERY map_groups producer: sparse reduce partitions
-    # emit schema-less empty blocks which can poison the acero hash join
-    # below when Dataset.schema() lands on one (the documented
-    # compact_nonempty_blocks failure class) — edges alone being
-    # compacted is not enough, labels is the other join side
-    labels = compact_nonempty_blocks(_min_by_node(init.map_batches(
-        lambda b: pa.table({"node": b["node"], "lbl": b["node"]}),
-        batch_format="pyarrow"), num_partitions).materialize())
-    assert labels is not None  # edges is non-empty here, so nodes exist
-
-    from ..arrow_utils import stable_part_codes
-
-    mod = num_partitions * 64
-
-    def _part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["node"], mod)
-        return b.append_column("__part", pa.array(h))
-
-    def _min_with_changed(g: pa.Table) -> pa.Table:
-        """Per-node min over the union of the node's OLD label row
-        (``old`` = its label) and propagated messages (``old`` = null,
-        skipped by the min), plus a per-node changed bit (new < old) —
-        the convergence test riding the combine instead of costing a
-        second join per round."""
-        g = g.drop_columns(["__part"])
-        if g.num_rows == 0:
-            return pa.table({"node": pa.array([], g.schema.field(
-                                 "node").type),
-                             "lbl": pa.array([], g.schema.field(
-                                 "lbl").type),
-                             "chg": pa.array([], pa.int64())})
-        t = g.group_by(["node"]).aggregate([("lbl", "min"),
-                                            ("old", "min")])
-        new = t["lbl_min"]
-        old = t["old_min"]  # exactly one non-null old row per node
-        chg = pc.cast(pc.less(new, old), pa.int64())
-        return pa.table({"node": t["node"], "lbl": new, "chg": chg})
+    cols = [fns.split_edges.options(num_returns=P).remote(r, a_col, b_col, P)
+            for r in mat.to_arrow_refs()]
+    if P == 1:  # num_returns=1 yields the bare value, not a list
+        cols = [[c] for c in cols]
+    e_parts = [fns.concat.remote(*[c[p] for c in cols]) for p in range(P)]
+    labels = [fns.init_labels.remote(e) for e in e_parts]
 
     for _ in range(max_iters):
-        msgs = edges.join(labels, join_type="inner",
-                          num_partitions=num_partitions,
-                          on=("src",), right_on=("node",))
-        msgs = msgs.map_batches(
-            lambda b: pa.table({"node": b["dst"], "lbl": b["lbl"],
-                                "old": pa.nulls(b.num_rows,
-                                                b["lbl"].type)}),
-            batch_format="pyarrow")
-        tagged_old = labels.map_batches(
-            lambda b: pa.table({"node": b["node"], "lbl": b["lbl"],
-                                "old": b["lbl"]}),
-            batch_format="pyarrow")
-        merged = compact_nonempty_blocks(
-            (tagged_old.union(msgs)
-             .map_batches(_part, batch_format="pyarrow")
-             .repartition(num_partitions).groupby("__part")
-             .map_groups(_min_with_changed,
-                         batch_format="pyarrow")).materialize())
-        changed = merged.sum("chg")
-        labels = merged.map_batches(
-            lambda b: pa.table({"node": b["node"], "lbl": b["lbl"]}),
-            batch_format="pyarrow")
-        if not changed:
+        outs = [fns.msgs_task.options(num_returns=P).remote(
+            e_parts[p], labels[p], P) for p in range(P)]
+        if P == 1:
+            outs = [[o] for o in outs]
+        merged = [fns.merge_task.remote(
+            labels[q], *[outs[p][q] for p in range(P)]) for q in range(P)]
+        labels = [m[0] for m in merged]
+        if sum(ray.get([m[1] for m in merged])) == 0:
             break
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds")
 
-    return labels.map_batches(
-        lambda b: pa.table({"node": b["node"], "component": b["lbl"]}),
-        batch_format="pyarrow")
+    return rd.from_arrow_refs([fns.final_part.remote(l) for l in labels])
