@@ -138,3 +138,98 @@ def test_embedding_covariance_in_range_unchanged(ray_session):
         num = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
         assert row["cov_num"] == num
         assert row["cov"] == pytest.approx(num / (n * n))
+
+
+# --- round-5 review batch: exactness guards + typed-empty paths -------------
+
+def test_detect_anomalies_overflow_raises(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.windows import detect_anomalies
+
+    t = pa.table({
+        "series_id": pa.array(["s"] * 6, pa.string()),
+        "x": pa.array(list(range(6)), pa.int64()),
+        # within the comment's old (wrong) |y|<2^31 claim but far past
+        # the real (2kY)^2 bound — must raise, never wrap silently
+        "y": pa.array([0, 0, 0, 0, 0, 2_000_000_000], pa.int64()),
+    })
+    with pytest.raises(Exception, match="OverflowError|too large"):
+        detect_anomalies(rd.from_arrow(t), k=50, t=3,
+                         num_partitions=1).materialize()
+
+
+def test_mad_outliers_overflow_raises(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.quantiles import mad_outliers
+
+    t = pa.table({
+        "series_id": pa.array(["s"] * 3, pa.string()),
+        "bucket": pa.array([0, 1, 2], pa.int64()),
+        "sum_y": pa.array([0, 0, 2 ** 60], pa.int64()),
+    })
+    with pytest.raises(Exception, match="OverflowError|too large"):
+        mad_outliers(rd.from_arrow(t), num_partitions=1).materialize()
+
+
+def test_theil_sen_duplicate_bucket_raises(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.quantiles import theil_sen
+
+    t = pa.table({
+        "series_id": pa.array(["s", "s", "s"], pa.string()),
+        "bucket": pa.array([0, 0, 1], pa.int64()),  # duplicate bucket
+        "sum_y": pa.array([1, 2, 3], pa.int64()),
+    })
+    with pytest.raises(Exception, match="duplicate"):
+        theil_sen(rd.from_arrow(t), num_partitions=1).materialize()
+
+
+def test_autocorrelation_subsecond_window_epoch_buckets(ray_session):
+    """The old 32-bit composite-key mask wrapped for epoch-us buckets at
+    sub-second windows (bidx >= 2^32), silently corrupting lag matches;
+    the dynamic-span key must produce the exact pair stats."""
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.correlate import autocorrelation
+
+    w = 100_000  # 100 ms: epoch-us // w ~ 1.7e10 > 2^32
+    base = 1_770_000_000_000_000
+    buckets = [base + i * w for i in range(6)]
+    vals = [3, 1, 4, 1, 5, 9]
+    t = pa.table({
+        "series_id": pa.array(["s"] * 6, pa.string()),
+        "bucket": pa.array(buckets, pa.int64()),
+        "sum_y": pa.array(vals, pa.int64()),
+    })
+    out = autocorrelation(rd.from_arrow(t), window_us=w, lags=(1,),
+                          num_partitions=1).to_pandas()
+    assert len(out) == 1
+    x = np.array(vals[:-1], np.float64)
+    y = np.array(vals[1:], np.float64)
+    n = len(x)
+    num = n * (x * y).sum() - x.sum() * y.sum()
+    den = np.sqrt(n * (x * x).sum() - x.sum() ** 2) * np.sqrt(
+        n * (y * y).sum() - y.sum() ** 2)
+    assert out["corr"].iloc[0] == pytest.approx(num / den, abs=1e-12)
+
+
+def test_weighted_median_int_key_empty_group_schema(ray_session):
+    """Zero-row groups must emit the INPUT key type (int64), not the old
+    pa.string() fallback that schema-mismatched populated blocks."""
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.quantiles import weighted_median
+
+    t = pa.table({
+        "series_id": pa.array([7, 7, 8], pa.int64()),
+        "v": pa.array([10, 20, 30], pa.int64()),
+        "w": pa.array([1, 2, 1], pa.int64()),
+    })
+    out = weighted_median(rd.from_arrow(t), key_col="series_id",
+                          val_col="v", weight_col="w",
+                          num_partitions=4).to_pandas()
+    assert sorted(out["series_id"].tolist()) == [7, 8]
+    assert str(out["series_id"].dtype) == "int64"

@@ -12,7 +12,19 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["col_to_numpy", "table_sorted_by", "rename_agg",
-           "stable_part_codes", "compact_nonempty_blocks"]
+           "stable_part_codes", "compact_nonempty_blocks", "col_type"]
+
+
+def col_type(t: pa.Table, col: str, default=None):
+    """Type of ``t[col]`` read from the SCHEMA, so a zero-row block with
+    an int64 key keeps emitting int64 on the empty path (a
+    ``pa.string()`` fallback there makes empty-group output blocks
+    schema-mismatch the populated ones). ``default`` (pa.string() when
+    None) applies only to the schema-LESS empty blocks Ray structurally
+    emits, which carry no type information at all."""
+    if col in t.schema.names:
+        return t.schema.field(col).type
+    return pa.string() if default is None else default
 
 
 def rename_agg(g: pa.Table, mapping: dict) -> pa.Table:

@@ -36,7 +36,7 @@ def mann_whitney(ds, *, key_col: str = "series_id",
     """``side`` is int (1 = cohort A, 0 = cohort B). Output one row per
     key having BOTH sides: ``(series_id, n_a, n_b, r2_a, u2_a,
     u_over_nanb)``."""
-    from ..arrow_utils import stable_part_codes
+    from ..arrow_utils import col_type, stable_part_codes
 
     mod = num_partitions * 64
 
@@ -46,7 +46,7 @@ def mann_whitney(ds, *, key_col: str = "series_id",
             "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
 
     def _test(g: pa.Table) -> pa.Table:
-        kt = g[key_col].type if g.num_rows else pa.string()
+        kt = col_type(g, key_col)
         empty = pa.table({
             "series_id": pa.array([], kt),
             "n_a": pa.array([], pa.int64()),

@@ -117,7 +117,7 @@ def survivorship_merge(ds, *, key_col: str, ts_col: str,
 
     SQL restatement: ``row_number()`` version ranks + per-column
     ``max_by(col, rn) FILTER (WHERE col IS NOT NULL)``."""
-    from ..arrow_utils import stable_part_codes
+    from ..arrow_utils import col_type, stable_part_codes
 
     mod = num_partitions * 64
 
@@ -127,8 +127,8 @@ def survivorship_merge(ds, *, key_col: str, ts_col: str,
             "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
 
     def _merge(g: pa.Table) -> pa.Table:
-        kt = g[key_col].type if g.num_rows else pa.string()
-        sch = {c: (g[c].type if g.num_rows else pa.string())
+        kt = col_type(g, key_col)
+        sch = {c: col_type(g, c)
                for c in cols}
         if g.num_rows == 0:
             return pa.table({

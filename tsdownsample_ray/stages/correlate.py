@@ -284,7 +284,19 @@ def autocorrelation(rolled, *, lags=(1, 2, 3, 4), window_us: int,
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         bidx = (t[bucket_col].to_numpy(zero_copy_only=False)
                 .astype(np.int64) // window_us)
-        c = (codes << np.int64(32)) | (bidx & np.int64(0xFFFFFFFF))
+        # composite sort key codes*span + bidx with span sized from the
+        # partition's ACTUAL bucket range (a fixed 32-bit shift silently
+        # wraps for epoch-us buckets at sub-second windows, breaking the
+        # searchsorted precondition); rebasing to min keeps bidx small
+        # and handles pre-epoch x. Loud guard instead of silent wrap.
+        bidx -= bidx.min()
+        span = np.int64(int(bidx.max()) + max(lags) + 1)
+        if k * int(span) >= 2 ** 63:
+            raise OverflowError(
+                "autocorrelation: series x bucket-range composite key "
+                f"exceeds int64 (k={k}, span={int(span)}) — use a larger "
+                "window_us or fewer series per partition")
+        c = codes * span + bidx
         n = len(c)
         out_series, out_lag = [], []
         stats = {sc: [] for sc in _STAT_COLS}

@@ -166,10 +166,10 @@ def benford_audit(ds, *, key_col: str, val_col: str,
 
     SQL restatement: two GROUP BYs over the same substr expression."""
     from .graph import grouped_sum_parts
-    from ..arrow_utils import rename_agg
+    from ..arrow_utils import col_type, rename_agg
 
     def _digits(b: pa.Table) -> pa.Table:
-        kt = b[key_col].type if b.num_rows else pa.string()
+        kt = col_type(b, key_col)
         v = pc.cast(b[val_col], pa.int64())
         mask = pc.and_(pc.is_valid(v), pc.greater(v, 0))
         b2 = pa.table({"k": b[key_col], "v": v}).filter(mask)

@@ -122,7 +122,7 @@ def group_concat(ds, *, group_col: str, val_col: str, k: int,
 
     SQL restatement: ``row_number() OVER (PARTITION BY g ORDER BY v)``
     cap + ``string_agg(v, sep ORDER BY v)`` + a COUNT join."""
-    from ..arrow_utils import stable_part_codes
+    from ..arrow_utils import col_type, stable_part_codes
 
     mod = num_partitions * 64
 
@@ -132,7 +132,7 @@ def group_concat(ds, *, group_col: str, val_col: str, k: int,
             "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
 
     def _concat(g: pa.Table) -> pa.Table:
-        gt = g[group_col].type if g.num_rows else pa.string()
+        gt = col_type(g, group_col)
         empty = pa.table({
             "group_id": pa.array([], gt),
             "n": pa.array([], pa.int64()),

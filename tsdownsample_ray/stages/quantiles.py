@@ -141,6 +141,14 @@ def mad_outliers(rolled, *, k: int = 3, mad_scale: int = 14826,
         seg = np.flatnonzero(heads)
         n = np.diff(np.append(seg, len(codes)))
         seg_of_row = np.cumsum(heads) - 1
+        # loud exactness guard (Python-int arithmetic, no wrap): the
+        # flag compares 20000*dev (dev <= 4V) against k*mad_scale*d2
+        # (d2 <= 8V) in int64 — numpy would wrap SILENTLY past these
+        V = int(np.abs(v).max()) if len(v) else 0
+        if 80000 * V >= 2 ** 63 or k * mad_scale * 8 * V >= 2 ** 63:
+            raise OverflowError(
+                "mad_outliers: |value| too large for the exact int64 "
+                f"flag (max|v|={V}, k={k}) — rescale values")
         m2 = _twice_median_per_seg(v, seg, n)[seg_of_row]
         dev = np.abs(2 * v - m2)
         # second order statistic: sort deviations WITHIN each segment
@@ -233,6 +241,13 @@ def theil_sen(rolled, *, series_col: str = "series_id",
         cntl = nl * (nl - 1) // 2
         dv = v[j] - v[i]
         db = b_[j] - b_[i]
+        if bool((db == 0).any()):
+            # duplicate (series, bucket) tier rows: the pair slope is
+            # 0/0 or x/0 — inf/nan would SILENTLY shift the median, so
+            # assert the tier-row uniqueness contract loudly instead
+            raise ValueError(
+                "theil_sen: duplicate (series, bucket) tier rows — "
+                "dedupe/rollup upstream before the trend estimate")
         slope = dv.astype(np.float64) / db.astype(np.float64)
         seg_of_pair = np.repeat(np.arange(len(segl)), sql_)[keep]
         order = np.lexsort((db, dv, slope, seg_of_pair))
@@ -501,7 +516,7 @@ def weighted_median(ds, *, key_col: str = "series_id",
 
     SQL restatement: grouped weights + a running-sum window +
     ``min(v) FILTER (WHERE 2·cw >= tw)``."""
-    from ..arrow_utils import rename_agg, stable_part_codes
+    from ..arrow_utils import col_type, rename_agg, stable_part_codes
 
     mod = num_partitions * 64
 
@@ -511,7 +526,7 @@ def weighted_median(ds, *, key_col: str = "series_id",
             "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
 
     def _median(g: pa.Table) -> pa.Table:
-        kt = g[key_col].type if g.num_rows else pa.string()
+        kt = col_type(g, key_col)
         empty = pa.table({
             "series_id": pa.array([], kt),
             "total_w": pa.array([], pa.int64()),
@@ -578,7 +593,7 @@ def gini_dispersion(ds, *, key_col: str = "series_id",
     within int64 for n·max|x| up to ~4e18.
 
     SQL restatement: ``row_number()`` ranks + the same closed form."""
-    from ..arrow_utils import stable_part_codes
+    from ..arrow_utils import col_type, stable_part_codes
 
     mod = num_partitions * 64
 
@@ -588,7 +603,7 @@ def gini_dispersion(ds, *, key_col: str = "series_id",
             "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
 
     def _gini(g: pa.Table) -> pa.Table:
-        kt = g[key_col].type if g.num_rows else pa.string()
+        kt = col_type(g, key_col)
         empty = pa.table({
             "series_id": pa.array([], kt),
             "n": pa.array([], pa.int64()),

@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..arrow_utils import rename_agg
+from ..arrow_utils import col_type, rename_agg
 from .rollup import _arrow_combine, _combine
 
 __all__ = ["sliding_rollup", "sessionize", "rolling_stats",
@@ -336,6 +336,16 @@ def detect_anomalies(ds, k: int, t: int, *, series_col: str = "series_id",
             zero_copy_only=False).astype(np.int64)
         y = g[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(y)
+        # loud exactness guard (Python-int arithmetic, no wrap): the
+        # squared test needs (2kY)^2 and t^2*2(kY)^2 in int64, and the
+        # y*y cumsum needs n*Y^2 — numpy would wrap SILENTLY past these
+        Y = int(np.abs(y).max()) if n else 0
+        if (n * Y * Y >= 2 ** 63
+                or 2 * (k * Y) ** 2 * max(t * t, 2) >= 2 ** 63):
+            raise OverflowError(
+                "detect_anomalies: |y| too large for the exact int64 "
+                f"z-test (max|y|={Y}, k={k}, t={t}) — rescale y or "
+                "shrink k/t")
         i = np.arange(n)
         brk = np.ones(n, dtype=bool)
         brk[1:] = codes[1:] != codes[:-1]
@@ -343,7 +353,7 @@ def detect_anomalies(ds, k: int, t: int, *, series_col: str = "series_id",
         # reference window [max(i-k, ser_start), i) — current row excluded
         ref_start = np.maximum(i - k, ser_start)
         cs = np.concatenate([[0], np.cumsum(y)])
-        cq = np.concatenate([[0], np.cumsum(y * y)])  # |y|<2^31 -> exact
+        cq = np.concatenate([[0], np.cumsum(y * y)])  # guarded above
         s = cs[i] - cs[ref_start]
         q = cq[i] - cq[ref_start]
         rn = i - ref_start
@@ -401,7 +411,7 @@ def sliding_distinct(ds, *, window: int = 7, series_col: str = "series_id",
             "__part", pa.array((mix % np.uint64(mod)).astype(np.int32)))
 
     def _deltas(g: pa.Table) -> pa.Table:
-        st = g[series_col].type if g.num_rows else pa.string()
+        st = col_type(g, series_col)
         empty = pa.table({
             "series_id": pa.array([], st),
             "day": pa.array([], pa.int64()),
@@ -448,7 +458,7 @@ def sliding_distinct(ds, *, window: int = 7, series_col: str = "series_id",
             "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
 
     def _sweep(g: pa.Table) -> pa.Table:
-        st = g["series_id"].type if g.num_rows else pa.string()
+        st = col_type(g, "series_id")
         empty = pa.table({
             "series_id": pa.array([], st),
             "day": pa.array([], pa.int64()),
