@@ -233,3 +233,81 @@ def test_weighted_median_int_key_empty_group_schema(ray_session):
                           num_partitions=4).to_pandas()
     assert sorted(out["series_id"].tolist()) == [7, 8]
     assert str(out["series_id"].dtype) == "int64"
+
+
+def test_asof_join_null_key_never_matches(ray_session):
+    """SQL ASOF 'l.key = r.key' never matches NULL: a null-key left row
+    must emit null right columns even when a null-key right row exists
+    at an earlier x (group_codes groups nulls — the join must veto)."""
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.joins import asof_join
+
+    left = pa.table({
+        "series_id": pa.array([None, "a"], pa.string()),
+        "x": pa.array([10, 10], pa.int64()),
+    })
+    right = pa.table({
+        "series_id": pa.array([None, "a"], pa.string()),
+        "x": pa.array([5, 5], pa.int64()),
+        "val": pa.array([7, 9], pa.int64()),
+    })
+    out = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                    on="series_id", num_partitions=1).to_pandas()
+    nulls = out[out["series_id"].isna()]
+    assert len(nulls) == 1 and nulls["val"].isna().all()
+    a = out[out["series_id"] == "a"]
+    assert a["val"].tolist() == [9]
+
+
+def test_last_touch_null_user_counts_none(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.joins import last_touch_attribution
+
+    t = pa.table({
+        "user_id": pa.array([None, None], pa.string()),
+        "x": pa.array([1, 2], pa.int64()),
+        "event_id": pa.array([1, 2], pa.int64()),
+        "event_type": pa.array(["ad_click", "purchase"], pa.string()),
+    })
+    out = last_touch_attribution(
+        rd.from_arrow(t), on="user_id", x_col="x", id_col="event_id",
+        type_col="event_type", target="purchase",
+        num_partitions=1).to_pandas()
+    d = dict(zip(out["event_type"], out["n"]))
+    assert d.get("none") == 1 and "ad_click" not in d
+
+
+def test_kmv_distinct_ignores_null_values(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.sketches import kmv_distinct
+
+    t = pa.table({
+        "domain": pa.array(["d"] * 4, pa.string()),
+        "url": pa.array(["u1", None, "u2", None], pa.string()),
+    })
+    out = kmv_distinct(rd.from_arrow(t), key_col="domain",
+                       value_col="url").to_pandas()
+    assert len(out) == 1
+
+
+def test_streak_profile_null_series_survives(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.diffing import streak_profile
+
+    t = pa.table({
+        "series_id": pa.array([None, None, None, "s", "s"], pa.string()),
+        "x": pa.array([1, 2, 3, 1, 2], pa.int64()),
+        "y": pa.array([1, 2, 3, 5, 4], pa.int64()),
+    })
+    out = streak_profile(rd.from_arrow(t),
+                         num_partitions=1).to_pandas()
+    # null series forms its own group (SQL GROUP BY NULL semantics)
+    assert len(out) == 2
+    nul = out[out["series_id"].isna()].iloc[0]
+    assert nul["max_up_steps"] == 2
+    s = out[out["series_id"] == "s"].iloc[0]
+    assert s["max_down_steps"] == 1

@@ -12,7 +12,8 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["col_to_numpy", "table_sorted_by", "rename_agg",
-           "stable_part_codes", "compact_nonempty_blocks", "col_type"]
+           "stable_part_codes", "compact_nonempty_blocks", "col_type",
+           "make_add_part", "group_codes", "segment_positions"]
 
 
 def col_type(t: pa.Table, col: str, default=None):
@@ -109,6 +110,34 @@ def table_sorted_by(tbl: pa.Table, col: str) -> pa.Table:
 
     idx = pc.sort_indices(tbl, sort_keys=[(col, "ascending")])
     return tbl.take(idx)
+
+
+def make_add_part(col: str, mod: int):
+    """The ``__part``-stamping map fn shared by every hashpart stage:
+    int32 codes in ``[0, mod)`` from the stable key hash (dense part
+    space -> bounded reducers; ``mod = num_partitions * 64`` by
+    convention)."""
+    def _add_part(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b[col], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    return _add_part
+
+
+def group_codes(col) -> np.ndarray:
+    """Dictionary codes of a key column as int64, null rows coded -1
+    (equality-based segmentation then groups nulls as their own
+    segment). THE one way to derive group codes: a raw
+    ``dictionary_encode().indices.to_numpy().astype(int64)`` on a
+    null-bearing column is platform-dependent garbage (NaN -> INT64_MIN
+    on x86, 0 on aarch64 — see :func:`segment_positions`'s null-key
+    note), which would silently merge null rows into a real group."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    idx = col.dictionary_encode().indices
+    if idx.null_count:
+        idx = idx.fill_null(-1)
+    return idx.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
 def segment_positions(codes):

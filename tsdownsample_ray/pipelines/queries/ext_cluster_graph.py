@@ -11,6 +11,7 @@ from __future__ import annotations
 from ._shared import US, _MD5U64, _read_parquet_clean, np, pa, pc
 from .events_windows import _events_series
 from .downsample_core import _events_cents
+from ...arrow_utils import group_codes, make_add_part
 
 def q_dtw_pairs_1d(sf_dir: str):
     """Dynamic-time-warping distance between every pair of series over
@@ -68,10 +69,7 @@ def q_dtw_pairs_1d(sf_dir: str):
 
     mod = 4 * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["pair"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("pair", mod)
 
     def _dtw(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -367,10 +365,7 @@ def q_interval_union_events(sf_dir: str):
     ev = _events_series(sf_dir, cols=("event_id", "event_type", "ts"))
     mod = 2 * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["event_type"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("event_type", mod)
 
     def _islands(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -386,8 +381,7 @@ def q_interval_union_events(sf_dir: str):
         sid = t["event_type"]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         ts = t["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
         heads = np.ones(len(codes), dtype=bool)
         heads[1:] = codes[1:] != codes[:-1]
@@ -487,10 +481,7 @@ def q_experiment_readout_users(sf_dir: str):
 
     mod = 4 * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["user_id"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("user_id", mod)
 
     def _arm_partial(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -945,10 +936,7 @@ def q_churn_features_users(sf_dir: str):
 
     mod = 4 * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["user_id"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("user_id", mod)
 
     def _features(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -965,8 +953,7 @@ def q_churn_features_users(sf_dir: str):
         uid = t["user_id"]
         if isinstance(uid, pa.ChunkedArray):
             uid = uid.combine_chunks()
-        codes = uid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(uid)
         ts = t["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
         purch = t["purch"].to_numpy(zero_copy_only=False)
         pcents = t["pcents"].to_numpy(zero_copy_only=False)
@@ -1216,10 +1203,7 @@ def q_quantile_normalize_1d(sf_dir: str):
               .select_columns(["series_id", "bucket", "sum_y"]))
     mod = 2 * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["series_id"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("series_id", mod)
 
     def _rank(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -1235,8 +1219,7 @@ def q_quantile_normalize_1d(sf_dir: str):
         sid = t["series_id"]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         heads = np.ones(len(codes), dtype=bool)
         heads[1:] = codes[1:] != codes[:-1]
         starts = np.flatnonzero(heads)

@@ -11,6 +11,7 @@ from __future__ import annotations
 from ._shared import US, _read_parquet_clean, np, pa, pc
 from .events_windows import _events_series
 from .downsample_core import _events_cents
+from ...arrow_utils import group_codes, make_add_part
 
 def q_clamped_balance_events(sf_dir: str):
     """Inventory / queue-depth simulation: the floor-at-zero running
@@ -38,10 +39,7 @@ def q_clamped_balance_events(sf_dir: str):
     ds = ev.map_batches(_signed, batch_format="pyarrow")
     mod = 2 * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["series_id"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("series_id", mod)
 
     def _balance(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -60,8 +58,7 @@ def q_clamped_balance_events(sf_dir: str):
         sid = t["series_id"]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         d = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(d)
         change = np.ones(n, dtype=bool)
@@ -158,10 +155,7 @@ def q_token_bucket_events(sf_dir: str):
     ds = ev.map_batches(_signed, batch_format="pyarrow")
     mod = 2 * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["series_id"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("series_id", mod)
 
     def _bucket(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -180,8 +174,7 @@ def q_token_bucket_events(sf_dir: str):
         sid = t["series_id"]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         d = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(d)
         # segmented Hillis-Steele scan over the clamp-affine monoid:
@@ -631,10 +624,7 @@ def q_backtest_naive_1h(sf_dir: str):
     rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"), H)
     mod = 2 * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["series_id"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("series_id", mod)
 
     def _score(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -650,8 +640,7 @@ def q_backtest_naive_1h(sf_dir: str):
         sid = t["series_id"]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         bkt = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
         y = t["sum_y"].to_numpy(zero_copy_only=False).astype(np.int64)
         heads = np.ones(len(codes), dtype=bool)
@@ -718,10 +707,7 @@ def q_rate_limit_users(sf_dir: str):
     ev = _events_series(sf_dir, cols=("event_id", "user_id", "ts"))
     mod = 4 * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["user_id"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("user_id", mod)
 
     def _audit(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -737,8 +723,7 @@ def q_rate_limit_users(sf_dir: str):
         uid = t["user_id"]
         if isinstance(uid, pa.ChunkedArray):
             uid = uid.combine_chunks()
-        codes = uid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(uid)
         ts = t["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
         tmin = int(ts.min())
         span = int(ts.max()) - tmin + W + 2
@@ -846,10 +831,7 @@ def q_isotonic_fit_1h(sf_dir: str):
     rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"), H)
     mod = 2 * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["series_id"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("series_id", mod)
 
     def _pava(y: np.ndarray):
         """Stack PAVA -> per-row (pool_sum, pool_cnt)."""
@@ -881,8 +863,7 @@ def q_isotonic_fit_1h(sf_dir: str):
         sid = t["series_id"]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         bkt = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
         y = t["sum_y"].to_numpy(zero_copy_only=False).astype(np.int64)
         heads = np.ones(len(codes), dtype=bool)
@@ -1216,8 +1197,7 @@ def q_expectations_events(sf_dir: str):
         uid = t["user_id"]
         if isinstance(uid, pa.ChunkedArray):
             uid = uid.combine_chunks()
-        codes = uid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(uid)
         eid = t["event_id"].to_numpy(zero_copy_only=False).astype(
             np.int64)
         same = np.zeros(len(eid), dtype=bool)

@@ -22,6 +22,7 @@ from ._shared import (
 from .downsample_core import _events_cents
 from .graph_link import _graph_targets
 from .ext_stats_embed import q_sax_events
+from ...arrow_utils import group_codes, make_add_part
 
 def q_lttb_fidelity_events(sf_dir: str):
     """Downsample QUALITY audit — the fidelity report a charting /
@@ -427,8 +428,7 @@ def q_top_movers_events(sf_dir: str):
         sid = t["series_id"]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         y = t["sum_y"].to_numpy(zero_copy_only=False).astype(np.int64)
         bk = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
         same = codes[1:] == codes[:-1] if len(codes) > 1 else \
@@ -1418,10 +1418,7 @@ def q_ohlc_15m(sf_dir: str):
     ds = ev.map_batches(_series, batch_format="pyarrow")
     mod = 2 * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["series_id"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("series_id", mod)
 
     def _candles(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -1444,8 +1441,7 @@ def q_ohlc_15m(sf_dir: str):
         sid = t["series_id"]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         bk = t["bucket"].to_numpy(zero_copy_only=False)
         y = t["y"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(y)
@@ -1511,10 +1507,7 @@ def q_ltv_curve_users(sf_dir: str):
     pur = ds.map_batches(_pur, batch_format="pyarrow")
     mod = 2 * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["user_id"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("user_id", mod)
 
     def _offsets(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])

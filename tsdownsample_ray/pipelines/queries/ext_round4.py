@@ -11,6 +11,7 @@ from __future__ import annotations
 from ._shared import W15M, W1D, W1H, _rd, _read_parquet_clean, np, pa, pc
 from .downsample_core import _events_cents
 from .graph_link import _graph_targets
+from ...arrow_utils import group_codes, make_add_part
 
 def q_multimodal_gif_decode(sf_dir: str):
     """REAL GIF decode through the actor-pool stage: 8px-wide grayscale
@@ -313,10 +314,7 @@ def q_backtest_snaive_1h(sf_dir: str):
 
     mod = 2 * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["series_id"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("series_id", mod)
 
     def _mase(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -335,8 +333,7 @@ def q_backtest_snaive_1h(sf_dir: str):
         sid = t["series_id"]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         y = t["sum_y"].to_numpy(zero_copy_only=False).astype(np.int64)
         out = {k: [] for k in ("i", "nf", "se", "nn", "sn")}
         heads = np.ones(len(codes), dtype=bool)
@@ -690,10 +687,7 @@ def q_vocab_overlap_sources(sf_dir: str):
 
     mod = 4 * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["token"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("token", mod)
 
     def _pairs(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -707,8 +701,7 @@ def q_vocab_overlap_sources(sf_dir: str):
         tok = t["token"]
         if isinstance(tok, pa.ChunkedArray):
             tok = tok.combine_chunks()
-        codes = tok.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(tok)
         src = t["source"]
         if isinstance(src, pa.ChunkedArray):
             src = src.combine_chunks()

@@ -12,6 +12,7 @@ from ._shared import US, _langid_ctes, _read_parquet_clean, np, pa, pc
 from .events_windows import _events_series
 from .downsample_core import _events_cents
 from .graph_link import _graph_targets
+from ...arrow_utils import group_codes, make_add_part
 
 def q_pmi_pairs_docs(sf_dir: str):
     """Collocation mining: the top-30 token pairs by pointwise mutual
@@ -593,10 +594,7 @@ def q_decision_stump_users(sf_dir: str):
 
     mod = 4 * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["user_id"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("user_id", mod)
 
     def _hist(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -607,8 +605,7 @@ def q_decision_stump_users(sf_dir: str):
         uid = t["user_id"]
         if isinstance(uid, pa.ChunkedArray):
             uid = uid.combine_chunks()
-        codes = uid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(uid)
         ts = t["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(codes, kind="stable")
         codes, ts = codes[order], ts[order]
@@ -732,10 +729,7 @@ def q_mann_kendall_15m(sf_dir: str):
                     900 * US)
     mod = 2 * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["series_id"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("series_id", mod)
 
     def _mk(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -750,8 +744,7 @@ def q_mann_kendall_15m(sf_dir: str):
         sid = t["series_id"]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         y = t["sum_y"].to_numpy(zero_copy_only=False).astype(np.int64)
         heads = np.ones(len(codes), dtype=bool)
         heads[1:] = codes[1:] != codes[:-1]
@@ -867,10 +860,7 @@ def q_page_hinkley_15m(sf_dir: str):
                     900 * US)
     mod = 2 * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["series_id"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("series_id", mod)
 
     def _ph(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -885,8 +875,7 @@ def q_page_hinkley_15m(sf_dir: str):
         sid = t["series_id"]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         y = t["sum_y"].to_numpy(zero_copy_only=False).astype(np.int64)
         bkt = t["bucket"].to_numpy(zero_copy_only=False).astype(
             np.int64)
@@ -1014,8 +1003,7 @@ def q_covisit_users(sf_dir: str):
         ct = key["ct"]
         if isinstance(ct, pa.ChunkedArray):
             ct = ct.combine_chunks()
-        ccode = ct.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        ccode = group_codes(ct)
         cb = key["cb"].to_numpy(zero_copy_only=False).astype(np.int64)
         u = key["u"].to_numpy(zero_copy_only=False).astype(np.int64)
         cell = ccode * np.int64(2 ** 32) + cb % np.int64(2 ** 32)
@@ -1088,10 +1076,7 @@ def q_boxplot_15m(sf_dir: str):
                     900 * US)
     mod = 2 * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["series_id"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("series_id", mod)
 
     def _box(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -1108,8 +1093,7 @@ def q_boxplot_15m(sf_dir: str):
         sid = t["series_id"]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         y = t["sum_y"].to_numpy(zero_copy_only=False).astype(np.int64)
         heads = np.ones(len(codes), dtype=bool)
         heads[1:] = codes[1:] != codes[:-1]
@@ -1210,10 +1194,7 @@ def q_median_of_means_15m(sf_dir: str):
                     900 * US)
     mod = 2 * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["series_id"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("series_id", mod)
 
     def _mom(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -1228,8 +1209,7 @@ def q_median_of_means_15m(sf_dir: str):
         sid = t["series_id"]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         y = t["sum_y"].to_numpy(zero_copy_only=False).astype(np.int64)
         heads = np.ones(len(codes), dtype=bool)
         heads[1:] = codes[1:] != codes[:-1]
@@ -1339,10 +1319,7 @@ def q_discord_1h(sf_dir: str):
     rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"), H)
     mod = 2 * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["series_id"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("series_id", mod)
 
     def _discord(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -1357,8 +1334,7 @@ def q_discord_1h(sf_dir: str):
         sid = t["series_id"]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         y = t["sum_y"].to_numpy(zero_copy_only=False).astype(np.int64)
         bkt = t["bucket"].to_numpy(zero_copy_only=False).astype(
             np.int64)
@@ -1464,10 +1440,7 @@ def q_motif_1h(sf_dir: str):
     rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"), H)
     mod = 2 * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["series_id"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("series_id", mod)
 
     def _motif(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -1482,8 +1455,7 @@ def q_motif_1h(sf_dir: str):
         sid = t["series_id"]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         y = t["sum_y"].to_numpy(zero_copy_only=False).astype(np.int64)
         bkt = t["bucket"].to_numpy(zero_copy_only=False).astype(
             np.int64)
@@ -1625,10 +1597,7 @@ def q_label_propagation_docs(sf_dir: str):
                          "one": pa.array(np.ones(len(node),
                                                  dtype=np.int64))})
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["node"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("node", mod)
 
     def _majority(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -1722,10 +1691,7 @@ def q_burstiness_events(sf_dir: str):
 
     mod = 2 * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["series_id"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("series_id", mod)
 
     def _fano(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -1739,8 +1705,7 @@ def q_burstiness_events(sf_dir: str):
         sid = s["series_id"]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         c = s["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(codes, kind="stable")
         codes, c = codes[order], c[order]
@@ -1809,10 +1774,7 @@ def q_sweepline_audit_events(sf_dir: str):
     ev = _events_series(sf_dir, cols=("event_id", "event_type", "ts"))
     mod = 2 * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["event_type"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("event_type", mod)
 
     def _islands(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -1824,8 +1786,7 @@ def q_sweepline_audit_events(sf_dir: str):
         sid = t["event_type"]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         ts = t["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
         heads = np.ones(len(codes), dtype=bool)
         heads[1:] = codes[1:] != codes[:-1]

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from ..arrow_utils import make_add_part
 import pyarrow.compute as pc
 
 __all__ = ["mann_whitney", "chi2_contingency"]
@@ -40,10 +42,7 @@ def mann_whitney(ds, *, key_col: str = "series_id",
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[key_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(key_col, mod)
 
     def _test(g: pa.Table) -> pa.Table:
         kt = col_type(g, key_col)

@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from ..arrow_utils import group_codes, make_add_part
 
 __all__ = ["association_rules"]
 
@@ -44,10 +45,7 @@ def association_rules(ds, items: list[str], *,
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[user_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(user_col, mod)
 
     def _masks(g: pa.Table) -> pa.Table:
         empty = pa.table({"mask": pa.array([], pa.int64()),
@@ -57,8 +55,7 @@ def association_rules(ds, items: list[str], *,
         uid = g[user_col]
         if isinstance(uid, pa.ChunkedArray):
             uid = uid.combine_chunks()
-        ucodes = uid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        ucodes = group_codes(uid)
         tidx = pc.fill_null(pc.index_in(g[item_col], value_set=iarr),
                             -1).to_numpy(zero_copy_only=False).astype(
             np.int64)

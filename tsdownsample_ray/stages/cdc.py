@@ -29,6 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from ..arrow_utils import group_codes, make_add_part
 
 __all__ = ["upsert_latest", "survivorship_merge"]
 
@@ -49,8 +50,7 @@ def _survivors(t: pa.Table, key_cols: list, order_cols: list) -> pa.Table:
         col = t[c]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        codes = col.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(col)
         heads[1:] |= codes[1:] != codes[:-1]
     return t.take(pa.array(np.flatnonzero(heads)))
 
@@ -121,10 +121,7 @@ def survivorship_merge(ds, *, key_col: str, ts_col: str,
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[key_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(key_col, mod)
 
     def _merge(g: pa.Table) -> pa.Table:
         kt = col_type(g, key_col)

@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..arrow_utils import group_codes, make_add_part
 from ..functions.gorilla import (
     decode_timestamps,
     decode_values,
@@ -170,10 +171,7 @@ def compact_chunks(chunks_ds, value_cols: dict[str, str] | None = None,
     comp = ChunkCompressor(value_cols, series_col=series_col, x_col=x_col,
                            chunk_size=chunk_size)
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     def _compact(g: pa.Table) -> pa.Table:
         # empty groups flow through the codec pair as typed empties
@@ -208,10 +206,7 @@ def deadband_filter(ds, *, delta: int, series_col: str = "series_id",
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     def _emit_mask(y: np.ndarray) -> np.ndarray:
         n = len(y)
@@ -242,8 +237,7 @@ def deadband_filter(ds, *, delta: int, series_col: str = "series_id",
         sid = t[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
         heads = np.ones(len(codes), dtype=bool)

@@ -26,11 +26,23 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from ..arrow_utils import group_codes, make_add_part
 
 __all__ = ["pairwise_correlation", "lagged_correlation", "autocorrelation",
            "ols_slope", "kendall_pairs"]
 
 _STAT_COLS = ["n", "sum_x", "sum_y", "sum_xy", "sum_xx", "sum_yy"]
+
+
+def _sum_combine(b: pa.Table) -> pa.Table:
+    """Partial-collapse of the pair sufficient statistics (shared by the
+    pairwise and lagged correlators): group (s1, s2), sum every stat."""
+    from ..arrow_utils import rename_agg
+
+    g = b.group_by(["s1", "s2"]).aggregate(
+        [(c, "sum") for c in _STAT_COLS])
+    return rename_agg(g, {"s1": "s1", "s2": "s2",
+                          **{f"{c}_sum": c for c in _STAT_COLS}})
 
 
 def _corr_from_stats(t: pa.Table) -> pa.Table:
@@ -62,16 +74,7 @@ def pairwise_correlation(rolled, *, series_col: str = "series_id",
 
     mod = num_partitions * 64
 
-    def _sum_combine(b: pa.Table) -> pa.Table:
-        g = b.group_by(["s1", "s2"]).aggregate(
-            [(c, "sum") for c in _STAT_COLS])
-        return rename_agg(g, {"s1": "s1", "s2": "s2",
-                              **{f"{c}_sum": c for c in _STAT_COLS}})
-
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[bucket_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(bucket_col, mod)
 
     def _pair_partials(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -86,8 +89,7 @@ def pairwise_correlation(rolled, *, series_col: str = "series_id",
             (bucket_col, "ascending"), (series_col, "ascending")]))
         bkt = t[bucket_col].combine_chunks() if isinstance(
             t[bucket_col], pa.ChunkedArray) else t[bucket_col]
-        codes = bkt.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(bkt)
         i, j = _segmented_pairs(np.arange(len(codes)), codes, None)
         if len(i) == 0:
             return empty
@@ -143,12 +145,6 @@ def lagged_correlation(rolled, *, lag: int,
 
     mod = num_partitions * 64
     shift = lag * bucket_step
-
-    def _sum_combine(b: pa.Table) -> pa.Table:
-        g = b.group_by(["s1", "s2"]).aggregate(
-            [(c, "sum") for c in _STAT_COLS])
-        return rename_agg(g, {"s1": "s1", "s2": "s2",
-                              **{f"{c}_sum": c for c in _STAT_COLS}})
 
     def _tag(side: int):
         def _t(b: pa.Table) -> pa.Table:
@@ -259,10 +255,7 @@ def autocorrelation(rolled, *, lags=(1, 2, 3, 4), window_us: int,
         raise ValueError(f"lags must be positive, got {lags}")
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     def _acf(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -373,6 +366,8 @@ def ols_slope(ds, window_us: int, *, series_col: str = "series_id",
             })
         x = pc.cast(b[x_col], pa.int64()).to_numpy(zero_copy_only=False)
         y = pc.cast(b[y_col], pa.int64()).to_numpy(zero_copy_only=False)
+        # rollup.bucketize's floor-bucket convention, on numpy because t
+        # needs the array anyway (x >= 0 here: trunc == floor)
         bucket = (x // window_us) * window_us
         t = (x - bucket) // us
         part = pa.table({
@@ -448,10 +443,7 @@ def kendall_pairs(rolled, *, series_col: str = "series_id",
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[bucket_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(bucket_col, mod)
 
     def _pair_rows(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -467,8 +459,7 @@ def kendall_pairs(rolled, *, series_col: str = "series_id",
             (bucket_col, "ascending"), (series_col, "ascending")]))
         bkt = t[bucket_col].combine_chunks() if isinstance(
             t[bucket_col], pa.ChunkedArray) else t[bucket_col]
-        codes = bkt.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(bkt)
         i, j = _segmented_pairs(np.arange(len(codes)), codes, None)
         if len(i) == 0:
             return empty

@@ -32,6 +32,7 @@ import math
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from ..arrow_utils import group_codes, make_add_part
 
 __all__ = ["cap_per_group", "mixture_order"]
 
@@ -45,10 +46,7 @@ def cap_per_group(ds, *, group_col: str, k: int, order_col: str,
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[group_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(group_col, mod)
 
     sort_keys = [(group_col, "ascending"),
                  (order_col, "descending" if descending else "ascending"),
@@ -62,8 +60,7 @@ def cap_per_group(ds, *, group_col: str, k: int, order_col: str,
         grp = t[group_col]
         if isinstance(grp, pa.ChunkedArray):
             grp = grp.combine_chunks()
-        codes = grp.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(grp)
         from ..arrow_utils import segment_positions
 
         _seg, _sor, pos = segment_positions(codes)
@@ -91,10 +88,7 @@ def mixture_order(ds, weights: dict, *, group_col: str = "source",
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[group_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(group_col, mod)
 
     def _rank(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -112,8 +106,7 @@ def mixture_order(ds, weights: dict, *, group_col: str = "source",
         grp = t[group_col]
         if isinstance(grp, pa.ChunkedArray):
             grp = grp.combine_chunks()
-        codes = grp.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(grp)
         from ..arrow_utils import segment_positions
 
         seg, seg_of_row, rk = segment_positions(codes)

@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from ..arrow_utils import group_codes, make_add_part
 
 __all__ = ["classical_decompose"]
 
@@ -46,10 +47,7 @@ def classical_decompose(dense, *, window_us: int, period: int = 24,
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     def _decompose(g: pa.Table) -> pa.Table:
         sid_type = g[series_col].type
@@ -72,8 +70,7 @@ def classical_decompose(dense, *, window_us: int, period: int = 24,
         sid = t[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         buckets = t[bucket_col].to_numpy(zero_copy_only=False).astype(
             np.int64)
         y = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -25,6 +25,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from ..arrow_utils import group_codes, make_add_part
 
 __all__ = [
     "content_hash_batch", "exact_dedup", "keep_first_by_key",
@@ -153,10 +154,7 @@ def _firsts_by_key(ds, *, key_col: str, order_cols: list,
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[key_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(key_col, mod)
 
     def _heads(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -166,8 +164,7 @@ def _firsts_by_key(ds, *, key_col: str, order_cols: list,
         key = t[key_col]
         if isinstance(key, pa.ChunkedArray):
             key = key.combine_chunks()
-        codes = key.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(key)
         first = np.ones(len(codes), dtype=bool)
         first[1:] = codes[1:] != codes[:-1]
         return finish(t, first)
@@ -1147,10 +1144,7 @@ def dedup_against(new_ds, base_ds, *, text_col: str = "text",
             return t
         return _f
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["k"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("k", mod)
 
     def _member(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])

@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from ..arrow_utils import group_codes, make_add_part
 
 __all__ = ["snapshot_diff", "state_changes", "streak_profile"]
 
@@ -64,8 +65,7 @@ def snapshot_diff(old_ds, new_ds, *, key_col: str = "url",
         key = t[key_col]
         if isinstance(key, pa.ChunkedArray):
             key = key.combine_chunks()
-        codes = key.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(key)
         side = t["__side"].to_numpy(zero_copy_only=False).astype(np.int64)
         heads = np.ones(len(codes), dtype=bool)
         heads[1:] = codes[1:] != codes[:-1]
@@ -114,14 +114,10 @@ def state_changes(ds, *, series_col: str = "series_id",
     ``run_len`` — how many consecutive input rows the kept row stands
     for (so ``sum(run_len) == n input rows`` is the lossless audit).
     SQL: ``lag() OVER`` inequality filter + lead-position arithmetic."""
-    from ..arrow_utils import stable_part_codes
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     def _compress(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -138,8 +134,7 @@ def state_changes(ds, *, series_col: str = "series_id",
         sid = t[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(v)
         keep = np.ones(n, dtype=bool)
@@ -177,14 +172,10 @@ def streak_profile(ds, *, series_col: str = "series_id",
 
     SQL restatement: ``lag()`` step signs + islands (window-summed
     breaks) + ``max(len) FILTER (WHERE dir = …)``."""
-    from ..arrow_utils import stable_part_codes
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     sort_keys = [(series_col, "ascending"), (x_col, "ascending")]
     if id_col is not None:
@@ -205,8 +196,10 @@ def streak_profile(ds, *, series_col: str = "series_id",
         sid = t[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        enc = sid.dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # group_codes (nulls -> one -1 group, the SQL GROUP BY NULL
+        # semantic); labels come from a representative ROW per group
+        # below, never dictionary.take (-1 is not a dictionary slot)
+        codes = group_codes(sid)
         y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(y)
         if n < 2:
@@ -214,6 +207,7 @@ def streak_profile(ds, *, series_col: str = "series_id",
         same = codes[1:] == codes[:-1]  # step exists within a series
         dir_ = np.sign(y[1:] - y[:-1]).astype(np.int64)
         step_sid = codes[1:][same]
+        step_row = np.arange(1, n)[same]  # later row of each step
         step_dir = dir_[same]
         if len(step_sid) == 0:
             return empty
@@ -224,18 +218,20 @@ def streak_profile(ds, *, series_col: str = "series_id",
         lens = np.bincount(run_id)
         heads = np.flatnonzero(brk)
         run_sid = step_sid[heads]
+        run_row = step_row[heads]
         run_dir = step_dir[heads]
         runs = pa.table({
             "sid": pa.array(run_sid),
+            "row": pa.array(run_row),
             "up": pa.array(np.where(run_dir == 1, lens, 0)),
             "down": pa.array(np.where(run_dir == -1, lens, 0)),
             "flat": pa.array(np.where(run_dir == 0, lens, 0)),
             "one": pa.array(np.ones(len(run_sid), dtype=np.int64)),
         }).group_by(["sid"]).aggregate(
             [("up", "max"), ("down", "max"), ("flat", "max"),
-             ("one", "sum")])
+             ("one", "sum"), ("row", "min")])
         return pa.table({
-            "series_id": enc.dictionary.take(runs["sid"]),
+            "series_id": sid.take(pc.cast(runs["row_min"], pa.int64())),
             "max_up_steps": pc.cast(runs["up_max"], pa.int64()),
             "max_down_steps": pc.cast(runs["down_max"], pa.int64()),
             "max_flat_steps": pc.cast(runs["flat_max"], pa.int64()),

@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from ..arrow_utils import group_codes, make_add_part
 
 __all__ = ["funnel", "cohort_retention", "event_transitions"]
 
@@ -35,10 +36,7 @@ WEEK_US = 7 * 24 * 3600 * 1_000_000
 def _user_parted(ds, user_col, mod):
     from ..arrow_utils import stable_part_codes
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[user_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(user_col, mod)
 
     return ds.map_batches(_add_part, batch_format="pyarrow")
 
@@ -64,8 +62,7 @@ def funnel(ds, steps, *, user_col: str = "user_id", type_col: str = "t",
         uid = t[user_col]
         if isinstance(uid, pa.ChunkedArray):
             uid = uid.combine_chunks()
-        codes = uid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(uid)
         x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         ev = t[type_col]
         if isinstance(ev, pa.ChunkedArray):
@@ -114,8 +111,7 @@ def cohort_retention(ds, *, user_col: str = "user_id", x_col: str = "x",
         uid = t[user_col]
         if isinstance(uid, pa.ChunkedArray):
             uid = uid.combine_chunks()
-        codes = uid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(uid)
         x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         wk = x // week_us
         heads = np.ones(len(codes), dtype=bool)
@@ -171,8 +167,7 @@ def event_transitions(ds, *, user_col: str = "user_id",
         uid = t[user_col]
         if isinstance(uid, pa.ChunkedArray):
             uid = uid.combine_chunks()
-        codes = uid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(uid)
         same = np.zeros(len(codes), dtype=bool)
         same[1:] = codes[1:] == codes[:-1]
         idx = np.flatnonzero(same)

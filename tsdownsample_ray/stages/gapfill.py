@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from ..arrow_utils import group_codes, make_add_part
 
 __all__ = ["gapfill", "gapfill_linear"]
 
@@ -37,10 +38,7 @@ def gapfill(ds, window_us: int, *, value_cols: tuple = ("min_y", "max_y", "sum_y
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["series_id"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("series_id", mod)
 
     def _fill(g: pa.Table) -> pa.Table:
         sid_type = g["series_id"].type
@@ -57,8 +55,7 @@ def gapfill(ds, window_us: int, *, value_cols: tuple = ("min_y", "max_y", "sum_y
         sid = t["series_id"]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         buckets = t["bucket"].to_numpy(zero_copy_only=False)
         n = len(codes)
         change = np.ones(n, dtype=bool)
@@ -138,10 +135,7 @@ def gapfill_linear(ds, window_us: int, *, value_col: str = "sum_y",
     mod = num_partitions * 64
     E6 = 1_000_000
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["series_id"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("series_id", mod)
 
     def _fill(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -157,8 +151,7 @@ def gapfill_linear(ds, window_us: int, *, value_col: str = "sum_y",
         sid = t["series_id"]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         buckets = t["bucket"].to_numpy(zero_copy_only=False).astype(
             np.int64)
         y = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -31,6 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .rollup import bucketize
+from ..arrow_utils import group_codes
 
 __all__ = ["histogram_rollup", "histogram_quantiles"]
 
@@ -121,8 +122,7 @@ def histogram_quantiles(hist_ds, *, bins: int, lo: float, hi: float,
         t = b.take(idx)
         sid = t["series_id"].combine_chunks() if isinstance(
             t["series_id"], pa.ChunkedArray) else t["series_id"]
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         bkt = t["bucket"].to_numpy(zero_copy_only=False)
         cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
         binv = t["bin"].to_numpy(zero_copy_only=False).astype(np.int64)

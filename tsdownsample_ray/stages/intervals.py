@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from ..arrow_utils import make_add_part
 import pyarrow.compute as pc
 
 __all__ = ["interval_union"]
@@ -42,10 +44,7 @@ def interval_union(ds, *, series_col: str = "series_id",
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     def _sweep(g: pa.Table) -> pa.Table:
         sid_type = g[series_col].type

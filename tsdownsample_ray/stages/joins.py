@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from ..arrow_utils import group_codes, make_add_part
 
 __all__ = ["asof_join", "interval_count_join", "anti_join",
            "last_touch_attribution"]
@@ -78,14 +79,9 @@ def asof_join(left_ds, right_ds, *, on: str = "series_id",
     tagged = left_ds.map_batches(_tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(_tag_right, batch_format="pyarrow"))
 
-    from ..arrow_utils import stable_part_codes
-
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[on], None)
-        part = (h % np.uint64(mod)).astype(np.int32)
-        return b.append_column("__part", pa.array(part, pa.int32()))
+    _add_part = make_add_part(on, mod)
 
     def _merge(g: pa.Table) -> pa.Table:
         # one sort per partition group: (key, x, side) — right rows (side
@@ -107,8 +103,7 @@ def asof_join(left_ds, right_ds, *, on: str = "series_id",
         key = g[on]
         if isinstance(key, pa.ChunkedArray):
             key = key.combine_chunks()
-        codes_arr = key.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes_arr = group_codes(key)
         change = np.ones(n, dtype=bool)
         change[1:] = codes_arr[1:] != codes_arr[:-1]
         seg_start = np.maximum.accumulate(
@@ -117,6 +112,10 @@ def asof_join(left_ds, right_ds, *, on: str = "series_id",
         pos_right = np.where(~is_left, np.arange(n), -1)
         cand = np.maximum.accumulate(pos_right)
         valid = (cand >= seg_start) & is_left
+        # group_codes groups null keys as one -1 segment, but SQL ASOF
+        # 'l.key = r.key' NEVER matches NULL — null-key left rows emit
+        # null right columns (anti_join documents the same rule)
+        valid &= codes_arr != -1
         li = np.flatnonzero(is_left)
         match = cand[li]
         ok = valid[li]
@@ -163,7 +162,6 @@ def interval_count_join(points_ds, intervals_ds, *, cell_us: int,
     SQL restatement: ``LEFT JOIN ON p.x BETWEEN i.start AND i.end`` +
     ``GROUP BY interval``. Reference has no counterpart (kernel library);
     mandated by the build brief's custom-operator list ("range join")."""
-    from ..arrow_utils import stable_part_codes
 
     mod = num_partitions * 64
     cw = int(cell_us)
@@ -214,10 +212,7 @@ def interval_count_join(points_ds, intervals_ds, *, cell_us: int,
     tagged = points_ds.map_batches(_points, batch_format="pyarrow").union(
         intervals_ds.map_batches(_intervals, batch_format="pyarrow"))
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["__cell"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part("__cell", mod)
 
     def _empty_partial() -> pa.Table:
         return pa.table({
@@ -273,10 +268,7 @@ def interval_count_join(points_ds, intervals_ds, *, cell_us: int,
         num_partitions).groupby("__part").map_groups(
         _match, batch_format="pyarrow")
 
-    def _add_part2(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b["__ivl"], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part2 = make_add_part("__ivl", mod)
 
     def _merge(g: pa.Table) -> pa.Table:
         out_empty = pa.table({
@@ -322,7 +314,6 @@ def anti_join(left_ds, right_ds, *, on: str, num_partitions: int = 16):
     key are kept only if the right side has no null key (SQL NOT EXISTS
     on an equality predicate never matches nulls — so null-keyed left
     rows are ALWAYS kept, and we match that)."""
-    from ..arrow_utils import stable_part_codes
 
     mod = num_partitions * 64
     lsch = left_ds.schema()
@@ -351,10 +342,7 @@ def anti_join(left_ds, right_ds, *, on: str, num_partitions: int = 16):
     tagged = left_ds.map_batches(_tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(_tag_right, batch_format="pyarrow"))
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[on], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(on, mod)
 
     def _filter(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__part"])
@@ -399,15 +387,11 @@ def last_touch_attribution(events_ds, *, on: str = "user_id",
     ``np.maximum.accumulate`` finds each target's latest predecessor,
     and the partition collapses to per-type partial counts (bounded by
     the type vocabulary) before a tiny grouped sum."""
-    from ..arrow_utils import stable_part_codes
     from .graph import grouped_sum_parts
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[on], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(on, mod)
 
     def _attrib(g: pa.Table) -> pa.Table:
         empty = pa.table({"event_type": pa.array([], pa.string()),
@@ -429,8 +413,7 @@ def last_touch_attribution(events_ds, *, on: str = "user_id",
         uid = t[on]
         if isinstance(uid, pa.ChunkedArray):
             uid = uid.combine_chunks()
-        codes = uid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(uid)
         x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         is_tgt = t["__side"].to_numpy(zero_copy_only=False).astype(bool)
         n = len(x)
@@ -443,6 +426,10 @@ def last_touch_attribution(events_ds, *, on: str = "user_id",
         tgt_idx = np.flatnonzero(is_tgt)
         src = lastsrc[tgt_idx]
         ok = (src >= seg_first[seg_of[tgt_idx]]) & (src >= 0)
+        # group_codes groups null users as one -1 segment, but the SQL
+        # equality semantic never matches NULL — null-user targets
+        # count under 'none'
+        ok &= codes[tgt_idx] != -1
         ok &= np.where(ok, x[tgt_idx] - x[np.maximum(src, 0)]
                        <= window_us, False)
         types = t[type_col]

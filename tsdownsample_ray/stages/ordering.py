@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from ..arrow_utils import make_add_part
 import pyarrow.compute as pc
 
 __all__ = ["training_order", "group_concat"]
@@ -126,10 +128,7 @@ def group_concat(ds, *, group_col: str, val_col: str, k: int,
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[group_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(group_col, mod)
 
     def _concat(g: pa.Table) -> pa.Table:
         gt = col_type(g, group_col)

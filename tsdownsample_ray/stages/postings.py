@@ -26,6 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..arrow_utils import rename_agg, stable_part_codes
+from ..arrow_utils import group_codes
 
 __all__ = ["build_postings"]
 
@@ -78,8 +79,7 @@ def build_postings(ds, *, text_col: str = "text", id_col: str = "doc_id",
         tok = m["token"]
         if isinstance(tok, pa.ChunkedArray):
             tok = tok.combine_chunks()
-        codes = tok.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(tok)
         heads = np.ones(len(codes), dtype=bool)
         heads[1:] = codes[1:] != codes[:-1]
         seg = np.flatnonzero(heads)

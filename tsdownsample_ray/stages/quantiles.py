@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from ..arrow_utils import group_codes, make_add_part
 
 __all__ = ["exact_quantiles", "mad_outliers", "theil_sen",
            "percentile_rank", "top_share", "winsorize", "rank2avg",
@@ -38,10 +39,7 @@ def exact_quantiles(rolled, probs=(50, 90, 99), *,
     mod = num_partitions * 64
     probs = tuple(int(p) for p in probs)
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     def _q(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -57,8 +55,7 @@ def exact_quantiles(rolled, probs=(50, 90, 99), *,
         sid = t[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         heads = np.ones(len(codes), dtype=bool)
         heads[1:] = codes[1:] != codes[:-1]
@@ -105,10 +102,7 @@ def mad_outliers(rolled, *, k: int = 3, mad_scale: int = 14826,
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     def _twice_median_per_seg(v_sorted, seg, n):
         lo = seg + (n - 1) // 2
@@ -132,8 +126,7 @@ def mad_outliers(rolled, *, k: int = 3, mad_scale: int = 14826,
         sid = t[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         bkt = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
         heads = np.ones(len(codes), dtype=bool)
@@ -191,10 +184,7 @@ def theil_sen(rolled, *, series_col: str = "series_id",
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     def _slopes(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -209,8 +199,7 @@ def theil_sen(rolled, *, series_col: str = "series_id",
         sid = t[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         b_ = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         heads = np.ones(len(codes), dtype=bool)
@@ -281,10 +270,7 @@ def percentile_rank(rolled, *, series_col: str = "series_id",
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     def _rank(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -301,8 +287,7 @@ def percentile_rank(rolled, *, series_col: str = "series_id",
         sid = t[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         bkt = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
         heads = np.ones(len(codes), dtype=bool)
@@ -341,10 +326,7 @@ def top_share(ds, *, group_col: str, weight_col: str, k: int = 10,
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[group_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(group_col, mod)
 
     sort_keys = [(group_col, "ascending"), (weight_col, "descending")]
     if tiebreak_col is not None:
@@ -362,8 +344,7 @@ def top_share(ds, *, group_col: str, weight_col: str, k: int = 10,
         grp = t[group_col]
         if isinstance(grp, pa.ChunkedArray):
             grp = grp.combine_chunks()
-        codes = grp.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(grp)
         w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
         heads = np.ones(len(codes), dtype=bool)
         heads[1:] = codes[1:] != codes[:-1]
@@ -396,10 +377,7 @@ def winsorize(rolled, *, lo: int = 5, hi: int = 95,
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     def _clamp(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -416,8 +394,7 @@ def winsorize(rolled, *, lo: int = 5, hi: int = 95,
         sid = t[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         bkt = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
         heads = np.ones(len(codes), dtype=bool)
@@ -453,10 +430,7 @@ def rank2avg(rolled, *, series_col: str = "series_id",
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     def _rank(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -471,8 +445,7 @@ def rank2avg(rolled, *, series_col: str = "series_id",
         sid = t[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         bkt = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
         m = len(v)
@@ -520,10 +493,7 @@ def weighted_median(ds, *, key_col: str = "series_id",
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[key_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(key_col, mod)
 
     def _median(g: pa.Table) -> pa.Table:
         kt = col_type(g, key_col)
@@ -597,10 +567,7 @@ def gini_dispersion(ds, *, key_col: str = "series_id",
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[key_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(key_col, mod)
 
     def _gini(g: pa.Table) -> pa.Table:
         kt = col_type(g, key_col)

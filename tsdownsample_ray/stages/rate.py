@@ -24,6 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .rollup import bucketize
+from ..arrow_utils import group_codes, make_add_part
 
 __all__ = ["counter_rate", "threshold_crossings", "series_diffs",
            "cusum", "gap_profile", "hysteresis_alerts",
@@ -42,10 +43,7 @@ def counter_rate(ds, window_us: int, *, series_col: str = "series_id",
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     sort_keys = [(series_col, "ascending"), (x_col, "ascending")]
     if tiebreak_col is not None:
@@ -66,8 +64,7 @@ def counter_rate(ds, window_us: int, *, series_col: str = "series_id",
         sid = t[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
         x = t[x_col]
         if isinstance(x, pa.ChunkedArray):
@@ -122,10 +119,7 @@ def threshold_crossings(ds, threshold: int, *, series_col: str = "series_id",
     mod = num_partitions * 64
     T = int(threshold)
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     sort_keys = [(series_col, "ascending"), (x_col, "ascending")]
     if tiebreak_col is not None:
@@ -144,8 +138,7 @@ def threshold_crossings(ds, threshold: int, *, series_col: str = "series_id",
         sid = t[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
         same = codes[1:] == codes[:-1] if len(codes) > 1 else np.empty(0, bool)
@@ -176,10 +169,7 @@ def series_diffs(ds, *, series_col: str = "series_id", x_col: str = "x",
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     sort_keys = [(series_col, "ascending"), (x_col, "ascending")]
     if tiebreak_col is not None:
@@ -197,8 +187,7 @@ def series_diffs(ds, *, series_col: str = "series_id", x_col: str = "x",
         sid = t[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         same = codes[1:] == codes[:-1] if len(codes) > 1 else np.empty(0, bool)
         idx = np.flatnonzero(same) + 1
@@ -279,8 +268,7 @@ def cusum(ds, *, target: int, slack: int, h: int,
         sid = t[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
         heads = np.ones(len(codes), dtype=bool)
@@ -321,10 +309,7 @@ def gap_profile(ds, *, over_us: int, series_col: str = "series_id",
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     sort_keys = [(series_col, "ascending"), (x_col, "ascending")]
     if id_col is not None:
@@ -348,8 +333,7 @@ def gap_profile(ds, *, over_us: int, series_col: str = "series_id",
         sid = t[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(x)
         heads = np.ones(n, dtype=bool)
@@ -417,10 +401,7 @@ def hysteresis_alerts(ds, hi: int, lo: int, *,
     mod = num_partitions * 64
     HI, LO = int(hi), int(lo)
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     sort_keys = [(series_col, "ascending"), (x_col, "ascending")]
     if tiebreak_col is not None:
@@ -439,8 +420,7 @@ def hysteresis_alerts(ds, hi: int, lo: int, *,
         sid = t[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(y)
@@ -489,10 +469,7 @@ def amoc_changepoint(rolled, *, series_col: str = "series_id",
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     def _amoc(g: pa.Table) -> pa.Table:
         sid_type = g[series_col].type
@@ -510,8 +487,7 @@ def amoc_changepoint(rolled, *, series_col: str = "series_id",
         sid = t[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         y = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(y)
         change = np.ones(n, dtype=bool)

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from ..arrow_utils import make_add_part
 import pyarrow.compute as pc
 
 __all__ = ["resample_linear"]
@@ -50,10 +52,7 @@ def resample_linear(ds, step_us: int, *, series_col: str = "series_id",
     mod = num_partitions * 64
     step = int(step_us)
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     def _resample(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])

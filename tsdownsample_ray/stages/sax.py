@@ -33,6 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from ..arrow_utils import group_codes, make_add_part
 
 __all__ = ["sax_symbols", "ordinal_patterns"]
 
@@ -51,10 +52,7 @@ def sax_symbols(ds, window_us: int, *, alphabet: int = 4,
     mod = num_partitions * 64
     a = int(alphabet)
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     def _sax(g: pa.Table) -> pa.Table:
         sid_type = g[series_col].type
@@ -148,10 +146,7 @@ def ordinal_patterns(rolled, *, series_col: str = "series_id",
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     def _patterns(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -166,8 +161,7 @@ def ordinal_patterns(rolled, *, series_col: str = "series_id",
         sid = t[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         v0, v1, v2 = v[:-2], v[1:-1], v[2:]
         same = (codes[:-2] == codes[2:])  # run fully inside one series

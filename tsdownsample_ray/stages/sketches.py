@@ -17,6 +17,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+from ..arrow_utils import group_codes
 
 __all__ = ["hll_sketch_batch", "hll_merge", "hll_estimate",
            "distinct_approx", "cms_token_counts", "kmv_distinct",
@@ -254,8 +255,7 @@ def kmv_distinct(ds, *, key_col: str, value_col: str, k: int = 64,
 
     def _topk_per_key(keys_arr: pa.Array, hashes: np.ndarray) -> pa.Table:
         """(key, hash) rows -> per-key k smallest distinct hashes."""
-        codes = keys_arr.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(keys_arr)
         order = np.lexsort((hashes, codes))
         c, h = codes[order], hashes[order]
         # distinct within key
@@ -279,6 +279,9 @@ def kmv_distinct(ds, *, key_col: str, value_col: str, k: int = 64,
 
     def _partial(b: pa.Table) -> pa.Table:
         kv = b.select([key_col, value_col])
+        # SQL count(DISTINCT v) ignores NULLs — and a null dictionary
+        # index would NaN-poison the uniq_h fancy-index below anyway
+        kv = kv.filter(pc.is_valid(kv[value_col]))
         v = kv[value_col]
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
@@ -309,8 +312,7 @@ def kmv_distinct(ds, *, key_col: str, value_col: str, k: int = 64,
         mk = mt[key_col]
         if isinstance(mk, pa.ChunkedArray):
             mk = mk.combine_chunks()
-        codes = mk.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(mk)
         h2 = (mt["__h"].to_numpy(zero_copy_only=False).astype(np.int64)
               .astype(np.uint64) + np.uint64(1 << 63))
         heads = np.ones(len(codes), dtype=bool)
@@ -389,8 +391,7 @@ def log2hist_quantiles(ds, *, key_col: str, value_col: str,
         keys_arr = agg[key_col]
         if isinstance(keys_arr, pa.ChunkedArray):
             keys_arr = keys_arr.combine_chunks()
-        codes = keys_arr.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(keys_arr)
         bkt = agg["__b"].to_numpy(zero_copy_only=False).astype(np.int64)
         c = agg["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
         heads = np.ones(len(codes), dtype=bool)

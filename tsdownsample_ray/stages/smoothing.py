@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from ..arrow_utils import group_codes, make_add_part
 
 __all__ = ["ewma_fixed_point", "kalman_local_level",
            "holt_winters_fixed_point"]
@@ -36,10 +37,7 @@ def ewma_fixed_point(ds, k: int = 3, *, series_col: str = "series_id",
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     def _ewma(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -54,8 +52,7 @@ def ewma_fixed_point(ds, k: int = 3, *, series_col: str = "series_id",
         sid = t[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
         head = np.ones(len(y), dtype=bool)
         head[1:] = codes[1:] != codes[:-1]
@@ -102,10 +99,7 @@ def holt_fixed_point(ds, ka: int = 3, kb: int = 4, *,
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     def _holt(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -122,8 +116,7 @@ def holt_fixed_point(ds, ka: int = 3, kb: int = 4, *,
         sid = t[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
         head = np.ones(len(y), dtype=bool)
         head[1:] = codes[1:] != codes[:-1]
@@ -184,10 +177,7 @@ def kalman_local_level(ds, *, q_e6: int = 1_000_000,
     mod = num_partitions * 64
     E6 = 1_000_000
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     def _kalman(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -203,8 +193,7 @@ def kalman_local_level(ds, *, q_e6: int = 1_000_000,
         sid = t[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
         head = np.ones(len(y), dtype=bool)
         head[1:] = codes[1:] != codes[:-1]
@@ -264,10 +253,7 @@ def holt_winters_fixed_point(ds, ka: int = 3, kb: int = 4, kc: int = 3,
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     def _hw(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -285,8 +271,7 @@ def holt_winters_fixed_point(ds, ka: int = 3, kb: int = 4, kc: int = 3,
         sid = t[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
         x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         slot = ((x // window_us) % m).astype(np.int64)

@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from ..arrow_utils import group_codes
 
 __all__ = ["explode_spans_batch", "span_dedup"]
 
@@ -105,8 +106,7 @@ def span_dedup(ds, *, span_w: int = 10, id_col: str = "doc_id",
                                                  ("span_idx", "ascending")]))
         ids = t[id_col].combine_chunks() if isinstance(
             t[id_col], pa.ChunkedArray) else t[id_col]
-        codes = ids.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(ids)
         heads = np.ones(len(codes), dtype=bool)
         heads[1:] = codes[1:] != codes[:-1]
         seg = np.flatnonzero(heads)

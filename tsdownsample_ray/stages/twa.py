@@ -26,7 +26,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..arrow_utils import rename_agg
+from ..arrow_utils import rename_agg, make_add_part
+from ..arrow_utils import group_codes
 
 __all__ = ["time_weighted_avg"]
 
@@ -50,10 +51,7 @@ def time_weighted_avg(ds, window_us: int, *, series_col: str = "series_id",
     W = int(window_us)
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     def _partials(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -71,8 +69,7 @@ def time_weighted_avg(ds, window_us: int, *, series_col: str = "series_id",
         sid = t[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
         # consecutive-row spans within a series, positive duration only

@@ -23,8 +23,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..arrow_utils import col_type, rename_agg
+from ..arrow_utils import col_type, rename_agg, make_add_part
 from .rollup import _arrow_combine, _combine
+from ..arrow_utils import group_codes
 
 __all__ = ["sliding_rollup", "sessionize", "rolling_stats",
            "rolling_median", "detect_anomalies", "session_paths"]
@@ -49,6 +50,8 @@ def sliding_rollup(ds, window_us: int, slide_us: int, *,
     def _replicate(b: pa.Table) -> pa.Table:
         # 1) per-slide-bucket partial aggregate (the raw-row collapse)
         x = b[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # rollup.bucketize's floor-bucket convention, on numpy because
+        # step 2 needs the array anyway (x >= 0 here: trunc == floor)
         base = x // slide_us * slide_us
         t = pa.table({"series_id": b[series_col], "bucket": pa.array(base),
                       "y": b[y_col]})
@@ -89,10 +92,7 @@ def sessionize(ds, gap_us: int, *, series_col: str = "series_id",
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     def _sessions(g: pa.Table) -> pa.Table:
         sid_type = g[series_col].type
@@ -109,8 +109,7 @@ def sessionize(ds, gap_us: int, *, series_col: str = "series_id",
         sid = g[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         x = g[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         brk = np.ones(len(x), dtype=np.int64)
         brk[1:] = ((codes[1:] != codes[:-1])
@@ -158,10 +157,7 @@ def rolling_stats(ds, k: int, *, series_col: str = "series_id",
         raise ValueError(f"k must be >= 1, got {k}")
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     out_schema_tail = [("roll_min", pa.int64()), ("roll_max", pa.int64()),
                        ("roll_sum", pa.int64()), ("roll_n", pa.int64()),
@@ -179,8 +175,7 @@ def rolling_stats(ds, k: int, *, series_col: str = "series_id",
         sid = g[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         y = g[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(y)
         i = np.arange(n)
@@ -240,10 +235,7 @@ def rolling_median(rolled, k: int, *, series_col: str = "series_id",
         raise ValueError(f"k must be >= 1, got {k}")
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     def _med(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -259,8 +251,7 @@ def rolling_median(rolled, k: int, *, series_col: str = "series_id",
         sid = t[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         bkt = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(v)
@@ -312,10 +303,7 @@ def detect_anomalies(ds, k: int, t: int, *, series_col: str = "series_id",
         raise ValueError(f"k must be >= 1, got {k}")
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     tail = [("ref_n", pa.int64()), ("ref_sum", pa.int64()),
             ("ref_sumsq", pa.int64()), ("is_anomaly", pa.bool_())]
@@ -332,8 +320,7 @@ def detect_anomalies(ds, k: int, t: int, *, series_col: str = "series_id",
         sid = g[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         y = g[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(y)
         # loud exactness guard (Python-int arithmetic, no wrap): the
@@ -537,10 +524,7 @@ def session_paths(ds, gap_us: int, k: int, *, series_col: str = "series_id",
 
     mod = num_partitions * 64
 
-    def _add_part(b: pa.Table) -> pa.Table:
-        h = stable_part_codes(b[series_col], None)
-        return b.append_column(
-            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+    _add_part = make_add_part(series_col, mod)
 
     sort_keys = [(series_col, "ascending"), (x_col, "ascending")]
     if id_col is not None:
@@ -556,8 +540,7 @@ def session_paths(ds, gap_us: int, k: int, *, series_col: str = "series_id",
         sid = t[series_col]
         if isinstance(sid, pa.ChunkedArray):
             sid = sid.combine_chunks()
-        codes = sid.dictionary_encode().indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        codes = group_codes(sid)
         x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(codes)
         brk = np.ones(n, dtype=bool)
