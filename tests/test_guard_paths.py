@@ -311,3 +311,46 @@ def test_streak_profile_null_series_survives(ray_session):
     assert nul["max_up_steps"] == 2
     s = out[out["series_id"] == "s"].iloc[0]
     assert s["max_down_steps"] == 1
+
+
+def test_resize_image_grayscale_channel_inference():
+    """ResizeImage must infer c=1 for grayscale tensors (1-component
+    JPEGs decode to h*w buffers); a hard-coded 3-channel reshape would
+    crash."""
+    from tsdownsample_ray.stages.multimodal import ResizeImage
+
+    h, w = 6, 4
+    gray = list(range(h * w))
+    batch = pa.table({
+        "pixels": pa.array([gray], pa.list_(pa.uint8())),
+        "height": pa.array([h], pa.int32()),
+        "width": pa.array([w], pa.int32()),
+    })
+    out = ResizeImage(out_h=3, out_w=2)(batch)
+    px = out["pixels"].to_pylist()[0]
+    assert len(px) == 3 * 2  # c = 1 preserved
+    img = np.asarray(gray, np.uint8).reshape(h, w, 1)
+    yi = np.arange(3) * h // 3
+    xi = np.arange(2) * w // 2
+    assert px == img[yi][:, xi].reshape(-1).tolist()
+
+
+def test_bigseries_minmax_nan_return_keeps_duplicate_pair(ray_session):
+    """nan_policy_return=True on kernel='minmax' must keep the pinned
+    duplicate (x, NaN) pair exactly like kernel='nanminmax' (the dedup
+    keys on the effective policy, not the kernel name)."""
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.bigseries import downsample_big_series
+
+    n = 4000
+    x = np.arange(n, dtype=np.int64)
+    y = np.sin(x / 40.0).astype(np.float64)
+    y[1234] = np.nan
+    t = pa.table({"x": pa.array(x), "y": pa.array(y)})
+    ds = rd.from_arrow(t).repartition(4)
+    up = downsample_big_series(ds, 8, kernel="minmax",
+                               nan_policy_return=True).to_pandas()
+    ref = downsample_big_series(ds, 8, kernel="nanminmax").to_pandas()
+    assert up["x"].tolist() == ref["x"].tolist()
+    assert np.array_equal(np.isnan(up["y"]), np.isnan(ref["y"]))

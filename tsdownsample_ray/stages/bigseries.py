@@ -268,6 +268,20 @@ def _merge_partials(partials_ds, *, family: str, nan_return: bool):
     def _merge_group(g: pa.Table) -> pa.Table:
         rows = {k: pc.cast(g[k], pa.float64()).to_numpy(
             zero_copy_only=False) for k in _PARTIAL_FIELDS}
+        # the x candidates round-trip through float64 here (NaN is the
+        # missing-sentinel, so int64 storage can't carry them) — past
+        # 2^53 that round-trip is lossy and the int(...) recovery below
+        # would silently corrupt x; raise and ask for a rebase instead
+        for k in ("xminy", "xmaxy", "nanx", "f1x", "f2x", "f3x", "f4x",
+                  "lx"):
+            a = rows[k]
+            fin = a[np.isfinite(a)]
+            if len(fin) and np.abs(fin).max() >= 2.0 ** 53:
+                raise OverflowError(
+                    "bigseries merge: |x| >= 2^53 is not exactly "
+                    "representable in the float64 partial columns — "
+                    "rebase x by a constant first (see the module "
+                    "docstring's float exactness note)")
         pts = _merge_bin(rows, family=family, nan_return=nan_return)
         return pa.table({
             "bin": pa.array([int(rows["bin"][0])] * len(pts), pa.int64()),
@@ -346,7 +360,11 @@ def downsample_big_series(ds, n_out: int, *, kernel: str = "minmaxlttb",
             interior=None, full_range=True),
         batch_format="pyarrow")
     xs, ys = _merge_partials(partials, family=family, nan_return=nan_ret)
-    if kernel == "minmax":  # the public kernel np.unique()s its indices
+    # the public minmax kernel np.unique()s its indices, but its
+    # NaN-RETURNING variant retains the pinned duplicate pair — key the
+    # dedup on the effective policy, not the kernel NAME, or
+    # nan_policy_return=True on "minmax" would drop a mandated row
+    if family == "minmax" and not nan_ret:
         keep = np.concatenate(([True], np.diff(xs) != 0))
         xs, ys = xs[keep], ys[keep]
     return pa.table({x_col: pa.array(xs, pa.int64()),

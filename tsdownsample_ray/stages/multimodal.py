@@ -286,7 +286,15 @@ class ResizeImage:
         out = []
         for h, w, p in zip(hs, ws, pix):
             h, w = h or 8, w or 8
-            img = np.asarray(p, dtype=np.uint8).reshape(h, w, 3)
+            # infer the channel count: DecodeImage emits flat h*w*c
+            # buffers and grayscale JPEGs decode to c=1 — a hard-coded
+            # 3 would crash the reshape on them
+            c = len(p) // (h * w) if h * w else 0
+            if c == 0 or h * w * c != len(p):
+                raise ValueError(
+                    f"ResizeImage: pixel buffer of {len(p)} values is "
+                    f"not a whole number of {h}x{w} planes")
+            img = np.asarray(p, dtype=np.uint8).reshape(h, w, c)
             yi = (np.arange(self.out_h) * h // self.out_h)
             xi = (np.arange(self.out_w) * w // self.out_w)
             out.append(img[yi][:, xi].reshape(-1).tolist())

@@ -56,7 +56,7 @@ def _explode_query_terms(b: pa.Table, terms: pa.Array,
     return row_idx[keep], t[keep].astype(np.int64)
 
 
-def query_term_df(ds, terms: list[str], *, id_col: str = "doc_id",
+def query_term_df(ds, terms: list[str], *,
                   text_col: str = "text") -> np.ndarray:
     """Document frequency of each query term: block-local distinct
     (row, term) membership partials summed into one |terms|-sized vector.
@@ -68,8 +68,7 @@ def query_term_df(ds, terms: list[str], *, id_col: str = "doc_id",
     def _part(b: pa.Table) -> pa.Table:
         r, t = _explode_query_terms(b, tarr, text_col)
         # distinct (row, term) -> membership counts
-        seen = np.zeros((b.num_rows, nt), dtype=bool) if b.num_rows else \
-            np.zeros((0, nt), dtype=bool)
+        seen = np.zeros((b.num_rows, nt), dtype=bool)
         seen[r, t] = True
         return pa.table({
             "tid": pa.array(np.arange(nt, dtype=np.int64)),

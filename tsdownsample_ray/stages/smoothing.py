@@ -23,7 +23,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ..arrow_utils import group_codes, make_add_part
 
-__all__ = ["ewma_fixed_point", "kalman_local_level",
+__all__ = ["ewma_fixed_point", "holt_fixed_point",
+           "kalman_local_level",
            "holt_winters_fixed_point"]
 
 
@@ -33,8 +34,6 @@ def ewma_fixed_point(ds, k: int = 3, *, series_col: str = "series_id",
     """Returns ``(series_id, bucket, y, ema)``; ``y``/``ema`` int64.
     The arithmetic shift ``>> k`` IS floor division by ``2**k`` for
     signed ints (matches the SQL oracle's ``floor(d / 2^k)``)."""
-    from ..arrow_utils import stable_part_codes
-
     mod = num_partitions * 64
 
     _add_part = make_add_part(series_col, mod)
@@ -56,13 +55,12 @@ def ewma_fixed_point(ds, k: int = 3, *, series_col: str = "series_id",
         y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
         head = np.ones(len(y), dtype=bool)
         head[1:] = codes[1:] != codes[:-1]
-        ema = np.empty(len(y), dtype=np.int64)
         state = 0
         # inherently order-recursive (see module docstring); rows here are
         # tier rows, not raw events
         yl = y.tolist()
         hl = head.tolist()
-        el = ema.tolist()
+        el = [0] * len(yl)
         for i in range(len(yl)):
             v = yl[i]
             state = v if hl[i] else state + ((v - state) >> k)
@@ -95,8 +93,6 @@ def holt_fixed_point(ds, ka: int = 3, kb: int = 4, *,
     Output ``(series_id, bucket, y, level, trend, forecast)`` with
     ``forecast`` the pre-update one-step-ahead prediction (f_i; equals
     y_0 at the head row by convention)."""
-    from ..arrow_utils import stable_part_codes
-
     mod = num_partitions * 64
 
     _add_part = make_add_part(series_col, mod)
@@ -172,8 +168,6 @@ def kalman_local_level(ds, *, q_e6: int = 1_000_000,
     ``(series_id, bucket, y, x_e6, k_e6)``; same one-shuffle sequential
     per-series contract as :func:`ewma_fixed_point` (tier rows only).
     """
-    from ..arrow_utils import stable_part_codes
-
     mod = num_partitions * 64
     E6 = 1_000_000
 
@@ -249,8 +243,6 @@ def holt_winters_fixed_point(ds, ka: int = 3, kb: int = 4, kc: int = 3,
     ``(series_id, bucket, y, level, trend, seasonal, forecast)`` with
     ``seasonal`` the slot value AFTER the row's update (0 on the head
     row)."""
-    from ..arrow_utils import stable_part_codes
-
     mod = num_partitions * 64
 
     _add_part = make_add_part(series_col, mod)
