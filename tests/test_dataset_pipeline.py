@@ -198,3 +198,53 @@ def test_entry_smoke(ray_session):
     df = res.to_pandas()
     assert len(df) > 0
     assert "series_id" in df.columns
+
+
+def test_resume_rejects_stale_parameters(ray_session, tmp_path):
+    """A complete tier built under different parameters (snapshots) must
+    be REBUILT on resume, not silently reused (lineage-checked resume —
+    the sharded.py discipline applied at tier level)."""
+    from tsdownsample_ray.pipelines.retention import run_retention_pipeline
+    from tsdownsample_ray.state import checkpoint as ckpt
+
+    out = str(tmp_path / "stale")
+    tiers = (("15m", 900_000_000),)
+    run_retention_pipeline(SF, out, tiers=tiers, snapshots=2,
+                           compress=False, downsample=False)
+    s = run_retention_pipeline(SF, out, tiers=tiers, snapshots=3,
+                               resume=True, compress=False,
+                               downsample=False)
+    assert s["resumed"] == []
+    assert "15m" in s["rebuilt"]
+    # and the rebuilt tier reflects the NEW parameter
+    import ray.data as rd
+
+    from tsdownsample_ray.sources.corpus import read_pages
+    from tsdownsample_ray.stages.rollup import rollup
+    from tsdownsample_ray.stages.series import derive_series
+
+    got = rd.read_parquet(ckpt.tier_dir(out, "tier", "15m")).count()
+    want = rollup(
+        derive_series(read_pages(SF, snapshots=3,
+                                 columns=["url", "warc_ts", "text"])),
+        900_000_000).count()
+    assert got == want
+
+
+def test_is_complete_detects_missing_partition(ray_session, tmp_path):
+    """A manifest that survives while a part file is lost must fail
+    is_complete — resuming the directory would silently truncate."""
+    import os
+
+    from tsdownsample_ray.pipelines.retention import run_retention_pipeline
+    from tsdownsample_ray.state import checkpoint as ckpt
+
+    out = str(tmp_path / "lost")
+    run_retention_pipeline(SF, out, tiers=(("15m", 900_000_000),),
+                           snapshots=2, compress=False, downsample=False)
+    d = ckpt.tier_dir(out, "tier", "15m")
+    assert ckpt.is_complete(d)
+    victim = next(f for f in sorted(os.listdir(d))
+                  if f.endswith(".parquet"))
+    os.remove(os.path.join(d, victim))
+    assert not ckpt.is_complete(d)

@@ -64,6 +64,12 @@ def run_retention_pipeline(
             raise ValueError(
                 f"tier ladder misaligned: {n2} window {w2} is not a "
                 f"multiple of {n1} window {w1}")
+    # validate up front, next to the ladder check: discovering a missing
+    # now_us only AFTER tier 0's full build (hours at 100 TB) wastes the
+    # whole read->extract->rollup
+    if (horizons and any(v is not None for v in horizons.values())
+            and now_us is None):
+        raise ValueError("now_us required when horizons are set")
     pool = ThreadPoolExecutor(max_workers=4)
     sink_jobs = []
 
@@ -87,16 +93,39 @@ def _run_tiers(tiers, sf_dir, out_dir, summary, pool, sink_jobs, rd, *,
                snapshots, hot_domain_factor, n_out, kernel, salt, resume,
                compress, downsample, gap_fill, extract, horizons, now_us,
                series_ds):
+    summary.setdefault("rebuilt", [])
     prev_ds = None
     for i, (name, window) in enumerate(tiers):
         d = ckpt.tier_dir(out_dir, "tier", name)
-        tier_resumed = resume and ckpt.is_complete(d)
-        if tier_resumed:
-            summary["resumed"].append(name)
-            summary["tiers"][name] = ckpt.read_manifest(d)
-            from ..sources import read_parquet_clean
+        # lineage-checked resume (the sharded.py discipline): a complete
+        # manifest is trusted only when every parameter that shapes the
+        # tier's ROWS matches this run — and, via the parent manifest's
+        # write stamp, only when it was cascaded from the SAME parent
+        # data (a tier-0 rebuild invalidates every coarser tier even if
+        # their own parameters match: no mixed-provenance output)
+        parent = summary["tiers"].get(tiers[i - 1][0]) if i else None
+        want = {"input": "corpus" if i == 0 else f"tier={tiers[i-1][0]}",
+                "window_us": window, "sf_dir": sf_dir,
+                "snapshots": snapshots,
+                "hot_domain_factor": hot_domain_factor,
+                "extract": extract, "gap_fill": gap_fill,
+                "horizon": (horizons or {}).get(name),
+                "input_written_at": (parent or {}).get("written_at")}
+        tier_resumed = False
+        if resume and ckpt.is_complete(d):
+            m = ckpt.read_manifest(d)
+            have = m.get("lineage", {})
+            if all(have.get(k) == v for k, v in want.items()):
+                tier_resumed = True
+                summary["resumed"].append(name)
+                summary["tiers"][name] = m
+                from ..sources import read_parquet_clean
 
-            prev_ds = read_parquet_clean(d)
+                prev_ds = read_parquet_clean(d)
+            else:
+                # stale parameters or a rebuilt parent: rebuilding is the
+                # only output-preserving choice
+                summary["rebuilt"].append(name)
 
         t0 = time.time()
         if tier_resumed:
@@ -175,13 +204,13 @@ def _run_tiers(tiers, sf_dir, out_dir, summary, pool, sink_jobs, rd, *,
             # files remain the durable checkpoint for resume.
             tier.write_parquet(d)
             # write_manifest derives rows from the parquet footers and
-            # records rows/wall_seconds/rows_per_sec + per-file lineage
+            # records rows/wall_seconds/rows_per_sec + the SAME lineage
+            # dict the resume path compares (`want`), so every recorded
+            # key is checked and every checked key is recorded
             summary["tiers"][name] = ckpt.write_manifest(
-                d, rows=-1, seconds=time.time() - t0,
-                lineage={"input": "corpus" if i == 0
-                         else f"tier={tiers[i-1][0]}",
-                         "window_us": window, "sf_dir": sf_dir,
-                         "snapshots": snapshots},
+                d, seconds=time.time() - t0,
+                lineage={**want,
+                         "series_override": series_ds is not None},
             )
             sink_src = tier       # sinks reflect the STORED (trimmed) rows
             prev_ds = full        # the cascade sees pre-trim history
@@ -195,9 +224,23 @@ def _run_tiers(tiers, sf_dir, out_dir, summary, pool, sink_jobs, rd, *,
         # and write to independent directories -> run them on driver threads
         # so their (small) executions overlap each other and the next tier's
         # cascade instead of serializing the tail
-        def _do_compress(tier_ds=sink_src, tname=name):
+        tier_written = summary["tiers"][name].get("written_at")
+
+        def _sink_fresh(sd: str, want_sink: dict) -> bool:
+            # same lineage discipline as the tiers: a complete sink is
+            # reused only when its parameters AND its source tier's
+            # write stamp match (a rebuilt tier invalidates its sinks)
+            if not (resume and ckpt.is_complete(sd)):
+                return False
+            have = ckpt.read_manifest(sd).get("lineage", {})
+            return all(have.get(k) == v for k, v in want_sink.items())
+
+        def _do_compress(tier_ds=sink_src, tname=name,
+                         tier_written=tier_written):
             cd = ckpt.tier_dir(out_dir, "chunks", tname)
-            if resume and ckpt.is_complete(cd):
+            want_sink = {"input": f"tier={tname}",
+                         "input_written_at": tier_written}
+            if _sink_fresh(cd, want_sink):
                 return
             t1 = time.time()
             ckpt.reset_dir(cd)
@@ -206,12 +249,15 @@ def _run_tiers(tiers, sf_dir, out_dir, summary, pool, sink_jobs, rd, *,
             # canonical per-series chunks: layout independent of block
             # structure -> idempotent chunk store across reruns
             compress_chunks_per_series(tier_ds, value_cols).write_parquet(cd)
-            ckpt.write_manifest(cd, rows=-1, seconds=time.time() - t1,
-                                lineage={"input": f"tier={tname}"})
+            ckpt.write_manifest(cd, seconds=time.time() - t1,
+                                lineage=want_sink)
 
-        def _do_downsample(tier_ds=sink_src, tname=name):
+        def _do_downsample(tier_ds=sink_src, tname=name,
+                           tier_written=tier_written):
             vd = ckpt.tier_dir(out_dir, "downsample", tname)
-            if resume and ckpt.is_complete(vd):
+            want_sink = {"input": f"tier={tname}", "kernel": kernel,
+                         "n_out": n_out, "input_written_at": tier_written}
+            if _sink_fresh(vd, want_sink):
                 return
             t1 = time.time()
             ckpt.reset_dir(vd)
@@ -227,9 +273,8 @@ def _run_tiers(tiers, sf_dir, out_dir, summary, pool, sink_jobs, rd, *,
                 finalize_mean(real), kernel=kernel, n_out=n_out,
                 x_col="bucket", y_col="mean_y")
             viz.write_parquet(vd)
-            ckpt.write_manifest(vd, rows=-1, seconds=time.time() - t1,
-                                lineage={"input": f"tier={tname}",
-                                         "kernel": kernel, "n_out": n_out})
+            ckpt.write_manifest(vd, seconds=time.time() - t1,
+                                lineage=want_sink)
 
         if compress:
             sink_jobs.append(pool.submit(_do_compress))

@@ -12,13 +12,14 @@ Shard outputs are partials (one row per (series,bucket) per shard), so the
 final combine is exact regardless of how work was split.
 
 Resume safety (round-5 review): a shard manifest is only trusted when its
-recorded lineage (doc range, window, snapshots, corpus doc count) matches
-the CURRENT run's parameters — resuming yesterday's shards=4 layout under
-shards=2 used to silently drop a quarter of the corpus. Mismatched shards
-are rebuilt (reported under ``summary["rebuilt"]``). The final combine
-additionally asserts that the per-shard doc counts cover the corpus
-exactly once, so a non-dense doc_id space fails loudly instead of
-vanishing from every shard.
+recorded lineage (corpus path, doc range, window, snapshots, corpus doc
+count) matches the CURRENT run's parameters — resuming yesterday's
+shards=4 layout under shards=2 used to silently drop a quarter of the
+corpus. Mismatched shards are rebuilt (reported under
+``summary["rebuilt"]``). Coverage is asserted UP FRONT: the shard ranges
+partition ``[0, n_docs)``, and the one-column doc_id min/max check below
+fails loudly if any doc lives outside that span (a non-dense doc_id
+space would otherwise vanish from every shard).
 """
 
 from __future__ import annotations
@@ -39,8 +40,11 @@ __all__ = ["run_sharded_tier0"]
 
 
 def _shard_lineage(s: int, shards: int, n_docs: int, window_us: int,
-                   snapshots: int) -> dict:
-    return {"input": "corpus", "doc_lo": s * n_docs // shards,
+                   snapshots: int, sf_dir: str) -> dict:
+    # sf_dir is part of the identity: equal n_docs/window/snapshots over
+    # a DIFFERENT corpus must not pass the resume check
+    return {"input": "corpus", "sf_dir": sf_dir,
+            "doc_lo": s * n_docs // shards,
             "doc_hi": (s + 1) * n_docs // shards, "n_docs": n_docs,
             "window_us": window_us, "snapshots": snapshots}
 
@@ -75,12 +79,14 @@ def run_sharded_tier0(sf_dir: str, out_dir: str, *, snapshots: int = 3,
 
     for s in range(shards):
         d = ckpt.tier_dir(out_dir, "shard", str(s))
-        want = _shard_lineage(s, shards, n_docs, window_us, snapshots)
+        want = _shard_lineage(s, shards, n_docs, window_us, snapshots,
+                              sf_dir)
         if resume and ckpt.is_complete(d):
-            have = ckpt.read_manifest(d).get("lineage", {})
+            m = ckpt.read_manifest(d)  # one parse: lineage + summary
+            have = m.get("lineage", {})
             if all(have.get(k) == v for k, v in want.items()):
                 summary["resumed"].append(s)
-                summary["shards"][s] = ckpt.read_manifest(d)
+                summary["shards"][s] = m
                 continue
             # stale layout/parameters: rebuilding is the only output-
             # preserving choice — merging old-parameter partials with new
@@ -98,8 +104,16 @@ def run_sharded_tier0(sf_dir: str, out_dir: str, *, snapshots: int = 3,
         series = derive_series(ext, text_col="extracted_text")
         # rollup() resolves combine="auto" from the key estimate — a
         # >TREE_MAX_KEYS shard takes the hash-partitioned merge instead
-        # of the tree's single-block funnel
-        shard_rows = rollup(series, window_us, est_keys=est)
+        # of the tree's single-block funnel. The estimate is PER-SHARD
+        # (doc time is doc_id-cadenced, so this shard covers ~1/shards
+        # of the buckets): the corpus-wide figure overestimates by
+        # ~shards x and would flip small shards onto the ~2x-slower
+        # hashpart merge (the exact regression the estimate exists to
+        # avoid — see flagship.py)
+        shard_est = estimate_rollup_keys(sf_dir, window_us,
+                                         snapshots=snapshots,
+                                         n_docs_span=n_shard_docs)
+        shard_rows = rollup(series, window_us, est_keys=shard_est)
         ckpt.reset_dir(d)
         shard_rows.write_parquet(d)
         summary["shards"][s] = ckpt.write_manifest(

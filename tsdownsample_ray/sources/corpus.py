@@ -24,6 +24,8 @@ snapshots (Zipf-ish head, exercises salting).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -220,9 +222,29 @@ def estimate_pages(sf_dir: str, *, snapshots: int = 3,
     return n_docs * snapshots * max(hot_domain_factor, 1)
 
 
+def _corpus_dims(sf_dir: str) -> tuple:
+    """(n_domains, n_docs) of documents.parquet, cached per (path,
+    mtime, size) so a multi-tier run pays the |docs|-row ``source``
+    column read once, not once per tier."""
+    import os
+
+    path = f"{sf_dir}/documents.parquet"
+    st = os.stat(path)
+    return _corpus_dims_cached(path, st.st_mtime_ns, st.st_size)
+
+
+@functools.lru_cache(maxsize=64)
+def _corpus_dims_cached(path: str, mtime_ns: int, size: int) -> tuple:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["source"])
+    return (len(t["source"].combine_chunks().unique()), t.num_rows)
+
+
 def estimate_rollup_keys(sf_dir: str, window_us: int, *,
                          snapshots: int = 3, hot_domain_factor: int = 1,
-                         first_snapshot: int = 0) -> int:
+                         first_snapshot: int = 0,
+                         n_docs_span: int | None = None) -> int:
     """Tight |series| x |buckets| bound for ``rollup(..., est_keys=...)``.
 
     ``estimate_pages`` (every page its own key) overestimates the tier-0
@@ -233,19 +255,21 @@ def estimate_rollup_keys(sf_dir: str, window_us: int, *,
     all-to-all exchanges cost ~2x the tree combine at this key count
     (round-4 A/B in BASELINE.md). Reads ONE small dictionary column
     (``source``, |docs| rows) — bounded, not a corpus scan; the time span
-    derives from the generator's cadence constants."""
-    import pyarrow.parquet as pq
+    derives from the generator's cadence constants.
 
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
-    n_domains = len(t["source"].combine_chunks().unique())
-    n_docs = t.num_rows
+    ``n_docs_span`` narrows the TIME span to a doc-id range of that
+    width (doc time is doc_id-cadenced, so a contiguous shard covers
+    ~1/shards of the buckets) — the per-shard estimate for
+    ``pipelines/sharded.py``; domains stay corpus-wide (conservative)."""
+    n_domains, n_docs = _corpus_dims(sf_dir)
     # hot src0 docs carry snapshot indices up to
     # first_snapshot + snapshots*factor - 1 (expand_documents_to_pages),
     # so the bucket span must use the SAME max index — the n_docs-only
     # formula under-counts hot corpora by up to factor x and could keep
     # combine="auto" on the tree merge past TREE_MAX_KEYS
     max_k = first_snapshot + snapshots * max(hot_domain_factor, 1)
-    span_us = (n_docs * DOC_CADENCE_S
+    span_docs = n_docs if n_docs_span is None else min(n_docs_span, n_docs)
+    span_us = (span_docs * DOC_CADENCE_S
                + max_k * SNAPSHOT_CADENCE_S) * 1_000_000
     n_buckets = span_us // window_us + 2
     return int(n_domains * n_buckets)

@@ -40,9 +40,16 @@ def is_complete(d: str) -> bool:
         return False
     try:
         with open(p) as f:
-            return bool(json.load(f).get("complete"))
+            m = json.load(f)
     except (json.JSONDecodeError, OSError):
         return False
+    if not m.get("complete"):
+        return False
+    # a surviving manifest over a partially-lost directory (interrupted
+    # copy, disk cleanup) must NOT pass: a consumer reading the directory
+    # would silently resume truncated data
+    return all(os.path.exists(os.path.join(d, f))
+               for f in m.get("partitions", {}))
 
 
 def read_manifest(d: str) -> dict:
@@ -56,7 +63,8 @@ def reset_dir(d: str) -> None:
     os.makedirs(d, exist_ok=True)
 
 
-def write_manifest(d: str, *, rows: int, seconds: float, lineage: dict) -> dict:
+def write_manifest(d: str, *, rows: int = -1, seconds: float,
+                   lineage: dict) -> dict:
     files = sorted(
         f for f in os.listdir(d) if f.endswith(".parquet")
     )
