@@ -125,7 +125,10 @@ def run_bench() -> dict:
         # round-4 marquee operators
         "kendall_pairs_1h", "hits_docs", "kmv_distinct_domains",
         "log2hist_events", "holtwinters_1h", "multimodal_gif_decode",
-        "vocab_overlap_sources", "keyword_tag_docs")
+        "vocab_overlap_sources", "keyword_tag_docs",
+        # round-5 continuation operators
+        "link_predict_docs", "varint_postings_docs",
+        "kcenter_select_embeddings")
     for qname in qnames:
         best = None
         # min-of-n: throttle bursts vary timings ~3x; the two join-heavy

@@ -1629,3 +1629,19 @@ QUERIES["cdc_chunk_docs_utf8"] = q_cdc_chunk_docs_utf8
 ORACLE_SQL["cdc_chunk_docs_utf8"] = CDC_CHUNK_UTF8_SQL
 QUERIES["cdc_dedup_corpus"] = q_cdc_dedup_corpus
 ORACLE_SQL["cdc_dedup_corpus"] = CDC_DEDUP_SQL
+
+from .ext_round5 import (  # noqa: E402  (round-5 continuation wave)
+    KCENTER_SQL,
+    LINK_PREDICT_SQL,
+    VARINT_POSTINGS_SQL,
+    q_kcenter_select_embeddings,
+    q_link_predict_docs,
+    q_varint_postings_docs,
+)
+
+QUERIES["link_predict_docs"] = q_link_predict_docs
+ORACLE_SQL["link_predict_docs"] = LINK_PREDICT_SQL
+QUERIES["varint_postings_docs"] = q_varint_postings_docs
+ORACLE_SQL["varint_postings_docs"] = VARINT_POSTINGS_SQL
+QUERIES["kcenter_select_embeddings"] = q_kcenter_select_embeddings
+ORACLE_SQL["kcenter_select_embeddings"] = KCENTER_SQL

@@ -28,9 +28,34 @@ import pyarrow.compute as pc
 from ..arrow_utils import rename_agg, stable_part_codes
 from ..arrow_utils import group_codes
 
-__all__ = ["build_postings"]
+__all__ = ["build_postings", "varint_postings"]
 
 log = logging.getLogger(__name__)
+
+
+def _exploded_tf_pairs(b: pa.Table, text_col: str, id_col: str,
+                       mod: int) -> pa.Table:
+    """Block-local ``(token, doc_id, tf, __part)`` partials: whitespace
+    explode, empty-token filter, one in-block Arrow group-by (Heap's law
+    keeps block vocab << block words), token-hash partition code."""
+    toks = pc.split_pattern(b[text_col], " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values
+    off = toks.offsets.to_numpy().astype(np.int64)
+    ids = b[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    doc = ids.take(pa.array(np.repeat(np.arange(b.num_rows),
+                                      np.diff(off))))
+    t = pa.table({"doc_id": doc, "token": flat,
+                  "one": pa.array(np.ones(len(doc), np.int64))})
+    t = t.filter(pc.not_equal(t["token"], ""))
+    g = t.group_by(["token", "doc_id"]).aggregate([("one", "sum")])
+    g = rename_agg(g, {"token": "token", "doc_id": "doc_id",
+                       "one_sum": "tf"})
+    h = stable_part_codes(g["token"], mod)
+    return g.append_column("__part", pa.array(h))
 
 
 def build_postings(ds, *, text_col: str = "text", id_col: str = "doc_id",
@@ -42,24 +67,7 @@ def build_postings(ds, *, text_col: str = "text", id_col: str = "doc_id",
     mod = num_partitions * 64
 
     def _pairs(b: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(b[text_col], " ")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.values
-        off = toks.offsets.to_numpy().astype(np.int64)
-        ids = b[id_col]
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        doc = ids.take(pa.array(np.repeat(np.arange(b.num_rows),
-                                          np.diff(off))))
-        t = pa.table({"doc_id": doc, "token": flat,
-                      "one": pa.array(np.ones(len(doc), np.int64))})
-        t = t.filter(pc.not_equal(t["token"], ""))
-        g = t.group_by(["token", "doc_id"]).aggregate([("one", "sum")])
-        g = rename_agg(g, {"token": "token", "doc_id": "doc_id",
-                           "one_sum": "tf"})
-        h = stable_part_codes(g["token"], mod)
-        return g.append_column("__part", pa.array(h))
+        return _exploded_tf_pairs(b, text_col, id_col, mod)
 
     def _lists(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["__part"])
@@ -112,3 +120,78 @@ def build_postings(ds, *, text_col: str = "text", id_col: str = "doc_id",
     pairs = ds.map_batches(_pairs, batch_format="pyarrow")
     return pairs.repartition(num_partitions).groupby("__part").map_groups(
         _lists, batch_format="pyarrow")
+
+
+def varint_postings(ds, *, text_col: str = "text",
+                    id_col: str = "doc_id", num_partitions: int = 16):
+    """Delta-gap + LEB128 posting-list compression with a load-bearing
+    roundtrip: per token ``(token, df, plain_bytes, varint_bytes,
+    decoded_sum)`` where ``plain_bytes = 8 * df`` (the uncompressed
+    int64 payload), ``varint_bytes`` is the real encoded stream size,
+    and ``decoded_sum`` sums the doc ids recovered by DECODING the
+    stream (``functions/varint.py``) — a codec fault shows up as a
+    value divergence, not a hidden assert.
+
+    Same one-shuffle shape as ``build_postings``: block-local distinct
+    ``(token, doc)`` pairs, ONE hash(token) exchange, and a
+    per-partition sort + segment pass in which every gap vector, the
+    encode, and the decode are whole-partition NumPy column operations
+    (the LEB128 codec loops over byte POSITION, never over values).
+    Gap convention: first gap is ``doc_id + 1`` (doc ids are >= 0, so
+    every gap is >= 1), later gaps are sorted-distinct differences."""
+    from ..functions.varint import varint_encode, varint_decode
+
+    mod = num_partitions * 64
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        return _exploded_tf_pairs(b, text_col, id_col, mod)
+
+    def _compress(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        empty = pa.table({"token": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64()),
+                          "plain_bytes": pa.array([], pa.int64()),
+                          "varint_bytes": pa.array([], pa.int64()),
+                          "decoded_sum": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        m = t.group_by(["token", "doc_id"]).aggregate([("tf", "sum")])
+        m = m.take(pc.sort_indices(m, sort_keys=[
+            ("token", "ascending"), ("doc_id", "ascending")]))
+        tok = m["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        codes = group_codes(tok)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        seg = np.flatnonzero(heads)
+        df = np.diff(np.append(seg, len(codes)))
+        doc = m["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gaps = np.empty(len(doc), dtype=np.int64)
+        gaps[1:] = doc[1:] - doc[:-1]
+        gaps[seg] = doc[seg] + 1
+        buf, lens = varint_encode(gaps)
+        varint_bytes = np.add.reduceat(lens, seg)
+        # REAL roundtrip: decode the stream, rebuild absolute ids by a
+        # segment-reset prefix sum, and sum them per token
+        dec = varint_decode(buf).astype(np.int64)
+        # global cumsum of decoded gaps, then subtract each segment's
+        # starting offset so absolute ids restart per token (cs is
+        # strictly increasing — every gap >= 1 — so a forward-fill via
+        # maximum.accumulate carries each head's base across its segment)
+        cs = np.cumsum(dec)
+        seg_base = np.zeros(len(dec), dtype=np.int64)
+        seg_base[seg] = cs[seg] - dec[seg]
+        np.maximum.accumulate(seg_base, out=seg_base)
+        rebuilt = cs - seg_base - 1
+        decoded_sum = np.add.reduceat(rebuilt, seg)
+        return pa.table({
+            "token": tok.take(pa.array(seg)),
+            "df": pa.array(df),
+            "plain_bytes": pa.array(8 * df),
+            "varint_bytes": pa.array(varint_bytes),
+            "decoded_sum": pa.array(decoded_sum)})
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow")
+    return pairs.repartition(num_partitions).groupby("__part").map_groups(
+        _compress, batch_format="pyarrow")
