@@ -128,7 +128,9 @@ def run_bench() -> dict:
         "vocab_overlap_sources", "keyword_tag_docs",
         # round-5 continuation operators
         "link_predict_docs", "varint_postings_docs",
-        "kcenter_select_embeddings")
+        "kcenter_select_embeddings",
+        # round-5 closing operators
+        "macd_15m", "matrix_profile_1h", "bm25_docs")
     for qname in qnames:
         best = None
         # min-of-n: throttle bursts vary timings ~3x; the two join-heavy
@@ -285,7 +287,16 @@ def _bw_calibrate() -> float:
     20 GB/s plateau — precisely the windows where the bandwidth-bound
     tier0 job crawls at any width). Fixed 8 processes regardless of the
     Ray width under test: plain multiprocessing, outside Ray's CPU
-    accounting, so the floor is width-independent. ~1 s per call."""
+    accounting, so the floor is width-independent. ~1 s per call.
+
+    The first copy pass is UNTIMED warm-up: both arrays arrive as
+    untouched mmap zero pages, and 8 processes faulting ~50k pages each
+    simultaneously serialize on kernel fault handling — measured here,
+    the cold first call read 0.4 GB/s/proc while warmed passes on the
+    same machine state read 30+ GB/s/proc, i.e. the un-warmed probe
+    measured the kernel's page-fault path, not the memory bus, and
+    mislabeled demonstrably-clean samples (tier0 at steady-state-best
+    times) as throttled."""
     import multiprocessing as mp
 
     import numpy as np
@@ -293,6 +304,7 @@ def _bw_calibrate() -> float:
     def _worker(q):
         a = np.zeros(100_000_000 // 8, dtype=np.float64)
         b = np.empty_like(a)
+        np.copyto(b, a)  # warm-up: fault in both arrays, untimed
         t0 = time.time()
         for _ in range(5):
             np.copyto(b, a)

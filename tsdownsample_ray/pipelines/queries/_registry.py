@@ -1645,3 +1645,19 @@ QUERIES["varint_postings_docs"] = q_varint_postings_docs
 ORACLE_SQL["varint_postings_docs"] = VARINT_POSTINGS_SQL
 QUERIES["kcenter_select_embeddings"] = q_kcenter_select_embeddings
 ORACLE_SQL["kcenter_select_embeddings"] = KCENTER_SQL
+
+from .ext_round5b import (  # noqa: E402  (round-5 closing wave)
+    BM25_SQL,
+    MACD_SQL,
+    MATRIX_PROFILE_SQL,
+    q_bm25_docs,
+    q_macd_15m,
+    q_matrix_profile_1h,
+)
+
+QUERIES["macd_15m"] = q_macd_15m
+ORACLE_SQL["macd_15m"] = MACD_SQL
+QUERIES["matrix_profile_1h"] = q_matrix_profile_1h
+ORACLE_SQL["matrix_profile_1h"] = MATRIX_PROFILE_SQL
+QUERIES["bm25_docs"] = q_bm25_docs
+ORACLE_SQL["bm25_docs"] = BM25_SQL

@@ -25,7 +25,7 @@ from ..arrow_utils import group_codes, make_add_part
 
 __all__ = ["ewma_fixed_point", "holt_fixed_point",
            "kalman_local_level",
-           "holt_winters_fixed_point"]
+           "holt_winters_fixed_point", "macd_fixed_point"]
 
 
 def ewma_fixed_point(ds, k: int = 3, *, series_col: str = "series_id",
@@ -300,3 +300,74 @@ def holt_winters_fixed_point(ds, ka: int = 3, kb: int = 4, kc: int = 3,
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _hw, batch_format="pyarrow")
+
+
+def macd_fixed_point(ds, kf: int = 2, ks: int = 4, ksig: int = 3, *,
+                     series_col: str = "series_id", x_col: str = "bucket",
+                     y_col: str = "sum_y", num_partitions: int = 8):
+    """MACD (moving-average convergence/divergence) in integer fixed
+    point — the crossover-signal composition of two EMAs plus a signal
+    EMA over their difference:
+
+        ef_i = ef_{i-1} + ((y_i - ef_{i-1}) >> kf)    (fast, alpha 2^-kf)
+        es_i = es_{i-1} + ((y_i - es_{i-1}) >> ks)    (slow, alpha 2^-ks)
+        macd_i = ef_i - es_i
+        sig_i  = sig_{i-1} + ((macd_i - sig_{i-1}) >> ksig)
+        ef_0 = es_0 = y_0  (so macd_0 = 0), sig_0 = 0
+
+    Same contract as :func:`ewma_fixed_point`: arithmetic shift = floor
+    division by 2^k on signed ints, recursion nonlinear (no closed-form
+    scan), sequential PER SERIES over tier rows only; ONE hash(series)
+    shuffle, parallel across series. Returns ``(series_id, bucket, y,
+    macd, signal, hist)`` (hist = macd - signal), all int64."""
+    mod = num_partitions * 64
+
+    _add_part = make_add_part(series_col, mod)
+
+    def _macd(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t[series_col].type
+        cols = ("bucket", "y", "macd", "signal", "hist")
+        if t.num_rows == 0:
+            return pa.table({"series_id": pa.array([], s_type),
+                             **{c: pa.array([], pa.int64())
+                                for c in cols}})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (x_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = group_codes(sid)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        head = np.ones(len(y), dtype=bool)
+        head[1:] = codes[1:] != codes[:-1]
+        yl = y.tolist()
+        hl = head.tolist()
+        ml = [0] * len(yl)
+        sl = [0] * len(yl)
+        ef = es = sig = 0
+        for i in range(len(yl)):
+            v = yl[i]
+            if hl[i]:
+                ef = es = v
+                sig = 0
+            else:
+                ef += (v - ef) >> kf
+                es += (v - es) >> ks
+            m = ef - es
+            if not hl[i]:
+                sig += (m - sig) >> ksig
+            ml[i] = m
+            sl[i] = sig
+        macd = np.array(ml, dtype=np.int64)
+        signal = np.array(sl, dtype=np.int64)
+        return pa.table({"series_id": sid,
+                         "bucket": t[x_col].cast(pa.int64()),
+                         "y": pa.array(y),
+                         "macd": pa.array(macd),
+                         "signal": pa.array(signal),
+                         "hist": pa.array(macd - signal)})
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _macd, batch_format="pyarrow")
