@@ -11,7 +11,8 @@ from __future__ import annotations
 from ..stages.downsample import downsample_dataset
 from ..stages.rollup import finalize_mean, rollup
 from ..stages.series import derive_series
-from ..sources.corpus import estimate_rollup_keys, read_pages
+from ..sources.corpus import (estimate_rollup_keys,
+                              read_pages_sliced)
 
 US = 1_000_000
 
@@ -19,8 +20,11 @@ US = 1_000_000
 def flagship_dataset(sf_dir: str, *, snapshots: int = 3,
                      window_us: int = 900 * US, n_out: int = 100,
                      kernel: str = "minmaxlttb"):
-    pages = read_pages(sf_dir, snapshots=snapshots,
-                       columns=["url", "warc_ts", "text"])
+    # time-sliced expansion: blocks cover few buckets x all docs, so
+    # the rollup's map-side partials collapse across docs and the
+    # combine moves ~|keys| rows (see read_pages_sliced)
+    pages = read_pages_sliced(sf_dir, snapshots=snapshots,
+                              columns=["url", "warc_ts", "text"])
     series = derive_series(pages)
     # tight |domains| x |buckets| key estimate (estimate_rollup_keys —
     # the pages bound overestimates by orders of magnitude and flips

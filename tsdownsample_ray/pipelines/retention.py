@@ -14,7 +14,8 @@ from __future__ import annotations
 import time
 from concurrent.futures import ThreadPoolExecutor
 
-from ..sources.corpus import estimate_rollup_keys, read_pages
+from ..sources.corpus import (estimate_rollup_keys, read_pages,
+                              read_pages_sliced)
 from ..stages.compress import compress_chunks_per_series
 from ..stages.downsample import downsample_dataset
 from ..stages.gapfill import gapfill
@@ -132,6 +133,21 @@ def _run_tiers(tiers, sf_dir, out_dir, summary, pool, sink_jobs, rd, *,
             tier = None  # tier rows already on disk; sinks repaired below
         elif i == 0 or prev_ds is None:
             if series_ds is None:
+                # time-sliced expansion when unskewed: blocks cover few
+                # buckets x all docs, so rollup partials collapse in the
+                # map and the combine moves ~|keys| rows, not
+                # n_blocks x keys (r5: doc-sliced tier0 went superlinear
+                # past 80M pages; see read_pages_sliced). Hot-domain skew
+                # stays doc-sliced (overlapping k-ranges would duplicate).
+                def _pages(cols):
+                    if hot_domain_factor == 1:
+                        return read_pages_sliced(sf_dir,
+                                                 snapshots=snapshots,
+                                                 columns=cols)
+                    return read_pages(sf_dir, snapshots=snapshots,
+                                      hot_domain_factor=hot_domain_factor,
+                                      columns=cols)
+
                 if extract:
                     # honest end-to-end: carry html, extract text, derive
                     # series from the EXTRACTED text (byte-identity holds).
@@ -139,16 +155,12 @@ def _run_tiers(tiers, sf_dir, out_dir, summary, pool, sink_jobs, rd, *,
                     # size cap to throttle the widest stage.
                     from ..stages.extract import extract_text_batch
 
-                    pages = read_pages(sf_dir, snapshots=snapshots,
-                                       hot_domain_factor=hot_domain_factor,
-                                       columns=["url", "warc_ts", "html"])
+                    pages = _pages(["url", "warc_ts", "html"])
                     pages = pages.map_batches(extract_text_batch,
                                               batch_format="pyarrow")
                     src = derive_series(pages, text_col="extracted_text")
                 else:
-                    pages = read_pages(sf_dir, snapshots=snapshots,
-                                       hot_domain_factor=hot_domain_factor,
-                                       columns=["url", "warc_ts", "text"])
+                    pages = _pages(["url", "warc_ts", "text"])
                     src = derive_series(pages)
                 # tight |domains| x |buckets| bound (the pages bound
                 # overestimates by orders of magnitude and picks the

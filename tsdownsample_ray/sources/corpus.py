@@ -39,7 +39,7 @@ SNAPSHOT_CADENCE_S = 971  # seconds between snapshots of one url
 __all__ = [
     "HTML_PREFIX", "HTML_SUFFIX", "BASE_EPOCH_S",
     "DOC_CADENCE_S", "SNAPSHOT_CADENCE_S", "estimate_rollup_keys",
-    "read_pages", "expand_documents_to_pages",
+    "read_pages", "read_pages_sliced", "expand_documents_to_pages",
 ]
 
 
@@ -273,3 +273,97 @@ def estimate_rollup_keys(sf_dir: str, window_us: int, *,
                + max_k * SNAPSHOT_CADENCE_S) * 1_000_000
     n_buckets = span_us // window_us + 2
     return int(n_domains * n_buckets)
+
+
+def read_pages_sliced(sf_dir: str, *, snapshots: int,
+                      columns: list | None = None,
+                      slice_snapshots: int = 0,
+                      doc_range: tuple | None = None):
+    """Pages dataset partitioned by TIME SLICE instead of by doc slice:
+    each task expands ALL documents for a contiguous snapshot range, so
+    a block covers ``slice_snapshots`` time buckets x every domain and
+    map-side rollup partials collapse ACROSS docs (~|docs-per-domain| x
+    reduction) before any exchange.
+
+    Why this exists (measured, r5): ``read_pages`` splits by doc, so at
+    wide snapshot ranges every block covers the FULL time range and a
+    15m-rollup partial pass achieves ~zero in-block reduction — at 80M
+    pages the tier-0 combine must then move ~80M partial rows
+    (n_blocks x keys-per-block) through the object store, and the wall
+    time grows superlinearly with corpus size (41-77 s at 16000
+    snapshots vs 10 s at 8000, 32 CPUs; the combine's 16 merge tasks
+    each burn 6-9 s on 5M-row inputs). Slicing by time bounds
+    keys-per-block at |domains| x slice_snapshots regardless of corpus
+    width, so total partial volume stays ~|keys| — the continuous-
+    aggregate design point. This is also the realistic 100 TB layout:
+    crawl corpora shard by (date, segment), so a reader sees bounded
+    time ranges per shard and rollup partials collapse naturally.
+
+    The doc table is read ONCE on the driver (it is the small dimension
+    side) and broadcast via ``ray.put``; every expansion task reads it
+    zero-copy from the object store — never re-shipped per task. The
+    parallelism axis is a ``range(n_slices)`` index dataset, one slice
+    per block.
+
+    Emits exactly the same rows as ``read_pages`` (the snapshot index
+    enters the row construction only through ``first_snapshot``, which
+    is linear in ``warc_ts``); hot-domain skew is doc-sliced-only
+    because ``hot_domain_factor`` scales the per-doc snapshot count and
+    overlapping k-ranges would duplicate rows across slices."""
+    import math
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    need = {"doc_id", "source"}
+    out_cols = columns or ["url", "warc_ts", "html", "text", "lang"]
+    if "text" in out_cols or "html" in out_cols:
+        need.add("text")
+    if "lang" in out_cols:
+        need.add("lang")
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=sorted(need))
+    docs = docs.replace_schema_metadata(None)
+    if doc_range is not None:
+        lo, hi = int(doc_range[0]), int(doc_range[1])
+        ids = docs["doc_id"]
+        docs = docs.filter(pc.and_(pc.greater_equal(ids, lo),
+                                   pc.less(ids, hi)))
+    n_docs = docs.num_rows
+    if slice_snapshots <= 0:
+        try:
+            cpus = int(ray.available_resources().get("CPU", 0)) \
+                if ray.is_initialized() else 0
+        except Exception:
+            cpus = 0
+        # ~125k pages per block (the read_pages target), but never fewer
+        # slices than the cluster width when the corpus allows it
+        per_block = max(125_000 // max(n_docs, 1), 1)
+        if cpus:
+            per_block = min(per_block,
+                            max(math.ceil(snapshots / cpus), 1))
+        slice_snapshots = per_block
+    n_slices = max(math.ceil(snapshots / slice_snapshots), 1)
+    ref = ray.put(docs)
+    total_snaps = snapshots
+    cnt = slice_snapshots
+
+    def _expand_slices(b: pa.Table) -> pa.Table:
+        base = ray.get(ref)  # zero-copy plasma read, once per task
+        parts = []
+        for sid in b["id"].to_pylist():
+            s0 = sid * cnt
+            k = min(cnt, total_snaps - s0)
+            if k <= 0 or base.num_rows == 0:
+                continue
+            parts.append(expand_documents_to_pages(
+                base, snapshots=k, first_snapshot=s0,
+                out_cols=out_cols))
+        if not parts:
+            return expand_documents_to_pages(
+                base.slice(0, 0), snapshots=1, out_cols=out_cols)
+        return pa.concat_tables(parts)
+
+    idx = rd.range(n_slices, override_num_blocks=n_slices)
+    return idx.map_batches(_expand_slices, batch_format="pyarrow")
