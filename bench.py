@@ -130,7 +130,8 @@ def run_bench() -> dict:
         "link_predict_docs", "varint_postings_docs",
         "kcenter_select_embeddings",
         # round-5 closing operators
-        "macd_15m", "matrix_profile_1h", "bm25_docs")
+        "macd_15m", "matrix_profile_1h", "bm25_docs",
+        "roaring_postings_docs", "phrase_search_docs")
     for qname in qnames:
         best = None
         # min-of-n: throttle bursts vary timings ~3x; the two join-heavy

@@ -1661,3 +1661,15 @@ QUERIES["matrix_profile_1h"] = q_matrix_profile_1h
 ORACLE_SQL["matrix_profile_1h"] = MATRIX_PROFILE_SQL
 QUERIES["bm25_docs"] = q_bm25_docs
 ORACLE_SQL["bm25_docs"] = BM25_SQL
+
+from .ext_round5b import (  # noqa: E402  (round-5 closing wave, part 2)
+    PHRASE_SEARCH_SQL,
+    ROARING_POSTINGS_SQL,
+    q_phrase_search_docs,
+    q_roaring_postings_docs,
+)
+
+QUERIES["roaring_postings_docs"] = q_roaring_postings_docs
+ORACLE_SQL["roaring_postings_docs"] = ROARING_POSTINGS_SQL
+QUERIES["phrase_search_docs"] = q_phrase_search_docs
+ORACLE_SQL["phrase_search_docs"] = PHRASE_SEARCH_SQL

@@ -326,3 +326,77 @@ JOIN dl USING (doc_id)
 JOIN df USING (term)
 CROSS JOIN g
 """
+
+
+def q_roaring_postings_docs(sf_dir: str):
+    """Roaring-container posting compression
+    (``stages/postings.py:roaring_postings``): per corpus token the
+    container count/kinds, the REAL serialized size (2^16-wide
+    containers: uint16 array under 4096 ids, 8 KiB bitmap above,
+    8-byte headers), and the sum of doc ids recovered by DECODING the
+    payloads — the roundtrip is load-bearing against the oracle's
+    direct ``sum(doc_id)``. One hash(token) shuffle; the codec is
+    whole-partition vectorized (``functions/roaring.py``)."""
+    from ...stages.postings import roaring_postings
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+    return roaring_postings(ds, num_partitions=8)
+
+
+ROARING_POSTINGS_SQL = """
+WITH w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+),
+f AS (SELECT DISTINCT doc_id, token FROM w WHERE token <> ''),
+c AS (
+    SELECT token, doc_id // 65536 AS high,
+           CAST(count(*) AS BIGINT) AS card,
+           CAST(sum(doc_id) AS BIGINT) AS s
+    FROM f GROUP BY 1, 2
+)
+SELECT token, CAST(sum(card) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS n_containers,
+       CAST(sum(CASE WHEN card >= 4096 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bitmap,
+       CAST(sum(8 + CASE WHEN card >= 4096
+                         THEN 8192 ELSE 2 * card END) AS BIGINT)
+           AS roaring_bytes,
+       CAST(sum(s) AS BIGINT) AS decoded_sum
+FROM c GROUP BY token
+"""
+
+
+#: fixed query phrase for ``phrase_search_docs`` — consecutive-token
+#: match; literal in BOTH the engine and the oracle
+PHRASE = ("merge", "join")
+
+
+def q_phrase_search_docs(sf_dir: str):
+    """Exact phrase search (``stages/postings.py:phrase_search``): every
+    document containing the consecutive bigram ``PHRASE``, with its
+    occurrence count (all starting positions, overlaps included) and
+    first 1-based position over the raw whitespace split. One shuffle-
+    free map: equality scans per phrase word AND-ed under shifts, doc
+    boundaries masked via list offsets."""
+    from ...stages.postings import phrase_search
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(4)
+    return phrase_search(ds, PHRASE)
+
+
+PHRASE_SEARCH_SQL = """
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+),
+p AS (
+    SELECT doc_id, t.i
+    FROM d, LATERAL unnest(generate_series(1, len(arr) - 1)) AS t(i)
+    WHERE arr[i] = 'merge' AND arr[i + 1] = 'join'
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(min(i) AS BIGINT) AS first_pos
+FROM p GROUP BY doc_id
+"""

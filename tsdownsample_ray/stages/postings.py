@@ -28,7 +28,8 @@ import pyarrow.compute as pc
 from ..arrow_utils import rename_agg, stable_part_codes
 from ..arrow_utils import group_codes
 
-__all__ = ["build_postings", "varint_postings"]
+__all__ = ["build_postings", "varint_postings",
+           "roaring_postings", "phrase_search"]
 
 log = logging.getLogger(__name__)
 
@@ -195,3 +196,136 @@ def varint_postings(ds, *, text_col: str = "text",
     pairs = ds.map_batches(_pairs, batch_format="pyarrow")
     return pairs.repartition(num_partitions).groupby("__part").map_groups(
         _compress, batch_format="pyarrow")
+
+
+def roaring_postings(ds, *, text_col: str = "text",
+                     id_col: str = "doc_id", num_partitions: int = 16):
+    """Roaring-container posting-list compression with a load-bearing
+    roundtrip (``functions/roaring.py``): per token ``(token, df,
+    n_containers, n_bitmap, roaring_bytes, decoded_sum)`` — doc ids
+    split into 2^16-wide containers, each stored as a uint16 array
+    (card < 4096) or an 8 KiB bitmap, 8-byte header per container;
+    ``decoded_sum`` sums the ids recovered by DECODING the real
+    payloads, so a codec fault diverges from the oracle's direct
+    ``sum(doc_id)``.
+
+    Same one-shuffle shape as ``varint_postings``; the codec is
+    whole-partition vectorized (one masked take packs every array
+    container, one ``bitwise_or.at`` scatter fills every bitmap — no
+    per-token or per-container loop)."""
+    from ..functions.roaring import (
+        ARRAY_CONTAINER_MAX,
+        CONTAINER_HEADER_BYTES,
+        decode_container_sums,
+        encode_containers,
+    )
+
+    mod = num_partitions * 64
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        return _exploded_tf_pairs(b, text_col, id_col, mod)
+
+    def _compress(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        empty = pa.table({"token": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64()),
+                          "n_containers": pa.array([], pa.int64()),
+                          "n_bitmap": pa.array([], pa.int64()),
+                          "roaring_bytes": pa.array([], pa.int64()),
+                          "decoded_sum": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        m = t.group_by(["token", "doc_id"]).aggregate([("tf", "sum")])
+        m = m.take(pc.sort_indices(m, sort_keys=[
+            ("token", "ascending"), ("doc_id", "ascending")]))
+        tok = m["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        codes = group_codes(tok)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        seg = np.flatnonzero(heads)
+        df = np.diff(np.append(seg, len(codes)))
+        doc = m["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        meta, lows, bitmaps = encode_containers(codes, doc)
+        csum = decode_container_sums(meta, lows, bitmaps)
+        # per-container byte cost, then per-token segment sums over the
+        # (token, high)-ordered container axis
+        cbytes = np.where(meta["is_bitmap"], 8192, 2 * meta["card"]) \
+            + CONTAINER_HEADER_BYTES
+        cheads = np.ones(len(meta["tok"]), dtype=bool)
+        cheads[1:] = meta["tok"][1:] != meta["tok"][:-1]
+        cseg = np.flatnonzero(cheads)
+        return pa.table({
+            "token": tok.take(pa.array(seg)),
+            "df": pa.array(df),
+            "n_containers": pa.array(
+                np.diff(np.append(cseg, len(cbytes))).astype(np.int64)),
+            "n_bitmap": pa.array(np.add.reduceat(
+                meta["is_bitmap"].astype(np.int64), cseg)),
+            "roaring_bytes": pa.array(
+                np.add.reduceat(cbytes.astype(np.int64), cseg)),
+            "decoded_sum": pa.array(np.add.reduceat(csum, cseg))})
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow")
+    return pairs.repartition(num_partitions).groupby("__part").map_groups(
+        _compress, batch_format="pyarrow")
+
+
+def phrase_search(ds, phrase, *, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Exact phrase match over whitespace token positions: per document
+    containing the full consecutive ``phrase``, ``(doc_id, n_occ,
+    first_pos)`` with 1-based positions over the raw split sequence.
+
+    Embarrassingly parallel — ONE map over doc batches, no shuffle
+    (positional postings stay block-local; a shared-index variant would
+    hash tokens like ``build_postings`` and intersect per-token
+    position lists, but for a FIXED query the scan is one pass and
+    moves no index). Matching is vectorized: one equality scan per
+    phrase word over the flattened token stream, AND-ed under shifts,
+    then doc-boundary masking via the list offsets."""
+    words = list(phrase)
+    if len(words) < 1:
+        raise ValueError("phrase_search: phrase must be non-empty")
+
+    def _scan(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        flat = pc.list_flatten(toks)
+        nf = len(flat)
+        w = len(words)
+        hit = pc.equal(flat, words[0]).to_numpy(zero_copy_only=False)
+        match = hit.astype(bool).copy()
+        for j, wd in enumerate(words[1:], 1):
+            hj = pc.equal(flat, wd).to_numpy(zero_copy_only=False)
+            shifted = np.zeros(nf, dtype=bool)
+            if nf > j:
+                shifted[:nf - j] = hj[j:]
+            match &= shifted
+        # a match must not straddle a doc boundary: start position + w-1
+        # must stay inside the start's document
+        row = np.repeat(np.arange(b.num_rows), lens)
+        pos_in_doc = np.arange(nf) - np.repeat(offs[:-1], lens)
+        match &= (pos_in_doc + w) <= np.repeat(lens, lens)
+        cnt = np.zeros(b.num_rows, dtype=np.int64)
+        np.add.at(cnt, row[match], 1)
+        sel = np.flatnonzero(cnt > 0)
+        if len(sel) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_occ": pa.array([], pa.int64()),
+                             "first_pos": pa.array([], pa.int64())})
+        # first match position per doc (1-based): minimum over matches
+        first = np.full(b.num_rows, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(first, row[match], pos_in_doc[match] + 1)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: pa.array(ids[sel]),
+                         "n_occ": pa.array(cnt[sel]),
+                         "first_pos": pa.array(first[sel])})
+
+    return ds.map_batches(_scan, batch_format="pyarrow")
