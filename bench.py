@@ -131,7 +131,8 @@ def run_bench() -> dict:
         "kcenter_select_embeddings",
         # round-5 closing operators
         "macd_15m", "matrix_profile_1h", "bm25_docs",
-        "roaring_postings_docs", "phrase_search_docs")
+        "roaring_postings_docs", "phrase_search_docs",
+        "dup_window_docs")
     for qname in qnames:
         best = None
         # min-of-n: throttle bursts vary timings ~3x; the two join-heavy

@@ -1673,3 +1673,27 @@ QUERIES["roaring_postings_docs"] = q_roaring_postings_docs
 ORACLE_SQL["roaring_postings_docs"] = ROARING_POSTINGS_SQL
 QUERIES["phrase_search_docs"] = q_phrase_search_docs
 ORACLE_SQL["phrase_search_docs"] = PHRASE_SEARCH_SQL
+
+from .ext_round5c import (  # noqa: E402  (round-5 closing wave, part 3)
+    BOILERPLATE_GRAMS_SQL,
+    DUP_WINDOW_SQL,
+    LARGE_VOLUME_SQL,
+    SMALL_QTY_SQL,
+    TOP_SUPPLIER_SQL,
+    q_boilerplate_grams_source,
+    q_dup_window_docs,
+    q_large_volume_orders,
+    q_small_qty_revenue,
+    q_top_supplier_revenue,
+)
+
+QUERIES["dup_window_docs"] = q_dup_window_docs
+ORACLE_SQL["dup_window_docs"] = DUP_WINDOW_SQL
+QUERIES["boilerplate_grams_source"] = q_boilerplate_grams_source
+ORACLE_SQL["boilerplate_grams_source"] = BOILERPLATE_GRAMS_SQL
+QUERIES["top_supplier_revenue"] = q_top_supplier_revenue
+ORACLE_SQL["top_supplier_revenue"] = TOP_SUPPLIER_SQL
+QUERIES["small_qty_revenue"] = q_small_qty_revenue
+ORACLE_SQL["small_qty_revenue"] = SMALL_QTY_SQL
+QUERIES["large_volume_orders"] = q_large_volume_orders
+ORACLE_SQL["large_volume_orders"] = LARGE_VOLUME_SQL

@@ -1,0 +1,306 @@
+"""Round-5 closing wave, part 3: overlapping-window corpus dedup ops
+and the missing TPC-H join shapes (global-argmax, per-group-scalar
+broadcast predicate, having + join-back).
+
+Each entry follows the catalog contract: a Ray-Data-first distributed
+shape documented in place, integer-exact arithmetic so the DuckDB
+oracle replays bit-identically, and column names matched between both
+sides.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ._shared import _read_parquet_clean, pa, pc
+
+US = 1_000_000
+
+
+def q_dup_window_docs(sf_dir: str):
+    """Duplicate-substring detection over OVERLAPPING 5-word windows
+    (``stages/grams.py:dup_windows``; Lee et al. 2022 semantics — every
+    sliding position is a candidate, unlike the C4-style tiles of
+    ``span_dedup_docs``): per 5-gram found in >= 2 distinct documents,
+    its distinct-doc count, total occurrence count, and smallest doc
+    id. Map-side (gram, doc) merge, ONE hash(gram) shuffle."""
+    from ...stages.grams import dup_windows
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+    return dup_windows(ds, k=5, min_docs=2, num_partitions=8)
+
+
+DUP_WINDOW_SQL = """
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+),
+g AS (
+    SELECT doc_id,
+           array_to_string(list_slice(arr, i, i + 4), ' ') AS gram
+    FROM d, LATERAL unnest(generate_series(1, len(arr) - 4)) AS t(i)
+)
+SELECT gram,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(min(doc_id) AS BIGINT) AS min_doc
+FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+def q_boilerplate_grams_source(sf_dir: str):
+    """CCNet-style per-source boilerplate bigram mining
+    (``stages/grams.py:source_boilerplate_grams``): 2-grams present in
+    >= 20% of a source's documents (integer cross-multiplied — no
+    float division) with df >= 3. Per-source doc totals are a tiny
+    driver-reduced aggregate captured into the filter (broadcast small
+    side); the distinct (source, gram, doc) pairs take one hash(gram)
+    shuffle."""
+    from ...stages.grams import source_boilerplate_grams
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "source"]).repartition(8)
+    return source_boilerplate_grams(ds, k=2, min_df=3, frac_num=1,
+                                    frac_den=5, num_partitions=8)
+
+
+BOILERPLATE_GRAMS_SQL = """
+WITH d AS (
+    SELECT doc_id, source, string_split(text, ' ') AS arr
+    FROM documents
+),
+g AS (
+    SELECT DISTINCT doc_id, source,
+           array_to_string(list_slice(arr, i, i + 1), ' ') AS gram
+    FROM d, LATERAL unnest(generate_series(1, len(arr) - 1)) AS t(i)
+),
+s AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS src_docs
+    FROM documents GROUP BY source
+)
+SELECT source, gram, CAST(count(*) AS BIGINT) AS df, src_docs
+FROM g JOIN s USING (source)
+GROUP BY source, gram, src_docs
+HAVING count(*) >= 3 AND count(*) * 5 >= src_docs
+"""
+
+
+def q_top_supplier_revenue(sf_dir: str):
+    """TPC-H-Q15-style top supplier: per-supplier exact e6 revenue over
+    1996Q1, then every supplier tied at the GLOBAL maximum, labeled.
+    Shape: date-pruned projected scan, hashpart grouped sum (bounded by
+    |suppliers|), the max as a tiny dataset aggregate broadcast into an
+    equality filter — only the tied rows are collected, and only THEIR
+    supplier labels are fetched (dimension lookup after the argmax,
+    never a broadcast of supplier)."""
+    from ...stages.graph import grouped_sum_parts
+
+    lo_us = 820_454_400 * US   # 1996-01-01 UTC
+    hi_us = 828_316_800 * US   # 1996-04-01 UTC
+
+    def _line(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["l_shipdate"], pa.int64())
+        keep = pc.and_(pc.greater_equal(ts, pa.scalar(lo_us, pa.int64())),
+                       pc.less(ts, pa.scalar(hi_us, pa.int64())))
+        t = b.filter(keep)
+        price = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             100.0), ndigits=0),
+                        pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 10000.0),
+                                ndigits=0), pa.int64())
+        rev = pc.multiply(price,
+                          pc.subtract(pa.scalar(10000, pa.int64()),
+                                      disc))
+        return pa.table({"l_suppkey": t["l_suppkey"],
+                         "total_revenue_e6": rev})
+
+    line = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"]).map_batches(_line, batch_format="pyarrow")
+    agg = grouped_sum_parts(line, ["l_suppkey"], ["total_revenue_e6"],
+                            count_col=None, fanin=4)
+    mx = agg.max("total_revenue_e6")
+    top = agg.map_batches(
+        lambda b: b.filter(pc.equal(b["total_revenue_e6"],
+                                    pa.scalar(mx, pa.int64()))),
+        batch_format="pyarrow").take_all()
+    keys = sorted(int(r["l_suppkey"]) for r in top)
+    names = {int(r["s_suppkey"]): r["s_name"]
+             for r in _read_parquet_clean(
+                 f"{sf_dir}/supplier.parquet",
+                 columns=["s_suppkey", "s_name"]).map_batches(
+                 lambda b: b.filter(pc.is_in(
+                     b["s_suppkey"],
+                     value_set=pa.array(keys, pa.int64()))),
+                 batch_format="pyarrow").take_all()}
+    top = sorted(top, key=lambda r: int(r["l_suppkey"]))
+    return pa.table({
+        "s_suppkey": pa.array([int(r["l_suppkey"]) for r in top],
+                              pa.int64()),
+        "s_name": pa.array([names[int(r["l_suppkey"])] for r in top]),
+        "total_revenue_e6": pa.array(
+            [int(r["total_revenue_e6"]) for r in top], pa.int64())})
+
+
+TOP_SUPPLIER_SQL = """
+WITH r AS (
+    SELECT l_suppkey,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+                AS BIGINT) AS total_revenue_e6
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue_e6
+FROM supplier JOIN r ON s_suppkey = l_suppkey
+WHERE total_revenue_e6 = (SELECT max(total_revenue_e6) FROM r)
+"""
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H-Q17-style small-quantity revenue: total extended price (in
+    cents) of Brand#1 lineitems whose quantity is below 20% of that
+    part's average quantity — the per-group-scalar broadcast pattern.
+    The brand's part keys and the per-part (count, quantity-sum) pairs
+    are both bounded by |parts in brand| and travel as captured lookup
+    arrays; the 20% test is exact integer cross-multiplication
+    (qty * 5 * cnt < sum_qty). Two projected scans of lineitem (one to
+    build the per-part scalars, one to apply them), mirroring the
+    correlated-subquery plan."""
+    bp = _read_parquet_clean(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]) \
+        .map_batches(lambda b: b.filter(
+            pc.equal(b["p_brand"], "Brand#1")).select(["p_partkey"]),
+            batch_format="pyarrow").take_all()
+    brand_keys = pa.array(sorted(int(r["p_partkey"]) for r in bp),
+                          pa.int64())
+
+    def _proj(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b["l_partkey"], value_set=brand_keys))
+        qty = pc.cast(pc.round(t["l_quantity"], ndigits=0), pa.int64())
+        price = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             100.0), ndigits=0),
+                        pa.int64())
+        return pa.table({"l_partkey": t["l_partkey"], "qty": qty,
+                         "price_c": price})
+
+    cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    from ...stages.graph import grouped_sum_parts
+
+    proj = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=cols).map_batches(
+        _proj, batch_format="pyarrow")
+    agg = grouped_sum_parts(proj, ["l_partkey"], ["qty"],
+                            count_col="cnt", fanin=2).take_all()
+    k = np.array([int(r["l_partkey"]) for r in agg], np.int64)
+    order = np.argsort(k)
+    k = k[order]
+    sq = np.array([int(r["qty"]) for r in agg], np.int64)[order]
+    cn = np.array([int(r["cnt"]) for r in agg], np.int64)[order]
+
+    def _apply(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(k, pk)
+        qty = b["qty"].to_numpy(zero_copy_only=False)
+        price = b["price_c"].to_numpy(zero_copy_only=False)
+        keep = qty * 5 * cn[idx] < sq[idx]
+        return pa.table({
+            "small_qty_cents": pa.array(
+                [int(price[keep].sum())], pa.int64()),
+            "n_lines": pa.array([int(keep.sum())], pa.int64())})
+
+    parts = proj.map_batches(_apply, batch_format="pyarrow").take_all()
+    return pa.table({
+        "small_qty_cents": pa.array(
+            [sum(int(r["small_qty_cents"]) for r in parts)], pa.int64()),
+        "n_lines": pa.array(
+            [sum(int(r["n_lines"]) for r in parts)], pa.int64())})
+
+
+SMALL_QTY_SQL = """
+WITH l AS (
+    SELECT l_partkey,
+           CAST(round(l_quantity) AS BIGINT) AS qty,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#1'
+),
+a AS (
+    SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM l GROUP BY l_partkey
+)
+SELECT CAST(COALESCE(sum(price_c)
+            FILTER (WHERE qty * 5 * cnt < sum_qty), 0)
+            AS BIGINT) AS small_qty_cents,
+       CAST(count(*) FILTER (WHERE qty * 5 * cnt < sum_qty) AS BIGINT)
+           AS n_lines
+FROM l JOIN a USING (l_partkey)
+"""
+
+
+def q_large_volume_orders(sf_dir: str):
+    """TPC-H-Q18-style large-volume orders: orders whose total lineitem
+    quantity exceeds 300, with customer key, order date, exact cents
+    total price, and the quantity sum — the having + join-back shape.
+    One hashpart grouped sum over lineitem (bounded by |orders|), the
+    >300 filter BEFORE the join, then one hash join against a projected
+    orders scan; nothing is collected until the (small) survivor set."""
+    from ...stages.graph import grouped_sum_parts
+
+    def _lq(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "sum_qty": pc.cast(pc.round(b["l_quantity"], ndigits=0),
+                               pa.int64())})
+
+    line = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity"]).map_batches(
+        _lq, batch_format="pyarrow")
+    qsum = grouped_sum_parts(line, ["l_orderkey"], ["sum_qty"],
+                             count_col=None, fanin=4).map_batches(
+        lambda b: b.filter(pc.greater(b["sum_qty"],
+                                      pa.scalar(300, pa.int64()))),
+        batch_format="pyarrow")
+
+    def _orders(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "o_orderdate": b["o_orderdate"],
+            "total_cents": pc.cast(
+                pc.round(pc.multiply(b["o_totalprice"], 100.0),
+                         ndigits=0), pa.int64())})
+
+    orders = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_totalprice"]).map_batches(
+        _orders, batch_format="pyarrow")
+    j = qsum.join(orders, join_type="inner", num_partitions=4,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+    return j.map_batches(lambda b: pa.table({
+        "o_orderkey": b["l_orderkey"], "o_custkey": b["o_custkey"],
+        "o_orderdate": b["o_orderdate"],
+        "total_cents": b["total_cents"], "sum_qty": b["sum_qty"]}),
+        batch_format="pyarrow")
+
+
+LARGE_VOLUME_SQL = """
+WITH q AS (
+    SELECT l_orderkey,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS sum_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300
+)
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+       sum_qty
+FROM orders JOIN q ON o_orderkey = l_orderkey
+"""
