@@ -1697,3 +1697,15 @@ QUERIES["small_qty_revenue"] = q_small_qty_revenue
 ORACLE_SQL["small_qty_revenue"] = SMALL_QTY_SQL
 QUERIES["large_volume_orders"] = q_large_volume_orders
 ORACLE_SQL["large_volume_orders"] = LARGE_VOLUME_SQL
+
+from .ext_round5c import (  # noqa: E402
+    MARKET_SHARE_SQL,
+    VOLUME_SHIPPING_SQL,
+    q_market_share_year,
+    q_volume_shipping_pairs,
+)
+
+QUERIES["volume_shipping_pairs"] = q_volume_shipping_pairs
+ORACLE_SQL["volume_shipping_pairs"] = VOLUME_SHIPPING_SQL
+QUERIES["market_share_year"] = q_market_share_year
+ORACLE_SQL["market_share_year"] = MARKET_SHARE_SQL

@@ -304,3 +304,214 @@ SELECT o_orderkey, o_custkey, o_orderdate,
        sum_qty
 FROM orders JOIN q ON o_orderkey = l_orderkey
 """
+
+
+def _rev_e6(t: pa.Table) -> pa.Array:
+    """Exact e6 revenue: round(price*100) * (10000 - round(disc*1e4))."""
+    price = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0),
+                             ndigits=0), pa.int64())
+    disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 10000.0),
+                            ndigits=0), pa.int64())
+    return pc.multiply(price, pc.subtract(pa.scalar(10000, pa.int64()),
+                                          disc))
+
+
+def _np_lookup(keys: np.ndarray, vals: np.ndarray):
+    """Vectorized small-dimension lookup: sorted-key searchsorted
+    closure (the broadcast-small-side pattern — the table is captured
+    once per task, never re-shipped per batch)."""
+    order = np.argsort(keys)
+    k, v = keys[order], vals[order]
+
+    def _get(q: np.ndarray) -> np.ndarray:
+        return v[np.searchsorted(k, q)]
+
+    return _get
+
+
+def q_volume_shipping_pairs(sf_dir: str):
+    """TPC-H-Q7-style volume shipping: exact e6 revenue per (supplier
+    nation, customer nation, ship year) over 1995-1996, cross-nation
+    pairs only. Shape: orders hash-join customer (the two BIG
+    dimensions exchange once, on the custkey then orderkey spine);
+    supplier->nation and nation->name are tiny captured lookups applied
+    vectorized inside the map; final hashpart grouped sum over the
+    bounded (nation x nation x year) key space."""
+    from ...stages.graph import grouped_sum_parts
+
+    lo_us = 788_918_400 * US   # 1995-01-01 UTC
+    hi_us = 852_076_800 * US   # 1997-01-01 UTC
+
+    nat = _read_parquet_clean(f"{sf_dir}/nation.parquet",
+                              columns=["n_nationkey", "n_name"]).take_all()
+    nkey = np.array([int(r["n_nationkey"]) for r in nat], np.int64)
+    nname = np.array([r["n_name"] for r in nat], dtype=object)
+    n_get = _np_lookup(nkey, nname)
+    sup = _read_parquet_clean(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"]).take_all()
+    s_get = _np_lookup(
+        np.array([int(r["s_suppkey"]) for r in sup], np.int64),
+        np.array([int(r["s_nationkey"]) for r in sup], np.int64))
+
+    cust = _read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"])
+    orders = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    oc = orders.join(cust, join_type="inner", num_partitions=4,
+                     on=("o_custkey",), right_on=("c_custkey",))
+
+    def _line(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["l_shipdate"], pa.int64())
+        keep = pc.and_(pc.greater_equal(ts, pa.scalar(lo_us, pa.int64())),
+                       pc.less(ts, pa.scalar(hi_us, pa.int64())))
+        t = b.filter(keep)
+        yr = pc.cast(pc.year(t["l_shipdate"]), pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "l_year": yr, "revenue_e6": _rev_e6(t)})
+
+    line = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"]).map_batches(
+        _line, batch_format="pyarrow")
+    j = line.join(oc, join_type="inner", num_partitions=4,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def _label(b: pa.Table) -> pa.Table:
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        cn = b["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        supp_nation = n_get(s_get(sk))
+        cust_nation = n_get(cn)
+        keep = np.flatnonzero(supp_nation != cust_nation)
+        take = pa.array(keep)
+        return pa.table({
+            "supp_nation": pa.array(supp_nation[keep].tolist(),
+                                    pa.string()),
+            "cust_nation": pa.array(cust_nation[keep].tolist(),
+                                    pa.string()),
+            "l_year": b["l_year"].take(take),
+            "revenue_e6": b["revenue_e6"].take(take)})
+
+    lab = j.map_batches(_label, batch_format="pyarrow")
+    return grouped_sum_parts(lab, ["supp_nation", "cust_nation",
+                                   "l_year"], ["revenue_e6"],
+                             count_col=None, fanin=4)
+
+
+VOLUME_SHIPPING_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+            AS BIGINT) AS revenue_e6
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q_market_share_year(sf_dir: str):
+    """TPC-H-Q8-style market share, kept EXACT by returning the share
+    as a rational: per ship year, NATION_2's supplier revenue
+    (numerator) and all-supplier revenue (denominator) over PROMO-type
+    parts ordered by ASIA-region customers. Shape: part is a REAL hash
+    join (the type slice is still corpus-scale at 100 TB), orders
+    hash-joins customer, supplier/nation are tiny captured lookups; the
+    numerator rides the same grouped sum as the denominator via an
+    indicator multiply — one exchange, two sums."""
+    from ...stages.graph import grouped_sum_parts
+
+    nat = _read_parquet_clean(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"]).take_all()
+    nkey = np.array([int(r["n_nationkey"]) for r in nat], np.int64)
+    nreg = np.array([int(r["n_regionkey"]) for r in nat], np.int64)
+    nname = np.array([r["n_name"] for r in nat], dtype=object)
+    reg_get = _np_lookup(nkey, nreg)
+    name_get = _np_lookup(nkey, nname)
+    sup = _read_parquet_clean(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"]).take_all()
+    s_get = _np_lookup(
+        np.array([int(r["s_suppkey"]) for r in sup], np.int64),
+        np.array([int(r["s_nationkey"]) for r in sup], np.int64))
+    asia = 2  # region ASIA
+
+    part = _read_parquet_clean(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_type"]).map_batches(
+        lambda b: b.filter(pc.equal(b["p_type"], "PROMO"))
+        .select(["p_partkey"]), batch_format="pyarrow")
+    cust = _read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: b.filter(pa.array(
+            reg_get(b["c_nationkey"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64)) == asia))
+        .select(["c_custkey"]), batch_format="pyarrow")
+    orders = _read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    oc = orders.join(cust, join_type="inner", num_partitions=4,
+                     on=("o_custkey",), right_on=("c_custkey",))
+
+    def _line(b: pa.Table) -> pa.Table:
+        yr = pc.cast(pc.year(b["l_shipdate"]), pa.int64())
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_partkey": b["l_partkey"],
+                         "l_suppkey": b["l_suppkey"],
+                         "l_year": yr, "revenue_e6": _rev_e6(b)})
+
+    line = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"]).map_batches(
+        _line, batch_format="pyarrow")
+    lp = line.join(part, join_type="inner", num_partitions=4,
+                   on=("l_partkey",), right_on=("p_partkey",))
+    j = lp.join(oc, join_type="inner", num_partitions=4,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def _split(b: pa.Table) -> pa.Table:
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        is_nat = (name_get(s_get(sk)) == "NATION_2").astype(np.int64)
+        rev = b["revenue_e6"].to_numpy(zero_copy_only=False)
+        return pa.table({"l_year": b["l_year"],
+                         "nation_volume_e6": pa.array(rev * is_nat),
+                         "total_volume_e6": b["revenue_e6"]})
+
+    lab = j.map_batches(_split, batch_format="pyarrow")
+    return grouped_sum_parts(lab, ["l_year"],
+                             ["nation_volume_e6", "total_volume_e6"],
+                             count_col=None, fanin=2)
+
+
+MARKET_SHARE_SQL = """
+SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CASE WHEN sn.n_name = 'NATION_2'
+                THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+                ELSE 0 END) AS BIGINT) AS nation_volume_e6,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+            AS BIGINT) AS total_volume_e6
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE p_type = 'PROMO' AND cn.n_regionkey = 2
+GROUP BY 1
+"""
