@@ -1709,3 +1709,19 @@ QUERIES["volume_shipping_pairs"] = q_volume_shipping_pairs
 ORACLE_SQL["volume_shipping_pairs"] = VOLUME_SHIPPING_SQL
 QUERIES["market_share_year"] = q_market_share_year
 ORACLE_SQL["market_share_year"] = MARKET_SHARE_SQL
+
+from .ext_round5c import (  # noqa: E402
+    CLOSENESS_SQL,
+    q_closeness_docs,
+)
+
+QUERIES["closeness_docs"] = q_closeness_docs
+ORACLE_SQL["closeness_docs"] = CLOSENESS_SQL
+
+from .ext_round5c import (  # noqa: E402
+    BRAND_QTY_SQL,
+    q_brand_qty_revenue,
+)
+
+QUERIES["brand_qty_revenue"] = q_brand_qty_revenue
+ORACLE_SQL["brand_qty_revenue"] = BRAND_QTY_SQL

@@ -515,3 +515,230 @@ JOIN nation cn ON c_nationkey = cn.n_nationkey
 WHERE p_type = 'PROMO' AND cn.n_regionkey = 2
 GROUP BY 1
 """
+
+
+def q_closeness_docs(sf_dir: str):
+    """Closeness centrality from a fixed 8-seed set over the same
+    deterministic variable-degree undirected link graph as
+    ``bfs_hops_docs``/``kcore_docs``: per seed, the count of OTHER
+    reachable nodes and the exact sum of hop distances — closeness
+    stays a rational (n_reach, sum_hops), never a float division.
+    Multi-source labeled frontier BFS: each round ONE broadcast of the
+    combined (seed, node) frontier (``ray.put``) and one map over the
+    partition-deduped edge Dataset emits the next ring per seed;
+    visited state accumulates driver-side under the bounded-node
+    contract documented for the BFS family (|seeds| x |nodes| ids — at
+    100 TB, seeds are a handful of probe points, not the corpus)."""
+    import pyarrow.parquet as _pq
+    import ray as _ray
+
+    from ...arrow_utils import stable_part_codes
+
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    seeds = list(range(8))
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"]).repartition(4)
+
+    def _edges(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs, dsts = [], []
+        for j in range(1, 7):
+            m = j <= 1 + d % 6
+            s = d[m]
+            t = (s * 31 + 97 * j) % n
+            keep = s != t
+            srcs.append(np.minimum(s[keep], t[keep]))
+            dsts.append(np.maximum(s[keep], t[keep]))
+        return pa.table({"u": pa.array(np.concatenate(srcs)),
+                         "v": pa.array(np.concatenate(dsts))})
+
+    mod = 4 * 64
+
+    def _part_u(b: pa.Table) -> pa.Table:
+        h = stable_part_codes(b["u"], None)
+        return b.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _dedup(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.unique(u * np.int64(2 ** 32) + v)
+        return pa.table({"u": pa.array(key // np.int64(2 ** 32)),
+                         "v": pa.array(key % np.int64(2 ** 32))})
+
+    edges = (ds.map_batches(_edges, batch_format="pyarrow")
+             .map_batches(_part_u, batch_format="pyarrow")
+             .repartition(4).groupby("__part")
+             .map_groups(_dedup, batch_format="pyarrow")).materialize()
+
+    visited = {s: {s} for s in seeds}
+    sum_hops = {s: 0 for s in seeds}
+    frontier = {s: {s} for s in seeds}
+    hop = 0
+    while any(frontier.values()):
+        hop += 1
+        fs = np.array([s for s in seeds for _ in frontier[s]], np.int64)
+        fn = np.array([x for s in seeds for x in frontier[s]], np.int64)
+        f_ref = _ray.put((fs, fn))
+
+        def _ring(b: pa.Table) -> pa.Table:
+            sarr, narr = _ray.get(f_ref)
+            u = b["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            # per-seed frontier membership: encode (seed, node) pairs
+            # and probe both edge directions with one searchsorted each
+            enc = np.unique(sarr * np.int64(2 ** 32) + narr)
+            out_s, out_n = [], []
+            for sd in np.unique(sarr):
+                base = sd * np.int64(2 ** 32)
+                lo = np.searchsorted(enc, base)
+                hi = np.searchsorted(enc, base + np.int64(2 ** 32))
+                nodes = enc[lo:hi] - base
+                mu = np.isin(u, nodes)
+                mv = np.isin(v, nodes)
+                nb = np.unique(np.concatenate([v[mu], u[mv]]))
+                out_s.append(np.full(len(nb), sd, np.int64))
+                out_n.append(nb)
+            if not out_s:
+                return pa.table({"seed": pa.array([], pa.int64()),
+                                 "node": pa.array([], pa.int64())})
+            return pa.table({"seed": pa.array(np.concatenate(out_s)),
+                             "node": pa.array(np.concatenate(out_n))})
+
+        rings = edges.map_batches(_ring, batch_format="pyarrow") \
+            .take_all()
+        nxt = {s: set() for s in seeds}
+        for r in rings:
+            sd, nd = int(r["seed"]), int(r["node"])
+            if nd not in visited[sd]:
+                nxt[sd].add(nd)
+        for s in seeds:
+            visited[s] |= nxt[s]
+            sum_hops[s] += hop * len(nxt[s])
+        frontier = nxt
+        if hop > 64:
+            raise RuntimeError("closeness bfs exceeded diameter bound")
+    return pa.table({
+        "seed": pa.array(seeds, pa.int64()),
+        "n_reach": pa.array([len(visited[s]) - 1 for s in seeds],
+                            pa.int64()),
+        "sum_hops": pa.array([sum_hops[s] for s in seeds], pa.int64())})
+
+
+CLOSENESS_SQL = """
+WITH RECURSIVE nn AS (SELECT count(*) AS c FROM documents),
+e0 AS (
+    SELECT doc_id AS src,
+           (doc_id * 31 + 97 * j) % (SELECT c FROM nn) AS dst
+    FROM documents, unnest([1, 2, 3, 4, 5, 6]) t(j)
+    WHERE j <= 1 + doc_id % 6
+),
+und AS (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM e0 WHERE src <> dst
+),
+ed AS (
+    SELECT u AS src, v AS dst FROM und
+    UNION ALL
+    SELECT v, u FROM und
+),
+reach(seed, node, hop) AS (
+    SELECT CAST(s AS BIGINT), CAST(s AS BIGINT), CAST(0 AS BIGINT)
+    FROM unnest([0, 1, 2, 3, 4, 5, 6, 7]) t(s)
+    UNION
+    SELECT r.seed, ed.dst, r.hop + 1
+    FROM reach r JOIN ed ON ed.src = r.node
+    WHERE r.hop < 15
+),
+m AS (
+    SELECT seed, node, min(hop) AS hop FROM reach GROUP BY 1, 2
+)
+SELECT seed, CAST(count(*) - 1 AS BIGINT) AS n_reach,
+       CAST(sum(hop) AS BIGINT) AS sum_hops
+FROM m GROUP BY seed
+"""
+
+
+def q_brand_qty_revenue(sf_dir: str):
+    """TPC-H-Q19-style three-branch compound predicate: exact e6
+    revenue and line count over (brand, quantity-range, size-range)
+    disjunctions evaluated AFTER one hash join of lineitem against the
+    projected part dimension — the predicate is a single vectorized
+    Arrow expression per batch (three AND-chains OR-ed), never a row
+    loop, and the join carries only (p_brand, p_size)."""
+
+    def _part(b: pa.Table) -> pa.Table:
+        return pa.table({"p_partkey": b["p_partkey"],
+                         "p_brand": b["p_brand"],
+                         "p_size": b["p_size"]})
+
+    part = _read_parquet_clean(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"]).map_batches(
+        _part, batch_format="pyarrow")
+
+    def _line(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": b["l_partkey"],
+            "qty": pc.cast(pc.round(b["l_quantity"], ndigits=0),
+                           pa.int64()),
+            "revenue_e6": _rev_e6(b)})
+
+    line = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"]).map_batches(_line, batch_format="pyarrow")
+    j = line.join(part, join_type="inner", num_partitions=4,
+                  on=("l_partkey",), right_on=("p_partkey",))
+
+    def _branch(b, brand, qlo, qhi, slo, shi):
+        sz = pc.cast(b["p_size"], pa.int64())
+        return pc.and_(
+            pc.and_(pc.equal(b["p_brand"], brand),
+                    pc.and_(pc.greater_equal(
+                        b["qty"], pa.scalar(qlo, pa.int64())),
+                        pc.less_equal(b["qty"],
+                                      pa.scalar(qhi, pa.int64())))),
+            pc.and_(pc.greater_equal(sz, pa.scalar(slo, pa.int64())),
+                    pc.less_equal(sz, pa.scalar(shi, pa.int64()))))
+
+    def _filt(b: pa.Table) -> pa.Table:
+        keep = pc.or_(pc.or_(
+            _branch(b, "Brand#1", 1, 11, 1, 5),
+            _branch(b, "Brand#2", 10, 20, 1, 10)),
+            _branch(b, "Brand#3", 20, 30, 1, 15))
+        t = b.filter(keep)
+        rev = t["revenue_e6"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "revenue_e6": pa.array([int(rev.sum())], pa.int64()),
+            "n_lines": pa.array([t.num_rows], pa.int64())})
+
+    parts = j.map_batches(_filt, batch_format="pyarrow").take_all()
+    return pa.table({
+        "revenue_e6": pa.array(
+            [sum(int(r["revenue_e6"]) for r in parts)], pa.int64()),
+        "n_lines": pa.array(
+            [sum(int(r["n_lines"]) for r in parts)], pa.int64())})
+
+
+BRAND_QTY_SQL = """
+SELECT CAST(COALESCE(sum(
+           CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (10000 - CAST(round(l_discount * 10000) AS BIGINT))), 0)
+           AS BIGINT) AS revenue_e6,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1'
+       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11
+       AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#2'
+       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20
+       AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#3'
+       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30
+       AND p_size BETWEEN 1 AND 15)
+"""
