@@ -1725,3 +1725,23 @@ from .ext_round5c import (  # noqa: E402
 
 QUERIES["brand_qty_revenue"] = q_brand_qty_revenue
 ORACLE_SQL["brand_qty_revenue"] = BRAND_QTY_SQL
+
+from .ext_round5d import (  # noqa: E402
+    BOLLINGER_SQL,
+    DRAWDOWN_SQL,
+    HAMPEL_SQL,
+    RSI_SQL,
+    q_bollinger_1h,
+    q_drawdown_1h,
+    q_hampel_15m,
+    q_rsi_1h,
+)
+
+QUERIES["hampel_15m"] = q_hampel_15m
+ORACLE_SQL["hampel_15m"] = HAMPEL_SQL
+QUERIES["bollinger_1h"] = q_bollinger_1h
+ORACLE_SQL["bollinger_1h"] = BOLLINGER_SQL
+QUERIES["drawdown_1h"] = q_drawdown_1h
+ORACLE_SQL["drawdown_1h"] = DRAWDOWN_SQL
+QUERIES["rsi_1h"] = q_rsi_1h
+ORACLE_SQL["rsi_1h"] = RSI_SQL
