@@ -1745,3 +1745,19 @@ QUERIES["drawdown_1h"] = q_drawdown_1h
 ORACLE_SQL["drawdown_1h"] = DRAWDOWN_SQL
 QUERIES["rsi_1h"] = q_rsi_1h
 ORACLE_SQL["rsi_1h"] = RSI_SQL
+
+from .ext_round5e import (  # noqa: E402
+    CONTAINMENT_SQL,
+    HEAPS_SQL,
+    MISRA_GRIES_SQL,
+    q_containment_docs,
+    q_heaps_law_docs,
+    q_misra_gries_terms,
+)
+
+QUERIES["containment_docs"] = q_containment_docs
+ORACLE_SQL["containment_docs"] = CONTAINMENT_SQL
+QUERIES["heaps_law_docs"] = q_heaps_law_docs
+ORACLE_SQL["heaps_law_docs"] = HEAPS_SQL
+QUERIES["misra_gries_terms"] = q_misra_gries_terms
+ORACLE_SQL["misra_gries_terms"] = MISRA_GRIES_SQL

@@ -1171,3 +1171,130 @@ def dedup_against(new_ds, base_ds, *, text_col: str = "text",
         return pa.table({id_col: b["id"], "seen_in_base": b["seen_in_base"]})
 
     return out.map_batches(_rename, batch_format="pyarrow")
+
+
+def containment_pairs(ds, *, id_col: str = "doc_id",
+                      text_col: str = "text", w: int = 3,
+                      df_cap: int = 64, num_partitions: int = 8):
+    """Shingle-CONTAINMENT near-dup join (Broder 1997's asymmetric
+    resemblance companion): for every document pair sharing at least one
+    informative w-gram shingle, the exact intersection size over the
+    INFORMATIVE shingle vocabulary — shingles with document frequency in
+    ``[2, df_cap]`` (df=1 can't be shared; df > df_cap is boilerplate,
+    and the cap is part of the operator's definition so the SQL oracle
+    replays it) — plus per-side informative-set sizes and the
+    containment flags ``2*inter >= sz`` (t=0.5), kept when either side
+    is contained. Catches the sub-document case Jaccard misses: a short
+    doc fully embedded in a long one has high containment but low
+    Jaccard.
+
+    Scale shape: same md5/31-bit shingle ring as MinHash (collisions
+    replayed in SQL), map-side per-doc distinct shingles, ONE
+    hash(gram) shuffle whose reducers drop df outside [2, df_cap] —
+    bounding every gram bucket at df_cap so pair emission is
+    O(df_cap^2) per gram, never corpus-quadratic — a second pass over
+    the SAME partitioned postings emits segmented within-gram pairs,
+    one hashpart pair count, and two bounded hash joins attach the
+    per-doc sizes. The df cap is the documented partitioning
+    assumption (boilerplate shingles carry no dedup signal)."""
+    from .graph import grouped_sum_parts
+
+    def _posts(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uh, inv, off = _hash_tokens_batch(texts, None)
+        th = uh[inv]
+        gs, ds_ = [], []
+        for i in range(len(texts)):
+            seg = th[off[i]:off[i + 1]]
+            if len(seg) == 0:
+                continue
+            if len(seg) < w:
+                sh = np.array([_stable_u64(
+                    " ".join(texts[i].split()).encode()) & _MERSENNE],
+                    dtype=np.uint64)
+            else:
+                sh = _shingles_from_hashes(seg, w)
+            gs.append(sh)
+            ds_.append(np.full(len(sh), ids[i], np.int64))
+        if not gs:
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "doc": pa.array([], pa.int64())})
+        return pa.table({
+            "g": pa.array(np.concatenate(gs).view(np.int64)),
+            "doc": pa.array(np.concatenate(ds_))})
+
+    mod = num_partitions * 64
+    _add_part = make_add_part("g", mod)
+
+    def _df_filter(gr: pa.Table) -> pa.Table:
+        t = gr.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "doc": pa.array([], pa.int64())})
+        t = t.take(pc.sort_indices(t, sort_keys=[("g", "ascending"),
+                                                 ("doc", "ascending")]))
+        g = t["g"].to_numpy(zero_copy_only=False)
+        n = len(g)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(g[1:] != g[:-1]) + 1])
+        counts = np.diff(np.concatenate([starts, [n]]))
+        keep_grp = (counts >= 2) & (counts <= df_cap)
+        keep = np.repeat(keep_grp, counts)
+        return t.filter(pa.array(keep))
+
+    posts = ds.map_batches(_posts, batch_format="pyarrow")
+    parted = posts.map_batches(_add_part, batch_format="pyarrow")
+    kept = parted.repartition(num_partitions).groupby("__part").map_groups(
+        _df_filter, batch_format="pyarrow").materialize()  # reused 2x
+
+    sizes = grouped_sum_parts(kept, ["doc"], [], count_col="sz", fanin=4)
+
+    def _pairs(gr: pa.Table) -> pa.Table:
+        t = gr.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        t = t.take(pc.sort_indices(t, sort_keys=[("g", "ascending"),
+                                                 ("doc", "ascending")]))
+        g = t["g"].to_numpy(zero_copy_only=False)
+        ids = t["doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = np.zeros(len(g), np.int64)
+        if len(g):
+            codes[1:] = np.cumsum(g[1:] != g[:-1])
+        a, b = _segmented_pairs(ids, codes, None)
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    reparted = kept.map_batches(_add_part, batch_format="pyarrow")
+    pairs = reparted.repartition(num_partitions).groupby(
+        "__part").map_groups(_pairs, batch_format="pyarrow")
+    inter = grouped_sum_parts(pairs, ["a", "b"], [], count_col="inter",
+                              fanin=4)
+
+    def _sz_as(name: str):
+        def _f(b: pa.Table) -> pa.Table:
+            return pa.table({f"doc_{name}": b["doc"], name: b["sz"]})
+        return _f
+
+    j = inter.join(sizes.map_batches(_sz_as("sz_a"),
+                                     batch_format="pyarrow"),
+                   join_type="inner", num_partitions=4,
+                   on=("a",), right_on=("doc_sz_a",))
+    j = j.join(sizes.map_batches(_sz_as("sz_b"), batch_format="pyarrow"),
+               join_type="inner", num_partitions=4,
+               on=("b",), right_on=("doc_sz_b",))
+
+    def _flags(b: pa.Table) -> pa.Table:
+        inter_v = b["inter"].to_numpy(zero_copy_only=False)
+        sa = b["sz_a"].to_numpy(zero_copy_only=False)
+        sb = b["sz_b"].to_numpy(zero_copy_only=False)
+        keep = 2 * inter_v >= np.minimum(sa, sb)
+        t = pa.table({
+            "a": b["a"], "b": b["b"], "inter": b["inter"],
+            "sz_a": pa.array(sa.astype(np.int64)),
+            "sz_b": pa.array(sb.astype(np.int64)),
+            "cont_a": pa.array((2 * inter_v >= sa).astype(np.int64)),
+            "cont_b": pa.array((2 * inter_v >= sb).astype(np.int64))})
+        return t.filter(pa.array(keep))
+
+    return j.map_batches(_flags, batch_format="pyarrow")

@@ -426,3 +426,82 @@ def log2hist_quantiles(ds, *, key_col: str, value_col: str,
     parted = ds.map_batches(_partial, batch_format="pyarrow")
     return parted.repartition(fanin).groupby("__part").map_groups(
         _finalize, batch_format="pyarrow")
+
+
+def misra_gries_heavy(ds, *, m: int = 64, text_col: str = "text",
+                      fanin: int = 4):
+    """Misra-Gries heavy hitters over corpus tokens: EVERY token whose
+    exact corpus count exceeds N/(m+1), found with bounded state. The
+    MG guarantee makes the candidate + exact-recount layout exact: any globally-heavy
+    token (count * (m+1) > N) is heavy in at least one block
+    (pigeonhole over count = sum of block counts), so the union of
+    per-block guarantee sets {t : count_b(t) * (m+1) > N_b} — each at
+    most m tokens, computed from the block's exact dictionary-encoded
+    counts — is a PROVEN superset of the answer. That bounded candidate
+    set (<= blocks * m) is unioned on the driver, broadcast once
+    (``ray.put``), exactly recounted map-side (tokens never shuffle —
+    only <= |candidates| partial rows do), and thresholded. Output is
+    deterministic regardless of block order — unlike a streamed MG
+    summary, whose residual counters are merge-order-dependent.
+    """
+    import ray as _ray
+
+    from .graph import grouped_sum_parts
+
+    if m < 1:
+        raise ValueError("m must be >= 1")
+
+    def _block_heavy(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        flat = [t for x in texts for t in x.split()]
+        if not flat:
+            return pa.table({"token": pa.array([], pa.string())})
+        enc = pa.array(flat, pa.string()).dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(idx, minlength=len(enc.dictionary))
+        nb = len(flat)
+        heavy = np.flatnonzero(cnt * (m + 1) > nb)
+        return pa.table({"token": enc.dictionary.take(
+            pa.array(heavy, pa.int64()))})
+
+    cand_parts = ds.map_batches(_block_heavy,
+                                batch_format="pyarrow").to_arrow_refs()
+    cand_tbl = pa.concat_tables([_ray.get(r) for r in cand_parts])
+    cands = pa.compute.unique(cand_tbl["token"].combine_chunks())
+    cand_ref = _ray.put(cands)
+
+    def _recount(b: pa.Table) -> pa.Table:
+        cset = _ray.get(cand_ref)
+        texts = b[text_col].to_pylist()
+        flat = [t for x in texts for t in x.split()]
+        if not flat:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        arr = pa.array(flat, pa.string())
+        hit = arr.filter(pa.compute.is_in(arr, value_set=cset))
+        enc = hit.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(idx, minlength=len(enc.dictionary))
+        return pa.table({"token": enc.dictionary,
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    # exact candidate recount: <= |candidates| rows per block
+    partials = ds.map_batches(_recount, batch_format="pyarrow")
+    summed = grouped_sum_parts(partials, ["token"], ["cnt"],
+                               count_col=None, fanin=fanin).materialize()
+
+    # global N: one tiny map partial + bounded scalar sum
+    def _n(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        nb = sum(len(x.split()) for x in texts)
+        return pa.table({"nb": pa.array([nb], pa.int64())})
+
+    n_total = ds.map_batches(_n, batch_format="pyarrow").sum("nb") or 0
+
+    def _thresh(b: pa.Table) -> pa.Table:
+        cnt = b["cnt"].to_numpy(zero_copy_only=False)
+        keep = cnt * (m + 1) > n_total
+        t = pa.table({"token": b["token"], "cnt": b["cnt"]})
+        return t.filter(pa.array(keep))
+
+    return summed.map_batches(_thresh, batch_format="pyarrow")

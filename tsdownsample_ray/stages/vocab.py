@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..arrow_utils import rename_agg, stable_part_codes
+from ..arrow_utils import make_add_part, rename_agg, stable_part_codes
 
 __all__ = ["build_vocab", "term_drift", "bigram_familiarity"]
 
@@ -231,3 +231,94 @@ def bigram_familiarity(ds, *, text_col: str = "text",
             "fam_mean_pm": pa.array((1000 * fam) // n)})
 
     return per_doc.map_batches(_final, batch_format="pyarrow")
+
+
+def heaps_law(ds, n_total: int, *, deciles: int = 10,
+              text_col: str = "text", id_col: str = "doc_id",
+              num_partitions: int = 8):
+    """Heaps'-law vocabulary-growth audit: split the corpus into
+    ``deciles`` deterministic slices (``doc_id * deciles // n_total``)
+    and report, per slice boundary, the CUMULATIVE token count and the
+    CUMULATIVE distinct-vocabulary size — the V(n) ~ K * n^beta curve a
+    tokenizer-budget decision reads. Exact, not sketched.
+
+    Scale shape: a token first contributes to the vocabulary at its
+    MINIMUM decile, so the cumulative-distinct curve needs only one
+    map-side (token -> min decile) partial per block, ONE hash(token)
+    shuffle to merge mins, and a <= ``deciles``-row count per first
+    decile; the token-volume side is a map-side (decile, n) partial with
+    a tree combine. The final cumulative sums run over ``deciles`` rows
+    on the driver — never a growing-prefix recount (which would be
+    O(deciles) full passes)."""
+    from .graph import grouped_sum_parts
+
+    if n_total < 1:
+        raise ValueError("n_total must be >= 1")
+
+    def _dec(ids: np.ndarray) -> np.ndarray:
+        return ids.astype(np.int64) * deciles // n_total
+
+    def _tok_partial(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        dec = _dec(b[id_col].to_numpy(zero_copy_only=False))
+        toks_per = [t.split() for t in texts]
+        counts = np.fromiter((len(t) for t in toks_per), np.int64,
+                             count=len(toks_per))
+        return pa.table({"decile": pa.array(dec),
+                         "n_tok": pa.array(counts)})
+
+    def _vocab_partial(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        dec = _dec(b[id_col].to_numpy(zero_copy_only=False))
+        toks_per = [t.split() for t in texts]
+        flat = [tok for toks in toks_per for tok in toks]
+        if not flat:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "d0": pa.array([], pa.int64())})
+        rep = np.repeat(dec, np.fromiter(
+            (len(t) for t in toks_per), np.int64, count=len(toks_per)))
+        t = pa.table({"token": pa.array(flat, pa.string()),
+                      "d0": pa.array(rep)})
+        # in-block pre-reduce: one row per (block-distinct token)
+        agg = t.group_by("token").aggregate([("d0", "min")])
+        return pa.table({"token": agg["token"], "d0": agg["d0_min"]})
+
+    # token volume per decile: tiny key space -> map partial + tree merge
+    vol = ds.map_batches(_tok_partial, batch_format="pyarrow")
+    vol_t = grouped_sum_parts(vol, ["decile"], ["n_tok"], count_col=None,
+                              fanin=2).to_arrow_refs()
+    import ray as _ray
+
+    vol_tbl = pa.concat_tables([_ray.get(r) for r in vol_t])
+
+    # vocab first-decile: ONE hash(token) shuffle merging min(d0)
+    mod = num_partitions * 64
+    _add_part = make_add_part("token", mod)
+
+    def _min_d0(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        m = t.group_by("token").aggregate([("d0", "min")])
+        cnt = m["d0_min"].to_numpy(zero_copy_only=False)
+        out = np.bincount(cnt, minlength=deciles)[:deciles]
+        return pa.table({"d0": pa.array(np.arange(deciles, dtype=np.int64)),
+                         "n_new": pa.array(out.astype(np.int64))})
+
+    parts = ds.map_batches(_vocab_partial, batch_format="pyarrow") \
+        .map_batches(_add_part, batch_format="pyarrow") \
+        .repartition(num_partitions).groupby("__part") \
+        .map_groups(_min_d0, batch_format="pyarrow").to_arrow_refs()
+    newv = pa.concat_tables([_ray.get(r) for r in parts])
+
+    # bounded driver finalize: deciles rows
+    n_new = np.zeros(deciles, np.int64)
+    d0 = newv["d0"].to_numpy(zero_copy_only=False)
+    nn = newv["n_new"].to_numpy(zero_copy_only=False)
+    np.add.at(n_new, d0, nn)
+    n_tok = np.zeros(deciles, np.int64)
+    vd = vol_tbl["decile"].to_numpy(zero_copy_only=False)
+    vn = vol_tbl["n_tok"].to_numpy(zero_copy_only=False)
+    np.add.at(n_tok, np.clip(vd, 0, deciles - 1), vn)
+    return pa.table({
+        "decile": pa.array(np.arange(deciles, dtype=np.int64)),
+        "cum_tokens": pa.array(np.cumsum(n_tok)),
+        "cum_vocab": pa.array(np.cumsum(n_new))})
