@@ -1761,3 +1761,11 @@ QUERIES["heaps_law_docs"] = q_heaps_law_docs
 ORACLE_SQL["heaps_law_docs"] = HEAPS_SQL
 QUERIES["misra_gries_terms"] = q_misra_gries_terms
 ORACLE_SQL["misra_gries_terms"] = MISRA_GRIES_SQL
+
+from .ext_round5e import (  # noqa: E402
+    PQ_RECALL_SQL,
+    q_pq_recall_embeddings,
+)
+
+QUERIES["pq_recall_embeddings"] = q_pq_recall_embeddings
+ORACLE_SQL["pq_recall_embeddings"] = PQ_RECALL_SQL

@@ -151,3 +151,122 @@ SELECT token, CAST(count(*) AS BIGINT) AS cnt
 FROM tk GROUP BY token
 HAVING count(*) * 65 > (SELECT n FROM n_)
 """
+
+
+def q_pq_recall_embeddings(sf_dir: str):
+    """Product-quantization top-1 recall audit
+    (``stages/similarity.py:pq_recall``): 4 subspaces x 4 codewords
+    trained with the bit-deterministic integer Lloyd kmeans, ADC
+    scoring against 8 fixed queries, exact-distance ground truth and
+    the hit flag — all integer, the SQL oracle replays every kmeans
+    iteration per subspace plus the ADC lookup."""
+    from ...stages.similarity import pq_recall
+
+    ds = _read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"]).repartition(4)
+    return pq_recall(ds, n_sub=4, k=4, updates=1, scale=1000,
+                     n_queries=8, num_partitions=4)
+
+
+def _pq_sql(n_sub: int = 4, k: int = 4, updates: int = 1,
+            scale: int = 1000, dim: int = 64, n_queries: int = 8) -> str:
+    dsub = dim // n_sub
+
+    def _d2(a: str, b: str) -> str:
+        return (f"list_dot_product({a}, {a}) + list_dot_product({b}, {b})"
+                f" - 2 * list_dot_product({a}, {b})")
+
+    ctes = [f"""q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(trunc(CAST(x AS DOUBLE) * {scale}) AS BIGINT))
+               AS v
+    FROM embeddings
+)"""]
+    code_joins, adc_terms = [], []
+    for s in range(n_sub):
+        p = f"s{s}_"
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        ctes.append(f"""{p}q AS (
+    SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM q
+)""")
+        ctes.append(
+            f"{p}c0 AS (SELECT vec_id AS k, v FROM {p}q"
+            f" WHERE vec_id < {k})")
+        d2qc = _d2("q.v", "c.v")
+
+        def _assign(name: str, cprev: str) -> str:
+            return f"""{name} AS (
+    SELECT vec_id, k FROM (
+        SELECT q.vec_id, c.k,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {d2qc}, c.k) AS rn
+        FROM {p}q q CROSS JOIN {cprev} c)
+    WHERE rn = 1
+)"""
+
+        cprev = f"{p}c0"
+        for it in range(1, updates + 1):
+            ctes.append(_assign(f"{p}a{it}", cprev))
+            ctes.append(f"""{p}s{it} AS (
+    SELECT a.k, r.range AS i, CAST(sum(q.v[r.range]) AS BIGINT) AS s,
+           count(*) AS n
+    FROM {p}a{it} a JOIN {p}q q USING (vec_id)
+    CROSS JOIN range(1, {dsub + 1}) r
+    GROUP BY a.k, r.range
+)""")
+            ctes.append(f"""{p}c{it} AS (
+    SELECT pv.k, list(CASE WHEN s.n IS NULL THEN pv.v[r.range]
+                           ELSE s.s // s.n END ORDER BY r.range) AS v
+    FROM {cprev} pv CROSS JOIN range(1, {dsub + 1}) r
+    LEFT JOIN {p}s{it} s ON s.k = pv.k AND s.i = r.range
+    GROUP BY pv.k
+)""")
+            cprev = f"{p}c{it}"
+        ctes.append(_assign(f"{p}af", cprev))
+        code_joins.append(f"JOIN {p}af a{s} ON a{s}.vec_id = x.vec_id")
+        adc_terms.append(
+            f"({_d2(f'list_slice(qry.v, {lo}, {hi})', f'c{s}.v')})")
+    cent_joins = "\n    ".join(
+        f"JOIN s{s}_c{updates} c{s} ON c{s}.k = a{s}.k"
+        for s in range(n_sub))
+    a_joins = "\n    ".join(code_joins)
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+qry AS (SELECT vec_id AS qid, v FROM q WHERE vec_id < {n_queries}),
+x AS (SELECT vec_id FROM q),
+adc AS (
+    SELECT qry.qid, x.vec_id,
+           CAST({" + ".join(adc_terms)} AS BIGINT) AS adc_d2
+    FROM x CROSS JOIN qry
+    {a_joins}
+    {cent_joins}
+    WHERE x.vec_id <> qry.qid
+),
+exact AS (
+    SELECT qry.qid, q.vec_id, CAST({_d2("q.v", "qry.v")} AS BIGINT)
+               AS ex_d2
+    FROM q CROSS JOIN qry WHERE q.vec_id <> qry.qid
+),
+ar AS (
+    SELECT qid, vec_id AS adc_id, adc_d2,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY adc_d2, vec_id) AS rn
+    FROM adc
+),
+er AS (
+    SELECT qid, vec_id AS exact_id, ex_d2,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY ex_d2, vec_id) AS rn
+    FROM exact
+)
+SELECT a.qid, a.adc_id, a.adc_d2, e.exact_id,
+       e.ex_d2 AS exact_d2,
+       CAST(a.adc_id = e.exact_id AS BIGINT) AS hit
+FROM ar a JOIN er e USING (qid)
+WHERE a.rn = 1 AND e.rn = 1
+"""
+
+
+PQ_RECALL_SQL = _pq_sql()

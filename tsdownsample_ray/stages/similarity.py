@@ -18,7 +18,7 @@ import pyarrow as pa
 __all__ = ["embedding_matrix", "knn_bruteforce", "train_ivf_centroids",
            "assign_lists_batch", "knn_ivf", "embedding_near_dup_pairs",
            "kmeans_integer", "embedding_covariance", "centroid_classify",
-           "semantic_prune"]
+           "semantic_prune", "pq_recall"]
 
 
 def embedding_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
@@ -361,7 +361,7 @@ def embedding_near_dup_pairs_exact(ds, *, tau_num: int = 4,
 
 def kmeans_integer(ds, *, k: int = 4, updates: int = 2, scale: int = 1000,
                    id_col: str = "vec_id", col: str = "embedding",
-                   num_partitions: int = 4):
+                   num_partitions: int = 4, centroids_only: bool = False):
     """Integer Lloyd k-means over an embedding column — the clustering
     workhorse behind IVF index builds, dataset balancing and topic
     bucketing — made bit-deterministic so the WHOLE iteration replays in
@@ -462,6 +462,9 @@ def kmeans_integer(ds, *, k: int = 4, updates: int = 2, scale: int = 1000,
                 newC[row["k"], row["i"]] = (s // nn if s >= 0
                                             else -((-s) // nn))
         C = newC
+
+    if centroids_only:  # PQ/IVF codebook training: k x d ints, no assign pass
+        return C
 
     cref = ray.put(C)
 
@@ -698,3 +701,138 @@ def semantic_prune(assigned, *, keep: int = 32):
     return (assigned.map_batches(_local, batch_format="pyarrow")
             .groupby("cluster").map_groups(_final,
                                            batch_format="pyarrow"))
+
+
+def pq_recall(ds, *, n_sub: int = 4, k: int = 4, updates: int = 1,
+              scale: int = 1000, n_queries: int = 8,
+              id_col: str = "vec_id", col: str = "embedding",
+              num_partitions: int = 4):
+    """Product-quantization top-1 recall audit (Jegou et al. 2011 —
+    the FAISS-style memory-scaling path for ANN): the embedding space
+    splits into ``n_sub`` contiguous subspaces, each trained with the
+    SAME bit-deterministic integer Lloyd kmeans as
+    :func:`kmeans_integer` (``centroids_only=True``); every vector is
+    coded by its per-subspace nearest centroid, and queries score
+    candidates with the exact ADC (asymmetric distance computation)
+    lookup — sum over subspaces of the integer d2 between the query
+    subvector and the candidate's codeword. Output: per query (ids
+    ``< n_queries``, self excluded) the ADC top-1, the exact-distance
+    top-1 over the same quantized vectors, and the hit flag — the
+    recall measurement that decides a PQ deployment.
+
+    Distributed shape: ``n_sub`` small codebook trainings (each the
+    kmeans partial-sum pattern; codebooks are k x d/n_sub ints held on
+    the driver and broadcast ONCE with the per-query LUTs — n_queries x
+    k x n_sub ints), then ONE streaming pass codes every vector and
+    emits only each block's per-query best (adc, exact) rows
+    (<= n_queries rows per block); a tiny final merge picks the global
+    argmin with (distance, id) tie-breaks. Vectors never shuffle.
+    """
+    import ray
+
+    if n_sub < 1 or k < 1 or n_queries < 1:
+        raise ValueError("n_sub, k, n_queries must be >= 1")
+
+    first = ds.take(1)
+    if not first:
+        raise ValueError("pq_recall: empty dataset")
+    d = len(first[0][col])
+    if d % n_sub:
+        raise ValueError(f"dim {d} not divisible by n_sub {n_sub}")
+    dsub = d // n_sub
+
+    def _slice(s: int):
+        lo, hi = s * dsub, (s + 1) * dsub
+
+        def _f(b: pa.Table) -> pa.Table:
+            E = embedding_matrix(b, col)
+            if E.size == 0:
+                return pa.table({id_col: b[id_col],
+                                 col: pa.array([], pa.list_(pa.float64()))})
+            sub = np.ascontiguousarray(E[:, lo:hi])
+            off = pa.array(np.arange(0, (len(sub) + 1) * dsub, dsub,
+                                     dtype=np.int32))
+            return pa.table({id_col: b[id_col],
+                             col: pa.ListArray.from_arrays(
+                                 off, pa.array(sub.ravel()))})
+        return _f
+
+    books = [kmeans_integer(
+        ds.map_batches(_slice(s), batch_format="pyarrow"), k=k,
+        updates=updates, scale=scale, id_col=id_col, col=col,
+        num_partitions=num_partitions, centroids_only=True)
+        for s in range(n_sub)]
+
+    # bounded driver read: the n_queries query vectors
+    qrows = ds.filter(expr=f"{id_col} < {n_queries}").take_all()
+    qrows.sort(key=lambda r: r[id_col])
+    qids = np.array([r[id_col] for r in qrows], np.int64)
+    Qq = np.trunc(np.array([r[col] for r in qrows], np.float64)
+                  * scale).astype(np.int64)
+
+    def _d2(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        aa = np.einsum("ij,ij->i", A, A)
+        bb = np.einsum("ij,ij->i", B, B)
+        return aa[:, None] + bb[None, :] - 2 * (A @ B.T)
+
+    luts = np.stack([_d2(Qq[:, s * dsub:(s + 1) * dsub], books[s])
+                     for s in range(n_sub)])  # (n_sub, n_q, k)
+    bref = ray.put((books, luts, qids, Qq))
+    I64MAX = np.iinfo(np.int64).max
+
+    def _score(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "qid": pa.array([], pa.int64()),
+            "adc_id": pa.array([], pa.int64()),
+            "adc_d2": pa.array([], pa.int64()),
+            "exact_id": pa.array([], pa.int64()),
+            "exact_d2": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        Cb, Lut, qi, Qm = ray.get(bref)
+        E = embedding_matrix(b, col)
+        Q = np.trunc(E * scale).astype(np.int64)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        nq = len(qi)
+        adc = np.zeros((len(Q), nq), np.int64)
+        for s in range(len(Cb)):
+            sub = Q[:, s * dsub:(s + 1) * dsub]
+            codes = np.argmin(_d2(sub, Cb[s]), axis=1)
+            adc += Lut[s][:, codes].T  # (n, nq)
+        exact = _d2(Q, Qm)  # (n, nq)
+        self_m = ids[:, None] == qi[None, :]
+        adc[self_m] = I64MAX
+        exact[self_m] = I64MAX
+        out = {"qid": [], "adc_id": [], "adc_d2": [],
+               "exact_id": [], "exact_d2": []}
+        for j in range(nq):  # n_queries is a small constant
+            aj = np.lexsort((ids, adc[:, j]))[0]
+            ej = np.lexsort((ids, exact[:, j]))[0]
+            if adc[aj, j] == I64MAX:  # block held only the query itself
+                continue
+            out["qid"].append(int(qi[j]))
+            out["adc_id"].append(int(ids[aj]))
+            out["adc_d2"].append(int(adc[aj, j]))
+            out["exact_id"].append(int(ids[ej]))
+            out["exact_d2"].append(int(exact[ej, j]))
+        return pa.table({n: pa.array(v, pa.int64())
+                         for n, v in out.items()})
+
+    def _merge(g: pa.Table) -> pa.Table:
+        qid = g["qid"][0]
+        a_d2 = g["adc_d2"].to_numpy(zero_copy_only=False)
+        a_id = g["adc_id"].to_numpy(zero_copy_only=False)
+        e_d2 = g["exact_d2"].to_numpy(zero_copy_only=False)
+        e_id = g["exact_id"].to_numpy(zero_copy_only=False)
+        ai = np.lexsort((a_id, a_d2))[0]
+        ei = np.lexsort((e_id, e_d2))[0]
+        return pa.table({
+            "qid": pa.array([qid.as_py()], pa.int64()),
+            "adc_id": pa.array([int(a_id[ai])], pa.int64()),
+            "adc_d2": pa.array([int(a_d2[ai])], pa.int64()),
+            "exact_id": pa.array([int(e_id[ei])], pa.int64()),
+            "exact_d2": pa.array([int(e_d2[ei])], pa.int64()),
+            "hit": pa.array([int(a_id[ai] == e_id[ei])], pa.int64())})
+
+    return (ds.map_batches(_score, batch_format="pyarrow")
+            .groupby("qid").map_groups(_merge, batch_format="pyarrow"))
