@@ -1769,3 +1769,19 @@ from .ext_round5e import (  # noqa: E402
 
 QUERIES["pq_recall_embeddings"] = q_pq_recall_embeddings
 ORACLE_SQL["pq_recall_embeddings"] = PQ_RECALL_SQL
+
+from .multimodal_curation import (  # noqa: E402
+    AUDIO_FEATURES_SQL,
+    q_audio_features_wav,
+)
+
+QUERIES["audio_features_wav"] = q_audio_features_wav
+ORACLE_SQL["audio_features_wav"] = AUDIO_FEATURES_SQL
+
+from .multimodal_curation import (  # noqa: E402
+    IMAGE_FEATURES_SQL,
+    q_image_features_bmp,
+)
+
+QUERIES["image_features_bmp"] = q_image_features_bmp
+ORACLE_SQL["image_features_bmp"] = IMAGE_FEATURES_SQL

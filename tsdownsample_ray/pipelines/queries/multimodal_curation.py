@@ -450,3 +450,129 @@ FROM documents
 """
 
 
+
+
+def q_audio_features_wav(sf_dir: str):
+    """REAL audio FEATURE EXTRACTION through the actor-pool decode
+    stage (``stages/multimodal.py:audio_frame_features``): WAV payloads
+    built from the documents' own bytes (PCM16 sample i = byte i),
+    decoded with DecodeAudio, then per-256-sample frame the exact
+    integer energy / zero-crossing count / peak over codes centered at
+    128 — the pre-VAD frame features. The SQL oracle replays the
+    features straight off the text bytes (ASCII corpus contract shared
+    by every multimodal oracle here)."""
+    rd = _rd()
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+    from ...stages.multimodal import (DecodeAudio, audio_frame_features,
+                                      encode_wav)
+
+    def _media(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        payloads = [
+            encode_wav(_np.frombuffer(t.encode(), _np.uint8).astype("<i2"))
+            for t in b["text"].to_pylist()]
+        return pa.table({
+            "media_id": b["doc_id"],
+            "kind": pa.array(["audio"] * b.num_rows),
+            "payload": pa.array(payloads, pa.binary()),
+            "duration_ms": pa.array([0] * b.num_rows, pa.int32()),
+        })
+
+    media = ds.map_batches(_media, batch_format="pyarrow", batch_size=256)
+    dec = media.map_batches(DecodeAudio, batch_format="pyarrow",
+                            batch_size=256, concurrency=(1, 8))
+    return audio_frame_features(dec, frame=256, center=128)
+
+
+AUDIO_FEATURES_SQL = """
+WITH ti AS (
+    SELECT doc_id, i,
+           unicode(substring(text, i, 1)) - 128 AS x,
+           (i - 1) // 256 AS fr
+    FROM documents, unnest(range(1, length(text) + 1)) r(i)
+),
+nxt AS (
+    SELECT doc_id, fr, i, x,
+           lead(x) OVER win AS x1, lead(fr) OVER win AS fr1
+    FROM ti WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+)
+SELECT doc_id AS media_id, CAST(fr AS BIGINT) AS frame,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x * x) AS BIGINT) AS energy,
+       CAST(coalesce(sum(CASE WHEN fr1 = fr AND x * x1 < 0
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS zcr,
+       CAST(max(abs(x)) AS BIGINT) AS peak
+FROM nxt GROUP BY doc_id, fr
+"""
+
+
+def q_image_features_bmp(sf_dir: str):
+    """REAL image FEATURE EXTRACTION through the actor-pool decode
+    stage (``stages/multimodal.py:image_brightness_hist``), exercising
+    the BMP codec end-to-end: 8xH 24-bit BMP payloads whose pixel bytes
+    ARE the documents' own bytes (zero-padded to whole rows), decoded
+    with DecodeImage (row-order + BGR roundtrip), then a 4-bin exact
+    brightness histogram per image. The SQL oracle replays the bins off
+    the text bytes plus the zero padding (ASCII corpus contract)."""
+    rd = _rd()
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+    from ...stages.multimodal import (DecodeImage, encode_bmp,
+                                      image_brightness_hist)
+
+    def _media(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        payloads, hs = [], []
+        for t in b["text"].to_pylist():
+            raw = t.encode()
+            h = max(1, -(-len(raw) // 24))  # ceil(bytes / (8 px * 3 ch))
+            buf = _np.zeros(h * 24, dtype=_np.uint8)
+            buf[: len(raw)] = _np.frombuffer(raw, _np.uint8)
+            payloads.append(encode_bmp(buf.reshape(h, 8, 3)))
+            hs.append(h)
+        return pa.table({
+            "media_id": b["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+            "height": pa.array(hs, pa.int32()),
+            "width": pa.array([8] * b.num_rows, pa.int32()),
+        })
+
+    media = ds.map_batches(_media, batch_format="pyarrow", batch_size=64)
+    dec = media.map_batches(DecodeImage, batch_format="pyarrow",
+                            batch_size=64, concurrency=(1, 8))
+    return image_brightness_hist(dec, bins=4)
+
+
+IMAGE_FEATURES_SQL = """
+WITH base AS (
+    SELECT doc_id,
+           24 * greatest(1, CAST(ceil(length(text) / 24.0) AS BIGINT))
+               AS n_bytes,
+           CAST(length(text) AS BIGINT) AS n_txt,
+           COALESCE(list_sum(list_transform(
+               range(1, length(text) + 1),
+               i -> CASE WHEN unicode(substring(text, i, 1)) // 64 = 0
+                    THEN 1 ELSE 0 END)), 0) AS t0,
+           COALESCE(list_sum(list_transform(
+               range(1, length(text) + 1),
+               i -> CASE WHEN unicode(substring(text, i, 1)) // 64 = 1
+                    THEN 1 ELSE 0 END)), 0) AS t1,
+           COALESCE(list_sum(list_transform(
+               range(1, length(text) + 1),
+               i -> CASE WHEN unicode(substring(text, i, 1)) // 64 = 2
+                    THEN 1 ELSE 0 END)), 0) AS t2,
+           COALESCE(list_sum(list_transform(
+               range(1, length(text) + 1),
+               i -> CASE WHEN unicode(substring(text, i, 1)) // 64 = 3
+                    THEN 1 ELSE 0 END)), 0) AS t3
+    FROM documents
+)
+SELECT doc_id AS media_id, n_bytes,
+       CAST(t0 + (n_bytes - n_txt) AS BIGINT) AS b0,
+       CAST(t1 AS BIGINT) AS b1, CAST(t2 AS BIGINT) AS b2,
+       CAST(t3 AS BIGINT) AS b3
+FROM base
+"""

@@ -401,3 +401,111 @@ class SampleFrames:
         cols["frames"] = pa.array(frames_out,
                                   type=pa.list_(pa.binary()))
         return pa.table(cols)
+
+
+def audio_frame_features(decoded, *, frame: int = 256, center: int = 128):
+    """Windowed audio feature extraction over DecodeAudio output — the
+    classic pre-VAD frame features: per non-overlapping ``frame``-sample
+    window, the exact integer energy (sum of squared centered codes),
+    zero-crossing count (strict sign flips between CONSECUTIVE samples
+    within the frame) and peak amplitude. Codes recover exactly from
+    the f32 samples (``rint(s * 32768)``), centered at ``center`` so
+    byte-valued test fixtures actually cross zero.
+
+    Vectorized over the whole batch: one flat codes array + list
+    offsets; frame ids, per-frame scatter-adds (``np.add.at`` /
+    ``np.maximum.at``) and the pairwise sign-flip mask never loop over
+    documents. Emits (media_id, frame, n, energy, zcr, peak)."""
+
+    def _feats(b: pa.Table) -> pa.Table:
+        empty = pa.table({"media_id": pa.array([], pa.int64()),
+                          "frame": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "energy": pa.array([], pa.int64()),
+                          "zcr": pa.array([], pa.int64()),
+                          "peak": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        s = b["samples"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        flat = s.values.to_numpy(zero_copy_only=False)
+        codes = np.rint(flat * 32768.0).astype(np.int64)
+        off = s.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_per = off[1:] - off[:-1]
+        total = int(off[-1]) if len(off) else 0
+        if total == 0:
+            return empty
+        mids = b["media_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        doc_idx = np.repeat(np.arange(len(mids)), n_per)
+        pos = np.arange(total) - off[doc_idx]
+        fr = pos // frame
+        x = codes - center
+        # dense group key per (doc, frame) via per-doc frame counts
+        fcnt = -(-n_per // frame)
+        fbase = np.concatenate([[0], np.cumsum(fcnt)])
+        key = fbase[doc_idx] + fr
+        n_keys = int(fbase[-1])
+        n_g = np.bincount(key, minlength=n_keys)
+        en = np.zeros(n_keys, np.int64)
+        np.add.at(en, key, x * x)
+        pk = np.zeros(n_keys, np.int64)
+        np.maximum.at(pk, key, np.abs(x))
+        zc = np.zeros(n_keys, np.int64)
+        if total > 1:
+            same = (doc_idx[1:] == doc_idx[:-1]) & (fr[1:] == fr[:-1])
+            flip = (x[1:] * x[:-1]) < 0
+            m = same & flip
+            np.add.at(zc, key[:-1][m], 1)
+        out_doc = np.repeat(np.arange(len(mids)), fcnt)
+        out_fr = np.arange(n_keys) - fbase[out_doc]
+        return pa.table({
+            "media_id": pa.array(mids[out_doc]),
+            "frame": pa.array(out_fr),
+            "n": pa.array(n_g.astype(np.int64)),
+            "energy": pa.array(en), "zcr": pa.array(zc),
+            "peak": pa.array(pk)})
+
+    return decoded.map_batches(_feats, batch_format="pyarrow")
+
+
+def image_brightness_hist(decoded, *, bins: int = 4):
+    """Per-image brightness histogram over DecodeImage output — the
+    simplest real image FEATURE column (exposure/solarization audit):
+    each decoded pixel byte lands in one of ``bins`` equal-width
+    buckets (``byte >> (8 - log2 bins)``), counted exactly. Fully
+    vectorized: one flat uint8 view + list offsets, one
+    ``np.add.at`` scatter over a (docs x bins) grid; never a per-image
+    loop. Emits (media_id, n_bytes, b0..b{bins-1})."""
+    shift = 8 - int(bins).bit_length() + 1
+    if bins < 2 or (bins & (bins - 1)):
+        raise ValueError(f"bins must be a power of two >= 2, got {bins}")
+
+    def _hist(b: pa.Table) -> pa.Table:
+        cols = {"media_id": pa.array([], pa.int64()),
+                "n_bytes": pa.array([], pa.int64())}
+        for j in range(bins):
+            cols[f"b{j}"] = pa.array([], pa.int64())
+        if b.num_rows == 0:
+            return pa.table(cols)
+        px = b["pixels"]
+        if isinstance(px, pa.ChunkedArray):
+            px = px.combine_chunks()
+        flat = px.values.to_numpy(zero_copy_only=False)
+        off = px.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_per = off[1:] - off[:-1]
+        mids = b["media_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        doc_idx = np.repeat(np.arange(len(mids)), n_per)
+        grid = np.zeros(len(mids) * bins, np.int64)
+        if len(flat):
+            np.add.at(grid, doc_idx * bins + (flat >> shift), 1)
+        grid = grid.reshape(len(mids), bins)
+        out = {"media_id": pa.array(mids),
+               "n_bytes": pa.array(n_per)}
+        for j in range(bins):
+            out[f"b{j}"] = pa.array(grid[:, j])
+        return pa.table(out)
+
+    return decoded.map_batches(_hist, batch_format="pyarrow")
