@@ -1785,3 +1785,11 @@ from .multimodal_curation import (  # noqa: E402
 
 QUERIES["image_features_bmp"] = q_image_features_bmp
 ORACLE_SQL["image_features_bmp"] = IMAGE_FEATURES_SQL
+
+from .ext_round5d import (  # noqa: E402
+    FOR_BITPACK_SQL,
+    q_for_bitpack_15m,
+)
+
+QUERIES["for_bitpack_15m"] = q_for_bitpack_15m
+ORACLE_SQL["for_bitpack_15m"] = FOR_BITPACK_SQL

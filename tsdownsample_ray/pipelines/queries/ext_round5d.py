@@ -183,3 +183,34 @@ SELECT series_id, bucket, v, nd, gain_sum, loss_sum,
             AS BIGINT) AS oversold
 FROM wnd
 """
+
+
+def q_for_bitpack_15m(sf_dir: str):
+    """Frame-of-reference bit-packing manifest over the 15m tier
+    (``stages/compress.py:for_bitpack_frames``): per 128-bucket frame
+    per series, the re-based bit width (``length(bin(max - min))``
+    semantics), packed byte size and delta checksum; the packing itself
+    is really executed and roundtrip-asserted inside each task. The
+    integer-codec sibling of the Gorilla XOR chunks
+    (``compress_roundtrip_15m``)."""
+    from ...stages.compress import for_bitpack_frames
+
+    return for_bitpack_frames(_rolled(sf_dir, W15M), frame=128,
+                              num_partitions=2)
+
+
+FOR_BITPACK_SQL = _ROLLED_CTE.format(w=W15M) + """,
+idx AS (
+    SELECT series_id, bucket, v,
+           (row_number() OVER (PARTITION BY series_id ORDER BY bucket)
+            - 1) // 128 AS frame
+    FROM r
+)
+SELECT series_id, frame, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(v) AS BIGINT) AS min_v,
+       CAST(length(bin(max(v) - min(v))) AS BIGINT) AS bits,
+       CAST((count(*) * length(bin(max(v) - min(v))) + 7) // 8
+            AS BIGINT) AS packed_bytes,
+       CAST(sum(v) - count(*) * min(v) AS BIGINT) AS sum_delta
+FROM idx GROUP BY series_id, frame
+"""

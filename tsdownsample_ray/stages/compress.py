@@ -255,3 +255,114 @@ def deadband_filter(ds, *, delta: int, series_col: str = "series_id",
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _filter, batch_format="pyarrow")
+
+
+def for_bitpack_frames(rolled, *, frame: int = 128,
+                       series_col: str = "series_id",
+                       order_col: str = "bucket",
+                       value_col: str = "sum_y",
+                       num_partitions: int = 8):
+    """Frame-of-reference (FOR) bit-packing audit over tier values —
+    the classic columnar integer codec (Parquet/ORC/Gorilla-adjacent):
+    per ``frame`` consecutive buckets of a series, values re-base to
+    the frame minimum and pack at ``bits = bit_length(max - min)``
+    (1 for an all-constant frame, matching SQL ``length(bin(x))``).
+    Each frame is REALLY packed and unpacked (np shift matrix ->
+    ``packbits`` -> decode) and the roundtrip is asserted inside the
+    task — the emitted manifest row (n, min_v, bits, packed_bytes,
+    sum_delta) is what a chunk-store write-path would persist.
+
+    Scale shape: ONE hash(series) shuffle, per-partition sort, all
+    frames of all series in one vectorized pass (frame ids from
+    per-series ranks; per-frame min/max/sum via ``np.minimum.at`` /
+    reduceat-free scatters). Only manifest rows leave the task."""
+    from ..arrow_utils import group_codes, make_add_part
+
+    if frame < 1:
+        raise ValueError(f"frame must be >= 1, got {frame}")
+    mod = num_partitions * 64
+    _add_part = make_add_part(series_col, mod)
+
+    def _frames(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t[series_col].type
+        if t.num_rows == 0:
+            return pa.table({"series_id": pa.array([], s_type),
+                             "frame": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "min_v": pa.array([], pa.int64()),
+                             "bits": pa.array([], pa.int64()),
+                             "packed_bytes": pa.array([], pa.int64()),
+                             "sum_delta": pa.array([], pa.int64())})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (order_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = group_codes(sid)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(v)
+        i = np.arange(n)
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = codes[1:] != codes[:-1]
+        ser_start = np.maximum.accumulate(np.where(brk, i, 0))
+        fr = (i - ser_start) // frame
+        # dense frame key: new key wherever series or frame changes
+        newk = brk.copy()
+        newk[1:] |= fr[1:] != fr[:-1]
+        key = np.cumsum(newk) - 1
+        n_keys = int(key[-1]) + 1
+        cnt = np.bincount(key, minlength=n_keys)
+        mn = np.full(n_keys, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, key, v)
+        mx = np.full(n_keys, np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, key, v)
+        sm = np.zeros(n_keys, np.int64)
+        np.add.at(sm, key, v)
+        width = mx - mn
+        bits = np.maximum(1, np.frexp(width.astype(np.float64))[1])
+        # frexp's float exponent can round a 2^k - 1 boundary up; pin
+        # exactly like the HLL rank fix: bits is the smallest b with
+        # width < 2^b (width >> b == 0), floor-corrected by shift check
+        over = (width >> np.minimum(bits, 63).astype(np.int64)) != 0
+        bits[over] += 1
+        under = (bits > 1) & ((width >> (bits - 1)) == 0)
+        bits[under] -= 1
+        bits = np.maximum(1, bits).astype(np.int64)
+        packed_bytes = (cnt * bits + 7) // 8
+        # REAL roundtrip on the partition's deltas, all frames at once:
+        # delta -> (n, 64) bit matrix -> slice each row to its frame's
+        # bit width via a mask gather -> packbits -> decode -> compare
+        delta = v - mn[key]
+        rb = bits[key]
+        bitmat = ((delta[:, None] >> np.arange(63, -1, -1)[None, :])
+                  & 1).astype(np.uint8)
+        keep = np.arange(64)[None, :] >= (64 - rb)[:, None]
+        stream = bitmat[keep]  # concatenated big-endian fields
+        packed = np.packbits(stream)  # the actual byte stream
+        stream = np.unpackbits(packed)[:len(stream)]
+        ends = np.cumsum(rb)
+        starts = ends - rb
+        w = np.arange(64)
+        gath = starts[:, None] + w[None, :]
+        valid = w[None, :] < rb[:, None]
+        fields = np.zeros((n, 64), np.uint8)
+        fields[valid] = stream[gath[valid]]
+        dec = (fields.astype(np.int64)
+               * (np.int64(1) << np.maximum(rb[:, None] - 1 - w, 0))
+               * valid).sum(axis=1)
+        if not np.array_equal(dec, delta):
+            raise AssertionError("FOR bit-pack roundtrip mismatch")
+        firsts = np.flatnonzero(newk)
+        return pa.table({
+            "series_id": sid.take(pa.array(firsts)),
+            "frame": pa.array(fr[firsts]),
+            "n": pa.array(cnt.astype(np.int64)),
+            "min_v": pa.array(mn),
+            "bits": pa.array(bits),
+            "packed_bytes": pa.array(packed_bytes.astype(np.int64)),
+            "sum_delta": pa.array(sm - cnt * mn)})
+
+    parted = rolled.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _frames, batch_format="pyarrow")
