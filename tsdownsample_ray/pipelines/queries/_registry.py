@@ -1793,3 +1793,11 @@ from .ext_round5d import (  # noqa: E402
 
 QUERIES["for_bitpack_15m"] = q_for_bitpack_15m
 ORACLE_SQL["for_bitpack_15m"] = FOR_BITPACK_SQL
+
+from .ext_sketch_rel import (  # noqa: E402
+    ZONE_PRUNE_SQL,
+    q_zone_map_prune_events,
+)
+
+QUERIES["zone_map_prune_events"] = q_zone_map_prune_events
+ORACLE_SQL["zone_map_prune_events"] = ZONE_PRUNE_SQL

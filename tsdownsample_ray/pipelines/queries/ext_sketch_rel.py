@@ -1162,3 +1162,66 @@ FROM a GROUP BY 1
 """
 
 
+
+
+def q_zone_map_prune_events(sf_dir: str):
+    """Zone-map pruning audit over the z-ordered events layout
+    (``stages/zorder.py:zone_map_prune``): for the rectangular predicate
+    user_id%256 in [32, 96] AND hour%256 in [8, 16], which of the 16
+    z-partitions a manifest-aware scan touches and the exact per-
+    partition match counts; pruning soundness (matches => scanned) is
+    asserted inside the task."""
+    from ...stages.zorder import zone_map_prune
+
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts"]).repartition(8)
+
+    def _dims(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(b["ts"], pa.int64())
+        hour = pc.divide(ts_us, pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({"d0": b["user_id"], "d1": hour})
+
+    return zone_map_prune(ds.map_batches(_dims, batch_format="pyarrow"),
+                          d0_col="d0", d1_col="d1",
+                          lo0=32, hi0=96, lo1=8, hi1=16,
+                          bits=8, parts_log2=4, num_partitions=2)
+
+
+def _zone_prune_sql(bits: int = 8, parts_log2: int = 4,
+                    lo0: int = 32, hi0: int = 96,
+                    lo1: int = 8, hi1: int = 16) -> str:
+    from ...stages.zorder import spread16_sql
+
+    m = (1 << bits) - 1
+    z = f"({spread16_sql('d0')} | ({spread16_sql('d1')} << 1))"
+    return f"""
+WITH e AS (
+    SELECT user_id % {m + 1} AS d0,
+           (epoch_us(ts) // 3600000000) % {m + 1} AS d1
+    FROM events
+),
+z AS (SELECT d0, d1, {z} AS zcode FROM e),
+zm AS (
+    SELECT zcode >> {2 * bits - parts_log2} AS p,
+           CAST(count(*) AS BIGINT) AS n,
+           min(d0) AS min_d0, max(d0) AS max_d0,
+           min(d1) AS min_d1, max(d1) AS max_d1
+    FROM z GROUP BY 1
+),
+mt AS (
+    SELECT zcode >> {2 * bits - parts_log2} AS p,
+           CAST(count(*) AS BIGINT) AS matched
+    FROM z
+    WHERE d0 BETWEEN {lo0} AND {hi0} AND d1 BETWEEN {lo1} AND {hi1}
+    GROUP BY 1
+)
+SELECT zm.p, zm.n,
+       CAST(zm.max_d0 >= {lo0} AND zm.min_d0 <= {hi0}
+            AND zm.max_d1 >= {lo1} AND zm.min_d1 <= {hi1}
+            AS BIGINT) AS scanned,
+       CAST(coalesce(mt.matched, 0) AS BIGINT) AS matched
+FROM zm LEFT JOIN mt ON mt.p = zm.p
+"""
+
+
+ZONE_PRUNE_SQL = _zone_prune_sql()

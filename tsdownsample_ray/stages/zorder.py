@@ -100,3 +100,70 @@ def zorder_zone_maps(ds, *, d0_col: str, d1_col: str, bits: int = 16,
     parted = ds.map_batches(_partial, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("p").map_groups(
         _merge, batch_format="pyarrow")
+
+
+def zone_map_prune(ds, *, d0_col: str, d1_col: str,
+                   lo0: int, hi0: int, lo1: int, hi1: int,
+                   bits: int = 16, parts_log2: int = 6,
+                   num_partitions: int = 4):
+    """Zone-map pruning audit — the READ side of the z-order story:
+    for a rectangular predicate ``d0 in [lo0, hi0] AND d1 in
+    [lo1, hi1]`` (on the mod-2^bits grid), which of the ``2^parts_log2``
+    z-partitions would a manifest-aware scan touch, and how many rows
+    actually match inside each? Emits per partition ``(p, n, scanned,
+    matched)`` and ASSERTS pruning soundness in-task (a partition with
+    matches must be scanned — zone maps are conservative by
+    construction, so a violation means the manifest is corrupt).
+
+    Scale shape: the manifest is the bounded ``zorder_zone_maps``
+    output; ``matched`` is ONE streaming pass over the rows with a
+    constant-size grouped count (never a second full shuffle); the
+    flag-join happens on <= 2^parts_log2 rows."""
+    from .graph import grouped_sum_parts
+
+    zm = zorder_zone_maps(ds, d0_col=d0_col, d1_col=d1_col, bits=bits,
+                          parts_log2=parts_log2,
+                          num_partitions=num_partitions)
+    shift = 2 * bits - parts_log2
+    dmask = np.int64((1 << bits) - 1)
+
+    def _match(b: pa.Table) -> pa.Table:
+        d0 = b[d0_col].to_numpy(zero_copy_only=False).astype(np.int64) \
+            & dmask
+        d1 = b[d1_col].to_numpy(zero_copy_only=False).astype(np.int64) \
+            & dmask
+        z = morton_interleave(d0, d1)
+        p = z >> np.int64(shift)
+        hit = (d0 >= lo0) & (d0 <= hi0) & (d1 >= lo1) & (d1 <= hi1)
+        return pa.table({"p": pa.array(p[hit]),
+                         "matched": pa.array(
+                             np.ones(int(hit.sum()), np.int64))})
+
+    matched = grouped_sum_parts(ds.map_batches(_match,
+                                               batch_format="pyarrow"),
+                                ["p"], ["matched"], count_col=None,
+                                fanin=2)
+
+    def _m_ren(b: pa.Table) -> pa.Table:
+        return pa.table({"mp": b["p"], "matched": b["matched"]})
+
+    j = zm.join(matched.map_batches(_m_ren, batch_format="pyarrow"),
+                join_type="left_outer", num_partitions=2,
+                on=("p",), right_on=("mp",))
+
+    def _flags(b: pa.Table) -> pa.Table:
+        mn0 = b["min_d0"].to_numpy(zero_copy_only=False)
+        mx0 = b["max_d0"].to_numpy(zero_copy_only=False)
+        mn1 = b["min_d1"].to_numpy(zero_copy_only=False)
+        mx1 = b["max_d1"].to_numpy(zero_copy_only=False)
+        scanned = ((mx0 >= lo0) & (mn0 <= hi0)
+                   & (mx1 >= lo1) & (mn1 <= hi1)).astype(np.int64)
+        m = pc.fill_null(b["matched"],
+                         0).to_numpy(zero_copy_only=False).astype(np.int64)
+        if bool(((m > 0) & (scanned == 0)).any()):
+            raise AssertionError("zone-map pruning dropped matching rows")
+        return pa.table({"p": b["p"], "n": b["n"],
+                         "scanned": pa.array(scanned),
+                         "matched": pa.array(m)})
+
+    return j.map_batches(_flags, batch_format="pyarrow")
