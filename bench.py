@@ -132,7 +132,11 @@ def run_bench() -> dict:
         # round-5 closing operators
         "macd_15m", "matrix_profile_1h", "bm25_docs",
         "roaring_postings_docs", "phrase_search_docs",
-        "dup_window_docs")
+        "dup_window_docs",
+        # round-5 final-session operators
+        "hampel_15m", "containment_docs", "pq_recall_embeddings",
+        "audio_features_wav", "for_bitpack_15m",
+        "zone_map_prune_events", "misra_gries_terms")
     for qname in qnames:
         best = None
         # min-of-n: throttle bursts vary timings ~3x; the two join-heavy

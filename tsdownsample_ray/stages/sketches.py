@@ -432,18 +432,22 @@ def misra_gries_heavy(ds, *, m: int = 64, text_col: str = "text",
                       fanin: int = 4):
     """Misra-Gries heavy hitters over corpus tokens: EVERY token whose
     exact corpus count exceeds N/(m+1), found with bounded state. The
-    MG guarantee makes the candidate + exact-recount layout exact: any globally-heavy
-    token (count * (m+1) > N) is heavy in at least one block
-    (pigeonhole over count = sum of block counts), so the union of
-    per-block guarantee sets {t : count_b(t) * (m+1) > N_b} — each at
-    most m tokens, computed from the block's exact dictionary-encoded
-    counts — is a PROVEN superset of the answer. That bounded candidate
-    set (<= blocks * m) is unioned on the driver, broadcast once
-    (``ray.put``), exactly recounted map-side (tokens never shuffle —
+    MG guarantee makes the candidate + exact-recount layout exact: any
+    globally-heavy token (count * (m+1) > N) is heavy in at least one
+    block (pigeonhole over count = sum of block counts), so the union
+    of per-block guarantee sets {t : count_b(t) * (m+1) > N_b} — each
+    at most m tokens, computed from the block's exact
+    dictionary-encoded counts — is a PROVEN superset of the answer.
+    That bounded candidate set (<= blocks * m) is unioned on the driver
+    (the same pass carries each block's token total as a null-token
+    sentinel row, so N costs no extra scan), broadcast once
+    (``ray.put``), exactly recounted map-side (membership tested on the
+    block's DICTIONARY, never per occurrence; tokens never shuffle —
     only <= |candidates| partial rows do), and thresholded. Output is
     deterministic regardless of block order — unlike a streamed MG
     summary, whose residual counters are merge-order-dependent.
     """
+    import pyarrow.compute as _pc
     import ray as _ray
 
     from .graph import grouped_sum_parts
@@ -451,52 +455,57 @@ def misra_gries_heavy(ds, *, m: int = 64, text_col: str = "text",
     if m < 1:
         raise ValueError("m must be >= 1")
 
-    def _block_heavy(b: pa.Table) -> pa.Table:
-        texts = b[text_col].to_pylist()
-        flat = [t for x in texts for t in x.split()]
-        if not flat:
-            return pa.table({"token": pa.array([], pa.string())})
-        enc = pa.array(flat, pa.string()).dictionary_encode()
+    def _tok_counts(b: pa.Table):
+        """block vocabulary + exact per-vocab-token counts + total,
+        via ONE split_pattern pass + dictionary encode (C speed)."""
+        toks = _pc.split_pattern(b[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vals = toks.values.filter(_pc.not_equal(toks.values, ""))
+        if len(vals) == 0:
+            return None, None, 0
+        enc = vals.dictionary_encode()
         idx = enc.indices.to_numpy(zero_copy_only=False)
         cnt = np.bincount(idx, minlength=len(enc.dictionary))
-        nb = len(flat)
+        return enc.dictionary, cnt, len(vals)
+
+    def _block_heavy(b: pa.Table) -> pa.Table:
+        vocab, cnt, nb = _tok_counts(b)
+        if nb == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "nb": pa.array([], pa.int64())})
         heavy = np.flatnonzero(cnt * (m + 1) > nb)
-        return pa.table({"token": enc.dictionary.take(
-            pa.array(heavy, pa.int64()))})
+        toks = vocab.take(pa.array(heavy, pa.int64())).to_pylist()
+        # null-token sentinel carries the block's total token count
+        return pa.table({"token": pa.array(toks + [None], pa.string()),
+                         "nb": pa.array([0] * len(toks) + [nb],
+                                        pa.int64())})
 
     cand_parts = ds.map_batches(_block_heavy,
                                 batch_format="pyarrow").to_arrow_refs()
     cand_tbl = pa.concat_tables([_ray.get(r) for r in cand_parts])
-    cands = pa.compute.unique(cand_tbl["token"].combine_chunks())
+    n_total = int(_pc.sum(cand_tbl["nb"]).as_py() or 0)
+    cands = _pc.unique(cand_tbl["token"].combine_chunks()
+                       .drop_null())
     cand_ref = _ray.put(cands)
 
     def _recount(b: pa.Table) -> pa.Table:
         cset = _ray.get(cand_ref)
-        texts = b[text_col].to_pylist()
-        flat = [t for x in texts for t in x.split()]
-        if not flat:
+        vocab, cnt, nb = _tok_counts(b)
+        if nb == 0:
             return pa.table({"token": pa.array([], pa.string()),
                              "cnt": pa.array([], pa.int64())})
-        arr = pa.array(flat, pa.string())
-        hit = arr.filter(pa.compute.is_in(arr, value_set=cset))
-        enc = hit.dictionary_encode()
-        idx = enc.indices.to_numpy(zero_copy_only=False)
-        cnt = np.bincount(idx, minlength=len(enc.dictionary))
-        return pa.table({"token": enc.dictionary,
-                         "cnt": pa.array(cnt.astype(np.int64))})
+        mask = _pc.is_in(vocab, value_set=cset).to_numpy(
+            zero_copy_only=False)
+        sel = np.flatnonzero(mask)
+        return pa.table({
+            "token": vocab.take(pa.array(sel, pa.int64())),
+            "cnt": pa.array(cnt[sel].astype(np.int64))})
 
     # exact candidate recount: <= |candidates| rows per block
     partials = ds.map_batches(_recount, batch_format="pyarrow")
     summed = grouped_sum_parts(partials, ["token"], ["cnt"],
-                               count_col=None, fanin=fanin).materialize()
-
-    # global N: one tiny map partial + bounded scalar sum
-    def _n(b: pa.Table) -> pa.Table:
-        texts = b[text_col].to_pylist()
-        nb = sum(len(x.split()) for x in texts)
-        return pa.table({"nb": pa.array([nb], pa.int64())})
-
-    n_total = ds.map_batches(_n, batch_format="pyarrow").sum("nb") or 0
+                               count_col=None, fanin=fanin)
 
     def _thresh(b: pa.Table) -> pa.Table:
         cnt = b["cnt"].to_numpy(zero_copy_only=False)
