@@ -741,41 +741,95 @@ def pq_recall(ds, *, n_sub: int = 4, k: int = 4, updates: int = 1,
         raise ValueError(f"dim {d} not divisible by n_sub {n_sub}")
     dsub = d // n_sub
 
-    def _slice(s: int):
-        lo, hi = s * dsub, (s + 1) * dsub
-
-        def _f(b: pa.Table) -> pa.Table:
-            E = embedding_matrix(b, col)
-            if E.size == 0:
-                return pa.table({id_col: b[id_col],
-                                 col: pa.array([], pa.list_(pa.float64()))})
-            sub = np.ascontiguousarray(E[:, lo:hi])
-            off = pa.array(np.arange(0, (len(sub) + 1) * dsub, dsub,
-                                     dtype=np.int32))
+    def _q(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
             return pa.table({id_col: b[id_col],
-                             col: pa.ListArray.from_arrays(
-                                 off, pa.array(sub.ravel()))})
-        return _f
+                             "v": pa.array([], pa.list_(pa.int64()))})
+        E = embedding_matrix(b, col)
+        Qm = np.trunc(E * scale).astype(np.int64)
+        off = pa.array(np.arange(0, (len(Qm) + 1) * Qm.shape[1],
+                                 Qm.shape[1], dtype=np.int32))
+        return pa.table({id_col: b[id_col],
+                         "v": pa.ListArray.from_arrays(
+                             off, pa.array(Qm.ravel()))})
 
-    books = [kmeans_integer(
-        ds.map_batches(_slice(s), batch_format="pyarrow"), k=k,
-        updates=updates, scale=scale, id_col=id_col, col=col,
-        num_partitions=num_partitions, centroids_only=True)
-        for s in range(n_sub)]
+    # ONE quantized materialization feeds every subspace's training AND
+    # the final scoring pass (was: 4 independent kmeans_integer calls =
+    # 4 materializations + 4 partial passes per update)
+    qds = ds.map_batches(_q, batch_format="pyarrow").materialize()
 
-    # bounded driver read: the n_queries query vectors
-    qrows = ds.filter(expr=f"{id_col} < {n_queries}").take_all()
-    qrows.sort(key=lambda r: r[id_col])
-    qids = np.array([r[id_col] for r in qrows], np.int64)
-    Qq = np.trunc(np.array([r[col] for r in qrows], np.float64)
-                  * scale).astype(np.int64)
+    def _qmat(b: pa.Table) -> np.ndarray:
+        arr = b["v"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(arr), -1).astype(np.int64)
 
-    def _d2(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    seeds = qds.filter(expr=f"{id_col} < {k}").take_all()
+    if len(seeds) != k:
+        raise ValueError(f"init needs ids 0..{k - 1}; found {len(seeds)}")
+    seeds.sort(key=lambda r: r[id_col])
+    S0 = np.array([r["v"] for r in seeds], dtype=np.int64)
+    books = [np.ascontiguousarray(S0[:, s * dsub:(s + 1) * dsub])
+             for s in range(n_sub)]
+
+    def _sub_d2(A, B):
         aa = np.einsum("ij,ij->i", A, A)
         bb = np.einsum("ij,ij->i", B, B)
         return aa[:, None] + bb[None, :] - 2 * (A @ B.T)
 
-    luts = np.stack([_d2(Qq[:, s * dsub:(s + 1) * dsub], books[s])
+    from .graph import grouped_sum_parts
+
+    for _ in range(updates):
+        cref = ray.put(books)
+
+        def _partial(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"sub": pa.array([], pa.int64()),
+                                 "k": pa.array([], pa.int64()),
+                                 "i": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            Cs = ray.get(cref)
+            Qm = _qmat(b)
+            subs, ks, iis, ss, ns = [], [], [], [], []
+            for si, Cm in enumerate(Cs):  # n_sub is a small constant
+                sub = Qm[:, si * dsub:(si + 1) * dsub]
+                a = np.argmin(_sub_d2(sub, Cm), axis=1)
+                sums = np.zeros((k, dsub), np.int64)
+                np.add.at(sums, a, sub)
+                n = np.bincount(a, minlength=k).astype(np.int64)
+                subs.append(np.full(k * dsub, si, np.int64))
+                ks.append(np.repeat(np.arange(k, dtype=np.int64), dsub))
+                iis.append(np.tile(np.arange(dsub, dtype=np.int64), k))
+                ss.append(sums.ravel())
+                ns.append(np.repeat(n, dsub))
+            return pa.table({"sub": pa.array(np.concatenate(subs)),
+                             "k": pa.array(np.concatenate(ks)),
+                             "i": pa.array(np.concatenate(iis)),
+                             "s": pa.array(np.concatenate(ss)),
+                             "n": pa.array(np.concatenate(ns))})
+
+        cells = grouped_sum_parts(
+            qds.map_batches(_partial, batch_format="pyarrow"),
+            ["sub", "k", "i"], ["s", "n"], count_col=None, fanin=2)
+        newbooks = [c.copy() for c in books]
+        for row in cells.take_all():  # n_sub*k*dsub rows: bounded
+            if row["n"] > 0:
+                sv, nn = row["s"], row["n"]
+                # trunc toward zero (DuckDB //), not Python floor —
+                # same contract as kmeans_integer
+                newbooks[row["sub"]][row["k"], row["i"]] = (
+                    sv // nn if sv >= 0 else -((-sv) // nn))
+        books = newbooks
+
+    # bounded driver read: the n_queries query vectors, already
+    # quantized inside qds
+    qrows = qds.filter(expr=f"{id_col} < {n_queries}").take_all()
+    qrows.sort(key=lambda r: r[id_col])
+    qids = np.array([r[id_col] for r in qrows], np.int64)
+    Qq = np.array([r["v"] for r in qrows], dtype=np.int64)
+    luts = np.stack([_sub_d2(Qq[:, s * dsub:(s + 1) * dsub], books[s])
                      for s in range(n_sub)])  # (n_sub, n_q, k)
     bref = ray.put((books, luts, qids, Qq))
     I64MAX = np.iinfo(np.int64).max
@@ -790,16 +844,15 @@ def pq_recall(ds, *, n_sub: int = 4, k: int = 4, updates: int = 1,
         if b.num_rows == 0:
             return empty
         Cb, Lut, qi, Qm = ray.get(bref)
-        E = embedding_matrix(b, col)
-        Q = np.trunc(E * scale).astype(np.int64)
+        Q = _qmat(b)  # already-quantized ints from qds
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         nq = len(qi)
         adc = np.zeros((len(Q), nq), np.int64)
         for s in range(len(Cb)):
             sub = Q[:, s * dsub:(s + 1) * dsub]
-            codes = np.argmin(_d2(sub, Cb[s]), axis=1)
+            codes = np.argmin(_sub_d2(sub, Cb[s]), axis=1)
             adc += Lut[s][:, codes].T  # (n, nq)
-        exact = _d2(Q, Qm)  # (n, nq)
+        exact = _sub_d2(Q, Qm)  # (n, nq)
         self_m = ids[:, None] == qi[None, :]
         adc[self_m] = I64MAX
         exact[self_m] = I64MAX
@@ -834,5 +887,5 @@ def pq_recall(ds, *, n_sub: int = 4, k: int = 4, updates: int = 1,
             "exact_d2": pa.array([int(e_d2[ei])], pa.int64()),
             "hit": pa.array([int(a_id[ai] == e_id[ei])], pa.int64())})
 
-    return (ds.map_batches(_score, batch_format="pyarrow")
+    return (qds.map_batches(_score, batch_format="pyarrow")
             .groupby("qid").map_groups(_merge, batch_format="pyarrow"))
