@@ -1801,3 +1801,11 @@ from .ext_sketch_rel import (  # noqa: E402
 
 QUERIES["zone_map_prune_events"] = q_zone_map_prune_events
 ORACLE_SQL["zone_map_prune_events"] = ZONE_PRUNE_SQL
+
+from .ext_round5d import (  # noqa: E402
+    CROSTON_SQL,
+    q_croston_1h,
+)
+
+QUERIES["croston_1h"] = q_croston_1h
+ORACLE_SQL["croston_1h"] = CROSTON_SQL

@@ -214,3 +214,73 @@ SELECT series_id, frame, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(v) - count(*) * min(v) AS BIGINT) AS sum_delta
 FROM idx GROUP BY series_id, frame
 """
+
+
+def q_croston_1h(sf_dir: str):
+    """Croston intermittent-demand forecast states over a SPARSE
+    series — hourly counts of the rare event subset (event_id % 13 ==
+    0) per event_type (``stages/smoothing.py:croston_fixed_point``):
+    demand-size SES z (alpha 1/8) + inter-demand-interval SES p (alpha
+    1/8), intervals derived from bucket gaps so silent hours need no
+    zero rows; the forecast stays the exact rational (z, p). Completes
+    the forecasting family (naive/snaive/EWMA/Holt/HW/Kalman) with its
+    intermittent-demand member."""
+    from ...stages.rollup import rollup
+    from ...stages.smoothing import croston_fixed_point
+
+    ev = _events_cents(sf_dir)
+
+    def _rare(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        eid = b["event_id"]
+        keep = _pc.equal(
+            _pc.subtract(eid, _pc.multiply(
+                _pc.divide(eid, pa.scalar(13, pa.int64())),
+                pa.scalar(13, pa.int64()))),
+            pa.scalar(0, pa.int64()))
+        t = b.filter(keep)
+        ones = pa.array([1] * t.num_rows, pa.int64())
+        return pa.table({"series_id": t["event_type"], "x": t["ts_us"],
+                         "y": ones})
+
+    rolled = rollup(ev.map_batches(_rare, batch_format="pyarrow"), W1H)
+    return croston_fixed_point(rolled, 3, 3, window_us=W1H,
+                               num_partitions=2)
+
+
+CROSTON_SQL = f"""
+WITH RECURSIVE numbered AS MATERIALIZED (
+    SELECT series_id, bucket, y,
+           row_number() OVER (PARTITION BY series_id
+                              ORDER BY bucket) AS idx
+    FROM (
+        SELECT event_type AS series_id,
+               epoch_us(ts) // {W1H} * {W1H} AS bucket,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events WHERE event_id % 13 = 0
+        GROUP BY 1, 2
+    )
+),
+rec AS (
+    SELECT series_id, bucket, y, idx,
+           CAST(0 AS BIGINT) AS q, y AS z, CAST(1 AS BIGINT) AS p
+    FROM numbered WHERE idx = 1
+    UNION ALL
+    SELECT w.series_id, w.bucket, w.y, w.idx, w.q,
+           -- exact BIGINT floor(v / 2^3): DuckDB // truncates toward
+           -- zero, so negatives take -((-v + 7) // 8)
+           w.z + (CASE WHEN w.y - w.z >= 0 THEN (w.y - w.z) // 8
+                  ELSE -(((-(w.y - w.z)) + 7) // 8) END),
+           w.p + (CASE WHEN w.q - w.p >= 0 THEN (w.q - w.p) // 8
+                  ELSE -(((-(w.q - w.p)) + 7) // 8) END)
+    FROM (
+        SELECT n.series_id, n.bucket, n.y, n.idx,
+               (n.bucket - r.bucket) // {W1H} AS q,
+               r.z AS z, r.p AS p
+        FROM rec r JOIN numbered n
+          ON n.series_id = r.series_id AND n.idx = r.idx + 1
+    ) w
+)
+SELECT series_id, bucket, y, q, z, p FROM rec
+"""

@@ -371,3 +371,73 @@ def macd_fixed_point(ds, kf: int = 2, ks: int = 4, ksig: int = 3, *,
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _macd, batch_format="pyarrow")
+
+
+def croston_fixed_point(ds, kz: int = 3, kp: int = 3, *,
+                        window_us: int, series_col: str = "series_id",
+                        x_col: str = "bucket", y_col: str = "sum_y",
+                        num_partitions: int = 8):
+    """Croston's method for INTERMITTENT demand (Croston 1972) — the
+    forecasting-family member the dense smoothers (EWMA/Holt/HW/Kalman)
+    can't be: two coupled SES states updated ONLY at nonzero-demand
+    periods — ``z`` smooths the demand SIZE, ``p`` smooths the
+    INTER-DEMAND INTERVAL (periods since the previous demand, derived
+    from the bucket gap / ``window_us`` — silent periods need no
+    materialized zero rows). Integer fixed point: alpha_z = 2^-kz,
+    alpha_p = 2^-kp via arithmetic shifts (floor semantics, same
+    contract as :func:`ewma_fixed_point`); the forecast is the exact
+    RATIONAL pair (z, p) — z/p per period, never divided into a float.
+    Init at each series' first demand: z = y, p = 1.
+
+    Emits one row per demand period: ``(series_id, bucket, y, q, z,
+    p)`` with q the interval that drove the update (0 at init). Same
+    scale shape as the siblings: ONE hash(series) shuffle, sequential
+    recursion per series over tier rows."""
+    if window_us < 1:
+        raise ValueError("window_us must be >= 1")
+    mod = num_partitions * 64
+    _add_part = make_add_part(series_col, mod)
+
+    def _croston(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t[series_col].type
+        if t.num_rows == 0:
+            return pa.table({"series_id": pa.array([], s_type),
+                             "bucket": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.int64()),
+                             "z": pa.array([], pa.int64()),
+                             "p": pa.array([], pa.int64())})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (x_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = group_codes(sid)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        head = np.ones(len(y), dtype=bool)
+        head[1:] = codes[1:] != codes[:-1]
+        yl, bl, hl = y.tolist(), bkt.tolist(), head.tolist()
+        zl = [0] * len(yl)
+        pl = [0] * len(yl)
+        ql = [0] * len(yl)
+        z = p = prev_b = 0
+        for i in range(len(yl)):
+            if hl[i]:
+                z, p, q = yl[i], 1, 0
+            else:
+                q = (bl[i] - prev_b) // window_us
+                z = z + ((yl[i] - z) >> kz)
+                p = p + ((q - p) >> kp)
+            prev_b = bl[i]
+            zl[i], pl[i], ql[i] = z, p, q
+        return pa.table({"series_id": sid, "bucket": pa.array(bkt),
+                         "y": pa.array(y),
+                         "q": pa.array(ql, pa.int64()),
+                         "z": pa.array(zl, pa.int64()),
+                         "p": pa.array(pl, pa.int64())})
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _croston, batch_format="pyarrow")
