@@ -1271,18 +1271,22 @@ def containment_pairs(ds, *, id_col: str = "doc_id",
     inter = grouped_sum_parts(pairs, ["a", "b"], [], count_col="inter",
                               fanin=4)
 
+    from .joins import hash_inner_join
+
     def _sz_as(name: str):
         def _f(b: pa.Table) -> pa.Table:
-            return pa.table({f"doc_{name}": b["doc"], name: b["sz"]})
+            return pa.table({"doc": b["doc"], name: b["sz"]})
         return _f
 
-    j = inter.join(sizes.map_batches(_sz_as("sz_a"),
-                                     batch_format="pyarrow"),
-                   join_type="inner", num_partitions=4,
-                   on=("a",), right_on=("doc_sz_a",))
-    j = j.join(sizes.map_batches(_sz_as("sz_b"), batch_format="pyarrow"),
-               join_type="inner", num_partitions=4,
-               on=("b",), right_on=("doc_sz_b",))
+    sizes = sizes.materialize()  # consumed by both side-joins
+    j = hash_inner_join(inter,
+                        sizes.map_batches(_sz_as("sz_a"),
+                                          batch_format="pyarrow"),
+                        on="a", right_on="doc", num_partitions=4)
+    j = hash_inner_join(j,
+                        sizes.map_batches(_sz_as("sz_b"),
+                                          batch_format="pyarrow"),
+                        on="b", right_on="doc", num_partitions=4)
 
     def _flags(b: pa.Table) -> pa.Table:
         inter_v = b["inter"].to_numpy(zero_copy_only=False)

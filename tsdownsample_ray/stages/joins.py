@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 from ..arrow_utils import group_codes, make_add_part
 
 __all__ = ["asof_join", "interval_count_join", "anti_join",
-           "last_touch_attribution"]
+           "last_touch_attribution", "hash_inner_join"]
 
 
 def asof_join(left_ds, right_ds, *, on: str = "series_id",
@@ -450,3 +450,74 @@ def last_touch_attribution(events_ds, *, on: str = "user_id",
         "__part").map_groups(_attrib, batch_format="pyarrow")
     return grouped_sum_parts(partials, ["event_type"], ["n"],
                              count_col=None, fanin=fanin)
+
+
+def hash_inner_join(left_ds, right_ds, *, on: str, right_on: str | None
+                    = None, num_partitions: int = 8):
+    """Generic single-key inner hash join via the tagged-union
+    discipline this module (and ``dedup.join_pair_payload``) uses
+    instead of ``Dataset.join``: each acero ``Dataset.join`` spins up
+    its own aggregator actor pool plus a barrier, which dominates
+    small-to-medium joins at toy scale (measured in the r4->r5
+    near-dup work: two joins + barrier were ~6.7 s of a 10.7 s query).
+    Here both relations are tagged, union'd, hash-partitioned ONCE on
+    the key, and inner-joined with Arrow ``Table.join`` inside each
+    co-located group — identical shuffle volume and skew behavior, no
+    extra actor pools.
+
+    Contract: column names must be disjoint apart from the key (rename
+    before calling); the right key column is dropped; output carries
+    the left key name. Nulls in either key never match (SQL inner-join
+    semantics — ``stable_part_codes`` routes them to a partition but
+    ``Table.join`` drops them from the inner result)."""
+    from ..arrow_utils import stable_part_codes
+
+    right_on = right_on or on
+    lsch = left_ds.schema()
+    rsch = right_ds.schema()
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = dict(zip(rsch.names, rsch.types))
+    lcols = [c for c in lsch.names if c != on]
+    rcols = [c for c in rsch.names if c != right_on]
+    clash = (set(lcols) & set(rcols)) | ({on} & set(rcols))
+    if clash:
+        raise ValueError(f"hash_inner_join: overlapping columns {clash}")
+    ktype = ltypes[on]
+    nparts = num_partitions * 16
+
+    def _tag_left(b: pa.Table) -> pa.Table:
+        cols = {"__k": b[on]}
+        for c in lcols:
+            cols[c] = b[c]
+        for c in rcols:
+            cols[c] = pa.nulls(b.num_rows, rtypes[c])
+        cols["__side"] = pa.array(np.zeros(b.num_rows, np.int8))
+        cols["__part"] = pa.array(
+            stable_part_codes(b[on], nparts), pa.int32())
+        return pa.table(cols)
+
+    def _tag_right(b: pa.Table) -> pa.Table:
+        cols = {"__k": b[right_on].cast(ktype)}
+        for c in lcols:
+            cols[c] = pa.nulls(b.num_rows, ltypes[c])
+        for c in rcols:
+            cols[c] = b[c]
+        cols["__side"] = pa.array(np.ones(b.num_rows, np.int8))
+        cols["__part"] = pa.array(
+            stable_part_codes(b[right_on], nparts), pa.int32())
+        return pa.table(cols)
+
+    def _merge(g: pa.Table) -> pa.Table:
+        is_r = pc.equal(g["__side"], 1)
+        rt = g.filter(is_r).select(["__k"] + rcols)
+        lt = g.filter(pc.invert(is_r)).select(["__k"] + lcols)
+        j = lt.join(rt, keys=["__k"], join_type="inner")
+        out = {on: j["__k"]}
+        for c in lcols + rcols:
+            out[c] = j[c]
+        return pa.table(out)
+
+    tagged = left_ds.map_batches(_tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(_tag_right, batch_format="pyarrow"))
+    return tagged.repartition(num_partitions).groupby("__part").map_groups(
+        _merge, batch_format="pyarrow")
