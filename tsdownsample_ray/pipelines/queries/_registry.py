@@ -1809,3 +1809,35 @@ from .ext_round5d import (  # noqa: E402
 
 QUERIES["croston_1h"] = q_croston_1h
 ORACLE_SQL["croston_1h"] = CROSTON_SQL
+
+from .ext_round5f import (  # noqa: E402
+    EXCESS_QTY_SQL,
+    IMPORTANT_PARTS_SQL,
+    MIN_COST_SUPPLIER_SQL,
+    REVENUE_BAND_SQL,
+    SHIP_DELAY_PRIORITY_SQL,
+    SOLE_LATE_SQL,
+    SUPPLIER_CNT_SQL,
+    q_excess_qty_suppliers,
+    q_important_parts_by_nation,
+    q_min_cost_supplier_parts,
+    q_revenue_band_by_year,
+    q_ship_delay_priority,
+    q_sole_late_supplier_orders,
+    q_supplier_cnt_part_class,
+)
+
+QUERIES["min_cost_supplier_parts"] = q_min_cost_supplier_parts
+ORACLE_SQL["min_cost_supplier_parts"] = MIN_COST_SUPPLIER_SQL
+QUERIES["revenue_band_by_year"] = q_revenue_band_by_year
+ORACLE_SQL["revenue_band_by_year"] = REVENUE_BAND_SQL
+QUERIES["important_parts_by_nation"] = q_important_parts_by_nation
+ORACLE_SQL["important_parts_by_nation"] = IMPORTANT_PARTS_SQL
+QUERIES["ship_delay_priority"] = q_ship_delay_priority
+ORACLE_SQL["ship_delay_priority"] = SHIP_DELAY_PRIORITY_SQL
+QUERIES["supplier_cnt_part_class"] = q_supplier_cnt_part_class
+ORACLE_SQL["supplier_cnt_part_class"] = SUPPLIER_CNT_SQL
+QUERIES["excess_qty_suppliers"] = q_excess_qty_suppliers
+ORACLE_SQL["excess_qty_suppliers"] = EXCESS_QTY_SQL
+QUERIES["sole_late_supplier_orders"] = q_sole_late_supplier_orders
+ORACLE_SQL["sole_late_supplier_orders"] = SOLE_LATE_SQL

@@ -349,6 +349,41 @@ def cascade(tier_ds, coarser_window_us: int, *, combine: str = "auto",
                     spread=False)
 
 
+def grouped_min_parts(ds, keys: list, min_cols: list, *, fanin: int = 8):
+    """Hashpart grouped MIN for key spaces too large for a single final
+    block (the argmin sibling of ``graph.grouped_sum_parts``): map-side
+    per-block min, one int32-keyed shuffle (dense part space, ``fanin``
+    reducers), per-partition Arrow min. Pack (value, id) into one int64
+    before calling to get a deterministic tie-broken argmin — min over
+    ``value * K + id`` with ``id < K`` is exactly SQL's
+    ``ORDER BY value, id LIMIT 1`` per key."""
+    import numpy as np
+
+    from ..arrow_utils import rename_agg, stable_part_codes
+
+    keys = list(keys)
+    mod = fanin * 64
+
+    def _agg(b: pa.Table) -> pa.Table:
+        g = b.select([c for c in b.column_names if c != "__part"]) \
+             .group_by(keys).aggregate([(c, "min") for c in min_cols])
+        return rename_agg(g, {**{k: k for k in keys},
+                              **{f"{c}_min": c for c in min_cols}})
+
+    def _add_part(b: pa.Table) -> pa.Table:
+        b = _agg(b)  # in-block pre-collapse before the exchange
+        h = stable_part_codes(b[keys[0]], None)
+        for kc in keys[1:]:
+            h = h * np.uint64(0x9E3779B97F4A7C15) + stable_part_codes(
+                b[kc], None)
+        part = (h % np.uint64(mod)).astype(np.int32)
+        return b.append_column("__part", pa.array(part, pa.int32()))
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(fanin).groupby("__part").map_groups(
+        _agg, batch_format="pyarrow")
+
+
 def finalize_mean(ds):
     """Append ``mean_y = sum_y / n`` (f64); null where ``n == 0`` (gap
     rows), never NaN/inf."""
