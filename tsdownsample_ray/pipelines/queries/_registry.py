@@ -1841,3 +1841,19 @@ QUERIES["excess_qty_suppliers"] = q_excess_qty_suppliers
 ORACLE_SQL["excess_qty_suppliers"] = EXCESS_QTY_SQL
 QUERIES["sole_late_supplier_orders"] = q_sole_late_supplier_orders
 ORACLE_SQL["sole_late_supplier_orders"] = SOLE_LATE_SQL
+
+from .ext_round5g import (  # noqa: E402
+    CANONICAL_DOCS_SQL,
+    NOVELTY_SQL,
+    RLE_SQL,
+    q_canonical_docs,
+    q_novelty_docs,
+    q_rle_roundtrip_events,
+)
+
+QUERIES["rle_roundtrip_events"] = q_rle_roundtrip_events
+ORACLE_SQL["rle_roundtrip_events"] = RLE_SQL
+QUERIES["canonical_docs"] = q_canonical_docs
+ORACLE_SQL["canonical_docs"] = CANONICAL_DOCS_SQL
+QUERIES["novelty_docs"] = q_novelty_docs
+ORACLE_SQL["novelty_docs"] = NOVELTY_SQL

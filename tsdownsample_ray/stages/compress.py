@@ -366,3 +366,82 @@ def for_bitpack_frames(rolled, *, frame: int = 128,
     parted = rolled.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _frames, batch_format="pyarrow")
+
+
+def rle_stats_per_series(ds, *, series_col: str = "series_id",
+                         x_col: str = "x", y_col: str = "y",
+                         tiebreak_col: str | None = None,
+                         num_partitions: int = 8):
+    """Run-length encode each series' value stream (ordered by
+    ``x_col`` then ``tiebreak_col``) and emit per-series codec stats —
+    the RLE member of the codec family (gorilla XOR, delta-of-delta,
+    FOR bit-pack, varint, huffman all live on their own rows):
+
+        (series_id, n_points, n_runs, max_run, head_checksum)
+
+    ``head_checksum = sum(run_value * run_index)`` (1-based run index)
+    is position-sensitive, so any reordering or mis-split of runs
+    changes it. The encode is verified in-stage: ``np.repeat(values,
+    lengths)`` must reproduce the sorted input exactly (roundtrip
+    assert, same discipline as the gorilla/FOR stages).
+
+    Scale shape: ONE hash(series) shuffle; runs are found with one
+    vectorized boundary diff over the partition's concatenated series
+    (series heads always open a run)."""
+    mod = num_partitions * 64
+    _add_part = make_add_part(series_col, mod)
+
+    def _rle(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t[series_col].type
+        if t.num_rows == 0:
+            return pa.table({
+                "series_id": pa.array([], s_type),
+                "n_points": pa.array([], pa.int64()),
+                "n_runs": pa.array([], pa.int64()),
+                "max_run": pa.array([], pa.int64()),
+                "head_checksum": pa.array([], pa.int64())})
+        keys = [(series_col, "ascending"), (x_col, "ascending")]
+        if tiebreak_col:
+            keys.append((tiebreak_col, "ascending"))
+        t = t.take(pc.sort_indices(t, sort_keys=keys))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = group_codes(sid)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(y)
+        head = np.ones(n, dtype=bool)
+        head[1:] = (codes[1:] != codes[:-1]) | (y[1:] != y[:-1])
+        starts = np.flatnonzero(head)
+        run_len = np.diff(np.r_[starts, n])
+        run_val = y[starts]
+        if not np.array_equal(np.repeat(run_val, run_len), y):
+            raise AssertionError("RLE roundtrip mismatch")
+        run_sid = codes[starts]
+        shead = np.ones(len(starts), dtype=bool)
+        shead[1:] = run_sid[1:] != run_sid[:-1]
+        # 1-based run index within each series
+        gidx = np.arange(len(starts), dtype=np.int64)
+        base = np.maximum.accumulate(np.where(shead, gidx, -1))
+        ridx = gidx - base + 1
+        sfirst = np.flatnonzero(shead)
+        per = np.diff(np.r_[sfirst, len(starts)])
+        seg = np.repeat(np.arange(len(sfirst)), per)
+        n_runs = per.astype(np.int64)
+        n_points = np.zeros(len(sfirst), np.int64)
+        np.add.at(n_points, seg, run_len)
+        max_run = np.zeros(len(sfirst), np.int64)
+        np.maximum.at(max_run, seg, run_len)
+        checksum = np.zeros(len(sfirst), np.int64)
+        np.add.at(checksum, seg, run_val * ridx)
+        return pa.table({
+            "series_id": sid.take(pa.array(starts[sfirst])),
+            "n_points": pa.array(n_points),
+            "n_runs": pa.array(n_runs),
+            "max_run": pa.array(max_run),
+            "head_checksum": pa.array(checksum)})
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _rle, batch_format="pyarrow")
