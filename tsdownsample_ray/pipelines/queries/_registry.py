@@ -1857,3 +1857,15 @@ QUERIES["canonical_docs"] = q_canonical_docs
 ORACLE_SQL["canonical_docs"] = CANONICAL_DOCS_SQL
 QUERIES["novelty_docs"] = q_novelty_docs
 ORACLE_SQL["novelty_docs"] = NOVELTY_SQL
+
+from .ext_round5h import (  # noqa: E402
+    IMAGE_FEATURES_PPM_SQL,
+    JL_DISTORTION_SQL,
+    q_image_features_ppm,
+    q_jl_distortion_embeddings,
+)
+
+QUERIES["jl_distortion_embeddings"] = q_jl_distortion_embeddings
+ORACLE_SQL["jl_distortion_embeddings"] = JL_DISTORTION_SQL
+QUERIES["image_features_ppm"] = q_image_features_ppm
+ORACLE_SQL["image_features_ppm"] = IMAGE_FEATURES_PPM_SQL

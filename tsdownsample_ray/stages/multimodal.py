@@ -256,9 +256,13 @@ class DecodeImage:
                 from ..functions.gif import decode_gif
 
                 img = decode_gif(p)
+            elif p[:2] in (b"P6", b"P5"):
+                from ..functions.netpbm import decode_netpbm
+
+                img = decode_netpbm(p)
             else:
                 raise NotImplementedError(
-                    "non-BMP/PNG/JPEG/GIF image decoding requires "
+                    "non-BMP/PNG/JPEG/GIF/netpbm image decoding requires "
                     "PIL/opencv, not present in this container — construct "
                     "with fake=True for the deterministic stub decoder")
             pixels.append(img.reshape(-1))
