@@ -1869,3 +1869,15 @@ QUERIES["jl_distortion_embeddings"] = q_jl_distortion_embeddings
 ORACLE_SQL["jl_distortion_embeddings"] = JL_DISTORTION_SQL
 QUERIES["image_features_ppm"] = q_image_features_ppm
 ORACLE_SQL["image_features_ppm"] = IMAGE_FEATURES_PPM_SQL
+
+from .ext_round5i import (  # noqa: E402
+    DECAYED_SQL,
+    TRIPLET_SQL,
+    q_decayed_activity_users,
+    q_triplet_margin_embeddings,
+)
+
+QUERIES["triplet_margin_embeddings"] = q_triplet_margin_embeddings
+ORACLE_SQL["triplet_margin_embeddings"] = TRIPLET_SQL
+QUERIES["decayed_activity_users"] = q_decayed_activity_users
+ORACLE_SQL["decayed_activity_users"] = DECAYED_SQL
