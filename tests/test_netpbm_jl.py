@@ -54,6 +54,22 @@ def test_decode_image_dispatches_netpbm():
                           img.reshape(-1))
 
 
+def test_jl_sign_matrix_is_full_rank():
+    """Regression: a linear parity with odd coefficients collapses to a
+    rank-1 checkerboard (every projected dim a sign-copy of one
+    functional). The shipped multiplicative-hash matrix must keep all
+    16 output dims independent."""
+    from tsdownsample_ray.pipelines.queries.ext_round5h import (_JL_K,
+                                                                _jl_signs)
+
+    S = _jl_signs()
+    assert set(np.unique(S)) == {-1, 1}
+    assert np.linalg.matrix_rank(S) == _JL_K
+    # roughly balanced signs (a constant-ish matrix is rank-full but
+    # useless): mean well inside (-0.5, 0.5)
+    assert abs(S.mean()) < 0.5
+
+
 def test_jl_distortion_exact_and_centered(ray_session):
     from tsdownsample_ray.pipelines.queries import QUERIES
     from tsdownsample_ray.pipelines.queries.ext_round5h import (_JL_K,

@@ -37,9 +37,6 @@ def test_triplet_matches_bruteforce(ray_session):
             assert int(want_dot) == int(dots[best]), (a, side)
         assert r.margin == r.dot_pos - r.dot_neg
     assert len(out) <= n_a
-    # negative dots must round-trip the pack (regression for the
-    # floor-division emulation in _pivot_rows)
-    assert (out.dot_neg < 0).any() or (out.dot_pos < 0).any() or True
 
 
 def test_triplet_pack_handles_negative_dots():

@@ -78,8 +78,8 @@ def decode_netpbm(buf: bytes) -> np.ndarray:
             "2-byte rasters raise rather than mis-decode")
     ch = 3 if magic == b"P6" else 1
     need = w * h * ch
-    raster = np.frombuffer(buf, np.uint8, count=need, offset=off)
-    if raster.size != need:
+    if len(buf) - off < need:
         raise ValueError("netpbm: truncated raster")
+    raster = np.frombuffer(buf, np.uint8, count=need, offset=off)
     img = raster.reshape(h, w, ch)
     return img if ch == 3 else img[:, :, 0]

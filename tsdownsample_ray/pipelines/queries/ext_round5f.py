@@ -206,7 +206,10 @@ def q_important_parts_by_nation(sf_dir: str):
         li.map_batches(_prep, batch_format="pyarrow"), lookup,
         on="l_suppkey", join_type="inner")
     per_part = grouped_sum_parts(enriched, ["n_name", "p_partkey"],
-                                 ["value_cents"], count_col=None, fanin=4)
+                                 ["value_cents"], count_col=None,
+                                 fanin=4).materialize()
+    # materialized: consumed twice (nation totals + the filter pass) —
+    # without it both lazy plans would re-read and re-shuffle lineitem
 
     # nation totals: <= |nations| rows by construction (bounded read)
     totals = grouped_sum(per_part, ["n_name"], ["value_cents"],
@@ -382,7 +385,9 @@ def q_excess_qty_suppliers(sf_dir: str):
 
     ps = grouped_sum_parts(li.map_batches(_prep, batch_format="pyarrow"),
                            ["l_partkey", "l_suppkey"], ["qty"],
-                           count_col=None, fanin=4)
+                           count_col=None, fanin=4).materialize()
+    # materialized: ps feeds both the part totals and the join's left
+    # side — the fact read + (part, supp) shuffle must not run twice
     totals = grouped_sum_parts(ps, ["l_partkey"], ["qty"], count_col=None,
                                fanin=4)
 

@@ -119,6 +119,9 @@ def q_canonical_docs(sf_dir: str):
         mx = pc.max(nch).as_py()
         if mx is not None and mx >= _PACK_LEN:
             raise ValueError(f"n_chars {mx} overflows the survivor pack")
+        mid = pc.max(b["doc_id"]).as_py()
+        if mid is not None and mid >= _PACK_ID:
+            raise ValueError(f"doc_id {mid} overflows the survivor pack")
         packed = pc.add(
             pc.multiply(pc.subtract(pa.scalar(_PACK_LEN, pa.int64()), nch),
                         pa.scalar(_PACK_ID, pa.int64())), b["doc_id"])
@@ -126,7 +129,9 @@ def q_canonical_docs(sf_dir: str):
         return pa.table({"component": b["component"], "packed": packed,
                          "one": ones})
 
-    packed = j.map_batches(_pack, batch_format="pyarrow")
+    packed = j.map_batches(_pack, batch_format="pyarrow").materialize()
+    # materialized: consumed by BOTH the argmin and the size count —
+    # unmaterialized, the docs read + labels join would execute twice
     mins = grouped_min_parts(packed, ["component"], ["packed"], fanin=4)
 
     from ...stages.graph import grouped_sum_parts

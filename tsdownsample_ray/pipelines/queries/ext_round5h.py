@@ -16,10 +16,19 @@ _JL_NQ = 32   # audited vector subset
 
 def _jl_signs() -> np.ndarray:
     """The deterministic ±1 projection matrix, replayed verbatim in the
-    SQL oracle: sign(i, j) = 1 - 2*((i*73 + j*1009) % 2)."""
+    SQL oracle through a two-step multiplicative hash:
+    ``h = (i*73856093 + j*19349663) % 83492791`` then the top bit of
+    the 32-bit product ``h * 2654435761``. A plain linear parity like
+    ``(a*i + b*j) % 2`` with odd coefficients collapses to
+    ``(-1)^(i+j)`` — a RANK-1 checkerboard whose 16 output dims are
+    sign-copies of one functional (caught in review; this matrix is
+    verified full-rank in tests). All intermediates stay under 2^58 so
+    both int64 sides are exact."""
     i = np.arange(_JL_D)[:, None]
     j = np.arange(_JL_K)[None, :]
-    return (1 - 2 * ((i * 73 + j * 1009) % 2)).astype(np.int64)
+    h = (i * 73856093 + j * 19349663) % 83492791
+    bit = (h * 2654435761 % 4294967296) // 2147483648
+    return (1 - 2 * bit).astype(np.int64)
 
 
 def q_jl_distortion_embeddings(sf_dir: str):
@@ -94,7 +103,9 @@ WITH q AS (
 ),
 pr AS (
     SELECT vec_id, j,
-           sum(q8[i + 1] * (1 - 2 * ((i * 73 + j * 1009) % 2))) AS p
+           sum(q8[i + 1] * (1 - 2 * (((i * 73856093 + j * 19349663)
+                                      % 83492791) * 2654435761
+                                     % 4294967296 // 2147483648))) AS p
     FROM q, unnest(range({_JL_D})) r(i), unnest(range({_JL_K})) s(j)
     GROUP BY 1, 2
 ),
@@ -128,8 +139,10 @@ def q_image_features_ppm(sf_dir: str):
     comment line — every decode exercises the whitespace/comment
     header grammar (``functions/netpbm.py``) — then an exact 8-bin
     brightness histogram per image. Padding bytes land in bin 0, which
-    the SQL replay accounts for explicitly (same contract as the BMP
-    sibling's 4-bin audit)."""
+    the SQL replay accounts for explicitly (same ASCII corpus contract
+    as every multimodal oracle here: the SQL side counts code points /
+    char lengths, identical to the engine's UTF-8 bytes only while the
+    corpus is ASCII — as the BMP/WAV siblings document)."""
     from ...functions.netpbm import encode_ppm
     from ...stages.multimodal import DecodeImage, image_brightness_hist
 

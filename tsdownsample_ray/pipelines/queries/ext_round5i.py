@@ -166,9 +166,24 @@ def q_decayed_activity_users(sf_dir: str):
 
     ev = _read_parquet_clean(f"{sf_dir}/events.parquet",
                              columns=["user_id", "ts"])
-    mx = int(pc.max(_pq.read_table(f"{sf_dir}/events.parquet",
-                                   columns=["ts"])["ts"])
-             .cast(pa.int64()).as_py())
+    # corpus max ts from parquet ROW-GROUP STATISTICS (zero data read);
+    # falls back to a single-column scan only when stats are absent
+    pf = _pq.ParquetFile(f"{sf_dir}/events.parquet")
+    ts_idx = pf.schema_arrow.names.index("ts")
+    maxes = []
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(ts_idx).statistics
+        if st is None or not st.has_min_max:
+            maxes = []
+            break
+        maxes.append(st.max)
+    if maxes:
+        mx = int(pa.scalar(max(maxes), pa.timestamp("us"))
+                 .cast(pa.int64()).as_py())
+    else:
+        mx = int(pc.max(_pq.read_table(f"{sf_dir}/events.parquet",
+                                       columns=["ts"])["ts"])
+                 .cast(pa.int64()).as_py())
 
     def _decay(b: pa.Table) -> pa.Table:
         ts = pc.cast(b["ts"], pa.int64())
@@ -181,9 +196,9 @@ def q_decayed_activity_users(sf_dir: str):
                          "decayed_e6": pa.array(score),
                          "min_age": age})
 
-    scored = ev.map_batches(_decay, batch_format="pyarrow")
-    # grouped sum for the score/count; the min-age rides a second
-    # min-reduction over the same partitioning
+    scored = ev.map_batches(_decay, batch_format="pyarrow").materialize()
+    # materialized: scored feeds both the sum and the min reduction —
+    # unmaterialized, the events read + decay map would execute twice
     from ...stages.rollup import grouped_min_parts
 
     sums = grouped_sum_parts(

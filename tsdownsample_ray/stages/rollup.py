@@ -372,10 +372,19 @@ def grouped_min_parts(ds, keys: list, min_cols: list, *, fanin: int = 8):
 
     def _add_part(b: pa.Table) -> pa.Table:
         b = _agg(b)  # in-block pre-collapse before the exchange
+        # same secondary-key fold as graph.grouped_sum_parts: raw int64
+        # view for integer keys (no per-unique Python hashing),
+        # stable_part_codes for string/binary keys
         h = stable_part_codes(b[keys[0]], None)
         for kc in keys[1:]:
-            h = h * np.uint64(0x9E3779B97F4A7C15) + stable_part_codes(
-                b[kc], None)
+            v = b[kc]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            if pa.types.is_integer(v.type):
+                folded = v.to_numpy(zero_copy_only=False).astype(np.uint64)
+            else:
+                folded = stable_part_codes(v, None)
+            h = h * np.uint64(0x9E3779B97F4A7C15) + folded
         part = (h % np.uint64(mod)).astype(np.int32)
         return b.append_column("__part", pa.array(part, pa.int32()))
 
