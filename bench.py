@@ -499,13 +499,32 @@ def run_scaling(tier0_only: bool = False) -> dict:
     # a true 0.85). Pair efficiencies are still reported as evidence.
     s_lo, cal_lo, mc_lo, bw_lo = [], [], [], []
     s_hi, cal_hi, mc_hi, bw_hi = [], [], [], []
-    # 4 rounds: the min-per-level estimator needs ONE clean window per
-    # level; observed burst trains can suppress one level for ~3 rounds
-    # straight (a 3-round session read hi minima 11.3/13.4/13.0 s around
-    # a 10.0 s steady state -> 0.751), so one more round materially
-    # improves convergence at ~90 s cost.
+    # 4-6 rounds: the min-per-level estimator needs the min to CONVERGE,
+    # not just one clean window — mid-job bursts evade the boundary
+    # probes and inflate "clean" samples (observed: hi minima
+    # 11.3/13.4/13.0 s over 3 rounds around a 10.0 s steady state
+    # -> 0.751). After the 4 baseline rounds, up to 2 extra rounds run
+    # unless both levels' minima have stabilized. The stop criterion is
+    # METRIC-INDEPENDENT (r4 advice: never condition a stop on the
+    # reported efficiency): a level is converged when its two smallest
+    # probe-clean samples agree within 6% — i.e. the min has been
+    # reproduced, which under one-sided (inflate-only) noise means it
+    # is at the clean floor. Symmetric across levels, so it cannot
+    # favor high-efficiency outcomes.
     n_rounds = max(reps, int(os.environ.get("BENCH_SCALING_ROUNDS", "4")))
-    for rnd in range(n_rounds):
+    max_rounds = max(n_rounds,
+                     int(os.environ.get("BENCH_SCALING_MAX_ROUNDS", "6")))
+
+    def _min_converged(vals, cals, mcs, bws):
+        clean = sorted(v for v, c, m, w in zip(vals, cals, mcs, bws)
+                       if _is_clean(c, m, w))
+        return len(clean) >= 2 and clean[1] <= clean[0] * 1.06
+
+    for rnd in range(max_rounds):
+        if rnd >= n_rounds and (
+                _min_converged(s_lo, cal_lo, mc_lo, bw_lo)
+                and _min_converged(s_hi, cal_hi, mc_hi, bw_hi)):
+            break
         r = _spawn(lo, ["--tier0"], env)
         s_lo.append(r["value"])
         cal_lo.append(r.get("calib_sec", -1.0))
