@@ -87,3 +87,33 @@ def test_source_boilerplate_cross_multiplied_threshold(ray_session):
     got = {(r.source, r.gram): (r.df, r.src_docs)
            for r in out.itertuples()}
     assert got == {("srcA", "p q"): (3, 5)}
+
+
+def test_char_windows_match_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.grams import dup_windows
+
+    rng = np.random.default_rng(11)
+    alpha = list("abcd") + ["é", "漢"]  # exercises the utf-32 char path
+    rows = [{"doc_id": int(i),
+             "text": "".join(rng.choice(alpha, rng.integers(0, 30)))}
+            for i in range(200)]
+    L = 4
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(5)
+    out = dup_windows(ds, k=L, min_docs=2, num_partitions=3,
+                      unit="char").to_pandas().set_index("gram")
+
+    exp = {}
+    for r in rows:
+        t = r["text"]
+        for i in range(len(t) - L + 1):
+            e = exp.setdefault(t[i:i + L], {"docs": set(), "occ": 0})
+            e["docs"].add(r["doc_id"])
+            e["occ"] += 1
+    exp = {g: e for g, e in exp.items() if len(e["docs"]) >= 2}
+    assert set(out.index) == set(exp)
+    for g, e in exp.items():
+        assert out.loc[g, "n_docs"] == len(e["docs"])
+        assert out.loc[g, "n_occ"] == e["occ"]
+        assert out.loc[g, "min_doc"] == min(e["docs"])

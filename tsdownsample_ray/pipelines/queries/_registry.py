@@ -1881,3 +1881,15 @@ QUERIES["triplet_margin_embeddings"] = q_triplet_margin_embeddings
 ORACLE_SQL["triplet_margin_embeddings"] = TRIPLET_SQL
 QUERIES["decayed_activity_users"] = q_decayed_activity_users
 ORACLE_SQL["decayed_activity_users"] = DECAYED_SQL
+
+from .ext_round5j import (  # noqa: E402
+    SDT_SQL,
+    SHARED_SUBSTRING_SQL,
+    q_sdt_compress_15m,
+    q_shared_substring_docs,
+)
+
+QUERIES["shared_substring_docs"] = q_shared_substring_docs
+ORACLE_SQL["shared_substring_docs"] = SHARED_SUBSTRING_SQL
+QUERIES["sdt_compress_15m"] = q_sdt_compress_15m
+ORACLE_SQL["sdt_compress_15m"] = SDT_SQL

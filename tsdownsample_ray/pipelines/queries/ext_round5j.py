@@ -1,0 +1,152 @@
+"""Round-5 session-4 wave, part 1: exact CHARACTER-level duplicate
+substrings (the Lee et al. 2022 exact-substring dedup granularity —
+every sliding character position a candidate, vs the word-gram tiles
+already in the catalog) and SWINGING-DOOR TRENDING compression (the
+classic industrial-historian codec; the stateful sibling of the
+dead-band filter, bit-exact through integer slope cross-products).
+
+Each entry follows the catalog contract: a Ray-Data-first distributed
+shape documented in place, integer-exact arithmetic so the DuckDB
+oracle replays bit-identically, and column names matched between both
+sides.
+"""
+from __future__ import annotations
+
+from ._shared import _read_parquet_clean, pa, pc  # noqa: F401
+
+US = 1_000_000
+W15M = 900 * US
+
+_SUB_L = 24      # character window length
+_SDT_DEV = 4000  # swinging-door half-width in cents (median 15m |dy| ~4.8k)
+
+
+def q_shared_substring_docs(sf_dir: str):
+    """Exact duplicate L=24-CHARACTER substrings across the corpus
+    (``stages/grams.py:dup_windows(unit="char")``; Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    character-granular exact-substring pass, complementing the
+    word-gram ``dup_window_docs``): per 24-char window found in >= 2
+    distinct documents, its distinct-doc count, total occurrence count
+    and smallest doc id. Window extraction is one utf-32 decode +
+    ``sliding_window_view`` reinterpret per batch (no per-position
+    Python); map-side (gram, doc) merge, ONE hash(gram) shuffle."""
+    from ...stages.grams import dup_windows
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+    return dup_windows(ds, k=_SUB_L, min_docs=2, num_partitions=8,
+                       unit="char")
+
+
+SHARED_SUBSTRING_SQL = f"""
+WITH g AS (
+    SELECT doc_id, substr(text, i, {_SUB_L}) AS gram
+    FROM documents,
+         LATERAL unnest(generate_series(1, length(text) - {_SUB_L} + 1))
+         AS t(i)
+)
+SELECT gram,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(min(doc_id) AS BIGINT) AS min_doc
+FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+def q_sdt_compress_15m(sf_dir: str):
+    """Swinging-door trending compression of the 15m tier per
+    event_type (``stages/compress.py:sdt_compress``; Bristol, ISA
+    1990 — OSIsoft PI's compression step): a tier row is retained when
+    the running max of lower-pivot slopes exceeds the running min of
+    upper-pivot slopes since the current anchor (doors collapse ->
+    previous point becomes the new anchor); first/last rows always
+    emit. dev = 4000 cents; slopes compare on whole-second x (15m
+    buckets are exact second multiples) via integer cross-products, so
+    the recursive-CTE oracle replays the walk bit-identically."""
+    from ...stages.compress import sdt_compress
+    from ...stages.rollup import rollup
+    from .downsample_core import _events_cents
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"), W15M)
+    return sdt_compress(rolled, dev=_SDT_DEV, x_col="bucket",
+                        y_col="sum_y", x_div=US, num_partitions=2)
+
+
+SDT_SQL = f"""
+WITH RECURSIVE numbered AS MATERIALIZED (
+    SELECT event_type AS series_id, bucket AS x, y,
+           bucket // {US} AS xs,
+           lag(bucket) OVER w AS px, lag(y) OVER w AS py,
+           lag(bucket // {US}) OVER w AS pxs,
+           row_number() OVER w AS idx,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM (
+        SELECT event_type, epoch_us(ts) // {W15M} * {W15M} AS bucket,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY event_type, bucket
+    )
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+),
+rec AS (
+    -- state AFTER processing row idx: anchor (ax: seconds, ay), doors
+    -- (lo_n/lo_d, hi_n/hi_d; NULL den = fresh anchor, no doors yet),
+    -- new_anchor = doors collapsed at this row (row idx-1 emitted)
+    SELECT series_id, idx, n, xs AS ax, y AS ay,
+           CAST(NULL AS BIGINT) AS lo_n, CAST(NULL AS BIGINT) AS lo_d,
+           CAST(NULL AS BIGINT) AS hi_n, CAST(NULL AS BIGINT) AS hi_d,
+           FALSE AS new_anchor
+    FROM numbered WHERE idx = 1
+    UNION ALL
+    SELECT series_id, idx, n,
+           CASE WHEN collapse THEN pxs ELSE ax END AS ax,
+           CASE WHEN collapse THEN py ELSE ay END AS ay,
+           CASE WHEN collapse THEN y - {_SDT_DEV} - py ELSE lo2_n END,
+           CASE WHEN collapse THEN xs - pxs ELSE lo2_d END,
+           CASE WHEN collapse THEN y + {_SDT_DEV} - py ELSE hi2_n END,
+           CASE WHEN collapse THEN xs - pxs ELSE hi2_d END,
+           collapse AS new_anchor
+    FROM (
+        SELECT series_id, idx, n, ax, ay, xs, y, pxs, py,
+               lo2_n, lo2_d, hi2_n, hi2_d,
+               (fresh = FALSE AND lo2_n * hi2_d > hi2_n * lo2_d)
+                   AS collapse
+        FROM (
+            SELECT n.series_id, n.idx, n.n, r.ax, r.ay, n.xs, n.y,
+                   n.pxs, n.py,
+                   r.lo_d IS NULL AS fresh,
+                   CASE WHEN r.lo_d IS NULL
+                             OR (n.y - {_SDT_DEV} - r.ay) * r.lo_d
+                                > r.lo_n * (n.xs - r.ax)
+                        THEN n.y - {_SDT_DEV} - r.ay
+                        ELSE r.lo_n END AS lo2_n,
+                   CASE WHEN r.lo_d IS NULL
+                             OR (n.y - {_SDT_DEV} - r.ay) * r.lo_d
+                                > r.lo_n * (n.xs - r.ax)
+                        THEN n.xs - r.ax ELSE r.lo_d END AS lo2_d,
+                   CASE WHEN r.hi_d IS NULL
+                             OR (n.y + {_SDT_DEV} - r.ay) * r.hi_d
+                                < r.hi_n * (n.xs - r.ax)
+                        THEN n.y + {_SDT_DEV} - r.ay
+                        ELSE r.hi_n END AS hi2_n,
+                   CASE WHEN r.hi_d IS NULL
+                             OR (n.y + {_SDT_DEV} - r.ay) * r.hi_d
+                                < r.hi_n * (n.xs - r.ax)
+                        THEN n.xs - r.ax ELSE r.hi_d END AS hi2_d
+            FROM rec r JOIN numbered n
+              ON n.series_id = r.series_id AND n.idx = r.idx + 1
+        ) u
+    ) z
+)
+SELECT DISTINCT m.series_id, m.x, m.y
+FROM numbered m
+LEFT JOIN rec e
+  ON e.series_id = m.series_id AND e.idx = m.idx + 1 AND e.new_anchor
+WHERE m.idx = 1 OR m.idx = m.n OR e.idx IS NOT NULL
+"""

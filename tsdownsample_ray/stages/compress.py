@@ -257,6 +257,110 @@ def deadband_filter(ds, *, delta: int, series_col: str = "series_id",
         _filter, batch_format="pyarrow")
 
 
+def sdt_compress(ds, *, dev: int, series_col: str = "series_id",
+                 x_col: str = "x", y_col: str = "y", x_div: int = 1,
+                 num_partitions: int = 8):
+    """Swinging-door trending (SDT) compression — the classic
+    industrial-historian codec (Bristol, ISA 1990; OSIsoft PI's
+    compression step; the stateful big sibling of
+    :func:`deadband_filter`): per series in time order, a point is
+    RETAINED when the swinging doors collapse. The doors are the
+    running max of the lower-pivot slopes ``(y_i - dev - a_y)/(x_i -
+    a_x)`` and the running min of the upper-pivot slopes ``(y_i + dev
+    - a_y)/(x_i - a_x)`` since the current anchor ``a``; when max-low
+    exceeds min-high, no single segment from the anchor can cover every
+    point within ``+-dev``, so the PREVIOUS point is emitted as the new
+    anchor and the doors reset against it from the current point. The
+    first and last points of every series always emit. Guarantee (the
+    classic emit-actual-points PI variant): while the doors stay open,
+    SOME line from the anchor passes within ``+-dev`` of every covered
+    point; interpolating between the retained points themselves is
+    within ``dev + 2*dev*(dx_j/dx_prev) < 3*dev`` of every original
+    sample (both slopes sit in the prev point's door interval of width
+    ``2*dev/dx_prev``).
+
+    All comparisons are EXACT integer cross-multiplications of slope
+    rationals (denominators positive since x strictly increases per
+    series) — no floats, so a recursive-CTE DuckDB oracle replays the
+    walk bit-identically. Slopes are computed on ``x // x_div`` (pass
+    ``x_div=1_000_000`` to compare on whole seconds when x is in
+    microseconds: 15-minute buckets are exact second multiples, and it
+    keeps every cross product |y +- dev - a_y| * (x - a_x) far inside
+    int64). Overflow contract: ``max|y - a_y + dev| * max(x_span //
+    x_div)`` must fit int64.
+
+    Scale shape: ONE hash(series) shuffle, per-partition sort, then a
+    sequential per-series walk over TIER rows only (the recurrence's
+    door state jumps data-dependently — same inherent-chain contract
+    as ``deadband_filter`` / ``holt_winters_fixed_point``). Output:
+    the retained rows ``(series_id, x, y)`` with x in original units.
+    """
+    mod = num_partitions * 64
+    _add_part = make_add_part(series_col, mod)
+
+    def _walk(xs: list, ys: list, keep: np.ndarray, base: int) -> None:
+        n = len(xs)
+        keep[base] = True
+        if n <= 1:
+            return
+        ax, ay = xs[0], ys[0]
+        lo_n = lo_d = hi_n = hi_d = 0
+        fresh = True
+        for i in range(1, n):
+            d = xs[i] - ax
+            nlo = ys[i] - dev - ay
+            nhi = ys[i] + dev - ay
+            if fresh:
+                lo_n, lo_d, hi_n, hi_d = nlo, d, nhi, d
+                fresh = False
+            else:
+                if nlo * lo_d > lo_n * d:
+                    lo_n, lo_d = nlo, d
+                if nhi * hi_d < hi_n * d:
+                    hi_n, hi_d = nhi, d
+                if lo_n * hi_d > hi_n * lo_d:  # doors collapsed
+                    keep[base + i - 1] = True
+                    ax, ay = xs[i - 1], ys[i - 1]
+                    d = xs[i] - ax
+                    lo_n, lo_d = ys[i] - dev - ay, d
+                    hi_n, hi_d = ys[i] + dev - ay, d
+        keep[base + n - 1] = True
+
+    def _filter(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t[series_col].type
+        empty = pa.table({"series_id": pa.array([], s_type),
+                          "x": pa.array([], pa.int64()),
+                          "y": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (x_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = group_codes(sid)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        xs_div = (x // x_div).tolist()  # python ints for the walk
+        ys = y.tolist()
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        ends = np.r_[starts[1:], len(codes)]
+        keep = np.zeros(len(codes), dtype=bool)
+        for f, l in zip(starts, ends):  # series loop
+            _walk(xs_div[f:l], ys[f:l], keep, int(f))
+        idx = pa.array(np.flatnonzero(keep))
+        return pa.table({"series_id": sid.take(idx),
+                         "x": pa.array(x[keep]),
+                         "y": pa.array(y[keep])})
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _filter, batch_format="pyarrow")
+
+
 def for_bitpack_frames(rolled, *, frame: int = 128,
                        series_col: str = "series_id",
                        order_col: str = "bucket",

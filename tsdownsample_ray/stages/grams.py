@@ -32,7 +32,8 @@ import pyarrow.compute as pc
 
 from ..arrow_utils import group_codes, rename_agg, stable_part_codes
 
-__all__ = ["window_gram_pairs", "dup_windows", "source_boilerplate_grams"]
+__all__ = ["window_gram_pairs", "char_window_pairs", "dup_windows",
+           "source_boilerplate_grams"]
 
 
 def window_gram_pairs(b: pa.Table, *, k: int, text_col: str = "text",
@@ -84,21 +85,84 @@ def window_gram_pairs(b: pa.Table, *, k: int, text_col: str = "text",
     return pa.table(cols)
 
 
+def char_window_pairs(b: pa.Table, *, L: int, text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """Explode each document into its overlapping ``L``-CHARACTER
+    windows (the exact-substring granularity of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", vs the
+    word-gram tiles of :func:`window_gram_pairs`): one row per window
+    position, ``(gram, <id>)``. Vectorized across the whole batch: all
+    texts are joined with a ``\\x00`` separator, decoded ONCE to a flat
+    utf-32 code array, and every window is materialized with one
+    ``sliding_window_view`` + contiguous ``<U{L}`` reinterpret — no
+    per-position Python. Windows that would straddle a document
+    boundary (i.e. cover the separator) are masked via the per-doc
+    character lengths. Contract: texts must not contain NUL (the
+    separator); nulls are treated as empty strings. Character (not
+    byte) windows, so the DuckDB ``substr``/``length`` oracle replays
+    them exactly on any UTF-8 input."""
+    col = b[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    n = b.num_rows
+    empty = pa.table({"gram": pa.array([], pa.string()),
+                      id_col: pa.array([], b[id_col].type)})
+    if n == 0:
+        return empty
+    char_lens = pc.utf8_length(col).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    blob = "\x00".join(col.to_pylist())
+    codes = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
+    total = len(codes)
+    n_win = total - L + 1
+    if n_win <= 0:
+        return empty
+    counts = char_lens + 1
+    counts[-1] -= 1  # no trailing separator after the last doc
+    row = np.repeat(np.arange(n, dtype=np.int64), counts)[:n_win]
+    starts = np.zeros(n, np.int64)
+    starts[1:] = np.cumsum(char_lens[:-1] + 1)
+    pos = np.arange(n_win, dtype=np.int64) - starts[row]
+    sel = np.flatnonzero(pos + L <= char_lens[row])
+    if len(sel) == 0:
+        return empty
+    win = np.lib.stride_tricks.sliding_window_view(codes, L)[sel]
+    subs = np.ascontiguousarray(win).view(f"<U{L}").ravel()
+    ids = b[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table({"gram": pa.array(subs),
+                     id_col: ids.take(pa.array(row[sel]))})
+
+
 def dup_windows(ds, *, k: int = 5, min_docs: int = 2,
                 text_col: str = "text", id_col: str = "doc_id",
-                num_partitions: int = 8):
+                num_partitions: int = 8, unit: str = "word"):
     """Duplicate overlapping ``k``-gram detection: per gram occurring in
     at least ``min_docs`` DISTINCT documents, ``(gram, n_docs, n_occ,
     min_doc)`` — distinct-document count, total occurrence count
-    (overlaps included), smallest containing doc id.
+    (overlaps included), smallest containing doc id. ``unit="word"``
+    windows are ``k`` space-split tokens; ``unit="char"`` windows are
+    ``k`` CHARACTERS (every sliding character position a candidate —
+    the exact-substring dedup granularity).
 
     One hash(gram) shuffle; block-local (gram, doc) occurrence merge
     before the exchange, per-partition sort + segment reduction after
-    (no per-gram loop)."""
+    (no per-gram loop). 100 TB note: shuffle volume is the distinct
+    (gram, doc) pair volume (~``k`` x corpus chars for char mode); a
+    u64 rolling-hash prefilter keyed on the window hash — same
+    dataflow, 8-byte keys, survivors re-verified on the true substring
+    — is the drop-in volume reducer when the string keys dominate."""
     mod = num_partitions * 64
 
     def _pairs(b: pa.Table) -> pa.Table:
-        t = window_gram_pairs(b, k=k, text_col=text_col, id_col=id_col)
+        if unit == "char":
+            t = char_window_pairs(b, L=k, text_col=text_col,
+                                  id_col=id_col)
+        else:
+            t = window_gram_pairs(b, k=k, text_col=text_col,
+                                  id_col=id_col)
         t = t.append_column("occ", pa.array(
             np.ones(t.num_rows, np.int64)))
         g = t.group_by(["gram", id_col]).aggregate([("occ", "sum")])
