@@ -1893,3 +1893,11 @@ QUERIES["shared_substring_docs"] = q_shared_substring_docs
 ORACLE_SQL["shared_substring_docs"] = SHARED_SUBSTRING_SQL
 QUERIES["sdt_compress_15m"] = q_sdt_compress_15m
 ORACLE_SQL["sdt_compress_15m"] = SDT_SQL
+
+from .ext_round5j import (  # noqa: E402
+    ADPCM_SQL,
+    q_multimodal_adpcm_decode,
+)
+
+QUERIES["multimodal_adpcm_decode"] = q_multimodal_adpcm_decode
+ORACLE_SQL["multimodal_adpcm_decode"] = ADPCM_SQL

@@ -150,3 +150,111 @@ LEFT JOIN rec e
   ON e.series_id = m.series_id AND e.idx = m.idx + 1 AND e.new_anchor
 WHERE m.idx = 1 OR m.idx = m.n OR e.idx IS NOT NULL
 """
+
+
+def q_multimodal_adpcm_decode(sf_dir: str):
+    """REAL stateful compressed-audio decode through the actor-pool
+    stage: IMA/DVI ADPCM (WAV fmt 0x11) payloads whose PCM samples are
+    the documents' own bytes, encoded with
+    ``functions/adpcm.py:encode_wav_ima`` and decoded by DecodeAudio's
+    RIFF fmt-tag dispatch. Unlike the stateless G.711 companding of
+    ``multimodal_mulaw_decode``, every nibble updates a (predictor,
+    step-index) state machine; the encoder and decoder predictors stay
+    in lockstep (decoded sample == updated predictor), so the oracle
+    replays the whole encode->decode roundtrip as ONE recursive-CTE
+    integer recursion per document. Per-doc waveform stats
+    hash-verified against that replay."""
+    from ...functions.adpcm import encode_wav_ima
+    from ...stages.multimodal import DecodeAudio
+    from .multimodal_curation import _audio_code_stats
+    import numpy as _np
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+
+    def _media(b: pa.Table) -> pa.Table:
+        payloads = [
+            encode_wav_ima(_np.frombuffer(t.encode(), _np.uint8)
+                           .astype(_np.int16), 8000)
+            for t in b["text"].to_pylist()]
+        return pa.table({
+            "media_id": b["doc_id"],
+            "kind": pa.array(["audio"] * b.num_rows),
+            "payload": pa.array(payloads, pa.binary()),
+            "duration_ms": pa.array([0] * b.num_rows, pa.int32()),
+        })
+
+    media = ds.map_batches(_media, batch_format="pyarrow", batch_size=256)
+    dec = media.map_batches(DecodeAudio, batch_format="pyarrow",
+                            batch_size=256, concurrency=(1, 8))
+    return dec.map_batches(_audio_code_stats, batch_format="pyarrow")
+
+
+_IMA_STEPS = ("[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,"
+              "45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,"
+              "209,230,253,279,307,337,371,408,449,494,544,598,658,724,"
+              "796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,"
+              "2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,"
+              "7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,"
+              "18500,20350,22385,24623,27086,29794,32767]")
+
+ADPCM_SQL = f"""
+WITH RECURSIVE numbered AS MATERIALIZED (
+    SELECT doc_id, i, unicode(substring(text, i, 1)) AS c
+    FROM documents,
+         LATERAL unnest(generate_series(1, length(text))) AS t(i)
+),
+lens AS MATERIALIZED (
+    SELECT doc_id, length(text) AS n FROM documents
+),
+steps AS (SELECT {_IMA_STEPS} AS st),
+rec AS (
+    -- state AFTER sample i: predictor p (== decoded sample i), step
+    -- index ix, running sum s, first decoded sample f
+    SELECT doc_id, 0 AS i, CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS ix,
+           CAST(0 AS BIGINT) AS s, CAST(NULL AS BIGINT) AS f
+    FROM lens
+    UNION ALL
+    SELECT doc_id, i, np AS p,
+           least(88, greatest(0, ix + CASE b2 * 4 + b1 * 2 + b0
+                 WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8
+                 ELSE -1 END)) AS ix,
+           s + np AS s, coalesce(f, np) AS f
+    FROM (
+        SELECT *, least(32767, greatest(-32768,
+               p + CASE WHEN sgn THEN -vp ELSE vp END)) AS np
+        FROM (
+            SELECT *, st8 + b2 * step + b1 * h1 + b0 * h2 AS vp
+            FROM (
+                SELECT *, CASE WHEN a1 - (CASE WHEN a1 >= h1 THEN 1
+                               ELSE 0 END) * h1 >= h2 THEN 1 ELSE 0
+                               END AS b0,
+                       CASE WHEN a1 >= h1 THEN 1 ELSE 0 END AS b1
+                FROM (
+                    SELECT *, CASE WHEN ad >= step THEN 1 ELSE 0 END AS b2,
+                           ad - (CASE WHEN ad >= step THEN 1 ELSE 0 END)
+                              * step AS a1
+                    FROM (
+                        SELECT r.doc_id, n.i, r.p, r.ix, r.s, r.f,
+                               st[CAST(r.ix AS INTEGER) + 1] AS step,
+                               st[CAST(r.ix AS INTEGER) + 1] // 2 AS h1,
+                               st[CAST(r.ix AS INTEGER) + 1] // 4 AS h2,
+                               st[CAST(r.ix AS INTEGER) + 1] // 8 AS st8,
+                               n.c - r.p < 0 AS sgn, abs(n.c - r.p) AS ad
+                        FROM rec r
+                        JOIN numbered n
+                          ON n.doc_id = r.doc_id AND n.i = r.i + 1
+                        CROSS JOIN steps
+                    ) q1
+                ) q2
+            ) q3
+        ) q4
+    ) q5
+)
+SELECT l.doc_id AS media_id,
+       CAST(l.n AS BIGINT) AS n_samples,
+       r.s AS sum_codes,
+       CAST(coalesce(r.f, -1) AS BIGINT) AS first_code,
+       CAST(CASE WHEN l.n = 0 THEN -1 ELSE r.p END AS BIGINT) AS last_code
+FROM lens l JOIN rec r ON r.doc_id = l.doc_id AND r.i = l.n
+"""

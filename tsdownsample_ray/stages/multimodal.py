@@ -332,6 +332,19 @@ class DecodeAudio:
         out, rates = [], []
         for p, d in zip(payloads, durs):
             if not self.fake and p[:4] == b"RIFF":
+                # peek the fmt tag: 0x11 = IMA ADPCM (functions/adpcm),
+                # else stdlib-wave PCM
+                fpos = p.find(b"fmt ")
+                tag = int.from_bytes(p[fpos + 8:fpos + 10],
+                                     "little") if fpos >= 0 else 1
+                if tag == 0x11:
+                    from ..functions.adpcm import decode_wav_ima
+
+                    pcm, rate = decode_wav_ima(p)
+                    out.append((pcm.astype(np.float32) / 32768.0)
+                               .tolist())
+                    rates.append(rate)
+                    continue
                 s, rate = decode_wav(p)
                 out.append(s.tolist())
                 rates.append(rate)
