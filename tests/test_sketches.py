@@ -80,3 +80,35 @@ def test_cms_never_undercounts_and_exact_when_wide(ray_session):
     assert (tight["est_n"] >= tight["exact_n"]).all()
     # total mass per sketch row is conserved: min estimate still bounded
     assert tight["est_n"].max() <= int(tight["exact_n"].sum())
+
+
+def test_ams_f2_counters_and_estimate(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.sketches import ams_coeffs, ams_f2
+
+    P = (1 << 31) - 1
+    rng = np.random.default_rng(2)
+    keys = rng.zipf(1.5, 20000) % 500  # skewed stream
+    ds = rd.from_pandas(pd.DataFrame({"k": keys})).repartition(6)
+    out = ams_f2(ds, key_col="k", r=30, group=6).to_pandas() \
+        .sort_values("j").reset_index(drop=True)
+
+    # brute counters
+    for j, (a3, a2, a1, a0) in enumerate(ams_coeffs(30)):
+        x = keys.astype(np.int64) % P
+        h = (a3 * x + a2) % P
+        h = (h * x + a1) % P
+        h = (h * x + a0) % P
+        c = int(len(x) - 2 * (h & 1).sum())
+        assert out.loc[j, "c"] == c
+        assert out.loc[j, "c2"] == c * c
+        assert out.loc[j, "grp"] == j // 6
+
+    # median-of-means estimate lands within 3x of true F2 (30 counters)
+    f2 = int((np.bincount(keys).astype(np.int64) ** 2).sum())
+    means = out.groupby("grp")["c2"].mean().to_numpy()
+    est = float(np.median(means))
+    assert f2 / 3 < est < f2 * 3

@@ -1901,3 +1901,8 @@ from .ext_round5j import (  # noqa: E402
 
 QUERIES["multimodal_adpcm_decode"] = q_multimodal_adpcm_decode
 ORACLE_SQL["multimodal_adpcm_decode"] = ADPCM_SQL
+
+from .ext_round5j import AMS_SQL, q_ams_f2_users  # noqa: E402
+
+QUERIES["ams_f2_users"] = q_ams_f2_users
+ORACLE_SQL["ams_f2_users"] = AMS_SQL

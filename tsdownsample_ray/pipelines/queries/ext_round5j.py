@@ -258,3 +258,36 @@ SELECT l.doc_id AS media_id,
        CAST(CASE WHEN l.n = 0 THEN -1 ELSE r.p END AS BIGINT) AS last_code
 FROM lens l JOIN rec r ON r.doc_id = l.doc_id AND r.i = l.n
 """
+
+
+def q_ams_f2_users(sf_dir: str):
+    """AMS F2 sketch of the per-user event-count frequency vector
+    (``stages/sketches.py:ams_f2``; Alon-Matias-Szegedy, STOC 1996):
+    30 sign counters from a 4-wise cubic hash mod 2^31-1, one stream
+    occurrence per event row. Deterministic coefficients make the
+    counters (and so the median-of-means estimate) bit-exact in SQL;
+    each block collapses to 30 partial int64s before the one tiny
+    grouped sum."""
+    from ...stages.sketches import ams_f2
+
+    ev = _read_parquet_clean(f"{sf_dir}/events.parquet",
+                             columns=["user_id"]).repartition(8)
+    return ams_f2(ev, key_col="user_id", r=30, group=6)
+
+
+AMS_SQL = '''
+WITH params AS (
+    SELECT * FROM (VALUES (0, 506952114, 1013904228, 1520856342, 2027808456), (1, 387276923, 894229037, 1401181151, 1908133265), (2, 267601732, 774553846, 1281505960, 1788458074), (3, 147926541, 654878655, 1161830769, 1668782883), (4, 28251350, 535203464, 1042155578, 1549107692), (5, 2056059806, 415528273, 922480387, 1429432501), (6, 1936384615, 295853082, 802805196, 1309757310), (7, 1816709424, 176177891, 683130005, 1190082119), (8, 1697034233, 56502700, 563454814, 1070406928), (9, 1577359042, 2084311156, 443779623, 950731737), (10, 1457683851, 1964635965, 324104432, 831056546), (11, 1338008660, 1844960774, 204429241, 711381355), (12, 1218333469, 1725285583, 84754050, 591706164), (13, 1098658278, 1605610392, 2112562506, 472030973), (14, 978983087, 1485935201, 1992887315, 352355782), (15, 859307896, 1366260010, 1873212124, 232680591), (16, 739632705, 1246584819, 1753536933, 113005400), (17, 619957514, 1126909628, 1633861742, 2140813856), (18, 500282323, 1007234437, 1514186551, 2021138665), (19, 380607132, 887559246, 1394511360, 1901463474), (20, 260931941, 767884055, 1274836169, 1781788283), (21, 141256750, 648208864, 1155160978, 1662113092), (22, 21581559, 528533673, 1035485787, 1542437901), (23, 2049390015, 408858482, 915810596, 1422762710), (24, 1929714824, 289183291, 796135405, 1303087519), (25, 1810039633, 169508100, 676460214, 1183412328), (26, 1690364442, 49832909, 556785023, 1063737137), (27, 1570689251, 2077641365, 437109832, 944061946), (28, 1451014060, 1957966174, 317434641, 824386755), (29, 1331338869, 1838290983, 197759450, 704711564)) t(j, a3, a2, a1, a0)
+),
+signs AS (
+    SELECT p.j,
+           1 - 2 * (((((p.a3 * (e.user_id % 2147483647) + p.a2) % 2147483647)
+                      * (e.user_id % 2147483647) + p.a1) % 2147483647
+                     * (e.user_id % 2147483647) + p.a0) % 2147483647 % 2) AS s
+    FROM events e CROSS JOIN params p
+),
+ctr AS (
+    SELECT j, CAST(sum(s) AS BIGINT) AS c FROM signs GROUP BY j
+)
+SELECT CAST(j AS BIGINT) AS j, CAST(j // 6 AS BIGINT) AS grp, c, c * c AS c2 FROM ctr
+'''

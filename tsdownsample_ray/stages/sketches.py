@@ -21,7 +21,7 @@ from ..arrow_utils import group_codes
 
 __all__ = ["hll_sketch_batch", "hll_merge", "hll_estimate",
            "distinct_approx", "cms_token_counts", "kmv_distinct",
-           "log2hist_quantiles"]
+           "log2hist_quantiles", "ams_f2", "ams_coeffs"]
 
 
 def _hash64(values: list[str]) -> np.ndarray:
@@ -514,3 +514,65 @@ def misra_gries_heavy(ds, *, m: int = 64, text_col: str = "text",
         return t.filter(pa.array(keep))
 
     return summed.map_batches(_thresh, batch_format="pyarrow")
+
+
+_AMS_P = (1 << 31) - 1  # Mersenne prime 2^31 - 1
+
+
+def ams_coeffs(r: int) -> list[tuple[int, int, int, int]]:
+    """Deterministic cubic-hash coefficients for ``r`` AMS counters:
+    ``a_k(j) = (2654435761 * (4j + k + 1)) % p`` (Knuth's multiplicative
+    constant; fixed so engine and SQL oracle share them literally)."""
+    return [tuple((2654435761 * (4 * j + k + 1)) % _AMS_P
+                  for k in range(4)) for j in range(r)]
+
+
+def ams_f2(ds, *, key_col: str, r: int = 30, group: int = 6,
+           fanin: int = 4):
+    """AMS second-frequency-moment (F2) sketch (Alon, Matias & Szegedy,
+    STOC 1996): ``r`` counters, counter j adding ``s_j(x) in {-1,+1}``
+    per stream OCCURRENCE of key x, with the sign from a 4-wise
+    cubic hash mod the Mersenne prime 2^31-1:
+
+        x' = x % p
+        h  = a3; h = (h*x' + a2) % p; h = (h*x' + a1) % p;
+                 h = (h*x' + a0) % p
+        s_j(x) = 1 - 2 * (h % 2)
+
+    ``E[c_j^2] = F2 = sum_k count(k)^2``; the median over ``r/group``
+    groups of the group-MEAN of ``c^2`` is the classic
+    median-of-means estimate (left to the consumer — this operator
+    emits the counters, which are what merges). Every step is exact
+    int64 (Horner products < 2^62), so the DuckDB oracle replays the
+    counters bit-identically.
+
+    Scale shape: each block collapses to ``r`` partial counter rows
+    (one (r x block_rows) vectorized Horner), ONE tiny hash(j) grouped
+    sum over r keys — sketch state never exceeds r int64s per block.
+    Output: ``(j, grp, c, c2)``, one row per counter."""
+    coef = ams_coeffs(r)
+    a3 = np.array([c[0] for c in coef], np.int64)[:, None]
+    a2 = np.array([c[1] for c in coef], np.int64)[:, None]
+    a1 = np.array([c[2] for c in coef], np.int64)[:, None]
+    a0 = np.array([c[3] for c in coef], np.int64)[:, None]
+
+    def _partial(b: pa.Table) -> pa.Table:
+        x = (b[key_col].to_numpy(zero_copy_only=False)
+             .astype(np.int64) % _AMS_P)[None, :]
+        h = (a3 * x + a2) % _AMS_P
+        h = (h * x + a1) % _AMS_P
+        h = (h * x + a0) % _AMS_P
+        c = len(x[0]) - 2 * (h & 1).sum(axis=1)  # sum of +-1 signs
+        return pa.table({"j": pa.array(np.arange(r, dtype=np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow")
+    summed = parts.groupby("j").sum("c")
+
+    def _final(b: pa.Table) -> pa.Table:
+        j = b["j"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["sum(c)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"j": pa.array(j), "grp": pa.array(j // group),
+                         "c": pa.array(c), "c2": pa.array(c * c)})
+
+    return summed.map_batches(_final, batch_format="pyarrow")
