@@ -1906,3 +1906,8 @@ from .ext_round5j import AMS_SQL, q_ams_f2_users  # noqa: E402
 
 QUERIES["ams_f2_users"] = q_ams_f2_users
 ORACLE_SQL["ams_f2_users"] = AMS_SQL
+
+from .ext_round5j import HILBERT_SQL, q_hilbert_zone_maps_events  # noqa: E402
+
+QUERIES["hilbert_zone_maps_events"] = q_hilbert_zone_maps_events
+ORACLE_SQL["hilbert_zone_maps_events"] = HILBERT_SQL

@@ -291,3 +291,66 @@ ctr AS (
 )
 SELECT CAST(j AS BIGINT) AS j, CAST(j // 6 AS BIGINT) AS grp, c, c * c AS c2 FROM ctr
 '''
+
+
+def q_hilbert_zone_maps_events(sf_dir: str):
+    """Hilbert-curve clustering manifest (``stages/hilbert.py``): the
+    locality-preserving sibling of ``zorder_zone_maps_events`` — index
+    (user_id, hour-bucket) on a 256x256 Hilbert grid, emit
+    per-partition zone maps. The xy->d rotate-and-reflect walk is
+    vectorized across rows per bit level; the oracle replays the same
+    walk per row through a recursive CTE. Block-local zone-map
+    partials, one constant-size shuffle; rows never move."""
+    from ...stages.hilbert import hilbert_zone_maps
+
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts"]).repartition(8)
+
+    def _dims(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(b["ts"], pa.int64())
+        hour = pc.divide(ts_us, pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({"d0": b["user_id"], "d1": hour})
+
+    return hilbert_zone_maps(ds.map_batches(_dims, batch_format="pyarrow"),
+                             d0_col="d0", d1_col="d1", bits=8,
+                             parts_log2=4, num_partitions=2)
+
+
+HILBERT_SQL = """
+WITH RECURSIVE e AS MATERIALIZED (
+    SELECT event_id, user_id % 256 AS d0,
+           (epoch_us(ts) // 3600000000) % 256 AS d1
+    FROM events
+),
+walk AS (
+    -- per row: (x, y) frame, accumulated index d, current level s;
+    -- the level digit (3*rx) XOR ry is restated arithmetically as
+    -- 3*rx + ry*(1 - 2*rx) — identical expression to the engine
+    SELECT event_id, d0 AS x, d1 AS y, CAST(0 AS BIGINT) AS d,
+           CAST(128 AS BIGINT) AS s
+    FROM e
+    UNION ALL
+    SELECT event_id,
+           CASE WHEN ry = 0
+                THEN (CASE WHEN rx = 1 THEN s - 1 - y ELSE y END)
+                ELSE x END AS x,
+           CASE WHEN ry = 0
+                THEN (CASE WHEN rx = 1 THEN s - 1 - x ELSE x END)
+                ELSE y END AS y,
+           d + s * s * (3 * rx + ry * (1 - 2 * rx)) AS d,
+           s // 2 AS s
+    FROM (
+        SELECT event_id, x, y, d, s,
+               CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END AS ry
+        FROM walk WHERE s > 0
+    ) q
+),
+h AS (SELECT event_id, d FROM walk WHERE s = 0)
+SELECT h.d >> 12 AS p, count(*) AS n,
+       min(e.d0) AS min_d0, max(e.d0) AS max_d0,
+       min(e.d1) AS min_d1, max(e.d1) AS max_d1,
+       min(h.d) AS min_h, max(h.d) AS max_h
+FROM e JOIN h USING (event_id)
+GROUP BY 1
+"""
