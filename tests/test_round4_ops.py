@@ -463,3 +463,46 @@ def test_cdc_chunks_lossless_and_shift_resistant(ray_session):
     cb = b["chunk"].to_pylist()
     assert len(ca) > 3  # boundaries actually fire on this text
     assert ca[-3:] == cb[-3:]  # unchanged content re-chunks identically
+
+
+def test_theta_fixed_point_matches_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.smoothing import theta_fixed_point
+
+    rng = np.random.default_rng(6)
+    frames = []
+    for sid in ("a", "b", "c"):
+        n = int(rng.integers(1, 60))
+        frames.append(pd.DataFrame({
+            "series_id": sid,
+            "bucket": np.arange(n, dtype=np.int64) * 900,
+            "sum_y": rng.integers(-5000, 5000, n).astype(np.int64)}))
+    df = pd.concat(frames, ignore_index=True)
+    ds = rd.from_pandas(df.sample(frac=1.0, random_state=1)).repartition(3)
+    out = theta_fixed_point(ds, ka=3, horizon=5, num_partitions=2) \
+        .to_pandas().sort_values(["series_id", "h"]).reset_index(drop=True)
+
+    rows = []
+    for sid, g in df.groupby("series_id"):
+        y = g.sort_values("bucket")["sum_y"].tolist()
+        n = len(y)
+        lvl = y[0]
+        for v in y[1:]:
+            lvl = lvl + ((v - lvl) >> 3)
+        t = list(range(n))
+        bn = n * sum(ti * yi for ti, yi in zip(t, y)) - sum(t) * sum(y)
+        bd = n * sum(ti * ti for ti in t) - sum(t) ** 2
+        for h in range(1, 6):
+            if bd == 0:
+                drift = 0
+            else:
+                num, den = h * bn, 2 * bd
+                drift = num // den  # python floor div == exact floor
+            rows.append((sid, h, lvl, bn, bd, lvl + drift))
+    exp = pd.DataFrame(rows, columns=["series_id", "h", "level", "bn",
+                                      "bd", "forecast"])
+    pd.testing.assert_frame_equal(
+        out[exp.columns].astype(exp.dtypes.to_dict()), exp)

@@ -1911,3 +1911,8 @@ from .ext_round5j import HILBERT_SQL, q_hilbert_zone_maps_events  # noqa: E402
 
 QUERIES["hilbert_zone_maps_events"] = q_hilbert_zone_maps_events
 ORACLE_SQL["hilbert_zone_maps_events"] = HILBERT_SQL
+
+from .ext_round5j import THETA_SQL, q_theta_1h  # noqa: E402
+
+QUERIES["theta_1h"] = q_theta_1h
+ORACLE_SQL["theta_1h"] = THETA_SQL

@@ -354,3 +354,76 @@ SELECT h.d >> 12 AS p, count(*) AS n,
 FROM e JOIN h USING (event_id)
 GROUP BY 1
 """
+
+
+W1H = 3600 * US
+
+
+def q_theta_1h(sf_dir: str):
+    """Theta-method forecast per event_type over the 1h tier
+    (``stages/smoothing.py:theta_fixed_point``; Assimakopoulos &
+    Nikolopoulos 2000, via the SES-plus-half-trend equivalence of
+    Hyndman & Billah 2003): integer-shift SES level (alpha = 1/8),
+    exact rational OLS slope, sign-handled floor drift — 12 forecast
+    steps per series, every value bit-exact in SQL."""
+    from ...stages.rollup import rollup
+    from ...stages.smoothing import theta_fixed_point
+    from .downsample_core import _events_cents
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"), W1H)
+    return theta_fixed_point(rolled, ka=3, horizon=12, num_partitions=2)
+
+
+THETA_SQL = f"""
+WITH RECURSIVE numbered AS MATERIALIZED (
+    SELECT event_type AS series_id, bucket, y,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY bucket) AS idx
+    FROM (
+        SELECT event_type, epoch_us(ts) // {W1H} * {W1H} AS bucket,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY event_type, bucket
+    )
+),
+rec AS (
+    SELECT series_id, idx, y AS ema FROM numbered WHERE idx = 1
+    UNION ALL
+    SELECT n.series_id, n.idx,
+           r.ema + (CASE WHEN n.y - r.ema >= 0 THEN (n.y - r.ema) // 8
+                    ELSE -(((-(n.y - r.ema)) + 7) // 8) END)
+    FROM rec r JOIN numbered n
+      ON n.series_id = r.series_id AND n.idx = r.idx + 1
+),
+stats AS (
+    SELECT series_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum((idx - 1) * y) AS BIGINT) AS sty,
+           CAST(sum(idx - 1) AS BIGINT) AS st,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum((idx - 1) * (idx - 1)) AS BIGINT) AS stt
+    FROM numbered GROUP BY 1
+),
+slope AS (
+    SELECT series_id, n * sty - st * sy AS bn, n * stt - st * st AS bd
+    FROM stats
+),
+lvl AS (
+    SELECT r.series_id, r.ema AS level
+    FROM rec r JOIN (SELECT series_id, max(idx) AS mi
+                     FROM numbered GROUP BY 1) m
+      ON r.series_id = m.series_id AND r.idx = m.mi
+)
+SELECT l.series_id, h.h, l.level, s.bn, s.bd,
+       l.level + (CASE WHEN s.bd = 0 THEN 0
+                  WHEN h.h * s.bn >= 0 THEN (h.h * s.bn) // (2 * s.bd)
+                  ELSE -(((-(h.h * s.bn)) + 2 * s.bd - 1) // (2 * s.bd))
+                  END) AS forecast
+FROM lvl l
+JOIN slope s USING (series_id)
+CROSS JOIN (SELECT unnest(generate_series(1, 12)) AS h) h
+"""

@@ -23,7 +23,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ..arrow_utils import group_codes, make_add_part
 
-__all__ = ["ewma_fixed_point", "holt_fixed_point",
+__all__ = ["theta_fixed_point",
+           "ewma_fixed_point", "holt_fixed_point",
            "kalman_local_level",
            "holt_winters_fixed_point", "macd_fixed_point"]
 
@@ -441,3 +442,97 @@ def croston_fixed_point(ds, kz: int = 3, kp: int = 3, *,
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _croston, batch_format="pyarrow")
+
+
+def theta_fixed_point(ds, ka: int = 3, horizon: int = 12, *,
+                      series_col: str = "series_id", x_col: str = "bucket",
+                      y_col: str = "sum_y", num_partitions: int = 8):
+    """Theta-method forecast, integer fixed point (Assimakopoulos &
+    Nikolopoulos, IJF 16(4), 2000; via the Hyndman-Billah 2003
+    equivalence: theta(0, 2) forecasting == SES plus HALF the linear
+    trend as drift):
+
+        level:    l_i = l_{i-1} + ((y_i - l_{i-1}) >> ka), l_0 = y_0
+        slope:    bn = n*sum(t*y) - sum(t)*sum(y)     (t = 0-based rank)
+                  bd = n*sum(t^2) - sum(t)^2          (exact rational b = bn/bd)
+        forecast: f_h = l_n + floor(h*bn / (2*bd)), h = 1..horizon
+                  (bd = 0 -- single-row series -- forecasts flat l_n)
+
+    The shift is floor division by 2^ka on signed ints and the drift
+    floor uses sign-handled integer division, so the SQL oracle (EWMA
+    recursion + exact OLS sums) replays every forecast bit-identically.
+    Overflow contract: ``horizon * n * sum|t*y|`` must fit int64.
+
+    Output per series: ``(series_id, h, level, bn, bd, forecast)``,
+    ``horizon`` rows each. Sequential level pass per series over TIER
+    rows after ONE hash(series) shuffle; slope sums are vectorized
+    segment reductions (no second pass)."""
+    mod = num_partitions * 64
+    _add_part = make_add_part(series_col, mod)
+
+    def _theta(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t[series_col].type
+        empty = pa.table({"series_id": pa.array([], s_type),
+                          "h": pa.array([], pa.int64()),
+                          "level": pa.array([], pa.int64()),
+                          "bn": pa.array([], pa.int64()),
+                          "bd": pa.array([], pa.int64()),
+                          "forecast": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (x_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = group_codes(sid)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        head = np.ones(len(y), dtype=bool)
+        head[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(head)
+        ends = np.r_[starts[1:], len(y)]
+        n = (ends - starts).astype(np.int64)
+        rank = np.arange(len(y), dtype=np.int64) - np.repeat(starts, n)
+        sty = np.add.reduceat(rank * y, starts)
+        st = np.add.reduceat(rank, starts)
+        sy = np.add.reduceat(y, starts)
+        stt = np.add.reduceat(rank * rank, starts)
+        bn = n * sty - st * sy
+        bd = n * stt - st * st
+        # sequential level pass (inherent chain; tier rows only)
+        yl, hl = y.tolist(), head.tolist()
+        state = 0
+        last = [0] * len(starts)
+        si = -1
+        for i in range(len(yl)):
+            if hl[i]:
+                si += 1
+                state = yl[i]
+            else:
+                state = state + ((yl[i] - state) >> ka)
+            last[si] = state
+        hs = np.tile(np.arange(1, horizon + 1, dtype=np.int64),
+                     len(starts))
+        lvl = np.repeat(np.array(last, np.int64), horizon)
+        bn_r = np.repeat(bn, horizon)
+        bd_r = np.repeat(bd, horizon)
+        num = hs * bn_r
+        den = 2 * bd_r
+        drift = np.zeros(len(hs), dtype=np.int64)
+        nz = den > 0
+        # exact floor(num/den) for signed num, positive den
+        drift[nz] = np.where(
+            num[nz] >= 0, num[nz] // den[nz],
+            -((-num[nz] + den[nz] - 1) // den[nz]))
+        return pa.table({
+            "series_id": sid.take(pa.array(np.repeat(starts, horizon))),
+            "h": pa.array(hs),
+            "level": pa.array(lvl),
+            "bn": pa.array(bn_r),
+            "bd": pa.array(bd_r),
+            "forecast": pa.array(lvl + drift)})
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _theta, batch_format="pyarrow")
