@@ -1,0 +1,61 @@
+"""merge_tiers exactness and min_cover_window brute-force replay."""
+
+import numpy as np
+import pandas as pd
+
+
+def test_merge_tiers_equals_full_rebuild(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.rollup import merge_tiers, rollup
+
+    rng = np.random.default_rng(8)
+    n = 4000
+    df = pd.DataFrame({
+        "series_id": rng.choice(["a", "b", "c"], n),
+        "x": rng.integers(0, 10_000_000, n).astype(np.int64),
+        "y": rng.integers(-500, 500, n).astype(np.int64)})
+    w = 100_000
+    full = rollup(rd.from_pandas(df).repartition(4), w).to_pandas() \
+        .sort_values(["series_id", "bucket"]).reset_index(drop=True)
+    # three disjoint slices, uneven sizes
+    m = np.arange(n) % 5
+    parts = [rollup(rd.from_pandas(df[m == 0]).repartition(2), w),
+             rollup(rd.from_pandas(df[(m == 1) | (m == 2)])
+                    .repartition(3), w),
+             rollup(rd.from_pandas(df[m >= 3]).repartition(2), w)]
+    merged = merge_tiers(*parts).to_pandas() \
+        .sort_values(["series_id", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(merged[full.columns], full)
+
+
+def test_min_cover_window_matches_bruteforce(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.retrieval import min_cover_window
+
+    rng = np.random.default_rng(3)
+    vocab = ["x", "y", "z", "w", "u"]
+    rows = [{"doc_id": int(i),
+             "text": " ".join(rng.choice(vocab, rng.integers(1, 40)))}
+            for i in range(300)]
+    terms = ("x", "y", "z")
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(5)
+    out = min_cover_window(ds, terms).to_pandas() \
+        .set_index("doc_id").sort_index()
+
+    exp = {}
+    for r in rows:
+        toks = r["text"].split(" ")
+        posl = [[i for i, t in enumerate(toks) if t == q] for q in terms]
+        if any(not p for p in posl):
+            continue
+        best = min(max(c) - min(c) + 1
+                   for c in itertools.product(*posl))
+        exp[r["doc_id"]] = (tuple(len(p) for p in posl), best)
+    assert set(out.index) == set(exp)
+    for did, (ns, best) in exp.items():
+        assert tuple(out.loc[did, ["n_0", "n_1", "n_2"]]) == ns
+        assert out.loc[did, "min_span"] == best

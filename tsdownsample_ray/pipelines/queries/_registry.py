@@ -1916,3 +1916,13 @@ from .ext_round5j import THETA_SQL, q_theta_1h  # noqa: E402
 
 QUERIES["theta_1h"] = q_theta_1h
 ORACLE_SQL["theta_1h"] = THETA_SQL
+
+from .ext_round5j import DELTA_ROLLUP_SQL, q_delta_rollup_15m  # noqa: E402
+
+QUERIES["delta_rollup_15m"] = q_delta_rollup_15m
+ORACLE_SQL["delta_rollup_15m"] = DELTA_ROLLUP_SQL
+
+from .ext_round5j import MIN_WINDOW_SQL, q_min_window_docs  # noqa: E402
+
+QUERIES["min_window_docs"] = q_min_window_docs
+ORACLE_SQL["min_window_docs"] = MIN_WINDOW_SQL

@@ -427,3 +427,100 @@ FROM lvl l
 JOIN slope s USING (series_id)
 CROSS JOIN (SELECT unnest(generate_series(1, 12)) AS h) h
 """
+
+
+def q_delta_rollup_15m(sf_dir: str):
+    """Incremental continuous-aggregate maintenance
+    (``stages/rollup.py:merge_tiers``; the TimescaleDB invalidation
+    contract): the 15m tier is built as a BASE tier over events with
+    ``epoch_us(ts) % 3 != 0`` plus a DELTA tier over the rest (the
+    append slice — at scale these are separate inputs), then merged by
+    associative partials (min/min, max/max, sum+sum, n+n). The oracle
+    replays a FULL rebuild over all events — hash-equality IS the
+    proof that incremental maintenance is exact."""
+    from ...stages.rollup import merge_tiers, rollup
+
+    def _side(keep_delta: bool):
+        ds = _read_parquet_clean(f"{sf_dir}/events.parquet",
+                                 columns=["event_type", "ts", "value"])
+
+        def _series(b: pa.Table) -> pa.Table:
+            ts_us = pc.cast(b["ts"], pa.int64())
+            cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                     ndigits=0), pa.int64())
+            t = pa.table({"series_id": b["event_type"], "x": ts_us,
+                          "y": cents})
+            is_delta = pc.equal(pc.subtract(
+                ts_us, pc.multiply(pc.divide(ts_us, pa.scalar(3, pa.int64())),
+                                   pa.scalar(3, pa.int64()))),
+                pa.scalar(0, pa.int64()))
+            return t.filter(is_delta if keep_delta else
+                            pc.invert(is_delta))
+
+        return rollup(ds.map_batches(_series, batch_format="pyarrow"),
+                      W15M)
+
+    return merge_tiers(_side(False), _side(True))
+
+
+DELTA_ROLLUP_SQL = f"""
+SELECT event_type AS series_id,
+       epoch_us(ts) // {W15M} * {W15M} AS bucket,
+       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_y,
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_y,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_y,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+_MW_TERMS = ("table", "scan", "hash")
+
+
+def q_min_window_docs(sf_dir: str):
+    """Minimal proximity window for the conjunctive query {table, scan,
+    hash} (``stages/retrieval.py:min_cover_window``; the positional
+    MINDIST ranking signal): per document containing all three terms,
+    the shortest token span covering one occurrence of each plus the
+    per-term counts. The textbook linear scan vectorized as numpy
+    ffills over doc-offset positions — no shuffle at all; the SQL
+    oracle brute-forces the same minimum over the three position
+    lists' cross product."""
+    from ...stages.retrieval import min_cover_window
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+    return min_cover_window(ds, _MW_TERMS)
+
+
+MIN_WINDOW_SQL = f"""
+WITH d AS MATERIALIZED (
+    SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+),
+p AS MATERIALIZED (
+    SELECT doc_id, i - 1 AS pos, arr[i] AS tok
+    FROM d, LATERAL unnest(generate_series(1, len(arr))) AS t(i)
+),
+p0 AS (SELECT doc_id, pos FROM p WHERE tok = '{_MW_TERMS[0]}'),
+p1 AS (SELECT doc_id, pos FROM p WHERE tok = '{_MW_TERMS[1]}'),
+p2 AS (SELECT doc_id, pos FROM p WHERE tok = '{_MW_TERMS[2]}'),
+m AS (
+    SELECT p0.doc_id,
+           CAST(min(greatest(p0.pos, p1.pos, p2.pos)
+                    - least(p0.pos, p1.pos, p2.pos) + 1) AS BIGINT)
+               AS min_span
+    FROM p0
+    JOIN p1 ON p1.doc_id = p0.doc_id
+    JOIN p2 ON p2.doc_id = p0.doc_id
+    GROUP BY 1
+),
+c AS (
+    SELECT doc_id,
+           CAST(count(*) FILTER (tok = '{_MW_TERMS[0]}') AS BIGINT) AS n_0,
+           CAST(count(*) FILTER (tok = '{_MW_TERMS[1]}') AS BIGINT) AS n_1,
+           CAST(count(*) FILTER (tok = '{_MW_TERMS[2]}') AS BIGINT) AS n_2
+    FROM p GROUP BY 1
+)
+SELECT m.doc_id, c.n_0, c.n_1, c.n_2, m.min_span
+FROM m JOIN c ON c.doc_id = m.doc_id
+"""

@@ -35,7 +35,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["lexical_scores", "vector_scores", "topk_side", "rrf_fuse"]
+__all__ = ["lexical_scores", "vector_scores", "topk_side", "rrf_fuse",
+           "min_cover_window"]
 
 
 def _explode_query_terms(b: pa.Table, terms: pa.Array,
@@ -171,3 +172,83 @@ def rrf_fuse(lex_top: pd.DataFrame, vec_top: pd.DataFrame, *,
                           ascending=[False, True]).reset_index(drop=True)
     out["fused_rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out
+
+
+def min_cover_window(ds, terms: tuple, *, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Minimal proximity window: per document containing EVERY query
+    term, the length of the shortest token span covering at least one
+    occurrence of each (the classic positional-proximity ranking
+    signal; Sadakane & Imai 2001 / the MINDIST of web search). Output
+    ``(doc_id, n_<i> per term, min_span)``; documents missing any term
+    are dropped.
+
+    Fully vectorized — the textbook linear scan (for each stream
+    position as window END, the best START is the minimum over terms of
+    the last occurrence seen) is computed with numpy ffills: token
+    positions of the query terms are sorted once per batch, each term's
+    last-seen position is a ``maximum.accumulate`` over doc-offset
+    positions (the offset keeps the accumulate from crossing document
+    boundaries), and per-doc minima reduce with ``minimum.reduceat``.
+    Embarrassingly parallel per batch — no shuffle at all; the
+    per-doc output is emitted from the same map."""
+    tl = list(terms)
+    k = len(tl)
+
+    def _windows(b: pa.Table) -> pa.Table:
+        cols = {id_col: pa.array([], pa.int64())}
+        for i in range(k):
+            cols[f"n_{i}"] = pa.array([], pa.int64())
+        cols["min_span"] = pa.array([], pa.int64())
+        empty = pa.table(cols)
+        if b.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(b[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = toks.offsets.to_numpy().astype(np.int64)
+        lens = np.diff(off)
+        flat = toks.values
+        doc_of = np.repeat(np.arange(b.num_rows, dtype=np.int64), lens)
+        pos = np.arange(len(flat), dtype=np.int64) \
+            - np.repeat(off[:-1], lens)
+        term_id = np.full(len(flat), -1, dtype=np.int64)
+        for i, t in enumerate(tl):
+            term_id[pc.equal(flat, t).to_numpy(
+                zero_copy_only=False)] = i
+        sel = term_id >= 0
+        if not sel.any():
+            return empty
+        d, p, t = doc_of[sel], pos[sel], term_id[sel]
+        # already sorted by (doc, pos) by construction
+        big = np.int64(1) << 32
+        base = d * big
+        last = np.empty((k, len(p)), dtype=np.int64)
+        for i in range(k):
+            x = np.where(t == i, base + p, np.int64(-1))
+            acc = np.maximum.accumulate(x)
+            ok = acc >= base  # same doc and seen at least once
+            last[i] = np.where(ok, acc - base, np.int64(-1))
+        seen_all = (last >= 0).all(axis=0)
+        start = last.min(axis=0)
+        span = np.where(seen_all, p - start + 1,
+                        np.int64(1) << 40)
+        heads = np.ones(len(d), dtype=bool)
+        heads[1:] = d[1:] != d[:-1]
+        seg = np.flatnonzero(heads)
+        mins = np.minimum.reduceat(span, seg)
+        counts = np.zeros((k, len(seg)), dtype=np.int64)
+        doc_idx = np.cumsum(heads) - 1
+        for i in range(k):
+            np.add.at(counts[i], doc_idx[t == i], 1)
+        keep = mins < (np.int64(1) << 40)
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        out = {id_col: ids.take(pa.array(d[seg[keep]]))}
+        for i in range(k):
+            out[f"n_{i}"] = pa.array(counts[i][keep])
+        out["min_span"] = pa.array(mins[keep])
+        return pa.table(out)
+
+    return ds.map_batches(_windows, batch_format="pyarrow")

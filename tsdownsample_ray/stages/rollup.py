@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 from ..arrow_utils import rename_agg
 
 __all__ = ["bucketize", "partial_rollup_batch", "rollup", "cascade",
-           "finalize_mean", "rollup_multi", "grouped_sum"]
+           "finalize_mean", "rollup_multi", "grouped_sum", "merge_tiers"]
 
 _PARTIAL_SCHEMA = ("min_y", "max_y", "sum_y", "n")
 
@@ -407,3 +407,21 @@ def finalize_mean(ds):
         return b.append_column("mean_y", mean)
 
     return ds.map_batches(_mean, batch_format="pyarrow")
+
+
+def merge_tiers(*tiers, keys=("series_id", "bucket"), combine: str = "auto",
+                est_keys: int | None = None, fanin: int = 16):
+    """Incremental continuous-aggregate maintenance: merge tier tables
+    that partition the SAME window over disjoint input slices (a base
+    tier plus append/backfill delta tiers) into the tier the full input
+    would produce. Exact because every tier column is an associative
+    partial (min/min, max/max, sum+sum, n+n) — the TimescaleDB-style
+    invalidation story: recompute only the delta's buckets, merge, and
+    the result is bit-identical to a full rebuild (the oracle replays
+    the full rebuild). Mode selection matches :func:`rollup`
+    (``auto``: tree below TREE_MAX_KEYS, hashpart beyond)."""
+    ds = tiers[0]
+    for t in tiers[1:]:
+        ds = ds.union(t)
+    mode, _ = pick_combine(combine, 1, est_keys)
+    return _combine(ds, list(keys), mode=mode, fanin=fanin)
