@@ -1926,3 +1926,8 @@ from .ext_round5j import MIN_WINDOW_SQL, q_min_window_docs  # noqa: E402
 
 QUERIES["min_window_docs"] = q_min_window_docs
 ORACLE_SQL["min_window_docs"] = MIN_WINDOW_SQL
+
+from .ext_round5j import RING_SQL, q_ring_rebalance_docs  # noqa: E402
+
+QUERIES["ring_rebalance_docs"] = q_ring_rebalance_docs
+ORACLE_SQL["ring_rebalance_docs"] = RING_SQL

@@ -524,3 +524,62 @@ c AS (
 SELECT m.doc_id, c.n_0, c.n_1, c.n_2, m.min_span
 FROM m JOIN c ON c.doc_id = m.doc_id
 """
+
+
+_MD5FOLD = ("list_reduce(list_prepend(0::HUGEINT, "
+            "list_transform(range(1, 17), i -> "
+            "CAST(strpos('0123456789abcdef', substring(md5({expr}), i, 1))"
+            " - 1 AS HUGEINT))), (h, d) -> h * 16 + d)")
+_RING_WRAP = "18446744073709551616"  # 2^64
+
+
+def q_ring_rebalance_docs(sf_dir: str):
+    """Consistent-hash ring rebalance audit
+    (``stages/ring.py:ring_rebalance_audit``; Karger et al. 1997): each
+    doc key's owner on a 16-node and a 17-node ring (32 vnodes each,
+    md5-u64 positions) and whether growing the cluster moved it — the
+    minimal-reshuffle guarantee, replayed key by key in SQL via the
+    md5-hex fold and the clockwise-distance argmin."""
+    from ...stages.ring import ring_rebalance_audit
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"]).repartition(8)
+    return ring_rebalance_audit(ds, n_nodes=16, vnodes=32)
+
+
+def _ring_sql() -> str:
+    kfold = _MD5FOLD.format(expr="'doc:' || CAST(doc_id AS VARCHAR)")
+    rfold = _MD5FOLD.format(
+        expr="'n' || CAST(n AS VARCHAR) || ':v' || CAST(v AS VARCHAR)")
+    own = """
+own_{s} AS (
+    SELECT doc_id, node AS owner_{s} FROM (
+        SELECT k.doc_id, r.node,
+               row_number() OVER (PARTITION BY k.doc_id
+                   ORDER BY (r.pos - k.kpos + {W}) % {W}, r.node) AS rn
+        FROM keys k CROSS JOIN ring_{s} r
+    ) q WHERE rn = 1
+)"""
+    return f"""
+WITH ring_a AS (
+    SELECT n AS node, {rfold} AS pos
+    FROM (SELECT unnest(generate_series(0, 15)) AS n),
+         (SELECT unnest(generate_series(0, 31)) AS v)
+),
+ring_b AS (
+    SELECT n AS node, {rfold} AS pos
+    FROM (SELECT unnest(generate_series(0, 16)) AS n),
+         (SELECT unnest(generate_series(0, 31)) AS v)
+),
+keys AS (SELECT doc_id, {kfold} AS kpos FROM documents),
+{own.format(s='a', W=_RING_WRAP)},
+{own.format(s='b', W=_RING_WRAP)}
+SELECT k.doc_id, a.owner_a, b.owner_b,
+       a.owner_a <> b.owner_b AS moved
+FROM keys k
+JOIN own_a a ON a.doc_id = k.doc_id
+JOIN own_b b ON b.doc_id = k.doc_id
+"""
+
+
+RING_SQL = _ring_sql()
