@@ -59,3 +59,52 @@ def test_min_cover_window_matches_bruteforce(ray_session):
     for did, (ns, best) in exp.items():
         assert tuple(out.loc[did, ["n_0", "n_1", "n_2"]]) == ns
         assert out.loc[did, "min_span"] == best
+
+
+def test_activity_selection_greedy_optimal(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.intervals import activity_selection
+
+    rng = np.random.default_rng(12)
+    rows = []
+    for uid in range(20):
+        for _ in range(int(rng.integers(1, 30))):
+            s = int(rng.integers(0, 1000))
+            rows.append({"user_id": uid, "start": s,
+                         "end": s + int(rng.integers(0, 100))})
+    df = pd.DataFrame(rows)
+    out = activity_selection(
+        rd.from_pandas(df.sample(frac=1.0, random_state=0))
+        .repartition(4), key_col="user_id", num_partitions=3) \
+        .to_pandas().set_index("user_id").sort_index()
+
+    for uid, g in df.groupby("user_id"):
+        iv = sorted(zip(g["end"], g["start"]))
+        cnt, last = 0, None
+        for e, s in iv:
+            if last is None or s >= last:
+                cnt += 1
+                last = e
+        # brute-force optimality check on small users (greedy == max
+        # independent set size for intervals)
+        if len(iv) <= 12:
+            import itertools
+
+            best = 0
+            ivs = [(s, e) for e, s in iv]
+            for r in range(len(ivs), 0, -1):
+                found = False
+                for comb in itertools.combinations(ivs, r):
+                    cs = sorted(comb, key=lambda p: p[1])
+                    if all(cs[i + 1][0] >= cs[i][1]
+                           for i in range(len(cs) - 1)):
+                        found = True
+                        break
+                if found:
+                    best = r
+                    break
+            assert cnt == best
+        assert out.loc[uid, "n_selected"] == cnt
+        assert out.loc[uid, "n_intervals"] == len(iv)
+        assert out.loc[uid, "last_end"] == last

@@ -1931,3 +1931,8 @@ from .ext_round5j import RING_SQL, q_ring_rebalance_docs  # noqa: E402
 
 QUERIES["ring_rebalance_docs"] = q_ring_rebalance_docs
 ORACLE_SQL["ring_rebalance_docs"] = RING_SQL
+
+from .ext_round5j import MEETING_SQL, q_meeting_select_users  # noqa: E402
+
+QUERIES["meeting_select_users"] = q_meeting_select_users
+ORACLE_SQL["meeting_select_users"] = MEETING_SQL

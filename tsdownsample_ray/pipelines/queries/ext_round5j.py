@@ -583,3 +583,62 @@ JOIN own_b b ON b.doc_id = k.doc_id
 
 
 RING_SQL = _ring_sql()
+
+
+def q_meeting_select_users(sf_dir: str):
+    """Greedy maximum non-overlapping interval selection per user
+    (``stages/intervals.py:activity_selection``; earliest-finish-first,
+    provably optimal): deterministic intervals derived from events
+    (start = ts, duration = (|cents| % 7200 + 60) s), one hash(user)
+    shuffle, per-user sequential greedy chain over (end, start) order
+    — replayed by a recursive-CTE walk in SQL."""
+    from ...stages.intervals import activity_selection
+
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts", "value"])
+
+    def _iv(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(b["ts"], pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                 ndigits=0), pa.int64())
+        import numpy as _np
+
+        c = pc.abs(cents).to_numpy(zero_copy_only=False)
+        s = ts_us.to_numpy(zero_copy_only=False)
+        dur = (c % 7200 + 60) * 1_000_000
+        return pa.table({"user_id": b["user_id"],
+                         "start": pa.array(s),
+                         "end": pa.array(s + dur)})
+
+    return activity_selection(ds.map_batches(_iv, batch_format="pyarrow"),
+                              key_col="user_id", num_partitions=4)
+
+
+MEETING_SQL = """
+WITH RECURSIVE iv AS MATERIALIZED (
+    SELECT user_id, epoch_us(ts) AS s,
+           epoch_us(ts)
+             + (abs(CAST(round(value * 100) AS BIGINT)) % 7200 + 60)
+               * 1000000 AS e
+    FROM events
+),
+numbered AS MATERIALIZED (
+    SELECT user_id, s, e,
+           row_number() OVER (PARTITION BY user_id ORDER BY e, s) AS idx,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM iv
+),
+rec AS (
+    SELECT user_id, idx, n, CAST(1 AS BIGINT) AS cnt, e AS last_end
+    FROM numbered WHERE idx = 1
+    UNION ALL
+    SELECT m.user_id, m.idx, m.n,
+           r.cnt + CASE WHEN m.s >= r.last_end THEN 1 ELSE 0 END,
+           CASE WHEN m.s >= r.last_end THEN m.e ELSE r.last_end END
+    FROM rec r JOIN numbered m
+      ON m.user_id = r.user_id AND m.idx = r.idx + 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_intervals,
+       cnt AS n_selected, last_end
+FROM rec WHERE idx = n
+"""

@@ -28,7 +28,7 @@ import pyarrow as pa
 from ..arrow_utils import make_add_part
 import pyarrow.compute as pc
 
-__all__ = ["interval_union"]
+__all__ = ["interval_union", "activity_selection"]
 
 
 def interval_union(ds, *, series_col: str = "series_id",
@@ -104,3 +104,70 @@ def interval_union(ds, *, series_col: str = "series_id",
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _sweep, batch_format="pyarrow")
+
+
+def activity_selection(ds, *, key_col: str = "user_id",
+                       start_col: str = "start", end_col: str = "end",
+                       num_partitions: int = 8):
+    """Greedy maximum non-overlapping interval selection per key — the
+    classic activity-selection algorithm (earliest-finish-first, optimal
+    by the standard exchange argument): intervals sorted by
+    ``(end, start)``, an interval is SELECTED iff its start is at or
+    after the last selected end (touching allowed). Output one row per
+    key: ``(key_col, n_intervals, n_selected, last_end)``.
+
+    The running last-selected-end jumps data-dependently (no prefix
+    identity — same contract as ``compress.deadband_filter``), so the
+    per-key pass is sequential; parallel across keys after ONE
+    hash(key) shuffle. The SQL oracle replays the walk with a
+    recursive CTE over the same (end, start) order. Contract: per-key
+    interval counts bounded (the per-user/session scale), not
+    corpus-bounded."""
+    from ..arrow_utils import group_codes
+
+    mod = num_partitions * 64
+    _add_part = make_add_part(key_col, mod)
+
+    def _select(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        k_type = t[key_col].type
+        empty = pa.table({key_col: pa.array([], k_type),
+                          "n_intervals": pa.array([], pa.int64()),
+                          "n_selected": pa.array([], pa.int64()),
+                          "last_end": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (key_col, "ascending"), (end_col, "ascending"),
+            (start_col, "ascending")]))
+        keys = t[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        codes = group_codes(keys)
+        s = t[start_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t[end_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        ends = np.r_[starts[1:], len(codes)]
+        sl, el = s.tolist(), e.tolist()
+        n_sel = np.zeros(len(starts), dtype=np.int64)
+        last = np.zeros(len(starts), dtype=np.int64)
+        for gi, (f, l) in enumerate(zip(starts, ends)):
+            cnt = 0
+            last_end = None
+            for i in range(f, l):  # per-key greedy chain
+                if last_end is None or sl[i] >= last_end:
+                    cnt += 1
+                    last_end = el[i]
+            n_sel[gi] = cnt
+            last[gi] = last_end
+        return pa.table({
+            key_col: keys.take(pa.array(starts)),
+            "n_intervals": pa.array((ends - starts).astype(np.int64)),
+            "n_selected": pa.array(n_sel),
+            "last_end": pa.array(last)})
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _select, batch_format="pyarrow")
