@@ -108,3 +108,48 @@ def test_activity_selection_greedy_optimal(ray_session):
         assert out.loc[uid, "n_selected"] == cnt
         assert out.loc[uid, "n_intervals"] == len(iv)
         assert out.loc[uid, "last_end"] == last
+
+
+def test_ransac_line_matches_brute(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.quantiles import ransac_line
+
+    rng = np.random.default_rng(9)
+    frames = []
+    for sid in ("s1", "s2"):
+        n = int(rng.integers(20, 80))
+        base = 5 * np.arange(n) + rng.integers(-10, 11, n)
+        out_i = rng.choice(n, n // 5, replace=False)
+        base[out_i] += rng.integers(300, 800, len(out_i))  # gross outliers
+        frames.append(pd.DataFrame({
+            "series_id": sid, "bucket": np.arange(n, dtype=np.int64) * 10,
+            "sum_y": base.astype(np.int64)}))
+    df = pd.concat(frames, ignore_index=True)
+    eps = 15
+    out = ransac_line(
+        rd.from_pandas(df.sample(frac=1.0, random_state=2)).repartition(3),
+        eps=eps, anchors=8, num_partitions=2).to_pandas() \
+        .set_index("series_id")
+
+    for sid, g in df.groupby("series_id"):
+        ys = g.sort_values("bucket")["sum_y"].to_numpy()
+        n = len(ys)
+        ar = [i * n // 8 for i in range(8)]
+        best = (-1, 0, 0)
+        for i in range(8):
+            for j in range(i + 1, 8):
+                r1, r2 = ar[i], ar[j]
+                if r1 == r2:
+                    continue
+                dx, dy = r2 - r1, int(ys[r2]) - int(ys[r1])
+                cnt = int(sum(
+                    abs((int(y) - int(ys[r1])) * dx - (x - r1) * dy)
+                    <= eps * dx for x, y in enumerate(ys)))
+                if cnt > best[0]:
+                    best = (cnt, i, j)
+        assert out.loc[sid, "n_inliers"] == best[0]
+        assert out.loc[sid, "c_i"] == best[1]
+        assert out.loc[sid, "c_j"] == best[2]
+        # the consensus line shrugs off the planted outliers
+        assert best[0] >= 0.7 * n

@@ -1936,3 +1936,8 @@ from .ext_round5j import MEETING_SQL, q_meeting_select_users  # noqa: E402
 
 QUERIES["meeting_select_users"] = q_meeting_select_users
 ORACLE_SQL["meeting_select_users"] = MEETING_SQL
+
+from .ext_round5j import RANSAC_SQL, q_ransac_line_1h  # noqa: E402
+
+QUERIES["ransac_line_1h"] = q_ransac_line_1h
+ORACLE_SQL["ransac_line_1h"] = RANSAC_SQL

@@ -642,3 +642,76 @@ SELECT user_id, CAST(n AS BIGINT) AS n_intervals,
        cnt AS n_selected, last_end
 FROM rec WHERE idx = n
 """
+
+
+_RANSAC_EPS = 2000
+
+
+def q_ransac_line_1h(sf_dir: str):
+    """Deterministic RANSAC consensus line per event_type over the 1h
+    tier (``stages/quantiles.py:ransac_line``; Fischler-Bolles 1981
+    with a fixed evenly-rank-spaced anchor design): 28 candidate lines
+    per series, inliers counted via exact cross-multiplied residual
+    bands (eps = 2000 cents), winner = max inliers with ties to the
+    smaller anchor pair — every count replayed in SQL."""
+    from ...stages.quantiles import ransac_line
+    from ...stages.rollup import rollup
+    from .downsample_core import _events_cents
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"), W1H)
+    return ransac_line(rolled, eps=_RANSAC_EPS, anchors=8,
+                       num_partitions=2)
+
+
+RANSAC_SQL = f"""
+WITH numbered AS MATERIALIZED (
+    SELECT event_type AS series_id, y,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY bucket) - 1 AS x,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM (
+        SELECT event_type, epoch_us(ts) // {3600 * US} * {3600 * US}
+                   AS bucket,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY event_type, bucket
+    )
+),
+-- anchor i sits at 0-based rank i*n//8 (engine contract; series here
+-- always have n >= 2 distinct anchor ranks)
+anch AS (
+    SELECT m.series_id, g.i, m.x, m.y
+    FROM (SELECT unnest(generate_series(0, 7)) AS i) g
+    JOIN numbered m
+      ON m.x = (g.i * m.n) // 8
+),
+cands AS (
+    SELECT a.series_id, a.i, b.i AS j, a.x AS x1, a.y AS y1,
+           b.x - a.x AS dx, b.y - a.y AS dy
+    FROM anch a JOIN anch b
+      ON b.series_id = a.series_id AND a.i < b.i AND b.x <> a.x
+),
+inl AS (
+    SELECT c.series_id, c.i, c.j,
+           CAST(count(*) FILTER (
+               abs((m.y - c.y1) * c.dx - (m.x - c.x1) * c.dy)
+               <= {_RANSAC_EPS} * c.dx) AS BIGINT) AS cnt
+    FROM cands c JOIN numbered m ON m.series_id = c.series_id
+    GROUP BY 1, 2, 3
+)
+SELECT series_id, CAST(any_value(n) AS BIGINT) AS n, c_i, c_j, n_inliers
+FROM (
+    SELECT i.series_id, CAST(i.i AS BIGINT) AS c_i,
+           CAST(i.j AS BIGINT) AS c_j, i.cnt AS n_inliers,
+           row_number() OVER (PARTITION BY i.series_id
+                              ORDER BY i.cnt DESC, i.i, i.j) AS rn
+    FROM inl i
+) w JOIN numbered USING (series_id)
+WHERE rn = 1
+GROUP BY series_id, c_i, c_j, n_inliers
+"""

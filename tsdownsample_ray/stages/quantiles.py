@@ -23,7 +23,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ..arrow_utils import group_codes, make_add_part
 
-__all__ = ["exact_quantiles", "mad_outliers", "theil_sen",
+__all__ = ["ransac_line",
+           "exact_quantiles", "mad_outliers", "theil_sen",
            "percentile_rank", "top_share", "winsorize", "rank2avg",
            "weighted_median", "gini_dispersion"]
 
@@ -615,3 +616,90 @@ def gini_dispersion(ds, *, key_col: str = "series_id",
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _gini, batch_format="pyarrow")
+
+
+def ransac_line(rolled, *, eps: int, anchors: int = 8,
+                series_col: str = "series_id", x_col: str = "bucket",
+                y_col: str = "sum_y", num_partitions: int = 8):
+    """Deterministic RANSAC consensus line fit per series (Fischler &
+    Bolles, CACM 1981, with the random sampling replaced by a FIXED
+    anchor design so the oracle replays it): candidate lines are all
+    pairs of ``anchors`` evenly-rank-spaced points (rank ``floor(i*n/
+    anchors)``), a point is an INLIER of candidate ((x1,y1),(x2,y2))
+    iff ``|(y - y1)*dx - (x - x1)*dy| <= eps*dx`` (cross-multiplied —
+    exact ints, dx > 0 since anchor ranks are distinct and x strictly
+    increases), and the winner maximizes inliers with ties to the
+    smaller (i, j). Unlike Theil-Sen (rank statistics over all pair
+    slopes), this is the consensus-voting paradigm — robust to a
+    minority of gross outliers with an explicit inlier band.
+
+    x enters as the 0-based rank within the series (keeps every cross
+    product far inside int64: |dy|*n and |y-y1|*n bounds). Output one
+    row per series: ``(series_id, n, c_i, c_j, n_inliers)``.
+
+    Scale shape: ONE hash(series) shuffle; per series a single
+    vectorized (pairs x n) comparison matrix — pairs = C(anchors, 2)
+    is a constant (28 at the default), so the work is O(28n) per
+    series with no Python loop over points."""
+    from ..arrow_utils import group_codes, make_add_part
+
+    mod = num_partitions * 64
+    _add_part = make_add_part(series_col, mod)
+    pairs = [(i, j) for i in range(anchors) for j in range(anchors)
+             if i < j]
+
+    def _fit(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        s_type = t[series_col].type
+        empty = pa.table({series_col: pa.array([], s_type),
+                          "n": pa.array([], pa.int64()),
+                          "c_i": pa.array([], pa.int64()),
+                          "c_j": pa.array([], pa.int64()),
+                          "n_inliers": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (x_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = group_codes(sid)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(heads)
+        ends = np.r_[starts[1:], len(codes)]
+        out_rows = {k: [] for k in ("n", "c_i", "c_j", "n_inliers")}
+        for f, l in zip(starts, ends):  # series loop (constant pairs)
+            ys = y[f:l]
+            n = l - f
+            xs = np.arange(n, dtype=np.int64)
+            ar = np.array([i * n // anchors for i in range(anchors)],
+                          dtype=np.int64)
+            best = (-1, 0, 0)
+            for pi, (i, j) in enumerate(pairs):
+                r1, r2 = ar[i], ar[j]
+                if r1 == r2:  # short series: ranks collide -> skip
+                    continue
+                dx = xs[r2] - xs[r1]
+                dy = ys[r2] - ys[r1]
+                resid = np.abs((ys - ys[r1]) * dx - (xs - xs[r1]) * dy)
+                cnt = int((resid <= eps * dx).sum())
+                if cnt > best[0]:
+                    best = (cnt, i, j)
+            if best[0] < 0:  # n too small for two distinct anchors
+                best = (n, 0, 0)
+            out_rows["n"].append(n)
+            out_rows["c_i"].append(best[1])
+            out_rows["c_j"].append(best[2])
+            out_rows["n_inliers"].append(best[0])
+        return pa.table({
+            series_col: sid.take(pa.array(starts)),
+            "n": pa.array(out_rows["n"], pa.int64()),
+            "c_i": pa.array(out_rows["c_i"], pa.int64()),
+            "c_j": pa.array(out_rows["c_j"], pa.int64()),
+            "n_inliers": pa.array(out_rows["n_inliers"], pa.int64())})
+
+    parted = rolled.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _fit, batch_format="pyarrow")
