@@ -1941,3 +1941,8 @@ from .ext_round5j import RANSAC_SQL, q_ransac_line_1h  # noqa: E402
 
 QUERIES["ransac_line_1h"] = q_ransac_line_1h
 ORACLE_SQL["ransac_line_1h"] = RANSAC_SQL
+
+from .ext_round5j import SCENE_SQL, q_scene_change_frames  # noqa: E402
+
+QUERIES["scene_change_frames"] = q_scene_change_frames
+ORACLE_SQL["scene_change_frames"] = SCENE_SQL

@@ -715,3 +715,107 @@ FROM (
 WHERE rn = 1
 GROUP BY series_id, c_i, c_j, n_inliers
 """
+
+
+_SC_TAU = 300  # SAD cut threshold
+_SC_PAD = 255  # per-missing-byte penalty when frame lengths differ
+
+
+def q_scene_change_frames(sf_dir: str):
+    """Scene-change detection over the REAL MP4 demux path: every frame
+    of each doc's genuine ISO BMFF container (the
+    ``multimodal_frame_sample`` fixture with the EveryNth identity
+    short-circuit selecting ALL frames), consecutive-frame SAD = sum of
+    per-byte absolute differences over the common prefix plus 255 per
+    missing byte, a CUT where SAD >= 300. Exact integers end to end;
+    the SQL oracle replays the frame plan and every SAD over ``text``
+    — binding mux -> demux -> full-frame extraction -> pairwise
+    differencing. Per doc: ``(media_id, n_frames, n_cuts, max_sad,
+    sum_sad)``."""
+    import numpy as _np
+
+    from ...stages.multimodal import SampleFrames, encode_mp4
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "n_chars"])
+
+    def _media(b: pa.Table) -> pa.Table:
+        payloads = []
+        for t, nc in zip(b["text"].to_pylist(), b["n_chars"].to_pylist()):
+            raw = t.encode()
+            n_total = 8 + nc % 25
+            frames = [raw[(i * 11) % (nc - 4):
+                          (i * 11) % (nc - 4) + 1 + (i + nc) % 5]
+                      for i in range(n_total)]
+            payloads.append(encode_mp4(frames, fps=25, timescale=1000))
+        return pa.table({
+            "media_id": b["doc_id"],
+            "kind": pa.array(["video"] * b.num_rows),
+            "payload": pa.array(payloads, pa.binary()),
+            "duration_ms": pc.cast(pc.multiply(b["n_chars"], 40),
+                                   pa.int32()),
+        })
+
+    media = ds.map_batches(_media, batch_format="pyarrow", batch_size=256)
+    sampled = media.map_batches(
+        SampleFrames, fn_constructor_kwargs={"n_frames": 64, "fake": False},
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 8))
+
+    def _cuts(b: pa.Table) -> pa.Table:
+        fr = b["frames"]
+        if isinstance(fr, pa.ChunkedArray):
+            fr = fr.combine_chunks()
+        n_fr, n_cuts, mx, sm = [], [], [], []
+        for flist in fr.to_pylist():
+            sads = []
+            for a, c in zip(flist, flist[1:]):
+                m = min(len(a), len(c))
+                sad = sum(abs(a[k] - c[k]) for k in range(m)) \
+                    + _SC_PAD * (max(len(a), len(c)) - m)
+                sads.append(sad)
+            n_fr.append(len(flist))
+            n_cuts.append(sum(s >= _SC_TAU for s in sads))
+            mx.append(max(sads) if sads else -1)
+            sm.append(sum(sads))
+        return pa.table({
+            "media_id": b["media_id"],
+            "n_frames": pa.array(n_fr, pa.int64()),
+            "n_cuts": pa.array(n_cuts, pa.int64()),
+            "max_sad": pa.array(mx, pa.int64()),
+            "sum_sad": pa.array(sm, pa.int64())})
+
+    return sampled.map_batches(_cuts, batch_format="pyarrow")
+
+
+SCENE_SQL = f"""
+WITH d AS MATERIALIZED (
+    SELECT doc_id, text, n_chars, 8 + n_chars % 25 AS n_total
+    FROM documents
+),
+f AS MATERIALIZED (
+    SELECT d.doc_id, i.i,
+           substr(d.text, 1 + (i.i * 11) % (d.n_chars - 4),
+                  1 + (i.i + d.n_chars) % 5) AS fr
+    FROM d JOIN LATERAL unnest(generate_series(0, d.n_total - 1))
+        AS i(i) ON TRUE
+),
+sad AS (
+    SELECT a.doc_id,
+           CAST(coalesce(list_sum(list_transform(
+                    range(1, least(length(a.fr), length(b.fr)) + 1),
+                    k -> abs(unicode(substr(a.fr, k, 1))
+                             - unicode(substr(b.fr, k, 1))))), 0)
+                + {_SC_PAD} * (greatest(length(a.fr), length(b.fr))
+                               - least(length(a.fr), length(b.fr)))
+                AS BIGINT) AS s
+    FROM f a JOIN f b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+)
+SELECT d.doc_id AS media_id,
+       CAST(d.n_total AS BIGINT) AS n_frames,
+       CAST(coalesce(sum(CASE WHEN s.s >= {_SC_TAU} THEN 1 ELSE 0 END),
+                     0) AS BIGINT) AS n_cuts,
+       CAST(coalesce(max(s.s), -1) AS BIGINT) AS max_sad,
+       CAST(coalesce(sum(s.s), 0) AS BIGINT) AS sum_sad
+FROM d LEFT JOIN sad s ON s.doc_id = d.doc_id
+GROUP BY d.doc_id, d.n_total
+"""
