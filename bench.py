@@ -136,7 +136,14 @@ def run_bench() -> dict:
         # round-5 final-session operators
         "hampel_15m", "containment_docs", "pq_recall_embeddings",
         "audio_features_wav", "for_bitpack_15m",
-        "zone_map_prune_events", "misra_gries_terms")
+        "zone_map_prune_events", "misra_gries_terms",
+        # round-5 session-4 operators
+        "sdt_compress_15m", "shared_substring_docs",
+        "multimodal_adpcm_decode", "ams_f2_users",
+        "hilbert_zone_maps_events", "theta_1h", "delta_rollup_15m",
+        "min_window_docs", "ring_rebalance_docs",
+        "meeting_select_users", "ransac_line_1h",
+        "scene_change_frames")
     for qname in qnames:
         best = None
         # min-of-n: throttle bursts vary timings ~3x; the two join-heavy
