@@ -153,3 +153,38 @@ def test_ransac_line_matches_brute(ray_session):
         assert out.loc[sid, "c_j"] == best[2]
         # the consensus line shrugs off the planted outliers
         assert best[0] >= 0.7 * n
+
+
+def test_soundex_canonical_examples():
+    from tsdownsample_ray.stages.strsim import soundex
+
+    # census.gov / Knuth examples (lower-case input contract)
+    for t, exp in {"robert": "R163", "rupert": "R163",
+                   "ashcraft": "A261", "ashcroft": "A261",
+                   "tymczak": "T522", "pfister": "P236",
+                   "honeyman": "H555", "jackson": "J250",
+                   "a": "A000", "hw": "H000"}.items():
+        assert soundex(t) == exp, t
+
+
+def test_soundex_blocks_vocabulary(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.strsim import soundex, soundex_blocks
+
+    docs = pd.DataFrame({"text": [
+        "robert rupert met ashcraft", "ashcroft saw robert 42x",
+        "tymczak pfister honeyman", "pfister again and again"]})
+    out = soundex_blocks(rd.from_pandas(docs).repartition(2),
+                         num_partitions=2).to_pandas() \
+        .set_index("code").sort_index()
+    vocab = sorted({t for s in docs["text"] for t in s.split(" ")
+                    if t.isalpha() and t.islower()})
+    exp = {}
+    for t in vocab:
+        exp.setdefault(soundex(t), []).append(t)
+    assert set(out.index) == set(exp)
+    for code, terms in exp.items():
+        assert out.loc[code, "n_terms"] == len(terms)
+        assert out.loc[code, "min_term"] == min(terms)
+    assert out.loc["R163", "n_terms"] == 2  # robert + rupert blocked

@@ -1946,3 +1946,8 @@ from .ext_round5j import SCENE_SQL, q_scene_change_frames  # noqa: E402
 
 QUERIES["scene_change_frames"] = q_scene_change_frames
 ORACLE_SQL["scene_change_frames"] = SCENE_SQL
+
+from .ext_round5j import SOUNDEX_SQL, q_soundex_blocks_docs  # noqa: E402
+
+QUERIES["soundex_blocks_docs"] = q_soundex_blocks_docs
+ORACLE_SQL["soundex_blocks_docs"] = SOUNDEX_SQL

@@ -819,3 +819,73 @@ SELECT d.doc_id AS media_id,
 FROM d LEFT JOIN sad s ON s.doc_id = d.doc_id
 GROUP BY d.doc_id, d.n_total
 """
+
+
+def q_soundex_blocks_docs(sf_dir: str):
+    """Phonetic blocking keys over the corpus vocabulary
+    (``stages/strsim.py:soundex_blocks``; American Soundex — Russell
+    1918, the record-linkage blocking classic): every distinct [a-z]+
+    token's code (H/W transparent, vowels separating, equal codes
+    collapsing), blocks with term counts and the smallest member.
+    Soundex runs once per batch-unique term (vocabulary-bounded); the
+    oracle replays the letter walk with a recursive CTE per distinct
+    term."""
+    from ...stages.strsim import soundex_blocks
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["text"]).repartition(8)
+    return soundex_blocks(ds, num_partitions=4)
+
+
+SOUNDEX_SQL = """
+WITH RECURSIVE terms AS MATERIALIZED (
+    SELECT DISTINCT tok AS term
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    WHERE regexp_matches(tok, '^[a-z]+$')
+),
+-- letter walk: state AFTER char i = (acc, prev code); H/W skip without
+-- touching prev, vowels reset prev to '0', codes append when they
+-- differ from prev and acc < 4 chars
+walk AS (
+    SELECT term, 1 AS i,
+           upper(substr(term, 1, 1)) AS acc,
+           CASE
+             WHEN substr(term, 1, 1) IN ('b','f','p','v') THEN '1'
+             WHEN substr(term, 1, 1) IN
+                  ('c','g','j','k','q','s','x','z') THEN '2'
+             WHEN substr(term, 1, 1) IN ('d','t') THEN '3'
+             WHEN substr(term, 1, 1) = 'l' THEN '4'
+             WHEN substr(term, 1, 1) IN ('m','n') THEN '5'
+             WHEN substr(term, 1, 1) = 'r' THEN '6'
+             ELSE '0' END AS prev
+    FROM terms
+    UNION ALL
+    SELECT term, i + 1,
+           CASE WHEN ch IN ('h','w') THEN acc
+                WHEN c <> '0' AND c <> prev AND length(acc) < 4
+                THEN acc || c ELSE acc END,
+           CASE WHEN ch IN ('h','w') THEN prev ELSE c END
+    FROM (
+        SELECT w.term, w.i, w.acc, w.prev,
+               substr(w.term, w.i + 1, 1) AS ch,
+               CASE
+                 WHEN substr(w.term, w.i + 1, 1) IN
+                      ('b','f','p','v') THEN '1'
+                 WHEN substr(w.term, w.i + 1, 1) IN
+                      ('c','g','j','k','q','s','x','z') THEN '2'
+                 WHEN substr(w.term, w.i + 1, 1) IN ('d','t') THEN '3'
+                 WHEN substr(w.term, w.i + 1, 1) = 'l' THEN '4'
+                 WHEN substr(w.term, w.i + 1, 1) IN ('m','n') THEN '5'
+                 WHEN substr(w.term, w.i + 1, 1) = 'r' THEN '6'
+                 ELSE '0' END AS c
+        FROM walk w WHERE w.i < length(w.term)
+    ) q
+),
+fin AS (
+    SELECT term, acc || repeat('0', 4 - length(acc)) AS code
+    FROM walk WHERE i = length(term)
+)
+SELECT code, CAST(count(*) AS BIGINT) AS n_terms,
+       min(term) AS min_term
+FROM fin GROUP BY code
+"""

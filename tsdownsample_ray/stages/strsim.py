@@ -18,7 +18,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["ed1_pairs", "ed2_pairs"]
+__all__ = ["ed1_pairs", "ed2_pairs", "soundex", "soundex_blocks"]
 
 
 def _ed_le1(a: str, b: str) -> bool:
@@ -186,3 +186,79 @@ def ed2_pairs(terms_ds, *, term_col: str = "token",
         schema=[("a", pa.string()), ("b", pa.string()),
                 ("dist", pa.int64())],
         distinct=_distinct)
+
+
+_SOUNDEX_CODE = {}
+for _grp, _c in (("bfpv", "1"), ("cgjkqsxz", "2"), ("dt", "3"),
+                 ("l", "4"), ("mn", "5"), ("r", "6")):
+    for _ch in _grp:
+        _SOUNDEX_CODE[_ch] = _c
+
+
+def soundex(term: str) -> str:
+    """American Soundex (the SQL-Server/Oracle variant): first letter +
+    3 digits; H/W are TRANSPARENT (do not reset the previous code),
+    vowels separate (reset it), consecutive equal codes collapse.
+    Lower-case [a-z]+ input contract (callers filter)."""
+    first = term[0]
+    prev = _SOUNDEX_CODE.get(first, "0")
+    out = [first.upper()]
+    for ch in term[1:]:
+        if ch in "hw":
+            continue
+        c = _SOUNDEX_CODE.get(ch, "0")
+        if c != "0" and c != prev and len(out) < 4:
+            out.append(c)
+        prev = c
+    return "".join(out) + "0" * (4 - len(out))
+
+
+def soundex_blocks(ds, *, text_col: str = "text", num_partitions: int = 4):
+    """Phonetic blocking over the corpus VOCABULARY (the classic
+    record-linkage blocking key; Russell 1918 / Knuth TAOCP 3): every
+    distinct [a-z]+ token's American Soundex, grouped into blocks —
+    per code ``(code, n_terms, min_term)``.
+
+    Scale shape: tokens dictionary-encode per batch so soundex runs
+    once per batch-UNIQUE term (bounded by vocabulary, not corpus —
+    the ``ed2_pairs`` contract); (code, term) pairs dedup through one
+    hashpart distinct, block stats in the same reduce. The SQL oracle
+    replays the letter walk with a recursive CTE per distinct term."""
+    from ..arrow_utils import group_codes, stable_part_codes
+
+    mod = num_partitions * 64
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        uniq = pc.unique(flat)
+        keep = pc.match_substring_regex(uniq, "^[a-z]+$")
+        uniq = uniq.filter(keep)
+        terms = uniq.to_pylist()
+        codes = [soundex(t) for t in terms]
+        t = pa.table({"code": pa.array(codes, pa.string()),
+                      "term": uniq})
+        h = stable_part_codes(t["code"], None)  # co-locate per CODE
+        return t.append_column(
+            "__part", pa.array((h % np.uint64(mod)).astype(np.int32)))
+
+    def _blocks(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        empty = pa.table({"code": pa.array([], pa.string()),
+                          "n_terms": pa.array([], pa.int64()),
+                          "min_term": pa.array([], pa.string())})
+        if t.num_rows == 0:
+            return empty
+        d = t.group_by(["code", "term"]).aggregate([])  # distinct pairs
+        agg = d.group_by(["code"]).aggregate([("term", "count"),
+                                              ("term", "min")])
+        from ..arrow_utils import rename_agg
+
+        return rename_agg(agg, {"code": "code", "term_count": "n_terms",
+                                "term_min": "min_term"})
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow")
+    return pairs.repartition(num_partitions).groupby("__part").map_groups(
+        _blocks, batch_format="pyarrow")
