@@ -1951,3 +1951,11 @@ from .ext_round5j import SOUNDEX_SQL, q_soundex_blocks_docs  # noqa: E402
 
 QUERIES["soundex_blocks_docs"] = q_soundex_blocks_docs
 ORACLE_SQL["soundex_blocks_docs"] = SOUNDEX_SQL
+
+from .ext_round5j import (  # noqa: E402
+    BUDGET_SELECT_SQL,
+    q_budget_select_lineitems,
+)
+
+QUERIES["budget_select_lineitems"] = q_budget_select_lineitems
+ORACLE_SQL["budget_select_lineitems"] = BUDGET_SELECT_SQL

@@ -889,3 +889,69 @@ SELECT code, CAST(count(*) AS BIGINT) AS n_terms,
        min(term) AS min_term
 FROM fin GROUP BY code
 """
+
+
+_BUDGET_QTY = 250_000
+
+
+def q_budget_select_lineitems(sf_dir: str):
+    """Greedy fractional-knapsack admission under a quantity budget
+    (``stages/prefixscan.py:budget_select``): lineitems in best
+    value-per-unit order (exact integer ratio ``cents*1e6 // qty``,
+    ties by (orderkey, linenumber)), selected while the inclusive
+    running quantity stays within 250k — the cache-admission /
+    retention-budget primitive, built on a Ray range sort + the
+    Blelloch two-pass block prefix scan (driver reads ONE row per
+    sorted block). Output one row: totals of the selection."""
+    from ...stages.prefixscan import budget_select
+
+    ds = _read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice",
+                 "l_quantity"]).repartition(8)
+
+    def _prep(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0),
+                                 ndigits=0), pa.int64())
+        qty = pc.cast(b["l_quantity"], pa.int64())
+        import numpy as _np
+
+        c = cents.to_numpy(zero_copy_only=False)
+        q = qty.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ratio": pa.array(c * 1_000_000 // q),
+            "l_orderkey": b["l_orderkey"],
+            "l_linenumber": b["l_linenumber"],
+            "qty": qty, "cents": cents})
+
+    prepped = ds.map_batches(_prep, batch_format="pyarrow")
+    return budget_select(
+        prepped, order_cols=["ratio", "l_orderkey", "l_linenumber"],
+        descending=[True, False, False], cost_col="qty",
+        value_col="cents", budget=_BUDGET_QTY)
+
+
+BUDGET_SELECT_SQL = f"""
+WITH l AS (
+    SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+           CAST(l_quantity AS BIGINT) AS qty,
+           l_orderkey, l_linenumber,
+           (CAST(round(l_extendedprice * 100) AS BIGINT) * 1000000)
+               // CAST(l_quantity AS BIGINT) AS ratio
+    FROM lineitem
+),
+w AS (
+    SELECT cents, qty,
+           sum(qty) OVER (ORDER BY ratio DESC, l_orderkey, l_linenumber
+                          ROWS UNBOUNDED PRECEDING) AS running
+    FROM l
+)
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (running <= {_BUDGET_QTY}) AS BIGINT)
+           AS n_selected,
+       CAST(coalesce(sum(qty) FILTER (running <= {_BUDGET_QTY}), 0)
+            AS BIGINT) AS sel_cost,
+       CAST(coalesce(sum(cents) FILTER (running <= {_BUDGET_QTY}), 0)
+            AS BIGINT) AS sel_value
+FROM w
+"""
