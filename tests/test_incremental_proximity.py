@@ -188,3 +188,44 @@ def test_soundex_blocks_vocabulary(ray_session):
         assert out.loc[code, "n_terms"] == len(terms)
         assert out.loc[code, "min_term"] == min(terms)
     assert out.loc["R163", "n_terms"] == 2  # robert + rupert blocked
+
+
+def test_gapfill_seasonal_matches_brute(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.gapfill import gapfill_seasonal
+
+    rng = np.random.default_rng(14)
+    W, m = 100, 6
+    frames = []
+    for sid in ("a", "b"):
+        buckets = np.arange(0, 60) * W
+        keep = rng.random(60) > 0.3
+        keep[0] = keep[-1] = True
+        frames.append(pd.DataFrame({
+            "series_id": sid, "bucket": buckets[keep],
+            "sum_y": rng.integers(-100, 100, keep.sum()).astype(np.int64)}))
+    df = pd.concat(frames, ignore_index=True)
+    out = gapfill_seasonal(
+        rd.from_pandas(df.sample(frac=1.0, random_state=3)).repartition(3),
+        W, m=m, num_partitions=2).to_pandas() \
+        .sort_values(["series_id", "bucket"]).reset_index(drop=True)
+
+    rows = []
+    for sid, g in df.groupby("series_id"):
+        present = dict(zip(g["bucket"], g["sum_y"]))
+        slots = {}
+        for b, y in present.items():
+            sl = (b // W) % m
+            s, c = slots.get(sl, (0, 0))
+            slots[sl] = (s + y, c + 1)
+        for b in range(g["bucket"].min(), g["bucket"].max() + 1, W):
+            if b in present:
+                rows.append((sid, b, int(present[b]), False))
+            else:
+                s, c = slots.get((b // W) % m, (0, 0))
+                rows.append((sid, b, s // c if c else 0, True))
+    exp = pd.DataFrame(rows, columns=["series_id", "bucket", "y",
+                                      "is_gap"])
+    pd.testing.assert_frame_equal(
+        out[exp.columns].astype(exp.dtypes.to_dict()), exp)

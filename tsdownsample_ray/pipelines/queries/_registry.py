@@ -1959,3 +1959,11 @@ from .ext_round5j import (  # noqa: E402
 
 QUERIES["budget_select_lineitems"] = q_budget_select_lineitems
 ORACLE_SQL["budget_select_lineitems"] = BUDGET_SELECT_SQL
+
+from .ext_round5j import (  # noqa: E402
+    GAPFILL_SEASONAL_SQL,
+    q_gapfill_seasonal_1h,
+)
+
+QUERIES["gapfill_seasonal_1h"] = q_gapfill_seasonal_1h
+ORACLE_SQL["gapfill_seasonal_1h"] = GAPFILL_SEASONAL_SQL

@@ -955,3 +955,75 @@ SELECT CAST(count(*) AS BIGINT) AS n_total,
             AS BIGINT) AS sel_value
 FROM w
 """
+
+
+def q_gapfill_seasonal_1h(sf_dir: str):
+    """Seasonal-slot mean imputation over a sparsified 1h tier
+    (``stages/gapfill.py:gapfill_seasonal``): buckets with
+    ``(bucket // 1h) % 5 == 3`` are withheld to create gaps, and every
+    missing hour takes the floor mean of its series' PRESENT buckets
+    in the same hour-of-day slot — the diurnal-profile imputation.
+    One hash(series) shuffle, slot means as m-cell scatter-adds inside
+    the partition pass; the oracle replays grid, slot means and
+    sign-exact floors."""
+    from ...stages.gapfill import gapfill_seasonal
+    from ...stages.rollup import rollup
+    from .downsample_core import _events_cents
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"), W1H)
+
+    def _sparsify(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        bkt = b["bucket"].to_numpy(zero_copy_only=False)
+        keep = (bkt // W1H) % 5 != 3
+        return b.filter(pa.array(keep))
+
+    sparse = rolled.map_batches(_sparsify, batch_format="pyarrow")
+    return gapfill_seasonal(sparse, W1H, m=24, num_partitions=2)
+
+
+GAPFILL_SEASONAL_SQL = f"""
+WITH tier AS MATERIALIZED (
+    SELECT event_type AS series_id,
+           epoch_us(ts) // {W1H} * {W1H} AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+sparse AS MATERIALIZED (
+    SELECT * FROM tier WHERE (bucket // {W1H}) % 5 <> 3
+),
+bounds AS (
+    SELECT series_id, min(bucket) AS lo, max(bucket) AS hi
+    FROM sparse GROUP BY 1
+),
+grid AS (
+    SELECT b.series_id, b.lo + g.g * {W1H} AS bucket
+    FROM bounds b,
+         LATERAL unnest(generate_series(0, (b.hi - b.lo) // {W1H}))
+             AS g(g)
+),
+slots AS (
+    SELECT series_id, (bucket // {W1H}) % 24 AS slot,
+           CAST(sum(y) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+    FROM sparse GROUP BY 1, 2
+)
+SELECT g.series_id, g.bucket,
+       CASE WHEN p.y IS NOT NULL THEN p.y
+            WHEN sl.c IS NULL THEN 0
+            WHEN sl.s >= 0 THEN sl.s // sl.c
+            ELSE -(((-sl.s) + sl.c - 1) // sl.c) END AS y,
+       p.y IS NULL AS is_gap
+FROM grid g
+LEFT JOIN sparse p
+  ON p.series_id = g.series_id AND p.bucket = g.bucket
+LEFT JOIN slots sl
+  ON sl.series_id = g.series_id
+ AND sl.slot = (g.bucket // {W1H}) % 24
+"""

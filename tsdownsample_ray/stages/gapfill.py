@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ..arrow_utils import group_codes, make_add_part
 
-__all__ = ["gapfill", "gapfill_linear"]
+__all__ = ["gapfill", "gapfill_linear", "gapfill_seasonal"]
 
 
 def gapfill(ds, window_us: int, *, value_cols: tuple = ("min_y", "max_y", "sum_y"),
@@ -193,6 +193,90 @@ def gapfill_linear(ds, window_us: int, *, value_col: str = "sum_y",
         return pa.table({"series_id": out_sid,
                          "bucket": pa.array(full, pa.int64()),
                          "y_e6": pa.array(y_e6),
+                         "is_gap": pa.array(gap)})
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _fill, batch_format="pyarrow")
+
+
+def gapfill_seasonal(ds, window_us: int, *, value_col: str = "sum_y",
+                     m: int = 24, num_partitions: int = 16):
+    """Seasonal-slot mean imputation — the fourth fill mode (after
+    zero / ffill / linear): every missing bucket takes the FLOOR mean
+    of its series' PRESENT buckets in the same seasonal slot
+    ``(bucket // window) % m`` (hour-of-day for a 1h window, m=24) —
+    the classic profile-based imputation for strongly diurnal series.
+    Exact integers: fill = ``floor(slot_sum / slot_cnt)`` (sign-handled
+    floor, SQL-replayable); a slot with no present rows in the series
+    fills 0. Present rows pass through unchanged. Output:
+    ``(series_id, bucket, y, is_gap)``.
+
+    Scale shape: identical to :func:`gapfill` — ONE hash(series)
+    shuffle; slot sums/counts are per-series scatter-adds over m cells,
+    computed inside the same partition pass (no second shuffle)."""
+    mod = num_partitions * 64
+
+    _add_part = make_add_part("series_id", mod)
+
+    def _fill(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        sid_type = t["series_id"].type
+        empty = pa.table({"series_id": pa.array([], sid_type),
+                          "bucket": pa.array([], pa.int64()),
+                          "y": pa.array([], pa.int64()),
+                          "is_gap": pa.array([], pa.bool_())})
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("series_id", "ascending"), ("bucket", "ascending")]))
+        sid = t["series_id"]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = group_codes(sid)
+        buckets = t["bucket"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        y = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(codes)
+        change = np.ones(n, dtype=bool)
+        change[1:] = codes[1:] != codes[:-1]
+        seg_first = np.flatnonzero(change)
+        seg_last = np.concatenate([seg_first[1:] - 1, [n - 1]])
+        n_series = len(seg_first)
+        series_of_row = np.repeat(np.arange(n_series), np.diff(
+            np.concatenate([seg_first, [n]])))
+        # per-(series, slot) sums/counts: one scatter-add over m cells
+        slot_obs = (buckets // window_us) % m
+        cell = series_of_row * m + slot_obs
+        sums = np.zeros(n_series * m, np.int64)
+        cnts = np.zeros(n_series * m, np.int64)
+        np.add.at(sums, cell, y)
+        np.add.at(cnts, cell, 1)
+        mins = buckets[seg_first]
+        k = (buckets[seg_last] - mins) // window_us + 1
+        total = int(k.sum())
+        out_off = np.concatenate([[0], np.cumsum(k)[:-1]])
+        intra = np.arange(total) - np.repeat(out_off, k)
+        full = np.repeat(mins, k) + intra * window_us
+        pos = (out_off[series_of_row]
+               + (buckets - mins[series_of_row]) // window_us)
+        present = np.zeros(total, dtype=bool)
+        present[pos] = True
+        dense_y = np.zeros(total, np.int64)
+        dense_y[pos] = y
+        gap = ~present
+        gser = np.repeat(np.arange(n_series), k)[gap]
+        gslot = (full[gap] // window_us) % m
+        gcell = gser * m + gslot
+        gs, gc = sums[gcell], cnts[gcell]
+        fill = np.zeros(len(gs), np.int64)
+        nz = gc > 0
+        fill[nz] = gs[nz] // gc[nz]  # numpy // IS floor (also for <0)
+        dense_y[gap] = fill
+        out_sid = sid.take(pa.array(np.repeat(seg_first, k)))
+        return pa.table({"series_id": out_sid,
+                         "bucket": pa.array(full, pa.int64()),
+                         "y": pa.array(dense_y),
                          "is_gap": pa.array(gap)})
 
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
