@@ -1967,3 +1967,8 @@ from .ext_round5j import (  # noqa: E402
 
 QUERIES["gapfill_seasonal_1h"] = q_gapfill_seasonal_1h
 ORACLE_SQL["gapfill_seasonal_1h"] = GAPFILL_SEASONAL_SQL
+
+from .ext_round5j import LTOB_SQL, q_ltob_events  # noqa: E402
+
+QUERIES["ltob_events"] = q_ltob_events
+ORACLE_SQL["ltob_events"] = LTOB_SQL

@@ -1027,3 +1027,68 @@ LEFT JOIN slots sl
   ON sl.series_id = g.series_id
  AND sl.slot = (g.bucket // {W1H}) % 24
 """
+
+
+_LTOB_NOUT = 50
+
+
+def q_ltob_events(sf_dir: str):
+    """Largest-Triangle-One-Bucket downsample per event_type
+    (``kernels/ltob.py``; Steinarsson 2013 §4.1 — the non-sequential
+    member of the reference's triangle family): integer-exact
+    equal-width index buckets, per-point doubled areas over immediate
+    neighbors, per-bucket argmax with smallest-index ties; endpoints
+    pinned. All-integer x (epoch us) and y (cents), so the SQL oracle
+    replays layout, areas and argmax term by term."""
+    from ...kernels.ltob import ltob
+    from .downsample_core import _events_cents
+
+    ds = _events_cents(sf_dir)
+
+    def _group(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("ts_us", "ascending"), ("event_id", "ascending")])
+        tbl = tbl.take(idx)
+        import numpy as _np
+
+        x = tbl["ts_us"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        y = tbl["cents"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        sel = ltob(x, y, _LTOB_NOUT).astype(_np.int64)
+        out = tbl.take(pa.array(sel))
+        return out.select(["event_type", "event_id", "cents"])
+
+    return ds.groupby("event_type").map_groups(_group,
+                                               batch_format="pyarrow")
+
+
+LTOB_SQL = f"""
+WITH numbered AS MATERIALIZED (
+    SELECT event_type, event_id,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           epoch_us(ts) AS x,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) - 1 AS i,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+),
+ar AS (
+    SELECT event_type, event_id, cents, i, n,
+           abs((lag(x) OVER w - lead(x) OVER w)
+                   * (cents - lead(cents) OVER w)
+               - (x - lead(x) OVER w)
+                   * (lag(cents) OVER w - lead(cents) OVER w)) AS area
+    FROM numbered
+    WINDOW w AS (PARTITION BY event_type ORDER BY i)
+)
+SELECT event_type, event_id, cents FROM (
+    SELECT event_type, event_id, cents,
+           row_number() OVER (
+               PARTITION BY event_type,
+                            ((i - 1) * {_LTOB_NOUT - 2}) // (n - 2)
+               ORDER BY area DESC, i) AS rn
+    FROM ar WHERE i BETWEEN 1 AND n - 2
+) q WHERE rn = 1
+UNION ALL
+SELECT event_type, event_id, cents FROM numbered
+WHERE i = 0 OR i = n - 1
+"""
