@@ -14,6 +14,7 @@ utilities (dedup, similarity search, text stats).
 from .api import (
     AbstractDownsampler,
     EveryNthDownsampler,
+    LTOBDownsampler,
     LTTBDownsampler,
     M4Downsampler,
     MinMaxDownsampler,
@@ -48,6 +49,7 @@ __version__ = "0.1.0"
 __all__ = [
     "AbstractDownsampler",
     "EveryNthDownsampler",
+    "LTOBDownsampler",
     "LTTBDownsampler",
     "M4Downsampler",
     "MinMaxDownsampler",

@@ -180,6 +180,17 @@ class LTTBDownsampler(AbstractDownsampler):
         return super().downsample(*args, n_out=n_out, parallel=False, **kwargs)
 
 
+class LTOBDownsampler(AbstractDownsampler):
+    """Largest-Triangle-One-Bucket (Steinarsson 2013 §4.1) — an
+    EXTENSION beyond the reference's class set (it ships only the
+    three-bucket variant): per integer-exact equal-width bucket, the
+    point whose immediate-neighbor triangle has the largest area;
+    endpoints pinned. Non-sequential (every area depends only on fixed
+    neighbors), so unlike LTTB it vectorizes fully within a series."""
+
+    _kernel_name = "ltob"
+
+
 class MinMaxLTTBDownsampler(AbstractDownsampler):
     """MinMax preselection + LTTB (arXiv:2305.00332; downsamplers.py:98-116).
 
