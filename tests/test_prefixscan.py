@@ -35,3 +35,30 @@ def test_budget_select_matches_brute(ray_session):
         got = (int(out["n_total"][0]), int(out["n_selected"][0]),
                int(out["sel_cost"][0]), int(out["sel_value"][0]))
         assert got == exp, nparts
+
+
+def test_elias_fano_roundtrip_and_sizes():
+    import numpy as np
+
+    from tsdownsample_ray.functions.eliasfano import (ef_decode, ef_encode,
+                                                      ef_l_bits)
+
+    rng = np.random.default_rng(11)
+    for n, umax in ((1, 10), (5, 8), (100, 120), (64, 100000),
+                    (1000, 1 << 30)):
+        ids = np.sort(rng.choice(umax, size=n, replace=False)) \
+            .astype(np.int64)
+        u = int(ids[-1]) + 1
+        ub, lb, l = ef_encode(ids, u)
+        assert l == ef_l_bits(u, n)
+        back = ef_decode(ub, lb, n, l)
+        assert np.array_equal(back, ids)
+        # exact size formula (what the SQL oracle replays)
+        mx = int(ids[-1])
+        assert len(ub) == (n + (mx >> l) + 1 + 7) // 8
+        assert len(lb) == (n * l + 7) // 8
+    # dense list: l = 0, unary plane only
+    ids = np.arange(50, dtype=np.int64)
+    ub, lb, l = ef_encode(ids, 50)
+    assert l == 0 and lb == b""
+    assert np.array_equal(ef_decode(ub, lb, 50, 0), ids)

@@ -1972,3 +1972,8 @@ from .ext_round5j import LTOB_SQL, q_ltob_events  # noqa: E402
 
 QUERIES["ltob_events"] = q_ltob_events
 ORACLE_SQL["ltob_events"] = LTOB_SQL
+
+from .ext_round5j import EF_POSTINGS_SQL, q_ef_postings_docs  # noqa: E402
+
+QUERIES["ef_postings_docs"] = q_ef_postings_docs
+ORACLE_SQL["ef_postings_docs"] = EF_POSTINGS_SQL

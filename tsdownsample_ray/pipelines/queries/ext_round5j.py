@@ -1092,3 +1092,42 @@ UNION ALL
 SELECT event_type, event_id, cents FROM numbered
 WHERE i = 0 OR i = n - 1
 """
+
+
+def q_ef_postings_docs(sf_dir: str):
+    """Elias-Fano posting compression audit
+    (``stages/postings.py:ef_postings``; Vigna WSDM 2013): per corpus
+    token the real encoded-plane size, the low-bit width, and the sum
+    of doc ids recovered by decoding — hash-compared against the SQL
+    replay of the exact size formula and the direct id sum."""
+    from ...stages.postings import ef_postings
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+    return ef_postings(ds, num_partitions=8)
+
+
+EF_POSTINGS_SQL = """
+WITH w AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+),
+w2 AS (SELECT token, doc_id FROM w WHERE token <> ''),
+s AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS df,
+           CAST(max(doc_id) AS BIGINT) AS mx,
+           CAST(sum(doc_id) AS BIGINT) AS decoded_sum
+    FROM w2 GROUP BY token
+),
+p AS (
+    SELECT token, df, mx, decoded_sum,
+           -- l = max(0, floor(log2(u // n))), u = mx + 1; bit_length
+           -- via length(bin(k)) for k >= 1
+           CAST(length(bin((mx + 1) // df)) - 1 AS BIGINT) AS l
+    FROM s
+)
+SELECT token, df, 8 * df AS plain_bytes,
+       (df + (mx >> l) + 1 + 7) // 8 + (df * l + 7) // 8 AS ef_bytes,
+       l AS l_bits, decoded_sum
+FROM p
+"""

@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 from ..arrow_utils import rename_agg, stable_part_codes
 from ..arrow_utils import group_codes
 
-__all__ = ["build_postings", "varint_postings",
+__all__ = ["build_postings", "varint_postings", "ef_postings",
            "roaring_postings", "phrase_search"]
 
 log = logging.getLogger(__name__)
@@ -329,3 +329,70 @@ def phrase_search(ds, phrase, *, text_col: str = "text",
                          "first_pos": pa.array(first[sel])})
 
     return ds.map_batches(_scan, batch_format="pyarrow")
+
+
+def ef_postings(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                num_partitions: int = 16):
+    """Elias-Fano posting-list compression with a load-bearing
+    roundtrip (``functions/eliasfano.py``; Vigna WSDM 2013): per token
+    ``(token, df, plain_bytes, ef_bytes, l_bits, decoded_sum)`` —
+    ``ef_bytes`` from the REAL encoded planes, ``decoded_sum`` from
+    DECODING them (a codec fault diverges from the oracle's direct
+    ``sum(doc_id)``). Universe is per-token ``max(doc_id) + 1``.
+
+    Same one-shuffle shape as ``varint_postings``; the per-token
+    encode/decode loop is vocabulary-bounded (the ``ed2_pairs``
+    contract), each token's planes fully vectorized inside."""
+    from ..functions.eliasfano import ef_decode, ef_encode, ef_l_bits
+
+    mod = num_partitions * 64
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        return _exploded_tf_pairs(b, text_col, id_col, mod)
+
+    def _compress(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        empty = pa.table({"token": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64()),
+                          "plain_bytes": pa.array([], pa.int64()),
+                          "ef_bytes": pa.array([], pa.int64()),
+                          "l_bits": pa.array([], pa.int64()),
+                          "decoded_sum": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        m = t.group_by(["token", "doc_id"]).aggregate([("tf", "sum")])
+        m = m.take(pc.sort_indices(m, sort_keys=[
+            ("token", "ascending"), ("doc_id", "ascending")]))
+        tok = m["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        codes = group_codes(tok)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        seg = np.flatnonzero(heads)
+        ends = np.append(seg[1:], len(codes))
+        doc = m["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dfs, efb, lbits, dsum = [], [], [], []
+        for f, e in zip(seg, ends):  # vocabulary-bounded token loop
+            ids = doc[f:e]
+            u = int(ids[-1]) + 1
+            ub, lb, l = ef_encode(ids, u)
+            back = ef_decode(ub, lb, len(ids), l)
+            if not np.array_equal(back, ids):  # load-bearing roundtrip
+                raise AssertionError("Elias-Fano roundtrip mismatch")
+            dfs.append(e - f)
+            efb.append(len(ub) + len(lb))
+            lbits.append(l)
+            dsum.append(int(back.sum()))
+        df = np.array(dfs, np.int64)
+        return pa.table({
+            "token": tok.take(pa.array(seg)),
+            "df": pa.array(df),
+            "plain_bytes": pa.array(8 * df),
+            "ef_bytes": pa.array(np.array(efb, np.int64)),
+            "l_bits": pa.array(np.array(lbits, np.int64)),
+            "decoded_sum": pa.array(np.array(dsum, np.int64))})
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow")
+    return pairs.repartition(num_partitions).groupby("__part").map_groups(
+        _compress, batch_format="pyarrow")
