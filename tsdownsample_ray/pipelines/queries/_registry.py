@@ -1977,3 +1977,8 @@ from .ext_round5j import EF_POSTINGS_SQL, q_ef_postings_docs  # noqa: E402
 
 QUERIES["ef_postings_docs"] = q_ef_postings_docs
 ORACLE_SQL["ef_postings_docs"] = EF_POSTINGS_SQL
+
+from .ext_round5j import BLOOM_FPR_SQL, q_bloom_fpr_audit_users  # noqa: E402
+
+QUERIES["bloom_fpr_audit_users"] = q_bloom_fpr_audit_users
+ORACLE_SQL["bloom_fpr_audit_users"] = BLOOM_FPR_SQL

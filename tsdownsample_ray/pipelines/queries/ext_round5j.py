@@ -1131,3 +1131,121 @@ SELECT token, df, 8 * df AS plain_bytes,
        l AS l_bits, decoded_sum
 FROM p
 """
+
+
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+
+def q_bloom_fpr_audit_users(sf_dir: str):
+    """Bloom-filter false-positive-rate audit: build the
+    ``bloom_semi_join`` filter (m=4096, k=3, hash61 bit pattern) over
+    the member set ``user_id % 3 == 0`` and probe the DISJOINT set
+    ``% 3 == 1`` — every false positive is a deterministic consequence
+    of the bit pattern, so the SQL replay of the same hash61
+    expressions reproduces the exact FP set. Output one row:
+    ``(m_bits, k, n_member, n_probe, bits_set, fp_count)``."""
+    import numpy as _np
+    import ray as _ray
+
+    from ...stages.graph import grouped_sum_parts
+    from ...stages.sampling import hash61
+
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet",
+                             columns=["user_id"]).repartition(8)
+
+    def _distinct(b: pa.Table) -> pa.Table:
+        u = b["user_id"]
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        return pa.table({"user_id": u.unique(),
+                         "c": pa.array([1] * len(u.unique()), pa.int64())})
+
+    users = grouped_sum_parts(
+        ds.map_batches(_distinct, batch_format="pyarrow"),
+        ["user_id"], [], count_col="c", fanin=4)
+
+    def _positions(b: pa.Table) -> pa.Table:
+        keys = b["user_id"].to_numpy(zero_copy_only=False).astype(
+            _np.int64)
+        keys = keys[keys % 3 == 0]
+        pos = [(hash61(keys, salt=r) % _np.uint64(_BLOOM_M))
+               .astype(_np.int64) for r in range(_BLOOM_K)]
+        out = _np.unique(_np.concatenate(pos)) if len(keys) else \
+            _np.zeros(0, _np.int64)
+        return pa.table({"pos": pa.array(out),
+                         "c": pa.array(_np.ones(len(out), _np.int64))})
+
+    bits_rows = grouped_sum_parts(
+        users.map_batches(_positions, batch_format="pyarrow"),
+        ["pos"], [], count_col="c", fanin=2)
+    bits = _np.zeros(_BLOOM_M, dtype=bool)
+    for row in bits_rows.take_all():  # <= m_bits rows: bounded constant
+        bits[row["pos"]] = True
+    bits_ref = _ray.put(bits)
+
+    def _audit(b: pa.Table) -> pa.Table:
+        arr = _ray.get(bits_ref)
+        keys = b["user_id"].to_numpy(zero_copy_only=False).astype(
+            _np.int64)
+        members = keys[keys % 3 == 0]
+        probe = keys[keys % 3 == 1]
+        ok = _np.ones(len(probe), dtype=bool)
+        for r in range(_BLOOM_K):
+            pos = (hash61(probe, salt=r) % _np.uint64(_BLOOM_M)) \
+                .astype(_np.int64)
+            ok &= arr[pos]
+        return pa.table({
+            "n_member_part": pa.array([len(members)], pa.int64()),
+            "n_probe_part": pa.array([len(probe)], pa.int64()),
+            "fp_part": pa.array([int(ok.sum())], pa.int64())})
+
+    parts = users.map_batches(_audit, batch_format="pyarrow")
+
+    def _final(b: pa.Table) -> pa.Table:
+        import numpy as _np2
+
+        return pa.table({
+            "m_bits": pa.array([_BLOOM_M], pa.int64()),
+            "k": pa.array([_BLOOM_K], pa.int64()),
+            "n_member": pa.array([int(_np2.sum(
+                b["n_member_part"].to_numpy(zero_copy_only=False)))],
+                pa.int64()),
+            "n_probe": pa.array([int(_np2.sum(
+                b["n_probe_part"].to_numpy(zero_copy_only=False)))],
+                pa.int64()),
+            "bits_set": pa.array([int(bits.sum())], pa.int64()),
+            "fp_count": pa.array([int(_np2.sum(
+                b["fp_part"].to_numpy(zero_copy_only=False)))],
+                pa.int64())})
+
+    return parts.repartition(1).map_batches(_final,
+                                            batch_format="pyarrow")
+
+
+def _bloom_fpr_sql() -> str:
+    from ...stages.sampling import hash61_sql
+
+    probes = {s: hash61_sql("u.user_id", salt=s) for s in range(_BLOOM_K)}
+    bit_union = "\nUNION\n".join(
+        f"SELECT {hash61_sql('m.user_id', salt=s)} % {_BLOOM_M} AS pos "
+        f"FROM members m" for s in range(_BLOOM_K))
+    fp_conds = " AND ".join(
+        f"EXISTS (SELECT 1 FROM bits b WHERE b.pos = "
+        f"{probes[s]} % {_BLOOM_M})" for s in range(_BLOOM_K))
+    return f"""
+WITH users AS MATERIALIZED (SELECT DISTINCT user_id FROM events),
+members AS MATERIALIZED (SELECT user_id FROM users WHERE user_id % 3 = 0),
+probes AS MATERIALIZED (SELECT user_id FROM users WHERE user_id % 3 = 1),
+bits AS MATERIALIZED ({bit_union})
+SELECT CAST({_BLOOM_M} AS BIGINT) AS m_bits,
+       CAST({_BLOOM_K} AS BIGINT) AS k,
+       (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_member,
+       (SELECT CAST(count(*) AS BIGINT) FROM probes) AS n_probe,
+       (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set,
+       (SELECT CAST(count(*) AS BIGINT) FROM probes u
+        WHERE {fp_conds}) AS fp_count
+"""
+
+
+BLOOM_FPR_SQL = _bloom_fpr_sql()
