@@ -62,3 +62,28 @@ def test_elias_fano_roundtrip_and_sizes():
     ub, lb, l = ef_encode(ids, 50)
     assert l == 0 and lb == b""
     assert np.array_equal(ef_decode(ub, lb, 50, 0), ids)
+
+
+def test_radix_select_matches_sorted(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.quantiles import radix_select
+
+    rng = np.random.default_rng(13)
+    vals = np.concatenate([
+        rng.integers(-10**12, 10**12, 3000),
+        np.array([np.iinfo(np.int64).min + 1, -1, 0, 1,
+                  np.iinfo(np.int64).max - 1])]).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(5)
+    sv = np.sort(vals)
+    for k in (1, 2, len(vals) // 2, len(vals) - 1, len(vals)):
+        out = radix_select(ds, value_col="v", k=k).to_pandas()
+        assert out["value"][0] == sv[k - 1], k
+        assert out["n"][0] == len(vals)
+    med = radix_select(ds, value_col="v", k="median").to_pandas()
+    assert med["value"][0] == sv[(len(vals) + 1) // 2 - 1]
+    import pytest
+
+    with pytest.raises(ValueError):
+        radix_select(ds, value_col="v", k=0).to_pandas()

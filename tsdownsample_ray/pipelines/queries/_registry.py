@@ -1982,3 +1982,8 @@ from .ext_round5j import BLOOM_FPR_SQL, q_bloom_fpr_audit_users  # noqa: E402
 
 QUERIES["bloom_fpr_audit_users"] = q_bloom_fpr_audit_users
 ORACLE_SQL["bloom_fpr_audit_users"] = BLOOM_FPR_SQL
+
+from .ext_round5j import MEDIAN_SELECT_SQL, q_median_select_events  # noqa: E402
+
+QUERIES["median_select_events"] = q_median_select_events
+ORACLE_SQL["median_select_events"] = MEDIAN_SELECT_SQL

@@ -1249,3 +1249,34 @@ SELECT CAST({_BLOOM_M} AS BIGINT) AS m_bits,
 
 
 BLOOM_FPR_SQL = _bloom_fpr_sql()
+
+
+def q_median_select_events(sf_dir: str):
+    """Global exact median of event cents via distributed radix-select
+    (``stages/quantiles.py:radix_select``): 8 byte-histogram rounds,
+    constant-size exchanges, no sort — the single-order-statistic
+    shape for 100 TB. Oracle: the direct SQL order statistic."""
+    from ...stages.quantiles import radix_select
+
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet",
+                             columns=["value"]).repartition(8)
+
+    def _cents(b: pa.Table) -> pa.Table:
+        return pa.table({"cents": pc.cast(
+            pc.round(pc.multiply(b["value"], 100.0), ndigits=0),
+            pa.int64())})
+
+    return radix_select(ds.map_batches(_cents, batch_format="pyarrow"),
+                        value_col="cents", k="median")
+
+
+MEDIAN_SELECT_SQL = """
+WITH c AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+n_ AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c)
+SELECT n_.n, (n_.n + 1) // 2 AS k,
+       (SELECT cents FROM c ORDER BY cents
+        LIMIT 1 OFFSET (SELECT (n + 1) // 2 - 1 FROM n_)) AS value
+FROM n_
+"""
