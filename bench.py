@@ -143,7 +143,10 @@ def run_bench() -> dict:
         "hilbert_zone_maps_events", "theta_1h", "delta_rollup_15m",
         "min_window_docs", "ring_rebalance_docs",
         "meeting_select_users", "ransac_line_1h",
-        "scene_change_frames")
+        "scene_change_frames", "ltob_events", "soundex_blocks_docs",
+        "budget_select_lineitems", "gapfill_seasonal_1h",
+        "ef_postings_docs", "bloom_fpr_audit_users",
+        "median_select_events")
     for qname in qnames:
         best = None
         # min-of-n: throttle bursts vary timings ~3x; the two join-heavy
