@@ -39,7 +39,10 @@ def budget_select(ds, *, order_cols: list, descending: list,
     ``(n_total, n_selected, sel_cost, sel_value)``.
 
     The full sort key (order_cols) must be unique per row — it is what
-    orders blocks for the prefix pass."""
+    orders blocks for the prefix pass. Descending is supported for
+    NUMERIC key columns only (the driver-side block ordering negates
+    values; a descending string key would mis-order blocks, so it is
+    rejected up front)."""
     import ray
 
     s = ds.sort(order_cols, descending=descending)
@@ -65,6 +68,11 @@ def budget_select(ds, *, order_cols: list, descending: list,
 
     def _order_key(r):
         key = _json.loads(r["key_json"])
+        for v, d in zip(key, descending):
+            if d and not isinstance(v, (int, float)):
+                raise TypeError(
+                    "budget_select: descending requires numeric key "
+                    f"columns (got {type(v).__name__})")
         return tuple((-v if d else v) if isinstance(v, (int, float))
                      else v for v, d in zip(key, descending))
 
