@@ -1987,3 +1987,18 @@ from .ext_round5j import MEDIAN_SELECT_SQL, q_median_select_events  # noqa: E402
 
 QUERIES["median_select_events"] = q_median_select_events
 ORACLE_SQL["median_select_events"] = MEDIAN_SELECT_SQL
+
+from .ext_round5k import PETTITT_SQL, q_pettitt_15m  # noqa: E402
+
+QUERIES["pettitt_15m"] = q_pettitt_15m
+ORACLE_SQL["pettitt_15m"] = PETTITT_SQL
+
+from .ext_round5k import ANAGRAM_SQL, q_anagram_groups_vocab  # noqa: E402
+
+QUERIES["anagram_groups_vocab"] = q_anagram_groups_vocab
+ORACLE_SQL["anagram_groups_vocab"] = ANAGRAM_SQL
+
+from .ext_round5k import FRONT_CODE_SQL, q_front_code_vocab  # noqa: E402
+
+QUERIES["front_code_vocab"] = q_front_code_vocab
+ORACLE_SQL["front_code_vocab"] = FRONT_CODE_SQL

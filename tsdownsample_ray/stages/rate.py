@@ -28,7 +28,7 @@ from ..arrow_utils import group_codes, make_add_part
 
 __all__ = ["counter_rate", "threshold_crossings", "series_diffs",
            "cusum", "gap_profile", "hysteresis_alerts",
-           "amoc_changepoint"]
+           "amoc_changepoint", "pettitt_test"]
 
 
 def counter_rate(ds, window_us: int, *, series_col: str = "series_id",
@@ -527,3 +527,99 @@ def amoc_changepoint(rolled, *, series_col: str = "series_id",
     parted = rolled.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _amoc, batch_format="pyarrow")
+
+
+def pettitt_test(rolled, *, series_col: str = "series_id",
+                 order_col: str = "bucket", value_col: str = "sum_y",
+                 num_partitions: int = 8):
+    """Pettitt's non-parametric change-point test per series (Pettitt
+    1979): the rank-based companion to :func:`amoc_changepoint` — no
+    mean-shift model, just the Mann-Whitney-style statistic
+    ``U_t = sum_{i<=t} sum_{j>t} sgn(y_i - y_j)``.
+
+    Exactness contract: ``sum_j sgn(y_i - y_j) = d_i - (n+1)`` where
+    ``d_i = 2*r_i = 2*cnt_lt + cnt_eq + 1`` is the doubled midrank (an
+    integer even under ties), so ``U_t = sum_{i<=t} (d_i - (n+1))``
+    exactly — plain sign-sum units, all int64 through the argmax; only
+    the closing significance approximation
+    ``p ~ 2*exp(-6*K^2/(n^3+n^2))`` is a pinned IEEE expression that
+    the SQL oracle evaluates with the identical tree (libm ``exp``
+    both sides).
+
+    Output per series (n >= 2):
+    ``(series_id, n, t_star, bucket, k_stat, p_approx)`` with
+    ``k_stat = max_t |U_t|`` (t = 1..n-1), ``t_star`` the smallest t
+    attaining it, ``bucket`` that point's order value.
+
+    Scale shape: identical to AMOC — ONE hash(series) shuffle, then per
+    partition a sort and a per-series vectorized rank + cumsum + argmax
+    (the per-series Python loop is bounded by series count, the inner
+    math fully vectorized)."""
+    mod = num_partitions * 64
+
+    _add_part = make_add_part(series_col, mod)
+
+    def _pettitt(g: pa.Table) -> pa.Table:
+        sid_type = g[series_col].type
+        bkt_type = g[order_col].type
+        empty = pa.table({"series_id": pa.array([], sid_type),
+                          "n": pa.array([], pa.int64()),
+                          "t_star": pa.array([], pa.int64()),
+                          "bucket": pa.array([], bkt_type),
+                          "k_stat": pa.array([], pa.int64()),
+                          "p_approx": pa.array([], pa.float64())})
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (order_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = group_codes(sid)
+        y = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = t[order_col].to_numpy(zero_copy_only=False)
+        n = len(y)
+        change = np.ones(n, dtype=bool)
+        change[1:] = codes[1:] != codes[:-1]
+        seg_first = np.flatnonzero(change)
+        seg_len = np.diff(np.r_[seg_first, n])
+        out = {k: [] for k in ("sid", "n", "t", "b", "k", "p")}
+        for si, f0 in enumerate(seg_first):
+            m = int(seg_len[si])
+            if m < 2:
+                continue
+            ys = y[f0:f0 + m]
+            # doubled midranks: d = 2*cnt_lt + cnt_eq + 1, exact int64
+            uniq, inv, cnt = np.unique(ys, return_inverse=True,
+                                       return_counts=True)
+            cum_lt = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            d = 2 * cum_lt[inv] + cnt[inv] + 1
+            u = np.cumsum(d - (m + 1))[: m - 1]        # U_t, t = 1..m-1
+            au = np.abs(u)
+            best = int(np.argmax(au))                  # first max -> min t
+            kk = int(au[best])
+            mf = float(m)
+            kf = float(kk)
+            # math.exp (libm), not np.exp: numpy's SIMD exp rounds
+            # differently by 1 ulp vs DuckDB's std::exp on some inputs
+            import math as _math
+
+            p = 2.0 * _math.exp(-6.0 * kf * kf / (mf * mf * mf + mf * mf))
+            out["sid"].append(sid[int(f0)].as_py())
+            out["n"].append(m)
+            out["t"].append(best + 1)
+            out["b"].append(bkt[f0 + best])
+            out["k"].append(kk)
+            out["p"].append(float(p))
+        return pa.table({
+            "series_id": pa.array(out["sid"], sid_type),
+            "n": pa.array(out["n"], pa.int64()),
+            "t_star": pa.array(out["t"], pa.int64()),
+            "bucket": pa.array(out["b"], bkt_type),
+            "k_stat": pa.array(out["k"], pa.int64()),
+            "p_approx": pa.array(out["p"], pa.float64())})
+
+    parted = rolled.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _pettitt, batch_format="pyarrow")

@@ -23,7 +23,8 @@ import pyarrow.compute as pc
 
 from ..arrow_utils import make_add_part, rename_agg, stable_part_codes
 
-__all__ = ["build_vocab", "term_drift", "bigram_familiarity"]
+__all__ = ["build_vocab", "term_drift", "bigram_familiarity",
+           "anagram_groups", "front_code_stats"]
 
 
 def build_vocab(ds, *, text_col: str = "text", id_col: str = "doc_id",
@@ -322,3 +323,132 @@ def heaps_law(ds, n_total: int, *, deciles: int = 10,
         "decile": pa.array(np.arange(deciles, dtype=np.int64)),
         "cum_tokens": pa.array(np.cumsum(n_tok)),
         "cum_vocab": pa.array(np.cumsum(n_new))})
+
+
+def _distinct_tokens_block(b: pa.Table, text_col: str):
+    """One block's distinct whitespace tokens as a pyarrow StringArray."""
+    toks = pc.split_pattern(b[text_col], " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values
+    flat = flat.filter(pc.not_equal(flat, ""))
+    u = pc.unique(flat)
+    if isinstance(u, pa.ChunkedArray):
+        u = u.combine_chunks()
+    return u
+
+
+def anagram_groups(ds, *, text_col: str = "text", L: int = 4,
+                   min_terms: int = 2, num_partitions: int = 8):
+    """Anagram groups over the corpus' distinct ``L``-character windows
+    (the :func:`~tsdownsample_ray.stages.grams.char_window_pairs`
+    granularity): windows bucketed by sorted-character signature; emits
+    ``(sig, n_terms, min_token)`` for signatures shared by >=
+    ``min_terms`` distinct windows — char-multiset blocking, the same
+    family as Soundex phonetic blocks and ed2 deletion neighborhoods.
+
+    Scale shape: per-block distinct collapses each block to its window
+    vocabulary BEFORE the shuffle (bounded by alphabet^L, not corpus
+    size), signatures are computed fully vectorized (fixed-width utf-32
+    view, one ``np.sort(axis=1)`` — no Python per window), then ONE
+    hash(signature) shuffle groups collided multisets; cross-block
+    duplicate windows are re-deduped inside the group. Codepoint sort
+    and the oracle's ``list_sort``/``min`` agree because UTF-8 byte
+    order equals codepoint order."""
+    from .grams import char_window_pairs
+
+    mod = num_partitions * 64
+
+    def _sigs(b: pa.Table) -> pa.Table:
+        pairs = char_window_pairs(b, L=L, text_col=text_col,
+                                  id_col=b.column_names[0])
+        u = pc.unique(pairs["gram"])
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        if len(u) == 0:
+            return pa.table({"sig": pa.array([], pa.string()),
+                             "token": pa.array([], pa.string()),
+                             "__part": pa.array([], pa.int64())})
+        codes = np.asarray(u.to_numpy(zero_copy_only=False),
+                           dtype=f"<U{L}").view(np.uint32).reshape(-1, L)
+        sigs = np.ascontiguousarray(
+            np.sort(codes, axis=1)).view(f"<U{L}").ravel()
+        t = pa.table({"sig": pa.array(sigs), "token": u})
+        h = stable_part_codes(t["sig"], mod)
+        return t.append_column("__part", pa.array(h))
+
+    def _merge(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        # cross-block duplicates of the same token collapse here
+        d = t.group_by(["sig", "token"]).aggregate([])
+        m = d.group_by(["sig"]).aggregate(
+            [("token", "count"), ("token", "min")])
+        m = rename_agg(m, {"sig": "sig", "token_count": "n_terms",
+                           "token_min": "min_token"})
+        return m.filter(pc.greater_equal(m["n_terms"],
+                                         pa.scalar(min_terms, pa.int64())))
+
+    parted = ds.map_batches(_sigs, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _merge, batch_format="pyarrow")
+
+
+def front_code_stats(ds, *, text_col: str = "text",
+                     num_partitions: int = 8):
+    """Front-coding statistics over the sorted corpus vocabulary: per
+    FIRST-CHARACTER block, the distinct-term count, total codepoints,
+    total longest-common-prefix codepoints with each term's sorted
+    predecessor, and the saved ratio (one pinned IEEE quotient) —
+    ``(first_char, n_terms, sum_len, sum_lcp, saved_ratio)``.
+
+    Grouping by first character makes blocks independent (a block's
+    first term has LCP 0 by construction: its global predecessor starts
+    with a different character), so the layout is embarrassingly
+    parallel: per-block distinct, ONE hash(first-char) shuffle, then a
+    per-group sort + a predecessor walk bounded by vocab size."""
+    mod = num_partitions * 64
+
+    def _first(b: pa.Table) -> pa.Table:
+        u = _distinct_tokens_block(b, text_col)
+        fc = pc.utf8_slice_codeunits(u, 0, 1)
+        t = pa.table({"first_char": fc, "token": u})
+        h = stable_part_codes(t["first_char"], mod)
+        return t.append_column("__part", pa.array(h))
+
+    def _stats(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        d = t.group_by(["first_char", "token"]).aggregate([])
+        d = d.take(pc.sort_indices(d, sort_keys=[
+            ("first_char", "ascending"), ("token", "ascending")]))
+        fcs = d["first_char"].to_pylist()
+        toks = d["token"].to_pylist()
+        agg: dict[str, list[int]] = {}
+        prev_fc = None
+        prev_tok = None
+        for fc, tok in zip(fcs, toks):
+            if fc != prev_fc:
+                agg[fc] = [0, 0, 0]
+                prev_tok = None
+            a = agg[fc]
+            a[0] += 1
+            a[1] += len(tok)
+            if prev_tok is not None:
+                lim = min(len(tok), len(prev_tok))
+                lcp = 0
+                while lcp < lim and tok[lcp] == prev_tok[lcp]:
+                    lcp += 1
+                a[2] += lcp
+            prev_fc, prev_tok = fc, tok
+        keys = list(agg)
+        n = pa.array([agg[k][0] for k in keys], pa.int64())
+        sl = pa.array([agg[k][1] for k in keys], pa.int64())
+        sp = pa.array([agg[k][2] for k in keys], pa.int64())
+        ratio = pc.divide(pc.cast(sp, pa.float64()),
+                          pc.cast(sl, pa.float64()))
+        return pa.table({"first_char": pa.array(keys, pa.string()),
+                         "n_terms": n, "sum_len": sl, "sum_lcp": sp,
+                         "saved_ratio": ratio})
+
+    parted = ds.map_batches(_first, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _stats, batch_format="pyarrow")
