@@ -144,3 +144,109 @@ def test_front_code_utf8(ray_session):
     assert int(row.n_terms) == 3
     assert int(row.sum_len) == 3 + 5 + 4
     assert int(row.sum_lcp) == 1 + 2
+
+
+def test_ar1_fit_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.correlate import ar1_fit
+
+    rng = np.random.default_rng(17)
+    frames = []
+    for s in range(5):
+        n = int(rng.integers(2, 30))
+        frames.append(pd.DataFrame({
+            "series_id": f"s{s}",
+            "bucket": np.sort(rng.choice(10_000, n, replace=False)),
+            "sum_y": rng.integers(-10**6, 10**6, n),
+            "n": rng.integers(1, 9, n)}))
+    df = pd.concat(frames).sample(frac=1.0, random_state=5)
+    out = ar1_fit(rd.from_pandas(df.reset_index(drop=True)).repartition(4),
+                  num_partitions=3).to_pandas().set_index("series_id")
+    for s in range(5):
+        sub = (df[df.series_id == f"s{s}"]
+               .sort_values("bucket").reset_index(drop=True))
+        y = np.floor_divide(sub.sum_y.to_numpy(), sub.n.to_numpy())
+        prev, cur = y[:-1], y[1:]
+        npair = len(prev)
+        s1, s2 = prev.sum(), cur.sum()
+        s11, s12 = (prev * prev).sum(), (prev * cur).sum()
+        row = out.loc[f"s{s}"]
+        assert int(row.n_pairs) == npair
+        assert int(row.s1) == s1 and int(row.s2) == s2
+        assert int(row.s11) == s11 and int(row.s12) == s12
+        den = npair * float(s11) - float(s1) ** 2
+        phi = ((npair * float(s12) - float(s1) * float(s2)) / den
+               if den else 0.0)
+        assert row.phi == pytest.approx(phi, rel=1e-12)
+        c = (float(s2) - phi * float(s1)) / npair
+        assert row.fcst == pytest.approx(c + phi * float(y[-1]), rel=1e-9)
+
+
+def test_allen_relations_all_eight(ray_session):
+    """A constructed user hitting every one of the 8 forward relations."""
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.intervals import allen_relations
+
+    # consecutive pairs (a=prev, b=cur), sorted by (start, event_id):
+    iv = [
+        (0, 0, 10),    # a
+        (0, 20, 30),   # before    (10 < 20)
+        (0, 30, 35),   # meets     (30 == 30)
+        (0, 32, 40),   # overlaps  (32 < 35, 40 > 35)
+        (0, 36, 40),   # finished_by (36 < 40, 40 == 40)
+        (0, 37, 39),   # contains  (37 < 40? prev is (36,40): 37<40, 39<40)
+        (0, 37, 50),   # prev (37,39): 37==37 -> starts (39 < 50)
+        (0, 37, 50),   # equals
+        (0, 37, 45),   # started_by (50 > 45)
+    ]
+    df = pd.DataFrame({
+        "user_id": [u for u, _, _ in iv],
+        "event_id": np.arange(len(iv)),
+        "start": [s for _, s, _ in iv],
+        "end": [e for _, _, e in iv]})
+    out = allen_relations(rd.from_pandas(df).repartition(3),
+                          num_partitions=2).to_pandas()
+    got = dict(zip(out.relation, out.n_pairs))
+    assert got == {"before": 1, "meets": 1, "overlaps": 1,
+                   "finished_by": 1, "contains": 1, "starts": 1,
+                   "equals": 1, "started_by": 1}
+
+
+def test_weighted_jaccard_bruteforce(ray_session):
+    import ray.data as rd
+    from collections import Counter
+
+    from tsdownsample_ray.stages.strsim import weighted_jaccard_pairs
+
+    docs = [
+        (0, "a b b c", "s1"),
+        (5, "b b c d", "s1"),
+        (9, "a a a", "s1"),
+        (2, "x y", "s2"),
+        (3, "x y z z", "s2"),
+        (7, "", "s2"),     # empty text: union with doc 3 is non-empty
+        (4, "lone", "s3"),
+    ]
+    df = pd.DataFrame(docs, columns=["doc_id", "text", "source"])
+    out = weighted_jaccard_pairs(
+        rd.from_pandas(df).repartition(4),
+        num_partitions=3).to_pandas().sort_values("doc_a")
+    by_src = {}
+    for d, t, s in docs:
+        by_src.setdefault(s, []).append((d, t))
+    exp = {}
+    for s, lst in by_src.items():
+        lst.sort()
+        for (da, ta), (db, tb) in zip(lst, lst[1:]):
+            ca, cb = Counter(ta.split()), Counter(tb.split())
+            toks = set(ca) | set(cb)
+            num = sum(min(ca[t], cb[t]) for t in toks)
+            den = sum(max(ca[t], cb[t]) for t in toks)
+            if den:
+                exp[(da, db)] = (num, den)
+    got = {(r.doc_a, r.doc_b): (r.num, r.den) for r in out.itertuples()}
+    assert got == exp
+    for r in out.itertuples():
+        assert r.wjac == pytest.approx(r.num / r.den)

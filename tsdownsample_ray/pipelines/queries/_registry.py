@@ -2002,3 +2002,18 @@ from .ext_round5k import FRONT_CODE_SQL, q_front_code_vocab  # noqa: E402
 
 QUERIES["front_code_vocab"] = q_front_code_vocab
 ORACLE_SQL["front_code_vocab"] = FRONT_CODE_SQL
+
+from .ext_round5k import AR1_SQL, q_ar1_1h  # noqa: E402
+
+QUERIES["ar1_1h"] = q_ar1_1h
+ORACLE_SQL["ar1_1h"] = AR1_SQL
+
+from .ext_round5k import ALLEN_SQL, q_allen_relations_events  # noqa: E402
+
+QUERIES["allen_relations_events"] = q_allen_relations_events
+ORACLE_SQL["allen_relations_events"] = ALLEN_SQL
+
+from .ext_round5k import WJACCARD_SQL, q_weighted_jaccard_docs  # noqa: E402
+
+QUERIES["weighted_jaccard_docs"] = q_weighted_jaccard_docs
+ORACLE_SQL["weighted_jaccard_docs"] = WJACCARD_SQL

@@ -165,3 +165,201 @@ SELECT first_char, CAST(count(*) AS BIGINT) AS n_terms,
            AS saved_ratio
 FROM p GROUP BY first_char
 """
+
+
+W1H = 3600 * US
+_MIN_US = 60 * US
+
+
+def q_ar1_1h(sf_dir: str):
+    """AR(1) fit + one-step forecast per event_type over the 1h tier
+    (``stages/correlate.py:ar1_fit``): OLS of the floored per-bucket
+    mean on its lag — exact int64 sufficient statistics
+    ``(n_pairs, s1, s2, s11, s12)`` (the per-bucket mean is bounded by
+    the value domain, so the squares never overflow at any sf), then
+    ``phi``/``c``/``fcst`` as pinned IEEE expressions the oracle
+    replays with the identical tree (degenerate ``den = 0`` pins
+    ``phi = 0``). The autoregressive sibling of ``ols_slope_1h``."""
+    from ...stages.correlate import ar1_fit
+    from ...stages.rollup import rollup
+
+    from .downsample_core import _events_cents
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"), W1H)
+    return ar1_fit(rolled, num_partitions=4)
+
+
+AR1_SQL = f"""
+WITH r AS (
+    SELECT event_type AS series_id,
+           (epoch_us(ts) // {W1H}) * {W1H} AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+m AS (
+    SELECT series_id, bucket,
+           -- exact floor(s / cnt): // truncates, negatives need the
+           -- CASE form (the Holt-Winters oracle convention)
+           CASE WHEN s >= 0 THEN s // cnt
+                ELSE -(((-s) + cnt - 1) // cnt) END AS y
+    FROM r
+),
+l AS (
+    SELECT series_id, y,
+           lag(y) OVER w AS py,
+           row_number() OVER (PARTITION BY series_id
+                              ORDER BY bucket DESC) AS rdesc
+    FROM m WINDOW w AS (PARTITION BY series_id ORDER BY bucket)
+),
+st AS (
+    SELECT series_id,
+           CAST(count(py) AS BIGINT) AS n_pairs,
+           CAST(sum(py) AS BIGINT) AS s1,
+           CAST(sum(CASE WHEN py IS NOT NULL THEN y END) AS BIGINT) AS s2,
+           CAST(sum(py * py) AS BIGINT) AS s11,
+           CAST(sum(py * y) AS BIGINT) AS s12
+    FROM l GROUP BY 1
+),
+lastv AS (
+    SELECT series_id, CAST(y AS BIGINT) AS y_last FROM l WHERE rdesc = 1
+),
+ph AS (
+    SELECT st.*, lastv.y_last,
+           CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(s11 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) = 0.0
+                THEN 0.0
+                ELSE (CAST(n_pairs AS DOUBLE) * CAST(s12 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                     / (CAST(n_pairs AS DOUBLE) * CAST(s11 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+           END AS phi
+    FROM st JOIN lastv USING (series_id)
+    WHERE n_pairs >= 1
+),
+cc AS (
+    SELECT *, (CAST(s2 AS DOUBLE) - phi * CAST(s1 AS DOUBLE))
+              / CAST(n_pairs AS DOUBLE) AS c
+    FROM ph
+)
+SELECT series_id, n_pairs, s1, s2, s11, s12, y_last, phi, c,
+       c + phi * CAST(y_last AS DOUBLE) AS fcst
+FROM cc
+"""
+
+
+def q_allen_relations_events(sf_dir: str):
+    """Allen interval-algebra census over per-user event intervals
+    (``stages/intervals.py:allen_relations``; Allen 1983): each event
+    spans ``[ts, ts + (1 + event_id % 7) minutes)``; every consecutive
+    pair per user (ordered by start, event_id) is classified into its
+    Allen relation and counted globally. Pure int64 comparisons — the
+    SQL lag-window replay is trivially exact. ONE hash(user) shuffle,
+    one vectorized comparison pass, <= 8-row funnel."""
+    from ...stages.intervals import allen_relations
+
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id"]) \
+        .repartition(8)
+
+    def _iv(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["ts"], pa.int64())
+        eid = b["event_id"]
+        import numpy as _np
+
+        e = eid.to_numpy(zero_copy_only=False).astype(_np.int64)
+        dur = (1 + e % 7) * _MIN_US
+        tsv = ts.to_numpy() if not isinstance(ts, pa.ChunkedArray) \
+            else ts.combine_chunks().to_numpy()
+        return pa.table({"user_id": b["user_id"], "event_id": eid,
+                         "start": ts, "end": pa.array(tsv + dur)})
+
+    return allen_relations(ds.map_batches(_iv, batch_format="pyarrow"),
+                           num_partitions=8)
+
+
+ALLEN_SQL = f"""
+WITH iv AS (
+    SELECT user_id, event_id, epoch_us(ts) AS s,
+           epoch_us(ts) + (1 + event_id % 7) * {_MIN_US} AS e
+    FROM events
+),
+l AS (
+    SELECT user_id, s, e,
+           lag(s) OVER w AS ps, lag(e) OVER w AS pe
+    FROM iv WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+),
+c AS (
+    SELECT CASE
+        WHEN ps < s AND s > pe THEN 'before'
+        WHEN ps < s AND s = pe THEN 'meets'
+        WHEN ps < s AND s < pe AND e > pe THEN 'overlaps'
+        WHEN ps < s AND s < pe AND e = pe THEN 'finished_by'
+        WHEN ps < s AND s < pe AND e < pe THEN 'contains'
+        WHEN ps = s AND pe < e THEN 'starts'
+        WHEN ps = s AND pe = e THEN 'equals'
+        ELSE 'started_by' END AS relation
+    FROM l WHERE ps IS NOT NULL
+)
+SELECT relation, CAST(count(*) AS BIGINT) AS n_pairs
+FROM c GROUP BY relation
+"""
+
+
+def q_weighted_jaccard_docs(sf_dir: str):
+    """Exact weighted Jaccard between each document and its SUCCESSOR
+    WITHIN THE SAME SOURCE (``stages/strsim.py:weighted_jaccard_pairs``):
+    ``J_w = sum min(c_a, c_b) / sum max(c_a, c_b)`` over the two docs'
+    term-frequency vectors — the multiset similarity the MinHash band
+    pass approximates, exact on the bounded consecutive-pair set.
+    ``num``/``den`` exact int64, ``wjac`` the pinned quotient. ONE
+    hash(source) shuffle co-locates each source (the per-source
+    vocabulary contract), then pairing is a local sort + row-shift —
+    no doc-to-doc join, no driver-side pair map."""
+    from ...stages.strsim import weighted_jaccard_pairs
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "source"]) \
+        .repartition(8)
+    return weighted_jaccard_pairs(ds, num_partitions=8)
+
+
+WJACCARD_SQL = """
+WITH tc AS (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ) WHERE token <> ''
+    GROUP BY doc_id, token
+),
+pairs AS (
+    SELECT doc_id AS a,
+           lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS b
+    FROM documents
+    QUALIFY b IS NOT NULL
+),
+contrib AS (
+    SELECT p.a, p.b, tc.token, tc.c AS lc, CAST(0 AS BIGINT) AS rc
+    FROM pairs p JOIN tc ON tc.doc_id = p.a
+    UNION ALL
+    SELECT p.a, p.b, tc.token, CAST(0 AS BIGINT), tc.c
+    FROM pairs p JOIN tc ON tc.doc_id = p.b
+),
+per_tok AS (
+    SELECT a, b, token, sum(lc) AS lc, sum(rc) AS rc
+    FROM contrib GROUP BY a, b, token
+)
+SELECT a AS doc_a, b AS doc_b,
+       CAST(sum(least(lc, rc)) AS BIGINT) AS num,
+       CAST(sum(greatest(lc, rc)) AS BIGINT) AS den,
+       CAST(sum(least(lc, rc)) AS DOUBLE)
+           / CAST(sum(greatest(lc, rc)) AS DOUBLE) AS wjac
+FROM per_tok GROUP BY a, b
+"""

@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 from ..arrow_utils import group_codes, make_add_part
 
 __all__ = ["pairwise_correlation", "lagged_correlation", "autocorrelation",
-           "ols_slope", "kendall_pairs"]
+           "ols_slope", "kendall_pairs", "ar1_fit"]
 
 _STAT_COLS = ["n", "sum_x", "sum_y", "sum_xy", "sum_xx", "sum_yy"]
 
@@ -551,3 +551,108 @@ def kendall_pairs(rolled, *, series_col: str = "series_id",
     counts = paired.repartition(num_partitions).groupby(
         "__part").map_groups(_per_pair, batch_format="pyarrow")
     return counts.map_batches(_tau, batch_format="pyarrow")
+
+
+def ar1_fit(rolled, *, series_col: str = "series_id",
+            order_col: str = "bucket", sum_col: str = "sum_y",
+            n_col: str = "n", num_partitions: int = 8):
+    """AR(1) fit + one-step forecast per series: OLS of ``y_t`` on
+    ``y_{t-1}`` over consecutive points of the ordered series, with
+    ``y`` the FLOORED per-bucket mean (``floor(sum/n)`` — integer, so
+    the sufficient statistics are exact at any magnitude the per-bucket
+    mean can reach; DuckDB replays the floor with the CASE-based sign
+    handling the Holt-Winters oracle established).
+
+    Exactness contract: ``(n_pairs, s1, s2, s11, s12)`` are exact int64
+    sums over the lagged pairs; ``phi = (n*s12 - s1*s2) / (n*s11 -
+    s1*s1)``, ``c = (s2 - phi*s1)/n`` and ``fcst = c + phi*y_last`` are
+    pinned IEEE expressions the oracle evaluates with the identical
+    tree (int64 -> double casts included). Consecutive means
+    CONSECUTIVE IN BUCKET ORDER — gaps are not filled; compose with the
+    gapfill stage when AR over a dense grid is wanted.
+
+    Output per series with >= 2 points:
+    ``(series_id, n_pairs, s1, s2, s11, s12, y_last, phi, c, fcst)``.
+
+    Scale shape: ONE hash(series) shuffle, then per partition a single
+    sort + segment-sliced vectorized sums (per-series Python loop
+    bounded by series count; inner math vectorized)."""
+    mod = num_partitions * 64
+
+    _add_part = make_add_part(series_col, mod)
+
+    def _ar1(g: pa.Table) -> pa.Table:
+        sid_type = g[series_col].type
+        empty = pa.table({
+            "series_id": pa.array([], sid_type),
+            "n_pairs": pa.array([], pa.int64()),
+            "s1": pa.array([], pa.int64()),
+            "s2": pa.array([], pa.int64()),
+            "s11": pa.array([], pa.int64()),
+            "s12": pa.array([], pa.int64()),
+            "y_last": pa.array([], pa.int64()),
+            "phi": pa.array([], pa.float64()),
+            "c": pa.array([], pa.float64()),
+            "fcst": pa.array([], pa.float64())})
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (order_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = group_codes(sid)
+        s = t[sum_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t[n_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = s // cnt  # numpy floor division == mathematical floor
+        n = len(y)
+        change = np.ones(n, dtype=bool)
+        change[1:] = codes[1:] != codes[:-1]
+        seg_first = np.flatnonzero(change)
+        seg_len = np.diff(np.r_[seg_first, n])
+        out = {k: [] for k in ("sid", "np", "s1", "s2", "s11", "s12",
+                               "yl", "phi", "c", "f")}
+        for si, f0 in enumerate(seg_first):
+            m = int(seg_len[si])
+            if m < 2:
+                continue
+            ys = y[f0:f0 + m]
+            prev, cur = ys[:-1], ys[1:]
+            npair = m - 1
+            s1 = int(prev.sum())
+            s2 = int(cur.sum())
+            s11 = int((prev * prev).sum())
+            s12 = int((prev * cur).sum())
+            nf = float(npair)
+            den = nf * float(s11) - float(s1) * float(s1)
+            num = nf * float(s12) - float(s1) * float(s2)
+            phi = num / den if den != 0.0 else 0.0
+            c = (float(s2) - phi * float(s1)) / nf
+            yl = int(ys[-1])
+            f = c + phi * float(yl)
+            out["sid"].append(sid[int(f0)].as_py())
+            out["np"].append(npair)
+            out["s1"].append(s1)
+            out["s2"].append(s2)
+            out["s11"].append(s11)
+            out["s12"].append(s12)
+            out["yl"].append(yl)
+            out["phi"].append(phi)
+            out["c"].append(c)
+            out["f"].append(f)
+        return pa.table({
+            "series_id": pa.array(out["sid"], sid_type),
+            "n_pairs": pa.array(out["np"], pa.int64()),
+            "s1": pa.array(out["s1"], pa.int64()),
+            "s2": pa.array(out["s2"], pa.int64()),
+            "s11": pa.array(out["s11"], pa.int64()),
+            "s12": pa.array(out["s12"], pa.int64()),
+            "y_last": pa.array(out["yl"], pa.int64()),
+            "phi": pa.array(out["phi"], pa.float64()),
+            "c": pa.array(out["c"], pa.float64()),
+            "fcst": pa.array(out["f"], pa.float64())})
+
+    parted = rolled.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _ar1, batch_format="pyarrow")

@@ -28,7 +28,8 @@ import pyarrow as pa
 from ..arrow_utils import make_add_part
 import pyarrow.compute as pc
 
-__all__ = ["interval_union", "activity_selection"]
+__all__ = ["interval_union", "activity_selection",
+           "allen_relations"]
 
 
 def interval_union(ds, *, series_col: str = "series_id",
@@ -171,3 +172,84 @@ def activity_selection(ds, *, key_col: str = "user_id",
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _select, batch_format="pyarrow")
+
+
+ALLEN_LABELS = ("before", "meets", "overlaps", "finished_by", "contains",
+                "starts", "equals", "started_by")
+
+
+def allen_relations(ds, *, key_col: str = "user_id", start_col: str = "start",
+                    end_col: str = "end", tiebreak_col: str = "event_id",
+                    num_partitions: int = 8):
+    """Classify every CONSECUTIVE interval pair per key into its Allen
+    interval-algebra relation (Allen 1983). With pairs ordered by
+    ``(start, tiebreak)`` the earlier interval ``a`` has
+    ``a.start <= b.start``, so exactly the 8 forward relations can
+    occur: ``before / meets / overlaps / finished_by / contains``
+    (a.start < b.start, split on b.start vs a.end then b.end vs a.end)
+    and ``starts / equals / started_by`` (a.start = b.start, split on
+    the ends). Pure int64 comparisons — trivially exact.
+
+    Output: ``(relation, n_pairs)`` global counts (relations with zero
+    pairs are omitted).
+
+    Scale shape: ONE hash(key) shuffle, per-partition sort + one
+    vectorized comparison pass over all keys at once (lag via shifted
+    views, key boundaries masked), then a tiny <= 8-row-per-partition
+    funnel merged in one final block."""
+    mod = num_partitions * 64
+
+    _add_part = make_add_part(key_col, mod)
+
+    def _classify(g: pa.Table) -> pa.Table:
+        empty = pa.table({"relation": pa.array([], pa.string()),
+                          "n_pairs": pa.array([], pa.int64())})
+        t = g.drop_columns(["__part"])
+        if t.num_rows < 2:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (key_col, "ascending"), (start_col, "ascending"),
+            (tiebreak_col, "ascending")]))
+        from ..arrow_utils import group_codes
+
+        codes = group_codes(t[key_col] if not isinstance(
+            t[key_col], pa.ChunkedArray) else t[key_col].combine_chunks())
+        s = t[start_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t[end_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        same = codes[1:] == codes[:-1]
+        a_s, a_e = s[:-1][same], e[:-1][same]
+        b_s, b_e = s[1:][same], e[1:][same]
+        if len(a_s) == 0:
+            return empty
+        rel = np.empty(len(a_s), dtype=np.int64)
+        eq_start = a_s == b_s
+        # a.start < b.start branch
+        lt = ~eq_start
+        rel[lt & (b_s > a_e)] = 0                       # before
+        rel[lt & (b_s == a_e)] = 1                      # meets
+        ov = lt & (b_s < a_e)
+        rel[ov & (b_e > a_e)] = 2                       # overlaps
+        rel[ov & (b_e == a_e)] = 3                      # finished_by
+        rel[ov & (b_e < a_e)] = 4                       # contains
+        # a.start == b.start branch
+        rel[eq_start & (a_e < b_e)] = 5                 # starts
+        rel[eq_start & (a_e == b_e)] = 6                # equals
+        rel[eq_start & (a_e > b_e)] = 7                 # started_by
+        cnt = np.bincount(rel, minlength=8)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "relation": pa.array([ALLEN_LABELS[i] for i in nz]),
+            "n_pairs": pa.array(cnt[nz], pa.int64())})
+
+    def _merge(b: pa.Table) -> pa.Table:
+        m = b.group_by(["relation"]).aggregate([("n_pairs", "sum")])
+        from ..arrow_utils import rename_agg
+
+        return rename_agg(m, {"relation": "relation",
+                              "n_pairs_sum": "n_pairs"})
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    partials = parted.repartition(num_partitions).groupby(
+        "__part").map_groups(_classify, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(_merge,
+                                               batch_format="pyarrow")

@@ -18,7 +18,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["ed1_pairs", "ed2_pairs", "soundex", "soundex_blocks"]
+__all__ = ["ed1_pairs", "ed2_pairs", "soundex", "soundex_blocks",
+           "weighted_jaccard_pairs"]
 
 
 def _ed_le1(a: str, b: str) -> bool:
@@ -262,3 +263,119 @@ def soundex_blocks(ds, *, text_col: str = "text", num_partitions: int = 4):
     pairs = ds.map_batches(_pairs, batch_format="pyarrow")
     return pairs.repartition(num_partitions).groupby("__part").map_groups(
         _blocks, batch_format="pyarrow")
+
+
+
+def weighted_jaccard_pairs(ds, *, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           group_col: str = "source",
+                           num_partitions: int = 8):
+    """Exact WEIGHTED Jaccard similarity between each document's
+    term-frequency vector and its SUCCESSOR WITHIN THE SAME
+    ``group_col`` value (next ``id_col`` in that group):
+    ``J_w = sum_t min(c_a[t], c_b[t]) / sum_t max(c_a[t], c_b[t])`` —
+    the multiset generalization the MinHash stage only approximates,
+    exact on the bounded consecutive-pair set (the snapshot-to-snapshot
+    drift measure).
+
+    Exactness: ``num``/``den`` exact int64; ``wjac`` the one pinned
+    IEEE quotient. Pairs whose union is empty (both docs token-free)
+    are dropped, mirroring the SQL aggregate-over-nothing convention.
+
+    Scale shape: ONE hash(group) shuffle of the raw documents (the
+    same co-location contract as the per-source vocabulary queries:
+    group cardinality >> partitions), then per partition one sort, one
+    vectorized tokenize + per-doc count pass, and one arrow group_by
+    per (pair, token) — each doc's vector enters pair ``r`` (as left)
+    and pair ``r - 1`` (as right) by LOCAL row number, so no
+    doc-to-doc join and no driver-side pair map exist anywhere."""
+    from ..arrow_utils import make_add_part, rename_agg
+
+    mod = num_partitions * 64
+
+    _add_part = make_add_part(group_col, mod)
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                          "doc_b": pa.array([], pa.int64()),
+                          "num": pa.array([], pa.int64()),
+                          "den": pa.array([], pa.int64()),
+                          "wjac": pa.array([], pa.float64())})
+        if t.num_rows < 2:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (group_col, "ascending"), (id_col, "ascending")]))
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        grp = t[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        from ..arrow_utils import group_codes
+
+        codes = group_codes(grp)
+        n_doc = t.num_rows
+        # row r is LEFT of pair r iff row r+1 is in the same group
+        left_ok = np.zeros(n_doc, dtype=bool)
+        left_ok[:-1] = codes[1:] == codes[:-1]
+        right_ok = np.zeros(n_doc, dtype=bool)
+        right_ok[1:] = left_ok[:-1]
+        toks = pc.split_pattern(t[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        row = np.repeat(np.arange(n_doc, dtype=np.int64), np.diff(off))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        row = row[keep]
+        pd_tbl = pa.table({"row": pa.array(row), "token": flat,
+                           "one": pa.array(np.ones(len(row), np.int64))})
+        per_doc = pd_tbl.group_by(["row", "token"]).aggregate(
+            [("one", "sum")])
+        per_doc = rename_agg(per_doc, {"row": "row", "token": "token",
+                                       "one_sum": "cnt"})
+        prow = per_doc["row"].to_numpy(zero_copy_only=False)
+        ptok = per_doc["token"]
+        if isinstance(ptok, pa.ChunkedArray):
+            ptok = ptok.combine_chunks()
+        pcnt = per_doc["cnt"].to_numpy(zero_copy_only=False)
+        l_sel = np.flatnonzero(left_ok[prow])
+        r_sel = np.flatnonzero(right_ok[prow])
+        if len(l_sel) == 0 and len(r_sel) == 0:
+            return empty
+        zero_l = np.zeros(len(l_sel), np.int64)
+        zero_r = np.zeros(len(r_sel), np.int64)
+        left = pa.table({"pair": pa.array(prow[l_sel]),
+                         "token": ptok.take(pa.array(l_sel)),
+                         "lc": pa.array(pcnt[l_sel]),
+                         "rc": pa.array(zero_l)})
+        right = pa.table({"pair": pa.array(prow[r_sel] - 1),
+                          "token": ptok.take(pa.array(r_sel)),
+                          "lc": pa.array(zero_r),
+                          "rc": pa.array(pcnt[r_sel])})
+        both = pa.concat_tables([left, right])
+        per_tok = both.group_by(["pair", "token"]).aggregate(
+            [("lc", "sum"), ("rc", "sum")])
+        per_tok = rename_agg(per_tok, {"pair": "pair", "token": "token",
+                                       "lc_sum": "lc", "rc_sum": "rc"})
+        lc = per_tok["lc"].to_numpy(zero_copy_only=False)
+        rc = per_tok["rc"].to_numpy(zero_copy_only=False)
+        per_tok = per_tok.append_column("mn", pa.array(np.minimum(lc, rc)))
+        per_tok = per_tok.append_column("mx", pa.array(np.maximum(lc, rc)))
+        agg = per_tok.group_by(["pair"]).aggregate(
+            [("mn", "sum"), ("mx", "sum")])
+        agg = rename_agg(agg, {"pair": "pair", "mn_sum": "num",
+                               "mx_sum": "den"})
+        agg = agg.filter(pc.greater(agg["den"], pa.scalar(0, pa.int64())))
+        pr = agg["pair"].to_numpy(zero_copy_only=False).astype(np.int64)
+        num = agg["num"].to_numpy(zero_copy_only=False).astype(np.int64)
+        den = agg["den"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_a": pa.array(ids[pr]), "doc_b": pa.array(ids[pr + 1]),
+            "num": pa.array(num), "den": pa.array(den),
+            "wjac": pa.array(num.astype(np.float64)
+                             / den.astype(np.float64), pa.float64())})
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _pairs, batch_format="pyarrow")
