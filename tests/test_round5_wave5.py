@@ -250,3 +250,76 @@ def test_weighted_jaccard_bruteforce(ray_session):
     assert got == exp
     for r in out.itertuples():
         assert r.wjac == pytest.approx(r.num / r.den)
+
+
+def test_sssp_bruteforce(ray_session):
+    import heapq
+
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.graph import sssp
+
+    rng = np.random.default_rng(23)
+    n_nodes = 30
+    edges = []
+    for _ in range(70):
+        u, v = map(int, rng.integers(0, n_nodes, 2))
+        if u == v:
+            continue
+        w = int(rng.integers(1, 9))
+        edges.append((u, v, w))
+        edges.append((v, u, w))
+    df = pd.DataFrame(edges, columns=["src", "dst", "w"])
+    out = sssp(rd.from_pandas(df).repartition(4), source_node=0,
+               rounds=12, num_partitions=3).to_pandas()
+    # Dijkstra reference (rounds=12 > any shortest hop count here is not
+    # guaranteed, so clamp the reference to 12 relaxation rounds too)
+    INF = float("inf")
+    dist = {i: INF for i in range(n_nodes)}
+    dist[0] = 0
+    for _ in range(12):
+        nd = dict(dist)
+        for u, v, w in edges:
+            if dist[u] + w < nd.get(v, INF):
+                nd[v] = dist[u] + w
+        dist = nd
+    exp = {k: int(v) for k, v in dist.items() if v < INF}
+    got = dict(zip(out.node, out.dist))
+    assert got == exp
+
+
+def test_sssp_rejects_bad_rounds(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.graph import sssp
+
+    df = pd.DataFrame({"src": [0], "dst": [1], "w": [1]})
+    with pytest.raises(ValueError):
+        sssp(rd.from_pandas(df), rounds=0)
+
+
+def test_linear_count_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.dedup import _stable_u64
+    from tsdownsample_ray.stages.sketches import linear_count
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for k in ("a", "b"):
+        vals = [f"{k}-url-{int(i)}" for i in rng.integers(0, 200, 300)]
+        rows += [(k, v) for v in vals]
+    df = pd.DataFrame(rows, columns=["domain", "url"])
+    m = 256
+    out = linear_count(rd.from_pandas(df).repartition(5),
+                       key_col="domain", value_col="url", m=m,
+                       fanin=3).to_pandas().set_index("domain")
+    import math
+
+    for k in ("a", "b"):
+        urls = {v for kk, v in rows if kk == k}
+        cells = {int(_stable_u64(u.encode()) % m) for u in urls}
+        assert int(out.loc[k].occupied) == len(cells)
+        assert int(out.loc[k].zeros) == m - len(cells)
+        assert out.loc[k].lc_est == pytest.approx(
+            m * math.log(m / (m - len(cells))))

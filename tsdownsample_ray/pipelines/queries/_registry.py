@@ -2017,3 +2017,13 @@ from .ext_round5k import WJACCARD_SQL, q_weighted_jaccard_docs  # noqa: E402
 
 QUERIES["weighted_jaccard_docs"] = q_weighted_jaccard_docs
 ORACLE_SQL["weighted_jaccard_docs"] = WJACCARD_SQL
+
+from .ext_round5k import SSSP_SQL, q_sssp_docs  # noqa: E402
+
+QUERIES["sssp_docs"] = q_sssp_docs
+ORACLE_SQL["sssp_docs"] = SSSP_SQL
+
+from .ext_round5k import LINEAR_COUNT_SQL, q_linear_count_domains  # noqa: E402
+
+QUERIES["linear_count_domains"] = q_linear_count_domains
+ORACLE_SQL["linear_count_domains"] = LINEAR_COUNT_SQL

@@ -363,3 +363,174 @@ SELECT a AS doc_a, b AS doc_b,
            / CAST(sum(greatest(lc, rc)) AS DOUBLE) AS wjac
 FROM per_tok GROUP BY a, b
 """
+
+
+def q_sssp_docs(sf_dir: str):
+    """Weighted single-source shortest paths from doc 0 over the
+    kcore/bfs link graph (``stages/graph.py:sssp``): undirected edges
+    ``u—v`` with deterministic weight ``1 + (u+v) % 7``, 6 Bellman-Ford
+    relaxation rounds (the bfs_hops diameter contract). Each round is
+    ONE tagged-union hash join + ONE hashpart grouped min; the
+    node-bounded distance table is the only materialized state. The
+    oracle replays the identical bounded recursion as 6 chained
+    CTE rounds — exact int64 distances."""
+    import pyarrow.parquet as _pq
+
+    from ...stages.graph import sssp
+
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"]).repartition(4)
+
+    def _edges(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        srcs, dsts = [], []
+        for j in range(1, 7):
+            m = j <= 1 + d % 6
+            s = d[m]
+            t = (s * 31 + 97 * j) % n
+            keep = s != t
+            srcs.append(_np.minimum(s[keep], t[keep]))
+            dsts.append(_np.maximum(s[keep], t[keep]))
+        u = _np.concatenate(srcs)
+        v = _np.concatenate(dsts)
+        ww = 1 + (u + v) % 7
+        # undirected: emit both directions
+        return pa.table({
+            "src": pa.array(_np.concatenate([u, v])),
+            "dst": pa.array(_np.concatenate([v, u])),
+            "w": pa.array(_np.concatenate([ww, ww]))})
+
+    edges = ds.map_batches(_edges, batch_format="pyarrow")
+    return sssp(edges, source_node=0, rounds=6, num_partitions=4)
+
+
+SSSP_SQL = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+base AS (
+    SELECT d.doc_id AS s, u.j,
+           ((d.doc_id * 31 + 97 * u.j) % (SELECT n FROM nn)) AS t
+    FROM documents d, LATERAL unnest(generate_series(1, 6)) AS u(j)
+    WHERE u.j <= 1 + d.doc_id % 6
+),
+canon AS (
+    SELECT least(s, t) AS u, greatest(s, t) AS v FROM base WHERE s <> t
+),
+ed AS (
+    SELECT u AS node, v AS dst, 1 + (u + v) % 7 AS w FROM canon
+    UNION ALL
+    SELECT v AS node, u AS dst, 1 + (u + v) % 7 AS w FROM canon
+),
+d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+d1 AS (
+    SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d0
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM d0 d JOIN ed e ON e.node = d.node
+    ) GROUP BY node
+),
+d2 AS (
+    SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d1
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM d1 d JOIN ed e ON e.node = d.node
+    ) GROUP BY node
+),
+d3 AS (
+    SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d2
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM d2 d JOIN ed e ON e.node = d.node
+    ) GROUP BY node
+),
+d4 AS (
+    SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d3
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM d3 d JOIN ed e ON e.node = d.node
+    ) GROUP BY node
+),
+d5 AS (
+    SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d4
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM d4 d JOIN ed e ON e.node = d.node
+    ) GROUP BY node
+),
+d6 AS (
+    SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d5
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM d5 d JOIN ed e ON e.node = d.node
+    ) GROUP BY node
+)
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d6
+"""
+
+
+def q_linear_count_domains(sf_dir: str):
+    """Linear-counting distinct-URL sketch per domain
+    (``stages/sketches.py:linear_count``, m=4096; Whang et al. 1990):
+    md5-u64 URL hash -> bitmap cell, exact occupied/zero counts, and
+    the estimate ``m * ln(m/z)`` as one pinned libm call on an integer
+    quotient — the low-load-factor companion to the KMV and HLL
+    sketches, bit-exactly SQL-replayed like KMV."""
+    from ...stages.sketches import linear_count
+
+    from ._shared import SNAPSHOTS
+    from ...sources.corpus import read_pages
+
+    pages = read_pages(sf_dir, snapshots=SNAPSHOTS,
+                       columns=["url", "warc_ts"])
+
+    def _dom(b: pa.Table) -> pa.Table:
+        url = b["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        from ...stages.series import _DOMAIN_PATTERN
+
+        domain = pc.struct_field(pc.extract_regex(url, _DOMAIN_PATTERN),
+                                 "domain")
+        return pa.table({"domain": domain, "url": url})
+
+    return linear_count(pages.map_batches(_dom, batch_format="pyarrow"),
+                        key_col="domain", value_col="url", m=4096,
+                        fanin=4)
+
+
+LINEAR_COUNT_SQL = """
+WITH {PAGES_CTE}
+, h AS (
+    SELECT DISTINCT series_id AS domain,
+        list_reduce(list_prepend(0::HUGEINT,
+            list_transform(range(1, 17),
+                i -> CAST(strpos('0123456789abcdef',
+                                 substring(md5(url), i, 1)) - 1
+                          AS HUGEINT))), (h, d) -> h * 16 + d)
+            % 4096 AS cell
+    FROM pages
+),
+occ AS (
+    SELECT domain, CAST(count(DISTINCT cell) AS BIGINT) AS occupied
+    FROM h GROUP BY domain
+)
+SELECT domain, occupied,
+       CAST(4096 - occupied AS BIGINT) AS zeros,
+       CASE WHEN occupied = 4096 THEN 0.0
+            ELSE 4096.0 * ln(4096.0 / CAST(4096 - occupied AS DOUBLE))
+       END AS lc_est
+FROM occ
+"""
+
+
+from ._shared import PAGES_CTE  # noqa: E402
+
+LINEAR_COUNT_SQL = LINEAR_COUNT_SQL.format(PAGES_CTE=PAGES_CTE)

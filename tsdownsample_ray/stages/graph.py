@@ -46,7 +46,7 @@ import pyarrow.compute as pc
 
 __all__ = ["extract_links_batch", "grouped_sum_parts", "pagerank",
            "triangle_counts", "link_prediction", "hits", "reciprocity",
-           "degree_assortativity"]
+           "degree_assortativity", "sssp"]
 
 
 def extract_links_batch(batch: pa.Table, *, html_col: str = "html",
@@ -783,3 +783,72 @@ def degree_assortativity(edges_ds, *, src: str = "src", dst: str = "dst",
     merged = partials.repartition(1).map_batches(
         _merge, batch_format="pyarrow")
     return merged.map_batches(_corr_from_stats, batch_format="pyarrow")
+
+
+def sssp(edges_ds, *, src: str = "src", dst: str = "dst", w: str = "w",
+         source_node: int = 0, rounds: int = 6, num_partitions: int = 8):
+    """Single-source shortest paths over a WEIGHTED directed edge set
+    via ``rounds`` Bellman-Ford relaxation rounds — the weighted
+    companion to the frontier BFS (``bfs_hops_docs``): exact for every
+    node whose shortest path uses <= ``rounds`` edges (pass the graph
+    diameter; the SQL oracle replays the same bounded recursion, so
+    the bound is part of the operator contract, not an approximation
+    gap).
+
+    Per round: ONE hash join of the current distance table against the
+    edge set (``joins.hash_inner_join`` — tagged-union, no extra actor
+    pools), a union with the standing distances, and ONE hashpart
+    grouped min. The distance table is node-bounded (ids + one int64),
+    so the per-round ``materialize()`` barrier holds the frontier
+    state, never the edge set — the same state-never-broadcast
+    discipline as :func:`hits`/:func:`pagerank`. Edges stream from
+    their dataset each round.
+
+    Returns ``(node, dist)`` int64 for every node reached within
+    ``rounds`` relaxations. Int64 distances — exact.
+    """
+    import ray.data as rd
+
+    from ..arrow_utils import rename_agg, stable_part_codes
+    from .joins import hash_inner_join
+
+    if rounds < 1:
+        raise ValueError("sssp: rounds must be >= 1")
+    mod = num_partitions * 64
+
+    def _canon(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b[src], "__dst": b[dst], "__w": b[w]})
+
+    edges = edges_ds.map_batches(_canon, batch_format="pyarrow")
+
+    dist = rd.from_arrow(pa.table({
+        "node": pa.array([int(source_node)], pa.int64()),
+        "dist": pa.array([0], pa.int64())})).materialize()
+
+    def _relaxed(b: pa.Table) -> pa.Table:
+        d = b["dist"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ww = b["__w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst_ids = b["__dst"]
+        return pa.table({"node": dst_ids, "dist": pa.array(d + ww)})
+
+    def _min_part(b: pa.Table) -> pa.Table:
+        m = b.group_by(["node"]).aggregate([("dist", "min")])
+        m = rename_agg(m, {"node": "node", "dist_min": "dist"})
+        h = stable_part_codes(m["node"], mod)
+        return m.append_column("__part", pa.array(h))
+
+    def _min_merge(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        m = t.group_by(["node"]).aggregate([("dist", "min")])
+        return rename_agg(m, {"node": "node", "dist_min": "dist"})
+
+    for _ in range(rounds):
+        cand = hash_inner_join(edges, dist, on="node",
+                               num_partitions=num_partitions)
+        relaxed = cand.map_batches(_relaxed, batch_format="pyarrow")
+        merged = dist.union(relaxed).map_batches(
+            _min_part, batch_format="pyarrow")
+        dist = merged.repartition(num_partitions).groupby(
+            "__part").map_groups(
+                _min_merge, batch_format="pyarrow").materialize()
+    return dist
