@@ -323,3 +323,95 @@ def test_linear_count_bruteforce(ray_session):
         assert int(out.loc[k].zeros) == m - len(cells)
         assert out.loc[k].lc_est == pytest.approx(
             m * math.log(m / (m - len(cells))))
+
+
+def test_simple8b_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.compress import S8B_COUNTS, simple8b_pack
+
+    rng = np.random.default_rng(31)
+    frames = []
+    for s in range(4):
+        n = int(rng.integers(1, 120))
+        mag = 10 ** int(rng.integers(1, 7))
+        frames.append(pd.DataFrame({
+            "series_id": f"s{s}",
+            "bucket": np.sort(rng.choice(100_000, n, replace=False)),
+            "sum_y": rng.integers(-mag, mag, n)}))
+    df = pd.concat(frames).sample(frac=1.0, random_state=11)
+    out = simple8b_pack(
+        rd.from_pandas(df.reset_index(drop=True)).repartition(4),
+        num_partitions=3).to_pandas()
+    for s in range(4):
+        sub = (df[df.series_id == f"s{s}"]
+               .sort_values("bucket").reset_index(drop=True))
+        y = sub.sum_y.to_numpy()
+        d = np.diff(np.concatenate(([0], y)))
+        v = np.where(d >= 0, 2 * d, -2 * d - 1).astype(np.int64)
+        # reference greedy walk
+        words = []
+        pos = 0
+        while pos < len(v):
+            for c in S8B_COUNTS:
+                b = 60 // c
+                if pos + c <= len(v) and int(v[pos:pos + c].max()) < (1 << b):
+                    break
+            payload = sum(int(v[pos + i]) << (b * i) for i in range(c))
+            words.append((len(words), pos + 1, c, b, payload))
+            pos += c
+        got = (out[out.series_id == f"s{s}"]
+               .sort_values("word_idx").reset_index(drop=True))
+        assert len(got) == len(words)
+        for w, (wi, sp, c, b, pl) in zip(got.itertuples(), words):
+            assert (w.word_idx, w.start_pos, w.cnt, w.bits, w.payload) \
+                == (wi, sp, c, b, pl)
+
+
+def test_ltd_properties():
+    from tsdownsample_ray.kernels.ltd import ltd
+    from tsdownsample_ray.kernels.lttb import lttb
+
+    rng = np.random.default_rng(7)
+    y = np.concatenate([np.zeros(3000),
+                        np.cumsum(rng.normal(size=1000)) * 10,
+                        np.zeros(3000)])
+    idx = ltd(None, y, 80)
+    assert len(idx) == 80
+    assert idx[0] == 0 and idx[-1] == len(y) - 1
+    assert np.all(np.diff(idx.astype(np.int64)) > 0)
+    # dynamic buckets concentrate on the variance burst
+    in_burst = ((idx >= 3000) & (idx < 4000)).sum()
+    lttb_in_burst = ((lttb(None, y, 80) >= 3000)
+                     & (lttb(None, y, 80) < 4000)).sum()
+    assert in_burst > 2 * lttb_in_burst
+    # iterations=0 degenerates to LTTB exactly (integer y: sums exact)
+    yi = (y * 100).astype(np.int64)
+    assert np.array_equal(ltd(None, yi, 50, iterations=0),
+                          lttb(None, yi, 50))
+    # identity short-circuit + validation
+    assert np.array_equal(ltd(None, y[:10], 20), np.arange(10))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ltd(None, y, 2)
+    with _pytest.raises(ValueError):
+        ltd(None, y, 50, iterations=-1)
+
+
+def test_ltd_deterministic_and_registered():
+    import numpy as _np
+
+    from tsdownsample_ray import LTDDownsampler
+    from tsdownsample_ray.kernels import KERNELS
+
+    assert "ltd" in KERNELS
+    rng = _np.random.default_rng(3)
+    y = rng.normal(size=5000).astype(_np.float32)
+    a = LTDDownsampler().downsample(y, n_out=60)
+    b = LTDDownsampler().downsample(y, n_out=60)
+    assert _np.array_equal(a, b)
+    # explicit x path agrees with implicit on equidistant x
+    x = _np.arange(len(y), dtype=_np.int64)
+    c = LTDDownsampler().downsample(x, y, n_out=60)
+    assert _np.array_equal(a, c)

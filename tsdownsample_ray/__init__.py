@@ -14,6 +14,7 @@ utilities (dedup, similarity search, text stats).
 from .api import (
     AbstractDownsampler,
     EveryNthDownsampler,
+    LTDDownsampler,
     LTOBDownsampler,
     LTTBDownsampler,
     M4Downsampler,
@@ -49,6 +50,7 @@ __version__ = "0.1.0"
 __all__ = [
     "AbstractDownsampler",
     "EveryNthDownsampler",
+    "LTDDownsampler",
     "LTOBDownsampler",
     "LTTBDownsampler",
     "M4Downsampler",

@@ -191,6 +191,22 @@ class LTOBDownsampler(AbstractDownsampler):
     _kernel_name = "ltob"
 
 
+class LTDDownsampler(AbstractDownsampler):
+    """Largest-Triangle-Dynamic (Steinarsson 2013 §4.2) — an EXTENSION
+    beyond the reference's class set, completing the thesis' triangle
+    family next to :class:`LTOBDownsampler`: an iterative SSE-driven
+    split/merge phase re-sizes the buckets (more where the series is
+    least linear), then the LTTB selection runs over the dynamic
+    buckets. ``iterations`` (default ``n_out``) bounds the re-sizing
+    phase; ``iterations=0`` degenerates to LTTB's fixed buckets."""
+
+    _kernel_name = "ltd"
+    _accepted_kwargs = frozenset({"iterations"})
+
+    def _kernel_kwargs(self, **kwargs) -> dict:
+        return {"iterations": kwargs.get("iterations", None)}
+
+
 class MinMaxLTTBDownsampler(AbstractDownsampler):
     """MinMax preselection + LTTB (arXiv:2305.00332; downsamplers.py:98-116).
 

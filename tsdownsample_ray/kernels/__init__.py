@@ -8,6 +8,7 @@ returning *indices into the original arrays* — the reference's load-bearing
 from .binning import get_bin_idxs, view_x, view_y
 from .everynth import everynth
 from .lttb import lttb
+from .ltd import ltd
 from .ltob import ltob
 from .m4 import m4, nanm4
 from .minmax import minmax, nanminmax
@@ -25,6 +26,7 @@ KERNELS = {
     "nanm4": nanm4,
     "lttb": lttb,
     "ltob": ltob,
+    "ltd": ltd,
     "minmaxlttb": minmaxlttb,
     "nanminmaxlttb": nanminmaxlttb,
 }

@@ -2027,3 +2027,8 @@ from .ext_round5k import LINEAR_COUNT_SQL, q_linear_count_domains  # noqa: E402
 
 QUERIES["linear_count_domains"] = q_linear_count_domains
 ORACLE_SQL["linear_count_domains"] = LINEAR_COUNT_SQL
+
+from .ext_round5k import SIMPLE8B_SQL, q_simple8b_events  # noqa: E402
+
+QUERIES["simple8b_events"] = q_simple8b_events
+ORACLE_SQL["simple8b_events"] = SIMPLE8B_SQL

@@ -534,3 +534,96 @@ FROM occ
 from ._shared import PAGES_CTE  # noqa: E402
 
 LINEAR_COUNT_SQL = LINEAR_COUNT_SQL.format(PAGES_CTE=PAGES_CTE)
+
+
+def q_simple8b_events(sf_dir: str):
+    """Simple8b-style packing manifest of each series' zigzag 15m-tier
+    deltas (``stages/compress.py:simple8b_pack``; Anh & Moffat 2010 —
+    the InfluxDB/Prometheus integer-block codec): greedy
+    largest-count-first words over the 60-bit payload ladder, each word
+    decode-verified inside the task before it is emitted. Exact int64
+    manifest ``(word_idx, start_pos, cnt, bits, payload)``; the oracle
+    replays the greedy walk with 14 window maxima + one recursive CTE
+    (the ADPCM / Elias-Fano replay family)."""
+    from ...stages.compress import simple8b_pack
+
+    from .downsample_core import _events_cents
+    from ...stages.rollup import rollup
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    rolled = rollup(ev.map_batches(_series, batch_format="pyarrow"), W15M)
+    return simple8b_pack(rolled, num_partitions=4)
+
+
+SIMPLE8B_SQL = """
+WITH RECURSIVE e AS (
+    SELECT event_type AS series_id,
+           epoch_us(ts) // {w} * {w} AS bucket,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+r AS (
+    SELECT series_id, bucket, CAST(sum(cents) AS BIGINT) AS y
+    FROM e GROUP BY series_id, bucket
+),
+dz AS (
+    SELECT series_id,
+           row_number() OVER (PARTITION BY series_id ORDER BY bucket) AS p,
+           count(*) OVER (PARTITION BY series_id) AS n,
+           y - coalesce(lag(y) OVER (PARTITION BY series_id
+                                     ORDER BY bucket), 0) AS d
+    FROM r
+),
+q AS (
+    SELECT series_id, p, n,
+           CASE WHEN d >= 0 THEN 2 * d ELSE -2 * d - 1 END AS v
+    FROM dz
+),
+qq AS (
+    SELECT series_id, p, n, v,
+           (p + 60 - 1 <= n AND max(v) OVER (PARTITION BY series_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 59 FOLLOWING) < 2) AS ok60,
+           (p + 30 - 1 <= n AND max(v) OVER (PARTITION BY series_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 29 FOLLOWING) < 4) AS ok30,
+           (p + 20 - 1 <= n AND max(v) OVER (PARTITION BY series_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 19 FOLLOWING) < 8) AS ok20,
+           (p + 15 - 1 <= n AND max(v) OVER (PARTITION BY series_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 14 FOLLOWING) < 16) AS ok15,
+           (p + 12 - 1 <= n AND max(v) OVER (PARTITION BY series_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING) < 32) AS ok12,
+           (p + 10 - 1 <= n AND max(v) OVER (PARTITION BY series_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) < 64) AS ok10,
+           (p + 8 - 1 <= n AND max(v) OVER (PARTITION BY series_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) < 128) AS ok8,
+           (p + 7 - 1 <= n AND max(v) OVER (PARTITION BY series_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING) < 256) AS ok7,
+           (p + 6 - 1 <= n AND max(v) OVER (PARTITION BY series_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) < 1024) AS ok6,
+           (p + 5 - 1 <= n AND max(v) OVER (PARTITION BY series_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) < 4096) AS ok5,
+           (p + 4 - 1 <= n AND max(v) OVER (PARTITION BY series_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) < 32768) AS ok4,
+           (p + 3 - 1 <= n AND max(v) OVER (PARTITION BY series_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) < 1048576) AS ok3,
+           (p + 2 - 1 <= n AND max(v) OVER (PARTITION BY series_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING) < 1073741824) AS ok2
+    FROM q
+),
+walk AS (
+    SELECT series_id, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS word_idx
+    FROM (SELECT DISTINCT series_id FROM qq)
+    UNION ALL
+    SELECT series_id, pos + cnt, word_idx + 1 FROM (
+        SELECT w.series_id, w.pos, w.word_idx,
+               CASE WHEN t.ok60 THEN 60 WHEN t.ok30 THEN 30 WHEN t.ok20 THEN 20 WHEN t.ok15 THEN 15 WHEN t.ok12 THEN 12 WHEN t.ok10 THEN 10 WHEN t.ok8 THEN 8 WHEN t.ok7 THEN 7 WHEN t.ok6 THEN 6 WHEN t.ok5 THEN 5 WHEN t.ok4 THEN 4 WHEN t.ok3 THEN 3 WHEN t.ok2 THEN 2 ELSE 1 END AS cnt, t.n
+        FROM walk w JOIN qq t
+          ON t.series_id = w.series_id AND t.p = w.pos
+    ) z WHERE pos + cnt <= n
+),
+words AS (
+    SELECT w.series_id, w.word_idx, w.pos AS start_pos,
+           CASE WHEN t.ok60 THEN 60 WHEN t.ok30 THEN 30 WHEN t.ok20 THEN 20 WHEN t.ok15 THEN 15 WHEN t.ok12 THEN 12 WHEN t.ok10 THEN 10 WHEN t.ok8 THEN 8 WHEN t.ok7 THEN 7 WHEN t.ok6 THEN 6 WHEN t.ok5 THEN 5 WHEN t.ok4 THEN 4 WHEN t.ok3 THEN 3 WHEN t.ok2 THEN 2 ELSE 1 END AS cnt
+    FROM walk w JOIN qq t ON t.series_id = w.series_id AND t.p = w.pos
+)
+SELECT wo.series_id, wo.word_idx, wo.start_pos,
+       CAST(wo.cnt AS BIGINT) AS cnt,
+       CAST(60 // wo.cnt AS BIGINT) AS bits,
+       CAST(sum(t.v << ((60 // wo.cnt) * (t.p - wo.start_pos)))
+            AS BIGINT) AS payload
+FROM words wo JOIN qq t
+  ON t.series_id = wo.series_id
+ AND t.p >= wo.start_pos AND t.p < wo.start_pos + wo.cnt
+GROUP BY wo.series_id, wo.word_idx, wo.start_pos, wo.cnt
+""".format(w=900000000)

@@ -32,7 +32,8 @@ from ..functions.gorilla import (
 )
 
 __all__ = ["ChunkCompressor", "ChunkDecompressor",
-           "compress_chunks_per_series", "deadband_filter"]
+           "compress_chunks_per_series", "deadband_filter",
+           "simple8b_pack", "S8B_COUNTS"]
 
 _F64 = "f8"
 _I64 = "i8"
@@ -549,3 +550,120 @@ def rle_stats_per_series(ds, *, series_col: str = "series_id",
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _rle, batch_format="pyarrow")
+
+
+# Simple8b selector ladder (count, bits = 60 // count): greedy
+# largest-count-first packing of zigzag deltas into 60-bit payloads.
+# The 240/120 all-zero run selectors of the original are omitted
+# (bits >= 1 here) so every value occupies at least one bit — a
+# documented simplification that keeps the SQL replay a pure
+# window-max + recursive walk.
+S8B_COUNTS = (60, 30, 20, 15, 12, 10, 8, 7, 6, 5, 4, 3, 2, 1)
+
+
+def simple8b_pack(rolled, *, series_col: str = "series_id",
+                  order_col: str = "bucket", value_col: str = "sum_y",
+                  num_partitions: int = 8):
+    """Simple8b-style integer packing of each series' zigzag deltas
+    (Anh & Moffat 2010; the codec behind InfluxDB/Prometheus integer
+    blocks): per series ordered by ``order_col``, ``d_i = y_i -
+    y_{i-1}`` (first delta vs 0), ``v_i = zigzag(d_i)``, then greedy
+    largest-count-first packing — a word takes the biggest selector
+    count ``c`` (ladder :data:`S8B_COUNTS`) such that ``c`` values
+    remain and they all fit ``60 // c`` bits. Values >= 2^60 raise
+    (out of the codec's domain).
+
+    Every word is decode-verified in the task (shift/mask extraction
+    must reproduce the values) before it is emitted — the same
+    roundtrip-inside-the-task contract as the Gorilla and FOR-bitpack
+    stages. Output per word: ``(series_id, word_idx, start_pos, cnt,
+    bits, payload)`` — all exact int64 (payload < 2^60), replayed in
+    SQL by 14 window maxima + one recursive walk.
+
+    Scale shape: ONE hash(series) shuffle, per-partition sort; the 14
+    sliding-window maxima are vectorized; the only Python loop is the
+    per-WORD greedy walk (output-sized, ~n/avg_count iterations)."""
+    mod = num_partitions * 64
+
+    _add_part = make_add_part(series_col, mod)
+
+    counts = S8B_COUNTS
+    bits_of = {c: 60 // c for c in counts}
+    lim_of = {c: np.int64(1) << np.int64(60 // c) for c in counts}
+
+    def _pack(g: pa.Table) -> pa.Table:
+        sid_type = g[series_col].type
+        empty = pa.table({"series_id": pa.array([], sid_type),
+                          "word_idx": pa.array([], pa.int64()),
+                          "start_pos": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64()),
+                          "bits": pa.array([], pa.int64()),
+                          "payload": pa.array([], pa.int64())})
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (order_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = group_codes(sid)
+        y = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(y)
+        change = np.ones(n, dtype=bool)
+        change[1:] = codes[1:] != codes[:-1]
+        seg_first = np.flatnonzero(change)
+        seg_len = np.diff(np.r_[seg_first, n])
+        out = {k: [] for k in ("sid", "w", "s", "c", "b", "p")}
+        for si, f0 in enumerate(seg_first):
+            m = int(seg_len[si])
+            ys = y[f0:f0 + m]
+            d = np.empty(m, np.int64)
+            d[0] = ys[0]
+            d[1:] = ys[1:] - ys[:-1]
+            v = np.where(d >= 0, 2 * d, -2 * d - 1).astype(np.int64)
+            if (v < 0).any() or (v >= (np.int64(1) << np.int64(60))).any():
+                raise ValueError("simple8b: value out of 60-bit domain")
+            # sliding-window maxima per selector count (vectorized)
+            wmax = {}
+            for c in counts:
+                if c <= m:
+                    wmax[c] = np.max(
+                        np.lib.stride_tricks.sliding_window_view(v, c),
+                        axis=1)
+            pos, widx = 0, 0
+            svec = sid[int(f0)].as_py()
+            while pos < m:
+                for c in counts:
+                    if pos + c <= m and wmax[c][pos] < lim_of[c]:
+                        break
+                else:
+                    c = 1  # unreachable: c=1 always fits (v < 2^60)
+                b = bits_of[c]
+                chunk = v[pos:pos + c]
+                shifts = (b * np.arange(c, dtype=np.int64))
+                payload = int((chunk << shifts).sum())
+                # decode-verify: shift/mask must reproduce the chunk
+                mask = (1 << b) - 1
+                back = (payload >> shifts) & mask
+                if not np.array_equal(back, chunk):
+                    raise AssertionError("simple8b roundtrip failed")
+                out["sid"].append(svec)
+                out["w"].append(widx)
+                out["s"].append(pos + 1)   # 1-based, matching the SQL
+                out["c"].append(c)
+                out["b"].append(b)
+                out["p"].append(payload)
+                pos += c
+                widx += 1
+        return pa.table({
+            "series_id": pa.array(out["sid"], sid_type),
+            "word_idx": pa.array(out["w"], pa.int64()),
+            "start_pos": pa.array(out["s"], pa.int64()),
+            "cnt": pa.array(out["c"], pa.int64()),
+            "bits": pa.array(out["b"], pa.int64()),
+            "payload": pa.array(out["p"], pa.int64())})
+
+    parted = rolled.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _pack, batch_format="pyarrow")
