@@ -415,3 +415,102 @@ def test_ltd_deterministic_and_registered():
     x = _np.arange(len(y), dtype=_np.int64)
     c = LTDDownsampler().downsample(x, y, n_out=60)
     assert _np.array_equal(a, c)
+
+
+def test_wilcoxon_signed_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.abtest import wilcoxon_signed
+
+    rng = np.random.default_rng(19)
+    rows = []
+    for p in ("p1", "p2", "p3"):
+        d = rng.integers(-6, 7, int(rng.integers(5, 40)))
+        rows += [(p, int(x)) for x in d]
+    df = pd.DataFrame(rows, columns=["pair", "d"])
+    out = wilcoxon_signed(rd.from_pandas(df).repartition(4),
+                          num_partitions=3).to_pandas().set_index("pair")
+    import math
+
+    for p in ("p1", "p2", "p3"):
+        d = np.array([x for k, x in rows if k == p and x != 0])
+        ad = np.abs(d)
+        # doubled midranks
+        order = np.argsort(ad, kind="stable")
+        d2 = np.empty(len(d), np.int64)
+        for i, v in enumerate(ad):
+            lt = int((ad < v).sum())
+            eq = int((ad == v).sum())
+            d2[i] = 2 * lt + eq + 1
+        wp = int(d2[d > 0].sum())
+        wn = int(d2[d < 0].sum())
+        row = out.loc[p]
+        assert int(row.n_nz) == len(d)
+        assert int(row.w2_pos) == wp and int(row.w2_neg) == wn
+        assert wp + wn == len(d) * (len(d) + 1)
+        nf = float(len(d))
+        z = ((wp / 2.0) - nf * (nf + 1) / 4.0) / math.sqrt(
+            nf * (nf + 1) * (2 * nf + 1) / 24.0)
+        assert row.z == pytest.approx(z, rel=1e-12)
+
+
+def test_runs_test_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.abtest import runs_test
+
+    rng = np.random.default_rng(29)
+    frames = []
+    for s in range(4):
+        n = int(rng.integers(3, 50))
+        frames.append(pd.DataFrame({
+            "series_id": f"s{s}", "bucket": np.arange(n),
+            "sum_y": rng.integers(-5, 6, n)}))
+    # a constant series: everything equals the median
+    frames.append(pd.DataFrame({
+        "series_id": "const", "bucket": np.arange(5),
+        "sum_y": np.full(5, 7)}))
+    df = pd.concat(frames).sample(frac=1.0, random_state=2)
+    out = runs_test(rd.from_pandas(df.reset_index(drop=True))
+                    .repartition(4),
+                    num_partitions=3).to_pandas().set_index("series_id")
+    row = out.loc["const"]
+    assert (int(row.n_above), int(row.n_below),
+            int(row.runs), row.z) == (0, 0, 0, 0.0)
+    assert int(row.med) == 7
+    for s in range(4):
+        sub = (df[df.series_id == f"s{s}"]
+               .sort_values("bucket").reset_index(drop=True))
+        y = sub.sum_y.to_numpy()
+        med = int(np.sort(y)[(len(y) - 1) // 2])
+        sgn = y[y != med] > med
+        runs = 1 + int((sgn[1:] != sgn[:-1]).sum()) if len(sgn) else 0
+        row = out.loc[f"s{s}"]
+        assert int(row.med) == med
+        assert int(row.runs) == runs
+        assert int(row.n_above) == int(sgn.sum())
+        assert int(row.n_below) == int((~sgn).sum())
+
+
+def test_qn_scale_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.quantiles import qn_scale
+
+    rng = np.random.default_rng(37)
+    frames = []
+    for s in range(4):
+        n = int(rng.integers(2, 40))
+        frames.append(pd.DataFrame({
+            "series_id": f"s{s}", "bucket": np.arange(n),
+            "sum_y": rng.integers(-100, 100, n)}))
+    df = pd.concat(frames).sample(frac=1.0, random_state=8)
+    out = qn_scale(rd.from_pandas(df.reset_index(drop=True)).repartition(3),
+                   num_partitions=2).to_pandas().set_index("series_id")
+    for s in range(4):
+        y = df[df.series_id == f"s{s}"].sum_y.to_numpy()
+        diffs = sorted(abs(int(a) - int(b))
+                       for i, a in enumerate(y) for b in y[i + 1:])
+        row = out.loc[f"s{s}"]
+        assert int(row.m_pairs) == len(diffs)
+        assert int(row.qn) == diffs[(len(diffs) - 1) // 2]

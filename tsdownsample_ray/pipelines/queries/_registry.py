@@ -2032,3 +2032,18 @@ from .ext_round5k import SIMPLE8B_SQL, q_simple8b_events  # noqa: E402
 
 QUERIES["simple8b_events"] = q_simple8b_events
 ORACLE_SQL["simple8b_events"] = SIMPLE8B_SQL
+
+from .ext_round5k import WILCOXON_SQL, q_wilcoxon_signed_1h  # noqa: E402
+
+QUERIES["wilcoxon_signed_1h"] = q_wilcoxon_signed_1h
+ORACLE_SQL["wilcoxon_signed_1h"] = WILCOXON_SQL
+
+from .ext_round5k import RUNS_SQL, q_runs_test_15m  # noqa: E402
+
+QUERIES["runs_test_15m"] = q_runs_test_15m
+ORACLE_SQL["runs_test_15m"] = RUNS_SQL
+
+from .ext_round5k import QN_SQL, q_qn_scale_15m  # noqa: E402
+
+QUERIES["qn_scale_15m"] = q_qn_scale_15m
+ORACLE_SQL["qn_scale_15m"] = QN_SQL

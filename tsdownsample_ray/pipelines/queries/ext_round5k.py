@@ -627,3 +627,218 @@ FROM words wo JOIN qq t
  AND t.p >= wo.start_pos AND t.p < wo.start_pos + wo.cnt
 GROUP BY wo.series_id, wo.word_idx, wo.start_pos, wo.cnt
 """.format(w=900000000)
+
+
+def _rolled_k(sf_dir: str, w: int):
+    from ...stages.rollup import rollup
+
+    from .downsample_core import _events_cents
+
+    ev = _events_cents(sf_dir)
+
+    def _series(b: pa.Table) -> pa.Table:
+        return pa.table({"series_id": b["event_type"], "x": b["ts_us"],
+                         "y": b["cents"]})
+
+    return rollup(ev.map_batches(_series, batch_format="pyarrow"), w)
+
+
+def q_wilcoxon_signed_1h(sf_dir: str):
+    """Wilcoxon signed-rank test between every event-type pair over
+    common 1h buckets (``stages/abtest.py:wilcoxon_signed``): paired
+    differences of the bucket sums, zeros dropped, doubled midranks of
+    |d| keep ``w2_pos``/``w2_neg`` exact int64
+    (``w2_pos + w2_neg = n(n+1)``); the normal-approximation ``z`` is
+    the one pinned IEEE expression (no tie correction, both sides).
+    The paired companion to ``mann_whitney_events`` /
+    ``kendall_pairs_1h``. Pairing is one arrow self-join per
+    hash(bucket) partition; the test itself is ONE hash(pair)
+    shuffle."""
+    from ...arrow_utils import make_add_part
+    from ...stages.abtest import wilcoxon_signed
+
+    rolled = _rolled_k(sf_dir, W1H)
+    _add_part = make_add_part("bucket", 64)
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"]).select(
+            ["series_id", "bucket", "sum_y"])
+        a = t.rename_columns(["ta", "bucket", "ya"])
+        bb = t.rename_columns(["tb", "bucket", "yb"])
+        j = a.join(bb, keys=["bucket"])
+        j = j.filter(pc.less(j["ta"], j["tb"]))
+        pair = pc.binary_join_element_wise(j["ta"], j["tb"], "|")
+        d = pc.subtract(j["ya"], j["yb"])
+        return pa.table({"pair": pair, "d": d})
+
+    parted = rolled.map_batches(_add_part, batch_format="pyarrow")
+    pairs = parted.repartition(4).groupby("__part").map_groups(
+        _pairs, batch_format="pyarrow")
+    return wilcoxon_signed(pairs, num_partitions=4)
+
+
+WILCOXON_SQL = f"""
+WITH r AS (
+    SELECT event_type AS series_id,
+           (epoch_us(ts) // {W1H}) * {W1H} AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+p AS (
+    SELECT a.series_id AS ta, b.series_id AS tb, a.y - b.y AS d
+    FROM r a JOIN r b
+      ON a.bucket = b.bucket AND a.series_id < b.series_id
+),
+o AS (
+    SELECT ta, tb, d,
+           2 * (rank() OVER (PARTITION BY ta, tb ORDER BY abs(d)) - 1)
+             + count(*) OVER (PARTITION BY ta, tb, abs(d)) + 1 AS d2,
+           count(*) OVER (PARTITION BY ta, tb) AS n
+    FROM p WHERE d <> 0
+),
+agg AS (
+    SELECT ta || '|' || tb AS pair,
+           CAST(any_value(n) AS BIGINT) AS n_nz,
+           CAST(sum(CASE WHEN d > 0 THEN d2 ELSE 0 END) AS BIGINT)
+               AS w2_pos,
+           CAST(sum(CASE WHEN d < 0 THEN d2 ELSE 0 END) AS BIGINT)
+               AS w2_neg
+    FROM o GROUP BY 1
+)
+SELECT pair, n_nz, w2_pos, w2_neg,
+       (CAST(w2_pos AS DOUBLE) / 2.0
+        - CAST(n_nz AS DOUBLE) * (CAST(n_nz AS DOUBLE) + 1.0) / 4.0)
+       / sqrt(CAST(n_nz AS DOUBLE) * (CAST(n_nz AS DOUBLE) + 1.0)
+              * (2.0 * CAST(n_nz AS DOUBLE) + 1.0) / 24.0) AS z
+FROM agg
+"""
+
+
+def q_runs_test_15m(sf_dir: str):
+    """Wald-Wolfowitz runs test per event_type over the 15m tier
+    (``stages/abtest.py:runs_test``): values binarize against the
+    series' LOWER MEDIAN (the deterministic ``(n-1)//2``-th order
+    statistic; equals drop), the run count tests sequence randomness.
+    Counts exact int64, ``z`` the one pinned IEEE expression with the
+    degenerate cases CASE-pinned to 0.0 on both sides."""
+    from ...stages.abtest import runs_test
+
+    return runs_test(_rolled_k(sf_dir, W15M), num_partitions=4)
+
+
+RUNS_SQL = f"""
+WITH r AS (
+    SELECT event_type AS series_id,
+           (epoch_us(ts) // {W15M}) * {W15M} AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+med AS (
+    SELECT series_id, y AS med FROM (
+        SELECT series_id, y,
+               row_number() OVER (PARTITION BY series_id ORDER BY y) AS rn,
+               count(*) OVER (PARTITION BY series_id) AS n
+        FROM r
+    ) WHERE rn = (n - 1) // 2 + 1
+),
+nn AS (SELECT series_id, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY 1),
+f AS (
+    SELECT r.series_id, r.bucket, (r.y > m.med) AS ab
+    FROM r JOIN med m USING (series_id)
+    WHERE r.y <> m.med
+),
+l AS (
+    SELECT series_id, ab,
+           lag(ab) OVER (PARTITION BY series_id ORDER BY bucket) AS pab
+    FROM f
+),
+agg AS (
+    SELECT series_id,
+           CAST(count(*) FILTER (ab) AS BIGINT) AS n_above,
+           CAST(count(*) FILTER (NOT ab) AS BIGINT) AS n_below,
+           CAST(1 + count(*) FILTER (pab IS NOT NULL AND ab <> pab)
+                AS BIGINT) AS runs
+    FROM l GROUP BY 1
+)
+SELECT nn.series_id, nn.n, med.med,
+       coalesce(agg.n_above, 0) AS n_above,
+       coalesce(agg.n_below, 0) AS n_below,
+       coalesce(agg.runs, 0) AS runs,
+       CASE WHEN coalesce(agg.n_above, 0) > 0
+             AND coalesce(agg.n_below, 0) > 0
+             AND agg.n_above + agg.n_below > 1
+             AND (2.0 * CAST(agg.n_above AS DOUBLE)
+                  * CAST(agg.n_below AS DOUBLE)
+                  * (2.0 * CAST(agg.n_above AS DOUBLE)
+                     * CAST(agg.n_below AS DOUBLE)
+                     - CAST(agg.n_above AS DOUBLE)
+                     - CAST(agg.n_below AS DOUBLE)))
+                 / ((CAST(agg.n_above AS DOUBLE)
+                     + CAST(agg.n_below AS DOUBLE))
+                    * (CAST(agg.n_above AS DOUBLE)
+                       + CAST(agg.n_below AS DOUBLE))
+                    * (CAST(agg.n_above AS DOUBLE)
+                       + CAST(agg.n_below AS DOUBLE) - 1.0)) > 0.0
+       THEN (CAST(agg.runs AS DOUBLE)
+             - (2.0 * CAST(agg.n_above AS DOUBLE)
+                * CAST(agg.n_below AS DOUBLE)
+                / (CAST(agg.n_above AS DOUBLE)
+                   + CAST(agg.n_below AS DOUBLE)) + 1.0))
+            / sqrt((2.0 * CAST(agg.n_above AS DOUBLE)
+                    * CAST(agg.n_below AS DOUBLE)
+                    * (2.0 * CAST(agg.n_above AS DOUBLE)
+                       * CAST(agg.n_below AS DOUBLE)
+                       - CAST(agg.n_above AS DOUBLE)
+                       - CAST(agg.n_below AS DOUBLE)))
+                   / ((CAST(agg.n_above AS DOUBLE)
+                       + CAST(agg.n_below AS DOUBLE))
+                      * (CAST(agg.n_above AS DOUBLE)
+                         + CAST(agg.n_below AS DOUBLE))
+                      * (CAST(agg.n_above AS DOUBLE)
+                         + CAST(agg.n_below AS DOUBLE) - 1.0)))
+       ELSE 0.0 END AS z
+FROM nn JOIN med USING (series_id)
+LEFT JOIN agg USING (series_id)
+"""
+
+
+def q_qn_scale_15m(sf_dir: str):
+    """Pairwise-difference robust scale per event_type over the 15m
+    tier (``stages/quantiles.py:qn_scale``; the Rousseeuw-Croux Qn
+    order statistic): lower median of all n(n-1)/2 absolute pairwise
+    differences — exact int64, replayed by a within-series cross join
+    + row_number. O(n^2) per series BY DEFINITION, so it runs on the
+    bounded rollup tier (documented contract)."""
+    from ...stages.quantiles import qn_scale
+
+    return qn_scale(_rolled_k(sf_dir, W15M), num_partitions=4)
+
+
+QN_SQL = f"""
+WITH r AS (
+    SELECT event_type AS series_id,
+           (epoch_us(ts) // {W15M}) * {W15M} AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+x AS (
+    SELECT series_id, y,
+           row_number() OVER (PARTITION BY series_id ORDER BY bucket) AS i
+    FROM r
+),
+d AS (
+    SELECT a.series_id, abs(a.y - b.y) AS diff
+    FROM x a JOIN x b ON a.series_id = b.series_id AND a.i < b.i
+),
+o AS (
+    SELECT series_id, diff,
+           row_number() OVER (PARTITION BY series_id ORDER BY diff) AS rn,
+           count(*) OVER (PARTITION BY series_id) AS m
+    FROM d
+),
+nn AS (SELECT series_id, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY 1)
+SELECT o.series_id, nn.n, CAST(o.m AS BIGINT) AS m_pairs,
+       CAST(o.diff AS BIGINT) AS qn
+FROM o JOIN nn USING (series_id)
+WHERE o.rn = (o.m - 1) // 2 + 1
+"""

@@ -29,7 +29,8 @@ import pyarrow as pa
 from ..arrow_utils import make_add_part
 import pyarrow.compute as pc
 
-__all__ = ["mann_whitney", "chi2_contingency"]
+__all__ = ["mann_whitney", "chi2_contingency",
+           "wilcoxon_signed", "runs_test"]
 
 
 def mann_whitney(ds, *, key_col: str = "series_id",
@@ -178,3 +179,186 @@ def chi2_contingency(ds, *, row_col: str, col_col: str, fanin: int = 8,
 
     return cells.repartition(1).map_batches(_finalize,
                                             batch_format="pyarrow")
+
+
+def wilcoxon_signed(ds, *, key_col: str = "pair", d_col: str = "d",
+                    num_partitions: int = 8):
+    """Wilcoxon SIGNED-RANK test per key over paired integer
+    differences (the paired companion to :func:`mann_whitney`): zeros
+    drop, |d| gets tie-averaged ranks — doubled (``d2 = 2*cnt_lt +
+    cnt_eq + 1``) so everything stays exact int64 — and the statistic
+    splits into ``w2_pos``/``w2_neg`` (doubled rank sums of the
+    positive / negative sides; ``w2_pos + w2_neg = n(n+1)`` is the
+    invariant). The normal-approximation ``z`` (no tie correction —
+    documented simplification) is the one pinned IEEE expression:
+    ``z = (W+ - n(n+1)/4) / sqrt(n(n+1)(2n+1)/24)`` with ``W+ =
+    w2_pos/2``, 0.0 when the variance vanishes (n < 2).
+
+    Output per key with >= 1 nonzero difference:
+    ``(key, n_nz, w2_pos, w2_neg, z)``.
+
+    Scale shape: ONE hash(key) shuffle; per partition one sort by
+    (key, |d|) and vectorized tie-block doubled ranks — no per-key
+    Python beyond the bounded segment walk."""
+    import math
+
+    from ..arrow_utils import group_codes
+
+    mod = num_partitions * 64
+
+    _add_part = make_add_part(key_col, mod)
+
+    def _wsr(g: pa.Table) -> pa.Table:
+        key_type = g[key_col].type
+        empty = pa.table({key_col: pa.array([], key_type),
+                          "n_nz": pa.array([], pa.int64()),
+                          "w2_pos": pa.array([], pa.int64()),
+                          "w2_neg": pa.array([], pa.int64()),
+                          "z": pa.array([], pa.float64())})
+        t = g.drop_columns(["__part"])
+        t = t.filter(pc.not_equal(t[d_col], pa.scalar(0, t[d_col].type)))
+        if t.num_rows == 0:
+            return empty
+        d = t[d_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.append_column("__ad", pa.array(np.abs(d)))
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (key_col, "ascending"), ("__ad", "ascending")]))
+        keys = t[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        codes = group_codes(keys)
+        d = t[d_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ad = t["__ad"].to_numpy(zero_copy_only=False)
+        n = len(d)
+        kchange = np.ones(n, dtype=bool)
+        kchange[1:] = codes[1:] != codes[:-1]
+        seg_first = np.flatnonzero(kchange)
+        seg_len = np.diff(np.r_[seg_first, n])
+        # doubled midranks within key over |d| (sorted): tie blocks
+        tchange = kchange.copy()
+        tchange[1:] |= ad[1:] != ad[:-1]
+        tie_first = np.flatnonzero(tchange)
+        tie_len = np.diff(np.r_[tie_first, n])
+        pos_in_key = np.arange(n) - np.repeat(seg_first, seg_len)
+        first_rank = pos_in_key[np.repeat(tie_first, tie_len)] + 1
+        d2 = 2 * first_rank + np.repeat(tie_len, tie_len) - 1
+        pos_mask = d > 0
+        out = {k: [] for k in ("key", "n", "wp", "wn", "z")}
+        for si, f0 in enumerate(seg_first):
+            m = int(seg_len[si])
+            sl = slice(f0, f0 + m)
+            wp = int(d2[sl][pos_mask[sl]].sum())
+            wn = int(d2[sl][~pos_mask[sl]].sum())
+            nf = float(m)
+            var = nf * (nf + 1.0) * (2.0 * nf + 1.0) / 24.0
+            if var > 0.0:
+                z = ((wp / 2.0) - nf * (nf + 1.0) / 4.0) / math.sqrt(var)
+            else:
+                z = 0.0
+            out["key"].append(keys[int(f0)].as_py())
+            out["n"].append(m)
+            out["wp"].append(wp)
+            out["wn"].append(wn)
+            out["z"].append(z)
+        return pa.table({key_col: pa.array(out["key"], key_type),
+                         "n_nz": pa.array(out["n"], pa.int64()),
+                         "w2_pos": pa.array(out["wp"], pa.int64()),
+                         "w2_neg": pa.array(out["wn"], pa.int64()),
+                         "z": pa.array(out["z"], pa.float64())})
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _wsr, batch_format="pyarrow")
+
+
+def runs_test(rolled, *, series_col: str = "series_id",
+              order_col: str = "bucket", value_col: str = "sum_y",
+              num_partitions: int = 8):
+    """Wald-Wolfowitz runs test per series against its LOWER MEDIAN:
+    values equal to the median drop, the remainder binarizes to
+    above/below, and the run count tests randomness of the sequence.
+    All counts exact int64 (the lower median is the 0-based
+    ``(n-1)//2``-th order statistic — deterministic under ties, the
+    ``quantile_disc(0.5)`` element); the normal-approximation ``z`` is
+    the one pinned IEEE expression
+    ``(R - mu) / sqrt(var)``, ``mu = 2ab/(a+b) + 1``,
+    ``var = 2ab(2ab-a-b) / ((a+b)^2 (a+b-1))``, 0.0 when degenerate.
+
+    Output per series: ``(series_id, n, med, n_above, n_below, runs,
+    z)``.
+
+    Scale shape: ONE hash(series) shuffle, per-partition sort + one
+    vectorized pass (median via partition, runs via sign-change
+    count)."""
+    import math
+
+    from ..arrow_utils import group_codes
+
+    mod = num_partitions * 64
+
+    _add_part = make_add_part(series_col, mod)
+
+    def _runs(g: pa.Table) -> pa.Table:
+        sid_type = g[series_col].type
+        empty = pa.table({"series_id": pa.array([], sid_type),
+                          "n": pa.array([], pa.int64()),
+                          "med": pa.array([], pa.int64()),
+                          "n_above": pa.array([], pa.int64()),
+                          "n_below": pa.array([], pa.int64()),
+                          "runs": pa.array([], pa.int64()),
+                          "z": pa.array([], pa.float64())})
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (order_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = group_codes(sid)
+        y = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(y)
+        change = np.ones(n, dtype=bool)
+        change[1:] = codes[1:] != codes[:-1]
+        seg_first = np.flatnonzero(change)
+        seg_len = np.diff(np.r_[seg_first, n])
+        out = {k: [] for k in ("sid", "n", "med", "a", "b", "r", "z")}
+        for si, f0 in enumerate(seg_first):
+            m = int(seg_len[si])
+            ys = y[f0:f0 + m]
+            med = int(np.partition(ys, (m - 1) // 2)[(m - 1) // 2])
+            s = ys[ys != med] > med
+            a = int(s.sum())
+            b = int(len(s) - a)
+            if len(s) == 0:
+                runs = 0
+            else:
+                runs = 1 + int((s[1:] != s[:-1]).sum())
+            af, bf = float(a), float(b)
+            tot = af + bf
+            if a > 0 and b > 0 and tot > 1.0:
+                mu = 2.0 * af * bf / tot + 1.0
+                var = (2.0 * af * bf * (2.0 * af * bf - af - bf)
+                       / (tot * tot * (tot - 1.0)))
+                z = (float(runs) - mu) / math.sqrt(var) if var > 0.0 \
+                    else 0.0
+            else:
+                z = 0.0
+            out["sid"].append(sid[int(f0)].as_py())
+            out["n"].append(m)
+            out["med"].append(med)
+            out["a"].append(a)
+            out["b"].append(b)
+            out["r"].append(runs)
+            out["z"].append(z)
+        return pa.table({"series_id": pa.array(out["sid"], sid_type),
+                         "n": pa.array(out["n"], pa.int64()),
+                         "med": pa.array(out["med"], pa.int64()),
+                         "n_above": pa.array(out["a"], pa.int64()),
+                         "n_below": pa.array(out["b"], pa.int64()),
+                         "runs": pa.array(out["r"], pa.int64()),
+                         "z": pa.array(out["z"], pa.float64())})
+
+    parted = rolled.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _runs, batch_format="pyarrow")

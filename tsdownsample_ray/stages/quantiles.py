@@ -26,7 +26,7 @@ from ..arrow_utils import group_codes, make_add_part
 __all__ = ["ransac_line", "radix_select",
            "exact_quantiles", "mad_outliers", "theil_sen",
            "percentile_rank", "top_share", "winsorize", "rank2avg",
-           "weighted_median", "gini_dispersion"]
+           "weighted_median", "gini_dispersion", "qn_scale"]
 
 
 def exact_quantiles(rolled, probs=(50, 90, 99), *,
@@ -766,3 +766,73 @@ def radix_select(ds, *, value_col: str, k="median", fanin: int = 2):
     out_k = (n_total + 1) // 2 if k == "median" else int(k)
     return rd.from_items([{"n": n_total, "k": out_k,
                            "value": int(value)}])
+
+
+def qn_scale(rolled, *, series_col: str = "series_id",
+             value_col: str = "sum_y", num_partitions: int = 8):
+    """Pairwise-difference robust scale per series (the order statistic
+    at the heart of Rousseeuw-Croux Qn): the LOWER MEDIAN of all
+    ``n(n-1)/2`` pairwise absolute differences ``|y_i - y_j|`` — a
+    breakdown-robust spread estimate that, unlike MAD, needs no
+    location estimate first. Exact int64 end to end: the statistic is
+    the 0-based ``(m-1)//2``-th smallest element of the difference
+    multiset (deterministic under ties), replayed in SQL by a
+    within-series cross join + ``row_number``.
+
+    Output per series with n >= 2: ``(series_id, n, m_pairs, qn)``.
+
+    Scale shape: ONE hash(series) shuffle; per series the pairwise
+    differences materialize ONCE as a vectorized broadcast and the
+    order statistic is ``np.partition`` — O(n^2) memory/time PER
+    SERIES by definition (documented: run it on rollup tiers, where n
+    is bounded by the retention window, not on raw events)."""
+    from ..arrow_utils import group_codes, make_add_part
+
+    mod = num_partitions * 64
+
+    _add_part = make_add_part(series_col, mod)
+
+    def _qn(g: pa.Table) -> pa.Table:
+        sid_type = g[series_col].type
+        empty = pa.table({"series_id": pa.array([], sid_type),
+                          "n": pa.array([], pa.int64()),
+                          "m_pairs": pa.array([], pa.int64()),
+                          "qn": pa.array([], pa.int64())})
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = group_codes(sid)
+        y = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(y)
+        change = np.ones(n, dtype=bool)
+        change[1:] = codes[1:] != codes[:-1]
+        seg_first = np.flatnonzero(change)
+        seg_len = np.diff(np.r_[seg_first, n])
+        out = {k: [] for k in ("sid", "n", "m", "q")}
+        for si, f0 in enumerate(seg_first):
+            m = int(seg_len[si])
+            if m < 2:
+                continue
+            ys = y[f0:f0 + m]
+            iu = np.triu_indices(m, k=1)
+            diffs = np.abs(ys[iu[0]] - ys[iu[1]])
+            mp = len(diffs)
+            k = (mp - 1) // 2
+            qn = int(np.partition(diffs, k)[k])
+            out["sid"].append(sid[int(f0)].as_py())
+            out["n"].append(m)
+            out["m"].append(mp)
+            out["q"].append(qn)
+        return pa.table({"series_id": pa.array(out["sid"], sid_type),
+                         "n": pa.array(out["n"], pa.int64()),
+                         "m_pairs": pa.array(out["m"], pa.int64()),
+                         "qn": pa.array(out["q"], pa.int64())})
+
+    parted = rolled.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _qn, batch_format="pyarrow")
