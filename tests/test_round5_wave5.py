@@ -514,3 +514,78 @@ def test_qn_scale_bruteforce(ray_session):
         row = out.loc[f"s{s}"]
         assert int(row.m_pairs) == len(diffs)
         assert int(row.qn) == diffs[(len(diffs) - 1) // 2]
+
+
+def _lz76_ref(s):
+    """Independent Kaspar-Schuster parse (phrase count)."""
+    n = len(s)
+    c, pos = 0, 0
+    while pos < n:
+        ln = 1
+        while pos + ln <= n and s[pos:pos + ln] in s[:pos + ln - 1]:
+            ln += 1
+        pos += ln
+        c += 1
+    return c
+
+
+def test_lz76_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.abtest import lz76_complexity
+
+    rng = np.random.default_rng(43)
+    frames = []
+    for s in range(5):
+        n = int(rng.integers(2, 80))
+        frames.append(pd.DataFrame({
+            "series_id": f"s{s}", "bucket": np.arange(n),
+            "sum_y": rng.integers(0, 4, n)}))
+    # known sequences: all-same and alternating
+    frames.append(pd.DataFrame({"series_id": "flat",
+                                "bucket": np.arange(8),
+                                "sum_y": [1, 2, 1, 2, 1, 2, 1, 2]}))
+    df = pd.concat(frames).sample(frac=1.0, random_state=13)
+    out = lz76_complexity(rd.from_pandas(df.reset_index(drop=True))
+                          .repartition(4),
+                          num_partitions=3).to_pandas()
+    out = out.set_index("series_id")
+    for sid in out.index:
+        sub = (df[df.series_id == sid]
+               .sort_values("bucket").reset_index(drop=True))
+        y = sub.sum_y.to_numpy()
+        med = int(np.sort(y)[(len(y) - 1) // 2])
+        s = "".join("1" if v > med else "0" for v in y)
+        assert int(out.loc[sid].c_phrases) == _lz76_ref(s), sid
+        assert int(out.loc[sid].med) == med
+    # alternating "01010101" parses to 0|1|010101 = 3 phrases
+    assert int(out.loc["flat"].c_phrases) == 3
+
+
+def test_mtf_score_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.compress import mtf_score
+
+    rng = np.random.default_rng(51)
+    alpha = ["a", "b", "c", "d"]
+    rows = []
+    for u in range(6):
+        n = int(rng.integers(1, 50))
+        for i in range(n):
+            rows.append((u, alpha[int(rng.integers(0, 4))], i, i))
+    df = pd.DataFrame(rows, columns=["user_id", "sym", "x", "tie"])
+    out = mtf_score(rd.from_pandas(df).repartition(4), alpha,
+                    num_partitions=3).to_pandas().set_index("user_id")
+    for u in range(6):
+        syms = [s for uu, s, _, _ in rows if uu == u]
+        lst = list(alpha)
+        tot = mx = 0
+        for s in syms:
+            p = lst.index(s)
+            tot += p
+            mx = max(mx, p)
+            lst.insert(0, lst.pop(p))
+        assert int(out.loc[u].mtf_sum) == tot
+        assert int(out.loc[u].mtf_max) == mx
+        assert int(out.loc[u].n) == len(syms)

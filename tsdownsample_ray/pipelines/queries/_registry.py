@@ -2047,3 +2047,13 @@ from .ext_round5k import QN_SQL, q_qn_scale_15m  # noqa: E402
 
 QUERIES["qn_scale_15m"] = q_qn_scale_15m
 ORACLE_SQL["qn_scale_15m"] = QN_SQL
+
+from .ext_round5k import LZ_SQL, q_lz_complexity_15m  # noqa: E402
+
+QUERIES["lz_complexity_15m"] = q_lz_complexity_15m
+ORACLE_SQL["lz_complexity_15m"] = LZ_SQL
+
+from .ext_round5k import MTF_SQL, q_mtf_score_users  # noqa: E402
+
+QUERIES["mtf_score_users"] = q_mtf_score_users
+ORACLE_SQL["mtf_score_users"] = MTF_SQL

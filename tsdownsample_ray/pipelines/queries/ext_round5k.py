@@ -842,3 +842,122 @@ SELECT o.series_id, nn.n, CAST(o.m AS BIGINT) AS m_pairs,
 FROM o JOIN nn USING (series_id)
 WHERE o.rn = (o.m - 1) // 2 + 1
 """
+
+
+def q_lz_complexity_15m(sf_dir: str):
+    """LZ76 sequence complexity per event_type over the 15m tier
+    (``stages/abtest.py:lz76_complexity``; Lempel & Ziv 1976, the
+    Kaspar-Schuster parse): binarize against the lower median, count
+    exhaustive-history phrases. Pure integers; the oracle replays the
+    parse as ONE recursive walk over ``strpos`` probes of the
+    ``string_agg`` binary sequence."""
+    from ...stages.abtest import lz76_complexity
+
+    return lz76_complexity(_rolled_k(sf_dir, W15M), num_partitions=4)
+
+
+LZ_SQL = f"""
+WITH RECURSIVE r AS (
+    SELECT event_type AS series_id,
+           (epoch_us(ts) // {W15M}) * {W15M} AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+med AS (
+    SELECT series_id, y AS med FROM (
+        SELECT series_id, y,
+               row_number() OVER (PARTITION BY series_id ORDER BY y) AS rn,
+               count(*) OVER (PARTITION BY series_id) AS n
+        FROM r
+    ) WHERE rn = (n - 1) // 2 + 1
+),
+strs AS (
+    SELECT r.series_id,
+           string_agg(CASE WHEN r.y > m.med THEN '1' ELSE '0' END,
+                      '' ORDER BY r.bucket) AS s,
+           CAST(count(*) AS BIGINT) AS n,
+           any_value(m.med) AS med
+    FROM r JOIN med m USING (series_id)
+    GROUP BY r.series_id
+),
+walk AS (
+    SELECT series_id, CAST(1 AS BIGINT) AS pos, CAST(1 AS BIGINT) AS l,
+           CAST(0 AS BIGINT) AS c
+    FROM strs
+    UNION ALL
+    SELECT series_id,
+           CASE WHEN ok THEN pos ELSE pos + l END,
+           CASE WHEN ok THEN l + 1 ELSE CAST(1 AS BIGINT) END,
+           CASE WHEN ok THEN c ELSE c + 1 END
+    FROM (
+        SELECT w.series_id, w.pos, w.l, w.c,
+               (w.pos + w.l - 1 <= st.n AND
+                strpos(substr(st.s, 1, CAST(w.pos + w.l - 2 AS INTEGER)),
+                       substr(st.s, CAST(w.pos AS INTEGER),
+                              CAST(w.l AS INTEGER))) >= 1) AS ok
+        FROM walk w JOIN strs st USING (series_id)
+        WHERE w.pos <= st.n
+    ) z
+)
+SELECT st.series_id, st.n, CAST(st.med AS BIGINT) AS med,
+       (SELECT max(c) FROM walk w WHERE w.series_id = st.series_id)
+           AS c_phrases
+FROM strs st
+"""
+
+
+def q_mtf_score_users(sf_dir: str):
+    """Move-to-front coding score of each user's event-type sequence
+    (``stages/compress.py:mtf_score``; Bentley et al. 1986 — the
+    BWT/bzip2 second stage): list starts as the sorted global
+    event-type alphabet (a bounded Dataset ``unique`` aggregate, never
+    a raw driver read), each event emits its current list position and
+    moves to front. ``mtf_sum`` low = bursty/clustered behavior.
+    Exact int64; the oracle replays the permutation walk with a
+    LIST-state recursive CTE (the Holt-Winters replay family)."""
+    from ...stages.compress import mtf_score
+
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id",
+                                      "event_type"]).repartition(8)
+    alphabet = sorted(ds.unique("event_type"))
+
+    def _rows(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"],
+                         "sym": b["event_type"],
+                         "x": pc.cast(b["ts"], pa.int64()),
+                         "tie": b["event_id"]})
+
+    return mtf_score(ds.map_batches(_rows, batch_format="pyarrow"),
+                     alphabet, num_partitions=8)
+
+
+MTF_SQL = """
+WITH RECURSIVE seq AS (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS idx,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM events
+),
+alpha AS (SELECT list_sort(list(DISTINCT event_type)) AS a FROM events),
+rec AS (
+    SELECT user_id, CAST(0 AS BIGINT) AS idx,
+           (SELECT a FROM alpha) AS lst,
+           CAST(0 AS BIGINT) AS tot, CAST(0 AS BIGINT) AS mx
+    FROM (SELECT DISTINCT user_id FROM seq)
+    UNION ALL
+    SELECT r.user_id, s.idx,
+           list_prepend(s.event_type,
+                        list_filter(r.lst, x -> x <> s.event_type)),
+           r.tot + list_position(r.lst, s.event_type) - 1,
+           greatest(r.mx, list_position(r.lst, s.event_type) - 1)
+    FROM rec r JOIN seq s
+      ON s.user_id = r.user_id AND s.idx = r.idx + 1
+)
+SELECT r.user_id, CAST(s.n AS BIGINT) AS n, r.tot AS mtf_sum,
+       r.mx AS mtf_max
+FROM rec r JOIN (SELECT user_id, any_value(n) AS n FROM seq
+                 GROUP BY user_id) s
+  ON s.user_id = r.user_id AND r.idx = s.n
+"""

@@ -30,7 +30,7 @@ from ..arrow_utils import make_add_part
 import pyarrow.compute as pc
 
 __all__ = ["mann_whitney", "chi2_contingency",
-           "wilcoxon_signed", "runs_test"]
+           "wilcoxon_signed", "runs_test", "lz76_complexity"]
 
 
 def mann_whitney(ds, *, key_col: str = "series_id",
@@ -362,3 +362,84 @@ def runs_test(rolled, *, series_col: str = "series_id",
     parted = rolled.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _runs, batch_format="pyarrow")
+
+
+def lz76_complexity(rolled, *, series_col: str = "series_id",
+                    order_col: str = "bucket", value_col: str = "sum_y",
+                    num_partitions: int = 8):
+    """Lempel-Ziv (LZ76) sequence complexity per series: binarize the
+    ordered values against the series' LOWER MEDIAN (``bit = 1`` iff
+    ``y > med``; the deterministic ``(n-1)//2``-th order statistic),
+    then count the exhaustive-history phrases of the Kaspar-Schuster
+    parse — at each position take the LONGEST prefix of the remainder
+    that occurs starting earlier in the string (overlap allowed), plus
+    one innovation character; the trailing phrase counts even when
+    fully reproducible. The classic randomness/compressibility score
+    (Lempel & Ziv 1976; Kaspar & Schuster 1987). Pure integers —
+    trivially exact; the SQL oracle replays the parse with one
+    recursive walk over ``strpos`` probes.
+
+    Output per series: ``(series_id, n, med, c_phrases)``.
+
+    Scale shape: ONE hash(series) shuffle; per series the parse is a
+    per-PHRASE Python loop (phrase count is O(n / log n)) whose inner
+    search is C-speed ``str.find`` — run it on bounded rollup tiers
+    like the other per-series sequential codecs."""
+    from ..arrow_utils import group_codes
+
+    mod = num_partitions * 64
+
+    _add_part = make_add_part(series_col, mod)
+
+    def _lz(g: pa.Table) -> pa.Table:
+        sid_type = g[series_col].type
+        empty = pa.table({"series_id": pa.array([], sid_type),
+                          "n": pa.array([], pa.int64()),
+                          "med": pa.array([], pa.int64()),
+                          "c_phrases": pa.array([], pa.int64())})
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (order_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = group_codes(sid)
+        y = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(y)
+        change = np.ones(n, dtype=bool)
+        change[1:] = codes[1:] != codes[:-1]
+        seg_first = np.flatnonzero(change)
+        seg_len = np.diff(np.r_[seg_first, n])
+        out = {k: [] for k in ("sid", "n", "med", "c")}
+        for si, f0 in enumerate(seg_first):
+            m = int(seg_len[si])
+            ys = y[f0:f0 + m]
+            med = int(np.partition(ys, (m - 1) // 2)[(m - 1) // 2])
+            s = "".join("1" if v > med else "0" for v in ys)
+            c = 0
+            pos = 0
+            while pos < m:
+                ln = 1
+                # longest reproducible prefix of the remainder: the
+                # occurrence may start anywhere before pos (overlap ok)
+                while pos + ln <= m and \
+                        s.find(s[pos:pos + ln], 0, pos + ln - 1) != -1:
+                    ln += 1
+                # phrase = reproducible part + 1 innovation char,
+                # clamped at the end of the string
+                pos += ln
+                c += 1
+            out["sid"].append(sid[int(f0)].as_py())
+            out["n"].append(m)
+            out["med"].append(med)
+            out["c"].append(c)
+        return pa.table({"series_id": pa.array(out["sid"], sid_type),
+                         "n": pa.array(out["n"], pa.int64()),
+                         "med": pa.array(out["med"], pa.int64()),
+                         "c_phrases": pa.array(out["c"], pa.int64())})
+
+    parted = rolled.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _lz, batch_format="pyarrow")

@@ -33,7 +33,7 @@ from ..functions.gorilla import (
 
 __all__ = ["ChunkCompressor", "ChunkDecompressor",
            "compress_chunks_per_series", "deadband_filter",
-           "simple8b_pack", "S8B_COUNTS"]
+           "simple8b_pack", "S8B_COUNTS", "mtf_score"]
 
 _F64 = "f8"
 _I64 = "i8"
@@ -667,3 +667,78 @@ def simple8b_pack(rolled, *, series_col: str = "series_id",
     parted = rolled.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _pack, batch_format="pyarrow")
+
+
+def mtf_score(ds, alphabet: list, *, key_col: str = "user_id",
+              sym_col: str = "sym", order_cols: tuple = ("x", "tie"),
+              num_partitions: int = 8):
+    """Move-to-front coding score per key (Bentley et al. 1986 — the
+    BWT/bzip2 second stage): the symbol list starts as the sorted
+    ``alphabet``; each symbol in the key's ordered sequence emits its
+    current 0-based list position and moves to front. Lower total =
+    more clustered symbol usage. Output per key:
+    ``(key, n, mtf_sum, mtf_max)`` — all exact int64.
+
+    ``alphabet`` must cover every symbol (the caller derives it from a
+    bounded global distinct — the event-type domain). Per-key the
+    codec is inherently sequential (list state), like the ADPCM /
+    Gorilla walks: a per-ROW Python loop over a small-int codes array
+    with an O(|alphabet|) list update — run it on bounded sequences
+    and a bounded alphabet. ONE hash(key) shuffle."""
+    from ..arrow_utils import group_codes
+
+    mod = num_partitions * 64
+    alpha = sorted(alphabet)
+    sym_to_code = {s: i for i, s in enumerate(alpha)}
+
+    _add_part = make_add_part(key_col, mod)
+
+    def _mtf(g: pa.Table) -> pa.Table:
+        key_type = g[key_col].type
+        empty = pa.table({key_col: pa.array([], key_type),
+                          "n": pa.array([], pa.int64()),
+                          "mtf_sum": pa.array([], pa.int64()),
+                          "mtf_max": pa.array([], pa.int64())})
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return empty
+        sort_keys = [(key_col, "ascending")] + [
+            (c, "ascending") for c in order_cols]
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        keys = t[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        codes = group_codes(keys)
+        syms = t[sym_col].to_pylist()
+        n = len(syms)
+        change = np.ones(n, dtype=bool)
+        change[1:] = codes[1:] != codes[:-1]
+        seg_first = np.flatnonzero(change)
+        seg_len = np.diff(np.r_[seg_first, n])
+        out = {k: [] for k in ("key", "n", "s", "m")}
+        for si, f0 in enumerate(seg_first):
+            m = int(seg_len[si])
+            lst = list(range(len(alpha)))
+            tot = 0
+            mx = 0
+            for sym in syms[f0:f0 + m]:
+                c = sym_to_code[sym]
+                pos = lst.index(c)
+                tot += pos
+                if pos > mx:
+                    mx = pos
+                if pos:
+                    del lst[pos]
+                    lst.insert(0, c)
+            out["key"].append(keys[int(f0)].as_py())
+            out["n"].append(m)
+            out["s"].append(tot)
+            out["m"].append(mx)
+        return pa.table({key_col: pa.array(out["key"], key_type),
+                         "n": pa.array(out["n"], pa.int64()),
+                         "mtf_sum": pa.array(out["s"], pa.int64()),
+                         "mtf_max": pa.array(out["m"], pa.int64())})
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _mtf, batch_format="pyarrow")
