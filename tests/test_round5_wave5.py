@@ -589,3 +589,54 @@ def test_mtf_score_bruteforce(ray_session):
         assert int(out.loc[u].mtf_sum) == tot
         assert int(out.loc[u].mtf_max) == mx
         assert int(out.loc[u].n) == len(syms)
+
+
+def test_transposition_pairs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.strsim import transposition_pairs
+
+    texts = ["abcd abdc xyzw", "bacd abcd qrst", "xyzw yxzw"]
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": texts})
+    out = transposition_pairs(rd.from_pandas(df).repartition(3),
+                              L=4, num_partitions=2).to_pandas()
+    wins = set()
+    for t in texts:
+        for i in range(len(t) - 3):
+            wins.add(t[i:i + 4])
+    exp = set()
+    for w in wins:
+        for i in range(3):
+            if w[i] != w[i + 1]:
+                v = w[:i] + w[i + 1] + w[i] + w[i + 2:]
+                if v in wins and v != w:
+                    exp.add((min(w, v), max(w, v)))
+    got = {(r.term_a, r.term_b) for r in out.itertuples()}
+    assert got == exp and len(exp) > 0
+
+
+def test_golomb_postings_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.postings import golomb_postings
+
+    texts = {0: "a b c", 3: "a c", 7: "a b", 9: "a", 12: "b c c"}
+    df = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    out = golomb_postings(rd.from_pandas(df).repartition(3),
+                          num_partitions=2).to_pandas().set_index("token")
+    posts = {}
+    for d, t in texts.items():
+        for tok in set(t.split()):
+            posts.setdefault(tok, []).append(d)
+    for tok, docs in posts.items():
+        docs.sort()
+        gaps = [docs[0] + 1] + [b - a for a, b in zip(docs, docs[1:])]
+        best = None
+        for k in range(41):
+            bits = sum((g - 1) >> k for g in gaps) + len(gaps) * (1 + k)
+            if best is None or bits < best[1]:
+                best = (k, bits)
+        row = out.loc[tok]
+        assert int(row.df) == len(docs)
+        assert (int(row.rice_k), int(row.rice_bits)) == best
+        assert int(row.rice_bytes) == (best[1] + 7) // 8

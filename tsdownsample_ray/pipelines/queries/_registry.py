@@ -2057,3 +2057,16 @@ from .ext_round5k import MTF_SQL, q_mtf_score_users  # noqa: E402
 
 QUERIES["mtf_score_users"] = q_mtf_score_users
 ORACLE_SQL["mtf_score_users"] = MTF_SQL
+
+from .ext_round5k import (  # noqa: E402
+    TRANSPOSITION_SQL,
+    q_transposition_pairs_docs,
+)
+
+QUERIES["transposition_pairs_docs"] = q_transposition_pairs_docs
+ORACLE_SQL["transposition_pairs_docs"] = TRANSPOSITION_SQL
+
+from .ext_round5k import GOLOMB_SQL, q_golomb_postings_docs  # noqa: E402
+
+QUERIES["golomb_postings_docs"] = q_golomb_postings_docs
+ORACLE_SQL["golomb_postings_docs"] = GOLOMB_SQL

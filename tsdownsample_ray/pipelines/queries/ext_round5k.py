@@ -961,3 +961,88 @@ FROM rec r JOIN (SELECT user_id, any_value(n) AS n FROM seq
                  GROUP BY user_id) s
   ON s.user_id = r.user_id AND r.idx = s.n
 """
+
+
+def q_transposition_pairs_docs(sf_dir: str):
+    """Adjacent-transposition pairs over the corpus' distinct 4-char
+    windows (``stages/strsim.py:transposition_pairs``): window pairs
+    that differ by exactly one Damerau swap — the edit operation the
+    Levenshtein ``ed1``/``ed2`` deletion neighborhoods cost 2 for.
+    Swap variants are generated as vectorized utf-32 column swaps
+    (bounded by alphabet^4, never corpus size); ONE hash(key) shuffle
+    matches variants to real windows; a second hash-partitioned
+    distinct canonicalizes the pair found from both endpoints."""
+    from ...stages.strsim import transposition_pairs
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+    return transposition_pairs(ds, L=4, num_partitions=8)
+
+
+TRANSPOSITION_SQL = """
+WITH g AS (
+    SELECT DISTINCT substr(text, i, 4) AS token
+    FROM documents,
+         LATERAL unnest(generate_series(1, length(text) - 3)) AS t(i)
+),
+sw AS (
+    SELECT token,
+           substr(token, 1, i - 1) || substr(token, i + 1, 1)
+               || substr(token, i, 1) || substr(token, i + 2) AS v
+    FROM g, LATERAL unnest(generate_series(1, 3)) AS s(i)
+    WHERE substr(token, i, 1) <> substr(token, i + 1, 1)
+)
+SELECT DISTINCT least(sw.token, g2.token) AS term_a,
+       greatest(sw.token, g2.token) AS term_b
+FROM sw JOIN g g2 ON g2.token = sw.v AND sw.token <> g2.token
+"""
+
+
+def q_golomb_postings_docs(sf_dir: str):
+    """Rice/Golomb posting-gap compression with per-token optimal k
+    (``stages/postings.py:golomb_postings``; Managing Gigabytes §3.3):
+    the classic IR gap codec next to the catalog's LEB128, Elias-Fano
+    and Roaring entries. The bitstream is really packed in each task
+    (length-asserted, head-word sample-decoded); the manifest
+    ``(df, rice_k, rice_bits, rice_bytes)`` replays in SQL via an
+    unnested k-grid + argmin (ties -> smallest k)."""
+    from ...stages.postings import golomb_postings
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+    return golomb_postings(ds, num_partitions=8)
+
+
+GOLOMB_SQL = """
+WITH w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+),
+f AS (SELECT DISTINCT doc_id, token FROM w WHERE token <> ''),
+gg AS (
+    SELECT token,
+           COALESCE(doc_id - lag(doc_id) OVER (PARTITION BY token
+                                               ORDER BY doc_id),
+                    doc_id + 1) AS gap
+    FROM f
+),
+c AS (
+    SELECT token, k.k AS k,
+           CAST(sum((gap - 1) >> k.k) + count(*) * (1 + k.k) AS BIGINT)
+               AS bits
+    FROM gg CROSS JOIN
+         (SELECT unnest(generate_series(0, 40)) AS k) k
+    GROUP BY token, k.k
+),
+best AS (
+    SELECT token, k AS rice_k, bits AS rice_bits,
+           row_number() OVER (PARTITION BY token
+                              ORDER BY bits, k) AS rn
+    FROM c
+),
+dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM f GROUP BY token)
+SELECT dfs.token, dfs.df, 8 * dfs.df AS plain_bytes,
+       CAST(b.rice_k AS BIGINT) AS rice_k, b.rice_bits,
+       (b.rice_bits + 7) // 8 AS rice_bytes
+FROM dfs JOIN best b ON b.token = dfs.token AND b.rn = 1
+"""

@@ -29,6 +29,7 @@ from ..arrow_utils import rename_agg, stable_part_codes
 from ..arrow_utils import group_codes
 
 __all__ = ["build_postings", "varint_postings", "ef_postings",
+           "golomb_postings",
            "roaring_postings", "phrase_search"]
 
 log = logging.getLogger(__name__)
@@ -392,6 +393,116 @@ def ef_postings(ds, *, text_col: str = "text", id_col: str = "doc_id",
             "ef_bytes": pa.array(np.array(efb, np.int64)),
             "l_bits": pa.array(np.array(lbits, np.int64)),
             "decoded_sum": pa.array(np.array(dsum, np.int64))})
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow")
+    return pairs.repartition(num_partitions).groupby("__part").map_groups(
+        _compress, batch_format="pyarrow")
+
+
+def golomb_postings(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    max_k: int = 40, num_partitions: int = 16):
+    """Rice (Golomb, M = 2^k) posting-gap compression with a per-token
+    OPTIMAL parameter (Witten/Moffat/Bell "Managing Gigabytes" §3.3):
+    each gap ``g >= 1`` codes ``r = g - 1`` as ``r >> k`` unary bits +
+    terminator + ``k`` binary remainder bits; per token the engine
+    scans k = 0..``max_k`` and keeps the bit-minimal k (ties ->
+    smallest k). Output per token: ``(token, df, plain_bytes, rice_k,
+    rice_bits, rice_bytes)`` — exact int64, replayed in SQL by an
+    unnested k-grid + argmin.
+
+    The bitstream is REALLY BUILT per partition (np.packbits over the
+    vectorized unary/remainder layout) and its byte length asserted
+    against the manifest; the per-token head word is sample-decoded
+    with an independent bit reader (full sequential decode of a Rice
+    stream is inherently per-gap, so the audit decodes one word per
+    token — the length assert covers the rest).
+
+    Same one-shuffle shape and gap convention as
+    :func:`varint_postings` (first gap ``doc_id + 1``)."""
+    mod = num_partitions * 64
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        return _exploded_tf_pairs(b, text_col, id_col, mod)
+
+    def _compress(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        empty = pa.table({"token": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64()),
+                          "plain_bytes": pa.array([], pa.int64()),
+                          "rice_k": pa.array([], pa.int64()),
+                          "rice_bits": pa.array([], pa.int64()),
+                          "rice_bytes": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        m = t.group_by(["token", "doc_id"]).aggregate([("tf", "sum")])
+        m = m.take(pc.sort_indices(m, sort_keys=[
+            ("token", "ascending"), ("doc_id", "ascending")]))
+        tok = m["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        codes = group_codes(tok)
+        heads = np.ones(len(codes), dtype=bool)
+        heads[1:] = codes[1:] != codes[:-1]
+        seg = np.flatnonzero(heads)
+        df = np.diff(np.append(seg, len(codes)))
+        doc = m["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gaps = np.empty(len(doc), dtype=np.int64)
+        gaps[1:] = doc[1:] - doc[:-1]
+        gaps[seg] = doc[seg] + 1
+        r = gaps - 1
+        # per-token bit cost for every k: sum(r >> k) + df * (1 + k)
+        n_tok = len(seg)
+        best_bits = None
+        best_k = None
+        for k in range(max_k + 1):
+            cost = np.add.reduceat(r >> k, seg) + df * (1 + k)
+            if best_bits is None:
+                best_bits, best_k = cost, np.zeros(n_tok, np.int64)
+            else:
+                better = cost < best_bits  # strict: ties keep smaller k
+                best_bits = np.where(better, cost, best_bits)
+                best_k = np.where(better, k, best_k)
+        # build the real bitstream for the whole partition
+        kk = np.repeat(best_k, df)
+        q = r >> kk
+        blen = q + 1 + kk
+        off = np.concatenate(([0], np.cumsum(blen)))[:-1]
+        total_bits = int(off[-1] + blen[-1]) if len(blen) else 0
+        bits = np.zeros(total_bits, dtype=np.uint8)
+        bits[off + q] = 1  # unary terminators ('q' zeros then a one)
+        for j in range(int(kk.max()) + 1 if len(kk) else 0):
+            sel = kk > j
+            if not sel.any():
+                continue
+            # remainder bit j (MSB-first within the k field)
+            bit = (r[sel] >> (kk[sel] - 1 - j)) & 1
+            pos = off[sel] + q[sel] + 1 + j
+            one = bit == 1
+            bits[pos[one]] = 1
+        stream = np.packbits(bits)
+        seg_bits = np.add.reduceat(blen, seg) if len(seg) else blen
+        assert len(stream) == (total_bits + 7) // 8
+        # sample-decode: the FIRST word of every token, independent
+        # bit reader over the packed stream
+        for si in range(n_tok):
+            p0 = int(off[seg[si]])
+            kz = int(best_k[si])
+            qq = 0
+            while (stream[(p0 + qq) >> 3] >> (7 - ((p0 + qq) & 7))) & 1 == 0:
+                qq += 1
+            rem = 0
+            for j in range(kz):
+                bitpos = p0 + qq + 1 + j
+                rem = (rem << 1) | (
+                    (stream[bitpos >> 3] >> (7 - (bitpos & 7))) & 1)
+            assert (qq << kz) + rem == int(r[seg[si]]), "rice decode"
+        return pa.table({
+            "token": tok.take(pa.array(seg)),
+            "df": pa.array(df),
+            "plain_bytes": pa.array(8 * df),
+            "rice_k": pa.array(best_k),
+            "rice_bits": pa.array(seg_bits),
+            "rice_bytes": pa.array((seg_bits + 7) // 8)})
 
     pairs = ds.map_batches(_pairs, batch_format="pyarrow")
     return pairs.repartition(num_partitions).groupby("__part").map_groups(

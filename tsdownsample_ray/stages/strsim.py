@@ -19,7 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["ed1_pairs", "ed2_pairs", "soundex", "soundex_blocks",
-           "weighted_jaccard_pairs"]
+           "weighted_jaccard_pairs", "transposition_pairs"]
 
 
 def _ed_le1(a: str, b: str) -> bool:
@@ -379,3 +379,93 @@ def weighted_jaccard_pairs(ds, *, id_col: str = "doc_id",
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _pairs, batch_format="pyarrow")
+
+
+def transposition_pairs(ds, *, text_col: str = "text", L: int = 4,
+                        num_partitions: int = 8):
+    """All DISTINCT ``L``-character-window pairs that differ by exactly
+    one ADJACENT TRANSPOSITION (the Damerau operation the
+    Levenshtein-based ``ed1_pairs``/``ed2_pairs`` neighborhoods treat
+    as distance 2): for every distinct window, each of its ``L-1``
+    adjacent swaps is a candidate key; a pair emerges when the swapped
+    string IS another distinct window. Output
+    ``(term_a, term_b)`` with ``term_a < term_b``, deduped.
+
+    Scale shape: per-block distinct windows (bounded by alphabet^L),
+    swap variants generated vectorized on the fixed-width utf-32
+    matrix (one column swap per position — no Python per window), ONE
+    hash(key) shuffle where variant rows meet term rows, and a final
+    hash-partitioned distinct on the canonical pair."""
+    from ..arrow_utils import rename_agg, stable_part_codes
+    from .grams import char_window_pairs
+
+    mod = num_partitions * 64
+
+    def _cands(b: pa.Table) -> pa.Table:
+        pairs = char_window_pairs(b, L=L, text_col=text_col,
+                                  id_col=b.column_names[0])
+        u = pc.unique(pairs["gram"])
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        empty = pa.table({"key": pa.array([], pa.string()),
+                          "orig": pa.array([], pa.string()),
+                          "is_term": pa.array([], pa.int8()),
+                          "__part": pa.array([], pa.int64())})
+        if len(u) == 0:
+            return empty
+        mat = np.asarray(u.to_numpy(zero_copy_only=False),
+                         dtype=f"<U{L}").view(np.uint32).reshape(-1, L)
+        keys = [u]
+        origs = [u]
+        kinds = [np.ones(len(u), np.int8)]
+        for i in range(L - 1):
+            diff = mat[:, i] != mat[:, i + 1]
+            if not diff.any():
+                continue
+            sw = mat[diff].copy()
+            sw[:, [i, i + 1]] = sw[:, [i + 1, i]]
+            var = pa.array(np.ascontiguousarray(sw).view(f"<U{L}").ravel())
+            keys.append(var)
+            origs.append(u.filter(pa.array(diff)))
+            kinds.append(np.zeros(int(diff.sum()), np.int8))
+        t = pa.table({"key": pa.concat_arrays(
+                          [k.cast(pa.string()) for k in keys]),
+                      "orig": pa.concat_arrays(
+                          [o.cast(pa.string()) for o in origs]),
+                      "is_term": pa.array(np.concatenate(kinds))})
+        h = stable_part_codes(t["key"], mod)
+        return t.append_column("__part", pa.array(h))
+
+    def _match(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        empty = pa.table({"term_a": pa.array([], pa.string()),
+                          "term_b": pa.array([], pa.string()),
+                          "__part": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        terms = t.filter(pc.equal(t["is_term"], pa.scalar(1, pa.int8())))
+        real = terms.group_by(["key"]).aggregate([])
+        variants = t.filter(pc.equal(t["is_term"], pa.scalar(0, pa.int8())))
+        if real.num_rows == 0 or variants.num_rows == 0:
+            return empty
+        vj = variants.select(["key", "orig"]).join(
+            real, keys=["key"], join_type="inner")
+        vj = vj.filter(pc.not_equal(vj["key"], vj["orig"]))
+        if vj.num_rows == 0:
+            return empty
+        a = pc.min_element_wise(vj["key"], vj["orig"])
+        bcol = pc.max_element_wise(vj["key"], vj["orig"])
+        out = pa.table({"term_a": a, "term_b": bcol})
+        out = out.group_by(["term_a", "term_b"]).aggregate([])
+        h = stable_part_codes(out["term_a"], mod)
+        return out.append_column("__part", pa.array(h))
+
+    def _dedup(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        return t.group_by(["term_a", "term_b"]).aggregate([])
+
+    parted = ds.map_batches(_cands, batch_format="pyarrow")
+    matched = parted.repartition(num_partitions).groupby(
+        "__part").map_groups(_match, batch_format="pyarrow")
+    return matched.repartition(num_partitions).groupby("__part").map_groups(
+        _dedup, batch_format="pyarrow")
