@@ -640,3 +640,74 @@ def test_golomb_postings_bruteforce(ray_session):
         assert int(row.df) == len(docs)
         assert (int(row.rice_k), int(row.rice_bits)) == best
         assert int(row.rice_bytes) == (best[1] + 7) // 8
+
+
+def test_savgol_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.smoothing import savgol_smooth
+
+    rng = np.random.default_rng(61)
+    frames = []
+    for s in range(3):
+        n = int(rng.integers(3, 30))
+        frames.append(pd.DataFrame({
+            "series_id": f"s{s}", "bucket": np.arange(n) * 10,
+            "sum_y": rng.integers(-100, 100, n)}))
+    df = pd.concat(frames).sample(frac=1.0, random_state=3)
+    out = savgol_smooth(rd.from_pandas(df.reset_index(drop=True))
+                        .repartition(3), num_partitions=2).to_pandas()
+    coeffs = np.array([-3, 12, 17, 12, -3])
+    exp_rows = 0
+    for s in range(3):
+        y = (df[df.series_id == f"s{s}"]
+             .sort_values("bucket").sum_y.to_numpy())
+        for c in range(2, len(y) - 2):
+            num = int(coeffs @ y[c - 2:c + 3])
+            row = out[(out.series_id == f"s{s}")
+                      & (out.bucket == c * 10)]
+            assert len(row) == 1
+            assert int(row.sg_num.iloc[0]) == num
+            assert row.sg.iloc[0] == pytest.approx(num / 35.0)
+            exp_rows += 1
+    assert len(out) == exp_rows
+
+
+def test_ols_influence_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.correlate import ols_influence
+
+    rng = np.random.default_rng(67)
+    frames = []
+    for s in range(3):
+        n = int(rng.integers(1, 25))
+        frames.append(pd.DataFrame({
+            "series_id": f"s{s}",
+            "bucket": np.sort(rng.choice(1000, n, replace=False)) * 10,
+            "sum_y": rng.integers(-50, 50, n)}))
+    df = pd.concat(frames).sample(frac=1.0, random_state=9)
+    out = ols_influence(rd.from_pandas(df.reset_index(drop=True))
+                        .repartition(3), step=10,
+                        num_partitions=2).to_pandas()
+    for s in range(3):
+        sub = (df[df.series_id == f"s{s}"]
+               .sort_values("bucket").reset_index(drop=True))
+        t = (sub.bucket.to_numpy() - sub.bucket.min()) // 10
+        y = sub.sum_y.to_numpy().astype(float)
+        n = len(y)
+        got = (out[out.series_id == f"s{s}"]
+               .sort_values("bucket").reset_index(drop=True))
+        assert list(got.t) == list(t)
+        if n >= 2:
+            # numpy OLS reference
+            A = np.vstack([np.ones(n), t]).T
+            beta, _, _, _ = np.linalg.lstsq(A, y, rcond=None)
+            e_ref = y - A @ beta
+            assert np.allclose(got.e.to_numpy(), e_ref, atol=1e-8)
+            h_ref = 1 / n + (t - t.mean()) ** 2 / ((t - t.mean()) ** 2).sum()
+            assert np.allclose(got.h.to_numpy(), h_ref, atol=1e-12)
+            d_ref = e_ref ** 2 * h_ref / (1 - h_ref) ** 2
+            assert np.allclose(got.d_scaled.to_numpy(), d_ref, rtol=1e-9)
+        else:
+            assert got.h.iloc[0] == 1.0 and got.d_scaled.iloc[0] == 0.0

@@ -2070,3 +2070,13 @@ from .ext_round5k import GOLOMB_SQL, q_golomb_postings_docs  # noqa: E402
 
 QUERIES["golomb_postings_docs"] = q_golomb_postings_docs
 ORACLE_SQL["golomb_postings_docs"] = GOLOMB_SQL
+
+from .ext_round5k import SAVGOL_SQL, q_savgol_15m  # noqa: E402
+
+QUERIES["savgol_15m"] = q_savgol_15m
+ORACLE_SQL["savgol_15m"] = SAVGOL_SQL
+
+from .ext_round5k import OLS_INFLUENCE_SQL, q_ols_influence_1h  # noqa: E402
+
+QUERIES["ols_influence_1h"] = q_ols_influence_1h
+ORACLE_SQL["ols_influence_1h"] = OLS_INFLUENCE_SQL

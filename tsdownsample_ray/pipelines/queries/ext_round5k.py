@@ -1046,3 +1046,115 @@ SELECT dfs.token, dfs.df, 8 * dfs.df AS plain_bytes,
        (b.rice_bits + 7) // 8 AS rice_bytes
 FROM dfs JOIN best b ON b.token = dfs.token AND b.rn = 1
 """
+
+
+def q_savgol_15m(sf_dir: str):
+    """Savitzky-Golay window-5 quadratic smoothing per event_type over
+    the 15m tier (``stages/smoothing.py:savgol_smooth``; Savitzky &
+    Golay 1964): integer (-3,12,17,12,-3)/35 convolution — ``sg_num``
+    exact int64, ``sg`` the one pinned division. Full windows only (no
+    edge padding); the SQL replay is a lag/lead window dot product."""
+    from ...stages.smoothing import savgol_smooth
+
+    return savgol_smooth(_rolled_k(sf_dir, W15M), num_partitions=4)
+
+
+SAVGOL_SQL = f"""
+WITH r AS (
+    SELECT event_type AS series_id,
+           (epoch_us(ts) // {W15M}) * {W15M} AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+l AS (
+    SELECT series_id, bucket, y,
+           lag(y, 2) OVER w AS ym2, lag(y, 1) OVER w AS ym1,
+           lead(y, 1) OVER w AS yp1, lead(y, 2) OVER w AS yp2
+    FROM r WINDOW w AS (PARTITION BY series_id ORDER BY bucket)
+)
+SELECT series_id, bucket, y,
+       CAST(-3 * ym2 + 12 * ym1 + 17 * y + 12 * yp1 - 3 * yp2
+            AS BIGINT) AS sg_num,
+       CAST(-3 * ym2 + 12 * ym1 + 17 * y + 12 * yp1 - 3 * yp2
+            AS DOUBLE) / 35.0 AS sg
+FROM l
+WHERE ym2 IS NOT NULL AND yp2 IS NOT NULL
+"""
+
+
+def q_ols_influence_1h(sf_dir: str):
+    """Per-point OLS influence diagnostics over each event_type's 1h
+    trend fit (``stages/correlate.py:ols_influence``): residual,
+    leverage and the scaled Cook numerator ``e^2 h/(1-h)^2`` — a
+    float-sum-free influence measure where every output is either
+    exact int64 or a pinned IEEE expression of the exact integer
+    sufficient statistics (degenerate fits CASE-pinned on both
+    sides). The diagnostics companion to ``ols_slope_1h`` /
+    ``ransac_line_1h``."""
+    from ...stages.correlate import ols_influence
+
+    return ols_influence(_rolled_k(sf_dir, W1H), step=W1H,
+                         num_partitions=4)
+
+
+OLS_INFLUENCE_SQL = f"""
+WITH r AS (
+    SELECT event_type AS series_id,
+           (epoch_us(ts) // {W1H}) * {W1H} AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+tt AS (
+    SELECT series_id, bucket, y,
+           (bucket - min(bucket) OVER (PARTITION BY series_id))
+               // {W1H} AS t
+    FROM r
+),
+st AS (
+    SELECT series_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(t) AS BIGINT) AS s_t,
+           CAST(sum(y) AS BIGINT) AS s_y,
+           CAST(sum(t * t) AS BIGINT) AS s_tt,
+           CAST(sum(t * y) AS BIGINT) AS s_ty
+    FROM tt GROUP BY 1
+),
+j AS (
+    SELECT tt.series_id, tt.bucket, tt.t, tt.y,
+           st.n, st.s_t, st.s_y,
+           st.n * st.s_tt - st.s_t * st.s_t AS den,
+           st.n * st.s_ty - st.s_t * st.s_y AS s_num
+    FROM tt JOIN st USING (series_id)
+),
+k AS (
+    SELECT *,
+           CASE WHEN den <> 0
+                THEN CAST(s_num AS DOUBLE) / CAST(den AS DOUBLE)
+                ELSE 0.0 END AS slope
+    FROM j
+),
+m AS (
+    SELECT *,
+           (CAST(s_y AS DOUBLE) - slope * CAST(s_t AS DOUBLE))
+               / CAST(n AS DOUBLE) AS c
+    FROM k
+),
+p AS (
+    SELECT *,
+           CAST(y AS DOUBLE) - (c + slope * CAST(t AS DOUBLE)) AS e,
+           CASE WHEN den <> 0
+                THEN 1.0 / CAST(n AS DOUBLE)
+                     + ((CAST(t AS DOUBLE)
+                         - CAST(s_t AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(t AS DOUBLE)
+                           - CAST(s_t AS DOUBLE) / CAST(n AS DOUBLE)))
+                       * CAST(n AS DOUBLE) / CAST(den AS DOUBLE)
+                ELSE 1.0 / CAST(n AS DOUBLE) END AS h
+    FROM m
+)
+SELECT series_id, bucket, t, y, e, h,
+       CASE WHEN h < 1.0
+            THEN e * e * h / ((1.0 - h) * (1.0 - h))
+            ELSE 0.0 END AS d_scaled
+FROM p
+"""

@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 from ..arrow_utils import group_codes, make_add_part
 
 __all__ = ["pairwise_correlation", "lagged_correlation", "autocorrelation",
-           "ols_slope", "kendall_pairs", "ar1_fit"]
+           "ols_slope", "kendall_pairs", "ar1_fit", "ols_influence"]
 
 _STAT_COLS = ["n", "sum_x", "sum_y", "sum_xy", "sum_xx", "sum_yy"]
 
@@ -656,3 +656,92 @@ def ar1_fit(rolled, *, series_col: str = "series_id",
     parted = rolled.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _ar1, batch_format="pyarrow")
+
+
+def ols_influence(rolled, *, series_col: str = "series_id",
+                  order_col: str = "bucket", value_col: str = "sum_y",
+                  step: int, num_partitions: int = 8):
+    """Per-point OLS influence diagnostics for each series' linear
+    trend fit: residual ``e``, leverage ``h`` and the SCALED Cook
+    numerator ``d_scaled = e^2 * h / (1-h)^2`` (the classic Cook's D
+    without the s^2/p normalization — a float-sum-free variant, so
+    every output is either exact int64 or a pinned IEEE expression of
+    exact integer sufficient statistics; documented contract).
+
+    ``t = (bucket - min_bucket) / step`` (exact small integers).
+    Degenerate pins replayed by SQL CASE: ``den = n*Stt - St^2 = 0``
+    -> slope 0 and ``h = 1/n``; ``h >= 1`` (single point) ->
+    ``d_scaled = 0``.
+
+    Output per tier row: ``(series_id, bucket, t, y, e, h, d_scaled)``.
+
+    Scale shape: ONE hash(series) shuffle; per partition one sort, one
+    segment pass for the integer stats, then fully vectorized per-row
+    float expressions."""
+    mod = num_partitions * 64
+
+    _add_part = make_add_part(series_col, mod)
+
+    def _infl(g: pa.Table) -> pa.Table:
+        sid_type = g[series_col].type
+        empty = pa.table({"series_id": pa.array([], sid_type),
+                          "bucket": pa.array([], pa.int64()),
+                          "t": pa.array([], pa.int64()),
+                          "y": pa.array([], pa.int64()),
+                          "e": pa.array([], pa.float64()),
+                          "h": pa.array([], pa.float64()),
+                          "d_scaled": pa.array([], pa.float64())})
+        tb = g.drop_columns(["__part"])
+        if tb.num_rows == 0:
+            return empty
+        tb = tb.take(pc.sort_indices(tb, sort_keys=[
+            (series_col, "ascending"), (order_col, "ascending")]))
+        sid = tb[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = group_codes(sid)
+        y = tb[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = tb[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(y)
+        change = np.ones(n, dtype=bool)
+        change[1:] = codes[1:] != codes[:-1]
+        seg_first = np.flatnonzero(change)
+        seg_len = np.diff(np.r_[seg_first, n])
+        # per-row t and broadcast per-series integer stats
+        base = np.repeat(bkt[seg_first], seg_len)
+        t = (bkt - base) // step
+        cnt = np.repeat(seg_len, seg_len).astype(np.int64)
+        st = np.repeat(np.add.reduceat(t, seg_first), seg_len)
+        sy = np.repeat(np.add.reduceat(y, seg_first), seg_len)
+        stt = np.repeat(np.add.reduceat(t * t, seg_first), seg_len)
+        sty = np.repeat(np.add.reduceat(t * y, seg_first), seg_len)
+        den = cnt * stt - st * st
+        s_num = cnt * sty - st * sy
+        nf = cnt.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where(den != 0,
+                             s_num.astype(np.float64)
+                             / den.astype(np.float64), 0.0)
+            c = (sy.astype(np.float64) - slope * st.astype(np.float64)) / nf
+            e = y.astype(np.float64) - (c + slope * t.astype(np.float64))
+            tf = t.astype(np.float64)
+            stf = st.astype(np.float64)
+            h = np.where(
+                den != 0,
+                1.0 / nf + ((tf - stf / nf) * (tf - stf / nf)) * nf
+                / den.astype(np.float64),
+                1.0 / nf)
+            d = np.where(h < 1.0,
+                         e * e * h / ((1.0 - h) * (1.0 - h)), 0.0)
+        return pa.table({
+            "series_id": sid,
+            "bucket": pa.array(bkt),
+            "t": pa.array(t),
+            "y": pa.array(y),
+            "e": pa.array(e, pa.float64()),
+            "h": pa.array(h, pa.float64()),
+            "d_scaled": pa.array(d, pa.float64())})
+
+    parted = rolled.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _infl, batch_format="pyarrow")

@@ -26,7 +26,8 @@ from ..arrow_utils import group_codes, make_add_part
 __all__ = ["theta_fixed_point",
            "ewma_fixed_point", "holt_fixed_point",
            "kalman_local_level",
-           "holt_winters_fixed_point", "macd_fixed_point"]
+           "holt_winters_fixed_point", "macd_fixed_point",
+           "savgol_smooth"]
 
 
 def ewma_fixed_point(ds, k: int = 3, *, series_col: str = "series_id",
@@ -536,3 +537,74 @@ def theta_fixed_point(ds, ka: int = 3, horizon: int = 12, *,
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _theta, batch_format="pyarrow")
+
+
+# Savitzky-Golay quadratic/window-5 convolution: integer numerators
+# over the common denominator 35 (Savitzky & Golay 1964, table I)
+_SG5_NUM = (-3, 12, 17, 12, -3)
+_SG5_DEN = 35
+
+
+def savgol_smooth(rolled, *, series_col: str = "series_id",
+                  order_col: str = "bucket", value_col: str = "sum_y",
+                  num_partitions: int = 8):
+    """Savitzky-Golay smoothing (window 5, quadratic) per series: the
+    classic least-squares convolution smoother — each FULL window's
+    center point gets ``(-3, 12, 17, 12, -3) . y / 35``. The integer
+    numerator ``sg_num`` is exact int64; ``sg`` is the one pinned IEEE
+    division by 35.0. Windows touching a series edge emit nothing
+    (no padding — the no-fabrication convention of the gapfill
+    family). Positional windows over the ORDERED series — compose
+    with gapfill when a uniform time grid is wanted.
+
+    Output: ``(series_id, bucket, y, sg_num, sg)`` for every interior
+    point with two neighbors on each side.
+
+    Scale shape: ONE hash(series) shuffle, per-partition sort + one
+    vectorized 5-tap dot product over all series at once (window
+    validity masked at series boundaries)."""
+    from ..arrow_utils import group_codes
+
+    mod = num_partitions * 64
+
+    _add_part = make_add_part(series_col, mod)
+
+    def _sg(g: pa.Table) -> pa.Table:
+        sid_type = g[series_col].type
+        empty = pa.table({"series_id": pa.array([], sid_type),
+                          "bucket": pa.array([], pa.int64()),
+                          "y": pa.array([], pa.int64()),
+                          "sg_num": pa.array([], pa.int64()),
+                          "sg": pa.array([], pa.float64())})
+        t = g.drop_columns(["__part"])
+        if t.num_rows < 5:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (order_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = group_codes(sid)
+        y = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(y)
+        num = (_SG5_NUM[0] * y[:-4] + _SG5_NUM[1] * y[1:-3]
+               + _SG5_NUM[2] * y[2:-2] + _SG5_NUM[3] * y[3:-1]
+               + _SG5_NUM[4] * y[4:])
+        # center index c = i + 2; window valid iff all 5 points share
+        # the series of the center
+        same = codes[:-4] == codes[4:]
+        ci = np.flatnonzero(same) + 2
+        if len(ci) == 0:
+            return empty
+        numv = num[ci - 2]
+        return pa.table({
+            "series_id": sid.take(pa.array(ci)),
+            "bucket": pa.array(bkt[ci]),
+            "y": pa.array(y[ci]),
+            "sg_num": pa.array(numv),
+            "sg": pa.array(numv.astype(np.float64) / 35.0, pa.float64())})
+
+    parted = rolled.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _sg, batch_format="pyarrow")
