@@ -711,3 +711,90 @@ def test_ols_influence_bruteforce(ray_session):
             assert np.allclose(got.d_scaled.to_numpy(), d_ref, rtol=1e-9)
         else:
             assert got.h.iloc[0] == 1.0 and got.d_scaled.iloc[0] == 0.0
+
+
+def test_mis_rounds_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.graph import mis_rounds
+
+    rng = np.random.default_rng(71)
+    n_nodes = 25
+    edges = set()
+    for _ in range(40):
+        u, v = map(int, rng.integers(0, n_nodes, 2))
+        if u != v:
+            edges.add((u, v))
+            edges.add((v, u))
+    eds = rd.from_pandas(pd.DataFrame(sorted(edges),
+                                      columns=["src", "dst"]))
+    nds = rd.from_pandas(pd.DataFrame({"node": range(n_nodes)}))
+    out = mis_rounds(eds, nds, rounds=8,
+                     num_partitions=3).to_pandas()
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    rem = set(range(n_nodes))
+    mis = {}
+    for r in range(1, 9):
+        if not rem:
+            break
+        join = {v for v in rem
+                if all(w not in rem or w > v for w in adj.get(v, ()))}
+        for v in join:
+            mis[v] = r
+        rem -= join | {w for v in join
+                       for w in adj.get(v, ()) if w in rem}
+    got = {int(r.node): int(r.round) for r in out.itertuples()}
+    assert got == mis
+    # MIS property: no two members adjacent; maximal (every non-member
+    # has a member neighbor) once the pool drained
+    for v in got:
+        assert not (adj.get(v, set()) & set(got))
+    if not rem:
+        for v in set(range(n_nodes)) - set(got):
+            assert adj.get(v, set()) & set(got)
+
+
+def test_g2_collocations_bruteforce(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.cooccur import g2_collocations
+
+    texts = ["the cat sat on the mat the cat ran",
+             "the cat sat here the cat sat there",
+             "a cat sat on a mat"]
+    df = pd.DataFrame({"doc_id": range(3), "text": texts})
+    out = g2_collocations(rd.from_pandas(df).repartition(3),
+                          min_count=2, num_partitions=2).to_pandas()
+    bgs = {}
+    for t in texts:
+        toks = t.split(" ")
+        for x, y in zip(toks, toks[1:]):
+            if x and y:
+                bgs[(x, y)] = bgs.get((x, y), 0) + 1
+    N = sum(bgs.values())
+    m1 = {}
+    m2 = {}
+    for (x, y), c in bgs.items():
+        m1[x] = m1.get(x, 0) + c
+        m2[y] = m2.get(y, 0) + c
+
+    def xlx(v):
+        return v * math.log(v) if v > 0 else 0.0
+
+    got = {(r.w1, r.w2): r for r in out.itertuples()}
+    exp_keys = {k for k, c in bgs.items() if c >= 2}
+    assert set(got) == exp_keys
+    for (x, y) in exp_keys:
+        a = bgs[(x, y)]
+        b = m1[x] - a
+        c = m2[y] - a
+        d = N - a - b - c
+        g2 = 2.0 * (xlx(a) + xlx(b) + xlx(c) + xlx(d) + xlx(N)
+                    - xlx(a + b) - xlx(a + c) - xlx(b + d) - xlx(c + d))
+        r = got[(x, y)]
+        assert (r.a, r.b, r.c, r.d) == (a, b, c, d)
+        assert r.g2 == pytest.approx(g2, rel=1e-12)

@@ -2080,3 +2080,13 @@ from .ext_round5k import OLS_INFLUENCE_SQL, q_ols_influence_1h  # noqa: E402
 
 QUERIES["ols_influence_1h"] = q_ols_influence_1h
 ORACLE_SQL["ols_influence_1h"] = OLS_INFLUENCE_SQL
+
+from .ext_round5k import MIS_SQL, q_mis_docs  # noqa: E402
+
+QUERIES["mis_docs"] = q_mis_docs
+ORACLE_SQL["mis_docs"] = MIS_SQL
+
+from .ext_round5k import G2_SQL, q_g2_collocations_docs  # noqa: E402
+
+QUERIES["g2_collocations_docs"] = q_g2_collocations_docs
+ORACLE_SQL["g2_collocations_docs"] = G2_SQL

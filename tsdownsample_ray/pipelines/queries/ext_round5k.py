@@ -1158,3 +1158,208 @@ SELECT series_id, bucket, t, y, e, h,
             ELSE 0.0 END AS d_scaled
 FROM p
 """
+
+
+def q_mis_docs(sf_dir: str):
+    """Maximal independent set over the kcore/bfs link graph by
+    deterministic greedy-by-id rounds (``stages/graph.py:mis_rounds``;
+    the Luby 1986 schema with node id as priority, 6 rounds — the
+    bounded-round contract of ``bfs_hops_docs``/``sssp_docs``): per
+    round two tagged-union hash joins against the streaming edge set,
+    one hashpart grouped min and one hash-partitioned anti join; only
+    node-bounded pool/MIS tables materialize. Output
+    ``(node, round)`` — exact integers, replayed by 6 chained CTE
+    rounds."""
+    import pyarrow.parquet as _pq
+
+    from ...stages.graph import mis_rounds
+
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"]).repartition(4)
+
+    def _edges(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        srcs, dsts = [], []
+        for j in range(1, 7):
+            m = j <= 1 + d % 6
+            s = d[m]
+            t = (s * 31 + 97 * j) % n
+            keep = s != t
+            srcs.append(_np.minimum(s[keep], t[keep]))
+            dsts.append(_np.maximum(s[keep], t[keep]))
+        u = _np.concatenate(srcs)
+        v = _np.concatenate(dsts)
+        return pa.table({
+            "src": pa.array(_np.concatenate([u, v])),
+            "dst": pa.array(_np.concatenate([v, u]))})
+
+    edges = ds.map_batches(_edges, batch_format="pyarrow")
+    return mis_rounds(edges, ds, node_col="doc_id", rounds=6,
+                      num_partitions=4)
+
+
+MIS_SQL = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+base AS (
+    SELECT d.doc_id AS s, u.j,
+           ((d.doc_id * 31 + 97 * u.j) % (SELECT n FROM nn)) AS t
+    FROM documents d, LATERAL unnest(generate_series(1, 6)) AS u(j)
+    WHERE u.j <= 1 + d.doc_id % 6
+),
+canon AS MATERIALIZED (
+    SELECT least(s, t) AS u, greatest(s, t) AS v FROM base WHERE s <> t
+),
+ed AS MATERIALIZED (
+    SELECT u AS node, v AS nbr FROM canon
+    UNION ALL
+    SELECT v AS node, u AS nbr FROM canon
+),
+rem0 AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+mis1 AS MATERIALIZED (
+    SELECT rem.node FROM rem0 rem
+    WHERE NOT EXISTS (
+        SELECT 1 FROM ed JOIN rem0 r2 ON r2.node = ed.nbr
+        WHERE ed.node = rem.node AND ed.nbr < rem.node)
+),
+rem1 AS MATERIALIZED (
+    SELECT node FROM rem0
+    WHERE node NOT IN (SELECT node FROM mis1)
+      AND node NOT IN (SELECT ed.nbr FROM ed
+                       JOIN mis1 m ON ed.node = m.node)
+),
+mis2 AS MATERIALIZED (
+    SELECT rem.node FROM rem1 rem
+    WHERE NOT EXISTS (
+        SELECT 1 FROM ed JOIN rem1 r2 ON r2.node = ed.nbr
+        WHERE ed.node = rem.node AND ed.nbr < rem.node)
+),
+rem2 AS MATERIALIZED (
+    SELECT node FROM rem1
+    WHERE node NOT IN (SELECT node FROM mis2)
+      AND node NOT IN (SELECT ed.nbr FROM ed
+                       JOIN mis2 m ON ed.node = m.node)
+),
+mis3 AS MATERIALIZED (
+    SELECT rem.node FROM rem2 rem
+    WHERE NOT EXISTS (
+        SELECT 1 FROM ed JOIN rem2 r2 ON r2.node = ed.nbr
+        WHERE ed.node = rem.node AND ed.nbr < rem.node)
+),
+rem3 AS MATERIALIZED (
+    SELECT node FROM rem2
+    WHERE node NOT IN (SELECT node FROM mis3)
+      AND node NOT IN (SELECT ed.nbr FROM ed
+                       JOIN mis3 m ON ed.node = m.node)
+),
+mis4 AS MATERIALIZED (
+    SELECT rem.node FROM rem3 rem
+    WHERE NOT EXISTS (
+        SELECT 1 FROM ed JOIN rem3 r2 ON r2.node = ed.nbr
+        WHERE ed.node = rem.node AND ed.nbr < rem.node)
+),
+rem4 AS MATERIALIZED (
+    SELECT node FROM rem3
+    WHERE node NOT IN (SELECT node FROM mis4)
+      AND node NOT IN (SELECT ed.nbr FROM ed
+                       JOIN mis4 m ON ed.node = m.node)
+),
+mis5 AS MATERIALIZED (
+    SELECT rem.node FROM rem4 rem
+    WHERE NOT EXISTS (
+        SELECT 1 FROM ed JOIN rem4 r2 ON r2.node = ed.nbr
+        WHERE ed.node = rem.node AND ed.nbr < rem.node)
+),
+rem5 AS MATERIALIZED (
+    SELECT node FROM rem4
+    WHERE node NOT IN (SELECT node FROM mis5)
+      AND node NOT IN (SELECT ed.nbr FROM ed
+                       JOIN mis5 m ON ed.node = m.node)
+),
+mis6 AS MATERIALIZED (
+    SELECT rem.node FROM rem5 rem
+    WHERE NOT EXISTS (
+        SELECT 1 FROM ed JOIN rem5 r2 ON r2.node = ed.nbr
+        WHERE ed.node = rem.node AND ed.nbr < rem.node)
+),
+rem6 AS MATERIALIZED (
+    SELECT node FROM rem5
+    WHERE node NOT IN (SELECT node FROM mis6)
+      AND node NOT IN (SELECT ed.nbr FROM ed
+                       JOIN mis6 m ON ed.node = m.node)
+)
+SELECT node, CAST(1 AS BIGINT) AS round FROM mis1
+UNION ALL
+SELECT node, CAST(2 AS BIGINT) AS round FROM mis2
+UNION ALL
+SELECT node, CAST(3 AS BIGINT) AS round FROM mis3
+UNION ALL
+SELECT node, CAST(4 AS BIGINT) AS round FROM mis4
+UNION ALL
+SELECT node, CAST(5 AS BIGINT) AS round FROM mis5
+UNION ALL
+SELECT node, CAST(6 AS BIGINT) AS round FROM mis6
+"""
+
+
+def q_g2_collocations_docs(sf_dir: str):
+    """Dunning log-likelihood collocations over adjacent token bigrams
+    (``stages/cooccur.py:g2_collocations``; Dunning 1993): exact 2x2
+    contingency from the bigram and margin counts (raw whitespace
+    adjacency, empty tokens dropped), G2 as a single per-row
+    expression whose xlx terms go through libm ``log`` on both sides.
+    The calibrated-for-rare-counts companion to the PMI ranking."""
+    from ...stages.cooccur import g2_collocations
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+    return g2_collocations(ds, min_count=3, num_partitions=8)
+
+
+G2_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+bg AS (
+    SELECT l[i] AS w1, l[i + 1] AS w2
+    FROM toks, LATERAL unnest(generate_series(1, len(l) - 1)) AS t(i)
+    WHERE l[i] <> '' AND l[i + 1] <> ''
+),
+cnts AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS a
+    FROM bg GROUP BY w1, w2
+),
+m1 AS (SELECT w1, CAST(sum(a) AS BIGINT) AS c1 FROM cnts GROUP BY w1),
+m2 AS (SELECT w2, CAST(sum(a) AS BIGINT) AS c2 FROM cnts GROUP BY w2),
+nt AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM cnts),
+tab AS (
+    SELECT c.w1, c.w2, c.a, m1.c1 - c.a AS b, m2.c2 - c.a AS c,
+           (SELECT n FROM nt) - c.a - (m1.c1 - c.a) - (m2.c2 - c.a) AS d,
+           (SELECT n FROM nt) AS n
+    FROM cnts c JOIN m1 USING (w1) JOIN m2 USING (w2)
+    WHERE c.a >= 3
+)
+SELECT w1, w2, a, b, c, d,
+       2.0 * (
+           (CASE WHEN a > 0 THEN CAST(a AS DOUBLE)
+                 * ln(CAST(a AS DOUBLE)) ELSE 0.0 END)
+         + (CASE WHEN b > 0 THEN CAST(b AS DOUBLE)
+                 * ln(CAST(b AS DOUBLE)) ELSE 0.0 END)
+         + (CASE WHEN c > 0 THEN CAST(c AS DOUBLE)
+                 * ln(CAST(c AS DOUBLE)) ELSE 0.0 END)
+         + (CASE WHEN d > 0 THEN CAST(d AS DOUBLE)
+                 * ln(CAST(d AS DOUBLE)) ELSE 0.0 END)
+         + CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+         - (CASE WHEN a + b > 0 THEN CAST(a + b AS DOUBLE)
+                 * ln(CAST(a + b AS DOUBLE)) ELSE 0.0 END)
+         - (CASE WHEN a + c > 0 THEN CAST(a + c AS DOUBLE)
+                 * ln(CAST(a + c AS DOUBLE)) ELSE 0.0 END)
+         - (CASE WHEN b + d > 0 THEN CAST(b + d AS DOUBLE)
+                 * ln(CAST(b + d AS DOUBLE)) ELSE 0.0 END)
+         - (CASE WHEN c + d > 0 THEN CAST(c + d AS DOUBLE)
+                 * ln(CAST(c + d AS DOUBLE)) ELSE 0.0 END)
+       ) AS g2
+FROM tab
+"""
