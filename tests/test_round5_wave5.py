@@ -798,3 +798,54 @@ def test_g2_collocations_bruteforce(ray_session):
         r = got[(x, y)]
         assert (r.a, r.b, r.c, r.d) == (a, b, c, d)
         assert r.g2 == pytest.approx(g2, rel=1e-12)
+
+
+def test_boruvka_mst_matches_kruskal(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.graph import boruvka_mst
+
+    rng = np.random.default_rng(5)
+    n = 30
+    edges = {}
+    for _ in range(70):
+        u, v = sorted(map(int, rng.integers(0, n, 2)))
+        if u != v and (u, v) not in edges:
+            edges[(u, v)] = int(rng.integers(1, 9))  # heavy ties
+    rows = ([(u, v, w) for (u, v), w in edges.items()]
+            + [(v, u, w) for (u, v), w in edges.items()])
+    eds = rd.from_pandas(pd.DataFrame(rows, columns=["src", "dst", "w"]))
+    nds = rd.from_pandas(pd.DataFrame({"node": range(n)}))
+    out = boruvka_mst(eds, nds, rounds=8, num_partitions=3).to_pandas()
+    got = sorted((int(r.u), int(r.v), int(r.w)) for r in out.itertuples())
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ref = []
+    for (u, v), w in sorted(edges.items(), key=lambda kv: (kv[1], kv[0])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            ref.append((u, v, w))
+    assert got == sorted(ref)
+    assert sum(w for _, _, w in got) == sum(w for _, _, w in ref)
+
+
+def test_boruvka_mst_forest_on_disconnected(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.graph import boruvka_mst
+
+    rows = [(0, 1, 5), (1, 0, 5), (2, 3, 7), (3, 2, 7)]
+    eds = rd.from_pandas(pd.DataFrame(rows, columns=["src", "dst", "w"]))
+    nds = rd.from_pandas(pd.DataFrame({"node": range(5)}))
+    out = boruvka_mst(eds, nds, rounds=4, num_partitions=2).to_pandas()
+    got = sorted((int(r.u), int(r.v), int(r.w)) for r in out.itertuples())
+    assert got == [(0, 1, 5), (2, 3, 7)]
+    with pytest.raises(ValueError):
+        boruvka_mst(eds, nds, rounds=0)

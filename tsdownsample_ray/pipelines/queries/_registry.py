@@ -2090,3 +2090,8 @@ from .ext_round5k import G2_SQL, q_g2_collocations_docs  # noqa: E402
 
 QUERIES["g2_collocations_docs"] = q_g2_collocations_docs
 ORACLE_SQL["g2_collocations_docs"] = G2_SQL
+
+from .ext_round5k import MST_SQL, q_mst_docs  # noqa: E402
+
+QUERIES["mst_docs"] = q_mst_docs
+ORACLE_SQL["mst_docs"] = MST_SQL

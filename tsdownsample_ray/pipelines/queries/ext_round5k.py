@@ -1363,3 +1363,390 @@ SELECT w1, w2, a, b, c, d,
        ) AS g2
 FROM tab
 """
+
+
+def q_mst_docs(sf_dir: str):
+    """Minimum spanning forest of the weighted link graph by
+    deterministic Boruvka rounds (``stages/graph.py:boruvka_mst``;
+    the classic distributed MST): same kcore/bfs edge generator with
+    weight ``1 + (u+v) % 7``, lightest-outgoing-edge selection under
+    the total order ``(w, a, b)``, 2-cycle-broken pointer forests and
+    driver-side numpy pointer contraction under the kcore bounded-node
+    contract (8 rounds — measured 4 at sf0.01, 6 at sf0.1; the
+    engine early-exits at convergence, identically to the oracle's
+    empty trailing rounds). Output: the exact forest edges
+    ``(u, v, w)`` — verified equal to Kruskal in pytest."""
+    import pyarrow.parquet as _pq
+
+    from ...stages.graph import boruvka_mst
+
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"]).repartition(4)
+
+    def _edges(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        srcs, dsts = [], []
+        for j in range(1, 7):
+            m = j <= 1 + d % 6
+            s = d[m]
+            t = (s * 31 + 97 * j) % n
+            keep = s != t
+            srcs.append(_np.minimum(s[keep], t[keep]))
+            dsts.append(_np.maximum(s[keep], t[keep]))
+        u = _np.concatenate(srcs)
+        v = _np.concatenate(dsts)
+        ww = 1 + (u + v) % 7
+        return pa.table({
+            "src": pa.array(_np.concatenate([u, v])),
+            "dst": pa.array(_np.concatenate([v, u])),
+            "w": pa.array(_np.concatenate([ww, ww]))})
+
+    edges = ds.map_batches(_edges, batch_format="pyarrow")
+    return boruvka_mst(edges, ds, node_col="doc_id", rounds=8,
+                       num_partitions=4)
+
+
+MST_SQL = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+base AS MATERIALIZED (
+    SELECT d.doc_id AS s, u.j,
+           ((d.doc_id * 31 + 97 * u.j) % (SELECT n FROM nn)) AS t
+    FROM documents d, LATERAL unnest(generate_series(1, 6)) AS u(j)
+    WHERE u.j <= 1 + d.doc_id % 6
+),
+canon AS MATERIALIZED (
+    SELECT least(s, t) AS u, greatest(s, t) AS v FROM base WHERE s <> t
+),
+ed AS MATERIALIZED (
+    SELECT u AS a, v AS b, 1 + (u + v) % 7 AS w FROM canon
+    UNION ALL
+    SELECT v AS a, u AS b, 1 + (u + v) % 7 AS w FROM canon
+),
+lab0 AS MATERIALIZED (
+    SELECT doc_id AS node, doc_id AS lbl FROM documents
+),
+el1 AS MATERIALIZED (
+    SELECT e.a, e.b, e.w, x.lbl AS la, y.lbl AS lb
+    FROM ed e JOIN lab0 x ON x.node = e.a
+              JOIN lab0 y ON y.node = e.b
+    WHERE x.lbl <> y.lbl
+),
+ch1 AS MATERIALIZED (
+    SELECT la, lb, a, b, w FROM (
+        SELECT el.*, row_number() OVER (
+            PARTITION BY la
+            ORDER BY w, least(a, b), greatest(a, b)) AS rn
+        FROM el1 el) WHERE rn = 1
+),
+ms1 AS MATERIALIZED (
+    SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v, w FROM ch1
+),
+p0_1 AS MATERIALIZED (
+    SELECT z.c, CASE WHEN z.pp = z.c AND z.c < z.p
+                THEN z.c ELSE z.p END AS p
+    FROM (SELECT x.la AS c, x.lb AS p, y.lb AS pp
+          FROM ch1 x JOIN ch1 y ON y.la = x.lb) z
+),
+p1_1 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p0_1 x JOIN p0_1 y ON y.c = x.p
+),
+p2_1 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p1_1 x JOIN p1_1 y ON y.c = x.p
+),
+p3_1 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p2_1 x JOIN p2_1 y ON y.c = x.p
+),
+p4_1 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p3_1 x JOIN p3_1 y ON y.c = x.p
+),
+lab1 AS MATERIALIZED (
+    SELECT l.node, COALESCE(j.p, l.lbl) AS lbl
+    FROM lab0 l LEFT JOIN p4_1 j ON j.c = l.lbl
+),
+el2 AS MATERIALIZED (
+    SELECT e.a, e.b, e.w, x.lbl AS la, y.lbl AS lb
+    FROM ed e JOIN lab1 x ON x.node = e.a
+              JOIN lab1 y ON y.node = e.b
+    WHERE x.lbl <> y.lbl
+),
+ch2 AS MATERIALIZED (
+    SELECT la, lb, a, b, w FROM (
+        SELECT el.*, row_number() OVER (
+            PARTITION BY la
+            ORDER BY w, least(a, b), greatest(a, b)) AS rn
+        FROM el2 el) WHERE rn = 1
+),
+ms2 AS MATERIALIZED (
+    SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v, w FROM ch2
+),
+p0_2 AS MATERIALIZED (
+    SELECT z.c, CASE WHEN z.pp = z.c AND z.c < z.p
+                THEN z.c ELSE z.p END AS p
+    FROM (SELECT x.la AS c, x.lb AS p, y.lb AS pp
+          FROM ch2 x JOIN ch2 y ON y.la = x.lb) z
+),
+p1_2 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p0_2 x JOIN p0_2 y ON y.c = x.p
+),
+p2_2 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p1_2 x JOIN p1_2 y ON y.c = x.p
+),
+p3_2 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p2_2 x JOIN p2_2 y ON y.c = x.p
+),
+p4_2 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p3_2 x JOIN p3_2 y ON y.c = x.p
+),
+lab2 AS MATERIALIZED (
+    SELECT l.node, COALESCE(j.p, l.lbl) AS lbl
+    FROM lab1 l LEFT JOIN p4_2 j ON j.c = l.lbl
+),
+el3 AS MATERIALIZED (
+    SELECT e.a, e.b, e.w, x.lbl AS la, y.lbl AS lb
+    FROM ed e JOIN lab2 x ON x.node = e.a
+              JOIN lab2 y ON y.node = e.b
+    WHERE x.lbl <> y.lbl
+),
+ch3 AS MATERIALIZED (
+    SELECT la, lb, a, b, w FROM (
+        SELECT el.*, row_number() OVER (
+            PARTITION BY la
+            ORDER BY w, least(a, b), greatest(a, b)) AS rn
+        FROM el3 el) WHERE rn = 1
+),
+ms3 AS MATERIALIZED (
+    SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v, w FROM ch3
+),
+p0_3 AS MATERIALIZED (
+    SELECT z.c, CASE WHEN z.pp = z.c AND z.c < z.p
+                THEN z.c ELSE z.p END AS p
+    FROM (SELECT x.la AS c, x.lb AS p, y.lb AS pp
+          FROM ch3 x JOIN ch3 y ON y.la = x.lb) z
+),
+p1_3 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p0_3 x JOIN p0_3 y ON y.c = x.p
+),
+p2_3 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p1_3 x JOIN p1_3 y ON y.c = x.p
+),
+p3_3 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p2_3 x JOIN p2_3 y ON y.c = x.p
+),
+p4_3 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p3_3 x JOIN p3_3 y ON y.c = x.p
+),
+lab3 AS MATERIALIZED (
+    SELECT l.node, COALESCE(j.p, l.lbl) AS lbl
+    FROM lab2 l LEFT JOIN p4_3 j ON j.c = l.lbl
+),
+el4 AS MATERIALIZED (
+    SELECT e.a, e.b, e.w, x.lbl AS la, y.lbl AS lb
+    FROM ed e JOIN lab3 x ON x.node = e.a
+              JOIN lab3 y ON y.node = e.b
+    WHERE x.lbl <> y.lbl
+),
+ch4 AS MATERIALIZED (
+    SELECT la, lb, a, b, w FROM (
+        SELECT el.*, row_number() OVER (
+            PARTITION BY la
+            ORDER BY w, least(a, b), greatest(a, b)) AS rn
+        FROM el4 el) WHERE rn = 1
+),
+ms4 AS MATERIALIZED (
+    SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v, w FROM ch4
+),
+p0_4 AS MATERIALIZED (
+    SELECT z.c, CASE WHEN z.pp = z.c AND z.c < z.p
+                THEN z.c ELSE z.p END AS p
+    FROM (SELECT x.la AS c, x.lb AS p, y.lb AS pp
+          FROM ch4 x JOIN ch4 y ON y.la = x.lb) z
+),
+p1_4 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p0_4 x JOIN p0_4 y ON y.c = x.p
+),
+p2_4 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p1_4 x JOIN p1_4 y ON y.c = x.p
+),
+p3_4 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p2_4 x JOIN p2_4 y ON y.c = x.p
+),
+p4_4 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p3_4 x JOIN p3_4 y ON y.c = x.p
+),
+lab4 AS MATERIALIZED (
+    SELECT l.node, COALESCE(j.p, l.lbl) AS lbl
+    FROM lab3 l LEFT JOIN p4_4 j ON j.c = l.lbl
+),
+el5 AS MATERIALIZED (
+    SELECT e.a, e.b, e.w, x.lbl AS la, y.lbl AS lb
+    FROM ed e JOIN lab4 x ON x.node = e.a
+              JOIN lab4 y ON y.node = e.b
+    WHERE x.lbl <> y.lbl
+),
+ch5 AS MATERIALIZED (
+    SELECT la, lb, a, b, w FROM (
+        SELECT el.*, row_number() OVER (
+            PARTITION BY la
+            ORDER BY w, least(a, b), greatest(a, b)) AS rn
+        FROM el5 el) WHERE rn = 1
+),
+ms5 AS MATERIALIZED (
+    SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v, w FROM ch5
+),
+p0_5 AS MATERIALIZED (
+    SELECT z.c, CASE WHEN z.pp = z.c AND z.c < z.p
+                THEN z.c ELSE z.p END AS p
+    FROM (SELECT x.la AS c, x.lb AS p, y.lb AS pp
+          FROM ch5 x JOIN ch5 y ON y.la = x.lb) z
+),
+p1_5 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p0_5 x JOIN p0_5 y ON y.c = x.p
+),
+p2_5 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p1_5 x JOIN p1_5 y ON y.c = x.p
+),
+p3_5 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p2_5 x JOIN p2_5 y ON y.c = x.p
+),
+p4_5 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p3_5 x JOIN p3_5 y ON y.c = x.p
+),
+lab5 AS MATERIALIZED (
+    SELECT l.node, COALESCE(j.p, l.lbl) AS lbl
+    FROM lab4 l LEFT JOIN p4_5 j ON j.c = l.lbl
+),
+el6 AS MATERIALIZED (
+    SELECT e.a, e.b, e.w, x.lbl AS la, y.lbl AS lb
+    FROM ed e JOIN lab5 x ON x.node = e.a
+              JOIN lab5 y ON y.node = e.b
+    WHERE x.lbl <> y.lbl
+),
+ch6 AS MATERIALIZED (
+    SELECT la, lb, a, b, w FROM (
+        SELECT el.*, row_number() OVER (
+            PARTITION BY la
+            ORDER BY w, least(a, b), greatest(a, b)) AS rn
+        FROM el6 el) WHERE rn = 1
+),
+ms6 AS MATERIALIZED (
+    SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v, w FROM ch6
+),
+p0_6 AS MATERIALIZED (
+    SELECT z.c, CASE WHEN z.pp = z.c AND z.c < z.p
+                THEN z.c ELSE z.p END AS p
+    FROM (SELECT x.la AS c, x.lb AS p, y.lb AS pp
+          FROM ch6 x JOIN ch6 y ON y.la = x.lb) z
+),
+p1_6 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p0_6 x JOIN p0_6 y ON y.c = x.p
+),
+p2_6 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p1_6 x JOIN p1_6 y ON y.c = x.p
+),
+p3_6 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p2_6 x JOIN p2_6 y ON y.c = x.p
+),
+p4_6 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p3_6 x JOIN p3_6 y ON y.c = x.p
+),
+lab6 AS MATERIALIZED (
+    SELECT l.node, COALESCE(j.p, l.lbl) AS lbl
+    FROM lab5 l LEFT JOIN p4_6 j ON j.c = l.lbl
+),
+el7 AS MATERIALIZED (
+    SELECT e.a, e.b, e.w, x.lbl AS la, y.lbl AS lb
+    FROM ed e JOIN lab6 x ON x.node = e.a
+              JOIN lab6 y ON y.node = e.b
+    WHERE x.lbl <> y.lbl
+),
+ch7 AS MATERIALIZED (
+    SELECT la, lb, a, b, w FROM (
+        SELECT el.*, row_number() OVER (
+            PARTITION BY la
+            ORDER BY w, least(a, b), greatest(a, b)) AS rn
+        FROM el7 el) WHERE rn = 1
+),
+ms7 AS MATERIALIZED (
+    SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v, w FROM ch7
+),
+p0_7 AS MATERIALIZED (
+    SELECT z.c, CASE WHEN z.pp = z.c AND z.c < z.p
+                THEN z.c ELSE z.p END AS p
+    FROM (SELECT x.la AS c, x.lb AS p, y.lb AS pp
+          FROM ch7 x JOIN ch7 y ON y.la = x.lb) z
+),
+p1_7 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p0_7 x JOIN p0_7 y ON y.c = x.p
+),
+p2_7 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p1_7 x JOIN p1_7 y ON y.c = x.p
+),
+p3_7 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p2_7 x JOIN p2_7 y ON y.c = x.p
+),
+p4_7 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p3_7 x JOIN p3_7 y ON y.c = x.p
+),
+lab7 AS MATERIALIZED (
+    SELECT l.node, COALESCE(j.p, l.lbl) AS lbl
+    FROM lab6 l LEFT JOIN p4_7 j ON j.c = l.lbl
+),
+el8 AS MATERIALIZED (
+    SELECT e.a, e.b, e.w, x.lbl AS la, y.lbl AS lb
+    FROM ed e JOIN lab7 x ON x.node = e.a
+              JOIN lab7 y ON y.node = e.b
+    WHERE x.lbl <> y.lbl
+),
+ch8 AS MATERIALIZED (
+    SELECT la, lb, a, b, w FROM (
+        SELECT el.*, row_number() OVER (
+            PARTITION BY la
+            ORDER BY w, least(a, b), greatest(a, b)) AS rn
+        FROM el8 el) WHERE rn = 1
+),
+ms8 AS MATERIALIZED (
+    SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v, w FROM ch8
+),
+p0_8 AS MATERIALIZED (
+    SELECT z.c, CASE WHEN z.pp = z.c AND z.c < z.p
+                THEN z.c ELSE z.p END AS p
+    FROM (SELECT x.la AS c, x.lb AS p, y.lb AS pp
+          FROM ch8 x JOIN ch8 y ON y.la = x.lb) z
+),
+p1_8 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p0_8 x JOIN p0_8 y ON y.c = x.p
+),
+p2_8 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p1_8 x JOIN p1_8 y ON y.c = x.p
+),
+p3_8 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p2_8 x JOIN p2_8 y ON y.c = x.p
+),
+p4_8 AS MATERIALIZED (
+    SELECT x.c, y.p FROM p3_8 x JOIN p3_8 y ON y.c = x.p
+),
+lab8 AS MATERIALIZED (
+    SELECT l.node, COALESCE(j.p, l.lbl) AS lbl
+    FROM lab7 l LEFT JOIN p4_8 j ON j.c = l.lbl
+)
+SELECT DISTINCT u, v, CAST(w AS BIGINT) AS w FROM (
+SELECT u, v, w FROM ms1
+UNION ALL
+SELECT u, v, w FROM ms2
+UNION ALL
+SELECT u, v, w FROM ms3
+UNION ALL
+SELECT u, v, w FROM ms4
+UNION ALL
+SELECT u, v, w FROM ms5
+UNION ALL
+SELECT u, v, w FROM ms6
+UNION ALL
+SELECT u, v, w FROM ms7
+UNION ALL
+SELECT u, v, w FROM ms8
+)
+"""

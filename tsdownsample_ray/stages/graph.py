@@ -46,7 +46,8 @@ import pyarrow.compute as pc
 
 __all__ = ["extract_links_batch", "grouped_sum_parts", "pagerank",
            "triangle_counts", "link_prediction", "hits", "reciprocity",
-           "degree_assortativity", "sssp", "mis_rounds"]
+           "degree_assortativity", "sssp", "mis_rounds",
+           "boruvka_mst"]
 
 
 def extract_links_batch(batch: pa.Table, *, html_col: str = "html",
@@ -1007,3 +1008,138 @@ def mis_rounds(edges_ds, nodes_ds, *, node_col: str = "node",
     for m in mis_parts[1:]:
         out = out.union(m)
     return out
+
+
+
+def boruvka_mst(edges_ds, nodes_ds, *, node_col: str = "node",
+                src: str = "src", dst: str = "dst", w: str = "w",
+                rounds: int = 8, num_partitions: int = 8):
+    """Minimum spanning forest by deterministic BORUVKA rounds — the
+    classic distributed MST (Boruvka 1926; the GBBS/Pregel workhorse):
+    every component picks its lightest outgoing edge under the
+    UNDIRECTED canonical total order ``(w, min(a,b), max(a,b))``
+    (consistency guarantees the pointer graph's only cycles are
+    2-cycles, broken toward the smaller label), picked edges contract
+    components, repeat. Components at least halve per round, so
+    ``rounds >= ceil(log2 n)`` yields the exact MSF; the SQL oracle
+    replays the identical fixed rounds (no-op trailing rounds are
+    empty on both sides) with pointer-jump CTEs.
+
+    Returns the forest edges ``(u, v, w)`` (canonical u < v,
+    distinct) — pytest-verified equal to Kruskal under the same tie
+    order.
+
+    Scale shape — the kcore/bfs bounded-NODE contract: the EDGE set
+    only ever streams (per round: one broadcast-lookup map with
+    in-block pre-reduction + one hashpart lightest-edge reduction;
+    never pulled, never shuffled whole), while the node-bounded label
+    vector is driver-held state updated by numpy pointer contraction,
+    exactly like the k-core peel's degree table and the BFS frontier.
+    Per round the driver reads only the per-component chosen edges
+    (<= component count <= nodes). Edges >> nodes is the operating
+    regime (domain-level web graphs)."""
+    import ray as _ray
+    import ray.data as rd
+
+    from ..arrow_utils import stable_part_codes
+
+    if rounds < 1:
+        raise ValueError("boruvka_mst: rounds must be >= 1")
+    mod = num_partitions * 64
+
+    def _canon(b: pa.Table) -> pa.Table:
+        return pa.table({"a": pc.cast(b[src], pa.int64()),
+                         "b": pc.cast(b[dst], pa.int64()),
+                         "w": pc.cast(b[w], pa.int64())})
+
+    edges = edges_ds.map_batches(_canon,
+                                 batch_format="pyarrow").materialize()
+    nodes = np.sort(np.unique(np.concatenate([
+        t["node"].to_numpy(zero_copy_only=False) for t in _ray.get(
+            nodes_ds.map_batches(
+                lambda b: pa.table({"node": pc.cast(b[node_col],
+                                                    pa.int64())}),
+                batch_format="pyarrow").to_arrow_refs())])))
+    lbl = nodes.copy()  # node-bounded driver state (the kcore contract)
+
+    def _sel_keys(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("la", "ascending"), ("w", "ascending"),
+            ("cu", "ascending"), ("cv", "ascending")]))
+        la = t["la"].to_numpy(zero_copy_only=False)
+        heads = np.ones(len(la), dtype=bool)
+        heads[1:] = la[1:] != la[:-1]
+        return t.filter(pa.array(heads))
+
+    mst_u, mst_v, mst_w = [], [], []
+    for _ in range(rounds):
+        lbl_ref = _ray.put((nodes, lbl))  # broadcast ONCE per round
+
+        def _cross_choose(b: pa.Table, _ref=lbl_ref) -> pa.Table:
+            nds, lb = _ray.get(_ref)
+            a = b["a"].to_numpy(zero_copy_only=False)
+            bb = b["b"].to_numpy(zero_copy_only=False)
+            ww = b["w"].to_numpy(zero_copy_only=False)
+            la = lb[np.searchsorted(nds, a)]
+            lbv = lb[np.searchsorted(nds, bb)]
+            keep = la != lbv
+            cu = np.minimum(a, bb)[keep]
+            cv = np.maximum(a, bb)[keep]
+            t = pa.table({
+                "la": pa.array(np.concatenate([la[keep], lbv[keep]])),
+                "lb": pa.array(np.concatenate([lbv[keep], la[keep]])),
+                "w": pa.array(np.concatenate([ww[keep], ww[keep]])),
+                "cu": pa.array(np.concatenate([cu, cu])),
+                "cv": pa.array(np.concatenate([cv, cv]))})
+            t = _sel_keys(t)  # in-block pre-reduction before the shuffle
+            h = stable_part_codes(t["la"], mod)
+            return t.append_column("__part", pa.array(h))
+
+        def _sel_merge(g: pa.Table) -> pa.Table:
+            return _sel_keys(g.drop_columns(["__part"]))
+
+        chosen_tbls = [
+            t for t in _ray.get(
+                edges.map_batches(_cross_choose, batch_format="pyarrow")
+                .repartition(num_partitions).groupby("__part").map_groups(
+                    _sel_merge, batch_format="pyarrow").to_arrow_refs())
+            if t.num_rows > 0]
+        if not chosen_tbls:
+            break
+        chosen = pa.concat_tables(chosen_tbls)
+        # bounded driver read: <= one edge per component
+        la = chosen["la"].to_numpy(zero_copy_only=False)
+        lb2 = chosen["lb"].to_numpy(zero_copy_only=False)
+        mst_u.append(chosen["cu"].to_numpy(zero_copy_only=False))
+        mst_v.append(chosen["cv"].to_numpy(zero_copy_only=False))
+        mst_w.append(chosen["w"].to_numpy(zero_copy_only=False))
+        # pointer contraction: ptr[la] = lb, 2-cycle break toward the
+        # smaller label, then full path compression
+        ptr = {int(c): int(p) for c, p in zip(la, lb2)}
+        for c, p in list(ptr.items()):
+            if ptr.get(p) == c and c < p:
+                ptr[c] = c
+
+        def _root(c: int) -> int:
+            path = []
+            while ptr.get(c, c) != c:
+                path.append(c)
+                c = ptr[c]
+            for q in path:
+                ptr[q] = c
+            return c
+
+        res = {c: _root(c) for c in ptr}
+        lbl = np.array([res.get(int(x), int(x)) for x in lbl],
+                       dtype=np.int64)
+
+    if not mst_u:
+        return rd.from_arrow(pa.table({"u": pa.array([], pa.int64()),
+                                       "v": pa.array([], pa.int64()),
+                                       "w": pa.array([], pa.int64())}))
+    forest = pa.table({"u": pa.array(np.concatenate(mst_u)),
+                       "v": pa.array(np.concatenate(mst_v)),
+                       "w": pa.array(np.concatenate(mst_w))})
+    # distinct: each undirected edge is chosen from both of its sides
+    forest = forest.group_by(["u", "v", "w"]).aggregate([])
+    return rd.from_arrow(forest)
