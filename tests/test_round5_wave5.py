@@ -849,3 +849,15 @@ def test_boruvka_mst_forest_on_disconnected(ray_session):
     assert got == [(0, 1, 5), (2, 3, 7)]
     with pytest.raises(ValueError):
         boruvka_mst(eds, nds, rounds=0)
+
+
+def test_capture_recapture_query_shape(ray_session):
+    from tsdownsample_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["capture_recapture_users"](
+        "/root/testdata/sf0.001").to_pandas()
+    assert set(out.columns) == {"event_type", "n1", "n2", "m",
+                                "chapman_est"}
+    for r in out.itertuples():
+        assert r.m <= min(r.n1, r.n2)
+        assert r.chapman_est == (r.n1 + 1) * (r.n2 + 1) // (r.m + 1) - 1

@@ -2095,3 +2095,8 @@ from .ext_round5k import MST_SQL, q_mst_docs  # noqa: E402
 
 QUERIES["mst_docs"] = q_mst_docs
 ORACLE_SQL["mst_docs"] = MST_SQL
+
+from .ext_round5k import CAPTURE_SQL, q_capture_recapture_users  # noqa: E402
+
+QUERIES["capture_recapture_users"] = q_capture_recapture_users
+ORACLE_SQL["capture_recapture_users"] = CAPTURE_SQL

@@ -1750,3 +1750,109 @@ UNION ALL
 SELECT u, v, w FROM ms8
 )
 """
+
+
+_W7D = 7 * 86400 * US
+_CR_BASE = 1704067200 * US  # 2024-01-01, the corpus epoch
+
+
+def q_capture_recapture_users(sf_dir: str):
+    """Chapman capture-recapture population estimate per event_type
+    (Chapman 1951 — the two-sample mark-recapture estimator, here
+    "how many users does this event type really have" from two
+    observation windows): capture occasions are the first and second
+    7-day windows from the corpus epoch (2024-01-01); ``n1``/``n2`` are distinct
+    users seen in each, ``m`` the recaptures, and the estimator
+    ``(n1+1)(n2+1) // (m+1) - 1`` stays exact int64 (floored, both
+    sides). Distributed shape: map-side distinct (type, window, user)
+    partials, ONE hash shuffle, bounded per-type merge."""
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet",
+                             columns=["ts", "user_id", "event_type"]) \
+        .repartition(8)
+
+    import numpy as _np
+
+    from ...arrow_utils import rename_agg, stable_part_codes
+
+    def _windows(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        w = (ts - _CR_BASE) // _W7D
+        keep = w < 2  # first two 7-day occasions only
+        t = pa.table({"event_type": b["event_type"],
+                      "user_id": b["user_id"],
+                      "win": pa.array(w)}).filter(pa.array(keep))
+        d = t.group_by(["event_type", "user_id", "win"]).aggregate([])
+        h = stable_part_codes(d["event_type"], 256)
+        return d.append_column("__part", pa.array(h))
+
+    def _merge(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        d = t.group_by(["event_type", "user_id", "win"]).aggregate([])
+        et = d["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        from ...arrow_utils import group_codes
+
+        d = d.take(pc.sort_indices(d, sort_keys=[
+            ("event_type", "ascending"), ("user_id", "ascending")]))
+        et = d["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        codes = group_codes(et)
+        uid = d["user_id"].to_numpy(zero_copy_only=False)
+        win = d["win"].to_numpy(zero_copy_only=False)
+        out = {k: [] for k in ("t", "n1", "n2", "m", "est")}
+        n = len(uid)
+        change = _np.ones(n, dtype=bool)
+        change[1:] = codes[1:] != codes[:-1]
+        seg_first = _np.flatnonzero(change)
+        seg_len = _np.diff(_np.r_[seg_first, n])
+        for si, f0 in enumerate(seg_first):
+            sl = slice(f0, f0 + int(seg_len[si]))
+            u, w = uid[sl], win[sl]
+            s1 = set(u[w == 0].tolist())
+            s2 = set(u[w == 1].tolist())
+            n1, n2, m = len(s1), len(s2), len(s1 & s2)
+            out["t"].append(et[int(f0)].as_py())
+            out["n1"].append(n1)
+            out["n2"].append(n2)
+            out["m"].append(m)
+            out["est"].append((n1 + 1) * (n2 + 1) // (m + 1) - 1)
+        return pa.table({"event_type": pa.array(out["t"], et.type),
+                         "n1": pa.array(out["n1"], pa.int64()),
+                         "n2": pa.array(out["n2"], pa.int64()),
+                         "m": pa.array(out["m"], pa.int64()),
+                         "chapman_est": pa.array(out["est"], pa.int64())})
+
+    parted = ds.map_batches(_windows, batch_format="pyarrow")
+    return parted.repartition(4).groupby("__part").map_groups(
+        _merge, batch_format="pyarrow")
+
+
+CAPTURE_SQL = f"""
+WITH e AS (
+    SELECT event_type, user_id,
+           (epoch_us(ts) - {_CR_BASE}) // {_W7D} AS win
+    FROM events
+    WHERE (epoch_us(ts) - {_CR_BASE}) // {_W7D} < 2
+),
+agg AS (
+    SELECT event_type,
+           CAST(count(DISTINCT CASE WHEN win = 0 THEN user_id END)
+                AS BIGINT) AS n1,
+           CAST(count(DISTINCT CASE WHEN win = 1 THEN user_id END)
+                AS BIGINT) AS n2
+    FROM e GROUP BY event_type
+),
+recap AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS m FROM (
+        SELECT event_type, user_id FROM e WHERE win = 0
+        INTERSECT
+        SELECT event_type, user_id FROM e WHERE win = 1
+    ) GROUP BY event_type
+)
+SELECT a.event_type, a.n1, a.n2, coalesce(r.m, 0) AS m,
+       (a.n1 + 1) * (a.n2 + 1) // (coalesce(r.m, 0) + 1) - 1
+           AS chapman_est
+FROM agg a LEFT JOIN recap r USING (event_type)
+"""
