@@ -54,6 +54,15 @@ def run_bench() -> dict:
         # IDENTICAL call with clean probes around it)
         timings[name] = round(min(
             _timed(fn, y) for _ in range(3)), 3)
+    # LTD: O(n) python split/merge iteration dominates — bench at 2M
+    # (its regime is dynamic-bucket quality, not raw-throughput)
+    from tsdownsample_ray.kernels import ltd
+
+    y2 = y[:2_000_000]
+    ltd(None, y2[:200_000], 200)  # warm
+    t0 = time.time()
+    ltd(None, y2, 2000)
+    timings["kernel_ltd_2m"] = round(time.time() - t0, 3)
     del y
 
     import ray
@@ -146,7 +155,16 @@ def run_bench() -> dict:
         "scene_change_frames", "ltob_events", "soundex_blocks_docs",
         "budget_select_lineitems", "gapfill_seasonal_1h",
         "ef_postings_docs", "bloom_fpr_audit_users",
-        "median_select_events")
+        "median_select_events",
+        # round-5 session-5 operators
+        "pettitt_15m", "anagram_groups_vocab", "front_code_vocab",
+        "ar1_1h", "allen_relations_events", "weighted_jaccard_docs",
+        "sssp_docs", "linear_count_domains", "simple8b_events",
+        "wilcoxon_signed_1h", "runs_test_15m", "qn_scale_15m",
+        "lz_complexity_15m", "mtf_score_users",
+        "transposition_pairs_docs", "golomb_postings_docs",
+        "savgol_15m", "ols_influence_1h", "mis_docs",
+        "g2_collocations_docs", "mst_docs", "capture_recapture_users")
     for qname in qnames:
         best = None
         # min-of-n: throttle bursts vary timings ~3x; the two join-heavy
