@@ -861,3 +861,68 @@ def test_capture_recapture_query_shape(ray_session):
     for r in out.itertuples():
         assert r.m <= min(r.n1, r.n2)
         assert r.chapman_est == (r.n1 + 1) * (r.n2 + 1) // (r.m + 1) - 1
+
+
+def test_wilson_interval_bruteforce(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.abtest import wilson_interval
+
+    rng = np.random.default_rng(73)
+    rows = []
+    for k in ("a", "b", "c"):
+        n = int(rng.integers(5, 200))
+        rows += [(k, int(x)) for x in rng.integers(0, 2, n)]
+    # an all-zero key (p = 0 edge)
+    rows += [("z", 0)] * 7
+    df = pd.DataFrame(rows, columns=["key", "flag"])
+    out = wilson_interval(rd.from_pandas(df).repartition(4),
+                          key_col="key", flag_col="flag",
+                          fanin=2).to_pandas().set_index("key")
+    z = 1.96
+    for k in ("a", "b", "c", "z"):
+        flags = [f for kk, f in rows if kk == k]
+        n, s = len(flags), sum(flags)
+        p = s / n
+        denom = 1 + z * z / n
+        center = (p + z * z / (2 * n)) / denom
+        half = z * math.sqrt(p * (1 - p) / n
+                             + z * z / (4 * n * n)) / denom
+        row = out.loc[k]
+        assert (int(row.n), int(row.s)) == (n, s)
+        assert row.p_hat == pytest.approx(p)
+        assert row.lo == pytest.approx(center - half, rel=1e-12)
+        assert row.hi == pytest.approx(center + half, rel=1e-12)
+        assert 0.0 <= row.lo <= row.hi <= 1.0
+
+
+def test_hrw_rebalance_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.dedup import _stable_u64
+    from tsdownsample_ray.stages.ring import hrw_rebalance
+
+    urls = [f"u{i}" for i in range(300)]
+    df = pd.DataFrame({"url": urls})
+    out = hrw_rebalance(rd.from_pandas(df).repartition(4),
+                        key_col="url", n_nodes=8,
+                        fanin=2).to_pandas().set_index("owner")
+    exp = {}
+    for u in urls:
+        hs = [_stable_u64(f"n{i}|{u}".encode()) for i in range(9)]
+        old = max(range(8), key=lambda i: (hs[i], -i))
+        new = max(range(9), key=lambda i: (hs[i], -i))
+        o = f"n{old}"
+        exp.setdefault(o, [0, 0])
+        exp[o][0] += 1
+        exp[o][1] += int(new == 8)
+    assert set(out.index) == set(exp)
+    total_moved = 0
+    for o, (nk, nm) in exp.items():
+        assert int(out.loc[o].n_keys) == nk
+        assert int(out.loc[o].n_moved) == nm
+        total_moved += nm
+    # HRW minimal disruption: roughly 1/9 of keys move
+    assert 0 < total_moved < len(urls) // 3

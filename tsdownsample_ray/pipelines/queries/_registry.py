@@ -2100,3 +2100,13 @@ from .ext_round5k import CAPTURE_SQL, q_capture_recapture_users  # noqa: E402
 
 QUERIES["capture_recapture_users"] = q_capture_recapture_users
 ORACLE_SQL["capture_recapture_users"] = CAPTURE_SQL
+
+from .ext_round5k import WILSON_SQL, q_wilson_interval_events  # noqa: E402
+
+QUERIES["wilson_interval_events"] = q_wilson_interval_events
+ORACLE_SQL["wilson_interval_events"] = WILSON_SQL
+
+from .ext_round5k import HRW_SQL, q_hrw_rebalance_docs  # noqa: E402
+
+QUERIES["hrw_rebalance_docs"] = q_hrw_rebalance_docs
+ORACLE_SQL["hrw_rebalance_docs"] = HRW_SQL

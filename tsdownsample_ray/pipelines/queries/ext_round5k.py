@@ -1856,3 +1856,123 @@ SELECT a.event_type, a.n1, a.n2, coalesce(r.m, 0) AS m,
            AS chapman_est
 FROM agg a LEFT JOIN recap r USING (event_type)
 """
+
+
+def q_wilson_interval_events(sf_dir: str):
+    """Wilson score 95% interval for the per-event-type proportion of
+    high-value events (cents > 10000, ~p15 of the value domain)
+    (``stages/abtest.py:wilson_interval``; Wilson 1927): exact int64
+    ``(n, s)`` from one hash(key) grouped sum of map-side partials;
+    ``p_hat``/``lo``/``hi`` are pinned IEEE expression chains (z =
+    1.96, sqrt is IEEE-correctly-rounded) replayed term by term."""
+    from ...stages.abtest import wilson_interval
+
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"]) \
+        .repartition(8)
+
+    def _flag(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                 ndigits=0), pa.int64())
+        return pa.table({
+            "event_type": b["event_type"],
+            "hi_val": pc.cast(pc.greater(cents,
+                                         pa.scalar(10000, pa.int64())),
+                              pa.int64())})
+
+    return wilson_interval(ds.map_batches(_flag, batch_format="pyarrow"),
+                           key_col="event_type", flag_col="hi_val",
+                           fanin=4)
+
+
+WILSON_SQL = """
+WITH c AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN CAST(round(value * 100) AS BIGINT) > 10000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS s
+    FROM events GROUP BY 1
+),
+k AS (
+    SELECT event_type, n, s,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+           -- literals MUST be DOUBLE: DuckDB folds 1.96*1.96 in exact
+           -- DECIMAL (3.8416), one ulp off the engine's float64 z*z
+           CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2,
+           CAST(n AS DOUBLE) AS nf
+    FROM c
+),
+m AS (
+    SELECT *,
+           1.0 + z2 / nf AS denom,
+           (p + z2 / (2.0 * nf)) / (1.0 + z2 / nf) AS center,
+           CAST(1.96 AS DOUBLE)
+               * sqrt(p * (1.0 - p) / nf + z2 / (4.0 * nf * nf))
+               / (1.0 + z2 / nf) AS half
+    FROM k
+)
+SELECT event_type, n, s, p AS p_hat,
+       center - half AS lo, center + half AS hi
+FROM m
+"""
+
+
+def q_hrw_rebalance_docs(sf_dir: str):
+    """Rendezvous-hash (HRW) placement + rebalance audit over the
+    per-doc url space (``stages/ring.py:hrw_rebalance``; Thaler &
+    Ravishankar 1998 — the argmax-weight counterpart of the Karger
+    ring in ``ring_rebalance_docs``): owner = argmax over 8 nodes of
+    md5-u64(node|url); adding node n8 moves exactly the keys whose
+    9-node argmax is the new node. Each batch-unique key hashes once
+    per node map-side; the only shuffle is the bounded per-owner
+    grouped sum. Hash ties (2^-64) break toward the smaller node index
+    on both sides."""
+    from ...stages.ring import hrw_rebalance
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "source"]).repartition(8)
+
+    def _urls(b: pa.Table) -> pa.Table:
+        # the corpus url per doc (unique by construction — the HRW
+        # audit counts DISTINCT keys, and per-block uniqueness must be
+        # global uniqueness)
+        url = pc.binary_join_element_wise(
+            pc.binary_join_element_wise(
+                "https://", b["source"], ".example.com/doc/", ""),
+            pc.cast(b["doc_id"], pa.string()), "")
+        return pa.table({"url": url})
+
+    return hrw_rebalance(ds.map_batches(_urls, batch_format="pyarrow"),
+                         key_col="url", n_nodes=8, fanin=4)
+
+
+_MD5U64 = """list_reduce(list_prepend(0::HUGEINT,
+    list_transform(range(1, 17),
+        i -> CAST(strpos('0123456789abcdef',
+                         substring(md5({expr}), i, 1)) - 1
+                  AS HUGEINT))), (h, d) -> h * 16 + d)"""
+
+HRW_SQL = f"""
+WITH urls AS (
+    SELECT 'https://' || source || '.example.com/doc/'
+           || CAST(doc_id AS VARCHAR) AS url
+    FROM documents
+),
+h AS (
+    SELECT url, t.i,
+           {_MD5U64.format(expr="'n' || CAST(t.i AS VARCHAR) || '|' || url")} AS hv
+    FROM urls, LATERAL unnest(generate_series(0, 8)) AS t(i)
+),
+o8 AS (
+    SELECT url, max(struct_pack(h := hv, ni := -i)) AS s8
+    FROM h WHERE i < 8 GROUP BY url
+),
+o9 AS (
+    SELECT url, max(struct_pack(h := hv, ni := -i)) AS s9
+    FROM h GROUP BY url
+)
+SELECT 'n' || CAST(-(o8.s8.ni) AS VARCHAR) AS owner,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN -(o9.s9.ni) = 8 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved
+FROM o8 JOIN o9 USING (url) GROUP BY 1
+"""

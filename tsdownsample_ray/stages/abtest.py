@@ -30,7 +30,8 @@ from ..arrow_utils import make_add_part
 import pyarrow.compute as pc
 
 __all__ = ["mann_whitney", "chi2_contingency",
-           "wilcoxon_signed", "runs_test", "lz76_complexity"]
+           "wilcoxon_signed", "runs_test", "lz76_complexity",
+           "wilson_interval"]
 
 
 def mann_whitney(ds, *, key_col: str = "series_id",
@@ -443,3 +444,52 @@ def lz76_complexity(rolled, *, series_col: str = "series_id",
     parted = rolled.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _lz, batch_format="pyarrow")
+
+
+def wilson_interval(ds, *, key_col: str, flag_col: str, z: float = 1.96,
+                    fanin: int = 8):
+    """Wilson score confidence interval for a per-key proportion
+    (Wilson 1927 — the binomial interval that behaves at small n and
+    extreme p, unlike the Wald interval): exact int64 ``(n, s)``
+    counts from mergeable partials, then center and half-width as ONE
+    pinned IEEE expression chain each (z fixed, replayed term by term
+    in SQL). Output per key: ``(key, n, s, p_hat, lo, hi)``.
+
+    Scale shape: map-side (key -> n, s) partials, ONE hash(key)
+    grouped sum, tiny per-key float finish."""
+    import math
+
+    from .graph import grouped_sum_parts
+
+    def _partial(b: pa.Table) -> pa.Table:
+        t = pa.table({key_col: b[key_col],
+                      "s": pc.cast(b[flag_col], pa.int64())})
+        g = t.group_by([key_col]).aggregate([("s", "sum"), ("s", "count")])
+        from ..arrow_utils import rename_agg
+
+        return rename_agg(g, {key_col: key_col, "s_sum": "s",
+                              "s_count": "n"})
+
+    summed = grouped_sum_parts(ds.map_batches(_partial,
+                                              batch_format="pyarrow"),
+                               [key_col], ["s", "n"], count_col=None,
+                               fanin=fanin)
+    zf = float(z)
+
+    def _finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nf = n.astype(np.float64)
+        p = s.astype(np.float64) / nf
+        z2 = zf * zf
+        denom = 1.0 + z2 / nf
+        center = (p + z2 / (2.0 * nf)) / denom
+        half = zf * np.sqrt(p * (1.0 - p) / nf
+                            + z2 / (4.0 * nf * nf)) / denom
+        return pa.table({key_col: b[key_col],
+                         "n": pa.array(n), "s": pa.array(s),
+                         "p_hat": pa.array(p, pa.float64()),
+                         "lo": pa.array(center - half, pa.float64()),
+                         "hi": pa.array(center + half, pa.float64())})
+
+    return summed.map_batches(_finish, batch_format="pyarrow")

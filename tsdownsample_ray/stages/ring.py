@@ -18,10 +18,11 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .dedup import _stable_u64
 
-__all__ = ["build_ring", "ring_owner", "ring_rebalance_audit"]
+__all__ = ["build_ring", "ring_owner", "ring_rebalance_audit", "hrw_rebalance"]
 
 
 def build_ring(n_nodes: int, vnodes: int) -> tuple:
@@ -75,3 +76,56 @@ def ring_rebalance_audit(ds, *, id_col: str = "doc_id",
                          "moved": pa.array(own_a != own_b)})
 
     return ds.map_batches(_audit, batch_format="pyarrow")
+
+
+def hrw_rebalance(ds, *, key_col: str = "url", n_nodes: int = 8,
+                  fanin: int = 4):
+    """Rendezvous (highest-random-weight) hashing rebalance audit
+    (Thaler & Ravishankar 1998 — the OTHER consistent placement scheme
+    next to the Karger ring already in the catalog): each key's owner
+    is ``argmax over nodes of md5-u64(node || '|' || key)``; adding
+    node ``n<N>`` moves exactly the keys whose new argmax is the new
+    node (the HRW minimal-disruption property, audited exactly).
+    Output per N-node owner: ``(owner, n_keys, n_moved)`` — moved =
+    keys this owner loses to the added node.
+
+    Scale shape: per batch, DISTINCT keys hash once per node
+    (``N+1`` md5 passes over batch-unique keys — the KMV hashing
+    pattern); no shuffle except the final bounded per-owner grouped
+    sum. The md5 -> u64 convention is the catalog-wide one, so SQL
+    replays every hash including collisions."""
+    from ..arrow_utils import rename_agg
+    from .dedup import _hash_unique_tokens
+    from .graph import grouped_sum_parts
+
+    names = [f"n{i}" for i in range(n_nodes + 1)]
+
+    def _owners(b: pa.Table) -> pa.Table:
+        keys = b[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        u = pc.unique(keys)
+        empty = pa.table({"owner": pa.array([], pa.string()),
+                          "n_keys": pa.array([], pa.int64()),
+                          "n_moved": pa.array([], pa.int64())})
+        if len(u) == 0:
+            return empty
+        ul = u.to_pylist()
+        hs = np.stack([
+            _hash_unique_tokens([f"{nm}|{k}" for k in ul], None)
+            for nm in names])  # (n_nodes+1, n_keys) u64
+        old_owner = np.argmax(hs[:n_nodes], axis=0)
+        new_owner = np.argmax(hs, axis=0)
+        moved = new_owner == n_nodes
+        t = pa.table({"owner": pa.array([names[i] for i in old_owner]),
+                      "n_keys": pa.array(np.ones(len(ul), np.int64)),
+                      "n_moved": pa.array(moved.astype(np.int64))})
+        g = t.group_by(["owner"]).aggregate(
+            [("n_keys", "sum"), ("n_moved", "sum")])
+        return rename_agg(g, {"owner": "owner", "n_keys_sum": "n_keys",
+                              "n_moved_sum": "n_moved"})
+
+    return grouped_sum_parts(ds.map_batches(_owners,
+                                            batch_format="pyarrow"),
+                             ["owner"], ["n_keys", "n_moved"],
+                             count_col=None, fanin=fanin)
