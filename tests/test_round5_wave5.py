@@ -926,3 +926,55 @@ def test_hrw_rebalance_bruteforce(ray_session):
         total_moved += nm
     # HRW minimal disruption: roughly 1/9 of keys move
     assert 0 < total_moved < len(urls) // 3
+
+
+def test_spc_rules_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.rate import spc_rules
+
+    rng = np.random.default_rng(79)
+    frames = []
+    # one noisy series with an injected spike + a drift run
+    y = rng.integers(-5, 6, 60)
+    y[30] = 100          # rule-1 spike
+    y[45:] += 50         # sustained shift -> rule 4 fires eventually
+    frames.append(pd.DataFrame({"series_id": "s0",
+                                "bucket": np.arange(60), "sum_y": y}))
+    frames.append(pd.DataFrame({"series_id": "s1",
+                                "bucket": np.arange(20),
+                                "sum_y": rng.integers(-3, 4, 20)}))
+    df = pd.concat(frames).sample(frac=1.0, random_state=4)
+    out = spc_rules(rd.from_pandas(df.reset_index(drop=True))
+                    .repartition(3), num_partitions=2).to_pandas()
+    # independent reference
+    got = {(r.series_id, r.bucket, r.rule) for r in out.itertuples()}
+    exp = set()
+    for sid in ("s0", "s1"):
+        ys = (df[df.series_id == sid].sort_values("bucket")
+              .sum_y.to_numpy().astype(int))
+        m = len(ys)
+        med = int(np.sort(ys)[(m - 1) // 2])
+        diffs = sorted(abs(int(a) - int(b))
+                       for i, a in enumerate(ys) for b in ys[i + 1:])
+        qn = diffs[(len(diffs) - 1) // 2]
+        dev = ys - med
+        sgn = np.sign(dev)
+        ad = np.abs(dev)
+        for i in range(m):
+            if ad[i] > 3 * qn:
+                exp.add((sid, i, 1))
+            if ad[i] > 2 * qn and any(
+                    j >= 0 and ad[j] > 2 * qn and sgn[j] == sgn[i]
+                    for j in (i - 1, i - 2)):
+                exp.add((sid, i, 2))
+            if ad[i] > qn and sum(
+                    1 for j in range(i - 4, i)
+                    if j >= 0 and ad[j] > qn and sgn[j] == sgn[i]) >= 3:
+                exp.add((sid, i, 3))
+            if sgn[i] != 0 and i >= 8 and all(
+                    sgn[j] == sgn[i] for j in range(i - 8, i)):
+                exp.add((sid, i, 4))
+    assert got == exp
+    assert any(r == 1 for _, _, r in exp)
+    assert any(r == 4 for _, _, r in exp)

@@ -2110,3 +2110,8 @@ from .ext_round5k import HRW_SQL, q_hrw_rebalance_docs  # noqa: E402
 
 QUERIES["hrw_rebalance_docs"] = q_hrw_rebalance_docs
 ORACLE_SQL["hrw_rebalance_docs"] = HRW_SQL
+
+from .ext_round5k import SPC_SQL, q_spc_rules_15m  # noqa: E402
+
+QUERIES["spc_rules_15m"] = q_spc_rules_15m
+ORACLE_SQL["spc_rules_15m"] = SPC_SQL

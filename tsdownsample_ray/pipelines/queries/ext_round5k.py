@@ -1976,3 +1976,80 @@ SELECT 'n' || CAST(-(o8.s8.ni) AS VARCHAR) AS owner,
             AS BIGINT) AS n_moved
 FROM o8 JOIN o9 USING (url) GROUP BY 1
 """
+
+
+def q_spc_rules_15m(sf_dir: str):
+    """Western-Electric control-chart rules per event_type over the
+    15m tier with ROBUST integer limits (``stages/rate.py:spc_rules``:
+    median / Qn instead of mean / sigma, so every comparison is exact
+    int64): rule 1 beyond 3*Qn, rule 2 the 2-of-3 analog (one-sided
+    lookback), rule 3 the 4-of-5 analog, rule 4 nine consecutive
+    points one side of the median. One row per (point, fired rule);
+    the SQL replay is the Qn/median CTEs + an 8-deep lag window."""
+    from ...stages.rate import spc_rules
+
+    return spc_rules(_rolled_k(sf_dir, W15M), num_partitions=4)
+
+
+SPC_SQL = f"""
+WITH r AS (
+    SELECT event_type AS series_id,
+           (epoch_us(ts) // {W15M}) * {W15M} AS bucket,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+med AS (
+    SELECT series_id, y AS med FROM (
+        SELECT series_id, y,
+               row_number() OVER (PARTITION BY series_id ORDER BY y) AS rn,
+               count(*) OVER (PARTITION BY series_id) AS n
+        FROM r
+    ) WHERE rn = (n - 1) // 2 + 1
+),
+x AS (
+    SELECT series_id, y,
+           row_number() OVER (PARTITION BY series_id ORDER BY bucket) AS i
+    FROM r
+),
+qn AS (
+    SELECT series_id, CAST(diff AS BIGINT) AS qn FROM (
+        SELECT a.series_id, abs(a.y - b.y) AS diff,
+               row_number() OVER (PARTITION BY a.series_id
+                                  ORDER BY abs(a.y - b.y)) AS rn,
+               count(*) OVER (PARTITION BY a.series_id) AS m
+        FROM x a JOIN x b ON a.series_id = b.series_id AND a.i < b.i
+    ) WHERE rn = (m - 1) // 2 + 1
+),
+base AS (
+    SELECT r.series_id, r.bucket, r.y, qn.qn,
+           sign(r.y - med.med) AS sgn, abs(r.y - med.med) AS ad
+    FROM r JOIN med USING (series_id) JOIN qn USING (series_id)
+),
+w AS (
+    SELECT *,
+           lag(ad, 1) OVER win AS ad1, lag(ad, 2) OVER win AS ad2,
+           lag(ad, 3) OVER win AS ad3, lag(ad, 4) OVER win AS ad4,
+           lag(sgn, 1) OVER win AS s1, lag(sgn, 2) OVER win AS s2,
+           lag(sgn, 3) OVER win AS s3, lag(sgn, 4) OVER win AS s4,
+           lag(sgn, 5) OVER win AS s5, lag(sgn, 6) OVER win AS s6,
+           lag(sgn, 7) OVER win AS s7, lag(sgn, 8) OVER win AS s8
+    FROM base WINDOW win AS (PARTITION BY series_id ORDER BY bucket)
+)
+SELECT series_id, bucket, y, CAST(1 AS BIGINT) AS rule
+FROM w WHERE ad > 3 * qn
+UNION ALL
+SELECT series_id, bucket, y, 2 FROM w
+WHERE ad > 2 * qn AND ((ad1 > 2 * qn AND s1 = sgn)
+                       OR (ad2 > 2 * qn AND s2 = sgn))
+UNION ALL
+SELECT series_id, bucket, y, 3 FROM w
+WHERE ad > qn
+  AND (CASE WHEN ad1 > qn AND s1 = sgn THEN 1 ELSE 0 END
+       + CASE WHEN ad2 > qn AND s2 = sgn THEN 1 ELSE 0 END
+       + CASE WHEN ad3 > qn AND s3 = sgn THEN 1 ELSE 0 END
+       + CASE WHEN ad4 > qn AND s4 = sgn THEN 1 ELSE 0 END) >= 3
+UNION ALL
+SELECT series_id, bucket, y, 4 FROM w
+WHERE sgn <> 0 AND s1 = sgn AND s2 = sgn AND s3 = sgn AND s4 = sgn
+  AND s5 = sgn AND s6 = sgn AND s7 = sgn AND s8 = sgn
+"""

@@ -28,7 +28,7 @@ from ..arrow_utils import group_codes, make_add_part
 
 __all__ = ["counter_rate", "threshold_crossings", "series_diffs",
            "cusum", "gap_profile", "hysteresis_alerts",
-           "amoc_changepoint", "pettitt_test"]
+           "amoc_changepoint", "pettitt_test", "spc_rules"]
 
 
 def counter_rate(ds, window_us: int, *, series_col: str = "series_id",
@@ -623,3 +623,112 @@ def pettitt_test(rolled, *, series_col: str = "series_id",
     parted = rolled.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _pettitt, batch_format="pyarrow")
+
+
+
+def spc_rules(rolled, *, series_col: str = "series_id",
+              order_col: str = "bucket", value_col: str = "sum_y",
+              num_partitions: int = 8):
+    """Western-Electric-style control-chart rules per series with
+    ROBUST integer limits (median / Qn instead of mean / sigma — no
+    float sums anywhere, everything int64-exact):
+
+    - ``rule = 1``: |y - med| > 3*qn (beyond the 3-sigma analog)
+    - ``rule = 2``: beyond 2*qn AND one of the previous two points
+      beyond 2*qn on the same side (the 2-of-3 analog, one-sided
+      lookback — documented simplification of WE rule 2)
+    - ``rule = 3``: beyond 1*qn AND >= 3 of the previous four beyond
+      1*qn on the same side (the 4-of-5 analog)
+    - ``rule = 4``: 9 consecutive points strictly on one side of the
+      median (this point is the 9th or later)
+
+    ``med`` is the lower median, ``qn`` the lower median of pairwise
+    absolute differences (the ``qn_scale`` statistic). Output one row
+    per (point, fired rule): ``(series_id, bucket, y, rule)``.
+
+    Scale shape: ONE hash(series) shuffle, per-series vectorized
+    indicator shifts (the Qn part is O(n^2) per series by definition —
+    bounded-tier contract shared with ``qn_scale``)."""
+    mod = num_partitions * 64
+
+    _add_part = make_add_part(series_col, mod)
+
+    def _rules(g: pa.Table) -> pa.Table:
+        sid_type = g[series_col].type
+        empty = pa.table({"series_id": pa.array([], sid_type),
+                          "bucket": pa.array([], pa.int64()),
+                          "y": pa.array([], pa.int64()),
+                          "rule": pa.array([], pa.int64())})
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (series_col, "ascending"), (order_col, "ascending")]))
+        sid = t[series_col]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        codes = group_codes(sid)
+        y = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = t[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(y)
+        change = np.ones(n, dtype=bool)
+        change[1:] = codes[1:] != codes[:-1]
+        seg_first = np.flatnonzero(change)
+        seg_len = np.diff(np.r_[seg_first, n])
+        out_sid, out_b, out_y, out_r = [], [], [], []
+        for si, f0 in enumerate(seg_first):
+            m = int(seg_len[si])
+            if m < 2:
+                continue
+            ys = y[f0:f0 + m]
+            med = int(np.partition(ys, (m - 1) // 2)[(m - 1) // 2])
+            iu = np.triu_indices(m, k=1)
+            diffs = np.abs(ys[iu[0]] - ys[iu[1]])
+            k = (len(diffs) - 1) // 2
+            qn = int(np.partition(diffs, k)[k])
+            dev = ys - med
+            sgn = np.sign(dev)
+            ad = np.abs(dev)
+
+            def _shift(arr, j):
+                s = np.zeros(m, dtype=arr.dtype)
+                if j < m:
+                    s[j:] = arr[:m - j]
+                return s
+
+            fired = {}
+            fired[1] = ad > 3 * qn
+            b2 = ad > 2 * qn
+            same1 = _shift(sgn, 1) == sgn
+            same2 = _shift(sgn, 2) == sgn
+            fired[2] = b2 & ((_shift(b2, 1) & same1)
+                             | (_shift(b2, 2) & same2))
+            b1 = ad > qn
+            cnt = np.zeros(m, dtype=np.int64)
+            for j in range(1, 5):
+                cnt += (_shift(b1, j)
+                        & (_shift(sgn, j) == sgn)).astype(np.int64)
+            fired[3] = b1 & (cnt >= 3)
+            nz = sgn != 0
+            run = np.zeros(m, dtype=np.int64)
+            for i in range(m):
+                if nz[i] and i > 0 and sgn[i] == sgn[i - 1]:
+                    run[i] = run[i - 1] + 1
+                elif nz[i]:
+                    run[i] = 1
+            fired[4] = run >= 9
+            for r, mask in fired.items():
+                idx = np.flatnonzero(mask)
+                for i in idx:
+                    out_sid.append(sid[int(f0)].as_py())
+                    out_b.append(int(bkt[f0 + i]))
+                    out_y.append(int(ys[i]))
+                    out_r.append(r)
+        return pa.table({"series_id": pa.array(out_sid, sid_type),
+                         "bucket": pa.array(out_b, pa.int64()),
+                         "y": pa.array(out_y, pa.int64()),
+                         "rule": pa.array(out_r, pa.int64())})
+
+    parted = rolled.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _rules, batch_format="pyarrow")
