@@ -855,6 +855,7 @@ def sssp(edges_ds, *, src: str = "src", dst: str = "dst", w: str = "w",
     return dist
 
 
+
 def mis_rounds(edges_ds, nodes_ds, *, node_col: str = "node",
                src: str = "src", dst: str = "dst", rounds: int = 6,
                num_partitions: int = 8):
@@ -870,145 +871,110 @@ def mis_rounds(edges_ds, nodes_ds, *, node_col: str = "node",
     Returns ``(node, round)`` for every MIS member (round is
     1-based). Isolated nodes join in round 1.
 
-    Scale shape: per round TWO tagged-union hash joins against the
-    streaming edge set (edge endpoints filtered to the remaining
-    pool), one hashpart grouped min (smallest remaining neighbor), and
-    one hash-partitioned anti join (pool shrink); only the
-    node-bounded pool/MIS tables ever materialize."""
+    Scale shape — the kcore/bfs/boruvka bounded-NODE contract: the
+    EDGE set only ever streams (per round ONE broadcast-lookup map
+    with in-block min pre-reduction + ONE hashpart grouped min; a
+    second streamed pass marks the joiners' neighbors), while the
+    node-bounded remaining/MIS sets are driver-held numpy state. A
+    first cut kept the pool distributed (two tagged-union joins, a
+    grouped min and an anti join PER ROUND) — identical output, ~15
+    small pipeline barriers per round of pure fixed overhead at toy
+    scale; see the boruvka_mst note."""
+    import ray as _ray
     import ray.data as rd
 
     from ..arrow_utils import rename_agg, stable_part_codes
-    from .joins import hash_inner_join
 
     if rounds < 1:
         raise ValueError("mis_rounds: rounds must be >= 1")
     mod = num_partitions * 64
 
-    def _nodes(b: pa.Table) -> pa.Table:
-        return pa.table({"node": pc.cast(b[node_col], pa.int64())})
+    def _canon(b: pa.Table) -> pa.Table:
+        return pa.table({"a": pc.cast(b[src], pa.int64()),
+                         "b": pc.cast(b[dst], pa.int64())})
 
-    def _edges(b: pa.Table) -> pa.Table:
-        return pa.table({"node": pc.cast(b[src], pa.int64()),
-                         "nbr": pc.cast(b[dst], pa.int64())})
-
-    remaining = nodes_ds.map_batches(
-        _nodes, batch_format="pyarrow").materialize()
-    edges = edges_ds.map_batches(_edges, batch_format="pyarrow")
-    mis_parts = []
-
-    def _tag_rem(b: pa.Table) -> pa.Table:
-        return b.append_column("__r", pa.array(
-            np.ones(b.num_rows, np.int8)))
-
-    def _anti_part(side: str):
-        def _p(b: pa.Table) -> pa.Table:
-            h = stable_part_codes(b[side], mod)
-            return b.append_column("__part", pa.array(h))
-        return _p
-
-    def _min_nbr_part(b: pa.Table) -> pa.Table:
-        m = b.group_by(["node"]).aggregate([("nbr", "min")])
-        m = rename_agg(m, {"node": "node", "nbr_min": "mn"})
-        h = stable_part_codes(m["node"], mod)
-        return m.append_column("__part", pa.array(h))
-
-    def _min_nbr_merge(g: pa.Table) -> pa.Table:
-        t = g.drop_columns(["__part"])
-        m = t.group_by(["node"]).aggregate([("mn", "min")])
-        return rename_agg(m, {"node": "node", "mn_min": "mn"})
+    edges = edges_ds.map_batches(_canon,
+                                 batch_format="pyarrow").materialize()
+    nodes = np.sort(np.unique(np.concatenate([
+        t["node"].to_numpy(zero_copy_only=False) for t in _ray.get(
+            nodes_ds.map_batches(
+                lambda b: pa.table({"node": pc.cast(b[node_col],
+                                                    pa.int64())}),
+                batch_format="pyarrow").to_arrow_refs())])))
+    remaining = np.ones(len(nodes), dtype=bool)
+    mis_nodes, mis_round = [], []
 
     for rnd in range(1, rounds + 1):
-        if remaining.count() == 0:  # pool drained: MIS is complete
+        if not remaining.any():
             break
-        # edges with BOTH endpoints remaining
-        e1 = hash_inner_join(edges, remaining, on="nbr",
-                             right_on="node",
-                             num_partitions=num_partitions)
-        e2 = hash_inner_join(e1, remaining,
-                             on="node", num_partitions=num_partitions)
-        min_nbr = e2.map_batches(_min_nbr_part, batch_format="pyarrow")             .repartition(num_partitions).groupby("__part").map_groups(
-                _min_nbr_merge, batch_format="pyarrow")
+        rem_ref = _ray.put((nodes, remaining))
 
-        # remaining LEFT ANTI min_nbr-with-smaller = MIS joiners;
-        # done in one co-partitioned pass: tag sides, group by node
-        def _mis_part(g: pa.Table, _rnd=rnd) -> pa.Table:
+        def _min_nbr(b: pa.Table, _ref=rem_ref) -> pa.Table:
+            nds, rem = _ray.get(_ref)
+            a = b["a"].to_numpy(zero_copy_only=False)
+            bb = b["b"].to_numpy(zero_copy_only=False)
+            keep = rem[np.searchsorted(nds, a)] \
+                & rem[np.searchsorted(nds, bb)]
+            t = pa.table({"node": pa.array(a[keep]),
+                          "nbr": pa.array(bb[keep])})
+            m = t.group_by(["node"]).aggregate([("nbr", "min")])
+            m = rename_agg(m, {"node": "node", "nbr_min": "mn"})
+            h = stable_part_codes(m["node"], mod)
+            return m.append_column("__part", pa.array(h))
+
+        def _min_merge(g: pa.Table) -> pa.Table:
             t = g.drop_columns(["__part"])
-            rem = t.filter(pc.equal(t["__side"], pa.scalar(0, pa.int8())))
-            mn = t.filter(pc.equal(t["__side"], pa.scalar(1, pa.int8())))
-            mn = mn.filter(pc.less(mn["mn"], mn["node"]))
-            blocked = mn.group_by(["node"]).aggregate([])
-            j = rem.select(["node"]).join(
-                blocked.append_column(
-                    "__b", pa.array(np.ones(blocked.num_rows, np.int8))),
-                keys=["node"], join_type="left outer")
-            j = j.filter(pc.is_null(j["__b"]))
-            return pa.table({
-                "node": j["node"],
-                "round": pa.array(
-                    np.full(j.num_rows, _rnd, np.int64))})
+            m = t.group_by(["node"]).aggregate([("mn", "min")])
+            return rename_agg(m, {"node": "node", "mn_min": "mn"})
 
-        def _side(flag: int, cols):
-            def _f(b: pa.Table) -> pa.Table:
-                t = pa.table({c: b[c] for c in cols})
-                if "mn" not in cols:
-                    t = t.append_column("mn", pa.nulls(
-                        b.num_rows, pa.int64()))
-                t = t.append_column("__side", pa.array(
-                    np.full(b.num_rows, flag, np.int8)))
-                h = stable_part_codes(t["node"], mod)
-                return t.append_column("__part", pa.array(h))
-            return _f
+        mins = [t for t in _ray.get(
+            edges.map_batches(_min_nbr, batch_format="pyarrow")
+            .repartition(num_partitions).groupby("__part").map_groups(
+                _min_merge, batch_format="pyarrow").to_arrow_refs())
+            if t.num_rows > 0]
+        # bounded driver read: one (node, min remaining neighbor) row
+        # per remaining non-isolated node
+        blocked = np.zeros(len(nodes), dtype=bool)
+        nbr_of = {}
+        if mins:
+            mt = pa.concat_tables(mins)
+            mn_node = mt["node"].to_numpy(zero_copy_only=False)
+            mn_val = mt["mn"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(nodes, mn_node)
+            blocked[pos[mn_val < mn_node]] = True
+        joiners = remaining & ~blocked
+        j_ids = nodes[joiners]
+        if len(j_ids) == 0:
+            break
+        mis_nodes.append(j_ids)
+        mis_round.append(np.full(len(j_ids), rnd, np.int64))
+        # second streamed pass: neighbors of the joiners leave the pool
+        j_ref = _ray.put(j_ids)
 
-        tagged = remaining.map_batches(
-            _side(0, ["node"]), batch_format="pyarrow").union(
-            min_nbr.map_batches(_side(1, ["node", "mn"]),
-                                batch_format="pyarrow"))
-        mis_r = tagged.repartition(num_partitions).groupby(
-            "__part").map_groups(_mis_part,
-                                 batch_format="pyarrow").materialize()
-        mis_parts.append(mis_r)
+        def _nbrs(b: pa.Table, _ref=j_ref) -> pa.Table:
+            js = _ray.get(_ref)
+            a = b["a"].to_numpy(zero_copy_only=False)
+            bb = b["b"].to_numpy(zero_copy_only=False)
+            ins = np.searchsorted(js, a)
+            ins = np.clip(ins, 0, len(js) - 1)
+            hit = js[ins] == a
+            return pa.table({"n": pa.array(np.unique(bb[hit]))})
 
-        # kill set = MIS joiners + their remaining neighbors
-        # NOTE: map_batches projection, not select_columns — a lazy
-        # Project's schema() can report the PARENT schema to the join
-        # helper (observed on Ray 2.49), which then tags ghost columns
-        mis_nodes = mis_r.map_batches(
-            lambda b: b.select(["node"]), batch_format="pyarrow")
-        nbrs = hash_inner_join(
-            edges, mis_nodes,
-            on="node", num_partitions=num_partitions)
+        kills = [t["n"].to_numpy(zero_copy_only=False)
+                 for t in _ray.get(edges.map_batches(
+                     _nbrs, batch_format="pyarrow").to_arrow_refs())
+                 if t.num_rows > 0]
+        kill = np.unique(np.concatenate(kills + [j_ids])) if kills \
+            else j_ids
+        remaining[np.searchsorted(nodes, kill)] = False
 
-        def _kill_rows(b: pa.Table) -> pa.Table:
-            return pa.table({"node": b["nbr"]})
-
-        kill = mis_nodes.union(
-            nbrs.map_batches(_kill_rows, batch_format="pyarrow"))
-
-        def _surv_part(g: pa.Table) -> pa.Table:
-            t = g.drop_columns(["__part"])
-            rem = t.filter(pc.equal(t["__side"], pa.scalar(0, pa.int8())))
-            kl = t.filter(pc.equal(t["__side"], pa.scalar(1, pa.int8())))
-            kset = kl.group_by(["node"]).aggregate([])
-            j = rem.select(["node"]).join(
-                kset.append_column(
-                    "__k", pa.array(np.ones(kset.num_rows, np.int8))),
-                keys=["node"], join_type="left outer")
-            j = j.filter(pc.is_null(j["__k"]))
-            return pa.table({"node": j["node"]})
-
-        tagged2 = remaining.map_batches(
-            _side(0, ["node"]), batch_format="pyarrow").union(
-            kill.map_batches(_side(1, ["node"]), batch_format="pyarrow"))
-        # drop the unused mn column before the survivor pass
-        remaining = tagged2.map_batches(
-            lambda b: b.drop_columns(["mn"]), batch_format="pyarrow")             .repartition(num_partitions).groupby("__part").map_groups(
-                _surv_part, batch_format="pyarrow").materialize()
-
-    out = mis_parts[0]
-    for m in mis_parts[1:]:
-        out = out.union(m)
-    return out
-
+    if not mis_nodes:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "round": pa.array([], pa.int64())}))
+    return rd.from_arrow(pa.table({
+        "node": pa.array(np.concatenate(mis_nodes)),
+        "round": pa.array(np.concatenate(mis_round))}))
 
 
 def boruvka_mst(edges_ds, nodes_ds, *, node_col: str = "node",
