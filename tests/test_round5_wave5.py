@@ -978,3 +978,70 @@ def test_spc_rules_bruteforce(ray_session):
     assert got == exp
     assert any(r == 1 for _, _, r in exp)
     assert any(r == 4 for _, _, r in exp)
+
+
+def test_single_linkage_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.graph import single_linkage
+
+    rng = np.random.default_rng(83)
+    n = 25
+    edges = {}
+    for _ in range(50):
+        u, v = sorted(map(int, rng.integers(0, n, 2)))
+        if u != v and (u, v) not in edges:
+            edges[(u, v)] = int(rng.integers(1, 8))
+    rows = ([(u, v, w) for (u, v), w in edges.items()]
+            + [(v, u, w) for (u, v), w in edges.items()])
+    eds = rd.from_pandas(pd.DataFrame(rows, columns=["src", "dst", "w"]))
+    nds = rd.from_pandas(pd.DataFrame({"node": range(n)}))
+    T = 3
+    out = single_linkage(eds, nds, threshold=T, rounds=8,
+                         num_partitions=2).to_pandas()
+    # reference: components of the thresholded graph (the theorem)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (u, v), w in edges.items():
+        if w <= T:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+    exp = {}
+    for i in range(n):
+        exp[find(i)] = exp.get(find(i), 0) + 1
+    got = dict(zip(out.cluster, out.n_nodes))
+    assert got == exp
+    assert sum(got.values()) == n
+
+
+def test_wl_refinement_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.dedup import _stable_u64
+    from tsdownsample_ray.stages.graph import wl_refinement
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4)]  # triangle + edge + iso 5
+    both = edges + [(b, a) for a, b in edges]
+    eds = rd.from_pandas(pd.DataFrame(both, columns=["src", "dst"]))
+    nds = rd.from_pandas(pd.DataFrame({"node": range(6)}))
+    out = wl_refinement(eds, nds, fanin=2).to_pandas()
+    adj = {}
+    for a, b in both:
+        adj.setdefault(a, []).append(b)
+    exp = {}
+    for v in range(6):
+        deg = len(adj.get(v, []))
+        nds_deg = sorted(len(adj.get(w, [])) for w in adj.get(v, []))
+        s = f"{deg}:[{','.join(str(d) for d in nds_deg)}]"
+        c = _stable_u64(s.encode()) - (1 << 63)
+        exp[c] = exp.get(c, 0) + 1
+    got = dict(zip(out.wl_color, out.n_nodes))
+    assert got == exp
+    assert sum(got.values()) == 6

@@ -2115,3 +2115,13 @@ from .ext_round5k import SPC_SQL, q_spc_rules_15m  # noqa: E402
 
 QUERIES["spc_rules_15m"] = q_spc_rules_15m
 ORACLE_SQL["spc_rules_15m"] = SPC_SQL
+
+from .ext_round5k import SINGLE_LINKAGE_SQL, q_single_linkage_docs  # noqa: E402
+
+QUERIES["single_linkage_docs"] = q_single_linkage_docs
+ORACLE_SQL["single_linkage_docs"] = SINGLE_LINKAGE_SQL
+
+from .ext_round5k import WL_SQL, q_wl_refinement_docs  # noqa: E402
+
+QUERIES["wl_refinement_docs"] = q_wl_refinement_docs
+ORACLE_SQL["wl_refinement_docs"] = WL_SQL

@@ -2053,3 +2053,136 @@ SELECT series_id, bucket, y, 4 FROM w
 WHERE sgn <> 0 AND s1 = sgn AND s2 = sgn AND s3 = sgn AND s4 = sgn
   AND s5 = sgn AND s6 = sgn AND s7 = sgn AND s8 = sgn
 """
+
+
+def _doc_graph_edges(sf_dir: str, *, weighted: bool):
+    import pyarrow.parquet as _pq
+
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"]).repartition(4)
+
+    def _edges(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        srcs, dsts = [], []
+        for j in range(1, 7):
+            m = j <= 1 + d % 6
+            s = d[m]
+            t = (s * 31 + 97 * j) % n
+            keep = s != t
+            srcs.append(_np.minimum(s[keep], t[keep]))
+            dsts.append(_np.maximum(s[keep], t[keep]))
+        u = _np.concatenate(srcs)
+        v = _np.concatenate(dsts)
+        cols = {"src": pa.array(_np.concatenate([u, v])),
+                "dst": pa.array(_np.concatenate([v, u]))}
+        if weighted:
+            ww = 1 + (u + v) % 7
+            cols["w"] = pa.array(_np.concatenate([ww, ww]))
+        return pa.table(cols)
+
+    return ds, ds.map_batches(_edges, batch_format="pyarrow")
+
+
+def q_single_linkage_docs(sf_dir: str):
+    """Single-linkage clustering of the weighted link graph at
+    distance threshold 2 (``stages/graph.py:single_linkage``): cut
+    every Boruvka-forest edge with w > 2 — the classic identity that
+    level-T single-linkage components equal the components of the
+    T-thresholded graph, which is exactly what the oracle computes
+    (recursive-closure components, no MST required on the SQL side:
+    the theorem IS the check). Output ``(cluster, n_nodes)`` with
+    cluster = min member id, singletons included."""
+    from ...stages.graph import single_linkage
+
+    nodes, edges = _doc_graph_edges(sf_dir, weighted=True)
+    return single_linkage(edges, nodes, threshold=2, node_col="doc_id",
+                          rounds=8, num_partitions=4)
+
+
+SINGLE_LINKAGE_SQL = """
+WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+base AS MATERIALIZED (
+    SELECT d.doc_id AS s, u.j,
+           ((d.doc_id * 31 + 97 * u.j) % (SELECT n FROM nn)) AS t
+    FROM documents d, LATERAL unnest(generate_series(1, 6)) AS u(j)
+    WHERE u.j <= 1 + d.doc_id % 6
+),
+canon AS MATERIALIZED (
+    SELECT least(s, t) AS u, greatest(s, t) AS v FROM base WHERE s <> t
+),
+ed AS MATERIALIZED (
+    SELECT u AS node, v AS dst FROM canon WHERE 1 + (u + v) % 7 <= 2
+    UNION ALL
+    SELECT v AS node, u AS dst FROM canon WHERE 1 + (u + v) % 7 <= 2
+),
+reach AS (
+    SELECT doc_id AS node, doc_id AS r FROM documents
+    UNION
+    SELECT reach.node, ed.dst FROM reach JOIN ed ON ed.node = reach.r
+),
+lab AS (
+    SELECT node, min(r) AS cluster FROM reach GROUP BY node
+)
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_nodes
+FROM lab GROUP BY cluster
+"""
+
+
+def q_wl_refinement_docs(sf_dir: str):
+    """One-round Weisfeiler-Lehman color refinement histogram over the
+    link graph (``stages/graph.py:wl_refinement``): refined color =
+    md5-u64 of ``deg:[sorted neighbor degrees]``, counted per color —
+    the WL-kernel / GNN-expressiveness fingerprint. Node-bounded
+    degree table broadcast once; (node, neighbor-degree) rows stream
+    through ONE hash(node) shuffle. The md5-u64-minus-2^63 int64
+    storage is the KMV convention, replayed exactly in SQL."""
+    from ...stages.graph import wl_refinement
+
+    nodes, edges = _doc_graph_edges(sf_dir, weighted=False)
+    return wl_refinement(edges, nodes, node_col="doc_id", fanin=4)
+
+
+_MD5U64_WL = """list_reduce(list_prepend(0::HUGEINT,
+    list_transform(range(1, 17),
+        i -> CAST(strpos('0123456789abcdef',
+                         substring(md5({expr}), i, 1)) - 1
+                  AS HUGEINT))), (h, d) -> h * 16 + d)"""
+
+WL_SQL = f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+base AS (
+    SELECT d.doc_id AS s, u.j,
+           ((d.doc_id * 31 + 97 * u.j) % (SELECT n FROM nn)) AS t
+    FROM documents d, LATERAL unnest(generate_series(1, 6)) AS u(j)
+    WHERE u.j <= 1 + d.doc_id % 6
+),
+canon AS (
+    SELECT least(s, t) AS u, greatest(s, t) AS v FROM base WHERE s <> t
+),
+ed AS (
+    SELECT u AS node, v AS dst FROM canon
+    UNION ALL
+    SELECT v AS node, u AS dst FROM canon
+),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM ed GROUP BY node),
+strs AS (
+    SELECT n.doc_id AS node,
+           coalesce(dg.d, 0) AS d0,
+           coalesce((SELECT string_agg(CAST(dg2.d AS VARCHAR),
+                                       ',' ORDER BY dg2.d)
+                     FROM ed e JOIN deg dg2 ON dg2.node = e.dst
+                     WHERE e.node = n.doc_id), '') AS lst
+    FROM documents n LEFT JOIN deg dg ON dg.node = n.doc_id
+),
+colors AS (
+    SELECT CAST({_MD5U64_WL.format(
+        expr="CAST(d0 AS VARCHAR) || ':[' || lst || ']'")}
+        - 9223372036854775808::HUGEINT AS BIGINT) AS wl_color
+    FROM strs
+)
+SELECT wl_color, CAST(count(*) AS BIGINT) AS n_nodes
+FROM colors GROUP BY wl_color
+"""

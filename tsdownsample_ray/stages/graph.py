@@ -47,7 +47,7 @@ import pyarrow.compute as pc
 __all__ = ["extract_links_batch", "grouped_sum_parts", "pagerank",
            "triangle_counts", "link_prediction", "hits", "reciprocity",
            "degree_assortativity", "sssp", "mis_rounds",
-           "boruvka_mst"]
+           "boruvka_mst", "single_linkage", "wl_refinement"]
 
 
 def extract_links_batch(batch: pa.Table, *, html_col: str = "html",
@@ -1109,3 +1109,170 @@ def boruvka_mst(edges_ds, nodes_ds, *, node_col: str = "node",
     # distinct: each undirected edge is chosen from both of its sides
     forest = forest.group_by(["u", "v", "w"]).aggregate([])
     return rd.from_arrow(forest)
+
+
+def single_linkage(edges_ds, nodes_ds, *, threshold: int,
+                   node_col: str = "node", src: str = "src",
+                   dst: str = "dst", w: str = "w", rounds: int = 8,
+                   num_partitions: int = 8):
+    """SINGLE-LINKAGE clustering at a distance ``threshold`` via the
+    Boruvka forest: cut every MSF edge with ``w > threshold`` — the
+    classic identity that single-linkage components at level T equal
+    the connected components of the T-thresholded graph, with the MSF
+    as the (node-bounded!) certificate. Output per cluster:
+    ``(cluster, n_nodes)`` with ``cluster`` the member-minimum node id
+    (singletons included).
+
+    Scale shape: all the heavy lifting is :func:`boruvka_mst` (edges
+    stream, node-bounded state); the final cut + union-find runs on
+    the FOREST (< n edges) driver-side under the same bounded-node
+    contract."""
+    import ray as _ray
+    import ray.data as rd
+
+    forest = boruvka_mst(edges_ds, nodes_ds, node_col=node_col, src=src,
+                         dst=dst, w=w, rounds=rounds,
+                         num_partitions=num_partitions)
+    ft = pa.concat_tables(_ray.get(forest.to_arrow_refs()))
+    nodes = np.sort(np.unique(np.concatenate([
+        t["node"].to_numpy(zero_copy_only=False) for t in _ray.get(
+            nodes_ds.map_batches(
+                lambda b: pa.table({"node": pc.cast(b[node_col],
+                                                    pa.int64())}),
+                batch_format="pyarrow").to_arrow_refs())])))
+    parent = {int(n): int(n) for n in nodes}
+
+    def _find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    if ft.num_rows:
+        uu = ft["u"].to_numpy(zero_copy_only=False)
+        vv = ft["v"].to_numpy(zero_copy_only=False)
+        ww = ft["w"].to_numpy(zero_copy_only=False)
+        keep = ww <= threshold
+        for a, b in zip(uu[keep], vv[keep]):
+            ra, rb = _find(int(a)), _find(int(b))
+            if ra != rb:
+                # union toward the smaller root: cluster id = min member
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+    counts: dict[int, int] = {}
+    for n in nodes:
+        r = _find(int(n))
+        counts[r] = counts.get(r, 0) + 1
+    ks = sorted(counts)
+    return rd.from_arrow(pa.table({
+        "cluster": pa.array(ks, pa.int64()),
+        "n_nodes": pa.array([counts[k] for k in ks], pa.int64())}))
+
+
+def wl_refinement(edges_ds, nodes_ds, *, node_col: str = "node",
+                  src: str = "src", dst: str = "dst", fanin: int = 4):
+    """One round of Weisfeiler-Lehman color refinement over the graph
+    (Weisfeiler & Lehman 1968; the graph-fingerprint primitive behind
+    WL kernels and GNN expressiveness): initial color = degree; the
+    refined color of a node is the md5-u64 of ``deg:[sorted neighbor
+    degrees joined by ,]``. Output: the refined color HISTOGRAM
+    ``(wl_color, n_nodes)`` — the per-graph fingerprint (isolated
+    nodes hash ``0:[]``).
+
+    Scale shape: degrees are one hashpart grouped count (node-bounded)
+    broadcast back with ``ray.put`` (the small-side pattern); the
+    refinement pass streams the edge set once, building each node's
+    neighbor-degree multiset with one lexsort per block partial, then
+    a hashpart merge re-sorts the (bounded) per-node lists. The
+    md5-u64 convention is the catalog-wide one, so SQL replays every
+    hash."""
+    import ray as _ray
+    import ray.data as rd
+
+    from ..arrow_utils import rename_agg, stable_part_codes
+    from .dedup import _stable_u64
+
+    def _canon(b: pa.Table) -> pa.Table:
+        return pa.table({"a": pc.cast(b[src], pa.int64()),
+                         "b": pc.cast(b[dst], pa.int64())})
+
+    edges = edges_ds.map_batches(_canon,
+                                 batch_format="pyarrow").materialize()
+    nodes = np.sort(np.unique(np.concatenate([
+        t["node"].to_numpy(zero_copy_only=False) for t in _ray.get(
+            nodes_ds.map_batches(
+                lambda b: pa.table({"node": pc.cast(b[node_col],
+                                                    pa.int64())}),
+                batch_format="pyarrow").to_arrow_refs())])))
+    # degree table: node-bounded; built distributed, broadcast once
+    deg_tbls = _ray.get(edges.map_batches(
+        lambda b: b.group_by(["a"]).aggregate([("b", "count")]),
+        batch_format="pyarrow").to_arrow_refs())
+    deg = np.zeros(len(nodes), dtype=np.int64)
+    for t in deg_tbls:
+        if t.num_rows:
+            pos = np.searchsorted(nodes, t["a"].to_numpy(
+                zero_copy_only=False))
+            np.add.at(deg, pos, t["b_count"].to_numpy(
+                zero_copy_only=False))
+    deg_ref = _ray.put((nodes, deg))
+
+    def _partial(b: pa.Table, _ref=deg_ref) -> pa.Table:
+        nds, dg = _ray.get(_ref)
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        nd = dg[np.searchsorted(nds, bb)]
+        t = pa.table({"node": pa.array(a), "nd": pa.array(nd)})
+        h = stable_part_codes(t["node"], 256)
+        return t.append_column("__part", pa.array(h))
+
+    def _merge(g: pa.Table, _ref=deg_ref) -> pa.Table:
+        nds, dg = _ray.get(_ref)
+        t = g.drop_columns(["__part"])
+        empty = pa.table({"wl_color": pa.array([], pa.int64()),
+                          "n_nodes": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("node", "ascending"), ("nd", "ascending")]))
+        node = t["node"].to_numpy(zero_copy_only=False)
+        nd = t["nd"].to_numpy(zero_copy_only=False)
+        heads = np.ones(len(node), dtype=bool)
+        heads[1:] = node[1:] != node[:-1]
+        seg = np.flatnonzero(heads)
+        seg_len = np.diff(np.append(seg, len(node)))
+        colors = []
+        for si, f0 in enumerate(seg):
+            nid = int(node[f0])
+            d0 = int(dg[np.searchsorted(nds, nid)])
+            lst = ",".join(str(int(x))
+                           for x in nd[f0:f0 + int(seg_len[si])])
+            s = f"{d0}:[{lst}]"
+            # u64 stored shifted into int64 (the KMV convention);
+            # plain Python ints: uint64 wraparound would overflow here
+            colors.append(_stable_u64(s.encode()) - (1 << 63))
+        ct = pa.table({"wl_color": pa.array(colors, pa.int64()),
+                       "one": pa.array(np.ones(len(colors), np.int64))})
+        m = ct.group_by(["wl_color"]).aggregate([("one", "sum")])
+        return rename_agg(m, {"wl_color": "wl_color",
+                              "one_sum": "n_nodes"})
+
+    parts = edges.map_batches(_partial, batch_format="pyarrow") \
+        .repartition(fanin).groupby("__part").map_groups(
+            _merge, batch_format="pyarrow")
+    hist = grouped_sum_parts(parts, ["wl_color"], ["n_nodes"],
+                             count_col=None, fanin=fanin)
+    # isolated nodes never enter the edge stream: add them as one
+    # bounded row ("0:[]" color) if any exist
+    n_iso = int((deg == 0).sum())
+    if n_iso:
+        iso_color = _stable_u64(b"0:[]") - (1 << 63)
+        iso = rd.from_arrow(pa.table({
+            "wl_color": pa.array([iso_color], pa.int64()),
+            "n_nodes": pa.array([n_iso], pa.int64())}))
+        hist = grouped_sum_parts(hist.union(iso), ["wl_color"],
+                                 ["n_nodes"], count_col=None,
+                                 fanin=fanin)
+    return hist
