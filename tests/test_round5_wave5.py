@@ -1045,3 +1045,34 @@ def test_wl_refinement_bruteforce(ray_session):
     got = dict(zip(out.wl_color, out.n_nodes))
     assert got == exp
     assert sum(got.values()) == 6
+
+
+def test_rake_word_scores_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.textstats import rake_word_scores
+
+    texts = ["deep learning of the neural net",
+             "the deep net and a deep deep stack",
+             "a  lone"]  # double space: empty token breaks the run
+    df = pd.DataFrame({"doc_id": range(3), "text": texts})
+    out = rake_word_scores(rd.from_pandas(df).repartition(3),
+                           num_partitions=2).to_pandas()
+    stop = {"the", "a", "an", "and", "of"}
+    freq, deg = {}, {}
+    for t in texts:
+        run = []
+        for tok in t.split(" ") + [""]:
+            if tok in stop or tok == "":
+                for wd in run:
+                    freq[wd] = freq.get(wd, 0) + 1
+                    deg[wd] = deg.get(wd, 0) + len(run)
+                run = []
+            else:
+                run.append(tok)
+    got = {r.word: (r.freq, r.deg) for r in out.itertuples()}
+    assert got == {w: (freq[w], deg[w]) for w in freq}
+    for r in out.itertuples():
+        assert r.score == pytest.approx(r.deg / r.freq)
+    # the doubled word in one phrase counts twice (RAKE convention)
+    assert got["deep"][0] == 4

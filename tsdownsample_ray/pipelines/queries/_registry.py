@@ -2125,3 +2125,8 @@ from .ext_round5k import WL_SQL, q_wl_refinement_docs  # noqa: E402
 
 QUERIES["wl_refinement_docs"] = q_wl_refinement_docs
 ORACLE_SQL["wl_refinement_docs"] = WL_SQL
+
+from .ext_round5k import RAKE_SQL, q_rake_words_docs  # noqa: E402
+
+QUERIES["rake_words_docs"] = q_rake_words_docs
+ORACLE_SQL["rake_words_docs"] = RAKE_SQL

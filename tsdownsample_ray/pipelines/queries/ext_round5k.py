@@ -2186,3 +2186,52 @@ colors AS (
 SELECT wl_color, CAST(count(*) AS BIGINT) AS n_nodes
 FROM colors GROUP BY wl_color
 """
+
+
+def q_rake_words_docs(sf_dir: str):
+    """RAKE keyword statistics over the corpus
+    (``stages/textstats.py:rake_word_scores``; Rose et al. 2010):
+    phrases are maximal non-stopword runs (stopwords: the/a/an/and/of;
+    empty tokens and document boundaries break runs), each word's
+    ``freq`` counts phrase occurrences, ``deg`` sums the containing
+    phrase lengths, ``score = deg/freq`` the pinned quotient. The SQL
+    replay is the classic gaps-and-islands row_number difference."""
+    from ...stages.textstats import rake_word_scores
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+    return rake_word_scores(ds, num_partitions=8)
+
+
+RAKE_SQL = """
+WITH w AS (
+    SELECT doc_id, token, i,
+           (token IN ('the', 'a', 'an', 'and', 'of')
+            OR token = '') AS is_stop
+    FROM (
+        SELECT doc_id, l[i] AS token, i
+        FROM (SELECT doc_id, string_split(text, ' ') AS l
+              FROM documents),
+             LATERAL unnest(generate_series(1, len(l))) AS t(i)
+    )
+),
+k AS (
+    SELECT doc_id, token, i,
+           i - row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY i) AS grp
+    FROM w WHERE NOT is_stop
+),
+p AS (
+    SELECT doc_id, token, grp,
+           count(*) OVER (PARTITION BY doc_id, grp) AS plen
+    FROM k
+),
+agg AS (
+    SELECT token AS word, CAST(count(*) AS BIGINT) AS freq,
+           CAST(sum(plen) AS BIGINT) AS deg
+    FROM p GROUP BY token
+)
+SELECT word, freq, deg,
+       CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS score
+FROM agg
+"""

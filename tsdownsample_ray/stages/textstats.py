@@ -12,7 +12,8 @@ import pyarrow.compute as pc
 
 __all__ = ["token_stats_batch", "LangId", "fingerprint_batch",
            "quality_batch", "BpeishTokenizer", "kwic",
-           "readability_batch"]
+           "readability_batch",
+           "rake_word_scores"]
 
 # GPT-2-style pretokenizer pattern (contractions, letter runs, digit runs,
 # punctuation runs, whitespace) — the "BPE-ish regex" token count
@@ -516,3 +517,82 @@ def readability_batch(batch: pa.Table, *, text_col: str = "text",
         "flesch": pa.array(np.where(ok, flesch, np.nan), pa.float64(),
                            mask=~ok),
     })
+
+
+RAKE_STOPWORDS = ("the", "a", "an", "and", "of")
+
+
+def rake_word_scores(ds, *, text_col: str = "text",
+                     stopwords: tuple = RAKE_STOPWORDS,
+                     num_partitions: int = 8):
+    """RAKE keyword statistics (Rose et al. 2010 — Rapid Automatic
+    Keyword Extraction): candidate PHRASES are maximal runs of
+    non-stopword tokens (stopwords and empty tokens break phrases,
+    document boundaries too); each word's ``freq`` counts its phrase
+    occurrences, ``deg`` sums the lengths of the phrases it occurs in
+    (degree-including-self, the RAKE convention), and
+    ``score = deg / freq`` favors words living in long phrases.
+    Word-level output only — phrase scores would sum floats in
+    arbitrary order; ``(word, freq, deg, score)`` keeps ints exact and
+    the score a pinned quotient.
+
+    Scale shape: per block one vectorized segmentation (boundary
+    cumsum -> phrase ids -> phrase lengths by repeat/diff), in-block
+    (word -> freq, deg) partials, ONE hash(word) grouped sum
+    (vocabulary-sized), a tiny float finish."""
+    from ..arrow_utils import rename_agg
+    from .graph import grouped_sum_parts
+
+    stop = set(stopwords)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"word": pa.array([], pa.string()),
+                          "freq": pa.array([], pa.int64()),
+                          "deg": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(b[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        row = np.repeat(np.arange(b.num_rows, dtype=np.int64),
+                        np.diff(off))
+        n = len(flat)
+        if n == 0:
+            return empty
+        is_stop = pc.is_in(flat, value_set=pa.array(
+            sorted(stop) + [""])).to_numpy(zero_copy_only=False)
+        keep = ~is_stop
+        # boundary: first kept token of a run (doc change or a broken
+        # predecessor)
+        prev_keep = np.zeros(n, dtype=bool)
+        prev_keep[1:] = keep[:-1] & (row[1:] == row[:-1])
+        start = keep & ~prev_keep
+        phrase_id = np.cumsum(start) - 1  # valid only where keep
+        kept_pid = phrase_id[keep]
+        if len(kept_pid) == 0:
+            return empty
+        plen = np.bincount(kept_pid)
+        t = pa.table({"word": flat.filter(pa.array(keep)),
+                      "freq": pa.array(np.ones(len(kept_pid), np.int64)),
+                      "deg": pa.array(plen[kept_pid].astype(np.int64))})
+        g = t.group_by(["word"]).aggregate([("freq", "sum"),
+                                            ("deg", "sum")])
+        return rename_agg(g, {"word": "word", "freq_sum": "freq",
+                              "deg_sum": "deg"})
+
+    summed = grouped_sum_parts(ds.map_batches(_partial,
+                                              batch_format="pyarrow"),
+                               ["word"], ["freq", "deg"],
+                               count_col=None, fanin=num_partitions)
+
+    def _finish(b: pa.Table) -> pa.Table:
+        f = b["freq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "word": b["word"], "freq": pa.array(f), "deg": pa.array(d),
+            "score": pa.array(d.astype(np.float64)
+                              / f.astype(np.float64), pa.float64())})
+
+    return summed.map_batches(_finish, batch_format="pyarrow")
