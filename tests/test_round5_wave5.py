@@ -1076,3 +1076,54 @@ def test_rake_word_scores_bruteforce(ray_session):
         assert r.score == pytest.approx(r.deg / r.freq)
     # the doubled word in one phrase counts twice (RAKE convention)
     assert got["deep"][0] == 4
+
+
+def test_katz_rounds_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.graph import katz_rounds
+
+    rng = np.random.default_rng(89)
+    n = 20
+    edges = set()
+    for _ in range(40):
+        u, v = map(int, rng.integers(0, n, 2))
+        if u != v:
+            edges.add((u, v))
+            edges.add((v, u))
+    eds = rd.from_pandas(pd.DataFrame(sorted(edges),
+                                      columns=["src", "dst"]))
+    nds = rd.from_pandas(pd.DataFrame({"node": range(n)}))
+    out = katz_rounds(eds, nds, rounds=4,
+                      num_partitions=2).to_pandas().set_index("node")
+    x = {v: 1000 for v in range(n)}
+    inn = {}
+    for a, b in edges:
+        inn.setdefault(b, []).append(a)
+    for _ in range(4):
+        x = {v: 1000 + sum(x[a] for a in inn.get(v, [])) // 8
+             for v in range(n)}
+    for v in range(n):
+        assert int(out.loc[v].katz) == x[v], v
+
+
+def test_term_adaptation_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.textstats import term_adaptation
+
+    texts = ["cat cat dog", "dog bird", "cat fish fish fish"]
+    df = pd.DataFrame({"doc_id": range(3), "text": texts})
+    out = term_adaptation(rd.from_pandas(df).repartition(3),
+                          min_df=1, num_partitions=2) \
+        .to_pandas().set_index("token")
+    from collections import Counter
+
+    cf = Counter(t for s in texts for t in s.split())
+    dfc = Counter(t for s in texts for t in set(s.split()))
+    for tok in cf:
+        row = out.loc[tok]
+        assert (int(row.cf), int(row.df)) == (cf[tok], dfc[tok])
+        assert row.burstiness == pytest.approx(cf[tok] / dfc[tok])
+        assert row.adaptation == pytest.approx(
+            (cf[tok] - dfc[tok]) / cf[tok])

@@ -2130,3 +2130,13 @@ from .ext_round5k import RAKE_SQL, q_rake_words_docs  # noqa: E402
 
 QUERIES["rake_words_docs"] = q_rake_words_docs
 ORACLE_SQL["rake_words_docs"] = RAKE_SQL
+
+from .ext_round5k import KATZ_SQL, q_katz_docs  # noqa: E402
+
+QUERIES["katz_docs"] = q_katz_docs
+ORACLE_SQL["katz_docs"] = KATZ_SQL
+
+from .ext_round5k import ADAPTATION_SQL, q_term_adaptation_docs  # noqa: E402
+
+QUERIES["term_adaptation_docs"] = q_term_adaptation_docs
+ORACLE_SQL["term_adaptation_docs"] = ADAPTATION_SQL

@@ -2235,3 +2235,108 @@ SELECT word, freq, deg,
        CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS score
 FROM agg
 """
+
+
+def q_katz_docs(sf_dir: str):
+    """Katz centrality over the link graph by 4 integer fixed-point
+    rounds (``stages/graph.py:katz_rounds``; Katz 1953): attenuation
+    1/8 as an arithmetic shift on non-negative scores (== floor
+    division, replayed as `// 8`), +1000 base unit — exact int64 end
+    to end, the EWMA fixed-point convention applied to a graph
+    recursion. Edges stream; the node-bounded score vector is
+    driver-held (kcore contract)."""
+    from ...stages.graph import katz_rounds
+
+    nodes, edges = _doc_graph_edges(sf_dir, weighted=False)
+    return katz_rounds(edges, nodes, node_col="doc_id", rounds=4,
+                       num_partitions=4)
+
+
+KATZ_SQL = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+base AS MATERIALIZED (
+    SELECT d.doc_id AS s, u.j,
+           ((d.doc_id * 31 + 97 * u.j) % (SELECT n FROM nn)) AS t
+    FROM documents d, LATERAL unnest(generate_series(1, 6)) AS u(j)
+    WHERE u.j <= 1 + d.doc_id % 6
+),
+canon AS MATERIALIZED (
+    SELECT least(s, t) AS u, greatest(s, t) AS v FROM base WHERE s <> t
+),
+ed AS MATERIALIZED (
+    SELECT u AS node, v AS dst FROM canon
+    UNION ALL
+    SELECT v AS node, u AS dst FROM canon
+),
+k0 AS MATERIALIZED (
+    SELECT doc_id AS node, CAST(1000 AS BIGINT) AS x FROM documents
+),
+k1 AS MATERIALIZED (
+    SELECT n.doc_id AS node,
+           1000 + coalesce(s.sm, 0) // 8 AS x
+    FROM documents n LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(k0.x) AS BIGINT) AS sm
+        FROM ed e JOIN k0 ON k0.node = e.node
+        GROUP BY e.dst
+    ) s ON s.node = n.doc_id
+),
+k2 AS MATERIALIZED (
+    SELECT n.doc_id AS node,
+           1000 + coalesce(s.sm, 0) // 8 AS x
+    FROM documents n LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(k1.x) AS BIGINT) AS sm
+        FROM ed e JOIN k1 ON k1.node = e.node
+        GROUP BY e.dst
+    ) s ON s.node = n.doc_id
+),
+k3 AS MATERIALIZED (
+    SELECT n.doc_id AS node,
+           1000 + coalesce(s.sm, 0) // 8 AS x
+    FROM documents n LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(k2.x) AS BIGINT) AS sm
+        FROM ed e JOIN k2 ON k2.node = e.node
+        GROUP BY e.dst
+    ) s ON s.node = n.doc_id
+),
+k4 AS MATERIALIZED (
+    SELECT n.doc_id AS node,
+           1000 + coalesce(s.sm, 0) // 8 AS x
+    FROM documents n LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(k3.x) AS BIGINT) AS sm
+        FROM ed e JOIN k3 ON k3.node = e.node
+        GROUP BY e.dst
+    ) s ON s.node = n.doc_id
+)
+SELECT node, CAST(x AS BIGINT) AS katz FROM k4
+"""
+
+
+def q_term_adaptation_docs(sf_dir: str):
+    """Church-Gale burstiness / adaptation per corpus token
+    (``stages/textstats.py:term_adaptation``; Church & Gale 1995):
+    exact cf/df from one hash(token) grouped sum of per-doc partials;
+    ``burstiness = cf/df`` and ``adaptation = (cf-df)/cf`` are pinned
+    quotients. min_df = 2 trims hapaxes."""
+    from ...stages.textstats import term_adaptation
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+    return term_adaptation(ds, min_df=2, num_partitions=8)
+
+
+ADAPTATION_SQL = """
+WITH w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+),
+f AS (SELECT doc_id, token FROM w WHERE token <> ''),
+agg AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS cf,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM f GROUP BY token
+)
+SELECT token, cf, df,
+       CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) AS burstiness,
+       CAST(cf - df AS DOUBLE) / CAST(cf AS DOUBLE) AS adaptation
+FROM agg WHERE df >= 2
+"""

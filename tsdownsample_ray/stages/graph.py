@@ -47,7 +47,8 @@ import pyarrow.compute as pc
 __all__ = ["extract_links_batch", "grouped_sum_parts", "pagerank",
            "triangle_counts", "link_prediction", "hits", "reciprocity",
            "degree_assortativity", "sssp", "mis_rounds",
-           "boruvka_mst", "single_linkage", "wl_refinement"]
+           "boruvka_mst", "single_linkage", "wl_refinement",
+           "katz_rounds"]
 
 
 def extract_links_batch(batch: pa.Table, *, html_col: str = "html",
@@ -1276,3 +1277,81 @@ def wl_refinement(edges_ds, nodes_ds, *, node_col: str = "node",
                                  ["n_nodes"], count_col=None,
                                  fanin=fanin)
     return hist
+
+
+def katz_rounds(edges_ds, nodes_ds, *, node_col: str = "node",
+                src: str = "src", dst: str = "dst", rounds: int = 4,
+                num_partitions: int = 8):
+    """Katz centrality by fixed-point INTEGER iteration (Katz 1953;
+    the attenuation-walk counterpart of the PageRank/HITS rows):
+    ``x_{k+1}[v] = 1000 + (sum over in-neighbors of x_k) >> 3`` —
+    attenuation 1/8 as an arithmetic shift and a scaled +1000 unit, so
+    after ``rounds`` rounds every score is exact int64 and the SQL
+    replay is bit-identical (the EWMA/Holt fixed-point convention
+    applied to a graph recursion). Converges when alpha = 1/8 < 1 /
+    spectral-radius; the bounded round count is part of the replayed
+    contract (bfs/sssp family). Output: ``(node, katz)``.
+
+    Scale shape: per round ONE broadcast-lookup edge map with in-block
+    partial sums + ONE hashpart grouped sum; the node-bounded score
+    vector is driver-held state (the kcore/boruvka contract), edges
+    only ever stream."""
+    import ray as _ray
+    import ray.data as rd
+
+    from ..arrow_utils import rename_agg, stable_part_codes
+
+    if rounds < 1:
+        raise ValueError("katz_rounds: rounds must be >= 1")
+    mod = num_partitions * 64
+
+    def _canon(b: pa.Table) -> pa.Table:
+        return pa.table({"a": pc.cast(b[src], pa.int64()),
+                         "b": pc.cast(b[dst], pa.int64())})
+
+    edges = edges_ds.map_batches(_canon,
+                                 batch_format="pyarrow").materialize()
+    nodes = np.sort(np.unique(np.concatenate([
+        t["node"].to_numpy(zero_copy_only=False) for t in _ray.get(
+            nodes_ds.map_batches(
+                lambda b: pa.table({"node": pc.cast(b[node_col],
+                                                    pa.int64())}),
+                batch_format="pyarrow").to_arrow_refs())])))
+    x = np.full(len(nodes), 1000, dtype=np.int64)
+
+    for _ in range(rounds):
+        x_ref = _ray.put((nodes, x))
+
+        def _contrib(b: pa.Table, _ref=x_ref) -> pa.Table:
+            nds, xv = _ray.get(_ref)
+            a = b["a"].to_numpy(zero_copy_only=False)
+            bb = b["b"].to_numpy(zero_copy_only=False)
+            # edge (a -> b): b receives x[a]
+            t = pa.table({"node": pa.array(bb),
+                          "s": pa.array(xv[np.searchsorted(nds, a)])})
+            g = t.group_by(["node"]).aggregate([("s", "sum")])
+            g = rename_agg(g, {"node": "node", "s_sum": "s"})
+            h = stable_part_codes(g["node"], mod)
+            return g.append_column("__part", pa.array(h))
+
+        def _merge(g: pa.Table) -> pa.Table:
+            t = g.drop_columns(["__part"])
+            m = t.group_by(["node"]).aggregate([("s", "sum")])
+            return rename_agg(m, {"node": "node", "s_sum": "s"})
+
+        sums = [t for t in _ray.get(
+            edges.map_batches(_contrib, batch_format="pyarrow")
+            .repartition(num_partitions).groupby("__part").map_groups(
+                _merge, batch_format="pyarrow").to_arrow_refs())
+            if t.num_rows > 0]
+        nx = np.full(len(nodes), 1000, dtype=np.int64)
+        if sums:
+            st = pa.concat_tables(sums)
+            pos = np.searchsorted(nodes, st["node"].to_numpy(
+                zero_copy_only=False))
+            # scores are non-negative, so >> 3 is plain floor division
+            nx[pos] += st["s"].to_numpy(zero_copy_only=False) >> 3
+        x = nx
+
+    return rd.from_arrow(pa.table({"node": pa.array(nodes),
+                                   "katz": pa.array(x)}))

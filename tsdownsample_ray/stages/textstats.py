@@ -13,7 +13,7 @@ import pyarrow.compute as pc
 __all__ = ["token_stats_batch", "LangId", "fingerprint_batch",
            "quality_batch", "BpeishTokenizer", "kwic",
            "readability_batch",
-           "rake_word_scores"]
+           "rake_word_scores", "term_adaptation"]
 
 # GPT-2-style pretokenizer pattern (contractions, letter runs, digit runs,
 # punctuation runs, whitespace) — the "BPE-ish regex" token count
@@ -594,5 +594,62 @@ def rake_word_scores(ds, *, text_col: str = "text",
             "word": b["word"], "freq": pa.array(f), "deg": pa.array(d),
             "score": pa.array(d.astype(np.float64)
                               / f.astype(np.float64), pa.float64())})
+
+    return summed.map_batches(_finish, batch_format="pyarrow")
+
+
+def term_adaptation(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    min_df: int = 2, num_partitions: int = 8):
+    """Church-Gale term BURSTINESS / adaptation statistics (Church &
+    Gale 1995 — "Poisson mixtures"): per token the collection
+    frequency ``cf``, document frequency ``df``, the burstiness ratio
+    ``cf/df`` (mean occurrences per containing doc) and the adaptation
+    probability ``(cf - df) / cf`` (chance a token repeats given it
+    occurred). Content words adapt, function words do not — the
+    classic evidence against the independence assumption. Ints exact;
+    the two ratios are pinned quotients.
+
+    Scale shape: the build_vocab partial (per-doc counts -> per-block
+    token partials), ONE hash(token) grouped sum, tiny float finish."""
+    from ..arrow_utils import rename_agg
+    from .graph import grouped_sum_parts
+
+    def _partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        row = np.repeat(np.arange(b.num_rows, dtype=np.int64),
+                        np.diff(off))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        t = pa.table({"row": pa.array(row[keep]),
+                      "token": flat.filter(pa.array(keep)),
+                      "one": pa.array(np.ones(int(keep.sum()), np.int64))})
+        per_doc = t.group_by(["row", "token"]).aggregate([("one", "sum")])
+        per_doc = rename_agg(per_doc, {"row": "row", "token": "token",
+                                       "one_sum": "cf"})
+        g = per_doc.group_by(["token"]).aggregate(
+            [("cf", "sum"), ("cf", "count")])
+        return rename_agg(g, {"token": "token", "cf_sum": "cf",
+                              "cf_count": "df"})
+
+    summed = grouped_sum_parts(ds.map_batches(_partial,
+                                              batch_format="pyarrow"),
+                               ["token"], ["cf", "df"], count_col=None,
+                               fanin=num_partitions)
+
+    def _finish(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["df"],
+                                      pa.scalar(min_df, pa.int64())))
+        cf = t["cf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "token": t["token"], "cf": pa.array(cf), "df": pa.array(df),
+            "burstiness": pa.array(cf.astype(np.float64)
+                                   / df.astype(np.float64), pa.float64()),
+            "adaptation": pa.array(
+                (cf - df).astype(np.float64) / cf.astype(np.float64),
+                pa.float64())})
 
     return summed.map_batches(_finish, batch_format="pyarrow")
