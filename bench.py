@@ -164,7 +164,10 @@ def run_bench() -> dict:
         "lz_complexity_15m", "mtf_score_users",
         "transposition_pairs_docs", "golomb_postings_docs",
         "savgol_15m", "ols_influence_1h", "mis_docs",
-        "g2_collocations_docs", "mst_docs", "capture_recapture_users")
+        "g2_collocations_docs", "mst_docs", "capture_recapture_users",
+        "spc_rules_15m", "wilson_interval_events", "hrw_rebalance_docs",
+        "single_linkage_docs", "wl_refinement_docs", "rake_words_docs",
+        "katz_docs", "term_adaptation_docs", "log_odds_sources_docs")
     for qname in qnames:
         best = None
         # min-of-n: throttle bursts vary timings ~3x; the two join-heavy

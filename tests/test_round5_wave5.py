@@ -1127,3 +1127,36 @@ def test_term_adaptation_bruteforce(ray_session):
         assert row.burstiness == pytest.approx(cf[tok] / dfc[tok])
         assert row.adaptation == pytest.approx(
             (cf[tok] - dfc[tok]) / cf[tok])
+
+
+def test_log_odds_contrast_bruteforce(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.textstats import log_odds_contrast
+
+    texts = [("alpha beta beta gamma", "s0"), ("beta gamma", "s2"),
+             ("alpha alpha delta", "s1"), ("delta beta", "s3")]
+    df = pd.DataFrame(texts, columns=["text", "source"])
+    out = log_odds_contrast(rd.from_pandas(df).repartition(2),
+                            min_cf=1, num_partitions=2) \
+        .to_pandas().set_index("token")
+    from collections import Counter
+
+    c1 = Counter(t for s, g in texts if int(g[1:]) % 2 == 0
+                 for t in s.split())
+    c2 = Counter(t for s, g in texts if int(g[1:]) % 2 == 1
+                 for t in s.split())
+    vocab = len(set(c1) | set(c2))
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    for tok in set(c1) | set(c2):
+        x1, x2 = c1.get(tok, 0), c2.get(tok, 0)
+        a, av = 1.0, float(vocab)
+        delta = (math.log((x1 + a) / (n1 + av - x1 - a))
+                 - math.log((x2 + a) / (n2 + av - x2 - a)))
+        var = 1.0 / (x1 + a) + 1.0 / (x2 + a)
+        row = out.loc[tok]
+        assert (int(row.c1), int(row.c2)) == (x1, x2)
+        assert row.delta == pytest.approx(delta, rel=1e-12)
+        assert row.z == pytest.approx(delta / math.sqrt(var), rel=1e-12)

@@ -2140,3 +2140,8 @@ from .ext_round5k import ADAPTATION_SQL, q_term_adaptation_docs  # noqa: E402
 
 QUERIES["term_adaptation_docs"] = q_term_adaptation_docs
 ORACLE_SQL["term_adaptation_docs"] = ADAPTATION_SQL
+
+from .ext_round5k import LOGODDS_SQL, q_log_odds_sources_docs  # noqa: E402
+
+QUERIES["log_odds_sources_docs"] = q_log_odds_sources_docs
+ORACLE_SQL["log_odds_sources_docs"] = LOGODDS_SQL

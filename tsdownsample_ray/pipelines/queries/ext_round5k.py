@@ -2340,3 +2340,57 @@ SELECT token, cf, df,
        CAST(cf - df AS DOUBLE) / CAST(cf AS DOUBLE) AS adaptation
 FROM agg WHERE df >= 2
 """
+
+
+def q_log_odds_sources_docs(sf_dir: str):
+    """Monroe-Colaresi-Quinn log-odds keyword contrast between the
+    even and odd source halves of the corpus
+    (``stages/textstats.py:log_odds_contrast``; "Fightin' Words",
+    2008): symmetric Dirichlet prior alpha=1, exact integer counts,
+    per-row pinned libm ln/sqrt chains for delta and z. The calibrated
+    sibling of the chi-square ``term_drift_docs``."""
+    from ...stages.textstats import log_odds_contrast
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "source"]) \
+        .repartition(8)
+    return log_odds_contrast(ds, min_cf=3, num_partitions=8)
+
+
+LOGODDS_SQL = """
+WITH w AS (
+    SELECT CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT) % 2
+               AS side,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+),
+f AS (SELECT side, token FROM w WHERE token <> ''),
+agg AS (
+    SELECT token,
+           CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1,
+           CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c2
+    FROM f GROUP BY token
+),
+tot AS (
+    SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+           CAST(count(*) AS BIGINT) AS v
+    FROM agg
+),
+d AS (
+    SELECT a.token, a.c1, a.c2,
+           ln((CAST(a.c1 AS DOUBLE) + 1.0)
+              / (CAST(t.n1 AS DOUBLE) + CAST(t.v AS DOUBLE)
+                 - CAST(a.c1 AS DOUBLE) - 1.0))
+           - ln((CAST(a.c2 AS DOUBLE) + 1.0)
+                / (CAST(t.n2 AS DOUBLE) + CAST(t.v AS DOUBLE)
+                   - CAST(a.c2 AS DOUBLE) - 1.0)) AS delta,
+           1.0 / (CAST(a.c1 AS DOUBLE) + 1.0)
+           + 1.0 / (CAST(a.c2 AS DOUBLE) + 1.0) AS var
+    FROM agg a CROSS JOIN tot t
+    WHERE a.c1 + a.c2 >= 3
+)
+SELECT token, c1, c2, delta, delta / sqrt(var) AS z
+FROM d
+"""

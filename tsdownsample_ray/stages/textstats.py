@@ -13,7 +13,8 @@ import pyarrow.compute as pc
 __all__ = ["token_stats_batch", "LangId", "fingerprint_batch",
            "quality_batch", "BpeishTokenizer", "kwic",
            "readability_batch",
-           "rake_word_scores", "term_adaptation"]
+           "rake_word_scores", "term_adaptation",
+           "log_odds_contrast"]
 
 # GPT-2-style pretokenizer pattern (contractions, letter runs, digit runs,
 # punctuation runs, whitespace) — the "BPE-ish regex" token count
@@ -651,5 +652,90 @@ def term_adaptation(ds, *, text_col: str = "text", id_col: str = "doc_id",
             "adaptation": pa.array(
                 (cf - df).astype(np.float64) / cf.astype(np.float64),
                 pa.float64())})
+
+    return summed.map_batches(_finish, batch_format="pyarrow")
+
+
+def log_odds_contrast(ds, *, text_col: str = "text",
+                      group_col: str = "source",
+                      split_fn=None, alpha: int = 1, min_cf: int = 3,
+                      num_partitions: int = 8):
+    """Monroe-Colaresi-Quinn log-odds-ratio with a (symmetric)
+    Dirichlet prior between two corpus halves ("Fightin' Words",
+    2008 — the calibrated keyword-contrast statistic): per token with
+    group counts ``c1``/``c2`` and totals ``N1``/``N2``,
+    ``delta = ln((c1+a)/(N1+aV-c1-a)) - ln((c2+a)/(N2+aV-c2-a))``,
+    ``var = 1/(c1+a) + 1/(c2+a)``, ``z = delta/sqrt(var)`` — integer
+    counts exact, the three floats pinned per-row libm chains. The
+    principled sibling of the chi-square ``term_drift``.
+
+    ``split_fn(group_value) -> 0/1`` assigns the halves (default:
+    parity of the trailing integer in the group string).
+
+    Scale shape: per-block (token, side) partials, ONE hash(token)
+    grouped sum (vocabulary-sized), scalar totals via a bounded
+    aggregate, per-row float finish."""
+    import math
+    import re as _re
+
+    from ..arrow_utils import rename_agg
+    from .graph import grouped_sum_parts
+
+    if split_fn is None:
+        def split_fn(g):  # noqa: E731 - documented default
+            m = _re.search(r"(\d+)$", g)
+            return int(m.group(1)) % 2 if m else 0
+
+    def _partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        row = np.repeat(np.arange(b.num_rows, dtype=np.int64),
+                        np.diff(off))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        grp = b[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        enc = grp.dictionary_encode()
+        side_of = np.array([split_fn(g) for g in
+                            enc.dictionary.to_pylist()], dtype=np.int64)
+        side = side_of[enc.indices.to_numpy(zero_copy_only=False)][
+            row[keep]]
+        t = pa.table({"token": flat.filter(pa.array(keep)),
+                      "c1": pa.array((side == 0).astype(np.int64)),
+                      "c2": pa.array((side == 1).astype(np.int64))})
+        g = t.group_by(["token"]).aggregate([("c1", "sum"), ("c2", "sum")])
+        return rename_agg(g, {"token": "token", "c1_sum": "c1",
+                              "c2_sum": "c2"})
+
+    summed = grouped_sum_parts(ds.map_batches(_partial,
+                                              batch_format="pyarrow"),
+                               ["token"], ["c1", "c2"], count_col=None,
+                               fanin=num_partitions).materialize()
+    n1 = int(summed.sum("c1"))
+    n2 = int(summed.sum("c2"))
+    vocab = summed.count()
+
+    def _finish(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(
+            pc.add(b["c1"], b["c2"]), pa.scalar(min_cf, pa.int64())))
+        c1 = t["c1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c2 = t["c2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = float(alpha)
+        av = float(alpha * vocab)
+        delta = np.array([
+            math.log((x1 + a) / (n1 + av - x1 - a))
+            - math.log((x2 + a) / (n2 + av - x2 - a))
+            for x1, x2 in zip(c1, c2)], dtype=np.float64)
+        var = np.array([1.0 / (x1 + a) + 1.0 / (x2 + a)
+                        for x1, x2 in zip(c1, c2)], dtype=np.float64)
+        z = np.array([d / math.sqrt(v) for d, v in zip(delta, var)],
+                     dtype=np.float64)
+        return pa.table({"token": t["token"],
+                         "c1": pa.array(c1), "c2": pa.array(c2),
+                         "delta": pa.array(delta, pa.float64()),
+                         "z": pa.array(z, pa.float64())})
 
     return summed.map_batches(_finish, batch_format="pyarrow")
