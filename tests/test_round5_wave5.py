@@ -1160,3 +1160,50 @@ def test_log_odds_contrast_bruteforce(ray_session):
         assert (int(row.c1), int(row.c2)) == (x1, x2)
         assert row.delta == pytest.approx(delta, rel=1e-12)
         assert row.z == pytest.approx(delta / math.sqrt(var), rel=1e-12)
+
+
+def test_double_sweep_bruteforce(ray_session):
+    from collections import deque
+
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.graph import double_sweep
+
+    rng = np.random.default_rng(97)
+    n = 30
+    edges = set()
+    for _ in range(45):
+        u, v = map(int, rng.integers(0, n, 2))
+        if u != v:
+            edges.add((u, v))
+            edges.add((v, u))
+    eds = rd.from_pandas(pd.DataFrame(sorted(edges),
+                                      columns=["src", "dst"]))
+    nds = rd.from_pandas(pd.DataFrame({"node": range(n)}))
+    out = double_sweep(eds, nds, rounds=10,
+                       num_partitions=2).to_pandas().iloc[0]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+
+    def bfs(s, cap=10):
+        hop = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            if hop[v] >= cap:
+                continue
+            for w in adj.get(v, ()):
+                if w not in hop:
+                    hop[w] = hop[v] + 1
+                    q.append(w)
+        return hop
+
+    h0 = bfs(0)
+    ecc0 = max(h0.values())
+    far = min(v for v, h in h0.items() if h == ecc0)
+    h1 = bfs(far)
+    assert int(out.src_node) == 0
+    assert int(out.src_ecc) == ecc0
+    assert int(out.far_node) == far
+    assert int(out.far_ecc) == max(h1.values())

@@ -2145,3 +2145,8 @@ from .ext_round5k import LOGODDS_SQL, q_log_odds_sources_docs  # noqa: E402
 
 QUERIES["log_odds_sources_docs"] = q_log_odds_sources_docs
 ORACLE_SQL["log_odds_sources_docs"] = LOGODDS_SQL
+
+from .ext_round5k import DOUBLE_SWEEP_SQL, q_double_sweep_docs  # noqa: E402
+
+QUERIES["double_sweep_docs"] = q_double_sweep_docs
+ORACLE_SQL["double_sweep_docs"] = DOUBLE_SWEEP_SQL

@@ -2394,3 +2394,147 @@ d AS (
 SELECT token, c1, c2, delta, delta / sqrt(var) AS z
 FROM d
 """
+
+
+def q_double_sweep_docs(sf_dir: str):
+    """Double-sweep BFS diameter lower bound over the link graph
+    (``stages/graph.py:double_sweep``; Magnien-Latapy-Habib 2009):
+    BFS from the minimum doc id, re-BFS from the farthest node (ties
+    -> smallest id), both bounded to 6 hops (the bfs_hops contract).
+    One exact-int row ``(src_node, src_ecc, far_node, far_ecc)`` —
+    ``far_ecc`` is the diameter lower bound."""
+    from ...stages.graph import double_sweep
+
+    nodes, edges = _doc_graph_edges(sf_dir, weighted=False)
+    return double_sweep(edges, nodes, node_col="doc_id", rounds=6,
+                        num_partitions=4)
+
+
+DOUBLE_SWEEP_SQL = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+base AS MATERIALIZED (
+    SELECT d.doc_id AS s, u.j,
+           ((d.doc_id * 31 + 97 * u.j) % (SELECT n FROM nn)) AS t
+    FROM documents d, LATERAL unnest(generate_series(1, 6)) AS u(j)
+    WHERE u.j <= 1 + d.doc_id % 6
+),
+canon AS MATERIALIZED (
+    SELECT least(s, t) AS u, greatest(s, t) AS v FROM base WHERE s <> t
+),
+ed AS MATERIALIZED (
+    SELECT u AS node, v AS dst FROM canon
+    UNION ALL
+    SELECT v AS node, u AS dst FROM canon
+),
+da0 AS MATERIALIZED (
+    SELECT min(doc_id) AS node, CAST(0 AS BIGINT) AS h FROM documents
+),
+da1 AS MATERIALIZED (
+    SELECT node, min(h) AS h FROM (
+        SELECT node, h FROM da0
+        UNION ALL
+        SELECT e.dst AS node, d.h + 1 AS h
+        FROM da0 d JOIN ed e ON e.node = d.node
+    ) GROUP BY node
+),
+da2 AS MATERIALIZED (
+    SELECT node, min(h) AS h FROM (
+        SELECT node, h FROM da1
+        UNION ALL
+        SELECT e.dst AS node, d.h + 1 AS h
+        FROM da1 d JOIN ed e ON e.node = d.node
+    ) GROUP BY node
+),
+da3 AS MATERIALIZED (
+    SELECT node, min(h) AS h FROM (
+        SELECT node, h FROM da2
+        UNION ALL
+        SELECT e.dst AS node, d.h + 1 AS h
+        FROM da2 d JOIN ed e ON e.node = d.node
+    ) GROUP BY node
+),
+da4 AS MATERIALIZED (
+    SELECT node, min(h) AS h FROM (
+        SELECT node, h FROM da3
+        UNION ALL
+        SELECT e.dst AS node, d.h + 1 AS h
+        FROM da3 d JOIN ed e ON e.node = d.node
+    ) GROUP BY node
+),
+da5 AS MATERIALIZED (
+    SELECT node, min(h) AS h FROM (
+        SELECT node, h FROM da4
+        UNION ALL
+        SELECT e.dst AS node, d.h + 1 AS h
+        FROM da4 d JOIN ed e ON e.node = d.node
+    ) GROUP BY node
+),
+da6 AS MATERIALIZED (
+    SELECT node, min(h) AS h FROM (
+        SELECT node, h FROM da5
+        UNION ALL
+        SELECT e.dst AS node, d.h + 1 AS h
+        FROM da5 d JOIN ed e ON e.node = d.node
+    ) GROUP BY node
+),
+ecc_a AS (SELECT max(h) AS ecc0 FROM da6),
+farn AS (
+    SELECT min(node) AS far FROM da6
+    WHERE h = (SELECT ecc0 FROM ecc_a)
+),
+db0 AS MATERIALIZED (
+    SELECT (SELECT far FROM farn) AS node, CAST(0 AS BIGINT) AS h
+),
+db1 AS MATERIALIZED (
+    SELECT node, min(h) AS h FROM (
+        SELECT node, h FROM db0
+        UNION ALL
+        SELECT e.dst AS node, d.h + 1 AS h
+        FROM db0 d JOIN ed e ON e.node = d.node
+    ) GROUP BY node
+),
+db2 AS MATERIALIZED (
+    SELECT node, min(h) AS h FROM (
+        SELECT node, h FROM db1
+        UNION ALL
+        SELECT e.dst AS node, d.h + 1 AS h
+        FROM db1 d JOIN ed e ON e.node = d.node
+    ) GROUP BY node
+),
+db3 AS MATERIALIZED (
+    SELECT node, min(h) AS h FROM (
+        SELECT node, h FROM db2
+        UNION ALL
+        SELECT e.dst AS node, d.h + 1 AS h
+        FROM db2 d JOIN ed e ON e.node = d.node
+    ) GROUP BY node
+),
+db4 AS MATERIALIZED (
+    SELECT node, min(h) AS h FROM (
+        SELECT node, h FROM db3
+        UNION ALL
+        SELECT e.dst AS node, d.h + 1 AS h
+        FROM db3 d JOIN ed e ON e.node = d.node
+    ) GROUP BY node
+),
+db5 AS MATERIALIZED (
+    SELECT node, min(h) AS h FROM (
+        SELECT node, h FROM db4
+        UNION ALL
+        SELECT e.dst AS node, d.h + 1 AS h
+        FROM db4 d JOIN ed e ON e.node = d.node
+    ) GROUP BY node
+),
+db6 AS MATERIALIZED (
+    SELECT node, min(h) AS h FROM (
+        SELECT node, h FROM db5
+        UNION ALL
+        SELECT e.dst AS node, d.h + 1 AS h
+        FROM db5 d JOIN ed e ON e.node = d.node
+    ) GROUP BY node
+)
+SELECT (SELECT min(doc_id) FROM documents) AS src_node,
+       (SELECT ecc0 FROM ecc_a) AS src_ecc,
+       (SELECT far FROM farn) AS far_node,
+       (SELECT max(h) FROM db6) AS far_ecc
+"""

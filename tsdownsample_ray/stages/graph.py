@@ -48,7 +48,7 @@ __all__ = ["extract_links_batch", "grouped_sum_parts", "pagerank",
            "triangle_counts", "link_prediction", "hits", "reciprocity",
            "degree_assortativity", "sssp", "mis_rounds",
            "boruvka_mst", "single_linkage", "wl_refinement",
-           "katz_rounds"]
+           "katz_rounds", "double_sweep"]
 
 
 def extract_links_batch(batch: pa.Table, *, html_col: str = "html",
@@ -1355,3 +1355,82 @@ def katz_rounds(edges_ds, nodes_ds, *, node_col: str = "node",
 
     return rd.from_arrow(pa.table({"node": pa.array(nodes),
                                    "katz": pa.array(x)}))
+
+
+def double_sweep(edges_ds, nodes_ds, *, node_col: str = "node",
+                 src: str = "src", dst: str = "dst", rounds: int = 6,
+                 num_partitions: int = 8):
+    """Double-sweep BFS diameter lower bound (Magnien-Latapy-Habib
+    2009 — the standard cheap diameter estimator): BFS from a fixed
+    source (the minimum node id), pick the farthest reached node
+    (ties -> smallest id), BFS again from it; the second eccentricity
+    is a diameter lower bound that is exact on trees and empirically
+    tight on web graphs. Both sweeps are bounded to ``rounds`` hops
+    (the bfs_hops contract, replayed identically). Output ONE row:
+    ``(src_node, src_ecc, far_node, far_ecc)`` with ``far_ecc`` the
+    diameter lower bound.
+
+    Scale shape: per hop ONE broadcast-frontier edge map + distinct
+    (the frontier BFS shape); node-bounded visited state driver-held
+    (kcore contract); edges only ever stream."""
+    import ray as _ray
+    import ray.data as rd
+
+    if rounds < 1:
+        raise ValueError("double_sweep: rounds must be >= 1")
+
+    def _canon(b: pa.Table) -> pa.Table:
+        return pa.table({"a": pc.cast(b[src], pa.int64()),
+                         "b": pc.cast(b[dst], pa.int64())})
+
+    edges = edges_ds.map_batches(_canon,
+                                 batch_format="pyarrow").materialize()
+    nodes = np.sort(np.unique(np.concatenate([
+        t["node"].to_numpy(zero_copy_only=False) for t in _ray.get(
+            nodes_ds.map_batches(
+                lambda b: pa.table({"node": pc.cast(b[node_col],
+                                                    pa.int64())}),
+                batch_format="pyarrow").to_arrow_refs())])))
+
+    def _bfs(start: int):
+        """hop vector over ``nodes`` (-1 unreached), bounded rounds."""
+        hop = np.full(len(nodes), -1, dtype=np.int64)
+        hop[np.searchsorted(nodes, start)] = 0
+        frontier = np.array([start], dtype=np.int64)
+        for h in range(1, rounds + 1):
+            f_ref = _ray.put(frontier)
+
+            def _next(b: pa.Table, _ref=f_ref) -> pa.Table:
+                fr = _ray.get(_ref)
+                a = b["a"].to_numpy(zero_copy_only=False)
+                bb = b["b"].to_numpy(zero_copy_only=False)
+                ins = np.clip(np.searchsorted(fr, a), 0, len(fr) - 1)
+                hit = fr[ins] == a
+                return pa.table({"n": pa.array(np.unique(bb[hit]))})
+
+            ring = [t["n"].to_numpy(zero_copy_only=False)
+                    for t in _ray.get(edges.map_batches(
+                        _next, batch_format="pyarrow").to_arrow_refs())
+                    if t.num_rows > 0]
+            if not ring:
+                break
+            cand = np.unique(np.concatenate(ring))
+            pos = np.searchsorted(nodes, cand)
+            new = pos[hop[pos] < 0]
+            if len(new) == 0:
+                break
+            hop[new] = h
+            frontier = nodes[new]
+        return hop
+
+    s0 = int(nodes[0])
+    hop0 = _bfs(s0)
+    ecc0 = int(hop0.max())
+    far = int(nodes[hop0 == ecc0].min())  # ties -> smallest id
+    hop1 = _bfs(far)
+    ecc1 = int(hop1.max())
+    return rd.from_arrow(pa.table({
+        "src_node": pa.array([s0], pa.int64()),
+        "src_ecc": pa.array([ecc0], pa.int64()),
+        "far_node": pa.array([far], pa.int64()),
+        "far_ecc": pa.array([ecc1], pa.int64())}))
