@@ -1207,3 +1207,51 @@ def test_double_sweep_bruteforce(ray_session):
     assert int(out.src_ecc) == ecc0
     assert int(out.far_node) == far
     assert int(out.far_ecc) == max(h1.values())
+
+
+def test_greedy_set_cover_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.curation import greedy_set_cover
+
+    docs = [("a b c d", "s1"), ("c d e", "s2"), ("e f", "s3"),
+            ("a f g", "s4"), ("g", "s5")]
+    df = pd.DataFrame(docs, columns=["text", "source"])
+    out = greedy_set_cover(rd.from_pandas(df).repartition(3),
+                           num_partitions=2).to_pandas()
+    sets = {}
+    for t, s in docs:
+        sets.setdefault(s, set()).update(t.split())
+    covered = set()
+    exp = []
+    for pick in range(1, 10):
+        best_g, best_new = None, 0
+        for g in sorted(sets):
+            new = len(sets[g] - covered)
+            if new > best_new:
+                best_g, best_new = g, new
+        if best_g is None:
+            break
+        covered |= sets[best_g]
+        exp.append((pick, best_g, best_new, len(covered)))
+    got = [(r.pick, r.grp, r.newly_covered, r.covered_total)
+           for r in out.sort_values("pick").itertuples()]
+    assert got == exp
+
+
+def test_k_anonymity_audit_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.curation import k_anonymity_audit
+
+    rng = np.random.default_rng(101)
+    df = pd.DataFrame({"qa": rng.integers(0, 6, 200),
+                       "qb": rng.integers(0, 4, 200)})
+    out = k_anonymity_audit(rd.from_pandas(df).repartition(4),
+                            quasi_cols=("qa", "qb"), k=8,
+                            num_partitions=2).to_pandas().iloc[0]
+    sizes = df.groupby(["qa", "qb"]).size()
+    assert int(out.n_classes) == len(sizes)
+    assert int(out.n_violating) == int((sizes < 8).sum())
+    assert int(out.rows_at_risk) == int(sizes[sizes < 8].sum())
+    assert int(out.k) == 8

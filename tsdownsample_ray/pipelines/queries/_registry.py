@@ -2150,3 +2150,13 @@ from .ext_round5k import DOUBLE_SWEEP_SQL, q_double_sweep_docs  # noqa: E402
 
 QUERIES["double_sweep_docs"] = q_double_sweep_docs
 ORACLE_SQL["double_sweep_docs"] = DOUBLE_SWEEP_SQL
+
+from .ext_round5k import SET_COVER_SQL, q_set_cover_sources  # noqa: E402
+
+QUERIES["set_cover_sources"] = q_set_cover_sources
+ORACLE_SQL["set_cover_sources"] = SET_COVER_SQL
+
+from .ext_round5k import K_ANON_SQL, q_k_anonymity_events  # noqa: E402
+
+QUERIES["k_anonymity_events"] = q_k_anonymity_events
+ORACLE_SQL["k_anonymity_events"] = K_ANON_SQL

@@ -2538,3 +2538,549 @@ SELECT (SELECT min(doc_id) FROM documents) AS src_node,
        (SELECT far FROM farn) AS far_node,
        (SELECT max(h) FROM db6) AS far_ecc
 """
+
+
+def q_set_cover_sources(sf_dir: str):
+    """Greedy set cover of the corpus BIGRAM vocabulary by sources
+    (``stages/curation.py:greedy_set_cover``, unit="bigram" — the
+    single-token universe converges in one pick on this corpus):
+    which sources do you need for full bigram coverage — the ln(n)-approximation selection
+    every corpus-mixture curation step runs. Deterministic ties
+    (max new coverage, then smallest source); exact ints; the oracle
+    replays the greedy walk as UNROLLED chained list-state CTEs over
+    the bounded (source, token-list) table (22 steps > the 20-source
+    domain; trailing no-op steps emit nothing — DuckDB rejects
+    correlated references into recursive rows, so the Boruvka-style
+    unroll replaces a recursive CTE here)."""
+    from ...stages.curation import greedy_set_cover
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["text", "source"]).repartition(8)
+    return greedy_set_cover(ds, unit="bigram", num_partitions=8)
+
+
+SET_COVER_SQL = """
+WITH toks0 AS (
+    SELECT source AS grp, string_split(text, ' ') AS l FROM documents
+),
+w AS (
+    SELECT grp, l[i] || ' ' || l[i + 1] AS token
+    FROM toks0, LATERAL unnest(generate_series(1, len(l) - 1)) AS t(i)
+    WHERE l[i] <> '' AND l[i + 1] <> ''
+),
+st AS MATERIALIZED (
+    SELECT grp, list_sort(list(DISTINCT token)) AS toks
+    FROM w GROUP BY grp
+),
+cov0 AS MATERIALIZED (SELECT CAST([] AS VARCHAR[]) AS covered),
+c1 AS MATERIALIZED (
+    SELECT s.grp,
+           CAST(len(list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t))) AS BIGINT)
+               AS newly,
+           list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t)) AS newt
+    FROM st s CROSS JOIN cov0 cv
+),
+pick1 AS MATERIALIZED (
+    SELECT CAST(1 AS BIGINT) AS pick, grp, newly, newt
+    FROM c1 ORDER BY newly DESC, grp LIMIT 1
+),
+cov1 AS MATERIALIZED (
+    SELECT list_sort(list_distinct(
+        cv.covered || CASE WHEN p.newly > 0 THEN p.newt
+                      ELSE [] END)) AS covered
+    FROM cov0 cv CROSS JOIN pick1 p
+),
+c2 AS MATERIALIZED (
+    SELECT s.grp,
+           CAST(len(list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t))) AS BIGINT)
+               AS newly,
+           list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t)) AS newt
+    FROM st s CROSS JOIN cov1 cv
+),
+pick2 AS MATERIALIZED (
+    SELECT CAST(2 AS BIGINT) AS pick, grp, newly, newt
+    FROM c2 ORDER BY newly DESC, grp LIMIT 1
+),
+cov2 AS MATERIALIZED (
+    SELECT list_sort(list_distinct(
+        cv.covered || CASE WHEN p.newly > 0 THEN p.newt
+                      ELSE [] END)) AS covered
+    FROM cov1 cv CROSS JOIN pick2 p
+),
+c3 AS MATERIALIZED (
+    SELECT s.grp,
+           CAST(len(list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t))) AS BIGINT)
+               AS newly,
+           list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t)) AS newt
+    FROM st s CROSS JOIN cov2 cv
+),
+pick3 AS MATERIALIZED (
+    SELECT CAST(3 AS BIGINT) AS pick, grp, newly, newt
+    FROM c3 ORDER BY newly DESC, grp LIMIT 1
+),
+cov3 AS MATERIALIZED (
+    SELECT list_sort(list_distinct(
+        cv.covered || CASE WHEN p.newly > 0 THEN p.newt
+                      ELSE [] END)) AS covered
+    FROM cov2 cv CROSS JOIN pick3 p
+),
+c4 AS MATERIALIZED (
+    SELECT s.grp,
+           CAST(len(list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t))) AS BIGINT)
+               AS newly,
+           list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t)) AS newt
+    FROM st s CROSS JOIN cov3 cv
+),
+pick4 AS MATERIALIZED (
+    SELECT CAST(4 AS BIGINT) AS pick, grp, newly, newt
+    FROM c4 ORDER BY newly DESC, grp LIMIT 1
+),
+cov4 AS MATERIALIZED (
+    SELECT list_sort(list_distinct(
+        cv.covered || CASE WHEN p.newly > 0 THEN p.newt
+                      ELSE [] END)) AS covered
+    FROM cov3 cv CROSS JOIN pick4 p
+),
+c5 AS MATERIALIZED (
+    SELECT s.grp,
+           CAST(len(list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t))) AS BIGINT)
+               AS newly,
+           list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t)) AS newt
+    FROM st s CROSS JOIN cov4 cv
+),
+pick5 AS MATERIALIZED (
+    SELECT CAST(5 AS BIGINT) AS pick, grp, newly, newt
+    FROM c5 ORDER BY newly DESC, grp LIMIT 1
+),
+cov5 AS MATERIALIZED (
+    SELECT list_sort(list_distinct(
+        cv.covered || CASE WHEN p.newly > 0 THEN p.newt
+                      ELSE [] END)) AS covered
+    FROM cov4 cv CROSS JOIN pick5 p
+),
+c6 AS MATERIALIZED (
+    SELECT s.grp,
+           CAST(len(list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t))) AS BIGINT)
+               AS newly,
+           list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t)) AS newt
+    FROM st s CROSS JOIN cov5 cv
+),
+pick6 AS MATERIALIZED (
+    SELECT CAST(6 AS BIGINT) AS pick, grp, newly, newt
+    FROM c6 ORDER BY newly DESC, grp LIMIT 1
+),
+cov6 AS MATERIALIZED (
+    SELECT list_sort(list_distinct(
+        cv.covered || CASE WHEN p.newly > 0 THEN p.newt
+                      ELSE [] END)) AS covered
+    FROM cov5 cv CROSS JOIN pick6 p
+),
+c7 AS MATERIALIZED (
+    SELECT s.grp,
+           CAST(len(list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t))) AS BIGINT)
+               AS newly,
+           list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t)) AS newt
+    FROM st s CROSS JOIN cov6 cv
+),
+pick7 AS MATERIALIZED (
+    SELECT CAST(7 AS BIGINT) AS pick, grp, newly, newt
+    FROM c7 ORDER BY newly DESC, grp LIMIT 1
+),
+cov7 AS MATERIALIZED (
+    SELECT list_sort(list_distinct(
+        cv.covered || CASE WHEN p.newly > 0 THEN p.newt
+                      ELSE [] END)) AS covered
+    FROM cov6 cv CROSS JOIN pick7 p
+),
+c8 AS MATERIALIZED (
+    SELECT s.grp,
+           CAST(len(list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t))) AS BIGINT)
+               AS newly,
+           list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t)) AS newt
+    FROM st s CROSS JOIN cov7 cv
+),
+pick8 AS MATERIALIZED (
+    SELECT CAST(8 AS BIGINT) AS pick, grp, newly, newt
+    FROM c8 ORDER BY newly DESC, grp LIMIT 1
+),
+cov8 AS MATERIALIZED (
+    SELECT list_sort(list_distinct(
+        cv.covered || CASE WHEN p.newly > 0 THEN p.newt
+                      ELSE [] END)) AS covered
+    FROM cov7 cv CROSS JOIN pick8 p
+),
+c9 AS MATERIALIZED (
+    SELECT s.grp,
+           CAST(len(list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t))) AS BIGINT)
+               AS newly,
+           list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t)) AS newt
+    FROM st s CROSS JOIN cov8 cv
+),
+pick9 AS MATERIALIZED (
+    SELECT CAST(9 AS BIGINT) AS pick, grp, newly, newt
+    FROM c9 ORDER BY newly DESC, grp LIMIT 1
+),
+cov9 AS MATERIALIZED (
+    SELECT list_sort(list_distinct(
+        cv.covered || CASE WHEN p.newly > 0 THEN p.newt
+                      ELSE [] END)) AS covered
+    FROM cov8 cv CROSS JOIN pick9 p
+),
+c10 AS MATERIALIZED (
+    SELECT s.grp,
+           CAST(len(list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t))) AS BIGINT)
+               AS newly,
+           list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t)) AS newt
+    FROM st s CROSS JOIN cov9 cv
+),
+pick10 AS MATERIALIZED (
+    SELECT CAST(10 AS BIGINT) AS pick, grp, newly, newt
+    FROM c10 ORDER BY newly DESC, grp LIMIT 1
+),
+cov10 AS MATERIALIZED (
+    SELECT list_sort(list_distinct(
+        cv.covered || CASE WHEN p.newly > 0 THEN p.newt
+                      ELSE [] END)) AS covered
+    FROM cov9 cv CROSS JOIN pick10 p
+),
+c11 AS MATERIALIZED (
+    SELECT s.grp,
+           CAST(len(list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t))) AS BIGINT)
+               AS newly,
+           list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t)) AS newt
+    FROM st s CROSS JOIN cov10 cv
+),
+pick11 AS MATERIALIZED (
+    SELECT CAST(11 AS BIGINT) AS pick, grp, newly, newt
+    FROM c11 ORDER BY newly DESC, grp LIMIT 1
+),
+cov11 AS MATERIALIZED (
+    SELECT list_sort(list_distinct(
+        cv.covered || CASE WHEN p.newly > 0 THEN p.newt
+                      ELSE [] END)) AS covered
+    FROM cov10 cv CROSS JOIN pick11 p
+),
+c12 AS MATERIALIZED (
+    SELECT s.grp,
+           CAST(len(list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t))) AS BIGINT)
+               AS newly,
+           list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t)) AS newt
+    FROM st s CROSS JOIN cov11 cv
+),
+pick12 AS MATERIALIZED (
+    SELECT CAST(12 AS BIGINT) AS pick, grp, newly, newt
+    FROM c12 ORDER BY newly DESC, grp LIMIT 1
+),
+cov12 AS MATERIALIZED (
+    SELECT list_sort(list_distinct(
+        cv.covered || CASE WHEN p.newly > 0 THEN p.newt
+                      ELSE [] END)) AS covered
+    FROM cov11 cv CROSS JOIN pick12 p
+),
+c13 AS MATERIALIZED (
+    SELECT s.grp,
+           CAST(len(list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t))) AS BIGINT)
+               AS newly,
+           list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t)) AS newt
+    FROM st s CROSS JOIN cov12 cv
+),
+pick13 AS MATERIALIZED (
+    SELECT CAST(13 AS BIGINT) AS pick, grp, newly, newt
+    FROM c13 ORDER BY newly DESC, grp LIMIT 1
+),
+cov13 AS MATERIALIZED (
+    SELECT list_sort(list_distinct(
+        cv.covered || CASE WHEN p.newly > 0 THEN p.newt
+                      ELSE [] END)) AS covered
+    FROM cov12 cv CROSS JOIN pick13 p
+),
+c14 AS MATERIALIZED (
+    SELECT s.grp,
+           CAST(len(list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t))) AS BIGINT)
+               AS newly,
+           list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t)) AS newt
+    FROM st s CROSS JOIN cov13 cv
+),
+pick14 AS MATERIALIZED (
+    SELECT CAST(14 AS BIGINT) AS pick, grp, newly, newt
+    FROM c14 ORDER BY newly DESC, grp LIMIT 1
+),
+cov14 AS MATERIALIZED (
+    SELECT list_sort(list_distinct(
+        cv.covered || CASE WHEN p.newly > 0 THEN p.newt
+                      ELSE [] END)) AS covered
+    FROM cov13 cv CROSS JOIN pick14 p
+),
+c15 AS MATERIALIZED (
+    SELECT s.grp,
+           CAST(len(list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t))) AS BIGINT)
+               AS newly,
+           list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t)) AS newt
+    FROM st s CROSS JOIN cov14 cv
+),
+pick15 AS MATERIALIZED (
+    SELECT CAST(15 AS BIGINT) AS pick, grp, newly, newt
+    FROM c15 ORDER BY newly DESC, grp LIMIT 1
+),
+cov15 AS MATERIALIZED (
+    SELECT list_sort(list_distinct(
+        cv.covered || CASE WHEN p.newly > 0 THEN p.newt
+                      ELSE [] END)) AS covered
+    FROM cov14 cv CROSS JOIN pick15 p
+),
+c16 AS MATERIALIZED (
+    SELECT s.grp,
+           CAST(len(list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t))) AS BIGINT)
+               AS newly,
+           list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t)) AS newt
+    FROM st s CROSS JOIN cov15 cv
+),
+pick16 AS MATERIALIZED (
+    SELECT CAST(16 AS BIGINT) AS pick, grp, newly, newt
+    FROM c16 ORDER BY newly DESC, grp LIMIT 1
+),
+cov16 AS MATERIALIZED (
+    SELECT list_sort(list_distinct(
+        cv.covered || CASE WHEN p.newly > 0 THEN p.newt
+                      ELSE [] END)) AS covered
+    FROM cov15 cv CROSS JOIN pick16 p
+),
+c17 AS MATERIALIZED (
+    SELECT s.grp,
+           CAST(len(list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t))) AS BIGINT)
+               AS newly,
+           list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t)) AS newt
+    FROM st s CROSS JOIN cov16 cv
+),
+pick17 AS MATERIALIZED (
+    SELECT CAST(17 AS BIGINT) AS pick, grp, newly, newt
+    FROM c17 ORDER BY newly DESC, grp LIMIT 1
+),
+cov17 AS MATERIALIZED (
+    SELECT list_sort(list_distinct(
+        cv.covered || CASE WHEN p.newly > 0 THEN p.newt
+                      ELSE [] END)) AS covered
+    FROM cov16 cv CROSS JOIN pick17 p
+),
+c18 AS MATERIALIZED (
+    SELECT s.grp,
+           CAST(len(list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t))) AS BIGINT)
+               AS newly,
+           list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t)) AS newt
+    FROM st s CROSS JOIN cov17 cv
+),
+pick18 AS MATERIALIZED (
+    SELECT CAST(18 AS BIGINT) AS pick, grp, newly, newt
+    FROM c18 ORDER BY newly DESC, grp LIMIT 1
+),
+cov18 AS MATERIALIZED (
+    SELECT list_sort(list_distinct(
+        cv.covered || CASE WHEN p.newly > 0 THEN p.newt
+                      ELSE [] END)) AS covered
+    FROM cov17 cv CROSS JOIN pick18 p
+),
+c19 AS MATERIALIZED (
+    SELECT s.grp,
+           CAST(len(list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t))) AS BIGINT)
+               AS newly,
+           list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t)) AS newt
+    FROM st s CROSS JOIN cov18 cv
+),
+pick19 AS MATERIALIZED (
+    SELECT CAST(19 AS BIGINT) AS pick, grp, newly, newt
+    FROM c19 ORDER BY newly DESC, grp LIMIT 1
+),
+cov19 AS MATERIALIZED (
+    SELECT list_sort(list_distinct(
+        cv.covered || CASE WHEN p.newly > 0 THEN p.newt
+                      ELSE [] END)) AS covered
+    FROM cov18 cv CROSS JOIN pick19 p
+),
+c20 AS MATERIALIZED (
+    SELECT s.grp,
+           CAST(len(list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t))) AS BIGINT)
+               AS newly,
+           list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t)) AS newt
+    FROM st s CROSS JOIN cov19 cv
+),
+pick20 AS MATERIALIZED (
+    SELECT CAST(20 AS BIGINT) AS pick, grp, newly, newt
+    FROM c20 ORDER BY newly DESC, grp LIMIT 1
+),
+cov20 AS MATERIALIZED (
+    SELECT list_sort(list_distinct(
+        cv.covered || CASE WHEN p.newly > 0 THEN p.newt
+                      ELSE [] END)) AS covered
+    FROM cov19 cv CROSS JOIN pick20 p
+),
+c21 AS MATERIALIZED (
+    SELECT s.grp,
+           CAST(len(list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t))) AS BIGINT)
+               AS newly,
+           list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t)) AS newt
+    FROM st s CROSS JOIN cov20 cv
+),
+pick21 AS MATERIALIZED (
+    SELECT CAST(21 AS BIGINT) AS pick, grp, newly, newt
+    FROM c21 ORDER BY newly DESC, grp LIMIT 1
+),
+cov21 AS MATERIALIZED (
+    SELECT list_sort(list_distinct(
+        cv.covered || CASE WHEN p.newly > 0 THEN p.newt
+                      ELSE [] END)) AS covered
+    FROM cov20 cv CROSS JOIN pick21 p
+),
+c22 AS MATERIALIZED (
+    SELECT s.grp,
+           CAST(len(list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t))) AS BIGINT)
+               AS newly,
+           list_filter(s.toks,
+                t -> NOT list_contains(cv.covered, t)) AS newt
+    FROM st s CROSS JOIN cov21 cv
+),
+pick22 AS MATERIALIZED (
+    SELECT CAST(22 AS BIGINT) AS pick, grp, newly, newt
+    FROM c22 ORDER BY newly DESC, grp LIMIT 1
+),
+cov22 AS MATERIALIZED (
+    SELECT list_sort(list_distinct(
+        cv.covered || CASE WHEN p.newly > 0 THEN p.newt
+                      ELSE [] END)) AS covered
+    FROM cov21 cv CROSS JOIN pick22 p
+)
+SELECT pick, grp, newly AS newly_covered, covered_total FROM (
+SELECT pick, grp, newly, (SELECT CAST(len(covered) AS BIGINT) FROM cov1) AS covered_total FROM pick1
+UNION ALL
+SELECT pick, grp, newly, (SELECT CAST(len(covered) AS BIGINT) FROM cov2) AS covered_total FROM pick2
+UNION ALL
+SELECT pick, grp, newly, (SELECT CAST(len(covered) AS BIGINT) FROM cov3) AS covered_total FROM pick3
+UNION ALL
+SELECT pick, grp, newly, (SELECT CAST(len(covered) AS BIGINT) FROM cov4) AS covered_total FROM pick4
+UNION ALL
+SELECT pick, grp, newly, (SELECT CAST(len(covered) AS BIGINT) FROM cov5) AS covered_total FROM pick5
+UNION ALL
+SELECT pick, grp, newly, (SELECT CAST(len(covered) AS BIGINT) FROM cov6) AS covered_total FROM pick6
+UNION ALL
+SELECT pick, grp, newly, (SELECT CAST(len(covered) AS BIGINT) FROM cov7) AS covered_total FROM pick7
+UNION ALL
+SELECT pick, grp, newly, (SELECT CAST(len(covered) AS BIGINT) FROM cov8) AS covered_total FROM pick8
+UNION ALL
+SELECT pick, grp, newly, (SELECT CAST(len(covered) AS BIGINT) FROM cov9) AS covered_total FROM pick9
+UNION ALL
+SELECT pick, grp, newly, (SELECT CAST(len(covered) AS BIGINT) FROM cov10) AS covered_total FROM pick10
+UNION ALL
+SELECT pick, grp, newly, (SELECT CAST(len(covered) AS BIGINT) FROM cov11) AS covered_total FROM pick11
+UNION ALL
+SELECT pick, grp, newly, (SELECT CAST(len(covered) AS BIGINT) FROM cov12) AS covered_total FROM pick12
+UNION ALL
+SELECT pick, grp, newly, (SELECT CAST(len(covered) AS BIGINT) FROM cov13) AS covered_total FROM pick13
+UNION ALL
+SELECT pick, grp, newly, (SELECT CAST(len(covered) AS BIGINT) FROM cov14) AS covered_total FROM pick14
+UNION ALL
+SELECT pick, grp, newly, (SELECT CAST(len(covered) AS BIGINT) FROM cov15) AS covered_total FROM pick15
+UNION ALL
+SELECT pick, grp, newly, (SELECT CAST(len(covered) AS BIGINT) FROM cov16) AS covered_total FROM pick16
+UNION ALL
+SELECT pick, grp, newly, (SELECT CAST(len(covered) AS BIGINT) FROM cov17) AS covered_total FROM pick17
+UNION ALL
+SELECT pick, grp, newly, (SELECT CAST(len(covered) AS BIGINT) FROM cov18) AS covered_total FROM pick18
+UNION ALL
+SELECT pick, grp, newly, (SELECT CAST(len(covered) AS BIGINT) FROM cov19) AS covered_total FROM pick19
+UNION ALL
+SELECT pick, grp, newly, (SELECT CAST(len(covered) AS BIGINT) FROM cov20) AS covered_total FROM pick20
+UNION ALL
+SELECT pick, grp, newly, (SELECT CAST(len(covered) AS BIGINT) FROM cov21) AS covered_total FROM pick21
+UNION ALL
+SELECT pick, grp, newly, (SELECT CAST(len(covered) AS BIGINT) FROM cov22) AS covered_total FROM pick22
+) WHERE newly > 0
+"""
+
+
+_DAY_US = 86400 * US
+
+
+def q_k_anonymity_events(sf_dir: str):
+    """k-anonymity audit of the event stream under the
+    quasi-identifier (event_type, day, user_id % 50)
+    (``stages/curation.py:k_anonymity_audit``; Sweeney 2002): one
+    exact-int row counting equivalence classes below k=5 and the rows
+    they expose — the release-safety gate for event-level data."""
+    from ...stages.curation import k_anonymity_audit
+
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet",
+                             columns=["ts", "user_id", "event_type"]) \
+        .repartition(8)
+
+    def _quasi(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["ts"], pa.int64())
+        import numpy as _np
+
+        tv = ts.to_numpy() if not isinstance(ts, pa.ChunkedArray) \
+            else ts.combine_chunks().to_numpy()
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": b["event_type"],
+                         "day": pa.array(tv // _DAY_US),
+                         "ub": pa.array(uid % 50)})
+
+    return k_anonymity_audit(ds.map_batches(_quasi,
+                                            batch_format="pyarrow"),
+                             quasi_cols=("event_type", "day", "ub"),
+                             k=5, num_partitions=4)
+
+
+K_ANON_SQL = f"""
+WITH cls AS (
+    SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+           user_id % 50 AS ub, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2, 3
+)
+SELECT CAST(5 AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(count(*) FILTER (n < 5) AS BIGINT) AS n_violating,
+       CAST(coalesce(sum(n) FILTER (n < 5), 0) AS BIGINT)
+           AS rows_at_risk
+FROM cls
+"""

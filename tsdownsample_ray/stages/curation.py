@@ -34,7 +34,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ..arrow_utils import group_codes, make_add_part
 
-__all__ = ["cap_per_group", "mixture_order"]
+__all__ = ["cap_per_group", "mixture_order", "greedy_set_cover",
+           "k_anonymity_audit"]
 
 
 def cap_per_group(ds, *, group_col: str, k: int, order_col: str,
@@ -121,3 +122,138 @@ def mixture_order(ds, weights: dict, *, group_col: str = "source",
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _rank, batch_format="pyarrow")
+
+
+def greedy_set_cover(ds, *, group_col: str = "source",
+                     text_col: str = "text", unit: str = "token",
+                     max_picks: int = 64, num_partitions: int = 8):
+    """Greedy weighted SET COVER over (group -> token set): pick the
+    group covering the most uncovered vocabulary each step (ties ->
+    lexicographically smallest group) until coverage stops growing —
+    the ln(n)-approximation workhorse for source/corpus selection
+    ("which crawls do I need for full vocabulary coverage").
+    Deterministic; output one row per pick:
+    ``(pick, grp, newly_covered, covered_total)`` — exact ints.
+
+    Scale shape: ONE distinct (group, token) aggregate (bounded by
+    groups x vocabulary — the Heap's-law side, never corpus-sized)
+    collapses map-side per block; the greedy loop then runs on that
+    bounded table driver-side (the kcore bounded-state contract; group
+    count bounds the rounds)."""
+    import ray as _ray
+
+    from ..arrow_utils import rename_agg, stable_part_codes
+
+    if unit not in ("token", "bigram"):
+        raise ValueError("unit must be 'token' or 'bigram'")
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        row = np.repeat(np.arange(b.num_rows, dtype=np.int64),
+                        np.diff(off))
+        grp = b[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        if unit == "bigram":
+            # adjacent raw-split bigrams, empties dropped (the
+            # g2_collocations adjacency convention)
+            n = len(flat)
+            same = row[1:] == row[:-1] if n > 1 else np.empty(0, bool)
+            w1 = flat.slice(0, max(n - 1, 0))
+            w2 = flat.slice(1, max(n - 1, 0))
+            ok = same & (
+                pc.not_equal(w1, "").to_numpy(zero_copy_only=False)
+                & pc.not_equal(w2, "").to_numpy(zero_copy_only=False))
+            sel = pa.array(np.flatnonzero(ok))
+            t = pa.table({
+                "grp": grp.take(pa.array(row[:-1][ok])),
+                "token": pc.binary_join_element_wise(
+                    w1.take(sel), w2.take(sel), " ")})
+        else:
+            keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            t = pa.table({"grp": grp.take(pa.array(row[keep])),
+                          "token": flat.filter(pa.array(keep))})
+        d = t.group_by(["grp", "token"]).aggregate([])
+        h = stable_part_codes(d["grp"], num_partitions * 64)
+        return d.append_column("__part", pa.array(h))
+
+    def _merge(g: pa.Table) -> pa.Table:
+        return g.drop_columns(["__part"]).group_by(
+            ["grp", "token"]).aggregate([])
+
+    pairs = pa.concat_tables(_ray.get(
+        ds.map_batches(_pairs, batch_format="pyarrow")
+        .repartition(num_partitions).groupby("__part").map_groups(
+            _merge, batch_format="pyarrow").to_arrow_refs()))
+    # bounded driver state: groups x vocab distinct pairs
+    sets: dict[str, set] = {}
+    for gname, tok in zip(pairs["grp"].to_pylist(),
+                          pairs["token"].to_pylist()):
+        sets.setdefault(gname, set()).add(tok)
+    covered: set = set()
+    out_rows = []
+    for pick in range(1, max_picks + 1):
+        best_g, best_new = None, 0
+        for gname in sorted(sets):
+            new = len(sets[gname] - covered)
+            if new > best_new:
+                best_g, best_new = gname, new
+        if best_g is None:
+            break
+        covered |= sets[best_g]
+        out_rows.append((pick, best_g, best_new, len(covered)))
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "pick": pa.array([r[0] for r in out_rows], pa.int64()),
+        "grp": pa.array([r[1] for r in out_rows], pa.string()),
+        "newly_covered": pa.array([r[2] for r in out_rows], pa.int64()),
+        "covered_total": pa.array([r[3] for r in out_rows],
+                                  pa.int64())}))
+
+
+def k_anonymity_audit(ds, *, quasi_cols: tuple, k: int = 5,
+                      num_partitions: int = 8):
+    """k-anonymity audit over a quasi-identifier tuple (Sweeney 2002 —
+    the release-safety check every training-data pipeline should run
+    before publishing event-level data): group by the quasi-identifier
+    columns and count equivalence classes smaller than ``k`` plus the
+    rows they expose. Output ONE exact-int row:
+    ``(k, n_classes, n_violating, rows_at_risk)``.
+
+    Scale shape: map-side class-count partials, ONE hash(quasi)
+    grouped sum, bounded scalar finish."""
+    from .graph import grouped_sum_parts
+
+    cols = list(quasi_cols)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        t = b.select(cols)
+        t = t.append_column("n", pa.array(np.ones(t.num_rows, np.int64)))
+        g = t.group_by(cols).aggregate([("n", "sum")])
+        from ..arrow_utils import rename_agg
+
+        return rename_agg(g, {**{c: c for c in cols}, "n_sum": "n"})
+
+    summed = grouped_sum_parts(ds.map_batches(_partial,
+                                              batch_format="pyarrow"),
+                               cols, ["n"], count_col=None,
+                               fanin=num_partitions)
+
+    def _audit(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        viol = n < k
+        return pa.table({
+            "k": pa.array([k], pa.int64()),
+            "n_classes": pa.array([len(n)], pa.int64()),
+            "n_violating": pa.array([int(viol.sum())], pa.int64()),
+            "rows_at_risk": pa.array([int(n[viol].sum())], pa.int64())})
+
+    # the per-class table is quasi-cardinality bounded; one final block
+    return summed.repartition(1).map_batches(_audit,
+                                             batch_format="pyarrow")
