@@ -1255,3 +1255,45 @@ def test_k_anonymity_audit_bruteforce(ray_session):
     assert int(out.n_violating) == int((sizes < 8).sum())
     assert int(out.rows_at_risk) == int(sizes[sizes < 8].sum())
     assert int(out.k) == 8
+
+
+def test_sprt_decide_bruteforce(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.abtest import sprt_decide
+
+    rng = np.random.default_rng(103)
+    rows = []
+    for u, p in [(0, 0.9), (1, 0.1), (2, 0.5)]:
+        for i in range(60):
+            rows.append((u, int(rng.random() < p), i, i))
+    df = pd.DataFrame(rows, columns=["user_id", "x", "ts_us", "event_id"])
+    out = sprt_decide(rd.from_pandas(df).repartition(3),
+                      key_col="user_id", flag_col="x",
+                      order_cols=("ts_us", "event_id"),
+                      num_partitions=2).to_pandas().set_index("user_id")
+    c1 = math.log(0.6 / 0.4)
+    c0 = math.log((1.0 - 0.6) / (1.0 - 0.4))
+    up = math.log((1.0 - 0.05) / 0.05)
+    lo = math.log(0.05 / (1.0 - 0.05))
+    for u in (0, 1, 2):
+        xs = [x for uu, x, _, _ in rows if uu == u]
+        s = 0
+        dec, td, sd = "continue", 0, 0
+        for t, x in enumerate(xs, 1):
+            s += x
+            llr = float(s) * c1 + float(t - s) * c0
+            if llr >= up:
+                dec, td, sd = "accept_h1", t, s
+                break
+            if llr <= lo:
+                dec, td, sd = "accept_h0", t, s
+                break
+        row = out.loc[u]
+        assert row.decision == dec, u
+        assert (int(row.t_decide), int(row.s_decide)) == (td, sd)
+        assert int(row.n) == 60 and int(row.s_total) == sum(xs)
+    assert out.loc[0].decision == "accept_h1"
+    assert out.loc[1].decision == "accept_h0"

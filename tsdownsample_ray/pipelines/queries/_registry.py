@@ -2160,3 +2160,8 @@ from .ext_round5k import K_ANON_SQL, q_k_anonymity_events  # noqa: E402
 
 QUERIES["k_anonymity_events"] = q_k_anonymity_events
 ORACLE_SQL["k_anonymity_events"] = K_ANON_SQL
+
+from .ext_round5k import SPRT_SQL, q_sprt_users  # noqa: E402
+
+QUERIES["sprt_users"] = q_sprt_users
+ORACLE_SQL["sprt_users"] = SPRT_SQL

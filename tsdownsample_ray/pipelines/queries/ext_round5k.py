@@ -3084,3 +3084,82 @@ SELECT CAST(5 AS BIGINT) AS k,
            AS rows_at_risk
 FROM cls
 """
+
+
+def q_sprt_users(sf_dir: str):
+    """Wald SPRT per user over the ordered event stream
+    (``stages/abtest.py:sprt_decide``; Wald 1945): Bernoulli trial =
+    event value above the corpus median (cents > 3459), H0 p=0.4 vs
+    H1 p=0.6, alpha=beta=0.05. The log-likelihood ratio is the CLOSED
+    FORM s*c1 + (t-s)*c0 of exact integer cumsums — no float
+    accumulation — and every constant is a pinned libm ln of
+    DOUBLE-cast literals (the Wilson DECIMAL-folding lesson). Output:
+    earliest decision per user."""
+    from ...stages.abtest import sprt_decide
+
+    ds = _read_parquet_clean(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id",
+                                      "value"]).repartition(8)
+
+    def _flag(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                 ndigits=0), pa.int64())
+        return pa.table({
+            "user_id": b["user_id"],
+            "x": pc.cast(pc.greater(cents, pa.scalar(3459, pa.int64())),
+                         pa.int64()),
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "event_id": b["event_id"]})
+
+    return sprt_decide(ds.map_batches(_flag, batch_format="pyarrow"),
+                       key_col="user_id", flag_col="x",
+                       order_cols=("ts_us", "event_id"),
+                       num_partitions=8)
+
+
+SPRT_SQL = """
+WITH cst AS (
+    SELECT ln(CAST(0.6 AS DOUBLE) / CAST(0.4 AS DOUBLE)) AS c1,
+           ln((1.0 - CAST(0.6 AS DOUBLE))
+              / (1.0 - CAST(0.4 AS DOUBLE))) AS c0,
+           ln((1.0 - CAST(0.05 AS DOUBLE)) / CAST(0.05 AS DOUBLE))
+               AS up,
+           ln(CAST(0.05 AS DOUBLE) / (1.0 - CAST(0.05 AS DOUBLE)))
+               AS lo
+),
+e AS (
+    SELECT user_id,
+           CASE WHEN CAST(round(value * 100) AS BIGINT) > 3459
+                THEN 1 ELSE 0 END AS x,
+           row_number() OVER w AS t,
+           CAST(sum(CASE WHEN CAST(round(value * 100) AS BIGINT) > 3459
+                    THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS s
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+l AS (
+    SELECT e.*, CAST(s AS DOUBLE) * cst.c1
+                + CAST(t - s AS DOUBLE) * cst.c0 AS llr,
+           cst.up, cst.lo
+    FROM e CROSS JOIN cst
+),
+h AS (
+    SELECT user_id, t, s, (llr >= up) AS hu
+    FROM l WHERE llr >= up OR llr <= lo
+),
+f AS (SELECT user_id, min(t) AS td FROM h GROUP BY user_id),
+tot AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS s_total
+    FROM e GROUP BY user_id
+)
+SELECT tot.user_id, tot.n, tot.s_total,
+       CASE WHEN f.td IS NULL THEN 'continue'
+            WHEN hh.hu THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision,
+       coalesce(f.td, 0) AS t_decide,
+       coalesce(hh.s, 0) AS s_decide
+FROM tot LEFT JOIN f USING (user_id)
+LEFT JOIN h hh ON hh.user_id = tot.user_id AND hh.t = f.td
+"""

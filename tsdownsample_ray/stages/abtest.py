@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 
 __all__ = ["mann_whitney", "chi2_contingency",
            "wilcoxon_signed", "runs_test", "lz76_complexity",
-           "wilson_interval"]
+           "wilson_interval", "sprt_decide"]
 
 
 def mann_whitney(ds, *, key_col: str = "series_id",
@@ -493,3 +493,95 @@ def wilson_interval(ds, *, key_col: str, flag_col: str, z: float = 1.96,
                          "hi": pa.array(center + half, pa.float64())})
 
     return summed.map_batches(_finish, batch_format="pyarrow")
+
+
+def sprt_decide(ds, *, key_col: str, flag_col: str, order_cols: tuple,
+                p0: float = 0.4, p1: float = 0.6,
+                alpha: float = 0.05, beta: float = 0.05,
+                num_partitions: int = 8):
+    """Wald's Sequential Probability Ratio Test per key (Wald 1945 —
+    the earliest-stopping A/B decision rule): over the key's ordered
+    Bernoulli stream, the log-likelihood ratio after t trials with s
+    successes is the CLOSED FORM ``llr = s*c1 + (t-s)*c0`` (``c1 =
+    ln(p1/p0)``, ``c0 = ln((1-p1)/(1-p0))`` — per-row pinned
+    expressions of exact integer s/t, no running float sum anywhere);
+    the decision is the first t where llr >= ln((1-beta)/alpha)
+    (accept H1) or <= ln(beta/(1-alpha)) (accept H0), else
+    ``continue``. Output per key:
+    ``(key, n, s_total, decision, t_decide, s_decide)`` with
+    ``t_decide/s_decide = 0`` for ``continue``.
+
+    Scale shape: ONE hash(key) shuffle, per-partition sort + integer
+    cumsums; the float comparisons are per-row pinned chains replayed
+    identically in SQL (ln literals CAST to DOUBLE — the Wilson
+    DECIMAL-folding lesson)."""
+    import math
+
+    from ..arrow_utils import group_codes, make_add_part
+
+    mod = num_partitions * 64
+    c1 = math.log(p1 / p0)
+    c0 = math.log((1.0 - p1) / (1.0 - p0))
+    up = math.log((1.0 - beta) / alpha)
+    lo = math.log(beta / (1.0 - alpha))
+
+    _add_part = make_add_part(key_col, mod)
+
+    sort_keys = [(key_col, "ascending")] + [
+        (c, "ascending") for c in order_cols]
+
+    def _sprt(g: pa.Table) -> pa.Table:
+        key_type = g[key_col].type
+        empty = pa.table({key_col: pa.array([], key_type),
+                          "n": pa.array([], pa.int64()),
+                          "s_total": pa.array([], pa.int64()),
+                          "decision": pa.array([], pa.string()),
+                          "t_decide": pa.array([], pa.int64()),
+                          "s_decide": pa.array([], pa.int64())})
+        t = g.drop_columns(["__part"])
+        if t.num_rows == 0:
+            return empty
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        keys = t[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        codes = group_codes(keys)
+        x = t[flag_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(x)
+        change = np.ones(n, dtype=bool)
+        change[1:] = codes[1:] != codes[:-1]
+        seg_first = np.flatnonzero(change)
+        seg_len = np.diff(np.r_[seg_first, n])
+        out = {k: [] for k in ("key", "n", "st", "d", "td", "sd")}
+        for si, f0 in enumerate(seg_first):
+            m = int(seg_len[si])
+            xs = x[f0:f0 + m]
+            s = np.cumsum(xs)
+            tt = np.arange(1, m + 1, dtype=np.int64)
+            llr = s.astype(np.float64) * c1 \
+                + (tt - s).astype(np.float64) * c0
+            hit_up = llr >= up
+            hit_lo = llr <= lo
+            hit = hit_up | hit_lo
+            if hit.any():
+                i = int(np.argmax(hit))
+                dec = "accept_h1" if hit_up[i] else "accept_h0"
+                td, sd = int(tt[i]), int(s[i])
+            else:
+                dec, td, sd = "continue", 0, 0
+            out["key"].append(keys[int(f0)].as_py())
+            out["n"].append(m)
+            out["st"].append(int(s[-1]))
+            out["d"].append(dec)
+            out["td"].append(td)
+            out["sd"].append(sd)
+        return pa.table({key_col: pa.array(out["key"], key_type),
+                         "n": pa.array(out["n"], pa.int64()),
+                         "s_total": pa.array(out["st"], pa.int64()),
+                         "decision": pa.array(out["d"], pa.string()),
+                         "t_decide": pa.array(out["td"], pa.int64()),
+                         "s_decide": pa.array(out["sd"], pa.int64())})
+
+    parted = ds.map_batches(_add_part, batch_format="pyarrow")
+    return parted.repartition(num_partitions).groupby("__part").map_groups(
+        _sprt, batch_format="pyarrow")
