@@ -167,7 +167,9 @@ def run_bench() -> dict:
         "g2_collocations_docs", "mst_docs", "capture_recapture_users",
         "spc_rules_15m", "wilson_interval_events", "hrw_rebalance_docs",
         "single_linkage_docs", "wl_refinement_docs", "rake_words_docs",
-        "katz_docs", "term_adaptation_docs", "log_odds_sources_docs")
+        "katz_docs", "term_adaptation_docs", "log_odds_sources_docs",
+        "double_sweep_docs", "set_cover_sources", "k_anonymity_events",
+        "sprt_users")
     for qname in qnames:
         best = None
         # min-of-n: throttle bursts vary timings ~3x; the two join-heavy
