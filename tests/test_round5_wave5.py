@@ -1297,3 +1297,42 @@ def test_sprt_decide_bruteforce(ray_session):
         assert int(row.n) == 60 and int(row.s_total) == sum(xs)
     assert out.loc[0].decision == "accept_h1"
     assert out.loc[1].decision == "accept_h0"
+
+
+def test_bwt_stats_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.compress import bwt_stats
+    from tsdownsample_ray.stages.dedup import _stable_u64
+
+    texts = {0: "banana", 7: "abracadabra abra", 14: "zzzzz",
+             3: "skipped (not % 7)", 21: "x" * 500}
+    df = pd.DataFrame({"doc_id": list(texts),
+                       "text": list(texts.values())})
+    out = bwt_stats(rd.from_pandas(df).repartition(3), max_chars=400,
+                    modulus=7).to_pandas().set_index("doc_id")
+    assert set(out.index) == {0, 7, 14}  # 3 fails %7, 21 too long
+    for d in (0, 7, 14):
+        s2 = texts[d] + "~"
+        n = len(s2)
+        rots = sorted(s2[i:] + s2[:i] for i in range(n))
+        bwt = "".join(r[-1] for r in rots)
+        row = out.loc[d]
+        assert int(row.n) == n
+        assert int(row.bwt_hash) == _stable_u64(bwt.encode()) - (1 << 63)
+        assert int(row.runs_bwt) == 1 + sum(
+            1 for j in range(1, n) if bwt[j] != bwt[j - 1])
+        assert int(row.runs_text) == 1 + sum(
+            1 for j in range(1, n) if s2[j] != s2[j - 1])
+    # banana~ -> BWT clusters repeats
+    assert int(out.loc[0].runs_bwt) <= int(out.loc[0].runs_text)
+
+
+def test_bwt_sentinel_validation(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.compress import bwt_stats
+
+    df = pd.DataFrame({"doc_id": [0], "text": ["bad~text"]})
+    with pytest.raises(Exception):
+        bwt_stats(rd.from_pandas(df), modulus=1).to_pandas()

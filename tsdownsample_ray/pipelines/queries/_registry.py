@@ -2165,3 +2165,8 @@ from .ext_round5k import SPRT_SQL, q_sprt_users  # noqa: E402
 
 QUERIES["sprt_users"] = q_sprt_users
 ORACLE_SQL["sprt_users"] = SPRT_SQL
+
+from .ext_round5k import BWT_SQL, q_bwt_docs  # noqa: E402
+
+QUERIES["bwt_docs"] = q_bwt_docs
+ORACLE_SQL["bwt_docs"] = BWT_SQL

@@ -3163,3 +3163,58 @@ SELECT tot.user_id, tot.n, tot.s_total,
 FROM tot LEFT JOIN f USING (user_id)
 LEFT JOIN h hh ON hh.user_id = tot.user_id AND hh.t = f.td
 """
+
+
+def q_bwt_docs(sf_dir: str):
+    """Burrows-Wheeler transform statistics over the bounded doc
+    subset (``stages/compress.py:bwt_stats``; Burrows & Wheeler 1994):
+    with ``mtf_score_users`` this completes the BWT->MTF->RLE bzip2
+    story. Rotation sort in codepoint order, '~' sentinel (validated
+    absent), md5-u64 transform fingerprint, and the run-count drop
+    that is the whole point of the transform. Embarrassingly parallel
+    — no shuffle; the oracle replays the rotation sort with
+    list_transform + list_sort."""
+    from ...stages.compress import bwt_stats
+
+    ds = _read_parquet_clean(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+    return bwt_stats(ds, max_chars=400, modulus=7, num_partitions=8)
+
+
+_MD5U64_BWT = """list_reduce(list_prepend(0::HUGEINT,
+    list_transform(range(1, 17),
+        i -> CAST(strpos('0123456789abcdef',
+                         substring(md5({expr}), i, 1)) - 1
+                  AS HUGEINT))), (h, d) -> h * 16 + d)"""
+
+BWT_SQL = f"""
+WITH sel AS (
+    SELECT doc_id, text || '~' AS s2, length(text) + 1 AS n
+    FROM documents
+    WHERE doc_id % 7 = 0 AND length(text) <= 400
+),
+rot AS (
+    SELECT doc_id, n,
+           list_sort(list_transform(range(1, n + 1),
+               i -> substr(s2 || s2, CAST(i AS INTEGER),
+                           CAST(n AS INTEGER)))) AS rots,
+           s2
+    FROM sel
+),
+bw AS (
+    SELECT doc_id, n, s2,
+           array_to_string(list_transform(rots,
+               r -> substr(r, CAST(n AS INTEGER), 1)), '') AS bwt
+    FROM rot
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n,
+       CAST({_MD5U64_BWT.format(expr="bwt")}
+            - 9223372036854775808::HUGEINT AS BIGINT) AS bwt_hash,
+       CAST(1 + len(list_filter(range(2, CAST(n AS INTEGER) + 1),
+            i -> substr(s2, i, 1) <> substr(s2, i - 1, 1)))
+            AS BIGINT) AS runs_text,
+       CAST(1 + len(list_filter(range(2, CAST(n AS INTEGER) + 1),
+            i -> substr(bwt, i, 1) <> substr(bwt, i - 1, 1)))
+            AS BIGINT) AS runs_bwt
+FROM bw
+"""

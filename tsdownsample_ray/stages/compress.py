@@ -33,7 +33,7 @@ from ..functions.gorilla import (
 
 __all__ = ["ChunkCompressor", "ChunkDecompressor",
            "compress_chunks_per_series", "deadband_filter",
-           "simple8b_pack", "S8B_COUNTS", "mtf_score"]
+           "simple8b_pack", "S8B_COUNTS", "mtf_score", "bwt_stats"]
 
 _F64 = "f8"
 _I64 = "i8"
@@ -742,3 +742,61 @@ def mtf_score(ds, alphabet: list, *, key_col: str = "user_id",
     parted = ds.map_batches(_add_part, batch_format="pyarrow")
     return parted.repartition(num_partitions).groupby("__part").map_groups(
         _mtf, batch_format="pyarrow")
+
+
+def bwt_stats(ds, *, id_col: str = "doc_id", text_col: str = "text",
+              sentinel: str = "~", max_chars: int = 400,
+              modulus: int = 7, num_partitions: int = 8):
+    """Burrows-Wheeler transform statistics per document (Burrows &
+    Wheeler 1994 — the bzip2 first stage; with the catalog's
+    ``mtf_score`` this completes the BWT->MTF->RLE story): for every
+    selected doc (deterministic subset ``doc_id % modulus == 0`` and
+    length <= ``max_chars`` — the rotation sort is O(n^2 log n) BY
+    DEFINITION, so the contract bounds n), append the sentinel, sort
+    all rotations (codepoint order — UTF-8 byte order, identical in
+    numpy/Python/DuckDB), take the last column. Output per doc:
+    ``(doc_id, n, bwt_hash, runs_text, runs_bwt)`` — the md5-u64
+    fingerprint of the transform (KMV storage convention) and the
+    run-count drop that makes BWT compress (runs_bwt <= runs_text on
+    clustered text). Contract: ``sentinel`` must not occur in the
+    text (validated; raises).
+
+    Scale shape: embarrassingly parallel per doc — no shuffle at all;
+    the bounded-length subset keeps per-doc work constant."""
+    from .dedup import _stable_u64
+
+    def _bwt(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "bwt_hash": pa.array([], pa.int64()),
+                          "runs_text": pa.array([], pa.int64()),
+                          "runs_bwt": pa.array([], pa.int64())})
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = b[text_col].to_pylist()
+        out = {k: [] for k in ("id", "n", "h", "rt", "rb")}
+        for d, s in zip(ids, texts):
+            if d % modulus != 0 or s is None or len(s) > max_chars:
+                continue
+            if sentinel in s:
+                raise ValueError("bwt_stats: sentinel occurs in text")
+            s2 = s + sentinel
+            n = len(s2)
+            order = sorted(range(n), key=lambda i: s2[i:] + s2[:i])
+            bwt = "".join(s2[(i - 1) % n] for i in order)
+            rt = 1 + sum(1 for j in range(1, len(s2))
+                         if s2[j] != s2[j - 1]) if len(s2) else 0
+            rb = 1 + sum(1 for j in range(1, n) if bwt[j] != bwt[j - 1])
+            out["id"].append(int(d))
+            out["n"].append(n)
+            out["h"].append(_stable_u64(bwt.encode()) - (1 << 63))
+            out["rt"].append(rt)
+            out["rb"].append(rb)
+        if not out["id"]:
+            return empty
+        return pa.table({"doc_id": pa.array(out["id"], pa.int64()),
+                         "n": pa.array(out["n"], pa.int64()),
+                         "bwt_hash": pa.array(out["h"], pa.int64()),
+                         "runs_text": pa.array(out["rt"], pa.int64()),
+                         "runs_bwt": pa.array(out["rb"], pa.int64())})
+
+    return ds.map_batches(_bwt, batch_format="pyarrow")
