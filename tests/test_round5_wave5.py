@@ -1336,3 +1336,30 @@ def test_bwt_sentinel_validation(ray_session):
     df = pd.DataFrame({"doc_id": [0], "text": ["bad~text"]})
     with pytest.raises(Exception):
         bwt_stats(rd.from_pandas(df), modulus=1).to_pandas()
+
+
+def test_knapsack_dp_bruteforce(ray_session):
+    import ray.data as rd
+
+    from tsdownsample_ray.stages.curation import knapsack_dp
+
+    rng = np.random.default_rng(107)
+    items = [(int(rng.integers(1, 8)), int(rng.integers(1, 40)))
+             for _ in range(30)]
+    df = pd.DataFrame(items, columns=["wt", "val"])
+    B = 25
+    # partition-invariance: two different repartitions, same answer
+    out1 = knapsack_dp(rd.from_pandas(df).repartition(5),
+                       budget=B).to_pandas().sort_values("w")
+    out2 = knapsack_dp(rd.from_pandas(df).repartition(2),
+                       budget=B).to_pandas().sort_values("w")
+    dp = [0] * (B + 1)
+    for w, v in items:
+        for c in range(B, w - 1, -1):
+            dp[c] = max(dp[c], dp[c - w] + v)
+    assert list(out1.best) == dp
+    assert list(out2.best) == dp
+    assert list(out1.w) == list(range(B + 1))
+    with pytest.raises(Exception):
+        knapsack_dp(rd.from_pandas(pd.DataFrame(
+            {"wt": [0], "val": [1]})), budget=5).to_pandas()

@@ -2170,3 +2170,8 @@ from .ext_round5k import BWT_SQL, q_bwt_docs  # noqa: E402
 
 QUERIES["bwt_docs"] = q_bwt_docs
 ORACLE_SQL["bwt_docs"] = BWT_SQL
+
+from .ext_round5k import KNAPSACK_SQL, q_knapsack_suppliers  # noqa: E402
+
+QUERIES["knapsack_suppliers"] = q_knapsack_suppliers
+ORACLE_SQL["knapsack_suppliers"] = KNAPSACK_SQL

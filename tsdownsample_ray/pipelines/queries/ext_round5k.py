@@ -3218,3 +3218,56 @@ SELECT doc_id, CAST(n AS BIGINT) AS n,
             AS BIGINT) AS runs_bwt
 FROM bw
 """
+
+
+def q_knapsack_suppliers(sf_dir: str):
+    """Exact 0/1 knapsack value function over suppliers
+    (``stages/curation.py:knapsack_dp``): deterministic item weights
+    ``1 + s_suppkey % 9`` and values ``1 + (s_suppkey * 7) % 100``,
+    budget 50. The engine computes it DISTRIBUTED (per-block DP folds
+    merged by max-plus convolution — associative, partition-
+    invariant); the oracle replays the SEQUENTIAL textbook DP with a
+    LIST-state recursive CTE over suppkey order — hash equality
+    proves the merge algebra. Output ``(w, best)`` for w = 0..50."""
+    from ...stages.curation import knapsack_dp
+
+    ds = _read_parquet_clean(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey"]).repartition(4)
+
+    def _items(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        k = b["s_suppkey"].to_numpy(zero_copy_only=False).astype(
+            _np.int64)
+        return pa.table({"wt": pa.array(1 + k % 9),
+                         "val": pa.array(1 + (k * 7) % 100)})
+
+    return knapsack_dp(ds.map_batches(_items, batch_format="pyarrow"),
+                       budget=50, num_partitions=4)
+
+
+KNAPSACK_SQL = """
+WITH RECURSIVE items AS MATERIALIZED (
+    SELECT row_number() OVER (ORDER BY s_suppkey) AS idx,
+           1 + s_suppkey % 9 AS wt,
+           1 + (s_suppkey * 7) % 100 AS val
+    FROM supplier
+),
+ni AS (SELECT CAST(count(*) AS BIGINT) AS n FROM items),
+rec AS (
+    SELECT CAST(0 AS BIGINT) AS idx,
+           list_transform(range(0, 51),
+                          w -> CAST(0 AS BIGINT)) AS dp
+    UNION ALL
+    SELECT r.idx + 1,
+           list_transform(range(0, 51),
+               w -> CASE WHEN w >= it.wt
+                    THEN greatest(r.dp[w + 1],
+                                  r.dp[w - it.wt + 1] + it.val)
+                    ELSE r.dp[w + 1] END)
+    FROM rec r JOIN items it ON it.idx = r.idx + 1
+)
+SELECT CAST(t.w AS BIGINT) AS w, CAST(f.dp[t.w + 1] AS BIGINT) AS best
+FROM (SELECT dp FROM rec WHERE idx = (SELECT n FROM ni)) f,
+     LATERAL unnest(generate_series(0, 50)) AS t(w)
+"""

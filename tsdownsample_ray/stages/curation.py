@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 from ..arrow_utils import group_codes, make_add_part
 
 __all__ = ["cap_per_group", "mixture_order", "greedy_set_cover",
-           "k_anonymity_audit"]
+           "k_anonymity_audit", "knapsack_dp"]
 
 
 def cap_per_group(ds, *, group_col: str, k: int, order_col: str,
@@ -257,3 +257,52 @@ def k_anonymity_audit(ds, *, quasi_cols: tuple, k: int = 5,
     # the per-class table is quasi-cardinality bounded; one final block
     return summed.repartition(1).map_batches(_audit,
                                              batch_format="pyarrow")
+
+
+def knapsack_dp(ds, *, weight_col: str = "wt", value_col: str = "val",
+                budget: int = 50, num_partitions: int = 8):
+    """Exact 0/1 KNAPSACK value function up to ``budget`` — computed
+    DISTRIBUTED via the max-plus-convolution merge: each block folds
+    its items into a local DP vector ``dp[w] = best value within
+    capacity w`` (one vectorized shift-max per item), and block
+    vectors combine with ``dp_ab[w] = max_k dp_a[k] + dp_b[w-k]`` —
+    associative and commutative, so the result is independent of the
+    partitioning (the pytest pins this against the sequential DP).
+    Output one row per capacity: ``(w, best)`` — exact int64.
+
+    Scale shape: per-block O(items x B) fold, ONE O(B) vector per
+    block to the driver, O(blocks x B^2) final merge — the classic
+    mergeable-aggregate shape (budget bounds the state, never the
+    item count). Weights must be >= 1 (validated)."""
+    import ray as _ray
+    import ray.data as rd
+
+    B = int(budget)
+
+    def _block_dp(b: pa.Table) -> pa.Table:
+        wt = b[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if (wt < 1).any():
+            raise ValueError("knapsack_dp: weights must be >= 1")
+        dp = np.zeros(B + 1, dtype=np.int64)
+        for w, v in zip(wt, val):
+            if w <= B:
+                upd = dp[:-w] + v
+                dp[w:] = np.maximum(dp[w:], upd)
+        return pa.table({"dp": pa.array([dp.tolist()],
+                                        pa.list_(pa.int64()))})
+
+    parts = _ray.get(ds.map_batches(_block_dp, batch_format="pyarrow")
+                     .to_arrow_refs())
+    dps = [np.array(row, dtype=np.int64)
+           for t in parts for row in t["dp"].to_pylist()]
+    acc = np.zeros(B + 1, dtype=np.int64)
+    for d in dps:
+        # max-plus convolution (bounded O(B^2) per block vector)
+        nxt = np.full(B + 1, -1, dtype=np.int64)
+        for w in range(B + 1):
+            nxt[w] = int(np.max(acc[:w + 1] + d[w::-1]))
+        acc = nxt
+    return rd.from_arrow(pa.table({
+        "w": pa.array(np.arange(B + 1, dtype=np.int64)),
+        "best": pa.array(acc)}))
