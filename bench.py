@@ -169,7 +169,7 @@ def run_bench() -> dict:
         "single_linkage_docs", "wl_refinement_docs", "rake_words_docs",
         "katz_docs", "term_adaptation_docs", "log_odds_sources_docs",
         "double_sweep_docs", "set_cover_sources", "k_anonymity_events",
-        "sprt_users")
+        "sprt_users", "bwt_docs", "knapsack_suppliers")
     for qname in qnames:
         best = None
         # min-of-n: throttle bursts vary timings ~3x; the two join-heavy
